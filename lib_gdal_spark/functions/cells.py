@@ -1,0 +1,177 @@
+"""Deterministic spatial cell / tile key math, fully vectorized in NumPy.
+
+This module is the engine's spatial index. The reference uses runtime
+structures (shapefile ``.qix`` quadtrees, ``core/port/cpl_quad_tree.cpp``;
+grid kNN via quadtree radius growth, ``core/alg/gdalgrid.cpp:281-301``).
+In Spark the index is a *data layout decision*: every point gets a
+deterministic int64 cell key, co-located by partitioning, and spatial
+predicates become equi-joins on those keys (SURVEY.md §4 row 8).
+
+Two key families:
+
+1. **Web-mercator XYZ tiles** ``(z, x, y)`` — the global tile grid of the
+   MBTiles/GPKG tile stores (origin −20037508.34, +20037508.34; matrix
+   2^z × 2^z; optional TMS row flip ``2^z−1−row`` —
+   ``drivers/raster/mbtiles/mbtilesdataset.cpp:61-62,969,1136-1137``).
+2. **Quadtree cell ids** — ``(res, x, y)`` packed into one int64, an
+   H3/S2-style addressing scheme over the same mercator grid with square
+   k-ring neighborhoods (analog of H3 kRing; used for kNN expansion joins).
+
+All functions accept and return ``numpy.ndarray`` and never loop per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Web-mercator constants (spherical, EPSG:3857).
+EARTH_RADIUS_M = 6378137.0
+ORIGIN_SHIFT = 20037508.342789244  # pi * EARTH_RADIUS_M
+MAX_MERC_LAT = 85.05112877980659  # atan(sinh(pi)) in degrees
+
+# int64 cell packing: [ res:6 bits | x:29 bits | y:29 bits ]
+_RES_SHIFT = 58
+_X_SHIFT = 29
+_XY_MASK = (1 << 29) - 1
+MAX_RES = 28
+
+
+def mercator_norm(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> normalized mercator (mx, my) in [0, 1).
+
+    mx grows eastward from −180°; my grows *southward* from the north clip
+    latitude — the XYZ/google tile convention (row 0 at the top), matching
+    the top-left-origin raster convention of the geotransform
+    (``core/alg/gdaltransformer.cpp:3761``).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lat = np.clip(lat, -MAX_MERC_LAT, MAX_MERC_LAT)
+    mx = (lon + 180.0) / 360.0
+    s = np.sin(np.radians(lat))
+    my = 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)
+    return mx, my
+
+
+def lonlat_to_tile(
+    lon: np.ndarray, lat: np.ndarray, z: int, tms: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) -> integer tile (x, y) at zoom z on the 2^z × 2^z grid.
+
+    ``tms=True`` applies the TMS row flip ``y = 2^z - 1 - y``
+    (``drivers/raster/mbtiles/mbtilesdataset.cpp:969``).
+    """
+    n = np.int64(1) << z
+    mx, my = mercator_norm(lon, lat)
+    x = np.clip(np.floor(mx * n).astype(np.int64), 0, n - 1)
+    y = np.clip(np.floor(my * n).astype(np.int64), 0, n - 1)
+    if tms:
+        y = n - 1 - y
+    return x, y
+
+
+def pack_cell(res: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(res, x, y) -> int64 cell id."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    return (
+        (np.int64(res) << _RES_SHIFT)
+        | (np.asarray(x, dtype=np.int64) << _X_SHIFT)
+        | np.asarray(y, dtype=np.int64)
+    )
+
+
+def unpack_cell(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """int64 cell id -> (res, x, y)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> _RES_SHIFT).astype(np.int64)
+    x = (cell >> _X_SHIFT) & _XY_MASK
+    y = cell & _XY_MASK
+    return res, x, y
+
+
+def lonlat_to_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """(lon, lat) -> packed int64 cell id at resolution ``res``."""
+    x, y = lonlat_to_tile(lon, lat, res)
+    return pack_cell(res, x, y)
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Coarsen a cell id to an ancestor resolution (quadtree parent chain)."""
+    res, x, y = unpack_cell(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return pack_cell(parent_res, x >> shift, y >> shift)
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> (lon, lat) of the cell center."""
+    res, x, y = unpack_cell(cell)
+    n = np.float64(2.0) ** res
+    mx = (x.astype(np.float64) + 0.5) / n
+    my = (y.astype(np.float64) + 0.5) / n
+    lon = mx * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * my))))
+    return lon, lat
+
+
+def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance ``k`` of each input cell.
+
+    Square-grid analog of H3 ``kRing`` (the kNN expansion primitive; the
+    reference's counterpart is quadtree radius growth,
+    ``core/alg/gdalgrid.cpp:281-301``). Returns shape
+    ``(len(cell), (2k+1)**2)``; x wraps around the antimeridian, y is clipped
+    by marking out-of-range rows with -1 (caller filters).
+    """
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    res, x, y = unpack_cell(cell)
+    n = np.int64(1) << int(res[0])  # k_ring batches share one resolution
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    dx = dx.ravel()[None, :]
+    dy = dy.ravel()[None, :]
+    nx = (x[:, None] + dx) % n  # antimeridian wrap
+    ny = y[:, None] + dy
+    valid = (ny >= 0) & (ny < n)
+    out = pack_cell(int(res[0]), nx, np.clip(ny, 0, n - 1))
+    return np.where(valid, out, np.int64(-1))
+
+
+def tile_bounds_mercator(
+    z: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(z,x,y) XYZ tile -> EPSG:3857 meters (minx, miny, maxx, maxy)."""
+    z = np.asarray(z, dtype=np.int64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = np.power(2.0, z.astype(np.float64))
+    span = 2.0 * ORIGIN_SHIFT / n
+    minx = -ORIGIN_SHIFT + x * span
+    maxy = ORIGIN_SHIFT - y * span
+    return minx, maxy - span, minx + span, maxy
+
+
+def haversine_km(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in km (spherical, R=6371.0088 mean radius)."""
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2)
+    )
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def cell_radius_km(res: int, lat: float = 0.0) -> float:
+    """Approximate max point-to-center distance inside one cell at ``res``.
+
+    Used to size k for a k-ring radius search: a radius-r query needs
+    ``k = ceil(r / cell_width(res))`` rings.
+    """
+    width_deg = 360.0 / (1 << res)
+    km_per_deg = 111.32 * max(np.cos(np.radians(lat)), 1e-6)
+    return float(width_deg * km_per_deg * 0.7071067811865476)

@@ -1,0 +1,268 @@
+"""Warp / overview resampling kernels with GDAL's exact conventions.
+
+Behavioral spec (reimplemented from the reference, not copied):
+
+- Warp kernels sample **dst pixel centers** ``(i + 0.5, j + 0.5)``
+  (``core/alg/gdalwarpkernel.cpp:4466,4477``), map them to fractional source
+  pixel coordinates, then gather:
+
+  * nearest: ``floor(srcX)`` cell (with a tiny epsilon like GDAL's),
+  * bilinear: triangle kernel radius 1 around ``srcX − 0.5``,
+  * cubic: Catmull-Rom a=−0.5 —
+    ``|x|<=1: x^2(1.5|x| − 2.5) + 1;  1<|x|<=2: x^2(−0.5|x| + 2.5) − 4|x| + 2``
+    (``gdalwarpkernel.cpp:3092-3111``),
+  * cubicspline: cubic B-spline radius 2 (``:3164``),
+  * lanczos: sinc·sinc radius 3 (``:3020``).
+
+- Integer outputs round via ``floor(v + 0.5)`` and clamp to the dtype range
+  (``GWKRoundValueT`` / ``GWKClampValueT``, ``gdalwarpkernel.cpp:1381``).
+
+- Overview (pyramid) kernels follow ``core/gcore/overview.cpp``:
+
+  * AVERAGE: src window per dst pixel is
+    ``[int(i*ratio + 1e-8), ceil((i+1)*ratio − 1e-8))``; integer types
+    round-half-up ``(total + count/2) // count`` (2×2 fast path
+    ``(total+2)/4`` at ``overview.cpp:534-540``); floats take the mean.
+  * NEAREST: source offset ``int(0.5 + i*ratio)`` (``overview.cpp:99,114``)
+    — i.e. factor-2 decimation keeps the **top-left** pixel of each 2×2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INT_RANGES = {
+    "uint8": (0, 255),
+    "int16": (-32768, 32767),
+    "uint16": (0, 65535),
+    "int32": (-2147483648, 2147483647),
+    "uint32": (0, 4294967295),
+}
+
+
+def clamp_round(arr: np.ndarray, dtype: str) -> np.ndarray:
+    """GDAL float→int store: floor(v+0.5), clamp to dtype range."""
+    if dtype in ("float32", "float64"):
+        return arr.astype(dtype)
+    lo, hi = INT_RANGES[dtype]
+    out = np.floor(np.asarray(arr, dtype=np.float64) + 0.5)
+    return np.clip(out, lo, hi).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernel weight functions (vectorized over offset arrays)
+# ---------------------------------------------------------------------------
+
+def cubic_weight(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom a=−0.5 (``gdalwarpkernel.cpp:3092-3111``)."""
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1.0,
+        ax * ax * (1.5 * ax - 2.5) + 1.0,
+        np.where(ax <= 2.0, ax * ax * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0, 0.0),
+    )
+    return w
+
+
+def cubicspline_weight(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline, radius 2 (``gdalwarpkernel.cpp:3164``)."""
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1.0,
+        (4.0 - 6.0 * ax * ax + 3.0 * ax**3) / 6.0,
+        np.where(ax <= 2.0, ((2.0 - ax) ** 3) / 6.0, 0.0),
+    )
+    return w
+
+
+def lanczos_weight(x: np.ndarray) -> np.ndarray:
+    """Lanczos a=3 windowed sinc (``gdalwarpkernel.cpp:3020``)."""
+    ax = np.abs(np.asarray(x, dtype=np.float64))
+    out = np.zeros_like(ax)
+    nz = (ax > 1e-12) & (ax < 3.0)
+    px = np.pi * ax[nz]
+    out[nz] = 3.0 * np.sin(px) * np.sin(px / 3.0) / (px * px)
+    out[ax <= 1e-12] = 1.0
+    return out
+
+
+KERNELS = {
+    "bilinear": (lambda x: np.maximum(0.0, 1.0 - np.abs(x)), 1),
+    "cubic": (cubic_weight, 2),
+    "cubicspline": (cubicspline_weight, 2),
+    "lanczos": (lanczos_weight, 3),
+}
+
+
+# ---------------------------------------------------------------------------
+# Geotransform math (``core/alg/gdaltransformer.cpp:3761-3800``)
+# ---------------------------------------------------------------------------
+
+def gt_apply(gt, px: np.ndarray, ln: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel/line -> georeferenced x/y via the 6-coefficient affine."""
+    x = gt[0] + px * gt[1] + ln * gt[2]
+    y = gt[3] + px * gt[4] + ln * gt[5]
+    return x, y
+
+
+def gt_invert(gt) -> tuple[float, float, float, float, float, float]:
+    """Inverse affine (``GDALInvGeoTransform``)."""
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    if det == 0.0:
+        raise ValueError("non-invertible geotransform")
+    inv1 = gt[5] / det
+    inv2 = -gt[2] / det
+    inv4 = -gt[4] / det
+    inv5 = gt[1] / det
+    inv0 = -gt[0] * inv1 - gt[3] * inv2
+    inv3 = -gt[0] * inv4 - gt[3] * inv5
+    return (inv0, inv1, inv2, inv3, inv4, inv5)
+
+
+# ---------------------------------------------------------------------------
+# Warp resampling (same-CRS or caller-supplied coordinate transform)
+# ---------------------------------------------------------------------------
+
+def warp_tile(
+    src: np.ndarray,
+    src_gt,
+    dst_shape: tuple[int, int],
+    dst_gt,
+    alg: str = "nearest",
+    dtype: str | None = None,
+    transform=None,
+    nodata: float | None = None,
+) -> np.ndarray:
+    """Resample one dst tile from a src array.
+
+    ``transform(x, y) -> (x', y')`` maps dst-CRS georef coords to src-CRS
+    georef coords (identity if None) — the analog of the GenImgProj pipeline
+    (``core/alg/gdaltransformer.cpp:1070``): dst px -> dst georef ->
+    [reproject] -> src georef -> src px.
+    """
+    h, w = dst_shape
+    jj, ii = np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64), indexing="ij"
+    )
+    # dst pixel centers (+0.5) -> dst georef
+    gx, gy = gt_apply(dst_gt, ii + 0.5, jj + 0.5)
+    if transform is not None:
+        gx, gy = transform(gx, gy)
+    inv = gt_invert(src_gt)
+    sx, sy = gt_apply(inv, gx, gy)  # fractional src pixel coords
+
+    sh, sw = src.shape
+    srcf = src.astype(np.float64)
+
+    if alg == "nearest":
+        ix = np.floor(sx + 1e-10).astype(np.int64)
+        iy = np.floor(sy + 1e-10).astype(np.int64)
+        valid = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
+        out = np.full(dst_shape, np.nan if nodata is None else nodata, dtype=np.float64)
+        out[valid] = srcf[iy[valid], ix[valid]]
+        return clamp_round(out, dtype or str(src.dtype))
+
+    weight_fn, radius = KERNELS[alg]
+    # Kernel is centered at srcX − 0.5 (pixel-center coordinates).
+    cx = sx - 0.5
+    cy = sy - 0.5
+    ix0 = np.floor(cx).astype(np.int64)
+    iy0 = np.floor(cy).astype(np.int64)
+
+    acc = np.zeros(dst_shape, dtype=np.float64)
+    wacc = np.zeros(dst_shape, dtype=np.float64)
+    for dy in range(-radius + 1, radius + 1):
+        py = iy0 + dy
+        wy = weight_fn(py.astype(np.float64) - cy)
+        py_c = np.clip(py, 0, sh - 1)
+        y_ok = (py >= 0) & (py < sh)
+        for dx in range(-radius + 1, radius + 1):
+            px = ix0 + dx
+            wx = weight_fn(px.astype(np.float64) - cx)
+            px_c = np.clip(px, 0, sw - 1)
+            ok = y_ok & (px >= 0) & (px < sw)
+            vals = srcf[py_c, px_c]
+            if nodata is not None:
+                ok = ok & (vals != nodata)
+            wgt = np.where(ok, wy * wx, 0.0)
+            acc += wgt * vals
+            wacc += wgt
+    out = np.where(wacc > 0, acc / np.where(wacc == 0, 1.0, wacc), np.nan)
+    if nodata is not None:
+        out = np.where(wacc > 0, out, nodata)
+    return clamp_round(out, dtype or str(src.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Overview (pyramid) kernels — ``core/gcore/overview.cpp``
+# ---------------------------------------------------------------------------
+
+def _window_edges(dst_n: int, ratio: float, src_n: int) -> tuple[np.ndarray, np.ndarray]:
+    i = np.arange(dst_n + 1, dtype=np.float64)
+    lo = (i[:-1] * ratio + 1e-8).astype(np.int64)
+    hi = np.ceil(i[1:] * ratio - 1e-8).astype(np.int64)
+    hi = np.maximum(hi, lo + 1)
+    return np.clip(lo, 0, src_n), np.clip(hi, 0, src_n)
+
+
+def overview_average(
+    src: np.ndarray, dst_shape: tuple[int, int], nodata: float | None = None
+) -> np.ndarray:
+    """AVERAGE overview: box-average with GDAL's window math + int rounding."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    xlo, xhi = _window_edges(dw, sw / dw, sw)
+    ylo, yhi = _window_edges(dh, sh / dh, sh)
+    is_int = np.issubdtype(src.dtype, np.integer)
+    # Summed-area table makes every dst pixel O(1) regardless of box size.
+    srcf = src.astype(np.float64)
+    mask = np.ones_like(srcf) if nodata is None else (srcf != nodata).astype(np.float64)
+    vals = np.where(mask > 0, srcf, 0.0)
+    sat = np.zeros((sh + 1, sw + 1))
+    satm = np.zeros((sh + 1, sw + 1))
+    np.cumsum(np.cumsum(vals, axis=0), axis=1, out=sat[1:, 1:])
+    np.cumsum(np.cumsum(mask, axis=0), axis=1, out=satm[1:, 1:])
+
+    def box(s, y0, y1, x0, x1):
+        return s[y1[:, None], x1[None, :]] - s[y0[:, None], x1[None, :]] - s[
+            y1[:, None], x0[None, :]
+        ] + s[y0[:, None], x0[None, :]]
+
+    total = box(sat, ylo, yhi, xlo, xhi)
+    count = box(satm, ylo, yhi, xlo, xhi)
+    safe = np.maximum(count, 1.0)
+    if is_int:
+        # (total + count/2) // count with integer semantics
+        out = np.floor((total + np.floor(safe / 2.0)) / safe)
+    else:
+        out = total / safe
+    if nodata is not None:
+        out = np.where(count > 0, out, nodata)
+    return out.astype(src.dtype)
+
+
+def overview_nearest(src: np.ndarray, dst_shape: tuple[int, int]) -> np.ndarray:
+    """NEAREST overview decimation (``overview.cpp:99,114``)."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    xs = np.minimum((0.5 + np.arange(dw) * (sw / dw)).astype(np.int64), sw - 1)
+    ys = np.minimum((0.5 + np.arange(dh) * (sh / dh)).astype(np.int64), sh - 1)
+    return src[ys[:, None], xs[None, :]]
+
+
+def overview_reduce_2x2(children: dict[tuple[int, int], np.ndarray], tile: int,
+                        alg: str = "average", dtype: str = "uint8",
+                        nodata: float | None = None) -> np.ndarray:
+    """Pyramid step: assemble up to 2×2 child tiles, downsample to one tile.
+
+    ``children`` maps (dx, dy) in {0,1}² to child pixel arrays. Missing
+    children are nodata-filled. This is the groupBy((z−1, x//2, y//2))
+    aggregate of the tile pyramid (SURVEY.md §2.9 overview build).
+    """
+    fill = nodata if nodata is not None else 0
+    mosaic = np.full((2 * tile, 2 * tile), fill, dtype=dtype)
+    for (dx, dy), arr in children.items():
+        mosaic[dy * tile : (dy + 1) * tile, dx * tile : (dx + 1) * tile] = arr
+    if alg == "average":
+        return overview_average(mosaic, (tile, tile), nodata=nodata)
+    return overview_nearest(mosaic, (tile, tile))

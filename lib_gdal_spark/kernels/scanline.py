@@ -1,0 +1,100 @@
+"""Even-odd scanline polygon fill — the rasterize core.
+
+Behavioral spec from ``core/alg/llrasterize.cpp:92-246``
+(``GDALdllImageFilledPolygon``, reimplemented): for each raster row ``y`` the
+scan height is the **pixel center** ``dy = y + 0.5``; every non-horizontal
+edge with ``dy1 <= dy < dy2`` (after orienting the edge upward) contributes a
+crossing at ``x = floor(intersect + 0.5)``; crossings are sorted and
+consecutive pairs fill **half-open spans** ``[x_i, x_{i+1})``. Bottom
+horizontal segments (x decreasing) are filled separately as
+``[floor(x2+0.5), floor(x1+0.5))``; top horizontal segments are skipped.
+Row range is ``int(min_y) .. int(max_y)`` clipped to the raster.
+
+This same even-odd pixel-center rule defines the engine's rasterize operator
+AND the tile-assignment parity for polygon covers (SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fill_polygon_mask(
+    width: int, height: int, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Boolean mask of pixels whose centers are inside the polygon.
+
+    ``rings``: list of (n,2) float arrays in *pixel* coordinates (closed or
+    open; a closing duplicate vertex is dropped, matching the reference's
+    "count a vertex only once" handling).
+    """
+    mask = np.zeros((height, width), dtype=bool)
+    for y, x0, x1 in iter_spans(width, height, rings):
+        mask[y, x0 : x1 + 1] = True
+    return mask
+
+
+def iter_spans(width: int, height: int, rings: list[np.ndarray]):
+    """Yield (row, x_start, x_end_inclusive) spans of the even-odd fill."""
+    parts = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) >= 3:
+            parts.append(r)
+    if not parts:
+        return
+    ally = np.concatenate([p[:, 1] for p in parts])
+    miny = max(int(ally.min()), 0)
+    maxy = min(int(ally.max()), height - 1)
+    maxx = width - 1
+
+    for y in range(miny, maxy + 1):
+        dy = y + 0.5
+        xs: list[int] = []
+        for r in parts:
+            n = len(r)
+            for i in range(n):
+                x1p, y1p = r[i - 1]  # edge (i-1 -> i), wrapping like the ref
+                x2p, y2p = r[i]
+                if (y1p < dy and y2p < dy) or (y1p > dy and y2p > dy):
+                    continue
+                if y1p == y2p:
+                    # bottom horizontal segment (x decreasing): fill now
+                    if x1p > x2p:
+                        hx1 = int(np.floor(x2p + 0.5))
+                        hx2 = int(np.floor(x1p + 0.5))
+                        if hx1 > maxx or hx2 <= 0:
+                            continue
+                        yield y, max(hx1, 0), min(hx2 - 1, maxx)
+                    continue
+                if y1p < y2p:
+                    dy1, dy2, dx1, dx2 = y1p, y2p, x1p, x2p
+                else:
+                    dy1, dy2, dx1, dx2 = y2p, y1p, x2p, x1p
+                if dy1 <= dy < dy2:
+                    intersect = (dy - dy1) * (dx2 - dx1) / (dy2 - dy1) + dx1
+                    xs.append(int(np.floor(intersect + 0.5)))
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            x0, x1 = xs[i], xs[i + 1]
+            if x0 <= maxx and x1 > 0:
+                yield y, max(x0, 0), min(x1 - 1, maxx)
+
+
+def burn_values(
+    grid: np.ndarray,
+    rings: list[np.ndarray],
+    burn: float,
+    merge_alg: str = "replace",
+) -> np.ndarray:
+    """Rasterize one polygon into ``grid`` (in place) —
+    ``MERGE_ALG=REPLACE/ADD`` per ``core/alg/gdalrasterize.cpp:540-580``."""
+    h, w = grid.shape
+    mask = fill_polygon_mask(w, h, rings)
+    if merge_alg == "add":
+        grid[mask] += burn
+    else:
+        grid[mask] = burn
+    return grid

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+- ``cosine_topk``: exact brute-force top-k cosine neighbors — JVM-side only:
+  the dot product and norms use ``zip_with`` + ``aggregate`` higher-order
+  functions, so no Python runs on the big side at all.
+- ``cosine_topk_lsh``: the scale path — random-hyperplane (SimHash) bucket
+  join: each vector hashes to a b-bit signature via a broadcast plane
+  matrix (pandas UDF, one matmul per Arrow batch); candidates share a
+  bucket in at least one of ``tables`` independent hash tables; exact
+  cosine re-ranks. Collision probability per table: (1 − θ/π)^b.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_cols: tuple[str, str] = ("qid", "qvec"),
+    corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output (qid, vec_id, rank, cos_sim); self-matches (qid == vec_id) are
+    excluded. Queries broadcast; corpus streams once.
+    """
+    qid, qvec = query_cols
+    cid, cvec = corpus_cols
+    j = corpus.crossJoin(F.broadcast(queries))
+    cos = (_dot(F.col(qvec), F.col(cvec)) /
+           (_norm(F.col(qvec)) * _norm(F.col(cvec)))).alias("cos_sim")
+    j = j.select(qid, cid, cos).where(F.col(qid) != F.col(cid))
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, cid, "rank", "cos_sim")
+    )
+
+
+def simhash_signature(df: DataFrame, vec_col: str, bits: int = 16,
+                      dim: int = 32, seed: int = 42, out_col: str = "sig") -> DataFrame:
+    """Random-hyperplane signature: sign pattern of W @ v packed to int64."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (n, dim)
+        proj = mat @ planes  # (n, bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series(((proj > 0).astype(np.int64) * weights).sum(axis=1))
+
+    return df.withColumn(out_col, sig(F.col(vec_col)))
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bits: int = 12,
+    tables: int = 4,
+    dim: int = 32,
+    query_cols: tuple[str, str] = ("qid", "qvec"),
+    corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine neighbors.
+
+    Plan: per hash table t, both sides get signature sig_t; candidates are
+    the union over t of equi-joins on (t, sig_t) — expressed as one join on
+    exploded (table_id, sig) pairs with dedup. Exact cosine re-ranks.
+    """
+    qid, qvec = query_cols
+    cid, cvec = corpus_cols
+
+    def with_sigs(df: DataFrame, vec: str, key: str) -> DataFrame:
+        for t in range(tables):
+            df = simhash_signature(df, vec, bits=bits, dim=dim,
+                                   seed=seed + 1000 * t, out_col=f"__sig{t}")
+        pairs = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__sig{t}").alias("s"))
+            for t in range(tables)
+        ])
+        df = df.withColumn("__ts", F.explode(pairs))
+        return df.select(key, vec, F.col("__ts.t").alias("t"),
+                         F.col("__ts.s").alias("s"))
+
+    qs = with_sigs(queries, qvec, qid)
+    cs = with_sigs(corpus, cvec, cid)
+    cand = cs.join(F.broadcast(qs), ["t", "s"], "inner").where(
+        F.col(qid) != F.col(cid)
+    ).select(qid, qvec, cid, cvec).dropDuplicates([qid, cid])
+    cos = (_dot(F.col(qvec), F.col(cvec)) /
+           (_norm(F.col(qvec)) * _norm(F.col(cvec)))).alias("cos_sim")
+    cand = cand.select(qid, cid, cos)
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, cid, "rank", "cos_sim")
+    )

@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines over document tables.
+
+- exact: hash-groupBy on the text bytes (md5), map-side combinable.
+- minhash_lsh: shingle -> minhash -> band-bucket join, the standard
+  near-duplicate pipeline (MMDS ch.3 construction, public knowledge). All
+  hashing is NumPy over Arrow batches.
+- simhash: 64-bit token-hash sign aggregate; near-dups differ in few bits.
+
+Scale notes: every pipeline here reduces to groupBy/join on deterministic
+keys — partial aggregation and AQE handle skew; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _token_hashes(texts: pd.Series, shingle: int) -> list[np.ndarray]:
+    """Per-doc array of shingle hashes (uint64), vectorized per batch."""
+    out = []
+    for t in texts:  # python loop over docs only; hashing is numpy per doc
+        toks = t.lower().split()
+        if len(toks) < shingle:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i:i + shingle]) for i in range(len(toks) - shingle + 1)]
+        h = np.fromiter(
+            (hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+        out.append(np.unique(h))
+    return out
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic FNV-1a 64-bit string hash (stable across workers)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — minhash over word shingles.
+
+    Permutations are universal hashes a*x+b mod p with a broadcast (a, b)
+    matrix; each Arrow batch computes all signatures with one vectorized
+    min-reduce per doc.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes = _token_hashes(batch[text_col], shingle)
+            sigs = np.full((len(batch), num_hashes), _MERSENNE, dtype=np.uint64)
+            for i, h in enumerate(hashes):
+                if len(h) == 0:
+                    continue
+                # (n_shingles, num_hashes) universal hash, min over shingles
+                vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+                sigs[i] = vals.min(axis=0)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "sig": [row.astype(np.int64) for row in sigs],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        work, schema=f"{id_col} long, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
+
+    Band signatures become (band, hash-of-rows) keys; a self-join on the key
+    yields candidates; the minhash-estimated Jaccard filters. Output
+    (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    num_hashes = bands * rows_per_band
+    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col, seed)
+    sigs = sigs.cache()
+
+    band_keys = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.hash(*[F.col("sig")[bd * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bkey"),
+                )
+                for bd in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    left = band_keys.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    right = band_keys.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    pairs = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return pairs.select("doc_a", "doc_b", est).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: (id, simhash long)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            out = np.zeros(len(batch), dtype=np.uint64)
+            for i, t in enumerate(batch[text_col]):
+                toks = t.lower().split()
+                if not toks:
+                    continue
+                h = np.fromiter((hash_str64(w) for w in toks), dtype=np.uint64,
+                                count=len(toks))
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = np.sum((votes > 0).astype(np.uint64) << bit_idx)
+            yield pd.DataFrame(
+                {id_col: batch[id_col], "simhash": out.astype(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        work, schema=f"{id_col} long, simhash long"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs that share any shingle.
+
+    Exact (non-approximate) path for small/medium corpora: explode shingle
+    hashes, self-join on shingle, count intersections, compute
+    |A∩B| / (|A|+|B|−|A∩B|).
+    """
+
+    def shingles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hs = _token_hashes(batch[text_col], shingle)
+            n = [len(h) for h in hs]
+            rep = np.repeat(batch[id_col].to_numpy(), n)
+            sizes = np.repeat(np.array(n, dtype=np.int64), n)
+            flat = np.concatenate(hs) if hs else np.array([], dtype=np.uint64)
+            yield pd.DataFrame(
+                {id_col: rep, "sh": flat.astype(np.int64), "sz": sizes}
+            )
+
+    sh = docs.select(id_col, text_col).mapInPandas(
+        shingles, schema=f"{id_col} long, sh long, sz long"
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh", F.col("sz").alias("sz_b"))
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (F.col("n_common").cast("double") /
+           (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard")
+    return inter.select("doc_a", "doc_b", jac).where(F.col("jaccard") >= threshold)

@@ -1,0 +1,98 @@
+"""Geo-enrichment of the pages table: extract text/coords, attach cell keys.
+
+This is the engine's "open + decode" stage: html -> text (the invariant
+column), mined (lon, lat), and the int64 spatial cell key that every spatial
+operator joins on. All math runs in Arrow-batched pandas UDFs over NumPy
+(the direct descendant of the reference's batch Python pixel functions,
+``drivers/raster/vrt/vrtderivedrasterband.cpp:63-330`` — whole-buffer, never
+per-row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.functions import cells as C
+from lib_gdal_spark.functions import extract as X
+
+ENRICHED_COLS = "url string, warc_ts timestamp, lang string, text string, lon double, lat double, cell long"
+
+
+def enrich_pages(pages: DataFrame, res: int = 12) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> + (lon, lat, cell@res).
+
+    Rows without coordinates keep NULL lon/lat/cell (NULL-key join-skip
+    semantics, ``drivers/ogr_gensql.cpp:1310-1316``).
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            html = X.decode_html(b["html"])
+            text = X.html_to_text(html)
+            lon, lat = X.extract_coords(html)
+            ok = ~(np.isnan(lon.to_numpy()) | np.isnan(lat.to_numpy()))
+            cell = np.full(len(b), -1, dtype=np.int64)
+            if ok.any():
+                cell[ok] = C.lonlat_to_cell(
+                    lon.to_numpy()[ok], lat.to_numpy()[ok], res
+                )
+            out = pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "warc_ts": b["warc_ts"],
+                    "lang": b["lang"],
+                    "text": text,
+                    "lon": lon,
+                    "lat": lat,
+                    "cell": pd.array(cell, dtype="Int64"),
+                }
+            )
+            out.loc[~ok, ["lon", "lat", "cell"]] = None
+            yield out
+
+    return pages.mapInPandas(work, schema=ENRICHED_COLS)
+
+
+def verify_text_invariant(pages: DataFrame) -> DataFrame:
+    """Rows violating byte-identical extracted text per url (must be empty).
+
+    The check re-runs extraction on ``html`` and compares against the stored
+    ``text`` column byte-for-byte (``BASELINE.json:16``).
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            got = X.html_to_text(X.decode_html(b["html"]))
+            bad = got.str.encode("utf-8") != b["text"].str.encode("utf-8")
+            yield pd.DataFrame({"url": b["url"][bad]})
+
+    return pages.mapInPandas(work, schema="url string")
+
+
+def with_tile(df: DataFrame, z: int, lon="lon", lat="lat", tms: bool = False) -> DataFrame:
+    """Attach web-mercator XYZ tile (z, x, y) columns via a pandas UDF."""
+
+    @F.pandas_udf("struct<x: long, y: long>")
+    def tile_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(lo) | np.isnan(la))
+        x = np.full(len(lo), -1, dtype=np.int64)
+        y = np.full(len(lo), -1, dtype=np.int64)
+        if ok.any():
+            x[ok], y[ok] = C.lonlat_to_tile(lo[ok], la[ok], z, tms=tms)
+        out = pd.DataFrame(
+            {"x": pd.array(x, dtype="Int64"), "y": pd.array(y, dtype="Int64")}
+        )
+        out.loc[~ok, ["x", "y"]] = pd.NA
+        return out
+
+    t = tile_udf(F.col(lon), F.col(lat))
+    return df.withColumn("z", F.lit(z)).withColumn("tx", t["x"]).withColumn(
+        "ty", t["y"]
+    )

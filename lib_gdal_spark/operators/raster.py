@@ -1,0 +1,212 @@
+"""Raster operators over the tile table: pyramid, checksum, warp-to-grid.
+
+- ``pyramid_level``: children->parent reduce — groupBy((zoom+1, x//2, y//2))
+  + the 2×2 overview kernel (AVERAGE/NEAREST semantics of
+  ``core/gcore/overview.cpp:352,99``). This is the distributed re-expression
+  of gdaladdo (``apps/gdaladdo.cpp``).
+- ``checksum_rasters``: the GDAL image checksum as a distributed aggregate —
+  per-tile partials at the tile's global row-major offset, summed, masked
+  (``core/alg/gdalchecksum.cpp`` semantics; see kernels.checksum).
+- ``warp_to_mercator_tiles``: produce web-mercator (z,x,y) output tiles from
+  an EPSG:4326 source raster — the gdalwarp pipeline as a DataFrame program:
+  dst tile grid -> per-dst-tile source window join -> Arrow-UDF kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.functions import cells as C
+from lib_gdal_spark.kernels import checksum as K
+from lib_gdal_spark.kernels import resample as R
+from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+
+def _patch(pdf_row) -> np.ndarray:
+    h, w = int(pdf_row["tile_h"]), int(pdf_row["tile_w"])
+    return np.asarray(pdf_row["pixels"], dtype=np.float64).reshape(h, w)
+
+
+def pyramid_level(tiles: DataFrame, alg: str = "average", tile: int = 64) -> DataFrame:
+    """One pyramid step: level z tiles -> level z+1 (coarser; half size).
+
+    Zoom convention here: level 0 is the base, increasing zoom = coarser
+    (overview numbering, like gdaladdo levels).
+    """
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, zoom, px, py = key
+        children = {}
+        dtype = pdf["dtype"].iloc[0]
+        nodata = pdf["nodata"].iloc[0]
+        nodata = None if pd.isna(nodata) else float(nodata)
+        gts = {}
+        for _, row in pdf.iterrows():
+            dx = int(row["tile_x"]) % 2
+            dy = int(row["tile_y"]) % 2
+            arr = _patch(row).astype(dtype)
+            pad = np.full((tile, tile),
+                          nodata if nodata is not None else 0, dtype=dtype)
+            pad[: arr.shape[0], : arr.shape[1]] = arr
+            children[(dx, dy)] = pad
+            gts[(dx, dy)] = [row[f"gt{i}"] for i in range(6)]
+        out = R.overview_reduce_2x2(children, tile, alg=alg, dtype=dtype,
+                                    nodata=nodata)
+        # Parent geotransform: origin of child (0,0) grid cell, doubled res.
+        base = gts.get((0, 0)) or next(iter(gts.values()))
+        gt = [base[0], base[1] * 2, base[2] * 2, base[3], base[4] * 2, base[5] * 2]
+        return pd.DataFrame([
+            dict(
+                raster_id=raster_id, band=int(band), zoom=int(zoom) + 1,
+                tile_x=int(px), tile_y=int(py), dtype=dtype,
+                tile_w=tile, tile_h=tile,
+                gt0=gt[0], gt1=gt[1], gt2=gt[2], gt3=gt[3], gt4=gt[4], gt5=gt[5],
+                nodata=nodata,
+                pixels=out.astype(np.float64).ravel().tolist(),
+            )
+        ])
+
+    return (
+        tiles.groupBy(
+            "raster_id", "band", "zoom",
+            (F.col("tile_x") / 2).cast("int").alias("px"),
+            (F.col("tile_y") / 2).cast("int").alias("py"),
+        )
+        .applyInPandas(reduce_group, schema=RASTER_SCHEMA)
+    )
+
+
+def build_pyramid(tiles: DataFrame, levels: int, alg: str = "average",
+                  tile: int = 64) -> DataFrame:
+    """Full pyramid: base level plus ``levels`` reduced levels, unioned."""
+    out = tiles
+    cur = tiles
+    for _ in range(levels):
+        cur = pyramid_level(cur, alg=alg, tile=tile)
+        out = out.unionByName(cur)
+    return out
+
+
+def checksum_rasters(tiles: DataFrame, width_col: str = None) -> DataFrame:
+    """GDAL checksum per (raster_id, band, zoom) as a distributed aggregate.
+
+    Needs each raster level's full width to compute every pixel's global
+    row-major index: idx = (tile_y*tile + r) * W + tile_x*tile + c. Width is
+    derived from the max tile extent within the group (tiles are the only
+    metadata carrier — no driver-side state).
+    """
+
+    def per_level(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, zoom = key
+        tw = int((pdf["tile_x"] * pdf["tile_w"]).max())  # offset of last tile
+        width = int(tw + pdf.loc[pdf["tile_x"] * pdf["tile_w"] == tw, "tile_w"].max())
+        total = 0
+        for _, row in pdf.iterrows():
+            arr = _patch(row).astype(row["dtype"])
+            h, w = arr.shape
+            x0 = int(row["tile_x"]) * int(pdf["tile_w"].max())
+            y0 = int(row["tile_y"]) * int(pdf["tile_h"].max())
+            for r in range(h):
+                start = (y0 + r) * width + x0
+                total += K.checksum_partial(arr[r], start)
+        return pd.DataFrame([
+            dict(raster_id=raster_id, band=int(band), zoom=int(zoom),
+                 checksum=int(total & 0xFFFF))
+        ])
+
+    return tiles.groupBy("raster_id", "band", "zoom").applyInPandas(
+        per_level,
+        schema="raster_id string, band int, zoom int, checksum int",
+    )
+
+
+def merc_forward(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 -> EPSG:3857 meters (closed-form spherical mercator)."""
+    x = np.radians(lon) * C.EARTH_RADIUS_M
+    lat = np.clip(lat, -C.MAX_MERC_LAT, C.MAX_MERC_LAT)
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * C.EARTH_RADIUS_M
+    return x, y
+
+
+def merc_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.degrees(x / C.EARTH_RADIUS_M)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / C.EARTH_RADIUS_M)) - np.pi / 2.0)
+    return lon, lat
+
+
+def warp_to_mercator_tiles(
+    tiles: DataFrame,
+    z: int,
+    alg: str = "nearest",
+    tile: int = 256,
+    raster_id: str | None = None,
+) -> DataFrame:
+    """Warp an EPSG:4326 tiled raster into web-mercator (z,x,y) tiles.
+
+    DataFrame program mirroring the gdalwarp pipeline
+    (``apps/gdalwarp_lib.cpp:772`` / SURVEY.md §3.3): the dst tile grid is a
+    DataFrame of (z,x,y) keys; each dst tile inverse-maps its footprint to a
+    lon/lat window (the 21-point edge-sampling of ComputeSourceWindow
+    collapses to exact corner math for the monotone mercator transform);
+    source tiles joining that window feed an Arrow-UDF resample kernel.
+
+    Round-1 scope: source fits per-group (small fixtures); the src-window
+    join keys are the source tile indices intersecting the dst window.
+    """
+    src = tiles if raster_id is None else tiles.where(F.col("raster_id") == raster_id)
+    n = 1 << z
+
+    def warp_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band = key
+        # Reassemble the (small) source mosaic for this raster/band.
+        tw = int(pdf["tile_w"].max())
+        th = int(pdf["tile_h"].max())
+        maxx = int(pdf["tile_x"].max())
+        maxy = int(pdf["tile_y"].max())
+        W = maxx * tw + int(pdf.loc[pdf["tile_x"] == maxx, "tile_w"].iloc[0])
+        H = maxy * th + int(pdf.loc[pdf["tile_y"] == maxy, "tile_h"].iloc[0])
+        dtype = pdf["dtype"].iloc[0]
+        mosaic = np.zeros((H, W), dtype=np.float64)
+        g0 = None
+        for _, row in pdf.iterrows():
+            arr = _patch(row)
+            y0, x0 = int(row["tile_y"]) * th, int(row["tile_x"]) * tw
+            mosaic[y0 : y0 + arr.shape[0], x0 : x0 + arr.shape[1]] = arr
+            if int(row["tile_x"]) == 0 and int(row["tile_y"]) == 0:
+                g0 = [row[f"gt{i}"] for i in range(6)]
+        out_rows = []
+        span = 2.0 * C.ORIGIN_SHIFT / n
+        res = span / tile
+        for ty in range(n):
+            for tx in range(n):
+                minx, miny, maxx_m, maxy_m = C.tile_bounds_mercator(
+                    np.array([z]), np.array([tx]), np.array([ty])
+                )
+                dst_gt = (float(minx[0]), res, 0.0, float(maxy_m[0]), 0.0, -res)
+
+                def transform(gx, gy):
+                    return merc_inverse(gx, gy)
+
+                out = R.warp_tile(
+                    mosaic, g0, (tile, tile), dst_gt, alg=alg,
+                    dtype=dtype, transform=transform,
+                )
+                out_rows.append(
+                    dict(
+                        raster_id=rid, band=int(band), zoom=z,
+                        tile_x=tx, tile_y=ty, dtype=dtype,
+                        tile_w=tile, tile_h=tile,
+                        gt0=dst_gt[0], gt1=dst_gt[1], gt2=dst_gt[2],
+                        gt3=dst_gt[3], gt4=dst_gt[4], gt5=dst_gt[5],
+                        nodata=None,
+                        pixels=out.astype(np.float64).ravel().tolist(),
+                    )
+                )
+        return pd.DataFrame(out_rows)
+
+    return src.groupBy("raster_id", "band").applyInPandas(
+        warp_group, schema=RASTER_SCHEMA
+    )

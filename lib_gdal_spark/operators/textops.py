@@ -1,0 +1,95 @@
+"""Text analysis operators (language ID, quality, tokens, fingerprints).
+
+All built-in-function compositions (JVM-side, codegen-friendly); only the
+n-gram language heuristic uses a pandas UDF (one matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny deterministic stopword-profile language model: characteristic words
+# per language (public-knowledge heuristic; good enough for synthetic data).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "los"],
+    "ru": ["и", "в", "не", "на", "что"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def with_token_count(docs: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count, empty-safe, JVM-side only."""
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+    return docs.withColumn(out_col, F.size(toks))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / uppercase / digit ratios + a 0..1 quality score.
+
+    All ratios are built-ins over the string column; the score is a fixed
+    linear blend (deterministic, documented here so the oracle can mirror it).
+    """
+    length = F.length(F.col(text_col)).cast("double")
+    safe_len = F.greatest(length, F.lit(1.0))
+    n_punct = length - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_digit = length - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    n_space = length - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    punct_ratio = n_punct / safe_len
+    digit_ratio = n_digit / safe_len
+    space_ratio = n_space / safe_len
+    score = (
+        F.least(length / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.3
+    )
+    return (
+        docs.withColumn("text_len", length.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("space_ratio", F.round(space_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: xxhash64 of normalized text (lower, collapsed
+    whitespace) — a rolling-hash-style identity for shard-local dedup."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.withColumn(out_col, F.xxhash64(norm))
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language scoring in a pandas UDF (one pass per batch)."""
+    langs = list(_LANG_MARKERS)
+
+    @F.pandas_udf("string")
+    def lang_udf(texts: pd.Series) -> pd.Series:
+        low = texts.str.lower()
+        scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
+        for j, lg in enumerate(langs):
+            for w in _LANG_MARKERS[lg]:
+                scores[:, j] += low.str.count(rf"(?<!\w){w}(?!\w)").to_numpy(
+                    dtype=np.int64, na_value=0
+                )
+        best = scores.argmax(axis=1)
+        none = scores.max(axis=1) == 0
+        out = pd.Series(np.array(langs, dtype=object)[best])
+        out[none] = "und"
+        return out
+
+    return docs.withColumn(out_col, lang_udf(F.col(text_col)))

@@ -1,0 +1,140 @@
+"""OGR SQL dialect semantics, encoded once as DataFrame helpers.
+
+The reference's SWQ engine differs from ANSI/Spark SQL in three load-bearing
+ways (SURVEY.md §2.2/§2.3); every engine query goes through these helpers so
+the semantics are applied consistently:
+
+1. **Two-valued logic**: a comparison involving NULL yields boolean FALSE,
+   never UNKNOWN (``core/ogr/swq_op_general.cpp:318-343``). Arithmetic with
+   NULL stays NULL.
+2. **LIKE is case-insensitive**, with optional ESCAPE
+   (``core/ogr/swq_op_general.cpp:56-103``).
+3. **LEFT JOIN is first-match-only**: each primary row pairs with at most one
+   secondary row — the first in the secondary's storage order
+   (``drivers/ogr_gensql.cpp:1294-1325``); a NULL primary key skips the probe
+   and NULL-pads (``:1310-1316``).
+
+Also provides the three SWQ query modes (``core/ogr/swq.h:265-267``):
+RECORDSET (plain select), SUMMARY_RECORD (whole-table aggregates -> one row),
+DISTINCT_LIST (SELECT DISTINCT col, NULLs first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ogr_bool(cmp: Column) -> Column:
+    """Collapse three-valued logic to OGR's two-valued: NULL -> FALSE."""
+    return F.coalesce(cmp, F.lit(False))
+
+
+def ogr_eq(a: Column, b: Column) -> Column:
+    return ogr_bool(a == b)
+
+
+def ogr_ne(a: Column, b: Column) -> Column:
+    return ogr_bool(a != b)
+
+
+def ogr_gt(a: Column, b: Column) -> Column:
+    return ogr_bool(a > b)
+
+
+def ogr_ge(a: Column, b: Column) -> Column:
+    return ogr_bool(a >= b)
+
+
+def ogr_lt(a: Column, b: Column) -> Column:
+    return ogr_bool(a < b)
+
+
+def ogr_le(a: Column, b: Column) -> Column:
+    return ogr_bool(a <= b)
+
+
+def ogr_between(x: Column, lo: Column, hi: Column) -> Column:
+    """BETWEEN is rewritten to >= AND <= (``core/ogr/swq.h:138``)."""
+    return ogr_bool((x >= lo) & (x <= hi))
+
+
+def ogr_like(col: Column, pattern: str, escape: str | None = None) -> Column:
+    """Case-insensitive LIKE (tolower both sides, ``swq_op_general.cpp:56``)."""
+    pat = F.lit(pattern.lower())
+    if escape:
+        return ogr_bool(F.lower(col).like(pattern.lower(), escape))
+    return ogr_bool(F.lower(col).like(pattern.lower()))
+
+
+def ogr_in(col: Column, values: list) -> Column:
+    """IN over a literal list (the only form the dialect has,
+    ``swq_parser.y:106``)."""
+    return ogr_bool(col.isin(values))
+
+
+def hstore_get_value(col: Column, key: str) -> Column:
+    """``HSTORE_GET_VALUE('"k"=>"v", ...', key)`` (``core/ogr/swq.h:417``)."""
+    m = F.str_to_map(F.regexp_replace(col, '"', ""), F.lit(","), F.lit("=>"))
+    return m[F.lit(key)]
+
+
+def first_match_left_join(
+    primary: DataFrame,
+    secondary: DataFrame,
+    on: Column,
+    primary_key: str,
+    secondary_order: str,
+) -> DataFrame:
+    """OGR LEFT JOIN: at most one (the first) secondary match per primary row.
+
+    ``secondary_order`` stands in for the secondary layer's storage (FID)
+    order, which defines "first" in the reference.
+    """
+    joined = primary.join(secondary, on=on, how="left")
+    w = Window.partitionBy(primary_key).orderBy(
+        F.col(secondary_order).asc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def summary_record(df: DataFrame, aggs: list[Column]) -> DataFrame:
+    """SWQM_SUMMARY_RECORD: whole-table aggregates, exactly one output row."""
+    return df.agg(*aggs)
+
+
+def distinct_list(df: DataFrame, col: str, ascending: bool = True) -> DataFrame:
+    """SWQM_DISTINCT_LIST: distinct values; NULLs first asc / last desc
+    (``drivers/ogr_gensql.cpp:2223-2236,2292-2293``)."""
+    c = F.col(col)
+    order = c.asc_nulls_first() if ascending else c.desc_nulls_last()
+    return df.select(col).distinct().orderBy(order)
+
+
+def order_by(df: DataFrame, *specs: tuple[str, bool]) -> DataFrame:
+    """Multi-key ORDER BY with OGR null placement (NULLs low)."""
+    cols = [
+        F.col(name).asc_nulls_first() if asc else F.col(name).desc_nulls_last()
+        for name, asc in specs
+    ]
+    return df.orderBy(*cols)
+
+
+def limit_offset(df: DataFrame, limit: int | None, offset: int = 0) -> DataFrame:
+    """LIMIT/OFFSET via a deterministic row_number over the current order.
+
+    Note: requires the caller to have applied ``order_by`` with a total
+    order; OFFSET maps to the reference's SetNextByIndex skip
+    (``drivers/ogr_gensql.cpp:1559-1569``).
+    """
+    if offset == 0:
+        return df.limit(limit) if limit is not None else df
+    if limit is not None:
+        df = df.limit(offset + limit)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset)
+    return out.drop("__rn")

@@ -1,0 +1,129 @@
+"""Raster fixtures as tiled tables — the engine's raster data model.
+
+A raster is a table: one row per (raster_id, band, zoom, tile_x, tile_y)
+carrying a fixed-size pixel patch plus its own geotransform (SURVEY.md §1.1
+"Spark mapping"). Fixtures follow the reference's golden-data strategy
+(``tests/gcore/data/byte.tif`` — 20×20 GDT_Byte, checksum 4672,
+``tests/cpp/test_gdal_gtiff.cpp:70``).
+
+``BYTE20`` is the canonical 20×20 byte raster: the pixel *data* of the
+reference's ``byte.tif`` (NW Oregon UTM zone 11 sample), embedded as
+zlib+base85 so the checksum-4672 anchor reproduces bit-for-bit without GDAL.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# Pixel payload of tests/gcore/data/byte.tif (400 bytes, row-major).
+_BYTE20_Z = (
+    "eJwlkCFyRDEMQ+/XI4QaGgqKChoahgYGfriwdK+zsJXbZDKZsWT5JUlBKknprSR2w1fjoJIM"
+    "0Vps2ENXCqJ9QCJbpJsJ70QnLGpPGAA2D5Wpzde93Wj3QTum5Z3ft6sUk6m5dGnHuMpZcnww"
+    "njCP8IdIKlybyVVR4ZEyg0XmINrhmGwLdV3i/ykjYuVNr5l2O0aJfN10VFTe6nl3OF1RBrDN"
+    "bFnL8cu4fsuAhU5vOgYeHjGQi3jdqgOtwHLNCf6c/ZjAtPwycG0dA9/Pz1umaZ3TNczJ59m9"
+    "9340Pz4Lkb94T8YT"
+)
+
+# Geotransform of byte.tif: (440720, 60, 0, 3751320, 0, -60) UTM11 NAD27.
+BYTE20_GT = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+RASTER_SCHEMA = (
+    "raster_id string, band int, zoom int, tile_x int, tile_y int, "
+    "dtype string, tile_w int, tile_h int, "
+    "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, gt5 double, "
+    "nodata double, pixels array<double>"
+)
+
+
+def byte20() -> np.ndarray:
+    """The canonical 20×20 uint8 raster (checksum 4672)."""
+    raw = zlib.decompress(base64.b64decode(_BYTE20_Z))
+    return np.frombuffer(raw, dtype=np.uint8).reshape(20, 20).copy()
+
+
+def gradient(n: int = 256, dtype: str = "uint8") -> np.ndarray:
+    """Linear gradient fixture — closed-form expectations for resampling."""
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = (i + j) * (255.0 / (2 * (n - 1)))
+    return vals.astype(dtype)
+
+
+def checkerboard(n: int = 64, sq: int = 8, lo: int = 20, hi: int = 235) -> np.ndarray:
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    return np.where(((i // sq) + (j // sq)) % 2 == 0, lo, hi).astype(np.uint8)
+
+
+def radial(n: int = 128) -> np.ndarray:
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    c = (n - 1) / 2.0
+    r = np.sqrt((i - c) ** 2 + (j - c) ** 2)
+    return np.clip(255.0 * (1.0 - r / c), 0, 255).astype(np.uint8)
+
+
+def world4326(n: int = 256) -> tuple[np.ndarray, tuple]:
+    """World-extent EPSG:4326 fixture for warp-to-mercator goldens."""
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = ((np.sin(i * 0.19) + np.cos(j * 0.13)) * 60 + 128).astype(np.uint8)
+    # geotransform: full world, north-up
+    gt = (-180.0, 360.0 / n, 0.0, 90.0, 0.0, -180.0 / n)
+    return vals, gt
+
+
+def tiles_from_array(
+    raster_id: str,
+    arr: np.ndarray,
+    gt: tuple,
+    tile: int = 64,
+    band: int = 1,
+    zoom: int = 0,
+    nodata: float | None = None,
+) -> list[dict]:
+    """Slice a full array into tile-table rows (edge tiles keep true size).
+
+    Each tile's geotransform is the parent's shifted by the tile origin —
+    the per-tile analog of ``core/alg/gdaltransformer.cpp:3761``.
+    """
+    h, w = arr.shape
+    rows = []
+    for ty in range(0, (h + tile - 1) // tile):
+        for tx in range(0, (w + tile - 1) // tile):
+            y0, x0 = ty * tile, tx * tile
+            patch = arr[y0 : y0 + tile, x0 : x0 + tile]
+            tgt = (
+                gt[0] + x0 * gt[1] + y0 * gt[2],
+                gt[1], gt[2],
+                gt[3] + x0 * gt[4] + y0 * gt[5],
+                gt[4], gt[5],
+            )
+            rows.append(
+                dict(
+                    raster_id=raster_id, band=band, zoom=zoom,
+                    tile_x=tx, tile_y=ty, dtype=str(arr.dtype),
+                    tile_w=patch.shape[1], tile_h=patch.shape[0],
+                    gt0=tgt[0], gt1=tgt[1], gt2=tgt[2],
+                    gt3=tgt[3], gt4=tgt[4], gt5=tgt[5],
+                    nodata=nodata,
+                    pixels=patch.astype(np.float64).ravel().tolist(),
+                )
+            )
+    return rows
+
+
+def fixture_rasters(spark: SparkSession, tile: int = 64) -> DataFrame:
+    """The standard fixture raster table (byte20 + gradients + world)."""
+    rows: list[dict] = []
+    rows += tiles_from_array("byte20", byte20(), BYTE20_GT, tile=tile)
+    rows += tiles_from_array(
+        "gradient256", gradient(256), (0.0, 1.0, 0.0, 256.0, 0.0, -1.0), tile=tile
+    )
+    rows += tiles_from_array(
+        "checker64", checkerboard(64), (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=tile
+    )
+    world, wgt = world4326(256)
+    rows += tiles_from_array("world4326", world, wgt, tile=tile)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)

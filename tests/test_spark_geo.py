@@ -1,0 +1,132 @@
+"""Spark integration: pages enrichment, PIP join, tiles, kNN — each checked
+against a single-process NumPy oracle implementing the same reference
+semantics (SURVEY.md §5 adopted plan)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.functions import cells as C
+from lib_gdal_spark.functions import geometry as G
+from lib_gdal_spark.operators import geo, knn, pip_join
+from lib_gdal_spark.sources import pages as P
+
+N_PAGES = 3000
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return P.generate_pages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, pages_df):
+    return geo.enrich_pages(pages_df, res=12).cache()
+
+
+def test_generate_pages_rows(pages_df):
+    assert pages_df.count() == N_PAGES
+    assert pages_df.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_text_invariant_spark(spark, pages_df):
+    bad = geo.verify_text_invariant(pages_df)
+    assert bad.count() == 0
+
+
+def test_enrich_matches_oracle(enriched):
+    pdf = enriched.orderBy("url").toPandas()
+    ids = pdf["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64).to_numpy()
+    lon_o, lat_o = P.page_coords(ids)
+    has = ~np.isnan(lon_o)
+    got_lon = pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan)
+    assert np.array_equal(np.isnan(got_lon), ~has)
+    assert np.array_equal(got_lon[has], lon_o[has])
+    cell_o = C.lonlat_to_cell(lon_o[has], lat_o[has], 12)
+    # fetch cells as non-null ints (pandas float64 would lose bits at 2^61)
+    cpdf = (
+        enriched.where(F.col("cell").isNotNull())
+        .select("url", "cell")
+        .orderBy("url")
+        .toPandas()
+    )
+    ids2 = cpdf["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64).to_numpy()
+    lon2, lat2 = P.page_coords(ids2)
+    assert np.array_equal(
+        cpdf["cell"].to_numpy(dtype=np.int64),
+        C.lonlat_to_cell(lon2, lat2, 12),
+    )
+    assert len(cpdf) == has.sum()
+    del cell_o
+
+
+def _polygon_table(spark):
+    polys = [
+        (1, "box_europe", G.wkb_polygon([G.box_ring(-10.03, 35.07, 30.11, 60.13)])),
+        (2, "tri_atlantic", G.wkb_polygon([np.array(
+            [[-60.03, -20.07], [-10.11, -25.13], [-30.07, 30.19], [-60.03, -20.07]]
+        )])),
+        (3, "mp_two_boxes", G.wkb_multipolygon(
+            [[G.box_ring(100.03, -40.07, 150.11, 10.13)],
+             [G.box_ring(60.03, 20.07, 90.11, 50.13)]]
+        )),
+    ]
+    return spark.createDataFrame(
+        [(fid, name, bytearray(wkb)) for fid, name, wkb in polys],
+        "fid long, name string, geom_wkb binary",
+    )
+
+
+def test_pip_join_matches_oracle(spark, enriched):
+    polys = _polygon_table(spark)
+    got = (
+        pip_join.pip_join(enriched, polys, res=5, points_res=12)
+        .orderBy("url", "fid")
+        .toPandas()
+    )
+    # Oracle: brute force over all geo pages x all polygons
+    pdf = enriched.where(F.col("lon").isNotNull()).select("url", "lon", "lat").toPandas()
+    rows = []
+    for fid, _, wkb in _polygon_table(spark).select("fid", "name", "geom_wkb").collect():
+        rings = G.polygon_rings(bytes(wkb))
+        inside = G.points_in_rings(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), rings)
+        for u in pdf["url"].to_numpy()[inside]:
+            rows.append((u, fid))
+    exp = pd.DataFrame(rows, columns=["url", "fid"]).sort_values(
+        ["url", "fid"]
+    ).reset_index(drop=True)
+    assert got.reset_index(drop=True).equals(exp)
+    assert len(exp) > 0
+
+
+def test_with_tile_matches_oracle(enriched):
+    tiled = geo.with_tile(enriched.where(F.col("lon").isNotNull()), z=7)
+    pdf = tiled.select("url", "lon", "lat", "tx", "ty").toPandas()
+    ex, ey = C.lonlat_to_tile(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 7)
+    assert np.array_equal(pdf["tx"].to_numpy(dtype=np.int64), ex)
+    assert np.array_equal(pdf["ty"].to_numpy(dtype=np.int64), ey)
+
+
+def test_knn_bruteforce_vs_kring(spark, enriched):
+    pts = (
+        enriched.where(F.col("lon").isNotNull())
+        .select(
+            F.abs(F.xxhash64("url")).alias("tid"), F.col("lon").alias("tlon"),
+            F.col("lat").alias("tlat"),
+        )
+        .limit(500)
+        .cache()
+    )
+    queries = spark.createDataFrame(
+        [(1, 2.35, 48.85), (2, -74.0, 40.7), (3, 139.69, 35.68)],
+        "qid long, qlon double, qlat double",
+    )
+    bf = knn.knn_bruteforce(queries, pts, k=5).orderBy("qid", "rank").toPandas()
+    kr = knn.knn_kring(queries, pts, k=5, res=2, rings=1).orderBy(
+        "qid", "rank"
+    ).toPandas()
+    # coarse cells + 1 ring cover the whole neighborhood here -> exact
+    assert bf[["qid", "tid", "rank"]].equals(kr[["qid", "tid", "rank"]])
+    assert np.allclose(bf["dist_km"], kr["dist_km"])
+    assert (bf.groupby("qid").size() == 5).all()
