@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship job is the north-star pipeline — CC-style pages -> text/coord
+extraction -> cell keys -> PIP spatial join + web-mercator tile assignment —
+reported both as seconds and as pages/sec. Each job is forced with a noop
+sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from lib_gdal_spark.operators import geo as GEO  # noqa: E402
+from lib_gdal_spark.operators import pip_join as PIP  # noqa: E402
+from lib_gdal_spark.session import get_spark  # noqa: E402
+from lib_gdal_spark.sources import pages as PG  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_pages_pipeline(spark) -> None:
+    """North-star job: pages -> enrich -> PIP join + tile assignment."""
+    pg = PG.generate_pages(spark, N_PAGES)
+    # One enrichment pass feeds both consumers — locally a persist, at scale
+    # the checkpointed Iceberg stage table (streaming.checkpoint).
+    enr = GEO.enrich_pages(pg, res=12).persist()
+    try:
+        polys = E._polygons_df(spark)
+        pts = enr.where(F.col("cell").isNotNull())
+        hits = PIP.pip_join(pts, polys, res=7, points_res=12,
+                            point_cols=("url", "lon", "lat"))
+        tiled = GEO.with_tile(enr, z=12)
+        _force(hits)
+        _force(tiled.select("url", "z", "tx", "ty"))
+    finally:
+        enr.unpersist()
+
+
+BENCH = {
+    "pages_pipeline": run_pages_pipeline,
+    "pip_join_pentagon": lambda s: _force(E.q_pip_join_pentagon(s, SF_DIR)),
+    "tile_assign_z8": lambda s: _force(E.q_tile_assign_z8(s, SF_DIR)),
+    "knn_kring": lambda s: _force(E.q_knn_kring(s, SF_DIR)),
+    "summary_agg": lambda s: _force(E.q_ogr_summary_record(s, SF_DIR)),
+    "first_match_join": lambda s: _force(E.q_ogr_first_match_join(s, SF_DIR)),
+    "minhash_lsh": lambda s: _force(E.q_minhash_lsh_pairs(s, SF_DIR)),
+    "cosine_topk": lambda s: _force(E.q_cosine_topk(s, SF_DIR)),
+    "raster_pyramid": lambda s: _force(E.q_raster_pyramid(s, SF_DIR)),
+}
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow path so q1 doesn't pay session startup
+    spark.range(1000).select(F.sum("id")).collect()
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH.items():
+        t0 = time.time()
+        fn(spark)
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "n_pages": N_PAGES,
+        "pages_per_sec": round(N_PAGES / times["pages_pipeline"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,17 +38,23 @@ def cosine_topk(
     k: int,
     query_cols: tuple[str, str] = ("qid", "qvec"),
     corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     Output (qid, vec_id, rank, cos_sim); self-matches (qid == vec_id) are
-    excluded. Queries broadcast; corpus streams once.
+    excluded. Queries broadcast; corpus streams once. cos_sim is rounded
+    *before* ranking so sub-ulp accumulation-order differences across
+    engines cannot flip ranks; ties break on vec_id.
     """
     qid, qvec = query_cols
     cid, cvec = corpus_cols
     j = corpus.crossJoin(F.broadcast(queries))
-    cos = (_dot(F.col(qvec), F.col(cvec)) /
-           (_norm(F.col(qvec)) * _norm(F.col(cvec)))).alias("cos_sim")
+    cos = F.round(
+        _dot(F.col(qvec), F.col(cvec))
+        / (_norm(F.col(qvec)) * _norm(F.col(cvec))),
+        round_decimals,
+    ).alias("cos_sim")
     j = j.select(qid, cid, cos).where(F.col(qid) != F.col(cid))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
     return (

@@ -43,16 +43,20 @@ def knn_bruteforce(
     k: int,
     query_cols: tuple[str, str, str] = ("qid", "qlon", "qlat"),
     target_cols: tuple[str, str, str] = ("tid", "tlon", "tlat"),
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Exact kNN: broadcast the (small) query side, scan targets once.
 
     Output: (qid, tid, rank, dist_km) — rank 1..k by (distance, tid).
+    Distances are rounded to ``round_decimals`` (µm scale at 6) *before*
+    ranking so that 1-ulp libm differences across engines/platforms cannot
+    flip ranks; residual ties break on tid.
     """
     qid, qlon, qlat = query_cols
     tid, tlon, tlat = target_cols
     joined = targets.crossJoin(F.broadcast(queries))
     d = _haversine_col(F.col(qlon), F.col(qlat), F.col(tlon), F.col(tlat))
-    joined = joined.withColumn("dist_km", d)
+    joined = joined.withColumn("dist_km", F.round(d, round_decimals))
     w = Window.partitionBy(qid).orderBy(F.col("dist_km").asc(), F.col(tid).asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -69,6 +73,7 @@ def knn_kring(
     rings: int = 1,
     query_cols: tuple[str, str, str] = ("qid", "qlon", "qlat"),
     target_cols: tuple[str, str, str] = ("tid", "tlon", "tlat"),
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Approximate-exact kNN via k-ring expansion equi-join.
 
@@ -116,7 +121,7 @@ def knn_kring(
 
     cand = tcells.join(F.broadcast(qcells), "cell", "inner")
     d = _haversine_col(F.col(qlon), F.col(qlat), F.col(tlon), F.col(tlat))
-    cand = cand.withColumn("dist_km", d)
+    cand = cand.withColumn("dist_km", F.round(d, round_decimals))
     w = Window.partitionBy(qid).orderBy(F.col("dist_km").asc(), F.col(tid).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
