@@ -117,6 +117,35 @@ def _pip_oracle() -> str:
     return f"WITH pts AS ({_POINTS_SQL}) " + " UNION ALL ".join(parts)
 
 
+# Larger pentagons for the rasterize/polygonize round trip (the PIP
+# pentagons are too small for a 256px world grid). Disjoint by construction.
+RASTER_POLYGONS: dict[int, list[tuple[float, float]]] = {
+    1: _pentagon(-74.1234, 40.6789, 14.0, 0.3),
+    2: _pentagon(10.0731, 48.1123, 18.0, 0.7),
+    3: _pentagon(116.2897, -30.4512, 22.0, 1.1),
+}
+
+
+def _raster_polys_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for fid, verts in RASTER_POLYGONS.items():
+        ring = np.array(verts + [verts[0]], dtype=np.float64)
+        rows.append((fid, bytearray(G.wkb_polygon([ring])), float(fid)))
+    return spark.createDataFrame(
+        rows, "fid long, geom_wkb binary, burn double"
+    ).coalesce(1)
+
+
+# 256x256 world grid pixel centers as SQL (mirrors GridSpec/world_grid):
+# lon = gt0 + (px+0.5)*gt1, lat = gt3 + (py+0.5)*gt5.
+_PIXELS_SQL = (
+    "SELECT x.px, y.py, "
+    "-180.0 + (x.px + 0.5) * 1.40625 AS lon, "
+    "90.0 - (y.py + 0.5) * 0.703125 AS lat "
+    "FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)"
+)
+
+
 def _points_with_cell(spark: SparkSession, sf_dir: str, res: int = 12) -> DataFrame:
     pts = _points(spark, sf_dir)
 
@@ -340,6 +369,27 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "tid", "rank", "dist_km")
 
 
+def q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize (even-odd pixel-center scanline burn, llrasterize.cpp:92)
+    -> per-tile burned-pixel counts."""
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+    return RZ.burned_pixel_counts(tiles)
+
+
+def q_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector round trip: polygonize the rasterized pentagons into
+    connected components (polygonize.cpp:435 semantics)."""
+    from lib_gdal_spark.operators import polygonize as PZ
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+    return PZ.polygonize(tiles, spark, grid_w=grid.width, tile=grid.tile)
+
+
 # ---------------------------------------------------------------------------
 # queries: training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -520,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_z8": q_tile_assign_z8,
         "cell_pack_parent": q_cell_pack_parent,
         "pip_join_pentagon": q_pip_join_pentagon,
+        "rasterize_counts": q_rasterize_counts,
+        "polygonize_components": q_polygonize_components,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -642,6 +694,31 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["pip_join_pentagon"] = _pip_oracle()
+
+    burn_parts = " UNION ALL ".join(
+        f"SELECT px, py, {fid} AS fid FROM pix WHERE {_inside_sql(verts)}"
+        for fid, verts in RASTER_POLYGONS.items()
+    )
+    sqls["rasterize_counts"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts})
+        SELECT CAST(px // 64 AS INTEGER) AS tile_x,
+               CAST(py // 64 AS INTEGER) AS tile_y,
+               CAST(fid AS DOUBLE) AS burn,
+               CAST(count(*) AS BIGINT) AS n_pixels
+        FROM burned GROUP BY 1, 2, 3
+    """
+
+    sqls["polygonize_components"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts})
+        SELECT min(py * 256 + px) AS component,
+               CAST(fid AS DOUBLE) AS value,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               min(px) AS min_px, min(py) AS min_py,
+               max(px) AS max_px, max(py) AS max_py
+        FROM burned GROUP BY fid
+    """
     sqls["knn_kring"] = _KNN_ORACLE
     sqls["knn_bruteforce"] = _KNN_ORACLE
 
