@@ -390,6 +390,75 @@ def q_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PZ.polygonize(tiles, spark, grid_w=grid.width, tile=grid.tile)
 
 
+def _dem_pixels(spark: SparkSession, op: str, round_to: int | None) -> DataFrame:
+    """world4326 fixture -> DEM op -> interior (px, py, value) rows.
+
+    The explode + rounding run JVM-side so the driver compare sees Spark's
+    rounding semantics on both paths.
+    """
+    from lib_gdal_spark.operators import dem as D
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = D.dem_op(tiles, op)
+    ex = out.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    px = (F.col("tile_x") * 64 + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * 64 + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    ex = ex.select(px.alias("px"), py.alias("py"), "v").where(
+        (F.col("px").between(1, 254)) & (F.col("py").between(1, 254))
+    )
+    val = F.round("v", round_to) if round_to is not None else F.col("v").cast("long")
+    return ex.select("px", "py", val.alias(op))
+
+
+def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope via distributed 3x3 halo exchange (gdaldem_lib.cpp)."""
+    return _dem_pixels(spark, "slope", round_to=6)
+
+
+def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn hillshade (az=315, alt=45, +0.5-floor rounding)."""
+    return _dem_pixels(spark, "hillshade", round_to=None)
+
+
+# The world4326 fixture is closed-form, so the oracle can recompute the
+# whole stencil in SQL: val(px,py) = trunc((sin(px*.19)+cos(py*.13))*60+128).
+def _dem_oracle(expr: str) -> str:
+    def v(dx: int, dy: int) -> str:
+        fx = f"(px + {dx})" if dx else "px"
+        fy = f"(py + {dy})" if dy else "py"
+        return f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13)) * 60.0 + 128.0)"
+
+    win = {
+        "a": v(-1, -1), "b": v(0, -1), "c": v(1, -1),
+        "d": v(-1, 0), "e": v(0, 0), "f": v(1, 0),
+        "g": v(-1, 1), "h": v(0, 1), "i": v(1, 1),
+    }
+    cells = ",\n".join(f"  {win[k]} AS {k}" for k in win)
+    return f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+{cells}
+          FROM pix
+        ),
+        horn AS (
+          SELECT px, py,
+            ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * 1.40625) AS dzdx,
+            ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * -0.703125) AS dzdy
+          FROM win
+        )
+        SELECT px, py, {expr}
+        FROM horn
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries: training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -572,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_pentagon": q_pip_join_pentagon,
         "rasterize_counts": q_rasterize_counts,
         "polygonize_components": q_polygonize_components,
+        "dem_slope": q_dem_slope,
+        "dem_hillshade": q_dem_hillshade,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -721,6 +792,21 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["knn_kring"] = _KNN_ORACLE
     sqls["knn_bruteforce"] = _KNN_ORACLE
+
+    sqls["dem_slope"] = _dem_oracle(
+        "round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)), 6) AS slope"
+    )
+    sqls["dem_hillshade"] = _dem_oracle(
+        "CAST(floor(CASE WHEN "
+        "sin(radians(45.0)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
+        "+ cos(radians(45.0)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
+        "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx)) <= 0.0 "
+        "THEN 1.0 ELSE 1.0 + 254.0 * ("
+        "sin(radians(45.0)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
+        "+ cos(radians(45.0)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
+        "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx))) END + 0.5) "
+        "AS BIGINT) AS hillshade"
+    )
 
     sqls["dedup_exact"] = """
         SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,

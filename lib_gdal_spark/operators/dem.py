@@ -1,0 +1,199 @@
+"""DEM focal operators: 3x3 window ops with distributed 1-px halo exchange.
+
+Re-expresses ``apps/gdaldem_lib.cpp`` (hillshade/slope/aspect/TRI/TPI/
+roughness, window layout ``ComputeVal`` at ``:183``) for the tiled raster
+table (SURVEY.md §2.9 "DEM ops"):
+
+1. **Halo exchange**: every tile emits itself plus eight 1-px edge strips
+   keyed by the neighbor tile that needs them — a shuffle of O(perimeter)
+   extra bytes, the Spark form of the reference's overlapping scanline
+   windows.
+2. **groupBy(tile) + applyInPandas**: assemble the (h+2, w+2) padded array
+   (NaN outside the raster) and run the vectorized NumPy stencil.
+3. Output is a derived-band tile table with the same keys/geotransform.
+
+Window naming matches the reference (gdaldem_lib.cpp):
+
+    a b c
+    d e f      ewres = gt1, nsres = gt5 (negative for north-up)
+    g h i
+
+Formulas (Horn):
+  dzdx = ((c + 2f + i) - (a + 2d + g)) / (8 * ewres)
+  dzdy = ((g + 2h + i) - (a + 2b + c)) / (8 * nsres)
+  slope_deg  = degrees(atan(z * sqrt(dzdx^2 + dzdy^2) / scale))
+  aspect_deg = degrees(atan2(dzdy, -dzdx))  (GDAL azimuth convention applied)
+  hillshade  = 1 + 254 * max(cang, 0), cang = sin(alt)cos(slope)
+               + cos(alt)sin(slope)cos(az - pi/2 - aspect)
+  TRI = mean(|neighbor - e|); TPI = e - mean(neighbors);
+  roughness = max(window) - min(window)
+
+Raster-boundary pixels (missing halo) yield NaN, matching the reference's
+default edge handling of skipping windows without full data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+_STRIP_SCHEMA = (
+    "raster_id string, band int, zoom int, tile_x int, tile_y int, "
+    "dtype string, tile_w int, tile_h int, "
+    "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, gt5 double, "
+    "nodata double, pixels array<double>, "
+    "dst_x int, dst_y int, src_dx int, src_dy int, "
+    "strip_h int, strip_w int"
+)
+
+
+def _emit_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Tile rows -> (self + 8 neighbor strips) keyed by destination tile."""
+    for b in batches:
+        rows = []
+        for _, r in b.iterrows():
+            th, tw = int(r["tile_h"]), int(r["tile_w"])
+            arr = np.asarray(r["pixels"], dtype=np.float64).reshape(th, tw)
+            base = {k: r[k] for k in (
+                "raster_id", "band", "zoom", "tile_x", "tile_y", "dtype",
+                "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+                "nodata",
+            )}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        piece = arr
+                    else:
+                        # dy=+1 sends to the tile BELOW, which needs our
+                        # bottom row in its top halo; dx=+1 sends to the
+                        # tile RIGHT, which needs our rightmost column.
+                        ys = slice(th - 1, th) if dy == 1 else (
+                            slice(0, 1) if dy == -1 else slice(0, th))
+                        xs = slice(tw - 1, tw) if dx == 1 else (
+                            slice(0, 1) if dx == -1 else slice(0, tw))
+                        piece = arr[ys, xs]
+                    rows.append({
+                        **base,
+                        "pixels": piece.ravel().tolist(),
+                        "dst_x": int(r["tile_x"]) + dx,
+                        "dst_y": int(r["tile_y"]) + dy,
+                        "src_dx": dx, "src_dy": dy,
+                        "strip_h": piece.shape[0], "strip_w": piece.shape[1],
+                    })
+        yield pd.DataFrame(rows)
+
+
+def _hs(arr: np.ndarray):
+    """The 9 shifted views a..i of the padded array's interior."""
+    a = arr[:-2, :-2]; b = arr[:-2, 1:-1]; c = arr[:-2, 2:]
+    d = arr[1:-1, :-2]; e = arr[1:-1, 1:-1]; f = arr[1:-1, 2:]
+    g = arr[2:, :-2]; h = arr[2:, 1:-1]; i = arr[2:, 2:]
+    return a, b, c, d, e, f, g, h, i
+
+
+def _horn(arr, ewres, nsres):
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    dzdx = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * ewres)
+    dzdy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * nsres)
+    return dzdx, dzdy
+
+
+def slope_kernel(arr, ewres, nsres, z=1.0, scale=1.0):
+    dzdx, dzdy = _horn(arr, ewres, nsres)
+    return np.degrees(np.arctan(z * np.sqrt(dzdx**2 + dzdy**2) / scale))
+
+
+def aspect_kernel(arr, ewres, nsres):
+    dzdx, dzdy = _horn(arr, ewres, nsres)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    # GDAL maps to compass-like 0..360 (gdaldem_lib.cpp aspect branch)
+    out = 90.0 - asp
+    out = np.where(out < 0.0, out + 360.0, out)
+    out = np.where(out >= 360.0, out - 360.0, out)
+    return out
+
+
+def hillshade_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
+                     azimuth=315.0, altitude=45.0):
+    dzdx, dzdy = _horn(arr, ewres, nsres)
+    slope = np.arctan(z * np.sqrt(dzdx**2 + dzdy**2) / scale)
+    aspect = np.arctan2(dzdy, -dzdx)
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+    cang = (np.sin(alt) * np.cos(slope)
+            + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2.0 - aspect))
+    shade = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    return np.floor(shade + 0.5)  # GDAL +0.5-floor rounding
+
+
+def tri_kernel(arr, ewres, nsres):
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    s = sum(np.abs(x - e) for x in (a, b, c, d, f, g, h, i))
+    return s / 8.0
+
+
+def tpi_kernel(arr, ewres, nsres):
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    return e - (a + b + c + d + f + g + h + i) / 8.0
+
+
+def roughness_kernel(arr, ewres, nsres):
+    win = np.stack(_hs(arr))
+    return win.max(axis=0) - win.min(axis=0)
+
+
+KERNELS = {
+    "slope": slope_kernel,
+    "aspect": aspect_kernel,
+    "hillshade": hillshade_kernel,
+    "tri": tri_kernel,
+    "tpi": tpi_kernel,
+    "roughness": roughness_kernel,
+}
+
+
+def dem_op(tiles: DataFrame, op: str, **kw) -> DataFrame:
+    """Apply a 3x3 DEM kernel over the tile table with halo exchange."""
+    kernel = KERNELS[op]
+
+    strips = tiles.mapInPandas(_emit_strips, schema=_STRIP_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, zoom, tx, ty = key
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+            )
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        pad = np.full((th + 2, tw + 2), np.nan)
+        for _, r in pdf.iterrows():
+            sh, sw = int(r["strip_h"]), int(r["strip_w"])
+            piece = np.asarray(r["pixels"], dtype=np.float64).reshape(sh, sw)
+            dx, dy = int(r["src_dx"]), int(r["src_dy"])
+            # piece came FROM tile (tx-dx, ty-dy): a dy=+1 piece is the
+            # tile ABOVE's bottom row -> top halo row of this window
+            y0 = 0 if dy == 1 else (th + 1 if dy == -1 else 1)
+            x0 = 0 if dx == 1 else (tw + 1 if dx == -1 else 1)
+            pad[y0 : y0 + sh, x0 : x0 + sw] = piece
+        out = kernel(pad, float(crow["gt1"]), float(crow["gt5"]), **kw)
+        row = {k: crow[k] for k in (
+            "raster_id", "band", "zoom", "tile_x", "tile_y",
+            "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+            "nodata",
+        )}
+        row["dtype"] = "float64"
+        row["pixels"] = out.ravel().tolist()
+        return pd.DataFrame([row])
+
+    return strips.groupBy(
+        "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
+        F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(assemble, schema=RASTER_SCHEMA)

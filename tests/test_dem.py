@@ -1,0 +1,63 @@
+"""DEM focal ops: distributed halo-exchange result == single-array stencil."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lib_gdal_spark.operators import dem as D
+from lib_gdal_spark.sources import rasters as RS
+
+
+@pytest.fixture(scope="module")
+def world_tiles(spark):
+    arr, gt = RS.world4326(128)
+    rows = RS.tiles_from_array("w", arr, gt, tile=32)
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA), arr, gt
+
+
+def _assemble(rows, h, w, tile):
+    full = np.full((h, w), np.nan)
+    for r in rows:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * tile : r["tile_y"] * tile + r["tile_h"],
+             r["tile_x"] * tile : r["tile_x"] * tile + r["tile_w"]] = a
+    return full
+
+
+@pytest.mark.parametrize("op", ["slope", "aspect", "hillshade", "tri", "tpi",
+                                "roughness"])
+def test_dem_matches_single_array(spark, world_tiles, op):
+    tiles, arr, gt = world_tiles
+    got_rows = D.dem_op(tiles, op).collect()
+    got = _assemble(got_rows, 128, 128, 32)
+
+    pad = np.full((130, 130), np.nan)
+    pad[1:-1, 1:-1] = arr.astype(np.float64)
+    want = D.KERNELS[op](pad, gt[1], gt[5])
+
+    # boundary ring is NaN in both
+    assert np.isnan(got[0]).all() and np.isnan(got[-1]).all()
+    assert np.isnan(want[0]).all()
+    inner_g = got[1:-1, 1:-1]
+    inner_w = want[1:-1, 1:-1]
+    assert not np.isnan(inner_g).any()
+    assert np.array_equal(inner_g, inner_w)
+
+
+def test_slope_flat_is_zero(spark):
+    import pandas as pd
+    arr = np.full((64, 64), 42.0)
+    rows = RS.tiles_from_array("flat", arr, (0, 1, 0, 64, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    out = _assemble(D.dem_op(tiles, "slope").collect(), 64, 64, 32)
+    assert np.all(out[1:-1, 1:-1] == 0.0)
+
+
+def test_hillshade_range(spark, world_tiles):
+    tiles, _, _ = world_tiles
+    rows = D.dem_op(tiles, "hillshade").collect()
+    full = _assemble(rows, 128, 128, 32)
+    inner = full[1:-1, 1:-1]
+    assert inner.min() >= 1.0 and inner.max() <= 255.0
