@@ -459,6 +459,92 @@ def _dem_oracle(expr: str) -> str:
     """
 
 
+def _explode_px(tiles: DataFrame, tile: int = 64) -> DataFrame:
+    """Tile table -> (px, py, v) global-pixel rows, JVM-side."""
+    ex = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return ex.select(px.alias("px"), py.alias("py"), "v")
+
+
+def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW grid interpolation (gdalgrid.cpp:127) over events-derived points:
+    cell-bucketed gather + vectorized (pixels x points) kernel."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("pid") % 97).cast("double").alias("v"),
+    )
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    tiles = GR.grid_interpolate(pts, grid, alg="invdist", radius=15.0)
+    out = _explode_px(tiles, tile=32)
+    return out.select("px", "py", F.round("v", 4).alias("idw"))
+
+
+def q_translate_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin 37 21 150 100 -outsize 75 50 (nearest)."""
+    from lib_gdal_spark.operators import translate as T
+
+    tiles = RS.fixture_rasters(spark)
+    out = T.translate_window(tiles, "gradient256", (37, 21, 150, 100),
+                             outsize=(75, 50))
+    return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
+def q_location_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo: world coord -> tile join -> pixel lookup."""
+    from lib_gdal_spark.operators import translate as T
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    q = spark.createDataFrame(
+        [(1, 10.2, 200.7), (2, 100.9, 119.3), (3, 255.2, 100.1),
+         (4, 0.4, 255.6), (5, 199.5, 140.25)],
+        "qid long, x double, y double",
+    )
+    out = T.location_info(tiles, q)
+    return out.select("qid", "px", "py", F.col("value").cast("long").alias("v"))
+
+
+def q_mosaic_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalbuildvrt compositing: later source wins except nodata."""
+    from lib_gdal_spark.operators import rasterize as RZ
+    from lib_gdal_spark.operators import translate as T
+
+    grid = RZ.world_grid(256, 256, 64)
+
+    def box_df(fid, minx, miny, maxx, maxy, burn):
+        ring = G.box_ring(minx, miny, maxx, maxy)
+        return spark.createDataFrame(
+            [(fid, bytearray(G.wkb_polygon([ring])), burn)],
+            "fid long, geom_wkb binary, burn double",
+        ).coalesce(1)
+
+    ta = RZ.rasterize_polygons(box_df(1, -30.063, -20.063, 10.063, 20.063, 5.0),
+                               grid, raster_id="a")
+    tb = RZ.rasterize_polygons(box_df(1, -10.063, -10.063, 30.063, 30.063, 9.0),
+                               grid, raster_id="b")
+    m = T.mosaic(ta.unionByName(tb), ["a", "b"], nodata=0.0)
+    out = _explode_px(m)
+    return out.where(F.col("v") != 0.0).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_nearest_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp: EPSG:4326 -> web-mercator z2 tiles, nearest kernel
+    (gdalwarpkernel.cpp nearest path; dst centers +0.5)."""
+    tiles = RS.fixture_rasters(spark)
+    out = RAST.warp_to_mercator_tiles(tiles, z=2, alg="nearest", tile=64,
+                                      raster_id="world4326")
+    return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
 # ---------------------------------------------------------------------------
 # queries: training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -643,6 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_components": q_polygonize_components,
         "dem_slope": q_dem_slope,
         "dem_hillshade": q_dem_hillshade,
+        "grid_idw": q_grid_idw,
+        "translate_decimate": q_translate_decimate,
+        "location_info": q_location_info,
+        "mosaic_lastwins": q_mosaic_lastwins,
+        "warp_nearest_z2": q_warp_nearest_z2,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -792,6 +883,100 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["knn_kring"] = _KNN_ORACLE
     sqls["knn_bruteforce"] = _KNN_ORACLE
+
+    sqls["grid_idw"] = f"""
+        WITH pts AS (
+          SELECT lon, lat, CAST(pid % 97 AS DOUBLE) AS v FROM ({_POINTS_SQL})
+        ),
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 -180.0 + (x.px + 0.5) * 5.625 AS cx,
+                 90.0 + (y.py + 0.5) * -2.8125 AS cy
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        j AS (
+          SELECT px, py,
+                 power((cx - lon) * (cx - lon) + (cy - lat) * (cy - lat), -1.0) AS w,
+                 v
+          FROM pix JOIN pts
+          ON (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat) <= 225.0
+        ),
+        agg AS (SELECT px, py, sum(w * v) / sum(w) AS val FROM j GROUP BY px, py)
+        SELECT pix.px, pix.py, round(coalesce(agg.val, 0.0), 4) AS idw
+        FROM pix LEFT JOIN agg ON pix.px = agg.px AND pix.py = agg.py
+    """
+
+    sqls["translate_decimate"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(trunc(((37 + least(trunc(0.5 + x.px * 2.0), 149))
+                          + (21 + least(trunc(0.5 + y.py * 2.0), 99))) * 0.5)
+                    AS BIGINT) AS v
+        FROM generate_series(0, 74) x(px) CROSS JOIN generate_series(0, 49) y(py)
+    """
+
+    sqls["location_info"] = """
+        SELECT qid, CAST(floor(x) AS BIGINT) AS px,
+               CAST(floor(256.0 - y) AS BIGINT) AS py,
+               CAST(trunc((floor(x) + floor(256.0 - y)) * 0.5) AS BIGINT) AS v
+        FROM (VALUES (1, 10.2, 200.7), (2, 100.9, 119.3), (3, 255.2, 100.1),
+                     (4, 0.4, 255.6), (5, 199.5, 140.25)) q(qid, x, y)
+    """
+
+    sqls["mosaic_lastwins"] = f"""
+        WITH pix AS ({_PIXELS_SQL})
+        SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+               CAST(9 AS BIGINT) AS v
+        FROM pix WHERE lon > -10.063 AND lon < 30.063
+                   AND lat > -10.063 AND lat < 30.063
+        UNION ALL
+        SELECT CAST(px AS BIGINT), CAST(py AS BIGINT), CAST(5 AS BIGINT)
+        FROM pix WHERE lon > -30.063 AND lon < 10.063
+                   AND lat > -20.063 AND lat < 20.063
+               AND NOT (lon > -10.063 AND lon < 30.063
+                        AND lat > -10.063 AND lat < 30.063)
+    """
+
+    # warp oracle: every constant is the repr of the identical Python/NumPy
+    # float the kernel computes, so the op sequence matches bit-for-bit.
+    from lib_gdal_spark.functions import cells as C
+    from lib_gdal_spark.kernels import resample as R
+
+    OS = C.ORIGIN_SHIFT
+    span = 2.0 * OS / 4
+    res = span / 64
+    inv = R.gt_invert((-180.0, 360.0 / 256, 0.0, 90.0, 0.0, -180.0 / 256))
+    rad2deg = 57.29577951308232  # np.degrees multiplier (180/pi)
+    halfpi = 1.5707963267948966
+    sqls["warp_nearest_z2"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        merc AS (
+          SELECT px, py,
+            ({-OS!r} + (px // 64) * {span!r}) + ((px % 64) + 0.5) * {res!r} AS mx,
+            ({OS!r} - (py // 64) * {span!r}) + ((py % 64) + 0.5) * {-res!r} AS my
+          FROM pix
+        ),
+        ll AS (
+          SELECT px, py,
+            (mx / 6378137.0) * {rad2deg!r} AS lon,
+            (2.0 * atan(exp(my / 6378137.0)) - {halfpi!r}) * {rad2deg!r} AS lat
+          FROM merc
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({inv[0]!r} + lon * {inv[1]!r} + lat * {inv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({inv[3]!r} + lon * {inv[4]!r} + lat * {inv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0 + 128.0)
+                    AS BIGINT) AS v
+        FROM sp
+    """
 
     sqls["dem_slope"] = _dem_oracle(
         "round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)), 6) AS slope"

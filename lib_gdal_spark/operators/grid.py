@@ -1,0 +1,166 @@
+"""Grid interpolation: scattered points -> raster (gdal_grid re-expressed).
+
+Reference: ``core/alg/gdalgrid.cpp`` — IDW (``:127``), nearest (``:631``),
+moving average (``:406``), data metrics (``:784-1316``); the quadtree
+acceleration (``:2105``) becomes a *data layout*: points are bucketed to the
+dst tile grid, each dst tile gathers the points of its own bucket plus a
+caller-sized ring of neighbor buckets (radius / tile-span), and the kernel
+vectorizes over (pixels x points) inside Arrow batches.
+
+Scale shape: the point table shuffles ONCE (explode to the covering tile
+buckets), tiles compute independently; a hot city tile is one task and AQE
+splits skewed buckets.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators.rasterize import GridSpec
+from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+
+def grid_interpolate(
+    points: DataFrame,
+    grid: GridSpec,
+    alg: str = "invdist",
+    radius: float = 0.0,
+    power: float = 2.0,
+    nodata: float = 0.0,
+    raster_id: str = "grid",
+    point_cols: tuple[str, str, str] = ("x", "y", "v"),
+) -> DataFrame:
+    """points(x, y, v) -> tile table under ``alg``.
+
+    alg: 'invdist' (IDW power/radius, ``GDALGridInverseDistanceToAPower``),
+    'nearest', 'average' (moving average in radius), 'count'/'minimum'/
+    'maximum'/'range' (data metrics). ``radius`` = 0 means unbounded for
+    invdist/nearest (all points; only sane for small point sets) and is
+    required for 'average' and the metrics.
+
+    GDAL semantics reproduced: grid nodes are **pixel centers**; a point at
+    distance 0 short-circuits IDW to its value; an empty search yields
+    ``nodata``.
+    """
+    xcol, ycol, vcol = point_cols
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    # ring of neighbor buckets a search radius can reach
+    span = abs(gt[1]) * tile
+    ring = 0 if radius <= 0.0 else int(math.ceil(radius / span))
+    unbounded = radius <= 0.0
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            x = b[xcol].to_numpy(np.float64)
+            y = b[ycol].to_numpy(np.float64)
+            v = b[vcol].to_numpy(np.float64)
+            px, py = grid.world_to_px(x, y)
+            if unbounded:
+                # every tile sees every point (small-point-set exact path)
+                tx = np.repeat(np.arange(ntx * nty, dtype=np.int64), len(x))
+                out = pd.DataFrame({
+                    "tile_x": tx % ntx,
+                    "tile_y": tx // ntx,
+                    "x": np.tile(x, ntx * nty),
+                    "y": np.tile(y, ntx * nty),
+                    "v": np.tile(v, ntx * nty),
+                })
+                yield out
+                continue
+            bx = np.clip(px // tile, 0, ntx - 1).astype(np.int64)
+            by = np.clip(py // tile, 0, nty - 1).astype(np.int64)
+            offs = np.arange(-ring, ring + 1)
+            dx, dy = np.meshgrid(offs, offs)
+            dx = dx.ravel()
+            dy = dy.ravel()
+            n = len(x)
+            m = len(dx)
+            tx = (bx[:, None] + dx[None, :]).ravel()
+            ty = (by[:, None] + dy[None, :]).ravel()
+            ok = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+            rep = np.repeat(np.arange(n), m)[ok]
+            yield pd.DataFrame({
+                "tile_x": tx[ok], "tile_y": ty[ok],
+                "x": x[rep], "y": y[rep], "v": v[rep],
+            })
+
+    buckets = points.select(
+        F.col(xcol).alias(xcol), F.col(ycol).alias(ycol), F.col(vcol).alias(vcol)
+    ).mapInPandas(bucket, schema="tile_x long, tile_y long, x double, y double, v double")
+
+    W, H = grid.width, grid.height
+
+    def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        x0, y0 = tx * tile, ty * tile
+        tw = min(tile, W - x0)
+        th = min(tile, H - y0)
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = gt[0] + (x0 + ii + 0.5) * gt[1]
+        gy = gt[3] + (y0 + jj + 0.5) * gt[5]
+        px_ = pdf["x"].to_numpy(np.float64)
+        py_ = pdf["y"].to_numpy(np.float64)
+        pv = pdf["v"].to_numpy(np.float64)
+        # (pixels, points) distance matrix per tile — Arrow-batch vectorized
+        d2 = (gx.ravel()[:, None] - px_[None, :]) ** 2 + (
+            gy.ravel()[:, None] - py_[None, :]
+        ) ** 2
+        if not unbounded:
+            d2 = np.where(d2 <= radius * radius, d2, np.inf)
+        out = np.full(th * tw, nodata, dtype=np.float64)
+        any_pt = np.isfinite(d2).any(axis=1)
+        if alg == "invdist":
+            zero = d2 == 0.0
+            has_zero = zero.any(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                w = np.where(np.isfinite(d2), d2 ** (-power / 2.0), 0.0)
+            num = (w * pv[None, :]).sum(axis=1)
+            den = w.sum(axis=1)
+            vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), nodata)
+            if has_zero.any():
+                first0 = np.argmax(zero, axis=1)
+                vals = np.where(has_zero, pv[first0], vals)
+            out = np.where(any_pt, vals, nodata)
+        elif alg == "nearest":
+            idx = np.argmin(d2, axis=1)
+            out = np.where(any_pt, pv[idx], nodata)
+        elif alg == "average":
+            inr = np.isfinite(d2)
+            cnt = inr.sum(axis=1)
+            s = np.where(inr, pv[None, :], 0.0).sum(axis=1)
+            out = np.where(cnt > 0, s / np.maximum(cnt, 1), nodata)
+        elif alg == "count":
+            out = np.isfinite(d2).sum(axis=1).astype(np.float64)
+        elif alg in ("minimum", "maximum", "range"):
+            inr = np.isfinite(d2)
+            big = np.where(inr, pv[None, :], -np.inf).max(axis=1)
+            small = np.where(inr, pv[None, :], np.inf).min(axis=1)
+            if alg == "minimum":
+                out = np.where(any_pt, small, nodata)
+            elif alg == "maximum":
+                out = np.where(any_pt, big, nodata)
+            else:
+                out = np.where(any_pt, big - small, nodata)
+        else:
+            raise ValueError(f"unknown grid alg {alg}")
+        return pd.DataFrame([
+            dict(
+                raster_id=raster_id, band=1, zoom=0, tile_x=tx, tile_y=ty,
+                dtype="float64", tile_w=tw, tile_h=th,
+                gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+                gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+                nodata=nodata, pixels=out.tolist(),
+            )
+        ])
+
+    return buckets.groupBy("tile_x", "tile_y").applyInPandas(
+        interp, schema=RASTER_SCHEMA
+    )

@@ -1,0 +1,193 @@
+"""Translate / windowed read / point query / mosaic over the tile table.
+
+- ``translate_window``: ``gdal_translate -srcwin/-outsize`` (reference
+  ``apps/gdal_translate_lib.cpp:530``; decimation semantics of
+  ``core/gcore/rasterio.cpp:68``): tile-key predicate selects only the
+  intersecting tiles (partition pruning at the scan), slices are assembled
+  per *output* tile and resampled with the overview kernels.
+- ``location_info``: ``gdallocationinfo`` — world coord -> geotransform
+  inverse -> tile-key equi-join -> pixel lookup, all as one broadcast join.
+- ``mosaic``: ``gdalbuildvrt`` compositing — nodata-aware "last source
+  wins" per pixel across rasters sharing a tile grid (reference order =
+  ascending raster_id here, like the VRT's source order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.kernels import resample as R
+from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+
+def translate_window(
+    tiles: DataFrame,
+    raster_id: str,
+    srcwin: tuple[int, int, int, int],
+    outsize: tuple[int, int] | None = None,
+    alg: str = "nearest",
+    tile: int = 64,
+    out_id: str = "translated",
+) -> DataFrame:
+    """Window (xoff, yoff, xsize, ysize) + optional decimation -> tile table.
+
+    The tile-key range predicate is a native filter, so Catalyst prunes
+    non-intersecting tiles at the scan (the Spark form of the reference's
+    windowed block loop).
+    """
+    xoff, yoff, xs, ys = srcwin
+    ow, oh = outsize or (xs, ys)
+    tx0, tx1 = xoff // tile, (xoff + xs - 1) // tile
+    ty0, ty1 = yoff // tile, (yoff + ys - 1) // tile
+
+    sel = tiles.where(
+        (F.col("raster_id") == raster_id)
+        & F.col("tile_x").between(tx0, tx1)
+        & F.col("tile_y").between(ty0, ty1)
+    )
+
+    def cut(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[1])
+        th_max = int(pdf["tile_h"].max())
+        tw_max = int(pdf["tile_w"].max())
+        window = np.full((ys, xs), np.nan)
+        gt = None
+        for _, r in pdf.iterrows():
+            arr = np.asarray(r["pixels"], dtype=np.float64).reshape(
+                int(r["tile_h"]), int(r["tile_w"])
+            )
+            gy0 = int(r["tile_y"]) * th_max - yoff
+            gx0 = int(r["tile_x"]) * tw_max - xoff
+            sy0, sx0 = max(0, -gy0), max(0, -gx0)
+            dy0, dx0 = max(0, gy0), max(0, gx0)
+            sy1 = min(arr.shape[0], ys - gy0)
+            sx1 = min(arr.shape[1], xs - gx0)
+            if sy1 <= sy0 or sx1 <= sx0:
+                continue
+            window[dy0 : dy0 + (sy1 - sy0), dx0 : dx0 + (sx1 - sx0)] = arr[
+                sy0:sy1, sx0:sx1
+            ]
+            if int(r["tile_x"]) == tx0 and int(r["tile_y"]) == ty0:
+                g = [r[f"gt{i}"] for i in range(6)]
+                ox = xoff - tx0 * tw_max
+                oy = yoff - ty0 * th_max
+                gt = (
+                    g[0] + ox * g[1], g[1] * xs / ow, 0.0,
+                    g[3] + oy * g[5], 0.0, g[5] * ys / oh,
+                )
+        if (ow, oh) != (xs, ys):
+            if alg == "average":
+                window = R.overview_average(window, (oh, ow))
+            else:
+                window = R.overview_nearest(window, (oh, ow))
+        rows = []
+        for ty in range(0, (oh + tile - 1) // tile):
+            for tx in range(0, (ow + tile - 1) // tile):
+                patch = window[ty * tile : (ty + 1) * tile,
+                               tx * tile : (tx + 1) * tile]
+                rows.append(dict(
+                    raster_id=out_id, band=band, zoom=0, tile_x=tx, tile_y=ty,
+                    dtype="float64", tile_w=patch.shape[1], tile_h=patch.shape[0],
+                    gt0=gt[0] + tx * tile * gt[1], gt1=gt[1], gt2=0.0,
+                    gt3=gt[3] + ty * tile * gt[5], gt4=0.0, gt5=gt[5],
+                    nodata=None, pixels=patch.ravel().tolist(),
+                ))
+        return pd.DataFrame(rows)
+
+    return sel.groupBy("raster_id", "band").applyInPandas(
+        cut, schema=RASTER_SCHEMA
+    )
+
+
+def location_info(
+    tiles: DataFrame,
+    queries: DataFrame,
+    tile: int = 64,
+    query_cols: tuple[str, str, str] = ("qid", "x", "y"),
+) -> DataFrame:
+    """World-coordinate point query (gdallocationinfo).
+
+    ``queries(qid, x, y)`` (small, broadcast) joins the tile table on the
+    computed tile key; the pixel lookup runs inside the matched tile only.
+    Output: (qid, raster_id, band, px, py, value).
+    """
+    qid, qx, qy = query_cols
+
+    def locate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"qid": [], "raster_id": [], "band": [],
+                   "px": [], "py": [], "value": []}
+            for _, r in b.iterrows():
+                arr = np.asarray(r["pixels"], dtype=np.float64).reshape(
+                    int(r["tile_h"]), int(r["tile_w"])
+                )
+                gt = [r[f"gt{i}"] for i in range(6)]
+                inv = R.gt_invert(gt)
+                sx, sy = R.gt_apply(inv, np.array([r[qx]]), np.array([r[qy]]))
+                ix, iy = int(np.floor(sx[0])), int(np.floor(sy[0]))
+                if 0 <= ix < arr.shape[1] and 0 <= iy < arr.shape[0]:
+                    out["qid"].append(r[qid])
+                    out["raster_id"].append(r["raster_id"])
+                    out["band"].append(int(r["band"]))
+                    out["px"].append(int(r["tile_x"]) * tile + ix)
+                    out["py"].append(int(r["tile_y"]) * tile + iy)
+                    out["value"].append(arr[iy, ix])
+            yield pd.DataFrame(out)
+
+    joined = tiles.join(F.broadcast(queries), how="cross")
+    # native prefilter: the query point must fall inside the tile's bbox
+    within = (
+        (F.col(qx) >= F.col("gt0"))
+        & (F.col(qx) < F.col("gt0") + F.col("tile_w") * F.col("gt1"))
+        & (F.col(qy) <= F.col("gt3"))
+        & (F.col(qy) > F.col("gt3") + F.col("tile_h") * F.col("gt5"))
+    )
+    cols = [qid, qx, qy, "raster_id", "band", "tile_x", "tile_y",
+            "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+            "pixels"]
+    return joined.where(within).select(*cols).mapInPandas(
+        locate,
+        schema="qid long, raster_id string, band int, px long, py long, value double",
+    )
+
+
+def mosaic(
+    tiles: DataFrame,
+    raster_ids: list[str],
+    out_id: str = "mosaic",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Compose rasters on a shared tile grid: later sources overwrite
+    earlier ones except where nodata (gdalbuildvrt semantics)."""
+    order = {rid: i for i, rid in enumerate(raster_ids)}
+    sel = tiles.where(F.col("raster_id").isin(raster_ids))
+
+    def compose(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values("raster_id", key=lambda s: s.map(order))
+        out = None
+        base = None
+        for _, r in pdf.iterrows():
+            arr = np.asarray(r["pixels"], dtype=np.float64).reshape(
+                int(r["tile_h"]), int(r["tile_w"])
+            )
+            if out is None:
+                out = np.full_like(arr, np.nan if nodata is None else nodata)
+                base = r
+            mask = ~np.isnan(arr) if nodata is None else (arr != nodata)
+            out[mask] = arr[mask]
+        row = {k: base[k] for k in (
+            "band", "zoom", "tile_x", "tile_y", "dtype", "tile_w", "tile_h",
+            "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+        )}
+        row.update(raster_id=out_id, nodata=nodata, pixels=out.ravel().tolist())
+        return pd.DataFrame([row])
+
+    return sel.groupBy("band", "tile_x", "tile_y").applyInPandas(
+        compose, schema=RASTER_SCHEMA
+    )
