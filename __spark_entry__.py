@@ -299,6 +299,21 @@ def q_ogr_hstore_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogr_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function registrar coverage (swq_op_registrar.cpp:45-77):
+    CONCAT, SUBSTR, % modulus, CAST(... AS float/string/integer)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tag"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix"),
+        (F.col("c_custkey") % 7).alias("bucket"),
+        F.col("c_custkey").cast("double").alias("key_f"),
+        F.col("c_acctbal").cast("string").alias("bal_s"),
+        F.col("c_acctbal").cast("int").alias("bal_i"),
+    )
+
+
 def q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL with schema merge (ogrunionlayer.cpp:687)."""
     c = _t(spark, sf_dir, "customer").select(
@@ -545,6 +560,25 @@ def q_warp_nearest_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+def q_pyramid_avg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One AVERAGE pyramid step on gradient256 (overview.cpp:352 with
+    integer round-half-up), children->parent groupBy reduce."""
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    lvl1 = RAST.pyramid_level(tiles, alg="average", tile=64)
+    return _explode_px(lvl1).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_bilinear_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp bilinear (triangle kernel r=1 around srcX-0.5,
+    gdalwarpkernel.cpp:3054) to web-mercator z2."""
+    tiles = RS.fixture_rasters(spark)
+    out = RAST.warp_to_mercator_tiles(tiles, z=2, alg="bilinear", tile=64,
+                                      raster_id="world4326")
+    return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
 # ---------------------------------------------------------------------------
 # queries: training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -721,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_in_between": q_ogr_in_between,
         "ogr_two_valued_null": q_ogr_two_valued_null,
         "ogr_hstore_get": q_ogr_hstore_get,
+        "ogr_scalar_funcs": q_ogr_scalar_funcs,
         "ogr_union_all": q_ogr_union_all,
         "tile_assign_z8": q_tile_assign_z8,
         "cell_pack_parent": q_cell_pack_parent,
@@ -734,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_info": q_location_info,
         "mosaic_lastwins": q_mosaic_lastwins,
         "warp_nearest_z2": q_warp_nearest_z2,
+        "warp_bilinear_z2": q_warp_bilinear_z2,
+        "pyramid_avg_l1": q_pyramid_avg_l1,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -817,6 +854,18 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE coalesce(CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
               AS INTEGER) > 50, false)
+    """
+
+    # note: Spark CAST(double AS int) truncates; DuckDB rounds -> trunc()
+    sqls["ogr_scalar_funcs"] = """
+        SELECT c_custkey,
+               concat(c_name, '#', c_mktsegment) AS tag,
+               substr(c_name, 1, 8) AS prefix,
+               c_custkey % 7 AS bucket,
+               CAST(c_custkey AS DOUBLE) AS key_f,
+               CAST(c_acctbal AS VARCHAR) AS bal_s,
+               CAST(trunc(c_acctbal) AS INTEGER) AS bal_i
+        FROM customer
     """
 
     sqls["ogr_union_all"] = """
@@ -976,6 +1025,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0 + 128.0)
                     AS BIGINT) AS v
         FROM sp
+    """
+
+    sqls["pyramid_avg_l1"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(floor((
+                 (((trunc((2 * x.px + 2 * y.py) * 0.5)
+                  + trunc((2 * x.px + 1 + 2 * y.py) * 0.5))
+                  + trunc((2 * x.px + 2 * y.py + 1) * 0.5))
+                  + trunc((2 * x.px + 1 + 2 * y.py + 1) * 0.5))
+                 + 2.0) / 4.0) AS BIGINT) AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    # bilinear warp oracle: same float-literal mirroring as the nearest one,
+    # with the fractional source coords and the 4-tap triangle accumulation
+    # in the kernel's exact loop order (dy outer, dx inner).
+    vfun = "trunc((sin({X} * 0.19) + cos({Y} * 0.13)) * 60.0 + 128.0)"
+    taps = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            pxn = f"(x0 + {dx})" if dx else "x0"
+            pyn = f"(y0 + {dy})" if dy else "y0"
+            w = (f"(CASE WHEN {pyn} >= 0 AND {pyn} < 256 "
+                 f"AND {pxn} >= 0 AND {pxn} < 256 THEN "
+                 f"greatest(0.0, 1.0 - abs({pyn} - cy)) "
+                 f"* greatest(0.0, 1.0 - abs({pxn} - cx)) ELSE 0.0 END)")
+            vv = vfun.format(
+                X=f"least(greatest({pxn}, 0), 255)",
+                Y=f"least(greatest({pyn}, 0), 255)",
+            )
+            taps.append((w, vv))
+    acc = " + ".join(f"{w} * {v}" for w, v in taps)
+    wacc = " + ".join(w for w, _ in taps)
+    sqls["warp_bilinear_z2"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        merc AS (
+          SELECT px, py,
+            ({-OS!r} + (px // 64) * {span!r}) + ((px % 64) + 0.5) * {res!r} AS mx,
+            ({OS!r} - (py // 64) * {span!r}) + ((py % 64) + 0.5) * {-res!r} AS my
+          FROM pix
+        ),
+        ll AS (
+          SELECT px, py,
+            (mx / 6378137.0) * {rad2deg!r} AS lon,
+            (2.0 * atan(exp(my / 6378137.0)) - {halfpi!r}) * {rad2deg!r} AS lat
+          FROM merc
+        ),
+        frac AS (
+          SELECT px, py,
+            ({inv[0]!r} + lon * {inv[1]!r} + lat * {inv[2]!r}) - 0.5 AS cx,
+            ({inv[3]!r} + lon * {inv[4]!r} + lat * {inv[5]!r}) - 0.5 AS cy
+          FROM ll
+        ),
+        tap AS (
+          SELECT px, py, cx, cy,
+                 CAST(floor(cx) AS BIGINT) AS x0,
+                 CAST(floor(cy) AS BIGINT) AS y0
+          FROM frac
+        )
+        SELECT px, py,
+               CAST(least(greatest(floor(({acc}) / ({wacc}) + 0.5), 0), 255)
+                    AS BIGINT) AS v
+        FROM tap
     """
 
     sqls["dem_slope"] = _dem_oracle(
