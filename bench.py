@@ -63,6 +63,11 @@ BENCH = {
     "minhash_lsh": lambda s: _force(E.q_minhash_lsh_pairs(s, SF_DIR)),
     "cosine_topk": lambda s: _force(E.q_cosine_topk(s, SF_DIR)),
     "raster_pyramid": lambda s: _force(E.q_raster_pyramid(s, SF_DIR)),
+    "rasterize": lambda s: _force(E.q_rasterize_counts(s, SF_DIR)),
+    "polygonize": lambda s: _force(E.q_polygonize_components(s, SF_DIR)),
+    "dem_slope": lambda s: _force(E.q_dem_slope(s, SF_DIR)),
+    "grid_idw": lambda s: _force(E.q_grid_idw(s, SF_DIR)),
+    "warp_bilinear": lambda s: _force(E.q_warp_bilinear_z2(s, SF_DIR)),
 }
 
 

@@ -139,6 +139,32 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     return np.where(valid, out, np.int64(-1))
 
 
+def cell_expr(lon, lat, res: int):
+    """Native Spark Column for ``lonlat_to_cell`` (JVM, whole-stage codegen).
+
+    For the *big* side of candidate-generation joins: keeps 100%-of-rows
+    math out of Python. Java Math.sin/log may differ from NumPy/libm by
+    1 ulp, which can shift a point sitting exactly on a cell edge into the
+    adjacent cell — harmless wherever a k-ring (>=1) or cover margin
+    absorbs +-1 cell, which is every call site; use the NumPy path when the
+    cell id itself is the contract.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    lat_c = F.least(F.greatest(lat, F.lit(-MAX_MERC_LAT)), F.lit(MAX_MERC_LAT))
+    mx = (lon + F.lit(180.0)) / F.lit(360.0)
+    s = F.sin(F.radians(lat_c))
+    my = (F.lit(0.5)
+          - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(4.0 * np.pi))
+    x = F.least(F.greatest(F.floor(mx * n).cast("long"), F.lit(0)),
+                F.lit(n - 1))
+    y = F.least(F.greatest(F.floor(my * n).cast("long"), F.lit(0)),
+                F.lit(n - 1))
+    return (F.lit(res << _RES_SHIFT).cast("long")
+            + x * F.lit(1 << _X_SHIFT).cast("long") + y)
+
+
 def tile_bounds_mercator(
     z: np.ndarray, x: np.ndarray, y: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -98,57 +98,83 @@ def grid_interpolate(
 
     W, H = grid.width, grid.height
 
+    CHUNK = 4096  # points per accumulation block: bounds the (pixels x
+    # points) temporaries to ~tile^2*CHUNK*8B regardless of bucket size
+
     def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         x0, y0 = tx * tile, ty * tile
         tw = min(tile, W - x0)
         th = min(tile, H - y0)
         jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
-        gx = gt[0] + (x0 + ii + 0.5) * gt[1]
-        gy = gt[3] + (y0 + jj + 0.5) * gt[5]
-        px_ = pdf["x"].to_numpy(np.float64)
-        py_ = pdf["y"].to_numpy(np.float64)
-        pv = pdf["v"].to_numpy(np.float64)
-        # (pixels, points) distance matrix per tile — Arrow-batch vectorized
-        d2 = (gx.ravel()[:, None] - px_[None, :]) ** 2 + (
-            gy.ravel()[:, None] - py_[None, :]
-        ) ** 2
-        if not unbounded:
-            d2 = np.where(d2 <= radius * radius, d2, np.inf)
-        out = np.full(th * tw, nodata, dtype=np.float64)
-        any_pt = np.isfinite(d2).any(axis=1)
-        if alg == "invdist":
-            zero = d2 == 0.0
-            has_zero = zero.any(axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                w = np.where(np.isfinite(d2), d2 ** (-power / 2.0), 0.0)
-            num = (w * pv[None, :]).sum(axis=1)
-            den = w.sum(axis=1)
-            vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), nodata)
-            if has_zero.any():
-                first0 = np.argmax(zero, axis=1)
-                vals = np.where(has_zero, pv[first0], vals)
-            out = np.where(any_pt, vals, nodata)
-        elif alg == "nearest":
-            idx = np.argmin(d2, axis=1)
-            out = np.where(any_pt, pv[idx], nodata)
-        elif alg == "average":
-            inr = np.isfinite(d2)
-            cnt = inr.sum(axis=1)
-            s = np.where(inr, pv[None, :], 0.0).sum(axis=1)
-            out = np.where(cnt > 0, s / np.maximum(cnt, 1), nodata)
-        elif alg == "count":
-            out = np.isfinite(d2).sum(axis=1).astype(np.float64)
-        elif alg in ("minimum", "maximum", "range"):
-            inr = np.isfinite(d2)
-            big = np.where(inr, pv[None, :], -np.inf).max(axis=1)
-            small = np.where(inr, pv[None, :], np.inf).min(axis=1)
-            if alg == "minimum":
-                out = np.where(any_pt, small, nodata)
-            elif alg == "maximum":
-                out = np.where(any_pt, big, nodata)
+        gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+        gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+        px_all = pdf["x"].to_numpy(np.float64)
+        py_all = pdf["y"].to_numpy(np.float64)
+        pv_all = pdf["v"].to_numpy(np.float64)
+        npx = th * tw
+        r2 = radius * radius
+
+        # streaming accumulators (chunked over points -> bounded memory)
+        num = np.zeros(npx)
+        den = np.zeros(npx)
+        cnt = np.zeros(npx, dtype=np.int64)
+        small = np.full(npx, np.inf)
+        big = np.full(npx, -np.inf)
+        best_d2 = np.full(npx, np.inf)
+        best_v = np.full(npx, nodata)
+        zero_v = np.full(npx, np.nan)
+
+        for c0 in range(0, len(px_all), CHUNK):
+            px_ = px_all[c0 : c0 + CHUNK]
+            py_ = py_all[c0 : c0 + CHUNK]
+            pv = pv_all[c0 : c0 + CHUNK]
+            d2 = (gx[:, None] - px_[None, :]) ** 2 + (
+                gy[:, None] - py_[None, :]
+            ) ** 2
+            inr = d2 <= r2 if not unbounded else np.ones_like(d2, dtype=bool)
+            if alg == "invdist":
+                zero = inr & (d2 == 0.0)
+                if zero.any():
+                    first0 = np.argmax(zero, axis=1)
+                    hit = zero.any(axis=1) & np.isnan(zero_v)
+                    zero_v[hit] = pv[first0[hit]]
+                with np.errstate(divide="ignore"):
+                    w = np.where(inr, d2 ** (-power / 2.0), 0.0)
+                num += (w * pv[None, :]).sum(axis=1)
+                den += w.sum(axis=1)
+            elif alg == "nearest":
+                d2m = np.where(inr, d2, np.inf)
+                idx = np.argmin(d2m, axis=1)
+                dmin = d2m[np.arange(npx), idx]
+                better = dmin < best_d2
+                best_d2[better] = dmin[better]
+                best_v[better] = pv[idx[better]]
             else:
-                out = np.where(any_pt, big - small, nodata)
+                cnt += inr.sum(axis=1)
+                if alg in ("minimum", "maximum", "range", "average"):
+                    vm = np.where(inr, pv[None, :], np.inf)
+                    small = np.minimum(small, vm.min(axis=1))
+                    vM = np.where(inr, pv[None, :], -np.inf)
+                    big = np.maximum(big, vM.max(axis=1))
+                    if alg == "average":
+                        num += np.where(inr, pv[None, :], 0.0).sum(axis=1)
+
+        if alg == "invdist":
+            vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), nodata)
+            out = np.where(np.isnan(zero_v), vals, zero_v)
+        elif alg == "nearest":
+            out = np.where(np.isfinite(best_d2), best_v, nodata)
+        elif alg == "average":
+            out = np.where(cnt > 0, num / np.maximum(cnt, 1), nodata)
+        elif alg == "count":
+            out = cnt.astype(np.float64)
+        elif alg == "minimum":
+            out = np.where(cnt > 0, small, nodata)
+        elif alg == "maximum":
+            out = np.where(cnt > 0, big, nodata)
+        elif alg == "range":
+            out = np.where(cnt > 0, big - small, nodata)
         else:
             raise ValueError(f"unknown grid alg {alg}")
         return pd.DataFrame([

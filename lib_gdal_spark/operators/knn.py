@@ -108,16 +108,13 @@ def knn_kring(
     qschema = f"{qid} long, {qlon} double, {qlat} double, cell long"
     qcells = queries.select(qid, qlon, qlat).mapInPandas(explode_rings, schema=qschema)
 
-    def target_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            lon = b[tlon].to_numpy(dtype=np.float64)
-            lat = b[tlat].to_numpy(dtype=np.float64)
-            b = b.copy()
-            b["cell"] = C.lonlat_to_cell(lon, lat, res)
-            yield b
-
-    tschema = f"{tid} long, {tlon} double, {tlat} double, cell long"
-    tcells = targets.select(tid, tlon, tlat).mapInPandas(target_cells, schema=tschema)
+    # Big side stays JVM-native: the cell key is candidate-generation only
+    # (a 1-ulp libm difference shifts an edge point one cell, still inside
+    # the ring), so no Python runs over the target table at all.
+    tcells = targets.select(
+        tid, tlon, tlat,
+        C.cell_expr(F.col(tlon), F.col(tlat), res).alias("cell"),
+    )
 
     cand = tcells.join(F.broadcast(qcells), "cell", "inner")
     d = _haversine_col(F.col(qlon), F.col(qlat), F.col(tlon), F.col(tlat))

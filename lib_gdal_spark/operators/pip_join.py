@@ -52,8 +52,14 @@ def polygon_cover(polygons: DataFrame, res: int) -> DataFrame:
                 minx, miny, maxx, maxy = G.envelope(bytes(wkb))
                 x0, y0 = C.lonlat_to_tile(np.array([minx]), np.array([maxy]), res)
                 x1, y1 = C.lonlat_to_tile(np.array([maxx]), np.array([miny]), res)
-                xs = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
-                ys = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+                # 1-cell margin: tolerates points whose cell key came from a
+                # 1-ulp-different libm (cells.cell_expr); extra candidates
+                # are discarded by the envelope pre-test anyway.
+                n = np.int64(1) << res
+                xs = np.arange(max(int(x0[0]) - 1, 0),
+                               min(int(x1[0]) + 1, int(n) - 1) + 1, dtype=np.int64)
+                ys = np.arange(max(int(y0[0]) - 1, 0),
+                               min(int(y1[0]) + 1, int(n) - 1) + 1, dtype=np.int64)
                 gx, gy = np.meshgrid(xs, ys)
                 cs = C.pack_cell(res, gx.ravel(), gy.ravel())
                 k = len(cs)

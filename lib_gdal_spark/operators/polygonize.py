@@ -38,6 +38,11 @@ _LABEL_SCHEMA = (
     "min_px long, min_py long, max_px long, max_py long"
 )
 _BORDER_SCHEMA = "px long, py long, value double, label long"
+# single-pass union schema: kind 0 = per-tile label summary, 1 = border pixel
+_PIECE_SCHEMA = (
+    "kind int, label long, value double, n_pixels long, "
+    "min_px long, min_py long, max_px long, max_py long, px long, py long"
+)
 
 
 def _label_tile(vals: np.ndarray, background: float | None) -> np.ndarray:
@@ -82,7 +87,11 @@ def _label_tile(vals: np.ndarray, background: float | None) -> np.ndarray:
 
 
 def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
-                 grid_w: int, background: float | None, what: str):
+                 grid_w: int, background: float | None):
+    """One pass per tile: per-tile label summaries (kind 0) + border pixels
+    (kind 1) in a union schema, so the (possibly expensive) input lineage
+    runs exactly once."""
+    cols = [c.split()[0] for c in _PIECE_SCHEMA.split(", ")]
     for b in tiles_pdf_iter:
         outs = []
         for _, row in b.iterrows():
@@ -100,29 +109,30 @@ def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
             py, px = np.nonzero(fg)
             gx = px + x0
             gy = py + y0
-            if what == "labels":
-                df = pd.DataFrame({
-                    "label": glab, "value": vals[fg],
-                    "gx": gx, "gy": gy,
-                })
-                agg = df.groupby(["label", "value"], as_index=False).agg(
-                    n_pixels=("gx", "size"), min_px=("gx", "min"),
-                    min_py=("gy", "min"), max_px=("gx", "max"),
-                    max_py=("gy", "max"),
-                )
-                outs.append(agg)
-            else:
-                edge = (px == 0) | (px == tw - 1) | (py == 0) | (py == th - 1)
-                outs.append(pd.DataFrame({
-                    "px": gx[edge], "py": gy[edge],
-                    "value": vals[fg][edge], "label": glab[edge],
-                }))
+            df = pd.DataFrame({
+                "label": glab, "value": vals[fg], "gx": gx, "gy": gy,
+            })
+            agg = df.groupby(["label", "value"], as_index=False).agg(
+                n_pixels=("gx", "size"), min_px=("gx", "min"),
+                min_py=("gy", "min"), max_px=("gx", "max"),
+                max_py=("gy", "max"),
+            )
+            agg["kind"] = 0
+            agg["px"] = -1
+            agg["py"] = -1
+            outs.append(agg[cols])
+            edge = (px == 0) | (px == tw - 1) | (py == 0) | (py == th - 1)
+            bord = pd.DataFrame({
+                "kind": 1, "label": glab[edge], "value": vals[fg][edge],
+                "n_pixels": 0, "min_px": -1, "min_py": -1,
+                "max_px": -1, "max_py": -1,
+                "px": gx[edge], "py": gy[edge],
+            })
+            outs.append(bord[cols])
         if outs:
             yield pd.concat(outs, ignore_index=True)
         else:
-            yield pd.DataFrame({c.split()[0]: [] for c in (
-                _LABEL_SCHEMA if what == "labels" else _BORDER_SCHEMA
-            ).split(", ")})
+            yield pd.DataFrame({c: [] for c in cols})
 
 
 def polygonize(
@@ -134,34 +144,39 @@ def polygonize(
 ) -> DataFrame:
     """Tile table -> component table (value, n_pixels, pixel bbox)."""
 
-    def labels_fn(it):
-        yield from _tile_pieces(it, tile, grid_w, background, "labels")
-
-    def borders_fn(it):
-        yield from _tile_pieces(it, tile, grid_w, background, "borders")
+    def pieces_fn(it):
+        yield from _tile_pieces(it, tile, grid_w, background)
 
     cols = ["tile_x", "tile_y", "tile_w", "tile_h", "pixels"]
-    labels = tiles.select(cols).mapInPandas(labels_fn, schema=_LABEL_SCHEMA)
-    borders = tiles.select(cols).mapInPandas(borders_fn, schema=_BORDER_SCHEMA)
+    pieces = tiles.select(cols).mapInPandas(
+        pieces_fn, schema=_PIECE_SCHEMA
+    ).persist()
+    labels = pieces.where(F.col("kind") == 0).select(
+        "label", "value", "n_pixels", "min_px", "min_py", "max_px", "max_py"
+    )
+    borders = pieces.where(F.col("kind") == 1).select(
+        "px", "py", "value", "label"
+    )
 
     # Cross-tile adjacency: equal-valued border pixels one step apart in x
     # or y with different labels. Border volume is O(perimeter) — tiny next
     # to the pixel data.
-    a = borders.alias("a")
-    b = borders.alias("b")
-    edges = (
-        a.join(
-            b,
-            ((F.col("a.px") + 1 == F.col("b.px")) & (F.col("a.py") == F.col("b.py")))
-            | ((F.col("a.px") == F.col("b.px")) & (F.col("a.py") + 1 == F.col("b.py"))),
+    # Two hash equi-joins (right neighbor, bottom neighbor) — an OR'd join
+    # condition would force a nested-loop join, quadratic in border pixels.
+    def adj(dx: int, dy: int):
+        a = borders.select(
+            (F.col("px") + dx).alias("jx"), (F.col("py") + dy).alias("jy"),
+            F.col("value").alias("va"), F.col("label").alias("la"),
         )
-        .where(
-            (F.col("a.value") == F.col("b.value"))
-            & (F.col("a.label") != F.col("b.label"))
+        b = borders.select(
+            F.col("px").alias("jx"), F.col("py").alias("jy"),
+            F.col("value").alias("vb"), F.col("label").alias("lb"),
         )
-        .select(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
-        .distinct()
-    )
+        return a.join(b, ["jx", "jy"]).where(
+            (F.col("va") == F.col("vb")) & (F.col("la") != F.col("lb"))
+        ).select("la", "lb")
+
+    edges = adj(1, 0).unionByName(adj(0, 1)).distinct()
 
     # Driver-side union-find over the small edge list (see module docstring
     # for the 10^12-px replacement).
