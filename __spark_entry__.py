@@ -560,6 +560,30 @@ def q_warp_nearest_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour (contour.cpp) on world4326: the distinct
+    segment endpoints are exactly the iso-level edge crossings, which the
+    oracle recomputes per grid edge in SQL."""
+    from lib_gdal_spark.operators import contour as CO
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    segs = CO.contour_segments(tiles, [128.5, 150.5])
+    p1 = segs.select("level", F.col("x1").alias("x"), F.col("y1").alias("y"))
+    p2 = segs.select("level", F.col("x2").alias("x"), F.col("y2").alias("y"))
+
+    # explicit floor(x*1e6+0.5)/1e6: crossing coords can land exactly on
+    # half-way rounding boundaries where Spark (HALF_UP) and DuckDB
+    # disagree; this formula is identical IEEE in both engines.
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return (
+        p1.unionByName(p2)
+        .select("level", r6(F.col("x")).alias("x"), r6(F.col("y")).alias("y"))
+        .distinct()
+    )
+
+
 def q_pyramid_avg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One AVERAGE pyramid step on gradient256 (overview.cpp:352 with
     integer round-half-up), children->parent groupBy reduce."""
@@ -771,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_nearest_z2": q_warp_nearest_z2,
         "warp_bilinear_z2": q_warp_bilinear_z2,
         "pyramid_avg_l1": q_pyramid_avg_l1,
+        "contour_crossings": q_contour_crossings,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -1092,6 +1117,42 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS v
         FROM tap
     """
+
+    # contour oracle: every crossed grid edge yields one interpolated point;
+    # v() is the closed-form world4326 pixel value, world coords mirror the
+    # kernel's pixel-center transform.
+    _V = "trunc((sin({I} * 0.19) + cos({J} * 0.13)) * 60.0 + 128.0)"
+    contour_parts = []
+    for lvl in ("128.5", "150.5"):
+        va = _V.format(I="e.i", J="e.j")
+        vbh = _V.format(I="(e.i + 1)", J="e.j")
+        vbv = _V.format(I="e.i", J="(e.j + 1)")
+        contour_parts.append(f"""
+        SELECT {lvl} AS level,
+               floor(((-180.0 + (e.i // 64) * 90.0)
+                      + (((e.i % 64) + ({lvl} - {va}) / ({vbh} - {va})) + 0.5)
+                     * 1.40625) * 1e6 + 0.5) / 1e6 AS x,
+               floor(((90.0 + (e.j // 64) * -45.0)
+                      + ((e.j % 64) + 0.5) * -0.703125) * 1e6 + 0.5) / 1e6 AS y
+        FROM (SELECT a.i, b.j FROM generate_series(0, 254) a(i)
+              CROSS JOIN generate_series(0, 255) b(j)) e
+        WHERE ({va} >= {lvl}) <> ({vbh} >= {lvl})
+        """)
+        contour_parts.append(f"""
+        SELECT {lvl} AS level,
+               floor(((-180.0 + (e.i // 64) * 90.0)
+                      + ((e.i % 64) + 0.5) * 1.40625) * 1e6 + 0.5) / 1e6 AS x,
+               floor(((90.0 + (e.j // 64) * -45.0)
+                      + (((e.j % 64) + ({lvl} - {va}) / ({vbv} - {va})) + 0.5)
+                     * -0.703125) * 1e6 + 0.5) / 1e6 AS y
+        FROM (SELECT a.i, b.j FROM generate_series(0, 255) a(i)
+              CROSS JOIN generate_series(0, 254) b(j)) e
+        WHERE ({va} >= {lvl}) <> ({vbv} >= {lvl})
+        """)
+    sqls["contour_crossings"] = (
+        "SELECT DISTINCT level, x, y FROM ("
+        + " UNION ALL ".join(contour_parts) + ")"
+    )
 
     sqls["dem_slope"] = _dem_oracle(
         "round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)), 6) AS slope"

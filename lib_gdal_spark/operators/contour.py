@@ -1,0 +1,78 @@
+"""Distributed contour: per-tile marching squares with halo exchange.
+
+Re-expresses ``core/alg/contour.cpp`` (SURVEY.md §2.9) over the tile table.
+Cells straddling tile boundaries need the neighbor's edge pixels, so the
+operator reuses the DEM halo-exchange shuffle (operators.dem._emit_strips):
+each tile computes cells whose **top-left pixel** it owns (using right/
+bottom halo columns), which partitions the global cell grid exactly — no
+duplicate and no missing segments across tiles.
+
+Output: one row per segment (raster_id, band, level, x1, y1, x2, y2) in
+world coordinates. Segment-chaining into polylines is a consumer-side
+concern (the reference's GDAL_CG_FeedLine incremental merge); the segment
+set itself is the complete, exact contour geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.kernels import contour as CK
+from lib_gdal_spark.operators.dem import _STRIP_SCHEMA, _emit_strips
+
+_SEG_SCHEMA = (
+    "raster_id string, band int, level double, "
+    "x1 double, y1 double, x2 double, y2 double"
+)
+
+
+def contour_segments(tiles: DataFrame, levels: list[float]) -> DataFrame:
+    """Tile table -> contour segments at each level (world coordinates)."""
+    strips = tiles.mapInPandas(_emit_strips, schema=_STRIP_SCHEMA)
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        cols = ["raster_id", "band", "level", "x1", "y1", "x2", "y2"]
+        if center.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        # pad only right/bottom (+1): cells owned by this tile are those
+        # whose top-left pixel is local; they reach one pixel right/down.
+        pad = np.full((th + 1, tw + 1), np.nan)
+        for _, r in pdf.iterrows():
+            dx, dy = int(r["src_dx"]), int(r["src_dy"])
+            if dx == 1 or dy == 1:
+                continue  # left/top halo never needed
+            sh, sw = int(r["strip_h"]), int(r["strip_w"])
+            piece = np.asarray(r["pixels"], dtype=np.float64).reshape(sh, sw)
+            y0 = th if dy == -1 else 0
+            x0 = tw if dx == -1 else 0
+            pad[y0 : y0 + sh, x0 : x0 + sw] = piece
+        gt = [crow[f"gt{i}"] for i in range(6)]
+        out = []
+        for level in levels:
+            segs = CK.marching_squares(pad, float(level))
+            if not len(segs):
+                continue
+            # pixel-center -> world: center of local pixel p is (p + 0.5)
+            wx1 = gt[0] + (segs[:, 0] + 0.5) * gt[1]
+            wy1 = gt[3] + (segs[:, 1] + 0.5) * gt[5]
+            wx2 = gt[0] + (segs[:, 2] + 0.5) * gt[1]
+            wy2 = gt[3] + (segs[:, 3] + 0.5) * gt[5]
+            out.append(pd.DataFrame({
+                "raster_id": crow["raster_id"], "band": int(crow["band"]),
+                "level": float(level),
+                "x1": wx1, "y1": wy1, "x2": wx2, "y2": wy2,
+            }))
+        if not out:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(out, ignore_index=True)[cols]
+
+    return strips.groupBy(
+        "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
+        F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(per_tile, schema=_SEG_SCHEMA)
