@@ -560,6 +560,43 @@ def q_warp_nearest_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+# method boxes for the layer-algebra overlay (non-lattice bounds so no
+# degenerate touch cases against the 0.01-lattice point boxes)
+METHOD_BOXES: dict[int, tuple[float, float, float, float]] = {
+    10: (-80.063, 30.063, -60.063, 50.063),
+    11: (0.063, 40.063, 20.063, 55.063),
+    12: (100.063, -45.063, 130.063, -15.063),
+}
+
+
+def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR layer-algebra Intersection (ogrlayer.cpp:2062): cell-cover join +
+    envelope pre-test + Sutherland-Hodgman clip; areas oracle-checked via
+    the closed-form box-overlap formula."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    pts = _points(spark, sf_dir)
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                ring = G.box_ring(lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
+                rows.append({"fid": pid, "geom_wkb": G.wkb_polygon([ring])})
+            yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
+
+    inputs = pts.mapInPandas(boxes, schema="fid long, geom_wkb binary")
+    methods = spark.createDataFrame(
+        [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
+         for mid, bb in METHOD_BOXES.items()],
+        "fid long, geom_wkb binary",
+    ).coalesce(1)
+    out = LA.intersection(inputs, methods, res=5)
+    return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
+
+
 def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour (contour.cpp) on world4326: the distinct
     segment endpoints are exactly the iso-level edge crossings, which the
@@ -796,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bilinear_z2": q_warp_bilinear_z2,
         "pyramid_avg_l1": q_pyramid_avg_l1,
         "contour_crossings": q_contour_crossings,
+        "layer_intersection": q_layer_intersection,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -1152,6 +1190,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["contour_crossings"] = (
         "SELECT DISTINCT level, x, y FROM ("
         + " UNION ALL ".join(contour_parts) + ")"
+    )
+
+    box_parts = []
+    for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():
+        box_parts.append(f"""
+        SELECT pid AS in_fid, CAST({mid} AS BIGINT) AS m_fid,
+               round((least(lon + 2.0, {mxx!r}) - greatest(lon - 2.0, {mnx!r}))
+                     * (least(lat + 1.5, {mxy!r}) - greatest(lat - 1.5, {mny!r})),
+                     6) AS area
+        FROM pts
+        WHERE least(lon + 2.0, {mxx!r}) > greatest(lon - 2.0, {mnx!r})
+          AND least(lat + 1.5, {mxy!r}) > greatest(lat - 1.5, {mny!r})
+        """)
+    sqls["layer_intersection"] = (
+        f"WITH pts AS ({_POINTS_SQL}) " + " UNION ALL ".join(box_parts)
     )
 
     sqls["dem_slope"] = _dem_oracle(

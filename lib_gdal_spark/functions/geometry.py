@@ -180,6 +180,49 @@ def shoelace_area(rings: list[Ring]) -> float:
     return total
 
 
+def clip_ring_convex(subject: Ring, clip_ring: Ring) -> Ring | None:
+    """Sutherland–Hodgman: clip one ring by a CCW convex ring.
+
+    Returns the clipped closed ring, or None if empty. Semantics of the
+    layer-algebra Intersection (``drivers/ogrlayer.cpp:2062``) for the
+    convex-method-polygon subset; the general GEOS overlay is out of scope
+    for round 1 (documented in operators.layer_algebra).
+    """
+    subj = np.asarray(subject, dtype=np.float64)
+    if len(subj) > 1 and np.array_equal(subj[0], subj[-1]):
+        subj = subj[:-1]
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) > 1 and np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    out = subj
+    for i in range(len(clip)):
+        if len(out) == 0:
+            return None
+        cx1, cy1 = clip[i]
+        cx2, cy2 = clip[(i + 1) % len(clip)]
+        ex, ey = cx2 - cx1, cy2 - cy1
+        # inside = left of the directed clip edge (CCW polygon)
+        d = ex * (out[:, 1] - cy1) - ey * (out[:, 0] - cx1)
+        nxt = np.roll(out, -1, axis=0)
+        dn = np.roll(d, -1)
+        new_pts: list[tuple[float, float]] = []
+        for j in range(len(out)):
+            cur_in = d[j] >= 0.0
+            nxt_in = dn[j] >= 0.0
+            if cur_in:
+                new_pts.append((out[j, 0], out[j, 1]))
+            if cur_in != nxt_in:
+                t = d[j] / (d[j] - dn[j])
+                new_pts.append((
+                    out[j, 0] + t * (nxt[j, 0] - out[j, 0]),
+                    out[j, 1] + t * (nxt[j, 1] - out[j, 1]),
+                ))
+        out = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
+    if len(out) < 3:
+        return None
+    return np.vstack([out, out[:1]])
+
+
 def box_ring(minx: float, miny: float, maxx: float, maxy: float) -> Ring:
     """Closed CCW rectangle ring."""
     return np.array(

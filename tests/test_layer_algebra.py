@@ -1,0 +1,89 @@
+"""Layer algebra (Intersection/Clip) vs closed-form expectations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from lib_gdal_spark.functions import geometry as G
+from lib_gdal_spark.operators import layer_algebra as LA
+
+
+def _poly_df(spark, items):
+    rows = [(fid, bytearray(G.wkb_polygon([np.asarray(ring)]))) for fid, ring in items]
+    return spark.createDataFrame(rows, "fid long, geom_wkb binary").coalesce(1)
+
+
+def test_clip_ring_convex_rect_rect():
+    a = G.box_ring(0, 0, 10, 10)
+    b = G.box_ring(5, 5, 15, 15)
+    out = G.clip_ring_convex(a, b)
+    assert out is not None
+    assert G.shoelace_area([out]) == pytest.approx(25.0)
+    # disjoint -> None
+    assert G.clip_ring_convex(G.box_ring(0, 0, 1, 1), G.box_ring(5, 5, 6, 6)) is None
+    # containment -> subject unchanged (area)
+    inner = G.box_ring(2, 2, 3, 3)
+    out = G.clip_ring_convex(inner, G.box_ring(0, 0, 10, 10))
+    assert G.shoelace_area([out]) == pytest.approx(1.0)
+
+
+def test_clip_triangle_by_rect():
+    tri = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 0.0]])
+    out = G.clip_ring_convex(tri, G.box_ring(0, 0, 5, 5))
+    # triangle clipped to 5x5 box: area = 25 - 0.5*... piece is a pentagon
+    # (0,0)(5,0)(5,5)... exact: area of tri within box = 25 - 12.5 = ... by
+    # integration: region x+y<=10 within [0,5]^2 is the whole box minus the
+    # empty corner: x+y<=10 holds everywhere in [0,5]^2 -> area 25? No:
+    # max x+y = 10 at corner -> fully inside. Use a smaller box for a cut.
+    assert G.shoelace_area([out]) == pytest.approx(25.0)
+    out2 = G.clip_ring_convex(tri, G.box_ring(0, 0, 8, 8))
+    # region x>=0,y>=0,x<=8,y<=8,x+y<=10: 64 - 0.5*6*6 = 46
+    assert G.shoelace_area([out2]) == pytest.approx(46.0)
+
+
+def test_intersection_operator(spark):
+    inputs = _poly_df(spark, [
+        (1, G.box_ring(0, 0, 10, 10)),
+        (2, G.box_ring(20, 20, 30, 30)),
+        (3, G.box_ring(100, -50, 110, -40)),  # no method overlap
+    ])
+    methods = _poly_df(spark, [
+        (10, G.box_ring(5, 5, 25, 25)),
+    ])
+    rows = LA.intersection(inputs, methods).collect()
+    got = {(r["in_fid"], r["m_fid"]): r["area"] for r in rows}
+    assert got == {
+        (1, 10): pytest.approx(25.0),
+        (2, 10): pytest.approx(25.0),
+    }
+    # clipped geometry round-trips through WKB
+    for r in rows:
+        rings = G.polygon_rings(bytes(r["geom_wkb"]))
+        assert G.shoelace_area(rings) == pytest.approx(r["area"])
+
+
+def test_clip_operator_merges_pieces(spark):
+    inputs = _poly_df(spark, [(1, G.box_ring(0, 0, 30, 10))])
+    methods = _poly_df(spark, [
+        (10, G.box_ring(2, 2, 8, 8)),
+        (11, G.box_ring(12, 2, 18, 8)),
+    ])
+    rows = LA.clip(inputs, methods).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_pieces"] == 2
+    assert r["area"] == pytest.approx(72.0)  # two 6x6 windows
+
+
+def test_intersection_pentagon_area(spark):
+    # convex pentagon ∩ huge box == pentagon itself (area = shoelace)
+    ang = 2 * math.pi * np.arange(6) / 5
+    pent = np.column_stack([10 + 4 * np.cos(ang), 20 + 4 * np.sin(ang)])
+    inputs = _poly_df(spark, [(1, pent)])
+    methods = _poly_df(spark, [(10, G.box_ring(-50, -50, 50, 50))])
+    rows = LA.intersection(inputs, methods).collect()
+    expect = G.shoelace_area([pent])
+    assert rows[0]["area"] == pytest.approx(expect, rel=1e-12)
