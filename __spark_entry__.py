@@ -597,6 +597,36 @@ def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
 
 
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpen (gdalpansharpen.cpp:416-460) — pivot +
+    zip_with arithmetic, zero Python."""
+    from lib_gdal_spark.operators import pansharpen as PS
+
+    tiles = RS.multiband_tiles(spark)
+    out = PS.pansharpen(tiles, spectral_bands=[1, 2, 3], pan_band=4)
+    ex = out.select(
+        "band", "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    px = (F.col("tile_x") * 64 + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * 64
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return ex.select("band", px.alias("px"), py.alias("py"),
+                     F.round("v", 6).alias("v"))
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity raster (gdalproximity.cpp): exact distance to the nearest
+    value-150 pixel of world4326, bounded at 10 px."""
+    from lib_gdal_spark.operators import proximity as PX
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = PX.proximity(tiles, target_values=[150.0], max_dist=10.0)
+    return _explode_px(out).select(
+        "px", "py", F.round("v", 6).alias("dist")
+    )
+
+
 def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour (contour.cpp) on world4326: the distinct
     segment endpoints are exactly the iso-level edge crossings, which the
@@ -834,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_avg_l1": q_pyramid_avg_l1,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
+        "pansharpen": q_pansharpen,
+        "proximity": q_proximity,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -1206,6 +1238,49 @@ def oracle_sql() -> dict[str, str]:
     sqls["layer_intersection"] = (
         f"WITH pts AS ({_POINTS_SQL}) " + " UNION ALL ".join(box_parts)
     )
+
+    # pansharpen oracle: bands are closed forms; weight literal is the repr
+    # of Python's 1/3 so the double matches F.lit(1/3) exactly.
+    w3 = repr(1.0 / 3.0)
+    b1 = "trunc((e.i + e.j) * 0.5)"
+    b2 = "trunc((sin(e.i * 0.19) + cos(e.j * 0.13)) * 60.0 + 128.0)"
+    b3 = "CAST((e.i * 13 + e.j * 7) % 255 AS DOUBLE)"
+    pan = f"trunc((({b1} + {b2}) + {b3}) / 3.0)"
+    pseudo = f"((({b1} * {w3}) + {b2} * {w3}) + {b3} * {w3})"
+    ratio = f"(CASE WHEN {pseudo} <> 0.0 THEN {pan} / {pseudo} ELSE 1.0 END)"
+    pans_parts = [
+        f"SELECT {b} AS band, e.i AS px, e.j AS py, "
+        f"round({bexpr} * {ratio}, 6) AS v "
+        f"FROM (SELECT CAST(a.i AS BIGINT) i, CAST(c.j AS BIGINT) j "
+        f"      FROM generate_series(0, 127) a(i) "
+        f"      CROSS JOIN generate_series(0, 127) c(j)) e"
+        for b, bexpr in ((1, b1), (2, b2), (3, b3))
+    ]
+    sqls["pansharpen"] = " UNION ALL ".join(pans_parts)
+
+    sqls["proximity"] = """
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        tgt AS (
+          SELECT px AS tx, py AS ty FROM pix
+          WHERE trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0) = 150.0
+        ),
+        j AS (
+          SELECT p.px, p.py,
+                 min(sqrt((p.px - t.tx) * (p.px - t.tx)
+                          + (p.py - t.ty) * (p.py - t.ty))) AS d
+          FROM pix p JOIN tgt t
+            ON t.tx BETWEEN p.px - 10 AND p.px + 10
+           AND t.ty BETWEEN p.py - 10 AND p.py + 10
+          WHERE (p.px - t.tx) * (p.px - t.tx)
+                + (p.py - t.ty) * (p.py - t.ty) <= 100.0
+          GROUP BY p.px, p.py
+        )
+        SELECT p.px, p.py, round(coalesce(j.d, -1.0), 6) AS dist
+        FROM pix p LEFT JOIN j ON p.px = j.px AND p.py = j.py
+    """
 
     sqls["dem_slope"] = _dem_oracle(
         "round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)), 6) AS slope"

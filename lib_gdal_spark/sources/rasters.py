@@ -114,6 +114,29 @@ def tiles_from_array(
     return rows
 
 
+def multiband(n: int = 128) -> dict[int, np.ndarray]:
+    """Analytic multi-band fixture (bands 1-3 spectral, 4 = pan).
+
+    Every band is a closed form over (col i, row j), so SQL oracles can
+    recompute any per-pixel band math exactly.
+    """
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    b1 = np.trunc((i + j) * 0.5)
+    b2 = np.trunc((np.sin(i * 0.19) + np.cos(j * 0.13)) * 60.0 + 128.0)
+    b3 = ((i * 13 + j * 7) % 255).astype(np.float64)
+    pan = np.trunc((b1 + b2 + b3) / 3.0)
+    return {1: b1, 2: b2, 3: b3, 4: pan}
+
+
+def multiband_tiles(spark: SparkSession, n: int = 128, tile: int = 64) -> DataFrame:
+    rows: list[dict] = []
+    gt = (0.0, 1.0, 0.0, float(n), 0.0, -1.0)
+    for band, arr in multiband(n).items():
+        rows += tiles_from_array("mb", arr.astype(np.float64), gt,
+                                 tile=tile, band=band)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+
+
 def fixture_rasters(spark: SparkSession, tile: int = 64) -> DataFrame:
     """The standard fixture raster table (byte20 + gradients + world)."""
     rows: list[dict] = []
