@@ -555,8 +555,8 @@ def q_warp_nearest_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp: EPSG:4326 -> web-mercator z2 tiles, nearest kernel
     (gdalwarpkernel.cpp nearest path; dst centers +0.5)."""
     tiles = RS.fixture_rasters(spark)
-    out = RAST.warp_to_mercator_tiles(tiles, z=2, alg="nearest", tile=64,
-                                      raster_id="world4326")
+    out = RAST.warp_to_mercator_tiles_dist(tiles, z=2, alg="nearest", tile=64,
+                                           raster_id="world4326")
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
@@ -665,8 +665,8 @@ def q_warp_bilinear_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp bilinear (triangle kernel r=1 around srcX-0.5,
     gdalwarpkernel.cpp:3054) to web-mercator z2."""
     tiles = RS.fixture_rasters(spark)
-    out = RAST.warp_to_mercator_tiles(tiles, z=2, alg="bilinear", tile=64,
-                                      raster_id="world4326")
+    out = RAST.warp_to_mercator_tiles_dist(tiles, z=2, alg="bilinear", tile=64,
+                                           raster_id="world4326")
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 

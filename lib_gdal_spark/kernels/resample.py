@@ -132,13 +132,22 @@ def warp_tile(
     dtype: str | None = None,
     transform=None,
     nodata: float | None = None,
+    src_origin: tuple[int, int] = (0, 0),
+    src_full_shape: tuple[int, int] | None = None,
 ) -> np.ndarray:
-    """Resample one dst tile from a src array.
+    """Resample one dst tile from a src array (or a src *window*).
 
     ``transform(x, y) -> (x', y')`` maps dst-CRS georef coords to src-CRS
     georef coords (identity if None) — the analog of the GenImgProj pipeline
     (``core/alg/gdaltransformer.cpp:1070``): dst px -> dst georef ->
     [reproject] -> src georef -> src px.
+
+    Windowed mode (the distributed path): ``src`` holds only the rows/cols
+    ``src_origin .. src_origin + src.shape`` of a raster whose full size is
+    ``src_full_shape``; ``src_gt`` stays the FULL raster's geotransform.
+    All pixel indices are computed and floored in *global* coordinates and
+    only then shifted by the (integer) origin, so windowed results are
+    bit-identical to full-array results.
     """
     h, w = dst_shape
     jj, ii = np.meshgrid(
@@ -149,17 +158,26 @@ def warp_tile(
     if transform is not None:
         gx, gy = transform(gx, gy)
     inv = gt_invert(src_gt)
-    sx, sy = gt_apply(inv, gx, gy)  # fractional src pixel coords
+    sx, sy = gt_apply(inv, gx, gy)  # fractional GLOBAL src pixel coords
 
-    sh, sw = src.shape
+    ox, oy = src_origin
+    win_h, win_w = src.shape
+    sh, sw = src_full_shape or (oy + win_h, ox + win_w)
     srcf = src.astype(np.float64)
+
+    def fetch(iy_glob: np.ndarray, ix_glob: np.ndarray) -> np.ndarray:
+        """Window access by global index (clipped for memory safety; callers
+        zero the weight/validity of any clipped tap)."""
+        ly = np.clip(iy_glob - oy, 0, win_h - 1)
+        lx = np.clip(ix_glob - ox, 0, win_w - 1)
+        return srcf[ly, lx]
 
     if alg == "nearest":
         ix = np.floor(sx + 1e-10).astype(np.int64)
         iy = np.floor(sy + 1e-10).astype(np.int64)
         valid = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
         out = np.full(dst_shape, np.nan if nodata is None else nodata, dtype=np.float64)
-        out[valid] = srcf[iy[valid], ix[valid]]
+        out[valid] = fetch(iy[valid], ix[valid])
         return clamp_round(out, dtype or str(src.dtype))
 
     weight_fn, radius = KERNELS[alg]
@@ -174,14 +192,12 @@ def warp_tile(
     for dy in range(-radius + 1, radius + 1):
         py = iy0 + dy
         wy = weight_fn(py.astype(np.float64) - cy)
-        py_c = np.clip(py, 0, sh - 1)
         y_ok = (py >= 0) & (py < sh)
         for dx in range(-radius + 1, radius + 1):
             px = ix0 + dx
             wx = weight_fn(px.astype(np.float64) - cx)
-            px_c = np.clip(px, 0, sw - 1)
             ok = y_ok & (px >= 0) & (px < sw)
-            vals = srcf[py_c, px_c]
+            vals = fetch(py, px)
             if nodata is not None:
                 ok = ok & (vals != nodata)
             wgt = np.where(ok, wy * wx, 0.0)

@@ -137,6 +137,139 @@ def merc_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+_WARP_MARGIN = {"nearest": 1, "bilinear": 2, "cubic": 3, "cubicspline": 3,
+                "lanczos": 4}
+
+
+def warp_to_mercator_tiles_dist(
+    tiles: DataFrame,
+    z: int,
+    alg: str = "nearest",
+    tile: int = 256,
+    raster_id: str | None = None,
+) -> DataFrame:
+    """Distributed gdalwarp: one task per DST tile with a src-window join.
+
+    The scale-correct re-expression of ``ChunkAndWarpImage``
+    (``core/alg/gdalwarpoperation.cpp:895`` / SURVEY.md §3.3): the dst tile
+    grid is a DataFrame of (z, x, y) keys; each dst tile inverse-maps its
+    mercator footprint to a source pixel window (+ kernel-radius margin, the
+    role of ComputeSourceWindow), joins exactly the source tiles it needs,
+    and runs the Arrow-UDF kernel on that window. Only O(window) bytes move
+    per dst tile; results are bit-identical to the single-mosaic path
+    because the kernel floors indices in global coordinates
+    (kernels.resample.warp_tile windowed mode).
+    """
+    src = tiles if raster_id is None else tiles.where(
+        F.col("raster_id") == raster_id
+    )
+    spark = tiles.sparkSession
+    # tiny metadata collects (catalog lookups at scale, never pixel data)
+    meta = {
+        (r["raster_id"], r["band"]): r
+        for r in src.where((F.col("tile_x") == 0) & (F.col("tile_y") == 0))
+        .select("raster_id", "band", "dtype",
+                "gt0", "gt1", "gt2", "gt3", "gt4", "gt5")
+        .collect()
+    }
+    dims = {
+        (r["raster_id"], r["band"]): r
+        for r in src.groupBy("raster_id", "band").agg(
+            F.max("tile_x").alias("mtx"), F.max("tile_y").alias("mty"),
+            F.max("tile_w").alias("tw"), F.max("tile_h").alias("th"),
+        ).collect()
+    }
+
+    n = 1 << z
+    span = 2.0 * C.ORIGIN_SHIFT / n
+    res = span / tile
+    margin = _WARP_MARGIN[alg]
+    tasks = []
+    for (rid, band), m in meta.items():
+        d = dims[(rid, band)]
+        tw, th = int(d["tw"]), int(d["th"])
+        W = (int(d["mtx"]) + 1) * tw
+        H = (int(d["mty"]) + 1) * th
+        gt = tuple(float(m[f"gt{i}"]) for i in range(6))
+        inv = R.gt_invert(gt)
+        for tyd in range(n):
+            for txd in range(n):
+                minx, miny, maxx, maxy = C.tile_bounds_mercator(
+                    np.array([z]), np.array([txd]), np.array([tyd])
+                )
+                lon0, lat1 = merc_inverse(minx, maxy)  # west, north
+                lon1, lat0 = merc_inverse(maxx, miny)
+                sx0, sy0 = R.gt_apply(inv, lon0, lat1)
+                sx1, sy1 = R.gt_apply(inv, lon1, lat0)
+                wx0 = max(int(np.floor(min(sx0[0], sx1[0]))) - margin, 0)
+                wx1 = min(int(np.ceil(max(sx0[0], sx1[0]))) + margin, W)
+                wy0 = max(int(np.floor(min(sy0[0], sy1[0]))) - margin, 0)
+                wy1 = min(int(np.ceil(max(sy0[0], sy1[0]))) + margin, H)
+                if wx1 <= wx0 or wy1 <= wy0:
+                    continue
+                for sty in range(wy0 // th, (wy1 - 1) // th + 1):
+                    for stx in range(wx0 // tw, (wx1 - 1) // tw + 1):
+                        tasks.append((rid, int(band), txd, tyd, stx, sty,
+                                      wx0, wy0, wx1, wy1, W, H, tw, th,
+                                      m["dtype"], *gt))
+    task_df = spark.createDataFrame(
+        tasks,
+        "raster_id string, band int, dst_x int, dst_y int, "
+        "src_tx int, src_ty int, wx0 int, wy0 int, wx1 int, wy1 int, "
+        "full_w int, full_h int, tw_nom int, th_nom int, src_dtype string, "
+        "g0 double, g1 double, g2 double, g3 double, g4 double, g5 double",
+    )
+    joined = task_df.join(
+        src.select("raster_id", "band",
+                   F.col("tile_x").alias("src_tx"),
+                   F.col("tile_y").alias("src_ty"),
+                   "tile_w", "tile_h", "pixels"),
+        ["raster_id", "band", "src_tx", "src_ty"],
+    )
+
+    def warp_dst(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, txd, tyd = key[0], int(key[1]), int(key[2]), int(key[3])
+        r0 = pdf.iloc[0]
+        wx0, wy0 = int(r0["wx0"]), int(r0["wy0"])
+        wx1, wy1 = int(r0["wx1"]), int(r0["wy1"])
+        W, H = int(r0["full_w"]), int(r0["full_h"])
+        gt = tuple(float(r0[f"g{i}"]) for i in range(6))
+        window = np.zeros((wy1 - wy0, wx1 - wx0), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            tw, th = int(row["tile_w"]), int(row["tile_h"])
+            arr = np.asarray(row["pixels"], dtype=np.float64).reshape(th, tw)
+            gx0 = int(row["src_tx"]) * int(r0["tw_nom"])
+            gy0 = int(row["src_ty"]) * int(r0["th_nom"])
+            sy0, sx0 = max(0, wy0 - gy0), max(0, wx0 - gx0)
+            sy1 = min(th, wy1 - gy0)
+            sx1 = min(tw, wx1 - gx0)
+            if sy1 <= sy0 or sx1 <= sx0:
+                continue
+            window[gy0 + sy0 - wy0 : gy0 + sy1 - wy0,
+                   gx0 + sx0 - wx0 : gx0 + sx1 - wx0] = arr[sy0:sy1, sx0:sx1]
+        minx, miny, maxx_m, maxy_m = C.tile_bounds_mercator(
+            np.array([z]), np.array([txd]), np.array([tyd])
+        )
+        dst_gt = (float(minx[0]), res, 0.0, float(maxy_m[0]), 0.0, -res)
+        out = R.warp_tile(
+            window, gt, (tile, tile), dst_gt, alg=alg,
+            dtype=r0["src_dtype"], transform=merc_inverse,
+            src_origin=(wx0, wy0), src_full_shape=(H, W),
+        )
+        return pd.DataFrame([
+            dict(raster_id=rid, band=band, zoom=z, tile_x=txd, tile_y=tyd,
+                 dtype=r0["src_dtype"], tile_w=tile, tile_h=tile,
+                 gt0=dst_gt[0], gt1=dst_gt[1], gt2=dst_gt[2],
+                 gt3=dst_gt[3], gt4=dst_gt[4], gt5=dst_gt[5],
+                 nodata=None,
+                 pixels=out.astype(np.float64).ravel().tolist())
+        ])
+
+    return joined.groupBy("raster_id", "band", "dst_x", "dst_y").applyInPandas(
+        warp_dst, schema=RASTER_SCHEMA
+    )
+
+
 def warp_to_mercator_tiles(
     tiles: DataFrame,
     z: int,

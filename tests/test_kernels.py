@@ -246,3 +246,23 @@ class TestResample:
     def test_clamp_round(self):
         out = R.clamp_round(np.array([-1.2, 0.49, 0.5, 255.7]), "uint8")
         assert out.tolist() == [0, 0, 1, 255]
+
+
+def test_warp_dist_matches_mosaic_path(spark):
+    """Distributed dst-tile warp is bit-identical to the single-mosaic path."""
+    import numpy as np
+
+    from lib_gdal_spark.operators import raster as RAST
+    from lib_gdal_spark.sources import rasters as RS
+
+    tiles = RS.fixture_rasters(spark)
+    for alg in ("nearest", "cubicspline"):
+        old = {(r["tile_x"], r["tile_y"]): np.asarray(r["pixels"])
+               for r in RAST.warp_to_mercator_tiles(
+                   tiles, z=1, alg=alg, tile=64, raster_id="world4326").collect()}
+        new = {(r["tile_x"], r["tile_y"]): np.asarray(r["pixels"])
+               for r in RAST.warp_to_mercator_tiles_dist(
+                   tiles, z=1, alg=alg, tile=64, raster_id="world4326").collect()}
+        assert set(old) == set(new)
+        for k in old:
+            assert np.array_equal(old[k], new[k])
