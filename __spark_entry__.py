@@ -597,6 +597,26 @@ def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
 
 
+def _q_warp_stat(alg: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiles = RS.fixture_rasters(spark)
+        out = RAST.warp_to_mercator_tiles_dist(tiles, z=2, alg=alg, tile=64,
+                                               raster_id="world4326")
+        return _explode_px(out).select(
+            "px", "py", F.col("v").cast("long").alias("v")
+        )
+    q.__doc__ = (f"gdalwarp aggregate resampling '{alg}' "
+                 "(GWKAverageOrMode, gdalwarpkernel.cpp:5696)")
+    return q
+
+
+q_warp_average_z2 = _q_warp_stat("average")
+q_warp_median_z2 = _q_warp_stat("median")
+q_warp_q3_z2 = _q_warp_stat("q3")
+q_warp_mode_z2 = _q_warp_stat("mode")
+q_warp_max_z2 = _q_warp_stat("maximum")
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (gdalpansharpen.cpp:416-460) — pivot +
     zip_with arithmetic, zero Python."""
@@ -861,6 +881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_lastwins": q_mosaic_lastwins,
         "warp_nearest_z2": q_warp_nearest_z2,
         "warp_bilinear_z2": q_warp_bilinear_z2,
+        "warp_average_z2": q_warp_average_z2,
+        "warp_median_z2": q_warp_median_z2,
+        "warp_q3_z2": q_warp_q3_z2,
+        "warp_mode_z2": q_warp_mode_z2,
+        "warp_max_z2": q_warp_max_z2,
         "pyramid_avg_l1": q_pyramid_avg_l1,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
@@ -1280,6 +1305,98 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.px, p.py, round(coalesce(j.d, -1.0), 6) AS dist
         FROM pix p LEFT JOIN j ON p.px = j.px AND p.py = j.py
+    """
+
+    # aggregate-warp oracles: corner-transform box per dst pixel, then the
+    # per-stat reduction with the kernel's documented deterministic rules.
+    _warp_box_cte = f"""
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        corners AS (
+          SELECT px, py,
+            ({-OS!r} + (px // 64) * {span!r}) + (px % 64) * {res!r} AS mxa,
+            ({-OS!r} + (px // 64) * {span!r}) + ((px % 64) + 1.0) * {res!r} AS mxb,
+            ({OS!r} - (py // 64) * {span!r}) + (py % 64) * {-res!r} AS mya,
+            ({OS!r} - (py // 64) * {span!r}) + ((py % 64) + 1.0) * {-res!r} AS myb
+          FROM pix
+        ),
+        lls AS (
+          SELECT px, py,
+            (mxa / 6378137.0) * {rad2deg!r} AS lona,
+            (mxb / 6378137.0) * {rad2deg!r} AS lonb,
+            (2.0 * atan(exp(mya / 6378137.0)) - {halfpi!r}) * {rad2deg!r} AS lata,
+            (2.0 * atan(exp(myb / 6378137.0)) - {halfpi!r}) * {rad2deg!r} AS latb
+          FROM corners
+        ),
+        sxy AS (
+          SELECT px, py,
+            {inv[0]!r} + lona * {inv[1]!r} + lata * {inv[2]!r} AS sxa,
+            {inv[0]!r} + lonb * {inv[1]!r} + latb * {inv[2]!r} AS sxb,
+            {inv[3]!r} + lona * {inv[4]!r} + lata * {inv[5]!r} AS sya,
+            {inv[3]!r} + lonb * {inv[4]!r} + latb * {inv[5]!r} AS syb
+          FROM lls
+        ),
+        boxes AS (
+          SELECT px, py,
+            CAST(floor(least(sxa, sxb) + 1e-10) AS BIGINT) AS xlo,
+            greatest(CAST(ceil(greatest(sxa, sxb) - 1e-10) AS BIGINT),
+                     CAST(floor(least(sxa, sxb) + 1e-10) AS BIGINT) + 1) AS xhi,
+            CAST(floor(least(sya, syb) + 1e-10) AS BIGINT) AS ylo,
+            greatest(CAST(ceil(greatest(sya, syb) - 1e-10) AS BIGINT),
+                     CAST(floor(least(sya, syb) + 1e-10) AS BIGINT) + 1) AS yhi
+          FROM sxy
+        ),
+        vals AS (
+          SELECT b.px, b.py,
+                 trunc((sin((b.xlo + o.dx) * 0.19)
+                        + cos((b.ylo + o.dy) * 0.13)) * 60.0 + 128.0) AS v
+          FROM boxes b
+          CROSS JOIN (SELECT a.dx, c.dy FROM generate_series(0, 7) a(dx)
+                      CROSS JOIN generate_series(0, 7) c(dy)) o
+          WHERE b.xlo + o.dx < b.xhi AND b.ylo + o.dy < b.yhi
+            AND b.xlo + o.dx BETWEEN 0 AND 255
+            AND b.ylo + o.dy BETWEEN 0 AND 255
+        )
+    """
+    sqls["warp_average_z2"] = f"""
+        WITH {_warp_box_cte}
+        SELECT px, py,
+               CAST(least(greatest(floor(sum(v) / count(*) + 0.5), 0), 255)
+                    AS BIGINT) AS v
+        FROM vals GROUP BY px, py
+    """
+    sqls["warp_max_z2"] = f"""
+        WITH {_warp_box_cte}
+        SELECT px, py, CAST(max(v) AS BIGINT) AS v
+        FROM vals GROUP BY px, py
+    """
+    for stat, qq in (("warp_median_z2", 0.5), ("warp_q3_z2", 0.75)):
+        sqls[stat] = f"""
+            WITH {_warp_box_cte},
+            ranked AS (
+              SELECT px, py, v,
+                     row_number() OVER (PARTITION BY px, py ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY px, py) AS cnt
+              FROM vals
+            )
+            SELECT px, py, CAST(v AS BIGINT) AS v
+            FROM ranked
+            WHERE rn = CAST(floor({qq!r} * (cnt - 1)) AS BIGINT) + 1
+        """
+    sqls["warp_mode_z2"] = f"""
+        WITH {_warp_box_cte},
+        counts AS (
+          SELECT px, py, v, count(*) AS c FROM vals GROUP BY px, py, v
+        ),
+        pick AS (
+          SELECT px, py, v,
+                 row_number() OVER (PARTITION BY px, py
+                                    ORDER BY c DESC, v ASC) AS rn
+          FROM counts
+        )
+        SELECT px, py, CAST(v AS BIGINT) AS v FROM pick WHERE rn = 1
     """
 
     sqls["dem_slope"] = _dem_oracle(

@@ -209,6 +209,110 @@ def warp_tile(
     return clamp_round(out, dtype or str(src.dtype))
 
 
+AGG_ALGS = ("average", "minimum", "maximum", "median", "q1", "q3", "mode")
+
+
+def warp_tile_stat(
+    src: np.ndarray,
+    src_gt,
+    dst_shape: tuple[int, int],
+    dst_gt,
+    stat: str,
+    dtype: str | None = None,
+    transform=None,
+    nodata: float | None = None,
+    src_origin: tuple[int, int] = (0, 0),
+    src_full_shape: tuple[int, int] | None = None,
+) -> np.ndarray:
+    """Aggregate warp (``GWKAverageOrMode``, ``gdalwarpkernel.cpp:5696``):
+    each dst pixel aggregates all src pixels inside its transformed
+    footprint box (dst pixel corners -> src coords; box
+    ``[floor(min+1e-10), ceil(max-1e-10))``, never empty).
+
+    Tie-breaks documented here (the reference's depend on scan order):
+    median/q1/q3 take the element at index ``floor(q * (n-1))`` of the
+    sorted population; mode takes the smallest value among the most
+    frequent. Windowed mode mirrors ``warp_tile``.
+    """
+    h, w = dst_shape
+    jj, ii = np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
+        indexing="ij",
+    )
+
+    def to_src(px, py):
+        gx, gy = gt_apply(dst_gt, px, py)
+        if transform is not None:
+            gx, gy = transform(gx, gy)
+        inv = gt_invert(src_gt)
+        return gt_apply(inv, gx, gy)
+
+    sxa, sya = to_src(ii, jj)
+    sxb, syb = to_src(ii + 1.0, jj + 1.0)
+
+    ox, oy = src_origin
+    win_h, win_w = src.shape
+    sh, sw = src_full_shape or (oy + win_h, ox + win_w)
+    srcf = src.astype(np.float64)
+
+    xlo = np.floor(np.minimum(sxa, sxb) + 1e-10).astype(np.int64)
+    xhi = np.ceil(np.maximum(sxa, sxb) - 1e-10).astype(np.int64)
+    ylo = np.floor(np.minimum(sya, syb) + 1e-10).astype(np.int64)
+    yhi = np.ceil(np.maximum(sya, syb) - 1e-10).astype(np.int64)
+    xhi = np.maximum(xhi, xlo + 1)
+    yhi = np.maximum(yhi, ylo + 1)
+
+    max_bw = int((xhi - xlo).max())
+    max_bh = int((yhi - ylo).max())
+    planes = []
+    for dy in range(max_bh):
+        py = ylo + dy
+        y_ok = (py < yhi) & (py >= 0) & (py < sh)
+        for dx in range(max_bw):
+            px = xlo + dx
+            ok = y_ok & (px < xhi) & (px >= 0) & (px < sw)
+            ly = np.clip(py - oy, 0, win_h - 1)
+            lx = np.clip(px - ox, 0, win_w - 1)
+            vals = srcf[ly, lx]
+            if nodata is not None:
+                ok = ok & (vals != nodata)
+            planes.append(np.where(ok, vals, np.nan))
+    pop = np.stack(planes)  # (offsets, h, w)
+    cnt = (~np.isnan(pop)).sum(axis=0)
+    empty = cnt == 0
+    fill = np.nan if nodata is None else nodata
+    with np.errstate(all="ignore"):
+        if stat == "average":
+            out = np.nansum(pop, axis=0) / np.maximum(cnt, 1)
+        elif stat == "minimum":
+            out = np.nanmin(np.where(np.isnan(pop), np.inf, pop), axis=0)
+        elif stat == "maximum":
+            out = np.nanmax(np.where(np.isnan(pop), -np.inf, pop), axis=0)
+        elif stat in ("median", "q1", "q3"):
+            q = {"median": 0.5, "q1": 0.25, "q3": 0.75}[stat]
+            srt = np.sort(pop, axis=0)  # NaNs sort last
+            idx = np.floor(q * (np.maximum(cnt, 1) - 1)).astype(np.int64)
+            out = np.take_along_axis(srt, idx[None, :, :], axis=0)[0]
+        elif stat == "mode":
+            srt = np.sort(pop, axis=0)
+            out = np.full(dst_shape, np.nan)
+            best = np.zeros(dst_shape, dtype=np.int64)
+            run_val = np.full(dst_shape, np.nan)
+            run_len = np.zeros(dst_shape, dtype=np.int64)
+            for k in range(pop.shape[0]):
+                v = srt[k]
+                cont = v == run_val
+                run_len = np.where(cont, run_len + 1, 1)
+                run_val = v
+                take = (~np.isnan(v)) & (run_len > best)
+                best = np.where(take, run_len, best)
+                out = np.where(take, v, out)
+        else:
+            raise ValueError(f"unknown stat {stat}")
+    out = np.where(empty, fill, out)
+    return clamp_round(out, dtype or str(src.dtype))
+
+
 # ---------------------------------------------------------------------------
 # Overview (pyramid) kernels — ``core/gcore/overview.cpp``
 # ---------------------------------------------------------------------------

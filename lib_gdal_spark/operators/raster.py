@@ -138,7 +138,7 @@ def merc_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 _WARP_MARGIN = {"nearest": 1, "bilinear": 2, "cubic": 3, "cubicspline": 3,
-                "lanczos": 4}
+                "lanczos": 4}  # aggregate algs (R.AGG_ALGS) default to 2
 
 
 def warp_to_mercator_tiles_dist(
@@ -183,7 +183,7 @@ def warp_to_mercator_tiles_dist(
     n = 1 << z
     span = 2.0 * C.ORIGIN_SHIFT / n
     res = span / tile
-    margin = _WARP_MARGIN[alg]
+    margin = _WARP_MARGIN.get(alg, 2)
     tasks = []
     for (rid, band), m in meta.items():
         d = dims[(rid, band)]
@@ -251,11 +251,18 @@ def warp_to_mercator_tiles_dist(
             np.array([z]), np.array([txd]), np.array([tyd])
         )
         dst_gt = (float(minx[0]), res, 0.0, float(maxy_m[0]), 0.0, -res)
-        out = R.warp_tile(
-            window, gt, (tile, tile), dst_gt, alg=alg,
-            dtype=r0["src_dtype"], transform=merc_inverse,
-            src_origin=(wx0, wy0), src_full_shape=(H, W),
-        )
+        if alg in R.AGG_ALGS:
+            out = R.warp_tile_stat(
+                window, gt, (tile, tile), dst_gt, stat=alg,
+                dtype=r0["src_dtype"], transform=merc_inverse,
+                src_origin=(wx0, wy0), src_full_shape=(H, W),
+            )
+        else:
+            out = R.warp_tile(
+                window, gt, (tile, tile), dst_gt, alg=alg,
+                dtype=r0["src_dtype"], transform=merc_inverse,
+                src_origin=(wx0, wy0), src_full_shape=(H, W),
+            )
         return pd.DataFrame([
             dict(raster_id=rid, band=band, zoom=z, tile_x=txd, tile_y=tyd,
                  dtype=r0["src_dtype"], tile_w=tile, tile_h=tile,
