@@ -617,6 +617,22 @@ q_warp_mode_z2 = _q_warp_stat("mode")
 q_warp_max_z2 = _q_warp_stat("maximum")
 
 
+def q_sieve_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve filter (gdalsievefilter.cpp:200): the sub-threshold pentagon
+    dissolves into the background; per-value pixel counts are oracle-exact."""
+    from lib_gdal_spark.operators import rasterize as RZ
+    from lib_gdal_spark.operators import sieve as SV
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid, dense=True)
+    out = SV.sieve(tiles, spark, grid_w=256, threshold=500, tile=64)
+    return (
+        out.select(F.explode("pixels").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_pixels"))
+    )
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (gdalpansharpen.cpp:416-460) — pivot +
     zip_with arithmetic, zero Python."""
@@ -891,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_intersection": q_layer_intersection,
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
+        "sieve_counts": q_sieve_counts,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -1282,6 +1299,24 @@ def oracle_sql() -> dict[str, str]:
         for b, bexpr in ((1, b1), (2, b2), (3, b3))
     ]
     sqls["pansharpen"] = " UNION ALL ".join(pans_parts)
+
+    # sieve oracle: pentagon 1 (470 px < 500) dissolves into background;
+    # pentagons 2 and 3 survive with their exact pixel-center counts.
+    pent_counts = " UNION ALL ".join(
+        f"SELECT CAST({fid} AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS n "
+        f"FROM pix WHERE {_inside_sql(verts)}"
+        for fid, verts in RASTER_POLYGONS.items()
+    )
+    sqls["sieve_counts"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        pc AS ({pent_counts}),
+        survivors AS (SELECT v, n FROM pc WHERE n >= 500)
+        SELECT v, n AS n_pixels FROM survivors
+        UNION ALL
+        SELECT 0.0 AS v,
+               65536 - (SELECT CAST(sum(n) AS BIGINT) FROM survivors)
+                 AS n_pixels
+    """
 
     sqls["proximity"] = """
         WITH pix AS (

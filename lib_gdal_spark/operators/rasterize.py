@@ -71,12 +71,13 @@ def rasterize_polygons(
     merge_alg: str = "replace",
     background: float = 0.0,
     dtype: str = "float64",
+    dense: bool = False,
 ) -> DataFrame:
     """polygons(fid long, geom_wkb binary, burn double) -> tile table.
 
-    Only tiles intersected by at least one geometry envelope are emitted
-    (sparse output, like the reference writing into an existing dataset);
-    callers needing a dense grid union with background tiles.
+    By default only tiles intersected by at least one geometry envelope are
+    emitted (sparse output, like the reference writing into an existing
+    dataset); ``dense=True`` emits every grid tile, background-filled.
     """
     ntx, nty = grid.n_tiles()
 
@@ -103,6 +104,13 @@ def rasterize_polygons(
     )
     geoms = F.broadcast(polygons.select("fid", "geom_wkb", "burn"))
     tasks = cov.join(geoms, "fid", "inner")
+    if dense:
+        spark = polygons.sparkSession
+        keys = spark.range(ntx * nty).select(
+            (F.col("id") % ntx).cast("int").alias("tile_x"),
+            (F.col("id") / ntx).cast("int").alias("tile_y"),
+        )
+        tasks = keys.join(tasks, ["tile_x", "tile_y"], "left")
 
     tile = grid.tile
     gt = grid.gt
@@ -115,6 +123,8 @@ def rasterize_polygons(
         th = min(tile, H - y0)
         arr = np.full((th, tw), background, dtype=np.float64)
         for _, row in pdf.sort_values("fid").iterrows():
+            if row["geom_wkb"] is None:  # dense background tile
+                continue
             rings = G.polygon_rings(bytes(row["geom_wkb"]))
             px_rings = []
             for r in rings:
