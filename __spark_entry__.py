@@ -633,6 +633,33 @@ def q_sieve_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill nodata (rasterfill.cpp): value-150 pixels of world4326 become
+    the hole; IDW(power 2, radius 6) from the remaining pixels fills them."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.operators import fillnodata as FN
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+
+    def punch(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b["pixels"] = b["pixels"].map(
+                lambda p: np.where(
+                    (a := np.asarray(p, dtype=np.float64)) == 150.0,
+                    -9999.0, a,
+                )
+            )
+            b["nodata"] = -9999.0
+            yield b
+
+    holed = tiles.mapInPandas(punch, schema=RS.RASTER_SCHEMA)
+    out = FN.fillnodata(holed, max_dist=6.0, nodata=-9999.0, tile=64)
+    ex = _explode_px(out)
+    return ex.select("px", "py", F.round("v", 4).alias("v"))
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (gdalpansharpen.cpp:416-460) — pivot +
     zip_with arithmetic, zero Python."""
@@ -793,6 +820,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries: non-SQL-expressible (rows-only check)
 # ---------------------------------------------------------------------------
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle-hash self-join (rows-only:
+    the FNV shingle hashing isn't SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, shingle=5, threshold=0.2)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (band-bucket join)."""
     d = _t(spark, sf_dir, "documents")
@@ -908,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
         "sieve_counts": q_sieve_counts,
+        "fillnodata": q_fillnodata,
+        "ngram_jaccard": q_ngram_jaccard,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -1316,6 +1352,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT 0.0 AS v,
                65536 - (SELECT CAST(sum(n) AS BIGINT) FROM survivors)
                  AS n_pixels
+    """
+
+    sqls["fillnodata"] = """
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        vals AS (
+          SELECT px, py,
+                 trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0) AS v
+          FROM pix
+        ),
+        valid AS (SELECT px AS tx, py AS ty, v FROM vals WHERE v <> 150.0),
+        idw AS (
+          SELECT h.px, h.py,
+                 sum((1.0 / ((h.px - t.tx) * (h.px - t.tx)
+                             + (h.py - t.ty) * (h.py - t.ty))) * t.v)
+                 / sum(1.0 / ((h.px - t.tx) * (h.px - t.tx)
+                              + (h.py - t.ty) * (h.py - t.ty))) AS fv
+          FROM (SELECT px, py FROM vals WHERE v = 150.0) h
+          JOIN valid t
+            ON t.tx BETWEEN h.px - 6 AND h.px + 6
+           AND t.ty BETWEEN h.py - 6 AND h.py + 6
+          WHERE (h.px - t.tx) * (h.px - t.tx)
+                + (h.py - t.ty) * (h.py - t.ty) <= 36.0
+          GROUP BY h.px, h.py
+        )
+        SELECT vals.px, vals.py,
+               CASE WHEN vals.v = 150.0
+                    THEN round(coalesce(idw.fv, -9999.0), 4)
+                    ELSE round(vals.v, 4) END AS v
+        FROM vals LEFT JOIN idw ON vals.px = idw.px AND vals.py = idw.py
     """
 
     sqls["proximity"] = """

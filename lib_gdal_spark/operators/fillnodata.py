@@ -56,29 +56,34 @@ def fillnodata(
                         if dx == 0 and dy == 0:
                             continue
                         outs.append(pd.DataFrame({
+                            "raster_id": r["raster_id"], "band": r["band"],
+                            "zoom": r["zoom"],
                             "dst_x": int(r["tile_x"]) + dx,
                             "dst_y": int(r["tile_y"]) + dy,
                             "gx": gx, "gy": gy, "v": v,
                         }))
             yield (pd.concat(outs, ignore_index=True) if outs
-                   else pd.DataFrame({"dst_x": [], "dst_y": [],
+                   else pd.DataFrame({"raster_id": [], "band": [], "zoom": [],
+                                      "dst_x": [], "dst_y": [],
                                       "gx": [], "gy": [], "v": []}))
 
     nb = tiles.mapInPandas(
-        bands, schema="dst_x int, dst_y int, gx long, gy long, v double"
-    )
-    base = tiles
-    joined = base.join(
-        nb,
-        (base["tile_x"] == nb["dst_x"]) & (base["tile_y"] == nb["dst_y"]),
-        "left",
+        bands,
+        schema="raster_id string, band int, zoom int, dst_x int, dst_y int, "
+               "gx long, gy long, v double",
     )
 
     CHUNK = 8192
     md2 = max_dist * max_dist
 
-    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        r = pdf.iloc[0]
+    def per_tile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # cogroup keeps the tile's pixel array on ONE row while candidate
+        # points arrive as the (narrow) right frame — no array duplication.
+        if left.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+            )
+        r = left.iloc[0]
         th, tw = int(r["tile_h"]), int(r["tile_w"])
         vals = np.asarray(r["pixels"], dtype=np.float64).reshape(th, tw)
         x0 = int(key[3]) * tile
@@ -89,19 +94,13 @@ def fillnodata(
             hy, hx = np.nonzero(hole)
             gx = (hx + x0).astype(np.float64)
             gy = (hy + y0).astype(np.float64)
-            # candidates: own valid pixels + neighbor bands
             oy, oxp = np.nonzero(~hole)
-            cand_x = [oxp + x0]
-            cand_y = [oy + y0]
-            cand_v = [vals[~hole]]
-            ext = pdf.dropna(subset=["gx"])
-            if len(ext):
-                cand_x.append(ext["gx"].to_numpy(np.float64))
-                cand_y.append(ext["gy"].to_numpy(np.float64))
-                cand_v.append(ext["v"].to_numpy(np.float64))
-            cx = np.concatenate(cand_x).astype(np.float64)
-            cy = np.concatenate(cand_y).astype(np.float64)
-            cv = np.concatenate(cand_v)
+            cx = np.concatenate([(oxp + x0).astype(np.float64),
+                                 right["gx"].to_numpy(np.float64)])
+            cy = np.concatenate([(oy + y0).astype(np.float64),
+                                 right["gy"].to_numpy(np.float64)])
+            cv = np.concatenate([vals[~hole],
+                                 right["v"].to_numpy(np.float64)])
             num = np.zeros(len(gx))
             den = np.zeros(len(gx))
             for c0 in range(0, len(cx), CHUNK):
@@ -122,6 +121,8 @@ def fillnodata(
         row["pixels"] = out.ravel().tolist()
         return pd.DataFrame([row])
 
-    return joined.groupBy(
-        "raster_id", "band", "zoom", "tile_x", "tile_y"
-    ).applyInPandas(per_tile, schema=RASTER_SCHEMA)
+    return (
+        tiles.groupBy("raster_id", "band", "zoom", "tile_x", "tile_y")
+        .cogroup(nb.groupBy("raster_id", "band", "zoom", "dst_x", "dst_y"))
+        .applyInPandas(per_tile, schema=RASTER_SCHEMA)
+    )

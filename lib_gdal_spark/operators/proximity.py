@@ -55,33 +55,33 @@ def proximity(
                 n, m = len(gx), len(dx)
                 rep = np.repeat(np.arange(n), m)
                 outs.append(pd.DataFrame({
+                    "raster_id": r["raster_id"], "band": r["band"],
+                    "zoom": r["zoom"],
                     "dst_x": int(r["tile_x"]) + np.tile(dx, n),
                     "dst_y": int(r["tile_y"]) + np.tile(dy, n),
                     "gx": gx[rep], "gy": gy[rep],
                 }))
             yield (pd.concat(outs, ignore_index=True) if outs
-                   else pd.DataFrame({"dst_x": [], "dst_y": [],
+                   else pd.DataFrame({"raster_id": [], "band": [], "zoom": [],
+                                      "dst_x": [], "dst_y": [],
                                       "gx": [], "gy": []}))
 
     tgt = tiles.mapInPandas(
-        targets, schema="dst_x int, dst_y int, gx long, gy long"
-    )
-    base = tiles.select(
-        "raster_id", "band", "zoom", "tile_x", "tile_y", "dtype",
-        "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
-        "nodata", "pixels",
-    )
-    joined = base.join(
-        tgt,
-        (base["tile_x"] == tgt["dst_x"]) & (base["tile_y"] == tgt["dst_y"]),
-        "left",
+        targets,
+        schema="raster_id string, band int, zoom int, dst_x int, dst_y int, "
+               "gx long, gy long",
     )
 
     CHUNK = 8192
     md2 = max_dist * max_dist
 
-    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        r = pdf.iloc[0]
+    def per_tile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # cogroup: the tile array stays on one row; targets arrive narrow
+        if left.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+            )
+        r = left.iloc[0]
         th, tw = int(r["tile_h"]), int(r["tile_w"])
         x0 = int(key[3]) * tile
         y0 = int(key[4]) * tile
@@ -89,9 +89,8 @@ def proximity(
         gx = (ii + x0).ravel()
         gy = (jj + y0).ravel()
         best = np.full(th * tw, np.inf)
-        cand = pdf.dropna(subset=["gx"])
-        tx = cand["gx"].to_numpy(np.float64)
-        ty = cand["gy"].to_numpy(np.float64)
+        tx = right["gx"].to_numpy(np.float64)
+        ty = right["gy"].to_numpy(np.float64)
         for c0 in range(0, len(tx), CHUNK):
             cx = tx[c0 : c0 + CHUNK]
             cy = ty[c0 : c0 + CHUNK]
@@ -109,6 +108,8 @@ def proximity(
             "nodata": nodata, "pixels": out.tolist(),
         }])
 
-    return joined.groupBy(
-        "raster_id", "band", "zoom", "tile_x", "tile_y"
-    ).applyInPandas(per_tile, schema=RASTER_SCHEMA)
+    return (
+        tiles.groupBy("raster_id", "band", "zoom", "tile_x", "tile_y")
+        .cogroup(tgt.groupBy("raster_id", "band", "zoom", "dst_x", "dst_y"))
+        .applyInPandas(per_tile, schema=RASTER_SCHEMA)
+    )
