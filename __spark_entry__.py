@@ -690,6 +690,35 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layer_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR layer-algebra Erase (ogrlayer.cpp:4079): convex-difference
+    decomposition; remaining areas oracle-checked closed-form."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    pts = _points(spark, sf_dir)
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                ring = G.box_ring(lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
+                rows.append({"fid": pid, "geom_wkb": G.wkb_polygon([ring])})
+            yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
+
+    inputs = pts.mapInPandas(boxes, schema="fid long, geom_wkb binary")
+    methods = spark.createDataFrame(
+        [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
+         for mid, bb in METHOD_BOXES.items()],
+        "fid long, geom_wkb binary",
+    ).coalesce(1)
+    out = LA.erase(inputs, methods)
+    return out.select("in_fid", F.round("area", 6).alias("area")).where(
+        F.col("area") > 0.0
+    )
+
+
 def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour (contour.cpp) on world4326: the distinct
     segment endpoints are exactly the iso-level edge crossings, which the
@@ -939,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_avg_l1": q_pyramid_avg_l1,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
+        "layer_erase": q_layer_erase,
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
         "sieve_counts": q_sieve_counts,
@@ -1500,6 +1530,26 @@ def oracle_sql() -> dict[str, str]:
           FROM counts
         )
         SELECT px, py, CAST(v AS BIGINT) AS v FROM pick WHERE rn = 1
+    """
+
+    ov_terms = []
+    for mnx, mny, mxx, mxy in METHOD_BOXES.values():
+        ov_terms.append(
+            f"CASE WHEN least(lon + 2.0, {mxx!r}) > greatest(lon - 2.0, {mnx!r}) "
+            f"AND least(lat + 1.5, {mxy!r}) > greatest(lat - 1.5, {mny!r}) "
+            f"THEN (least(lon + 2.0, {mxx!r}) - greatest(lon - 2.0, {mnx!r})) "
+            f"* (least(lat + 1.5, {mxy!r}) - greatest(lat - 1.5, {mny!r})) "
+            f"ELSE 0.0 END"
+        )
+    sqls["layer_erase"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        calc AS (
+          SELECT pid AS in_fid,
+                 round(((lon + 2.0) - (lon - 2.0)) * ((lat + 1.5) - (lat - 1.5))
+                       - ({" + ".join(ov_terms)}), 6) AS area
+          FROM pts
+        )
+        SELECT in_fid, area FROM calc WHERE area > 0.0
     """
 
     sqls["dem_slope"] = _dem_oracle(

@@ -223,6 +223,68 @@ def clip_ring_convex(subject: Ring, clip_ring: Ring) -> Ring | None:
     return np.vstack([out, out[:1]])
 
 
+def clip_ring_halfplanes(
+    subject: Ring, planes: list[tuple[float, float, float, float]]
+) -> Ring | None:
+    """Sutherland–Hodgman against an explicit half-plane sequence.
+
+    Each plane is a directed edge (x1, y1, x2, y2); "inside" = left of it.
+    The intersection of the half-planes must be convex (it always is).
+    """
+    subj = np.asarray(subject, dtype=np.float64)
+    if len(subj) > 1 and np.array_equal(subj[0], subj[-1]):
+        subj = subj[:-1]
+    out = subj
+    for (cx1, cy1, cx2, cy2) in planes:
+        if len(out) == 0:
+            return None
+        ex, ey = cx2 - cx1, cy2 - cy1
+        d = ex * (out[:, 1] - cy1) - ey * (out[:, 0] - cx1)
+        nxt = np.roll(out, -1, axis=0)
+        dn = np.roll(d, -1)
+        new_pts: list[tuple[float, float]] = []
+        for j in range(len(out)):
+            if d[j] >= 0.0:
+                new_pts.append((out[j, 0], out[j, 1]))
+            if (d[j] >= 0.0) != (dn[j] >= 0.0):
+                t = d[j] / (d[j] - dn[j])
+                new_pts.append((
+                    out[j, 0] + t * (nxt[j, 0] - out[j, 0]),
+                    out[j, 1] + t * (nxt[j, 1] - out[j, 1]),
+                ))
+        out = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
+    if len(out) < 3:
+        return None
+    return np.vstack([out, out[:1]])
+
+
+def erase_ring_convex(subject: Ring, clip_ring: Ring) -> list[Ring]:
+    """subject \\ convex clip as DISJOINT pieces.
+
+    Classic convex-difference decomposition: with clip edges e_1..e_n,
+    piece_i = subject ∩ outside(e_i) ∩ inside(e_1..e_{i-1}) — each piece is
+    a half-plane-sequence clip, pieces are disjoint, and their union is
+    exactly subject minus the clip polygon.
+    """
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) > 1 and np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    n = len(clip)
+    pieces: list[Ring] = []
+    for i in range(n):
+        x1, y1 = clip[i]
+        x2, y2 = clip[(i + 1) % n]
+        planes = [(x2, y2, x1, y1)]  # reversed edge = outside half-plane
+        for j in range(i):
+            a1, b1 = clip[j]
+            a2, b2 = clip[(j + 1) % n]
+            planes.append((a1, b1, a2, b2))
+        piece = clip_ring_halfplanes(subject, planes)
+        if piece is not None and shoelace_area([piece]) > 0.0:
+            pieces.append(piece)
+    return pieces
+
+
 def box_ring(minx: float, miny: float, maxx: float, maxy: float) -> Ring:
     """Closed CCW rectangle ring."""
     return np.array(

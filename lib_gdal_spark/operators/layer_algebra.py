@@ -124,6 +124,142 @@ def intersection(
     return cand.mapInPandas(clip_batch, schema=_PAIR_SCHEMA)
 
 
+def erase(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+) -> DataFrame:
+    """OGR Erase (ogrlayer.cpp:4079): input minus union(method), input attrs.
+
+    Method polygons must be convex (the convex-difference decomposition,
+    ``geometry.erase_ring_convex``); the method layer is collected as the
+    broadcast dim (zone-layer shape), so the big input side never shuffles —
+    one mapInPandas pass with per-feature envelope pre-tests. Output one row
+    per surviving input feature: (in_fid, geom_wkb MultiPolygon, area);
+    fully-erased features are dropped (reference emits no empty features).
+    """
+    methods = [
+        (G.envelope(bytes(r["geom_wkb"])),
+         G.polygon_rings(bytes(r["geom_wkb"]))[0])
+        for r in method_layer.select("geom_wkb").collect()
+    ]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                env = G.envelope(bytes(r["geom_wkb"]))
+                # hole-free inputs (each ring treated as its own polygon)
+                cur: list[list[np.ndarray]] = [
+                    [ring] for ring in G.polygon_rings(bytes(r["geom_wkb"]))
+                ]
+                for (menv, mring) in methods:
+                    if (env[0] > menv[2] or env[2] < menv[0]
+                            or env[1] > menv[3] or env[3] < menv[1]):
+                        continue
+                    nxt: list[list[np.ndarray]] = []
+                    for poly in cur:
+                        for ring in poly:
+                            for piece in G.erase_ring_convex(ring, mring):
+                                nxt.append([piece])
+                    cur = nxt
+                if not cur:
+                    continue
+                area = sum(G.shoelace_area(p) for p in cur)
+                if area <= 0.0:
+                    continue
+                rows.append({
+                    "in_fid": r["fid"],
+                    "geom_wkb": G.wkb_multipolygon(cur),
+                    "area": area,
+                })
+            yield pd.DataFrame(rows,
+                               columns=["in_fid", "geom_wkb", "area"])
+
+    return input_layer.select("fid", "geom_wkb").mapInPandas(
+        work, schema="in_fid long, geom_wkb binary, area double"
+    )
+
+
+def identity_overlay(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    res: int = 6,
+) -> DataFrame:
+    """OGR Identity (ogrlayer.cpp:3183): input split by the method layer —
+    intersection pieces carry m_fid, the erased remainder carries NULL."""
+    inter = intersection(input_layer, method_layer, res=res)
+    rem = erase(input_layer, method_layer).select(
+        "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
+    )
+    return inter.select("in_fid", "m_fid", "geom_wkb", "area").unionByName(rem)
+
+
+def update_overlay(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+) -> DataFrame:
+    """OGR Update (ogrlayer.cpp:3528): method features replace overlapping
+    input areas — erased input remainders plus the method features."""
+    rem = erase(input_layer, method_layer).select(
+        "in_fid", F.lit("input").alias("src"), "geom_wkb", "area"
+    )
+
+    def with_area(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                rings = G.polygon_rings(bytes(r["geom_wkb"]))
+                rows.append({
+                    "in_fid": r["fid"], "src": "method",
+                    "geom_wkb": bytes(r["geom_wkb"]),
+                    "area": G.shoelace_area(rings),
+                })
+            yield pd.DataFrame(rows,
+                               columns=["in_fid", "src", "geom_wkb", "area"])
+
+    m = method_layer.select("fid", "geom_wkb").mapInPandas(
+        with_area, schema="in_fid long, src string, geom_wkb binary, area double"
+    )
+    return rem.unionByName(m)
+
+
+def sym_difference(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+) -> DataFrame:
+    """OGR SymDifference (ogrlayer.cpp:2838): areas in exactly one layer.
+    Requires both layers convex (each direction erases by the other)."""
+    a = erase(input_layer, method_layer).select(
+        F.col("in_fid").alias("fid"), F.lit("input").alias("src"),
+        "geom_wkb", "area",
+    )
+    b = erase(method_layer, input_layer).select(
+        F.col("in_fid").alias("fid"), F.lit("method").alias("src"),
+        "geom_wkb", "area",
+    )
+    return a.unionByName(b)
+
+
+def union_overlay(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    res: int = 6,
+) -> DataFrame:
+    """OGR Union (ogrlayer.cpp:2408): the overlay split — A∩B pieces plus
+    A\\B plus B\\A (both layers convex for the difference directions)."""
+    inter = intersection(input_layer, method_layer, res=res).select(
+        "in_fid", "m_fid", "geom_wkb", "area"
+    )
+    a = erase(input_layer, method_layer).select(
+        "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
+    )
+    b = erase(method_layer, input_layer).select(
+        F.lit(None).cast("long").alias("in_fid"),
+        F.col("in_fid").alias("m_fid"), "geom_wkb", "area",
+    )
+    return inter.unionByName(a).unionByName(b)
+
+
 def clip(
     input_layer: DataFrame,
     method_layer: DataFrame,
