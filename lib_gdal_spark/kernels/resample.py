@@ -361,6 +361,70 @@ def overview_average(
     return out.astype(src.dtype)
 
 
+def overview_gauss(src: np.ndarray, dst_shape: tuple[int, int],
+                   nodata: float | None = None) -> np.ndarray:
+    """GAUSS overview (``overview.cpp`` Gauss path, 2:1): 3x3 kernel
+    [1 2 1; 2 4 2; 1 2 1] centered on the top-left pixel of each 2x2 block;
+    weights of out-of-raster / nodata samples drop out of the normalizer;
+    integer types round half-up on the weighted mean."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    srcf = src.astype(np.float64)
+    valid = np.ones((sh, sw)) if nodata is None else (srcf != nodata)
+    k = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+    acc = np.zeros(dst_shape)
+    wacc = np.zeros(dst_shape)
+    cy = np.minimum(np.arange(dh) * (sh // dh), sh - 1)
+    cx = np.minimum(np.arange(dw) * (sw // dw), sw - 1)
+    for dy in (-1, 0, 1):
+        yy = cy[:, None] + dy
+        y_ok = (yy >= 0) & (yy < sh)
+        yc = np.clip(yy, 0, sh - 1)
+        for dx in (-1, 0, 1):
+            xx = cx[None, :] + dx
+            ok = y_ok & (xx >= 0) & (xx < sw)
+            xc = np.clip(xx, 0, sw - 1)
+            w = k[dy + 1, dx + 1]
+            vv = srcf[yc, xc]
+            m = ok & (valid[yc, xc] > 0)
+            acc += np.where(m, w * vv, 0.0)
+            wacc += np.where(m, w, 0.0)
+    is_int = np.issubdtype(src.dtype, np.integer)
+    safe = np.maximum(wacc, 1.0)
+    if is_int:
+        out = np.floor((acc + np.floor(safe / 2.0)) / safe)
+    else:
+        out = acc / safe
+    if nodata is not None:
+        out = np.where(wacc > 0, out, nodata)
+    return out.astype(src.dtype)
+
+
+def overview_mode(src: np.ndarray, dst_shape: tuple[int, int],
+                  nodata: float | None = None) -> np.ndarray:
+    """MODE overview (``overview.cpp:1038``): most frequent value in each
+    dst pixel's source box; ties take the smallest value (documented rule —
+    the reference's depends on hash iteration order)."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    xlo, xhi = _window_edges(dw, sw / dw, sw)
+    ylo, yhi = _window_edges(dh, sh / dh, sh)
+    srcf = src.astype(np.float64)
+    out = np.empty(dst_shape, dtype=np.float64)
+    for j in range(dh):
+        for i in range(dw):
+            box = srcf[ylo[j]:yhi[j], xlo[i]:xhi[i]].ravel()
+            if nodata is not None:
+                box = box[box != nodata]
+            if len(box) == 0:
+                out[j, i] = nodata if nodata is not None else 0.0
+                continue
+            vals, counts = np.unique(box, return_counts=True)
+            out[j, i] = vals[np.argmax(counts)]  # unique() is sorted ->
+            # argmax picks the smallest among tied maxima
+    return out.astype(src.dtype)
+
+
 def overview_nearest(src: np.ndarray, dst_shape: tuple[int, int]) -> np.ndarray:
     """NEAREST overview decimation (``overview.cpp:99,114``)."""
     sh, sw = src.shape
@@ -385,4 +449,8 @@ def overview_reduce_2x2(children: dict[tuple[int, int], np.ndarray], tile: int,
         mosaic[dy * tile : (dy + 1) * tile, dx * tile : (dx + 1) * tile] = arr
     if alg == "average":
         return overview_average(mosaic, (tile, tile), nodata=nodata)
+    if alg == "gauss":
+        return overview_gauss(mosaic, (tile, tile), nodata=nodata)
+    if alg == "mode":
+        return overview_mode(mosaic, (tile, tile), nodata=nodata)
     return overview_nearest(mosaic, (tile, tile))

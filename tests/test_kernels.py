@@ -266,3 +266,33 @@ def test_warp_dist_matches_mosaic_path(spark):
         assert set(old) == set(new)
         for k in old:
             assert np.array_equal(old[k], new[k])
+
+
+def test_overview_gauss_and_mode():
+    import numpy as np
+
+    from lib_gdal_spark.kernels import resample as R
+
+    # flat -> unchanged under both
+    flat = np.full((8, 8), 42, dtype=np.uint8)
+    assert np.all(R.overview_gauss(flat, (4, 4)) == 42)
+    assert np.all(R.overview_mode(flat, (4, 4)) == 42)
+
+    # mode: majority value of each 2x2 box wins; ties take the smallest
+    m = np.array([[1, 1], [2, 3]], dtype=np.uint8)
+    assert R.overview_mode(m, (1, 1))[0, 0] == 1
+    t = np.array([[5, 5], [9, 9]], dtype=np.uint8)
+    assert R.overview_mode(t, (1, 1))[0, 0] == 5  # tie -> smallest
+
+    # gauss: hand-computed 3x3 weighted mean at the (0,0)-centered kernel
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = R.overview_gauss(g, (2, 2))
+    # dst (0,0): center src (0,0); valid taps (0,0),(0,1),(1,0),(1,1)
+    # weights 4,2,2,1 -> (0*4+1*2+4*2+5*1+floor(9/2))/9 = (15+4)/9 -> 2
+    assert out[0, 0] == 2
+
+    # gauss nodata: holes drop from the normalizer
+    h = np.full((4, 4), 10.0)
+    h[0, 0] = -1.0
+    outn = R.overview_gauss(h, (2, 2), nodata=-1.0)
+    assert outn[0, 0] == 10.0
