@@ -868,6 +868,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ANN.cosine_near_dup_pairs(corpus, threshold=0.3)
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN over the embedding column (scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -983,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "cosine_near_dup": q_cosine_near_dup,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1633,6 +1643,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN m <= 0 THEN 'und' {when_chain} END AS lang_pred
         FROM mx
+    """
+
+    sqls["cosine_near_dup"] = """
+        WITH c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
     """
 
     sqls["cosine_topk"] = """

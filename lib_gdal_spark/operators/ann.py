@@ -64,6 +64,28 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cos >= threshold, id_a < id_b — exact all-pairs baseline, JVM-side only
+    (the LSH-bucketed scale path is ``cosine_topk_lsh`` with a threshold
+    filter)."""
+    cid, cvec = corpus_cols
+    a = corpus.select(F.col(cid).alias("id_a"), F.col(cvec).alias("va"))
+    b = corpus.select(F.col(cid).alias("id_b"), F.col(cvec).alias("vb"))
+    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        round_decimals,
+    ).alias("cos_sim")
+    return j.select("id_a", "id_b", cos).where(F.col("cos_sim") >= threshold)
+
+
 def simhash_signature(df: DataFrame, vec_col: str, bits: int = 16,
                       dim: int = 32, seed: int = 42, out_col: str = "sig") -> DataFrame:
     """Random-hyperplane signature: sign pattern of W @ v packed to int64."""
