@@ -610,6 +610,22 @@ def _q_warp_stat(alg: str):
     return q
 
 
+def _q_warp_kernel(alg: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiles = RS.fixture_rasters(spark)
+        out = RAST.warp_to_mercator_tiles_dist(tiles, z=2, alg=alg, tile=64,
+                                               raster_id="world4326")
+        return _explode_px(out).select(
+            "px", "py", F.col("v").cast("long").alias("v")
+        )
+    q.__doc__ = f"gdalwarp '{alg}' convolution kernel (gdalwarpkernel.cpp)"
+    return q
+
+
+q_warp_cubic_z2 = _q_warp_kernel("cubic")
+q_warp_cubicspline_z2 = _q_warp_kernel("cubicspline")
+q_warp_lanczos_z2 = _q_warp_kernel("lanczos")
+
 q_warp_average_z2 = _q_warp_stat("average")
 q_warp_median_z2 = _q_warp_stat("median")
 q_warp_q3_z2 = _q_warp_stat("q3")
@@ -969,6 +985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_lastwins": q_mosaic_lastwins,
         "warp_nearest_z2": q_warp_nearest_z2,
         "warp_bilinear_z2": q_warp_bilinear_z2,
+        "warp_cubic_z2": q_warp_cubic_z2,
+        "warp_cubicspline_z2": q_warp_cubicspline_z2,
+        "warp_lanczos_z2": q_warp_lanczos_z2,
         "warp_average_z2": q_warp_average_z2,
         "warp_median_z2": q_warp_median_z2,
         "warp_q3_z2": q_warp_q3_z2,
@@ -1449,6 +1468,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.px, p.py, round(coalesce(j.d, -1.0), 6) AS dist
         FROM pix p LEFT JOIN j ON p.px = j.px AND p.py = j.py
     """
+
+    # convolution-warp oracles (cubic/cubicspline/lanczos): same frac CTEs
+    # as bilinear, with the kernel's weight formula mirrored op-for-op and
+    # taps accumulated in the kernel's loop order (dy outer, dx inner).
+    def _wsql(alg: str, t: str) -> str:
+        a = f"abs({t})"
+        if alg == "cubic":  # Catmull-Rom a=-0.5 (gdalwarpkernel.cpp:3092)
+            return (f"(CASE WHEN {a} <= 1.0 THEN "
+                    f"({a} * {a}) * (1.5 * {a} - 2.5) + 1.0 "
+                    f"WHEN {a} <= 2.0 THEN "
+                    f"({a} * {a}) * (-0.5 * {a} + 2.5) - 4.0 * {a} + 2.0 "
+                    f"ELSE 0.0 END)")
+        if alg == "cubicspline":  # cubic B-spline (:3164)
+            return (f"(CASE WHEN {a} <= 1.0 THEN "
+                    f"(4.0 - 6.0 * {a} * {a} + (({a} * {a}) * {a}) * 3.0"
+                    f") / 6.0 "
+                    f"WHEN {a} <= 2.0 THEN "
+                    f"(((2.0 - {a}) * (2.0 - {a})) * (2.0 - {a})) / 6.0 "
+                    f"ELSE 0.0 END)")
+        # lanczos a=3 (:3020)
+        return (f"(CASE WHEN {a} <= 1e-12 THEN 1.0 "
+                f"WHEN {a} < 3.0 THEN "
+                f"3.0 * sin(pi() * {a}) * sin((pi() * {a}) / 3.0) "
+                f"/ ((pi() * {a}) * (pi() * {a})) "
+                f"ELSE 0.0 END)")
+
+    for alg, radius in (("cubic", 2), ("cubicspline", 2), ("lanczos", 3)):
+        kacc, kwacc = [], []
+        for dy in range(-radius + 1, radius + 1):
+            pyn = f"(y0 + {dy})" if dy else "y0"
+            wy = _wsql(alg, f"({pyn} - cy)")
+            for dx in range(-radius + 1, radius + 1):
+                pxn = f"(x0 + {dx})" if dx else "x0"
+                wx = _wsql(alg, f"({pxn} - cx)")
+                ok = (f"{pyn} >= 0 AND {pyn} < 256 "
+                      f"AND {pxn} >= 0 AND {pxn} < 256")
+                w = f"(CASE WHEN {ok} THEN {wy} * {wx} ELSE 0.0 END)"
+                vv = vfun.format(
+                    X=f"least(greatest({pxn}, 0), 255)",
+                    Y=f"least(greatest({pyn}, 0), 255)",
+                )
+                kacc.append(f"{w} * {vv}")
+                kwacc.append(w)
+        sqls[f"warp_{alg}_z2"] = f"""
+            WITH pix AS (
+              SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+              FROM generate_series(0, 255) x(px)
+              CROSS JOIN generate_series(0, 255) y(py)
+            ),
+            merc AS (
+              SELECT px, py,
+                ({-OS!r} + (px // 64) * {span!r})
+                  + ((px % 64) + 0.5) * {res!r} AS mx,
+                ({OS!r} - (py // 64) * {span!r})
+                  + ((py % 64) + 0.5) * {-res!r} AS my
+              FROM pix
+            ),
+            ll AS (
+              SELECT px, py,
+                (mx / 6378137.0) * {rad2deg!r} AS lon,
+                (2.0 * atan(exp(my / 6378137.0)) - {halfpi!r}) * {rad2deg!r} AS lat
+              FROM merc
+            ),
+            frac AS (
+              SELECT px, py,
+                ({inv[0]!r} + lon * {inv[1]!r} + lat * {inv[2]!r}) - 0.5 AS cx,
+                ({inv[3]!r} + lon * {inv[4]!r} + lat * {inv[5]!r}) - 0.5 AS cy
+              FROM ll
+            ),
+            tap AS (
+              SELECT px, py, cx, cy,
+                     CAST(floor(cx) AS BIGINT) AS x0,
+                     CAST(floor(cy) AS BIGINT) AS y0
+              FROM frac
+            )
+            SELECT px, py,
+                   CAST(least(greatest(floor(
+                     ({" + ".join(kacc)}) / ({" + ".join(kwacc)}) + 0.5),
+                     0), 255) AS BIGINT) AS v
+            FROM tap
+        """
 
     # aggregate-warp oracles: corner-transform box per dst pixel, then the
     # per-stat reduction with the kernel's documented deterministic rules.
