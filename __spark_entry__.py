@@ -735,6 +735,21 @@ def q_layer_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyramid_mode_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE overview step (overview.cpp:1038; smallest-wins ties)."""
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    lvl1 = RAST.pyramid_level(tiles, alg="mode", tile=64)
+    return _explode_px(lvl1).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
+def q_pyramid_gauss_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAUSS overview step (1-2-1 kernel; per-parent-mosaic edges, no halo
+    — boundary taps clip at each 128px parent window, mirrored in SQL)."""
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    lvl1 = RAST.pyramid_level(tiles, alg="gauss", tile=64)
+    return _explode_px(lvl1).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
 def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour (contour.cpp) on world4326: the distinct
     segment endpoints are exactly the iso-level edge crossings, which the
@@ -994,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_mode_z2": q_warp_mode_z2,
         "warp_max_z2": q_warp_max_z2,
         "pyramid_avg_l1": q_pyramid_avg_l1,
+        "pyramid_mode_l1": q_pyramid_mode_l1,
+        "pyramid_gauss_l1": q_pyramid_gauss_l1,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
         "layer_erase": q_layer_erase,
@@ -1323,6 +1340,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(floor(({acc}) / ({wacc}) + 0.5), 0), 255)
                     AS BIGINT) AS v
         FROM tap
+    """
+
+    # pyramid mode: gradient 2x2 boxes are [k,k,k,k+1] -> mode k = px+py
+    sqls["pyramid_mode_l1"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(x.px + y.py AS BIGINT) AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    # pyramid gauss: 1-2-1 kernel at the (2px, 2py) center; taps at dx/dy=-1
+    # clip at each parent's 128px mosaic edge (px%64 == 0 / py%64 == 0)
+    _gw = {(-1, -1): 1.0, (0, -1): 2.0, (1, -1): 1.0,
+           (-1, 0): 2.0, (0, 0): 4.0, (1, 0): 2.0,
+           (-1, 1): 1.0, (0, 1): 2.0, (1, 1): 1.0}
+    gacc, gwacc = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            conds = []
+            if dx == -1:
+                conds.append("(x.px % 64) > 0")
+            if dy == -1:
+                conds.append("(y.py % 64) > 0")
+            cond = " AND ".join(conds) if conds else "TRUE"
+            w = _gw[(dx, dy)]
+            v = f"trunc(((2 * x.px + {dx}) + (2 * y.py + {dy})) * 0.5)"
+            gacc.append(f"(CASE WHEN {cond} THEN {w!r} * {v} ELSE 0.0 END)")
+            gwacc.append(f"(CASE WHEN {cond} THEN {w!r} ELSE 0.0 END)")
+    sqls["pyramid_gauss_l1"] = f"""
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(floor((({" + ".join(gacc)})
+                           + floor(({" + ".join(gwacc)}) / 2.0))
+                          / ({" + ".join(gwacc)})) AS BIGINT) AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
     """
 
     # contour oracle: every crossed grid edge yields one interpolated point;
