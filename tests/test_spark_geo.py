@@ -130,3 +130,42 @@ def test_knn_bruteforce_vs_kring(spark, enriched):
     assert bf[["qid", "tid", "rank"]].equals(kr[["qid", "tid", "rank"]])
     assert np.allclose(bf["dist_km"], kr["dist_km"])
     assert (bf.groupby("qid").size() == 5).all()
+
+
+def test_pip_join_with_holes_and_multipolygon(spark):
+    """Even-odd semantics through the full distributed PIP join: points in a
+    polygon's hole are excluded; MultiPolygon parts all match."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.functions import cells as C
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.operators import pip_join as PIP
+
+    outer = G.box_ring(0.0, 0.0, 10.0, 10.0)
+    hole = G.box_ring(4.0, 4.0, 6.0, 6.0)
+    donut = G.wkb_polygon([outer, hole])
+    two_parts = G.wkb_multipolygon([
+        [G.box_ring(20.0, 20.0, 22.0, 22.0)],
+        [G.box_ring(30.0, 30.0, 32.0, 32.0)],
+    ])
+    polys = spark.createDataFrame(
+        [(1, bytearray(donut)), (2, bytearray(two_parts))],
+        "fid long, geom_wkb binary",
+    ).coalesce(1)
+
+    pts_pd = pd.DataFrame({
+        "pid": ["ring", "in_hole", "part_a", "part_b", "outside"],
+        "lon": [2.2, 5.1, 21.3, 31.7, 50.0],
+        "lat": [2.3, 5.2, 21.4, 31.8, 50.0],
+    })
+    pts_pd["cell"] = C.lonlat_to_cell(
+        pts_pd["lon"].to_numpy(), pts_pd["lat"].to_numpy(), 12
+    )
+    pts = spark.createDataFrame(pts_pd)
+
+    got = {(r["pid"], r["fid"]) for r in PIP.pip_join(
+        pts, polys, res=7, points_res=12, point_cols=("pid", "lon", "lat")
+    ).collect()}
+    assert got == {("ring", 1), ("part_a", 2), ("part_b", 2)}
