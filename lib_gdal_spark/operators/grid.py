@@ -52,9 +52,13 @@ def grid_interpolate(
     ntx, nty = grid.n_tiles()
     tile = grid.tile
     gt = grid.gt
-    # ring of neighbor buckets a search radius can reach
-    span = abs(gt[1]) * tile
-    ring = 0 if radius <= 0.0 else int(math.ceil(radius / span))
+    # ring of neighbor buckets a search radius can reach — computed PER AXIS
+    # (anisotropic grids: |gt5| may differ from |gt1|, so the radius spans a
+    # different number of tile-buckets in y than in x)
+    span_x = abs(gt[1]) * tile
+    span_y = abs(gt[5]) * tile
+    ring_x = 0 if radius <= 0.0 else int(math.ceil(radius / span_x))
+    ring_y = 0 if radius <= 0.0 else int(math.ceil(radius / span_y))
     unbounded = radius <= 0.0
 
     def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,8 +81,9 @@ def grid_interpolate(
                 continue
             bx = np.clip(px // tile, 0, ntx - 1).astype(np.int64)
             by = np.clip(py // tile, 0, nty - 1).astype(np.int64)
-            offs = np.arange(-ring, ring + 1)
-            dx, dy = np.meshgrid(offs, offs)
+            dx, dy = np.meshgrid(
+                np.arange(-ring_x, ring_x + 1), np.arange(-ring_y, ring_y + 1)
+            )
             dx = dx.ravel()
             dy = dy.ravel()
             n = len(x)

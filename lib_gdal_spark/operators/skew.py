@@ -51,7 +51,16 @@ def salted_join(
     big rows get salt = pmod(hash(all columns), n_salt) (deterministic);
     small rows replicate once per salt. Output == unsalted join, with the
     hot key's probe work spread across ``n_salt`` partitions.
+
+    Only ``inner`` and ``left`` are supported: for right/full joins an
+    unmatched small-side row would surface once per salt replica,
+    duplicating rows versus the unsalted join.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "right/full would duplicate unmatched small-side replicas"
+        )
     bsalt = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
     )

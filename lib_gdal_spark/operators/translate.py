@@ -53,16 +53,17 @@ def translate_window(
 
     def cut(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(key[1])
-        th_max = int(pdf["tile_h"].max())
-        tw_max = int(pdf["tile_w"].max())
         window = np.full((ys, xs), np.nan)
         gt = None
+        # The nominal `tile` parameter is the global stride; per-tile w/h may
+        # be smaller on ragged edges, so never derive the stride from the
+        # selected tiles (a window of edge-only tiles would misplace pixels).
         for _, r in pdf.iterrows():
             arr = np.asarray(r["pixels"], dtype=np.float64).reshape(
                 int(r["tile_h"]), int(r["tile_w"])
             )
-            gy0 = int(r["tile_y"]) * th_max - yoff
-            gx0 = int(r["tile_x"]) * tw_max - xoff
+            gy0 = int(r["tile_y"]) * tile - yoff
+            gx0 = int(r["tile_x"]) * tile - xoff
             sy0, sx0 = max(0, -gy0), max(0, -gx0)
             dy0, dx0 = max(0, gy0), max(0, gx0)
             sy1 = min(arr.shape[0], ys - gy0)
@@ -72,14 +73,20 @@ def translate_window(
             window[dy0 : dy0 + (sy1 - sy0), dx0 : dx0 + (sx1 - sx0)] = arr[
                 sy0:sy1, sx0:sx1
             ]
-            if int(r["tile_x"]) == tx0 and int(r["tile_y"]) == ty0:
+            if gt is None:
+                # derive the raster origin from ANY present tile (sparse
+                # rasters may not contain (tx0, ty0))
                 g = [r[f"gt{i}"] for i in range(6)]
-                ox = xoff - tx0 * tw_max
-                oy = yoff - ty0 * th_max
+                og0 = g[0] - int(r["tile_x"]) * tile * g[1]
+                og3 = g[3] - int(r["tile_y"]) * tile * g[5]
                 gt = (
-                    g[0] + ox * g[1], g[1] * xs / ow, 0.0,
-                    g[3] + oy * g[5], 0.0, g[5] * ys / oh,
+                    og0 + xoff * g[1], g[1] * xs / ow, 0.0,
+                    og3 + yoff * g[5], 0.0, g[5] * ys / oh,
                 )
+        if gt is None:
+            return pd.DataFrame(
+                columns=[f.name for f in RASTER_SCHEMA.fields]
+            )
         if (ow, oh) != (xs, ys):
             if alg == "average":
                 window = R.overview_average(window, (oh, ow))

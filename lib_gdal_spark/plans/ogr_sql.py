@@ -90,15 +90,21 @@ def first_match_left_join(
 
     ``secondary_order`` stands in for the secondary layer's storage (FID)
     order, which defines "first" in the reference.
+
+    The window partitions by a per-row id generated on the primary side, not
+    by ``primary_key``: the reference emits one output row per primary *row*,
+    so duplicate primary keys must not collapse. ``primary_key`` is kept for
+    API compatibility but only documents the join key.
     """
-    joined = primary.join(secondary, on=on, how="left")
-    w = Window.partitionBy(primary_key).orderBy(
+    prim = primary.withColumn("__row", F.monotonically_increasing_id())
+    joined = prim.join(secondary, on=on, how="left")
+    w = Window.partitionBy("__row").orderBy(
         F.col(secondary_order).asc_nulls_last()
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__row")
     )
 
 
@@ -124,17 +130,37 @@ def order_by(df: DataFrame, *specs: tuple[str, bool]) -> DataFrame:
     return df.orderBy(*cols)
 
 
-def limit_offset(df: DataFrame, limit: int | None, offset: int = 0) -> DataFrame:
-    """LIMIT/OFFSET via a deterministic row_number over the current order.
-
-    Note: requires the caller to have applied ``order_by`` with a total
-    order; OFFSET maps to the reference's SetNextByIndex skip
+def limit_offset(
+    df: DataFrame,
+    limit: int | None,
+    offset: int = 0,
+    order: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """LIMIT/OFFSET; OFFSET maps to the reference's SetNextByIndex skip
     (``drivers/ogr_gensql.cpp:1559-1569``).
+
+    For OFFSET != 0 the caller must pass the query's ORDER BY as
+    ``order=[(col, asc), ...]`` — the skip is only well-defined under a total
+    order, and the sort keys are carried into the row_number window so the
+    skip honors the caller's order across partitions (a
+    ``monotonically_increasing_id`` window would not: ids do not preserve the
+    sort after an exchange). The window input is already bounded by
+    ``df.limit(offset + limit)`` so the single-partition window sort is
+    driver-sized, not data-sized.
     """
     if offset == 0:
         return df.limit(limit) if limit is not None else df
+    if not order:
+        raise ValueError(
+            "limit_offset with offset != 0 requires order=[(col, asc), ...] "
+            "(OFFSET is undefined without a total order)"
+        )
     if limit is not None:
         df = df.limit(offset + limit)
-    w = Window.orderBy(F.monotonically_increasing_id())
+    cols = [
+        F.col(name).asc_nulls_first() if asc else F.col(name).desc_nulls_last()
+        for name, asc in order
+    ]
+    w = Window.orderBy(*cols)
     out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset)
     return out.drop("__rn")
