@@ -1,7 +1,9 @@
-"""Distributed polygonize: connected components of equal-valued pixels.
+"""Distributed polygonize: connected components of equal-valued pixels,
+with WKB boundary-ring tracing.
 
 Re-expresses ``GDALPolygonizeT`` (``core/alg/polygonize.cpp:435``, 4-connected
-variant ``:451``) for the tiled raster table (SURVEY.md §2.9):
+variant ``:451``; ring emission ``:826`` RPolygonizer) for the tiled raster
+table (SURVEY.md §2.9):
 
 1. **Per-tile labeling** (mapInPandas, one tile per row): vectorized
    min-label propagation over the 4-neighborhood restricted to equal pixel
@@ -11,17 +13,17 @@ variant ``:451``) for the tiled raster table (SURVEY.md §2.9):
    (px+1 == px, py) / (px, py+1 == py) pairs equal-valued labels that touch
    across tile boundaries — the distributed form of the reference's
    cross-scanline ``UpdateConnection`` merging.
-3. **Component merge**: union-find over the (small) label-adjacency edge
-   list. Round-1 runs it on the driver — the edge list is O(total tile
-   perimeter), orders of magnitude smaller than the pixel data; at 10^12-px
-   scale swap in the large-star/small-star iterative min-label join (same
-   contract, pure DataFrame ops).
+3. **Component merge**: alternating large-star/small-star DataFrame rounds
+   over the label-adjacency edges (operators.components) — O(perimeter)
+   rows, no driver-side state (the round-1 driver union-find is gone).
 4. **Aggregation**: per merged component -> (value, n_pixels, bounding box).
-
-The output is the component table (value + size + extent). Vector ring
-tracing (emitting WKB boundaries) is layered on top in a later round; the
-round-trip invariant rasterize -> polygonize -> per-feature pixel counts is
-already exact and oracle-checkable.
+5. **Ring tracing** (``polygonize_rings``): tiles also emit directed
+   boundary unit-segments (interior on the left); segments map to merged
+   components and each component's segments stitch into closed rings in one
+   applyInPandas — outer rings positive, holes negative, emitted as one
+   MultiPolygon WKB per component. The exact invariant
+   ``shoelace_area == n_pixels`` and the rasterize(polygonize(x)) == x
+   round trip are both oracle-checked.
 """
 
 from __future__ import annotations
@@ -33,16 +35,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lib_gdal_spark.functions import geometry as G
+from lib_gdal_spark.operators.components import connected_components
+
 _LABEL_SCHEMA = (
     "label long, value double, n_pixels long, "
     "min_px long, min_py long, max_px long, max_py long"
 )
-_BORDER_SCHEMA = "px long, py long, value double, label long"
-# single-pass union schema: kind 0 = per-tile label summary, 1 = border pixel
+# single-pass union schema:
+#   kind 0 = per-tile label summary
+#   kind 1 = border pixel (cross-tile adjacency + seam suppression)
+#   kind 2 = within-tile boundary segment (sx,sy)->(ex,ey), pixel corners
+#   kind 3 = seam-candidate segment (px,py,direction) pending neighbor check
 _PIECE_SCHEMA = (
     "kind int, label long, value double, n_pixels long, "
-    "min_px long, min_py long, max_px long, max_py long, px long, py long"
+    "min_px long, min_py long, max_px long, max_py long, px long, py long, "
+    "sx long, sy long, ex long, ey long, dir int"
 )
+_PIECE_COLS = [c.split()[0] for c in _PIECE_SCHEMA.split(", ")]
+
+# direction codes for seam candidates: 0=up 1=down 2=left 3=right
 
 
 def _label_tile(vals: np.ndarray, background: float | None) -> np.ndarray:
@@ -86,12 +98,96 @@ def _label_tile(vals: np.ndarray, background: float | None) -> np.ndarray:
             return lab
 
 
+def _piece_frame(**cols) -> pd.DataFrame:
+    """Build a _PIECE_SCHEMA-shaped frame from the given columns; the rest
+    fill with sentinel -1 / 0.0."""
+    n = next(
+        len(v) for v in cols.values()
+        if isinstance(v, (np.ndarray, list, pd.Series))
+    )
+    defaults: dict[str, object] = {
+        "kind": 0, "label": -1, "value": 0.0, "n_pixels": 0,
+        "min_px": -1, "min_py": -1, "max_px": -1, "max_py": -1,
+        "px": -1, "py": -1, "sx": -1, "sy": -1, "ex": -1, "ey": -1, "dir": -1,
+    }
+    data = {}
+    for c in _PIECE_COLS:
+        v = cols.get(c, defaults[c])
+        data[c] = v if isinstance(v, (np.ndarray, list, pd.Series)) else np.full(n, v)
+    return pd.DataFrame(data)
+
+
+def _tile_segments(lab: np.ndarray, vals: np.ndarray, x0: int, y0: int):
+    """Within-tile boundary segments + seam candidates for one tile.
+
+    Directed so the labeled pixel is on the LEFT when (x, y) is read as a
+    math plane (y "down" treated as ordinary axis): outer rings trace out
+    positive shoelace area, holes negative.
+    """
+    th, tw = lab.shape
+    fg = lab >= 0
+    segs = []  # (label, sx, sy, ex, ey)
+
+    def emit(mask_y, mask_x, kind):
+        # kind: 'top' | 'bottom' | 'left' | 'right' for the emitting pixel
+        gx = mask_x + x0
+        gy = mask_y + y0
+        la = lab[mask_y, mask_x]
+        if kind == "top":
+            segs.append((la, gx, gy, gx + 1, gy))
+        elif kind == "bottom":
+            segs.append((la, gx + 1, gy + 1, gx, gy + 1))
+        elif kind == "left":
+            segs.append((la, gx, gy + 1, gx, gy))
+        else:  # right
+            segs.append((la, gx + 1, gy, gx + 1, gy + 1))
+
+    # interior adjacency: a fg pixel emits an edge wherever its neighbor has
+    # a different label (bg included)
+    d = fg[1:, :] & (lab[1:, :] != lab[:-1, :])
+    yy, xx = np.nonzero(d)
+    emit(yy + 1, xx, "top")
+    d = fg[:-1, :] & (lab[:-1, :] != lab[1:, :])
+    yy, xx = np.nonzero(d)
+    emit(yy, xx, "bottom")
+    d = fg[:, 1:] & (lab[:, 1:] != lab[:, :-1])
+    yy, xx = np.nonzero(d)
+    emit(yy, xx + 1, "left")
+    d = fg[:, :-1] & (lab[:, :-1] != lab[:, 1:])
+    yy, xx = np.nonzero(d)
+    emit(yy, xx, "right")
+
+    # seam candidates: fg border pixels facing out of the tile
+    cands = []  # (label, value, gpx, gpy, dir)
+    edges = (
+        (0, np.nonzero(fg[0, :])[0], None),      # top row, dir up
+        (1, np.nonzero(fg[th - 1, :])[0], None),  # bottom row, dir down
+        (2, np.nonzero(fg[:, 0])[0], None),       # left col, dir left
+        (3, np.nonzero(fg[:, tw - 1])[0], None),  # right col, dir right
+    )
+    for dcode, idx, _ in edges:
+        if len(idx) == 0:
+            continue
+        if dcode == 0:
+            py_, px_ = np.zeros(len(idx), dtype=np.int64), idx
+        elif dcode == 1:
+            py_, px_ = np.full(len(idx), th - 1, dtype=np.int64), idx
+        elif dcode == 2:
+            py_, px_ = idx, np.zeros(len(idx), dtype=np.int64)
+        else:
+            py_, px_ = idx, np.full(len(idx), tw - 1, dtype=np.int64)
+        cands.append((
+            lab[py_, px_], vals[py_, px_], px_ + x0, py_ + y0,
+            np.full(len(idx), dcode),
+        ))
+    return segs, cands
+
+
 def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
-                 grid_w: int, background: float | None):
-    """One pass per tile: per-tile label summaries (kind 0) + border pixels
-    (kind 1) in a union schema, so the (possibly expensive) input lineage
-    runs exactly once."""
-    cols = [c.split()[0] for c in _PIECE_SCHEMA.split(", ")]
+                 grid_w: int, background: float | None,
+                 want_segments: bool):
+    """One pass per tile: label summaries (0), border pixels (1), and —
+    when ring tracing — boundary segments (2) + seam candidates (3)."""
     for b in tiles_pdf_iter:
         outs = []
         for _, row in b.iterrows():
@@ -106,6 +202,8 @@ def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
             # globalize: label = global index of the component seed pixel
             ly, lx = np.divmod(lab[fg], tw)
             glab = (y0 + ly) * grid_w + (x0 + lx)
+            glob = np.full(lab.shape, -1, dtype=np.int64)
+            glob[fg] = glab
             py, px = np.nonzero(fg)
             gx = px + x0
             gy = py + y0
@@ -117,40 +215,35 @@ def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
                 min_py=("gy", "min"), max_px=("gx", "max"),
                 max_py=("gy", "max"),
             )
-            agg["kind"] = 0
-            agg["px"] = -1
-            agg["py"] = -1
-            outs.append(agg[cols])
+            outs.append(_piece_frame(
+                kind=0, label=agg["label"], value=agg["value"],
+                n_pixels=agg["n_pixels"], min_px=agg["min_px"],
+                min_py=agg["min_py"], max_px=agg["max_px"],
+                max_py=agg["max_py"],
+            ))
             edge = (px == 0) | (px == tw - 1) | (py == 0) | (py == th - 1)
-            bord = pd.DataFrame({
-                "kind": 1, "label": glab[edge], "value": vals[fg][edge],
-                "n_pixels": 0, "min_px": -1, "min_py": -1,
-                "max_px": -1, "max_py": -1,
-                "px": gx[edge], "py": gy[edge],
-            })
-            outs.append(bord[cols])
+            outs.append(_piece_frame(
+                kind=1, label=glab[edge], value=vals[fg][edge],
+                px=gx[edge], py=gy[edge],
+            ))
+            if want_segments:
+                segs, cands = _tile_segments(glob, vals, x0, y0)
+                for la, sx, sy, ex, ey in segs:
+                    outs.append(_piece_frame(
+                        kind=2, label=la, sx=sx, sy=sy, ex=ex, ey=ey,
+                    ))
+                for la, vv, cx, cy, dcode in cands:
+                    outs.append(_piece_frame(
+                        kind=3, label=la, value=vv, px=cx, py=cy, dir=dcode,
+                    ))
         if outs:
             yield pd.concat(outs, ignore_index=True)
         else:
-            yield pd.DataFrame({c: [] for c in cols})
+            yield pd.DataFrame({c: [] for c in _PIECE_COLS})
 
 
-def polygonize(
-    tiles: DataFrame,
-    spark: SparkSession,
-    grid_w: int,
-    tile: int = 64,
-    background: float | None = 0.0,
-) -> DataFrame:
-    """Tile table -> component table (value, n_pixels, pixel bbox)."""
-
-    def pieces_fn(it):
-        yield from _tile_pieces(it, tile, grid_w, background)
-
-    cols = ["tile_x", "tile_y", "tile_w", "tile_h", "pixels"]
-    pieces = tiles.select(cols).mapInPandas(
-        pieces_fn, schema=_PIECE_SCHEMA
-    ).persist()
+def _component_mapping(pieces: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(labels summary DF, label->component mapping DF) from the pieces."""
     labels = pieces.where(F.col("kind") == 0).select(
         "label", "value", "n_pixels", "min_px", "min_py", "max_px", "max_py"
     )
@@ -176,44 +269,272 @@ def polygonize(
             (F.col("va") == F.col("vb")) & (F.col("la") != F.col("lb"))
         ).select("la", "lb")
 
-    edges = adj(1, 0).unionByName(adj(0, 1)).distinct()
+    edges = adj(1, 0).unionByName(adj(0, 1))
+    mapping = connected_components(edges)
+    return labels, mapping
 
-    # Driver-side union-find over the small edge list (see module docstring
-    # for the 10^12-px replacement).
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+def polygonize(
+    tiles: DataFrame,
+    spark: SparkSession,
+    grid_w: int,
+    tile: int = 64,
+    background: float | None = 0.0,
+) -> DataFrame:
+    """Tile table -> component table (value, n_pixels, pixel bbox).
 
-    for r in edges.collect():
-        ra, rb = find(r["la"]), find(r["lb"])
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
+    Fully distributed: the label merge runs as large-star/small-star
+    DataFrame rounds (operators.components); nothing collects to the driver.
+    """
 
-    roots = {x: find(x) for x in list(parent)}
-    if roots:
-        mapping = spark.createDataFrame(
-            [(k, v) for k, v in roots.items()], "label long, component long"
-        )
-        labeled = labels.join(F.broadcast(mapping), "label", "left").withColumn(
+    def pieces_fn(it):
+        yield from _tile_pieces(it, tile, grid_w, background, False)
+
+    cols = ["tile_x", "tile_y", "tile_w", "tile_h", "pixels"]
+    pieces = tiles.select(cols).mapInPandas(
+        pieces_fn, schema=_PIECE_SCHEMA
+    ).persist()
+    try:
+        labels, mapping = _component_mapping(pieces)
+        labeled = labels.join(mapping, "label", "left").withColumn(
             "component", F.coalesce("component", "label")
         )
-    else:
-        labeled = labels.withColumn("component", F.col("label"))
-
-    return (
-        labeled.groupBy("component", "value")
-        .agg(
-            F.sum("n_pixels").alias("n_pixels"),
-            F.min("min_px").alias("min_px"),
-            F.min("min_py").alias("min_py"),
-            F.max("max_px").alias("max_px"),
-            F.max("max_py").alias("max_py"),
+        out = (
+            labeled.groupBy("component", "value")
+            .agg(
+                F.sum("n_pixels").alias("n_pixels"),
+                F.min("min_px").alias("min_px"),
+                F.min("min_py").alias("min_py"),
+                F.max("max_px").alias("max_px"),
+                F.max("max_py").alias("max_py"),
+            )
         )
+        # materialize before unpersist so the cached pieces are actually used
+        out = out.localCheckpoint()
+    finally:
+        pieces.unpersist()
+    return out
+
+
+# ring stitching -------------------------------------------------------------
+
+_RING_SCHEMA = (
+    "component long, value double, n_pixels long, n_rings int, "
+    "area_px double, wkb binary"
+)
+
+
+def _stitch_rings(segs: np.ndarray) -> list[np.ndarray]:
+    """Directed unit segments (sx,sy,ex,ey) -> closed rings (vertex arrays).
+
+    Interior is on the left; at a 4-way pixel-corner junction the walk takes
+    the leftmost turn, which keeps every ring simple (self-touching
+    components split into multiple rings; emitted as MultiPolygon parts).
+    """
+    n = len(segs)
+    start_key = segs[:, 0] * (1 << 32) + segs[:, 1]
+    order = np.argsort(start_key, kind="stable")
+    sorted_keys = start_key[order]
+    used = np.zeros(n, dtype=bool)
+
+    def outgoing(x: int, y: int) -> list[int]:
+        k = x * (1 << 32) + y
+        i = np.searchsorted(sorted_keys, k, side="left")
+        out = []
+        while i < n and sorted_keys[i] == k:
+            j = order[i]
+            if not used[j]:
+                out.append(j)
+            i += 1
+        return out
+
+    rings = []
+    for s0 in range(n):
+        if used[s0]:
+            continue
+        used[s0] = True
+        sx, sy, ex, ey = segs[s0]
+        ring = [(sx, sy), (ex, ey)]
+        dx, dy = ex - sx, ey - sy
+        while (ring[-1] != ring[0]):
+            cx, cy = ring[-1]
+            cand = outgoing(cx, cy)
+            if not cand:
+                break  # malformed (shouldn't happen on closed boundaries)
+            if len(cand) == 1:
+                j = cand[0]
+            else:
+                # leftmost turn first: cross(d_in, d_out) desc, then dot desc
+                def turn_rank(j):
+                    ox, oy = segs[j, 2] - cx, segs[j, 3] - cy
+                    cross = dx * oy - dy * ox
+                    dot = dx * ox + dy * oy
+                    return (-cross, -dot)
+                j = min(cand, key=turn_rank)
+            used[j] = True
+            nx, ny = int(segs[j, 2]), int(segs[j, 3])
+            ring.append((nx, ny))
+            dx, dy = nx - cx, ny - cy
+        if len(ring) >= 4 and ring[-1] == ring[0]:
+            arr = np.asarray(ring, dtype=np.float64)
+            # drop collinear runs (unit segments along a straight edge)
+            d = np.diff(arr, axis=0)
+            keep = np.ones(len(arr), dtype=bool)
+            same = (d[1:] == d[:-1]).all(axis=1)
+            keep[1:-1] = ~same
+            rings.append(arr[keep])
+    return rings
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
+    inside = G.points_in_rings(
+        np.array([pt[0]]), np.array([pt[1]]), [ring]
     )
+    return bool(inside[0])
+
+
+def polygonize_rings(
+    tiles: DataFrame,
+    spark: SparkSession,
+    grid_w: int,
+    tile: int = 64,
+    background: float | None = 0.0,
+    gt: tuple[float, float, float, float, float, float] | None = None,
+) -> DataFrame:
+    """Tile table -> polygon features (component, value, n_pixels, n_rings,
+    area_px, wkb MultiPolygon).
+
+    ``area_px`` (outer minus holes, in pixel units) equals ``n_pixels``
+    exactly — the shoelace identity the driver oracle checks. ``gt`` maps
+    ring vertices (pixel corners) to world coordinates; None keeps pixel
+    coordinates.
+    """
+
+    def pieces_fn(it):
+        yield from _tile_pieces(it, tile, grid_w, background, True)
+
+    cols = ["tile_x", "tile_y", "tile_w", "tile_h", "pixels"]
+    pieces = tiles.select(cols).mapInPandas(
+        pieces_fn, schema=_PIECE_SCHEMA
+    ).persist()
+    try:
+        labels, mapping = _component_mapping(pieces)
+        borders = pieces.where(F.col("kind") == 1).select(
+            "px", "py", "value", "label"
+        )
+        inner_segs = pieces.where(F.col("kind") == 2).select(
+            "label", "sx", "sy", "ex", "ey"
+        )
+
+        # seam candidates survive when the across-seam neighbor is absent or
+        # differently valued; then convert (px, py, dir) to a directed segment
+        cand = pieces.where(F.col("kind") == 3).select(
+            "label", "value", "px", "py", "dir"
+        )
+        nx = (
+            F.when(F.col("dir") == 2, F.col("px") - 1)
+            .when(F.col("dir") == 3, F.col("px") + 1)
+            .otherwise(F.col("px"))
+        )
+        ny = (
+            F.when(F.col("dir") == 0, F.col("py") - 1)
+            .when(F.col("dir") == 1, F.col("py") + 1)
+            .otherwise(F.col("py"))
+        )
+        cand = cand.withColumn("jx", nx).withColumn("jy", ny)
+        nb = borders.select(
+            F.col("px").alias("jx"), F.col("py").alias("jy"),
+            F.col("value").alias("vn"),
+        )
+        seam = cand.join(nb, ["jx", "jy"], "left").where(
+            F.col("vn").isNull() | (F.col("vn") != F.col("value"))
+        )
+        seam_segs = seam.select(
+            "label",
+            F.when(F.col("dir") == 1, F.col("px") + 1)
+            .when(F.col("dir") == 3, F.col("px") + 1)
+            .otherwise(F.col("px")).alias("sx"),
+            F.when(F.col("dir") == 2, F.col("py") + 1)
+            .when(F.col("dir") == 1, F.col("py") + 1)
+            .otherwise(F.col("py")).alias("sy"),
+            F.when(F.col("dir") == 0, F.col("px") + 1)
+            .when(F.col("dir") == 1, F.col("px"))
+            .when(F.col("dir") == 2, F.col("px"))
+            .otherwise(F.col("px") + 1).alias("ex"),
+            F.when(F.col("dir") == 0, F.col("py"))
+            .when(F.col("dir") == 1, F.col("py") + 1)
+            .when(F.col("dir") == 2, F.col("py"))
+            .otherwise(F.col("py") + 1).alias("ey"),
+        )
+
+        all_segs = inner_segs.unionByName(seam_segs)
+        segs_c = all_segs.join(mapping, "label", "left").withColumn(
+            "component", F.coalesce("component", "label")
+        )
+
+        comp_stats = (
+            labels.join(mapping, "label", "left")
+            .withColumn("component", F.coalesce("component", "label"))
+            .groupBy("component", "value")
+            .agg(F.sum("n_pixels").alias("n_pixels"))
+        )
+
+        joined = segs_c.select("component", "sx", "sy", "ex", "ey").join(
+            comp_stats, "component"
+        )
+
+        g = gt
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            comp = int(key[0])
+            value = float(pdf["value"].iloc[0])
+            n_pixels = int(pdf["n_pixels"].iloc[0])
+            segs = pdf[["sx", "sy", "ex", "ey"]].to_numpy(np.int64)
+            rings = _stitch_rings(segs)
+            pos, neg = [], []
+            for r in rings:
+                a = _ring_area(r)
+                (pos if a > 0 else neg).append((a, r))
+            # assign each hole to the outer ring containing it; probe from a
+            # hole-segment midpoint nudged to the interior (left) side so the
+            # ray cast never grazes a shared grid corner
+            polys: list[list[np.ndarray]] = [[r] for _, r in pos]
+            for a, hole in neg:
+                v0, v1 = hole[0], hole[1]
+                d = v1 - v0
+                nrm = float(np.hypot(d[0], d[1])) or 1.0
+                probe = (v0 + v1) / 2.0 + np.array([-d[1], d[0]]) / (2.0 * nrm)
+                for i, (_, outer) in enumerate(pos):
+                    if _point_in_ring(probe, outer):
+                        polys[i].append(hole)
+                        break
+            area = sum(a for a, _ in pos) + sum(a for a, _ in neg)
+            if g is not None:
+                polys = [
+                    [
+                        np.column_stack([
+                            g[0] + r[:, 0] * g[1] + r[:, 1] * g[2],
+                            g[3] + r[:, 0] * g[4] + r[:, 1] * g[5],
+                        ])
+                        for r in rings_
+                    ]
+                    for rings_ in polys
+                ]
+            wkb = G.wkb_multipolygon(polys)
+            return pd.DataFrame([{
+                "component": comp, "value": value, "n_pixels": n_pixels,
+                "n_rings": int(len(rings)), "area_px": float(area),
+                "wkb": bytearray(wkb),
+            }])
+
+        out = joined.groupBy("component").applyInPandas(
+            assemble, schema=_RING_SCHEMA
+        ).localCheckpoint()
+    finally:
+        pieces.unpersist()
+    return out

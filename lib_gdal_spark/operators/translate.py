@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lib_gdal_spark.kernels import resample as R
-from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+from lib_gdal_spark.sources.rasters import RASTER_COLS, RASTER_SCHEMA
 
 
 def translate_window(
@@ -84,9 +84,7 @@ def translate_window(
                     og3 + yoff * g[5], 0.0, g[5] * ys / oh,
                 )
         if gt is None:
-            return pd.DataFrame(
-                columns=[f.name for f in RASTER_SCHEMA.fields]
-            )
+            return pd.DataFrame(columns=RASTER_COLS)
         if (ow, oh) != (xs, ys):
             if alg == "average":
                 window = R.overview_average(window, (oh, ow))

@@ -39,6 +39,8 @@ RASTER_SCHEMA = (
     "nodata double, pixels array<double>"
 )
 
+RASTER_COLS = [c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+
 
 def byte20() -> np.ndarray:
     """The canonical 20×20 uint8 raster (checksum 4672)."""
