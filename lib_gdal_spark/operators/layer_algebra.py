@@ -1,21 +1,23 @@
-"""OGR layer algebra: Intersection / Clip as distributed cell-join overlays.
+"""OGR layer algebra as distributed cell-join overlays — GENERAL geometry.
 
-Reference semantics: ``drivers/ogrlayer.cpp:2062`` (Intersection, pairwise
-nested loop with spatial-filter pushdown + envelope pre-test) and ``:3820``
-(Clip: input ∩ union(method), keeping input attributes). Spark shape
+Reference semantics: ``drivers/ogrlayer.cpp:2062`` (Intersection), ``:2408``
+(Union), ``:2838`` (SymDifference), ``:3183`` (Identity), ``:3528``
+(Update), ``:3820`` (Clip), ``:4079`` (Erase) — pairwise nested loops with
+spatial-filter pushdown + envelope pre-test over GEOS. Spark shape
 (SURVEY.md §2.3):
 
 1. both layers explode to covering cells of their envelopes at ``res``;
 2. equi-join on cell -> candidate (input, method) pairs, deduplicated;
 3. native envelope-overlap pre-test (the ``ogrlayer.cpp:1377`` shortcut)
    prunes inside codegen;
-4. exact geometry clip in an Arrow-batched UDF.
+4. exact geometry boolean in an Arrow-batched UDF — the slab-decomposition
+   kernel (``functions/overlay.py``) handles **arbitrary simple polygons
+   with holes**, concave included (round-2: the round-1 convex-only
+   restriction and the Erase driver-side collect are gone).
 
-Round-1 geometry scope: method polygons must be **convex** (the
-Sutherland–Hodgman kernel, ``geometry.clip_ring_convex``); input polygons
-are arbitrary simple rings (holes clipped per-ring). The remaining overlay
-modes (Union/SymDifference/Identity/Update/Erase) need a general polygon
-difference and are planned on the same join skeleton.
+The method layer is broadcast (the common shape: a big feature table
+against a small zone layer), so the big side never shuffles; features
+without candidate pairs pass through via a left-anti join.
 """
 
 from __future__ import annotations
@@ -29,10 +31,19 @@ from pyspark.sql import functions as F
 
 from lib_gdal_spark.functions import cells as C
 from lib_gdal_spark.functions import geometry as G
+from lib_gdal_spark.functions import overlay as OV
 
-_PAIR_SCHEMA = (
-    "in_fid long, m_fid long, geom_wkb binary, area double"
-)
+_PAIR_SCHEMA = "in_fid long, m_fid long, geom_wkb binary, area double"
+_ERASE_SCHEMA = "in_fid long, geom_wkb binary, area double"
+
+
+def _rings_of(wkb: bytes) -> list[np.ndarray]:
+    gtype, payload = G.parse_wkb(wkb)
+    if gtype == G.WKB_POLYGON:
+        return payload
+    if gtype == G.WKB_MULTIPOLYGON:
+        return [r for poly in payload for r in poly]
+    raise ValueError(f"layer algebra expects polygons, got WKB type {gtype}")
 
 
 def _cover_cells(df: DataFrame, res: int, fid_col: str) -> DataFrame:
@@ -64,20 +75,13 @@ def _cover_cells(df: DataFrame, res: int, fid_col: str) -> DataFrame:
     )
 
 
-def intersection(
-    input_layer: DataFrame,
-    method_layer: DataFrame,
-    res: int = 6,
+def _candidate_pairs(
+    input_layer: DataFrame, method_layer: DataFrame, res: int
 ) -> DataFrame:
-    """Pairwise intersection -> (in_fid, m_fid, geom_wkb, area).
-
-    ``input_layer``/``method_layer``: (fid long, geom_wkb binary). The
-    method layer is assumed broadcastable (the common overlay shape: a big
-    feature table against a small zone layer).
-    """
+    """(in_fid, m_fid) candidates: cell equi-join + envelope pre-test."""
     icov = _cover_cells(input_layer, res, "fid").withColumnRenamed("fid", "in_fid")
     mcov = _cover_cells(method_layer, res, "fid").withColumnRenamed("fid", "m_fid")
-    pairs = (
+    return (
         icov.alias("a")
         .join(F.broadcast(mcov.alias("b")), F.col("a.cell") == F.col("b.cell"))
         # envelope-overlap pre-test, native (ogrlayer.cpp:1377)
@@ -90,6 +94,19 @@ def intersection(
         .select("in_fid", "m_fid")
         .distinct()
     )
+
+
+def intersection(
+    input_layer: DataFrame,
+    method_layer: DataFrame,
+    res: int = 6,
+) -> DataFrame:
+    """Pairwise intersection -> (in_fid, m_fid, geom_wkb, area).
+
+    ``input_layer``/``method_layer``: (fid long, geom_wkb binary); arbitrary
+    simple polygons with holes on BOTH sides.
+    """
+    pairs = _candidate_pairs(input_layer, method_layer, res)
     igeo = input_layer.select(F.col("fid").alias("in_fid"),
                               F.col("geom_wkb").alias("in_wkb"))
     mgeo = F.broadcast(method_layer.select(F.col("fid").alias("m_fid"),
@@ -100,21 +117,17 @@ def intersection(
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                m_rings = G.polygon_rings(bytes(r["m_wkb"]))
-                clip_ring = m_rings[0]  # convex method polygon, no holes
-                out_rings = []
-                for ring in G.polygon_rings(bytes(r["in_wkb"])):
-                    c = G.clip_ring_convex(ring, clip_ring)
-                    if c is not None:
-                        out_rings.append(c)
-                if not out_rings:
-                    continue
-                area = G.shoelace_area(out_rings)
-                if area <= 0.0:
+                polys = OV.boolean_op(
+                    _rings_of(bytes(r["in_wkb"])),
+                    _rings_of(bytes(r["m_wkb"])),
+                    "intersection",
+                )
+                area = OV.polys_area(polys)
+                if not polys or area <= 0.0:
                     continue
                 rows.append({
                     "in_fid": r["in_fid"], "m_fid": r["m_fid"],
-                    "geom_wkb": G.wkb_polygon(out_rings),
+                    "geom_wkb": G.wkb_multipolygon(polys),
                     "area": area,
                 })
             yield pd.DataFrame(
@@ -124,60 +137,81 @@ def intersection(
     return cand.mapInPandas(clip_batch, schema=_PAIR_SCHEMA)
 
 
+def _normalize_area(wkb: bytes) -> tuple[list, float]:
+    """Polys + area of a standalone feature (even-odd normalization)."""
+    polys = OV.boolean_op(_rings_of(wkb), [], "union")
+    return polys, OV.polys_area(polys)
+
+
 def erase(
     input_layer: DataFrame,
     method_layer: DataFrame,
+    res: int = 6,
 ) -> DataFrame:
     """OGR Erase (ogrlayer.cpp:4079): input minus union(method), input attrs.
 
-    Method polygons must be convex (the convex-difference decomposition,
-    ``geometry.erase_ring_convex``); the method layer is collected as the
-    broadcast dim (zone-layer shape), so the big input side never shuffles —
-    one mapInPandas pass with per-feature envelope pre-tests. Output one row
-    per surviving input feature: (in_fid, geom_wkb MultiPolygon, area);
-    fully-erased features are dropped (reference emits no empty features).
+    Round-2: general method polygons (concave/holed) via the slab-boolean
+    kernel, and the method layer rides the cell-cover broadcast join — the
+    round-1 ``collect()`` of the whole method layer to the driver is gone.
+    Output one row per surviving input feature: (in_fid, geom_wkb
+    MultiPolygon, area); fully-erased features are dropped (the reference
+    emits no empty features).
     """
-    methods = [
-        (G.envelope(bytes(r["geom_wkb"])),
-         G.polygon_rings(bytes(r["geom_wkb"]))[0])
-        for r in method_layer.select("geom_wkb").collect()
-    ]
+    pairs = _candidate_pairs(input_layer, method_layer, res)
+    igeo = input_layer.select(F.col("fid").alias("in_fid"),
+                              F.col("geom_wkb").alias("in_wkb"))
+    mgeo = F.broadcast(method_layer.select(F.col("fid").alias("m_fid"),
+                                           F.col("geom_wkb").alias("m_wkb")))
+    cand = pairs.join(igeo, "in_fid").join(mgeo, "m_fid")
 
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def subtract(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        in_fid = int(key[0])
+        cur = _rings_of(bytes(pdf["in_wkb"].iloc[0]))
+        for _, r in pdf.sort_values("m_fid").iterrows():
+            polys = OV.boolean_op(
+                cur, _rings_of(bytes(r["m_wkb"])), "difference"
+            )
+            cur = [ring for poly in polys for ring in poly]
+            if not cur:
+                break
+        if not cur:
+            return pd.DataFrame(
+                columns=["in_fid", "geom_wkb", "area"]
+            )
+        polys = OV.boolean_op(cur, [], "union")
+        area = OV.polys_area(polys)
+        if area <= 0.0:
+            return pd.DataFrame(columns=["in_fid", "geom_wkb", "area"])
+        return pd.DataFrame([{
+            "in_fid": in_fid, "geom_wkb": G.wkb_multipolygon(polys),
+            "area": area,
+        }])
+
+    erased = cand.groupBy("in_fid").applyInPandas(
+        subtract, schema=_ERASE_SCHEMA
+    )
+
+    # features with no candidate method pass through unchanged
+    def passthrough(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                env = G.envelope(bytes(r["geom_wkb"]))
-                # hole-free inputs (each ring treated as its own polygon)
-                cur: list[list[np.ndarray]] = [
-                    [ring] for ring in G.polygon_rings(bytes(r["geom_wkb"]))
-                ]
-                for (menv, mring) in methods:
-                    if (env[0] > menv[2] or env[2] < menv[0]
-                            or env[1] > menv[3] or env[3] < menv[1]):
-                        continue
-                    nxt: list[list[np.ndarray]] = []
-                    for poly in cur:
-                        for ring in poly:
-                            for piece in G.erase_ring_convex(ring, mring):
-                                nxt.append([piece])
-                    cur = nxt
-                if not cur:
-                    continue
-                area = sum(G.shoelace_area(p) for p in cur)
-                if area <= 0.0:
-                    continue
+                polys, area = _normalize_area(bytes(r["geom_wkb"]))
                 rows.append({
                     "in_fid": r["fid"],
-                    "geom_wkb": G.wkb_multipolygon(cur),
+                    "geom_wkb": G.wkb_multipolygon(polys),
                     "area": area,
                 })
             yield pd.DataFrame(rows,
                                columns=["in_fid", "geom_wkb", "area"])
 
-    return input_layer.select("fid", "geom_wkb").mapInPandas(
-        work, schema="in_fid long, geom_wkb binary, area double"
-    )
+    untouched = input_layer.join(
+        pairs.select("in_fid").distinct(),
+        input_layer["fid"] == F.col("in_fid"),
+        "left_anti",
+    ).select("fid", "geom_wkb").mapInPandas(passthrough, schema=_ERASE_SCHEMA)
+
+    return erased.unionByName(untouched)
 
 
 def identity_overlay(
@@ -188,7 +222,7 @@ def identity_overlay(
     """OGR Identity (ogrlayer.cpp:3183): input split by the method layer —
     intersection pieces carry m_fid, the erased remainder carries NULL."""
     inter = intersection(input_layer, method_layer, res=res)
-    rem = erase(input_layer, method_layer).select(
+    rem = erase(input_layer, method_layer, res=res).select(
         "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
     )
     return inter.select("in_fid", "m_fid", "geom_wkb", "area").unionByName(rem)
@@ -197,10 +231,11 @@ def identity_overlay(
 def update_overlay(
     input_layer: DataFrame,
     method_layer: DataFrame,
+    res: int = 6,
 ) -> DataFrame:
     """OGR Update (ogrlayer.cpp:3528): method features replace overlapping
     input areas — erased input remainders plus the method features."""
-    rem = erase(input_layer, method_layer).select(
+    rem = erase(input_layer, method_layer, res=res).select(
         "in_fid", F.lit("input").alias("src"), "geom_wkb", "area"
     )
 
@@ -208,11 +243,11 @@ def update_overlay(
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                rings = G.polygon_rings(bytes(r["geom_wkb"]))
+                _, area = _normalize_area(bytes(r["geom_wkb"]))
                 rows.append({
                     "in_fid": r["fid"], "src": "method",
                     "geom_wkb": bytes(r["geom_wkb"]),
-                    "area": G.shoelace_area(rings),
+                    "area": area,
                 })
             yield pd.DataFrame(rows,
                                columns=["in_fid", "src", "geom_wkb", "area"])
@@ -226,14 +261,15 @@ def update_overlay(
 def sym_difference(
     input_layer: DataFrame,
     method_layer: DataFrame,
+    res: int = 6,
 ) -> DataFrame:
     """OGR SymDifference (ogrlayer.cpp:2838): areas in exactly one layer.
-    Requires both layers convex (each direction erases by the other)."""
-    a = erase(input_layer, method_layer).select(
+    Arbitrary polygons both sides (each direction erases by the other)."""
+    a = erase(input_layer, method_layer, res=res).select(
         F.col("in_fid").alias("fid"), F.lit("input").alias("src"),
         "geom_wkb", "area",
     )
-    b = erase(method_layer, input_layer).select(
+    b = erase(method_layer, input_layer, res=res).select(
         F.col("in_fid").alias("fid"), F.lit("method").alias("src"),
         "geom_wkb", "area",
     )
@@ -246,14 +282,14 @@ def union_overlay(
     res: int = 6,
 ) -> DataFrame:
     """OGR Union (ogrlayer.cpp:2408): the overlay split — A∩B pieces plus
-    A\\B plus B\\A (both layers convex for the difference directions)."""
+    A\\B plus B\\A (arbitrary polygons both sides)."""
     inter = intersection(input_layer, method_layer, res=res).select(
         "in_fid", "m_fid", "geom_wkb", "area"
     )
-    a = erase(input_layer, method_layer).select(
+    a = erase(input_layer, method_layer, res=res).select(
         "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
     )
-    b = erase(method_layer, input_layer).select(
+    b = erase(method_layer, input_layer, res=res).select(
         F.lit(None).cast("long").alias("in_fid"),
         F.col("in_fid").alias("m_fid"), "geom_wkb", "area",
     )
@@ -267,19 +303,26 @@ def clip(
 ) -> DataFrame:
     """OGR Clip (ogrlayer.cpp:3820): input ∩ union(method), input attrs.
 
-    With disjoint method polygons (the typical zone layer) the union is the
-    concatenation of per-method pieces; the result keeps one row per
-    (in_fid) with total clipped area and a MultiPolygon of the pieces.
+    Per-method pieces merge per input feature with a sequential boolean
+    union, so overlapping method polygons do not double-count.
     """
     pieces = intersection(input_layer, method_layer, res=res)
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = [G.polygon_rings(bytes(w)) for w in pdf["geom_wkb"]]
+        cur: list[np.ndarray] = []
+        for w in pdf.sort_values("m_fid")["geom_wkb"]:
+            rings = _rings_of(bytes(w))
+            if not cur:
+                cur = rings
+            else:
+                polys = OV.boolean_op(cur, rings, "union")
+                cur = [r for poly in polys for r in poly]
+        polys = OV.boolean_op(cur, [], "union")
         return pd.DataFrame([{
             "in_fid": key[0],
             "geom_wkb": G.wkb_multipolygon(polys),
-            "area": float(pdf["area"].sum()),
-            "n_pieces": len(polys),
+            "area": OV.polys_area(polys),
+            "n_pieces": int(len(pdf)),
         }])
 
     return pieces.groupBy("in_fid").applyInPandas(
