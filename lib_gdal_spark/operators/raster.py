@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -328,6 +330,198 @@ def mercator_warp_tasks(
         )).alias("src_ty"),
     )
     return task_df
+
+
+def warp_to_crs_tiles_dist(
+    tiles: DataFrame,
+    dst_gt: tuple[float, float, float, float, float, float],
+    dst_w: int,
+    dst_h: int,
+    inverse,
+    alg: str = "nearest",
+    tile: int = 64,
+    raster_id: str | None = None,
+    out_id: str | None = None,
+    edge_samples: int = 7,
+) -> DataFrame:
+    """gdalwarp into an ARBITRARY target CRS grid (round-2, VERDICT #3).
+
+    ``inverse(x, y) -> (lon, lat)`` maps dst-CRS coordinates back to the
+    source's geographic space (e.g. ``crs.utm_zone(31).inverse``). The dst
+    grid is (dst_gt, dst_w, dst_h) in the target CRS, cut into ``tile``
+    tiles.
+
+    Shape: dst tile keys come from ``spark.range``; each dst tile computes
+    its source window inside a *distributed* Arrow batch by inverse-mapping
+    ``edge_samples`` points per tile edge (the role of gdalwarp's 21-point
+    ``ComputeSourceWindow`` sampling, ``core/alg/gdalwarpoperation.cpp:
+    2304``), then explodes the covering source tile keys; the join ships
+    only O(window) pixels per dst tile and the kernel resamples with global
+    -coordinate exactness. No driver-side loops at any grid size.
+    """
+    src = tiles if raster_id is None else tiles.where(
+        F.col("raster_id") == raster_id
+    )
+    spark = tiles.sparkSession
+    agg = src.groupBy("raster_id", "band").agg(
+        F.max("tile_x").alias("mtx"), F.max("tile_y").alias("mty"),
+        F.max("tile_w").alias("tw"), F.max("tile_h").alias("th"),
+        F.max_by("tile_w", "tile_x").alias("last_w"),
+        F.max_by("tile_h", "tile_y").alias("last_h"),
+        F.first("dtype").alias("src_dtype"),
+        F.min_by(
+            F.struct("tile_x", "tile_y", "gt0", "gt1", "gt2", "gt3",
+                     "gt4", "gt5"),
+            F.struct("tile_x", "tile_y"),
+        ).alias("anchor"),
+    ).collect()
+    meta_rows = []
+    for r in agg:
+        tw, th = int(r["tw"]), int(r["th"])
+        W = int(r["mtx"]) * tw + int(r["last_w"])
+        H = int(r["mty"]) * th + int(r["last_h"])
+        a = r["anchor"]
+        ax, ay = int(a["tile_x"]) * tw, int(a["tile_y"]) * th
+        gt = (
+            a["gt0"] - ax * a["gt1"] - ay * a["gt2"], a["gt1"], a["gt2"],
+            a["gt3"] - ax * a["gt4"] - ay * a["gt5"], a["gt4"], a["gt5"],
+        )
+        meta_rows.append((r["raster_id"], int(r["band"]), tw, th, W, H,
+                          r["src_dtype"], *map(float, gt)))
+    meta_df = spark.createDataFrame(
+        meta_rows,
+        "raster_id string, band int, tw_nom int, th_nom int, "
+        "full_w int, full_h int, src_dtype string, "
+        "g0 double, g1 double, g2 double, g3 double, g4 double, g5 double",
+    )
+    ntx = (dst_w + tile - 1) // tile
+    nty = (dst_h + tile - 1) // tile
+    margin = _WARP_MARGIN.get(alg, 2)
+
+    dst = spark.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("int").alias("dst_x"),
+        (F.col("id") / ntx).cast("int").alias("dst_y"),
+    ).crossJoin(F.broadcast(meta_df))
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # border samples of the unit tile in pixel space
+        s = np.linspace(0.0, 1.0, edge_samples)
+        ex = np.concatenate([s, s, np.zeros_like(s), np.ones_like(s)])
+        ey = np.concatenate([np.zeros_like(s), np.ones_like(s), s, s])
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                tx, ty = int(r["dst_x"]), int(r["dst_y"])
+                x0px, y0px = tx * tile, ty * tile
+                twd = min(tile, dst_w - x0px)
+                thd = min(tile, dst_h - y0px)
+                px = x0px + ex * twd
+                py = y0px + ey * thd
+                gx = dst_gt[0] + px * dst_gt[1] + py * dst_gt[2]
+                gy = dst_gt[3] + px * dst_gt[4] + py * dst_gt[5]
+                lon, lat = inverse(gx, gy)
+                ok = np.isfinite(lon) & np.isfinite(lat)
+                if not ok.any():
+                    continue
+                gt = tuple(float(r[f"g{i}"]) for i in range(6))
+                inv = R.gt_invert(gt)
+                sx, sy = R.gt_apply(inv, lon[ok], lat[ok])
+                W, H = int(r["full_w"]), int(r["full_h"])
+                wx0 = max(int(np.floor(sx.min())) - margin, 0)
+                wx1 = min(int(np.ceil(sx.max())) + margin, W)
+                wy0 = max(int(np.floor(sy.min())) - margin, 0)
+                wy1 = min(int(np.ceil(sy.max())) + margin, H)
+                if wx1 <= wx0 or wy1 <= wy0:
+                    continue
+                tw, th = int(r["tw_nom"]), int(r["th_nom"])
+                for sty in range(wy0 // th, (wy1 - 1) // th + 1):
+                    for stx in range(wx0 // tw, (wx1 - 1) // tw + 1):
+                        rows.append({
+                            "raster_id": r["raster_id"], "band": int(r["band"]),
+                            "dst_x": tx, "dst_y": ty,
+                            "src_tx": stx, "src_ty": sty,
+                            "wx0": wx0, "wy0": wy0, "wx1": wx1, "wy1": wy1,
+                            "full_w": W, "full_h": H,
+                            "tw_nom": tw, "th_nom": th,
+                            "src_dtype": r["src_dtype"],
+                            **{f"g{i}": float(r[f"g{i}"]) for i in range(6)},
+                        })
+            cols = ["raster_id", "band", "dst_x", "dst_y", "src_tx",
+                    "src_ty", "wx0", "wy0", "wx1", "wy1", "full_w",
+                    "full_h", "tw_nom", "th_nom", "src_dtype",
+                    "g0", "g1", "g2", "g3", "g4", "g5"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    task_df = dst.mapInPandas(
+        windows,
+        schema="raster_id string, band int, dst_x int, dst_y int, "
+               "src_tx int, src_ty int, wx0 int, wy0 int, wx1 int, wy1 int, "
+               "full_w int, full_h int, tw_nom int, th_nom int, "
+               "src_dtype string, g0 double, g1 double, g2 double, "
+               "g3 double, g4 double, g5 double",
+    )
+    joined = task_df.join(
+        src.select("raster_id", "band",
+                   F.col("tile_x").alias("src_tx"),
+                   F.col("tile_y").alias("src_ty"),
+                   "tile_w", "tile_h", "pixels"),
+        ["raster_id", "band", "src_tx", "src_ty"],
+    )
+
+    def warp_dst(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, txd, tyd = key[0], int(key[1]), int(key[2]), int(key[3])
+        r0 = pdf.iloc[0]
+        wx0, wy0 = int(r0["wx0"]), int(r0["wy0"])
+        wx1, wy1 = int(r0["wx1"]), int(r0["wy1"])
+        W, H = int(r0["full_w"]), int(r0["full_h"])
+        gt = tuple(float(r0[f"g{i}"]) for i in range(6))
+        window = np.full((wy1 - wy0, wx1 - wx0), np.nan, dtype=np.float64)
+        for _, row in pdf.iterrows():
+            tw, th = int(row["tile_w"]), int(row["tile_h"])
+            arr = np.asarray(row["pixels"], dtype=np.float64).reshape(th, tw)
+            gx0 = int(row["src_tx"]) * int(r0["tw_nom"])
+            gy0 = int(row["src_ty"]) * int(r0["th_nom"])
+            sy0, sx0 = max(0, wy0 - gy0), max(0, wx0 - gx0)
+            sy1 = min(th, wy1 - gy0)
+            sx1 = min(tw, wx1 - gx0)
+            if sy1 <= sy0 or sx1 <= sx0:
+                continue
+            window[gy0 + sy0 - wy0 : gy0 + sy1 - wy0,
+                   gx0 + sx0 - wx0 : gx0 + sx1 - wx0] = arr[sy0:sy1, sx0:sx1]
+        x0px, y0px = txd * tile, tyd * tile
+        twd = min(tile, dst_w - x0px)
+        thd = min(tile, dst_h - y0px)
+        tile_gt = (
+            dst_gt[0] + x0px * dst_gt[1] + y0px * dst_gt[2],
+            dst_gt[1], dst_gt[2],
+            dst_gt[3] + x0px * dst_gt[4] + y0px * dst_gt[5],
+            dst_gt[4], dst_gt[5],
+        )
+        if alg in R.AGG_ALGS:
+            out = R.warp_tile_stat(
+                window, gt, (thd, twd), tile_gt, stat=alg,
+                dtype=r0["src_dtype"], transform=inverse,
+                src_origin=(wx0, wy0), src_full_shape=(H, W),
+            )
+        else:
+            out = R.warp_tile(
+                window, gt, (thd, twd), tile_gt, alg=alg,
+                dtype=r0["src_dtype"], transform=inverse,
+                src_origin=(wx0, wy0), src_full_shape=(H, W),
+            )
+        return pd.DataFrame([
+            dict(raster_id=(out_id or rid), band=band, zoom=0,
+                 tile_x=txd, tile_y=tyd,
+                 dtype=r0["src_dtype"], tile_w=twd, tile_h=thd,
+                 gt0=tile_gt[0], gt1=tile_gt[1], gt2=tile_gt[2],
+                 gt3=tile_gt[3], gt4=tile_gt[4], gt5=tile_gt[5],
+                 nodata=None,
+                 pixels=out.astype(np.float64).ravel().tolist())
+        ])
+
+    return joined.groupBy("raster_id", "band", "dst_x", "dst_y").applyInPandas(
+        warp_dst, schema=RASTER_SCHEMA
+    )
 
 
 def warp_to_mercator_tiles(

@@ -1,0 +1,79 @@
+"""CRS transforms: independent oracles without pyproj.
+
+- f=0 degeneration: the Krüger series must equal the closed-form
+  spherical transverse Mercator exactly (all series coefficients vanish).
+- Meridian arc: northing on the central meridian == k0 x numerically
+  integrated meridian arc length (independent check of A + alpha series).
+- Round trips: forward∘inverse sub-micrometer over the zone.
+- LCC: scale factor exactly 1 on both standard parallels; round trip.
+"""
+
+import numpy as np
+
+from lib_gdal_spark.functions import crs as CRS
+
+
+def test_tm_sphere_matches_closed_form():
+    tm = CRS.TransverseMercator(lon0=9.0, k0=1.0, false_e=0.0, f=0.0)
+    lon = np.array([6.0, 9.0, 12.5, 3.1])
+    lat = np.array([45.0, -20.0, 60.0, 0.5])
+    E, N = tm.forward(lon, lat)
+    lam = np.radians(lon - 9.0)
+    phi = np.radians(lat)
+    a = CRS.WGS84_A
+    Es = a * np.arctanh(np.cos(phi) * np.sin(lam))
+    Ns = a * np.arctan2(np.tan(phi), np.cos(lam))
+    assert np.allclose(E, Es, atol=1e-6)
+    assert np.allclose(N, Ns, atol=1e-6)
+
+
+def test_tm_meridian_arc():
+    tm = CRS.utm_zone(31)
+    for lat in (10.0, 45.0, 75.0):
+        _, N = tm.forward(np.array([3.0]), np.array([lat]))  # central meridian
+        arc = CRS.meridian_arc_numeric(lat)
+        assert abs(N[0] - 0.9996 * arc) < 2e-3  # mm-level vs numeric integral
+
+
+def test_utm_round_trip():
+    tm = CRS.utm_zone(31)
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(0.0, 6.0, 500)
+    lat = rng.uniform(-80.0, 84.0, 500)
+    E, N = tm.forward(lon, lat)
+    lon2, lat2 = tm.inverse(E, N)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # UTM zone 31 sanity: central meridian maps to false easting
+    E0, _ = tm.forward(np.array([3.0]), np.array([40.0]))
+    assert abs(E0[0] - 500_000.0) < 1e-6
+
+
+def test_utm_known_scale():
+    # scale on the central meridian is k0; at the secant lines (~±180km)
+    # scale returns to 1. Derive scale numerically from the forward map.
+    tm = CRS.utm_zone(31)
+    lat = 45.0
+    d = 1e-6
+    for lon, expect, tol in ((3.0, 0.9996, 1e-9),):
+        E1, N1 = tm.forward(np.array([lon]), np.array([lat - d]))
+        E2, N2 = tm.forward(np.array([lon]), np.array([lat + d]))
+        ds = np.hypot(E2 - E1, N2 - N1)[0]
+        arc = CRS.meridian_arc_numeric(lat + d) - CRS.meridian_arc_numeric(lat - d)
+        assert abs(ds / arc - expect) < 1e-5
+
+
+def test_lcc_scale_and_round_trip():
+    lcc = CRS.LambertConformalConic(
+        lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0,
+    )
+    assert abs(lcc.scale_at(33.0) - 1.0) < 1e-12
+    assert abs(lcc.scale_at(45.0) - 1.0) < 1e-12
+    assert lcc.scale_at(39.0) < 1.0  # between the parallels the cone dips
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-120.0, -70.0, 300)
+    lat = rng.uniform(20.0, 60.0, 300)
+    E, N = lcc.forward(lon, lat)
+    lon2, lat2 = lcc.inverse(E, N)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9

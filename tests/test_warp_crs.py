@@ -1,0 +1,66 @@
+"""Arbitrary-CRS warp: UTM + LCC targets vs a single-process reference.
+
+The reference warp inverse-maps every dst pixel center through the same
+CRS math over the assembled source mosaic — the distributed tile path
+must reproduce it pixel-exactly (nearest) for both projections.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.functions import crs as CRS
+from lib_gdal_spark.operators import raster as RAST
+from lib_gdal_spark.sources.rasters import fixture_rasters, world4326
+
+
+def _reference_warp_nearest(inverse, dst_gt, dst_w, dst_h):
+    world, wgt = world4326(256)
+    jj, ii = np.meshgrid(np.arange(dst_h), np.arange(dst_w), indexing="ij")
+    gx = dst_gt[0] + (ii + 0.5) * dst_gt[1]
+    gy = dst_gt[3] + (jj + 0.5) * dst_gt[5]
+    lon, lat = inverse(gx, gy)
+    sx = np.floor((lon - wgt[0]) / wgt[1] + 1e-10).astype(int)
+    sy = np.floor((lat - wgt[3]) / wgt[5] + 1e-10).astype(int)
+    out = np.full((dst_h, dst_w), np.nan)
+    ok = (sx >= 0) & (sx < 256) & (sy >= 0) & (sy < 256)
+    out[ok] = world[sy[ok], sx[ok]]
+    return out
+
+
+def _assemble(rows, dst_w, dst_h, tile):
+    full = np.full((dst_h, dst_w), np.nan)
+    for r in rows:
+        arr = np.asarray(
+            [np.nan if v is None else v for v in r["pixels"]]
+        ).reshape(r["tile_h"], r["tile_w"])
+        y0, x0 = r["tile_y"] * tile, r["tile_x"] * tile
+        full[y0:y0 + r["tile_h"], x0:x0 + r["tile_w"]] = arr
+    return full
+
+
+def _run(spark, inverse, dst_gt, dst_w=128, dst_h=128, tile=64):
+    tiles = fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, dst_gt, dst_w, dst_h, inverse, alg="nearest", tile=tile
+    )
+    got = _assemble(out.collect(), dst_w, dst_h, tile)
+    ref = _reference_warp_nearest(inverse, dst_gt, dst_w, dst_h)
+    assert np.array_equal(np.isnan(got), np.isnan(ref))
+    ok = ~np.isnan(ref)
+    assert ok.mean() > 0.9  # the grid actually covers source
+    assert np.array_equal(got[ok], ref[ok])
+
+
+def test_warp_utm31_nearest(spark):
+    tm = CRS.utm_zone(31)
+    # zone 31 band ~ lat 38..48, lon 0..6: E 166k..834k, N 4.2M..5.3M
+    dst_gt = (150_000.0, 5500.0, 0.0, 5_350_000.0, 0.0, -8500.0)
+    _run(spark, tm.inverse, dst_gt)
+
+
+def test_warp_lcc_nearest(spark):
+    lcc = CRS.LambertConformalConic(
+        lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0
+    )
+    dst_gt = (-2_200_000.0, 35_000.0, 0.0, 1_500_000.0, 0.0, -25_000.0)
+    _run(spark, lcc.inverse, dst_gt)
