@@ -454,3 +454,49 @@ def overview_reduce_2x2(children: dict[tuple[int, int], np.ndarray], tile: int,
     if alg == "mode":
         return overview_mode(mosaic, (tile, tile), nodata=nodata)
     return overview_nearest(mosaic, (tile, tile))
+
+
+def _conv_pass(a: np.ndarray, n_dst: int, ratio: float, kernel, radius: int
+               ) -> np.ndarray:
+    """One separable convolution pass along the LAST axis with GDAL edge
+    renormalization (weights over missing/out-of-range taps drop out and
+    the remainder renormalizes — ``overview.cpp:2429`` Convolution)."""
+    n_src = a.shape[-1]
+    centers = (np.arange(n_dst) + 0.5) * ratio - 0.5  # pixel-center coords
+    half = radius * ratio
+    lo = np.ceil(centers - half - 1e-9).astype(np.int64)
+    ntap = int(np.floor(half * 2 + 1e-9)) + 1
+    taps = lo[:, None] + np.arange(ntap)[None, :]
+    w = kernel((taps - centers[:, None]) / ratio)
+    w[(taps < 0) | (taps >= n_src)] = 0.0
+    tt = np.clip(taps, 0, n_src - 1)
+    vals = a[..., tt]                      # (..., n_dst, ntap)
+    valid = ~np.isnan(vals)
+    wfull = np.broadcast_to(w, vals.shape) * valid
+    num = np.where(valid, vals, 0.0) * wfull
+    ws = wfull.sum(axis=-1)
+    with np.errstate(invalid="ignore"):
+        out = np.where(ws != 0.0, num.sum(axis=-1) / np.where(ws == 0, 1, ws),
+                       np.nan)
+    return out
+
+
+def overview_convolution(src: np.ndarray, dst_shape: tuple[int, int],
+                         alg: str = "cubic",
+                         nodata: float | None = None) -> np.ndarray:
+    """Convolution overview reduce (CUBIC/CUBICSPLINE/LANCZOS resampling in
+    gdaladdo — ``core/gcore/overview.cpp:2429`` ``GDALResampleChunk32R_
+    Convolution``): the warp kernel family scaled by the decimation ratio,
+    separable horizontal-then-vertical passes, edge weights renormalized."""
+    kernel, radius = KERNELS[alg]
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    a = np.asarray(src, dtype=np.float64)
+    if nodata is not None:
+        a = np.where(a == nodata, np.nan, a)
+    h = _conv_pass(a, dw, sw / dw, kernel, radius)           # along x
+    v = _conv_pass(np.moveaxis(h, 0, -1), dh, sh / dh, kernel, radius)
+    out = v.T  # (dw, dh) -> (dh, dw)
+    if nodata is not None:
+        out = np.where(np.isnan(out), nodata, out)
+    return out

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from lib_gdal_spark.functions import cells as C
 from lib_gdal_spark.kernels import checksum as K
 from lib_gdal_spark.kernels import resample as R
-from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+from lib_gdal_spark.sources.rasters import RASTER_COLS, RASTER_SCHEMA
 
 
 def _patch(pdf_row) -> np.ndarray:
@@ -601,4 +601,121 @@ def warp_to_mercator_tiles(
 
     return src.groupBy("raster_id", "band").applyInPandas(
         warp_group, schema=RASTER_SCHEMA
+    )
+
+
+_CONV_HALO = {"bilinear": 2, "cubic": 4, "cubicspline": 4, "lanczos": 6}
+
+
+def pyramid_level_conv(tiles: DataFrame, alg: str = "cubic",
+                       tile: int = 64) -> DataFrame:
+    """One pyramid step with a CONVOLUTION kernel (gdaladdo -r cubic /
+    cubicspline / lanczos / bilinear — ``core/gcore/overview.cpp:2429``).
+
+    Unlike the 2x2 box reduce, convolution taps reach ``2 x radius`` source
+    pixels past the parent block, so each child tile ships halo STRIPS to
+    the up-to-8 neighboring parents (only the overlapping slice, not the
+    whole tile — shuffle volume stays ~(1 + 4*halo/tile) x data, not 9x).
+    Missing neighbors (raster edge) renormalize the kernel exactly like
+    GDAL's chunk-edge handling.
+    """
+    halo = _CONV_HALO[alg]
+    block = 2 * tile
+
+    def pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                th, tw = int(r["tile_h"]), int(r["tile_w"])
+                arr = np.asarray(r["pixels"], np.float64).reshape(th, tw)
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                gx0, gy0 = tx * tile, ty * tile
+                og = (
+                    r["gt0"] - gx0 * r["gt1"] - gy0 * r["gt2"],
+                    r["gt1"], r["gt2"],
+                    r["gt3"] - gx0 * r["gt4"] - gy0 * r["gt5"],
+                    r["gt4"], r["gt5"],
+                )
+                for ppy in range((gy0 - halo) // block,
+                                 (gy0 + th + halo - 1) // block + 1):
+                    for ppx in range((gx0 - halo) // block,
+                                     (gx0 + tw + halo - 1) // block + 1):
+                        if ppx < 0 or ppy < 0:
+                            continue
+                        wx0 = ppx * block - halo
+                        wy0 = ppy * block - halo
+                        sx0 = max(gx0, wx0)
+                        sy0 = max(gy0, wy0)
+                        sx1 = min(gx0 + tw, wx0 + block + 2 * halo)
+                        sy1 = min(gy0 + th, wy0 + block + 2 * halo)
+                        if sx1 <= sx0 or sy1 <= sy0:
+                            continue
+                        piece = arr[sy0 - gy0:sy1 - gy0, sx0 - gx0:sx1 - gx0]
+                        rows.append({
+                            "raster_id": r["raster_id"], "band": int(r["band"]),
+                            "zoom": int(r["zoom"]), "ppx": ppx, "ppy": ppy,
+                            "ox": sx0 - wx0, "oy": sy0 - wy0,
+                            "pw": sx1 - sx0, "ph": sy1 - sy0,
+                            "dtype": r["dtype"], "nodata": r["nodata"],
+                            "og0": og[0], "og1": og[1], "og2": og[2],
+                            "og3": og[3], "og4": og[4], "og5": og[5],
+                            "data": piece.ravel().tolist(),
+                        })
+            cols = ["raster_id", "band", "zoom", "ppx", "ppy", "ox", "oy",
+                    "pw", "ph", "dtype", "nodata",
+                    "og0", "og1", "og2", "og3", "og4", "og5", "data"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    piece_df = tiles.mapInPandas(
+        pieces,
+        schema="raster_id string, band int, zoom int, ppx int, ppy int, "
+               "ox int, oy int, pw int, ph int, dtype string, nodata double, "
+               "og0 double, og1 double, og2 double, og3 double, og4 double, "
+               "og5 double, data array<double>",
+    )
+
+    def reduce_parent(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, zoom, ppx, ppy = (key[0], int(key[1]), int(key[2]),
+                                     int(key[3]), int(key[4]))
+        win = np.full((block + 2 * halo, block + 2 * halo), np.nan)
+        r0 = pdf.iloc[0]
+        for _, r in pdf.iterrows():
+            p = np.asarray(r["data"], np.float64).reshape(
+                int(r["ph"]), int(r["pw"])
+            )
+            oy, ox = int(r["oy"]), int(r["ox"])
+            win[oy:oy + p.shape[0], ox:ox + p.shape[1]] = p
+        nodata = r0["nodata"]
+        nodata = None if pd.isna(nodata) else float(nodata)
+        if nodata is not None:
+            win = np.where(win == nodata, np.nan, win)
+        core = win[halo:halo + block, halo:halo + block]
+        if np.isnan(core).all():
+            # parent materialized from halo strips only (past the raster
+            # edge) — not a real overview tile
+            return pd.DataFrame(columns=RASTER_COLS)
+        dst = R.overview_convolution(win, (tile + halo, tile + halo), alg)
+        out = dst[halo // 2: halo // 2 + tile, halo // 2: halo // 2 + tile]
+        # ragged edge: trim trailing rows/cols with no source coverage
+        valid = ~np.isnan(out)
+        vh = int(np.nonzero(valid.any(axis=1))[0].max()) + 1
+        vw = int(np.nonzero(valid.any(axis=0))[0].max()) + 1
+        out = out[:vh, :vw]
+        out = R.clamp_round(np.where(np.isnan(out),
+                                     nodata if nodata is not None else 0.0,
+                                     out),
+                            r0["dtype"])
+        og = [r0[f"og{i}"] for i in range(6)]
+        return pd.DataFrame([dict(
+            raster_id=rid, band=band, zoom=zoom + 1,
+            tile_x=ppx, tile_y=ppy, dtype=r0["dtype"],
+            tile_w=out.shape[1], tile_h=out.shape[0],
+            gt0=og[0] + ppx * block * og[1], gt1=og[1] * 2, gt2=og[2] * 2,
+            gt3=og[3] + ppy * block * og[5], gt4=og[4] * 2, gt5=og[5] * 2,
+            nodata=nodata,
+            pixels=out.astype(np.float64).ravel().tolist(),
+        )])
+
+    return piece_df.groupBy("raster_id", "band", "zoom", "ppx", "ppy").applyInPandas(
+        reduce_parent, schema=RASTER_SCHEMA
     )
