@@ -32,6 +32,11 @@ def wkb_point(lon: float, lat: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
 
 
+def wkb_linestring(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype="<f8")
+    return struct.pack("<BII", 1, WKB_LINESTRING, len(pts)) + pts.tobytes()
+
+
 def wkb_polygon(rings: Polygon) -> bytes:
     out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
     for ring in rings:

@@ -88,13 +88,96 @@ def burn_values(
     rings: list[np.ndarray],
     burn: float,
     merge_alg: str = "replace",
+    all_touched: bool = False,
 ) -> np.ndarray:
     """Rasterize one polygon into ``grid`` (in place) —
-    ``MERGE_ALG=REPLACE/ADD`` per ``core/alg/gdalrasterize.cpp:540-580``."""
+    ``MERGE_ALG=REPLACE/ADD`` per ``core/alg/gdalrasterize.cpp:540-580``;
+    ``all_touched`` adds the boundary-traversal pass."""
     h, w = grid.shape
-    mask = fill_polygon_mask(w, h, rings)
+    if all_touched:
+        mask = fill_polygon_mask_all_touched(w, h, rings)
+    else:
+        mask = fill_polygon_mask(w, h, rings)
     if merge_alg == "add":
         grid[mask] += burn
     else:
         grid[mask] = burn
     return grid
+
+
+def line_cells(
+    x0: float, y0: float, x1: float, y1: float, all_touched: bool = False
+) -> np.ndarray:
+    """(k, 2) int cells burned by one segment in pixel coordinates.
+
+    Default: the reference's Bresenham walk on floored endpoints
+    (``core/alg/llrasterize.cpp:277`` GDALdllImageLine). ``all_touched``:
+    Amanatides–Woo grid traversal visiting EVERY cell the segment passes
+    through (``llrasterize.cpp:411`` GDALdllImageLineAllTouched).
+    """
+    if not all_touched:
+        ix0, iy0 = int(np.floor(x0)), int(np.floor(y0))
+        ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+        dx, dy = abs(ix1 - ix0), -abs(iy1 - iy0)
+        sx = 1 if ix0 < ix1 else -1
+        sy = 1 if iy0 < iy1 else -1
+        err = dx + dy
+        out = []
+        x, y = ix0, iy0
+        while True:
+            out.append((x, y))
+            if x == ix1 and y == iy1:
+                break
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x += sx
+            if e2 <= dx:
+                err += dx
+                y += sy
+        return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+    # all-touched DDA
+    cells = []
+    cx, cy = int(np.floor(x0)), int(np.floor(y0))
+    ex, ey = int(np.floor(x1)), int(np.floor(y1))
+    dx, dy = x1 - x0, y1 - y0
+    sx = 1 if dx > 0 else -1
+    sy = 1 if dy > 0 else -1
+    tmax_x = ((cx + (sx > 0)) - x0) / dx if dx != 0 else np.inf
+    tmax_y = ((cy + (sy > 0)) - y0) / dy if dy != 0 else np.inf
+    tdx = abs(1.0 / dx) if dx != 0 else np.inf
+    tdy = abs(1.0 / dy) if dy != 0 else np.inf
+    cells.append((cx, cy))
+    guard = 0
+    while (cx, cy) != (ex, ey) and guard < 10_000_000:
+        guard += 1
+        if tmax_x < tmax_y:
+            cx += sx
+            tmax_x += tdx
+        else:
+            cy += sy
+            tmax_y += tdy
+        cells.append((cx, cy))
+    return np.asarray(cells, dtype=np.int64).reshape(-1, 2)
+
+
+def fill_polygon_mask_all_touched(
+    width: int, height: int, rings: list[np.ndarray]
+) -> np.ndarray:
+    """ALL_TOUCHED polygon mask: even-odd interior fill PLUS every cell the
+    boundary passes through (``gdalrasterize.cpp`` outline pass with
+    GDALdllImageLineAllTouched)."""
+    mask = fill_polygon_mask(width, height, rings)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        for i in range(len(r) - 1):
+            cells = line_cells(r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1],
+                               all_touched=True)
+            ok = ((cells[:, 0] >= 0) & (cells[:, 0] < width)
+                  & (cells[:, 1] >= 0) & (cells[:, 1] < height))
+            c = cells[ok]
+            mask[c[:, 1], c[:, 0]] = True
+    return mask

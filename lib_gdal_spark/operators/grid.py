@@ -195,3 +195,183 @@ def grid_interpolate(
     return buckets.groupBy("tile_x", "tile_y").applyInPandas(
         interp, schema=RASTER_SCHEMA
     )
+
+
+def grid_invdistnn(
+    points: DataFrame,
+    grid: GridSpec,
+    radius: float,
+    max_points: int = 12,
+    min_points: int = 0,
+    power: float = 2.0,
+    nodata: float = 0.0,
+    raster_id: str = "grid",
+    point_cols: tuple[str, str, str] = ("x", "y", "v"),
+) -> DataFrame:
+    """gdal_grid 'invdistnn' (``core/alg/gdalgrid.cpp:260`` — IDW over the
+    ``max_points`` nearest neighbors within ``radius``; fewer than
+    ``min_points`` in range -> nodata).
+
+    Same bucket layout as grid_interpolate; each tile keeps a running
+    per-pixel top-``max_points`` heap merged chunk by chunk, so memory is
+    bounded by pixels x max_points regardless of bucket size.
+    """
+    if radius <= 0.0:
+        raise ValueError("invdistnn requires a positive search radius")
+    xcol, ycol, vcol = point_cols
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    span_x = abs(gt[1]) * tile
+    span_y = abs(gt[5]) * tile
+    ring_x = int(math.ceil(radius / span_x))
+    ring_y = int(math.ceil(radius / span_y))
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            x = b[xcol].to_numpy(np.float64)
+            y = b[ycol].to_numpy(np.float64)
+            v = b[vcol].to_numpy(np.float64)
+            px, py = grid.world_to_px(x, y)
+            bx = np.clip(px // tile, 0, ntx - 1).astype(np.int64)
+            by = np.clip(py // tile, 0, nty - 1).astype(np.int64)
+            dx, dy = np.meshgrid(np.arange(-ring_x, ring_x + 1),
+                                 np.arange(-ring_y, ring_y + 1))
+            dx = dx.ravel()
+            dy = dy.ravel()
+            n, m = len(x), len(dx)
+            tx = (bx[:, None] + dx[None, :]).ravel()
+            ty = (by[:, None] + dy[None, :]).ravel()
+            ok = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+            rep = np.repeat(np.arange(n), m)[ok]
+            yield pd.DataFrame({
+                "tile_x": tx[ok], "tile_y": ty[ok],
+                "x": x[rep], "y": y[rep], "v": v[rep],
+            })
+
+    buckets = points.select(xcol, ycol, vcol).mapInPandas(
+        bucket, schema="tile_x long, tile_y long, x double, y double, v double"
+    )
+    W, H = grid.width, grid.height
+    CHUNK = 4096
+    r2 = radius * radius
+
+    def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        x0, y0 = tx * tile, ty * tile
+        tw = min(tile, W - x0)
+        th = min(tile, H - y0)
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+        gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+        npx = th * tw
+        top_d2 = np.full((npx, max_points), np.inf)
+        top_v = np.zeros((npx, max_points))
+        px_all = pdf["x"].to_numpy(np.float64)
+        py_all = pdf["y"].to_numpy(np.float64)
+        pv_all = pdf["v"].to_numpy(np.float64)
+        for c0 in range(0, len(px_all), CHUNK):
+            px_ = px_all[c0:c0 + CHUNK]
+            py_ = py_all[c0:c0 + CHUNK]
+            pv = pv_all[c0:c0 + CHUNK]
+            d2 = (gx[:, None] - px_[None, :]) ** 2 + \
+                 (gy[:, None] - py_[None, :]) ** 2
+            d2 = np.where(d2 <= r2, d2, np.inf)
+            vv = np.broadcast_to(pv[None, :], d2.shape)
+            md = np.concatenate([top_d2, d2], axis=1)
+            mv = np.concatenate([top_v, vv], axis=1)
+            sel = np.argpartition(md, max_points - 1, axis=1)[:, :max_points]
+            rows = np.arange(npx)[:, None]
+            top_d2 = md[rows, sel]
+            top_v = mv[rows, sel]
+        finite = np.isfinite(top_d2)
+        n_in = finite.sum(axis=1)
+        zero = finite & (top_d2 == 0.0)
+        with np.errstate(divide="ignore"):
+            w = np.where(finite, top_d2 ** (-power / 2.0), 0.0)
+        num = np.where(np.isfinite(w), w * top_v, 0.0).sum(axis=1)
+        den = np.where(np.isfinite(w), w, 0.0).sum(axis=1)
+        out = np.where(den > 0, num / np.where(den == 0, 1, den), nodata)
+        # exact-hit short circuit (GDAL: dist 0 -> point value)
+        zhit = zero.any(axis=1)
+        zidx = np.argmax(zero, axis=1)
+        out[zhit] = top_v[np.arange(npx), zidx][zhit]
+        out = np.where(n_in >= max(min_points, 1), out, nodata)
+        return pd.DataFrame([dict(
+            raster_id=raster_id, band=1, zoom=0, tile_x=tx, tile_y=ty,
+            dtype="float64", tile_w=tw, tile_h=th,
+            gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+            gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+            nodata=nodata, pixels=out.tolist(),
+        )])
+
+    return buckets.groupBy("tile_x", "tile_y").applyInPandas(
+        interp, schema=RASTER_SCHEMA
+    )
+
+
+def grid_linear(
+    points: DataFrame,
+    grid: GridSpec,
+    nodata: float = 0.0,
+    raster_id: str = "grid_linear",
+    point_cols: tuple[str, str, str] = ("x", "y", "v"),
+    max_driver_points: int = 2_000_000,
+) -> DataFrame:
+    """gdal_grid 'linear': Delaunay triangulation + barycentric interp
+    (``core/alg/gdalgrid.cpp:542`` GDALGridLinear over delaunay.c).
+
+    The triangulation is global over the POINT layer (the vector side —
+    orders of magnitude smaller than the raster), built once on the driver
+    under ``max_driver_points`` and closure-shipped to the per-tile
+    interpolation tasks; the raster side stays fully distributed.
+    """
+    from lib_gdal_spark.functions import delaunay as DT
+
+    xcol, ycol, vcol = point_cols
+    rows = points.select(xcol, ycol, vcol).collect()
+    if len(rows) > max_driver_points:
+        raise RuntimeError(
+            f"grid_linear point layer ({len(rows)}) exceeds "
+            f"max_driver_points={max_driver_points}"
+        )
+    pts = np.array([[r[xcol], r[ycol]] for r in rows], dtype=np.float64)
+    vals = np.array([r[vcol] for r in rows], dtype=np.float64)
+    verts, tris = DT.delaunay(pts)
+
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    W, H = grid.width, grid.height
+    spark = points.sparkSession
+    keys = spark.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+
+    def interp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_rows = []
+            for _, r in b.iterrows():
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                x0, y0 = tx * tile, ty * tile
+                tw = min(tile, W - x0)
+                th = min(tile, H - y0)
+                jj, ii = np.meshgrid(np.arange(th), np.arange(tw),
+                                     indexing="ij")
+                gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+                gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+                vals_px = DT.interpolate_linear(
+                    verts, tris, vals, gx, gy, nodata=nodata
+                )
+                out_rows.append(dict(
+                    raster_id=raster_id, band=1, zoom=0,
+                    tile_x=tx, tile_y=ty, dtype="float64",
+                    tile_w=tw, tile_h=th,
+                    gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+                    gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+                    nodata=nodata, pixels=vals_px.tolist(),
+                ))
+            yield pd.DataFrame(out_rows)
+
+    return keys.mapInPandas(interp, schema=RASTER_SCHEMA)
