@@ -1,0 +1,186 @@
+"""GNM network analysis: shortest path, K-shortest paths, connected
+components (SURVEY.md §1.3 / reference ``core/gnm/gnmgraph.cpp:176``
+DijkstraShortestPath, ``:233`` KShortestPaths, ``:300``
+ConnectedComponents).
+
+Distributed shapes:
+- **shortest_path_tree**: Bellman–Ford-style iterative relaxation as
+  DataFrame joins (each round relaxes every edge; converges in
+  O(graph diameter) rounds, each one shuffle on the edge list). This is
+  the scalable form of Dijkstra for 10^9-edge graphs where a priority
+  queue cannot exist; localCheckpoint truncates the iterative lineage.
+- **k_shortest_paths**: Yen's algorithm over the driver-collected
+  subgraph under a row guard — K-shortest is inherently sequential and
+  the reference runs it on an in-memory graph too (gnmgraph.cpp:233).
+- **graph_connected_components**: delegates to the large-star/small-star
+  machinery (operators.components).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators.components import connected_components
+
+
+def graph_connected_components(edges: DataFrame) -> DataFrame:
+    """(u, v) edge list -> (label, component). GNMGraph::ConnectedComponents."""
+    return connected_components(edges)
+
+
+def shortest_path_tree(
+    edges: DataFrame,
+    source: int,
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Single-source shortest distances: (node, dist, prev).
+
+    ``edges``: (u long, v long, w double). Iterative relaxation: dist' =
+    min(dist, min over incoming (dist[u] + w)). Stops when no distance
+    improves (converged) or after ``max_rounds``.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).alias("u"),
+        F.col(edges.columns[1]).alias("v"),
+        F.col(edges.columns[2]).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    e = e.localCheckpoint()
+
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0.0, None)], "node long, dist double, prev long"
+    )
+    for _ in range(max_rounds):
+        cand = (
+            e.join(dist.select(F.col("node").alias("u"),
+                               F.col("dist").alias("du")), "u")
+            .select(F.col("v").alias("node"),
+                    (F.col("du") + F.col("w")).alias("dist"),
+                    F.col("u").alias("prev"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min_by(F.struct("dist", "prev"), "dist").alias("s"))
+            .select("node", F.col("s.dist").alias("dist"),
+                    F.col("s.prev").alias("prev"))
+            .localCheckpoint()
+        )
+        # convergence: total count + sum of dists stable
+        a = dist.agg(F.count(F.lit(1)), F.sum("dist")).first()
+        b = merged.agg(F.count(F.lit(1)), F.sum("dist")).first()
+        dist = merged
+        if (a[0], a[1]) == (b[0], b[1]):
+            break
+    return dist
+
+
+def shortest_path(
+    edges: DataFrame, source: int, target: int, directed: bool = False
+) -> tuple[list[int], float]:
+    """Node path + cost, reconstructed from the distributed tree."""
+    tree = shortest_path_tree(edges, source, directed=directed)
+    rows = {r["node"]: (r["dist"], r["prev"]) for r in tree.collect()}
+    if target not in rows:
+        return [], float("inf")
+    path = [target]
+    while path[-1] != source:
+        path.append(rows[path[-1]][1])
+    return list(reversed(path)), rows[target][0]
+
+
+def _dijkstra_local(adj, source, target, removed_edges, removed_nodes):
+    dist = {source: 0.0}
+    prev = {}
+    pq = [(0.0, source)]
+    seen = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in seen:
+            continue
+        seen.add(u)
+        if u == target:
+            break
+        for v, w in adj.get(u, ()):
+            if v in removed_nodes or (u, v) in removed_edges:
+                continue
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(pq, (nd, v))
+    if target not in dist:
+        return None, float("inf")
+    path = [target]
+    while path[-1] != source:
+        path.append(prev[path[-1]])
+    return list(reversed(path)), dist[target]
+
+
+def k_shortest_paths(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    k: int = 3,
+    directed: bool = False,
+    max_driver_edges: int = 5_000_000,
+) -> list[tuple[list[int], float]]:
+    """Yen's K-shortest loopless paths (GNMGraph::KShortestPaths).
+
+    Runs over the collected edge list under ``max_driver_edges`` — the
+    reference's implementation is equally in-memory; the distributed path
+    for plain shortest distance is ``shortest_path_tree``.
+    """
+    n = edges.count()
+    if n > max_driver_edges:
+        raise RuntimeError(
+            f"k_shortest_paths edge list ({n}) exceeds {max_driver_edges}"
+        )
+    rows = edges.collect()
+    adj: dict[int, list[tuple[int, float]]] = {}
+    c0, c1, c2 = edges.columns[:3]
+    for r in rows:
+        adj.setdefault(r[c0], []).append((r[c1], float(r[c2])))
+        if not directed:
+            adj.setdefault(r[c1], []).append((r[c0], float(r[c2])))
+
+    first, cost = _dijkstra_local(adj, source, target, set(), set())
+    if first is None:
+        return []
+    A = [(first, cost)]
+    B: list[tuple[float, list[int]]] = []
+    while len(A) < k:
+        prev_path = A[-1][0]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            removed_edges = set()
+            for p, _ in A:
+                if p[: i + 1] == root and len(p) > i + 1:
+                    removed_edges.add((p[i], p[i + 1]))
+                    if not directed:
+                        removed_edges.add((p[i + 1], p[i]))
+            removed_nodes = set(root[:-1])
+            sp, sc = _dijkstra_local(adj, spur, target,
+                                     removed_edges, removed_nodes)
+            if sp is None:
+                continue
+            root_cost = 0.0
+            for j in range(i):
+                w = min(w_ for v_, w_ in adj[prev_path[j]]
+                        if v_ == prev_path[j + 1])
+                root_cost += w
+            total = root[:-1] + sp
+            item = (root_cost + sc, total)
+            if item not in B and all(total != p for p, _ in A):
+                heapq.heappush(B, item)
+        if not B:
+            break
+        c, p = heapq.heappop(B)
+        A.append((p, c))
+    return A

@@ -196,3 +196,55 @@ def mosaic(
     return sel.groupBy("band", "tile_x", "tile_y").applyInPandas(
         compose, schema=RASTER_SCHEMA
     )
+
+
+def select_overview_level(available_ratios: list[int], xsize: int,
+                          out_w: int) -> int:
+    """GDALBandGetBestOverviewLevel2 (``core/gcore/rasterio.cpp:254``):
+    pick the coarsest overview whose decimation does not exceed the
+    requested ratio with the reference's 1.2 oversampling slack.
+
+    ``available_ratios``: e.g. [1, 2, 4, 8] (2^zoom of the pyramid).
+    Returns the chosen ratio (1 = base level).
+    """
+    if out_w <= 0:
+        raise ValueError("out_w must be positive")
+    desired = xsize / out_w
+    best = 1
+    for r in sorted(available_ratios):
+        if r <= desired * 1.2:
+            best = r
+        else:
+            break
+    return best
+
+
+def translate_window_auto(
+    tiles: DataFrame,
+    raster_id: str,
+    srcwin: tuple[int, int, int, int],
+    outsize: tuple[int, int],
+    alg: str = "nearest",
+    tile: int = 64,
+    out_id: str = "translated",
+) -> DataFrame:
+    """translate_window with automatic overview-level selection: reads the
+    pyramid level whose resolution best matches the requested decimation
+    (the RasterIO fast path every GDAL reader gets for free), then applies
+    the residual resampling. The window coordinates are given at BASE
+    resolution."""
+    zooms = [
+        int(r["zoom"]) for r in
+        tiles.where(F.col("raster_id") == raster_id)
+        .select("zoom").distinct().collect()
+    ]
+    ratios = sorted(2 ** z for z in zooms)
+    xoff, yoff, xs, ys = srcwin
+    ow, oh = outsize
+    ratio = select_overview_level(ratios, xs, ow)
+    zoom = ratio.bit_length() - 1
+    lvl = tiles.where(F.col("zoom") == zoom)
+    win = (xoff // ratio, yoff // ratio,
+           max(xs // ratio, 1), max(ys // ratio, 1))
+    return translate_window(lvl, raster_id, win, (ow, oh), alg=alg,
+                            tile=tile, out_id=out_id)

@@ -1,0 +1,73 @@
+"""Median-cut / dither / nearblack operator tests."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import color as CL
+from lib_gdal_spark.sources.rasters import RASTER_SCHEMA, multiband_tiles
+
+
+def _tiles_single(spark, arr, tile=16):
+    h, w = arr.shape
+    rows = []
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            p = arr[ty:ty + tile, tx:tx + tile]
+            rows.append(dict(
+                raster_id="t", band=1, zoom=0, tile_x=tx // tile,
+                tile_y=ty // tile, dtype="float64",
+                tile_w=p.shape[1], tile_h=p.shape[0],
+                gt0=float(tx), gt1=1.0, gt2=0.0, gt3=float(ty), gt4=0.0,
+                gt5=1.0, nodata=None, pixels=p.ravel().tolist(),
+            ))
+    return spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+
+
+def test_median_cut_recovers_distinct_colors(spark):
+    tiles = multiband_tiles(spark, n=64, tile=32)
+    pal = CL.median_cut_palette(tiles, n_colors=8)
+    assert len(pal) == 8
+    assert all(0 <= c <= 255 for rgb in pal for c in rgb)
+    assert len(set(pal)) == 8  # distinct entries
+
+
+def test_dither_output_indexes_palette(spark):
+    tiles = multiband_tiles(spark, n=64, tile=32)
+    pal = CL.median_cut_palette(tiles, n_colors=8)
+    out = CL.dither_rgb_to_pct(tiles, pal).collect()
+    assert len(out) == 4
+    vals = np.concatenate([np.asarray(r["pixels"]) for r in out])
+    assert vals.min() >= 0 and vals.max() <= 7
+    # dithering a constant image with an exact palette entry is lossless
+    flat = np.full((32, 32), 100.0)
+    t2rows = []
+    for band in (1, 2, 3):
+        t2rows.append(dict(
+            raster_id="c", band=band, zoom=0, tile_x=0, tile_y=0,
+            dtype="float64", tile_w=32, tile_h=32,
+            gt0=0.0, gt1=1.0, gt2=0.0, gt3=0.0, gt4=0.0, gt5=1.0,
+            nodata=None, pixels=flat.ravel().tolist(),
+        ))
+    t2 = spark.createDataFrame(pd.DataFrame(t2rows), schema=RASTER_SCHEMA)
+    out2 = CL.dither_rgb_to_pct(t2, [(0, 0, 0), (100, 100, 100)]).collect()
+    assert set(np.asarray(out2[0]["pixels"]).tolist()) == {1.0}
+
+
+def test_nearblack_removes_border_collar_keeps_interior(spark):
+    arr = np.full((32, 32), 200.0)
+    arr[:3, :] = 5.0      # near-black top collar
+    arr[:, :2] = 8.0      # near-black left collar
+    arr[15:18, 15:18] = 5.0  # interior near-black blob: must SURVIVE
+    tiles = _tiles_single(spark, arr, tile=16)
+    out = CL.nearblack(tiles, spark, grid_w=32, grid_h=32, near=15.0,
+                       target=0.0, tile=16).collect()
+    full = np.zeros((32, 32))
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * 16:r["tile_y"] * 16 + r["tile_h"],
+             r["tile_x"] * 16:r["tile_x"] * 16 + r["tile_w"]] = a
+    assert (full[:3, :] == 0.0).all()
+    assert (full[:, :2] == 0.0).all()
+    assert (full[15:18, 15:18] == 5.0).all()   # interior blob untouched
+    assert (full[20:, 20:] == 200.0).all()
