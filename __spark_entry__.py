@@ -958,6 +958,359 @@ def q_pages_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# round-2 queries: general overlays, CRS warp, stats, pyramid conv, grids,
+# rasterize variants, constructive geometry, graph, nearblack
+# ---------------------------------------------------------------------------
+
+def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonize with WKB ring tracing (polygonize.cpp:826): the shoelace
+    area of each component's rings must equal its pixel count exactly."""
+    from lib_gdal_spark.operators import polygonize as PZ
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+    out = PZ.polygonize_rings(tiles, spark, grid_w=grid.width, tile=grid.tile)
+    return out.select(
+        "component", "value", "n_pixels",
+        F.col("n_rings").cast("long").alias("n_rings"),
+        F.round("area_px", 6).alias("area_px"),
+    )
+
+
+# Literal overlay fixture: rectangles + a concave, HOLED method polygon.
+# The method region decomposes into axis-aligned rectangles, so the oracle
+# areas come from independent rectangle arithmetic (not the slab kernel).
+_OV_C_SHAPE = [
+    (0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0), (2.0, 4.0),
+    (6.0, 4.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0),
+]
+_OV_HOLE = (0.5, 4.5, 1.5, 5.5)
+# C-shape == union of these disjoint rectangles, minus the hole rectangle
+_OV_METHOD_RECTS = [(0, 0, 6, 2), (0, 2, 2, 4), (0, 4, 6, 6)]
+_OV_INPUT_BOXES = {1: (-2.0, -2.0, 3.0, 3.0), 2: (2.0, 1.0, 8.0, 5.0),
+                   3: (20.0, 20.0, 22.0, 21.0)}
+
+
+def _rect_inter_area(a, b) -> float:
+    w = min(a[2], b[2]) - max(a[0], b[0])
+    h = min(a[3], b[3]) - max(a[1], b[1])
+    return w * h if (w > 0 and h > 0) else 0.0
+
+
+def _ov_method_inter(box) -> float:
+    """area(box ∩ method) by rectangle arithmetic (holes subtract)."""
+    return (sum(_rect_inter_area(box, r) for r in _OV_METHOD_RECTS)
+            - _rect_inter_area(box, _OV_HOLE))
+
+
+def _ov_layers(spark: SparkSession):
+    ring = np.array(_OV_C_SHAPE, dtype=np.float64)
+    hole = G.box_ring(*_OV_HOLE)
+    inputs = spark.createDataFrame(
+        [(fid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
+         for fid, bb in _OV_INPUT_BOXES.items()],
+        "fid long, geom_wkb binary",
+    ).coalesce(1)
+    method = spark.createDataFrame(
+        [(7, bytearray(G.wkb_polygon([ring, hole])))],
+        "fid long, geom_wkb binary",
+    ).coalesce(1)
+    return inputs, method
+
+
+def _ov_area(box) -> float:
+    return (box[2] - box[0]) * (box[3] - box[1])
+
+
+def _ov_expected_union() -> list[tuple]:
+    """(in_fid, m_fid, area) rows by rectangle inclusion-exclusion."""
+    rows = []
+    for fid, bb in _OV_INPUT_BOXES.items():
+        ai = _ov_method_inter(bb)
+        if ai > 0:
+            rows.append((fid, 7, ai))
+        rows.append((fid, None, _ov_area(bb) - ai))
+    # method minus union(inputs): inclusion-exclusion over the input boxes
+    boxes = list(_OV_INPUT_BOXES.values())
+    inter_total = 0.0
+    import itertools
+    for r in range(1, len(boxes) + 1):
+        for combo in itertools.combinations(boxes, r):
+            cb = combo[0]
+            for nxt in combo[1:]:
+                cb = (max(cb[0], nxt[0]), max(cb[1], nxt[1]),
+                      min(cb[2], nxt[2]), min(cb[3], nxt[3]))
+                if cb[2] <= cb[0] or cb[3] <= cb[1]:
+                    cb = None
+                    break
+            if cb is None:
+                continue
+            inter_total += ((-1) ** (r + 1)) * _ov_method_inter(cb)
+    method_area = (sum(_ov_area(r) for r in _OV_METHOD_RECTS)
+                   - _ov_area(_OV_HOLE))
+    rows.append((None, 7, method_area - inter_total))
+    return [(f, m, round(a, 6)) for f, m, a in rows if a > 0]
+
+
+def q_layer_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR Union overlay (ogrlayer.cpp:2408) with a CONCAVE, HOLED method
+    layer — round-2 general boolean kernel; oracle = independent rectangle
+    inclusion-exclusion."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    inputs, method = _ov_layers(spark)
+    out = LA.union_overlay(inputs, method, res=3)
+    return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
+
+
+def q_layer_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SymDifference (ogrlayer.cpp:2838), concave + holed method."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    inputs, method = _ov_layers(spark)
+    out = LA.sym_difference(inputs, method, res=3)
+    return out.select("fid", "src", F.round("area", 6).alias("area"))
+
+
+_UTM31_DST_GT = (150_000.0, 5500.0, 0.0, 5_350_000.0, 0.0, -8500.0)
+
+
+def q_warp_utm_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:32631 (UTM zone 31): arbitrary-CRS reprojection
+    via the Krüger flattening series (ogrct.cpp / gdaltransformer.cpp:1070
+    role), distributed per-dst-tile source windows."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    tm = CRS.utm_zone(31)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _UTM31_DST_GT, 128, 128, tm.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster band statistics (gdalrasterband.cpp:3821 ComputeStatistics):
+    JVM-side per-tile moments, closed-form fixtures oracle."""
+    from lib_gdal_spark.operators import stats as ST
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id").isin("gradient256", "world4326", "checker64")
+    )
+    out = ST.band_statistics(tiles)
+    return out.select(
+        "raster_id", "n", "min", "max",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetHistogram: 16 buckets over [0, 256) of the gradient fixture."""
+    from lib_gdal_spark.operators import stats as ST
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id") == "gradient256"
+    )
+    out = ST.band_histogram(tiles, 0.0, 256.0, buckets=16)
+    return out.select("bucket", "count")
+
+
+def q_pyramid_cubic_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBIC convolution overview step (overview.cpp:2429): halo-strip
+    pyramid; interior pixels oracle-exact (the scaled Catmull-Rom weights
+    are exact binary fractions, so the 64-term SQL sum matches bitwise)."""
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id") == "gradient256"
+    )
+    out = RAST.pyramid_level_conv(tiles, alg="cubic", tile=64)
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(2, 125) & F.col("py").between(2, 125)
+    ).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
+def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid 'linear' (Delaunay + barycentric, gdalgrid.cpp:542): a
+    linear field is reproduced exactly inside the hull — closed-form
+    oracle over the interior box."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("lon") * 2.0 + F.col("lat") * 3.0).alias("v"),
+    )
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    tiles = GR.grid_linear(pts, grid, nodata=float("nan"))
+    out = _explode_px(tiles, tile=32)
+    return out.where(
+        F.col("px").between(6, 57) & F.col("py").between(8, 55)
+    ).select("px", "py", F.round("v", 6).alias("v"))
+
+
+def q_grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid 'invdistnn' (gdalgrid.cpp:260): IDW over the 6 nearest
+    in-radius points; full SQL oracle via per-pixel distance ranking."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("pid") % 97).cast("double").alias("v"),
+    )
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    tiles = GR.grid_invdistnn(pts, grid, radius=15.0, max_points=6,
+                              power=2.0, nodata=-1.0)
+    out = _explode_px(tiles, tile=32)
+    return out.select("px", "py", F.round("v", 4).alias("v"))
+
+
+def q_rasterize_alltouched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL_TOUCHED rasterize (llrasterize.cpp:411): every cell the polygon
+    touches burns; for the box fixtures the cell cover is closed-form."""
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    polys = spark.createDataFrame(
+        [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])), float(mid))
+         for mid, bb in METHOD_BOXES.items()],
+        "fid long, geom_wkb binary, burn double",
+    ).coalesce(1)
+    tiles = RZ.rasterize_polygons(polys, grid, all_touched=True)
+    return RZ.burned_pixel_counts(tiles)
+
+
+# polyline in PIXEL coords: horizontal, vertical, then exact-45° diagonal
+_LINE_PIX = [(10.3, 20.2), (50.7, 20.2), (50.7, 60.6), (90.9, 100.8)]
+
+
+def q_rasterize_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line burn (llrasterize.cpp:277 Bresenham on floored endpoints)."""
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    pts = np.array([
+        (-180.0 + px * 1.40625, 90.0 - py * 0.703125)
+        for px, py in _LINE_PIX
+    ])
+    lines = spark.createDataFrame(
+        [(1, bytearray(G.wkb_linestring(pts)), 1.0)],
+        "fid long, geom_wkb binary, burn double",
+    ).coalesce(1)
+    tiles = RZ.rasterize_lines(lines, grid)
+    return _explode_px(tiles).where(F.col("v") == 1.0).select("px", "py")
+
+
+def q_rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point burn (llrasterize.cpp:254): floor cell, last feature wins."""
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    pts = _points(spark, sf_dir).select(
+        F.col("pid").alias("fid"), F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        ((F.col("pid") % 50) + 1).cast("double").alias("burn"),
+    )
+    tiles = RZ.rasterize_points(pts, grid)
+    ex = _explode_px(tiles)
+    return ex.where(F.col("v") != 0.0).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_constructive_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive geometry (ogrgeometry.cpp Distance/Centroid/Buffer):
+    per point-box distance to a fixed box, centroid, buffer(+1) area —
+    all closed-form for rectangles."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.functions import constructive as CG
+    from lib_gdal_spark.functions import overlay as OV
+
+    pts = _points(spark, sf_dir).where(F.col("pid") % 10 == 0)
+    mbox = METHOD_BOXES[10]
+    mring = G.box_ring(*mbox)
+
+    def work(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                ring = G.box_ring(lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
+                d = CG.distance([ring], [mring])
+                cx, cy = CG.centroid([ring])
+                buf = CG.buffer_polygon([ring], 1.0, quadsegs=8)
+                rows.append({
+                    "pid": pid, "dist": round(d, 6),
+                    "cx": round(cx, 6), "cy": round(cy, 6),
+                    "buf_area": round(OV.polys_area(buf), 6),
+                })
+            yield pd.DataFrame(
+                rows, columns=["pid", "dist", "cx", "cy", "buf_area"]
+            )
+
+    return pts.mapInPandas(
+        work,
+        schema="pid long, dist double, cx double, cy double, buf_area double",
+    )
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM shortest-path tree (gnmgraph.cpp:176) on a binary-heap tree
+    graph: distributed edge relaxation; oracle = recursive parent-chain
+    CTE."""
+    from lib_gdal_spark.operators import graph as GG
+
+    edges = spark.range(1, 256).select(
+        F.col("id").alias("u"),
+        (F.col("id") / 2).cast("long").alias("v"),
+        ((F.col("id") % 97) / 10.0 + 1.0).alias("w"),
+    )
+    out = GG.shortest_path_tree(edges, 0)
+    return out.select("node", F.round("dist", 6).alias("dist"))
+
+
+def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack (nearblack_lib.cpp): the border-connected near-black
+    collar zeroes; the interior near-black blob survives."""
+    from lib_gdal_spark.operators import color as CL
+
+    n, tile = 128, 32
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    arr = np.full((n, n), 200.0)
+    arr[j < 4] = 6.0
+    arr[i < 3] = 9.0
+    arr[(j >= 60) & (j < 64) & (i >= 60) & (i < 64)] = 3.0
+    rows = []
+    for ty in range(0, n, tile):
+        for tx in range(0, n, tile):
+            p = arr[ty:ty + tile, tx:tx + tile]
+            rows.append(dict(
+                raster_id="nb", band=1, zoom=0, tile_x=tx // tile,
+                tile_y=ty // tile, dtype="float64", tile_w=tile, tile_h=tile,
+                gt0=float(tx), gt1=1.0, gt2=0.0, gt3=float(ty), gt4=0.0,
+                gt5=1.0, nodata=None, pixels=p.ravel().tolist(),
+            ))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    out = CL.nearblack(tiles, spark, grid_w=n, grid_h=n, near=15.0,
+                       target=0.0, tile=tile)
+    return _explode_px(out, tile=tile).select("px", "py", "v")
+
+
+def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
+    every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
+    checksum (gdalchecksum.cpp mod-primes sum) is SQL-computable."""
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    pyr = RAST.build_pyramid(tiles, levels=2, alg="average")
+    return RAST.checksum_rasters(pyr).select("zoom", "checksum")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1029,6 +1382,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        # round-2 operators
+        "polygonize_rings": q_polygonize_rings,
+        "layer_union": q_layer_union,
+        "layer_symdiff": q_layer_symdiff,
+        "warp_utm_nearest": q_warp_utm_nearest,
+        "band_stats": q_band_stats,
+        "band_histogram": q_band_histogram,
+        "pyramid_cubic_l1": q_pyramid_cubic_l1,
+        "grid_linear": q_grid_linear,
+        "grid_invdistnn": q_grid_invdistnn,
+        "rasterize_alltouched": q_rasterize_alltouched,
+        "rasterize_line": q_rasterize_line,
+        "rasterize_points": q_rasterize_points,
+        "constructive_geom": q_constructive_geom,
+        "graph_sssp": q_graph_sssp,
+        "nearblack": q_nearblack,
+        "raster_pyramid_cksum": q_raster_pyramid_cksum,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1828,6 +2198,434 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY cos_sim DESC, vec_id ASC) AS rank
           FROM j
         ) WHERE rank <= 5
+    """
+
+
+    # --- round-2 oracles ---------------------------------------------------
+
+    sqls["polygonize_rings"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts})
+        SELECT min(py * 256 + px) AS component,
+               CAST(fid AS DOUBLE) AS value,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(1 AS BIGINT) AS n_rings,
+               round(CAST(count(*) AS DOUBLE), 6) AS area_px
+        FROM burned GROUP BY fid
+    """
+
+    union_rows = _ov_expected_union()
+    uvals = ", ".join(
+        f"({f if f is not None else 'NULL'}, "
+        f"{m if m is not None else 'NULL'}, {a!r})"
+        for f, m, a in union_rows
+    )
+    sqls["layer_union"] = (
+        f"SELECT CAST(c0 AS BIGINT) AS in_fid, CAST(c1 AS BIGINT) AS m_fid, "
+        f"CAST(c2 AS DOUBLE) AS area FROM (VALUES {uvals}) t(c0, c1, c2)"
+    )
+    sym_rows = (
+        [(f, "input", a) for f, m, a in union_rows if m is None]
+        + [(m, "method", a) for f, m, a in union_rows if f is None]
+    )
+    svals = ", ".join(f"({f}, '{src}', {a!r})" for f, src, a in sym_rows)
+    sqls["layer_symdiff"] = (
+        f"SELECT CAST(c0 AS BIGINT) AS fid, c1 AS src, "
+        f"CAST(c2 AS DOUBLE) AS area FROM (VALUES {svals}) t(c0, c1, c2)"
+    )
+
+    # UTM inverse (Krüger series) spelled out with literal coefficients;
+    # cosh/sinh via exp since DuckDB lacks hyperbolics.
+    from lib_gdal_spark.functions import crs as _CRS
+    _tm = _CRS.utm_zone(31)
+    kA = _tm.k0 * _tm.A
+    g0u, g1u, _, g3u, _, g5u = _UTM31_DST_GT
+
+    def _ch(x: str) -> str:
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    def _sh(x: str) -> str:
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    bsum_xi = " + ".join(
+        f"{b!r} * sin({2 * j}.0 * xi) * {_ch(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tm.beta, start=1)
+    )
+    bsum_eta = " + ".join(
+        f"{b!r} * cos({2 * j}.0 * xi) * {_sh(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tm.beta, start=1)
+    )
+    dsum = " + ".join(
+        f"{d!r} * sin({2 * j}.0 * chi)" for j, d in enumerate(_tm.delta, 1)
+    )
+    # world4326 inverse geotransform (same literals as warp_nearest_z2)
+    from lib_gdal_spark.kernels import resample as _R
+    _wgt = (-180.0, 360.0 / 256, 0.0, 90.0, 0.0, -180.0 / 256)
+    _winv = _R.gt_invert(_wgt)
+    sqls["warp_utm_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0u!r} + (px + 0.5) * {g1u!r} AS E,
+            {g3u!r} + (py + 0.5) * {g5u!r} AS N
+          FROM pix
+        ),
+        xe AS (
+          SELECT px, py, N / {kA!r} AS xi, (E - 500000.0) / {kA!r} AS eta
+          FROM en
+        ),
+        p1 AS (
+          SELECT px, py,
+            xi - ({bsum_xi}) AS xip,
+            eta - ({bsum_eta}) AS etap
+          FROM xe
+        ),
+        p2 AS (
+          SELECT px, py, asin(sin(xip) / {_ch("etap")}) AS chi,
+                 atan2({_sh("etap")}, cos(xip)) AS lam
+          FROM p1
+        ),
+        ll AS (
+          SELECT px, py,
+            3.0 + degrees(lam) AS lon,
+            degrees(chi + ({dsum})) AS lat
+          FROM p2
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0 + 128.0)
+                    AS BIGINT) AS v
+        FROM sp
+    """
+
+    _fixture_vals = {
+        "gradient256": ("(px + py) // 2", 256),
+        "world4326": ("trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0)",
+                      256),
+        "checker64": ("CASE WHEN ((px // 8 + py // 8) % 2) = 0 "
+                      "THEN 20 ELSE 235 END", 64),
+    }
+
+    def _fix_pix(expr: str, n: int) -> str:
+        return (
+            f"SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py, "
+            f"CAST({expr} AS DOUBLE) AS v "
+            f"FROM generate_series(0, {n - 1}) x(px) "
+            f"CROSS JOIN generate_series(0, {n - 1}) y(py)"
+        )
+
+    stat_parts = []
+    for rid, (expr, n) in _fixture_vals.items():
+        stat_parts.append(f"""
+          SELECT '{rid}' AS raster_id, CAST(count(*) AS BIGINT) AS n,
+                 min(v) AS min, max(v) AS max,
+                 round(sum(v) / count(*), 6) AS mean,
+                 round(sqrt(greatest(
+                   sum(v * v) / count(*)
+                   - (sum(v) / count(*)) * (sum(v) / count(*)), 0.0)), 6)
+                   AS stddev
+          FROM ({_fix_pix(expr, n)})
+        """)
+    sqls["band_stats"] = " UNION ALL ".join(stat_parts)
+
+    sqls["band_histogram"] = f"""
+        SELECT CAST(floor(v / 16.0) AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS count
+        FROM ({_fix_pix("(px + py) // 2", 256)})
+        GROUP BY 1
+    """
+
+    _cw = [-0.0234375, -0.0703125, 0.2265625, 0.8671875,
+           0.8671875, 0.2265625, -0.0703125, -0.0234375]
+    _wk = "CASE k " + " ".join(
+        f"WHEN {i} THEN {w!r}" for i, w in enumerate(_cw)) + " END"
+    _wm = "CASE m " + " ".join(
+        f"WHEN {i} THEN {w!r}" for i, w in enumerate(_cw)) + " END"
+    sqls["pyramid_cubic_l1"] = f"""
+        WITH d AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(2, 125) x(px) CROSS JOIN generate_series(2, 125) y(py)
+        ),
+        t AS (
+          SELECT px, py, k.k, m.m,
+                 ({_wk}) * ({_wm})
+                   * ((2 * px + k.k - 3 + 2 * py + m.m - 3) // 2) AS term
+          FROM d CROSS JOIN generate_series(0, 7) k(k)
+                 CROSS JOIN generate_series(0, 7) m(m)
+        )
+        SELECT px, py,
+               CAST(floor(sum(term) / 4.0 + 0.5) AS BIGINT) AS v
+        FROM t GROUP BY px, py
+    """
+
+    sqls["grid_linear"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               round(2.0 * (-180.0 + (x.px + 0.5) * 5.625)
+                     + 3.0 * (90.0 - (y.py + 0.5) * 2.8125), 6) AS v
+        FROM generate_series(6, 57) x(px) CROSS JOIN generate_series(8, 55) y(py)
+    """
+
+    sqls["grid_invdistnn"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y, CAST(pid % 97 AS DOUBLE) AS v
+          FROM ({_POINTS_SQL})
+        ),
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 -180.0 + (x.px + 0.5) * 5.625 AS cx,
+                 90.0 + (y.py + 0.5) * -2.8125 AS cy
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        cand AS (
+          SELECT px, py, pid, v,
+                 (cx - x) * (cx - x) + (cy - y) * (cy - y) AS d2
+          FROM pix CROSS JOIN pts
+          WHERE (cx - x) * (cx - x) + (cy - y) * (cy - y) <= 225.0
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY px, py ORDER BY d2 ASC, pid ASC) AS r
+          FROM cand
+        ),
+        agg AS (
+          SELECT px, py, round(sum(v / d2) / sum(1.0 / d2), 4) AS v
+          FROM rk WHERE r <= 6 GROUP BY px, py
+        )
+        SELECT p.px, p.py, coalesce(a.v, -1.0) AS v
+        FROM pix p LEFT JOIN agg a ON p.px = a.px AND p.py = a.py
+    """
+
+    at_parts = []
+    for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():
+        px0 = math.floor((mnx + 180.0) / 1.40625)
+        px1 = math.ceil((mxx + 180.0) / 1.40625) - 1
+        py0 = math.floor((90.0 - mxy) / 0.703125)
+        py1 = math.ceil((90.0 - mny) / 0.703125) - 1
+        at_parts.append(
+            f"SELECT x.px, y.py, CAST({mid} AS DOUBLE) AS burn "
+            f"FROM generate_series({px0}, {px1}) x(px) "
+            f"CROSS JOIN generate_series({py0}, {py1}) y(py)"
+        )
+    sqls["rasterize_alltouched"] = f"""
+        WITH burned AS ({" UNION ALL ".join(at_parts)})
+        SELECT CAST(px // 64 AS INTEGER) AS tile_x,
+               CAST(py // 64 AS INTEGER) AS tile_y,
+               burn, CAST(count(*) AS BIGINT) AS n_pixels
+        FROM burned GROUP BY 1, 2, 3
+    """
+
+    seg_sqls = []
+    fl = [(int(math.floor(a)), int(math.floor(b))) for a, b in _LINE_PIX]
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = fl
+    seg_sqls.append(
+        f"SELECT CAST(i AS BIGINT) AS px, CAST({y0} AS BIGINT) AS py "
+        f"FROM generate_series({x0}, {x1}) t(i)"
+    )
+    seg_sqls.append(
+        f"SELECT CAST({x1} AS BIGINT), CAST(i AS BIGINT) "
+        f"FROM generate_series({y1}, {y2}) t(i)"
+    )
+    seg_sqls.append(
+        f"SELECT CAST({x2} + i AS BIGINT), CAST({y2} + i AS BIGINT) "
+        f"FROM generate_series(0, {x3 - x2}) t(i)"
+    )
+    sqls["rasterize_line"] = (
+        "SELECT DISTINCT px, py FROM ("
+        + " UNION ALL ".join(seg_sqls) + ") t(px, py)"
+    )
+
+    sqls["rasterize_points"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        px AS (
+          SELECT pid,
+            CAST(floor((lon - (-180.0)) / 1.40625) AS BIGINT) AS px,
+            CAST(floor((lat - 90.0) / (-0.703125)) AS BIGINT) AS py,
+            CAST((pid % 50) + 1 AS DOUBLE) AS burn
+          FROM pts
+        )
+        SELECT px, py, CAST(arg_max(burn, pid) AS BIGINT) AS v
+        FROM px
+        WHERE px >= 0 AND px < 256 AND py >= 0 AND py < 256
+        GROUP BY px, py
+    """
+
+    mnx, mny, mxx, mxy = METHOD_BOXES[10]
+    _buf_area = round(4.0 * 3.0 + 2.0 * (4.0 + 3.0)
+                      + 16.0 * math.sin(math.pi / 16.0), 6)
+    sqls["constructive_geom"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        g AS (
+          SELECT pid, lon, lat,
+            greatest({mnx!r} - (lon + 2.0), (lon - 2.0) - {mxx!r}, 0.0) AS gx,
+            greatest({mny!r} - (lat + 1.5), (lat - 1.5) - {mxy!r}, 0.0) AS gy
+          FROM pts WHERE pid % 10 = 0
+        )
+        SELECT pid, round(sqrt(gx * gx + gy * gy), 6) AS dist,
+               round(lon, 6) AS cx, round(lat, 6) AS cy,
+               {_buf_area!r} AS buf_area
+        FROM g
+    """
+
+    sqls["graph_sssp"] = """
+        WITH RECURSIVE chain(node, cur, acc) AS (
+          SELECT v AS node, v AS cur, CAST(0.0 AS DOUBLE) AS acc
+          FROM generate_series(1, 255) t(v)
+          UNION ALL
+          SELECT node, cur // 2, acc + ((cur % 97) / 10.0 + 1.0)
+          FROM chain WHERE cur > 0
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(round(acc, 6) AS DOUBLE) AS dist
+        FROM chain WHERE cur = 0
+        UNION ALL
+        SELECT 0, CAST(0.0 AS DOUBLE)
+    """
+
+    sqls["nearblack"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CASE WHEN y.py < 4 OR x.px < 3 THEN 0.0
+                    WHEN x.px >= 60 AND x.px < 64
+                         AND y.py >= 60 AND y.py < 64 THEN 3.0
+                    ELSE 200.0 END AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    _primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+
+    def _cksum(expr: str, n: int) -> str:
+        return (
+            f"SELECT CAST(sum(CAST({expr} AS BIGINT) % "
+            f"list_extract({_primes}, CAST((py * {n} + px) % 11 AS INTEGER) + 1)"
+            f") % 65536 AS INTEGER) "
+            f"FROM generate_series(0, {n - 1}) x(px) "
+            f"CROSS JOIN generate_series(0, {n - 1}) y(py)"
+        )
+
+    sqls["raster_pyramid_cksum"] = f"""
+        SELECT CAST(0 AS INTEGER) AS zoom, ({_cksum("(px + py) // 2", 256)}) AS checksum
+        UNION ALL
+        SELECT 1, ({_cksum("px + py", 128)})
+        UNION ALL
+        SELECT 2, ({_cksum("2 * px + 2 * py + 1", 64)})
+    """
+
+    sqls["raster_pyramid"] = f"""
+        SELECT 'gradient256' AS raster_id, CAST(1 AS INTEGER) AS band,
+               CAST(0 AS INTEGER) AS zoom,
+               ({_cksum("(px + py) // 2", 256)}) AS checksum
+        UNION ALL
+        SELECT 'gradient256', 1, 1, ({_cksum("px + py", 128)})
+        UNION ALL
+        SELECT 'gradient256', 1, 2, ({_cksum("2 * px + 2 * py + 1", 64)})
+    """
+
+    ck_parts = ["SELECT 'byte20' AS raster_id, CAST(1 AS INTEGER) AS band, "
+                "CAST(0 AS INTEGER) AS zoom, CAST(4672 AS INTEGER) AS checksum"]
+    for rid, (expr, n) in _fixture_vals.items():
+        ck_parts.append(
+            f"SELECT '{rid}', 1, 0, ({_cksum(expr, n)})"
+        )
+    sqls["raster_checksum"] = " UNION ALL ".join(ck_parts)
+
+    # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
+
+    lang_scores = ",\n".join(
+        f"          ({_lang_score_sql(lg)}) AS s_{lg}" for lg in _LANGS
+    )
+    lang_pred = "CASE WHEN greatest(" + ", ".join(
+        f"s_{lg}" for lg in _LANGS
+    ) + ") <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = greatest(" + ", ".join(
+            f"s_{x}" for x in _LANGS) + f") THEN '{lg}'"
+        for lg in _LANGS
+    ) + " END"
+    sqls["lang_id"] = f"""
+        WITH low AS (SELECT doc_id, lower(text) AS low FROM documents),
+        sc AS (
+          SELECT doc_id,
+{lang_scores}
+          FROM low
+        )
+        SELECT doc_id, {lang_pred} AS lang_pred FROM sc
+    """
+
+    _cos = ("round(list_dot_product(qv, v) / "
+            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+            ", 6)")
+    sqls["cosine_topk"] = f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id < 8
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        j AS (
+          SELECT qid, vec_id, {_cos} AS cos_sim
+          FROM q CROSS JOIN c WHERE qid <> vec_id
+        )
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM j
+        ) WHERE rank <= 5
+    """
+
+    sqls["cosine_near_dup"] = f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM c a CROSS JOIN c b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """
+
+    sqls["ngram_jaccard"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+            FROM (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(nt - 3, 1))) AS i
+              FROM n WHERE nt >= 5
+            )
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ')
+            FROM n WHERE nt < 5 AND nt > 0
+          )
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_common
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
     """
 
     return sqls
