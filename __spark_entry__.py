@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lib_gdal_spark.functions import cells as C
+from lib_gdal_spark.session import local_df
 from lib_gdal_spark.functions import geometry as G
 from lib_gdal_spark.operators import ann as ANN
 from lib_gdal_spark.operators import dedup as DD
@@ -91,7 +92,7 @@ def _polygons_df(spark: SparkSession) -> DataFrame:
         rows.append((fid, bytearray(G.wkb_polygon([ring]))))
     # Single partition: a 3-row dim spread over default parallelism would
     # spin one Python worker per empty partition in the cover UDF.
-    return spark.createDataFrame(rows, "fid long, geom_wkb binary").coalesce(1)
+    return local_df(spark, rows, "fid long, geom_wkb binary")
 
 
 def _inside_sql(verts: list[tuple[float, float]]) -> str:
@@ -131,9 +132,7 @@ def _raster_polys_df(spark: SparkSession) -> DataFrame:
     for fid, verts in RASTER_POLYGONS.items():
         ring = np.array(verts + [verts[0]], dtype=np.float64)
         rows.append((fid, bytearray(G.wkb_polygon([ring])), float(fid)))
-    return spark.createDataFrame(
-        rows, "fid long, geom_wkb binary, burn double"
-    ).coalesce(1)
+    return local_df(spark, rows, "fid long, geom_wkb binary, burn double")
 
 
 # 256x256 world grid pixel centers as SQL (mirrors GridSpec/world_grid):
@@ -364,7 +363,7 @@ def q_pip_join_pentagon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via k-ring expansion join (north star; gdalgrid.cpp:281-301)."""
-    q = spark.createDataFrame(KNN_QUERIES, "qid long, qlon double, qlat double")
+    q = local_df(spark, KNN_QUERIES, "qid long, qlon double, qlat double")
     t = _points(spark, sf_dir).select(
         F.col("pid").alias("tid"), F.col("lon").alias("tlon"),
         F.col("lat").alias("tlat"),
@@ -375,7 +374,7 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN baseline: broadcast nested loop + top-k window."""
-    q = spark.createDataFrame(KNN_QUERIES, "qid long, qlon double, qlat double")
+    q = local_df(spark, KNN_QUERIES, "qid long, qlon double, qlat double")
     t = _points(spark, sf_dir).select(
         F.col("pid").alias("tid"), F.col("lon").alias("tlon"),
         F.col("lat").alias("tlat"),
@@ -517,7 +516,8 @@ def q_location_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lib_gdal_spark.operators import translate as T
 
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
-    q = spark.createDataFrame(
+    q = local_df(
+        spark,
         [(1, 10.2, 200.7), (2, 100.9, 119.3), (3, 255.2, 100.1),
          (4, 0.4, 255.6), (5, 199.5, 140.25)],
         "qid long, x double, y double",
@@ -535,10 +535,10 @@ def q_mosaic_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def box_df(fid, minx, miny, maxx, maxy, burn):
         ring = G.box_ring(minx, miny, maxx, maxy)
-        return spark.createDataFrame(
-            [(fid, bytearray(G.wkb_polygon([ring])), burn)],
+        return local_df(
+            spark, [(fid, bytearray(G.wkb_polygon([ring])), burn)],
             "fid long, geom_wkb binary, burn double",
-        ).coalesce(1)
+        )
 
     ta = RZ.rasterize_polygons(box_df(1, -30.063, -20.063, 10.063, 20.063, 5.0),
                                grid, raster_id="a")
@@ -588,11 +588,12 @@ def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
 
     inputs = pts.mapInPandas(boxes, schema="fid long, geom_wkb binary")
-    methods = spark.createDataFrame(
+    methods = local_df(
+        spark,
         [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
          for mid, bb in METHOD_BOXES.items()],
         "fid long, geom_wkb binary",
-    ).coalesce(1)
+    )
     out = LA.intersection(inputs, methods, res=5)
     return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
 
@@ -724,11 +725,12 @@ def q_layer_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
 
     inputs = pts.mapInPandas(boxes, schema="fid long, geom_wkb binary")
-    methods = spark.createDataFrame(
+    methods = local_df(
+        spark,
         [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
          for mid, bb in METHOD_BOXES.items()],
         "fid long, geom_wkb binary",
-    ).coalesce(1)
+    )
     out = LA.erase(inputs, methods)
     return out.select("in_fid", F.round("area", 6).alias("area")).where(
         F.col("area") > 0.0
@@ -1009,15 +1011,16 @@ def _ov_method_inter(box) -> float:
 def _ov_layers(spark: SparkSession):
     ring = np.array(_OV_C_SHAPE, dtype=np.float64)
     hole = G.box_ring(*_OV_HOLE)
-    inputs = spark.createDataFrame(
+    inputs = local_df(
+        spark,
         [(fid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
          for fid, bb in _OV_INPUT_BOXES.items()],
         "fid long, geom_wkb binary",
-    ).coalesce(1)
-    method = spark.createDataFrame(
-        [(7, bytearray(G.wkb_polygon([ring, hole])))],
+    )
+    method = local_df(
+        spark, [(7, bytearray(G.wkb_polygon([ring, hole])))],
         "fid long, geom_wkb binary",
-    ).coalesce(1)
+    )
     return inputs, method
 
 
@@ -1177,11 +1180,12 @@ def q_rasterize_alltouched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lib_gdal_spark.operators import rasterize as RZ
 
     grid = RZ.world_grid(256, 256, 64)
-    polys = spark.createDataFrame(
+    polys = local_df(
+        spark,
         [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])), float(mid))
          for mid, bb in METHOD_BOXES.items()],
         "fid long, geom_wkb binary, burn double",
-    ).coalesce(1)
+    )
     tiles = RZ.rasterize_polygons(polys, grid, all_touched=True)
     return RZ.burned_pixel_counts(tiles)
 
@@ -1199,10 +1203,10 @@ def q_rasterize_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-180.0 + px * 1.40625, 90.0 - py * 0.703125)
         for px, py in _LINE_PIX
     ])
-    lines = spark.createDataFrame(
-        [(1, bytearray(G.wkb_linestring(pts)), 1.0)],
+    lines = local_df(
+        spark, [(1, bytearray(G.wkb_linestring(pts)), 1.0)],
         "fid long, geom_wkb binary, burn double",
-    ).coalesce(1)
+    )
     tiles = RZ.rasterize_lines(lines, grid)
     return _explode_px(tiles).where(F.col("v") == 1.0).select("px", "py")
 

@@ -68,6 +68,14 @@ BENCH = {
     "dem_slope": lambda s: _force(E.q_dem_slope(s, SF_DIR)),
     "grid_idw": lambda s: _force(E.q_grid_idw(s, SF_DIR)),
     "warp_bilinear": lambda s: _force(E.q_warp_bilinear_z2(s, SF_DIR)),
+    # round-2 additions
+    "warp_utm": lambda s: _force(E.q_warp_utm_nearest(s, SF_DIR)),
+    "polygonize_rings": lambda s: _force(E.q_polygonize_rings(s, SF_DIR)),
+    "layer_union": lambda s: _force(E.q_layer_union(s, SF_DIR)),
+    "band_stats": lambda s: _force(E.q_band_stats(s, SF_DIR)),
+    "pyramid_cubic": lambda s: _force(E.q_pyramid_cubic_l1(s, SF_DIR)),
+    "grid_invdistnn": lambda s: _force(E.q_grid_invdistnn(s, SF_DIR)),
+    "graph_sssp": lambda s: _force(E.q_graph_sssp(s, SF_DIR)),
 }
 
 

@@ -20,4 +20,4 @@ pandas/Arrow UDFs (no per-row Python); Catalyst does the relational planning.
 
 __version__ = "0.1.0"
 
-from lib_gdal_spark.session import get_spark  # noqa: F401
+from lib_gdal_spark.session import get_spark, local_df  # noqa: F401

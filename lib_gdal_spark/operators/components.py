@@ -58,6 +58,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Edge list (u long, v long) -> mapping (label long, component long).
 
@@ -65,13 +66,36 @@ def connected_components(
     that appear in no edge are simply absent from the mapping — callers
     left-join and ``coalesce(component, label)``.
 
-    Each round localCheckpoints the contracted edge set: truncates the
-    iterative lineage (no exponential plan growth) and reuses the
-    materialized result for the convergence check.
+    Edge lists under ``driver_threshold`` rows short-circuit to a driver
+    union-find (the edge count is known and bounded, so this is NOT the
+    unbounded round-1 pattern — it saves ~10 Spark jobs of fixed latency
+    on small/medium inputs); larger graphs run the large-star/small-star
+    rounds, each localCheckpointed to truncate the iterative lineage.
     """
     e = edges.select(
         F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
     ).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in e.collect():
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(k, find(k)) for k in parent]
+        from lib_gdal_spark.session import local_df
+        spark = edges.sparkSession
+        return local_df(spark, rows, "label long, component long")
 
     prev_sig = None
     for _ in range(max_rounds):

@@ -52,8 +52,10 @@ def shortest_path_tree(
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     e = e.localCheckpoint()
 
-    dist = e.sparkSession.createDataFrame(
-        [(source, 0.0, None)], "node long, dist double, prev long"
+    from lib_gdal_spark.session import local_df
+    dist = local_df(
+        e.sparkSession, [(source, 0.0, None)],
+        "node long, dist double, prev long",
     )
     for _ in range(max_rounds):
         cand = (

@@ -269,8 +269,9 @@ def mercator_warp_tasks(
         iv = R.gt_invert(gt)
         meta_rows.append((r["raster_id"], int(r["band"]), tw, th, W, H,
                           r["src_dtype"], *map(float, gt), *map(float, iv)))
-    meta_df = spark.createDataFrame(
-        meta_rows,
+    from lib_gdal_spark.session import local_df
+    meta_df = local_df(
+        spark, meta_rows,
         "raster_id string, band int, tw_nom int, th_nom int, "
         "full_w int, full_h int, src_dtype string, "
         "g0 double, g1 double, g2 double, g3 double, g4 double, g5 double, "
@@ -388,8 +389,9 @@ def warp_to_crs_tiles_dist(
         )
         meta_rows.append((r["raster_id"], int(r["band"]), tw, th, W, H,
                           r["src_dtype"], *map(float, gt)))
-    meta_df = spark.createDataFrame(
-        meta_rows,
+    from lib_gdal_spark.session import local_df
+    meta_df = local_df(
+        spark, meta_rows,
         "raster_id string, band int, tw_nom int, th_nom int, "
         "full_w int, full_h int, src_dtype string, "
         "g0 double, g1 double, g2 double, g3 double, g4 double, g5 double",

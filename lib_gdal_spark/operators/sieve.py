@@ -248,8 +248,10 @@ def sieve(
 
     # --- changed-label map (small!) + one-pass pixel rewrite --------------
     if absorbed_value:
-        ab_df = spark.createDataFrame(
-            list(absorbed_value.items()), "component long, out_v double"
+        from lib_gdal_spark.session import local_df
+        ab_df = local_df(
+            spark, list(absorbed_value.items()),
+            "component long, out_v double",
         )
         changed = (
             lab_comp.join(F.broadcast(ab_df), "component")

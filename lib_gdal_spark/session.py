@@ -63,3 +63,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark, rows, schema: str):
+    """createDataFrame for SMALL literal row lists via the Arrow/pandas
+    path.
+
+    The tuple-list path goes through sc.parallelize with
+    defaultParallelism slices and spins one Python worker per slice —
+    ~4-6s of fixed latency on local[32] for a 3-row dim table. The pandas
+    path ships one Arrow batch (~0.1s). Always returns a single
+    partition (these are broadcast-dim fixtures).
+    """
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(list(rows), columns=cols)
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)

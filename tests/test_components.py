@@ -26,13 +26,15 @@ def _uf_reference(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "u long, v long")
-    got = {
-        r["label"]: r["component"]
-        for r in connected_components(df).collect()
-    }
     ref = _uf_reference(edges)
-    for n, root in ref.items():
-        assert got.get(n, n) == root, (n, got.get(n), root)
+    # both paths: the driver fast path AND the large-star/small-star rounds
+    for thresh in (200_000, 0):
+        got = {
+            r["label"]: r["component"]
+            for r in connected_components(df, driver_threshold=thresh).collect()
+        }
+        for n, root in ref.items():
+            assert got.get(n, n) == root, (thresh, n, got.get(n), root)
 
 
 def test_chain_and_star(spark):
