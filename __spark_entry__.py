@@ -1306,6 +1306,89 @@ def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out, tile=tile).select("px", "py", "v")
 
 
+def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaltindex (apps/gdaltindex.cpp): one footprint row per raster —
+    JVM-only bbox aggregate over the tile table; fixture extents are
+    closed-form."""
+    from lib_gdal_spark.operators import translate as T
+
+    tiles = RS.fixture_rasters(spark)
+    return T.tile_index(tiles).select(
+        "raster_id", "minx", "miny", "maxx", "maxy"
+    )
+
+
+# predicate fixture pairs: (name, box_a, box_b) with rectangle-logic truth
+_PRED_PAIRS = [
+    ("overlap", (0.0, 0.0, 4.0, 4.0), (2.0, 2.0, 6.0, 6.0)),
+    ("contain", (0.0, 0.0, 4.0, 4.0), (1.0, 1.0, 3.0, 3.0)),
+    ("edge", (0.0, 0.0, 4.0, 4.0), (4.0, 0.0, 8.0, 4.0)),
+    ("corner", (0.0, 0.0, 4.0, 4.0), (4.0, 4.0, 6.0, 6.0)),
+    ("disjoint", (0.0, 0.0, 4.0, 4.0), (10.0, 10.0, 12.0, 12.0)),
+    ("equal", (0.0, 0.0, 4.0, 4.0), (0.0, 0.0, 4.0, 4.0)),
+]
+
+
+def q_spatial_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC predicates (ogrgeometry.cpp Intersects/Contains/Touches/
+    Overlaps/Equals) over the boolean kernel; oracle = independent
+    rectangle interval logic."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.functions import predicates as PR
+
+    rows = [(name, bytearray(G.wkb_polygon([G.box_ring(*a)])),
+             bytearray(G.wkb_polygon([G.box_ring(*b)])))
+            for name, a, b in _PRED_PAIRS]
+    df = local_df(spark, rows, "name string, wa binary, wb binary")
+
+    def work(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                a = G.polygon_rings(bytes(r["wa"]))
+                bb = G.polygon_rings(bytes(r["wb"]))
+                out.append({
+                    "name": r["name"],
+                    "intersects": PR.intersects(a, bb),
+                    "contains": PR.contains(a, bb),
+                    "touches": PR.touches(a, bb),
+                    "overlaps": PR.overlaps(a, bb),
+                    "equals": PR.equals(a, bb),
+                })
+            yield pd.DataFrame(out, columns=[
+                "name", "intersects", "contains", "touches", "overlaps",
+                "equals",
+            ])
+
+    return df.mapInPandas(
+        work,
+        schema="name string, intersects boolean, contains boolean, "
+               "touches boolean, overlaps boolean, equals boolean",
+    )
+
+
+def _pred_expected() -> list[tuple]:
+    """Rectangle interval logic, independent of the slab kernel."""
+    rows = []
+    for name, a, b in _PRED_PAIRS:
+        ox = min(a[2], b[2]) - max(a[0], b[0])
+        oy = min(a[3], b[3]) - max(a[1], b[1])
+        inter_area = max(ox, 0.0) * max(oy, 0.0)
+        contact = ox >= 0 and oy >= 0
+        area_a = (a[2] - a[0]) * (a[3] - a[1])
+        area_b = (b[2] - b[0]) * (b[3] - b[1])
+        rows.append((
+            name,
+            inter_area > 0 or contact,
+            inter_area == area_b and area_b > 0,
+            inter_area == 0 and contact,
+            0 < inter_area < min(area_a, area_b),
+            inter_area == area_a == area_b,
+        ))
+    return rows
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1403,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "nearblack": q_nearblack,
         "raster_pyramid_cksum": q_raster_pyramid_cksum,
+        "tile_index": q_tile_index,
+        "spatial_predicates": q_spatial_predicates,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2540,6 +2625,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{rid}', 1, 0, ({_cksum(expr, n)})"
         )
     sqls["raster_checksum"] = " UNION ALL ".join(ck_parts)
+
+    # fixture raster extents are closed-form (sources/rasters.py)
+    _ti_rows = [
+        ("byte20", 440720.0, 3751320.0 - 1200.0, 440720.0 + 1200.0, 3751320.0),
+        ("gradient256", 0.0, 0.0, 256.0, 256.0),
+        ("checker64", 0.0, 0.0, 64.0, 64.0),
+        ("world4326", -180.0, -90.0, 180.0, 90.0),
+    ]
+    ti_vals = ", ".join(
+        f"('{r}', {a!r}, {b!r}, {c!r}, {d!r})" for r, a, b, c, d in _ti_rows
+    )
+    sqls["tile_index"] = (
+        f"SELECT c0 AS raster_id, CAST(c1 AS DOUBLE) AS minx, "
+        f"CAST(c2 AS DOUBLE) AS miny, CAST(c3 AS DOUBLE) AS maxx, "
+        f"CAST(c4 AS DOUBLE) AS maxy "
+        f"FROM (VALUES {ti_vals}) t(c0, c1, c2, c3, c4)"
+    )
+
+    pr_vals = ", ".join(
+        "('{}', {}, {}, {}, {}, {})".format(
+            name, *[str(bool(x)).upper() for x in flags]
+        )
+        for name, *flags in _pred_expected()
+    )
+    sqls["spatial_predicates"] = (
+        f"SELECT c0 AS name, c1 AS intersects, c2 AS contains, "
+        f"c3 AS touches, c4 AS overlaps, c5 AS equals "
+        f"FROM (VALUES {pr_vals}) t(c0, c1, c2, c3, c4, c5)"
+    )
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
 

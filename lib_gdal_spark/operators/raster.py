@@ -344,8 +344,14 @@ def warp_to_crs_tiles_dist(
     raster_id: str | None = None,
     out_id: str | None = None,
     edge_samples: int = 7,
+    cutline: list | None = None,
 ) -> DataFrame:
     """gdalwarp into an ARBITRARY target CRS grid (round-2, VERDICT #3).
+
+    ``cutline``: optional list of (n, 2) rings in DST-CRS world
+    coordinates — dst pixels whose centers fall outside the even-odd
+    region become NaN/nodata, the blend-distance-0 case of gdalwarp
+    -cutline (``core/alg/gdalwarpoperation.cpp`` CutlineMasker).
 
     ``inverse(x, y) -> (lon, lat)`` maps dst-CRS coordinates back to the
     source's geographic space (e.g. ``crs.utm_zone(31).inverse``). The dst
@@ -511,6 +517,17 @@ def warp_to_crs_tiles_dist(
                 dtype=r0["src_dtype"], transform=inverse,
                 src_origin=(wx0, wy0), src_full_shape=(H, W),
             )
+        if cutline is not None:
+            from lib_gdal_spark.functions import geometry as G2
+            jj2, ii2 = np.meshgrid(np.arange(thd), np.arange(twd),
+                                   indexing="ij")
+            cxs = (tile_gt[0] + (ii2 + 0.5) * tile_gt[1]
+                   + (jj2 + 0.5) * tile_gt[2]).ravel()
+            cys = (tile_gt[3] + (ii2 + 0.5) * tile_gt[4]
+                   + (jj2 + 0.5) * tile_gt[5]).ravel()
+            inside = G2.points_in_rings(cxs, cys, list(cutline))
+            out = np.asarray(out, dtype=np.float64)
+            out[~inside.reshape(thd, twd)] = np.nan
         return pd.DataFrame([
             dict(raster_id=(out_id or rid), band=band, zoom=0,
                  tile_x=txd, tile_y=tyd,

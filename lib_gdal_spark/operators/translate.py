@@ -248,3 +248,45 @@ def translate_window_auto(
            max(xs // ratio, 1), max(ys // ratio, 1))
     return translate_window(lvl, raster_id, win, (ow, oh), alg=alg,
                             tile=tile, out_id=out_id)
+
+
+def tile_index(
+    tiles: DataFrame,
+    out_col: str = "geom_wkb",
+) -> DataFrame:
+    """gdaltindex (``apps/gdaltindex.cpp:4``): one footprint-polygon row per
+    raster — (raster_id, band, zoom, minx, miny, maxx, maxy, geom_wkb).
+
+    A pure JVM aggregate over the tile table: each tile's world bbox is
+    column math on its geotransform, min/max per raster, the footprint
+    box ring serialized in one tiny Arrow pass.
+    """
+    x0 = F.col("gt0")
+    x1 = F.col("gt0") + F.col("tile_w") * F.col("gt1")
+    y0 = F.col("gt3") + F.col("tile_h") * F.col("gt5")
+    y1 = F.col("gt3")
+    ext = tiles.select(
+        "raster_id", "band", "zoom",
+        F.least(x0, x1).alias("bx0"), F.greatest(x0, x1).alias("bx1"),
+        F.least(y0, y1).alias("by0"), F.greatest(y0, y1).alias("by1"),
+    ).groupBy("raster_id", "band", "zoom").agg(
+        F.min("bx0").alias("minx"), F.min("by0").alias("miny"),
+        F.max("bx1").alias("maxx"), F.max("by1").alias("maxy"),
+    )
+
+    def mk_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lib_gdal_spark.functions import geometry as G
+        for b in batches:
+            b = b.copy()
+            b["geom_wkb"] = [
+                bytearray(G.wkb_polygon([G.box_ring(r.minx, r.miny,
+                                                    r.maxx, r.maxy)]))
+                for r in b.itertuples()
+            ]
+            yield b
+
+    return ext.mapInPandas(
+        mk_wkb,
+        schema="raster_id string, band int, zoom int, minx double, "
+               "miny double, maxx double, maxy double, geom_wkb binary",
+    )

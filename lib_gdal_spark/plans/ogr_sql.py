@@ -60,10 +60,13 @@ def ogr_between(x: Column, lo: Column, hi: Column) -> Column:
 
 
 def ogr_like(col: Column, pattern: str, escape: str | None = None) -> Column:
-    """Case-insensitive LIKE (tolower both sides, ``swq_op_general.cpp:56``)."""
-    pat = F.lit(pattern.lower())
+    """Case-insensitive LIKE (tolower both sides, ``swq_op_general.cpp:56``),
+    with optional ESCAPE (grammar ``swq_parser.y:254-266``)."""
     if escape:
-        return ogr_bool(F.lower(col).like(pattern.lower(), escape))
+        # Column.like has no escape arg; the 3-arg SQL builtin does
+        return ogr_bool(F.call_function(
+            "like", F.lower(col), F.lit(pattern.lower()), F.lit(escape)
+        ))
     return ogr_bool(F.lower(col).like(pattern.lower()))
 
 
