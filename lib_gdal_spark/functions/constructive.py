@@ -199,3 +199,71 @@ def buffer_polygon(rings: list[Ring], dist: float,
     else:
         polys = OV.boolean_op(rings, bb, "difference")
     return polys
+
+
+def boundary(rings: list[Ring]) -> list[np.ndarray]:
+    """OGR Boundary (``ogrgeometry.cpp:3769``): a polygon's boundary is its
+    rings as closed linestrings."""
+    return [_close(r).copy() for r in rings]
+
+
+def segmentize(ring: np.ndarray, max_length: float) -> np.ndarray:
+    """OGR Segmentize (``ogrgeometry.cpp`` / ogr2ogr -segmentize): insert
+    vertices so no segment exceeds ``max_length`` (equal subdivisions)."""
+    r = np.asarray(ring, np.float64)
+    out = [r[0]]
+    for i in range(len(r) - 1):
+        a, b = r[i], r[i + 1]
+        ln = float(np.hypot(*(b - a)))
+        n = max(int(np.ceil(ln / max_length)), 1)
+        for k in range(1, n + 1):
+            out.append(a + (b - a) * (k / n))
+    return np.asarray(out)
+
+
+def make_valid(rings: list[Ring]) -> list[list[np.ndarray]]:
+    """OGR MakeValid (``ogrgeometry.cpp:5433``): normalize an arbitrary
+    ring soup (self-intersections, wrong orientations, overlapping rings)
+    into valid polygons-with-holes under even-odd semantics."""
+    return OV.boolean_op(rings, [], "union")
+
+
+def point_on_surface(rings: list[Ring]) -> tuple[float, float]:
+    """OGR PointOnSurface (``ogrgeometry.cpp:3536``): a point guaranteed
+    interior — midpoint of the widest even-odd span on a scanline chosen
+    between distinct vertex y's (the GEOS interior-point construction)."""
+    ys = np.unique(np.concatenate([_close(r)[:, 1] for r in rings]))
+    if len(ys) < 2:
+        raise ValueError("degenerate polygon")
+    # scan the gap between the two middle distinct vertex rows
+    k = len(ys) // 2
+    y = 0.5 * (ys[k - 1] + ys[k])
+    xs = []
+    for r in rings:
+        rr = _close(r)
+        x0, y0 = rr[:-1, 0], rr[:-1, 1]
+        x1, y1 = rr[1:, 0], rr[1:, 1]
+        cross = (y0 <= y) != (y1 <= y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x0 + (y - y0) * (x1 - x0) / np.where(y1 == y0, 1.0, y1 - y0)
+        xs.extend(xi[cross].tolist())
+    xs = sorted(xs)
+    if len(xs) < 2:
+        raise ValueError("no interior span found")
+    spans = [(xs[i + 1] - xs[i], i) for i in range(0, len(xs) - 1, 2)]
+    w, i = max(spans)
+    return (0.5 * (xs[i] + xs[i + 1]), y)
+
+
+def force_to_multipolygon(wkb: bytes) -> bytes:
+    """OGR ForceToMultiPolygon (used by gensql,
+    ``drivers/ogr_gensql.cpp:1396-1416``): wrap a Polygon as MultiPolygon;
+    MultiPolygon passes through."""
+    from lib_gdal_spark.functions import geometry as G
+
+    gtype, payload = G.parse_wkb(wkb)
+    if gtype == G.WKB_MULTIPOLYGON:
+        return bytes(wkb)
+    if gtype == G.WKB_POLYGON:
+        return G.wkb_multipolygon([payload])
+    raise ValueError(f"cannot force WKB type {gtype} to MultiPolygon")

@@ -68,3 +68,34 @@ def test_buffer_polygon_dilate_erode():
     # erosion that consumes the polygon entirely
     gone = CG.buffer_polygon([box(0, 0, 1, 1)], -2.0)
     assert OV.polys_area(gone) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_boundary_segmentize():
+    b = CG.boundary([box(0, 0, 2, 2)])
+    assert len(b) == 1 and len(b[0]) == 5
+    s = CG.segmentize(box(0, 0, 3, 3), 1.0)
+    d = np.hypot(*(np.diff(s, axis=0).T))
+    assert d.max() <= 1.0 + 1e-12
+    assert len(s) == 13  # 4 edges x 3 subdivisions + closure
+
+
+def test_make_valid_bowtie():
+    # self-intersecting bowtie normalizes to two triangles, area 2
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)
+    mv = CG.make_valid([bow])
+    assert OV.polys_area(mv) == pytest.approx(2.0)
+
+
+def test_point_on_surface_holed():
+    rings = [box(0, 0, 10, 10), box(2, 2, 8, 8)]
+    x, y = CG.point_on_surface(rings)
+    assert OV._point_in_rings_eo(x, y, rings)
+
+
+def test_force_to_multipolygon():
+    from lib_gdal_spark.functions import geometry as G
+    w = G.wkb_polygon([box(0, 0, 1, 1)])
+    mw = CG.force_to_multipolygon(w)
+    gt, p = G.parse_wkb(mw)
+    assert gt == G.WKB_MULTIPOLYGON and len(p) == 1
+    assert CG.force_to_multipolygon(mw) == mw
