@@ -1389,6 +1389,18 @@ def _pred_expected() -> list[tuple]:
     return rows
 
 
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (task brief): audio binary columns through the
+    Arrow decode/frame pipeline; duration + frame counts derive from the
+    typed metadata, so the oracle is closed-form while the stubbed codec
+    stays out of the checked columns."""
+    from lib_gdal_spark.operators import multimodal as MM
+
+    media = MM.generate_media(spark, 60)
+    out = MM.audio_features(media, frame_ms=25)
+    return out.select("media_id", "duration_s", "n_frames")
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid_cksum": q_raster_pyramid_cksum,
         "tile_index": q_tile_index,
         "spatial_predicates": q_spatial_predicates,
+        "media_audio_frames": q_media_audio_frames,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2654,6 +2667,13 @@ def oracle_sql() -> dict[str, str]:
         f"c3 AS touches, c4 AS overlaps, c5 AS equals "
         f"FROM (VALUES {pr_vals}) t(c0, c1, c2, c3, c4, c5)"
     )
+
+    sqls["media_audio_frames"] = """
+        SELECT CAST(i AS BIGINT) AS media_id,
+               (16000 + (i % 5) * 4000) / 16000.0 AS duration_s,
+               CAST((16000 + (i % 5) * 4000) // 400 AS INTEGER) AS n_frames
+        FROM generate_series(0, 59) t(i) WHERE i % 3 = 1
+    """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
 
