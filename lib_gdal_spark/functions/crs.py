@@ -200,3 +200,129 @@ def meridian_arc_numeric(lat: float, a: float = WGS84_A,
     phi = np.linspace(0.0, np.radians(lat), steps)
     integrand = a * (1.0 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
     return float(np.trapz(integrand, phi))
+
+
+class AlbersEqualArea:
+    """Albers equal-area conic 2SP (Snyder 1987 §14, ellipsoidal)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F) -> None:
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        m1 = self._m(p1)
+        m2 = self._m(p2)
+        q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+        self.n_cone = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n_cone * q1)
+        self.rho0 = float(a * np.sqrt(self.C - self.n_cone * q0)
+                          / self.n_cone)
+
+    def _m(self, phi):
+        return np.cos(phi) / np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+
+    def _q(self, phi):
+        e, e2 = self.e, self.e2
+        s = np.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        q = self._q(phi)
+        rho = self.a * np.sqrt(self.C - self.n_cone * q) / self.n_cone
+        th = self.n_cone * lam
+        return (self.false_e + rho * np.sin(th),
+                self.false_n + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, E, N, iters: int = 10):
+        x = np.asarray(E, np.float64) - self.false_e
+        y = self.rho0 - (np.asarray(N, np.float64) - self.false_n)
+        rho = np.hypot(x, y)
+        q = (self.C - (rho * self.n_cone / self.a) ** 2) / self.n_cone
+        th = np.arctan2(x, y)
+        lam = th / self.n_cone
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(iters):  # Snyder 3-16
+            s = np.sin(phi)
+            phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class PolarStereographic:
+    """Polar stereographic variant B (Snyder 1987 §21, ellipsoidal)."""
+
+    def __init__(self, lat_ts: float = 90.0, lon0: float = 0.0,
+                 north: bool = True, false_e: float = 0.0,
+                 false_n: float = 0.0, a: float = WGS84_A,
+                 f: float = WGS84_F) -> None:
+        self.lon0 = lon0
+        self.north = north
+        self.false_e = false_e
+        self.false_n = false_n
+        self.a = a
+        self.e = np.sqrt(f * (2.0 - f))
+        e = self.e
+        if abs(lat_ts) >= 90.0 - 1e-12:
+            # scale defined at the pole (k0 formulation, Snyder 21-33)
+            self.k0 = 1.0
+            self._rho_factor = (
+                2.0 * a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            )
+        else:
+            pts = np.radians(abs(lat_ts))
+            t_ts = self._t(pts)
+            m_ts = np.cos(pts) / np.sqrt(1 - (e * np.sin(pts)) ** 2)
+            self._rho_factor = a * m_ts / t_ts
+            self.k0 = float(
+                m_ts * np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+                / (2.0 * t_ts)
+            )
+
+    def _t(self, phi):
+        e = self.e
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))
+        ) ** (e / 2.0)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if not self.north:
+            phi = -phi
+            lam = -lam
+        rho = self._rho_factor * self._t(phi)
+        # south pole: the phi/lam negation above folds the sign back
+        E = self.false_e + rho * np.sin(lam)
+        N = self.false_n - rho * np.cos(lam)
+        return E, N
+
+    def inverse(self, E, N, iters: int = 10):
+        x = np.asarray(E, np.float64) - self.false_e
+        y = np.asarray(N, np.float64) - self.false_n
+        rho = np.hypot(x, y)
+        t = rho / self._rho_factor
+        lam = np.arctan2(x, -y)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        e = self.e
+        for _ in range(iters):
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi)))
+                ** (e / 2.0)
+            )
+        if not self.north:
+            phi = -phi
+            lam = -lam
+        return self.lon0 + np.degrees(lam), np.degrees(phi)

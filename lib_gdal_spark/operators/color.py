@@ -269,3 +269,72 @@ def nearblack(
             yield pd.DataFrame(rows, columns=RASTER_COLS)
 
     return tiles.mapInPandas(rewrite, schema=RASTER_SCHEMA)
+
+
+def dither_rgb_to_pct_exact(
+    tiles: DataFrame,
+    palette: list[tuple[int, int, int]],
+    grid_w: int,
+    grid_h: int,
+    tile: int = 64,
+    bands: tuple[int, int, int] = (1, 2, 3),
+    out_id: str = "dithered",
+) -> DataFrame:
+    """Whole-image Floyd–Steinberg, bit-exact to gdaldither.cpp's serial
+    top-to-bottom / left-to-right scan.
+
+    Error diffusion is inherently sequential in BOTH directions, so exact
+    parity assembles each raster in ONE task (parallelism across rasters,
+    like the reference's per-dataset call); ``dither_rgb_to_pct`` is the
+    per-tile seam-independent scale path.
+    """
+    pal = np.asarray(palette, dtype=np.float64)
+    rb, gb, bb = bands
+
+    def work(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = key[0]
+        img = np.zeros((grid_h, grid_w, 3))
+        meta = {}
+        for _, r in pdf.iterrows():
+            band = int(r["band"])
+            ch = {rb: 0, gb: 1, bb: 2}.get(band)
+            if ch is None:
+                continue
+            th, tw = int(r["tile_h"]), int(r["tile_w"])
+            y0 = int(r["tile_y"]) * tile
+            x0 = int(r["tile_x"]) * tile
+            img[y0:y0 + th, x0:x0 + tw, ch] = np.asarray(
+                r["pixels"], np.float64).reshape(th, tw)
+            meta[(int(r["tile_x"]), int(r["tile_y"]))] = r
+        out = np.zeros((grid_h, grid_w))
+        err = np.zeros((grid_h, grid_w, 3))
+        for y in range(grid_h):
+            for x in range(grid_w):
+                v = img[y, x] + err[y, x]
+                k = int(np.argmin(((pal - v[None, :]) ** 2).sum(1)))
+                out[y, x] = k
+                e = v - pal[k]
+                if x + 1 < grid_w:
+                    err[y, x + 1] += e * (7 / 16)
+                if y + 1 < grid_h:
+                    if x > 0:
+                        err[y + 1, x - 1] += e * (3 / 16)
+                    err[y + 1, x] += e * (5 / 16)
+                    if x + 1 < grid_w:
+                        err[y + 1, x + 1] += e * (1 / 16)
+        rows = []
+        for (tx, ty), r in meta.items():
+            th, tw = int(r["tile_h"]), int(r["tile_w"])
+            patch = out[ty * tile:ty * tile + th, tx * tile:tx * tile + tw]
+            row = {k2: r[k2] for k2 in (
+                "zoom", "tile_x", "tile_y", "tile_w", "tile_h",
+                "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+            )}
+            row.update(raster_id=out_id, band=1, dtype="uint8",
+                       pixels=patch.ravel().tolist())
+            rows.append(row)
+        return pd.DataFrame(rows)[RASTER_COLS]
+
+    return tiles.where(F.col("band").isin([rb, gb, bb])).groupBy(
+        "raster_id"
+    ).applyInPandas(work, schema=RASTER_SCHEMA)

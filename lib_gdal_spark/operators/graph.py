@@ -57,6 +57,7 @@ def shortest_path_tree(
         e.sparkSession, [(source, 0.0, None)],
         "node long, dist double, prev long",
     )
+    prev_sig = None
     for _ in range(max_rounds):
         cand = (
             e.join(dist.select(F.col("node").alias("u"),
@@ -73,12 +74,14 @@ def shortest_path_tree(
                     F.col("s.prev").alias("prev"))
             .localCheckpoint()
         )
-        # convergence: total count + sum of dists stable
-        a = dist.agg(F.count(F.lit(1)), F.sum("dist")).first()
+        # convergence: (count, dist-sum) stable vs the PREVIOUS round's
+        # signature — one aggregate per round, not two
         b = merged.agg(F.count(F.lit(1)), F.sum("dist")).first()
+        sig = (b[0], b[1])
         dist = merged
-        if (a[0], a[1]) == (b[0], b[1]):
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return dist
 
 

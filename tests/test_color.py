@@ -71,3 +71,49 @@ def test_nearblack_removes_border_collar_keeps_interior(spark):
     assert (full[:, :2] == 0.0).all()
     assert (full[15:18, 15:18] == 5.0).all()   # interior blob untouched
     assert (full[20:, 20:] == 200.0).all()
+
+
+def test_dither_exact_crosses_tile_seams(spark):
+    """Whole-image FS must match a single-process reference including
+    error that flows ACROSS tile boundaries (where the per-tile mode
+    deviates by design)."""
+    tiles = multiband_tiles(spark, n=64, tile=32)
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    out = CL.dither_rgb_to_pct_exact(tiles, pal, grid_w=64, grid_h=64,
+                                     tile=32).collect()
+    full = np.zeros((64, 64))
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
+             r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
+    # independent single-process reference
+    from lib_gdal_spark.sources.rasters import multiband
+    bandsarr = multiband(64)
+    img = np.stack([bandsarr[1], bandsarr[2], bandsarr[3]], axis=-1).astype(float)
+    p = np.asarray(pal, float)
+    ref = np.zeros((64, 64))
+    err = np.zeros((64, 64, 3))
+    for y in range(64):
+        for x in range(64):
+            v = img[y, x] + err[y, x]
+            k = int(np.argmin(((p - v[None, :]) ** 2).sum(1)))
+            ref[y, x] = k
+            e = v - p[k]
+            if x + 1 < 64:
+                err[y, x + 1] += e * (7 / 16)
+            if y + 1 < 64:
+                if x > 0:
+                    err[y + 1, x - 1] += e * (3 / 16)
+                err[y + 1, x] += e * (5 / 16)
+                if x + 1 < 64:
+                    err[y + 1, x + 1] += e * (1 / 16)
+    assert np.array_equal(full, ref)
+    # and the per-tile mode deviates somewhere near a seam (documents the
+    # design difference; if equal the exact mode would be redundant)
+    per_tile = CL.dither_rgb_to_pct(tiles, pal).collect()
+    ft = np.zeros((64, 64))
+    for r in per_tile:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        ft[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
+           r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
+    assert not np.array_equal(ft, ref)

@@ -77,3 +77,70 @@ def test_lcc_scale_and_round_trip():
     lon2, lat2 = lcc.inverse(E, N)
     assert np.max(np.abs(lon2 - lon)) < 1e-9
     assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_albers_equal_area_property():
+    aea = CRS.AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=37.5, lon0=-96.0)
+    # area element: |Jacobian| must equal the ellipsoid's area element
+    # a^2 cos(phi) (1 - e2) / (1 - e2 sin^2 phi)^2 per radian^2
+    e2 = CRS.WGS84_F * (2 - CRS.WGS84_F)
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-120, -70, 50)
+    lat = rng.uniform(25, 50, 50)
+    d = 1e-6
+    Ex1, Nx1 = aea.forward(lon - d, lat)
+    Ex2, Nx2 = aea.forward(lon + d, lat)
+    Ey1, Ny1 = aea.forward(lon, lat - d)
+    Ey2, Ny2 = aea.forward(lon, lat + d)
+    dEx = (Ex2 - Ex1) / (2 * d)
+    dNx = (Nx2 - Nx1) / (2 * d)
+    dEy = (Ey2 - Ey1) / (2 * d)
+    dNy = (Ny2 - Ny1) / (2 * d)
+    jac = np.abs(dEx * dNy - dEy * dNx) * (180 / np.pi) ** 2
+    phi = np.radians(lat)
+    want = (CRS.WGS84_A ** 2 * np.cos(phi) * (1 - e2)
+            / (1 - e2 * np.sin(phi) ** 2) ** 2)
+    assert np.allclose(jac, want, rtol=1e-5)
+    # round trip
+    E, N = aea.forward(lon, lat)
+    lon2, lat2 = aea.inverse(E, N)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_polar_stereographic():
+    ps = CRS.PolarStereographic(lat_ts=71.0, lon0=-45.0)  # EPSG:3413-style
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(60, 89.5, 200)
+    E, N = ps.forward(lon, lat)
+    lon2, lat2 = ps.inverse(E, N)
+    dl = (lon2 - lon + 180) % 360 - 180  # wrap-safe
+    assert np.max(np.abs(dl)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # conformality: local Jacobian is a scaled rotation (equal row norms,
+    # orthogonal rows)
+    d = 1e-6
+    lo, la = np.array([-100.0]), np.array([75.0])
+    E0, N0 = ps.forward(lo, la)
+    dEx = (ps.forward(lo + d, la)[0] - E0) / d
+    dNx = (ps.forward(lo + d, la)[1] - N0) / d
+    dEy = (ps.forward(lo, la + d)[0] - E0) / d
+    dNy = (ps.forward(lo, la + d)[1] - N0) / d
+    # scale per radian: columns (dEx, dNx) and (dEy, dNy)
+    phi = np.radians(la)
+    e2 = CRS.WGS84_F * (2 - CRS.WGS84_F)
+    # normalize lon column by cos(phi)*nu, lat column by rho_m (meridional)
+    nu = CRS.WGS84_A / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    rho_m = CRS.WGS84_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    kx = np.hypot(dEx, dNx) / (np.cos(phi) * nu) * (180 / np.pi)
+    ky = np.hypot(dEy, dNy) / rho_m * (180 / np.pi)
+    assert abs(kx[0] / ky[0] - 1.0) < 1e-6  # equal scales in all directions
+    # scale == 1 at the latitude of true scale
+    lo, la = np.array([0.0]), np.array([71.0])
+    E0, N0 = ps.forward(lo, la)
+    dEy = (ps.forward(lo, la + d)[0] - E0) / d
+    dNy = (ps.forward(lo, la + d)[1] - N0) / d
+    rho_m = CRS.WGS84_A * (1 - e2) / (1 - e2 * np.sin(np.radians(la)) ** 2) ** 1.5
+    k_ts = np.hypot(dEy, dNy) / rho_m * (180 / np.pi)
+    assert abs(k_ts[0] - 1.0) < 1e-6
