@@ -296,3 +296,20 @@ def test_overview_gauss_and_mode():
     h[0, 0] = -1.0
     outn = R.overview_gauss(h, (2, 2), nodata=-1.0)
     assert outn[0, 0] == 10.0
+
+
+def test_checksum_typed_variants_match_4672():
+    """tests/cpp/test_gdal_gtiff.cpp:70-82: byte.tif recast to every
+    numeric type keeps checksum 4672 (float->int via +0.5 floor)."""
+    import numpy as np
+
+    from lib_gdal_spark.kernels.checksum import gdal_checksum
+    from lib_gdal_spark.sources.rasters import byte20
+
+    base = byte20()
+    for dt in ("int16", "uint16", "int32", "uint32", "float32", "float64"):
+        assert gdal_checksum(base.astype(dt)) == 4672, dt
+    # NaN pixels take the 0x80000000 sentinel path without crashing
+    f = base.astype("float64")
+    f[0, 0] = np.nan
+    assert gdal_checksum(f) != 4672
