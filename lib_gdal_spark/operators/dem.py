@@ -197,3 +197,103 @@ def dem_op(tiles: DataFrame, op: str, **kw) -> DataFrame:
         "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
         F.col("dst_y").alias("tile_y"),
     ).applyInPandas(assemble, schema=RASTER_SCHEMA)
+
+
+def focal_convolution(
+    tiles: DataFrame,
+    kernel: "np.ndarray",
+    normalize: bool = False,
+    out_id: str | None = None,
+) -> DataFrame:
+    """Generic focal kernel filter — the VRT KernelFilteredSource
+    (``drivers/raster/vrt/vrtfilters.cpp``): an arbitrary odd-square
+    convolution over the tile table with r-pixel halo exchange.
+
+    ``normalize=True`` renormalizes the kernel over in-raster taps at the
+    boundary (the VRT normalized option); otherwise missing-halo taps
+    propagate NaN like the DEM edge convention.
+    """
+    k = np.asarray(kernel, dtype=np.float64)
+    if k.ndim != 2 or k.shape[0] != k.shape[1] or k.shape[0] % 2 == 0:
+        raise ValueError("kernel must be odd-square 2-D")
+    r = k.shape[0] // 2
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, row_ in b.iterrows():
+                th, tw = int(row_["tile_h"]), int(row_["tile_w"])
+                arr = np.asarray(row_["pixels"], np.float64).reshape(th, tw)
+                base = {kk: row_[kk] for kk in (
+                    "raster_id", "band", "zoom", "tile_x", "tile_y", "dtype",
+                    "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4",
+                    "gt5", "nodata",
+                )}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ys = (slice(th - r, th) if dy == 1 else
+                              slice(0, r) if dy == -1 else slice(0, th))
+                        xs = (slice(tw - r, tw) if dx == 1 else
+                              slice(0, r) if dx == -1 else slice(0, tw))
+                        piece = arr[ys, xs]
+                        if piece.size == 0:
+                            continue
+                        rows.append({
+                            **base,
+                            "pixels": piece.ravel().tolist(),
+                            "dst_x": int(row_["tile_x"]) + dx,
+                            "dst_y": int(row_["tile_y"]) + dy,
+                            "src_dx": dx, "src_dy": dy,
+                            "strip_h": piece.shape[0],
+                            "strip_w": piece.shape[1],
+                        })
+            yield pd.DataFrame(rows)
+
+    strips = tiles.mapInPandas(emit, schema=_STRIP_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+            )
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        pad = np.full((th + 2 * r, tw + 2 * r), np.nan)
+        for _, rr in pdf.iterrows():
+            sh, sw = int(rr["strip_h"]), int(rr["strip_w"])
+            piece = np.asarray(rr["pixels"], np.float64).reshape(sh, sw)
+            dx, dy = int(rr["src_dx"]), int(rr["src_dy"])
+            y0 = 0 if dy == 1 else (th + r if dy == -1 else r)
+            x0 = 0 if dx == 1 else (tw + r if dx == -1 else r)
+            pad[y0:y0 + sh, x0:x0 + sw] = piece
+        num = np.zeros((th, tw))
+        den = np.zeros((th, tw))
+        anynan = np.zeros((th, tw), dtype=bool)
+        for i in range(k.shape[0]):
+            for j in range(k.shape[1]):
+                v = pad[i:i + th, j:j + tw]
+                valid = ~np.isnan(v)
+                anynan |= ~valid
+                num += np.where(valid, v, 0.0) * (k[i, j] * valid)
+                den += k[i, j] * valid
+        if normalize:
+            with np.errstate(invalid="ignore"):
+                out = np.where(den != 0, num / np.where(den == 0, 1, den),
+                               np.nan)
+        else:
+            out = np.where(anynan, np.nan, num)
+        row = {kk: crow[kk] for kk in (
+            "band", "zoom", "tile_x", "tile_y",
+            "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+            "nodata",
+        )}
+        row["raster_id"] = out_id or crow["raster_id"]
+        row["dtype"] = "float64"
+        row["pixels"] = out.ravel().tolist()
+        return pd.DataFrame([row])
+
+    return strips.groupBy(
+        "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
+        F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(assemble, schema=RASTER_SCHEMA)

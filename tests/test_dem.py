@@ -61,3 +61,45 @@ def test_hillshade_range(spark, world_tiles):
     full = _assemble(rows, 128, 128, 32)
     inner = full[1:-1, 1:-1]
     assert inner.min() >= 1.0 and inner.max() <= 255.0
+
+
+def test_focal_convolution_matches_full_array(spark):
+    """5x5 kernel across tile seams == direct convolution of the mosaic."""
+    import pandas as pd
+
+    from lib_gdal_spark.operators.dem import focal_convolution
+    from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+    rng = np.random.default_rng(3)
+    full = rng.random((64, 64)) * 100
+    rows = []
+    for ty in range(0, 64, 16):
+        for tx in range(0, 64, 16):
+            p = full[ty:ty + 16, tx:tx + 16]
+            rows.append(dict(
+                raster_id="f", band=1, zoom=0, tile_x=tx // 16,
+                tile_y=ty // 16, dtype="float64", tile_w=16, tile_h=16,
+                gt0=float(tx), gt1=1.0, gt2=0.0, gt3=float(ty), gt4=0.0,
+                gt5=1.0, nodata=None, pixels=p.ravel().tolist(),
+            ))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+    k = np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1]) / 256.0  # 5x5 binomial
+    out = focal_convolution(tiles, k, normalize=True).collect()
+    got = np.zeros((64, 64))
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(16, 16)
+        got[r["tile_y"] * 16:(r["tile_y"] + 1) * 16,
+            r["tile_x"] * 16:(r["tile_x"] + 1) * 16] = a
+    # direct reference with boundary renormalization
+    pad = np.full((68, 68), np.nan)
+    pad[2:66, 2:66] = full
+    ref = np.zeros((64, 64))
+    den = np.zeros((64, 64))
+    for i in range(5):
+        for j in range(5):
+            v = pad[i:i + 64, j:j + 64]
+            valid = ~np.isnan(v)
+            ref += np.where(valid, v, 0.0) * k[i, j] * valid
+            den += k[i, j] * valid
+    ref = ref / den
+    assert np.allclose(got, ref, atol=1e-12)
