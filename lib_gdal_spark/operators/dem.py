@@ -297,3 +297,52 @@ def focal_convolution(
         "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
         F.col("dst_y").alias("tile_y"),
     ).applyInPandas(assemble, schema=RASTER_SCHEMA)
+
+
+def color_relief(
+    tiles: DataFrame,
+    ramp: list[tuple[float, int, int, int]],
+    interpolate: bool = True,
+    out_id: str = "color_relief",
+) -> DataFrame:
+    """gdaldem color-relief (``apps/gdaldem_lib.cpp`` ColorAssociation):
+    elevation -> RGB via the breakpoint ramp — piecewise-linear between
+    entries (default) or nearest-entry (``interpolate=False``, the
+    -exact_color_entry/-nearest_color_entry family). Emits bands 1/2/3.
+
+    No halo needed (pointwise) — one vectorized interp per tile.
+    """
+    ramp = sorted(ramp)
+    ev = np.array([r[0] for r in ramp], dtype=np.float64)
+    rgb = np.array([[r[1], r[2], r[3]] for r in ramp], dtype=np.float64)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                vals = np.asarray(r["pixels"], np.float64)
+                if interpolate:
+                    chans = [np.interp(vals, ev, rgb[:, c]) for c in range(3)]
+                else:
+                    idx = np.clip(np.searchsorted(ev, vals), 0, len(ev) - 1)
+                    # nearest entry (ties -> lower, like the reference scan)
+                    lo = np.clip(idx - 1, 0, len(ev) - 1)
+                    pick = np.where(
+                        np.abs(vals - ev[lo]) <= np.abs(ev[idx] - vals),
+                        lo, idx,
+                    )
+                    chans = [rgb[pick, c] for c in range(3)]
+                base = {k: r[k] for k in (
+                    "zoom", "tile_x", "tile_y", "tile_w", "tile_h",
+                    "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+                )}
+                for band, ch in enumerate(chans, start=1):
+                    row = dict(base)
+                    row.update(raster_id=out_id, band=band, dtype="uint8",
+                               pixels=np.floor(ch + 0.5).tolist())
+                    rows.append(row)
+            yield pd.DataFrame(rows)[
+                [c.split()[0] for c in RASTER_SCHEMA.split(", ")]
+            ]
+
+    return tiles.mapInPandas(work, schema=RASTER_SCHEMA)

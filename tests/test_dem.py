@@ -103,3 +103,27 @@ def test_focal_convolution_matches_full_array(spark):
             den += k[i, j] * valid
     ref = ref / den
     assert np.allclose(got, ref, atol=1e-12)
+
+
+def test_color_relief(spark):
+    from lib_gdal_spark.operators.dem import color_relief
+    from lib_gdal_spark.sources.rasters import fixture_rasters
+    from pyspark.sql import functions as F
+
+    tiles = fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    ramp = [(0.0, 0, 0, 255), (128.0, 0, 255, 0), (255.0, 255, 0, 0)]
+    out = color_relief(tiles, ramp).collect()
+    assert {r["band"] for r in out} == {1, 2, 3}
+    # spot-check: value v=(px+py)//2; at v=0 -> blue, v=128 -> green
+    by = {}
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        by.setdefault(r["band"], np.zeros((256, 256)))[
+            r["tile_y"] * 64:(r["tile_y"] + 1) * 64,
+            r["tile_x"] * 64:(r["tile_x"] + 1) * 64] = a
+    assert (by[3][0, 0], by[2][0, 0], by[1][0, 0]) == (255.0, 0.0, 0.0)
+    # pixel (128,128): v=128 -> pure green
+    assert (by[1][128, 128], by[2][128, 128], by[3][128, 128]) == (0, 255, 0)
+    # interpolation midpoint v=64 -> halfway blue->green
+    yy, xx = 64, 64  # v = 64
+    assert by[2][yy, xx] == np.floor(np.interp(64, [0, 128], [0, 255]) + 0.5)
