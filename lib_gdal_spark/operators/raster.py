@@ -738,3 +738,42 @@ def pyramid_level_conv(tiles: DataFrame, alg: str = "cubic",
     return piece_df.groupBy("raster_id", "band", "zoom", "ppx", "ppy").applyInPandas(
         reduce_parent, schema=RASTER_SCHEMA
     )
+
+
+def warp_with_alpha(
+    tiles: DataFrame,
+    dst_gt: tuple[float, float, float, float, float, float],
+    dst_w: int,
+    dst_h: int,
+    inverse,
+    alpha_band: int,
+    alg: str = "nearest",
+    tile: int = 64,
+    raster_id: str | None = None,
+) -> DataFrame:
+    """Alpha-masked warp (the GDALWarp alpha/density-mask path,
+    ``core/alg/gdalwarper.h:78-113``): every band warps through the normal
+    kernel; wherever the warped ALPHA band is 0 the value bands become
+    NULL (fully transparent source). Fractional alpha passes through on
+    its own band so downstream compositing can blend.
+    """
+    warped = warp_to_crs_tiles_dist(
+        tiles, dst_gt, dst_w, dst_h, inverse, alg=alg, tile=tile,
+        raster_id=raster_id,
+    )
+    alpha = warped.where(F.col("band") == alpha_band).select(
+        "raster_id", "tile_x", "tile_y",
+        F.col("pixels").alias("alpha_px"),
+    )
+    vals = warped.where(F.col("band") != alpha_band)
+    joined = vals.join(alpha, ["raster_id", "tile_x", "tile_y"], "left")
+    masked = F.zip_with(
+        "pixels", "alpha_px",
+        lambda v, a: F.when(a.isNull() | (a == 0.0), F.lit(None)).otherwise(v),
+    )
+    out_cols = [c for c in RASTER_COLS if c != "pixels"]
+    return joined.select(
+        *out_cols,
+        F.when(F.col("alpha_px").isNotNull(), masked)
+        .otherwise(F.col("pixels")).alias("pixels"),
+    ).unionByName(warped.where(F.col("band") == alpha_band))

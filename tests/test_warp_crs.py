@@ -64,3 +64,41 @@ def test_warp_lcc_nearest(spark):
     )
     dst_gt = (-2_200_000.0, 35_000.0, 0.0, 1_500_000.0, 0.0, -25_000.0)
     _run(spark, lcc.inverse, dst_gt)
+
+
+def test_warp_with_alpha(spark):
+    """Zero-alpha source regions must surface as NULL in the value band."""
+    import pandas as pd
+
+    from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+    # 2-band source: band 1 = constant 9, band 2 = alpha (left half 0)
+    rows = []
+    alpha = np.full((64, 64), 255.0)
+    alpha[:, :32] = 0.0
+    for band, arr in ((1, np.full((64, 64), 9.0)), (2, alpha)):
+        rows.append(dict(
+            raster_id="a", band=band, zoom=0, tile_x=0, tile_y=0,
+            dtype="float64", tile_w=64, tile_h=64,
+            gt0=0.0, gt1=1.0, gt2=0.0, gt3=64.0, gt4=0.0, gt5=-1.0,
+            nodata=None, pixels=arr.ravel().tolist(),
+        ))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+
+    def ident(x, y):  # dst CRS == src world coords
+        return np.asarray(x), np.asarray(y)
+
+    from lib_gdal_spark.operators.raster import warp_with_alpha
+    out = warp_with_alpha(
+        tiles, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), 64, 64, ident,
+        alpha_band=2, tile=32,
+    )
+    v = out.where(out.band == 1).collect()
+    full = np.full((64, 64), np.nan)
+    for r in v:
+        a = np.asarray([np.nan if p is None else p for p in r["pixels"]]
+                       ).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
+             r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
+    assert np.isnan(full[:, :32]).all()     # transparent half -> NULL
+    assert (full[:, 32:] == 9.0).all()      # opaque half passes through
