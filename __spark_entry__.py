@@ -495,9 +495,9 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("x"), F.col("lat").alias("y"),
         (F.col("pid") % 97).cast("double").alias("v"),
     )
-    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 16)
     tiles = GR.grid_interpolate(pts, grid, alg="invdist", radius=15.0)
-    out = _explode_px(tiles, tile=32)
+    out = _explode_px(tiles, tile=16)
     return out.select("px", "py", F.round("v", 4).alias("idw"))
 
 
@@ -1149,9 +1149,9 @@ def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("x"), F.col("lat").alias("y"),
         (F.col("lon") * 2.0 + F.col("lat") * 3.0).alias("v"),
     )
-    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 16)
     tiles = GR.grid_linear(pts, grid, nodata=float("nan"))
-    out = _explode_px(tiles, tile=32)
+    out = _explode_px(tiles, tile=16)
     return out.where(
         F.col("px").between(6, 57) & F.col("py").between(8, 55)
     ).select("px", "py", F.round("v", 6).alias("v"))
@@ -1167,10 +1167,10 @@ def q_grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("x"), F.col("lat").alias("y"),
         (F.col("pid") % 97).cast("double").alias("v"),
     )
-    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 32)
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 16)
     tiles = GR.grid_invdistnn(pts, grid, radius=15.0, max_points=6,
                               power=2.0, nodata=-1.0)
-    out = _explode_px(tiles, tile=32)
+    out = _explode_px(tiles, tile=16)
     return out.select("px", "py", F.round("v", 4).alias("v"))
 
 
