@@ -295,7 +295,17 @@ def execute_sql(tables: dict[str, DataFrame], sql: str) -> DataFrame:
     """Run an OGR SQL statement against named DataFrames.
 
     ``tables`` maps layer names to DataFrames (the ExecuteSQL datasource).
+    ``SELECT ... UNION ALL SELECT ...`` chains concatenate like the
+    reference's chained swq_select objects (``swq_parser.y:594``,
+    ``gdaldataset.cpp:6036-6072``) with schema merge by name.
     """
+    parts = re.split(r"\bUNION\s+ALL\b", sql, flags=re.IGNORECASE)
+    if len(parts) > 1:
+        out = execute_sql(tables, parts[0])
+        for part in parts[1:]:
+            out = out.unionByName(execute_sql(tables, part),
+                                  allowMissingColumns=True)
+        return out
     p = _Parser(sql)
     p.expect("kw", "SELECT")
     distinct = bool(p.accept("kw", "DISTINCT"))
@@ -321,7 +331,7 @@ def execute_sql(tables: dict[str, DataFrame], sql: str) -> DataFrame:
         raise ValueError(f"unknown table {tname}")
     df = tables[tname]
 
-    if p.accept("kw", "LEFT"):
+    while p.accept("kw", "LEFT"):
         p.expect("kw", "JOIN")
         t2 = p.expect("id")
         p.expect("kw", "ON")

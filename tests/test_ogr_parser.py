@@ -94,3 +94,14 @@ def test_left_join_first_match(tables):
     )
     # first-match-only: one row per customer
     assert out.count() == tables["customer"].count()
+
+
+def test_union_all_and_multi_join(tables):
+    out = execute_sql(
+        tables,
+        "SELECT c_custkey AS k, c_name AS name FROM customer "
+        "UNION ALL SELECT o_orderkey AS k, o_orderpriority AS name FROM orders",
+    )
+    assert out.count() == (tables["customer"].count()
+                           + tables["orders"].count())
+    assert out.columns == ["k", "name"]

@@ -121,3 +121,50 @@ def test_union_and_symdiff_concave(spark):
     assert sum(r["area"] for r in s) == pytest.approx(
         (17.0 + 4.0) + (27.0 - 8.0), abs=1e-9
     )
+
+
+def test_kernel_random_rectangles_property():
+    """Property: boolean areas of random axis-aligned rect pairs match
+    independent interval arithmetic for every op (200 cases)."""
+    rng = np.random.default_rng(99)
+    for _ in range(200):
+        a = np.sort(rng.uniform(0, 10, 2))
+        b = np.sort(rng.uniform(0, 10, 2))
+        c = np.sort(rng.uniform(0, 10, 2))
+        d = np.sort(rng.uniform(0, 10, 2))
+        ra = box(a[0], b[0], a[1], b[1])
+        rb = box(c[0], d[0], c[1], d[1])
+        ox = max(0.0, min(a[1], c[1]) - max(a[0], c[0]))
+        oy = max(0.0, min(b[1], d[1]) - max(b[0], d[0]))
+        ia = ox * oy
+        aa = (a[1] - a[0]) * (b[1] - b[0])
+        ab = (c[1] - c[0]) * (d[1] - d[0])
+        want = {
+            "intersection": ia,
+            "union": aa + ab - ia,
+            "difference": aa - ia,
+            "xor": aa + ab - 2 * ia,
+        }
+        for op, w in want.items():
+            got = OV.polys_area(OV.boolean_op([ra], [rb], op))
+            assert abs(got - w) < 1e-9, (op, a, b, c, d, got, w)
+
+
+def test_kernel_random_triangle_membership():
+    """Random triangle pairs: sampled even-odd membership oracle."""
+    rng = np.random.default_rng(123)
+    xs = np.linspace(0.313, 9.687, 13)
+    ys = np.linspace(0.171, 9.829, 13)
+    for _ in range(30):
+        t1 = rng.uniform(0, 10, (3, 2))
+        t2 = rng.uniform(0, 10, (3, 2))
+        a = [np.vstack([t1, t1[:1]])]
+        b = [np.vstack([t2, t2[:1]])]
+        for op, pyop in [("intersection", lambda x, y: x & y),
+                         ("union", lambda x, y: x | y),
+                         ("difference", lambda x, y: x & ~y)]:
+            polys = OV.boolean_op(a, b, op)
+            rings = [r for p in polys for r in p]
+            got = _sample_inside(rings, xs, ys)
+            want = pyop(_sample_inside(a, xs, ys), _sample_inside(b, xs, ys))
+            assert np.array_equal(got, want), op
