@@ -125,3 +125,124 @@ def knn_kring(
         .where(F.col("rank") <= k)
         .select(qid, tid, "rank", "dist_km")
     )
+
+
+def knn_kring_exact(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    res: int | None = None,
+    query_cols: tuple[str, str, str] = ("qid", "qlon", "qlat"),
+    target_cols: tuple[str, str, str] = ("tid", "tlon", "tlat"),
+    round_decimals: int = 6,
+    max_rings: int = 64,
+) -> DataFrame:
+    """kNN with AUTO-sized (res, rings) and a per-query exactness proof.
+
+    Resolution: when None, sized from target density so the expected cell
+    population is ~2k (the quadtree-growth heuristic of
+    ``gdalgrid.cpp:281-301``). Rings escalate per query — after each pass
+    a query's result is PROVABLY exact when its k-th distance is within
+    the Chebyshev-safe radius ``rings * min-cell-width`` at the query's
+    latitude; unsettled queries re-run with doubled rings. The escalation
+    set shrinks geometrically, and only the (small) query side iterates —
+    the target table is re-joined only for unsettled queries.
+    """
+    qid, qlon, qlat = query_cols
+
+    if res is None:
+        stats = targets.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(target_cols[1]).alias("ln0"),
+            F.max(target_cols[1]).alias("ln1"),
+            F.min(target_cols[2]).alias("lt0"),
+            F.max(target_cols[2]).alias("lt1"),
+        ).first()
+        n = max(int(stats["n"]), 1)
+        area_deg2 = max(
+            (stats["ln1"] - stats["ln0"]) * (stats["lt1"] - stats["lt0"]),
+            1e-9,
+        )
+        # cell edge (deg) so that density * edge^2 ~ 2k
+        edge_deg = float(np.sqrt(2.0 * k * area_deg2 / n))
+        res = int(np.clip(np.floor(np.log2(360.0 / max(edge_deg, 1e-9))),
+                          2, 20))
+
+    remaining = queries.select(qid, qlon, qlat).localCheckpoint()
+    settled = []
+    rings = 1
+    while rings <= max_rings:
+        got = knn_kring(remaining, targets, k, res=res, rings=rings,
+                        query_cols=query_cols, target_cols=target_cols,
+                        round_decimals=round_decimals).localCheckpoint()
+        # exactness bound: the EXACT distance from the query point to the
+        # boundary of the ring-covered lon/lat box (meridian edges are
+        # geodesics; for parallel edges the same-longitude point minimizes
+        # haversine) — computed on the small query side only
+        per_q = got.groupBy(qid).agg(
+            F.max("dist_km").alias("kth"),
+            F.count(F.lit(1)).alias("got_n"),
+        )
+
+        def guard_udf(batches):
+            n_cells = 1 << res
+            for b in batches:
+                lon = b[qlon].to_numpy(np.float64)
+                lat = b[qlat].to_numpy(np.float64)
+                cell = C.lonlat_to_cell(lon, lat, res)
+                _, cx, cy = C.unpack_cell(cell)
+                x0 = (cx - rings) / n_cells
+                x1 = (cx + rings + 1) / n_cells
+                y0 = np.clip((cy - rings) / n_cells, 0.0, 1.0)
+                y1 = np.clip((cy + rings + 1) / n_cells, 0.0, 1.0)
+                lon0 = x0 * 360.0 - 180.0
+                lon1 = x1 * 360.0 - 180.0
+                lat1v = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y0))))
+                lat0v = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y1))))
+                d = np.full(len(b), np.inf)
+                # parallel edges (same-longitude nearest point)
+                at_top = np.isclose(y0, 0.0)
+                at_bot = np.isclose(y1, 1.0)
+                d = np.minimum(
+                    d, np.where(at_top, np.inf,
+                                C.haversine_km(lon, lat, lon, lat1v)))
+                d = np.minimum(
+                    d, np.where(at_bot, np.inf,
+                                C.haversine_km(lon, lat, lon, lat0v)))
+                # meridian edges (clamped-latitude nearest point); skip when
+                # the ring wraps the full globe in x
+                full_wrap = (x1 - x0) >= 1.0
+                cl = np.clip(lat, lat0v, lat1v)
+                d = np.minimum(
+                    d, np.where(full_wrap, np.inf,
+                                C.haversine_km(lon, lat, lon0, cl)))
+                d = np.minimum(
+                    d, np.where(full_wrap, np.inf,
+                                C.haversine_km(lon, lat, lon1, cl)))
+                yield pd.DataFrame({qid: b[qid], "guard_km": d})
+
+        guards = remaining.mapInPandas(
+            guard_udf, schema=f"{qid} long, guard_km double"
+        )
+        qmeta = remaining.join(per_q, qid, "left").join(guards, qid)
+        ok = (F.col("got_n") == k) & (F.col("kth") < F.col("guard_km"))
+        settled.append(
+            got.join(qmeta.where(ok).select(qid), qid, "leftsemi")
+        )
+        remaining = qmeta.where(~F.coalesce(ok, F.lit(False))).select(
+            qid, qlon, qlat
+        ).localCheckpoint()
+        if remaining.isEmpty():
+            break
+        rings *= 4
+    else:
+        # fall back to exact brute force for anything still unsettled
+        settled.append(
+            knn_bruteforce(remaining, targets, k, query_cols=query_cols,
+                           target_cols=target_cols,
+                           round_decimals=round_decimals)
+        )
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    return out

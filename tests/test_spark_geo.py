@@ -169,3 +169,26 @@ def test_pip_join_with_holes_and_multipolygon(spark):
         pts, polys, res=7, points_res=12, point_cols=("pid", "lon", "lat")
     ).collect()}
     assert got == {("ring", 1), ("part_a", 2), ("part_b", 2)}
+
+
+def test_knn_kring_exact_auto_matches_bruteforce(spark, sf_dir):
+    """Auto-sized k-ring kNN with exactness escalation == brute force."""
+    import __spark_entry__ as E
+    from lib_gdal_spark.operators import knn as KNN
+    from pyspark.sql import functions as F
+
+    q = spark.createDataFrame(E.KNN_QUERIES,
+                              "qid long, qlon double, qlat double")
+    t = E._points(spark, sf_dir).select(
+        F.col("pid").alias("tid"), F.col("lon").alias("tlon"),
+        F.col("lat").alias("tlat"),
+    )
+    exact = {(r["qid"], r["rank"]): (r["tid"], r["dist_km"])
+             for r in KNN.knn_bruteforce(q, t, k=5).collect()}
+    auto = {(r["qid"], r["rank"]): (r["tid"], r["dist_km"])
+            for r in KNN.knn_kring_exact(q, t, k=5).collect()}
+    assert auto == exact
+    # also with a deliberately terrible resolution (forces escalation)
+    auto2 = {(r["qid"], r["rank"]): (r["tid"], r["dist_km"])
+             for r in KNN.knn_kring_exact(q, t, k=5, res=12).collect()}
+    assert auto2 == exact
