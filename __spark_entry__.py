@@ -1501,10 +1501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_index": q_tile_index,
         "spatial_predicates": q_spatial_predicates,
         "media_audio_frames": q_media_audio_frames,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
-        "cosine_topk_lsh": q_cosine_topk_lsh,
         "raster_checksum": q_raster_checksum,
         "raster_pyramid": q_raster_pyramid,
         "pages_enrich": q_pages_enrich,
@@ -2673,6 +2673,61 @@ def oracle_sql() -> dict[str, str]:
                (16000 + (i % 5) * 4000) / 16000.0 AS duration_s,
                CAST((16000 + (i % 5) * 4000) // 400 AS INTEGER) AS n_frames
         FROM generate_series(0, 59) t(i) WHERE i % 3 = 1
+    """
+
+    # cosine_topk_lsh: the RNG hyperplanes are deterministic (seed 42), so
+    # the oracle embeds the ACTUAL plane values as literals — bucket
+    # membership and the re-rank are then fully SQL-expressible.
+    import numpy as _np
+    _dim = 64  # testdata embeddings are dim-64 at every SF
+    _bits, _tables = 6, 8
+
+    def _sig_expr(vcol: str, t: int) -> str:
+        planes = _np.random.default_rng(42 + 1000 * t).standard_normal(
+            (_dim, _bits)
+        )
+        terms = []
+        for bbit in range(_bits):
+            vec = "[" + ", ".join(repr(float(x)) for x in planes[:, bbit]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {vec}) > 0.0 "
+                f"THEN {1 << bbit} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    _q_sigs = " UNION ALL ".join(
+        f"SELECT qid, qv, {t} AS t, {_sig_expr('qv', t)} AS s FROM q"
+        for t in range(_tables)
+    )
+    _c_sigs = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {_sig_expr('v', t)} AS s FROM c"
+        for t in range(_tables)
+    )
+    sqls["cosine_topk_lsh"] = f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id < 8
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qs AS ({_q_sigs}),
+        cs AS ({_c_sigs}),
+        cand AS (
+          SELECT DISTINCT qs.qid, cs.vec_id, qs.qv, cs.v
+          FROM cs JOIN qs ON cs.t = qs.t AND cs.s = qs.s
+          WHERE qs.qid <> cs.vec_id
+        ),
+        scored AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+          FROM cand
+        )
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------

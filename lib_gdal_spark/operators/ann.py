@@ -112,6 +112,7 @@ def cosine_topk_lsh(
     query_cols: tuple[str, str] = ("qid", "qvec"),
     corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
     seed: int = 42,
+    round_decimals: int = 6,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k cosine neighbors.
 
@@ -139,8 +140,12 @@ def cosine_topk_lsh(
     cand = cs.join(F.broadcast(qs), ["t", "s"], "inner").where(
         F.col(qid) != F.col(cid)
     ).select(qid, qvec, cid, cvec).dropDuplicates([qid, cid])
-    cos = (_dot(F.col(qvec), F.col(cvec)) /
-           (_norm(F.col(qvec)) * _norm(F.col(cvec)))).alias("cos_sim")
+    cos = F.round(
+        _dot(F.col(qvec), F.col(cvec))
+        / (_norm(F.col(qvec)) * _norm(F.col(cvec))),
+        round_decimals,
+    ).alias("cos_sim")  # round BEFORE ranking: rank flips from sub-ulp
+    # accumulation-order differences would break cross-engine determinism
     cand = cand.select(qid, cid, cos)
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
     return (
