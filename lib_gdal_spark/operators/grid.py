@@ -375,3 +375,102 @@ def grid_linear(
             yield pd.DataFrame(out_rows)
 
     return keys.mapInPandas(interp, schema=RASTER_SCHEMA)
+
+
+def grid_linear_dist(
+    points: DataFrame,
+    grid: GridSpec,
+    nodata: float = 0.0,
+    raster_id: str = "grid_linear",
+    point_cols: tuple[str, str, str] = ("x", "y", "v"),
+    cells: int = 8,
+) -> DataFrame:
+    """grid_linear WITHOUT the driver-side triangulation guard: the point
+    layer triangulates distributively (operators.delaunay_dist, per-point
+    settlement certificates), triangles bucket to the dst tiles they
+    overlap, and each tile interpolates from exactly its triangles.
+    """
+    from lib_gdal_spark.functions import delaunay as DT
+    from lib_gdal_spark.operators.delaunay_dist import delaunay_distributed
+
+    xcol, ycol, vcol = point_cols
+    spark = points.sparkSession
+    pts = points.select(
+        F.monotonically_increasing_id().alias("pid"),
+        F.col(xcol).alias("x"), F.col(ycol).alias("y"),
+        F.col(vcol).alias("v"),
+    ).localCheckpoint()
+
+    tris = delaunay_distributed(pts, spark, cells=cells)
+
+    # attach vertex coords/values (three joins on the small point table)
+    for side in ("a", "b", "c"):
+        p = pts.select(
+            F.col("pid").alias(f"i{side}"),
+            F.col("x").alias(f"x{side}"), F.col("y").alias(f"y{side}"),
+            F.col("v").alias(f"v{side}"),
+        )
+        tris = tris.join(p, f"i{side}")
+
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    W, H = grid.width, grid.height
+
+    # bucket triangles to the dst tiles their bbox overlaps (native math)
+    px_of = lambda c: (c - gt[0]) / gt[1]
+    py_of = lambda c: (c - gt[3]) / gt[5]
+    bx0 = F.least("xa", "xb", "xc")
+    bx1 = F.greatest("xa", "xb", "xc")
+    # gt5 < 0: min py comes from MAX y
+    by0 = F.greatest("ya", "yb", "yc")
+    by1 = F.least("ya", "yb", "yc")
+    t0 = F.greatest(F.floor(px_of(bx0) / tile).cast("int"), F.lit(0))
+    t1 = F.least(F.floor(px_of(bx1) / tile).cast("int"), F.lit(ntx - 1))
+    u0 = F.greatest(F.floor(py_of(by0) / tile).cast("int"), F.lit(0))
+    u1 = F.least(F.floor(py_of(by1) / tile).cast("int"), F.lit(nty - 1))
+    tris = tris.where((t1 >= t0) & (u1 >= u0)).select(
+        "*",
+        F.explode(F.sequence(t0, t1)).alias("tile_x"),
+    ).select("*", F.explode(F.sequence(u0, u1)).alias("tile_y"))
+
+    def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        x0, y0 = tx * tile, ty * tile
+        tw = min(tile, W - x0)
+        th = min(tile, H - y0)
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+        gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+        verts = np.vstack([
+            pdf[["xa", "ya"]].to_numpy(np.float64),
+            pdf[["xb", "yb"]].to_numpy(np.float64),
+            pdf[["xc", "yc"]].to_numpy(np.float64),
+        ])
+        m = len(pdf)
+        tri_idx = np.column_stack([
+            np.arange(m), np.arange(m) + m, np.arange(m) + 2 * m
+        ])
+        vals = np.concatenate([
+            pdf["va"].to_numpy(np.float64),
+            pdf["vb"].to_numpy(np.float64),
+            pdf["vc"].to_numpy(np.float64),
+        ])
+        out = DT.interpolate_linear(verts, tri_idx, vals, gx, gy,
+                                    nodata=nodata)
+        return pd.DataFrame([dict(
+            raster_id=raster_id, band=1, zoom=0, tile_x=tx, tile_y=ty,
+            dtype="float64", tile_w=tw, tile_h=th,
+            gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+            gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+            nodata=nodata, pixels=out.tolist(),
+        )])
+
+    keys = spark.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    tasks = keys.join(tris, ["tile_x", "tile_y"], "left")
+    return tasks.groupBy("tile_x", "tile_y").applyInPandas(
+        interp, schema=RASTER_SCHEMA
+    )

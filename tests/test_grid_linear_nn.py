@@ -89,3 +89,14 @@ def test_delaunay_grid_boundary_tiles(spark):
     full = _assemble(out, g)
     assert (full == -9.0).sum() > 3000  # most is outside the tiny hull
     assert ((full != -9.0) & ~np.isnan(full)).sum() > 0
+
+
+def test_grid_linear_dist_equals_driver_path(spark):
+    """Fully distributed Delaunay gridding == the driver-guard path."""
+    g = _grid()
+    pts, x, y, v = _points(spark, n=250)
+    a = _assemble(GR.grid_linear(pts, g, nodata=-5.0).collect(), g)
+    b = _assemble(GR.grid_linear_dist(pts, g, nodata=-5.0, cells=4).collect(), g)
+    # identical triangulation (unique) -> identical interpolation
+    assert np.allclose(a, b, atol=1e-9, equal_nan=True)
+    assert (b != -5.0).sum() > 2000  # hull interior actually interpolated
