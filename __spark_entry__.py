@@ -1502,9 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates": q_spatial_predicates,
         "media_audio_frames": q_media_audio_frames,
         "cosine_topk_lsh": q_cosine_topk_lsh,
-        # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        # rows-only (RNG page generator, not SQL-expressible)
         "raster_checksum": q_raster_checksum,
         "raster_pyramid": q_raster_pyramid,
         "pages_enrich": q_pages_enrich,
@@ -2729,6 +2729,93 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= 5
     """
+
+    # minhash / simhash: FNV-1a is expressible in DuckDB after all —
+    # list_reduce folds the byte stream in HUGEINT with explicit mod-2^64
+    # wraparound (verified bit-identical to dedup.hash_str64); permutation
+    # constants are the actual seeded values as literals.
+    _FNV = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        "list_transform(range(1, length({g}) + 1), "
+        "i -> CAST(ascii(substr({g}, i, 1)) AS HUGEINT))), "
+        "(acc, b) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), "
+        "CAST(b AS BIGINT)) AS HUGEINT)) * 1099511628211) "
+        "% 18446744073709551616)"
+    )
+    _M61 = (1 << 61) - 1
+    _W64 = 1 << 64
+    _mh_rng = np.random.default_rng(42)
+    _mh_a = _mh_rng.integers(1, _M61, size=64, dtype=np.int64).astype(np.uint64)
+    _mh_b = _mh_rng.integers(0, _M61, size=64, dtype=np.int64).astype(np.uint64)
+
+    _gram3 = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+            FROM (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(nt - 1, 1))) AS i
+              FROM n WHERE nt >= 3
+            )
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ')
+            FROM n WHERE nt < 3 AND nt > 0
+          )
+        ),
+        hh AS (SELECT doc_id, {fnv} AS h FROM g)
+    """.replace("{fnv}", _FNV.format(g="gram"))
+
+    _sig_cols = ", ".join(
+        f"min(((h * {int(_mh_a[j])}) % {_W64} + {int(_mh_b[j])}) % {_W64} "
+        f"% {_M61}) AS s{j}"
+        for j in range(64)
+    )
+    _band_clauses = " OR ".join(
+        "(" + " AND ".join(
+            f"a.s{bd * 4 + r2} = b.s{bd * 4 + r2}" for r2 in range(4)
+        ) + ")"
+        for bd in range(16)
+    )
+    _est = " + ".join(
+        f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)" for j in range(64)
+    )
+    sqls["minhash_lsh_pairs"] = f"""
+        {_gram3},
+        sig AS (SELECT doc_id, {_sig_cols} FROM hh GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ({_est}) / 64.0 AS est_jaccard
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND ({_band_clauses})
+        WHERE ({_est}) / 64.0 >= 0.8
+    """
+
+    _bit_cols = ", ".join(
+        f"CASE WHEN sum(CASE WHEN (h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 "
+        f"END) > 0 THEN CAST({1 << k} AS HUGEINT) ELSE 0 END AS bit{k}"
+        for k in range(64)
+    )
+    _bit_sum = " + ".join(f"bit{k}" for k in range(64))
+    sqls["simhash"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        hh AS (SELECT doc_id, {fnv} AS h FROM tok),
+        bits AS (SELECT doc_id, {bitcols} FROM hh GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(CASE WHEN ({bitsum}) >= 9223372036854775808
+                    THEN ({bitsum}) - 18446744073709551616
+                    ELSE ({bitsum}) END AS BIGINT) AS simhash
+        FROM bits
+    """.replace("{fnv}", _FNV.format(g="w")).replace(
+        "{bitcols}", _bit_cols).replace("{bitsum}", _bit_sum)
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
 
