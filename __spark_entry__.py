@@ -879,12 +879,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# queries: non-SQL-expressible (rows-only check)
+# queries: dedup / ANN (oracles spell FNV + the LSH planes in SQL)
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via shingle-hash self-join (rows-only:
-    the FNV shingle hashing isn't SQL-expressible)."""
+    """Exact n-gram Jaccard pairs via shingle-hash self-join (the oracle
+    joins on raw grams, so FNV stays engine-side)."""
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, shingle=5, threshold=0.2)
 
@@ -1504,7 +1504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
-        # rows-only (RNG page generator, not SQL-expressible)
         "raster_checksum": q_raster_checksum,
         "raster_pyramid": q_raster_pyramid,
         "pages_enrich": q_pages_enrich,
@@ -2816,6 +2815,52 @@ def oracle_sql() -> dict[str, str]:
         FROM bits
     """.replace("{fnv}", _FNV.format(g="w")).replace(
         "{bitcols}", _bit_cols).replace("{bitsum}", _bit_sum)
+
+    # pages_enrich: the page generator is a splitmix64 pure function of
+    # (id, stream, seed) — spelled out in SQL (HUGEINT mulmod + 32-bit-half
+    # XOR, verified bit-identical), lang and has-geo become closed forms.
+    _W64b = 1 << 64
+
+    def _mm(z: str, A: int) -> str:
+        A_hi, A_lo = A >> 32, A & 0xFFFFFFFF
+        return (f"((({z}) * {A_lo}) % {_W64b} + "
+                f"(((({z}) % 4294967296) * {A_hi}) % 4294967296) "
+                f"* 4294967296) % {_W64b}")
+
+    def _xr(a: str, b: str) -> str:
+        return (f"(CAST(xor(CAST(({a}) // 4294967296 AS BIGINT), "
+                f"CAST(({b}) // 4294967296 AS BIGINT)) AS HUGEINT) "
+                f"* 4294967296 "
+                f"+ CAST(xor(CAST(({a}) % 4294967296 AS BIGINT), "
+                f"CAST(({b}) % 4294967296 AS BIGINT)) AS HUGEINT))")
+
+    def _mix_sql(idexpr: str, stream: int, seed: int = 42) -> str:
+        salt = (0x9E3779B97F4A7C15
+                * (stream * 2654435761 + seed + 1)) & (_W64b - 1)
+        z0 = f"((CAST({idexpr} AS HUGEINT) + {salt}) % {_W64b})"
+        z1 = "(" + _mm(_xr(z0, f"({z0}) // 1073741824"),
+                       0xBF58476D1CE4E5B9) + ")"
+        z2 = "(" + _mm(_xr(z1, f"({z1}) // 134217728"),
+                       0x94D049BB133111EB) + ")"
+        return _xr(z2, f"({z2}) // 2147483648")
+
+    _lang_case = ("CASE m7 % 6 " + " ".join(
+        f"WHEN {i} THEN '{lg}'"
+        for i, lg in enumerate(["en", "de", "fr", "es", "ru", "zh"])
+    ) + " END")
+    # u_geo = (m1 >> 11) / 2^53 < 0.8  <=>  (m1 // 2048) < ceil(0.8 * 2^53)
+    sqls["pages_enrich"] = f"""
+        WITH ids AS (SELECT unnest(range(0, 20000)) AS id),
+        x AS (
+          SELECT id, {_mix_sql("id", 7)} AS m7, {_mix_sql("id", 1)} AS m1
+          FROM ids
+        )
+        SELECT {_lang_case} AS lang,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN (m1 // 2048) < 7205759403792794
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_geo
+        FROM x GROUP BY 1 ORDER BY 1
+    """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
 
