@@ -166,6 +166,7 @@ def nearblack(
     target: float = 0.0,
     tile: int = 64,
     out_id: str = "nearblack",
+    max_driver_rows: int = 5_000_000,
 ) -> DataFrame:
     """Set the border-connected near-``target`` region to ``target``.
 
@@ -233,11 +234,16 @@ def nearblack(
         lab_comp.groupBy("component").agg(F.max("touch").alias("t"))
         .where(F.col("t") > 0).select("component")
     )
-    flagged_labels = [
-        r["label"] for r in lab_comp.join(
-            F.broadcast(flagged_comps), "component", "leftsemi"
-        ).select("label").distinct().collect()
-    ]
+    flagged_df = lab_comp.join(
+        F.broadcast(flagged_comps), "component", "leftsemi"
+    ).select("label").distinct().localCheckpoint()
+    n_flag = flagged_df.count()
+    if n_flag > max_driver_rows:
+        raise RuntimeError(
+            f"nearblack collar spans {n_flag} per-tile labels (> "
+            f"max_driver_rows); shrink `near` or raise the guard"
+        )
+    flagged_labels = [r["label"] for r in flagged_df.collect()]
     flag = np.sort(np.array(flagged_labels, dtype=np.int64))
     pieces.unpersist()
 

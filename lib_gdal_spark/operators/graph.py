@@ -86,10 +86,23 @@ def shortest_path_tree(
 
 
 def shortest_path(
-    edges: DataFrame, source: int, target: int, directed: bool = False
+    edges: DataFrame, source: int, target: int, directed: bool = False,
+    max_driver_nodes: int = 10_000_000,
 ) -> tuple[list[int], float]:
-    """Node path + cost, reconstructed from the distributed tree."""
+    """Node path + cost, reconstructed from the distributed tree.
+
+    The TREE computation is fully distributed; reconstructing one path
+    collects (node, prev) pairs — O(reachable nodes) driver rows, guarded
+    by ``max_driver_nodes`` (a path query's answer is driver-sized by
+    nature; for bulk distances consume ``shortest_path_tree`` directly).
+    """
     tree = shortest_path_tree(edges, source, directed=directed)
+    n = tree.count()
+    if n > max_driver_nodes:
+        raise RuntimeError(
+            f"shortest_path would collect {n} tree rows; consume "
+            "shortest_path_tree as a DataFrame instead"
+        )
     rows = {r["node"]: (r["dist"], r["prev"]) for r in tree.collect()}
     if target not in rows:
         return [], float("inf")
