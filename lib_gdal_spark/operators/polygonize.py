@@ -242,7 +242,9 @@ def _tile_pieces(tiles_pdf_iter: Iterator[pd.DataFrame], tile: int,
             yield pd.DataFrame({c: [] for c in _PIECE_COLS})
 
 
-def _component_mapping(pieces: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _component_mapping(
+    pieces: DataFrame, cc_driver_threshold: int = 200_000
+) -> tuple[DataFrame, DataFrame]:
     """(labels summary DF, label->component mapping DF) from the pieces."""
     labels = pieces.where(F.col("kind") == 0).select(
         "label", "value", "n_pixels", "min_px", "min_py", "max_px", "max_py"
@@ -270,7 +272,8 @@ def _component_mapping(pieces: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).select("la", "lb")
 
     edges = adj(1, 0).unionByName(adj(0, 1))
-    mapping = connected_components(edges)
+    mapping = connected_components(edges,
+                                   driver_threshold=cc_driver_threshold)
     return labels, mapping
 
 
@@ -280,6 +283,7 @@ def polygonize(
     grid_w: int,
     tile: int = 64,
     background: float | None = 0.0,
+    cc_driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Tile table -> component table (value, n_pixels, pixel bbox).
 
@@ -295,7 +299,7 @@ def polygonize(
         pieces_fn, schema=_PIECE_SCHEMA
     ).persist()
     try:
-        labels, mapping = _component_mapping(pieces)
+        labels, mapping = _component_mapping(pieces, cc_driver_threshold)
         labeled = labels.join(mapping, "label", "left").withColumn(
             "component", F.coalesce("component", "label")
         )
