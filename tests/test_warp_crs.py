@@ -102,3 +102,30 @@ def test_warp_with_alpha(spark):
              r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
     assert np.isnan(full[:, :32]).all()     # transparent half -> NULL
     assert (full[:, 32:] == 9.0).all()      # opaque half passes through
+
+
+def test_cutline_density_blend(spark):
+    from lib_gdal_spark.operators.raster import cutline_density_tiles
+
+    # box cutline on a unit grid; blend 4 px
+    cut = [np.array([[16.0, 16.0], [48.0, 16.0], [48.0, 48.0],
+                     [16.0, 48.0], [16.0, 16.0]])]
+    dst_gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    out = cutline_density_tiles(spark, dst_gt, 64, 64, cut,
+                                blend_dist=4.0, tile=32).collect()
+    full = np.zeros((64, 64))
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
+             r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
+    # deep inside -> 1, deep outside -> 0
+    assert full[32, 32] == 1.0
+    assert full[2, 2] == 0.0
+    # center of pixel 18 is 2.5 units inside the edge at x=16:
+    # density = 0.5 + 2.5/8
+    assert abs(full[32, 18] - (0.5 + 2.5 / 8.0)) < 1e-9
+    # just outside: pixel 14 center is 1.5 outside -> 0.5 - 1.5/8
+    assert abs(full[32, 14] - (0.5 - 1.5 / 8.0)) < 1e-9
+    # monotone ramp across the edge
+    ramp = full[32, 10:22]
+    assert (np.diff(ramp) >= -1e-12).all()
