@@ -76,3 +76,85 @@ def contour_segments(tiles: DataFrame, levels: list[float]) -> DataFrame:
         "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
         F.col("dst_y").alias("tile_y"),
     ).applyInPandas(per_tile, schema=_SEG_SCHEMA)
+
+
+def contour_polylines(
+    tiles: DataFrame,
+    levels: list[float],
+    spark=None,
+) -> DataFrame:
+    """Segments -> chained polyline features, one row per connected line
+    (the role of the reference's GDAL_CG_FeedLine incremental merger,
+    ``core/alg/contour.cpp``).
+
+    Marching-squares endpoints on shared cell edges are BITWISE identical
+    (same two pixel values, same interpolation orientation), so endpoint
+    identity is an exact equi-key. Shape: segments -> endpoint-key edges ->
+    connected components (operators.components, the same large-star
+    machinery as polygonize) -> per-component chain walk in one
+    applyInPandas. Output: (raster_id, band, level, n_points, length,
+    closed, wkb LineString).
+    """
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.operators.components import connected_components
+
+    segs = contour_segments(tiles, levels)
+    spark = spark or tiles.sparkSession
+    k1 = F.xxhash64(F.col("level"), F.col("x1"), F.col("y1"))
+    k2 = F.xxhash64(F.col("level"), F.col("x2"), F.col("y2"))
+    segs = segs.withColumn("u", k1).withColumn("v", k2).localCheckpoint()
+
+    mapping = connected_components(segs.select("u", "v"))
+    segc = segs.join(mapping, segs["u"] == mapping["label"], "left").select(
+        segs["*"], F.coalesce("component", segs["u"]).alias("component")
+    )
+
+    def chain(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(key[0])
+        r0 = pdf.iloc[0]
+        pts1 = pdf[["x1", "y1"]].to_numpy(np.float64)
+        pts2 = pdf[["x2", "y2"]].to_numpy(np.float64)
+        n = len(pdf)
+        adj: dict[tuple, list[int]] = {}
+        for i in range(n):
+            adj.setdefault(tuple(pts1[i]), []).append(i)
+            adj.setdefault(tuple(pts2[i]), []).append(i)
+        # start at a degree-1 endpoint if the line is open, else anywhere
+        start_pt = None
+        for p, lst in adj.items():
+            if len(lst) == 1:
+                start_pt = p
+                break
+        used = np.zeros(n, dtype=bool)
+        if start_pt is None:
+            start_pt = tuple(pts1[0])
+        path = [start_pt]
+        cur = start_pt
+        while True:
+            nxt_i = None
+            for i in adj.get(cur, []):
+                if not used[i]:
+                    nxt_i = i
+                    break
+            if nxt_i is None:
+                break
+            used[nxt_i] = True
+            a, b = tuple(pts1[nxt_i]), tuple(pts2[nxt_i])
+            cur = b if a == cur else a
+            path.append(cur)
+        arr = np.asarray(path, dtype=np.float64)
+        closed = bool(len(arr) > 2 and tuple(arr[0]) == tuple(arr[-1]))
+        length = float(np.sum(np.hypot(*(np.diff(arr, axis=0).T))))
+        return pd.DataFrame([{
+            "raster_id": r0["raster_id"], "band": int(r0["band"]),
+            "level": float(r0["level"]), "component": comp,
+            "n_points": int(len(arr)), "length": length,
+            "closed": closed,
+            "wkb": bytearray(G.wkb_linestring(arr)),
+        }])
+
+    return segc.groupBy("component").applyInPandas(
+        chain,
+        schema="raster_id string, band int, level double, component long, "
+               "n_points int, length double, closed boolean, wkb binary",
+    )

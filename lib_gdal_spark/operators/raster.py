@@ -846,3 +846,55 @@ def cutline_density_tiles(
             yield pd.DataFrame(rows)
 
     return keys.mapInPandas(work, schema=RASTER_SCHEMA)
+
+
+def suggested_warp_output(
+    tiles: DataFrame,
+    forward,
+    raster_id: str | None = None,
+    samples: int = 21,
+) -> tuple[tuple[float, float, float, float, float, float], int, int]:
+    """GDALSuggestedWarpOutput (``core/alg/gdaltransformer.cpp:354``): the
+    dst geotransform + size that covers the forward-transformed source
+    footprint at a resolution preserving the source pixel density.
+
+    ``forward(x, y) -> (X, Y)`` maps src WORLD coords into the dst CRS.
+    The source border is sampled ``samples`` points per edge (the
+    reference's 21-step rule); dst pixel size = min(extent/src_px) per
+    axis, matching the reference's square-pixel preference.
+    """
+    src = tiles if raster_id is None else tiles.where(
+        F.col("raster_id") == raster_id
+    )
+    agg = src.agg(
+        F.max(F.col("tile_x") * F.col("tile_w") + F.col("tile_w")).alias("W"),
+        F.max(F.col("tile_y") * F.col("tile_h") + F.col("tile_h")).alias("H"),
+        F.min_by(
+            F.struct("tile_x", "tile_y", "tile_w", "tile_h",
+                     "gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+            F.struct("tile_x", "tile_y"),
+        ).alias("a"),
+    ).first()
+    W, H = int(agg["W"]), int(agg["H"])
+    a = agg["a"]
+    ax = int(a["tile_x"]) * int(a["tile_w"])
+    ay = int(a["tile_y"]) * int(a["tile_h"])
+    gt = (
+        a["gt0"] - ax * a["gt1"] - ay * a["gt2"], a["gt1"], a["gt2"],
+        a["gt3"] - ax * a["gt4"] - ay * a["gt5"], a["gt4"], a["gt5"],
+    )
+    s = np.linspace(0.0, 1.0, samples)
+    bx = np.concatenate([s, s, np.zeros_like(s), np.ones_like(s)]) * W
+    by = np.concatenate([np.zeros_like(s), np.ones_like(s), s, s]) * H
+    gx = gt[0] + bx * gt[1] + by * gt[2]
+    gy = gt[3] + bx * gt[4] + by * gt[5]
+    X, Y = forward(gx, gy)
+    ok = np.isfinite(X) & np.isfinite(Y)
+    X, Y = X[ok], Y[ok]
+    minx, maxx = float(X.min()), float(X.max())
+    miny, maxy = float(Y.min()), float(Y.max())
+    res = min((maxx - minx) / W, (maxy - miny) / H)
+    out_w = int(np.ceil((maxx - minx) / res))
+    out_h = int(np.ceil((maxy - miny) / res))
+    dst_gt = (minx, res, 0.0, maxy, 0.0, -res)
+    return dst_gt, out_w, out_h

@@ -82,3 +82,58 @@ def test_radial_contour_is_closed_ring(spark):
         for p in ((x1, y1), (x2, y2)):
             pts[p] = pts.get(p, 0) + 1
     assert all(v == 2 for v in pts.values())
+
+
+def test_contour_polylines_circle(spark):
+    """Radial field -> each level is ONE closed polyline with length ~ 2*pi*r."""
+    import pandas as pd
+
+    from lib_gdal_spark.operators.contour import contour_polylines
+    from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+    n, tile = 128, 32
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = np.hypot(i - 64.0, j - 64.0)
+    rows = []
+    for ty in range(0, n, tile):
+        for tx in range(0, n, tile):
+            p = vals[ty:ty + tile, tx:tx + tile]
+            rows.append(dict(
+                raster_id="r", band=1, zoom=0, tile_x=tx // tile,
+                tile_y=ty // tile, dtype="float64", tile_w=tile, tile_h=tile,
+                gt0=float(tx), gt1=1.0, gt2=0.0, gt3=float(ty), gt4=0.0,
+                gt5=1.0, nodata=None, pixels=p.ravel().tolist(),
+            ))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+    out = contour_polylines(tiles, [20.0, 40.0]).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {20.0, 40.0}
+    for level, rows_ in by_level.items():
+        assert len(rows_) == 1          # one connected ring per level
+        r = rows_[0]
+        assert r["closed"]
+        assert abs(r["length"] - 2 * np.pi * level) / (2 * np.pi * level) < 0.01
+        from lib_gdal_spark.functions import geometry as G
+        gt, pts = G.parse_wkb(bytes(r["wkb"]))
+        assert gt == G.WKB_LINESTRING and len(pts) == r["n_points"]
+
+
+def test_suggested_warp_output(spark):
+    from lib_gdal_spark.functions import crs as CRS
+    from lib_gdal_spark.operators.raster import suggested_warp_output
+    from lib_gdal_spark.sources.rasters import fixture_rasters
+    from pyspark.sql import functions as F
+
+    tm = CRS.utm_zone(31)
+    tiles = fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    # restrict the forward transform to the zone band (clip src coords)
+    def fwd(lon, lat):
+        return tm.forward(np.clip(lon, -3.0, 9.0), np.clip(lat, -75.0, 80.0))
+    dst_gt, w, h = suggested_warp_output(tiles, fwd)
+    assert w > 0 and h > 0 and dst_gt[1] > 0 and dst_gt[5] < 0
+    # footprint covers the central-meridian easting
+    assert dst_gt[0] < 500_000.0 < dst_gt[0] + w * dst_gt[1]
+    # pixel density comparable to the source (not degenerate)
+    assert 64 <= w <= 4096 and 64 <= h <= 4096
