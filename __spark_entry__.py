@@ -1401,6 +1401,24 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "duration_s", "n_frames")
 
 
+def q_contour_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour per-level segment count + total world length: a chaining-
+    invariant summary whose oracle mirrors the FULL 16-case marching
+    squares (saddles included) in SQL over the closed-form fixture."""
+    from lib_gdal_spark.operators import contour as CO
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    segs = CO.contour_segments(tiles, [128.5, 150.5])
+    ln = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    return segs.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.sum(ln), 4).alias("total_len"),
+    )
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1501,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_index": q_tile_index,
         "spatial_predicates": q_spatial_predicates,
         "media_audio_frames": q_media_audio_frames,
+        "contour_length": q_contour_length,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2860,6 +2879,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN (m1 // 2048) < 7205759403792794
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_geo
         FROM x GROUP BY 1 ORDER BY 1
+    """
+
+    # contour length: 16-case marching squares in SQL (world4326 stencil)
+    _gx1, _gy5 = 360.0 / 256, -180.0 / 256
+
+    def _cv(dx: int, dy: int) -> str:
+        fx = f"(px + {dx})" if dx else "px"
+        fy = f"(py + {dy})" if dy else "py"
+        return f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13)) * 60.0 + 128.0)"
+
+    _corn = {"a": _cv(0, 0), "b": _cv(1, 0), "c": _cv(1, 1), "d": _cv(0, 1)}
+
+    def _ept(edge: int) -> tuple[str, str]:
+        if edge == 0:
+            return ("px + (L - a) / (b - a)", "CAST(py AS DOUBLE)")
+        if edge == 1:
+            return ("px + 1.0", "py + (L - b) / (c - b)")
+        if edge == 2:
+            return ("px + (L - d) / (c - d)", "py + 1.0")
+        return ("CAST(px AS DOUBLE)", "py + (L - a) / (d - a)")
+
+    def _seglen(e1: int, e2: int) -> str:
+        x1, y1 = _ept(e1)
+        x2, y2 = _ept(e2)
+        return (f"sqrt(pow((({x2}) - ({x1})) * {_gx1!r}, 2) "
+                f"+ pow((({y2}) - ({y1})) * {_gy5!r}, 2))")
+
+    _case_len = []
+    _case_cnt = []
+    for code_, pairs_ in {8: (3, 0), 7: (0, 3), 4: (0, 1), 11: (1, 0),
+                          2: (1, 2), 13: (2, 1), 1: (2, 3), 14: (3, 2),
+                          12: (3, 1), 3: (1, 3), 6: (0, 2), 9: (2, 0)}.items():
+        _case_len.append(f"WHEN {code_} THEN {_seglen(*pairs_)}")
+        _case_cnt.append(f"WHEN {code_} THEN 1")
+    _case_len.append(
+        "WHEN 5 THEN CASE WHEN (a + b + c + d) / 4.0 >= L THEN "
+        f"{_seglen(0, 1)} + {_seglen(2, 3)} ELSE "
+        f"{_seglen(0, 3)} + {_seglen(2, 1)} END"
+    )
+    _case_len.append(
+        "WHEN 10 THEN CASE WHEN (a + b + c + d) / 4.0 >= L THEN "
+        f"{_seglen(3, 0)} + {_seglen(1, 2)} ELSE "
+        f"{_seglen(1, 0)} + {_seglen(3, 2)} END"
+    )
+    _case_cnt.append("WHEN 5 THEN 2")
+    _case_cnt.append("WHEN 10 THEN 2")
+    _len_expr = "CASE code " + " ".join(_case_len) + " ELSE 0.0 END"
+    _cnt_expr = "CASE code " + " ".join(_case_cnt) + " ELSE 0 END"
+    _corn_cols = ",\n".join(f"          {v} AS {k}" for k, v in _corn.items())
+    sqls["contour_length"] = f"""
+        WITH lv AS (SELECT unnest([128.5, 150.5]) AS L),
+        cells AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py, L,
+{_corn_cols}
+          FROM generate_series(0, 254) x(px)
+          CROSS JOIN generate_series(0, 254) y(py)
+          CROSS JOIN lv
+        ),
+        coded AS (
+          SELECT *,
+            (CASE WHEN a >= L THEN 8 ELSE 0 END
+             + CASE WHEN b >= L THEN 4 ELSE 0 END
+             + CASE WHEN c >= L THEN 2 ELSE 0 END
+             + CASE WHEN d >= L THEN 1 ELSE 0 END) AS code
+          FROM cells
+        )
+        SELECT L AS level,
+               CAST(sum({_cnt_expr}) AS BIGINT) AS n_segments,
+               round(sum({_len_expr}), 4) AS total_len
+        FROM coded GROUP BY L
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
