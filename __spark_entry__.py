@@ -1419,6 +1419,34 @@ def q_contour_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized exact kNN (density-derived resolution + per-query
+    exactness escalation, knn_kring_exact) — must equal brute force, so it
+    shares the haversine oracle."""
+    q = local_df(spark, KNN_QUERIES, "qid long, qlon double, qlat double")
+    t = _points(spark, sf_dir).select(
+        F.col("pid").alias("tid"), F.col("lon").alias("tlon"),
+        F.col("lat").alias("tlat"),
+    )
+    out = KNN.knn_kring_exact(q, t, k=5)
+    return out.select("qid", "tid", "rank", "dist_km")
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic focal kernel filter (VRT KernelFilteredSource): 3x3
+    binomial over the closed-form fixture; interior pixels are exact
+    binary-fraction arithmetic, so the 9-term SQL sum matches bitwise."""
+    from lib_gdal_spark.operators.dem import focal_convolution
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64) / 16.0
+    out = focal_convolution(tiles, k, normalize=True)
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(1, 254) & F.col("py").between(1, 254)
+    ).select("px", "py", F.col("v").alias("v"))
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1520,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates": q_spatial_predicates,
         "media_audio_frames": q_media_audio_frames,
         "contour_length": q_contour_length,
+        "knn_auto": q_knn_auto,
+        "focal_mean": q_focal_mean,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2949,6 +2979,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum({_cnt_expr}) AS BIGINT) AS n_segments,
                round(sum({_len_expr}), 4) AS total_len
         FROM coded GROUP BY L
+    """
+
+    sqls["knn_auto"] = _KNN_ORACLE
+
+    _fk = [(dx, dy, w) for dy, row in enumerate([[1, 2, 1], [2, 4, 2],
+                                                 [1, 2, 1]])
+           for dx, w in enumerate(row)]
+    _fsum = " + ".join(
+        f"trunc((sin((px + {dx - 1}) * 0.19) + cos((py + {dy - 1}) * 0.13)) "
+        f"* 60.0 + 128.0) * {w / 16.0!r}"
+        for dx, dy, w in _fk
+    )
+    sqls["focal_mean"] = f"""
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               ({_fsum}) AS v
+        FROM generate_series(1, 254) x(px)
+        CROSS JOIN generate_series(1, 254) y(py)
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
