@@ -1447,6 +1447,27 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.col("v").alias("v"))
 
 
+def q_graph_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM K-shortest paths (gnmgraph.cpp:233, Yen) on a 4x4 grid DAG with
+    closed-form weights; the oracle enumerates every simple path by
+    recursive CTE and takes the 3 cheapest."""
+    from lib_gdal_spark.operators import graph as GG
+
+    rows = []
+    for r in range(4):
+        for c in range(4):
+            u = 4 * r + c
+            if c < 3:
+                rows.append((u, u + 1, 1.0 + ((u * 7919) % 97) / 89.0))
+            if r < 3:
+                rows.append((u, u + 4, 1.0 + ((u * 104729) % 89) / 83.0))
+    edges = local_df(spark, rows, "u long, v long, w double")
+    paths = GG.k_shortest_paths(edges, 0, 15, k=3, directed=True)
+    out = [(i + 1, round(cost, 6), "-".join(map(str, path)))
+           for i, (path, cost) in enumerate(paths)]
+    return local_df(spark, out, "rank int, cost double, path string")
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1550,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_length": q_contour_length,
         "knn_auto": q_knn_auto,
         "focal_mean": q_focal_mean,
+        "graph_kshortest": q_graph_kshortest,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2996,6 +3018,33 @@ def oracle_sql() -> dict[str, str]:
                ({_fsum}) AS v
         FROM generate_series(1, 254) x(px)
         CROSS JOIN generate_series(1, 254) y(py)
+    """
+
+    _gk_edges = []
+    for r_ in range(4):
+        for c_ in range(4):
+            u_ = 4 * r_ + c_
+            if c_ < 3:
+                _gk_edges.append(
+                    (u_, u_ + 1, 1.0 + ((u_ * 7919) % 97) / 89.0))
+            if r_ < 3:
+                _gk_edges.append(
+                    (u_, u_ + 4, 1.0 + ((u_ * 104729) % 89) / 83.0))
+    _gk_vals = ", ".join(f"({u}, {v}, {w!r})" for u, v, w in _gk_edges)
+    sqls["graph_kshortest"] = f"""
+        WITH RECURSIVE e(u, v, w) AS (SELECT * FROM (VALUES {_gk_vals})),
+        p(node, cost, path) AS (
+          SELECT 0, CAST(0.0 AS DOUBLE), '0'
+          UNION ALL
+          SELECT e.v, p.cost + e.w, p.path || '-' || CAST(e.v AS VARCHAR)
+          FROM p JOIN e ON e.u = p.node
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, round(cost, 6) AS cost, path
+        FROM (
+          SELECT row_number() OVER (ORDER BY cost ASC, path ASC) AS rank,
+                 cost, path
+          FROM p WHERE node = 15
+        ) WHERE rank <= 3
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
