@@ -1468,6 +1468,42 @@ def q_graph_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(spark, out, "rank int, cost double, path string")
 
 
+def q_dem_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn aspect (gdaldem_lib.cpp aspect branch, compass 0..360)."""
+    return _dem_pixels(spark, "aspect", round_to=6)
+
+
+def q_dem_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain Ruggedness Index (mean |neighbor - center|)."""
+    return _dem_pixels(spark, "tri", round_to=6)
+
+
+def q_dem_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic Position Index (center - neighbor mean)."""
+    return _dem_pixels(spark, "tpi", round_to=6)
+
+
+def q_dem_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roughness (window max - min)."""
+    return _dem_pixels(spark, "roughness", round_to=6)
+
+
+def q_translate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterIO auto overview selection (rasterio.cpp:254): a 4x
+    decimation of the pyramided gradient picks the zoom-2 overview, whose
+    pixels are the closed form 2i + 2j + 1 — read directly, no residual
+    resampling."""
+    from lib_gdal_spark.operators import translate as T
+
+    base = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    pyr = RAST.build_pyramid(base, levels=2, alg="average")
+    out = T.translate_window_auto(pyr, "gradient256", (0, 0, 256, 256),
+                                  outsize=(64, 64))
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1572,6 +1608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_auto": q_knn_auto,
         "focal_mean": q_focal_mean,
         "graph_kshortest": q_graph_kshortest,
+        "dem_aspect": q_dem_aspect,
+        "dem_tri": q_dem_tri,
+        "dem_tpi": q_dem_tpi,
+        "dem_roughness": q_dem_roughness,
+        "translate_auto": q_translate_auto,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3045,6 +3086,52 @@ def oracle_sql() -> dict[str, str]:
                  cost, path
           FROM p WHERE node = 15
         ) WHERE rank <= 3
+    """
+
+    sqls["dem_aspect"] = _dem_oracle(
+        "round(CASE WHEN 90.0 - degrees(atan2(dzdy, -dzdx)) < 0.0 "
+        "THEN 90.0 - degrees(atan2(dzdy, -dzdx)) + 360.0 "
+        "WHEN 90.0 - degrees(atan2(dzdy, -dzdx)) >= 360.0 "
+        "THEN 90.0 - degrees(atan2(dzdy, -dzdx)) - 360.0 "
+        "ELSE 90.0 - degrees(atan2(dzdy, -dzdx)) END, 6) AS aspect"
+    )
+    def _win_oracle(expr: str) -> str:
+        def v(dx: int, dy: int) -> str:
+            fx = f"(px + {dx})" if dx else "px"
+            fy = f"(py + {dy})" if dy else "py"
+            return (f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13)) "
+                    f"* 60.0 + 128.0)")
+        win = {
+            "a": v(-1, -1), "b": v(0, -1), "c": v(1, -1),
+            "d": v(-1, 0), "e": v(0, 0), "f": v(1, 0),
+            "g": v(-1, 1), "h": v(0, 1), "i": v(1, 1),
+        }
+        cells = ",\n".join(f"  {win[k]} AS {k}" for k in win)
+        return f"""
+            WITH pix AS (
+              SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+              FROM generate_series(1, 254) x(px)
+              CROSS JOIN generate_series(1, 254) y(py)
+            ),
+            win AS (SELECT px, py, {cells} FROM pix)
+            SELECT px, py, {expr} FROM win
+        """
+
+    _tri_s = " + ".join(f"abs({w} - e)" for w in
+                        ("a", "b", "c", "d", "f", "g", "h", "i"))
+    sqls["dem_tri"] = _win_oracle(f"round(({_tri_s}) / 8.0, 6) AS tri")
+    sqls["dem_tpi"] = _win_oracle(
+        "round(e - (a + b + c + d + f + g + h + i) / 8.0, 6) AS tpi"
+    )
+    _win9 = "a, b, c, d, e, f, g, h, i"
+    sqls["dem_roughness"] = _win_oracle(
+        f"round(greatest({_win9}) - least({_win9}), 6) AS roughness"
+    )
+
+    sqls["translate_auto"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(2 * x.px + 2 * y.py + 1 AS BIGINT) AS v
+        FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
