@@ -1504,6 +1504,118 @@ def q_translate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPS warp fixture: the spline interpolates an EXACT affine dst->lonlat
+# map (8 control points), so the warp reduces to closed-form sampling; the
+# 0.4/0.37-degree offsets keep source pixel coordinates ~0.28 px away from
+# cell boundaries, robust to the spline's ~1e-9 reproduction error.
+_TPS_AFF = (-179.6, 2.8125, -89.63, 1.40625)  # lon0, dlon/dx, lat0, dlat/dy
+
+
+def q_warp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp through a thin-plate-spline transformer
+    (thinplatespline.cpp -> the warp transform hook): TPS fitted on affine
+    GCPs must reproduce the affine warp exactly."""
+    from lib_gdal_spark.functions import transforms as TR
+
+    lon0, klon, lat0, klat = _TPS_AFF
+    ctrl_src = np.array([[0, 0], [128, 0], [0, 128], [128, 128],
+                         [64, 64], [32, 96], [96, 32], [64, 16]],
+                        dtype=np.float64)
+    ctrl_dst = np.column_stack([
+        lon0 + ctrl_src[:, 0] * klon, lat0 + ctrl_src[:, 1] * klat,
+    ])
+    tps = TR.ThinPlateSpline(ctrl_src, ctrl_dst)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, (0.0, 1.0, 0.0, 128.0, 0.0, -1.0), 128, 128, tps,
+        alg="nearest", tile=64,
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+# RPC warp fixture: a mild rational camera over a 256px image with
+# identity geotransform; the RPC00B polynomials are plain arithmetic, so
+# the oracle evaluates them directly.
+_RPC_C = dict(
+    LAT_OFF=40.0, LAT_SCALE=0.5, LONG_OFF=7.0, LONG_SCALE=0.5,
+    HEIGHT_OFF=500.0, HEIGHT_SCALE=500.0,
+    LINE_OFF=128.0, LINE_SCALE=120.0, SAMP_OFF=128.0, SAMP_SCALE=120.0,
+)
+
+
+def _rpc_obj():
+    from lib_gdal_spark.functions import transforms as TR
+
+    ln = np.zeros(20); ln[2] = 1.0; ln[1] = 0.02; ln[7] = 0.001
+    sn = np.zeros(20); sn[1] = 1.0; sn[2] = -0.015; sn[8] = 0.002
+    den = np.zeros(20); den[0] = 1.0; den[1] = 0.0005; den[2] = 0.0003
+    c = dict(_RPC_C)
+    c.update(LINE_NUM=ln, LINE_DEN=den.copy(),
+             SAMP_NUM=sn, SAMP_DEN=den.copy())
+    return TR.RPCTransformer(c, height=500.0)
+
+
+def q_warp_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp through the RPC camera transformer (gdal_rpc.cpp): dst is
+    a lon/lat grid, the source image lives in sensor pixel space with an
+    identity geotransform, and the RPC forward maps dst coords to sensor
+    samp/line."""
+    rpc = _rpc_obj()
+    arr = RS.gradient(256).astype(np.float64)
+    rows = RS.tiles_from_array("rpcimg", arr, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                               tile=64)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+
+    def inverse(x, y):  # dst world = (lon, lat) -> sensor (samp, line)
+        return rpc.forward(np.asarray(x), np.asarray(y))
+
+    dst_gt = (6.8, 0.4 / 128, 0.0, 40.2, 0.0, -0.4 / 128)
+    out = RAST.warp_to_crs_tiles_dist(tiles, dst_gt, 128, 128, inverse,
+                                      alg="nearest", tile=64)
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+# GeoLoc warp fixture: affine geolocation arrays (bilinear interpolation
+# of an affine mesh IS the affine), so the Newton inverse has a closed
+# form the oracle can mirror: px = (lon - 10.3)/0.05, py = (lat - 45.17)
+# / -0.03 with a non-lattice origin keeping samples off cell boundaries.
+_GEOLOC_AFF = (10.3, 0.05, 45.17, -0.03)
+
+
+def q_warp_geoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp through the geolocation-array transformer
+    (gdalgeoloc.cpp): per-pixel lon/lat arrays define the sensor geometry;
+    the warp inverse-maps dst lon/lat to sensor pixels via the backmap."""
+    from lib_gdal_spark.functions import transforms as TR
+
+    lon0, kx, lat0, ky = _GEOLOC_AFF
+    gy, gx = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    lon_arr = lon0 + gx * kx
+    lat_arr = lat0 + gy * ky
+    gl = TR.GeolocTransformer(lon_arr, lat_arr)
+
+    arr = RS.gradient(256).astype(np.float64)
+    rows = RS.tiles_from_array("glimg", arr, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                               tile=64)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+
+    def inverse(x, y):  # dst world (lon, lat) -> sensor pixel
+        return gl.inverse(np.asarray(x), np.asarray(y))
+
+    # dst window inside the swath: lon 11..21, lat 38..44
+    dst_gt = (11.0, 10.0 / 64, 0.0, 44.0, 0.0, -6.0 / 64)
+    out = RAST.warp_to_crs_tiles_dist(tiles, dst_gt, 64, 64, inverse,
+                                      alg="nearest", tile=32,
+                                      edge_samples=5)
+    return _explode_px(out, tile=32).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1613,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tpi": q_dem_tpi,
         "dem_roughness": q_dem_roughness,
         "translate_auto": q_translate_auto,
+        "warp_tps": q_warp_tps,
+        "warp_rpc": q_warp_rpc,
+        "warp_geoloc": q_warp_geoloc,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3132,6 +3247,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
                CAST(2 * x.px + 2 * y.py + 1 AS BIGINT) AS v
         FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+    """
+
+    _tl0, _tkx, _tla0, _tky = _TPS_AFF
+    sqls["warp_tps"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        ll AS (
+          SELECT px, py,
+            {_tl0!r} + (px + 0.5) * {_tkx!r} AS lon,
+            {_tla0!r} + (128.0 - (py + 0.5)) * {_tky!r} AS lat
+          FROM pix
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor((lon + 180.0) / 1.40625) AS BIGINT) AS sx,
+            CAST(floor((90.0 - lat) / 0.703125) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0 + 128.0)
+                    AS BIGINT) AS v
+        FROM sp
+    """
+
+    # RPC00B: P=(lat-OFF)/SC, L=(lon-OFF)/SC, H=0 at the fixed height;
+    # nonzero terms only (adding literal 0.0 terms cannot change IEEE sums)
+    _rl0, _rkx = 6.8, 0.4 / 128
+    _rla0, _rky = 40.2, -0.4 / 128
+    sqls["warp_rpc"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        pl AS (
+          SELECT px, py,
+            (({_rla0!r} + (py + 0.5) * {_rky!r}) - 40.0) / 0.5 AS P,
+            (({_rl0!r} + (px + 0.5) * {_rkx!r}) - 7.0) / 0.5 AS L
+          FROM pix
+        ),
+        sl AS (
+          SELECT px, py,
+            128.0 + 120.0 * ((0.02 * L + P + 0.001 * L * L)
+                             / (1.0 + 0.0005 * L + 0.0003 * P)) AS line,
+            128.0 + 120.0 * ((L + -0.015 * P + 0.002 * P * P)
+                             / (1.0 + 0.0005 * L + 0.0003 * P)) AS samp
+          FROM pl
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(samp) AS BIGINT) AS sx,
+            CAST(floor(line) AS BIGINT) AS sy
+          FROM sl
+        )
+        SELECT px, py, CAST((sx + sy) // 2 AS BIGINT) AS v
+        FROM sp
+    """
+
+    _gl0, _gkx, _gla0, _gky = _GEOLOC_AFF
+    sqls["warp_geoloc"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        ll AS (
+          SELECT px, py,
+            11.0 + (px + 0.5) * {10.0 / 64!r} AS lon,
+            44.0 + (py + 0.5) * {-6.0 / 64!r} AS lat
+          FROM pix
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor((lon - {_gl0!r}) / {_gkx!r}) AS BIGINT) AS sx,
+            CAST(floor((lat - {_gla0!r}) / {_gky!r}) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py, CAST((sx + sy) // 2 AS BIGINT) AS v
+        FROM sp
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------

@@ -201,13 +201,19 @@ class GeolocTransformer:
         h, w = self.lon.shape
         lo = np.asarray(lon, np.float64).ravel()
         la = np.asarray(lat, np.float64).ravel()
-        # seed: nearest geoloc sample (vectorized over the array)
-        d2 = ((self.lon.ravel()[None, :] - lo[:, None]) ** 2
-              + (self.lat.ravel()[None, :] - la[:, None]) ** 2)
+        # seed: nearest geoloc sample over a SUBSAMPLED mesh (the Newton
+        # refinement below converges from a coarse seed on smooth meshes;
+        # full-mesh search would be O(queries x h x w))
+        stride = max(1, int(np.sqrt(h * w / 4096.0)))
+        sub_lon = self.lon[::stride, ::stride]
+        sub_lat = self.lat[::stride, ::stride]
+        sh, sw = sub_lon.shape
+        d2 = ((sub_lon.ravel()[None, :] - lo[:, None]) ** 2
+              + (sub_lat.ravel()[None, :] - la[:, None]) ** 2)
         seed = np.argmin(d2, axis=1)
-        gy, gx = np.divmod(seed, w)
-        px = gx.astype(np.float64) * self.step[0] + self.off[0]
-        ln = gy.astype(np.float64) * self.step[1] + self.off[1]
+        gy, gx = np.divmod(seed, sw)
+        px = (gx * stride).astype(np.float64) * self.step[0] + self.off[0]
+        ln = (gy * stride).astype(np.float64) * self.step[1] + self.off[1]
         d = 1e-3
         for _ in range(iters):
             f0x, f0y = self.forward(px, ln)
