@@ -1616,6 +1616,77 @@ def q_warp_geoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layer_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR Identity (ogrlayer.cpp:3183): intersections carry m_fid, the
+    erased remainder carries NULL — rectangle-arithmetic oracle."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    inputs, method = _ov_layers(spark)
+    out = LA.identity_overlay(inputs, method, res=3)
+    return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
+
+
+def q_layer_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR Clip (ogrlayer.cpp:3820): per-feature clipped area + pieces."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    inputs, method = _ov_layers(spark)
+    out = LA.clip(inputs, method, res=3)
+    return out.select("in_fid", F.round("area", 6).alias("area"), "n_pieces")
+
+
+def q_dither_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd-Steinberg dither (gdaldither.cpp) with an exact-hit palette:
+    a two-color checker maps losslessly to palette indices (zero residual
+    error diffuses), so the output is the closed-form parity."""
+    from lib_gdal_spark.operators import color as CL
+
+    n, tile = 128, 64
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = ((i + j) % 2).astype(np.float64) * 100.0
+    rows = []
+    for band in (1, 2, 3):
+        rows += RS.tiles_from_array("chk", vals,
+                                    (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                                    tile=tile, band=band)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    out = CL.dither_rgb_to_pct(tiles, [(0, 0, 0), (100, 100, 100)])
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_cutline_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutline blend density (CUTLINE_BLEND_DIST): signed rectangle
+    distance has a closed form the oracle mirrors."""
+    from lib_gdal_spark.operators.raster import cutline_density_tiles
+
+    cut = [np.array([[16.0, 16.0], [48.0, 16.0], [48.0, 48.0],
+                     [16.0, 48.0], [16.0, 16.0]])]
+    out = cutline_density_tiles(
+        spark, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), 64, 64, cut,
+        blend_dist=4.0, tile=32,
+    )
+    return _explode_px(out, tile=32).select(
+        "px", "py", F.round("v", 6).alias("v")
+    )
+
+
+def q_ogr_execute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OGR SQL STRING front-end itself (swq_parser.y semantics via
+    plans/ogr_parser.execute_sql) — two-valued NULL logic, ci-LIKE and the
+    summary mode all through one parsed statement."""
+    from lib_gdal_spark.plans.ogr_parser import execute_sql
+
+    tables = {"lineitem": _t(spark, sf_dir, "lineitem")}
+    return execute_sql(
+        tables,
+        "SELECT COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx "
+        "FROM lineitem WHERE NOT l_tax > 0.05 "
+        "AND l_returnflag IN ('A', 'R')",
+    )
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1728,6 +1799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
         "warp_geoloc": q_warp_geoloc,
+        "layer_identity": q_layer_identity,
+        "layer_clip": q_layer_clip,
+        "dither_pct": q_dither_pct,
+        "cutline_density": q_cutline_density,
+        "ogr_execute_sql": q_ogr_execute_sql,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3326,6 +3402,67 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT px, py, CAST((sx + sy) // 2 AS BIGINT) AS v
         FROM sp
+    """
+
+    _id_rows = []
+    for fid_, bb_ in _OV_INPUT_BOXES.items():
+        ai_ = _ov_method_inter(bb_)
+        if ai_ > 0:
+            _id_rows.append((fid_, 7, round(ai_, 6)))
+        rem_ = _ov_area(bb_) - ai_
+        if rem_ > 0:
+            _id_rows.append((fid_, None, round(rem_, 6)))
+    _idv = ", ".join(
+        f"({f}, {m if m is not None else 'NULL'}, {a!r})"
+        for f, m, a in _id_rows
+    )
+    sqls["layer_identity"] = (
+        f"SELECT CAST(c0 AS BIGINT) AS in_fid, CAST(c1 AS BIGINT) AS m_fid, "
+        f"CAST(c2 AS DOUBLE) AS area FROM (VALUES {_idv}) t(c0, c1, c2)"
+    )
+    _cl_rows = [
+        (fid_, round(_ov_method_inter(bb_), 6), 1)
+        for fid_, bb_ in _OV_INPUT_BOXES.items()
+        if _ov_method_inter(bb_) > 0
+    ]
+    _clv = ", ".join(f"({f}, {a!r}, {n})" for f, a, n in _cl_rows)
+    sqls["layer_clip"] = (
+        f"SELECT CAST(c0 AS BIGINT) AS in_fid, CAST(c1 AS DOUBLE) AS area, "
+        f"CAST(c2 AS BIGINT) AS n_pieces FROM (VALUES {_clv}) t(c0, c1, c2)"
+    )
+
+    sqls["dither_pct"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST((x.px + y.py) % 2 AS BIGINT) AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    sqls["cutline_density"] = """
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 x.px + 0.5 AS cx, y.py + 0.5 AS cy
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        d AS (
+          SELECT px, py,
+            CASE WHEN cx >= 16.0 AND cx <= 48.0 AND cy >= 16.0 AND cy <= 48.0
+                 THEN least(cx - 16.0, 48.0 - cx, cy - 16.0, 48.0 - cy)
+                 ELSE -sqrt(pow(greatest(16.0 - cx, cx - 48.0, 0.0), 2)
+                            + pow(greatest(16.0 - cy, cy - 48.0, 0.0), 2))
+            END AS sd
+          FROM pix
+        )
+        SELECT px, py,
+               round(least(greatest(0.5 + sd / 8.0, 0.0), 1.0), 6) AS v
+        FROM d
+    """
+
+    sqls["ogr_execute_sql"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               min(l_quantity) AS mn, max(l_quantity) AS mx
+        FROM lineitem
+        WHERE NOT coalesce(l_tax > 0.05, false)
+          AND coalesce(l_returnflag IN ('A', 'R'), false)
     """
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
