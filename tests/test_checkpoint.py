@@ -77,3 +77,44 @@ def test_idempotent_rerun_returns_same_metrics(spark, root):
     m1 = stage.run_partition("0", lambda: _partition_df(spark, "0"))
     m2 = stage.run_partition("0", lambda: 1 / 0)  # must not be called
     assert m1 == m2
+
+
+def test_flagship_pipeline_checkpointed_end_to_end(spark, root):
+    """North rule: the pages->enrich stage runs through checkpointed
+    id-range partitions; a killed-and-resumed run produces output
+    identical to a single-shot run."""
+    from lib_gdal_spark.operators import geo as GEO
+
+    n, parts = 4000, 4
+
+    def make(k):
+        def f():
+            lo = int(k) * (n // parts)
+            ids = spark.range(lo, lo + n // parts)
+            pg = ids.mapInPandas(
+                lambda it: (PG.build_batch(b["id"].to_numpy()) for b in it),
+                schema=PG.PAGES_SCHEMA,
+            )
+            return GEO.enrich_pages(pg, res=10)
+        return f
+
+    stage = CheckpointedStage(spark, root, "flagship")
+    keys = [str(i) for i in range(parts)]
+    # crash after 1 partition
+    stage.run_partition(keys[0], make(keys[0]))
+    assert len(stage.pending(keys)) == parts - 1
+    # resume all
+    for k in keys:
+        stage.run_partition(k, make(k))
+    out = stage.read_output()
+    # equality with the single-shot pipeline
+    ref = GEO.enrich_pages(PG.generate_pages(spark, n), res=10)
+    assert out.count() == ref.count() == n
+    diff = out.select("url", "lang", "cell").exceptAll(
+        ref.select("url", "lang", "cell")
+    )
+    assert diff.isEmpty()
+    # per-partition metrics recorded
+    for k in keys:
+        m = stage.read_metrics(k)
+        assert m["rows"] == n // parts and "committed_at" in m
