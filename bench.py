@@ -82,8 +82,18 @@ BENCH = {
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/Arrow path so q1 doesn't pay session startup
+    # warm the JVM AND the Python/Arrow worker pools so q1 measures the
+    # engine, not interpreter startup (a long-lived cluster amortizes both)
     spark.range(1000).select(F.sum("id")).collect()
+    import pandas as _pd
+
+    def _noop(it):
+        for b in it:
+            yield b
+
+    spark.range(0, 3200, 1, 32).mapInPandas(
+        _noop, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in BENCH.items():

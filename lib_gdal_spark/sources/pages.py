@@ -158,5 +158,8 @@ def generate_pages(
         for b in batches:
             yield build_batch(b["id"].to_numpy(), seed)
 
-    rng = spark.range(0, n, numPartitions=partitions or max(8, n // 250_000))
+    n_parts = partitions or max(
+        spark.sparkContext.defaultParallelism, n // 250_000
+    )
+    rng = spark.range(0, n, numPartitions=n_parts)
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
