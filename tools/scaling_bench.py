@@ -147,8 +147,17 @@ Python only for the vectorized kernels that need it.
 Reproduce: `python tools/scaling_bench.py`
 (env `SPARK_GRAFT_SCALE_PAGES` overrides the page count).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # Rewrite ONLY the scaling section; preserve everything after the
+    # first appended "## " section (shuffle audit, stress results, ...)
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "\n## Shuffle-volume audit"
+        if marker in old:
+            tail = old[old.index(marker):]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
