@@ -75,24 +75,28 @@ def verify_text_invariant(pages: DataFrame) -> DataFrame:
 
 
 def with_tile(df: DataFrame, z: int, lon="lon", lat="lat", tms: bool = False) -> DataFrame:
-    """Attach web-mercator XYZ tile (z, x, y) columns via a pandas UDF."""
-
-    @F.pandas_udf("struct<x: long, y: long>")
-    def tile_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
-        lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
-        ok = ~(np.isnan(lo) | np.isnan(la))
-        x = np.full(len(lo), -1, dtype=np.int64)
-        y = np.full(len(lo), -1, dtype=np.int64)
-        if ok.any():
-            x[ok], y[ok] = C.lonlat_to_tile(lo[ok], la[ok], z, tms=tms)
-        out = pd.DataFrame(
-            {"x": pd.array(x, dtype="Int64"), "y": pd.array(y, dtype="Int64")}
-        )
-        out.loc[~ok, ["x", "y"]] = pd.NA
-        return out
-
-    t = tile_udf(F.col(lon), F.col(lat))
-    return df.withColumn("z", F.lit(z)).withColumn("tx", t["x"]).withColumn(
-        "ty", t["y"]
+    """Attach web-mercator XYZ tile (z, x, y) columns — NATIVE column math
+    (whole-stage codegen; the exact op sequence of cells.lonlat_to_tile,
+    which the driver oracles mirror in SQL). NULL coords yield NULL tiles
+    (the NULL-key join-skip path)."""
+    n = 1 << z
+    lo = F.col(lon)
+    la = F.least(F.greatest(F.col(lat), F.lit(-C.MAX_MERC_LAT)),
+                 F.lit(C.MAX_MERC_LAT))
+    mx = (lo + 180.0) / 360.0
+    sin_lat = F.sin(F.radians(la))
+    my = (
+        0.5
+        - F.log((1.0 + sin_lat) / (1.0 - sin_lat))
+        / F.lit(4.0 * float(np.pi))
+    )
+    tx = F.least(
+        F.greatest(F.floor(mx * n), F.lit(0)), F.lit(n - 1)
+    ).cast("long")
+    ty_raw = F.least(
+        F.greatest(F.floor(my * n), F.lit(0)), F.lit(n - 1)
+    ).cast("long")
+    ty = (F.lit(n - 1) - ty_raw) if tms else ty_raw
+    return df.withColumn("z", F.lit(z)).withColumn("tx", tx).withColumn(
+        "ty", ty
     )
