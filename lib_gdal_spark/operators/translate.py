@@ -290,3 +290,44 @@ def tile_index(
         schema="raster_id string, band int, zoom int, minx double, "
                "miny double, maxx double, maxy double, geom_wkb binary",
     )
+
+
+def translate_scale(
+    tiles: DataFrame,
+    src_min: float,
+    src_max: float,
+    dst_min: float = 0.0,
+    dst_max: float = 255.0,
+    exponent: float | None = None,
+    out_dtype: str | None = None,
+    out_id: str = "scaled",
+) -> DataFrame:
+    """gdal_translate -scale [-exponent] (``apps/gdal_translate_lib.cpp``
+    scale params): linear (or power-law) rescale of pixel values, clipped
+    to the dst range — pure JVM higher-order array math, no Python.
+
+    linear:   out = (v - src_min) / (src_max - src_min) * dst_range + dst_min
+    exponent: out = ((v - src_min) / src_range) ** exponent * dst_range
+              + dst_min   (the -exponent non-linear variant)
+    """
+    src_range = src_max - src_min
+    dst_range = dst_max - dst_min
+
+    def scale_one(v):
+        t = (v - src_min) / src_range
+        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        if exponent is not None:
+            t = F.pow(t, F.lit(float(exponent)))
+        out = t * dst_range + dst_min
+        if out_dtype and out_dtype not in ("float32", "float64"):
+            out = F.floor(out + 0.5)
+        return out
+
+    return tiles.select(
+        F.lit(out_id).alias("raster_id"), "band", "zoom", "tile_x",
+        "tile_y",
+        F.lit(out_dtype or "float64").alias("dtype"),
+        "tile_w", "tile_h",
+        "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+        F.transform("pixels", scale_one).alias("pixels"),
+    )
