@@ -830,7 +830,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/digit ratios + linear blend score."""
     d = _t(spark, sf_dir, "documents")
     return TXT.with_quality(d).select(
-        "doc_id", "text_len", "punct_ratio", "digit_ratio", "quality_score"
+        "doc_id", "text_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "quality_score"
     )
 
 
@@ -2535,12 +2536,18 @@ def oracle_sql() -> dict[str, str]:
                  CAST(length(text) AS DOUBLE)
                    - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
                  CAST(length(text) AS DOUBLE)
-                   - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+                   - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
           FROM documents
         )
         SELECT doc_id, CAST(len AS BIGINT) AS text_len,
                round(n_punct / safe_len, 6) AS punct_ratio,
                round(n_digit / safe_len, 6) AS digit_ratio,
+               round(CAST(len(list_filter(toks,
+                       t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'for', 'on', 'with', 'at', 'by', 'is', 'are', 'was', 'be', 'this', 'that', 'it', 'as', 'from'], t)))
+                     AS DOUBLE)
+                     / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6)
+                 AS stopword_ratio,
                round(least(len / 500.0, 1.0) * 0.4
                      + (1.0 - least((n_punct / safe_len) * 4.0, 1.0)) * 0.3
                      + (1.0 - least((n_digit / safe_len) * 4.0, 1.0)) * 0.3,

@@ -36,11 +36,20 @@ def with_token_count(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(out_col, F.size(toks))
 
 
-def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / uppercase / digit ratios + a 0..1 quality score.
+STOPWORDS = (
+    "the a an and or of to in for on with at by is are was be this that "
+    "it as from".split()
+)
 
-    All ratios are built-ins over the string column; the score is a fixed
-    linear blend (deterministic, documented here so the oracle can mirror it).
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / space / STOPWORD ratios + a 0..1
+    quality score.
+
+    All ratios are built-ins over the string column (the stopword ratio is
+    a filter over the whitespace token array — JVM higher-order, no
+    Python); the score is a fixed linear blend (deterministic, documented
+    here so the oracle can mirror it).
     """
     length = F.length(F.col(text_col)).cast("double")
     safe_len = F.greatest(length, F.lit(1.0))
@@ -50,6 +59,12 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = n_punct / safe_len
     digit_ratio = n_digit / safe_len
     space_ratio = n_space / safe_len
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_toks = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    stopword_ratio = n_stop / n_toks
     score = (
         F.least(length / F.lit(500.0), F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
@@ -60,6 +75,7 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("digit_ratio", F.round(digit_ratio, 6))
         .withColumn("space_ratio", F.round(space_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio, 6))
         .withColumn("quality_score", F.round(score, 6))
     )
 
