@@ -823,7 +823,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting, JVM-side only."""
     d = _t(spark, sf_dir, "documents")
-    return TXT.with_token_count(d).select("doc_id", "n_tokens")
+    return TXT.with_token_count_bpe(TXT.with_token_count(d)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2524,7 +2526,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_token_count"] = r"""
         SELECT doc_id,
                CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
-                                       x -> x <> '')) AS INTEGER) AS n_tokens
+                                       x -> x <> '')) AS INTEGER) AS n_tokens,
+               CAST(length(list_filter(
+                 regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                 t -> trim(t) <> '')) AS INTEGER) AS n_bpe_tokens
         FROM documents
     """
 

@@ -36,6 +36,22 @@ def with_token_count(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(out_col, F.size(toks))
 
 
+# GPT-2-style pre-tokenizer, simplified to constructs shared by Java
+# regex and RE2 (no lookahead; ASCII classes — the corpus is ASCII):
+# contractions, space-prefixed letter runs, digit runs, punct runs, spaces.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def with_token_count_bpe(docs: DataFrame, text_col: str = "text",
+                         out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count (the LLM-pipeline estimate): the GPT-2 split
+    pattern applied via regexp_extract_all, whitespace runs excluded —
+    JVM-side only."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    non_ws = F.filter(toks, lambda t: F.trim(t) != F.lit(""))
+    return docs.withColumn(out_col, F.size(non_ws))
+
+
 STOPWORDS = (
     "the a an and or of to in for on with at by is are was be this that "
     "it as from".split()
