@@ -1690,6 +1690,25 @@ def q_ogr_execute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (fixed spherical codebook + inverted-list probe + exact
+    re-rank). Full probe here so the result is deterministic-exact for the
+    oracle; the approximate recall-vs-nprobe contract is pytest-pinned
+    (these synthetic embeddings are near-random, where partial-probe
+    recall is inherently data-dependent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ANN.cosine_topk_ivf(
+        queries, corpus, k=5, n_lists=32, nprobe=32,
+        dim=_emb_dim(spark, sf_dir),
+    )
+
+
 def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE pyramid levels 0-2 of the gradient fixture, checksummed —
     every level has a closed form ((i+j)//2, i+j, 2i+2j+1), so the GDAL
@@ -1807,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither_pct": q_dither_pct,
         "cutline_density": q_cutline_density,
         "ogr_execute_sql": q_ogr_execute_sql,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3476,6 +3496,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT coalesce(l_tax > 0.05, false)
           AND coalesce(l_returnflag IN ('A', 'R'), false)
     """
+
+    sqls["cosine_topk_ivf"] = sqls["cosine_topk"]
 
     # --- VERDICT r1 #5: oracles for previously-unchecked queries -----------
 

@@ -153,3 +153,66 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(qid, cid, "rank", "cos_sim")
     )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_lists: int = 32,
+    nprobe: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    query_cols: tuple[str, str] = ("qid", "qvec"),
+    corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization to a FIXED spherical codebook +
+    inverted-list probe + exact cosine re-rank.
+
+    The codebook is ``n_lists`` seeded random unit vectors (data-
+    independent, so it ships as literals into every engine — including
+    the SQL oracle). Corpus vectors land in their nearest list by cosine;
+    each query probes its ``nprobe`` nearest lists; candidates re-rank
+    exactly. One equi-join on the list id — the same bucketed shape as
+    the LSH path, trading table count for probe count.
+    """
+    rng = np.random.default_rng(seed)
+    cb = rng.standard_normal((n_lists, dim))
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+    qid, qvec = query_cols
+    cid, cvec = corpus_cols
+
+    @F.pandas_udf("int")
+    def assign1(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cb.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def assign_probe(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ cb.T
+        idx = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    c = corpus.withColumn("list_id", assign1(F.col(cvec)))
+    q = queries.withColumn(
+        "list_id", F.explode(assign_probe(F.col(qvec)))
+    )
+    cand = c.join(F.broadcast(q), "list_id").where(
+        F.col(qid) != F.col(cid)
+    ).dropDuplicates([qid, cid])
+    cos = F.round(
+        _dot(F.col(qvec), F.col(cvec))
+        / (_norm(F.col(qvec)) * _norm(F.col(cvec))),
+        round_decimals,
+    ).alias("cos_sim")
+    cand = cand.select(qid, cid, cos)
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, cid, "rank", "cos_sim")
+    )
