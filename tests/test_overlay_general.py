@@ -168,3 +168,39 @@ def test_kernel_random_triangle_membership():
             got = _sample_inside(rings, xs, ys)
             want = pyop(_sample_inside(a, xs, ys), _sample_inside(b, xs, ys))
             assert np.array_equal(got, want), op
+
+
+def _random_simple_polygon(rng, n_verts, cx, cy, rmin, rmax):
+    """Star-shaped (hence simple) polygon: radially sorted random vertices."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    rad = rng.uniform(rmin, rmax, n_verts)
+    pts = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+    return np.vstack([pts, pts[:1]])
+
+
+def test_kernel_fuzz_random_concave_pairs():
+    """50 random concave polygon pairs x 4 ops vs the sampled even-odd
+    membership oracle — the strongest stress of the slab kernel."""
+    rng = np.random.default_rng(77)
+    xs = np.linspace(0.119, 9.881, 17)
+    ys = np.linspace(0.233, 9.767, 17)
+    for trial in range(50):
+        a = [_random_simple_polygon(rng, rng.integers(5, 12), 4.5, 4.5,
+                                    1.0, 4.4)]
+        b = [_random_simple_polygon(rng, rng.integers(5, 12), 5.5, 5.5,
+                                    1.0, 4.4)]
+        for op, pyop in [("intersection", lambda x, y: x & y),
+                         ("union", lambda x, y: x | y),
+                         ("difference", lambda x, y: x & ~y),
+                         ("xor", lambda x, y: x ^ y)]:
+            polys = OV.boolean_op(a, b, op)
+            rings = [r for p in polys for r in p]
+            got = _sample_inside(rings, xs, ys)
+            want = pyop(_sample_inside(a, xs, ys), _sample_inside(b, xs, ys))
+            assert np.array_equal(got, want), (trial, op)
+        # area identity on every trial
+        ai = OV.polys_area(OV.boolean_op(a, b, "intersection"))
+        au = OV.polys_area(OV.boolean_op(a, b, "union"))
+        aa = OV.polys_area(OV.boolean_op(a, [], "union"))
+        ab = OV.polys_area(OV.boolean_op(b, [], "union"))
+        assert abs(au - (aa + ab - ai)) < 1e-9, trial
