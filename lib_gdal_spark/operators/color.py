@@ -44,28 +44,37 @@ def median_cut_palette(
     its widest channel — gdalmediancut.cpp semantics).
     """
     rb, gb, bb = bands
-    r = tiles.where(F.col("band") == rb).select(
-        "tile_x", "tile_y", F.posexplode("pixels").alias("pos", "r")
+
+    # per-tile partial 5-bit histograms in ONE Arrow pass (bands zipped
+    # inside the tile group — no O(pixels) explode/join shuffle; shuffle
+    # volume is tiles x <=32768 nonzero color cells)
+    def tile_hist(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_band = {int(r["band"]): r for _, r in pdf.iterrows()}
+        if not all(k in by_band for k in (rb, gb, bb)):
+            return pd.DataFrame(columns=["code", "n"])
+        chans = [
+            (np.asarray(by_band[k]["pixels"], np.float64)
+             .astype(np.int64) >> 3)
+            for k in (rb, gb, bb)
+        ]
+        code = (chans[0] << 10) | (chans[1] << 5) | chans[2]
+        cnt = np.bincount(code, minlength=1)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"code": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    hist_df = (
+        tiles.where(F.col("band").isin([rb, gb, bb]))
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(tile_hist, schema="code long, n long")
+        .groupBy("code").agg(F.sum("n").alias("n"))
     )
-    g = tiles.where(F.col("band") == gb).select(
-        "tile_x", "tile_y", F.posexplode("pixels").alias("pos", "g")
-    )
-    b = tiles.where(F.col("band") == bb).select(
-        "tile_x", "tile_y", F.posexplode("pixels").alias("pos", "b")
-    )
-    rgb = r.join(g, ["tile_x", "tile_y", "pos"]).join(
-        b, ["tile_x", "tile_y", "pos"]
-    )
-    hist = (
-        rgb.select(
-            (F.col("r").cast("int") / 8).cast("int").alias("r5"),
-            (F.col("g").cast("int") / 8).cast("int").alias("g5"),
-            (F.col("b").cast("int") / 8).cast("int").alias("b5"),
-        )
-        .groupBy("r5", "g5", "b5")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    hist = hist_df.select(
+        F.shiftright("code", 10).bitwiseAND(F.lit(31)).alias("r5"),
+        F.shiftright("code", 5).bitwiseAND(F.lit(31)).alias("g5"),
+        F.col("code").bitwiseAND(F.lit(31)).alias("b5"),
+        "n",
+    ).collect()
     cells = np.array([(h["r5"], h["g5"], h["b5"], h["n"]) for h in hist],
                      dtype=np.int64)
 
