@@ -353,3 +353,32 @@ def dither_rgb_to_pct_exact(
     return tiles.where(F.col("band").isin([rb, gb, bb])).groupBy(
         "raster_id"
     ).applyInPandas(work, schema=RASTER_SCHEMA)
+
+
+def pct_to_rgb(
+    tiles: DataFrame,
+    palette: list[tuple[int, int, int]],
+    out_id: str = "rgb",
+) -> DataFrame:
+    """pct2rgb (the inverse of GDALDitherRGB2PCT): expand palette-index
+    tiles back to 3 RGB bands — a pure JVM array lookup per channel."""
+    out = []
+    for ch in range(3):
+        lut = F.array(*[F.lit(float(c[ch])) for c in palette])
+        out.append(
+            tiles.select(
+                F.lit(out_id).alias("raster_id"),
+                F.lit(ch + 1).alias("band"),
+                "zoom", "tile_x", "tile_y",
+                F.lit("uint8").alias("dtype"), "tile_w", "tile_h",
+                "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+                F.transform(
+                    "pixels",
+                    lambda v: F.element_at(lut, v.cast("int") + 1),
+                ).alias("pixels"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

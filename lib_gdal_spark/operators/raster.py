@@ -898,3 +898,49 @@ def suggested_warp_output(
     out_h = int(np.ceil((maxy - miny) / res))
     dst_gt = (minx, res, 0.0, maxy, 0.0, -res)
     return dst_gt, out_w, out_h
+
+
+def band_calc(
+    tiles: DataFrame,
+    expr,
+    bands: list[int],
+    out_id: str = "calc",
+    out_band: int = 1,
+) -> DataFrame:
+    """gdal_calc-style per-pixel band algebra, JVM-side: ``expr`` receives
+    one Column per requested band's pixel value (zip_with-chained) and
+    returns the output value Column. E.g. NDVI:
+    ``band_calc(t, lambda n, r: (n - r) / (n + r), bands=[4, 3])``."""
+    if not bands:
+        raise ValueError("bands must be non-empty")
+    base = tiles.where(F.col("band") == bands[0]).select(
+        "raster_id", "zoom", "tile_x", "tile_y", "tile_w", "tile_h",
+        "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+        F.col("pixels").alias("px_0"),
+    )
+    for i, b in enumerate(bands[1:], start=1):
+        nxt = tiles.where(F.col("band") == b).select(
+            "raster_id", "zoom", "tile_x", "tile_y",
+            F.col("pixels").alias(f"px_{i}"),
+        )
+        base = base.join(nxt, ["raster_id", "zoom", "tile_x", "tile_y"])
+    if len(bands) == 1:
+        arr = F.transform("px_0", lambda v: expr(v))
+    elif len(bands) == 2:
+        arr = F.zip_with("px_0", "px_1", lambda a, b2: expr(a, b2))
+    else:
+        # chain: zip indexes via transform over positions
+        arr = F.transform(
+            F.sequence(F.lit(0), F.size("px_0") - 1),
+            lambda i: expr(*[
+                F.element_at(F.col(f"px_{k}"), i + 1)
+                for k in range(len(bands))
+            ]),
+        )
+    return base.select(
+        F.lit(out_id).alias("raster_id"), F.lit(out_band).alias("band"),
+        "zoom", "tile_x", "tile_y", F.lit("float64").alias("dtype"),
+        "tile_w", "tile_h",
+        "gt0", "gt1", "gt2", "gt3", "gt4", "gt5", "nodata",
+        arr.alias("pixels"),
+    )

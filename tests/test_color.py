@@ -117,3 +117,22 @@ def test_dither_exact_crosses_tile_seams(spark):
         ft[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
            r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
     assert not np.array_equal(ft, ref)
+
+
+def test_pct_round_trip(spark):
+    """rgb2pct -> pct2rgb round-trips exactly when colors hit the palette."""
+    flat0 = np.zeros((32, 32)); flat0[:, 16:] = 1.0
+    rows = [dict(
+        raster_id="p", band=1, zoom=0, tile_x=0, tile_y=0,
+        dtype="uint8", tile_w=32, tile_h=32,
+        gt0=0.0, gt1=1.0, gt2=0.0, gt3=0.0, gt4=0.0, gt5=1.0,
+        nodata=None, pixels=flat0.ravel().tolist(),
+    )]
+    idx = spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+    pal = [(10, 20, 30), (200, 150, 100)]
+    rgb = CL.pct_to_rgb(idx, pal).collect()
+    assert len(rgb) == 3
+    by_band = {r["band"]: np.asarray(r["pixels"]).reshape(32, 32)
+               for r in rgb}
+    assert by_band[1][0, 0] == 10 and by_band[1][0, 31] == 200
+    assert by_band[2][0, 0] == 20 and by_band[3][0, 31] == 100

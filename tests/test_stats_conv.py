@@ -65,3 +65,26 @@ def test_pyramid_conv_matches_full_raster_reference(spark):
             R.overview_convolution(src, (128, 128), alg), "uint8"
         ).astype(np.float64)
         assert np.array_equal(full, ref), alg
+
+
+def test_band_calc_ndvi_style(spark):
+    from lib_gdal_spark.operators.raster import band_calc
+    from lib_gdal_spark.sources.rasters import multiband, multiband_tiles
+
+    tiles = multiband_tiles(spark, n=64, tile=32)
+    out = band_calc(
+        tiles, lambda a, b: (a - b) / (a + b + 1.0), bands=[2, 1],
+        out_id="idx",
+    ).collect()
+    full = np.zeros((64, 64))
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        full[r["tile_y"] * 32:r["tile_y"] * 32 + r["tile_h"],
+             r["tile_x"] * 32:r["tile_x"] * 32 + r["tile_w"]] = a
+    m = multiband(64)
+    want = (m[2] - m[1]) / (m[2] + m[1] + 1.0)
+    assert np.allclose(full, want, atol=1e-12)
+    # 3-band variant through the positional path
+    out3 = band_calc(tiles, lambda a, b, c: a + b + c, bands=[1, 2, 3])
+    v = np.asarray(out3.collect()[0]["pixels"])
+    assert np.isfinite(v).all()
