@@ -889,7 +889,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle-hash self-join (the oracle
     joins on raw grams, so FNV stays engine-side)."""
     d = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, shingle=5, threshold=0.2)
+    # max_doc_freq=None: explicit exact-semantics opt-in so the DuckDB
+    # oracle (raw-gram join, no cap) stays value-identical at sf0.01.
+    return DD.ngram_jaccard_pairs(d, shingle=5, threshold=0.2,
+                                  max_doc_freq=None)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

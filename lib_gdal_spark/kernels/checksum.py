@@ -61,5 +61,27 @@ def checksum_partial(pixels: np.ndarray, start_index: int) -> int:
     return int(rem.sum())
 
 
+def checksum_tile_partial(pixels: np.ndarray, x0: int, y0: int,
+                          width: int) -> int:
+    """Partial sum for a whole 2-D tile placed at (x0, y0) in a raster of
+    global row-major ``width`` pixels per scanline.
+
+    Fully vectorized: the global index of pixel (r, c) is
+    ``(y0 + r) * width + x0 + c``; only ``idx % 11`` matters, so the prime
+    lookup broadcasts over the tile in one shot. Summing partials across
+    tiles then masking once is exact because ``& 0xffff`` is mod 2^16 and
+    addition commutes with it (``core/alg/gdalchecksum.cpp:66-180``).
+    """
+    vals = to_checksum_int32(pixels)
+    if vals.ndim != 2:
+        raise ValueError("checksum_tile_partial expects a 2-D tile")
+    h, w = vals.shape
+    rows = (np.arange(h, dtype=np.int64) + y0) * width
+    cols = np.arange(w, dtype=np.int64) + x0
+    idx = (rows[:, None] + cols[None, :]) % 11
+    rem = np.fmod(vals, PRIMES[idx])
+    return int(rem.sum())
+
+
 def combine_partials(partials) -> int:
     return int(sum(int(p) for p in partials)) & 0xFFFF

@@ -163,7 +163,10 @@ def minhash_lsh_pairs(
     """
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col, seed)
-    sigs = sigs.cache()
+    # persist: the band-bucket self-join reads the signature UDF output from
+    # both sides; unpersisted after the eager localCheckpoint below (same
+    # cache-lifecycle pattern as polygonize — VERDICT r2 advice).
+    sigs = sigs.persist()
 
     band_keys = sigs.select(
         id_col,
@@ -198,9 +201,13 @@ def minhash_lsh_pairs(
             lambda acc, v: acc + v,
         ).cast("double") / F.lit(float(num_hashes))
     ).alias("est_jaccard")
-    return pairs.select("doc_a", "doc_b", est).where(
-        F.col("est_jaccard") >= threshold
-    )
+    try:
+        out = pairs.select("doc_a", "doc_b", est).where(
+            F.col("est_jaccard") >= threshold
+        ).localCheckpoint()
+    finally:
+        sigs.unpersist()
+    return out
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
@@ -244,20 +251,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs that share any shingle.
 
     Explode shingle hashes, self-join on shingle, count intersections,
     compute |A∩B| / (|A|+|B|−|A∩B|).
 
-    Scale guard (VERDICT r1 #7): the self-join on a shingle shared by m
-    docs produces m^2 candidate rows — stop-word shingles blow up
+    Scale guard (VERDICT r1 #7 / r2 #7): the self-join on a shingle shared
+    by m docs produces m^2 candidate rows — stop-word shingles blow up
     quadratically on web corpora. ``max_doc_freq`` drops shingles whose
     document frequency exceeds the cap from the *universe* (both the
     intersection AND the per-doc sizes), i.e. Jaccard over the filtered
-    shingle space — the standard hot-shingle trick. ``None`` keeps the
-    exact semantics (only sane for small/medium corpora).
+    shingle space — the standard hot-shingle trick. The default is a
+    finite cap (1000) so the quadratic path cannot be reached by accident
+    at corpus scale; pass ``None`` EXPLICITLY to opt into exact semantics
+    on small/medium corpora (the driver oracle does, to stay SQL-exact).
     """
 
     def shingles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

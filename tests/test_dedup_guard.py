@@ -1,0 +1,57 @@
+"""Hot-shingle blow-up guard for exact n-gram Jaccard (VERDICT r2 #7)."""
+
+import inspect
+
+import pandas as pd
+
+from lib_gdal_spark.operators import dedup as DD
+
+
+def test_default_cap_is_finite():
+    sig = inspect.signature(DD.ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default is not None
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+
+
+def test_hot_shingle_capped(spark):
+    """A shingle shared by every doc is dropped once its doc-frequency
+    exceeds the cap, so the m^2 candidate explosion never materializes;
+    genuinely-similar pairs still surface through their other shingles."""
+    hot = "the quick brown fox jumps"
+    texts = [f"{hot} unique{i} filler{i} words{i} here{i} now{i}"
+             for i in range(12)]
+    # two real near-dups sharing much more than the hot prefix
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota kappa x")
+    docs = _docs(spark, texts)
+
+    capped = DD.ngram_jaccard_pairs(
+        docs, shingle=3, threshold=0.5, max_doc_freq=5
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (12, 13) in got
+    # the 12 hot-prefix docs share ONLY capped shingles -> no pair emitted
+    assert all(a >= 12 for a, b in got)
+
+    uncapped = DD.ngram_jaccard_pairs(
+        docs, shingle=3, threshold=0.5, max_doc_freq=None
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped} >= got
+
+
+def test_minhash_lsh_unpersists(spark):
+    """minhash_lsh_pairs must not leave its signature cache behind."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    texts = ["common text body number %d with shared shingles" % (i % 3)
+             for i in range(30)]
+    DD.minhash_lsh_pairs(_docs(spark, texts), threshold=0.5).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # the localCheckpoint RDD of the *result* may persist until GC, but the
+    # signature cache itself must be gone (net growth <= 1 checkpoint RDD)
+    assert after - before <= 1
