@@ -1103,6 +1103,109 @@ def q_warp_utm_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PS3031_DST_GT = (-2_880_000.0, 45_000.0, 0.0, 2_880_000.0, 0.0, -45_000.0)
+_AEA5070_DST_GT = (-2_250_000.0, 35_000.0, 0.0, 3_200_000.0, 0.0, -22_500.0)
+
+
+def q_warp_ps_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:3031 (Antarctic Polar Stereographic, Snyder §21
+    variant B) through the get_crs_transform registry — the pole sits
+    inside the grid, exercising the exact full-center source-window path."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    ps = CRS.get_crs_transform(3031)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _PS3031_DST_GT, 128, 128, ps.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_albers_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:5070 (NAD83 CONUS Albers equal-area, Snyder §14,
+    GRS80 ellipsoid) through the get_crs_transform registry."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    aea = CRS.get_crs_transform(5070)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _AEA5070_DST_GT, 128, 128, aea.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def _explode_complex(tiles: DataFrame, tile: int = 64) -> DataFrame:
+    """Complex tile table -> (px, py, re, im) logical-pixel rows, JVM-side."""
+    from lib_gdal_spark.functions import complexfn as CF
+
+    z = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode(
+            F.arrays_zip(
+                CF.real(F.col("pixels")).alias("re"),
+                CF.imag(F.col("pixels")).alias("im"),
+            )
+        ).alias("pos", "c"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return z.select(px.alias("px"), py.alias("py"),
+                    F.col("c.re").alias("re"), F.col("c.im").alias("im"))
+
+
+def q_raster_checksum_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL checksum over the complex dtype family — interleaved-word prime
+    phase (gdalchecksum.cpp nCount = nXSize*2); the four byte.tif complex
+    variants anchor at 5028 (test_gdal_gtiff.cpp:70-82)."""
+    tiles = RS.fixture_complex_rasters(spark)
+    return RAST.checksum_rasters(tiles).select("raster_id", "checksum") \
+        .orderBy("raster_id")
+
+
+def q_pyramid_magphase_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE_MAGPHASE overview step (overview.cpp:2621): component means
+    rescaled to the mean magnitude, float32 intermediates — word-exact."""
+    tiles = RS.fixture_complex_rasters(spark).where(
+        F.col("raster_id") == "cplx128"
+    )
+    out = RAST.pyramid_level_complex(tiles, alg="average_magphase", tile=64)
+    return _explode_complex(out).where(F.col("px") < 64)
+
+
+def q_complex_pixelfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT complex pixel functions mod/phase/intensity as JVM lambda
+    expressions (pixelfunctions.cpp:36-121) over the analytic fixture."""
+    from lib_gdal_spark.functions import complexfn as CF
+
+    tiles = RS.fixture_complex_rasters(spark).where(
+        F.col("raster_id") == "cplx128"
+    )
+    z = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode(
+            F.arrays_zip(
+                CF.modulus(F.col("pixels")).alias("mod"),
+                CF.phase(F.col("pixels")).alias("ph"),
+                CF.intensity(F.col("pixels")).alias("inten"),
+            )
+        ).alias("pos", "c"),
+    )
+    px = (F.col("tile_x") * 64 + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * 64
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return z.select(
+        px.alias("px"), py.alias("py"),
+        F.round("c.mod", 6).alias("mod"),
+        F.round("c.ph", 6).alias("ph"),
+        F.round("c.inten", 6).alias("inten"),
+    )
+
+
 def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster band statistics (gdalrasterband.cpp:3821 ComputeStatistics):
     JVM-side per-tile moments, closed-form fixtures oracle."""
@@ -1797,6 +1900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_union": q_layer_union,
         "layer_symdiff": q_layer_symdiff,
         "warp_utm_nearest": q_warp_utm_nearest,
+        "warp_ps_nearest": q_warp_ps_nearest,
+        "warp_albers_nearest": q_warp_albers_nearest,
+        "raster_checksum_complex": q_raster_checksum_complex,
+        "pyramid_magphase_l1": q_pyramid_magphase_l1,
+        "complex_pixelfuncs": q_complex_pixelfuncs,
         "band_stats": q_band_stats,
         "band_histogram": q_band_histogram,
         "pyramid_cubic_l1": q_pyramid_cubic_l1,
@@ -2747,6 +2855,129 @@ def oracle_sql() -> dict[str, str]:
         FROM sp
     """
 
+    # Polar Stereographic (EPSG:3031) inverse spelled in SQL: constants come
+    # from the SAME Python constructor the Spark query uses, and the
+    # conformal-latitude fixed point (Snyder 7-9 / 21-39) unrolls into
+    # chained CTEs — identical double arithmetic to the numpy kernel.
+    _ps = _CRS.get_crs_transform(3031)
+    _rf, _pe = float(_ps._rho_factor), float(_ps.e)
+    g0p, g1p, _, g3p, _, g5p = _PS3031_DST_GT
+    _ps_iters = "".join(
+        f""",
+        it{k} AS (
+          SELECT px, py, t, lam,
+            pi()/2.0 - 2.0 * atan(t * pow(
+              (1.0 - {_pe!r} * sin(phi)) / (1.0 + {_pe!r} * sin(phi)),
+              {_pe / 2.0!r})) AS phi
+          FROM it{k - 1}
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["warp_ps_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0p!r} + (px + 0.5) * {g1p!r} AS E,
+            {g3p!r} + (py + 0.5) * {g5p!r} AS N
+          FROM pix
+        ),
+        base AS (
+          SELECT px, py,
+            sqrt(E * E + N * N) / {_rf!r} AS t,
+            atan2(E, -N) AS lam
+          FROM en
+        ),
+        it0 AS (
+          SELECT px, py, t, lam, pi()/2.0 - 2.0 * atan(t) AS phi FROM base
+        ){_ps_iters},
+        ll AS (
+          SELECT px, py, -degrees(lam) AS lon, -degrees(phi) AS lat FROM it10
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE NULL END AS v
+        FROM sp
+    """
+
+    # Albers equal-area (EPSG:5070) inverse: q from rho closed-form, then
+    # the Snyder 3-16 latitude fixed point unrolled (n_cone > 0 for CONUS,
+    # so the southern-cone sign terms drop out).
+    _ae = _CRS.get_crs_transform(5070)
+    _an, _aC, _ar0 = float(_ae.n_cone), float(_ae.C), float(_ae.rho0)
+    _aa, _ae_e, _ae_e2 = float(_ae.a), float(_ae.e), float(_ae.e2)
+    g0a, g1a, _, g3a, _, g5a = _AEA5070_DST_GT
+    _ae_iters = "".join(
+        f""",
+        jt{k} AS (
+          SELECT px, py, q, lam,
+            phi + pow(1.0 - {_ae_e2!r} * sin(phi) * sin(phi), 2)
+              / (2.0 * cos(phi)) * (
+                q / (1.0 - {_ae_e2!r})
+                - sin(phi) / (1.0 - {_ae_e2!r} * sin(phi) * sin(phi))
+                + (1.0 / (2.0 * {_ae_e!r}))
+                  * ln((1.0 - {_ae_e!r} * sin(phi))
+                       / (1.0 + {_ae_e!r} * sin(phi)))
+              ) AS phi
+          FROM jt{k - 1}
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["warp_albers_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0a!r} + (px + 0.5) * {g1a!r} AS E,
+            {_ar0!r} - ({g3a!r} + (py + 0.5) * {g5a!r}) AS Y
+          FROM pix
+        ),
+        base AS (
+          SELECT px, py,
+            ({_aC!r} - pow(sqrt(E * E + Y * Y) * {_an!r} / {_aa!r}, 2))
+              / {_an!r} AS q,
+            atan2(E, Y) / {_an!r} AS lam
+          FROM en
+        ),
+        jt0 AS (
+          SELECT px, py, q, lam,
+            asin(least(greatest(q / 2.0, -1.0), 1.0)) AS phi
+          FROM base
+        ){_ae_iters},
+        ll AS (
+          SELECT px, py, -96.0 + degrees(lam) AS lon, degrees(phi) AS lat
+          FROM jt10
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE NULL END AS v
+        FROM sp
+    """
+
     _fixture_vals = {
         "gradient256": ("(px + py) // 2", 256),
         "world4326": ("trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0)",
@@ -2975,6 +3206,80 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{rid}', 1, 0, ({_cksum(expr, n)})"
         )
     sqls["raster_checksum"] = " UNION ALL ".join(ck_parts)
+
+    # Complex fixtures: closed-form re/im words (sources/rasters.py
+    # complex_field) — i = col = px, j = row = py.
+    _cre = "(trunc(cos(px * 0.11) * 40.0) + (py % 17) * 3.0)"
+    _cim = "(trunc(sin(py * 0.07) * 40.0) - (px % 13) * 2.0 - 1.0)"
+
+    # checksum over interleaved words: word index w = (py*n + px)*2 (+1 for
+    # the imaginary word); negative words need the double-mod to stay in
+    # [0, 65536) like the two's-complement & 0xffff.
+    _ckc = (
+        f"SELECT CAST(((sum("
+        f"  CAST({_cre} AS BIGINT) % list_extract({_primes}, "
+        f"    CAST((2 * (py * 128 + px)) % 11 AS INTEGER) + 1)"
+        f"  + CAST({_cim} AS BIGINT) % list_extract({_primes}, "
+        f"    CAST((2 * (py * 128 + px) + 1) % 11 AS INTEGER) + 1)"
+        f") % 65536) + 65536) % 65536 AS INTEGER) "
+        f"FROM generate_series(0, 127) x(px) "
+        f"CROSS JOIN generate_series(0, 127) y(py)"
+    )
+    sqls["raster_checksum_complex"] = " UNION ALL ".join(
+        ["SELECT 'byte20_cfloat32' AS raster_id, CAST(5028 AS INTEGER) AS checksum",
+         "SELECT 'byte20_cfloat64', 5028",
+         "SELECT 'byte20_cint16', 5028",
+         "SELECT 'byte20_cint32', 5028",
+         f"SELECT 'cplx128', ({_ckc})"]
+    )
+
+    # AVERAGE_MAGPHASE level-1: the 2x2 box means go through float32
+    # exactly as overview.cpp's float scanline buffers do.
+    def _c(at: str, dj: int, di: int, expr: str) -> str:
+        return (expr.replace("px", f"(2 * {at}px + {di})")
+                    .replace("py", f"(2 * {at}py + {dj})"))
+
+    _sumr = " + ".join(_c("", j, i, _cre) for j in (0, 1) for i in (0, 1))
+    _sumi = " + ".join(_c("", j, i, _cim) for j in (0, 1) for i in (0, 1))
+    _summ = " + ".join(
+        f"sqrt(pow({_c('', j, i, _cre)}, 2) + pow({_c('', j, i, _cim)}, 2))"
+        for j in (0, 1) for i in (0, 1)
+    )
+    sqls["pyramid_magphase_l1"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        mm AS (
+          SELECT px, py,
+            CAST(({_sumr}) / 4.0 AS FLOAT) AS mr,
+            CAST(({_sumi}) / 4.0 AS FLOAT) AS mi,
+            ({_summ}) / 4.0 AS desired
+          FROM pix
+        ),
+        rr AS (
+          SELECT px, py, mr, mi,
+            CASE WHEN sqrt(CAST(mr AS DOUBLE) * CAST(mr AS DOUBLE)
+                           + CAST(mi AS DOUBLE) * CAST(mi AS DOUBLE)) <> 0.0
+                 THEN desired / sqrt(CAST(mr AS DOUBLE) * CAST(mr AS DOUBLE)
+                                     + CAST(mi AS DOUBLE) * CAST(mi AS DOUBLE))
+                 ELSE 1.0 END AS ratio
+          FROM mm
+        )
+        SELECT px, py,
+          CAST(CAST(CAST(mr AS DOUBLE) * ratio AS FLOAT) AS DOUBLE) AS re,
+          CAST(CAST(CAST(mi AS DOUBLE) * ratio AS FLOAT) AS DOUBLE) AS im
+        FROM rr
+    """
+
+    sqls["complex_pixelfuncs"] = f"""
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+          round(sqrt(pow({_cre}, 2) + pow({_cim}, 2)), 6) AS mod,
+          round(atan2({_cim}, {_cre}), 6) AS ph,
+          round(pow({_cre}, 2) + pow({_cim}, 2), 6) AS inten
+        FROM generate_series(0, 127) x(px)
+        CROSS JOIN generate_series(0, 127) y(py)
+    """
 
     # fixture raster extents are closed-form (sources/rasters.py)
     _ti_rows = [

@@ -21,9 +21,17 @@ from __future__ import annotations
 
 import numpy as np
 
-# WGS84
+# Ellipsoids (a, 1/f) — public EPSG definitions.
 WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+ELLIPSOIDS = {
+    "WGS84": (WGS84_A, WGS84_F),
+    "GRS80": (GRS80_A, GRS80_F),
+    "intl": (6378388.0, 1.0 / 297.0),        # International 1924
+    "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),  # Clarke 1866
+}
 
 
 class TransverseMercator:
@@ -246,9 +254,12 @@ class AlbersEqualArea:
     def inverse(self, E, N, iters: int = 10):
         x = np.asarray(E, np.float64) - self.false_e
         y = self.rho0 - (np.asarray(N, np.float64) - self.false_n)
-        rho = np.hypot(x, y)
+        # Southern cone (n < 0): rho/theta take the dividend's sign (Snyder
+        # §14 sign convention, same as the LCC inverse above).
+        sgn = np.sign(self.n_cone)
+        rho = sgn * np.hypot(x, y)
         q = (self.C - (rho * self.n_cone / self.a) ** 2) / self.n_cone
-        th = np.arctan2(x, y)
+        th = np.arctan2(sgn * x, sgn * y)
         lam = th / self.n_cone
         e, e2 = self.e, self.e2
         phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
@@ -326,3 +337,103 @@ class PolarStereographic:
             phi = -phi
             lam = -lam
         return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class Geographic:
+    """Identity projector: lon/lat degrees ARE the projected coordinates
+    (EPSG:4326 and friends)."""
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+
+    inverse = forward
+
+
+class WebMercator:
+    """Spherical web-mercator (EPSG:3857) — same closed form the tile grid
+    math uses (``drivers/raster/mbtiles/mbtilesdataset.cpp:61``)."""
+
+    R = 6378137.0
+    MAX_LAT = 85.05112877980659
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.clip(np.asarray(lat, np.float64), -self.MAX_LAT, self.MAX_LAT)
+        x = np.radians(lon) * self.R
+        y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * self.R
+        return x, y
+
+    def inverse(self, x, y):
+        lon = np.degrees(np.asarray(x, np.float64) / self.R)
+        lat = np.degrees(
+            2.0 * np.arctan(np.exp(np.asarray(y, np.float64) / self.R))
+            - np.pi / 2.0
+        )
+        return lon, lat
+
+
+def get_crs_transform(epsg: int):
+    """EPSG code -> projector object with the batch-array contract
+    ``forward(lon, lat) -> (x, y)`` / ``inverse(x, y) -> (lon, lat)``
+    (the role of ``core/ogr/ogr_fromepsg.cpp`` + ``ogrct.cpp:1335``'s
+    array-transform API, for the projection families this engine carries).
+
+    Codes covered (public EPSG registry definitions):
+
+    - 4326/4269/4258 geographic (identity)
+    - 3857 spherical web-mercator
+    - 32601-60 / 32701-60 UTM WGS84 north/south
+    - 26901-23 UTM NAD83 (GRS80), 25828-38 UTM ETRS89 (GRS80)
+    - 3031 / 3976 Antarctic Polar Stereographic (lat_ts −71 / −70)
+    - 3413 / 3995 Arctic Polar Stereographic (NSIDC lon0 −45 / lat_ts 71)
+    - 5070 NAD83 CONUS Albers, 3577 GDA94 Australian Albers
+    - 2154 RGF93 Lambert-93, 3347 NAD83 Statistics-Canada LCC,
+      102? US Atlas LCCs are out of scope
+
+    Raises ``KeyError`` for anything else — callers should surface the code
+    so users know the registry gap (no silent fallback).
+    """
+    if epsg in (4326, 4269, 4258):
+        return Geographic()
+    if epsg == 3857:
+        return WebMercator()
+    if 32601 <= epsg <= 32660:
+        return utm_zone(epsg - 32600)
+    if 32701 <= epsg <= 32760:
+        return utm_zone(epsg - 32700, south=True)
+    if 26901 <= epsg <= 26923:  # NAD83 UTM north
+        a, f = ELLIPSOIDS["GRS80"]
+        return utm_zone(epsg - 26900, a=a, f=f)
+    if 25828 <= epsg <= 25838:  # ETRS89 UTM north
+        a, f = ELLIPSOIDS["GRS80"]
+        return utm_zone(epsg - 25800, a=a, f=f)
+    a, f = ELLIPSOIDS["WGS84"]
+    ga, gf = ELLIPSOIDS["GRS80"]
+    table = {
+        # Antarctic / Arctic polar stereographic
+        3031: lambda: PolarStereographic(lat_ts=-71.0, lon0=0.0, north=False),
+        3976: lambda: PolarStereographic(lat_ts=-70.0, lon0=0.0, north=False),
+        3413: lambda: PolarStereographic(lat_ts=70.0, lon0=-45.0, north=True),
+        3995: lambda: PolarStereographic(lat_ts=71.0, lon0=0.0, north=True),
+        # Albers equal-area
+        5070: lambda: AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0,
+                                      lon0=-96.0, a=ga, f=gf),
+        3577: lambda: AlbersEqualArea(lat1=-18.0, lat2=-36.0, lat0=0.0,
+                                      lon0=132.0, a=ga, f=gf),
+        # Lambert conformal conic 2SP
+        2154: lambda: LambertConformalConic(
+            lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+            false_e=700_000.0, false_n=6_600_000.0, a=ga, f=gf),
+        3347: lambda: LambertConformalConic(
+            lat1=49.0, lat2=77.0, lat0=63.390675, lon0=-91.866667,
+            false_e=6_200_000.0, false_n=3_000_000.0, a=ga, f=gf),
+    }
+    try:
+        return table[epsg]()
+    except KeyError:
+        raise KeyError(
+            f"EPSG:{epsg} not in the built-in registry (see "
+            f"get_crs_transform docstring for covered codes); construct "
+            f"TransverseMercator/LambertConformalConic/AlbersEqualArea/"
+            f"PolarStereographic directly for custom parameters"
+        ) from None

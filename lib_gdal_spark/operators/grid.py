@@ -60,6 +60,17 @@ def grid_interpolate(
     ring_x = 0 if radius <= 0.0 else int(math.ceil(radius / span_x))
     ring_y = 0 if radius <= 0.0 else int(math.ceil(radius / span_y))
     unbounded = radius <= 0.0
+    if unbounded:
+        # Guard (VERDICT r2 plan audit): the unbounded path replicates every
+        # point to every tile — exact IDW over the full set, only sane for
+        # small point layers. Refuse before the explode, not after.
+        n_points = points.count()
+        if n_points * ntx * nty > 50_000_000:
+            raise ValueError(
+                f"radius=0 (unbounded) replicates all {n_points} points to "
+                f"all {ntx * nty} tiles ({n_points * ntx * nty} rows). Pass "
+                f"a finite search radius for large point layers."
+            )
 
     def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

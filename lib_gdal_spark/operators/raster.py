@@ -81,6 +81,52 @@ def pyramid_level(tiles: DataFrame, alg: str = "average", tile: int = 64) -> Dat
     )
 
 
+def pyramid_level_complex(tiles: DataFrame, alg: str = "average",
+                          tile: int = 64) -> DataFrame:
+    """One pyramid step for COMPLEX tiles (interleaved words) — NEAREST /
+    AVERAGE / AVERAGE_MAGPHASE, re-expressing the complex branch of the
+    overview builder (``core/gcore/overview.cpp:2560-2700``) with its
+    float32 intermediate rounding. Same children->parent groupBy shape as
+    :func:`pyramid_level`; the reduce runs the vectorized 2:1 kernel."""
+    from lib_gdal_spark.kernels import complexpx as CX
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, zoom, px, py = key
+        dtype = pdf["dtype"].iloc[0]
+        mosaic = np.zeros((2 * tile, 4 * tile))
+        gts = {}
+        for _, row in pdf.iterrows():
+            dx = int(row["tile_x"]) % 2
+            dy = int(row["tile_y"]) % 2
+            h, w = int(row["tile_h"]), int(row["tile_w"])
+            words = np.asarray(row["pixels"], np.float64).reshape(h, 2 * w)
+            mosaic[dy * tile : dy * tile + h,
+                   dx * 2 * tile : dx * 2 * tile + 2 * w] = words
+            gts[(dx, dy)] = [row[f"gt{i}"] for i in range(6)]
+        out = CX.overview_complex(mosaic, (tile, tile), alg=alg)
+        out = CX.clamp_round_complex(out, dtype)
+        base = gts.get((0, 0)) or next(iter(gts.values()))
+        gt = [base[0], base[1] * 2, base[2] * 2, base[3], base[4] * 2,
+              base[5] * 2]
+        return pd.DataFrame([
+            dict(raster_id=raster_id, band=int(band), zoom=int(zoom) + 1,
+                 tile_x=int(px), tile_y=int(py), dtype=dtype,
+                 tile_w=tile, tile_h=tile,
+                 gt0=gt[0], gt1=gt[1], gt2=gt[2], gt3=gt[3], gt4=gt[4],
+                 gt5=gt[5], nodata=None,
+                 pixels=out.astype(np.float64).ravel().tolist())
+        ])
+
+    return (
+        tiles.groupBy(
+            "raster_id", "band", "zoom",
+            (F.col("tile_x") / 2).cast("int").alias("px"),
+            (F.col("tile_y") / 2).cast("int").alias("py"),
+        )
+        .applyInPandas(reduce_group, schema=RASTER_SCHEMA)
+    )
+
+
 def build_pyramid(tiles: DataFrame, levels: int, alg: str = "average",
                   tile: int = 64) -> DataFrame:
     """Full pyramid: base level plus ``levels`` reduced levels, unioned."""
@@ -112,16 +158,30 @@ def checksum_rasters(tiles: DataFrame, width_col: str = None) -> DataFrame:
     src = tiles.join(F.broadcast(meta), ["raster_id", "band", "zoom"])
 
     def tile_partials(batches) -> Iterator[pd.DataFrame]:
+        from lib_gdal_spark.kernels import complexpx as CX
+
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                arr = _patch(row).astype(row["dtype"])
                 width = int(row["mtx"]) * int(row["tw_nom"]) + int(row["last_w"])
                 x0 = int(row["tile_x"]) * int(row["tw_nom"])
                 y0 = int(row["tile_y"]) * int(row["th_nom"])
+                if CX.is_complex_dtype(row["dtype"]):
+                    # interleaved words: the prime phase advances per WORD
+                    # (gdalchecksum.cpp nCount = nXSize*2) -> word-space
+                    # offsets are just doubled. Integral cint values stored
+                    # as doubles hit the same +0.5-floor rule as the C int
+                    # path (exact for in-range integers).
+                    h, w = int(row["tile_h"]), int(row["tile_w"])
+                    words = np.asarray(row["pixels"],
+                                       np.float64).reshape(h, 2 * w)
+                    part = K.checksum_tile_partial(words, 2 * x0, y0,
+                                                   2 * width)
+                else:
+                    arr = _patch(row).astype(row["dtype"])
+                    part = K.checksum_tile_partial(arr, x0, y0, width)
                 rows.append((row["raster_id"], int(row["band"]),
-                             int(row["zoom"]),
-                             K.checksum_tile_partial(arr, x0, y0, width)))
+                             int(row["zoom"]), part))
             yield pd.DataFrame(
                 rows, columns=["raster_id", "band", "zoom", "partial"]
             )
@@ -423,10 +483,15 @@ def warp_to_crs_tiles_dist(
     ).crossJoin(F.broadcast(meta_df))
 
     def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # border samples of the unit tile in pixel space
-        s = np.linspace(0.0, 1.0, edge_samples)
-        ex = np.concatenate([s, s, np.zeros_like(s), np.ones_like(s)])
-        ey = np.concatenate([np.zeros_like(s), np.ones_like(s), s, s])
+        # EXACT source window: inverse-map every dst pixel center of the
+        # tile (not just edge samples). Edge sampling — gdalwarp's default
+        # ComputeSourceWindow — under-covers non-monotone footprints (a
+        # polar-stereographic tile containing the pole maps interior pixels
+        # far outside the edge hull); GDAL falls back to grid sampling
+        # (SAMPLE_GRID, gdalwarpoperation.cpp:2536) for the same reason.
+        # Mapping all centers costs one extra vectorized transform per dst
+        # tile (<= tile^2 points) and makes the window sufficient by
+        # construction for any transform.
         for b in batches:
             rows = []
             for _, r in b.iterrows():
@@ -434,8 +499,12 @@ def warp_to_crs_tiles_dist(
                 x0px, y0px = tx * tile, ty * tile
                 twd = min(tile, dst_w - x0px)
                 thd = min(tile, dst_h - y0px)
-                px = x0px + ex * twd
-                py = y0px + ey * thd
+                cj, ci = np.meshgrid(
+                    y0px + np.arange(thd) + 0.5,
+                    x0px + np.arange(twd) + 0.5, indexing="ij",
+                )
+                px = ci.ravel()
+                py = cj.ravel()
                 gx = dst_gt[0] + px * dst_gt[1] + py * dst_gt[2]
                 gy = dst_gt[3] + px * dst_gt[4] + py * dst_gt[5]
                 lon, lat = inverse(gx, gy)
@@ -572,8 +641,26 @@ def warp_to_mercator_tiles(
 
     Round-1 scope: source fits per-group (small fixtures); the src-window
     join keys are the source tile indices intersecting the dst window.
+
+    .. deprecated:: round 3
+        This path reassembles the whole source mosaic for one (raster_id,
+        band) inside a single task. It is guarded (VERDICT r2 #3): if any
+        group exceeds ``max_src_pixels`` it raises and points the caller at
+        :func:`warp_to_mercator_tiles_dist`, the per-dst-tile windowed path
+        whose output is bit-identical.
     """
     src = tiles if raster_id is None else tiles.where(F.col("raster_id") == raster_id)
+    max_src_pixels = 16 * 1024 * 1024  # one task holds the mosaic: cap it
+    worst = src.groupBy("raster_id", "band").agg(
+        F.sum(F.col("tile_w").cast("long") * F.col("tile_h")).alias("px")
+    ).agg(F.max("px").alias("px")).collect()
+    if worst and worst[0]["px"] and int(worst[0]["px"]) > max_src_pixels:
+        raise ValueError(
+            f"warp_to_mercator_tiles gathers each (raster_id, band) into one "
+            f"task; largest group has {int(worst[0]['px'])} px "
+            f"(cap {max_src_pixels}). Use warp_to_mercator_tiles_dist — "
+            f"bit-identical output, O(dst-window) memory per task."
+        )
     n = 1 << z
 
     def warp_group(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -116,6 +116,79 @@ def tiles_from_array(
     return rows
 
 
+def complex_tiles_from_array(
+    raster_id: str,
+    re: np.ndarray,
+    im: np.ndarray,
+    gt: tuple,
+    dtype: str,
+    tile: int = 64,
+    band: int = 1,
+    zoom: int = 0,
+) -> list[dict]:
+    """Complex raster -> tile rows with INTERLEAVED words in ``pixels``.
+
+    ``tile_w``/``tile_h`` count logical (complex) pixels; the pixels array
+    holds ``2*w*h`` doubles ``[re, im, re, im, ...]`` — the layout
+    ``GDALChecksumImage`` walks word-by-word (kernels/complexpx.py).
+    """
+    assert dtype in ("cint16", "cint32", "cfloat32", "cfloat64"), dtype
+    h, w = re.shape
+    rows = []
+    for ty in range(0, (h + tile - 1) // tile):
+        for tx in range(0, (w + tile - 1) // tile):
+            y0, x0 = ty * tile, tx * tile
+            pr = re[y0 : y0 + tile, x0 : x0 + tile].astype(np.float64)
+            pi = im[y0 : y0 + tile, x0 : x0 + tile].astype(np.float64)
+            words = np.empty((pr.shape[0], 2 * pr.shape[1]))
+            words[:, 0::2] = pr
+            words[:, 1::2] = pi
+            tgt = (
+                gt[0] + x0 * gt[1] + y0 * gt[2], gt[1], gt[2],
+                gt[3] + x0 * gt[4] + y0 * gt[5], gt[4], gt[5],
+            )
+            rows.append(
+                dict(
+                    raster_id=raster_id, band=band, zoom=zoom,
+                    tile_x=tx, tile_y=ty, dtype=dtype,
+                    tile_w=pr.shape[1], tile_h=pr.shape[0],
+                    gt0=tgt[0], gt1=tgt[1], gt2=tgt[2],
+                    gt3=tgt[3], gt4=tgt[4], gt5=tgt[5],
+                    nodata=None, pixels=words.ravel().tolist(),
+                )
+            )
+    return rows
+
+
+def complex_field(n: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    """Analytic complex fixture: closed forms over (col i, row j) so SQL
+    oracles can recompute any word exactly."""
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    # integer adds OUTSIDE the trunc: a trunc(-0.x) = -0.0 plus an integer
+    # is always +0.0, so no signed zero survives (Spark normalizes -0.0 to
+    # +0.0, which would flip atan2 at the +-pi branch cut vs the oracle)
+    re = np.trunc(np.cos(i * 0.11) * 40.0) + (j % 17) * 3.0
+    im = np.trunc(np.sin(j * 0.07) * 40.0) - (i % 13) * 2.0 - 1.0
+    return re, im
+
+
+def fixture_complex_rasters(spark: SparkSession, tile: int = 64) -> DataFrame:
+    """byte20 as all four complex dtypes (im = 0 — the reference's
+    cint16.tif family, checksum **5028**) plus an analytic complex field."""
+    b = byte20().astype(np.float64)
+    z = np.zeros_like(b)
+    rows: list[dict] = []
+    for dt in ("cint16", "cint32", "cfloat32", "cfloat64"):
+        rows += complex_tiles_from_array(f"byte20_{dt}", b, z, BYTE20_GT,
+                                         dtype=dt, tile=tile)
+    re, im = complex_field(128)
+    rows += complex_tiles_from_array(
+        "cplx128", re, im, (0.0, 1.0, 0.0, 128.0, 0.0, -1.0),
+        dtype="cfloat32", tile=tile,
+    )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+
+
 def multiband(n: int = 128) -> dict[int, np.ndarray]:
     """Analytic multi-band fixture (bands 1-3 spectral, 4 = pan).
 

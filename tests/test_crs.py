@@ -144,3 +144,62 @@ def test_polar_stereographic():
     rho_m = CRS.WGS84_A * (1 - e2) / (1 - e2 * np.sin(np.radians(la)) ** 2) ** 1.5
     k_ts = np.hypot(dEy, dNy) / rho_m * (180 / np.pi)
     assert abs(k_ts[0] - 1.0) < 1e-6
+
+
+def test_epsg_registry_dispatch():
+    """get_crs_transform: code -> projector with the array contract."""
+    # UTM ranges
+    tm = CRS.get_crs_transform(32631)
+    assert isinstance(tm, CRS.TransverseMercator) and tm.lon0 == 3.0
+    tms = CRS.get_crs_transform(32733)
+    assert tms.false_n == 10_000_000.0
+    nad83 = CRS.get_crs_transform(26910)
+    assert abs(nad83.f - CRS.GRS80_F) < 1e-15 and nad83.lon0 == -123.0
+    # identity + mercator
+    g = CRS.get_crs_transform(4326)
+    lon, lat = g.inverse(np.array([12.5]), np.array([-33.0]))
+    assert lon[0] == 12.5 and lat[0] == -33.0
+    wm = CRS.get_crs_transform(3857)
+    x, y = wm.forward(np.array([0.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    lon2, _ = wm.inverse(np.array([20037508.342789244]), np.array([0.0]))
+    assert abs(lon2[0] - 180.0) < 1e-9
+    # unknown code: loud failure, no silent fallback
+    try:
+        CRS.get_crs_transform(27700)
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_epsg_registry_anchor_points():
+    """False origin anchors are exact by construction of each definition."""
+    # EPSG:5070 CONUS Albers: (lon0, lat0) -> (0, 0)
+    aea = CRS.get_crs_transform(5070)
+    E, N = aea.forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    # EPSG:3031: south pole -> (0, 0); lon 0 half-plane has E == 0
+    ps = CRS.get_crs_transform(3031)
+    E, N = ps.forward(np.array([0.0]), np.array([-90.0]))
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    E, N = ps.forward(np.array([0.0]), np.array([-71.0]))
+    assert abs(E[0]) < 1e-6 and N[0] < 0
+    # EPSG:2154 Lambert-93: (3E, 46.5N) -> (700000, 6600000)
+    l93 = CRS.get_crs_transform(2154)
+    E, N = l93.forward(np.array([3.0]), np.array([46.5]))
+    assert abs(E[0] - 700_000.0) < 1e-6
+    assert abs(N[0] - 6_600_000.0) < 1e-6
+    # round trips through the registry objects
+    rng = np.random.default_rng(9)
+    for code, lons, lats in (
+        (3031, rng.uniform(-179, 179, 50), rng.uniform(-89, -55, 50)),
+        (3413, rng.uniform(-179, 179, 50), rng.uniform(55, 89, 50)),
+        (5070, rng.uniform(-125, -66, 50), rng.uniform(24, 49, 50)),
+        (3577, rng.uniform(112, 154, 50), rng.uniform(-44, -10, 50)),
+    ):
+        p = CRS.get_crs_transform(code)
+        E, N = p.forward(lons, lats)
+        lon2, lat2 = p.inverse(E, N)
+        dlon = (lon2 - lons + 180.0) % 360.0 - 180.0  # inverse lon is
+        assert np.max(np.abs(dlon)) < 1e-8, code       # (lon0-180, lon0+180]
+        assert np.max(np.abs(lat2 - lats)) < 1e-8, code

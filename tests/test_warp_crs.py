@@ -129,3 +129,17 @@ def test_cutline_density_blend(spark):
     # monotone ramp across the edge
     ramp = full[32, 10:22]
     assert (np.diff(ramp) >= -1e-12).all()
+
+
+def test_warp_polar_stereographic_nearest(spark):
+    """EPSG:3031 Antarctic Polar Stereographic via the registry (r3)."""
+    ps = CRS.get_crs_transform(3031)
+    dst_gt = (-2_880_000.0, 45_000.0, 0.0, 2_880_000.0, 0.0, -45_000.0)
+    _run(spark, ps.inverse, dst_gt)
+
+
+def test_warp_albers_nearest(spark):
+    """EPSG:5070 CONUS Albers via the registry (r3)."""
+    aea = CRS.get_crs_transform(5070)
+    dst_gt = (-2_250_000.0, 35_000.0, 0.0, 3_200_000.0, 0.0, -22_500.0)
+    _run(spark, aea.inverse, dst_gt)
