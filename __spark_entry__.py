@@ -1796,6 +1796,90 @@ def q_ogr_execute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special virtual fields FID / OGR_GEOMETRY / OGR_GEOM_AREA /
+    OGR_STYLE through the SQL front-end (ogr_p.h:121-128,
+    ogrfeature.cpp:1868-1885): geometry-derived columns usable in SELECT,
+    WHERE and ORDER BY; area via the shoelace pandas-UDF, type name pure
+    JVM from the WKB header."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.plans.ogr_parser import execute_sql
+
+    pts = _points(spark, sf_dir).where(F.col("pid") < 2000)
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                wx = 1.0 + (pid % 5) * 0.5
+                wy = 0.75 + (pid % 3) * 0.25
+                ring = G.box_ring(lon - wx, lat - wy, lon + wx, lat + wy)
+                rows.append({
+                    "fid": pid,
+                    "geom_wkb": G.wkb_polygon([ring]),
+                    "ogr_style": f"BRUSH(fc:#{pid % 100:02d})",
+                })
+            yield pd.DataFrame(rows,
+                               columns=["fid", "geom_wkb", "ogr_style"])
+
+    layer = pts.mapInPandas(
+        boxes, schema="fid long, geom_wkb binary, ogr_style string"
+    )
+    out = execute_sql(
+        {"boxes": layer},
+        "SELECT FID AS fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area, "
+        "OGR_STYLE AS style FROM boxes "
+        "WHERE OGR_GEOM_AREA > 8.2 ORDER BY FID",
+        style_col="ogr_style",
+    )
+    return out.withColumn("area", F.round("area", 6))
+
+
+def q_ogr_geometry_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-geometry-type layer through the widened WKT->WKB codec
+    (ogr_core.h:317-410 type set incl. MultiPoint/MultiLineString/
+    GeometryCollection + Z) and the special virtual fields."""
+    from lib_gdal_spark.plans.ogr_parser import execute_sql
+
+    def mk_wkt(fid: int) -> str:
+        w = 1.0 + (fid % 4)
+        k = fid % 6
+        if k == 0:
+            return f"POINT ({fid} {fid + 1})"
+        if k == 1:
+            return f"LINESTRING (0 0, {w} {w}, {2 * w} 0)"
+        if k == 2:
+            return (f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))")
+        if k == 3:
+            return f"MULTIPOINT (({fid} 0), (0 {fid}), ({w} {w}))"
+        if k == 4:
+            return (f"MULTILINESTRING ((0 0, {w} 0), (0 1, {w} 1, {w} 2))")
+        return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
+                f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
+                f"9 {9 + w / 2}, 9 9)))")
+
+    pdf = pd.DataFrame({"fid": range(60)})
+    pdf["wkt"] = pdf["fid"].map(mk_wkt)
+    base = spark.createDataFrame(pdf, schema="fid long, wkt string")
+
+    def to_wkb(batches):
+        from lib_gdal_spark.functions.wkt import wkt_to_wkb
+        for b in batches:
+            yield pd.DataFrame({
+                "fid": b["fid"],
+                "geom_wkb": b["wkt"].map(lambda s: wkt_to_wkb(s)),
+            })
+
+    layer = base.mapInPandas(to_wkb, schema="fid long, geom_wkb binary")
+    out = execute_sql(
+        {"lyr": layer},
+        "SELECT FID AS fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area "
+        "FROM lyr ORDER BY FID",
+    )
+    return out.withColumn("area", F.round("area", 6))
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (fixed spherical codebook + inverted-list probe + exact
     re-rank). Full probe here so the result is deterministic-exact for the
@@ -1937,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither_pct": q_dither_pct,
         "cutline_density": q_cutline_density,
         "ogr_execute_sql": q_ogr_execute_sql,
+        "ogr_special_fields": q_ogr_special_fields,
+        "ogr_geometry_types": q_ogr_geometry_types,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3795,6 +3881,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT px, py,
                round(least(greatest(0.5 + sd / 8.0, 0.0), 1.0), 6) AS v
         FROM d
+    """
+
+    sqls["ogr_geometry_types"] = """
+        SELECT CAST(fid AS BIGINT) AS fid,
+          CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+               WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
+               WHEN 4 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END AS gtype,
+          round(CASE fid % 6
+               WHEN 2 THEN pow(1.0 + fid % 4, 2)
+               WHEN 5 THEN pow(1.0 + fid % 4, 2)
+                           + pow((1.0 + fid % 4) / 2.0, 2)
+               ELSE 0.0 END, 6) AS area
+        FROM generate_series(0, 59) t(fid)
+        ORDER BY fid
+    """
+
+    sqls["ogr_special_fields"] = f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT pid AS fid, 'POLYGON' AS gtype,
+               round(4.0 * (1.0 + (pid % 5) * 0.5)
+                         * (0.75 + (pid % 3) * 0.25), 6) AS area,
+               'BRUSH(fc:#' || lpad(CAST(pid % 100 AS VARCHAR), 2, '0')
+                 || ')' AS style
+        FROM pts
+        WHERE pid < 2000
+          AND 4.0 * (1.0 + (pid % 5) * 0.5) * (0.75 + (pid % 3) * 0.25) > 8.2
+        ORDER BY pid
     """
 
     sqls["ogr_execute_sql"] = """

@@ -7,9 +7,11 @@ without GEOS: polygons are numpy ring arrays, predicates are vectorized
 even-odd ray casts, area is the shoelace formula. Shapely-free by design —
 these run inside Arrow-batched pandas UDFs on executors.
 
-WKB here is the standard OGC little-endian subset: Point(1), LineString(2),
-Polygon(3), MultiPolygon(6) in 2D. That covers the engine's polygon layers;
-other OGR types can be added as needed.
+WKB here is the standard OGC little-endian set: Point(1), LineString(2),
+Polygon(3), MultiPoint(4), MultiLineString(5), MultiPolygon(6),
+GeometryCollection(7), plus Z variants — written as ISO codes (base+1000)
+and read as either ISO or the OGR 2.5D flag 0x80000000 (``wkb25DBit``,
+``core/ogr/ogr_core.h:317-410``; importFromWkb ``ogrgeometry.cpp:1368``).
 """
 
 from __future__ import annotations
@@ -21,24 +23,40 @@ import numpy as np
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
+WKB_25D_BIT = 0x80000000  # OGR wkb25DBit (ogr_core.h:410)
 
-Ring = np.ndarray  # (n, 2) float64, closed (first == last point)
+Ring = np.ndarray  # (n, 2|3) float64, closed (first == last point)
 Polygon = list[Ring]  # ring 0 = exterior, rest = holes
 MultiPolygon = list[Polygon]
 
 
-def wkb_point(lon: float, lat: float) -> bytes:
-    return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
+def _dims(arr: np.ndarray) -> int:
+    return int(np.asarray(arr).shape[-1])
+
+
+def _type_code(base: int, ndim: int) -> int:
+    return base + 1000 if ndim == 3 else base  # ISO Z = base + 1000
+
+
+def wkb_point(lon: float, lat: float, z: float | None = None) -> bytes:
+    if z is None:
+        return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
+    return struct.pack("<BIddd", 1, WKB_POINT + 1000, lon, lat, z)
 
 
 def wkb_linestring(pts: np.ndarray) -> bytes:
     pts = np.asarray(pts, dtype="<f8")
-    return struct.pack("<BII", 1, WKB_LINESTRING, len(pts)) + pts.tobytes()
+    code = _type_code(WKB_LINESTRING, _dims(pts))
+    return struct.pack("<BII", 1, code, len(pts)) + pts.tobytes()
 
 
 def wkb_polygon(rings: Polygon) -> bytes:
-    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    code = _type_code(WKB_POLYGON, _dims(rings[0]) if rings else 2)
+    out = [struct.pack("<BII", 1, code, len(rings))]
     for ring in rings:
         ring = np.asarray(ring, dtype="<f8")
         out.append(struct.pack("<I", len(ring)))
@@ -47,63 +65,158 @@ def wkb_polygon(rings: Polygon) -> bytes:
 
 
 def wkb_multipolygon(polys: MultiPolygon) -> bytes:
-    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))]
+    ndim = _dims(polys[0][0]) if polys else 2
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOLYGON, ndim),
+                       len(polys))]
     for p in polys:
         out.append(wkb_polygon(p))
     return b"".join(out)
 
 
-def _parse_polygon_body(buf: memoryview, off: int) -> tuple[Polygon, int]:
+def wkb_multipoint(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype="<f8")
+    ndim = _dims(pts)
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOINT, ndim), len(pts))]
+    for p in pts:
+        out.append(wkb_point(*p))
+    return b"".join(out)
+
+
+def wkb_multilinestring(lines: list[np.ndarray]) -> bytes:
+    ndim = _dims(lines[0]) if lines else 2
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTILINESTRING, ndim),
+                       len(lines))]
+    for ln in lines:
+        out.append(wkb_linestring(ln))
+    return b"".join(out)
+
+
+def wkb_geometrycollection(members: list[bytes]) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(members))]
+    out.extend(members)
+    return b"".join(out)
+
+
+def _decode_type(raw: int) -> tuple[int, int]:
+    """Raw WKB type word -> (base type, ndim). Accepts ISO (base+1000) and
+    the OGR 2.5D flag (``ogr_core.h:410``)."""
+    ndim = 2
+    if raw & WKB_25D_BIT:
+        ndim = 3
+        raw &= ~WKB_25D_BIT
+    raw &= 0x0FFFFFFF  # strip any SRID-ish flags
+    if raw >= 1000:
+        ndim = 3
+        raw -= 1000
+    return raw, ndim
+
+
+def _parse_polygon_body(buf: memoryview, off: int,
+                        ndim: int = 2) -> tuple[Polygon, int]:
     (nrings,) = struct.unpack_from("<I", buf, off)
     off += 4
     rings: Polygon = []
     for _ in range(nrings):
         (npts,) = struct.unpack_from("<I", buf, off)
         off += 4
-        ring = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=off).reshape(
-            npts, 2
-        )
-        off += npts * 16
+        ring = np.frombuffer(
+            buf, dtype="<f8", count=npts * ndim, offset=off
+        ).reshape(npts, ndim)
+        off += npts * 8 * ndim
         rings.append(np.ascontiguousarray(ring, dtype=np.float64))
     return rings, off
 
 
-def parse_wkb(wkb: bytes) -> tuple[int, object]:
-    """Parse WKB -> (geom_type, payload).
-
-    Payload: Point -> (x, y); LineString -> (n,2) array;
-    Polygon -> list[Ring]; MultiPolygon -> list[list[Ring]].
-    Big-endian WKB is normalized by byte-swapping coordinates.
-    """
-    buf = memoryview(wkb)
-    byte_order = buf[0]
-    endian = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(endian + "I", buf, 1)
-    gtype &= 0xFF  # strip SRID / Z flags if present
-    if endian == ">":  # normalize once; rare path
-        wkb = _swap_wkb_to_le(bytes(wkb))
-        return parse_wkb(wkb)
-    off = 5
-    if gtype == WKB_POINT:
-        x, y = struct.unpack_from("<dd", buf, off)
-        return gtype, (x, y)
-    if gtype == WKB_LINESTRING:
+def _parse_full(buf: memoryview, off: int) -> tuple[int, int, object, int]:
+    """Parse one geometry at ``off`` -> (base, ndim, payload, new_off)."""
+    endian = "<" if buf[off] == 1 else ">"
+    if endian == ">":
+        _swap_wkb_to_le(bytes(buf))
+    (raw,) = struct.unpack_from("<I", buf, off + 1)
+    base, ndim = _decode_type(raw)
+    off += 5
+    if base == WKB_POINT:
+        vals = struct.unpack_from(f"<{ndim}d", buf, off)
+        return base, ndim, tuple(vals), off + 8 * ndim
+    if base == WKB_LINESTRING:
         (npts,) = struct.unpack_from("<I", buf, off)
-        arr = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=off + 4)
-        return gtype, np.ascontiguousarray(arr.reshape(npts, 2), dtype=np.float64)
-    if gtype == WKB_POLYGON:
-        rings, _ = _parse_polygon_body(buf, off)
-        return gtype, rings
-    if gtype == WKB_MULTIPOLYGON:
-        (npoly,) = struct.unpack_from("<I", buf, off)
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * ndim,
+                            offset=off + 4)
+        return base, ndim, np.ascontiguousarray(
+            arr.reshape(npts, ndim), dtype=np.float64), off + 4 + npts * 8 * ndim
+    if base == WKB_POLYGON:
+        rings, off = _parse_polygon_body(buf, off, ndim)
+        return base, ndim, rings, off
+    if base == WKB_MULTIPOINT:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(n):
+            _, nd, p, off = _parse_full(buf, off)
+            pts.append(p)
+        return base, ndim, np.asarray(pts, dtype=np.float64), off
+    if base == WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(n):
+            _, nd, ln, off = _parse_full(buf, off)
+            lines.append(ln)
+        return base, ndim, lines, off
+    if base == WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from("<I", buf, off)
         off += 4
         polys: MultiPolygon = []
-        for _ in range(npoly):
-            # skip inner byte-order + type header
-            rings, off = _parse_polygon_body(buf, off + 5)
+        for _ in range(n):
+            _, nd, rings, off = _parse_full(buf, off)
             polys.append(rings)
-        return gtype, polys
-    raise ValueError(f"unsupported WKB geometry type {gtype}")
+        return base, ndim, polys, off
+    if base == WKB_GEOMETRYCOLLECTION:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        members = []
+        for _ in range(n):
+            b, nd, p, off = _parse_full(buf, off)
+            members.append((b, nd, p))
+        return base, ndim, members, off
+    raise ValueError(f"unsupported WKB geometry type {raw}")
+
+
+def parse_wkb_full(wkb: bytes) -> tuple[int, int, object]:
+    """Full-fidelity parse -> (base_type, ndim, payload). Payloads keep
+    their Z column; GeometryCollection members are (base, ndim, payload)
+    triples."""
+    base, ndim, payload, _ = _parse_full(memoryview(wkb), 0)
+    return base, ndim, payload
+
+
+def _drop_z(base: int, payload):
+    if base == WKB_POINT:
+        return payload[:2]
+    if base in (WKB_LINESTRING, WKB_MULTIPOINT):
+        return np.ascontiguousarray(np.asarray(payload)[:, :2])
+    if base in (WKB_POLYGON, WKB_MULTILINESTRING):
+        return [np.ascontiguousarray(r[:, :2]) for r in payload]
+    if base == WKB_MULTIPOLYGON:
+        return [[np.ascontiguousarray(r[:, :2]) for r in poly]
+                for poly in payload]
+    return payload
+
+
+def parse_wkb(wkb: bytes) -> tuple[int, object]:
+    """Parse WKB -> (geom_type, payload), projected to 2-D (Z dropped) —
+    the engine's planar operators are 2-D; use :func:`parse_wkb_full` when
+    the Z column matters.
+
+    Payload: Point -> (x, y); LineString -> (n,2) array;
+    Polygon -> list[Ring]; MultiPoint -> (n,2) array; MultiLineString ->
+    list[array]; MultiPolygon -> list[list[Ring]]; GeometryCollection ->
+    list of (base, ndim, payload) members.
+    """
+    base, ndim, payload = parse_wkb_full(wkb)
+    if ndim == 3:
+        payload = _drop_z(base, payload)
+    return base, payload
 
 
 def _swap_wkb_to_le(wkb: bytes) -> bytes:  # pragma: no cover - rare path
@@ -127,15 +240,38 @@ def envelope(wkb: bytes) -> tuple[float, float, float, float]:
     if gtype == WKB_POINT:
         x, y = payload
         return x, y, x, y
-    if gtype == WKB_LINESTRING:
-        arr = payload
-    elif gtype == WKB_POLYGON:
+    if gtype in (WKB_LINESTRING, WKB_MULTIPOINT):
+        arr = np.asarray(payload)
+    elif gtype in (WKB_POLYGON, WKB_MULTILINESTRING):
         arr = np.vstack(payload)
-    else:
+    elif gtype == WKB_MULTIPOLYGON:
         arr = np.vstack([r for poly in payload for r in poly])
+    else:  # GeometryCollection: union of member envelopes
+        boxes = [
+            envelope(_reencode_member(b, nd, p)) for b, nd, p in payload
+        ]
+        return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+                max(b[2] for b in boxes), max(b[3] for b in boxes))
     mins = arr.min(axis=0)
     maxs = arr.max(axis=0)
     return float(mins[0]), float(mins[1]), float(maxs[0]), float(maxs[1])
+
+
+def _reencode_member(base: int, ndim: int, payload) -> bytes:
+    """Re-serialize one parsed geometry (collection member round-trips)."""
+    if base == WKB_POINT:
+        return wkb_point(*payload)
+    if base == WKB_LINESTRING:
+        return wkb_linestring(np.asarray(payload))
+    if base == WKB_POLYGON:
+        return wkb_polygon(payload)
+    if base == WKB_MULTIPOINT:
+        return wkb_multipoint(np.asarray(payload))
+    if base == WKB_MULTILINESTRING:
+        return wkb_multilinestring(payload)
+    if base == WKB_MULTIPOLYGON:
+        return wkb_multipolygon(payload)
+    raise ValueError(f"cannot re-encode member type {base}")
 
 
 def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:

@@ -80,10 +80,14 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, sql: str) -> None:
+    def __init__(self, sql: str, geom_col: str = "geom_wkb",
+                 fid_col: str = "fid", style_col: str | None = None) -> None:
         self.toks = _tokenize(sql)
         self.i = 0
         self.aggregates: list[Column] = []
+        self.geom_col = geom_col
+        self.fid_col = fid_col
+        self.style_col = style_col
 
     def peek(self):
         return self.toks[self.i]
@@ -255,6 +259,25 @@ class _Parser:
             return inner
         if k == "id":
             fname = v.upper()
+            if fname in O.SPECIAL_FIELDS:
+                # ogr_p.h:121-128 special fields, resolved against the
+                # layer's conventional columns (ogrfeature.cpp:1868-1885);
+                # unaliased they keep the special name, like OGR's result
+                # layer schema
+                if fname == "FID":
+                    col = F.col(self.fid_col)
+                elif fname == "OGR_STYLE":
+                    col = F.col(self.style_col) if self.style_col else \
+                        F.lit(None).cast("string")
+                else:
+                    geom = F.col(self.geom_col)
+                    if fname == "OGR_GEOMETRY":
+                        col = O.ogr_geometry_type(geom)
+                    elif fname == "OGR_GEOM_WKT":
+                        col = O.ogr_geom_wkt(geom)
+                    else:
+                        col = O.ogr_geom_area(geom)
+                return col.alias(fname)
             if self.peek() == ("op", "("):
                 self.next()
                 args = []
@@ -291,22 +314,30 @@ def _lit_int(col_or_val) -> int:
     return int(m.group(1))
 
 
-def execute_sql(tables: dict[str, DataFrame], sql: str) -> DataFrame:
+def execute_sql(tables: dict[str, DataFrame], sql: str,
+                geom_col: str = "geom_wkb", fid_col: str = "fid",
+                style_col: str | None = None) -> DataFrame:
     """Run an OGR SQL statement against named DataFrames.
 
     ``tables`` maps layer names to DataFrames (the ExecuteSQL datasource).
     ``SELECT ... UNION ALL SELECT ...`` chains concatenate like the
     reference's chained swq_select objects (``swq_parser.y:594``,
     ``gdaldataset.cpp:6036-6072``) with schema merge by name.
+
+    The special virtual fields FID / OGR_GEOMETRY / OGR_GEOM_WKT /
+    OGR_GEOM_AREA / OGR_STYLE (``core/ogr/ogr_p.h:121-128``) resolve
+    against ``fid_col`` / ``geom_col`` / ``style_col`` — the engine's
+    layer-table conventions.
     """
     parts = re.split(r"\bUNION\s+ALL\b", sql, flags=re.IGNORECASE)
     if len(parts) > 1:
-        out = execute_sql(tables, parts[0])
+        out = execute_sql(tables, parts[0], geom_col, fid_col, style_col)
         for part in parts[1:]:
-            out = out.unionByName(execute_sql(tables, part),
-                                  allowMissingColumns=True)
+            out = out.unionByName(
+                execute_sql(tables, part, geom_col, fid_col, style_col),
+                allowMissingColumns=True)
         return out
-    p = _Parser(sql)
+    p = _Parser(sql, geom_col=geom_col, fid_col=fid_col, style_col=style_col)
     p.expect("kw", "SELECT")
     distinct = bool(p.accept("kw", "DISTINCT"))
 

@@ -21,6 +21,7 @@ DISTINCT_LIST (SELECT DISTINCT col, NULLs first).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,3 +168,84 @@ def limit_offset(
     w = Window.orderBy(*cols)
     out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset)
     return out.drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Special virtual fields (``core/ogr/ogr_p.h:121-128``, evaluated at
+# ``core/ogr/ogrfeature.cpp:1868-1885``): FID, OGR_GEOMETRY (type name),
+# OGR_GEOM_WKT, OGR_GEOM_AREA, OGR_STYLE.
+# ---------------------------------------------------------------------------
+
+SPECIAL_FIELDS = ("FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA",
+                  "OGR_STYLE")
+
+
+def ogr_geometry_type(geom: Column) -> Column:
+    """Geometry type NAME from the WKB header — pure JVM: the little-endian
+    type word's low two bytes decode with a hex swap; ISO Z (base+1000) and
+    the 2.5D flag (high byte, not read) both leave the low bytes intact."""
+    word = F.conv(
+        F.concat(F.hex(F.substring(geom, 3, 1)), F.hex(F.substring(geom, 2, 1))),
+        16, 10,
+    ).cast("int")
+    base = word % 1000
+    from lib_gdal_spark.functions.wkt import GEOM_TYPE_NAMES
+
+    expr = F.lit(None).cast("string")
+    for code, name in GEOM_TYPE_NAMES.items():
+        expr = F.when(base == code, F.lit(name)).otherwise(expr)
+    return F.when(geom.isNull(), F.lit(None)).otherwise(expr)
+
+
+def ogr_geom_wkt(geom: Column) -> Column:
+    """WKT export (exportToWkt, ``ogrgeometry.cpp:1598``) — Arrow-batched."""
+    @F.pandas_udf("string")
+    def _wkt(wkb: pd.Series) -> pd.Series:
+        from lib_gdal_spark.functions.wkt import wkb_to_wkt
+
+        return wkb.map(
+            lambda b: None if b is None else wkb_to_wkt(bytes(b))
+        )
+
+    return _wkt(geom)
+
+
+def ogr_geom_area(geom: Column) -> Column:
+    """OGR_G_Area semantics (``ogrfeature.cpp:1883``): polygon = |outer| −
+    Σ|holes|; multipolygon sums; non-surface types → 0.0. Arrow-batched."""
+    @F.pandas_udf("double")
+    def _area(wkb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lib_gdal_spark.functions import geometry as G
+
+        def ring_area(r):
+            x, y = r[:, 0], r[:, 1]
+            return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+        def poly_area(rings):
+            if not rings:
+                return 0.0
+            return ring_area(rings[0]) - sum(ring_area(r) for r in rings[1:])
+
+        def area(b):
+            if b is None:
+                return None
+            base, payload = G.parse_wkb(bytes(b))
+            if base == G.WKB_POLYGON:
+                return poly_area(payload)
+            if base == G.WKB_MULTIPOLYGON:
+                return sum(poly_area(p) for p in payload)
+            if base == G.WKB_GEOMETRYCOLLECTION:
+                total = 0.0
+                for mb, nd, p in payload:
+                    if mb == G.WKB_POLYGON:
+                        total += poly_area(p)
+                    elif mb == G.WKB_MULTIPOLYGON:
+                        total += sum(poly_area(q) for q in p)
+                return total
+            return 0.0
+
+        return wkb.map(area)
+
+    return _area(geom)
