@@ -1247,6 +1247,24 @@ def q_pyramid_cubic_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+def q_translate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin 16 16 192 192 -outsize 96 96 -r cubic: the
+    non-nearest resampled READ path (GRIORA_Cubic, rasterio.cpp:821) wired
+    through the convolution kernel; interior pixels bit-exact (dyadic
+    Catmull-Rom weights x integer gradient => exact doubles)."""
+    from lib_gdal_spark.operators import translate as TR
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id") == "gradient256"
+    )
+    out = TR.translate_window(tiles, "gradient256", (16, 16, 192, 192),
+                              outsize=(96, 96), alg="cubic")
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(2, 93) & F.col("py").between(2, 93)
+    ).select("px", "py", "v")
+
+
 def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_grid 'linear' (Delaunay + barycentric, gdalgrid.cpp:542): a
     linear field is reproduced exactly inside the hull — closed-form
@@ -2023,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_execute_sql": q_ogr_execute_sql,
         "ogr_special_fields": q_ogr_special_fields,
         "ogr_geometry_types": q_ogr_geometry_types,
+        "translate_cubic": q_translate_cubic,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3121,6 +3140,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT px, py,
                CAST(floor(sum(term) / 4.0 + 0.5) AS BIGINT) AS v
+        FROM t GROUP BY px, py
+    """
+
+    sqls["translate_cubic"] = f"""
+        WITH d AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(2, 93) x(px) CROSS JOIN generate_series(2, 93) y(py)
+        ),
+        t AS (
+          SELECT px, py,
+                 ({_wk}) * ({_wm})
+                   * ((16 + 2 * px + k.k - 3 + 16 + 2 * py + m.m - 3) // 2)
+                   AS term
+          FROM d CROSS JOIN generate_series(0, 7) k(k)
+                 CROSS JOIN generate_series(0, 7) m(m)
+        )
+        SELECT px, py, CAST(sum(term) / 4.0 AS DOUBLE) AS v
         FROM t GROUP BY px, py
     """
 

@@ -121,7 +121,7 @@ def delaunay_distributed(
 
     unsettled: DataFrame | None = pts_df
     results: list[DataFrame] = []
-    h = 1.5 * max(wx, wy)
+    h = h_init = 1.5 * max(wx, wy)
 
     for _ in range(max_rounds):
         act = (
@@ -213,30 +213,9 @@ def delaunay_distributed(
         h *= 2.0
 
     if unsettled is not None:
-        n_total = pts_df.count()
-        if n_total > max_fallback_points:
-            raise RuntimeError(
-                f"delaunay fallback needs the full point set ({n_total}); "
-                "raise max_rounds/max_fallback_points"
-            )
-        left = {int(r["pid"]) for r in unsettled.select("pid").collect()}
-
-        def tri_all(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pid = pdf["pid"].to_numpy(np.int64)
-            pts = pdf[["x", "y"]].to_numpy(np.float64)
-            verts, tris = DT.delaunay(pts)
-            rows = []
-            for t in tris:
-                tx = pts[list(t), 0]
-                ty = pts[list(t), 1]
-                owner = t[int(np.lexsort((ty, tx))[0])]
-                if int(pid[owner]) in left:
-                    ids = sorted(int(pid[v]) for v in t)
-                    rows.append({"ia": ids[0], "ib": ids[1], "ic": ids[2]})
-            return pd.DataFrame(rows, columns=["ia", "ib", "ic"])
-
-        fb = pts_df.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
-            tri_all, schema="ia long, ib long, ic long"
+        fb = _fallback_fringe(
+            pts_df, unsettled, (x0g, y0g, x1g, y1g), h_init,
+            max_fallback_points,
         )
         results.append(fb)
 
@@ -244,3 +223,201 @@ def delaunay_distributed(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+
+
+def _subset_triangulate(pdf: pd.DataFrame, upid: np.ndarray, left: set):
+    """Triangulate the gathered subset; return (emit_rows, circles, wedges).
+
+    ``circles``: (cx, cy, r2) of every unsettled-owned triangle — its
+    global empty-circumcircle property is what emission asserts.
+    ``wedges``: (px, py, th1, th2) open fan sectors (CCW gap th1->th2) of
+    unsettled points — a global triangle with a far vertex could only
+    attach there.
+    """
+    pid = pdf["pid"].to_numpy(np.int64)
+    pts = pdf[["x", "y"]].to_numpy(np.float64)
+    verts, tris = DT.delaunay(pts)
+    is_u = np.isin(pid, upid)
+    fans: dict[int, list[tuple[float, float]]] = {
+        int(i): [] for i in np.where(is_u)[0]
+    }
+    rows = []
+    circles = []
+    for t in tris:
+        tx = pts[list(t), 0]
+        ty = pts[list(t), 1]
+        owner = t[int(np.lexsort((ty, tx))[0])]
+        for k in range(3):
+            pl = int(t[k])
+            if pl in fans:
+                a = pts[t[(k + 1) % 3]] - pts[pl]
+                b2 = pts[t[(k + 2) % 3]] - pts[pl]
+                fans[pl].append((
+                    float(np.arctan2(a[1], a[0])),
+                    float(np.arctan2(b2[1], b2[0])),
+                ))
+        if int(pid[owner]) not in left:
+            continue
+        cx, cy, r2 = DT._circum(verts, t)
+        circles.append((float(cx), float(cy), float(r2)))
+        ids = sorted(int(pid[v]) for v in t)
+        rows.append((ids[0], ids[1], ids[2]))
+    wedges = []
+    two_pi = 2.0 * np.pi
+    for pl, edges in fans.items():
+        px, py = float(pts[pl, 0]), float(pts[pl, 1])
+        if not edges:
+            wedges.append((px, py, 0.0, two_pi))
+            continue
+        # normalize each incident interval CCW with span < pi (triangle
+        # vertex angles are < pi), then walk the union to find gaps
+        ivs = []
+        for tha, thb in edges:
+            lo, hi = tha % two_pi, thb % two_pi
+            if ((hi - lo) % two_pi) > np.pi:
+                lo, hi = hi, lo
+            ivs.append((lo, (hi - lo) % two_pi))
+        ivs.sort()
+        total = sum(s for _, s in ivs)
+        if total >= two_pi - 1e-9:
+            continue
+        end = ivs[0][0] + ivs[0][1]
+        for j in range(1, len(ivs)):
+            lo, span = ivs[j]
+            if lo > end + 1e-12:
+                wedges.append((px, py, end % two_pi, lo % two_pi))
+            end = max(end, lo + span)
+        wrap_gap = (ivs[0][0] + two_pi) - end
+        if wrap_gap > 1e-12:
+            wedges.append((px, py, end % two_pi, ivs[0][0] % two_pi))
+    return rows, circles, wedges
+
+
+def _fallback_fringe(
+    pts_df: DataFrame,
+    unsettled: DataFrame,
+    bbox: tuple[float, float, float, float],
+    h0: float,
+    max_fallback_points: int,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Self-certifying fringe fallback (VERDICT r2 #9 / TODO #2).
+
+    Instead of gathering the FULL point set into one task, gather only
+    points within reach ``D = 4*h0`` of the unsettled fringe, triangulate
+    that subset on the driver-sized gather, and CERTIFY the result with an
+    exact DISTRIBUTED check: broadcast every unsettled-owned triangle's
+    circumcircle and every unsettled point's open fan wedge, and scan the
+    full point table for ungathered points strictly inside any of them. A
+    violator is precisely a point that could change the fringe fan — it
+    joins the gather and the subset retriangulates. No violators ==
+    certificate: each emitted triangle's circumcircle is globally empty
+    (it is a global Delaunay triangle) and each open fan faces a globally
+    point-free sector (the true hull gap), so every global triangle owned
+    by an unsettled vertex is present. Converges in one or two iterations
+    on real data (the violators are the hull fringe); the guard applies
+    to the GATHERED subset, not the total point count.
+    """
+    spark = pts_df.sparkSession
+    urows = unsettled.select("pid", "x", "y").collect()
+    if len(urows) > max_fallback_points:
+        raise RuntimeError(
+            f"delaunay fallback: {len(urows)} unsettled points exceed "
+            f"max_fallback_points={max_fallback_points}"
+        )
+    upid = np.array([int(r["pid"]) for r in urows], dtype=np.int64)
+    uxy = np.array([[float(r["x"]), float(r["y"])] for r in urows])
+    left = set(int(v) for v in upid)
+    # density-based initial reach: a few nearest-neighbor spacings around
+    # each unsettled point — the violation loop below grows the gather
+    # EXACTLY where the certificate demands, so undershooting only costs
+    # an extra iteration while overshooting (the old 4*halo) degenerates
+    # to a near-full gather on small grids
+    x0g, y0g, x1g, y1g = bbox
+    n_total = pts_df.count()
+    area = max((x1g - x0g) * (y1g - y0g), 1e-18)
+    D = max(4.0 * float(np.sqrt(area / max(n_total, 1))), 1e-9)
+    two_pi = 2.0 * np.pi
+    extra: set[int] = set()
+
+    for _ in range(max_iters):
+        extra_ids = np.array(sorted(extra), dtype=np.int64)
+
+        def within(batches: Iterator[pd.DataFrame], D=D,
+                   extra_ids=extra_ids) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                px = b["x"].to_numpy(np.float64)
+                py = b["y"].to_numpy(np.float64)
+                keep = np.isin(b["pid"].to_numpy(np.int64), extra_ids)
+                for j0 in range(0, len(uxy), 256):
+                    q = uxy[j0:j0 + 256]
+                    d2 = ((px[:, None] - q[None, :, 0]) ** 2
+                          + (py[:, None] - q[None, :, 1]) ** 2)
+                    keep |= (d2 <= D * D).any(axis=1)
+                yield b.loc[keep]
+
+        gathered = pts_df.mapInPandas(
+            within, schema="pid long, x double, y double"
+        ).localCheckpoint()
+        n_g = gathered.count()
+        if n_g > max_fallback_points:
+            raise RuntimeError(
+                f"delaunay fallback gather ({n_g} points at reach {D:.3g})"
+                f" exceeds max_fallback_points={max_fallback_points}"
+            )
+        gpdf = gathered.toPandas()
+        rows, circles, wedges = _subset_triangulate(gpdf, upid, left)
+        gids = np.sort(gpdf["pid"].to_numpy(np.int64))
+        carr = np.asarray(circles, dtype=np.float64).reshape(-1, 3)
+        warr = np.asarray(wedges, dtype=np.float64).reshape(-1, 4)
+
+        def violators(batches: Iterator[pd.DataFrame], carr=carr,
+                      warr=warr, gids=gids) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                pidb = b["pid"].to_numpy(np.int64)
+                ung = ~np.isin(pidb, gids)
+                if not ung.any():
+                    yield b.loc[[]]
+                    continue
+                px = b["x"].to_numpy(np.float64)[ung]
+                py = b["y"].to_numpy(np.float64)[ung]
+                bad = np.zeros(len(px), dtype=bool)
+                for j0 in range(0, len(carr), 512):
+                    c = carr[j0:j0 + 512]
+                    d2 = ((px[:, None] - c[None, :, 0]) ** 2
+                          + (py[:, None] - c[None, :, 1]) ** 2)
+                    r2 = c[None, :, 2]
+                    bad |= (d2 < r2 * (1.0 - 1e-12)).any(axis=1)
+                for j0 in range(0, len(warr), 512):
+                    w = warr[j0:j0 + 512]
+                    dx = px[:, None] - w[None, :, 0]
+                    dy = py[:, None] - w[None, :, 1]
+                    th = np.arctan2(dy, dx) % (2.0 * np.pi)
+                    span = (w[None, :, 3] - w[None, :, 2]) % (2.0 * np.pi)
+                    span = np.where(span == 0.0, 2.0 * np.pi, span)
+                    rel = (th - w[None, :, 2]) % (2.0 * np.pi)
+                    inside = (rel < span) & (dx * dx + dy * dy > 1e-18)
+                    bad |= inside.any(axis=1)
+                out = b.loc[ung].loc[bad]
+                yield out
+
+        viol = pts_df.mapInPandas(
+            violators, schema="pid long, x double, y double"
+        ).select("pid").collect()
+        if not viol:
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=["ia", "ib", "ic"])
+                if rows else pd.DataFrame(columns=["ia", "ib", "ic"]),
+                schema="ia long, ib long, ic long",
+            )
+        new_ids = {int(r["pid"]) for r in viol}
+        if new_ids <= extra:
+            raise RuntimeError("delaunay fallback did not converge")
+        extra |= new_ids
+
+    raise RuntimeError(
+        f"delaunay fallback: certificate did not converge in "
+        f"{max_iters} iterations ({len(extra)} violators gathered)"
+    )

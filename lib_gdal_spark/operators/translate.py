@@ -86,10 +86,21 @@ def translate_window(
         if gt is None:
             return pd.DataFrame(columns=RASTER_COLS)
         if (ow, oh) != (xs, ys):
+            # gdal_translate -r: the resampled-read path (GRIORA_*,
+            # core/gcore/rasterio.cpp:821, gdal.h:130-138) — the same
+            # kernel family as the overview builder.
             if alg == "average":
                 window = R.overview_average(window, (oh, ow))
-            else:
+            elif alg in ("cubic", "cubicspline", "lanczos", "bilinear"):
+                window = R.overview_convolution(window, (oh, ow), alg=alg)
+            elif alg == "gauss":
+                window = R.overview_gauss(window, (oh, ow))
+            elif alg == "mode":
+                window = R.overview_mode(window, (oh, ow))
+            elif alg == "nearest":
                 window = R.overview_nearest(window, (oh, ow))
+            else:
+                raise ValueError(f"translate: unknown resampling {alg!r}")
         rows = []
         for ty in range(0, (oh + tile - 1) // tile):
             for tx in range(0, (ow + tile - 1) // tile):

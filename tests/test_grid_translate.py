@@ -127,3 +127,36 @@ def test_mosaic_last_wins(spark):
     in_b = (cx > -10.063) & (cx < 30.063) & (cy > -10.063) & (cy < 30.063)
     ref = np.where(in_b, 9.0, np.where(in_a, 5.0, 0.0))
     assert np.array_equal(full, ref)
+
+
+def test_translate_resampled_read_algs(spark):
+    """-outsize with each GRIORA_* kernel == the kernel applied to the
+    assembled window (r3: non-nearest resampled read path)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.kernels import resample as R
+    from lib_gdal_spark.operators import translate as TR
+    from lib_gdal_spark.sources.rasters import fixture_rasters, gradient
+
+    tiles = fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    src = gradient(256).astype(np.float64)[16:208, 16:208]
+    for alg, ref_fn in (
+        ("cubic", lambda w: R.overview_convolution(w, (96, 96), alg="cubic")),
+        ("lanczos", lambda w: R.overview_convolution(w, (96, 96),
+                                                     alg="lanczos")),
+        ("bilinear", lambda w: R.overview_convolution(w, (96, 96),
+                                                      alg="bilinear")),
+        ("gauss", lambda w: R.overview_gauss(w, (96, 96))),
+        ("mode", lambda w: R.overview_mode(w, (96, 96))),
+    ):
+        out = TR.translate_window(
+            tiles, "gradient256", (16, 16, 192, 192), outsize=(96, 96),
+            alg=alg,
+        ).collect()
+        got = np.full((96, 96), np.nan)
+        for r in out:
+            arr = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+            got[r["tile_y"] * 64 : r["tile_y"] * 64 + r["tile_h"],
+                r["tile_x"] * 64 : r["tile_x"] * 64 + r["tile_w"]] = arr
+        assert np.array_equal(got, ref_fn(src)), alg
