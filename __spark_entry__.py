@@ -501,6 +501,23 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("px", "py", F.round("v", 4).alias("idw"))
 
 
+def q_grid_avgdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-distance data metric (gdalgrid.cpp:1211): mean node->point
+    distance over the search circle — the round-3 metric parity gap."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        F.lit(0.0).alias("v"),
+    )
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 16)
+    tiles = GR.grid_interpolate(pts, grid, alg="average_distance",
+                                radius=15.0)
+    out = _explode_px(tiles, tile=16)
+    return out.select("px", "py", F.round("v", 4).alias("ad"))
+
+
 def q_translate_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -srcwin 37 21 150 100 -outsize 75 50 (nearest)."""
     from lib_gdal_spark.operators import translate as T
@@ -2042,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": q_ogr_special_fields,
         "ogr_geometry_types": q_ogr_geometry_types,
         "translate_cubic": q_translate_cubic,
+        "grid_avgdist": q_grid_avgdist,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2214,6 +2232,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         agg AS (SELECT px, py, sum(w * v) / sum(w) AS val FROM j GROUP BY px, py)
         SELECT pix.px, pix.py, round(coalesce(agg.val, 0.0), 4) AS idw
+        FROM pix LEFT JOIN agg ON pix.px = agg.px AND pix.py = agg.py
+    """
+
+    sqls["grid_avgdist"] = f"""
+        WITH pts AS (SELECT lon, lat FROM ({_POINTS_SQL})),
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 -180.0 + (x.px + 0.5) * 5.625 AS cx,
+                 90.0 + (y.py + 0.5) * -2.8125 AS cy
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        j AS (
+          SELECT px, py,
+                 sqrt((cx - lon) * (cx - lon) + (cy - lat) * (cy - lat)) AS d
+          FROM pix JOIN pts
+          ON (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat) <= 225.0
+        ),
+        agg AS (SELECT px, py, sum(d) / count(*) AS val FROM j GROUP BY px, py)
+        SELECT pix.px, pix.py, round(coalesce(agg.val, 0.0), 4) AS ad
         FROM pix LEFT JOIN agg ON pix.px = agg.px AND pix.py = agg.py
     """
 

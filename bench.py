@@ -76,6 +76,12 @@ BENCH = {
     "pyramid_cubic": lambda s: _force(E.q_pyramid_cubic_l1(s, SF_DIR)),
     "grid_invdistnn": lambda s: _force(E.q_grid_invdistnn(s, SF_DIR)),
     "graph_sssp": lambda s: _force(E.q_graph_sssp(s, SF_DIR)),
+    # round-3 additions
+    "warp_ps": lambda s: _force(E.q_warp_ps_nearest(s, SF_DIR)),
+    "translate_cubic": lambda s: _force(E.q_translate_cubic(s, SF_DIR)),
+    "raster_checksum": lambda s: _force(E.q_raster_checksum(s, SF_DIR)),
+    "pyramid_magphase": lambda s: _force(E.q_pyramid_magphase_l1(s, SF_DIR)),
+    "special_fields": lambda s: _force(E.q_ogr_special_fields(s, SF_DIR)),
 }
 
 
@@ -95,12 +101,24 @@ def main() -> None:
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
+    # n>=5 reps per query (VERDICT r2 #8): report min (the engine's actual
+    # cost once caches are warm and JIT settled) plus median (robustness);
+    # reps interleave per query so per-rep JVM drift hits all reps equally.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH}
     for name, fn in BENCH.items():
-        t0 = time.time()
-        fn(spark)
-        times[name] = round(time.time() - t0, 3)
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark)
+            samples[name].append(round(time.time() - t0, 3))
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    times = {name: min(xs) for name, xs in samples.items()}
+    medians = {name: _median(xs) for name, xs in samples.items()}
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -108,6 +126,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "reps": reps,
         "sf": float(sf),
         "n_pages": N_PAGES,
         "pages_per_sec": round(N_PAGES / times["pages_pipeline"], 1),

@@ -267,3 +267,92 @@ def force_to_multipolygon(wkb: bytes) -> bytes:
     if gtype == G.WKB_POLYGON:
         return G.wkb_multipolygon([payload])
     raise ValueError(f"cannot force WKB type {gtype} to MultiPolygon")
+
+
+# ---------------------------------------------------------------------------
+# Distance3D (``core/ogr/ogrgeometry.cpp:3319``). The reference delegates to
+# SFCGAL and returns -1.0 when either geometry is not 3-D (or SFCGAL is
+# absent). Here: exact 3-D min distance over the geometries' points and
+# segments (vertex/edge sets; polygon FACE interiors are not modeled —
+# boundary distance, documented deviation), with the same -1.0 guard for
+# non-3D input.
+# ---------------------------------------------------------------------------
+
+def _segs3(base, ndim, payload) -> np.ndarray:
+    """Flatten a parsed 3-D geometry into (n, 6) [x0 y0 z0 x1 y1 z1] segs;
+    points become zero-length segments."""
+    from lib_gdal_spark.functions import geometry as G
+
+    segs = []
+
+    def add_line(arr):
+        arr = np.asarray(arr, np.float64)
+        if len(arr) == 1:
+            segs.append(np.hstack([arr, arr]))
+        else:
+            segs.append(np.hstack([arr[:-1], arr[1:]]))
+
+    if base == G.WKB_POINT:
+        p = np.asarray(payload, np.float64)[None, :]
+        segs.append(np.hstack([p, p]))
+    elif base == G.WKB_MULTIPOINT:
+        p = np.asarray(payload, np.float64)
+        segs.append(np.hstack([p, p]))
+    elif base == G.WKB_LINESTRING:
+        add_line(payload)
+    elif base in (G.WKB_MULTILINESTRING, G.WKB_POLYGON):
+        for part in payload:
+            add_line(part)
+    elif base == G.WKB_MULTIPOLYGON:
+        for poly in payload:
+            for ring in poly:
+                add_line(ring)
+    elif base == G.WKB_GEOMETRYCOLLECTION:
+        for mb, mnd, mp in payload:
+            segs.append(_segs3(mb, mnd, mp))
+    else:
+        raise ValueError(f"distance3d: unsupported type {base}")
+    return np.vstack([s for s in segs if len(s)]) if segs else np.empty((0, 6))
+
+
+def _seg_seg_dist3(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact min distance between two 3-D segment sets — box-constrained
+    coordinate descent on the (strictly convex) pairwise quadratic, which
+    converges to the global optimum for 2 variables."""
+    a0, a1 = sa[:, :3], sa[:, 3:]
+    b0, b1 = sb[:, :3], sb[:, 3:]
+    u = a1 - a0
+    v = b1 - b0
+    w0 = a0[:, None, :] - b0[None, :, :]
+    aa = (u * u).sum(-1)[:, None]
+    bb = (u[:, None, :] * v[None, :, :]).sum(-1)
+    cc = (v * v).sum(-1)[None, :]
+    dd = (u[:, None, :] * w0).sum(-1)
+    ee = (v[None, :, :] * w0).sum(-1)
+    D = aa * cc - bb * bb
+    s = np.clip(np.where(D > 1e-14, (bb * ee - cc * dd)
+                         / np.where(D <= 1e-14, 1.0, D), 0.0), 0.0, 1.0)
+    for _ in range(16):
+        t = np.clip(np.where(cc > 1e-14, (bb * s + ee)
+                             / np.where(cc <= 1e-14, 1.0, cc), 0.0), 0.0, 1.0)
+        s = np.clip(np.where(aa > 1e-14, (bb * t - dd)
+                             / np.where(aa <= 1e-14, 1.0, aa), 0.0), 0.0, 1.0)
+    diff = (a0[:, None, :] + s[..., None] * u[:, None, :]) \
+        - (b0[None, :, :] + t[..., None] * v[None, :, :])
+    return float(np.sqrt((diff * diff).sum(-1)).min())
+
+
+def distance3d(wkb_a: bytes, wkb_b: bytes) -> float:
+    """OGR_G_Distance3D semantics: -1.0 unless BOTH geometries carry Z
+    (ogrgeometry.cpp:3328-3335), else the 3-D min distance."""
+    from lib_gdal_spark.functions import geometry as G
+
+    ba, nda, pa = G.parse_wkb_full(wkb_a)
+    bb_, ndb, pb = G.parse_wkb_full(wkb_b)
+    if nda != 3 or ndb != 3:
+        return -1.0
+    sa = _segs3(ba, nda, pa)
+    sb = _segs3(bb_, ndb, pb)
+    if len(sa) == 0 or len(sb) == 0:
+        return -1.0
+    return _seg_seg_dist3(sa, sb)

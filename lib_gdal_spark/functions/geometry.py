@@ -438,3 +438,58 @@ def box_ring(minx: float, miny: float, maxx: float, maxy: float) -> Ring:
         ],
         dtype=np.float64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometry coercions used by the gensql result layer
+# (``drivers/ogr_gensql.cpp:1396-1416`` -> OGRGeometryFactory::forceTo*).
+# WKB in -> WKB out; inconvertible inputs pass through unchanged, like the
+# factory functions.
+# ---------------------------------------------------------------------------
+
+def force_to_polygon(wkb: bytes) -> bytes:
+    """forceToPolygon: MultiPolygon/collection polygons collapse into one
+    Polygon carrying all rings; Polygon unchanged; others pass through."""
+    base, ndim, payload = parse_wkb_full(wkb)
+    if base == WKB_POLYGON:
+        return wkb
+    if base == WKB_MULTIPOLYGON:
+        rings = [r for poly in payload for r in poly]
+        return wkb_polygon(rings) if rings else wkb
+    if base == WKB_GEOMETRYCOLLECTION:
+        rings = []
+        for mb, mnd, mp in payload:
+            if mb == WKB_POLYGON:
+                rings.extend(mp)
+            elif mb == WKB_MULTIPOLYGON:
+                rings.extend(r for poly in mp for r in poly)
+        return wkb_polygon(rings) if rings else wkb
+    return wkb
+
+
+def force_to_multilinestring(wkb: bytes) -> bytes:
+    """forceToMultiLineString: LineString wraps; Polygon/MultiPolygon rings
+    become member lines; collections flatten; others pass through."""
+    base, ndim, payload = parse_wkb_full(wkb)
+    if base == WKB_MULTILINESTRING:
+        return wkb
+    if base == WKB_LINESTRING:
+        return wkb_multilinestring([np.asarray(payload)])
+    if base == WKB_POLYGON:
+        return wkb_multilinestring([np.asarray(r) for r in payload])
+    if base == WKB_MULTIPOLYGON:
+        return wkb_multilinestring(
+            [np.asarray(r) for poly in payload for r in poly])
+    if base == WKB_GEOMETRYCOLLECTION:
+        lines = []
+        for mb, mnd, mp in payload:
+            if mb == WKB_LINESTRING:
+                lines.append(np.asarray(mp))
+            elif mb == WKB_MULTILINESTRING:
+                lines.extend(np.asarray(ln) for ln in mp)
+            elif mb == WKB_POLYGON:
+                lines.extend(np.asarray(r) for r in mp)
+            elif mb == WKB_MULTIPOLYGON:
+                lines.extend(np.asarray(r) for poly in mp for r in poly)
+        return wkb_multilinestring(lines) if lines else wkb
+    return wkb

@@ -40,9 +40,10 @@ def grid_interpolate(
 
     alg: 'invdist' (IDW power/radius, ``GDALGridInverseDistanceToAPower``),
     'nearest', 'average' (moving average in radius), 'count'/'minimum'/
-    'maximum'/'range' (data metrics). ``radius`` = 0 means unbounded for
-    invdist/nearest (all points; only sane for small point sets) and is
-    required for 'average' and the metrics.
+    'maximum'/'range'/'average_distance'/'average_distance_pts' (data
+    metrics, ``gdalgrid.cpp:784-1420``). ``radius`` = 0 means unbounded
+    for invdist/nearest (all points; only sane for small point sets) and
+    is required for 'average' and the metrics.
 
     GDAL semantics reproduced: grid nodes are **pixel centers**; a point at
     distance 0 short-circuits IDW to its value; an empty search yields
@@ -175,6 +176,11 @@ def grid_interpolate(
                     big = np.maximum(big, vM.max(axis=1))
                     if alg == "average":
                         num += np.where(inr, pv[None, :], 0.0).sum(axis=1)
+                elif alg == "average_distance":
+                    # GDALGridDataMetricAverageDistance
+                    # (core/alg/gdalgrid.cpp:1211): mean node->point
+                    # distance over the search circle — streamable
+                    num += np.where(inr, np.sqrt(d2), 0.0).sum(axis=1)
 
         if alg == "invdist":
             vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), nodata)
@@ -191,6 +197,29 @@ def grid_interpolate(
             out = np.where(cnt > 0, big, nodata)
         elif alg == "range":
             out = np.where(cnt > 0, big - small, nodata)
+        elif alg == "average_distance":
+            out = np.where(cnt > 0, num / np.maximum(cnt, 1), nodata)
+        elif alg == "average_distance_pts":
+            # GDALGridDataMetricAverageDistancePts (gdalgrid.cpp:1316):
+            # mean PAIRWISE distance among the in-circle points. Pairs
+            # cannot stream across chunks, so this branch loops nodes over
+            # the tile's full bucketed point set (bounded by the search
+            # ring — the same working set every other metric touches).
+            out = np.full(npx, nodata)
+            for node in range(npx):
+                dx = px_all - gx[node]
+                dy = py_all - gy[node]
+                m = (dx * dx + dy * dy) <= r2
+                sel_x = px_all[m]
+                sel_y = py_all[m]
+                n_in = len(sel_x)
+                if n_in < 2:
+                    continue
+                ddx = sel_x[:, None] - sel_x[None, :]
+                ddy = sel_y[:, None] - sel_y[None, :]
+                tot = np.sqrt(ddx * ddx + ddy * ddy)[
+                    np.triu_indices(n_in, 1)].sum()
+                out[node] = tot / (n_in * (n_in - 1) / 2.0)
         else:
             raise ValueError(f"unknown grid alg {alg}")
         return pd.DataFrame([

@@ -100,3 +100,49 @@ def test_grid_linear_dist_equals_driver_path(spark):
     # identical triangulation (unique) -> identical interpolation
     assert np.allclose(a, b, atol=1e-9, equal_nan=True)
     assert (b != -5.0).sum() > 2000  # hull interior actually interpolated
+
+
+def test_grid_average_distance_metrics(spark):
+    """average_distance / average_distance_pts vs brute-force numpy
+    (gdalgrid.cpp:1211/1316, circular search, no rotation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    rng = np.random.default_rng(12)
+    xs = rng.uniform(0, 32, 300)
+    ys = rng.uniform(0, 32, 300)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": xs, "y": ys, "v": np.zeros(300)}),
+        schema="x double, y double, v double")
+    grid = GridSpec((0.0, 1.0, 0.0, 32.0, 0.0, -1.0), 32, 32, 16)
+    R = 4.0
+    for alg in ("average_distance", "average_distance_pts"):
+        rows = GR.grid_interpolate(pts, grid, alg=alg, radius=R,
+                                   nodata=-1.0).collect()
+        got = np.full((32, 32), np.nan)
+        for r in rows:
+            a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+            got[r["tile_y"] * 16:r["tile_y"] * 16 + r["tile_h"],
+                r["tile_x"] * 16:r["tile_x"] * 16 + r["tile_w"]] = a
+        for j in (0, 7, 19, 31):
+            for i in (0, 11, 23, 31):
+                cx, cy = 0.0 + (i + 0.5), 32.0 - (j + 0.5)
+                d = np.hypot(xs - cx, ys - cy)
+                m = d <= R
+                if alg == "average_distance":
+                    want = d[m].mean() if m.any() else -1.0
+                else:
+                    sx, sy = xs[m], ys[m]
+                    n = len(sx)
+                    if n < 2:
+                        want = -1.0
+                    else:
+                        pd_ = np.hypot(sx[:, None] - sx[None, :],
+                                       sy[:, None] - sy[None, :])
+                        want = pd_[np.triu_indices(n, 1)].sum() / (
+                            n * (n - 1) / 2.0)
+                assert abs(got[j, i] - want) < 1e-9, (alg, i, j)

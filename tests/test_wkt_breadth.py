@@ -117,3 +117,46 @@ def test_special_fields_parser(spark):
         "SELECT FID FROM lyr WHERE OGR_GEOM_AREA > 6",
     ).collect()
     assert [r["FID"] for r in filt] == [1]
+
+
+def test_force_coercions():
+    """gensql forceToPolygon / forceToMultiLineString
+    (drivers/ogr_gensql.cpp:1396-1416)."""
+    mp = W.wkt_to_wkb("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+                      "((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    poly = G.force_to_polygon(mp)
+    assert W.wkb_to_wkt(poly).startswith("POLYGON ((0 0, 1 0")
+    base, rings = G.parse_wkb(poly)
+    assert base == G.WKB_POLYGON and len(rings) == 2
+    # pass-through for inconvertible input
+    pt = W.wkt_to_wkb("POINT (1 2)")
+    assert G.force_to_polygon(pt) == pt
+    mls = G.force_to_multilinestring(
+        W.wkt_to_wkb("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), "
+                     "(0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"))
+    assert W.wkb_to_wkt(mls).startswith("MULTILINESTRING ((0 0, 2 0")
+    base, lines = G.parse_wkb(mls)
+    assert base == G.WKB_MULTILINESTRING and len(lines) == 2
+    ls = W.wkt_to_wkb("LINESTRING (0 0, 1 1)")
+    assert W.wkb_to_wkt(G.force_to_multilinestring(ls)) == \
+        "MULTILINESTRING ((0 0, 1 1))"
+
+
+def test_distance3d():
+    import numpy as np
+
+    from lib_gdal_spark.functions import constructive as C
+
+    d = C.distance3d(W.wkt_to_wkb("POINT Z (0 0 0)"),
+                     W.wkt_to_wkb("POINT Z (1 2 2)"))
+    assert abs(d - 3.0) < 1e-12
+    d = C.distance3d(W.wkt_to_wkb("LINESTRING Z (0 0 0, 2 2 0)"),
+                     W.wkt_to_wkb("LINESTRING Z (0 2 1, 2 0 1)"))
+    assert abs(d - 1.0) < 1e-12
+    # non-3D input -> -1.0 (ogrgeometry.cpp:3328 Is3D guard)
+    assert C.distance3d(W.wkt_to_wkb("POINT (0 0)"),
+                        W.wkt_to_wkb("POINT Z (1 1 1)")) == -1.0
+    # parallel overlapping segments
+    d = C.distance3d(W.wkt_to_wkb("LINESTRING Z (0 0 0, 10 0 0)"),
+                     W.wkt_to_wkb("LINESTRING Z (3 4 0, 8 4 0)"))
+    assert abs(d - 4.0) < 1e-12
