@@ -501,6 +501,20 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("px", "py", F.round("v", 4).alias("idw"))
 
 
+def q_vrt_pixelfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named VRT pixel-function registry (all 17 names of
+    GDALRegisterDefaultPixelFunc, pixelfunctions.cpp): sum + dB here,
+    dispatched by name, pure JVM column math."""
+    from lib_gdal_spark.functions import pixelfn as PF
+
+    tiles = RS.multiband_tiles(spark, n=128, tile=64)
+    s = _explode_px(PF.apply_pixel_function(tiles, "sum", [1, 2])) \
+        .select("px", "py", F.col("v").alias("s"))
+    db = _explode_px(PF.apply_pixel_function(tiles, "dB", [2])) \
+        .select("px", "py", F.round("v", 6).alias("db"))
+    return s.join(db, ["px", "py"])
+
+
 def q_grid_avgdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-distance data metric (gdalgrid.cpp:1211): mean node->point
     distance over the search circle — the round-3 metric parity gap."""
@@ -2060,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_geometry_types": q_ogr_geometry_types,
         "translate_cubic": q_translate_cubic,
         "grid_avgdist": q_grid_avgdist,
+        "vrt_pixelfuncs": q_vrt_pixelfuncs,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2233,6 +2248,16 @@ def oracle_sql() -> dict[str, str]:
         agg AS (SELECT px, py, sum(w * v) / sum(w) AS val FROM j GROUP BY px, py)
         SELECT pix.px, pix.py, round(coalesce(agg.val, 0.0), 4) AS idw
         FROM pix LEFT JOIN agg ON pix.px = agg.px AND pix.py = agg.py
+    """
+
+    sqls["vrt_pixelfuncs"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+          trunc((x.px + y.py) * 0.5)
+            + trunc((sin(x.px * 0.19) + cos(y.py * 0.13)) * 60.0 + 128.0) AS s,
+          round(20.0 * log10(abs(
+            trunc((sin(x.px * 0.19) + cos(y.py * 0.13)) * 60.0 + 128.0))), 6)
+            AS db
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
     """
 
     sqls["grid_avgdist"] = f"""

@@ -137,3 +137,46 @@ def test_real_dtype_fallbacks(spark):
     assert row["ph"] == [np.pi, 0.0, 0.0]
     assert row["im"] == [0.0, 0.0, 0.0]
     assert row["inten"] == [12.25, 0.0, 5.0625]
+
+
+def test_pixel_function_registry(spark):
+    """All 17 VRTRegisterDefaultPixelFunc names dispatch and match numpy
+    (pixelfunctions.cpp register list)."""
+    from lib_gdal_spark.functions import pixelfn as PF
+    from lib_gdal_spark.sources.rasters import multiband_tiles
+
+    assert len(PF.PIXEL_FUNCTION_NAMES) == 17
+    tiles = multiband_tiles(spark, n=64, tile=64)
+    j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    b1 = np.trunc((i + j) * 0.5)
+    b2 = np.trunc((np.sin(i * 0.19) + np.cos(j * 0.13)) * 60.0 + 128.0)
+
+    def got(df):
+        r = df.orderBy("tile_x", "tile_y").collect()[0]
+        return np.asarray(r["pixels"], dtype=np.float64)
+
+    assert np.array_equal(
+        got(PF.apply_pixel_function(tiles, "sum", [1, 2])),
+        (b1 + b2).ravel())
+    assert np.array_equal(
+        got(PF.apply_pixel_function(tiles, "diff", [1, 2])),
+        (b1 - b2).ravel())
+    assert np.array_equal(
+        got(PF.apply_pixel_function(tiles, "mul", [1, 2])),
+        (b1 * b2).ravel())
+    assert np.allclose(
+        got(PF.apply_pixel_function(tiles, "sqrt", [2])),
+        np.sqrt(b2).ravel())
+    assert np.allclose(
+        got(PF.apply_pixel_function(tiles, "dB", [2])),
+        20.0 * np.log10(np.abs(b2)).ravel())
+    assert np.allclose(
+        got(PF.apply_pixel_function(tiles, "dB2amp", [1])),
+        np.power(10.0, b1 / 20.0).ravel())
+    # 'complex' pairs two real bands; 'real'/'imag' invert it
+    cx = PF.apply_pixel_function(tiles, "complex", [1, 2])
+    w = got(cx)
+    assert np.array_equal(w[0::2], b1.ravel())
+    assert np.array_equal(w[1::2], b2.ravel())
+    back = PF.apply_pixel_function(cx, "imag", [1], is_complex=True)
+    assert np.array_equal(got(back), b2.ravel())
