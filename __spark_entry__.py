@@ -515,6 +515,34 @@ def q_vrt_pixelfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(db, ["px", "py"])
 
 
+def q_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve-type linearization (getLinearGeometry): a full-circle
+    CURVEPOLYGON strokes at the 4-degree default step with the reference's
+    constant-angle loop (GetCurveParmeters circumcenter + StrokeArc,
+    ogrgeometryfactory.cpp:4649) — every stroked vertex value-checked."""
+    from lib_gdal_spark.functions import curves as CV
+    from lib_gdal_spark.functions import wkt as WX
+
+    src = spark.range(1)
+
+    def work(batches):
+        from lib_gdal_spark.functions import geometry as GG
+        for b in batches:
+            if len(b) == 0:
+                continue
+            wkb = WX.wkt_to_wkb("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))")
+            base, rings = GG.parse_wkb(CV.curve_to_line(wkb))
+            ring = rings[0]
+            yield pd.DataFrame({
+                "idx": np.arange(len(ring)),
+                "x": ring[:, 0], "y": ring[:, 1],
+            })
+
+    out = src.mapInPandas(work, schema="idx long, x double, y double")
+    return out.select("idx", F.round("x", 9).alias("x"),
+                      F.round("y", 9).alias("y"))
+
+
 def q_grid_avgdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-distance data metric (gdalgrid.cpp:1211): mean node->point
     distance over the search circle — the round-3 metric parity gap."""
@@ -2074,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_geometry_types": q_ogr_geometry_types,
         "translate_cubic": q_translate_cubic,
         "grid_avgdist": q_grid_avgdist,
+        "curve_linearize": q_curve_linearize,
         "vrt_pixelfuncs": q_vrt_pixelfuncs,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -2258,6 +2287,15 @@ def oracle_sql() -> dict[str, str]:
             trunc((sin(x.px * 0.19) + cos(y.py * 0.13)) * 60.0 + 128.0))), 6)
             AS db
         FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    sqls["curve_linearize"] = """
+        SELECT CAST(k AS BIGINT) AS idx,
+          CASE WHEN k IN (0, 90) THEN 0.0 WHEN k = 45 THEN 2.0
+               ELSE round(1.0 + cos(pi() + k * pi() / 45.0), 9) END AS x,
+          CASE WHEN k IN (0, 45, 90) THEN 0.0
+               ELSE round(sin(pi() + k * pi() / 45.0), 9) END AS y
+        FROM generate_series(0, 90) t(k)
     """
 
     sqls["grid_avgdist"] = f"""

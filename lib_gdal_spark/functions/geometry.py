@@ -27,6 +27,11 @@ WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 WKB_GEOMETRYCOLLECTION = 7
+WKB_CIRCULARSTRING = 8   # curve family (ogr_core.h:330-340); linearize
+WKB_COMPOUNDCURVE = 9    # via functions.curves.curve_to_line before
+WKB_CURVEPOLYGON = 10    # feeding the planar operators
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
 WKB_25D_BIT = 0x80000000  # OGR wkb25DBit (ogr_core.h:410)
 
 Ring = np.ndarray  # (n, 2|3) float64, closed (first == last point)
@@ -95,6 +100,36 @@ def wkb_geometrycollection(members: list[bytes]) -> bytes:
     out = [struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(members))]
     out.extend(members)
     return b"".join(out)
+
+
+def wkb_circularstring(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype="<f8")
+    if len(pts) % 2 == 0 or len(pts) < 3:
+        raise ValueError("CircularString needs an odd point count >= 3")
+    code = _type_code(WKB_CIRCULARSTRING, _dims(pts))
+    return struct.pack("<BII", 1, code, len(pts)) + pts.tobytes()
+
+
+def _wkb_container(code: int, members: list[bytes]) -> bytes:
+    return struct.pack("<BII", 1, code, len(members)) + b"".join(members)
+
+
+def wkb_compoundcurve(members: list[bytes]) -> bytes:
+    """Members: LineString / CircularString WKBs, endpoint-continuous."""
+    return _wkb_container(WKB_COMPOUNDCURVE, members)
+
+
+def wkb_curvepolygon(rings: list[bytes]) -> bytes:
+    """Rings: closed LineString / CircularString / CompoundCurve WKBs."""
+    return _wkb_container(WKB_CURVEPOLYGON, rings)
+
+
+def wkb_multicurve(members: list[bytes]) -> bytes:
+    return _wkb_container(WKB_MULTICURVE, members)
+
+
+def wkb_multisurface(members: list[bytes]) -> bytes:
+    return _wkb_container(WKB_MULTISURFACE, members)
 
 
 def _decode_type(raw: int) -> tuple[int, int]:
@@ -171,7 +206,18 @@ def _parse_full(buf: memoryview, off: int) -> tuple[int, int, object, int]:
             _, nd, rings, off = _parse_full(buf, off)
             polys.append(rings)
         return base, ndim, polys, off
-    if base == WKB_GEOMETRYCOLLECTION:
+    if base == WKB_CIRCULARSTRING:
+        # same layout as LineString: odd point count, consecutive
+        # (start, mid, end) arc triples (ogr_core.h:330)
+        (npts,) = struct.unpack_from("<I", buf, off)
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * ndim,
+                            offset=off + 4)
+        return base, ndim, np.ascontiguousarray(
+            arr.reshape(npts, ndim), dtype=np.float64), off + 4 + npts * 8 * ndim
+    if base in (WKB_GEOMETRYCOLLECTION, WKB_COMPOUNDCURVE,
+                WKB_CURVEPOLYGON, WKB_MULTICURVE, WKB_MULTISURFACE):
+        # all four curve containers share the collection layout: a count
+        # followed by full sub-geometries with their own headers
         (n,) = struct.unpack_from("<I", buf, off)
         off += 4
         members = []
@@ -271,6 +317,12 @@ def _reencode_member(base: int, ndim: int, payload) -> bytes:
         return wkb_multilinestring(payload)
     if base == WKB_MULTIPOLYGON:
         return wkb_multipolygon(payload)
+    if base == WKB_CIRCULARSTRING:
+        return wkb_circularstring(np.asarray(payload))
+    if base in (WKB_COMPOUNDCURVE, WKB_CURVEPOLYGON, WKB_MULTICURVE,
+                WKB_MULTISURFACE):
+        members = [_reencode_member(b, nd, p) for b, nd, p in payload]
+        return _wkb_container(base, members)
     raise ValueError(f"cannot re-encode member type {base}")
 
 

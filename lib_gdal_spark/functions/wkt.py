@@ -72,23 +72,59 @@ def wkt_to_wkb(wkt: str) -> bytes:
         polys = [_rings(m.group(0)) for m in _POLY_RE.finditer(body)]
         return G.wkb_multipolygon(polys)
     if kind == "GEOMETRYCOLLECTION":
-        body = _body(s)
-        members = []
-        depth = 0
-        start = 0
-        for i, ch in enumerate(body):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                members.append(body[start:i])
-                start = i + 1
-        members.append(body[start:])
         return G.wkb_geometrycollection(
-            [wkt_to_wkb(m.strip()) for m in members if m.strip()]
+            [wkt_to_wkb(m) for m in _split_members(_body(s))]
+        )
+    if kind == "CIRCULARSTRING":
+        return G.wkb_circularstring(_coords(_body(s)))
+    if kind == "COMPOUNDCURVE":
+        # members: CIRCULARSTRING (...) or bare (...) == LineString
+        return G.wkb_compoundcurve(
+            [_curve_member(m, bare="LINESTRING")
+             for m in _split_members(_body(s))]
+        )
+    if kind == "CURVEPOLYGON":
+        return G.wkb_curvepolygon(
+            [_curve_member(m, bare="LINESTRING")
+             for m in _split_members(_body(s))]
+        )
+    if kind == "MULTICURVE":
+        return G.wkb_multicurve(
+            [_curve_member(m, bare="LINESTRING")
+             for m in _split_members(_body(s))]
+        )
+    if kind == "MULTISURFACE":
+        # bare ((...)) members are polygons
+        return G.wkb_multisurface(
+            [_curve_member(m, bare="POLYGON")
+             for m in _split_members(_body(s))]
         )
     raise ValueError(f"unsupported WKT type: {s[:24]}")
+
+
+def _split_members(body: str) -> list[str]:
+    """Split a container body on depth-0 commas."""
+    members = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            members.append(body[start:i])
+            start = i + 1
+    members.append(body[start:])
+    return [m.strip() for m in members if m.strip()]
+
+
+def _curve_member(m: str, bare: str) -> bytes:
+    """A curve-container member: typed sub-WKT, or a bare parenthesized
+    form interpreted as ``bare`` (OGC shorthand)."""
+    if m.lstrip().startswith("("):
+        return wkt_to_wkb(f"{bare} {m}")
+    return wkt_to_wkb(m)
 
 
 def _fmt(v: float) -> str:
@@ -130,6 +166,18 @@ def wkb_to_wkt(wkb: bytes) -> str:
             wkb_to_wkt(G._reencode_member(b, nd, p)) for b, nd, p in payload
         ]
         return "GEOMETRYCOLLECTION (" + ", ".join(parts) + ")"
+    if base == G.WKB_CIRCULARSTRING:
+        return f"CIRCULARSTRING{ztag} " + _ring_txt(payload)
+    if base in (G.WKB_COMPOUNDCURVE, G.WKB_CURVEPOLYGON,
+                G.WKB_MULTICURVE, G.WKB_MULTISURFACE):
+        name = {G.WKB_COMPOUNDCURVE: "COMPOUNDCURVE",
+                G.WKB_CURVEPOLYGON: "CURVEPOLYGON",
+                G.WKB_MULTICURVE: "MULTICURVE",
+                G.WKB_MULTISURFACE: "MULTISURFACE"}[base]
+        parts = [
+            wkb_to_wkt(G._reencode_member(b, nd, p)) for b, nd, p in payload
+        ]
+        return f"{name} (" + ", ".join(parts) + ")"
     raise ValueError(f"unsupported WKB type {base}")
 
 
