@@ -167,3 +167,97 @@ def test_cosine_topk_ivf_contract(spark, sf_dir):
         assert overlap >= last
         last = overlap
     assert got == exact  # full probe degenerates to exact
+
+
+# --- round-3: WKB/WKT codec properties over the widened type set ---------
+
+_coord = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False, width=64)
+
+
+def _pts(min_n, max_n, dims):
+    return st.lists(
+        st.tuples(*([_coord] * dims)), min_size=min_n, max_size=max_n
+    ).map(lambda xs: np.array(xs, dtype=np.float64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(pts=_pts(2, 12, 2) | _pts(2, 12, 3))
+def test_wkb_roundtrip_linestring_property(pts):
+    from lib_gdal_spark.functions import geometry as G
+
+    base, ndim, payload = G.parse_wkb_full(G.wkb_linestring(pts))
+    assert base == G.WKB_LINESTRING and ndim == pts.shape[1]
+    assert np.array_equal(payload, pts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pts=_pts(1, 10, 2) | _pts(1, 10, 3))
+def test_wkb_roundtrip_multipoint_property(pts):
+    from lib_gdal_spark.functions import geometry as G
+
+    base, ndim, payload = G.parse_wkb_full(G.wkb_multipoint(pts))
+    assert base == G.WKB_MULTIPOINT and ndim == pts.shape[1]
+    assert np.array_equal(np.asarray(payload), pts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(pts=_pts(4, 10, 2))
+def test_wkt_roundtrip_polygon_property(pts):
+    """WKT text round trip is value-exact at %.15g for any ring."""
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.functions import wkt as W
+
+    ring = np.vstack([pts, pts[:1]])
+    wkb = G.wkb_polygon([ring])
+    again = W.wkt_to_wkb(W.wkb_to_wkt(wkb))
+    b2, rings = G.parse_wkb(again)
+    # %.15g loses at most 1 ulp; round-trip through repr-exact floats
+    assert np.allclose(rings[0], ring, rtol=1e-14, atol=1e-8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arr=st.lists(st.integers(0, 255), min_size=1, max_size=400),
+    w=st.integers(1, 40),
+)
+def test_checksum_partials_any_split(arr, w):
+    """Tile partials sum to the sequential checksum for ANY tiling."""
+    from hypothesis import assume
+
+    from lib_gdal_spark.kernels import checksum as K
+
+    n = (len(arr) // w) * w
+    assume(n > 0)
+    a = np.asarray(arr[:n], dtype=np.uint8).reshape(-1, w)
+    h = a.shape[0]
+    split = w // 2
+    if split == 0:
+        total = K.checksum_tile_partial(a, 0, 0, w)
+    else:
+        total = (K.checksum_tile_partial(a[:, :split], 0, 0, w)
+                 + K.checksum_tile_partial(a[:, split:], split, 0, w))
+    assert (total & 0xFFFF) == K.gdal_checksum(a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    x0=_coord, y0=_coord,
+    dx=st.floats(0.1, 100, allow_nan=False),
+    dy=st.floats(0.1, 100, allow_nan=False),
+)
+def test_arc_through_three_points_property(x0, y0, dx, dy):
+    """The stroked arc's vertices all lie on the circumcircle of the
+    3 defining points (when non-degenerate)."""
+    from lib_gdal_spark.functions import curves as CV
+
+    p0 = (x0, y0)
+    p1 = (x0 + dx, y0 + dy)
+    p2 = (x0 + 2 * dx, y0)
+    params = CV.get_curve_parameters(*p0, *p1, *p2)
+    if params is None:
+        return
+    R, cx, cy, *_ = params
+    pts = CV.stroke_arc3(p0, p1, p2)
+    d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+    assert np.max(np.abs(d - R)) < 1e-6 * max(1.0, R)

@@ -27,6 +27,10 @@ QUERIES = [
     "polygonize_components", "polygonize_rings", "grid_idw",
     "warp_utm_nearest", "layer_union", "graph_sssp", "band_stats",
     "dedup_exact", "minhash_lsh_pairs",
+    # round-3 additions
+    "raster_checksum", "raster_checksum_complex", "warp_ps_nearest",
+    "warp_albers_nearest", "translate_cubic", "pyramid_magphase_l1",
+    "ogr_special_fields", "grid_avgdist",
 ]
 
 
