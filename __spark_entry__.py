@@ -515,6 +515,44 @@ def q_vrt_pixelfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(db, ["px", "py"])
 
 
+def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBTiles SINK round trip (mbtilesdataset.cpp schema, TMS row flip,
+    real PNG payloads): write a z2 tile set to an actual .mbtiles SQLite
+    file, read it back, and emit per-tile pixel sums — distributed PNG
+    encode, single-writer file (inherent to the format)."""
+    import tempfile
+
+    from lib_gdal_spark.sinks import tilestore as TS
+
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+            arr = ((i + j + 17 * tx + 29 * ty) % 256).astype(np.float64)
+            rows.append(dict(
+                raster_id="m", band=1, zoom=2, tile_x=tx, tile_y=ty,
+                dtype="uint8", tile_w=64, tile_h=64,
+                gt0=0.0, gt1=1.0, gt2=0.0, gt3=0.0, gt4=0.0, gt5=-1.0,
+                nodata=None, pixels=arr.ravel().tolist(),
+            ))
+    tiles = spark.createDataFrame(pd.DataFrame(rows),
+                                  schema=RS.RASTER_SCHEMA)
+    path = tempfile.mktemp(suffix=".mbtiles")
+    TS.write_mbtiles(tiles, path, "m")
+    back = TS.read_mbtiles(spark, path)
+
+    def sums(batches):
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                arr = TS.decode_png_gray(bytes(r["png"]))
+                out.append((int(r["tile_x"]), int(r["tile_y"]),
+                            int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(out, columns=["tx", "ty", "px_sum"])
+
+    return back.mapInPandas(sums, schema="tx int, ty int, px_sum long")
+
+
 def q_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curve-type linearization (getLinearGeometry): a full-circle
     CURVEPOLYGON strokes at the 4-degree default step with the reference's
@@ -2103,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_cubic": q_translate_cubic,
         "grid_avgdist": q_grid_avgdist,
         "curve_linearize": q_curve_linearize,
+        "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_pixelfuncs": q_vrt_pixelfuncs,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -2287,6 +2326,15 @@ def oracle_sql() -> dict[str, str]:
             trunc((sin(x.px * 0.19) + cos(y.py * 0.13)) * 60.0 + 128.0))), 6)
             AS db
         FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
+    sqls["mbtiles_roundtrip"] = """
+        SELECT CAST(tx.v AS INTEGER) AS tx, CAST(ty.v AS INTEGER) AS ty,
+               CAST(sum((i.v + j.v + 17 * tx.v + 29 * ty.v) % 256)
+                    AS BIGINT) AS px_sum
+        FROM generate_series(0, 3) tx(v) CROSS JOIN generate_series(0, 3) ty(v)
+        CROSS JOIN generate_series(0, 63) i(v) CROSS JOIN generate_series(0, 63) j(v)
+        GROUP BY tx.v, ty.v
     """
 
     sqls["curve_linearize"] = """

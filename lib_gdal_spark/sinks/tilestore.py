@@ -1,0 +1,269 @@
+"""MBTiles / GeoPackage tile-store SINKS — real SQLite files.
+
+Schemas follow the reference drivers:
+
+- MBTiles (``drivers/raster/mbtiles/mbtilesdataset.cpp``): table
+  ``tiles(zoom_level, tile_column, tile_row, tile_data)`` + ``metadata``
+  key/value pairs; rows are **TMS-flipped** (``row = 2^z - 1 - y``,
+  ``:1136-1137``); web-mercator grid origin/extents at ``:61-62``.
+- GeoPackage tiles (OGC GPKG 1.2, the layout ``drivers/raster/gpkg``
+  consumes): ``gpkg_spatial_ref_sys`` / ``gpkg_contents`` /
+  ``gpkg_tile_matrix_set`` / ``gpkg_tile_matrix`` + a pyramid user table
+  ``(id, zoom_level, tile_column, tile_row, tile_data)``; rows are
+  top-down (NOT flipped).
+
+Tile payloads are real 8-bit grayscale PNGs written by a dependency-free
+encoder (zlib + the public PNG spec) so any standard client can open the
+files. The CPU-heavy part — PNG encoding — runs DISTRIBUTED in an Arrow
+batch map; only the compressed blobs funnel to the single SQLite writer,
+which is inherent to both formats (one .sqlite file). ``max_bytes``
+guards the driver-side funnel; beyond it, shard by zoom into multiple
+files (the standard practice for planet-scale tile sets).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORIGIN_SHIFT = 20037508.342789244  # mbtilesdataset.cpp:61
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free PNG (8-bit grayscale, filter 0) — public PNG spec.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 -> grayscale PNG bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_gray(png: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_png_gray` (accepts filter-0 scanlines)."""
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    off = 8
+    w = h = None
+    idat = b""
+    while off < len(png):
+        (ln,) = struct.unpack_from(">I", png, off)
+        tag = png[off + 4 : off + 8]
+        data = png[off + 8 : off + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack_from(">IIBB", data)
+            assert bits == 8 and ctype == 0, "only 8-bit gray supported"
+        elif tag == b"IDAT":
+            idat += data
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    stride = w + 1
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        assert row[0] == 0, "only filter 0 supported"
+        out[r] = np.frombuffer(row[1:], dtype=np.uint8)
+    return out
+
+
+def _encoded_tiles(tiles: DataFrame, raster_id: str, band: int) -> DataFrame:
+    """Distributed PNG encode -> (zoom, tile_x, tile_y, png binary)."""
+    src = tiles.where(
+        (F.col("raster_id") == raster_id) & (F.col("band") == band)
+    ).select("zoom", "tile_x", "tile_y", "tile_w", "tile_h", "pixels")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                arr = np.asarray(r["pixels"], np.float64).reshape(
+                    int(r["tile_h"]), int(r["tile_w"]))
+                png = encode_png_gray(np.clip(arr, 0, 255))
+                rows.append((int(r["zoom"]), int(r["tile_x"]),
+                             int(r["tile_y"]), png))
+            yield pd.DataFrame(
+                rows, columns=["zoom", "tile_x", "tile_y", "png"])
+
+    return src.mapInPandas(
+        work, schema="zoom int, tile_x int, tile_y int, png binary")
+
+
+def write_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    raster_id: str,
+    band: int = 1,
+    name: str | None = None,
+    max_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Tile table -> a standard .mbtiles file; returns tile count.
+
+    ``tiles`` rows must carry web-mercator (z, x, y) keys in
+    (zoom, tile_x, tile_y) — i.e. the output of the warp/tile pipeline.
+    """
+    enc = _encoded_tiles(tiles, raster_id, band)
+    rows = enc.collect()
+    total = sum(len(r["png"]) for r in rows)
+    if total > max_bytes:
+        raise ValueError(
+            f"MBTiles payload {total} B exceeds max_bytes={max_bytes}; "
+            "shard by zoom into multiple files for larger sets")
+    zooms = [r["zoom"] for r in rows] or [0]
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("CREATE TABLE IF NOT EXISTS metadata (name text, value text)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS tiles (zoom_level integer, "
+            "tile_column integer, tile_row integer, tile_data blob)")
+        cur.execute(
+            "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles "
+            "(zoom_level, tile_column, tile_row)")
+        meta = {
+            "name": name or raster_id,
+            "type": "overlay",
+            "version": "1.1",
+            "format": "png",
+            "minzoom": str(min(zooms)),
+            "maxzoom": str(max(zooms)),
+            "bounds": "-180.0,-85.051129,180.0,85.051129",
+        }
+        cur.executemany("INSERT INTO metadata VALUES (?, ?)", meta.items())
+        cur.executemany(
+            "INSERT OR REPLACE INTO tiles VALUES (?, ?, ?, ?)",
+            [
+                # TMS row flip (mbtilesdataset.cpp:1136)
+                (r["zoom"], r["tile_x"],
+                 (1 << r["zoom"]) - 1 - r["tile_y"],
+                 sqlite3.Binary(bytes(r["png"])))
+                for r in rows
+            ],
+        )
+        con.commit()
+    finally:
+        con.close()
+    return len(rows)
+
+
+def write_gpkg_tiles(
+    tiles: DataFrame,
+    path: str,
+    raster_id: str,
+    table_name: str = "tiles",
+    band: int = 1,
+    tile_px: int = 256,
+    max_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Tile table -> a GeoPackage with one tile-pyramid table; returns
+    tile count. Web-mercator (EPSG:3857) tile matrix set."""
+    enc = _encoded_tiles(tiles, raster_id, band)
+    rows = enc.collect()
+    total = sum(len(r["png"]) for r in rows)
+    if total > max_bytes:
+        raise ValueError(
+            f"GPKG payload {total} B exceeds max_bytes={max_bytes}")
+    zooms = sorted({r["zoom"] for r in rows}) or [0]
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        cur.execute("PRAGMA user_version = 10200")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER "
+            "NOT NULL, definition TEXT NOT NULL, description TEXT)")
+        cur.execute(
+            "INSERT OR REPLACE INTO gpkg_spatial_ref_sys VALUES "
+            "('Web Mercator', 3857, 'EPSG', 3857, 'PROJCS[...]', NULL)")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,"
+            "identifier TEXT UNIQUE, description TEXT DEFAULT '', "
+            "last_change DATETIME, min_x DOUBLE, min_y DOUBLE, "
+            "max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
+        cur.execute(
+            "INSERT OR REPLACE INTO gpkg_contents VALUES "
+            "(?, 'tiles', ?, '', datetime('now'), ?, ?, ?, ?, 3857)",
+            (table_name, raster_id, -ORIGIN_SHIFT, -ORIGIN_SHIFT,
+             ORIGIN_SHIFT, ORIGIN_SHIFT))
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_tile_matrix_set ("
+            "table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,"
+            "min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL, "
+            "max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)")
+        cur.execute(
+            "INSERT OR REPLACE INTO gpkg_tile_matrix_set VALUES "
+            "(?, 3857, ?, ?, ?, ?)",
+            (table_name, -ORIGIN_SHIFT, -ORIGIN_SHIFT, ORIGIN_SHIFT,
+             ORIGIN_SHIFT))
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_tile_matrix ("
+            "table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL, "
+            "matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,"
+            "tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL, "
+            "pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL, "
+            "CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))")
+        for z in zooms:
+            n = 1 << z
+            px = 2.0 * ORIGIN_SHIFT / n / tile_px
+            cur.execute(
+                "INSERT OR REPLACE INTO gpkg_tile_matrix VALUES "
+                "(?, ?, ?, ?, ?, ?, ?, ?)",
+                (table_name, z, n, n, tile_px, tile_px, px, px))
+        cur.execute(
+            f"CREATE TABLE IF NOT EXISTS {table_name} ("
+            "id INTEGER PRIMARY KEY AUTOINCREMENT, "
+            "zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, "
+            "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL, "
+            "UNIQUE (zoom_level, tile_column, tile_row))")
+        cur.executemany(
+            f"INSERT OR REPLACE INTO {table_name} "
+            "(zoom_level, tile_column, tile_row, tile_data) "
+            "VALUES (?, ?, ?, ?)",
+            [
+                # GPKG rows are top-down: NO flip
+                (r["zoom"], r["tile_x"], r["tile_y"],
+                 sqlite3.Binary(bytes(r["png"])))
+                for r in rows
+            ],
+        )
+        con.commit()
+    finally:
+        con.close()
+    return len(rows)
+
+
+def read_mbtiles(spark, path: str) -> DataFrame:
+    """Read an .mbtiles back into a (zoom, tile_x, tile_y, png) DataFrame
+    (driver-side SQLite scan; the SOURCE side of the round trip)."""
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles").fetchall()
+    finally:
+        con.close()
+    data = [
+        (int(z), int(x), (1 << int(z)) - 1 - int(row), bytes(blob))
+        for z, x, row, blob in rows
+    ]
+    return spark.createDataFrame(
+        data, "zoom int, tile_x int, tile_y int, png binary")

@@ -1,0 +1,100 @@
+"""MBTiles / GeoPackage sinks: real SQLite files, PNG payloads, schema and
+pixel-exact round trips (mbtilesdataset.cpp schema + TMS row flip)."""
+
+import os
+import sqlite3
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.sinks import tilestore as TS
+from lib_gdal_spark.sources import rasters as RX
+
+
+def test_png_codec_roundtrip():
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(64, 48), dtype=np.uint8)
+    png = TS.encode_png_gray(arr)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(TS.decode_png_gray(png), arr)
+
+
+@pytest.fixture()
+def merc_tiles(spark):
+    """A small z2 web-mercator tile set (4x4 tiles, 64 px, byte values)."""
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+            arr = ((i + j + 17 * tx + 29 * ty) % 256).astype(np.float64)
+            rows.append(dict(
+                raster_id="m", band=1, zoom=2, tile_x=tx, tile_y=ty,
+                dtype="uint8", tile_w=64, tile_h=64,
+                gt0=0.0, gt1=1.0, gt2=0.0, gt3=0.0, gt4=0.0, gt5=-1.0,
+                nodata=None,
+                pixels=arr.ravel().tolist(),
+            ))
+    return spark.createDataFrame(pd.DataFrame(rows),
+                                 schema=RX.RASTER_SCHEMA)
+
+
+def test_mbtiles_write_and_roundtrip(spark, merc_tiles):
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "out.mbtiles")
+    n = TS.write_mbtiles(merc_tiles, path, "m", name="test set")
+    assert n == 16
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "png" and meta["minzoom"] == "2"
+    # TMS flip: our (zoom=2, tile_y=0) row must be stored as tile_row=3
+    blob = con.execute(
+        "SELECT tile_data FROM tiles WHERE zoom_level=2 AND "
+        "tile_column=0 AND tile_row=3").fetchone()[0]
+    con.close()
+    arr = TS.decode_png_gray(bytes(blob))
+    j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    assert np.array_equal(arr, ((i + j) % 256).astype(np.uint8))
+    # source round trip (flip undone)
+    back = TS.read_mbtiles(spark, path)
+    assert back.count() == 16
+    r = back.where((F.col("tile_x") == 1) & (F.col("tile_y") == 2)) \
+        .collect()[0]
+    got = TS.decode_png_gray(bytes(r["png"]))
+    assert np.array_equal(got, ((i + j + 17 * 1 + 29 * 2) % 256)
+                          .astype(np.uint8))
+
+
+def test_gpkg_write(spark, merc_tiles):
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "out.gpkg")
+    n = TS.write_gpkg_tiles(merc_tiles, path, "m", tile_px=64)
+    assert n == 16
+    con = sqlite3.connect(path)
+    (app_id,) = con.execute("PRAGMA application_id").fetchone()
+    assert app_id == 1196444487  # 'GPKG'
+    assert con.execute(
+        "SELECT COUNT(*) FROM gpkg_tile_matrix WHERE table_name='tiles'"
+    ).fetchone()[0] == 1
+    mw, tw, pxs = con.execute(
+        "SELECT matrix_width, tile_width, pixel_x_size FROM "
+        "gpkg_tile_matrix WHERE zoom_level=2").fetchone()
+    assert mw == 4 and tw == 64
+    assert abs(pxs - 2 * TS.ORIGIN_SHIFT / 4 / 64) < 1e-6
+    # NO row flip in GPKG
+    blob = con.execute(
+        "SELECT tile_data FROM tiles WHERE zoom_level=2 AND "
+        "tile_column=0 AND tile_row=0").fetchone()[0]
+    con.close()
+    arr = TS.decode_png_gray(bytes(blob))
+    j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    assert np.array_equal(arr, ((i + j) % 256).astype(np.uint8))
+
+
+def test_mbtiles_size_guard(spark, merc_tiles):
+    d = tempfile.mkdtemp()
+    with pytest.raises(ValueError, match="max_bytes"):
+        TS.write_mbtiles(merc_tiles, os.path.join(d, "x.mbtiles"), "m",
+                         max_bytes=100)
