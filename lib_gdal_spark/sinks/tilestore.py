@@ -267,3 +267,89 @@ def read_mbtiles(spark, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         data, "zoom int, tile_x int, tile_y int, png binary")
+
+
+# ---------------------------------------------------------------------------
+# TMS directory layout (the on-disk analog of the reference's WMS/TMS
+# minidriver tree: {z}/{x}/{y}.png — frmts/wms/minidriver_tms.cpp URL
+# scheme). Writing is a foreachPartition fan-out (each task writes its own
+# files — safe, paths are disjoint); reading is Spark's distributed
+# binaryFile source + the Arrow-batched PNG decode, so neither direction
+# funnels pixels through the driver.
+# ---------------------------------------------------------------------------
+
+def write_tms_directory(
+    tiles: DataFrame, root: str, raster_id: str, band: int = 1
+) -> int:
+    """Tile table -> {root}/{z}/{x}/{y}.png files (TMS row flip)."""
+    import os
+
+    enc = _encoded_tiles(tiles, raster_id, band)
+
+    def write_part(rows) -> Iterator[pd.DataFrame]:
+        for b in rows:
+            n = 0
+            for _, r in b.iterrows():
+                z, x = int(r["zoom"]), int(r["tile_x"])
+                y = (1 << z) - 1 - int(r["tile_y"])  # TMS flip
+                d = os.path.join(root, str(z), str(x))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{y}.png"), "wb") as f:
+                    f.write(bytes(r["png"]))
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    out = enc.mapInPandas(write_part, schema="n long")
+    return sum(r["n"] for r in out.collect())
+
+
+def read_tms_directory(spark, root: str) -> DataFrame:
+    """{root}/{z}/{x}/{y}.png -> (zoom, tile_x, tile_y, png) DataFrame —
+    distributed binaryFile scan, flip undone."""
+    df = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.png"
+    ).option("recursiveFileLookup", "true").load(root)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                parts = r["path"].rstrip("/").split("/")
+                y = int(parts[-1].rsplit(".", 1)[0])
+                x = int(parts[-2])
+                z = int(parts[-3])
+                rows.append((z, x, (1 << z) - 1 - y, bytes(r["content"])))
+            yield pd.DataFrame(
+                rows, columns=["zoom", "tile_x", "tile_y", "png"])
+
+    return df.select("path", "content").mapInPandas(
+        parse, schema="zoom int, tile_x int, tile_y int, png binary")
+
+
+def tiles_from_pngs(pngs: DataFrame, raster_id: str = "tms",
+                    band: int = 1) -> DataFrame:
+    """(zoom, tile_x, tile_y, png) -> the engine's tile table (decode in
+    Arrow batches; geotransform from the web-mercator grid)."""
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for b in batches:
+            for _, r in b.iterrows():
+                arr = decode_png_gray(bytes(r["png"]))
+                z, tx, ty = int(r["zoom"]), int(r["tile_x"]), int(r["tile_y"])
+                n = 1 << z
+                span = 2.0 * ORIGIN_SHIFT / n
+                res = span / arr.shape[1]
+                rows.append(dict(
+                    raster_id=raster_id, band=band, zoom=z,
+                    tile_x=tx, tile_y=ty, dtype="uint8",
+                    tile_w=arr.shape[1], tile_h=arr.shape[0],
+                    gt0=-ORIGIN_SHIFT + tx * span, gt1=res, gt2=0.0,
+                    gt3=ORIGIN_SHIFT - ty * span, gt4=0.0, gt5=-res,
+                    nodata=None,
+                    pixels=arr.astype(np.float64).ravel().tolist(),
+                ))
+        yield pd.DataFrame(rows)
+
+    from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
+
+    return pngs.mapInPandas(work, schema=RASTER_SCHEMA)

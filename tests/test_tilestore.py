@@ -98,3 +98,22 @@ def test_mbtiles_size_guard(spark, merc_tiles):
     with pytest.raises(ValueError, match="max_bytes"):
         TS.write_mbtiles(merc_tiles, os.path.join(d, "x.mbtiles"), "m",
                          max_bytes=100)
+
+
+def test_tms_directory_roundtrip(spark, merc_tiles):
+    """{z}/{x}/{y}.png write (distributed fan-out) -> binaryFile read ->
+    decode == original pixels; also back to the tile table."""
+    d = tempfile.mkdtemp()
+    root = os.path.join(d, "tms")
+    n = TS.write_tms_directory(merc_tiles, root, "m")
+    assert n == 16
+    assert os.path.exists(os.path.join(root, "2", "0", "3.png"))  # flip
+    back = TS.read_tms_directory(spark, root)
+    assert back.count() == 16
+    tiles2 = TS.tiles_from_pngs(back, raster_id="m2")
+    j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    r = tiles2.where((F.col("tile_x") == 3) & (F.col("tile_y") == 1)) \
+        .collect()[0]
+    got = np.asarray(r["pixels"]).reshape(64, 64)
+    assert np.array_equal(got, (i + j + 17 * 3 + 29 * 1) % 256)
+    assert r["gt1"] == 2 * TS.ORIGIN_SHIFT / 4 / 64
