@@ -998,6 +998,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, threshold=0.8)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-word / top-bigram /
+    dup-trigram fractions), pure JVM with map-side-combinable gram
+    counts."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents")
+    out = TX.with_repetition(d)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document."""
     d = _t(spark, sf_dir, "documents")
@@ -2091,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -2915,6 +2932,57 @@ def oracle_sql() -> dict[str, str]:
                  regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
                  t -> trim(t) <> '')) AS INTEGER) AS n_bpe_tokens
         FROM documents
+    """
+
+    sqls["text_repetition"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        base AS (
+          SELECT doc_id, t, len(t) AS n FROM toks
+        ),
+        ex AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 unnest(range(1, n + 1)) AS i
+          FROM base
+        ),
+        bi AS (
+          SELECT doc_id, tok || ' ' || lead(tok) OVER w AS g
+          FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+          QUALIFY lead(tok) OVER w IS NOT NULL
+        ),
+        tri AS (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok) OVER w || ' '
+                     || lead(tok, 2) OVER w AS g
+          FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ),
+        bstat AS (
+          SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+          FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2)
+          GROUP BY doc_id
+        ),
+        tstat AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / sum(c) AS dup_trigram_frac
+          FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2)
+          GROUP BY doc_id
+        ),
+        dw AS (
+          SELECT doc_id,
+                 1.0 - CAST(count(DISTINCT tok) AS DOUBLE)
+                     / greatest(count(*), 1) AS dup_word_frac
+          FROM ex GROUP BY doc_id
+        )
+        SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+               round(dw.dup_word_frac, 6) AS dup_word_frac,
+               round(coalesce(bstat.top_bigram_frac, 0.0), 6)
+                 AS top_bigram_frac,
+               round(coalesce(tstat.dup_trigram_frac, 0.0), 6)
+                 AS dup_trigram_frac
+        FROM dw LEFT JOIN bstat USING (doc_id) LEFT JOIN tstat USING (doc_id)
     """
 
     sqls["text_quality"] = r"""

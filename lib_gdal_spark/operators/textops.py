@@ -125,3 +125,56 @@ def with_lang_id(docs: DataFrame, text_col: str = "text",
         return out
 
     return docs.withColumn(out_col, lang_udf(F.col(text_col)))
+
+
+def with_repetition(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), pure JVM:
+
+    - ``dup_word_frac``: 1 − distinct/total tokens (array functions);
+    - ``top_bigram_frac``: occurrences of the most frequent bigram over
+      total bigrams;
+    - ``dup_trigram_frac``: fraction of trigram occurrences whose trigram
+      appears more than once.
+
+    The bigram/trigram counts run as explode + map-side-combinable
+    groupBys keyed by (doc, gram) — O(corpus tokens) shuffle of small
+    keys, the same scale shape as the shingle dedup path.
+    """
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " +").alias("t")
+    ).withColumn("n_tok", F.size("t"))
+    base = toks.select(
+        id_col, "n_tok",
+        (1.0 - F.size(F.array_distinct("t"))
+         / F.greatest(F.col("n_tok"), F.lit(1))).alias("dup_word_frac"),
+        F.when(F.size("t") >= 2, F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
+                                  F.element_at(F.col("t"), i + 2)),
+        )).otherwise(F.array()).alias("bigrams"),
+        F.when(F.size("t") >= 3, F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
+                                  F.element_at(F.col("t"), i + 2),
+                                  F.element_at(F.col("t"), i + 3)),
+        )).otherwise(F.array()).alias("trigrams"),
+    )
+    bg = (
+        base.select(id_col, F.explode("bigrams").alias("g"))
+        .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    tg = (
+        base.select(id_col, F.explode("trigrams").alias("g"))
+        .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(
+            (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+             / F.sum("c")).alias("dup_trigram_frac"))
+    )
+    return (
+        base.select(id_col, "dup_word_frac")
+        .join(bg, id_col, "left").join(tg, id_col, "left")
+        .fillna(0.0, ["top_bigram_frac", "dup_trigram_frac"])
+    )

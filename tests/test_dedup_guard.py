@@ -55,3 +55,25 @@ def test_minhash_lsh_unpersists(spark):
     # the localCheckpoint RDD of the *result* may persist until GC, but the
     # signature cache itself must be gone (net growth <= 1 checkpoint RDD)
     assert after - before <= 1
+
+
+def test_repetition_filters(spark):
+    """Gopher-style repetition fractions vs hand-computed values."""
+    from lib_gdal_spark.operators import textops as TX
+
+    docs = _docs(spark, [
+        "a a a a",                # dup_word 3/4; top bigram 'a a' 3/3
+        "x y z w",                # no repetition
+        "p q p q p q",            # bigrams: pq qp pq qp pq -> top 3/5
+        "one",                    # single token: no bigrams/trigrams
+    ])
+    out = {r["doc_id"]: r for r in TX.with_repetition(docs).collect()}
+    assert abs(out[0]["dup_word_frac"] - 0.75) < 1e-12
+    assert out[0]["top_bigram_frac"] == 1.0
+    assert out[0]["dup_trigram_frac"] == 1.0
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 3.0 / 5.0) < 1e-12
+    # trigrams of doc2: pqp qpq pqp qpq -> all duplicated
+    assert out[2]["dup_trigram_frac"] == 1.0
+    assert out[3]["top_bigram_frac"] == 0.0
