@@ -2011,6 +2011,49 @@ def q_ogr_geometry_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("area", F.round("area", 6))
 
 
+def q_ogr_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs: vector-layer reprojection through the EPSG registry
+    (every WKB coordinate src.inverse -> dst.forward, Arrow-batched) —
+    4326 boxes to web-mercator, envelopes value-checked."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.functions import crs as CRS
+
+    pts = _points(spark, sf_dir).where(F.col("pid") < 1500)
+    # mercator needs |lat| < 90; boxes stay inside +-85
+    pts = pts.where((F.col("lat") > -83.0) & (F.col("lat") < 83.0))
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                ring = G.box_ring(lon - 1.0, lat - 0.5, lon + 1.0, lat + 0.5)
+                rows.append({"fid": pid, "geom_wkb": G.wkb_polygon([ring])})
+            yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
+
+    layer = pts.mapInPandas(boxes, schema="fid long, geom_wkb binary")
+    out = CRS.reproject_layer(layer, 4326, 3857)
+
+    def envs(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, wkb in zip(b["fid"], b["geom_wkb"]):
+                minx, miny, maxx, maxy = G.envelope(bytes(wkb))
+                rows.append((fid, minx, miny, maxx, maxy))
+            yield pd.DataFrame(
+                rows, columns=["fid", "minx", "miny", "maxx", "maxy"])
+
+    env = out.mapInPandas(
+        envs, schema="fid long, minx double, miny double, "
+                     "maxx double, maxy double")
+    return env.select(
+        "fid", F.round("minx", 4).alias("minx"),
+        F.round("miny", 4).alias("miny"),
+        F.round("maxx", 4).alias("maxx"),
+        F.round("maxy", 4).alias("maxy"),
+    )
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (fixed spherical codebook + inverted-list probe + exact
     re-rank). Full probe here so the result is deterministic-exact for the
@@ -2155,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_execute_sql": q_ogr_execute_sql,
         "ogr_special_fields": q_ogr_special_fields,
         "ogr_geometry_types": q_ogr_geometry_types,
+        "ogr_reproject": q_ogr_reproject,
         "translate_cubic": q_translate_cubic,
         "grid_avgdist": q_grid_avgdist,
         "curve_linearize": q_curve_linearize,
@@ -4147,6 +4191,19 @@ def oracle_sql() -> dict[str, str]:
                ELSE 0.0 END, 6) AS area
         FROM generate_series(0, 59) t(fid)
         ORDER BY fid
+    """
+
+    sqls["ogr_reproject"] = f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT pid AS fid,
+          round(6378137.0 * radians(lon - 1.0), 4) AS minx,
+          round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat - 0.5) / 2.0)), 4)
+            AS miny,
+          round(6378137.0 * radians(lon + 1.0), 4) AS maxx,
+          round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat + 0.5) / 2.0)), 4)
+            AS maxy
+        FROM pts
+        WHERE pid < 1500 AND lat > -83.0 AND lat < 83.0
     """
 
     sqls["ogr_special_fields"] = f"""

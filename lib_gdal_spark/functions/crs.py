@@ -20,6 +20,7 @@ sub-micrometer.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 
 # Ellipsoids (a, 1/f) — public EPSG definitions.
 WGS84_A = 6378137.0
@@ -437,3 +438,70 @@ def get_crs_transform(epsg: int):
             f"TransverseMercator/LambertConformalConic/AlbersEqualArea/"
             f"PolarStereographic directly for custom parameters"
         ) from None
+
+
+def transform_wkb(wkb: bytes, fwd) -> bytes:
+    """Apply a vectorized ``(x, y) -> (x', y')`` transform to every
+    coordinate of a WKB geometry (Z passes through) — the geometry side
+    of ``ogr2ogr -t_srs`` (``OGRGeometry::transform``,
+    ``core/ogr/ogrgeometry.cpp``; batch contract of ``ogrct.cpp:1335``)."""
+    from lib_gdal_spark.functions import geometry as G
+
+    def tx_arr(arr):
+        arr = np.asarray(arr, np.float64)
+        x, y = fwd(arr[:, 0], arr[:, 1])
+        out = arr.copy()
+        out[:, 0] = x
+        out[:, 1] = y
+        return out
+
+    def walk(base, ndim, payload):
+        if base == G.WKB_POINT:
+            p = tx_arr(np.asarray(payload, np.float64)[None, :])
+            return G.wkb_point(*p[0])
+        if base in (G.WKB_LINESTRING, G.WKB_CIRCULARSTRING):
+            ctor = (G.wkb_linestring if base == G.WKB_LINESTRING
+                    else G.wkb_circularstring)
+            return ctor(tx_arr(payload))
+        if base == G.WKB_MULTIPOINT:
+            return G.wkb_multipoint(tx_arr(payload))
+        if base == G.WKB_POLYGON:
+            return G.wkb_polygon([tx_arr(r) for r in payload])
+        if base == G.WKB_MULTILINESTRING:
+            return G.wkb_multilinestring([tx_arr(ln) for ln in payload])
+        if base == G.WKB_MULTIPOLYGON:
+            return G.wkb_multipolygon(
+                [[tx_arr(r) for r in poly] for poly in payload])
+        if base in (G.WKB_GEOMETRYCOLLECTION, G.WKB_COMPOUNDCURVE,
+                    G.WKB_CURVEPOLYGON, G.WKB_MULTICURVE,
+                    G.WKB_MULTISURFACE):
+            members = [walk(b, nd, p) for b, nd, p in payload]
+            if base == G.WKB_GEOMETRYCOLLECTION:
+                return G.wkb_geometrycollection(members)
+            return G._wkb_container(base, members)
+        raise ValueError(f"transform_wkb: unsupported type {base}")
+
+    return walk(*G.parse_wkb_full(wkb))
+
+
+def reproject_layer(df, src_epsg: int, dst_epsg: int,
+                    geom_col: str = "geom_wkb"):
+    """ogr2ogr -s_srs/-t_srs over a layer DataFrame: every geometry's
+    coordinates run src.inverse -> dst.forward through the EPSG registry,
+    Arrow-batched."""
+    from pyspark.sql import functions as F
+
+    src = get_crs_transform(src_epsg)
+    dst = get_crs_transform(dst_epsg)
+
+    def fwd(x, y):
+        lon, lat = src.inverse(x, y)
+        return dst.forward(lon, lat)
+
+    @F.pandas_udf("binary")
+    def _tx(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: None if b is None else transform_wkb(bytes(b), fwd)
+        )
+
+    return df.withColumn(geom_col, _tx(F.col(geom_col)))

@@ -203,3 +203,44 @@ def test_epsg_registry_anchor_points():
         dlon = (lon2 - lons + 180.0) % 360.0 - 180.0  # inverse lon is
         assert np.max(np.abs(dlon)) < 1e-8, code       # (lon0-180, lon0+180]
         assert np.max(np.abs(lat2 - lats)) < 1e-8, code
+
+
+def test_transform_wkb_all_types():
+    """transform_wkb walks every geometry type, Z untouched."""
+    from lib_gdal_spark.functions import crs as CRS
+    from lib_gdal_spark.functions.wkt import wkb_to_wkt, wkt_to_wkb
+
+    def double_xy(x, y):
+        return np.asarray(x) * 2.0, np.asarray(y) * 3.0
+
+    cases = {
+        "POINT (1 2)": "POINT (2 6)",
+        "POINT Z (1 2 9)": "POINT Z (2 6 9)",
+        "MULTIPOINT ((1 1), (2 2))": "MULTIPOINT ((2 3), (4 6))",
+        "LINESTRING (0 0, 1 1)": "LINESTRING (0 0, 2 3)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))":
+            "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))":
+            "GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (0 0, 2 0))",
+        "CIRCULARSTRING (0 0, 1 1, 2 0)": "CIRCULARSTRING (0 0, 2 3, 4 0)",
+    }
+    for src, want in cases.items():
+        got = wkb_to_wkt(CRS.transform_wkb(wkt_to_wkb(src), double_xy))
+        assert got == want, (src, got)
+
+
+def test_reproject_layer_roundtrip(spark):
+    """4326 -> 3857 -> 4326 returns the original coordinates."""
+    from lib_gdal_spark.functions import crs as CRS
+    from lib_gdal_spark.functions import geometry as G
+
+    rows = [(i, bytearray(G.wkb_point(float(i * 3 - 60), float(i * 2 - 40))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "fid long, geom_wkb binary")
+    merc = CRS.reproject_layer(df, 4326, 3857)
+    back = CRS.reproject_layer(merc, 3857, 4326)
+    for r in back.collect():
+        base, (x, y) = G.parse_wkb(bytes(r["geom_wkb"]))
+        i = r["fid"]
+        assert abs(x - (i * 3 - 60)) < 1e-9
+        assert abs(y - (i * 2 - 40)) < 1e-9
