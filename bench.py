@@ -82,6 +82,8 @@ BENCH = {
     "raster_checksum": lambda s: _force(E.q_raster_checksum(s, SF_DIR)),
     "pyramid_magphase": lambda s: _force(E.q_pyramid_magphase_l1(s, SF_DIR)),
     "special_fields": lambda s: _force(E.q_ogr_special_fields(s, SF_DIR)),
+    "text_repetition": lambda s: _force(E.q_text_repetition(s, SF_DIR)),
+    "ogr_reproject": lambda s: _force(E.q_ogr_reproject(s, SF_DIR)),
 }
 
 
