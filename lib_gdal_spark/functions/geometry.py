@@ -32,6 +32,9 @@ WKB_COMPOUNDCURVE = 9    # via functions.curves.curve_to_line before
 WKB_CURVEPOLYGON = 10    # feeding the planar operators
 WKB_MULTICURVE = 11
 WKB_MULTISURFACE = 12
+WKB_POLYHEDRALSURFACE = 15
+WKB_TIN = 16
+WKB_TRIANGLE = 17
 WKB_25D_BIT = 0x80000000  # OGR wkb25DBit (ogr_core.h:410)
 
 Ring = np.ndarray  # (n, 2|3) float64, closed (first == last point)
@@ -132,6 +135,33 @@ def wkb_multisurface(members: list[bytes]) -> bytes:
     return _wkb_container(WKB_MULTISURFACE, members)
 
 
+def wkb_triangle(ring: np.ndarray) -> bytes:
+    ring = np.asarray(ring, dtype="<f8")
+    code = _type_code(WKB_TRIANGLE, _dims(ring))
+    return (struct.pack("<BII", 1, code, 1)
+            + struct.pack("<I", len(ring)) + ring.tobytes())
+
+
+def wkb_tin(triangles: list[bytes]) -> bytes:
+    return _wkb_container(WKB_TIN, triangles)
+
+
+def wkb_polyhedralsurface(polygons: list[bytes]) -> bytes:
+    return _wkb_container(WKB_POLYHEDRALSURFACE, polygons)
+
+
+def surface_to_multipolygon(wkb: bytes) -> bytes:
+    """TIN / PolyhedralSurface / Triangle -> MultiPolygon (the
+    CastToMultiPolygon coercion OGR applies when a planar consumer needs
+    them — ogr_geometry.h TIN/PolyhedralSurface docs)."""
+    base, ndim, payload = parse_wkb_full(wkb)
+    if base == WKB_TRIANGLE:
+        return wkb_multipolygon([payload])
+    if base in (WKB_TIN, WKB_POLYHEDRALSURFACE):
+        return wkb_multipolygon([p for _, _, p in payload])
+    return wkb
+
+
 def _decode_type(raw: int) -> tuple[int, int]:
     """Raw WKB type word -> (base type, ndim). Accepts ISO (base+1000) and
     the OGR 2.5D flag (``ogr_core.h:410``)."""
@@ -179,7 +209,8 @@ def _parse_full(buf: memoryview, off: int) -> tuple[int, int, object, int]:
                             offset=off + 4)
         return base, ndim, np.ascontiguousarray(
             arr.reshape(npts, ndim), dtype=np.float64), off + 4 + npts * 8 * ndim
-    if base == WKB_POLYGON:
+    if base in (WKB_POLYGON, WKB_TRIANGLE):
+        # Triangle shares the Polygon body layout (ogr_core.h:340)
         rings, off = _parse_polygon_body(buf, off, ndim)
         return base, ndim, rings, off
     if base == WKB_MULTIPOINT:
@@ -215,7 +246,8 @@ def _parse_full(buf: memoryview, off: int) -> tuple[int, int, object, int]:
         return base, ndim, np.ascontiguousarray(
             arr.reshape(npts, ndim), dtype=np.float64), off + 4 + npts * 8 * ndim
     if base in (WKB_GEOMETRYCOLLECTION, WKB_COMPOUNDCURVE,
-                WKB_CURVEPOLYGON, WKB_MULTICURVE, WKB_MULTISURFACE):
+                WKB_CURVEPOLYGON, WKB_MULTICURVE, WKB_MULTISURFACE,
+                WKB_POLYHEDRALSURFACE, WKB_TIN):
         # all four curve containers share the collection layout: a count
         # followed by full sub-geometries with their own headers
         (n,) = struct.unpack_from("<I", buf, off)
@@ -319,8 +351,10 @@ def _reencode_member(base: int, ndim: int, payload) -> bytes:
         return wkb_multipolygon(payload)
     if base == WKB_CIRCULARSTRING:
         return wkb_circularstring(np.asarray(payload))
+    if base == WKB_TRIANGLE:
+        return wkb_triangle(payload[0])
     if base in (WKB_COMPOUNDCURVE, WKB_CURVEPOLYGON, WKB_MULTICURVE,
-                WKB_MULTISURFACE):
+                WKB_MULTISURFACE, WKB_TIN, WKB_POLYHEDRALSURFACE):
         members = [_reencode_member(b, nd, p) for b, nd, p in payload]
         return _wkb_container(base, members)
     raise ValueError(f"cannot re-encode member type {base}")

@@ -3,9 +3,12 @@
 
 Round 3 breadth (VERDICT r2 #5): POINT, LINESTRING, POLYGON (holes),
 MULTIPOINT (both nesting styles), MULTILINESTRING, MULTIPOLYGON,
-GEOMETRYCOLLECTION, and the Z variants of each (``POINT Z (x y z)`` and
-bare ``POINT (x y z)`` inputs both accepted, matching OGR's tolerant
-importFromWkt; curve/TIN types stay out — see ``ogr_core.h:317-410``).
+GEOMETRYCOLLECTION, the curve family (CIRCULARSTRING, COMPOUNDCURVE,
+CURVEPOLYGON, MULTICURVE, MULTISURFACE — linearize via
+``functions.curves``), TRIANGLE/TIN/POLYHEDRALSURFACE, and the Z
+variants of each (``POINT Z (x y z)`` and bare ``POINT (x y z)`` inputs
+both accepted, matching OGR's tolerant importFromWkt) — the full
+``ogr_core.h:317-410`` type table.
 """
 
 from __future__ import annotations
@@ -99,6 +102,19 @@ def wkt_to_wkb(wkt: str) -> bytes:
             [_curve_member(m, bare="POLYGON")
              for m in _split_members(_body(s))]
         )
+    if kind == "TRIANGLE":
+        rings = _rings(s[s.index("("):])
+        return G.wkb_triangle(rings[0])
+    if kind == "TIN":
+        return G.wkb_tin(
+            [_curve_member(m, bare="TRIANGLE")
+             for m in _split_members(_body(s))]
+        )
+    if kind == "POLYHEDRALSURFACE":
+        return G.wkb_polyhedralsurface(
+            [_curve_member(m, bare="POLYGON")
+             for m in _split_members(_body(s))]
+        )
     raise ValueError(f"unsupported WKT type: {s[:24]}")
 
 
@@ -168,12 +184,18 @@ def wkb_to_wkt(wkb: bytes) -> str:
         return "GEOMETRYCOLLECTION (" + ", ".join(parts) + ")"
     if base == G.WKB_CIRCULARSTRING:
         return f"CIRCULARSTRING{ztag} " + _ring_txt(payload)
+    if base == G.WKB_TRIANGLE:
+        return (f"TRIANGLE{ztag} ("
+                + ", ".join(_ring_txt(r) for r in payload) + ")")
     if base in (G.WKB_COMPOUNDCURVE, G.WKB_CURVEPOLYGON,
-                G.WKB_MULTICURVE, G.WKB_MULTISURFACE):
+                G.WKB_MULTICURVE, G.WKB_MULTISURFACE, G.WKB_TIN,
+                G.WKB_POLYHEDRALSURFACE):
         name = {G.WKB_COMPOUNDCURVE: "COMPOUNDCURVE",
                 G.WKB_CURVEPOLYGON: "CURVEPOLYGON",
                 G.WKB_MULTICURVE: "MULTICURVE",
-                G.WKB_MULTISURFACE: "MULTISURFACE"}[base]
+                G.WKB_MULTISURFACE: "MULTISURFACE",
+                G.WKB_TIN: "TIN",
+                G.WKB_POLYHEDRALSURFACE: "POLYHEDRALSURFACE"}[base]
         parts = [
             wkb_to_wkt(G._reencode_member(b, nd, p)) for b, nd, p in payload
         ]

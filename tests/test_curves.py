@@ -98,3 +98,33 @@ def test_multisurface_mixed_linearize():
 def test_linear_passthrough():
     wkb = W.wkt_to_wkb("LINESTRING (0 0, 1 1)")
     assert CV.curve_to_line(wkb) == wkb
+
+
+def test_tin_polyhedral_triangle():
+    """TIN / PolyhedralSurface / Triangle (ogr_core.h:340-350): codec
+    round trips + CastToMultiPolygon coercion."""
+    t = "TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0)), ((1 0 0, 1 1 0, 0 1 0, 1 0 0)))"
+    wkb = W.wkt_to_wkb(t)
+    base, ndim, payload = G.parse_wkb_full(wkb)
+    assert base == G.WKB_TIN and len(payload) == 2
+    assert payload[0][0] == G.WKB_TRIANGLE and payload[0][1] == 3
+    # WKT back: bare members import as TRIANGLE, export spells them
+    assert W.wkb_to_wkt(wkb) == ("TIN (TRIANGLE Z ((0 0 0, 1 0 0, 0 1 0, "
+                                 "0 0 0)), TRIANGLE Z ((1 0 0, 1 1 0, "
+                                 "0 1 0, 1 0 0)))")
+    mp = G.surface_to_multipolygon(wkb)
+    b2, polys = G.parse_wkb(mp)
+    assert b2 == G.WKB_MULTIPOLYGON and len(polys) == 2
+    # planar area of the two triangles = unit square
+    import numpy as np
+    tot = 0.0
+    for rings in polys:
+        x, y = rings[0][:-1, 0], rings[0][:-1, 1]
+        tot += 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(tot - 1.0) < 1e-12
+    ps = W.wkt_to_wkb(
+        "POLYHEDRALSURFACE (((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    assert W.wkb_to_wkt(ps) == \
+        "POLYHEDRALSURFACE (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+    tri = W.wkt_to_wkb("TRIANGLE ((0 0, 4 0, 0 4, 0 0))")
+    assert W.wkb_to_wkt(tri) == "TRIANGLE ((0 0, 4 0, 0 4, 0 0))"
