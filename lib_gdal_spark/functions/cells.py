@@ -201,3 +201,57 @@ def cell_radius_km(res: int, lat: float = 0.0) -> float:
     width_deg = 360.0 / (1 << res)
     km_per_deg = 111.32 * max(np.cos(np.radians(lat)), 1e-6)
     return float(width_deg * km_per_deg * 0.7071067811865476)
+
+
+def _spread_bits32(v):
+    """Spread a 32-bit int's bits to even positions of a 64-bit long —
+    JVM-only (shiftleft/bitwiseAND), the classic Morton magic numbers."""
+    from pyspark.sql import functions as F
+
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def zorder_key(x, y):
+    """Morton-interleave two non-negative 32-bit grid coordinates into one
+    long sort key — the Z-ORDER layout primitive for writing spatially
+    clustered parquet/Iceberg files (SURVEY §4: Iceberg pruning +
+    Z-ordering replaces the reference's attribute index). Pure JVM."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits32(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits32(y.cast("long")), 1)
+    )
+
+
+def with_zorder(df, lon_col: str = "lon", lat_col: str = "lat",
+                bits: int = 16, key_col: str = "zkey",
+                num_partitions: int | None = None):
+    """Add a Morton key from lon/lat quantized to ``bits`` per axis, and
+    return the DataFrame REPARTITIONED-BY-RANGE + sorted on it — the
+    write layout that makes min/max file skipping effective for spatial
+    predicates. Pass ``num_partitions`` (target file count) explicitly;
+    otherwise AQE may coalesce small shuffles into one file and the
+    layout degenerates."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    qx = F.least(
+        F.lit(n - 1),
+        F.floor((F.col(lon_col) + 180.0) / 360.0 * n).cast("long"),
+    )
+    qy = F.least(
+        F.lit(n - 1),
+        F.floor((F.col(lat_col) + 90.0) / 180.0 * n).cast("long"),
+    )
+    out = df.withColumn(key_col, zorder_key(qx, qy))
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, F.col(key_col))
+    else:
+        out = out.repartitionByRange(F.col(key_col))
+    return out.sortWithinPartitions(key_col)

@@ -192,3 +192,53 @@ def test_knn_kring_exact_auto_matches_bruteforce(spark, sf_dir):
     auto2 = {(r["qid"], r["rank"]): (r["tid"], r["dist_km"])
              for r in KNN.knn_kring_exact(q, t, k=5, res=12).collect()}
     assert auto2 == exact
+
+
+def test_zorder_key_matches_python(spark):
+    """JVM Morton interleave == bit-level python reference."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.functions import cells as C
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 1 << 16, 300)
+    ys = rng.integers(0, 1 << 16, 300)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long")
+    got = [r["k"] for r in df.select(
+        C.zorder_key(F.col("x"), F.col("y")).alias("k")).collect()]
+
+    def morton(a, b):
+        out = 0
+        for i in range(32):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == [morton(int(a), int(b)) for a, b in zip(xs, ys)]
+
+
+def test_with_zorder_locality(spark):
+    """Z-ordered layout: each output partition's lon/lat bounding box is
+    far smaller than the global extent (what makes min/max skipping
+    work), and the key order is preserved within partitions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.functions import cells as C
+
+    rng = np.random.default_rng(6)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in
+         zip(rng.uniform(-180, 180, 4000), rng.uniform(-85, 85, 4000))],
+        "lon double, lat double")
+    z = C.with_zorder(df, num_partitions=16).withColumn("pid", F.spark_partition_id())
+    stats = z.groupBy("pid").agg(
+        (F.max("lon") - F.min("lon")).alias("dl"),
+        (F.max("lat") - F.min("lat")).alias("db"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    # every populated partition covers a small fraction of the globe
+    areas = [r["dl"] * r["db"] for r in stats if r["n"] > 50]
+    assert areas and max(areas) < 360 * 170 * 0.35

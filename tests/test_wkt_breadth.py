@@ -160,3 +160,36 @@ def test_distance3d():
     d = C.distance3d(W.wkt_to_wkb("LINESTRING Z (0 0 0, 10 0 0)"),
                      W.wkt_to_wkb("LINESTRING Z (3 4 0, 8 4 0)"))
     assert abs(d - 4.0) < 1e-12
+
+
+def test_style_string_parser(spark):
+    """OGR feature-style strings (ogr_featurestyle.cpp semantics)."""
+    from lib_gdal_spark.functions import style as ST
+
+    got = ST.parse_style_string(
+        'PEN(c:#FF0000,w:2px);BRUSH(fc:#0000FF,bc:#FFFFFF)')
+    assert got[0]["tool"] == "PEN"
+    assert got[0]["params"] == {"c": "#FF0000", "w": "2"}
+    assert got[0]["units"] == {"w": "px"}
+    assert got[1]["tool"] == "BRUSH"
+    assert got[1]["params"]["fc"] == "#0000FF"
+    # quoted values keep commas; LABEL text
+    got = ST.parse_style_string('LABEL(f:"Arial, Bold",s:12pt,t:"Hi, there")')
+    assert got[0]["params"]["f"] == "Arial, Bold"
+    assert got[0]["params"]["t"] == "Hi, there"
+    assert got[0]["units"]["s"] == "pt"
+    assert ST.parse_style_string(None) == []
+    try:
+        ST.parse_style_string("WAT(c:1)")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # column form
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "PEN(c:#00FF00,w:3px)"), (2, None)], "fid long, st string")
+    rows = {r["fid"]: r["tools"] for r in df.select(
+        "fid", ST.style_tools(F.col("st")).alias("tools")).collect()}
+    assert rows[1][0]["tool"] == "PEN"
+    assert rows[1][0]["params"]["w"] == "3"
+    assert rows[2] is None
