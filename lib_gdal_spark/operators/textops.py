@@ -144,21 +144,32 @@ def with_repetition(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         id_col, F.split(F.col(text_col), " +").alias("t")
     ).withColumn("n_tok", F.size("t"))
+    # Grams via slice + zip_with, NOT transform-with-element_at: a lambda
+    # that references the outer array column re-evaluates the split() per
+    # ELEMENT (O(n^2) per row — measured 11 s on 270k tokens vs ~1 s for
+    # the slice form). zip_with walks aligned slices once.
+    t = F.col("t")
+    n = F.size("t")
+    bigram = F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array())
+    trigram = F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(F.slice(t, 1, n - 2), F.slice(t, 2, n - 2),
+                       lambda a, b: F.concat_ws(" ", a, b)),
+            F.slice(t, 3, n - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(F.array())
     base = toks.select(
         id_col, "n_tok",
         (1.0 - F.size(F.array_distinct("t"))
          / F.greatest(F.col("n_tok"), F.lit(1))).alias("dup_word_frac"),
-        F.when(F.size("t") >= 2, F.transform(
-            F.sequence(F.lit(0), F.size("t") - 2),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
-                                  F.element_at(F.col("t"), i + 2)),
-        )).otherwise(F.array()).alias("bigrams"),
-        F.when(F.size("t") >= 3, F.transform(
-            F.sequence(F.lit(0), F.size("t") - 3),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
-                                  F.element_at(F.col("t"), i + 2),
-                                  F.element_at(F.col("t"), i + 3)),
-        )).otherwise(F.array()).alias("trigrams"),
+        bigram.alias("bigrams"),
+        trigram.alias("trigrams"),
     )
     bg = (
         base.select(id_col, F.explode("bigrams").alias("g"))

@@ -42,6 +42,14 @@ def translate_window(
     """
     xoff, yoff, xs, ys = srcwin
     ow, oh = outsize or (xs, ys)
+    if xs * ys > 256 * 1024 * 1024:
+        # the window is assembled in ONE task by design (a windowed read
+        # IS one output window); don't let that become a silent OOM
+        raise ValueError(
+            f"translate_window assembles the {xs}x{ys} source window in "
+            f"one task ({xs * ys} px > 268M cap); split the request into "
+            f"smaller windows or keep data in the tile table"
+        )
     tx0, tx1 = xoff // tile, (xoff + xs - 1) // tile
     ty0, ty1 = yoff // tile, (yoff + ys - 1) // tile
 

@@ -218,19 +218,16 @@ def test_wkt_roundtrip_polygon_property(pts):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    arr=st.lists(st.integers(0, 255), min_size=1, max_size=400),
+    h=st.integers(1, 12),
     w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
 )
-def test_checksum_partials_any_split(arr, w):
+def test_checksum_partials_any_split(h, w, seed):
     """Tile partials sum to the sequential checksum for ANY tiling."""
-    from hypothesis import assume
-
     from lib_gdal_spark.kernels import checksum as K
 
-    n = (len(arr) // w) * w
-    assume(n > 0)
-    a = np.asarray(arr[:n], dtype=np.uint8).reshape(-1, w)
-    h = a.shape[0]
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     split = w // 2
     if split == 0:
         total = K.checksum_tile_partial(a, 0, 0, w)
