@@ -1319,6 +1319,38 @@ def q_complex_pixelfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GCP_DST_GT = (0.0, 4.0, 0.0, 512.0, 0.0, -4.0)
+# six exact GCPs of an affine dst-plane -> lon/lat georeferencing
+_GCP_AFFINE = (0.01, 0.002, -20.0, -0.003, 0.008, 10.0)
+
+
+def _gcp_points():
+    a1, a2, a0, b1, b2, b0 = _GCP_AFFINE
+    pts = [(0.0, 0.0), (512.0, 0.0), (0.0, 512.0), (512.0, 512.0),
+           (256.0, 128.0), (128.0, 384.0)]
+    return np.array([
+        (X, Y, a1 * X + a2 * Y + a0, b1 * X + b2 * Y + b0)
+        for X, Y in pts
+    ])
+
+
+def q_warp_gcp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp with GCP georeferencing (order-1 polynomial — the
+    GenImgProj GCP path, gdaltransformer.cpp): six exact ground control
+    points fit the dst->lon/lat polynomial and drive the SAME distributed
+    per-dst-tile warp as the CRS paths."""
+    from lib_gdal_spark.functions import transforms as T
+
+    inv = T.gcp_transform(_gcp_points(), order=1)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _GCP_DST_GT, 128, 128, inv, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster band statistics (gdalrasterband.cpp:3821 ComputeStatistics):
     JVM-side per-tile moments, closed-form fixtures oracle."""
@@ -2161,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_utm_nearest": q_warp_utm_nearest,
         "warp_ps_nearest": q_warp_ps_nearest,
         "warp_albers_nearest": q_warp_albers_nearest,
+        "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
         "complex_pixelfuncs": q_complex_pixelfuncs,
@@ -3266,6 +3299,48 @@ def oracle_sql() -> dict[str, str]:
             CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
                        + 1e-10) AS BIGINT) AS sx,
             CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE NULL END AS v
+        FROM sp
+    """
+
+    # GCP order-1 warp: embed the lstsq-RECOVERED polynomial coefficients
+    # (same fit the Spark query runs) as literals.
+    from lib_gdal_spark.functions import transforms as _T
+    _gcx, _gcy = _T.fit_gcp_polynomial(_gcp_points(), order=1)
+    g0g, g1g, _, g3g, _, g5g = _GCP_DST_GT
+    sqls["warp_gcp_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0g!r} + (px + 0.5) * {g1g!r} AS E,
+            {g3g!r} + (py + 0.5) * {g5g!r} AS N
+          FROM pix
+        ),
+        ll AS (
+          SELECT px, py,
+            {_gcx[0]!r} + {_gcx[1]!r} * E + {_gcx[2]!r} * N AS lon,
+            {_gcy[0]!r} + {_gcy[1]!r} * E + {_gcy[2]!r} * N AS lat
+          FROM en
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor((CAST({_winv[0]!r} AS DOUBLE)
+                        + lon * CAST({_winv[1]!r} AS DOUBLE)
+                        + lat * CAST({_winv[2]!r} AS DOUBLE))
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor((CAST({_winv[3]!r} AS DOUBLE)
+                        + lon * CAST({_winv[4]!r} AS DOUBLE)
+                        + lat * CAST({_winv[5]!r} AS DOUBLE))
                        + 1e-10) AS BIGINT) AS sy
           FROM ll
         )
