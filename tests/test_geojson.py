@@ -75,3 +75,29 @@ def test_geojson_seq_roundtrip(spark):
                     else wkb_to_wkt(bytes(r["geom_wkb"])))
          for r in back.collect()}
     assert a == b
+
+
+def test_csv_wkt_source(spark):
+    """CSV driver with a WKT geometry column (GEOM_POSSIBLE_NAMES path)."""
+    import tempfile
+
+    from lib_gdal_spark.sources.csvwkt import read_csv_wkt
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "layer.csv")
+    with open(p, "w") as f:
+        f.write('id,name,WKT\n')
+        f.write('1,alpha,"POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"\n')
+        f.write('2,beta,"POINT (5 6)"\n')
+        f.write('3,gamma,\n')  # empty geometry cell -> NULL
+    df = read_csv_wkt(spark, p, fid_col="id")
+    rows = {r["fid"]: r for r in df.collect()}
+    assert wkb_to_wkt(bytes(rows[1]["geom_wkb"])).startswith("POLYGON ((0 0")
+    assert wkb_to_wkt(bytes(rows[2]["geom_wkb"])) == "POINT (5 6)"
+    assert rows[3]["geom_wkb"] is None and rows[3]["name"] == "gamma"
+    # straight into the SQL front-end
+    from lib_gdal_spark.plans.ogr_parser import execute_sql
+    out = execute_sql({"lyr": df},
+                      "SELECT FID, OGR_GEOMETRY AS t FROM lyr "
+                      "WHERE OGR_GEOM_AREA > 1 ORDER BY FID").collect()
+    assert [(r["FID"], r["t"]) for r in out] == [(1, "POLYGON")]
