@@ -128,3 +128,42 @@ def test_tin_polyhedral_triangle():
         "POLYHEDRALSURFACE (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
     tri = W.wkt_to_wkb("TRIANGLE ((0 0, 4 0, 0 4, 0 0))")
     assert W.wkb_to_wkt(tri) == "TRIANGLE ((0 0, 4 0, 0 4, 0 0))"
+
+
+def test_curve_layer_through_layer_algebra(spark):
+    """A CURVEPOLYGON layer linearizes (Arrow batch) and flows into the
+    boolean-overlay layer algebra: circle ∩ half-covering box keeps
+    ~half the circle's area."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    rows = []
+    for fid in range(6):
+        cx = fid * 10.0
+        wkt = (f"CURVEPOLYGON (CIRCULARSTRING ({cx - 1} 0, {cx + 1} 0, "
+               f"{cx - 1} 0))")
+        rows.append((fid, bytearray(W.wkt_to_wkb(wkt))))
+    curves_df = spark.createDataFrame(rows, "fid long, geom_wkb binary")
+
+    def linearize(batches):
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                out.append((int(r["fid"]),
+                            CV.curve_to_line(bytes(r["geom_wkb"]))))
+            yield pd.DataFrame(out, columns=["fid", "geom_wkb"])
+
+    lin = curves_df.mapInPandas(linearize, schema="fid long, geom_wkb binary")
+    # method layer: boxes covering the UPPER half of each circle
+    boxes = spark.createDataFrame(
+        [(100 + fid, bytearray(G.wkb_polygon([G.box_ring(
+            fid * 10.0 - 2.0, 0.0, fid * 10.0 + 2.0, 2.0)])))
+         for fid in range(6)],
+        "fid long, geom_wkb binary")
+    inter = LA.intersection(lin, boxes, res=5)
+    got = inter.select("in_fid", "area").collect()
+    assert len(got) == 6
+    for r in got:
+        assert abs(r["area"] - np.pi / 2.0) < 0.01, r

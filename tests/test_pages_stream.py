@@ -94,3 +94,49 @@ def test_stream_cell_running_counts(spark, staged):
     gg = {r["cell"]: r["n"] for r in final.collect()}
     bb = {r["cell"]: r["count"] for r in batch.collect()}
     assert gg == bb
+
+
+def test_stream_restart_resumes_state(spark):
+    """Stop/restart from the SAME checkpoint: the applyInPandasWithState
+    dedup state survives — urls already emitted in run 1 do NOT re-emit
+    when run 2 replays them alongside new files (exactly-once across
+    restarts, the streaming face of the resumable-checkpoint contract)."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="pages_restart_")
+    src = os.path.join(d, "src")
+    sink = os.path.join(d, "sink")
+    ckpt = os.path.join(d, "ck")
+    os.makedirs(src)
+
+    batch1 = PG.generate_pages(spark, 2000, partitions=2)
+    batch1.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            PS.first_seen_urls(PS.enrich_stream(stream, res=12))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 2000  # all urls unique in one generation pass
+
+    # second arrival: the SAME 2000 urls again (duplicate file) plus
+    # 1000 genuinely new ones
+    batch1.write.mode("append").parquet(src)
+    new = PG.generate_pages(spark, 3000, partitions=2).exceptAll(batch1)
+    new.write.mode("append").parquet(src)
+
+    run_once()
+    out = spark.read.parquet(sink)
+    n2 = out.count()
+    assert out.select("url").distinct().count() == n2  # no re-emits
+    assert n2 == 3000  # 2000 from run 1 + exactly the 1000 new urls
