@@ -414,7 +414,9 @@ def warp_to_crs_tiles_dist(
     tile: int = 64,
     raster_id: str | None = None,
     out_id: str | None = None,
-    edge_samples: int = 7,
+    edge_samples: int = 7,  # retained for API compat; the window
+    # estimator now maps every dst pixel center (exact), so edge-sample
+    # density no longer matters
     cutline: list | None = None,
 ) -> DataFrame:
     """gdalwarp into an ARBITRARY target CRS grid (round-2, VERDICT #3).
