@@ -163,13 +163,20 @@ def surface_to_multipolygon(wkb: bytes) -> bytes:
 
 
 def _decode_type(raw: int) -> tuple[int, int]:
-    """Raw WKB type word -> (base type, ndim). Accepts ISO (base+1000) and
-    the OGR 2.5D flag (``ogr_core.h:410``)."""
+    """Raw WKB type word -> (base type, ndim). Accepts ISO Z (base+1000)
+    and the OGR 2.5D flag (``ogr_core.h:410``); ISO M/ZM (base+2000/3000)
+    are rejected loudly — measured geometries (linear referencing) are out
+    of this engine's scope."""
     ndim = 2
     if raw & WKB_25D_BIT:
         ndim = 3
         raw &= ~WKB_25D_BIT
     raw &= 0x0FFFFFFF  # strip any SRID-ish flags
+    if raw >= 2000:
+        raise ValueError(
+            f"WKB type {raw}: ISO M/ZM (measured) variants are not "
+            f"supported; strip the M ordinate upstream"
+        )
     if raw >= 1000:
         ndim = 3
         raw -= 1000
