@@ -1014,6 +1014,40 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style cell-set compaction (minimal quadtree cover): fully
+    present sibling quads cascade into parents — per level one
+    keys-only groupBy, pure JVM bit math."""
+    from lib_gdal_spark.functions import cells as C
+
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        C.cell_expr(F.col("lon"), F.col("lat"), 6).alias("cell")
+    ).distinct()
+    return C.compact_cells(cells).orderBy("cell")
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL normalization (the CC pipeline's URL-level dedup key):
+    case folding, www/default-port strip, tracking-param removal — pure
+    JVM regexp chain; the oracle CONSTRUCTS the expected canonical form
+    independently from the same parametric inputs."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Com:443/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&q="),
+                        F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", TX.canonical_url(url).alias("canon")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document."""
     d = _t(spark, sf_dir, "documents")
@@ -2183,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "url_canonical": q_url_canonical,
+        "cell_compact": q_cell_compact,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -3008,6 +3044,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(list_filter(
                  regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
                  t -> trim(t) <> '')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+    """
+
+    _S, _T = 288230376151711744, 536870912
+    _ctes = [f"""
+        lvl AS (
+          SELECT DISTINCT 6 * {_S} + x6 * {_T} + y6 AS cell
+          FROM (
+            SELECT
+              CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 64.0), 0), 63)
+                   AS BIGINT) AS x6,
+              CAST(least(greatest(floor(
+                (0.5 - ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat))))
+                       / (4.0 * pi())) * 64.0), 0), 63) AS BIGINT) AS y6
+            FROM pts
+          )
+        )"""]
+    _prev = "lvl"
+    for _r in range(6, 0, -1):
+        _par = (f"({_r - 1} * {_S} + ((cell // {_T}) % {_T} // 2) * {_T} "
+                f"+ (cell % {_T} // 2))")
+        _ctes.append(f"""
+        prom{_r} AS (
+          SELECT {_par} AS p FROM {_prev} WHERE cell // {_S} = {_r}
+          GROUP BY 1 HAVING count(*) = 4
+        ),
+        step{_r} AS (
+          SELECT cell FROM {_prev} WHERE cell // {_S} <> {_r}
+          UNION ALL
+          SELECT cell FROM {_prev} WHERE cell // {_S} = {_r}
+            AND {_par} NOT IN (SELECT p FROM prom{_r})
+          UNION ALL
+          SELECT p AS cell FROM prom{_r}
+        )""")
+        _prev = f"step{_r}"
+    sqls["cell_compact"] = (
+        f"WITH pts AS ({_POINTS_SQL})," + ",".join(_ctes)
+        + f" SELECT CAST(cell AS BIGINT) AS cell FROM {_prev} ORDER BY cell"
+    )
+
+    sqls["url_canonical"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'https://site' || (doc_id % 7) || '.com/p/' || doc_id
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
     """
 

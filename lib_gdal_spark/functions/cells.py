@@ -255,3 +255,83 @@ def with_zorder(df, lon_col: str = "lon", lat_col: str = "lat",
     else:
         out = out.repartitionByRange(F.col(key_col))
     return out.sortWithinPartitions(key_col)
+
+
+def _cell_parts(cell):
+    from pyspark.sql import functions as F
+
+    res = F.shiftright(cell, _RES_SHIFT).cast("int")
+    x = F.shiftright(cell, _X_SHIFT).bitwiseAND(F.lit(_XY_MASK))
+    y = cell.bitwiseAND(F.lit(_XY_MASK))
+    return res, x, y
+
+
+def cell_parent_expr(cell, steps: int = 1):
+    """JVM column form of :func:`cell_parent` (one-or-more level shift)."""
+    from pyspark.sql import functions as F
+
+    res, x, y = _cell_parts(cell)
+    return (
+        F.shiftleft((res - steps).cast("long"), _RES_SHIFT)
+        + F.shiftleft(F.shiftright(x, steps).cast("long"), _X_SHIFT)
+        + F.shiftright(y, steps).cast("long")
+    )
+
+
+def compact_cells(df, cell_col: str = "cell"):
+    """H3-style ``compact``: replace every fully-present sibling QUAD by
+    its parent, cascading to res 0 — the minimal cell cover of the input
+    set (distinct cells, single resolution or mixed). Pure JVM: per level
+    one groupBy(parent) with count==4, then an anti-join; at most
+    max_res rounds of keys-only shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    cur = df.select(F.col(cell_col).alias("cell")).distinct()
+    max_res = cur.agg(
+        F.max(F.shiftright("cell", _RES_SHIFT))
+    ).first()[0]
+    if max_res is None:
+        return cur
+    for r in range(int(max_res), 0, -1):
+        res_c, _, _ = _cell_parts(F.col("cell"))
+        at = cur.where(res_c == r)
+        promoted = (
+            at.groupBy(cell_parent_expr(F.col("cell")).alias("parent"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == 4)
+            .select(F.col("parent").alias("cell"))
+        )
+        demoted_children = at.join(
+            promoted.select(F.col("cell").alias("parent")),
+            cell_parent_expr(at["cell"]) == F.col("parent"),
+        ).select(at["cell"])
+        cur = cur.join(demoted_children, "cell", "left_anti") \
+            .unionByName(promoted).localCheckpoint()
+    return cur
+
+
+def uncompact_cells(df, res: int, cell_col: str = "cell"):
+    """Inverse of :func:`compact_cells`: expand every cell to its
+    descendants at ``res`` (cells already at ``res`` pass through) —
+    one level per round, JVM explode of the 4-child array."""
+    from pyspark.sql import functions as F
+
+    cur = df.select(F.col(cell_col).alias("cell"))
+    for _ in range(64):  # bounded by max res depth
+        res_c, x, y = _cell_parts(F.col("cell"))
+        done = cur.where(res_c >= res)
+        todo = cur.where(res_c < res)
+        if todo.isEmpty():
+            return done
+        children = todo.select(
+            F.explode(F.array(*[
+                F.shiftleft((res_c + 1).cast("long"), _RES_SHIFT)
+                + F.shiftleft(
+                    (F.shiftleft(x, 1) + dx).cast("long"), _X_SHIFT)
+                + (F.shiftleft(y, 1) + dy).cast("long")
+                for dx in (0, 1) for dy in (0, 1)
+            ])).alias("cell")
+        )
+        cur = done.unionByName(children)
+    raise RuntimeError("uncompact: resolution depth exceeded")

@@ -77,3 +77,40 @@ def test_repetition_filters(spark):
     # trigrams of doc2: pqp qpq pqp qpq -> all duplicated
     assert out[2]["dup_trigram_frac"] == 1.0
     assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_canonical_url(spark):
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators import textops as TX
+
+    cases = [
+        ("HTTP://WWW.Example.com:80/Path/?utm_source=x&q=1#frag",
+         "http://example.com/Path/?q=1"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a?utm_campaign=z", "https://example.com/a"),
+        ("https://example.com/a?fbclid=abc&q=2&utm_x=1",
+         "https://example.com/a?q=2"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u string")
+    got = [r["c"] for r in
+           df.select(TX.canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [c[1] for c in cases], got
+
+
+def test_dedup_by_canonical_url(spark):
+    import datetime
+
+    from lib_gdal_spark.operators import textops as TX
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("http://www.a.com/x?utm_source=1", t0, "first"),
+        ("http://a.com/x", t0 + datetime.timedelta(hours=1), "dup-later"),
+        ("http://b.com/y", t0, "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
+    out = TX.dedup_by_canonical_url(df)
+    got = {r["__canon"]: r["tag"] for r in out.collect()}
+    assert got == {"http://a.com/x": "first", "http://b.com/y": "other"}

@@ -242,3 +242,36 @@ def test_with_zorder_locality(spark):
     # every populated partition covers a small fraction of the globe
     areas = [r["dl"] * r["db"] for r in stats if r["n"] > 50]
     assert areas and max(areas) < 360 * 170 * 0.35
+
+
+def test_compact_uncompact_cells(spark):
+    """H3-style compact/uncompact on the quadtree cells: full quads merge
+    (cascading), isolated cells stay; uncompact(compact(S)) == S for a
+    full-resolution set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.functions import cells as C
+
+    # a fully-covered res-3 quad tree under one res-1 cell + 2 isolated
+    # res-3 cells elsewhere
+    full = []
+    for x in range(4, 8):       # res-3 cells x in [4,8), y in [0,4) == the
+        for y in range(0, 4):   # complete subtree of res-1 cell (1, 0)
+            full.append(int(C.pack_cell(3, np.array([x]), np.array([y]))[0]))
+    isolated = [int(C.pack_cell(3, np.array([1]), np.array([1]))[0]),
+                int(C.pack_cell(3, np.array([6]), np.array([7]))[0])]
+    df = spark.createDataFrame([(c,) for c in full + isolated], "cell long")
+    got = sorted(r["cell"] for r in C.compact_cells(df).collect())
+    want = sorted([int(C.pack_cell(1, np.array([1]), np.array([0]))[0])]
+                  + isolated)
+    assert got == want
+    # uncompact back to res 3 reproduces the original set exactly
+    back = sorted(
+        r["cell"] for r in
+        C.uncompact_cells(C.compact_cells(df), 3).collect())
+    assert back == sorted(full + isolated)
+    # idempotence on an already-minimal set
+    again = sorted(r["cell"] for r in C.compact_cells(
+        C.compact_cells(df)).collect())
+    assert again == want
