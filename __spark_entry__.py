@@ -581,6 +581,22 @@ def q_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("y", 9).alias("y"))
 
 
+def q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance -equalize (apps/gdalenhance.cpp): per-band histogram
+    equalization — distributed histogram -> reference LUT arithmetic
+    (extremes zeroed, cum = before + h//2, clamp(cum*bins//total)) ->
+    JVM element_at LUT application."""
+    from lib_gdal_spark.operators.color import equalize
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id") == "gradient256"
+    )
+    out = equalize(tiles)
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_grid_avgdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-distance data metric (gdalgrid.cpp:1211): mean node->point
     distance over the search circle — the round-3 metric parity gap."""
@@ -2270,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_reproject": q_ogr_reproject,
         "translate_cubic": q_translate_cubic,
         "grid_avgdist": q_grid_avgdist,
+        "enhance_equalize": q_enhance_equalize,
         "curve_linearize": q_curve_linearize,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "vrt_pixelfuncs": q_vrt_pixelfuncs,
@@ -2474,6 +2491,37 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN k IN (0, 45, 90) THEN 0.0
                ELSE round(sin(pi() + k * pi() / 45.0), 9) END AS y
         FROM generate_series(0, 90) t(k)
+    """
+
+    sqls["enhance_equalize"] = """
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 CAST((x.px + y.py) // 2 AS BIGINT) AS v
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        hist AS (
+          SELECT g.v,
+                 CASE WHEN g.v IN (0, 255) THEN 0
+                      ELSE coalesce(h.c, 0) END AS c
+          FROM generate_series(0, 255) g(v)
+          LEFT JOIN (SELECT v, count(*) AS c FROM pix GROUP BY v) h
+            ON g.v = h.v
+        ),
+        cum AS (
+          SELECT v,
+                 coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c // 2 AS cm
+          FROM hist
+        ),
+        lut AS (
+          SELECT v,
+                 least(greatest(cm * 256 // greatest(
+                   (SELECT sum(c) FROM hist), 1), 0), 255) AS o
+          FROM cum
+        )
+        SELECT pix.px, pix.py, CAST(lut.o AS BIGINT) AS v
+        FROM pix JOIN lut ON pix.v = lut.v
     """
 
     sqls["grid_avgdist"] = f"""

@@ -382,3 +382,73 @@ def pct_to_rgb(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def equalize(tiles: DataFrame, bins: int = 256,
+             out_id: str = "equalized") -> DataFrame:
+    """gdalenhance -equalize (``apps/gdalenhance.cpp``): per-band
+    histogram-equalization LUT, reference arithmetic exactly —
+
+    - default byte histogram over [-0.5, 255.5) with ``bins`` buckets;
+    - extreme bins zeroed (nodata guard, ``panHistogram[0] =
+      panHistogram[n-1] = 0``);
+    - cumulative ``cum[i] = total_before + hist[i] // 2`` (integer);
+    - ``LUT[i] = clamp(cum[i] * bins // total, 0, bins-1)``;
+    - output pixel = LUT[bin(v)].
+
+    The histogram is the existing distributed per-tile bincount (tiny
+    per-band result to the driver); the LUT applies JVM-side via
+    ``element_at`` on a literal array — no Python in the pixel path.
+    """
+    from lib_gdal_spark.operators.stats import band_histogram
+
+    vmin, vmax = -0.5, 255.5
+    hist_rows = band_histogram(tiles, vmin, vmax, buckets=bins).collect()
+    hists: dict[tuple, np.ndarray] = {}
+    for r in hist_rows:
+        key = (r["raster_id"], r["band"], r["zoom"])
+        h = hists.setdefault(key, np.zeros(bins, dtype=np.int64))
+        h[int(r["bucket"])] += int(r["count"])
+    luts = {}
+    for key, h in hists.items():
+        h = h.copy()
+        h[0] = 0
+        h[-1] = 0
+        cum = np.zeros(bins, dtype=np.int64)
+        total = 0
+        for i in range(bins):
+            cum[i] = total + h[i] // 2
+            total += int(h[i])
+        total = max(total, 1)
+        lut = np.clip(cum * bins // total, 0, bins - 1).astype(np.int64)
+        luts[key] = lut
+
+    scale = bins / (vmax - vmin)
+    out = None
+    for (rid, band, zoom), lut in sorted(luts.items()):
+        part = tiles.where(
+            (F.col("raster_id") == rid) & (F.col("band") == band)
+            & (F.col("zoom") == zoom)
+        )
+        lut_col = F.array(*[F.lit(int(v)) for v in lut])
+        px = F.transform(
+            "pixels",
+            lambda v: F.element_at(
+                lut_col,
+                F.greatest(
+                    F.lit(1),
+                    F.least(
+                        F.lit(bins),
+                        (F.floor((v - F.lit(vmin)) * F.lit(scale)) + 1)
+                        .cast("int"),
+                    ),
+                ),
+            ).cast("double"),
+        )
+        p = part.withColumn("pixels", px).withColumn(
+            "raster_id", F.lit(out_id)
+        )
+        out = p if out is None else out.unionByName(p)
+    if out is None:
+        return tiles.limit(0)
+    return out

@@ -136,3 +136,44 @@ def test_pct_round_trip(spark):
                for r in rgb}
     assert by_band[1][0, 0] == 10 and by_band[1][0, 31] == 200
     assert by_band[2][0, 0] == 20 and by_band[3][0, 31] == 100
+
+
+def test_equalize_matches_reference_arithmetic(spark):
+    """gdalenhance -equalize LUT (apps/gdalenhance.cpp): distributed
+    result == single-array transcription of the C arithmetic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators.color import equalize
+    from lib_gdal_spark.sources.rasters import fixture_rasters, gradient
+
+    tiles = fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    out = equalize(tiles).collect()
+    got = np.full((256, 256), np.nan)
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        got[r["tile_y"] * 64:(r["tile_y"] + 1) * 64,
+            r["tile_x"] * 64:(r["tile_x"] + 1) * 64] = a
+
+    src = gradient(256).astype(np.int64)
+    hist = np.bincount(src.ravel(), minlength=256)
+    hist[0] = 0
+    hist[255] = 0
+    cum = np.zeros(256, dtype=np.int64)
+    total = 0
+    for i in range(256):
+        cum[i] = total + hist[i] // 2
+        total += int(hist[i])
+    lut = np.clip(cum * 256 // max(total, 1), 0, 255)
+    scale = 256 / 256.0
+    bins_ = np.floor((src - (-0.5)) * scale).astype(np.int64)
+    want = lut[np.clip(bins_, 0, 255)].astype(np.float64)
+    assert np.array_equal(got, want)
+    # equalization property: the output CDF is closer to linear than the
+    # input's (std of per-value counts can RISE from LUT bin merging, so
+    # compare cumulative deviation, the quantity equalization minimizes)
+    def cdf_dev(a):
+        c = np.cumsum(np.bincount(a.ravel(), minlength=256)) / a.size
+        return np.abs(c - np.linspace(1 / 256, 1.0, 256)).max()
+
+    assert cdf_dev(want.astype(np.int64)) <= cdf_dev(src) + 1e-9
