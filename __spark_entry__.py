@@ -1030,6 +1030,32 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layer_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrdissolve: per-group union of overlapping boxes (even-odd
+    boolean fold) — union areas closed-form (two w x 2 boxes overlapping
+    by 2 -> area 4w - 4)."""
+    from lib_gdal_spark.operators.layer_algebra import dissolve
+
+    def boxes(batches):
+        for b in batches:
+            rows = []
+            for g in b["id"]:
+                g = int(g)
+                w = 4.0 + g % 3
+                x0 = 10.0 * g
+                rows.append((g, G.wkb_polygon(
+                    [G.box_ring(x0, 0.0, x0 + w, 2.0)])))
+                rows.append((g, G.wkb_polygon(
+                    [G.box_ring(x0 + w - 2.0, 0.0, x0 + 2 * w - 2.0, 2.0)])))
+            yield pd.DataFrame(rows, columns=["grp", "geom_wkb"])
+
+    layer = spark.range(50).mapInPandas(
+        boxes, schema="grp long, geom_wkb binary")
+    out = dissolve(layer, "grp")
+    return out.select("grp", F.round("area", 6).alias("area"), "n_parts") \
+        .orderBy("grp")
+
+
 def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-style cell-set compaction (minimal quadtree cover): fully
     present sibling quads cascade into parents — per level one
@@ -2235,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "url_canonical": q_url_canonical,
         "cell_compact": q_cell_compact,
+        "layer_dissolve": q_layer_dissolve,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -3131,6 +3158,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH pts AS ({_POINTS_SQL})," + ",".join(_ctes)
         + f" SELECT CAST(cell AS BIGINT) AS cell FROM {_prev} ORDER BY cell"
     )
+
+    sqls["layer_dissolve"] = """
+        SELECT CAST(g AS BIGINT) AS grp,
+               round(4.0 * (4.0 + g % 3) - 4.0, 6) AS area,
+               CAST(1 AS INTEGER) AS n_parts
+        FROM generate_series(0, 49) t(g)
+        ORDER BY g
+    """
 
     sqls["url_canonical"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -329,3 +329,48 @@ def clip(
         merge,
         schema="in_fid long, geom_wkb binary, area double, n_pieces long",
     )
+
+
+def dissolve(
+    layer: DataFrame,
+    by: str,
+    geom_col: str = "geom_wkb",
+) -> DataFrame:
+    """ogrdissolve (``apps/ogrdissolve.cpp``): union all geometries sharing
+    a ``by`` value into one (multi)polygon per group.
+
+    Shape: groupBy(by) + an Arrow-batch fold of the even-odd boolean union
+    kernel. One task holds one group's geometries — the dissolve contract
+    (dissolve keys are categorical attributes); for adversarial
+    million-feature groups, pre-union per partition before the final fold.
+    Output: (by, geom_wkb MultiPolygon, area, n_parts).
+    """
+    import pandas as pd
+
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.functions import overlay as OV
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rings_acc: list = []
+        for wkb in pdf[geom_col]:
+            if wkb is None:
+                continue
+            rings = G.polygon_rings(bytes(wkb))
+            if not rings_acc:
+                rings_acc = list(rings)
+            else:
+                polys = OV.boolean_op(rings_acc, list(rings), "union")
+                rings_acc = [r for poly in polys for r in poly]
+        if not rings_acc:
+            return pd.DataFrame(
+                [[key[0], None, 0.0, 0]],
+                columns=[by, "geom_wkb", "area", "n_parts"])
+        polys = OV.boolean_op(rings_acc, [], "union")
+        area = OV.polys_area(polys)
+        wkb = G.wkb_multipolygon([list(p) for p in polys])
+        return pd.DataFrame(
+            [[key[0], wkb, float(area), len(polys)]],
+            columns=[by, "geom_wkb", "area", "n_parts"])
+
+    out_schema = f"{by} long, geom_wkb binary, area double, n_parts int"
+    return layer.groupBy(by).applyInPandas(fold, schema=out_schema)

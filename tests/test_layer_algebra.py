@@ -87,3 +87,28 @@ def test_intersection_pentagon_area(spark):
     rows = LA.intersection(inputs, methods).collect()
     expect = G.shoelace_area([pent])
     assert rows[0]["area"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_dissolve(spark):
+    """ogrdissolve: overlapping boxes in a group union into one polygon
+    with the closed-form union area; disjoint boxes stay multi-part."""
+    import numpy as np
+
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.operators.layer_algebra import dissolve
+
+    rows = []
+    # group 1: two 4x2 boxes overlapping in a 2x2 square
+    rows.append((1, bytearray(G.wkb_polygon([G.box_ring(0, 0, 4, 2)]))))
+    rows.append((1, bytearray(G.wkb_polygon([G.box_ring(2, 0, 6, 2)]))))
+    # group 2: two disjoint unit boxes
+    rows.append((2, bytearray(G.wkb_polygon([G.box_ring(0, 0, 1, 1)]))))
+    rows.append((2, bytearray(G.wkb_polygon([G.box_ring(5, 5, 6, 6)]))))
+    df = spark.createDataFrame(rows, "grp long, geom_wkb binary")
+    got = {r["grp"]: r for r in dissolve(df, "grp").collect()}
+    assert abs(got[1]["area"] - (8 + 8 - 4)) < 1e-9
+    assert got[1]["n_parts"] == 1
+    assert abs(got[2]["area"] - 2.0) < 1e-9
+    assert got[2]["n_parts"] == 2
+    b, polys = G.parse_wkb(bytes(got[1]["geom_wkb"]))
+    assert b == G.WKB_MULTIPOLYGON
