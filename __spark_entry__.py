@@ -2190,6 +2190,49 @@ def q_raster_pyramid_cksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RAST.checksum_rasters(pyr).select("zoom", "checksum")
 
 
+def q_vshift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalapplyverticalshiftgrid: DEM (feet) + planar shift grid ->
+    meters.  The grid's values are LINEAR in world coords, so bilinear
+    resampling reproduces the plane exactly and the oracle is the closed
+    form (gdalapplyverticalshiftgrid.cpp:284-295)."""
+    from lib_gdal_spark.operators.vshift import apply_vertical_shift_grid
+
+    j, i = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    arr = ((i * 7 + j * 13) % 200).astype(np.float64)
+    arr[(i * 31 + j) % 97 == 0] = -1.0
+    src = spark.createDataFrame(
+        pd.DataFrame(RS.tiles_from_array(
+            "dem", arr, (100.0, 2.0, 0.0, 200.0, 0.0, -2.0), nodata=-1.0)),
+        schema=RS.RASTER_SCHEMA)
+    gj, gi = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    grid = spark.createDataFrame(
+        pd.DataFrame(RS.tiles_from_array(
+            "vgrid", (0.5 * gi + 0.25 * gj).astype(np.float64),
+            (0.0, 32.0, 0.0, 256.0, 0.0, -16.0))),
+        schema=RS.RASTER_SCHEMA)
+    out = apply_vertical_shift_grid(src, grid, src_unit_to_meter=0.3048)
+    return _explode_px(out).select(
+        "px", "py", F.round("v", 6).alias("v"))
+
+
+def q_flatten_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalflattenmask: burn mask==0 into nodata via JVM zip_with
+    (apps/gdalflattenmask.c:275-295)."""
+    from lib_gdal_spark.operators.vshift import flatten_mask
+
+    j, i = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    data = ((i + j) % 251).astype(np.float64)
+    mask = np.where((i // 4 + j // 4) % 2 == 0, 255, 0).astype(np.float64)
+    d = spark.createDataFrame(
+        pd.DataFrame(RS.tiles_from_array("r", data, (0, 1, 0, 0, 0, -1))),
+        schema=RS.RASTER_SCHEMA)
+    m = spark.createDataFrame(
+        pd.DataFrame(RS.tiles_from_array("r", mask, (0, 1, 0, 0, 0, -1))),
+        schema=RS.RASTER_SCHEMA)
+    out = flatten_mask(d, m, nodata=-9999.0)
+    return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2321,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "vshift_apply": q_vshift_apply,
+        "flatten_mask": q_flatten_mask,
         "raster_checksum": q_raster_checksum,
         "raster_pyramid": q_raster_pyramid,
         "pages_enrich": q_pages_enrich,
@@ -4557,6 +4602,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    """
+
+    sqls["vshift_apply"] = """
+        SELECT i AS px, j AS py,
+               round(CASE WHEN (i*31 + j) % 97 = 0 THEN -1.0
+                     ELSE ((i*7 + j*13) % 200) * 0.3048
+                          + (100.0 + (i + 0.5)*2.0) / 64.0
+                          + (256.0 - (200.0 - (j + 0.5)*2.0)) / 64.0
+                          - 0.375 END, 6) AS v
+        FROM generate_series(0, 63) s(i)
+        CROSS JOIN generate_series(0, 63) t(j)
+    """
+
+    sqls["flatten_mask"] = """
+        SELECT i AS px, j AS py,
+               CAST(CASE WHEN ((i // 4) + (j // 4)) % 2 = 0
+                    THEN (i + j) % 251 ELSE -9999 END AS BIGINT) AS v
+        FROM generate_series(0, 31) s(i)
+        CROSS JOIN generate_series(0, 31) t(j)
     """
 
     return sqls
