@@ -2233,6 +2233,95 @@ def q_flatten_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+def _lineref_tables(spark, n_paths: int = 10):
+    """L-path LINESTRING (0 0, 100 0, 100 50) fixture, shifted per path;
+    5 repers at measures 1000+40g sit 0.3 off the path at arc 5+35g."""
+    from lib_gdal_spark.session import local_df as _ldf
+
+    paths, reps = [], []
+    base = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 50.0]])
+    for p in range(n_paths):
+        off = 1000.0 * p
+        paths.append((f"p{p}", G.wkb_linestring(base + off)))
+        for g in range(5):
+            m = 1000.0 + 40.0 * g
+            d = 5.0 + 35.0 * g
+            x, y = (d, 0.3) if d <= 100.0 else (100.3, d - 100.0)
+            reps.append((f"p{p}", m, x + off, y + off))
+    return (
+        _ldf(spark, paths, "path_id string, geom_wkb binary"),
+        _ldf(spark, reps, "path_id string, measure double, x double, y double"),
+    )
+
+
+def q_lineref_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -create (apps/ogrlineref.cpp:596-1028): picket parts
+    with beg/end/scale_factor; closed-form L-path fixture (head/tail
+    scale 1.0, interior 35/40 = 0.875, lengths 5 / 17.5)."""
+    from lib_gdal_spark.operators import lineref as LR
+
+    path_df, rep_df = _lineref_tables(spark)
+    parts = LR.create_parts(path_df, rep_df, step=20.0)
+
+    def lengths(batches):
+        for pdf in batches:
+            ln = []
+            for w in pdf["geom_wkb"]:
+                base, pts = G.parse_wkb(bytes(w))
+                pts = np.asarray(pts)
+                ln.append(float(np.hypot(*np.diff(pts, axis=0).T).sum()))
+            pdf = pdf.copy()
+            pdf["length"] = ln
+            yield pdf[["path_id", "part_id", "beg", "end", "length",
+                       "scale_factor"]]
+
+    out = parts.mapInPandas(
+        lengths, schema="path_id string, part_id int, beg double, "
+                        "end double, length double, scale_factor double")
+    return out.select(
+        "path_id", "part_id", F.round("beg", 6).alias("beg"),
+        F.round("end", 6).alias("end"),
+        F.round("length", 6).alias("length"),
+        F.round("scale_factor", 6).alias("scale_factor"))
+
+
+def q_lineref_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_pos (apps/ogrlineref.cpp:1175-1237): nearest part
+    -> beg + proj/scale.  Query points sit y above the horizontal leg, so
+    refdist = 1000 + (x-5)/0.875 in closed form."""
+    from lib_gdal_spark.operators import lineref as LR
+    from lib_gdal_spark.session import local_df as _ldf
+
+    path_df, rep_df = _lineref_tables(spark, n_paths=1)
+    parts = LR.create_parts(path_df, rep_df, step=20.0)
+    pts = _ldf(
+        spark,
+        [(q, 6.5 + 2.9 * q, 0.5 + (q % 7) * 0.3) for q in range(30)],
+        "point_id int, x double, y double")
+    out = LR.get_position(parts, pts)
+    return out.select(
+        "point_id", "part_id",
+        F.round("refdist", 6).alias("refdist"),
+        F.round("dist", 6).alias("dist"))
+
+
+def q_lineref_coord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_coord (apps/ogrlineref.cpp:1242-1297): part with
+    beg < m < end evaluated at (m-beg)*scale; closed-form arc
+    d = 5 + (m-1000)*0.875 on the L-path."""
+    from lib_gdal_spark.operators import lineref as LR
+    from lib_gdal_spark.session import local_df as _ldf
+
+    path_df, rep_df = _lineref_tables(spark, n_paths=1)
+    parts = LR.create_parts(path_df, rep_df, step=20.0)
+    pos = _ldf(spark, [(q, 1000.5 + 7.25 * q) for q in range(22)],
+               "pos_id int, m double")
+    out = LR.get_coordinates(parts, pos)
+    return out.select(
+        "pos_id", "part_id",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2364,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "lineref_parts": q_lineref_parts,
+        "lineref_pos": q_lineref_pos,
+        "lineref_coord": q_lineref_coord,
         "vshift_apply": q_vshift_apply,
         "flatten_mask": q_flatten_mask,
         "raster_checksum": q_raster_checksum,
@@ -4602,6 +4694,48 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    """
+
+    sqls["lineref_parts"] = """
+        SELECT 'p' || p AS path_id, CAST(k AS INTEGER) AS part_id,
+               CASE WHEN k = 0 THEN 995.0
+                    WHEN k = 9 THEN 1160.0
+                    ELSE 1000.0 + 20.0*(k-1) END AS beg,
+               CASE WHEN k = 0 THEN 1000.0
+                    WHEN k = 9 THEN 1165.0
+                    ELSE 1020.0 + 20.0*(k-1) END AS "end",
+               CASE WHEN k IN (0, 9) THEN 5.0 ELSE 17.5 END AS length,
+               CASE WHEN k IN (0, 9) THEN 1.0 ELSE 0.875 END AS scale_factor
+        FROM generate_series(0, 9) s(p)
+        CROSS JOIN generate_series(0, 9) t(k)
+    """
+
+    sqls["lineref_pos"] = """
+        WITH q AS (
+          SELECT q AS point_id, 6.5 + 2.9*q AS x, 0.5 + (q % 7)*0.3 AS y
+          FROM generate_series(0, 29) s(q)
+        )
+        SELECT CAST(point_id AS INTEGER) AS point_id,
+               CAST(floor((x - 5.0) / 17.5) AS INTEGER) + 1 AS part_id,
+               round(1000.0 + (x - 5.0) / 0.875, 6) AS refdist,
+               round(y, 6) AS dist
+        FROM q
+    """
+
+    sqls["lineref_coord"] = """
+        WITH q AS (
+          SELECT q AS pos_id, 1000.5 + 7.25*q AS m
+          FROM generate_series(0, 21) s(q)
+        ), d AS (
+          SELECT pos_id, m, 5.0 + (m - 1000.0)*0.875 AS arc
+          FROM q
+        )
+        SELECT CAST(pos_id AS INTEGER) AS pos_id,
+               CAST(floor((m - 1000.0) / 20.0) AS INTEGER) + 1 AS part_id,
+               round(CASE WHEN arc <= 100.0 THEN arc ELSE 100.0 END, 6) AS x,
+               round(CASE WHEN arc <= 100.0 THEN 0.0 ELSE arc - 100.0 END, 6)
+                 AS y
+        FROM d
     """
 
     sqls["vshift_apply"] = """
