@@ -2322,6 +2322,66 @@ def q_lineref_coord(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
+def q_surf_hessian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fast-Hessian octave layer of the SURF correlator
+    (gdal_octave.cpp:171-226, octave 1 / interval 2 => 13px filter) over a
+    40x40 integer fixture.  The oracle rebuilds the integral image with two
+    window cumsums (exact integer SATs), evaluates the same eight clamped
+    rectangle sums, and keeps the kernel's float op order (casts force
+    DOUBLE so DuckDB's DECIMAL literals can't change the arithmetic) —
+    det/sign match bitwise."""
+    from lib_gdal_spark.operators import matching as MATCH
+
+    yy, xx = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+    img = ((17 * xx + 31 * yy + xx * yy) % 97).astype(np.float64)
+    tiles = spark.createDataFrame(
+        pd.DataFrame(RS.tiles_from_array("hess", img, (0, 1, 0, 0, 0, -1))),
+        schema=RS.RASTER_SCHEMA)
+    out = MATCH.hessian_layer(tiles, octave=1, interval=2, to_gray=False)
+    return out.select("r", "c", "det", "sign")
+
+
+def _match_fixture(n: int = 160) -> np.ndarray:
+    """Deterministic texture: integer-hash noise (Knuth multiplicative,
+    no RNG state) smoothed once with a 3x3 box so scale-space extrema are
+    distinctive but plentiful."""
+    yy, xx = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64), indexing="ij")
+    h = (xx * 2654435761 + yy * 2246822519 + xx * yy * 3266489917) % (1 << 32)
+    base = h.astype(np.float64) / float(1 << 32)
+    img = np.zeros_like(base)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            img += np.roll(np.roll(base, di, 0), dj, 1)
+    return img * (255.0 / 9.0)
+
+
+def q_feature_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeMatchingPoints end-to-end (gdalmatching.cpp:188-316):
+    SURF extraction on both frames of a (7,4)-shifted pair in parallel
+    tasks, greedy ratio-test matching in a third, GCPs out.  The matcher
+    is order-dependent/sequential by reference semantics, so this entry is
+    rows-only checked (no SQL equivalent); exact shift recovery is asserted
+    in tests/test_matching.py."""
+    from lib_gdal_spark.operators import matching as MATCH
+
+    base = _match_fixture()
+    img1 = base[10:138, 10:138]
+    img2 = base[6:134, 3:131]   # img2(x+7, y+4) == img1(x, y)
+
+    def df(arr, rid):
+        return spark.createDataFrame(
+            pd.DataFrame(RS.tiles_from_array(rid, arr, (0, 1, 0, 0, 0, -1))),
+            schema=RS.RASTER_SCHEMA)
+
+    out = MATCH.compute_matching_points(
+        df(img1, "a"), df(img2, "b"),
+        octave_start=1, octave_end=2, surf_threshold=1e-5,
+        matching_threshold=0.015)
+    return out.select("gcp_id", "pixel", "line", "gcp_x", "gcp_y",
+                      F.round("dist", 9).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2461,6 +2521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_checksum": q_raster_checksum,
         "raster_pyramid": q_raster_pyramid,
         "pages_enrich": q_pages_enrich,
+        "surf_hessian": q_surf_hessian,
+        "feature_matching": q_feature_matching,
     }
 
 
@@ -4755,6 +4817,85 @@ def oracle_sql() -> dict[str, str]:
                     THEN (i + j) % 251 ELSE -9999 END AS BIGINT) AS v
         FROM generate_series(0, 31) s(i)
         CROSS JOIN generate_series(0, 31) t(j)
+    """
+
+    # Fast-Hessian layer (octave 1, interval 2): filter 13, radius 6,
+    # lobe 4, long-part 7, norm 169.  Integral image = two window cumsums
+    # (all-integer, exact); the eight rectangle sums mirror
+    # rect_sum's clamping (row/col-1 >= -1 via the zero-padded sat frame,
+    # right/bottom LEAST-clamped to 39); det keeps the kernel's op order
+    # with explicit DOUBLE casts so DuckDB decimal literals can't widen.
+    sqls["surf_hessian"] = """
+        WITH px AS (
+          SELECT x.px, y.py,
+                 CAST((17*x.px + 31*y.py + x.px*y.py) % 97 AS BIGINT) AS v
+          FROM generate_series(0, 39) x(px)
+          CROSS JOIN generate_series(0, 39) y(py)
+        ),
+        rowcum AS (
+          SELECT px, py, SUM(v) OVER (PARTITION BY py ORDER BY px) AS rc
+          FROM px
+        ),
+        sat0 AS (
+          SELECT px, py, SUM(rc) OVER (PARTITION BY px ORDER BY py) AS s
+          FROM rowcum
+        ),
+        sat AS (
+          SELECT py AS r, px AS c, s FROM sat0
+          UNION ALL SELECT -1, t.px, 0 FROM generate_series(-1, 39) t(px)
+          UNION ALL SELECT t.py, -1, 0 FROM generate_series(0, 39) t(py)
+        ),
+        grid AS (
+          SELECT gr.r, gc.c
+          FROM generate_series(6, 34) gr(r)
+          CROSS JOIN generate_series(6, 34) gc(c)
+        ),
+        rects AS (
+          SELECT g.r, g.c, k.k,
+            CASE k.k WHEN 1 THEN g.r-3 WHEN 2 THEN g.r-3 WHEN 3 THEN g.r-6
+                     WHEN 4 THEN g.r-3 WHEN 5 THEN g.r-4 WHEN 6 THEN g.r+1
+                     WHEN 7 THEN g.r-4 ELSE g.r+1 END AS rw,
+            CASE k.k WHEN 1 THEN g.c-6 WHEN 2 THEN g.c-1 WHEN 3 THEN g.c-5
+                     WHEN 4 THEN g.c-3 WHEN 5 THEN g.c-4 WHEN 6 THEN g.c+1
+                     WHEN 7 THEN g.c+1 ELSE g.c-4 END AS cl,
+            CASE k.k WHEN 1 THEN 13 WHEN 2 THEN 4 WHEN 3 THEN 7
+                     WHEN 4 THEN 7 ELSE 4 END AS w,
+            CASE k.k WHEN 1 THEN 7 WHEN 2 THEN 7 WHEN 3 THEN 13
+                     WHEN 4 THEN 4 ELSE 4 END AS h
+          FROM grid g
+          CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) k(k)
+        ),
+        rsum AS (
+          SELECT t.r, t.c, t.k,
+                 GREATEST(a.s + b.s - x.s - y.s, 0) AS rs
+          FROM rects t
+          JOIN sat a ON a.r = t.rw - 1
+                    AND a.c = t.cl - 1
+          JOIN sat b ON b.r = LEAST(t.rw + t.h - 1, 39)
+                    AND b.c = LEAST(t.cl + t.w - 1, 39)
+          JOIN sat x ON x.r = t.rw - 1
+                    AND x.c = LEAST(t.cl + t.w - 1, 39)
+          JOIN sat y ON y.r = LEAST(t.rw + t.h - 1, 39)
+                    AND y.c = t.cl - 1
+        ),
+        d AS (
+          SELECT r, c,
+            CAST(MAX(CASE WHEN k=1 THEN rs END)
+                 - 3*MAX(CASE WHEN k=2 THEN rs END) AS DOUBLE) / 169.0 AS dxx,
+            CAST(MAX(CASE WHEN k=3 THEN rs END)
+                 - 3*MAX(CASE WHEN k=4 THEN rs END) AS DOUBLE) / 169.0 AS dyy,
+            CAST(MAX(CASE WHEN k=5 THEN rs END)
+                 + MAX(CASE WHEN k=6 THEN rs END)
+                 - MAX(CASE WHEN k=7 THEN rs END)
+                 - MAX(CASE WHEN k=8 THEN rs END) AS DOUBLE) / 169.0 AS dxy
+          FROM rsum GROUP BY r, c
+        )
+        SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+               dxx*dyy - ((CAST(0.9 AS DOUBLE)*CAST(0.9 AS DOUBLE))*dxy)*dxy
+                 AS det,
+               CAST(CASE WHEN dxx + dyy >= 0 THEN 1 ELSE -1 END AS INT)
+                 AS sign
+        FROM d
     """
 
     return sqls
