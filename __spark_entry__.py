@@ -2382,6 +2382,130 @@ def q_feature_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("dist", 9).alias("dist"))
 
 
+def q_gdal_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo report (apps/gdalinfo_lib.cpp): size, UL/LR corner coords
+    through the affine transform (GDALInfoReportCorner :1440), band
+    min/max/mean/stddev (ComputeStatistics, population stddev). byte20's
+    stats row reproduces the reference's published byte.tif statistics
+    (mean 126.765 / stddev 22.928) as an independent anchor."""
+    from lib_gdal_spark.operators import info as INF
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id").isin("byte20", "gradient256", "checker64")
+    )
+    out = INF.raster_info(tiles)
+    return out.select(
+        "raster_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "ulx", "uly", "lrx", "lry", "n", "vmin", "vmax", "mean", "stddev",
+    )
+
+
+def q_raster_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2ogr (apps/gdal2ogr.c:269): POINT25D per sampled pixel at the
+    cell center (j+.5, i+.5) through the geotransform, z = value,
+    -step 3 stride — pure JVM posexplode projection."""
+    from lib_gdal_spark.operators import info as INF
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    out = INF.raster_to_points(tiles, step=3)
+    return out.select("fid", "x", "y", F.col("z").cast("long").alias("z"))
+
+
+def q_dump_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dumpoverviews (apps/dumpoverviews.cpp): every overview level as its
+    own raster — AVERAGE cascade on checker64, levels 0-2 exploded to
+    global pixels. Blocks never straddle the 8-px squares through level
+    2, so each level is exactly the coarser checkerboard."""
+    from lib_gdal_spark.operators import info as INF
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "checker64")
+    d = INF.dump_overviews(tiles, 2, alg="average", tile=64)
+    ex = d.select("level", "tile_x", "tile_y", "tile_w",
+                  F.posexplode("pixels").alias("pos", "v"))
+    px = (F.col("tile_x") * 64 + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * 64
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return ex.select(F.col("level").cast("long").alias("level"),
+                     px.alias("px"), py.alias("py"),
+                     F.col("v").cast("long").alias("v"))
+
+
+def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo -so (apps/ogrinfo.cpp): feature count + extent +
+    geometry-type tally over a mixed POINT/LINESTRING/POLYGON layer built
+    from the deterministic events points; envelopes parsed from WKB in
+    one Arrow pass, metadata-sized groupBy."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.operators import info as INF
+
+    pts = _points(spark, sf_dir)
+
+    def geoms(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as _np
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                m = pid % 3
+                if m == 0:
+                    g = G.wkb_point(lon, lat)
+                elif m == 1:
+                    g = G.wkb_polygon(
+                        [G.box_ring(lon, lat, lon + 2.0, lat + 3.0)]
+                    )
+                else:
+                    g = G.wkb_linestring(
+                        _np.array([[lon, lat], [lon + 5.0, lat - 1.0]])
+                    )
+                rows.append({"fid": pid, "geom_wkb": g})
+            yield pd.DataFrame(rows)
+
+    layer = pts.mapInPandas(geoms, schema="fid long, geom_wkb binary")
+    return INF.layer_summary(layer).select(
+        F.col("geom_type").cast("long").alias("geom_type"),
+        "n_features", "minx", "miny", "maxx", "maxy",
+    )
+
+
+_SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
+              2154, 3347, 3031, 3413, 3976, 3995]
+
+
+def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalsrsinfo (apps/gdalsrsinfo.cpp): projection method + parameters
+    per EPSG code from the registry, evaluated in executors (Arrow
+    batch). The polar-stereographic k0 is *derived* (Snyder 21-32..34)
+    and the oracle recomputes it independently in SQL."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    codes = spark.createDataFrame(
+        [(c,) for c in _SRS_CODES], "epsg int"
+    ).repartition(4)
+
+    def report(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            yield pd.DataFrame([CRS.srs_info(int(e)) for e in b["epsg"]])
+
+    schema = ("epsg int, proj string, a double, f_inv double, lon0 double, "
+              "k0 double, lat_ts double, lat0 double, lat1 double, "
+              "lat2 double, false_e double, false_n double")
+    out = codes.mapInPandas(report, schema=schema)
+    num = ["a", "f_inv", "lon0", "k0", "lat_ts", "lat0", "lat1", "lat2",
+           "false_e", "false_n"]
+    return out.select(
+        F.col("epsg").cast("long").alias("epsg"), "proj",
+        *[F.when(F.isnan(c), F.lit(None)).otherwise(F.round(c, 6)).alias(c)
+          for c in num],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2523,6 +2647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_enrich": q_pages_enrich,
         "surf_hessian": q_surf_hessian,
         "feature_matching": q_feature_matching,
+        "gdal_info": q_gdal_info,
+        "raster_to_points": q_raster_to_points,
+        "dump_overviews": q_dump_overviews,
+        "ogr_layer_summary": q_ogr_layer_summary,
+        "srs_info": q_srs_info,
     }
 
 
@@ -4897,5 +5026,134 @@ def oracle_sql() -> dict[str, str]:
                  AS sign
         FROM d
     """
+
+    # gdalinfo report: gradient/checker stats computed closed-form in SQL;
+    # byte20's row is the reference's *published* byte.tif statistics
+    # (GDAL autotest: min 74, max 255, mean 126.765, stddev 22.92847…),
+    # an anchor independent of this engine.
+    sqls["gdal_info"] = """
+        WITH grad AS (
+          SELECT CAST(trunc((x.i + y.j) * 0.5) AS DOUBLE) v
+          FROM generate_series(0,255) x(i) CROSS JOIN generate_series(0,255) y(j)
+        ), chk AS (
+          SELECT CAST(CASE WHEN ((x.i // 8) + (y.j // 8)) % 2 = 0
+                      THEN 20 ELSE 235 END AS DOUBLE) v
+          FROM generate_series(0,63) x(i) CROSS JOIN generate_series(0,63) y(j)
+        )
+        SELECT 'gradient256' AS raster_id, CAST(256 AS BIGINT) AS width,
+               CAST(256 AS BIGINT) AS height,
+               0.0 AS ulx, 256.0 AS uly, 256.0 AS lrx, 0.0 AS lry,
+               CAST(count(*) AS BIGINT) AS n, min(v) AS vmin, max(v) AS vmax,
+               round(avg(v), 6) AS mean, round(stddev_pop(v), 6) AS stddev
+        FROM grad
+        UNION ALL
+        SELECT 'checker64', CAST(64 AS BIGINT), CAST(64 AS BIGINT),
+               0.0, 64.0, 64.0, 0.0,
+               CAST(count(*) AS BIGINT), min(v), max(v),
+               round(avg(v), 6), round(stddev_pop(v), 6)
+        FROM chk
+        UNION ALL
+        SELECT 'byte20', CAST(20 AS BIGINT), CAST(20 AS BIGINT),
+               440720.0, 3751320.0, 441920.0, 3750120.0,
+               CAST(400 AS BIGINT), 74.0, 255.0, 126.765, 22.928471
+    """
+
+    # gdal2ogr: pixel centers through gt (0,1,0,256,0,-1), -step 3
+    sqls["raster_to_points"] = """
+        SELECT CAST(y.py * 256 + x.px AS BIGINT) AS fid,
+               x.px + 0.5 AS x, 256.0 - (y.py + 0.5) AS y,
+               CAST(trunc((x.px + y.py) * 0.5) AS BIGINT) AS z
+        FROM generate_series(0, 255, 3) x(px)
+        CROSS JOIN generate_series(0, 255, 3) y(py)
+    """
+
+    # dumpoverviews: AVERAGE cascade of an 8-px checkerboard stays the
+    # coarser checkerboard through level 2 (blocks never straddle squares)
+    sqls["dump_overviews"] = """
+        SELECT CAST(l.k AS BIGINT) AS level,
+               CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(CASE WHEN ((x.px // (8 // (1 << l.k)))
+                             + (y.py // (8 // (1 << l.k)))) % 2 = 0
+                    THEN 20 ELSE 235 END AS BIGINT) AS v
+        FROM generate_series(0, 2) l(k)
+        CROSS JOIN generate_series(0, 63) x(px)
+        CROSS JOIN generate_series(0, 63) y(py)
+        WHERE x.px < (64 // (1 << l.k)) AND y.py < (64 // (1 << l.k))
+    """
+
+    # ogrinfo -so: per-type count + extent; feature envelopes are the
+    # deterministic point formula shifted by each type's constant offsets
+    sqls["ogr_layer_summary"] = f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT CAST(1 AS BIGINT) AS geom_type,
+               CAST(count(*) AS BIGINT) AS n_features,
+               min(lon) AS minx, min(lat) AS miny,
+               max(lon) AS maxx, max(lat) AS maxy
+        FROM pts WHERE pid % 3 = 0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               min(lon), min(lat) - 1.0, max(lon) + 5.0, max(lat)
+        FROM pts WHERE pid % 3 = 2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+               min(lon), min(lat), max(lon) + 2.0, max(lat) + 3.0
+        FROM pts WHERE pid % 3 = 1
+    """
+
+    # gdalsrsinfo: registry parameters as published EPSG constants; the
+    # derived polar-stereographic k0 is recomputed INDEPENDENTLY from
+    # Snyder 21-32..34 in SQL (t_ts, m_ts) rather than copied.
+    srs_rows = []
+    for epsg, proj, fi, lon0, k0, lat_ts, lat0, lat1, lat2, fe, fn in [
+        (4326, "longlat", 298.257224, None, None, None, None, None, None,
+         None, None),
+        (3857, "merc", 0.0, 0.0, None, None, None, None, None, 0.0, 0.0),
+        (32611, "tmerc", 298.257224, -117.0, 0.9996, None, None, None, None,
+         500000.0, 0.0),
+        (32733, "tmerc", 298.257224, 15.0, 0.9996, None, None, None, None,
+         500000.0, 10000000.0),
+        (26910, "tmerc", 298.257222, -123.0, 0.9996, None, None, None, None,
+         500000.0, 0.0),
+        (25832, "tmerc", 298.257222, 9.0, 0.9996, None, None, None, None,
+         500000.0, 0.0),
+        (5070, "aea", 298.257222, -96.0, None, None, 23.0, 29.5, 45.5,
+         0.0, 0.0),
+        (3577, "aea", 298.257222, 132.0, None, None, 0.0, -18.0, -36.0,
+         0.0, 0.0),
+        (2154, "lcc", 298.257222, 3.0, None, None, 46.5, 49.0, 44.0,
+         700000.0, 6600000.0),
+        (3347, "lcc", 298.257222, -91.866667, None, None, 63.390675, 49.0,
+         77.0, 6200000.0, 3000000.0),
+        (3031, "stere", 298.257224, 0.0, "K0", -71.0, None, None, None,
+         0.0, 0.0),
+        (3413, "stere", 298.257224, -45.0, "K0", 70.0, None, None, None,
+         0.0, 0.0),
+        (3976, "stere", 298.257224, 0.0, "K0", -70.0, None, None, None,
+         0.0, 0.0),
+        (3995, "stere", 298.257224, 0.0, "K0", 71.0, None, None, None,
+         0.0, 0.0),
+    ]:
+        def lit(v):
+            return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
+
+        if k0 == "K0":
+            k0sql = f"""(SELECT round(
+                (cos(pts) / sqrt(1.0 - (e * sin(pts)) * (e * sin(pts))))
+                * sqrt(pow(1.0 + e, 1.0 + e) * pow(1.0 - e, 1.0 - e))
+                / (2.0 * (tan(pi() / 4.0 - pts / 2.0)
+                   / pow((1.0 - e * sin(pts)) / (1.0 + e * sin(pts)),
+                         e / 2.0))), 6)
+                FROM (SELECT sqrt(f * (2.0 - f)) e, radians({abs(lat_ts)!r}) pts
+                      FROM (SELECT 1.0 / 298.257223563 f)))"""
+        else:
+            k0sql = lit(k0)
+        srs_rows.append(
+            f"SELECT CAST({epsg} AS BIGINT) AS epsg, '{proj}' AS proj, "
+            f"6378137.0 AS a, {lit(fi)} AS f_inv, {lit(lon0)} AS lon0, "
+            f"{k0sql} AS k0, {lit(lat_ts)} AS lat_ts, {lit(lat0)} AS lat0, "
+            f"{lit(lat1)} AS lat1, {lit(lat2)} AS lat2, "
+            f"{lit(fe)} AS false_e, {lit(fn)} AS false_n"
+        )
+    sqls["srs_info"] = " UNION ALL ".join(srs_rows)
 
     return sqls

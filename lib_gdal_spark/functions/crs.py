@@ -147,6 +147,7 @@ class LambertConformalConic:
         self.false_n = false_n
         self.a = a
         self.e = np.sqrt(f * (2.0 - f))
+        self.lat0_deg, self.lat1_deg, self.lat2_deg = lat0, lat1, lat2
         p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
         t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
         m1, m2 = self._m(p1), self._m(p2)
@@ -223,6 +224,7 @@ class AlbersEqualArea:
         self.a = a
         self.e2 = f * (2.0 - f)
         self.e = np.sqrt(self.e2)
+        self.lat0_deg, self.lat1_deg, self.lat2_deg = lat0, lat1, lat2
         p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
         m1 = self._m(p1)
         m2 = self._m(p2)
@@ -286,6 +288,7 @@ class PolarStereographic:
         self.false_n = false_n
         self.a = a
         self.e = np.sqrt(f * (2.0 - f))
+        self.lat_ts_deg = lat_ts
         e = self.e
         if abs(lat_ts) >= 90.0 - 1e-12:
             # scale defined at the pole (k0 formulation, Snyder 21-33)
@@ -505,3 +508,62 @@ def reproject_layer(df, src_epsg: int, dst_epsg: int,
         )
 
     return df.withColumn(geom_col, _tx(F.col(geom_col)))
+
+
+# ---------------------------------------------------------------------------
+# gdalsrsinfo (apps/gdalsrsinfo.cpp): report an SRS definition's parameters
+# ---------------------------------------------------------------------------
+
+_PROJ_IDS = {
+    "Geographic": "longlat",
+    "WebMercator": "merc",
+    "TransverseMercator": "tmerc",
+    "LambertConformalConic": "lcc",
+    "AlbersEqualArea": "aea",
+    "PolarStereographic": "stere",
+}
+
+
+def srs_info(epsg: int) -> dict:
+    """gdalsrsinfo analog: EPSG code -> projection-method + parameter dict
+    (``apps/gdalsrsinfo.cpp`` prints PROJ.4 / WKT; this engine's registry
+    carries the same public EPSG parameters, reported as columns).
+
+    Keys: epsg, proj (PROJ-style method id), a, f_inv (inverse
+    flattening, 0 for the spherical mercator), lon0, k0, lat_ts, lat0,
+    lat1, lat2, false_e, false_n — NaN where the method has no such
+    parameter, matching how a PROJ string simply omits it.
+    """
+    t = get_crs_transform(epsg)
+    nan = float("nan")
+    out = {
+        "epsg": epsg,
+        "proj": _PROJ_IDS[type(t).__name__],
+        "a": getattr(t, "a", WGS84_A),
+        "f_inv": nan,
+        "lon0": getattr(t, "lon0", nan),
+        "k0": getattr(t, "k0", nan),
+        "lat_ts": nan,
+        "lat0": nan,
+        "lat1": nan,
+        "lat2": nan,
+        "false_e": getattr(t, "false_e", nan),
+        "false_n": getattr(t, "false_n", nan),
+    }
+    if isinstance(t, Geographic):
+        out.update(a=WGS84_A, f_inv=1.0 / WGS84_F,
+                   lon0=nan, false_e=nan, false_n=nan)
+    elif isinstance(t, WebMercator):
+        out.update(a=6378137.0, f_inv=0.0, lon0=0.0,
+                   false_e=0.0, false_n=0.0)
+    elif isinstance(t, TransverseMercator):
+        out["f_inv"] = 1.0 / t.f
+    elif isinstance(t, (LambertConformalConic, AlbersEqualArea)):
+        out["f_inv"] = 1.0 / (1.0 - np.sqrt(1.0 - t.e ** 2))
+        out["lat0"] = getattr(t, "lat0_deg", nan)
+        out["lat1"] = getattr(t, "lat1_deg", nan)
+        out["lat2"] = getattr(t, "lat2_deg", nan)
+    elif isinstance(t, PolarStereographic):
+        out["f_inv"] = 1.0 / (1.0 - np.sqrt(1.0 - t.e ** 2))
+        out["lat_ts"] = getattr(t, "lat_ts_deg", nan)
+    return out
