@@ -1096,6 +1096,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap between a training
+    split and a (broadcast) eval split of the documents table; the
+    corpus streams once, the eval gram set is broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 101 != 7)
+    bench = d.where(F.col("doc_id") % 101 == 7)
+    out = DD.decontaminate(train, bench, n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated", "contaminated"
+    )
+
+
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
+    -> canonical min-id representative per near-dup cluster."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.fuzzy_dedup(d, threshold=0.8).select(
+        "doc_id", "canonical_id", "cluster_size", "keep"
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2637,6 +2659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "decontaminate": q_decontaminate,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4384,6 +4408,75 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b
           ON a.doc_id < b.doc_id AND ({_band_clauses})
         WHERE ({_est}) / 64.0 >= 0.8
+    """
+
+    # fuzzy_dedup: same LSH pair set, then transitive closure by a
+    # recursive CTE (the pair graph at sf0.01 is tiny), min-id canonical.
+    sqls["fuzzy_dedup"] = f"""
+        {_gram3.replace("WITH t AS", "WITH RECURSIVE t AS", 1)},
+        sig AS (SELECT doc_id, {_sig_cols} FROM hh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id AND ({_band_clauses})
+          WHERE ({_est}) / 64.0 >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT u AS id, u AS root FROM edges
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+        ),
+        comp AS (SELECT id, min(root) AS canonical_id FROM reach GROUP BY id),
+        sizes AS (
+          SELECT canonical_id, count(*) AS cluster_size
+          FROM comp GROUP BY canonical_id
+        )
+        SELECT comp.id AS doc_id, comp.canonical_id,
+               sizes.cluster_size, (comp.id = comp.canonical_id) AS keep
+        FROM comp JOIN sizes USING (canonical_id)
+    """
+
+    # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.
+    sqls["decontaminate"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+            FROM (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(nt - 1, 1))) AS i
+              FROM n WHERE nt >= 3
+            )
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ')
+            FROM n WHERE nt < 3 AND nt > 0
+          )
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 7),
+        train AS (SELECT * FROM g WHERE doc_id % 101 <> 7),
+        tot AS (
+          SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n_contaminated FROM train
+          WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(n_contaminated, 0) AS n_contaminated,
+               (coalesce(n_contaminated, 0) > 0) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 7) d
+        LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
     """
 
     _bit_cols = ", ".join(

@@ -302,3 +302,116 @@ def ngram_jaccard_pairs(
     jac = (F.col("n_common").cast("double") /
            (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard")
     return inter.select("doc_a", "doc_b", jac).where(F.col("jaccard") >= threshold)
+
+
+def word_ngrams(text_col: str, n: int):
+    """JVM-native word n-gram array column: split -> sequence -> slice ->
+    array_join. No Python in the loop; whole-stage codegen keeps it in
+    Tungsten. Documents shorter than ``n`` tokens collapse to one gram of
+    all their tokens (same convention as ``_token_hashes``)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a benchmark/eval set (the published GPT-3 appendix-C
+    procedure — 13-gram overlap — is the standard; ``n`` is a knob).
+
+    Both sides explode to distinct md5(gram) keys; the benchmark side is
+    tiny by construction (eval sets are small) and is broadcast, so the
+    corpus streams once with NO shuffle — the groupBy back to ``id_col``
+    is map-side combinable on the already-doc-partitioned explode output.
+    Output: one row per input doc — (id, n_grams, n_contaminated,
+    contaminated flag); clean docs carry 0/false rather than disappearing.
+    """
+    g = F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
+    doc_g = docs.select(id_col, g).select(id_col, F.md5("gram").alias("gh"))
+    bench_g = (
+        benchmark.select(g).select(F.md5("gram").alias("gh")).distinct()
+    )
+    hits = (
+        doc_g.join(F.broadcast(bench_g), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = doc_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def fuzzy_dedup(
+    docs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH candidate pairs -> connected
+    components -> canonical representative per near-duplicate cluster
+    (minimum id, the convention every published web-scale dedup uses so
+    the keep-set is deterministic).
+
+    Output: one row per document that belongs to a >=2-doc cluster —
+    (id, canonical_id, cluster_size, keep). Documents with no near-dup
+    are implicitly kept and not emitted (at web scale the clustered set
+    is orders of magnitude smaller than the corpus; emitting only it
+    keeps the result join-back-able as an anti-join).
+
+    Scale: pairs come from the band-bucket equi-join (never all-pairs);
+    the component step is the large-star/small-star contraction from
+    ``operators.components`` — O(log^2 n) label-graph shuffles on the
+    PAIR set, not the corpus.
+    """
+    from lib_gdal_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, bands, rows_per_band, shingle, threshold, id_col, text_col, seed
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    nodes = (
+        edges.select(F.col("u").alias(id_col))
+        .union(edges.select(F.col("v").alias(id_col)))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    labeled = (
+        nodes.join(cc, nodes[id_col] == cc["label"], "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("canonical_id"))
+    )
+    sizes = labeled.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "canonical_id")
+        .select(
+            id_col,
+            "canonical_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+        )
+    )

@@ -114,3 +114,46 @@ def test_dedup_by_canonical_url(spark):
     out = TX.dedup_by_canonical_url(df)
     got = {r["__canon"]: r["tag"] for r in out.collect()}
     assert got == {"http://a.com/x": "first", "http://b.com/y": "other"}
+
+
+def test_decontaminate_flags_overlap(spark):
+    from lib_gdal_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox runs fast")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(train, bench, n=3).collect()}
+    # doc 1 shares exactly the 3-gram "quick brown fox"
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 1
+    assert out[1]["n_grams"] == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    # doc 3 has < n tokens -> collapses to one whole-doc gram, clean
+    assert out[3]["n_grams"] == 1 and not out[3]["contaminated"]
+
+
+def test_fuzzy_dedup_clusters_min_id(spark):
+    from lib_gdal_spark.operators.dedup import fuzzy_dedup
+
+    base = ("spark shuffles keyed rows between executors during wide "
+            "transformations like joins and aggregations at scale")
+    variant = base + " today"
+    rows = [(10, base), (11, variant), (12, base),
+            (50, "an entirely different document about raster pyramids "
+                 "overview levels and resampling kernels with no overlap")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in fuzzy_dedup(df, threshold=0.5).collect()}
+    # 10/11/12 form one cluster canonicalized to min id 10; 50 is absent
+    assert set(out) == {10, 11, 12}
+    assert all(out[i]["canonical_id"] == 10 for i in (10, 11, 12))
+    assert all(out[i]["cluster_size"] == 3 for i in (10, 11, 12))
+    assert out[10]["keep"] and not out[11]["keep"] and not out[12]["keep"]
