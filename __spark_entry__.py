@@ -1109,6 +1109,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: cut every 8-token window shared by >=2
+    documents (distributed window-hash variant of Lee et al. 2021)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.remove_repeated_windows(d, length=8)
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
     -> canonical min-id representative per near-dup cluster."""
@@ -2661,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "substring_dedup": q_substring_dedup,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4438,6 +4446,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT comp.id AS doc_id, comp.canonical_id,
                sizes.cluster_size, (comp.id = comp.canonical_id) AS keep
         FROM comp JOIN sizes USING (canonical_id)
+    """
+
+    # substring_dedup: tokens covered by a cross-doc-duplicated 8-token
+    # window are cut; reconstruction via ordered string_agg.
+    sqls["substring_dedup"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        w AS (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+          FROM (
+            SELECT doc_id, toks, unnest(range(1, nt - 6)) AS i
+            FROM n WHERE nt >= 8
+          )
+        ),
+        dup AS (
+          SELECT win FROM w GROUP BY win
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, j FROM (
+            SELECT doc_id, unnest(range(i, i + 8)) AS j
+            FROM w WHERE win IN (SELECT win FROM dup)
+          )
+        ),
+        tok AS (
+          SELECT doc_id, j, toks[j] AS tk
+          FROM (SELECT doc_id, toks, unnest(range(1, nt + 1)) AS j FROM n)
+        ),
+        clean AS (
+          SELECT tok.doc_id,
+                 string_agg(tk, ' ' ORDER BY tok.j) AS clean_text,
+                 count(*) AS n_kept
+          FROM tok LEFT JOIN cov
+            ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+          WHERE cov.doc_id IS NULL
+          GROUP BY tok.doc_id
+        )
+        SELECT n.doc_id, coalesce(clean_text, '') AS clean_text,
+               nt - coalesce(n_kept, 0) AS n_removed
+        FROM n LEFT JOIN clean ON n.doc_id = clean.doc_id
     """
 
     # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.

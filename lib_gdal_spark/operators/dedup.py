@@ -415,3 +415,75 @@ def fuzzy_dedup(
             (F.col(id_col) == F.col("canonical_id")).alias("keep"),
         )
     )
+
+
+def remove_repeated_windows(
+    docs: DataFrame,
+    length: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup: delete every token covered by an
+    ``length``-token window that occurs in >= ``min_docs`` distinct
+    documents (the cross-document variant of the suffix-array span
+    removal in Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — window hashing instead of suffix arrays,
+    which is the shape that distributes).
+
+    Semantics: ALL occurrences of a cross-doc-duplicated window are cut
+    (both documents lose the span); within-document repeats alone do not
+    trigger (``min_docs`` counts distinct docs). Documents shorter than
+    ``length`` tokens pass through unchanged.
+
+    Output: (id, clean_text, n_removed) — one row per input document.
+
+    Scale: one explode of window hashes (same row volume as the MinHash
+    shingle stage), a keys-only groupBy to find duplicated hashes, a
+    semi-join back, and a per-doc `collect_list` of the (few) duplicated
+    start offsets; the cut itself is a JVM higher-order `filter` over the
+    token array — no Python, no driver gather, no all-pairs anywhere.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(id_col, toks.alias("__toks"))
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= length,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - length),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("__toks", i + 1, length), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    starts = (
+        wins.join(dup, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("__starts"))
+    )
+    joined = base.join(starts, id_col, "left").select(
+        id_col,
+        "__toks",
+        F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__starts"), lambda s: (i >= s) & (i < s + length)
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

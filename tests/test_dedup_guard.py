@@ -157,3 +157,32 @@ def test_fuzzy_dedup_clusters_min_id(spark):
     assert all(out[i]["canonical_id"] == 10 for i in (10, 11, 12))
     assert all(out[i]["cluster_size"] == 3 for i in (10, 11, 12))
     assert out[10]["keep"] and not out[11]["keep"] and not out[12]["keep"]
+
+
+def test_remove_repeated_windows(spark):
+    """Cross-doc 4-token windows are cut from ALL docs sharing them;
+    within-doc repeats alone don't trigger; short docs pass through."""
+    docs = _docs(spark, [
+        "alpha beta gamma delta unique0 tail0",      # shares a b g d with doc1
+        "head1 alpha beta gamma delta tail1",
+        "solo solo solo solo solo solo",             # within-doc repeat only
+        "tiny doc",                                  # shorter than window
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.remove_repeated_windows(docs, length=4).collect()}
+    assert out[0]["clean_text"] == "unique0 tail0" and out[0]["n_removed"] == 4
+    assert out[1]["clean_text"] == "head1 tail1" and out[1]["n_removed"] == 4
+    # doc 2: windows repeat within one doc only -> min_docs=2 not met
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0
+
+
+def test_remove_repeated_windows_overlap_merge(spark):
+    """Overlapping duplicated windows merge into one contiguous cut span."""
+    shared = "w1 w2 w3 w4 w5"  # two overlapping 4-windows, both duplicated
+    docs = _docs(spark, [f"pre {shared} postA", f"{shared} postB"])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.remove_repeated_windows(docs, length=4).collect()}
+    # output tokens are lowercased (normalization happens before hashing)
+    assert out[0]["clean_text"] == "pre posta" and out[0]["n_removed"] == 5
+    assert out[1]["clean_text"] == "postb" and out[1]["n_removed"] == 5
