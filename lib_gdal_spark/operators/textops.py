@@ -232,3 +232,88 @@ def dedup_by_canonical_url(pages: DataFrame,
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF (the classic keyword /
+    relevance primitive of every text pipeline).
+
+    tf = term count within the doc; idf = ln((N + 1) / (df + 1)) + 1
+    (sklearn's smooth_idf); score = tf * idf rounded to ``round_decimals``
+    BEFORE ranking so accumulation order can't flip ranks; ties break on
+    the term string ascending.
+
+    Scale: one explode to (doc, term) counts (map-side combinable), a
+    keys-only doc-frequency aggregate joined back broadcast-style (the
+    vocabulary is tiny next to the corpus), and a per-doc window top-k —
+    all JVM built-ins, no Python anywhere.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    n_docs = docs.count()
+    tf = (
+        docs.select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * idf, round_decimals).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+# PII patterns restricted to the regex subset shared by Java regex and
+# RE2 (no lookaround): email, IPv4, international-ish phone, US SSN,
+# 16-digit card numbers (with optional group separators).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Redact common PII (email / IPv4 / card / SSN / phone) with typed
+    placeholder tokens, and count matches per category — the standard
+    pre-training scrub stage (e.g. BigCode/The-Stack PII pipeline shape).
+
+    Counts are computed on the ORIGINAL text per category (so overlapping
+    categories each see the raw string); redaction applies sequentially
+    in PII_PATTERNS order. Pure
+    JVM ``regexp_replace`` / ``regexp_extract_all`` — codegen-friendly,
+    zero Python.
+    """
+    out = docs
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, red)

@@ -1,0 +1,137 @@
+"""Tests for the round-3 pipeline additions: k-means / SemDeDup,
+data-mixing samplers, TF-IDF, PII redaction."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import cluster as CL
+from lib_gdal_spark.operators import mixing as MX
+from lib_gdal_spark.operators import textops as TX
+
+
+def _vecs(spark, arrs, ids=None):
+    ids = list(range(len(arrs))) if ids is None else ids
+    pdf = pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [np.asarray(a, dtype=np.float32) for a in arrs],
+    })
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separated_clusters(spark):
+    """Three well-separated blobs -> three pure clusters; exact zero
+    distance for points equal to the final (mean) centroid."""
+    rng = np.random.default_rng(0)
+    centers = [[10, 0, 0], [0, 10, 0], [0, 0, 10]]
+    # interleave blobs (id % 3 = blob) so the min-id init seeds all three
+    blobs = [np.array(centers[i % 3], dtype=float) + rng.normal(0, 0.1, 3)
+             for i in range(30)]
+    out = CL.kmeans(_vecs(spark, blobs), k=3, iters=4).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], set()).add(r["vec_id"] % 3)
+    # each cluster contains exactly one blob
+    assert all(len(v) == 1 for v in by_cid.values()) and len(by_cid) == 3
+
+
+def test_kmeans_parallelism_invariant(spark):
+    """Identical assignment at 1 and 16 input partitions — the integer
+    arithmetic makes the iteration order-independent (the property float
+    k-means does NOT have)."""
+    rng = np.random.default_rng(1)
+    arrs = [rng.normal(0, 1, 8) for _ in range(120)]
+    base = _vecs(spark, arrs)
+    a = CL.kmeans(base.coalesce(1), k=5, iters=3).collect()
+    b = CL.kmeans(base.repartition(16), k=5, iters=3).collect()
+    assert (sorted((r["vec_id"], r["cid"], r["dist2"]) for r in a)
+            == sorted((r["vec_id"], r["cid"], r["dist2"]) for r in b))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k=3 over two tight blobs: one init centroid (two lowest-id points
+    are in the same blob) empties out and must keep its previous
+    position without crashing."""
+    arrs = ([[0.0, 0.0], [0.001, 0.0]]          # ids 0,1 -> same blob
+            + [[5.0, 5.0]] * 5 + [[0.0, 0.0]] * 3)
+    out = CL.kmeans(_vecs(spark, arrs), k=3, iters=3).collect()
+    assert len(out) == 10 and len({r["cid"] for r in out}) >= 2
+
+
+def test_semantic_dedup_flags_lower_id_neighbor(spark):
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.99, 0.01, 0.0, 0.0]      # cos(a,b) ~ 0.99995
+    c = [0.0, 1.0, 0.0, 0.0]        # orthogonal
+    out = {r["vec_id"]: r.asDict() for r in CL.semantic_dedup(
+        _vecs(spark, [a, b, c]), k=2, iters=2, threshold=0.9).collect()}
+    assert out[0]["keep"] and not out[1]["keep"] and out[1]["n_dups"] == 1
+    assert out[2]["keep"] and out[2]["n_dups"] == 0
+
+
+def _docs(spark, n=60):
+    rows = [(i, f"src{i % 3}", "w%d " % i * ((i % 7) + 1))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_sample_sources_rates_and_determinism(spark):
+    d = _docs(spark)
+    none = MX.sample_sources(d, {}, default_rate=0.0).count()
+    allr = MX.sample_sources(d, {}, default_rate=1.0).count()
+    assert none == 0 and allr == 60
+    r1 = {r["doc_id"] for r in
+          MX.sample_sources(d, {"src0": 0.5}, default_rate=0.2).collect()}
+    r2 = {r["doc_id"] for r in
+          MX.sample_sources(d.repartition(13), {"src0": 0.5},
+                            default_rate=0.2).collect()}
+    assert r1 == r2  # partitioning-independent keep-set
+    # a different seed draws a different set (overwhelmingly likely)
+    r3 = {r["doc_id"] for r in
+          MX.sample_sources(d, {"src0": 0.5}, default_rate=0.2,
+                            seed=7).collect()}
+    assert r1 != r3
+
+
+def test_sample_token_budget_prefix(spark):
+    d = _docs(spark)
+    out = MX.sample_to_token_budget(d, 10)
+    rows = out.collect()
+    assert rows and all(r["cum_tokens"] <= 10 for r in rows)
+    # per source: the kept set is a prefix in (hash, id) order -> adding
+    # any dropped doc of that source would exceed the budget via cumsum
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    for src, kept in per.items():
+        assert max(r["cum_tokens"] for r in kept) <= 10
+
+
+def test_tfidf_hand_case(spark):
+    d = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r for r in
+           TX.tfidf_top_terms(d, k=2).collect()}
+    idf_apple = math.log(4.0 / 2.0) + 1.0     # df=1 -> ln((3+1)/(1+1))+1
+    assert abs(out[(0, "apple")]["tfidf"] - round(2 * idf_apple, 6)) < 1e-9
+    assert out[(0, "apple")]["rank"] == 1
+    # banana appears in 2 docs -> lower idf than apple
+    assert out[(0, "banana")]["rank"] == 2
+
+
+def test_redact_pii_all_categories(spark):
+    d = spark.createDataFrame([(0,
+        "mail a.b-c@x-y.org ip 10.0.0.255 card 4111-1111-1111-1111 "
+        "ssn 078-05-1120 call +44 201 555 0199 done")],
+        "doc_id long, text string")
+    r = TX.redact_pii(d).first()
+    assert (r["n_email"], r["n_ip"], r["n_card"], r["n_ssn"], r["n_phone"]) \
+        == (1, 1, 1, 1, 1)
+    assert r["redacted"] == ("mail <EMAIL> ip <IP> card <CARD> "
+                             "ssn <SSN> call <PHONE> done")
+    clean = TX.redact_pii(
+        spark.createDataFrame([(1, "no pii here")], "doc_id long, text string")
+    ).first()
+    assert clean["redacted"] == "no pii here" and clean["n_email"] == 0
