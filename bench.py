@@ -84,6 +84,13 @@ BENCH = {
     "special_fields": lambda s: _force(E.q_ogr_special_fields(s, SF_DIR)),
     "text_repetition": lambda s: _force(E.q_text_repetition(s, SF_DIR)),
     "ogr_reproject": lambda s: _force(E.q_ogr_reproject(s, SF_DIR)),
+    # round-3 pipeline additions
+    "substring_dedup": lambda s: _force(E.q_substring_dedup(s, SF_DIR)),
+    "fuzzy_dedup": lambda s: _force(E.q_fuzzy_dedup(s, SF_DIR)),
+    "semantic_dedup": lambda s: _force(E.q_semantic_dedup(s, SF_DIR)),
+    "tfidf_top_terms": lambda s: _force(E.q_tfidf_top_terms(s, SF_DIR)),
+    "pii_redact": lambda s: _force(E.q_pii_redact(s, SF_DIR)),
+    "sample_token_budget": lambda s: _force(E.q_sample_token_budget(s, SF_DIR)),
 }
 
 

@@ -9,23 +9,30 @@ reproducible across engines AND across re-runs at any parallelism:
   order-dependent; at 1000 executors the task order is never the same
   twice);
 - init is the k lowest-id vectors, and argmin ties break on centroid
-  index.
+  index (numpy argmin's first-minimum rule).
 
 Centroids (k x dim integers) live on the driver between iterations — the
 same driver-sized-state contract as Spark MLlib's own KMeans; per-point
-assignment is a JVM-only expression (array_min over (dist, cid) structs,
-whole-stage-codegen friendly), and the centroid update is one
-posexplode + groupBy(cid, pos) SUM — map-side combinable, shuffling only
-k * dim * n_partitions partial rows.
+assignment is ONE int64 matmul per Arrow batch (``mapInPandas``; int64
+products stay exact: |v_q| <= ~2e6, dim 64 -> |v.c| <= 2.6e14 << 2^63),
+and the centroid update is one posexplode + groupBy(cid, pos) SUM —
+map-side combinable, shuffling only k * dim * n_partitions partial rows.
 
 ``semantic_dedup`` is the SemDeDup shape: cluster first (cheap), then
 all-pairs cosine ONLY within each cluster — the quadratic stage touches
-c^2 instead of n^2 rows, which is the whole reason the method scales.
+sum(|c|^2) instead of n^2 pairs, which is the whole reason the method
+scales; each cluster's pair matrix is one float64 BLAS matmul inside
+``applyInPandas`` (the paper's own per-cluster-in-device-memory contract:
+k grows with n so clusters stay worker-sized).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 QUANT = 1_000_000.0  # micro-unit quantization: exact in int64 for |x| < 9e12
@@ -35,6 +42,32 @@ def _quantize(vec_col: str) -> F.Column:
     return F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * QUANT).cast("long"),
+    )
+
+
+def _assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(id, v) -> (id, v, cid, dist2): exact int64 argmin over centroids,
+    one integer matmul per Arrow batch, ties to the lowest cid."""
+    C = np.asarray(cents, dtype=np.int64)          # (k, dim)
+    c2 = (C * C).sum(axis=1)                       # (k,)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["v"].to_numpy()).astype(np.int64)  # (n, dim)
+            d = ((V * V).sum(axis=1)[:, None]
+                 - 2 * (V @ C.T) + c2[None, :])                # (n, k) exact
+            cid = d.argmin(axis=1)
+            yield pd.DataFrame({
+                "id": b["id"],
+                "v": b["v"],
+                "cid": cid.astype(np.int32),
+                "dist2": d[np.arange(len(b)), cid],
+            })
+
+    return pts.mapInPandas(
+        run, schema="id long, v array<long>, cid int, dist2 long"
     )
 
 
@@ -50,47 +83,22 @@ def kmeans(
     centroid in quantized micro-units (int64).
 
     k and dim are driver-sized (centroid table is k x dim ints); the data
-    side streams once per iteration with no Python and no driver gather.
-    An emptied cluster keeps its previous centroid.
+    side streams once per iteration with no driver gather. An emptied
+    cluster keeps its previous centroid.
     """
     pts = vectors.select(
         F.col(id_col).alias("id"), _quantize(vec_col).alias("v")
     )
     pts = pts.persist()
     try:
-        dim = len(pts.first()["v"])
-        cents = [
-            list(r["v"])
-            for r in pts.orderBy("id").limit(k).collect()
-        ]
+        cents = [list(r["v"]) for r in pts.orderBy("id").limit(k).collect()]
         if len(cents) < k:
             raise ValueError(f"k={k} exceeds the number of vectors")
-
-        def assign() -> DataFrame:
-            choices = F.array(*[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(c) for c in cent]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, d: acc + d,
-                    ).alias("d"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, cent in enumerate(cents)
-            ])
-            best = F.array_min(choices)
-            return pts.select(
-                "id", "v",
-                best["cid"].alias("cid"), best["d"].alias("dist2"),
-            )
+        dim = len(cents[0])
 
         for _ in range(iters):
             sums = (
-                assign()
+                _assign(pts, cents)
                 .select("cid", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
@@ -104,7 +112,7 @@ def kmeans(
                 if j in new:
                     cents[j] = new[j]
 
-        return assign().select(
+        return _assign(pts, cents).select(
             F.col("id").alias(id_col), "cid", "dist2"
         )
     finally:
@@ -125,9 +133,9 @@ def semantic_dedup(
     cluster as a semantic duplicate (keep = no such neighbor).
 
     Output: (id, cid, keep, n_dups) — n_dups counts the lower-id
-    near-neighbors. The pairwise stage is confined within clusters, so
-    cost is sum(|c|^2), not n^2; the cosine is rounded before comparison
-    so accumulation order cannot flip the threshold test.
+    near-neighbors. The pairwise stage is one BLAS matmul per cluster
+    (applyInPandas); the cosine is rounded before the threshold test so
+    accumulation order cannot flip it.
     """
     assigned = kmeans(vectors, k=k, iters=iters,
                       id_col=id_col, vec_col=vec_col)
@@ -135,40 +143,33 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("ve"),
     )
-    a = assigned.join(vecs, assigned[id_col] == vecs["id"]).select(
-        F.col(id_col).alias("id"), "cid", "ve"
+    a = assigned.withColumnRenamed(id_col, "id").join(vecs, "id").select(
+        "id", "cid", "ve"
     )
-    lo = a.select(
-        F.col("id").alias("id_a"), F.col("cid").alias("cid_a"),
-        F.col("ve").alias("va"),
-    )
-    hi = a.select(
-        F.col("id").alias("id_b"), F.col("cid").alias("cid_b"),
-        F.col("ve").alias("vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
+    thr = float(threshold)
+    nd = int(round_decimals)
 
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.col(c), F.lit(0.0), lambda acc, v: acc + v * v
-        ))
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        V = np.stack(pdf["ve"].to_numpy())            # (n, dim) float64
+        norms = np.sqrt((V * V).sum(axis=1))
+        cos = np.round((V @ V.T) / np.outer(norms, norms), nd)
+        hit = cos >= thr
+        # lower-id neighbors = strictly-upper-triangle contributions
+        n_dups = np.triu(hit, k=1).sum(axis=0).astype(np.int64)
+        return pd.DataFrame({
+            "id": pdf["id"],
+            "cid": pdf["cid"],
+            "n_dups": n_dups,
+            "keep": n_dups == 0,
+        })
 
-    cos = F.round(dot / (norm("va") * norm("vb")), round_decimals)
-    dups = (
-        lo.join(hi, (F.col("cid_a") == F.col("cid_b"))
-                & (F.col("id_a") < F.col("id_b")))
-        .where(cos >= threshold)
-        .groupBy(F.col("id_b").alias("id"))
-        .agg(F.count("*").alias("n_dups"))
-    )
     return (
-        a.join(dups, "id", "left")
+        a.groupBy("cid")
+        .applyInPandas(
+            per_cluster, schema="id long, cid int, n_dups long, keep boolean"
+        )
         .select(
-            F.col("id").alias(id_col), "cid",
-            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+            F.col("id").alias(id_col), "cid", "n_dups", "keep"
         )
     )
