@@ -12,10 +12,9 @@ and downstream exact-dedup of a re-mixed corpus must see identical ids.
 Scale notes: the Bernoulli sampler is a stateless narrow map (no shuffle
 at all). The budget sampler needs a per-source ordering, i.e. one shuffle
 on the source key; a single giant source is the skew case — AQE skew
-splitting does not apply to window functions, so the operator optionally
-pre-aggregates the cumulative sums per (source, salt-bucket) in two passes
-(bucket totals are tiny) instead of one global window when
-``salt_buckets > 1``.
+splitting does not apply to window functions, so ``salt_buckets > 1``
+switches to a two-pass range-bucketed cumsum (exactly the same output;
+see ``sample_to_token_budget``).
 """
 
 from __future__ import annotations
@@ -77,24 +76,58 @@ def sample_to_token_budget(
     text_col: str = "text",
     seed: int = 42,
     stream: int = 9002,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Keep a deterministic pseudo-random prefix of each source worth at
-    most ``budget_tokens`` whitespace tokens (greedy: docs are ordered by
-    hash and taken while the running total INCLUDING the candidate stays
-    within budget; a doc that would overflow is skipped but later smaller
-    docs are NOT back-filled — prefix semantics keep the plan one window,
-    and the bias is negligible when budget >> max doc length).
+    most ``budget_tokens`` whitespace tokens: docs are ordered by (hash,
+    id) and kept while the running total stays within budget (the first
+    overflowing doc and everything after it are dropped — pure prefix
+    semantics; the under-fill bias is negligible when budget >> max doc
+    length).
 
-    Output adds (n_tokens, cum_tokens). One shuffle on the source key.
+    Output adds (n_tokens, cum_tokens).
+
+    ``salt_buckets=1`` runs one window per source — fine while every
+    source fits a partition. For a web-scale source, pass
+    ``salt_buckets=B``: rows are range-bucketed by the high bits of the
+    hash (bucket boundaries partition the (hash, id) order, so the global
+    cumsum is EXACTLY reproduced), each (source, bucket) windows
+    independently, and the per-bucket totals — a sources x B frame —
+    broadcast back as prefix offsets. Identical output, bounded
+    partitions.
     """
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
-    w = Window.partitionBy(source_col).orderBy("__h", id_col)
-    return (
+    d = (
         docs.withColumn("__h", _hash53(id_col, stream, seed))
         .withColumn("n_tokens", F.size(toks).cast("long"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    if salt_buckets <= 1:
+        w = Window.partitionBy(source_col).orderBy("__h", id_col)
+        return (
+            d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") <= budget_tokens)
+            .drop("__h")
+        )
+    span = M53 // salt_buckets + 1
+    d = d.withColumn("__b", (F.col("__h") / span).cast("int"))
+    wb = Window.partitionBy(source_col, "__b").orderBy("__h", id_col)
+    d = d.withColumn("__cum_in_b", F.sum("n_tokens").over(wb))
+    totals = d.groupBy(source_col, "__b").agg(
+        F.sum("n_tokens").alias("__tot")
+    )
+    wt = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(wt), F.lit(0))
+    ).select(source_col, "__b", "__off")
+    return (
+        d.join(F.broadcast(offsets), [source_col, "__b"])
+        .withColumn("cum_tokens", F.col("__off") + F.col("__cum_in_b"))
         .where(F.col("cum_tokens") <= budget_tokens)
-        .drop("__h")
+        .drop("__h", "__b", "__cum_in_b", "__off")
     )

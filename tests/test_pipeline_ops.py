@@ -135,3 +135,16 @@ def test_redact_pii_all_categories(spark):
         spark.createDataFrame([(1, "no pii here")], "doc_id long, text string")
     ).first()
     assert clean["redacted"] == "no pii here" and clean["n_email"] == 0
+
+
+def test_sample_token_budget_bucketed_identical(spark):
+    """salt_buckets=B reproduces the single-window output exactly (range
+    buckets partition the (hash, id) order)."""
+    d = _docs(spark, 200)
+    one = sorted((r["doc_id"], r["cum_tokens"]) for r in
+                 MX.sample_to_token_budget(d, 55).collect())
+    for b in (4, 16):
+        salted = sorted((r["doc_id"], r["cum_tokens"]) for r in
+                        MX.sample_to_token_budget(
+                            d, 55, salt_buckets=b).collect())
+        assert salted == one, b

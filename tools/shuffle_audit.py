@@ -31,6 +31,10 @@ QUERIES = [
     "raster_checksum", "raster_checksum_complex", "warp_ps_nearest",
     "warp_albers_nearest", "translate_cubic", "pyramid_magphase_l1",
     "ogr_special_fields", "grid_avgdist",
+    # round-3 pipeline additions
+    "substring_dedup", "fuzzy_dedup", "semantic_dedup", "kmeans_clusters",
+    "tfidf_top_terms", "pii_redact", "sample_sources",
+    "sample_token_budget",
 ]
 
 
