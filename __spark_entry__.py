@@ -1192,6 +1192,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLU.semantic_dedup(emb, k=8, iters=4, threshold=0.3)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-trained bigram-LM cross-entropy per document
+    (the classic perplexity quality filter, Wenzek et al. 2020)."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.ngram_lm_perplexity(d, k=0.5)
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
     -> canonical min-id representative per near-dup cluster."""
@@ -2751,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4688,6 +4696,42 @@ def oracle_sql() -> dict[str, str]:
                coalesce(d.n_dups, 0) AS n_dups,
                coalesce(d.n_dups, 0) = 0 AS keep
         FROM {_FINAL} f LEFT JOIN dups d ON f.id = d.id
+    """
+
+    # lm_perplexity: corpus-trained add-0.5 bigram LM; log-probs quantized
+    # to int64 micro-nats so the per-doc sum is order-independent.
+    sqls["lm_perplexity"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        bg AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT doc_id, toks, unnest(range(1, nt)) AS i
+                FROM n WHERE nt >= 2)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+        ),
+        vv AS (SELECT count(*) AS v FROM c1),
+        q AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * v)) * 1000000.0)
+                      AS BIGINT) AS q
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vv
+        ),
+        s AS (SELECT doc_id, sum(q) AS s, count(*) AS nb
+              FROM q GROUP BY doc_id)
+        SELECT n.doc_id,
+               CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+               round(-s / (nb * 1000000.0), 6) AS cross_entropy,
+               round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
+        FROM n LEFT JOIN s USING (doc_id)
     """
 
     # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.

@@ -91,6 +91,7 @@ BENCH = {
     "tfidf_top_terms": lambda s: _force(E.q_tfidf_top_terms(s, SF_DIR)),
     "pii_redact": lambda s: _force(E.q_pii_redact(s, SF_DIR)),
     "sample_token_budget": lambda s: _force(E.q_sample_token_budget(s, SF_DIR)),
+    "lm_perplexity": lambda s: _force(E.q_lm_perplexity(s, SF_DIR)),
 }
 
 

@@ -317,3 +317,81 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.withColumn(out_col, red)
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-k-smoothed bigram LM
+    on the corpus ITSELF, then score every document by per-bigram
+    cross-entropy (high = atypical/garbled text; the classic
+    "perplexity filter" of Wenzek et al. 2020, with the corpus standing
+    in for the external KenLM).
+
+    P(w2 | w1) = (C(w1 w2) + k) / (C(w1) + k * V), V = corpus vocabulary.
+    Each log-prob is quantized to int64 micro-nats (round(ln * 1e6)) and
+    SUMMED IN INTEGERS, so the per-doc entropy is independent of
+    aggregation order — the same determinism contract as the k-means
+    operator. Docs with < 2 tokens get NULL entropy (row count preserved).
+
+    Output: (id, n_bigrams, cross_entropy, ppl).
+
+    Scale: two count aggregations (map-side combinable, keys only), then
+    one equi-join of the corpus bigram stream against the count tables —
+    co-partitioned on the gram key, AQE broadcasts them when small. No
+    Python anywhere.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__t", i + 1).alias("w1"),
+                        F.element_at("__t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>")),
+        ).alias("g"),
+    ).select("id", "g.w1", "g.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = c1.count()  # vocabulary size (exact integer, both engines)
+    logp = F.log(
+        (F.col("c2") + F.lit(float(k)))
+        / (F.col("c1") + F.lit(float(k * v)))
+    )
+    q = F.round(logp * 1e6).cast("long")  # micro-nats, exact int64 sum
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("id")
+        .agg(F.sum(q).alias("__s"), F.count("*").alias("n_bigrams"))
+    )
+    ent = F.round(-F.col("__s") / (F.col("n_bigrams") * 1e6),
+                  round_decimals)
+    return (
+        base.select("id").join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            ent.alias("cross_entropy"),
+            F.round(F.exp(ent), round_decimals).alias("ppl"),
+        )
+    )

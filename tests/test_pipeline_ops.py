@@ -148,3 +148,22 @@ def test_sample_token_budget_bucketed_identical(spark):
                         MX.sample_to_token_budget(
                             d, 55, salt_buckets=b).collect())
         assert salted == one, b
+
+
+def test_ngram_lm_perplexity_hand_case(spark):
+    """Hand-computed add-0.5 bigram LM: C1 = {a:3, b:3, z:2, only:1},
+    V = 4 (k*V = 2), C2 = {(a,b):3, (b,a):1, (z,z):1}."""
+    d = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z z"), (3, "only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in TX.ngram_lm_perplexity(d, k=0.5).collect()}
+    q_ab = round(math.log(3.5 / 5.0) * 1e6)          # P(b|a)
+    q_ba = round(math.log(1.5 / 5.0) * 1e6)          # P(a|b)
+    q_zz = round(math.log(1.5 / 4.0) * 1e6)          # P(z|z)
+    h0 = round(-(2 * q_ab + q_ba) / 3e6, 6)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["cross_entropy"] - h0) < 1e-12
+    assert abs(out[0]["ppl"] - round(math.exp(h0), 6)) < 1e-12
+    assert abs(out[2]["cross_entropy"] - round(-q_zz / 1e6, 6)) < 1e-12
+    assert out[3]["n_bigrams"] == 0 and out[3]["cross_entropy"] is None

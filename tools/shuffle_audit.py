@@ -34,7 +34,7 @@ QUERIES = [
     # round-3 pipeline additions
     "substring_dedup", "fuzzy_dedup", "semantic_dedup", "kmeans_clusters",
     "tfidf_top_terms", "pii_redact", "sample_sources",
-    "sample_token_budget",
+    "sample_token_budget", "lm_perplexity",
 ]
 
 
