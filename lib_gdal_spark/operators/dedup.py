@@ -330,7 +330,8 @@ def decontaminate(
     n-gram with a benchmark/eval set (the published GPT-3 appendix-C
     procedure — 13-gram overlap — is the standard; ``n`` is a knob).
 
-    Both sides explode to distinct md5(gram) keys; the benchmark side is
+    Both sides explode to distinct xxhash64(gram) keys (8-byte longs, not
+    hex strings — 4x less join-key volume); the benchmark side is
     tiny by construction (eval sets are small) and is broadcast, so the
     corpus streams once with NO shuffle — the groupBy back to ``id_col``
     is map-side combinable on the already-doc-partitioned explode output.
@@ -338,9 +339,10 @@ def decontaminate(
     contaminated flag); clean docs carry 0/false rather than disappearing.
     """
     g = F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
-    doc_g = docs.select(id_col, g).select(id_col, F.md5("gram").alias("gh"))
+    doc_g = docs.select(id_col, g).select(id_col,
+                                          F.xxhash64("gram").alias("gh"))
     bench_g = (
-        benchmark.select(g).select(F.md5("gram").alias("gh")).distinct()
+        benchmark.select(g).select(F.xxhash64("gram").alias("gh")).distinct()
     )
     hits = (
         doc_g.join(F.broadcast(bench_g), "gh", "left_semi")
@@ -453,11 +455,11 @@ def remove_repeated_windows(
                 F.size("__toks") >= length,
                 F.transform(
                     F.sequence(F.lit(0), F.size("__toks") - length),
-                    lambda i: F.md5(
+                    lambda i: F.xxhash64(
                         F.array_join(F.slice("__toks", i + 1, length), " ")
                     ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("start", "wh"),
     )
     dup = (
