@@ -1192,6 +1192,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLU.semantic_dedup(emb, k=8, iters=4, threshold=0.3)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing plan: deterministic global concatenation
+    order + fixed-length (256-token) window assignment per document."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    return MX.pack_sequences(d, seq_len=256)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-trained bigram-LM cross-entropy per document
     (the classic perplexity quality filter, Wenzek et al. 2020)."""
@@ -2759,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4872,6 +4882,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= 400
+    """
+
+    # pack_sequences: exact global exclusive prefix sum over (hash, id)
+    # order, then fixed 256-token window assignment.
+    sqls["pack_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text),
+                   '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                 ({_mix_sql("doc_id", 9003)}) // 2048 AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS gstart
+          FROM d WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, gstart,
+               CAST(floor(gstart / 256.0) AS BIGINT) AS first_seq,
+               CAST(floor((gstart + n_tokens - 1) / 256.0) AS BIGINT)
+                 AS last_seq
+        FROM c
     """
 
     # contour length: 16-case marching squares in SQL (world4326 stencil)

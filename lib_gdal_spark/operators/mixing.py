@@ -131,3 +131,63 @@ def sample_to_token_budget(
         .where(F.col("cum_tokens") <= budget_tokens)
         .drop("__h", "__b", "__cum_in_b", "__off")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    stream: int = 9003,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate the corpus in a
+    deterministic pseudo-random order (splitmix64 hash, then id) and cut
+    the token stream into fixed ``seq_len`` windows. Returns one row per
+    document with its place in the packed stream:
+
+    (id, n_tokens, gstart, first_seq, last_seq) — the doc's tokens occupy
+    global positions [gstart, gstart + n_tokens); sequence s covers
+    [s * seq_len, (s+1) * seq_len), so a doc spans sequences
+    first_seq..last_seq. Zero-token docs occupy no positions and are
+    dropped.
+
+    The global exclusive prefix sum uses the same range-bucket trick as
+    ``sample_to_token_budget``, but corpus-wide: bucket by the hash high
+    bits (buckets partition the (hash, id) order), window within each
+    bucket, then broadcast the B bucket totals back as offsets — an exact
+    global ordering with NO global sort and NO single-partition window.
+    The actual tensor materialization (slice tokens, emit (seq_id, slot)
+    rows) is a downstream explode keyed by this plan; the plan itself is
+    the shuffle-bound part.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = (
+        docs.withColumn("__h", _hash53(id_col, stream, seed))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .where(F.col("n_tokens") > 0)
+    )
+    span = M53 // salt_buckets + 1
+    d = d.withColumn("__b", (F.col("__h") / span).cast("int"))
+    wb = Window.partitionBy("__b").orderBy("__h", id_col)
+    d = d.withColumn("__cum_in_b", F.sum("n_tokens").over(wb))
+    totals = d.groupBy("__b").agg(F.sum("n_tokens").alias("__tot"))
+    wt = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(wt), F.lit(0))
+    ).select("__b", "__off")
+    gstart = (F.col("__off") + F.col("__cum_in_b") - F.col("n_tokens"))
+    return (
+        d.join(F.broadcast(offsets), "__b")
+        .select(
+            id_col,
+            "n_tokens",
+            gstart.alias("gstart"),
+            F.floor(gstart / seq_len).cast("long").alias("first_seq"),
+            F.floor((gstart + F.col("n_tokens") - 1) / seq_len)
+            .cast("long").alias("last_seq"),
+        )
+    )

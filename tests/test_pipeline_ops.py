@@ -167,3 +167,22 @@ def test_ngram_lm_perplexity_hand_case(spark):
     assert abs(out[0]["ppl"] - round(math.exp(h0), 6)) < 1e-12
     assert abs(out[2]["cross_entropy"] - round(-q_zz / 1e6, 6)) < 1e-12
     assert out[3]["n_bigrams"] == 0 and out[3]["cross_entropy"] is None
+
+
+def test_pack_sequences_contiguous_and_bucket_invariant(spark):
+    d = _docs(spark, 150)
+    out = MX.pack_sequences(d, seq_len=16).collect()
+    rows = sorted(out, key=lambda r: r["gstart"])
+    # exact concatenation: starts tile the token stream with no gaps
+    pos = 0
+    for r in rows:
+        assert r["gstart"] == pos
+        assert r["first_seq"] == pos // 16
+        assert r["last_seq"] == (pos + r["n_tokens"] - 1) // 16
+        pos += r["n_tokens"]
+    # bucket count must not change the plan
+    b1 = sorted((r["doc_id"], r["gstart"]) for r in
+                MX.pack_sequences(d, seq_len=16, salt_buckets=1).collect())
+    b64 = sorted((r["doc_id"], r["gstart"]) for r in
+                 MX.pack_sequences(d, seq_len=16, salt_buckets=64).collect())
+    assert b1 == b64 == sorted((r["doc_id"], r["gstart"]) for r in rows)
