@@ -1201,6 +1201,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.pack_sequences(d, seq_len=256)
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag log-ratio of target-domain vs raw-corpus distributions; the
+    target seed set is 'documents mentioning spark'."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    return MX.dsir_importance(
+        d, target=F.col("text").contains("spark"), n_buckets=256
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 partitioned-hash Bloom filter probe of the corpus against a
+    deterministic blocklist slice (doc_id % 17 == 3) — the shuffle-free
+    'filter the crawl against an opt-out list' tool."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bl = d.where(F.col("doc_id") % 17 == 3)
+    cand = d.where(F.col("doc_id") % 17 != 3)
+    return DD.bloom_membership(cand, bl).select("doc_id", "bloom_hit")
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-trained bigram-LM cross-entropy per document
     (the classic perplexity quality filter, Wenzek et al. 2020)."""
@@ -2769,6 +2791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
+        "dsir_importance": q_dsir_importance,
+        "bloom_membership": q_bloom_membership,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4907,6 +4931,63 @@ def oracle_sql() -> dict[str, str]:
                  AS last_seq
         FROM c
     """
+
+    # dsir_importance: unigram+bigram bag, FNV-1a bucket hash, add-0.5
+    # smoothed log-ratio quantized to int64 micro-nats (each log rounded
+    # separately, then subtracted — matches the Spark side exactly).
+    sqls["dsir_importance"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '') AS toks,
+                 position('spark' IN text) > 0 AS is_target
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, is_target, len(toks) AS nt FROM t),
+        g AS (
+          SELECT doc_id, is_target, unnest(toks) AS gram FROM n
+          UNION ALL
+          SELECT doc_id, is_target, toks[i] || ' ' || toks[i + 1] AS gram
+          FROM (SELECT doc_id, is_target, toks, unnest(range(1, nt)) AS i
+                FROM n WHERE nt >= 2)
+        ),
+        hb AS (SELECT doc_id, is_target,
+                      CAST({fnv} % 256 AS INT) AS bucket FROM g),
+        cb AS (SELECT bucket, count(*) AS cr,
+                      count(*) FILTER (WHERE is_target) AS ct
+               FROM hb GROUP BY bucket),
+        tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cb),
+        q AS (SELECT bucket,
+                CAST(round(ln((ct + 0.5) / (tt + 128.0)) * 1000000.0)
+                     AS BIGINT)
+              - CAST(round(ln((cr + 0.5) / (tr + 128.0)) * 1000000.0)
+                     AS BIGINT) AS q
+              FROM cb, tot),
+        w AS (SELECT doc_id, sum(q) AS w, count(*) AS n_grams
+              FROM hb JOIN q USING (bucket) GROUP BY doc_id)
+        SELECT t.doc_id, t.is_target,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               round(w / 1000000.0, 6) AS log_weight,
+               (w > 0) AS selected
+        FROM t LEFT JOIN w USING (doc_id)
+    """.replace("{fnv}", _FNV.format(g="gram"))
+
+    # bloom_membership: k=3 partitioned-hash Bloom over 2^20 bits; the
+    # bit set is the union of the blocklist docs' three FNV bit-slices.
+    sqls["bloom_membership"] = r"""
+        WITH h AS (SELECT doc_id, {fnv} AS h FROM documents),
+        p AS (SELECT doc_id,
+                CAST(h % 1048576 AS BIGINT) AS p1,
+                CAST((h // 1048576) % 1048576 AS BIGINT) AS p2,
+                CAST((h // 1099511627776) % 1048576 AS BIGINT) AS p3
+              FROM h),
+        s AS (SELECT DISTINCT unnest([p1, p2, p3]) AS p FROM p
+              WHERE doc_id % 17 = 3)
+        SELECT doc_id,
+               (p1 IN (SELECT p FROM s)) AND (p2 IN (SELECT p FROM s))
+                 AND (p3 IN (SELECT p FROM s)) AS bloom_hit
+        FROM p WHERE doc_id % 17 <> 3
+    """.replace("{fnv}", _FNV.format(g="text"))
 
     # contour length: 16-case marching squares in SQL (world4326 stencil)
     _gx1, _gy5 = 360.0 / 256, -180.0 / 256

@@ -19,9 +19,11 @@ see ``sample_to_token_budget``).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.pages import _mix
@@ -189,5 +191,118 @@ def pack_sequences(
             F.floor(gstart / seq_len).cast("long").alias("first_seq"),
             F.floor((gstart + F.col("n_tokens") - 1) / seq_len)
             .cast("long").alias("last_seq"),
+        )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram bag is under the target-domain
+    distribution than under the raw-corpus distribution.
+
+    ``target`` is a boolean Column marking the in-domain examples (the
+    small seed set the selection should imitate). Features are unigrams
+    plus word bigrams, FNV-1a-hashed into ``n_buckets`` buckets (bag
+    counts, not a set). Bucket distributions use add-``alpha`` smoothing;
+    each bucket's log-ratio ln(p_target/p_raw) is quantized to int64
+    micro-nats (two separately-quantized logs, subtracted), so a
+    document's weight is an EXACT integer sum — order-free, engine-
+    independent, reproducible (the same trick as ``ngram_lm_perplexity``).
+
+    Returns one row per input document:
+    (id, is_target, n_grams, log_weight, selected) where
+    log_weight = sum over gram occurrences of the bucket log-ratio (nats,
+    rounded to 6 dp) and selected = log_weight > 0 (doc looks more
+    target-like than corpus-average). Empty documents get n_grams = 0 and
+    NULL weight.
+
+    Scale shape: one narrow mapInPandas emits per-(doc, bucket) counts
+    (≤ n_buckets rows per doc — NOT one row per gram); the two bucket
+    tables are map-side-combinable groupBys of n_buckets rows; scores
+    broadcast back (n_buckets rows); the per-doc weight is one more
+    combinable groupBy on the id. No driver collect, no gram-string
+    shuffle, no skew key (buckets are hash-uniform).
+    """
+    from .dedup import fnv1a64_batch
+
+    d = docs.select(
+        F.col(id_col), F.col(text_col), target.alias("__t")
+    )
+    out_schema = f"{id_col} long, __t boolean, bucket int, cnt long"
+    nb = np.uint64(n_buckets)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams_all: list[str] = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf[text_col]):
+                toks = (txt or "").lower().split()
+                grams = toks + [
+                    toks[j] + " " + toks[j + 1]
+                    for j in range(len(toks) - 1)
+                ]
+                grams_all.extend(grams)
+                counts[i] = len(grams)
+            if not grams_all:
+                continue
+            buckets = (fnv1a64_batch(grams_all) % nb).astype(np.int64)
+            docix = np.repeat(np.arange(len(pdf)), counts)
+            flat = np.bincount(
+                docix * n_buckets + buckets,
+                minlength=len(pdf) * n_buckets,
+            ).reshape(len(pdf), n_buckets)
+            dix, bix = np.nonzero(flat)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[dix],
+                    "__t": pdf["__t"].to_numpy()[dix],
+                    "bucket": bix.astype(np.int32),
+                    "cnt": flat[dix, bix],
+                }
+            )
+
+    fe = d.mapInPandas(feats, out_schema)
+    cb = fe.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(0)).alias("ct"),
+    )
+    tot = cb.agg(
+        F.sum("cr").alias("__Tr"), F.sum("ct").alias("__Tt")
+    )
+    a, aB = float(alpha), float(alpha) * n_buckets
+
+    def _qlog(num: Column, den: Column) -> Column:
+        return F.round(F.log((num + a) / (den + aB)) * 1e6).cast("long")
+
+    scores = cb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (_qlog(F.col("ct"), F.col("__Tt"))
+         - _qlog(F.col("cr"), F.col("__Tr"))).alias("__q"),
+    )
+    w = (
+        fe.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("__q")).alias("__w"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), target.alias("is_target"))
+        .join(w, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.col("__w") / 1e6, 6).alias("log_weight"),
+            (F.col("__w") > 0).alias("selected"),
         )
     )

@@ -186,3 +186,83 @@ def test_pack_sequences_contiguous_and_bucket_invariant(spark):
     b64 = sorted((r["doc_id"], r["gstart"]) for r in
                  MX.pack_sequences(d, seq_len=16, salt_buckets=64).collect())
     assert b1 == b64 == sorted((r["doc_id"], r["gstart"]) for r in rows)
+
+
+def _q6(v):
+    """round-half-away-from-zero to micro-units (matches F.round/DuckDB)."""
+    return int(math.copysign(math.floor(abs(v) * 1e6 + 0.5), v))
+
+
+def test_dsir_importance_hand_case(spark):
+    from lib_gdal_spark.operators.dedup import hash_str64
+
+    rows = [(0, "aa bb"), (1, "aa bb"), (2, "cc dd"), (3, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in MX.dsir_importance(
+        d, target=F.col("text").contains("aa"), n_buckets=8).collect()}
+    # hand-computed: grams per non-empty doc = 2 unigrams + 1 bigram
+    B, a = 8, 0.5
+    cr, ct = {}, {}
+    for did, txt in rows:
+        toks = txt.split()
+        grams = toks + [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        for g in grams:
+            b = hash_str64(g) % B
+            cr[b] = cr.get(b, 0) + 1
+            if "aa" in txt:
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    for did, txt in rows:
+        toks = txt.split()
+        grams = toks + [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        r = out[did]
+        assert r["n_grams"] == len(grams)
+        if not grams:
+            assert r["log_weight"] is None and r["selected"] is None
+            continue
+        w = sum(
+            _q6(math.log((ct.get(hash_str64(g) % B, 0) + a) / (tt + a * B)))
+            - _q6(math.log((cr[hash_str64(g) % B] + a) / (tr + a * B)))
+            for g in grams
+        )
+        assert r["log_weight"] == round(w / 1e6, 6)
+        assert r["selected"] == (w > 0)
+    # the target-matching docs must outscore the off-domain doc
+    assert out[0]["log_weight"] > out[2]["log_weight"]
+    assert out[0]["is_target"] and not out[2]["is_target"]
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from lib_gdal_spark.operators import dedup as DD
+
+    bl_rows = [(i, f"blocked document number {i} with unique text") for i
+               in range(50)]
+    # candidates: 50 exact copies of blocklist texts + 500 novel texts
+    cand_rows = [(1000 + i, t) for i, (_, t) in enumerate(bl_rows)] + [
+        (2000 + i, f"novel candidate {i} never blocked") for i in range(500)
+    ]
+    bl = spark.createDataFrame(bl_rows, "doc_id long, text string")
+    cand = spark.createDataFrame(cand_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bloom_hit"]
+           for r in DD.bloom_membership(cand, bl).collect()}
+    # every true member flagged (no false negatives, the Bloom guarantee)
+    assert all(out[1000 + i] for i in range(50))
+    # false-positive rate tiny at n=150 bits set in m=2^20
+    fps = sum(out[2000 + i] for i in range(500))
+    assert fps == 0
+
+
+def test_bloom_membership_validations(spark):
+    from lib_gdal_spark.operators import dedup as DD
+
+    d = _docs(spark, 5)
+    try:
+        DD.bloom_membership(d, d, m_bits=1000)
+        raise AssertionError("non-power-of-two m_bits accepted")
+    except ValueError:
+        pass
+    try:
+        DD.bloom_membership(d, d, m_bits=1 << 30)
+        raise AssertionError("k*log2(m) > 64 accepted")
+    except ValueError:
+        pass
