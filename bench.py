@@ -92,6 +92,9 @@ BENCH = {
     "pii_redact": lambda s: _force(E.q_pii_redact(s, SF_DIR)),
     "sample_token_budget": lambda s: _force(E.q_sample_token_budget(s, SF_DIR)),
     "lm_perplexity": lambda s: _force(E.q_lm_perplexity(s, SF_DIR)),
+    "pack_sequences": lambda s: _force(E.q_pack_sequences(s, SF_DIR)),
+    "dsir_importance": lambda s: _force(E.q_dsir_importance(s, SF_DIR)),
+    "bloom_membership": lambda s: _force(E.q_bloom_membership(s, SF_DIR)),
 }
 
 
