@@ -1223,6 +1223,26 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.bloom_membership(cand, bl).select("doc_id", "bloom_hit")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020 §4.1): drop every
+    line except its corpus-globally first occurrence. The documents table
+    is single-line word soup, so the query first synthesizes multi-line
+    docs deterministically (8-word lines) before deduping."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    ml = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    return DD.line_dedup(d.withColumn("text", ml)).select(
+        "doc_id", "n_lines", "n_kept", "text"
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-trained bigram-LM cross-entropy per document
     (the classic perplexity quality filter, Wenzek et al. 2020)."""
@@ -2793,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
+        "line_dedup": q_line_dedup,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -4988,6 +5009,33 @@ def oracle_sql() -> dict[str, str]:
                  AND (p3 IN (SELECT p FROM s)) AS bloom_hit
         FROM p WHERE doc_id % 17 <> 3
     """.replace("{fnv}", _FNV.format(g="text"))
+
+    # line_dedup: CCNet first-occurrence line dedup over synthesized
+    # 8-word lines; first occurrence elected by (doc_id, pos).
+    sqls["line_dedup"] = r"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        ml AS (SELECT doc_id,
+                 list_transform(
+                   range(CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                   i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
+               FROM w),
+        l AS (SELECT doc_id, unnest(ls) AS line,
+                     unnest(range(1, len(ls) + 1)) AS pos FROM ml),
+        n AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM l),
+        r AS (SELECT *, row_number() OVER
+                 (PARTITION BY norm ORDER BY doc_id, pos) AS rn FROM n),
+        k AS (SELECT doc_id, pos, line FROM r
+              WHERE length(norm) < 1 OR rn = 1),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM k GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM ml)
+        SELECT t.doc_id, t.n_lines,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(reb.text, '') AS text
+        FROM tot t LEFT JOIN reb USING (doc_id)
+    """
 
     # contour length: 16-case marching squares in SQL (world4326 stencil)
     _gx1, _gy5 = 360.0 / 256, -180.0 / 256

@@ -95,6 +95,7 @@ BENCH = {
     "pack_sequences": lambda s: _force(E.q_pack_sequences(s, SF_DIR)),
     "dsir_importance": lambda s: _force(E.q_dsir_importance(s, SF_DIR)),
     "bloom_membership": lambda s: _force(E.q_bloom_membership(s, SF_DIR)),
+    "line_dedup": lambda s: _force(E.q_line_dedup(s, SF_DIR)),
 }
 
 

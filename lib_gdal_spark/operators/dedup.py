@@ -566,3 +566,76 @@ def bloom_membership(
     return cand.withColumn(
         "bloom_hit", probe("p1", "p2", "p3")
     ).drop("p1", "p2", "p3")
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_chars: int = 1,
+    join_delim: str | None = None,
+) -> DataFrame:
+    """CCNet-style line/paragraph-level dedup (Wenzek et al. 2020 §4.1):
+    keep only the corpus-globally FIRST occurrence (ordered by
+    (id, line position)) of every normalized line; all later occurrences
+    are removed from their documents. Lines whose normalization
+    (lower+trim) is shorter than ``min_chars`` — e.g. blank separator
+    lines — are exempt and always kept, so document structure survives.
+
+    Returns one row per input document:
+    (id, n_lines, n_kept, text) with ``text`` rebuilt from the kept lines
+    in original order (empty string when every line was a duplicate).
+
+    Scale shape: exact semantics need the normalized line itself as the
+    group key, so the shuffle is O(corpus bytes) — the same class as
+    exact doc-level dedup, just at line granularity. Three map-side
+    combinable stages: groupBy(norm).min(struct(id,pos)) to elect the
+    first occurrence, an equi-join back on norm, and a groupBy(id) to
+    reassemble. Hot lines (boilerplate repeated across millions of pages)
+    are a single reduced key, not a pair explosion. ``delim`` is a Java
+    regex, as in ``pyspark.sql.functions.split``; ``join_delim`` is the
+    literal string used to rebuild the text (defaults to ``delim``, which
+    is only right when the regex is a literal like "\\n").
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__norm", F.lower(F.trim(F.col("__line"))))
+    dedupable = F.length("__norm") >= min_chars
+    first = (
+        lines.where(dedupable)
+        .groupBy("__norm")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    )
+    kept = lines.join(first, "__norm", "left").where(
+        (~dedupable)
+        | (
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            delim if join_delim is None else join_delim,
+        ).alias("__text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), delim, -1)).cast("long").alias(
+            "n_lines"
+        ),
+    )
+    return totals.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("__text", F.lit("")).alias(text_col),
+    )

@@ -266,3 +266,40 @@ def test_bloom_membership_validations(spark):
         raise AssertionError("k*log2(m) > 64 accepted")
     except ValueError:
         pass
+
+
+def test_line_dedup_first_occurrence_kept(spark):
+    from lib_gdal_spark.operators import dedup as DD
+
+    rows = [
+        (1, "alpha beta\ncommon line\ngamma"),
+        (2, "common line\ndelta\n\nepsilon"),   # dup of doc 1 line + blank
+        (3, "common line\ndelta"),              # everything a duplicate
+        (4, "  Common Line \nzeta"),            # normalization: trim+lower
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.line_dedup(d).collect()}
+    assert out[1]["text"] == "alpha beta\ncommon line\ngamma"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses "common line", keeps the blank separator
+    assert out[2]["text"] == "delta\n\nepsilon"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 3)
+    # doc 3 is entirely duplicates -> empty text, zero kept
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    # doc 4's first line normalizes to "common line" -> dropped
+    assert out[4]["text"] == "zeta"
+
+
+def test_line_dedup_min_chars_exemption(spark):
+    from lib_gdal_spark.operators import dedup as DD
+
+    rows = [(1, "aa\nbb\naa"), (2, "aa\nbb")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_chars=3 exempts every 2-char line: nothing is deduped
+    out = {r["doc_id"]: r["text"]
+           for r in DD.line_dedup(d, min_chars=3).collect()}
+    assert out == {1: "aa\nbb\naa", 2: "aa\nbb"}
+    # default dedups within AND across docs
+    out2 = {r["doc_id"]: r["text"] for r in DD.line_dedup(d).collect()}
+    assert out2 == {1: "aa\nbb\naa".replace("\naa", "") , 2: ""}
