@@ -1243,6 +1243,53 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the events table (8h gap) with
+    per-session rollups — exact integer-microsecond timestamp math."""
+    from lib_gdal_spark.operators import events as EV
+
+    d = _t(spark, sf_dir, "events")
+    return EV.session_stats(d, gap_us=8 * 3600 * 1_000_000).select(
+        "user_id", "session_idx", "n_events", "start_us", "end_us",
+        "duration_us"
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks up the latest view
+    event of the same user at-or-before it (kdb aj / DuckDB ASOF JOIN
+    semantics, built as one keyed window — no range join)."""
+    from lib_gdal_spark.operators import events as EV
+
+    d = _t(spark, sf_dir, "events")
+    clicks = d.where(F.col("event_type") == "click")
+    views = d.where(F.col("event_type") == "view")
+    out = EV.asof_join(
+        clicks, views, payload_cols=("event_id",), suffix="_view"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_view").cast("timestamp")).alias(
+            "view_ts_us"
+        ),
+        F.col("event_id_view").alias("view_event_id"),
+    )
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source document cap (keep 15 per source in
+    deterministic splitmix64 hash order), exercising the range-bucketed
+    exact-rank path (salt_buckets=8 — no single window per hot source)."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return MX.cap_per_source(d, cap=15, salt_buckets=8).select(
+        "doc_id", "source", "rank"
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-trained bigram-LM cross-entropy per document
     (the classic perplexity quality filter, Wenzek et al. 2020)."""
@@ -2814,6 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
         "line_dedup": q_line_dedup,
+        "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "cap_per_source": q_cap_per_source,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5035,6 +5085,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
                coalesce(reb.text, '') AS text
         FROM tot t LEFT JOIN reb USING (doc_id)
+    """
+
+    # events_sessionize: inactivity-gap sessions, integer-microsecond
+    # math (epoch_us == Spark unix_micros on UTC-normalized parquet).
+    sqls["events_sessionize"] = """
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts)
+                      > 28800000000 OR lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        x AS (
+          SELECT user_id, us,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+          FROM s
+        )
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               max(us) - min(us) AS duration_us
+        FROM x GROUP BY user_id, session_idx
+    """
+
+    # events_asof: DuckDB's native ASOF JOIN is the independent oracle
+    # for the keyed-window as-of construction.
+    sqls["events_asof"] = """
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT * FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               epoch_us(v.ts) AS view_ts_us,
+               v.event_id AS view_event_id
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    # cap_per_source: global per-source hash-order rank <= cap; the
+    # range-bucketed Spark path reproduces this global rank exactly.
+    sqls["cap_per_source"] = f"""
+        SELECT doc_id, source, rank FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ({_mix_sql("doc_id", 9004)}) // 2048, doc_id)
+                 AS BIGINT) AS rank
+          FROM documents
+        ) WHERE rank <= 15
     """
 
     # contour length: 16-case marching squares in SQL (world4326 stencil)

@@ -96,6 +96,8 @@ BENCH = {
     "dsir_importance": lambda s: _force(E.q_dsir_importance(s, SF_DIR)),
     "bloom_membership": lambda s: _force(E.q_bloom_membership(s, SF_DIR)),
     "line_dedup": lambda s: _force(E.q_line_dedup(s, SF_DIR)),
+    "events_sessionize": lambda s: _force(E.q_events_sessionize(s, SF_DIR)),
+    "events_asof": lambda s: _force(E.q_events_asof(s, SF_DIR)),
 }
 
 

@@ -1,0 +1,144 @@
+"""Temporal operators over event tables (web-log shape: entity key +
+timestamp + attributes).
+
+The two classic event-table operations Spark has no built-in for:
+
+- ``asof_join``: attach to each left event the latest right event
+  at-or-before it for the same key (kdb aj / pandas merge_asof /
+  DuckDB ASOF JOIN semantics).
+- ``sessionize`` / ``session_stats``: split each entity's event stream
+  into sessions at inactivity gaps — the standard web-analytics rollup,
+  and the batch twin of Structured Streaming's session windows.
+
+Both reduce to ONE shuffle partitioned by the entity key with an ordered
+window inside each partition: no range self-join (Catalyst would plan a
+``l.ts >= r.ts`` join condition as BroadcastNestedLoopJoin), no per-row
+Python. Skew is bounded by the busiest single entity: a hot key is
+processed by one task but only over its own rows — salting would break
+the ordered semantics, and per-entity event counts are naturally bounded
+in web logs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(col: str | Column) -> Column:
+    """Exact integer microseconds since epoch. TIMESTAMP_NTZ is cast
+    through TIMESTAMP first, which is epoch-identity because
+    ``get_spark`` pins ``spark.sql.session.timeZone`` to UTC (matching
+    DuckDB's ``epoch_us`` on naive timestamps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_id",),
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each ``left`` row, find the ``right`` row
+    with the greatest ``ts_col`` such that ``right.ts <= left.ts``
+    (``strict=True`` makes it ``<``) and the same ``on`` key, and attach
+    that row's ``ts_col`` + ``payload_cols`` with ``suffix``. Left rows
+    with no match keep NULLs (LEFT ASOF JOIN semantics). Ties on the
+    right timestamp break toward the largest payload tuple, so the result
+    is deterministic.
+
+    Plan: tag the two sides, ``unionByName``, and take
+    ``last(payload, ignorenulls=True)`` over a window ordered by
+    ``(ts, side, payload)`` — at equal timestamps the right row sorts
+    before the left row for inclusive semantics and after it for strict.
+    One shuffle on ``on``; O(n log n) per key.
+    """
+    right_first = 0 if not strict else 1
+    left_tag = 1 - right_first
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        payload.alias("__p"),
+        F.lit(right_first).alias("__side"),
+    )
+    l = left.withColumn(
+        "__p", F.lit(None).cast(r.schema["__p"].dataType)
+    ).withColumn("__side", F.lit(left_tag))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__m.{ts_col}").alias(ts_col + suffix))
+    out_cols += [F.col(f"__m.{c}").alias(c + suffix) for c in payload_cols]
+    return matched.where(F.col("__side") == left_tag).select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Inactivity-gap sessionization: within each ``key``, a new session
+    starts at the first event and whenever the gap from the previous
+    event exceeds ``gap_us`` microseconds (the classic 30-minute web
+    session). Adds ``session_idx`` (0-based per key, in time order) and
+    ``is_session_start``. Timestamp math is integer microseconds
+    (``unix_micros``), so results are exact on every engine.
+
+    ``order_cols`` breaks timestamp ties deterministically if the event
+    stream can contain equal timestamps per key.
+    """
+    us = _us(ts_col)
+    w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
+    gap_prev = us - F.lag(us).over(w)
+    new_s = F.when(gap_prev.isNull() | (gap_prev > gap_us), 1).otherwise(0)
+    return (
+        events.withColumn("__new", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("__new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            - 1,
+        )
+        .withColumn("is_session_start", F.col("__new") == 1)
+        .drop("__new")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count, start/end
+    as exact unix microseconds, and duration in microseconds. One extra
+    map-side-combinable groupBy on (key, session_idx) — same partitioning
+    as the sessionize shuffle, so AQE coalesces it without a second wide
+    exchange."""
+    s = sessionize(events, key, ts_col, gap_us, order_cols)
+    us = _us(ts_col)
+    return s.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

@@ -306,3 +306,56 @@ def dsir_importance(
             (F.col("__w") > 0).alias("selected"),
         )
     )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    stream: int = 9004,
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """RefinedWeb-style per-source document cap: keep at most ``cap``
+    documents per source, selected in deterministic splitmix64 hash order
+    — a uniform without-replacement sample per source that reproduces
+    bit-identically at any parallelism (the anti-overfitting "no domain
+    dominates the mix" rule). Output adds ``rank`` (1-based position in
+    the source's hash order).
+
+    ``salt_buckets=1`` ranks with one window per source; for web-scale
+    sources pass ``salt_buckets=B`` to range-bucket the hash order and
+    rank per (source, bucket) with broadcast prefix-count offsets — the
+    same exact-global-order trick as :func:`sample_to_token_budget`, no
+    single-partition window over a giant source.
+    """
+    d = docs.withColumn("__h", _hash53(id_col, stream, seed))
+    if salt_buckets <= 1:
+        w = Window.partitionBy(source_col).orderBy("__h", id_col)
+        return (
+            d.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= cap)
+            .drop("__h")
+        )
+    span = M53 // salt_buckets + 1
+    d = d.withColumn("__b", (F.col("__h") / span).cast("int"))
+    wb = Window.partitionBy(source_col, "__b").orderBy("__h", id_col)
+    d = d.withColumn("__rn_b", F.row_number().over(wb).cast("long"))
+    totals = d.groupBy(source_col, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wt = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(wt), F.lit(0))
+    ).select(source_col, "__b", "__off")
+    return (
+        d.join(F.broadcast(offsets), [source_col, "__b"])
+        .withColumn("rank", F.col("__off") + F.col("__rn_b"))
+        .where(F.col("rank") <= cap)
+        .drop("__h", "__b", "__rn_b", "__off")
+    )

@@ -1,0 +1,81 @@
+"""Temporal event operators: as-of join, sessionization, per-source cap."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import events as EV
+from lib_gdal_spark.operators import mixing as MX
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, kind string"
+    )
+
+
+def test_asof_join_inclusive_and_no_match(spark):
+    left = _events(spark, [(1, 7, _ts(100), "c"), (2, 7, _ts(10), "c"),
+                           (3, 8, _ts(50), "c")])
+    right = _events(spark, [(10, 7, _ts(40), "v"), (11, 7, _ts(100), "v"),
+                            (12, 9, _ts(1), "v")])
+    out = {r["event_id"]: r for r in EV.asof_join(
+        left, right, payload_cols=("event_id",), suffix="_v"
+    ).collect()}
+    assert out[1]["event_id_v"] == 11          # equal ts matches (<=)
+    assert out[2]["event_id_v"] is None        # nothing at-or-before
+    assert out[3]["event_id_v"] is None        # user 8 has no views
+    assert len(out) == 3                       # left rows always survive
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left = _events(spark, [(1, 7, _ts(100), "c")])
+    right = _events(spark, [(10, 7, _ts(40), "v"), (11, 7, _ts(100), "v")])
+    out = EV.asof_join(left, right, payload_cols=("event_id",),
+                       strict=True).collect()
+    assert out[0]["event_id_asof"] == 10       # ts=100 view excluded by <
+
+
+def test_asof_join_tie_breaks_to_largest_payload(spark):
+    left = _events(spark, [(1, 7, _ts(100), "c")])
+    right = _events(spark, [(10, 7, _ts(40), "v"), (12, 7, _ts(40), "v")])
+    out = EV.asof_join(left, right, payload_cols=("event_id",)).collect()
+    assert out[0]["event_id_asof"] == 12
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [(1, 7, _ts(0), "a"), (2, 7, _ts(50), "a"),
+            (3, 7, _ts(200), "a"),      # 150s gap -> new session
+            (4, 8, _ts(0), "a")]
+    d = _events(spark, rows)
+    s = {r["event_id"]: r for r in
+         EV.sessionize(d, gap_us=100 * 1_000_000).collect()}
+    assert [s[i]["session_idx"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert s[4]["session_idx"] == 0
+    assert s[1]["is_session_start"] and not s[2]["is_session_start"]
+
+    stats = {(r["user_id"], r["session_idx"]): r for r in
+             EV.session_stats(d, gap_us=100 * 1_000_000).collect()}
+    assert stats[(7, 0)]["n_events"] == 2
+    assert stats[(7, 0)]["duration_us"] == 50 * 1_000_000
+    assert stats[(7, 1)]["n_events"] == 1
+    assert stats[(8, 0)]["duration_us"] == 0
+
+
+def test_cap_per_source_bucket_invariance(spark):
+    rows = [(i, f"s{i % 3}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted((r["doc_id"], r["source"], r["rank"]) for r in
+               MX.cap_per_source(d, cap=20).collect())
+    b = sorted((r["doc_id"], r["source"], r["rank"]) for r in
+               MX.cap_per_source(d, cap=20, salt_buckets=16).collect())
+    assert a == b                              # exact global rank either way
+    assert len(a) == 60                        # 20 per source
+    per_src = {}
+    for _, src, rank in a:
+        per_src.setdefault(src, []).append(rank)
+    assert all(sorted(v) == list(range(1, 21)) for v in per_src.values())
