@@ -1278,6 +1278,21 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style Naive Bayes quality classifier: train on the 2/3 of
+    docs with a deterministic label (lang == 'en'), score every doc by
+    exact int64 micro-nat log-odds (hashed unigram+bigram bags)."""
+    d = _t(spark, sf_dir, "documents")
+    lab = F.when(F.col("doc_id") % 3 != 0, F.col("lang") == "en")
+    return TXT.nb_classifier(d, lab).select(
+        "doc_id",
+        F.coalesce(F.col("label").cast("int"), F.lit(-1)).alias("label"),
+        "n_grams",
+        "log_odds",
+        "pred_pos",
+    )
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-source document cap (keep 15 per source in
     deterministic splitmix64 hash order), exercising the range-bucketed
@@ -2864,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
+        "nb_classifier": q_nb_classifier,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5123,6 +5139,54 @@ def oracle_sql() -> dict[str, str]:
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND c.ts >= v.ts
     """
+
+    # nb_classifier: multinomial NB log-odds = prior + sum of per-bucket
+    # class log-ratios, all quantized to int64 micro-nats (DSIR shape +
+    # prior + labeled/unlabeled split).
+    sqls["nb_classifier"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '') AS toks,
+                 CASE WHEN doc_id % 3 <> 0 THEN lang = 'en' END AS label
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, label, len(toks) AS nt FROM t),
+        g AS (
+          SELECT doc_id, label, unnest(toks) AS gram FROM n
+          UNION ALL
+          SELECT doc_id, label, toks[i] || ' ' || toks[i + 1] AS gram
+          FROM (SELECT doc_id, label, toks, unnest(range(1, nt)) AS i
+                FROM n WHERE nt >= 2)
+        ),
+        hb AS (SELECT doc_id, label,
+                      CAST({fnv} % 256 AS INT) AS bucket FROM g),
+        cb AS (SELECT bucket,
+                      count(*) FILTER (WHERE label) AS cp,
+                      count(*) FILTER (WHERE NOT label) AS cn
+               FROM hb WHERE label IS NOT NULL GROUP BY bucket),
+        tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cb),
+        q AS (SELECT bucket,
+                CAST(round(ln((cp + 0.5) / (tp + 128.0)) * 1000000.0)
+                     AS BIGINT)
+              - CAST(round(ln((cn + 0.5) / (tn + 128.0)) * 1000000.0)
+                     AS BIGINT) AS q
+              FROM cb, tot),
+        pr AS (SELECT
+                 CAST(round(ln(count(*) FILTER (WHERE label) + 1)
+                      * 1000000.0) AS BIGINT)
+               - CAST(round(ln(count(*) FILTER (WHERE NOT label) + 1)
+                      * 1000000.0) AS BIGINT) AS prior
+               FROM t),
+        w AS (SELECT doc_id, sum(q) AS w, count(*) AS n_grams
+              FROM hb JOIN q USING (bucket) GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(CAST(t.label AS INT), -1) AS label,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               round((coalesce(w, 0) + prior) / 1000000.0, 6) AS log_odds,
+               (coalesce(w, 0) + prior > 0) AS pred_pos
+        FROM t LEFT JOIN w USING (doc_id), pr
+    """.replace("{fnv}", _FNV.format(g="gram"))
 
     # cap_per_source: global per-source hash-order rank <= cap; the
     # range-bucketed Spark path reproduces this global rank exactly.

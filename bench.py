@@ -98,6 +98,7 @@ BENCH = {
     "line_dedup": lambda s: _force(E.q_line_dedup(s, SF_DIR)),
     "events_sessionize": lambda s: _force(E.q_events_sessionize(s, SF_DIR)),
     "events_asof": lambda s: _force(E.q_events_asof(s, SF_DIR)),
+    "nb_classifier": lambda s: _force(E.q_nb_classifier(s, SF_DIR)),
 }
 
 

@@ -395,3 +395,118 @@ def ngram_lm_perplexity(
             F.round(F.exp(ent), round_decimals).alias("ppl"),
         )
     )
+
+
+def nb_classifier(
+    docs: DataFrame,
+    label: Column,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style supervised quality classifier as multinomial Naive
+    Bayes over hashed n-gram bags — the "train a tiny classifier on a
+    labeled seed set, score the whole crawl" step of CCNet/LLaMA-class
+    pipelines. ``label`` is a nullable boolean Column: TRUE/FALSE rows
+    are the training set; NULL rows are unlabeled and only scored.
+
+    Features are unigrams + word bigrams FNV-1a-hashed into ``n_buckets``
+    bag buckets (fastText's hashing trick). Per-class bucket likelihoods
+    use add-``alpha`` smoothing; each bucket's ln(p|pos) - ln(p|neg) and
+    the class prior ln(Npos+1) - ln(Nneg+1) are quantized to int64
+    micro-nats, so every document's log-odds is an EXACT integer sum
+    (same determinism trick as ``dsir_importance``, which this extends
+    with a prior and a labeled/unlabeled split).
+
+    Returns (id, label, n_grams, log_odds, pred_pos) for EVERY input doc;
+    empty docs score the bare prior.
+
+    Scale shape: identical to DSIR — one narrow mapInPandas emitting
+    <= n_buckets rows per doc, two tiny combinable groupBys for the
+    model (n_buckets rows, broadcast back), one combinable groupBy per
+    doc for the score. The model "training" never leaves the cluster.
+    """
+    from .dedup import fnv1a64_batch
+
+    d = docs.select(F.col(id_col), F.col(text_col), label.alias("__y"))
+    out_schema = f"{id_col} long, __y boolean, bucket int, cnt long"
+    nb = np.uint64(n_buckets)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams_all: list[str] = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf[text_col]):
+                toks = (txt or "").lower().split()
+                grams = toks + [
+                    toks[j] + " " + toks[j + 1]
+                    for j in range(len(toks) - 1)
+                ]
+                grams_all.extend(grams)
+                counts[i] = len(grams)
+            if not grams_all:
+                continue
+            buckets = (fnv1a64_batch(grams_all) % nb).astype(np.int64)
+            docix = np.repeat(np.arange(len(pdf)), counts)
+            flat = np.bincount(
+                docix * n_buckets + buckets,
+                minlength=len(pdf) * n_buckets,
+            ).reshape(len(pdf), n_buckets)
+            dix, bix = np.nonzero(flat)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[dix],
+                    "__y": pdf["__y"].to_numpy()[dix],
+                    "bucket": bix.astype(np.int32),
+                    "cnt": flat[dix, bix],
+                }
+            )
+
+    fe = d.mapInPandas(feats, out_schema)
+    lab = fe.where(F.col("__y").isNotNull())
+    cb = lab.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), F.col("cnt")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("__y"), F.col("cnt")).otherwise(0)).alias("cn"),
+    )
+    tot = cb.agg(F.sum("cp").alias("__Tp"), F.sum("cn").alias("__Tn"))
+    a, aB = float(alpha), float(alpha) * n_buckets
+
+    def _qlog(num: Column, den: Column) -> Column:
+        return F.round(F.log((num + a) / (den + aB)) * 1e6).cast("long")
+
+    scores = cb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (_qlog(F.col("cp"), F.col("__Tp"))
+         - _qlog(F.col("cn"), F.col("__Tn"))).alias("__q"),
+    )
+    npos = F.sum(F.when(label, 1).otherwise(0))
+    nneg = F.sum(F.when(~label, 1).otherwise(0))
+    prior = docs.agg(
+        (F.round(F.log(npos + 1) * 1e6).cast("long")
+         - F.round(F.log(nneg + 1) * 1e6).cast("long")).alias("__prior")
+    )
+    w = (
+        fe.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("__q")).alias("__w"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), label.alias("label"))
+        .join(w, id_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "label",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(
+                (F.coalesce(F.col("__w"), F.lit(0)) + F.col("__prior"))
+                / 1e6, 6
+            ).alias("log_odds"),
+            ((F.coalesce(F.col("__w"), F.lit(0)) + F.col("__prior")) > 0
+             ).alias("pred_pos"),
+        )
+    )

@@ -303,3 +303,26 @@ def test_line_dedup_min_chars_exemption(spark):
     # default dedups within AND across docs
     out2 = {r["doc_id"]: r["text"] for r in DD.line_dedup(d).collect()}
     assert out2 == {1: "aa\nbb\naa".replace("\naa", "") , 2: ""}
+
+
+def test_nb_classifier_separable_and_deterministic(spark):
+    rows = (
+        [(i, "good clean prose sentence", True) for i in range(20)]
+        + [(100 + i, "spam junk casino pills", False) for i in range(20)]
+        + [(200, "good clean prose", None),      # unlabeled, pos-ish
+           (201, "casino pills spam", None),     # unlabeled, neg-ish
+           (202, "", None)]                      # empty -> bare prior
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r["doc_id"]: r
+           for r in TX.nb_classifier(d, F.col("y")).collect()}
+    assert all(out[i]["pred_pos"] for i in range(20))
+    assert not any(out[100 + i]["pred_pos"] for i in range(20))
+    assert out[200]["pred_pos"] and not out[201]["pred_pos"]
+    assert out[202]["n_grams"] == 0
+    # empty doc scores exactly the prior: ln(21) - ln(21) = 0 -> not > 0
+    assert out[202]["log_odds"] == 0.0 and not out[202]["pred_pos"]
+    # exact integer math: identical at any parallelism
+    out2 = {r["doc_id"]: r["log_odds"] for r in
+            TX.nb_classifier(d.repartition(13), F.col("y")).collect()}
+    assert out2 == {k: v["log_odds"] for k, v in out.items()}
