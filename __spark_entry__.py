@@ -1278,6 +1278,19 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3x4096, FNV bit-slices) over corpus tokens,
+    probed for a fixed heavy-hitter candidate list, next to the exact
+    counts — cms_count >= true_count by construction."""
+    from lib_gdal_spark.operators import sketch as SK
+
+    d = _t(spark, sf_dir, "documents")
+    probes = ["table", "spark", "hash", "value", "window", "zzz_missing"]
+    return SK.cms_token_counts(d, probes).select(
+        "token", "cms_count", "true_count"
+    )
+
+
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style Naive Bayes quality classifier: train on the 2/3 of
     docs with a deterministic label (lang == 'en'), score every doc by
@@ -2880,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
         "nb_classifier": q_nb_classifier,
+        "cms_counts": q_cms_counts,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5187,6 +5201,47 @@ def oracle_sql() -> dict[str, str]:
                (coalesce(w, 0) + prior > 0) AS pred_pos
         FROM t LEFT JOIN w USING (doc_id), pr
     """.replace("{fnv}", _FNV.format(g="gram"))
+
+    # cms_counts: count-min sketch = per-bit-slice bucket sums, estimate
+    # = least over the three rows; FNV slices identical to the Spark op.
+    sqls["cms_counts"] = r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+            '\s+'), x -> x <> '')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT tok, {fnv} AS hv FROM toks),
+        b AS (SELECT tok,
+                CAST(hv % 4096 AS BIGINT) AS b0,
+                CAST((hv // 4096) % 4096 AS BIGINT) AS b1,
+                CAST((hv // 16777216) % 4096 AS BIGINT) AS b2
+              FROM h),
+        s0 AS (SELECT b0 AS b, count(*) AS c FROM b GROUP BY 1),
+        s1 AS (SELECT b1 AS b, count(*) AS c FROM b GROUP BY 1),
+        s2 AS (SELECT b2 AS b, count(*) AS c FROM b GROUP BY 1),
+        p AS (SELECT unnest(['table', 'spark', 'hash', 'value', 'window',
+                             'zzz_missing']) AS token),
+        ph AS (SELECT token, {fnvp} AS hv FROM p),
+        pb AS (SELECT token,
+                 CAST(hv % 4096 AS BIGINT) AS b0,
+                 CAST((hv // 4096) % 4096 AS BIGINT) AS b1,
+                 CAST((hv // 16777216) % 4096 AS BIGINT) AS b2
+               FROM ph),
+        est AS (SELECT token,
+                  least(coalesce(s0.c, 0), coalesce(s1.c, 0),
+                        coalesce(s2.c, 0)) AS cms_count
+                FROM pb LEFT JOIN s0 ON s0.b = pb.b0
+                        LEFT JOIN s1 ON s1.b = pb.b1
+                        LEFT JOIN s2 ON s2.b = pb.b2),
+        tr AS (SELECT tok AS token, count(*) AS true_count FROM toks
+               WHERE tok IN ('table', 'spark', 'hash', 'value', 'window',
+                             'zzz_missing')
+               GROUP BY 1)
+        SELECT est.token, CAST(cms_count AS BIGINT) AS cms_count,
+               CAST(coalesce(true_count, 0) AS BIGINT) AS true_count
+        FROM est LEFT JOIN tr USING (token)
+    """.replace("{fnv}", _FNV.format(g="tok")).replace(
+        "{fnvp}", _FNV.format(g="token"))
 
     # cap_per_source: global per-source hash-order rank <= cap; the
     # range-bucketed Spark path reproduces this global rank exactly.

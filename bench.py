@@ -99,6 +99,7 @@ BENCH = {
     "events_sessionize": lambda s: _force(E.q_events_sessionize(s, SF_DIR)),
     "events_asof": lambda s: _force(E.q_events_asof(s, SF_DIR)),
     "nb_classifier": lambda s: _force(E.q_nb_classifier(s, SF_DIR)),
+    "cms_counts": lambda s: _force(E.q_cms_counts(s, SF_DIR)),
 }
 
 

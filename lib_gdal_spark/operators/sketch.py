@@ -1,0 +1,137 @@
+"""Mergeable frequency sketches for corpus-scale token statistics.
+
+Count-min sketch (Cormode & Muthukrishnan 2005): a depth x width counter
+matrix; token t increments row j at bucket_j(t); the estimate is the min
+over rows — always >= the true count, overestimating by at most
+2N/width with probability 1 - (1/2)^depth.
+
+Engine-exact by construction: the j-th bucket is a bit-slice of ONE
+FNV-1a 64-bit hash ((h >> j*log2(width)) & (width-1) — the same
+partitioned-hash scheme as ``dedup.bloom_membership``), so the sketch is
+deterministic and the DuckDB oracle reproduces it bit-for-bit.
+
+Scale shape: each Arrow batch reduces to a sparse partial sketch
+(<= depth*width rows) inside the Python worker, so the shuffle carries
+bounded-size partials, never tokens; the merge is a map-side-combinable
+groupBy(j, bucket).sum — the classic mergeable-sketch contract. The
+corpus is read once and never re-shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fnv1a64_batch
+
+
+def _check_dims(width: int, depth: int) -> int:
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    s = width.bit_length() - 1
+    if depth * s > 64:
+        raise ValueError("depth*log2(width) exceeds the 64 hash bits")
+    return s
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    width: int = 4096,
+    depth: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the sketch over whitespace tokens of ``text_col``. Returns
+    the sparse counter table (j, bucket, cnt) with <= depth*width rows —
+    driver- and broadcast-sized regardless of corpus size."""
+    s = _check_dims(width, depth)
+    mask = np.uint64(width - 1)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks: list[str] = []
+            for txt in pdf[text_col]:
+                toks.extend((txt or "").lower().split())
+            if not toks:
+                continue
+            hv = fnv1a64_batch(toks)
+            frames = []
+            for j in range(depth):
+                b = ((hv >> np.uint64(j * s)) & mask).astype(np.int64)
+                cnt = np.bincount(b, minlength=width)
+                nz = np.nonzero(cnt)[0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "j": np.full(len(nz), j, dtype=np.int32),
+                            "bucket": nz.astype(np.int32),
+                            "cnt": cnt[nz].astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    part = docs.select(text_col).mapInPandas(
+        partial, "j int, bucket int, cnt long"
+    )
+    return part.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: Sequence[str],
+    width: int = 4096,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-query the sketch for each probe token: (token, cms_count)
+    with cms_count = min over rows, 0 when a bucket was never touched.
+    The probe list is driver-sized by contract (heavy-hitter candidates,
+    a vocabulary slice) and becomes a broadcast build side."""
+    s = _check_dims(width, depth)
+    spark = sketch.sparkSession
+    hv = fnv1a64_batch(list(probes))
+    rows = [
+        (tok, j, int((int(h) >> (j * s)) & (width - 1)))
+        for tok, h in zip(probes, hv)
+        for j in range(depth)
+    ]
+    p = spark.createDataFrame(rows, "token string, j int, bucket int")
+    return (
+        p.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    probes: Sequence[str],
+    width: int = 4096,
+    depth: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch-estimated vs exact counts for the probe tokens:
+    (token, cms_count, true_count) — cms_count >= true_count always
+    (count-min never underestimates). The exact side filters to the probe
+    set before its groupBy, so only probe occurrences shuffle."""
+    est = cms_estimate(
+        count_min_sketch(docs, width, depth, text_col), probes, width, depth
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    true = (
+        docs.select(F.explode(toks).alias("token"))
+        .where(F.col("token").isin(list(probes)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true, "token", "left").select(
+        "token",
+        "cms_count",
+        F.coalesce("true_count", F.lit(0)).alias("true_count"),
+    )
