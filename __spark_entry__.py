@@ -1291,6 +1291,16 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of document texts (p=6 exercises the
+    raw-estimate path): FNV bucket/rho registers, exact-integer harmonic
+    sum — engine-exact against DuckDB, unlike approx_count_distinct."""
+    from lib_gdal_spark.operators import sketch as SK
+
+    d = _t(spark, sf_dir, "documents")
+    return SK.hll_distinct(d, "text", p=6)
+
+
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style Naive Bayes quality classifier: train on the 2/3 of
     docs with a deterministic label (lang == 'en'), score every doc by
@@ -2894,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "nb_classifier": q_nb_classifier,
         "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5242,6 +5253,41 @@ def oracle_sql() -> dict[str, str]:
         FROM est LEFT JOIN tr USING (token)
     """.replace("{fnv}", _FNV.format(g="tok")).replace(
         "{fnvp}", _FNV.format(g="token"))
+
+    # hll_distinct: HLL registers from FNV bucket/rho (bin() bit-length,
+    # identical builtin semantics), exact-integer harmonic sum; the
+    # alpha*m^2*2^64 constant is the same Python float in both engines.
+    _hp = 6
+    _hm = 1 << _hp
+    _halpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        _hm, 0.7213 / (1 + 1.079 / _hm))
+    _hconst = repr(_halpha * _hm * _hm * 2.0**64)
+    _two64 = repr(2.0**64)
+    sqls["hll_distinct"] = f"""
+        WITH h AS (SELECT {_FNV.format(g="text")} AS hv FROM documents),
+        b AS (SELECT CAST(hv % {_hm} AS BIGINT) AS bucket,
+                     CAST(hv // {_hm} AS BIGINT) AS w FROM h),
+        r AS (SELECT bucket,
+                     CASE WHEN w = 0 THEN {64 - _hp + 1}
+                          ELSE {64 - _hp} - (length(bin(w)) - 1)
+                     END AS rho
+              FROM b),
+        regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+        agg AS (SELECT
+                  sum(CAST(power(2, 64 - reg) AS HUGEINT)) AS S,
+                  count(*) AS V
+                FROM regs),
+        e AS (SELECT V,
+                {_hconst} /
+                  (CAST(S AS DOUBLE) + ({_hm} - V) * {_two64}) AS raw
+              FROM agg)
+        SELECT CAST({_hm} AS INT) AS m,
+               CAST(V AS BIGINT) AS n_registers_set,
+               round(CASE WHEN raw <= 2.5 * {_hm} AND V < {_hm}
+                          THEN {_hm}.0 * ln({_hm}.0 / ({_hm} - V))
+                          ELSE raw END, 6) AS hll_estimate
+        FROM e
+    """
 
     # cap_per_source: global per-source hash-order rank <= cap; the
     # range-bucketed Spark path reproduces this global rank exactly.

@@ -100,6 +100,7 @@ BENCH = {
     "events_asof": lambda s: _force(E.q_events_asof(s, SF_DIR)),
     "nb_classifier": lambda s: _force(E.q_nb_classifier(s, SF_DIR)),
     "cms_counts": lambda s: _force(E.q_cms_counts(s, SF_DIR)),
+    "hll_distinct": lambda s: _force(E.q_hll_distinct(s, SF_DIR)),
 }
 
 

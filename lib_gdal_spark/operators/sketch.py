@@ -135,3 +135,78 @@ def cms_token_counts(
         "cms_count",
         F.coalesce("true_count", F.lit(0)).alias("true_count"),
     )
+
+
+def hll_distinct(
+    docs: DataFrame,
+    col: str,
+    p: int = 10,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) of a
+    string column — "how many distinct URLs in the crawl" without a
+    global distinct shuffle. Returns ONE row:
+    (m, n_registers_set, hll_estimate).
+
+    Deterministic by construction: value -> FNV-1a 64-bit hash; bucket =
+    low ``p`` bits; rho = position of the leftmost 1-bit in the remaining
+    64-p bits, computed as (64-p) - bitlength + 1 with ``bin()`` string
+    length (identical builtin in Spark and DuckDB — no float log2). The
+    harmonic sum uses EXACT integer numerators over a common 2^64
+    denominator (sum of 2^(64-reg) as decimal(38)), so the only float
+    ops are one division and one optional ln — engine-exact after 6 dp
+    rounding, unlike Spark's own approx_count_distinct whose HLL++
+    layout no other engine reproduces.
+
+    Scale shape: one narrow map computes (bucket, rho); a map-side
+    combinable groupBy(bucket).max keeps 2^p rows; the final agg is one
+    row. Standard error ~1.04/sqrt(2^p) (~3.25% at p=10). Includes the
+    small-range linear-counting correction (E < 2.5m with empty
+    registers); the large-range correction is omitted (needs 2^57+
+    distinct values).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+
+    @F.pandas_udf("long")
+    def fnv(vals: pd.Series) -> pd.Series:
+        h = fnv1a64_batch(vals.fillna("").astype(str).tolist())
+        return pd.Series(h.view(np.int64))
+
+    h = F.col("__h")
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p) - (F.length(F.bin(w)) - 1)
+    )
+    regs = (
+        docs.select(fnv(col).alias("__h"))
+        .select(
+            h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # alpha_m for m >= 128 (p >= 7); exact constants below
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    num = F.sum(
+        F.pow(F.lit(2), 64 - F.col("reg")).cast("decimal(38,0)")
+    )
+    agg = regs.agg(
+        num.alias("__S"), F.count(F.lit(1)).alias("__V")
+    )
+    # empty buckets contribute 2^64 each (reg = 0)
+    S_full = (
+        F.col("__S").cast("double")
+        + (F.lit(m) - F.col("__V")) * F.lit(float(2**64))
+    )
+    raw = F.lit(alpha * m * m * float(2**64)) / S_full
+    zeros = F.lit(m) - F.col("__V")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("__V").cast("long").alias("n_registers_set"),
+        F.round(est, 6).alias("hll_estimate"),
+    )

@@ -52,3 +52,44 @@ def test_cms_validations(spark):
         SK.count_min_sketch(d, width=1000)
     with pytest.raises(ValueError):
         SK.count_min_sketch(d, width=1 << 22, depth=3)
+
+
+def test_hll_distinct_accuracy_and_invariance(spark):
+    import math
+
+    rows = [(i, f"value-{i % 700}") for i in range(5000)]
+    d = spark.createDataFrame(rows, "doc_id long, v string")
+    out = SK.hll_distinct(d, "v", p=10).collect()[0]
+    assert out["m"] == 1024
+    # ~3.25% std error at p=10; allow 4 sigma
+    assert abs(out["hll_estimate"] - 700) / 700 < 0.13
+    # duplicates don't move the estimate; partitioning doesn't either
+    out2 = SK.hll_distinct(d.repartition(19), "v", p=10).collect()[0]
+    assert out2["hll_estimate"] == out["hll_estimate"]
+    d3 = spark.createDataFrame(
+        [(0, f"value-{i % 700}") for i in range(700)],
+        "doc_id long, v string")
+    out3 = SK.hll_distinct(d3, "v", p=10).collect()[0]
+    assert out3["hll_estimate"] == out["hll_estimate"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    d = spark.createDataFrame([(i, f"u{i % 9}") for i in range(100)],
+                              "doc_id long, v string")
+    out = SK.hll_distinct(d, "v", p=10).collect()[0]
+    # 9 distinct << 2.5*m -> linear counting; V=9 set registers (no
+    # bucket collisions at 9/1024 w.h.p. for this fixed data)
+    import math
+    exp = 1024.0 * math.log(1024.0 / (1024 - out["n_registers_set"]))
+    assert abs(out["hll_estimate"] - round(exp, 6)) < 1e-9
+    # estimate is near-exact here (a rare fixed-hash bucket collision
+    # would drop V by 1 and the estimate by ~1 — still within 2.1)
+    assert abs(out["hll_estimate"] - 9) < 2.1
+
+
+def test_hll_validations(spark):
+    d = spark.createDataFrame([(1, "a")], "doc_id long, v string")
+    with pytest.raises(ValueError):
+        SK.hll_distinct(d, "v", p=3)
+    with pytest.raises(ValueError):
+        SK.hll_distinct(d, "v", p=19)
