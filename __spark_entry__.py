@@ -2283,6 +2283,25 @@ def q_ogr_execute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogr_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multi-JOIN through the OGR SQL string front-end
+    (swq_parser.y secondary-table joins): customer->nation->region with
+    WHERE + ORDER BY + LIMIT, all from one parsed statement. Unique join
+    keys make OGR's first-match-only LEFT JOIN coincide with ANSI."""
+    from lib_gdal_spark.plans.ogr_parser import execute_sql
+
+    tables = {
+        t: _t(spark, sf_dir, t) for t in ("customer", "nation", "region")
+    }
+    return execute_sql(
+        tables,
+        "SELECT c_custkey, c_acctbal, n_name, r_name FROM customer "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "LEFT JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_acctbal > 9000 ORDER BY c_custkey LIMIT 50",
+    )
+
+
 def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Special virtual fields FID / OGR_GEOMETRY / OGR_GEOM_AREA /
     OGR_STYLE through the SQL front-end (ogr_p.h:121-128,
@@ -2905,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
+        "ogr_multijoin": q_ogr_multijoin,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5287,6 +5307,14 @@ def oracle_sql() -> dict[str, str]:
                           THEN {_hm}.0 * ln({_hm}.0 / ({_hm} - V))
                           ELSE raw END, 6) AS hll_estimate
         FROM e
+    """
+
+    # ogr_multijoin: unique keys -> OGR first-match LEFT JOIN == ANSI.
+    sqls["ogr_multijoin"] = """
+        SELECT c_custkey, c_acctbal, n_name, r_name FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        WHERE c_acctbal > 9000 ORDER BY c_custkey LIMIT 50
     """
 
     # cap_per_source: global per-source hash-order rank <= cap; the

@@ -101,6 +101,7 @@ BENCH = {
     "nb_classifier": lambda s: _force(E.q_nb_classifier(s, SF_DIR)),
     "cms_counts": lambda s: _force(E.q_cms_counts(s, SF_DIR)),
     "hll_distinct": lambda s: _force(E.q_hll_distinct(s, SF_DIR)),
+    "ogr_multijoin": lambda s: _force(E.q_ogr_multijoin(s, SF_DIR)),
 }
 
 
