@@ -1291,6 +1291,19 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics without a global sort: iterative histogram
+    refinement (driver sees only <=4096-row histograms per pass; matches
+    DuckDB quantile_disc's type-1 convention exactly). final_limit is
+    lowered so sf0.01 genuinely exercises the multi-pass path."""
+    from lib_gdal_spark.operators import quantiles as Q
+
+    d = _t(spark, sf_dir, "lineitem")
+    return Q.exact_quantiles(
+        d, "l_extendedprice", [0.25, 0.5, 0.75, 0.95], final_limit=500
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of document texts (p=6 exercises the
     raw-estimate path): FNV bucket/rho registers, exact-integer harmonic
@@ -2925,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "ogr_multijoin": q_ogr_multijoin,
+        "exact_quantiles": q_exact_quantiles,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5307,6 +5321,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN {_hm}.0 * ln({_hm}.0 / ({_hm} - V))
                           ELSE raw END, 6) AS hll_estimate
         FROM e
+    """
+
+    # exact_quantiles: DuckDB's native quantile_disc is the independent
+    # oracle for the histogram-refinement order statistic.
+    sqls["exact_quantiles"] = """
+        WITH a AS (SELECT quantile_disc(l_extendedprice,
+                     [0.25, 0.5, 0.75, 0.95]) AS vs FROM lineitem)
+        SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+               unnest(vs) AS value FROM a
     """
 
     # ogr_multijoin: unique keys -> OGR first-match LEFT JOIN == ANSI.

@@ -102,6 +102,7 @@ BENCH = {
     "cms_counts": lambda s: _force(E.q_cms_counts(s, SF_DIR)),
     "hll_distinct": lambda s: _force(E.q_hll_distinct(s, SF_DIR)),
     "ogr_multijoin": lambda s: _force(E.q_ogr_multijoin(s, SF_DIR)),
+    "exact_quantiles": lambda s: _force(E.q_exact_quantiles(s, SF_DIR)),
 }
 
 

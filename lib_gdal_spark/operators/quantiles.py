@@ -1,0 +1,137 @@
+"""Exact distributed order statistics without a global sort.
+
+The "median of 100 TB" pattern: you cannot sort the corpus, but you can
+histogram it. Each pass groups the surviving values into ``buckets``
+ordered cells with ONE map-side-combinable aggregation, walks the
+(driver-sized, <= buckets rows) histogram to the cell containing the
+target rank, and repeats inside that cell; when few enough values
+survive they are collected and selected exactly. Worst case
+log_buckets(range/ulp) passes (~5 for doubles at B=4096), 2-3 in
+practice — versus one global sort shuffle of everything.
+
+Exactness with floats: cell assignment is clamp(floor((v - lo)/w)) — a
+MONOTONE function of v — and the next pass filters with the SAME
+expression (not recomputed interval bounds), so ulp-level disagreement
+between division and interval arithmetic cannot leak or double-count a
+value. Result matches DuckDB's ``quantile_disc`` (type-1 discrete
+quantile, 0-based rank k = max(0, ceil(q*n) - 1)) exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    buckets: int = 4096,
+    final_limit: int = 65536,
+    max_passes: int = 64,
+) -> DataFrame:
+    """Exact type-1 discrete quantiles of a numeric column. Returns a
+    DataFrame (q double, value double), one row per requested quantile;
+    NULLs are ignored (and an all-NULL/empty column yields NULL values).
+
+    Per-pass driver traffic is one <= ``buckets``-row histogram; the
+    terminal collect is bounded by ``final_limit`` values (or by the
+    number of distinct values inside one ulp-wide cell when the column
+    is massively duplicated).
+    """
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n = st["n"]
+    if n == 0:
+        return spark.createDataFrame(
+            [(float(q), None) for q in qs], "q double, value double"
+        )
+
+    def _solve(q: float) -> float:
+        k = max(0, math.ceil(q * n) - 1)  # 0-based global target rank
+        lo, hi = float(st["lo"]), float(st["hi"])
+        preds: list[Column] = []
+        below, cnt = 0, n
+
+        def _where() -> DataFrame:
+            d = base
+            for p in preds:
+                d = d.where(p)
+            return d
+
+        for _ in range(max_passes):
+            if lo == hi:
+                return lo
+            if cnt <= final_limit:
+                vals = sorted(r["v"] for r in _where().collect())
+                return vals[k - below]
+            width = (hi - lo) / buckets
+            if width <= 0 or not math.isfinite(width):
+                break
+            cell = F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - lo) / width).cast("int"),
+                ),
+            )
+            hist = dict(
+                (r["c"], r["cnt"])
+                for r in _where()
+                .groupBy(cell.alias("c"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            acc = below
+            for ib in range(buckets):
+                cb = hist.get(ib, 0)
+                if acc + cb > k:
+                    break
+                acc += cb
+            else:  # unreachable (cells partition the surviving set)
+                break
+            if cb == cnt:
+                # stale bounds put everything in one cell: re-tighten to
+                # the exact min/max of the surviving set. With exact
+                # bounds, min lands in cell 0 and max in cell B-1, so the
+                # next histogram is guaranteed to split (or lo == hi).
+                b2 = _where().agg(
+                    F.min("v").alias("lo"), F.max("v").alias("hi")
+                ).collect()[0]
+                lo, hi = float(b2["lo"]), float(b2["hi"])
+                continue
+            preds.append(cell == ib)
+            below, cnt = acc, cb
+            lo = lo + ib * width
+            hi = min(lo + width, hi)
+        # terminal for massive duplicates: the surviving cell spans at
+        # most a few representable doubles -> exact per-value counts
+        rows = sorted(
+            (r["v"], r["cnt"])
+            for r in _where()
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc = below
+        for v, cb in rows:
+            if acc + cb > k:
+                return v
+            acc += cb
+        return rows[-1][0]
+
+    return spark.createDataFrame(
+        [(float(q), float(_solve(q))) for q in qs], "q double, value double"
+    )
