@@ -1888,6 +1888,25 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (4 power iterations, 0.85 damping) on a
+    deterministic 300-node functional link graph with dangling nodes
+    (every id % 17 == 0 has no out-edges); oracle = the same fixed-point
+    arithmetic unrolled as a CTE chain."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    return GG.pagerank(e1.unionByName(e2)).select(
+        "node", "rank_units", "rank"
+    )
+
+
 def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearblack (nearblack_lib.cpp): the border-connected near-black
     collar zeroes; the interior near-black blob survives."""
@@ -2939,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
+        "pagerank": q_pagerank,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -5322,6 +5342,51 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 6) AS hll_estimate
         FROM e
     """
+
+    # pagerank: the same integer fixed-point power iteration unrolled as
+    # a CTE chain (floor divisions via //, int64 sums — order-free).
+    _pr_scale = 10**12
+    _pr_parts = [
+        """e AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        )""",
+        "nodes AS (SELECT DISTINCT u AS node FROM e "
+        "UNION SELECT DISTINCT v AS node FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT u, count(*) AS d FROM e GROUP BY u)",
+        f"r0 AS (SELECT node, CAST({_pr_scale} AS BIGINT) "
+        "// (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for _i in range(4):
+        _pr_parts += [
+            f"""dang{_i} AS (
+              SELECT coalesce(sum(r), 0) AS s FROM r{_i}
+              LEFT JOIN deg ON r{_i}.node = deg.u WHERE deg.d IS NULL)""",
+            f"""inf{_i} AS (
+              SELECT e.v AS node, sum(r{_i}.r // deg.d) AS s
+              FROM e JOIN r{_i} ON e.u = r{_i}.node
+                     JOIN deg ON deg.u = e.u
+              GROUP BY e.v)""",
+            f"""r{_i + 1} AS (
+              SELECT nodes.node,
+                     (15 * CAST({_pr_scale} AS BIGINT))
+                       // (100 * (SELECT n FROM nn))
+                     + (85 * (coalesce(inf{_i}.s, 0)
+                        + (SELECT s FROM dang{_i}) // (SELECT n FROM nn)))
+                       // 100 AS r
+              FROM nodes LEFT JOIN inf{_i} USING (node))""",
+        ]
+    sqls["pagerank"] = (
+        "WITH " + ",\n".join(_pr_parts)
+        + f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_units,
+               round(r / {float(_pr_scale)!r}, 9) AS rank
+        FROM r4"""
+    )
 
     # exact_quantiles: DuckDB's native quantile_disc is the independent
     # oracle for the histogram-refinement order statistic.

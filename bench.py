@@ -103,6 +103,7 @@ BENCH = {
     "hll_distinct": lambda s: _force(E.q_hll_distinct(s, SF_DIR)),
     "ogr_multijoin": lambda s: _force(E.q_ogr_multijoin(s, SF_DIR)),
     "exact_quantiles": lambda s: _force(E.q_exact_quantiles(s, SF_DIR)),
+    "pagerank": lambda s: _force(E.q_pagerank(s, SF_DIR)),
 }
 
 

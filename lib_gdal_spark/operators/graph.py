@@ -202,3 +202,88 @@ def k_shortest_paths(
         c, p = heapq.heappop(B)
         A.append((p, c))
     return A
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed edge list (u, v) —
+    the canonical web-link-graph operator — in EXACT integer arithmetic:
+    ranks live in ``scale`` fixed-point units, every division is integer
+    ``div`` and every sum is an int64 sum, so the result is bit-identical
+    at any parallelism and in any engine (the float formulation is
+    order-dependent and cannot be oracled). ``damping_pct`` is the
+    damping factor in percent (85 = the classic 0.85).
+
+    Per iteration: contribution of u = rank_u div outdeg_u along each
+    edge; dangling nodes (no out-edges) redistribute rank div n to
+    everyone; new rank = (100-d)% * scale div n + d% * (inflow +
+    dangling share), all floor divisions. Fixed ``n_iters`` (power
+    iteration; 4 rounds ranks a crawl's head reliably — convergence to a
+    tolerance would make the op data-dependent and un-unrollable).
+
+    Scale shape: each round is ONE shuffle — join ranks to edges on u
+    (rank table is n rows; broadcast when small, shuffle-hash otherwise)
+    and a map-side combinable groupBy(v). The dangling mass is a 1-row
+    aggregate. Lineage is truncated per round with localCheckpoint, as
+    in shortest_path_tree. Returns (node, rank_units, rank) with
+    sum(rank_units) <= scale (floor-division mass loss only).
+    """
+    e = edges.select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_units"),
+            F.lit(0.0).alias("rank"),
+        )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    base = int(((100 - damping_pct) * scale) // (100 * n))
+    ranks = nodes.withColumn(
+        "r", F.lit(int(scale // n)).cast("long")
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        with_deg = ranks.join(deg, ranks["node"] == deg["u"], "left")
+        dang = with_deg.where(F.col("d").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        share = int(dang // n)
+        inflow = (
+            e.join(
+                with_deg.where(F.col("d").isNotNull()).select(
+                    "node", F.expr("r div d").alias("c")
+                ),
+                e["u"] == F.col("node"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["v"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, 0) + {share})) "
+                        f"div 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_units"),
+        F.round(F.col("r") / scale, 9).alias("rank"),
+    )

@@ -57,3 +57,40 @@ def test_graph_components(spark):
     got = {r["label"]: r["component"] for r in
            GG.graph_connected_components(e).collect()}
     assert got[2] == 1 and got[3] == 1 and got[11] == 10
+
+
+def test_pagerank_exact_and_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators import graph as GG
+
+    # star: everyone links to hub 0; hub links to 1. Hub must dominate.
+    edges = [(i, 0) for i in range(1, 20)] + [(0, 1)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    out = {r["node"]: r for r in GG.pagerank(e, n_iters=4).collect()}
+    ranks = {k: v["rank_units"] for k, v in out.items()}
+    # the 2-cycle 0<->1 makes the power iteration oscillate (periodic
+    # graph, fixed iteration count): mass sloshes between 0 and 1, but
+    # both always dominate every leaf, and all leaves tie exactly
+    assert min(ranks[0], ranks[1]) > ranks[2]
+    assert len(set(ranks[i] for i in range(2, 20))) == 1  # leaves tie
+    # integer mass conservation: floor losses only, bounded per division
+    total = sum(ranks.values())
+    assert 0 <= 10**12 - total <= 20 * 100 * 4
+
+    # bit-identical at any parallelism (the whole point of integer mode)
+    out2 = {r["node"]: r["rank_units"]
+            for r in GG.pagerank(e.repartition(7), n_iters=4).collect()}
+    assert out2 == ranks
+
+
+def test_pagerank_dangling_redistribution(spark):
+    from lib_gdal_spark.operators import graph as GG
+
+    # 1 -> 2, 2 dangling: without redistribution node 2's mass vanishes
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    out = {r["node"]: r["rank_units"]
+           for r in GG.pagerank(e, n_iters=3).collect()}
+    total = sum(out.values())
+    assert 10**12 - total < 100           # dangling mass is recycled
+    assert out[2] > out[1]                # 2 receives 1's full outflow
