@@ -13,7 +13,10 @@ that parser. Grammar subset (matching swq_parser.y's actual power):
 - select_list: '*', columns, aliased exprs, aggregates MIN/MAX/AVG/SUM/
   COUNT(col | *| DISTINCT col), CONCAT, SUBSTR, CAST(x AS type),
   HSTORE_GET_VALUE.
-- WHERE: two-valued NULL comparisons (ogr_sql.ogr_bool), AND/OR/NOT,
+- WHERE: two-valued NULL comparisons (coalesced at NOT boundaries so
+  plain equi-comparisons survive for Catalyst join-key extraction and
+  parquet pushdown — filter/join outcomes are provably identical),
+  AND/OR/NOT,
   case-insensitive LIKE [ESCAPE], IN (literal list), BETWEEN, IS [NOT]
   NULL, + - * / %.
 - Aggregates without GROUP BY only (SWQM_SUMMARY_RECORD) — the dialect
@@ -131,7 +134,17 @@ class _Parser:
 
     def _not(self) -> Column:
         if self.accept("kw", "NOT"):
-            return ~self._not()
+            # OGR's two-valued logic (NULL comparison -> FALSE,
+            # swq_op_general.cpp:318-343) is applied HERE, at the NOT
+            # boundary, not at every comparison: for the monotone AND/OR
+            # combinations in between, coalescing the top equals
+            # coalescing every leaf, and the leaves staying plain
+            # `a = b` lets Catalyst extract equi-join keys from parsed
+            # JOIN ... ON clauses (a leaf wrapped in coalesce() planned
+            # as BroadcastNestedLoopJoin) and push comparisons to the
+            # parquet scan. Filter/join match semantics are identical
+            # either way (NULL and FALSE both reject).
+            return ~F.coalesce(self._not(), F.lit(False))
         return self._cmp()
 
     def _cmp(self) -> Column:
@@ -140,10 +153,12 @@ class _Parser:
         if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             right = self._add()
-            fns = {"=": O.ogr_eq, "<>": O.ogr_ne, "!=": O.ogr_ne,
-                   "<": O.ogr_lt, "<=": O.ogr_le, ">": O.ogr_gt,
-                   ">=": O.ogr_ge}
-            return fns[v](left, right)
+            if v == "=":
+                return left == right
+            if v in ("<>", "!="):
+                return left != right
+            return {"<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right}[v]
         if k == "kw" and v == "IS":
             self.next()
             neg = bool(self.accept("kw", "NOT"))
