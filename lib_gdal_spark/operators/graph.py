@@ -254,10 +254,11 @@ def pagerank(
     ).localCheckpoint()
     for _ in range(n_iters):
         with_deg = ranks.join(deg, ranks["node"] == deg["u"], "left")
+        # dangling mass folds in as a broadcast 1-row frame so each
+        # iteration is ONE materialized job, not two
         dang = with_deg.where(F.col("d").isNull()).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).alias("s")
-        ).collect()[0]["s"]
-        share = int(dang // n)
+            F.coalesce(F.sum("r"), F.lit(0)).alias("__dang")
+        )
         inflow = (
             e.join(
                 with_deg.where(F.col("d").isNotNull()).select(
@@ -270,13 +271,14 @@ def pagerank(
         )
         ranks = (
             nodes.join(inflow, nodes["node"] == inflow["v"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"({damping_pct} * (coalesce(s, 0) + {share})) "
-                        f"div 100"
+                        f"({damping_pct} * (coalesce(s, 0) "
+                        f"+ (__dang div {n}))) div 100"
                     )
                 ).alias("r"),
             )
