@@ -1096,6 +1096,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within SimHash Hamming distance 3 (Manku et
+    al. 2007): block-key equi-join candidates, exact bit_count(xor)
+    verify — never an all-pairs product."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, k=3)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: word-3-gram overlap between a training
     split and a (broadcast) eval split of the documents table; the
@@ -2936,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -4994,6 +5003,18 @@ def oracle_sql() -> dict[str, str]:
         FROM bits
     """.replace("{fnv}", _FNV.format(g="w")).replace(
         "{bitcols}", _bit_cols).replace("{bitsum}", _bit_sum)
+
+    # simhash_pairs: brute-force all-pairs Hamming join over the same
+    # fingerprint CTE — independent of the Spark side's pigeonhole
+    # block-join candidate generation (DuckDB's bit_count/xor are
+    # two's-complement on BIGINT, same as Spark's).
+    sqls["simhash_pairs"] = (
+        "WITH fp AS (" + sqls["simhash"] + ") "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
 
     # pages_enrich: the page generator is a splitmix64 pure function of
     # (id, stream, seed) — spelled out in SQL (HUGEINT mulmod + 32-bit-half

@@ -104,6 +104,7 @@ BENCH = {
     "ogr_multijoin": lambda s: _force(E.q_ogr_multijoin(s, SF_DIR)),
     "exact_quantiles": lambda s: _force(E.q_exact_quantiles(s, SF_DIR)),
     "pagerank": lambda s: _force(E.q_pagerank(s, SF_DIR)),
+    "simhash_pairs": lambda s: _force(E.q_simhash_pairs(s, SF_DIR)),
 }
 
 

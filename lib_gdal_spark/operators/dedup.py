@@ -245,6 +245,84 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_freq: int = 20_000,
+) -> DataFrame:
+    """All document pairs within Hamming distance ``k`` of each other's
+    64-bit SimHash (Manku, Jain & Das Sarma, WWW 2007 — the web-crawl
+    near-duplicate detector).
+
+    Pigeonhole candidate generation: the fingerprint is split into
+    ``n_blocks`` contiguous bit blocks; two fingerprints within Hamming
+    distance ``k <= n_blocks - 1`` must agree EXACTLY on at least one
+    block, so candidates come from ``n_blocks`` equi-joins on
+    (block_index, block_value) — never an all-pairs product. Exact
+    verification is a JVM ``bit_count(xor)`` filter; no false positives
+    survive and (per the pigeonhole bound) no true pair is missed.
+
+    ``max_block_freq`` drops block keys shared by more than that many
+    documents from candidate generation (a hot key emits freq² candidate
+    rows). Byte-identical documents share all blocks — run
+    :func:`exact_duplicates` first on duplicate-heavy corpora so the cap
+    never bites real near-dups. Returns (doc_a, doc_b, hamming).
+    """
+    if not 0 <= k < n_blocks:
+        raise ValueError(f"need 0 <= k < n_blocks, got k={k} blocks={n_blocks}")
+    if 64 % n_blocks:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+
+    fp = simhash64(docs, id_col=id_col, text_col=text_col)
+    blocks = fp.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftrightunsigned("simhash", b * width)
+                    .bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.blk", "bk.val").cache()
+    hot = (
+        blocks.groupBy("blk", "val").count()
+        .where(F.col("count") > max_block_freq).select("blk", "val")
+    )
+    cold = blocks.join(F.broadcast(hot), ["blk", "val"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    try:
+        out = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("hamming"),
+            )
+            .where(F.col("hamming") <= k)
+            .distinct()
+            .localCheckpoint()
+        )
+    finally:
+        blocks.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle: int = 3,

@@ -159,6 +159,59 @@ def test_fuzzy_dedup_clusters_min_id(spark):
     assert out[10]["keep"] and not out[11]["keep"] and not out[12]["keep"]
 
 
+def test_simhash_pairs_matches_bruteforce(spark):
+    """Pigeonhole block-join candidates find EXACTLY the brute-force
+    Hamming<=k pair set (Manku 2007 completeness bound)."""
+    import numpy as np
+
+    texts = []
+    base = ("spark executes wide transformations by shuffling keyed rows "
+            "between executors partitioned by the exchange hash").split()
+    for i in range(40):
+        toks = list(base)
+        # perturb a few tokens so fingerprints land at varied distances
+        for j in range(i % 5):
+            toks[(3 * j + i) % len(toks)] = f"tok{i}_{j}"
+        texts.append(" ".join(toks))
+    texts += ["completely different subject matter about raster pyramids",
+              "completely different subject matter about raster pyramids"]
+    docs = _docs(spark, texts)
+
+    for k in (0, 3):
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in DD.simhash_pairs(docs, k=k).collect()}
+        fp = {r["doc_id"]: np.uint64(r["simhash"])
+              for r in DD.simhash64(docs).collect()}
+        ids = sorted(fp)
+        want = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = int(bin(int(fp[ids[x]] ^ fp[ids[y]])).count("1"))
+                if h <= k:
+                    want.add((ids[x], ids[y], h))
+        assert got == want, (k, got ^ want)
+    assert want, "test corpus produced no close pairs at k=3"
+
+
+def test_simhash_pairs_hot_block_cap(spark):
+    """A block value shared by more docs than the cap is dropped from
+    candidate generation (no freq^2 blow-up); identical docs share every
+    block so a tiny cap suppresses their pairs entirely."""
+    docs = _docs(spark, ["identical body of text repeated verbatim"] * 8)
+    assert DD.simhash_pairs(docs, k=0, max_block_freq=4).count() == 0
+    assert DD.simhash_pairs(docs, k=0, max_block_freq=100).count() == 28
+
+
+def test_simhash_pairs_param_guard(spark):
+    import pytest
+
+    docs = _docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        DD.simhash_pairs(docs, k=4, n_blocks=4)
+    with pytest.raises(ValueError):
+        DD.simhash_pairs(docs, n_blocks=5)
+
+
 def test_remove_repeated_windows(spark):
     """Cross-doc 4-token windows are cut from ALL docs sharing them;
     within-doc repeats alone don't trigger; short docs pass through."""
