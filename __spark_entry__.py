@@ -1096,6 +1096,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
+    polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
+    mapInPandas pass."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.winnow_fingerprints(d, k=5, w=4)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs within SimHash Hamming distance 3 (Manku et
     al. 2007): block-key equi-join candidates, exact bit_count(xor)
@@ -2945,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5015,6 +5024,51 @@ def oracle_sql() -> dict[str, str]:
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
+
+    # winnow_fingerprints: the whole MOSS construction spelled in SQL —
+    # base-257 char-5-gram polynomial (exact int64, no wrap), window starts
+    # joined to covered gram positions, min-hash per window with the
+    # rightmost-pos tie rule via a join-back on the window minimum.
+    sqls["winnow_fingerprints"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, s, length(s) - 4 AS m FROM norm
+          WHERE length(s) >= 5
+        ),
+        g AS (
+          SELECT doc_id, i AS pos,
+                 ord(substr(s, i, 1)) * 4362470401
+                 + ord(substr(s, i + 1, 1)) * 16974593
+                 + ord(substr(s, i + 2, 1)) * 66049
+                 + ord(substr(s, i + 3, 1)) * 257
+                 + ord(substr(s, i + 4, 1)) AS h
+          FROM (SELECT doc_id, s, unnest(range(1, m + 1)) AS i FROM sized)
+        ),
+        starts AS (
+          SELECT doc_id, least(4, m) AS ws,
+                 unnest(range(1, greatest(m - 4 + 1, 1) + 1)) AS st
+          FROM sized
+        ),
+        cand AS (
+          SELECT s.doc_id, s.st, g.pos, g.h
+          FROM starts s JOIN g ON g.doc_id = s.doc_id
+           AND g.pos BETWEEN s.st AND s.st + s.ws - 1
+        ),
+        mins AS (
+          SELECT doc_id, st, min(h) AS mh FROM cand GROUP BY doc_id, st
+        ),
+        sel AS (
+          SELECT c.doc_id, max(c.pos) AS pos, m.mh
+          FROM cand c JOIN mins m
+            ON c.doc_id = m.doc_id AND c.st = m.st AND c.h = m.mh
+          GROUP BY c.doc_id, c.st, m.mh
+        )
+        SELECT DISTINCT doc_id, pos, mh AS fingerprint FROM sel
+    """
 
     # pages_enrich: the page generator is a splitmix64 pure function of
     # (id, stream, seed) — spelled out in SQL (HUGEINT mulmod + 32-bit-half

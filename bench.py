@@ -105,6 +105,7 @@ BENCH = {
     "exact_quantiles": lambda s: _force(E.q_exact_quantiles(s, SF_DIR)),
     "pagerank": lambda s: _force(E.q_pagerank(s, SF_DIR)),
     "simhash_pairs": lambda s: _force(E.q_simhash_pairs(s, SF_DIR)),
+    "winnow": lambda s: _force(E.q_winnow_fingerprints(s, SF_DIR)),
 }
 
 

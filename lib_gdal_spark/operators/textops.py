@@ -104,6 +104,78 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(out_col, F.xxhash64(norm))
 
 
+_WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS local document-fingerprinting algorithm).
+
+    Text is normalized to ``[a-z0-9]`` (lowercase, everything else
+    dropped), hashed as character ``k``-grams with an exact small-base
+    polynomial (base 257, fits int64 — no modular wrap, so both engines
+    agree bit-for-bit), then each window of ``w`` consecutive gram hashes
+    selects its minimum, rightmost on ties (the paper's rule; guarantees
+    any shared substring of length >= k + w - 1 shares a fingerprint).
+
+    The whole algorithm is per-document local: ONE zero-shuffle
+    mapInPandas pass, no joins — winnowing density is 2/(w+1) regardless
+    of corpus size, so this scales linearly to any corpus. Docs with
+    fewer than ``k`` normalized chars yield no rows; docs with fewer than
+    ``w`` gram windows use one window over all grams.
+
+    Returns (id, pos, fingerprint) where pos is the 1-based offset of the
+    selected k-gram in the normalized text.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k} w={w}")
+    weights = np.array(
+        [_WINNOW_BASE ** (k - 1 - j) for j in range(k)], dtype=np.int64
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        drop = re.compile(r"[^a-z0-9]")
+        for batch in batches:
+            ids: list[int] = []
+            poss: list[np.ndarray] = []
+            vals: list[np.ndarray] = []
+            for did, t in zip(batch[id_col], batch[text_col]):
+                norm = drop.sub("", t.lower())
+                codes = np.frombuffer(norm.encode("ascii", "ignore"),
+                                      dtype=np.uint8).astype(np.int64)
+                if len(codes) < k:
+                    continue
+                h = np.convolve(codes, weights[::-1], mode="valid")
+                ws = min(w, len(h))
+                win = np.lib.stride_tricks.sliding_window_view(h, ws)
+                # rightmost-min: argmin over the flipped window axis
+                j = np.argmin(win[:, ::-1], axis=1)
+                pos = np.arange(len(win), dtype=np.int64) + (ws - 1 - j)
+                sel = np.unique(pos)
+                ids.extend([did] * len(sel))
+                poss.append(sel + 1)
+                vals.append(h[sel])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "pos": np.concatenate(poss) if poss
+                else np.empty(0, np.int64),
+                "fingerprint": np.concatenate(vals) if vals
+                else np.empty(0, np.int64),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        work, schema=f"{id_col} long, pos long, fingerprint long"
+    )
+
+
 def with_lang_id(docs: DataFrame, text_col: str = "text",
                  out_col: str = "lang_pred") -> DataFrame:
     """Marker-word language scoring in a pandas UDF (one pass per batch)."""
