@@ -1096,6 +1096,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over documents. The
+    table is single-line word soup, so the query first synthesizes
+    multi-line pages deterministically (8-word lines, ~1 in 5 left
+    without terminal punctuation, and {, lorem-ipsum, and blocklist
+    contamination on fixed doc_id residues) before cleaning."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit(""))
+            .otherwise(F.lit(".")),
+        ),
+    )
+
+    def extra(mod: int, line: str):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(F.array().cast("array<string>"))
+
+    full = F.concat(
+        body,
+        extra(41, "stray curly brace { appears here."),
+        extra(43, "this page quotes Lorem Ipsum filler text."),
+        extra(47, "badword1 shows up in this very line."),
+    )
+    synth = d.withColumn("text", F.array_join(full, "\n"))
+    return TXT.c4_clean(synth, blocklist=("badword1", "badword2"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
     polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
@@ -2954,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "c4_clean": q_c4_clean,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5024,6 +5058,59 @@ def oracle_sql() -> dict[str, str]:
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
+
+    # c4_clean: identical line synthesis (8-word slices, punctuation and
+    # contamination on fixed residues) then the full C4 rule set spelled
+    # with DuckDB list lambdas; kept is 0/1 int to avoid nullable-bool
+    # hash skew.
+    sqls["c4_clean"] = r"""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(text, ' ') AS words
+          FROM documents
+        ),
+        synth AS (
+          SELECT doc_id,
+            array_to_string(
+              list_concat(
+                list_concat(
+                  [array_to_string(list_slice(words, i*8+1, i*8+8), ' ')
+                   || (CASE WHEN (doc_id + i) % 5 = 0 THEN '' ELSE '.' END)
+                   FOR i IN range(0,
+                     CAST(ceil(len(words) / 8.0) AS BIGINT))],
+                  CASE WHEN doc_id % 41 = 0
+                    THEN ['stray curly brace { appears here.']
+                    ELSE []::VARCHAR[] END),
+                list_concat(
+                  CASE WHEN doc_id % 43 = 0
+                    THEN ['this page quotes Lorem Ipsum filler text.']
+                    ELSE []::VARCHAR[] END,
+                  CASE WHEN doc_id % 47 = 0
+                    THEN ['badword1 shows up in this very line.']
+                    ELSE []::VARCHAR[] END)
+              ), chr(10)) AS text
+          FROM base
+        ),
+        feat AS (
+          SELECT doc_id, text,
+            string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?"]$')
+              AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+              AND NOT contains(lower(l), 'javascript')) AS good
+          FROM synth
+        )
+        SELECT doc_id,
+          len(lines) AS n_lines,
+          len(good) AS n_kept,
+          CAST((len(good) >= 3
+            AND NOT contains(text, '{')
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT list_has_any(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              ['badword1', 'badword2'])) AS INTEGER) AS kept,
+          coalesce(array_to_string(good, chr(10)), '') AS clean_text
+        FROM feat
+    """
 
     # winnow_fingerprints: the whole MOSS construction spelled in SQL —
     # base-257 char-5-gram polynomial (exact int64, no wrap), window starts

@@ -106,6 +106,7 @@ BENCH = {
     "pagerank": lambda s: _force(E.q_pagerank(s, SF_DIR)),
     "simhash_pairs": lambda s: _force(E.q_simhash_pairs(s, SF_DIR)),
     "winnow": lambda s: _force(E.q_winnow_fingerprints(s, SF_DIR)),
+    "c4_clean": lambda s: _force(E.q_c4_clean(s, SF_DIR)),
 }
 
 

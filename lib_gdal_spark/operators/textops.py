@@ -104,6 +104,56 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(out_col, F.xxhash64(norm))
 
 
+def c4_clean(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning" §2.2 — the C4 corpus construction rules).
+
+    Line rules — a line survives iff it (a) ends in a terminal
+    punctuation mark (``. ! ? "``), (b) has at least
+    ``min_words_per_line`` words, and (c) does not contain the word
+    "javascript". Page rules — a page is kept iff it retains at least
+    ``min_kept_lines`` lines, contains no ``{``, no "lorem ipsum"
+    (case-insensitive), and no word from ``blocklist``.
+
+    Everything is JVM built-ins (split / filter / rlike) in one narrow
+    zero-shuffle projection — at 100 TB this is a pure map stage.
+    Returns (id, n_lines, n_kept, kept, clean_text); ``kept`` is int
+    0/1 and dropped pages still emit their row (filter on ``kept``
+    downstream), so row counts are stable for auditing.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    good = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+", -1)) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    kept = (
+        (F.size(good) >= min_kept_lines)
+        & ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
+    if blocklist:
+        toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+", -1)
+        kept = kept & ~F.arrays_overlap(
+            toks, F.array(*[F.lit(wd) for wd in blocklist])
+        )
+    return docs.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(good).alias("n_kept"),
+        kept.cast("int").alias("kept"),
+        F.array_join(good, "\n").alias("clean_text"),
+    )
+
+
 _WINNOW_BASE = 257
 
 

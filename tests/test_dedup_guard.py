@@ -159,6 +159,48 @@ def test_fuzzy_dedup_clusters_min_id(spark):
     assert out[10]["keep"] and not out[11]["keep"] and not out[12]["keep"]
 
 
+def test_c4_clean_rules(spark):
+    """Every C4 rule (Raffel et al. 2020 SS2.2) on hand-built pages."""
+    from lib_gdal_spark.operators import textops as TX
+
+    pages = [
+        # kept: 3 good lines; the unterminated and short lines drop
+        "one two three four five six.\n"
+        "seven eight nine ten eleven twelve!\n"
+        "unterminated line with plenty of words here\n"
+        "short line.\n"
+        'quoted line has exactly five words."',
+        # dropped: only 2 surviving lines
+        "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa.",
+        # dropped: curly brace at page level (lines otherwise fine)
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "brace { eleven twelve thirteen fourteen.",
+        # dropped: lorem ipsum, case-insensitive
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "this quotes LoReM IpSuM filler text.",
+        # dropped: blocklist word
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "naughty appears in this line today.",
+        # javascript LINE drops but the page survives on the rest
+        "enable javascript to view this page.\n"
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "eleven twelve thirteen fourteen fifteen.",
+    ]
+    df = _docs(spark, pages)
+    out = {r["doc_id"]: r.asDict()
+           for r in TX.c4_clean(df, blocklist=("naughty",)).collect()}
+    assert out[0]["kept"] == 1 and out[0]["n_kept"] == 3
+    assert out[0]["clean_text"].count("\n") == 2
+    assert "unterminated" not in out[0]["clean_text"]
+    assert "short line." not in out[0]["clean_text"]
+    assert out[1]["kept"] == 0 and out[1]["n_kept"] == 2
+    assert out[2]["kept"] == 0   # '{'
+    assert out[3]["kept"] == 0   # lorem ipsum
+    assert out[4]["kept"] == 0   # blocklist
+    assert out[5]["kept"] == 1 and out[5]["n_kept"] == 3
+    assert "javascript" not in out[5]["clean_text"]
+
+
 def test_simhash_pairs_matches_bruteforce(spark):
     """Pigeonhole block-join candidates find EXACTLY the brute-force
     Hamming<=k pair set (Manku 2007 completeness bound)."""
