@@ -1096,6 +1096,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores of every document against a 3-term query, with
+    fixed-order float assembly (parallelism-deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.bm25_scores(d, ("spark", "join", "query"))
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2) over documents. The
     table is single-line word soup, so the query first synthesizes
@@ -2988,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "c4_clean": q_c4_clean,
+        "bm25": q_bm25,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5058,6 +5066,48 @@ def oracle_sql() -> dict[str, str]:
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
+
+    # bm25: the full scorer spelled in SQL — per-term tf via list_filter,
+    # df/N/avgdl as scalar subquery columns, contributions added in the
+    # same fixed term order as the Spark pivot (k1=1.2, b=0.75; the
+    # "plus one" idf). 6-dp rounding absorbs libm ln ulp skew.
+    _bm_terms = ["spark", "join", "query"]
+    _tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_bm_terms)
+    )
+    _dfs = ", ".join(
+        f"count(CASE WHEN tf{i} > 0 THEN 1 END) AS df{i}"
+        for i in range(len(_bm_terms))
+    )
+    _cs = ", ".join(
+        f"CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2) "
+        f"/ (tf{i} + 1.2 * (0.25 + 0.75 * dl "
+        f"/ (CAST(sum_dl AS DOUBLE) / n_docs))) END AS c{i}"
+        for i in range(len(_bm_terms))
+    )
+    _nm = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_bm_terms))
+    )
+    _csum = " + ".join(f"c{i}" for i in range(len(_bm_terms)))
+    sqls["bm25"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t
+        ),
+        tf AS (SELECT doc_id, len(toks) AS dl, {_tfs} FROM t),
+        dfq AS (SELECT {_dfs} FROM tf)
+        SELECT doc_id, CAST(nm AS BIGINT) AS n_matched,
+               round({_csum}, 6) AS score
+        FROM (SELECT doc_id, {_nm} AS nm, {_cs} FROM tf, stats, dfq)
+        WHERE nm > 0
+    """
 
     # c4_clean: identical line synthesis (8-word slices, punctuation and
     # contamination on fixed residues) then the full C4 rule set spelled

@@ -107,6 +107,7 @@ BENCH = {
     "simhash_pairs": lambda s: _force(E.q_simhash_pairs(s, SF_DIR)),
     "winnow": lambda s: _force(E.q_winnow_fingerprints(s, SF_DIR)),
     "c4_clean": lambda s: _force(E.q_c4_clean(s, SF_DIR)),
+    "bm25": lambda s: _force(E.q_bm25(s, SF_DIR)),
 }
 
 

@@ -154,6 +154,99 @@ def c4_clean(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 scores (Robertson et al., TREC-3 1994) of every document
+    against a fixed bag of query terms.
+
+    Corpus statistics (N, avgdl, per-term document frequency) are
+    computed distributed; the per-doc score is assembled by pivoting the
+    per-term contributions into FIXED columns and adding them in query
+    order, so the floating-point sum is deterministic at any parallelism
+    (a groupBy(sum) of doubles is not). idf = ln(1 + (N - df + .5)/(df + .5))
+    (the non-negative "plus one" variant, as in Lucene).
+
+    Scale shape: one narrow explode filtered to the broadcast term set,
+    one map-side-combinable (doc, term) count, a <=|terms|-row broadcast
+    df join, one groupBy(doc) pivot — the corpus streams exactly once.
+    Returns (id, n_matched, score) for docs matching >= 1 term, score
+    rounded to 6 dp.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1).alias("toks"),
+    ).select(
+        id_col, F.size("toks").alias("dl"),
+        F.explode(F.array_intersect("toks", term_arr)).alias("term"),
+        # array_intersect dedups, so a second pass counts raw tf
+        F.col("toks"),
+    ).select(
+        id_col, "dl", "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
+
+    stats = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1).alias("toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_term")
+    )
+
+    contrib = (
+        toks.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df_term") + F.lit(0.5))
+                    / (F.col("df_term") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl")
+                        / (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+        ).alias(f"c{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"), *per_term
+    )
+    score = F.col("c0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"c{i}")
+    return agg.select(
+        id_col, "n_matched", F.round(score, 6).alias("score")
+    )
+
+
 _WINNOW_BASE = 257
 
 

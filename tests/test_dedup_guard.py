@@ -159,6 +159,51 @@ def test_fuzzy_dedup_clusters_min_id(spark):
     assert out[10]["keep"] and not out[11]["keep"] and not out[12]["keep"]
 
 
+def test_bm25_hand_computed(spark):
+    """BM25 vs a straight-line reference on a 4-doc corpus; result is
+    identical at 1 and 16 partitions (fixed-order float assembly)."""
+    import math
+
+    from lib_gdal_spark.operators import textops as TX
+
+    texts = ["cat dog cat", "dog dog dog bird", "fish bird", "cat"]
+    terms = ("cat", "dog")
+    k1, b = 1.2, 0.75
+    n = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / n
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        score, nm = 0.0, 0
+        for term in terms:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            nm += 1
+            df = sum(1 for x in texts if term in x.split())
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+        if nm:
+            want[i] = (nm, round(score, 6))
+
+    for parts in (1, 16):
+        df_in = _docs(spark, texts).repartition(parts)
+        got = {r["doc_id"]: (r["n_matched"], r["score"])
+               for r in TX.bm25_scores(df_in, terms).collect()}
+        assert got == want, (parts, got, want)
+
+
+def test_bm25_empty_terms(spark):
+    import pytest
+
+    from lib_gdal_spark.operators import textops as TX
+
+    with pytest.raises(ValueError):
+        TX.bm25_scores(_docs(spark, ["x"]), ())
+
+
 def test_c4_clean_rules(spark):
     """Every C4 rule (Raffel et al. 2020 SS2.2) on hand-built pages."""
     from lib_gdal_spark.operators import textops as TX
