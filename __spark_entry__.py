@@ -1096,6 +1096,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merge rules (Sennrich et al. 2016) from the documents
+    corpus — the word-type reduction + per-iteration pair-count argmax."""
+    from lib_gdal_spark.operators import bpe as BP
+
+    d = _t(spark, sf_dir, "documents")
+    return BP.bpe_train(d, n_merges=8)
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 scores of every document against a 3-term query, with
     fixed-order float assembly (parallelism-deterministic)."""
@@ -2996,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "c4_clean": q_c4_clean,
         "bm25": q_bm25,
+        "bpe_train": q_bpe_train,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5065,6 +5075,70 @@ def oracle_sql() -> dict[str, str]:
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+    # bpe_train: 8 merge iterations unrolled as a CTE chain. Each
+    # iteration = pair-count argmax (count DESC, left, right) + leftmost-
+    # greedy non-overlapping merge application via the gaps-and-islands
+    # parity trick: consecutive marked positions (only possible when
+    # left==right) form runs grouped by i - running_mark_count; within a
+    # run the 1st, 3rd, ... marks merge and each consumes its successor.
+    _bpe_iters = 8
+    _bpe_parts = [r"""
+        st0 AS MATERIALIZED (
+          SELECT word, count(*) AS cnt,
+                 [substr(word, CAST(i AS INTEGER), 1)
+                  FOR i IN range(1, length(word) + 1)] || ['</w>'] AS syms
+          FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS word
+            FROM documents
+          ) WHERE word <> '' GROUP BY word
+        )"""]
+    for _k in range(1, _bpe_iters + 1):
+        _p = _k - 1
+        _bpe_parts.append(f"""
+        p{_k} AS MATERIALIZED (
+          SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+            SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+            FROM st{_p}, unnest(range(1, len(syms))) AS t(i)
+            WHERE len(syms) >= 2
+          ) GROUP BY l, r
+        ),
+        b{_k} AS MATERIALIZED (SELECT l, r, c FROM p{_k} ORDER BY c DESC, l, r LIMIT 1),
+        m{_k} AS MATERIALIZED (
+          SELECT word, cnt, syms, i,
+            coalesce(syms[i] = (SELECT l FROM b{_k})
+                 AND syms[i + 1] = (SELECT r FROM b{_k}), false) AS mark
+          FROM st{_p}, unnest(range(1, len(syms) + 1)) AS t(i)
+        ),
+        s{_k} AS MATERIALIZED (
+          SELECT *, mark AND (count(*) FILTER (WHERE mark) OVER (
+              PARTITION BY word, grp ORDER BY i)) % 2 = 1 AS sel
+          FROM (
+            SELECT *, i - count(*) FILTER (WHERE mark) OVER (
+                PARTITION BY word ORDER BY i) AS grp
+            FROM m{_k}
+          )
+        ),
+        st{_k} AS MATERIALIZED (
+          SELECT word, any_value(cnt) AS cnt,
+            list(CASE WHEN sel THEN
+                   (SELECT l FROM b{_k}) || (SELECT r FROM b{_k})
+                 ELSE syms[i] END ORDER BY i) AS syms
+          FROM (
+            SELECT *, coalesce(lag(sel) OVER (
+                PARTITION BY word ORDER BY i), false) AS consumed
+            FROM s{_k}
+          ) WHERE NOT consumed GROUP BY word
+        )""")
+    _bpe_final = " UNION ALL ".join(
+        f'SELECT {_k} AS rank, l AS "left", r AS "right", '
+        f'l || r AS merged, c AS pair_count FROM b{_k}'
+        for _k in range(1, _bpe_iters + 1)
+    )
+    sqls["bpe_train"] = (
+        "WITH " + ",".join(_bpe_parts) + " " + _bpe_final
     )
 
     # bm25: the full scorer spelled in SQL — per-term tf via list_filter,

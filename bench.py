@@ -108,6 +108,7 @@ BENCH = {
     "winnow": lambda s: _force(E.q_winnow_fingerprints(s, SF_DIR)),
     "c4_clean": lambda s: _force(E.q_c4_clean(s, SF_DIR)),
     "bm25": lambda s: _force(E.q_bm25(s, SF_DIR)),
+    "bpe_train": lambda s: _force(E.q_bpe_train(s, SF_DIR)),
 }
 
 
