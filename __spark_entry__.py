@@ -1096,6 +1096,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(d)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking (context-window prep):
+    24-token chunks, 6 tokens of carried context, zero shuffle."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    return MX.chunk_documents(d, chunk_size=24, overlap=6)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 8 BPE merge rules (Sennrich et al. 2016) from the documents
     corpus — the word-type reduction + per-iteration pair-count argmax."""
@@ -3006,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
+        "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5076,6 +5086,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
+
+    # chunk_documents: 24-token chunks, stride 18 (= size - overlap);
+    # chunk k is tokens [k*18+1, k*18+24], trailing chunk may be short.
+    sqls["chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               CAST(k * 18 + 1 AS INTEGER) AS start_tok,
+               CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(ck, ' ') AS chunk_text
+        FROM (
+          SELECT doc_id, k, list_slice(toks, k * 18 + 1, k * 18 + 24) AS ck
+          FROM n, unnest(range(0, (n - 1) // 18 + 1)) AS u(k)
+        )
+    """
 
     # bpe_train: 8 merge iterations unrolled as a CTE chain. Each
     # iteration = pair-count argmax (count DESC, left, right) + leftmost-

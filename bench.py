@@ -109,6 +109,7 @@ BENCH = {
     "c4_clean": lambda s: _force(E.q_c4_clean(s, SF_DIR)),
     "bm25": lambda s: _force(E.q_bm25(s, SF_DIR)),
     "bpe_train": lambda s: _force(E.q_bpe_train(s, SF_DIR)),
+    "chunk_docs": lambda s: _force(E.q_chunk_documents(s, SF_DIR)),
 }
 
 

@@ -135,6 +135,50 @@ def sample_to_token_budget(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut each document's whitespace token stream into fixed-size chunks
+    with ``overlap`` tokens of context carried between consecutive chunks
+    (the context-window preparation stage of a training/RAG pipeline).
+
+    Chunk k starts at token ``k * (chunk_size - overlap)`` (1-based) and
+    takes up to ``chunk_size`` tokens; the trailing chunk may be shorter
+    and every token belongs to at least one chunk. Entirely JVM built-ins
+    (split / sequence / slice / posexplode) — a narrow zero-shuffle map
+    whose output is ~``1/(1-overlap/chunk_size)``x the corpus.
+
+    Returns (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}"
+        )
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+", -1)
+    n = F.size(toks)
+    n_chunks = F.floor((n - 1) / F.lit(step)).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(toks, k * step + 1, F.lit(chunk_size)),
+    )
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "ck"))
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * step + 1).alias("start_tok"),
+            F.size("ck").alias("n_chunk_tokens"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 1024,

@@ -326,3 +326,64 @@ def test_nb_classifier_separable_and_deterministic(spark):
     out2 = {r["doc_id"]: r["log_odds"] for r in
             TX.nb_classifier(d.repartition(13), F.col("y")).collect()}
     assert out2 == {k: v["log_odds"] for k, v in out.items()}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in >= 1 chunk; consecutive chunks share exactly
+    `overlap` tokens; trailing chunk may be short; 1-chunk and empty-text
+    edge cases."""
+    import pandas as pd
+
+    from lib_gdal_spark.operators import mixing as MX
+
+    texts = [
+        " ".join(f"t{i}" for i in range(50)),   # 50 tokens: multi-chunk
+        " ".join(f"s{i}" for i in range(10)),   # single chunk
+        "one",                                   # 1 token
+        "   ",                                   # blank: dropped
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+    out = MX.chunk_documents(df, chunk_size=16, overlap=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["start_tok"],
+          r["n_chunk_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, k, st, nt, ct in rows:
+        by_doc.setdefault(d, []).append((k, st, nt, ct.split(" ")))
+    # doc 0: 50 tokens, stride 12 -> starts 1,13,25,37,49 (5 chunks)
+    assert [c[1] for c in by_doc[0]] == [1, 13, 25, 37, 49]
+    assert [c[2] for c in by_doc[0]] == [16, 16, 16, 14, 2]
+    toks0 = texts[0].split()
+    covered = set()
+    for k, st, nt, ct in by_doc[0]:
+        assert ct == toks0[st - 1: st - 1 + nt]
+        covered.update(range(st, st + nt))
+    assert covered == set(range(1, 51))
+    for (k1, st1, nt1, ct1), (k2, st2, nt2, ct2) in zip(
+            by_doc[0], by_doc[0][1:]):
+        # carried context: the next chunk's prefix re-reads the previous
+        # chunk's suffix (min(overlap, len) tokens for the short tail)
+        shared = nt1 - (st2 - st1)
+        assert shared == min(4, nt2)
+        assert ct1[st2 - st1:] == ct2[:shared]
+    assert by_doc[1] == [(0, 1, 10, texts[1].split())]
+    assert by_doc[2] == [(0, 1, 1, ["one"])]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_param_guard(spark):
+    import pandas as pd
+    import pytest
+
+    from lib_gdal_spark.operators import mixing as MX
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["x"]}),
+        schema="doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        MX.chunk_documents(df, chunk_size=8, overlap=8)
