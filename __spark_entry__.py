@@ -2879,6 +2879,38 @@ def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (Suri-Vassilvitskii degree-ordered
+    wedge join) on a deterministic graph projected from the orders
+    table; oracle = DuckDB three-way self-join over u<v edges."""
+    from lib_gdal_spark.operators import graph as GG
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 97).alias("u"),
+        (F.col("o_custkey") % 97).alias("v"),
+    )
+    return GG.triangle_counts(edges)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over documents: per-term df, total tf,
+    and the canonical `doc:pos,...;doc:pos,...` posting string."""
+    from lib_gdal_spark.operators import index as IX
+
+    d = _t(spark, sf_dir, "documents")
+    return IX.inverted_index(d)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query "fast table" via (doc, pos+1) postings
+    equi-join: (doc_id, n_hits, first_pos) per matching document."""
+    from lib_gdal_spark.operators import index as IX
+
+    d = _t(spark, sf_dir, "documents")
+    return IX.phrase_search(d, "fast", "table")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3054,6 +3086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_overviews": q_dump_overviews,
         "ogr_layer_summary": q_ogr_layer_summary,
         "srs_info": q_srs_info,
+        "triangle_counts": q_triangle_counts,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -6433,5 +6468,78 @@ def oracle_sql() -> dict[str, str]:
             f"{lit(fe)} AS false_e, {lit(fn)} AS false_n"
         )
     sqls["srs_info"] = " UNION ALL ".join(srs_rows)
+
+    # triangle_counts: orientation-independent result, so an independent
+    # three-way self-join over normalized u<v edges is a full oracle.
+    sqls["triangle_counts"] = """
+        WITH e AS (
+          SELECT DISTINCT least(o_orderkey % 97, o_custkey % 97) AS u,
+                          greatest(o_orderkey % 97, o_custkey % 97) AS v
+          FROM orders
+          WHERE o_orderkey % 97 <> o_custkey % 97
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY node
+    """
+
+    # inverted_index / phrase_search: whitespace tokenization of
+    # trim(lower(text)), 0-based positions over non-empty tokens —
+    # byte-identical posting strings by construction.
+    sqls["inverted_index"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM t
+        ),
+        per_doc AS (
+          SELECT term, doc_id,
+                 doc_id || ':' || string_agg(pos, ',' ORDER BY pos) AS entry,
+                 count(*) AS tf_doc
+          FROM p GROUP BY term, doc_id
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf_doc) AS BIGINT) AS tf,
+               string_agg(entry, ';' ORDER BY doc_id) AS postings
+        FROM per_doc GROUP BY term
+    """
+
+    sqls["phrase_search"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM t
+        )
+        SELECT a.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'fast') a
+        JOIN (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table') b
+          ON a.doc_id = b.doc_id AND a.pos = b.pos
+        GROUP BY a.doc_id
+    """
 
     return sqls

@@ -110,6 +110,8 @@ BENCH = {
     "bm25": lambda s: _force(E.q_bm25(s, SF_DIR)),
     "bpe_train": lambda s: _force(E.q_bpe_train(s, SF_DIR)),
     "chunk_docs": lambda s: _force(E.q_chunk_documents(s, SF_DIR)),
+    "triangle_counts": lambda s: _force(E.q_triangle_counts(s, SF_DIR)),
+    "inverted_index": lambda s: _force(E.q_inverted_index(s, SF_DIR)),
 }
 
 
