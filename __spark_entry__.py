@@ -2911,6 +2911,86 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.phrase_search(d, "fast", "table")
 
 
+def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GML codec parity (gml2ogrgeometry.cpp / ogr2gmlgeometry.cpp): every
+    geometry survives WKB -> GML2 -> WKB -> GML3 -> WKB byte-identically;
+    the output reports type name, vertex count, shoelace area, and the
+    byte-identity flag. Arrow-batched narrow map, zero shuffle."""
+
+    def mk_wkt(fid: int) -> str:
+        w = 1.0 + (fid % 4)
+        k = fid % 6
+        if k == 0:
+            return f"POINT ({fid} {fid + 1})"
+        if k == 1:
+            return f"LINESTRING (0 0, {w} {w}, {2 * w} 0)"
+        if k == 2:
+            return f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))"
+        if k == 3:
+            return f"MULTIPOINT (({fid} 0), (0 {fid}), ({w} {w}))"
+        if k == 4:
+            return f"MULTILINESTRING ((0 0, {w} 0), (0 1, {w} 1, {w} 2))"
+        return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
+                f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
+                f"9 {9 + w / 2}, 9 9)))")
+
+    pdf = pd.DataFrame({"fid": range(60)})
+    pdf["wkt"] = pdf["fid"].map(mk_wkt)
+    base = spark.createDataFrame(pdf, schema="fid long, wkt string")
+
+    def work(batches):
+        import numpy as np
+        from lib_gdal_spark.functions import geometry as G
+        from lib_gdal_spark.functions.wkt import wkt_to_wkb
+        from lib_gdal_spark.sources.gml import gml_to_wkb, wkb_to_gml
+
+        names = {G.WKB_POINT: "POINT", G.WKB_LINESTRING: "LINESTRING",
+                 G.WKB_POLYGON: "POLYGON", G.WKB_MULTIPOINT: "MULTIPOINT",
+                 G.WKB_MULTILINESTRING: "MULTILINESTRING",
+                 G.WKB_MULTIPOLYGON: "MULTIPOLYGON"}
+
+        def shoelace(r):
+            r = np.asarray(r)
+            x, y = r[:, 0], r[:, 1]
+            return 0.5 * abs(np.dot(x, np.roll(y, -1))
+                             - np.dot(y, np.roll(x, -1)))
+
+        def describe(wkb0):
+            g2 = gml_to_wkb(wkb_to_gml(wkb0, 2))
+            g3 = gml_to_wkb(wkb_to_gml(g2, 3))
+            base_c, _, payload = G.parse_wkb_full(g3)
+            if base_c == G.WKB_POINT:
+                nv, area = 1, 0.0
+            elif base_c in (G.WKB_LINESTRING, G.WKB_MULTIPOINT):
+                nv, area = len(payload), 0.0
+            elif base_c == G.WKB_POLYGON:
+                nv = sum(len(r) for r in payload)
+                area = shoelace(payload[0]) - sum(
+                    shoelace(r) for r in payload[1:])
+            elif base_c == G.WKB_MULTILINESTRING:
+                nv, area = sum(len(ln) for ln in payload), 0.0
+            else:
+                nv = sum(len(r) for p in payload for r in p)
+                area = sum(shoelace(p[0]) - sum(shoelace(r) for r in p[1:])
+                           for p in payload)
+            return names[base_c], nv, round(area, 6), int(g3 == wkb0)
+
+        for b in batches:
+            rows = [describe(wkt_to_wkb(s)) for s in b["wkt"]]
+            yield pd.DataFrame({
+                "fid": b["fid"],
+                "gtype": [r[0] for r in rows],
+                "nv": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "area": [r[2] for r in rows],
+                "identical": np.asarray([r[3] for r in rows],
+                                        dtype=np.int64),
+            })
+
+    return base.mapInPandas(
+        work, schema="fid long, gtype string, nv long, area double, "
+                     "identical long")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3089,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "gml_roundtrip": q_gml_roundtrip,
     }
 
 
@@ -6540,6 +6621,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table') b
           ON a.doc_id = b.doc_id AND a.pos = b.pos
         GROUP BY a.doc_id
+    """
+
+    # gml_roundtrip: the geometry family is deterministic in fid, so
+    # type/vertex-count/area are closed-form; identical=1 asserts the
+    # WKB -> GML2 -> WKB -> GML3 -> WKB loop is byte-lossless.
+    sqls["gml_roundtrip"] = """
+        SELECT CAST(fid AS BIGINT) AS fid,
+          CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+               WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
+               WHEN 4 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END AS gtype,
+          CAST(CASE fid % 6 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+               WHEN 3 THEN 3 WHEN 4 THEN 5 ELSE 10 END AS BIGINT) AS nv,
+          round(CASE fid % 6
+               WHEN 2 THEN pow(1.0 + fid % 4, 2)
+               WHEN 5 THEN pow(1.0 + fid % 4, 2)
+                           + pow((1.0 + fid % 4) / 2.0, 2)
+               ELSE 0.0 END, 6) AS area,
+          CAST(1 AS BIGINT) AS identical
+        FROM generate_series(0, 59) t(fid)
     """
 
     return sqls
