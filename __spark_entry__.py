@@ -2911,6 +2911,42 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.phrase_search(d, "fast", "table")
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: pentagon zones (even-odd scanline rasterize)
+    over an integer-valued synthetic value raster v=(px*7+py*13)%100 —
+    per-zone count/sum/min/max/mean. Integer-valued pixels keep every
+    float partial exact, so the result is parallelism-invariant."""
+    from lib_gdal_spark.operators import rasterize as RZ
+    from lib_gdal_spark.operators.stats import zonal_stats
+
+    grid = RZ.world_grid(256, 256, 64)
+    zones = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+
+    base = spark.range(16).select(
+        (F.col("id") % 4).cast("int").alias("tile_x"),
+        (F.col("id") / 4).cast("int").alias("tile_y"),
+    )
+
+    def mk(batches):
+        import numpy as np
+        for b in batches:
+            px_list = []
+            for tx, ty in zip(b["tile_x"], b["tile_y"]):
+                pyl, pxl = np.meshgrid(np.arange(64), np.arange(64),
+                                       indexing="ij")
+                v = (((tx * 64 + pxl) * 7 + (ty * 64 + pyl) * 13) % 100)
+                px_list.append(v.astype(np.float64).ravel())
+            yield pd.DataFrame({
+                "tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                "pixels": px_list,
+            })
+
+    vals = base.mapInPandas(
+        mk, schema="tile_x int, tile_y int, pixels array<double>"
+    )
+    return zonal_stats(zones, vals)
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML codec parity (gml2ogrgeometry.cpp / ogr2gmlgeometry.cpp): every
     geometry survives WKB -> GML2 -> WKB -> GML3 -> WKB byte-identically;
@@ -3170,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "gml_roundtrip": q_gml_roundtrip,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -6640,6 +6677,23 @@ def oracle_sql() -> dict[str, str]:
                ELSE 0.0 END, 6) AS area,
           CAST(1 AS BIGINT) AS identical
         FROM generate_series(0, 59) t(fid)
+    """
+
+    # zonal_stats: integer-valued pixels -> every float sum is exact.
+    sqls["zonal_stats"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts}),
+        vals AS (
+          SELECT px, py, CAST((px * 7 + py * 13) % 100 AS DOUBLE) AS v
+          FROM pix
+        )
+        SELECT CAST(fid AS DOUBLE) AS zone,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               round(sum(v), 6) AS v_sum,
+               min(v) AS v_min, max(v) AS v_max,
+               round(sum(v) / count(*), 6) AS v_mean
+        FROM burned JOIN vals USING (px, py)
+        GROUP BY fid
     """
 
     return sqls

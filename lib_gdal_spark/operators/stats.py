@@ -115,3 +115,86 @@ def band_histogram(
     return partials.groupBy("raster_id", "band", "zoom", "bucket").agg(
         F.sum("cnt").alias("count")
     )
+
+
+def zonal_stats(
+    zone_tiles: DataFrame,
+    value_tiles: DataFrame,
+    background: float = 0.0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-zone statistics of a value raster under a zone raster —
+    the classic raster x vector composition (zones typically come from
+    ``rasterize.rasterize_polygons``; values from any tile table on the
+    same grid): (zone, n_pixels, v_sum, v_min, v_max, v_mean).
+
+    Scale shape: the two tile tables join on (tile_x, tile_y) — a
+    keys-only co-partitioned equi-join (broadcast when the zone layer is
+    sparse); inside each joined tile one Arrow batch computes per-zone
+    partials with a NumPy group-by (np.unique inverse + np.bincount /
+    minimum.at), so rows out are O(zones-per-tile), never exploded
+    pixels; a final map-side-combinable groupBy(zone) merges partials.
+    No task ever holds more than its tile pair — survives any raster
+    size at constant memory per task.
+    """
+    z = zone_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("zpx")
+    )
+    v = value_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("vpx")
+    )
+    joined = z.join(v, ["tile_x", "tile_y"])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            zones, cnts, sums, mins, maxs = [], [], [], [], []
+            for zpx, vpx in zip(b["zpx"], b["vpx"]):
+                za = np.asarray(zpx, dtype=np.float64)
+                va = np.asarray(vpx, dtype=np.float64)
+                mask = za != background
+                if not mask.any():
+                    continue
+                zm, vm = za[mask], va[mask]
+                uniq, inv = np.unique(zm, return_inverse=True)
+                cnt = np.bincount(inv)
+                sm = np.bincount(inv, weights=vm)
+                mn = np.full(len(uniq), np.inf)
+                mx = np.full(len(uniq), -np.inf)
+                np.minimum.at(mn, inv, vm)
+                np.maximum.at(mx, inv, vm)
+                zones.append(uniq)
+                cnts.append(cnt)
+                sums.append(sm)
+                mins.append(mn)
+                maxs.append(mx)
+            if not zones:
+                yield pd.DataFrame({
+                    "zone": pd.Series([], dtype=np.float64),
+                    "cnt": pd.Series([], dtype=np.int64),
+                    "s": pd.Series([], dtype=np.float64),
+                    "mn": pd.Series([], dtype=np.float64),
+                    "mx": pd.Series([], dtype=np.float64),
+                })
+                continue
+            yield pd.DataFrame({
+                "zone": np.concatenate(zones),
+                "cnt": np.concatenate(cnts).astype(np.int64),
+                "s": np.concatenate(sums),
+                "mn": np.concatenate(mins),
+                "mx": np.concatenate(maxs),
+            })
+
+    parts = joined.mapInPandas(
+        partial,
+        schema="zone double, cnt long, s double, mn double, mx double",
+    )
+    return (
+        parts.groupBy("zone")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pixels"),
+            F.round(F.sum("s"), round_decimals).alias("v_sum"),
+            F.min("mn").alias("v_min"),
+            F.max("mx").alias("v_max"),
+            F.round(F.sum("s") / F.sum("cnt"), round_decimals).alias("v_mean"),
+        )
+    )

@@ -1,0 +1,27 @@
+"""Zonal statistics (raster x vector composition)."""
+
+
+def test_zonal_stats(spark):
+    import numpy as np
+    import pandas as pd
+    from lib_gdal_spark.operators.stats import zonal_stats
+
+    # 2 tiles of 2x2; zones: tile0 = [1,1,2,0], tile1 = [2,2,0,0]
+    # values:               tile0 = [10,20,30,40], tile1 = [5,7,9,11]
+    zp = [[1.0, 1.0, 2.0, 0.0], [2.0, 2.0, 0.0, 0.0]]
+    vp = [[10.0, 20.0, 30.0, 40.0], [5.0, 7.0, 9.0, 11.0]]
+    zdf = spark.createDataFrame(
+        pd.DataFrame({"tile_x": [0, 1], "tile_y": [0, 0],
+                      "pixels": [np.array(p) for p in zp]}),
+        schema="tile_x int, tile_y int, pixels array<double>")
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"tile_x": [0, 1], "tile_y": [0, 0],
+                      "pixels": [np.array(p) for p in vp]}),
+        schema="tile_x int, tile_y int, pixels array<double>")
+    got = {r["zone"]: (r["n_pixels"], r["v_sum"], r["v_min"], r["v_max"],
+                       r["v_mean"])
+           for r in zonal_stats(zdf, vdf).collect()}
+    assert got == {
+        1.0: (2, 30.0, 10.0, 20.0, 15.0),
+        2.0: (3, 42.0, 5.0, 30.0, 14.0),
+    }
