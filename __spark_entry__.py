@@ -2911,6 +2911,77 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.phrase_search(d, "fast", "table")
 
 
+def q_gpx_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPX source (drivers/vector/gpx): 200 synthetic one-track GPX
+    documents parsed distributed into the track_points layer; output
+    echoes (doc_id, fid, lon, lat, ele) with lon/lat decoded from the
+    WKB the parser built."""
+    from lib_gdal_spark.sources.gpx import parse_gpx_documents
+
+    base = spark.range(200).select(F.col("id").alias("doc_id"))
+
+    def mk(batches):
+        for b in batches:
+            docs = []
+            for d in b["doc_id"]:
+                pts = "".join(
+                    f'<trkpt lat="{d % 80}" lon="{(d * 3 + i) % 160}">'
+                    f"<ele>{d + i}</ele></trkpt>" for i in range(5)
+                )
+                docs.append(
+                    f'<gpx version="1.1"><trk><name>t{d}</name>'
+                    f"<trkseg>{pts}</trkseg></trk></gpx>"
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "gpx": docs})
+
+    docs = base.mapInPandas(mk, schema="doc_id long, gpx string")
+    feats = parse_gpx_documents(docs).where(F.col("layer") == "track_points")
+
+    def decode(batches):
+        from lib_gdal_spark.functions import geometry as G
+        for b in batches:
+            xy = [G.parse_wkb_full(bytes(w))[2] for w in b["geom_wkb"]]
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"], "fid": b["fid"],
+                "lon": [p[0] for p in xy], "lat": [p[1] for p in xy],
+                "ele": b["ele"],
+            })
+
+    return feats.select("doc_id", "fid", "geom_wkb", "ele").mapInPandas(
+        decode, schema="doc_id long, fid long, lon double, lat double, "
+                       "ele double")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from raw HTML: href regexp_extract_all +
+    host parse + keys-only edge aggregate, all JVM-side. Pages are
+    synthesized with two absolute links (hosts (id*7+1)%1000 and
+    (id*13+5)%1000) plus a relative link every 3rd page; the oracle
+    reproduces the edge list closed-form."""
+    from lib_gdal_spark.operators import links as LK
+
+    p = spark.range(10000).select(
+        F.concat(
+            F.lit("https://host"), (F.col("id") % 1000).cast("string"),
+            F.lit(".example/page/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://host'),
+            ((F.col("id") * 7 + 1) % 1000).cast("string"),
+            F.lit('.example/a">x</a><a class="n" href="https://host'),
+            ((F.col("id") * 13 + 5) % 1000).cast("string"),
+            F.lit('.example/b">y</a>'),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.concat(F.lit('<a href="/rel/'),
+                         F.col("id").cast("string"), F.lit('">r</a>')),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return LK.host_link_graph(p)
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: pentagon zones (even-odd scanline rasterize)
     over an integer-valued synthetic value raster v=(px*7+py*13)%100 —
@@ -3207,6 +3278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "gml_roundtrip": q_gml_roundtrip,
         "zonal_stats": q_zonal_stats,
+        "link_graph": q_link_graph,
+        "gpx_track_points": q_gpx_track_points,
     }
 
 
@@ -6694,6 +6767,34 @@ def oracle_sql() -> dict[str, str]:
                round(sum(v) / count(*), 6) AS v_mean
         FROM burned JOIN vals USING (px, py)
         GROUP BY fid
+    """
+
+    # link_graph: independent closed-form reproduction of the edge list
+    # (the Spark side must get there through the href regex on real HTML).
+    sqls["link_graph"] = """
+        WITH p AS (
+          SELECT id % 1000 AS src, (id * 7 + 1) % 1000 AS d1,
+                 (id * 13 + 5) % 1000 AS d2
+          FROM generate_series(0, 9999) t(id)
+        ),
+        e AS (
+          SELECT src, d1 AS dst FROM p WHERE d1 <> src
+          UNION ALL
+          SELECT src, d2 FROM p WHERE d2 <> src
+        )
+        SELECT 'host' || src || '.example' AS src_host,
+               'host' || dst || '.example' AS dst_host,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM e GROUP BY 1, 2
+    """
+
+    sqls["gpx_track_points"] = """
+        SELECT d.id AS doc_id, CAST(i AS BIGINT) AS fid,
+               CAST((d.id * 3 + i) % 160 AS DOUBLE) AS lon,
+               CAST(d.id % 80 AS DOUBLE) AS lat,
+               CAST(d.id + i AS DOUBLE) AS ele
+        FROM generate_series(0, 199) d(id)
+        CROSS JOIN generate_series(0, 4) t(i)
     """
 
     return sqls

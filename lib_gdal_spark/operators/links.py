@@ -1,0 +1,62 @@
+"""Web link-graph construction from raw page HTML — the edge-list side
+of the crawl pipeline (what ``operators/graph.pagerank`` and
+``triangle_counts`` consume).
+
+Everything here is pure JVM column work: href extraction is one
+``regexp_extract_all`` over the decoded html, host parsing one
+``regexp_extract`` — no Python touches the corpus, so the whole stage
+is a zero-shuffle narrow map until the final keys-only edge aggregate.
+At 10^12 pages the shuffle carries only (src_host, dst_host) pairs,
+never page bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# double-quoted href values of <a> tags; the reference-free, both-engine
+# (Java regex / RE2) subset — no lookaround
+HREF_RE = r'<a[^>]*\shref="([^"]*)"'
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def extract_links(html_col: Column) -> Column:
+    """html (string or binary) -> array of href values, in document order."""
+    s = html_col.cast("string")
+    return F.regexp_extract_all(s, F.lit(HREF_RE), 1)
+
+
+def url_host(url_col: Column) -> Column:
+    """Absolute URL -> lower-cased host ('' for relative links)."""
+    return F.lower(F.regexp_extract(url_col, HOST_RE, 1))
+
+
+def host_link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages -> host-level edge list (src_host, dst_host, n_links),
+    self-links and relative (host-less) links dropped.
+
+    One explode of the per-page href array (O(links) rows, strings only)
+    followed by a map-side-combinable groupBy on the host pair.
+    """
+    edges = (
+        pages.select(
+            url_host(F.col(url_col)).alias("src_host"),
+            F.explode(extract_links(F.col(html_col))).alias("href"),
+        )
+        .select("src_host", url_host(F.col("href")).alias("dst_host"))
+        .where((F.col("dst_host") != "") & (F.col("dst_host") != F.col("src_host")))
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
+
+
+def host_in_degree(host_edges: DataFrame) -> DataFrame:
+    """Edge list -> per-destination-host (in_links, n_src_hosts)."""
+    return host_edges.groupBy("dst_host").agg(
+        F.sum("n_links").cast("long").alias("in_links"),
+        F.count("*").cast("long").alias("n_src_hosts"),
+    )
