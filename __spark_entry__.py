@@ -2982,6 +2982,46 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LK.host_link_graph(p)
 
 
+def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF codec (drivers/raster/gtiff): 48 synthetic rasters
+    (40×40, v=(7px+13py+r)%251) are ENCODED to real GeoTIFF bytes on the
+    executors — cycling all four compressions (none/LZW/deflate/packbits),
+    predictor 2, strip vs 16-px-tile layout — then decoded back through
+    the binaryFile-path parser into RASTER_SCHEMA tiles and aggregated
+    per raster. The oracle recomputes the per-raster stats closed-form:
+    any codec bit-slip breaks the sum."""
+    from lib_gdal_spark.sources import gtiff as GT
+
+    base = spark.range(48).select(F.col("id").alias("r"))
+
+    def encode(batches):
+        px, py = np.meshgrid(np.arange(40), np.arange(40), indexing="xy")
+        comps = [GT.COMP_NONE, GT.COMP_LZW, GT.COMP_DEFLATE,
+                 GT.COMP_PACKBITS]
+        for b in batches:
+            out = []
+            for r in b["r"]:
+                arr = ((7 * px + 13 * py + int(r)) % 251).astype(np.uint8)
+                data = GT.write_geotiff(
+                    arr, (r * 10.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                    compression=comps[int(r) % 4],
+                    predictor=2 if int(r) % 4 in (1, 2) else 1,
+                    tile=16 if int(r) % 2 else None)
+                out.append((f"g{int(r):02d}", data))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(encode, schema="path string, content binary")
+    tiles = GT.parse_geotiff_documents(files, tile=16)
+    return tiles.groupBy(F.col("raster_id")).agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.sum(F.size("pixels")).cast("long").alias("n_px"),
+        F.min(F.array_min("pixels")).cast("long").alias("min_v"),
+        F.max(F.array_max("pixels")).cast("long").alias("max_v"),
+        F.min("gt0").alias("gt0"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: pentagon zones (even-odd scanline rasterize)
     over an integer-valued synthetic value raster v=(px*7+py*13)%100 —
@@ -3280,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "link_graph": q_link_graph,
         "gpx_track_points": q_gpx_track_points,
+        "gtiff_roundtrip": q_gtiff_roundtrip,
     }
 
 
@@ -6786,6 +6827,22 @@ def oracle_sql() -> dict[str, str]:
                'host' || dst || '.example' AS dst_host,
                CAST(count(*) AS BIGINT) AS n_links
         FROM e GROUP BY 1, 2
+    """
+
+    # gtiff_roundtrip: closed-form per-raster stats — the Spark side must
+    # get there through real TIFF encode->decode (LZW/deflate/packbits).
+    sqls["gtiff_roundtrip"] = """
+        SELECT 'g' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(sum((7 * px + 13 * py + r) % 251) AS BIGINT) AS sum_v,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(min((7 * px + 13 * py + r) % 251) AS BIGINT) AS min_v,
+               CAST(max((7 * px + 13 * py + r) % 251) AS BIGINT) AS max_v,
+               CAST(r * 10.0 AS DOUBLE) AS gt0
+        FROM generate_series(0, 47) g(r)
+        CROSS JOIN generate_series(0, 39) a(px)
+        CROSS JOIN generate_series(0, 39) b(py)
+        GROUP BY r
     """
 
     sqls["gpx_track_points"] = """
