@@ -3022,6 +3022,63 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile source/sink (drivers/vector/shape): 60 shapefiles are
+    ENCODED on the executors (3 polygon features each — clockwise square
+    shells, the third with a counter-clockwise hole — plus a dBase .dbf
+    with a numeric VAL field), then parsed back through the distributed
+    reader; per-feature ring count, shoelace area, and the joined .dbf
+    attribute must match the closed-form oracle."""
+    from lib_gdal_spark.sources import shapefile as SHP
+
+    base = spark.range(60).select(F.col("id").alias("k"))
+
+    def encode(batches):
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                geoms, rows = [], []
+                for j in range(3):
+                    s = float(j + 1)
+                    x0, y0 = 2.0 * k, 3.0 * j
+                    shell = np.array([  # clockwise = shapefile shell
+                        [x0, y0], [x0, y0 + s], [x0 + s, y0 + s],
+                        [x0 + s, y0], [x0, y0]])
+                    parts = [shell]
+                    if j == 2:
+                        hx, hy = x0 + 0.25, y0 + 0.25
+                        parts.append(np.array([  # CCW = hole
+                            [hx, hy], [hx + 0.5, hy], [hx + 0.5, hy + 0.5],
+                            [hx, hy + 0.5], [hx, hy]]))
+                    geoms.append((0, parts))
+                    rows.append([k * 10 + j])
+                out.append((f"s{k:02d}",
+                            SHP.write_shp(geoms, SHP.SHP_POLYGON),
+                            SHP.write_dbf([("VAL", "N", 8)], rows)))
+            yield pd.DataFrame(out, columns=["src", "shp", "dbf"])
+
+    pairs = base.mapInPandas(encode,
+                             schema="src string, shp binary, dbf binary")
+    feats = SHP.parse_shapefile_documents(pairs)
+
+    def measure(batches):
+        for b in batches:
+            areas, nrings = [], []
+            for w in b["geom_wkb"]:
+                rings = G.polygon_rings(bytes(w))
+                nrings.append(len(rings))
+                areas.append(G.shoelace_area(rings))
+            yield pd.DataFrame({
+                "src": b["src"], "fid": b["fid"],
+                "val": [int(a["VAL"]) for a in b["attrs"]],
+                "n_rings": nrings, "area": areas})
+
+    return feats.mapInPandas(
+        measure, schema="src string, fid long, val long, n_rings int, "
+                        "area double")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: pentagon zones (even-odd scanline rasterize)
     over an integer-valued synthetic value raster v=(px*7+py*13)%100 —
@@ -3321,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "gpx_track_points": q_gpx_track_points,
         "gtiff_roundtrip": q_gtiff_roundtrip,
+        "shp_roundtrip": q_shp_roundtrip,
     }
 
 
@@ -6843,6 +6901,20 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN generate_series(0, 39) a(px)
         CROSS JOIN generate_series(0, 39) b(py)
         GROUP BY r
+    """
+
+    # shp_roundtrip: closed-form feature table — the Spark side must get
+    # there through real .shp/.dbf encode->decode + ring assembly.
+    sqls["shp_roundtrip"] = """
+        SELECT 's' || CASE WHEN k < 10 THEN '0' ELSE '' END || k AS src,
+               CAST(j AS BIGINT) AS fid,
+               CAST(k * 10 + j AS BIGINT) AS val,
+               CAST(CASE WHEN j = 2 THEN 2 ELSE 1 END AS INT) AS n_rings,
+               CAST((j + 1) * (j + 1)
+                    - CASE WHEN j = 2 THEN 0.25 ELSE 0 END AS DOUBLE)
+                   AS area
+        FROM generate_series(0, 59) a(k)
+        CROSS JOIN generate_series(0, 2) b(j)
     """
 
     sqls["gpx_track_points"] = """
