@@ -3022,6 +3022,47 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kml_placemarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML source (drivers/vector/kml): 150 synthetic documents with 4
+    Point Placemarks each (name + ExtendedData value) parsed distributed;
+    output echoes lon/lat decoded from the WKB the parser built plus the
+    ExtendedData attribute, all closed-form for the oracle."""
+    from lib_gdal_spark.sources.kml import parse_kml_documents
+
+    base = spark.range(150).select(F.col("id").alias("doc_id"))
+
+    def mk(batches):
+        for b in batches:
+            docs = []
+            for d in b["doc_id"]:
+                pms = "".join(
+                    f"<Placemark><name>pm{j}</name>"
+                    f"<Point><coordinates>"
+                    f"{(d * 3 + j) % 160 - 80},{(d + j) % 80}"
+                    f"</coordinates></Point>"
+                    f'<ExtendedData><Data name="v"><value>{d * 10 + j}'
+                    f"</value></Data></ExtendedData></Placemark>"
+                    for j in range(4))
+                docs.append(f'<kml><Document>{pms}</Document></kml>')
+            yield pd.DataFrame({"doc_id": b["doc_id"], "kml": docs})
+
+    docs = base.mapInPandas(mk, schema="doc_id long, kml string")
+    feats = parse_kml_documents(docs)
+
+    def decode(batches):
+        for b in batches:
+            xy = [G.parse_wkb_full(bytes(w))[2] for w in b["geom_wkb"]]
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"], "fid": b["fid"],
+                "name": b["name"],
+                "lon": [p[0] for p in xy], "lat": [p[1] for p in xy],
+                "v": [int(a["v"]) for a in b["attrs"]]})
+
+    return feats.mapInPandas(
+        decode, schema="doc_id long, fid long, name string, lon double, "
+                       "lat double, v long")
+
+
 def q_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shapefile source/sink (drivers/vector/shape): 60 shapefiles are
     ENCODED on the executors (3 polygon features each — clockwise square
@@ -3379,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_track_points": q_gpx_track_points,
         "gtiff_roundtrip": q_gtiff_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
+        "kml_placemarks": q_kml_placemarks,
     }
 
 
@@ -6915,6 +6957,16 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["kml_placemarks"] = """
+        SELECT d.id AS doc_id, CAST(j AS BIGINT) AS fid,
+               'pm' || j AS name,
+               CAST((d.id * 3 + j) % 160 - 80 AS DOUBLE) AS lon,
+               CAST((d.id + j) % 80 AS DOUBLE) AS lat,
+               CAST(d.id * 10 + j AS BIGINT) AS v
+        FROM generate_series(0, 149) d(id)
+        CROSS JOIN generate_series(0, 3) t(j)
     """
 
     sqls["gpx_track_points"] = """
