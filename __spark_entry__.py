@@ -3022,6 +3022,52 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_osm_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM source (drivers/vector/osm): 100 XML documents; each way
+    references 5 nodes from its OWN document plus 3 from the NEXT one,
+    so geometry assembly can only succeed through the distributed
+    node⋈way equi-join (the Spark-first replacement for the reference's
+    in-process node cache). The output's position-weighted coordinate
+    checksum pins both the join and the point ordering."""
+    from lib_gdal_spark.sources.osm import (
+        parse_osm_documents, way_geometries)
+
+    base = spark.range(100).select(F.col("id").alias("d"))
+
+    def mk(batches):
+        for b in batches:
+            docs = []
+            for d in b["d"]:
+                d = int(d)
+                nodes = "".join(
+                    f'<node id="{d * 10 + i}" '
+                    f'lon="{(d * 10 + i) * 7 % 360 - 180}" '
+                    f'lat="{(d * 10 + i) * 13 % 170 - 85}"/>'
+                    for i in range(10))
+                refs = [d * 10 + i for i in range(5)] + \
+                       [((d + 1) % 100) * 10 + j for j in range(3)]
+                nds = "".join(f'<nd ref="{r}"/>' for r in refs)
+                docs.append(f'<osm>{nodes}<way id="{d}">{nds}'
+                            f'<tag k="highway" v="x"/></way></osm>')
+            yield pd.DataFrame({"osm": docs})
+
+    els = parse_osm_documents(base.mapInPandas(mk, schema="osm string"))
+    ways = way_geometries(els)
+
+    def chk(batches):
+        for b in batches:
+            sums = []
+            for w in b["geom_wkb"]:
+                pts = G.parse_wkb_full(bytes(w))[2]
+                sums.append(sum((i + 1) * (p[0] + 2.0 * p[1])
+                                for i, p in enumerate(pts)))
+            yield pd.DataFrame({"way_id": b["way_id"],
+                                "n_pts": b["n_pts"], "wsum": sums})
+
+    return ways.mapInPandas(
+        chk, schema="way_id long, n_pts int, wsum double")
+
+
 def q_kml_placemarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML source (drivers/vector/kml): 150 synthetic documents with 4
     Point Placemarks each (name + ExtendedData value) parsed distributed;
@@ -3421,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtiff_roundtrip": q_gtiff_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
         "kml_placemarks": q_kml_placemarks,
+        "osm_way_assembly": q_osm_way_assembly,
     }
 
 
@@ -6957,6 +7004,20 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["osm_way_assembly"] = """
+        WITH refs AS (
+          SELECT k, pos,
+                 CASE WHEN pos < 5 THEN k * 10 + pos
+                      ELSE ((k + 1) % 100) * 10 + (pos - 5) END AS nid
+          FROM generate_series(0, 99) a(k)
+          CROSS JOIN generate_series(0, 7) b(pos)
+        )
+        SELECT k AS way_id, CAST(8 AS INT) AS n_pts,
+               CAST(sum((pos + 1) * ((nid * 7 % 360 - 180)
+                        + 2.0 * (nid * 13 % 170 - 85))) AS DOUBLE) AS wsum
+        FROM refs GROUP BY k
     """
 
     sqls["kml_placemarks"] = """
