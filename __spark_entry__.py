@@ -3022,6 +3022,45 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cog_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-Optimized GeoTIFF sink (gtiff overviews / COG layout): 30
+    rasters (64×64, v=(3px+5py+r)%97) get 3-level 2×2-average pyramids,
+    encoded as multi-IFD COGs (deflate, float predictor, IFDs before
+    data) on the executors and re-parsed through the overview-chain
+    reader; per-level sums halve by exactly 4× because block-average
+    sums telescope."""
+    from lib_gdal_spark.sources.gtiff import (
+        COMP_DEFLATE, parse_geotiff_all, write_cog)
+
+    base = spark.range(30).select(F.col("id").alias("r"))
+
+    def work(batches):
+        px, py = np.meshgrid(np.arange(64), np.arange(64), indexing="xy")
+        for b in batches:
+            rows = []
+            for r in b["r"]:
+                r = int(r)
+                l0 = ((3 * px + 5 * py + r) % 97).astype(np.float32)
+                l1 = l0.reshape(32, 2, 32, 2).mean(
+                    axis=(1, 3), dtype=np.float64).astype(np.float32)
+                l2 = l1.reshape(16, 2, 16, 2).mean(
+                    axis=(1, 3), dtype=np.float64).astype(np.float32)
+                data = write_cog([l0, l1, l2], (0.0, 1.0, 0.0, 0.0,
+                                                0.0, -1.0),
+                                 compression=COMP_DEFLATE, predictor=3,
+                                 tile=16)
+                for lvl, g in enumerate(parse_geotiff_all(data)):
+                    a = g.bands[0]
+                    rows.append((f"c{r:02d}", lvl, a.shape[1],
+                                 a.shape[0], float(a.sum(dtype=np.float64))))
+            yield pd.DataFrame(rows, columns=["raster_id", "level",
+                                              "w", "h", "sum_v"])
+
+    return base.mapInPandas(
+        work, schema="raster_id string, level int, w int, h int, "
+                     "sum_v double")
+
+
 def q_osm_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OSM source (drivers/vector/osm): 100 XML documents; each way
     references 5 nodes from its OWN document plus 3 from the NEXT one,
@@ -3468,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": q_shp_roundtrip,
         "kml_placemarks": q_kml_placemarks,
         "osm_way_assembly": q_osm_way_assembly,
+        "cog_pyramid": q_cog_pyramid,
     }
 
 
@@ -7004,6 +7044,25 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    # cog_pyramid: block-average sums telescope — sum(level k) equals
+    # sum(level 0)/4^k exactly (dyadic divisions of an integer total).
+    sqls["cog_pyramid"] = """
+        WITH l0 AS (
+          SELECT r, sum((3 * px + 5 * py + r) % 97) AS s
+          FROM generate_series(0, 29) g(r)
+          CROSS JOIN generate_series(0, 63) a(px)
+          CROSS JOIN generate_series(0, 63) b(py)
+          GROUP BY r
+        )
+        SELECT 'c' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(lvl AS INT) AS level,
+               CAST(64 / pow(2, lvl) AS INT) AS w,
+               CAST(64 / pow(2, lvl) AS INT) AS h,
+               CAST(s / pow(4, lvl) AS DOUBLE) AS sum_v
+        FROM l0 CROSS JOIN generate_series(0, 2) t(lvl)
     """
 
     sqls["osm_way_assembly"] = """

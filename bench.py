@@ -112,6 +112,10 @@ BENCH = {
     "chunk_docs": lambda s: _force(E.q_chunk_documents(s, SF_DIR)),
     "triangle_counts": lambda s: _force(E.q_triangle_counts(s, SF_DIR)),
     "inverted_index": lambda s: _force(E.q_inverted_index(s, SF_DIR)),
+    "zonal_stats": lambda s: _force(E.q_zonal_stats(s, SF_DIR)),
+    "link_graph": lambda s: _force(E.q_link_graph(s, SF_DIR)),
+    "gtiff_roundtrip": lambda s: _force(E.q_gtiff_roundtrip(s, SF_DIR)),
+    "osm_way_assembly": lambda s: _force(E.q_osm_way_assembly(s, SF_DIR)),
 }
 
 

@@ -341,8 +341,8 @@ def _decompress(seg: bytes, comp: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {comp}")
 
 
-def parse_geotiff(data: bytes) -> GeoTiff:
-    """Decode the first IFD of a (Geo)TIFF byte string."""
+def _tiff_header(data: bytes) -> tuple[bool, bool, int]:
+    """-> (little_endian, bigtiff, first_ifd_offset)."""
     if data[:2] == b"II":
         le = True
     elif data[:2] == b"MM":
@@ -352,15 +352,33 @@ def parse_geotiff(data: bytes) -> GeoTiff:
     e = "<" if le else ">"
     (ver,) = struct.unpack_from(e + "H", data, 2)
     if ver == 42:
-        big = False
         (ifd0,) = struct.unpack_from(e + "I", data, 4)
-    elif ver == 43:
-        big = True
+        return le, False, ifd0
+    if ver == 43:
         (ifd0,) = struct.unpack_from(e + "Q", data, 8)
-    else:
-        raise ValueError(f"bad TIFF version {ver}")
-    tags, _ = _read_ifd_entries(data, ifd0, le, big)
+        return le, True, ifd0
+    raise ValueError(f"bad TIFF version {ver}")
 
+
+def parse_geotiff(data: bytes) -> GeoTiff:
+    """Decode the first IFD of a (Geo)TIFF byte string."""
+    le, big, ifd0 = _tiff_header(data)
+    tags, _ = _read_ifd_entries(data, ifd0, le, big)
+    return _decode_ifd(data, tags, le)
+
+
+def parse_geotiff_all(data: bytes) -> list[GeoTiff]:
+    """Decode the full IFD chain (main image + overview levels, the
+    COG / internal-overview layout)."""
+    le, big, off = _tiff_header(data)
+    out = []
+    while off:
+        tags, off = _read_ifd_entries(data, off, le, big)
+        out.append(_decode_ifd(data, tags, le))
+    return out
+
+
+def _decode_ifd(data: bytes, tags: dict, le: bool) -> GeoTiff:
     w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
     spp = tags.get(T_SPP, (1,))[0]
     bits = tags.get(T_BITS, (8,))[0]
@@ -434,31 +452,15 @@ def parse_geotiff(data: bytes) -> GeoTiff:
 
 
 # -------------------------------------------------------------- writer
-def write_geotiff(
-    bands: list[np.ndarray] | np.ndarray,
-    gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
-    *,
-    dtype: str | None = None,
-    compression: int = COMP_NONE,
-    predictor: int = 1,
-    tile: int | None = None,
-    rows_per_strip: int | None = None,
-    planar: bool = False,
-    nodata: float | None = None,
-    epsg: int | None = None,
-) -> bytes:
-    """Encode band arrays as classic little-endian GeoTIFF bytes.
+T_SUBFILE_TYPE = 254  # NewSubfileType: 1 = reduced-resolution (overview)
 
-    ``bands``: one (h,w) array or a list of them (equal shapes). Complex
-    dtypes pass ``dtype='cint16'...`` with arrays already in the repo's
-    interleaved (h, 2w) word layout, or complex numpy arrays.
-    """
+
+def _prep_arrays(bands, dtype):
     if isinstance(bands, np.ndarray):
         bands = [bands]
     dname = dtype or str(bands[0].dtype)
-    is_complex = dname in _COMPLEX_PART
     part = np.dtype(_COMPLEX_PART.get(dname, dname))
-    wordmul = 2 if is_complex else 1
+    wordmul = 2 if dname in _COMPLEX_PART else 1
     arrs = []
     for a in bands:
         if np.iscomplexobj(a):
@@ -468,12 +470,17 @@ def write_geotiff(
             arrs.append(inter)
         else:
             arrs.append(np.ascontiguousarray(a, dtype=part))
+    return arrs, dname, part, wordmul
+
+
+def _plan_level(arrs, dname, part, wordmul, compression, predictor,
+                tile, rows_per_strip, planar):
+    """One image level -> (segments, tags-without-offsets, off_tag,
+    cnt_tag). Offsets/counts are placed by ``_assemble_tiff``."""
     h = arrs[0].shape[0]
     w = arrs[0].shape[1] // wordmul
     spp = len(arrs)
     fmt, bits = _W_FMT[dname]
-
-    # assemble segments
     segs: list[bytes] = []
     if tile:
         tw = th = tile
@@ -526,14 +533,6 @@ def write_geotiff(
         seg_tags = [(T_ROWS_PER_STRIP, 3, (rps,))]
         off_tag, cnt_tag = T_STRIP_OFF, T_STRIP_CNT
 
-    # data area starts after the 8-byte header
-    pos = 8
-    offsets, counts = [], []
-    for s in segs:
-        offsets.append(pos)
-        counts.append(len(s))
-        pos += len(s) + (len(s) & 1)  # word-align
-
     tags: list[tuple[int, int, tuple]] = [
         (T_WIDTH, 3 if w < 65536 else 4, (w,)),
         (T_HEIGHT, 3 if h < 65536 else 4, (h,)),
@@ -541,14 +540,17 @@ def write_geotiff(
         (T_COMP, 3, (compression,)),
         (T_PHOTO, 3, (1,)),  # BlackIsZero
         (T_SPP, 3, (spp,)),
-        (off_tag, 4, tuple(offsets)),
-        (cnt_tag, 4, tuple(counts)),
         (T_PLANAR, 3, (2 if (planar and spp > 1) else 1,)),
         (T_SAMPLE_FMT, 3, (fmt,) * spp),
     ]
     tags.extend(seg_tags)
     if predictor != 1:
         tags.append((T_PREDICTOR, 3, (predictor,)))
+    return segs, tags, off_tag, cnt_tag
+
+
+def _georef_tags(gt, nodata, epsg) -> list[tuple[int, int, tuple]]:
+    tags = []
     if gt is not None:
         if gt[2] == 0.0 and gt[4] == 0.0:
             tags.append((T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0)))
@@ -570,41 +572,136 @@ def write_geotiff(
         txt = (repr(nodata) if nodata != int(nodata)
                else str(int(nodata))).encode() + b"\x00"
         tags.append((T_GDAL_NODATA, 2, txt))
-    tags.sort(key=lambda t: t[0])
+    return tags
 
-    # lay out: header | segments | overflow values | IFD
-    ifd_off = pos
-    overflow: list[bytes] = []
+
+def _pack_vals(typ, vals) -> bytes:
+    if typ == 2:
+        return bytes(vals)
+    return struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
+
+
+def _ifd_size(tags) -> int:
+    size = 2 + 12 * len(tags) + 4
+    for _tag, typ, vals in tags:
+        n = len(_pack_vals(typ, vals))
+        if n > 4:
+            size += n + (n & 1)
+    return size
+
+
+def _encode_ifd(tags, ifd_off: int, next_off: int) -> bytes:
     entries = b""
-    # first pass sizes: entries fixed 12B each; overflow appended after IFD
+    overflow: list[bytes] = []
     over_pos = ifd_off + 2 + 12 * len(tags) + 4
-
-    def pack_vals(typ, vals) -> bytes:
-        if typ == 2:
-            return bytes(vals)
-        return struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
-
-    for tag, typ, vals in tags:
-        cnt = len(vals)
-        raw = pack_vals(typ, vals)
+    for tag, typ, vals in sorted(tags, key=lambda t: t[0]):
+        raw = _pack_vals(typ, vals)
         if len(raw) <= 4:
             inline = raw.ljust(4, b"\x00")
         else:
             inline = struct.pack("<I", over_pos)
             overflow.append(raw + (b"\x00" if len(raw) & 1 else b""))
             over_pos += len(overflow[-1])
-        entries += struct.pack("<HHI", tag, typ, cnt) + inline
+        entries += struct.pack("<HHI", tag, typ, len(vals)) + inline
+    return (struct.pack("<H", len(tags)) + entries
+            + struct.pack("<I", next_off) + b"".join(overflow))
 
-    out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    for s in segs:
-        out += s
-        if len(s) & 1:
-            out += b"\x00"
-    out += struct.pack("<H", len(tags)) + entries + struct.pack("<I", 0)
-    for ov in overflow:
-        out += ov
+
+def _assemble_tiff(levels) -> bytes:
+    """levels: [(segs, tags, off_tag, cnt_tag)] -> classic LE TIFF with
+    the cloud-optimized layout: header, then ALL IFDs (so one header
+    range-read exposes every level's metadata), then segment data."""
+    n_off = [len(l[0]) for l in levels]
+    # IFD sizes include the not-yet-added offset/count arrays
+    sizes = []
+    for (segs, tags, _o, _c), n in zip(levels, n_off):
+        extra = [(T_STRIP_OFF, 4, (0,) * n), (T_STRIP_CNT, 4, (0,) * n)]
+        sizes.append(_ifd_size(tags + extra))
+    ifd_offs = []
+    cur = 8
+    for sz in sizes:
+        ifd_offs.append(cur)
+        cur += sz
+    data_pos = cur
+    blocks: list[bytes] = []
+    ifds: list[bytes] = []
+    for i, (segs, tags, off_tag, cnt_tag) in enumerate(levels):
+        offsets, counts = [], []
+        for s in segs:
+            offsets.append(data_pos)
+            counts.append(len(s))
+            blocks.append(s + (b"\x00" if len(s) & 1 else b""))
+            data_pos += len(s) + (len(s) & 1)
+        full = tags + [(off_tag, 4, tuple(offsets)),
+                       (cnt_tag, 4, tuple(counts))]
+        nxt = ifd_offs[i + 1] if i + 1 < len(levels) else 0
+        ifds.append(_encode_ifd(full, ifd_offs[i], nxt))
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offs[0]))
+    for b in ifds:
+        out += b
+    for b in blocks:
+        out += b
     return bytes(out)
+
+
+def write_geotiff(
+    bands: list[np.ndarray] | np.ndarray,
+    gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    *,
+    dtype: str | None = None,
+    compression: int = COMP_NONE,
+    predictor: int = 1,
+    tile: int | None = None,
+    rows_per_strip: int | None = None,
+    planar: bool = False,
+    nodata: float | None = None,
+    epsg: int | None = None,
+) -> bytes:
+    """Encode band arrays as classic little-endian GeoTIFF bytes.
+
+    ``bands``: one (h,w) array or a list of them (equal shapes). Complex
+    dtypes pass ``dtype='cint16'...`` with arrays already in the repo's
+    interleaved (h, 2w) word layout, or complex numpy arrays.
+    """
+    arrs, dname, part, wordmul = _prep_arrays(bands, dtype)
+    segs, tags, off_tag, cnt_tag = _plan_level(
+        arrs, dname, part, wordmul, compression, predictor, tile,
+        rows_per_strip, planar)
+    tags.extend(_georef_tags(gt, nodata, epsg))
+    return _assemble_tiff([(segs, tags, off_tag, cnt_tag)])
+
+
+def write_cog(
+    levels: list,
+    gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    *,
+    dtype: str | None = None,
+    compression: int = COMP_DEFLATE,
+    predictor: int = 1,
+    tile: int = 256,
+    nodata: float | None = None,
+    epsg: int | None = None,
+) -> bytes:
+    """Cloud-Optimized-GeoTIFF-style encode: ``levels[0]`` is the full
+    resolution image (one array or a band list), ``levels[1:]`` are
+    reduced-resolution overviews (tagged ``NewSubfileType=1``, the
+    reference's internal-overview model — ``core/gcore/overview.cpp``).
+    All IFDs precede the pixel data so a header range-read exposes the
+    whole pyramid's metadata, the property the COG spec is named for."""
+    planned = []
+    for i, bands in enumerate(levels):
+        arrs, dname, part, wordmul = _prep_arrays(bands, dtype)
+        segs, tags, off_tag, cnt_tag = _plan_level(
+            arrs, dname, part, wordmul, compression, predictor, tile,
+            None, False)
+        if i == 0:
+            tags.extend(_georef_tags(gt, nodata, epsg))
+        else:
+            tags.append((T_SUBFILE_TYPE, 4, (1,)))
+            if nodata is not None:
+                tags.extend(_georef_tags(None, nodata, None))
+        planned.append((segs, tags, off_tag, cnt_tag))
+    return _assemble_tiff(planned)
 
 
 def _compress(raw: bytes, comp: int) -> bytes:

@@ -119,3 +119,28 @@ def test_read_geotiff_distributed(spark, tmp_path):
     assert got == sorted(base + 400.0 * i for i in range(4))
     one = rows[0]
     assert one["dtype"] == "uint8" and one["nodata"] == 0.0
+
+
+def test_cog_overview_chain():
+    from lib_gdal_spark.sources.gtiff import parse_geotiff_all, write_cog
+    b20 = byte20().astype(np.float32)
+    l1 = b20.reshape(10, 2, 10, 2).mean(axis=(1, 3),
+                                        dtype=np.float64).astype(np.float32)
+    l2 = l1.reshape(5, 2, 5, 2).mean(axis=(1, 3),
+                                     dtype=np.float64).astype(np.float32)
+    data = write_cog([b20, l1, l2], BYTE20_GT, compression=COMP_DEFLATE,
+                     predictor=3, tile=16, nodata=-1.0, epsg=26711)
+    levels = parse_geotiff_all(data)
+    assert [lv.bands[0].shape for lv in levels] == \
+        [(20, 20), (10, 10), (5, 5)]
+    assert np.array_equal(levels[0].bands[0], b20)
+    assert np.array_equal(levels[1].bands[0], l1)
+    assert np.array_equal(levels[2].bands[0], l2)
+    assert levels[0].gt == BYTE20_GT and levels[0].epsg == 26711
+    assert levels[0].nodata == -1.0 and levels[1].nodata == -1.0
+    # plain parse still sees only the full-resolution image
+    assert parse_geotiff(data).bands[0].shape == (20, 20)
+    # IFDs precede pixel data (the cloud-optimized property)
+    import struct as _s
+    (ifd0,) = _s.unpack_from("<I", data, 4)
+    assert ifd0 == 8
