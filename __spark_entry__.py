@@ -3022,6 +3022,48 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest head (ISO 28500, the Common-Crawl container): 40
+    synthetic .warc.gz files (25 records each, one gzip member per
+    record — the CC slicing convention) are encoded on the executors,
+    split/parsed back, and shaped into the pages schema; url, HTTP
+    status, body length, and the parsed WARC-Date epoch must match the
+    closed-form oracle."""
+    from lib_gdal_spark.sources.warc import (
+        parse_warc_documents, warc_response_pages, write_warc)
+
+    base = spark.range(40).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        statuses = [200, 404, 200, 301, 200]
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                recs = []
+                for i in range(25):
+                    g = k * 25 + i
+                    recs.append({
+                        "url": f"https://h{g % 500}.example/{k}/{i}",
+                        "date": f"2024-01-01T00:{g // 60:02d}:"
+                                f"{g % 60:02d}Z",
+                        "status": statuses[i % 5],
+                        "body": b"x" * (50 + g % 200),
+                    })
+                out.append((f"w{k:02d}", write_warc(recs)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    recs = parse_warc_documents(files)
+    pages = warc_response_pages(recs)
+    return recs.where(F.col("warc_type") == "response").select(
+        "url", "http_status").join(pages, "url").select(
+        "url", "http_status",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+    )
+
+
 def q_cog_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cloud-Optimized GeoTIFF sink (gtiff overviews / COG layout): 30
     rasters (64×64, v=(3px+5py+r)%97) get 3-level 2×2-average pyramids,
@@ -3508,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_placemarks": q_kml_placemarks,
         "osm_way_assembly": q_osm_way_assembly,
         "cog_pyramid": q_cog_pyramid,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -7044,6 +7087,22 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["warc_ingest"] = """
+        WITH g AS (
+          SELECT k, i, k * 25 + i AS g
+          FROM generate_series(0, 39) a(k)
+          CROSS JOIN generate_series(0, 24) b(i)
+        )
+        SELECT 'https://h' || (g % 500) || '.example/' || k || '/' || i
+                   AS url,
+               CAST(CASE i % 5 WHEN 1 THEN 404 WHEN 3 THEN 301
+                    ELSE 200 END AS INT) AS http_status,
+               CAST(50 + g % 200 AS BIGINT) AS n_bytes,
+               CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + g AS BIGINT)
+                   AS ts_epoch
+        FROM g
     """
 
     # cog_pyramid: block-average sums telescope — sum(level k) equals
