@@ -3022,6 +3022,42 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy filter (RFC 9309): 200 per-host policies
+    (disallow dir, longer allow override, $-anchored wildcard) evaluated
+    over 1000 pages through the broadcast join + longest-match window;
+    the oracle enumerates the expected verdicts closed-form."""
+    from lib_gdal_spark.operators.robots import parse_robots, robots_filter
+
+    hosts = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /d"),
+            (F.col("id") % 7).cast("string"),
+            F.lit("/\nAllow: /d"), (F.col("id") % 7).cast("string"),
+            F.lit("/open/\nDisallow: /*.zip$\n"),
+        ).alias("robots"))
+    rules = parse_robots(hosts)
+
+    pages = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 200)).alias("host"),
+        F.when(F.col("id") % 5 == 0, F.lit("/index"))
+         .when(F.col("id") % 5 == 1, F.concat(
+             F.lit("/d"), ((F.col("id") % 200) % 7).cast("string"),
+             F.lit("/x"), F.col("id").cast("string")))
+         .when(F.col("id") % 5 == 2, F.concat(
+             F.lit("/d"), ((F.col("id") % 200) % 7).cast("string"),
+             F.lit("/open/y")))
+         .when(F.col("id") % 5 == 3, F.concat(
+             F.lit("/d"), (((F.col("id") % 200) + 1) % 7).cast("string"),
+             F.lit("/z")))
+         .otherwise(F.concat(F.lit("/f"), F.col("id").cast("string"),
+                             F.lit(".zip"))).alias("path"))
+    out = robots_filter(pages, rules)
+    return out.select("host", "path",
+                      F.col("allowed").cast("int").alias("allowed_i"))
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest head (ISO 28500, the Common-Crawl container): 40
     synthetic .warc.gz files (25 records each, one gzip member per
@@ -3551,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_way_assembly": q_osm_way_assembly,
         "cog_pyramid": q_cog_pyramid,
         "warc_ingest": q_warc_ingest,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -7087,6 +7124,23 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    # robots_filter: verdicts depend only on the page-pattern class —
+    # /index allowed, /d<k>/x disallowed (dir rule), /d<k>/open/ allowed
+    # (longer allow), other-dir allowed, *.zip$ disallowed.
+    sqls["robots_filter"] = """
+        SELECT 'h' || (id % 200) AS host,
+               CASE id % 5
+                 WHEN 0 THEN '/index'
+                 WHEN 1 THEN '/d' || ((id % 200) % 7) || '/x' || id
+                 WHEN 2 THEN '/d' || ((id % 200) % 7) || '/open/y'
+                 WHEN 3 THEN '/d' || (((id % 200) + 1) % 7) || '/z'
+                 ELSE '/f' || id || '.zip'
+               END AS path,
+               CAST(CASE WHEN id % 5 IN (1, 4) THEN 0 ELSE 1 END AS INT)
+                   AS allowed_i
+        FROM generate_series(0, 999) t(id)
     """
 
     sqls["warc_ingest"] = """

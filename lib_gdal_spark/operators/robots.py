@@ -1,0 +1,130 @@
+"""robots.txt policy evaluation — the crawl-side filter every
+Common-Crawl-style pipeline applies before a page may enter the corpus
+(REP, RFC 9309; the reference has no crawler, this belongs to the
+web-pages payload the north rule targets).
+
+Two stages, both Spark-native:
+
+* ``parse_robots`` — robots.txt document strings -> a (host, agent,
+  rule, path, prio) rule table. Pure narrow map (one small text parse
+  per host, Arrow-batched).
+* ``robots_filter`` — pages joined to the rule table BY HOST (the rule
+  table is tiny relative to the corpus — one row per directive per
+  host — so Spark broadcasts it; at 10^12 pages the join stays
+  map-side), then RFC 9309 precedence entirely in JVM expressions: the
+  longest matching path wins, ties prefer ``allow``; no matching rule
+  (or no robots.txt) means allowed.
+
+Path patterns support the REP wildcards: ``*`` matches any run of
+characters and a trailing ``$`` anchors the end; evaluation compiles
+each pattern to an RE2-safe regex via ``regexp_like`` so matching stays
+in whole-stage codegen rather than Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RULE_SCHEMA = ("host string, agent string, rule string, path string, "
+               "plen int")
+
+
+def parse_robots_text(host: str, text: str) -> list[tuple]:
+    """One robots.txt -> rule rows. Groups of ``User-agent`` lines bind
+    the directives that follow (RFC 9309 §2.1 group semantics)."""
+    rows: list[tuple] = []
+    agents: list[str] = []
+    in_group = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group:  # a directive closed the previous group
+                agents = []
+                in_group = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group = True
+            if val == "" and key == "disallow":
+                continue  # empty Disallow = allow all (no rule)
+            for a in agents or ["*"]:
+                rows.append((host, a, key, val, len(val)))
+    return rows
+
+
+def parse_robots(docs: DataFrame, host_col: str = "host",
+                 text_col: str = "robots") -> DataFrame:
+    """(host, robots.txt text) rows -> distributed rule table."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[tuple] = []
+            for h, t in zip(b[host_col], b[text_col]):
+                rows.extend(parse_robots_text(str(h), str(t)))
+            yield pd.DataFrame(rows, columns=["host", "agent", "rule",
+                                              "path", "plen"])
+
+    return docs.select(host_col, text_col).mapInPandas(
+        work, schema=RULE_SCHEMA)
+
+
+def _pattern_regex(path: F.Column) -> F.Column:
+    """REP path pattern -> anchored regex: quote specials, '*' -> '.*',
+    trailing '$' -> end anchor."""
+    ends = F.endswith(path, F.lit("$"))
+    body = F.when(ends, F.expr("substring(path, 1, length(path) - 1)")) \
+        .otherwise(path)
+    quoted = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    wild = F.regexp_replace(quoted, r"\*", ".*")
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$"))
+                    .otherwise(F.lit("")))
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame, agent: str = "*",
+                  host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """Pages + rule table -> pages with an ``allowed`` boolean.
+
+    Agent resolution per RFC 9309: rules for the specific agent if any
+    exist for the host, else the ``*`` group. Precedence: longest
+    ``path`` match wins; tie -> allow. The whole evaluation is one
+    broadcastable equi-join + regexp_like + one window — no Python.
+    """
+    agent = agent.lower()
+    r = rules.where(F.col("agent").isin(agent, "*"))
+    # does this host have specific-agent rules? (tiny aggregate)
+    has_specific = r.groupBy("host").agg(
+        F.max(F.when(F.col("agent") == agent, 1).otherwise(0))
+        .alias("has_spec"))
+    r = (r.join(has_specific, "host")
+         .where((F.col("agent") == agent) | (F.col("has_spec") == 0))
+         .withColumn("rx", _pattern_regex(F.col("path")))
+         .select(F.col("host").alias("_rhost"), "rule", "plen", "rx"))
+
+    # match condition INSIDE the left join: a page whose host has rules
+    # but none matching keeps its row (null rule = allowed). The window
+    # keys on an internal row id so duplicate page rows survive; with
+    # the broadcast join the left side never shuffles, so the id is
+    # stable between the join and the window.
+    out_cols = pages.columns
+    pg = pages.withColumn("_pid", F.monotonically_increasing_id())
+    cond = (pg[host_col] == F.col("_rhost")) & \
+        F.expr(f"regexp_like({path_col}, rx)")
+    j = pg.join(F.broadcast(r), cond, "left")
+    w = Window.partitionBy("_pid") \
+        .orderBy(F.desc(F.coalesce(F.col("plen"), F.lit(-1))),
+                 F.asc("rule"))  # 'allow' < 'disallow'
+    best = j.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") == 1)
+    return best.select(
+        *[pg[c] for c in out_cols],
+        (F.col("rule").isNull() | (F.col("rule") == "allow"))
+        .alias("allowed"))

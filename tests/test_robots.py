@@ -1,0 +1,76 @@
+"""robots.txt policy evaluation (operators/robots.py)."""
+
+from lib_gdal_spark.operators.robots import (
+    parse_robots, parse_robots_text, robots_filter,
+)
+from lib_gdal_spark.session import local_df
+
+ROBOTS_A = """# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /*.pdf$
+
+User-agent: specialbot
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_parse_robots_text():
+    rows = parse_robots_text("a.example", ROBOTS_A)
+    assert ("a.example", "*", "disallow", "/private/", 9) in rows
+    assert ("a.example", "*", "allow", "/private/ok/", 12) in rows
+    assert ("a.example", "specialbot", "disallow", "/", 1) in rows
+    # directives before any User-agent bind to '*'
+    rows = parse_robots_text("x", "Disallow: /secret/")
+    assert rows == [("x", "*", "disallow", "/secret/", 8)]
+    # empty Disallow emits no rule
+    assert parse_robots_text("x", "User-agent: *\nDisallow:") == []
+
+
+def _pages(spark):
+    return local_df(spark, [
+        ("a.example", "/index.html"),
+        ("a.example", "/private/x"),
+        ("a.example", "/private/ok/y"),
+        ("a.example", "/docs/file.pdf"),
+        ("a.example", "/docs/file.pdf.html"),
+        ("b.example", "/anything"),
+        ("c.example", "/no/robots/at/all"),
+    ], "host string, path string")
+
+
+def test_robots_filter_default_agent(spark):
+    docs = local_df(spark, [("a.example", ROBOTS_A),
+                            ("b.example", ROBOTS_B)],
+                    "host string, robots string")
+    rules = parse_robots(docs)
+    got = {(r["host"], r["path"]): r["allowed"]
+           for r in robots_filter(_pages(spark), rules).collect()}
+    assert got == {
+        ("a.example", "/index.html"): True,
+        ("a.example", "/private/x"): False,
+        ("a.example", "/private/ok/y"): True,   # longer allow wins
+        ("a.example", "/docs/file.pdf"): False,  # $-anchored wildcard
+        ("a.example", "/docs/file.pdf.html"): True,  # $ anchor respected
+        ("b.example", "/anything"): True,  # otherbot group doesn't bind *
+        ("c.example", "/no/robots/at/all"): True,  # no robots.txt
+    }
+
+
+def test_robots_filter_specific_agent(spark):
+    docs = local_df(spark, [("a.example", ROBOTS_A)],
+                    "host string, robots string")
+    rules = parse_robots(docs)
+    got = {r["path"]: r["allowed"]
+           for r in robots_filter(_pages(spark).where(
+               "host = 'a.example'"), rules,
+               agent="specialbot").collect()}
+    # specific group overrides '*': everything disallowed
+    assert got == {"/index.html": False, "/private/x": False,
+                   "/private/ok/y": False, "/docs/file.pdf": False,
+                   "/docs/file.pdf.html": False}
