@@ -3022,6 +3022,42 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aaigrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc/Info ASCII Grid codec (drivers/raster/aaigrid): 40 grids
+    (24×24, v=(11px+3py+r)%53, zeros written as the -9999 nodata value)
+    encoded to AAIGrid text on the executors, parsed back through the
+    tile-table reader, and aggregated per raster — sum and nodata count
+    must match the closed-form oracle."""
+    from lib_gdal_spark.sources.asciigrid import (
+        parse_aaigrid_documents, write_aaigrid)
+
+    base = spark.range(40).select(F.col("id").alias("r"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(24), np.arange(24), indexing="xy")
+        for b in batches:
+            out = []
+            for r in b["r"]:
+                r = int(r)
+                v = ((11 * px + 3 * py + r) % 53).astype(np.float64)
+                v[v == 0] = -9999.0
+                out.append((f"a{r:02d}", write_aaigrid(
+                    v, (r * 2.0, 1.0, 0.0, 24.0, 0.0, -1.0),
+                    nodata=-9999.0)))
+            yield pd.DataFrame(out, columns=["raster_id", "asc"])
+
+    docs = base.mapInPandas(mk, schema="raster_id string, asc string")
+    tiles = parse_aaigrid_documents(docs, tile=16)
+    return tiles.groupBy("raster_id").agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.sum(F.size(F.filter(
+            "pixels", lambda x: x == F.col("nodata")))).cast("long")
+        .alias("n_nodata"),
+        F.min("gt0").alias("gt0"),
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt policy filter (RFC 9309): 200 per-host policies
     (disallow dir, longer allow override, $-anchored wildcard) evaluated
@@ -3588,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_pyramid": q_cog_pyramid,
         "warc_ingest": q_warc_ingest,
         "robots_filter": q_robots_filter,
+        "aaigrid_roundtrip": q_aaigrid_roundtrip,
     }
 
 
@@ -7124,6 +7161,21 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["aaigrid_roundtrip"] = """
+        SELECT 'a' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(sum(CASE WHEN (11 * px + 3 * py + r) % 53 = 0
+                             THEN -9999 ELSE (11 * px + 3 * py + r) % 53
+                        END) AS BIGINT) AS sum_v,
+               CAST(sum(CASE WHEN (11 * px + 3 * py + r) % 53 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+               CAST(r * 2.0 AS DOUBLE) AS gt0
+        FROM generate_series(0, 39) g(r)
+        CROSS JOIN generate_series(0, 23) a(px)
+        CROSS JOIN generate_series(0, 23) b(py)
+        GROUP BY r
     """
 
     # robots_filter: verdicts depend only on the page-pattern class —
