@@ -3022,6 +3022,64 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapInfo MIF/MID codec (drivers/vector/mitab): 50 document pairs
+    (POINT + PLINE + REGION-with-hole, MID attributes) encoded on the
+    executors and parsed back; per-feature coordinate/area measures and
+    the joined MID attribute must match the closed-form oracle."""
+    from lib_gdal_spark.sources.mif import (
+        parse_mif_documents, write_mid, write_mif)
+
+    base = spark.range(50).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                s = float(k % 5 + 2)
+                feats = [
+                    ("point", (2.0 * k, float(3 * k % 7))),
+                    ("pline", [(float(k), 0.0), (k + 1.0, 1.0),
+                               (k + 2.0, 3.0)]),
+                    ("region", [
+                        [(float(k), float(k)), (float(k), k + s),
+                         (k + s, k + s), (k + s, float(k)),
+                         (float(k), float(k))],
+                        [(k + 0.25, k + 0.25), (k + 0.75, k + 0.25),
+                         (k + 0.75, k + 0.75), (k + 0.25, k + 0.75),
+                         (k + 0.25, k + 0.25)]]),
+                ]
+                mid = write_mid([[f"f{j}", k * 10 + j] for j in range(3)])
+                out.append((f"m{k:02d}",
+                            write_mif(feats, [("name", "Char(8)"),
+                                              ("pop", "Integer")]), mid))
+            yield pd.DataFrame(out, columns=["src", "mif", "mid"])
+
+    pairs = base.mapInPandas(mk, schema="src string, mif string, "
+                                        "mid string")
+    feats = parse_mif_documents(pairs)
+
+    def measure(batches):
+        for b in batches:
+            meas = []
+            for fid, w in zip(b["fid"], b["geom_wkb"]):
+                base_t, _nd, payload = G.parse_wkb_full(bytes(w))
+                if int(fid) == 2:
+                    meas.append(G.shoelace_area(G.polygon_rings(bytes(w))))
+                elif int(fid) == 0:
+                    meas.append(payload[0] + 2.0 * payload[1])
+                else:
+                    meas.append(sum(p[0] + 2.0 * p[1] for p in payload))
+            yield pd.DataFrame({
+                "src": b["src"], "fid": b["fid"],
+                "val": [int(a["pop"]) for a in b["attrs"]],
+                "meas": meas})
+
+    return feats.mapInPandas(
+        measure, schema="src string, fid long, val long, meas double")
+
+
 def q_aaigrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arc/Info ASCII Grid codec (drivers/raster/aaigrid): 40 grids
     (24×24, v=(11px+3py+r)%53, zeros written as the -9999 nodata value)
@@ -3625,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "robots_filter": q_robots_filter,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
+        "mif_roundtrip": q_mif_roundtrip,
     }
 
 
@@ -7160,6 +7219,21 @@ def oracle_sql() -> dict[str, str]:
                     - CASE WHEN j = 2 THEN 0.25 ELSE 0 END AS DOUBLE)
                    AS area
         FROM generate_series(0, 59) a(k)
+        CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    # mif_roundtrip: measures per feature class — point x+2y, pline
+    # Σ(x+2y), region shell area minus the 0.5-side hole (0.25).
+    sqls["mif_roundtrip"] = """
+        SELECT 'm' || CASE WHEN k < 10 THEN '0' ELSE '' END || k AS src,
+               CAST(j AS BIGINT) AS fid,
+               CAST(k * 10 + j AS BIGINT) AS val,
+               CAST(CASE j
+                 WHEN 0 THEN 2 * k + 2 * ((3 * k) % 7)
+                 WHEN 1 THEN 3 * k + 11
+                 ELSE (k % 5 + 2) * (k % 5 + 2) - 0.25
+               END AS DOUBLE) AS meas
+        FROM generate_series(0, 49) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
     """
 
