@@ -3022,6 +3022,37 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap protocol source: 120 urlset documents (8 urls each, with
+    lastmod/priority on every other url) parsed distributed; the oracle
+    reproduces the entry table closed-form."""
+    from lib_gdal_spark.sources.sitemap import parse_sitemap_documents
+
+    base = spark.range(120).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                urls = "".join(
+                    f"<url><loc>https://s{k}.example/{i}</loc>"
+                    + (f"<lastmod>2024-03-{(k + i) % 28 + 1:02d}"
+                       f"</lastmod><priority>0.{(k + i) % 10}"
+                       f"</priority>" if i % 2 == 0 else "")
+                    + "</url>"
+                    for i in range(8))
+                out.append((f"s{k}", f"<urlset>{urls}</urlset>"))
+            yield pd.DataFrame(out, columns=["src", "sitemap"])
+
+    docs = base.mapInPandas(mk, schema="src string, sitemap string")
+    e = parse_sitemap_documents(docs)
+    return e.select(
+        "src", "loc",
+        F.coalesce("lastmod", F.lit("-")).alias("lastmod"),
+        F.coalesce(F.col("priority"), F.lit(-1.0)).alias("prio"))
+
+
 def q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapInfo MIF/MID codec (drivers/vector/mitab): 50 document pairs
     (POINT + PLINE + REGION-with-hole, MID attributes) encoded on the
@@ -3684,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "sitemap_entries": q_sitemap_entries,
     }
 
 
@@ -7220,6 +7252,19 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["sitemap_entries"] = """
+        SELECT 's' || k AS src,
+               'https://s' || k || '.example/' || i AS loc,
+               CASE WHEN i % 2 = 0 THEN '2024-03-' ||
+                    CASE WHEN (k + i) % 28 + 1 < 10 THEN '0' ELSE '' END
+                    || ((k + i) % 28 + 1)
+                    ELSE '-' END AS lastmod,
+               CAST(CASE WHEN i % 2 = 0 THEN ((k + i) % 10) / 10.0
+                    ELSE -1.0 END AS DOUBLE) AS prio
+        FROM generate_series(0, 119) a(k)
+        CROSS JOIN generate_series(0, 7) b(i)
     """
 
     # mif_roundtrip: measures per feature class — point x+2y, pline
