@@ -3022,6 +3022,36 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec (drivers/raster/png): 40 RGBA images (24×24, channel c
+    value (3px+7py+r+11c)%256) encoded with Up-filtered scanlines on the
+    executors, decoded back through the binaryFile-path parser into
+    per-band tiles, and aggregated; any filter or channel-deinterleave
+    slip breaks the per-band sums."""
+    from lib_gdal_spark.sources.png import parse_png_documents, write_png
+
+    base = spark.range(40).select(F.col("id").alias("r"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(24), np.arange(24), indexing="xy")
+        for b in batches:
+            out = []
+            for r in b["r"]:
+                r = int(r)
+                bands = [((3 * px + 7 * py + r + 11 * c) % 256)
+                         .astype(np.uint8) for c in range(4)]
+                out.append((f"p{r:02d}", write_png(bands)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    tiles = parse_png_documents(files, tile=16)
+    return tiles.groupBy("raster_id", "band").agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.sum(F.size("pixels")).cast("long").alias("n_px"),
+    )
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap protocol source: 120 urlset documents (8 urls each, with
     lastmod/priority on every other url) parsed distributed; the oracle
@@ -3716,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "sitemap_entries": q_sitemap_entries,
+        "png_roundtrip": q_png_roundtrip,
     }
 
 
@@ -7252,6 +7283,20 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["png_roundtrip"] = """
+        SELECT 'p' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(c + 1 AS INT) AS band,
+               CAST(sum((3 * px + 7 * py + r + 11 * c) % 256) AS BIGINT)
+                   AS sum_v,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM generate_series(0, 39) g(r)
+        CROSS JOIN generate_series(0, 3) ch(c)
+        CROSS JOIN generate_series(0, 23) a(px)
+        CROSS JOIN generate_series(0, 23) b(py)
+        GROUP BY r, c
     """
 
     sqls["sitemap_entries"] = """
