@@ -3022,6 +3022,41 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EHdr/ENVI flat-binary codec (drivers/raster/ehdr): 36 two-band
+    rasters (20×20, band c value (5px+9py+r+100c)%251) written raw with
+    the interleave cycling BIL/BIP/BSQ plus the center-convention header
+    and re-parsed; per-band sums catch any interleave slip."""
+    from lib_gdal_spark.sources.ehdr import (
+        parse_ehdr_documents, write_ehdr)
+
+    base = spark.range(36).select(F.col("id").alias("r"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(20), np.arange(20), indexing="xy")
+        layouts = ["BIL", "BIP", "BSQ"]
+        for b in batches:
+            out = []
+            for r in b["r"]:
+                r = int(r)
+                bands = [((5 * px + 9 * py + r + 100 * c) % 251)
+                         .astype(np.uint8) for c in range(2)]
+                hdr, blob = write_ehdr(
+                    bands, (r * 3.0, 1.0, 0.0, 20.0, 0.0, -1.0),
+                    layout=layouts[r % 3])
+                out.append((f"e{r:02d}", hdr, blob))
+            yield pd.DataFrame(out, columns=["src", "hdr", "bil"])
+
+    pairs = base.mapInPandas(mk,
+                             schema="src string, hdr string, bil binary")
+    tiles = parse_ehdr_documents(pairs, tile=16)
+    return tiles.groupBy("raster_id", "band").agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.min("gt0").alias("gt0"),
+    )
+
+
 def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG codec (drivers/raster/png): 40 RGBA images (24×24, channel c
     value (3px+7py+r+11c)%256) encoded with Up-filtered scanlines on the
@@ -3747,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mif_roundtrip": q_mif_roundtrip,
         "sitemap_entries": q_sitemap_entries,
         "png_roundtrip": q_png_roundtrip,
+        "ehdr_roundtrip": q_ehdr_roundtrip,
     }
 
 
@@ -7283,6 +7319,20 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["ehdr_roundtrip"] = """
+        SELECT 'e' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(c + 1 AS INT) AS band,
+               CAST(sum((5 * px + 9 * py + r + 100 * c) % 251) AS BIGINT)
+                   AS sum_v,
+               CAST(r * 3.0 AS DOUBLE) AS gt0
+        FROM generate_series(0, 35) g(r)
+        CROSS JOIN generate_series(0, 1) ch(c)
+        CROSS JOIN generate_series(0, 19) a(px)
+        CROSS JOIN generate_series(0, 19) b(py)
+        GROUP BY r, c
     """
 
     sqls["png_roundtrip"] = """
