@@ -3022,6 +3022,35 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX/SURT index generation: 800 messy capture URLs (upper-case
+    www hosts, default ports, unsorted query params) -> SURT keys +
+    14-digit timestamps + md5 content digests, range-ordered; the oracle
+    rebuilds every field closed-form including the digest (DuckDB md5)."""
+    from lib_gdal_spark.operators.cdx import cdx_index
+
+    g = F.col("id")
+    recs = spark.range(800).select(
+        F.concat(
+            F.lit("https://WWW.H"), (g % 50).cast("string"),
+            F.lit(".Example.com"),
+            F.when(g % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/P"), g.cast("string"),
+            F.when(g % 3 == 0,
+                   F.concat(F.lit("?b=2&a="), (g % 7).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=g.cast("double"))).alias("warc_ts"),
+        F.when(g % 5 == 4, F.lit(404)).otherwise(F.lit(200))
+        .alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.encode(F.expr("repeat('x', 10 + cast(id % 90 as int))"),
+                 "utf-8").alias("body"),
+    )
+    return cdx_index(recs, buckets=8)
+
+
 def q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EHdr/ENVI flat-binary codec (drivers/raster/ehdr): 36 two-band
     rasters (20×20, band c value (5px+9py+r+100c)%251) written raw with
@@ -3783,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "png_roundtrip": q_png_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -7319,6 +7349,25 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["cdx_index"] = """
+        SELECT 'com,example,h' || (id % 50) || ')/p' || id ||
+               CASE WHEN id % 3 = 0
+                    THEN '?a=' || (id % 7) || '&b=2' ELSE '' END AS surt,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + to_seconds(id), '%Y%m%d%H%M%S') AS ts,
+               'https://WWW.H' || (id % 50) || '.Example.com' ||
+               CASE WHEN id % 2 = 0 THEN ':443' ELSE '' END ||
+               '/P' || id ||
+               CASE WHEN id % 3 = 0
+                    THEN '?b=2&a=' || (id % 7) ELSE '' END AS url,
+               CAST(CASE WHEN id % 5 = 4 THEN 404 ELSE 200 END AS INT)
+                   AS status,
+               'text/html' AS mime,
+               md5(repeat('x', CAST(10 + id % 90 AS INT))) AS digest,
+               CAST(10 + id % 90 AS BIGINT) AS length
+        FROM generate_series(0, 799) t(id)
     """
 
     sqls["ehdr_roundtrip"] = """
