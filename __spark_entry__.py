@@ -3022,6 +3022,46 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
+    (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
+    WKB -> GeoJSON geometry -> WKB; the final WKB must be BYTE-IDENTICAL
+    to the original, and the area must survive every hop."""
+    from lib_gdal_spark.sources import shapefile as SHP
+    from lib_gdal_spark.sources.geojson import (
+        _wkb_to_geojson, geojson_geometry_to_wkb)
+    from lib_gdal_spark.sources.gml import gml_to_wkb, wkb_to_gml
+
+    base = spark.range(80).select(F.col("id").alias("k"))
+
+    def work(batches):
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                s = float(k % 6 + 2)
+                x0, y0 = 3.0 * k, float(k % 9)
+                shell = np.array([[x0, y0], [x0, y0 + s], [x0 + s, y0 + s],
+                                  [x0 + s, y0], [x0, y0]])
+                hole = np.array([[x0 + .5, y0 + .5], [x0 + 1, y0 + .5],
+                                 [x0 + 1, y0 + 1], [x0 + .5, y0 + 1],
+                                 [x0 + .5, y0 + .5]])
+                # shapefile hop: shell CW on disk, holes CCW
+                shp = SHP.write_shp([(0, [shell, hole[::-1]])],
+                                    SHP.SHP_POLYGON)
+                wkb0 = SHP.parse_shp(shp)[0][1]
+                wkb1 = gml_to_wkb(wkb_to_gml(wkb0, version=3))
+                wkb2 = geojson_geometry_to_wkb(_wkb_to_geojson(wkb1))
+                rings = G.polygon_rings(wkb2)
+                rows.append((k, int(wkb2 == wkb0), len(rings),
+                             G.shoelace_area(rings)))
+            yield pd.DataFrame(rows, columns=["k", "bytes_equal",
+                                              "n_rings", "area"])
+
+    return base.mapInPandas(
+        work, schema="k long, bytes_equal int, n_rings int, area double")
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX/SURT index generation: 800 messy capture URLs (upper-case
     www hosts, default ports, unsorted query params) -> SURT keys +
@@ -3813,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip": q_png_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
         "cdx_index": q_cdx_index,
+        "format_convert": q_format_convert,
     }
 
 
@@ -7349,6 +7390,12 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["format_convert"] = """
+        SELECT k, CAST(1 AS INT) AS bytes_equal, CAST(2 AS INT) AS n_rings,
+               CAST((k % 6 + 2) * (k % 6 + 2) - 0.25 AS DOUBLE) AS area
+        FROM generate_series(0, 79) t(k)
     """
 
     sqls["cdx_index"] = """
