@@ -717,28 +717,43 @@ def _compress(raw: bytes, comp: int) -> bytes:
 
 
 # ---------------------------------------------------- Spark integration
-def geotiff_to_tile_rows(raster_id: str, data: bytes,
-                         tile: int = 256) -> list[dict]:
+def geotiff_to_tile_rows(raster_id: str, data: bytes, tile: int = 256,
+                         overviews: bool = False) -> list[dict]:
     """Decode one GeoTIFF byte string into RASTER_SCHEMA tile rows
-    (one set per band; complex bands use the interleaved-word layout)."""
-    g = parse_geotiff(data)
+    (one set per band; complex bands use the interleaved-word layout).
+
+    With ``overviews=True`` the whole IFD chain decodes and each level
+    lands at its own ``zoom`` (0 = full resolution, the layout the
+    pyramid/auto-overview operators consume); overview IFDs carry no
+    geotags, so level k inherits level 0's georeference scaled by the
+    size ratio — the reference's overview-band model."""
+    levels = parse_geotiff_all(data) if overviews else [parse_geotiff(data)]
     rows: list[dict] = []
-    for b, arr in enumerate(g.bands, start=1):
-        if g.dtype in _COMPLEX_PART:
-            rows.extend(complex_tiles_from_array(
-                raster_id, arr[:, 0::2].astype(np.float64),
-                arr[:, 1::2].astype(np.float64), g.gt, g.dtype,
-                tile=tile, band=b))
-        else:
-            rows.extend(tiles_from_array(
-                raster_id, arr, g.gt, tile=tile, band=b,
-                nodata=g.nodata))
+    g0 = levels[0]
+    w0 = g0.bands[0].shape[1] // (2 if g0.dtype in _COMPLEX_PART else 1)
+    for z, g in enumerate(levels):
+        wordmul = 2 if g.dtype in _COMPLEX_PART else 1
+        gt = g.gt
+        if z > 0:
+            ratio = w0 / (g.bands[0].shape[1] // wordmul)
+            gt = (g0.gt[0], g0.gt[1] * ratio, g0.gt[2] * ratio,
+                  g0.gt[3], g0.gt[4] * ratio, g0.gt[5] * ratio)
+        for b, arr in enumerate(g.bands, start=1):
+            if g.dtype in _COMPLEX_PART:
+                rows.extend(complex_tiles_from_array(
+                    raster_id, arr[:, 0::2].astype(np.float64),
+                    arr[:, 1::2].astype(np.float64), gt, g.dtype,
+                    tile=tile, band=b, zoom=z))
+            else:
+                rows.extend(tiles_from_array(
+                    raster_id, arr, gt, tile=tile, band=b,
+                    nodata=g.nodata if z == 0 else g0.nodata, zoom=z))
     return rows
 
 
 def parse_geotiff_documents(files: DataFrame, content_col: str = "content",
-                            id_col: str = "path",
-                            tile: int = 256) -> DataFrame:
+                            id_col: str = "path", tile: int = 256,
+                            overviews: bool = False) -> DataFrame:
     """(id, bytes) rows -> distributed RASTER_SCHEMA tile table.
 
     Pure narrow map: each file decodes inside its Arrow batch; no
@@ -751,7 +766,8 @@ def parse_geotiff_documents(files: DataFrame, content_col: str = "content",
             rows: list[dict] = []
             for rid, blob in zip(b[id_col], b[content_col]):
                 rows.extend(geotiff_to_tile_rows(str(rid), bytes(blob),
-                                                 tile=tile))
+                                                 tile=tile,
+                                                 overviews=overviews))
             yield pd.DataFrame(rows, columns=RASTER_COLS)
 
     from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
@@ -759,8 +775,9 @@ def parse_geotiff_documents(files: DataFrame, content_col: str = "content",
         work, schema=RASTER_SCHEMA)
 
 
-def read_geotiff(spark: SparkSession, path: str,
-                 tile: int = 256) -> DataFrame:
-    """GeoTIFF file(s) at ``path`` (glob ok) -> distributed tile table."""
+def read_geotiff(spark: SparkSession, path: str, tile: int = 256,
+                 overviews: bool = False) -> DataFrame:
+    """GeoTIFF file(s) at ``path`` (glob ok) -> distributed tile table;
+    ``overviews=True`` also maps internal overview IFDs to zoom 1..n."""
     files = spark.read.format("binaryFile").load(path)
-    return parse_geotiff_documents(files, tile=tile)
+    return parse_geotiff_documents(files, tile=tile, overviews=overviews)

@@ -3,8 +3,8 @@
 PNG (RFC 2083 / ISO 15948) spec over zlib: all five scanline filters
 (None/Sub/Up/Average/Paeth), color types gray / RGB / palette /
 gray+alpha / RGBA, bit depths 1/2/4/8 (gray, palette) and 8/16
-(everything), tRNS transparency for palettes. Interlaced (Adam7) files
-are rejected loudly — rare in raster data, documented out of scope.
+(everything), tRNS transparency for palettes, and Adam7 interlaced
+files at byte-aligned depths (sub-byte interlace rejected loudly).
 
 The tile-store sink (sinks/tilestore.py) keeps its minimal gray-8
 encoder; this module is the general read/write path, e.g. for consuming
@@ -119,11 +119,14 @@ def parse_png(data: bytes) -> Png:
             idat += body
         elif tag == b"IEND":
             break
-    if interlace:
-        raise ValueError("Adam7 interlaced PNG not supported")
     ch = _CHANNELS[ct]
     raw = zlib.decompress(bytes(idat))
-    if depth < 8:
+    if interlace:
+        if depth < 8:
+            raise ValueError("Adam7 with sub-byte depth not supported")
+        full = _decode_adam7(raw, w, h, ch, depth)
+        bands = [np.ascontiguousarray(full[:, :, c]) for c in range(ch)]
+    elif depth < 8:
         stride = (w * depth + 7) // 8
         rec = _unfilter(raw, h, stride, 1)
         vals = _unpack_bits(rec, depth, w)
@@ -139,6 +142,35 @@ def parse_png(data: bytes) -> Png:
             full = rec.reshape(h, w, ch)
         bands = [np.ascontiguousarray(full[:, :, c]) for c in range(ch)]
     return Png(bands, depth, ct, palette, trns)
+
+
+# Adam7 pass grid: (x0, y0, x_step, y_step) — PNG §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _decode_adam7(raw: bytes, w: int, h: int, ch: int,
+                  depth: int) -> np.ndarray:
+    bps = depth // 8
+    dt = np.uint16 if depth == 16 else np.uint8
+    full = np.zeros((h, w, ch), dtype=dt)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch * bps
+        rec = _unfilter(raw[pos:pos + ph * (1 + stride)], ph, stride,
+                        ch * bps)
+        pos += ph * (1 + stride)
+        if depth == 16:
+            a = rec.reshape(ph, pw, ch, 2)
+            sub = (a[..., 0].astype(np.uint16) << 8) | a[..., 1]
+        else:
+            sub = rec.reshape(ph, pw, ch)
+        full[y0::ys, x0::xs] = sub
+    return full
 
 
 def png_to_rgb(p: Png) -> list[np.ndarray]:

@@ -1,0 +1,61 @@
+"""Property-based fuzz over the binary codecs (hypothesis): every
+generated image/byte-string must survive its round trip bit-exactly.
+These complement the fixed-vector tests with adversarial shapes —
+1-pixel edges, max values, runs, random noise."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lib_gdal_spark.sources.gtiff import (
+    COMP_DEFLATE, COMP_LZW, COMP_PACKBITS,
+    lzw_decode, lzw_encode, packbits_decode, packbits_encode,
+    parse_geotiff, write_geotiff,
+)
+from lib_gdal_spark.sources.png import parse_png, write_png
+
+BYTES = st.binary(min_size=0, max_size=5000)
+
+
+@given(BYTES)
+@settings(max_examples=80, deadline=None)
+def test_lzw_roundtrip(raw):
+    assert lzw_decode(lzw_encode(raw)) == raw
+
+
+@given(BYTES)
+@settings(max_examples=80, deadline=None)
+def test_packbits_roundtrip(raw):
+    assert packbits_decode(packbits_encode(raw)) == raw
+
+
+ARRS = st.tuples(
+    st.integers(1, 37), st.integers(1, 37),
+    st.sampled_from(["uint8", "int16", "uint16", "float32"]),
+    st.integers(0, 2 ** 32 - 1),
+)
+
+
+@given(ARRS, st.sampled_from([COMP_LZW, COMP_DEFLATE, COMP_PACKBITS]),
+       st.sampled_from([None, 7]))
+@settings(max_examples=40, deadline=None)
+def test_geotiff_roundtrip(spec, comp, tile):
+    h, w, dt, seed = spec
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 200, (h, w)).astype(dt)
+    pred = 3 if dt == "float32" else 2
+    g = parse_geotiff(write_geotiff(arr, (0, 1, 0, 0, 0, -1),
+                                    compression=comp, predictor=pred,
+                                    tile=tile))
+    assert np.array_equal(g.bands[0], arr)
+
+
+@given(st.integers(1, 31), st.integers(1, 31), st.integers(1, 4),
+       st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip(h, w, nb, seed):
+    rng = np.random.default_rng(seed)
+    bands = [rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.uint8)
+             for _ in range(nb)]
+    p = parse_png(write_png(bands))
+    assert all(np.array_equal(a, b) for a, b in zip(p.bands, bands))

@@ -144,3 +144,24 @@ def test_cog_overview_chain():
     import struct as _s
     (ifd0,) = _s.unpack_from("<I", data, 4)
     assert ifd0 == 8
+
+
+def test_read_geotiff_overviews_zoom_levels(spark, tmp_path):
+    from lib_gdal_spark.sources.gtiff import read_geotiff, write_cog
+    b20 = byte20().astype(np.float32)
+    l1 = b20.reshape(10, 2, 10, 2).mean(axis=(1, 3),
+                                        dtype=np.float64).astype(np.float32)
+    (tmp_path / "c.tif").write_bytes(
+        write_cog([b20, l1], BYTE20_GT, tile=16))
+    tiles = read_geotiff(spark, str(tmp_path / "*.tif"), tile=16,
+                         overviews=True).collect()
+    by_zoom = {}
+    for r in tiles:
+        by_zoom.setdefault(r["zoom"], []).append(r)
+    assert set(by_zoom) == {0, 1}
+    assert sum(len(r["pixels"]) for r in by_zoom[0]) == 400
+    assert sum(len(r["pixels"]) for r in by_zoom[1]) == 100
+    z1 = by_zoom[1][0]
+    assert z1["gt1"] == 120.0 and z1["gt5"] == -120.0  # 2x coarser
+    assert sum(sum(r["pixels"]) for r in by_zoom[1]) == \
+        pytest.approx(float(l1.sum(dtype=np.float64)))

@@ -123,3 +123,25 @@ def test_read_png_distributed(spark, tmp_path):
     tiles = read_png(spark, str(tmp_path / "*.png"), tile=16).collect()
     assert len(tiles) == 4 * (1 + 3)
     assert {r["band"] for r in tiles} == {1, 2, 3}
+
+
+def test_adam7_interlaced():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    body = bytearray()
+    for x0, y0, xs, ys in ADAM7:
+        sub = img[y0::ys, x0::xs]
+        for row in sub:
+            body.append(0)  # filter None
+            body += row.tobytes()
+    import struct as s_, zlib as z_
+    data = (_SIG
+            + _chunk(b"IHDR", s_.pack(">IIBBBBB", 11, 9, 8, 2, 0, 0, 1))
+            + _chunk(b"IDAT", z_.compress(bytes(body)))
+            + _chunk(b"IEND", b""))
+    p = parse_png(data)
+    assert p.depth == 8 and len(p.bands) == 3
+    for c in range(3):
+        assert np.array_equal(p.bands[c], img[:, :, c])
