@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RULE_SCHEMA = ("host string, agent string, rule string, path string, "
@@ -106,25 +106,21 @@ def robots_filter(pages: DataFrame, rules: DataFrame, agent: str = "*",
         .alias("has_spec"))
     r = (r.join(has_specific, "host")
          .where((F.col("agent") == agent) | (F.col("has_spec") == 0))
-         .withColumn("rx", _pattern_regex(F.col("path")))
-         .select(F.col("host").alias("_rhost"), "rule", "plen", "rx"))
-
-    # match condition INSIDE the left join: a page whose host has rules
-    # but none matching keeps its row (null rule = allowed). The window
-    # keys on an internal row id so duplicate page rows survive; with
-    # the broadcast join the left side never shuffles, so the id is
-    # stable between the join and the window.
-    out_cols = pages.columns
-    pg = pages.withColumn("_pid", F.monotonically_increasing_id())
-    cond = (pg[host_col] == F.col("_rhost")) & \
-        F.expr(f"regexp_like({path_col}, rx)")
-    j = pg.join(F.broadcast(r), cond, "left")
-    w = Window.partitionBy("_pid") \
-        .orderBy(F.desc(F.coalesce(F.col("plen"), F.lit(-1))),
-                 F.asc("rule"))  # 'allow' < 'disallow'
-    best = j.withColumn("_rn", F.row_number().over(w)) \
-        .where(F.col("_rn") == 1)
-    return best.select(
-        *[pg[c] for c in out_cols],
-        (F.col("rule").isNull() | (F.col("rule") == "allow"))
-        .alias("allowed"))
+         .withColumn("rx", _pattern_regex(F.col("path"))))
+    # ONE broadcast row per host carrying its rule array: precedence
+    # resolves with higher-order array functions on the page row itself,
+    # so the corpus NEVER shuffles — no window, no row-id bookkeeping,
+    # duplicate page rows trivially survive.
+    per_host = r.groupBy(F.col("host").alias("_rhost")).agg(
+        F.collect_list(F.struct(
+            F.col("plen"), (F.col("rule") == "allow").alias("ok"),
+            F.col("rx"))).alias("_rules"))
+    j = pages.join(F.broadcast(per_host),
+                   pages[host_col] == F.col("_rhost"), "left")
+    # longest match wins; ties prefer allow (struct compares plen, ok)
+    best = F.array_max(F.expr(
+        f"transform(filter(_rules, x -> regexp_like({path_col}, x.rx)),"
+        f" x -> struct(x.plen as plen, x.ok as ok))"))
+    return j.select(
+        *[pages[c] for c in pages.columns],
+        (best.isNull() | best["ok"]).alias("allowed"))

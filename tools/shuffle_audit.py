@@ -35,6 +35,9 @@ QUERIES = [
     "substring_dedup", "fuzzy_dedup", "semantic_dedup", "kmeans_clusters",
     "tfidf_top_terms", "pii_redact", "sample_sources",
     "sample_token_budget", "lm_perplexity",
+    # round-3 source-codec wave
+    "link_graph", "osm_way_assembly", "gtiff_roundtrip", "warc_ingest",
+    "robots_filter", "cdx_index", "zonal_stats",
 ]
 
 
