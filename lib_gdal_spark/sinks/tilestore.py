@@ -83,33 +83,67 @@ def decode_png_gray(png: bytes) -> np.ndarray:
     return out
 
 
-def _encoded_tiles(tiles: DataFrame, raster_id: str, band: int) -> DataFrame:
-    """Distributed PNG encode -> (zoom, tile_x, tile_y, png binary)."""
-    src = tiles.where(
-        (F.col("raster_id") == raster_id) & (F.col("band") == band)
-    ).select("zoom", "tile_x", "tile_y", "tile_w", "tile_h", "pixels")
+def _encoded_tiles(tiles: DataFrame, raster_id: str,
+                   band: int | tuple) -> DataFrame:
+    """Distributed PNG encode -> (zoom, tile_x, tile_y, png binary).
 
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``band`` an int -> 8-bit grayscale tiles; a tuple of 2/3/4 band
+    numbers -> gray+alpha / RGB / RGBA tiles via the full PNG encoder
+    (sources/png.py), bands regrouped per tile key first (a keys+pixels
+    shuffle bounded by the tile table itself)."""
+    if isinstance(band, int):
+        src = tiles.where(
+            (F.col("raster_id") == raster_id) & (F.col("band") == band)
+        ).select("zoom", "tile_x", "tile_y", "tile_w", "tile_h", "pixels")
+
+        def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                rows = []
+                for _, r in b.iterrows():
+                    arr = np.asarray(r["pixels"], np.float64).reshape(
+                        int(r["tile_h"]), int(r["tile_w"]))
+                    png = encode_png_gray(np.clip(arr, 0, 255))
+                    rows.append((int(r["zoom"]), int(r["tile_x"]),
+                                 int(r["tile_y"]), png))
+                yield pd.DataFrame(
+                    rows, columns=["zoom", "tile_x", "tile_y", "png"])
+
+        return src.mapInPandas(
+            work, schema="zoom int, tile_x int, tile_y int, png binary")
+
+    from lib_gdal_spark.sources.png import write_png
+
+    bands = tuple(band)
+    grouped = tiles.where(
+        (F.col("raster_id") == raster_id)
+        & F.col("band").isin(list(bands))
+    ).groupBy("zoom", "tile_x", "tile_y").agg(
+        F.collect_list(F.struct("band", "tile_w", "tile_h", "pixels"))
+        .alias("bs"))
+
+    def work_rgb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                arr = np.asarray(r["pixels"], np.float64).reshape(
-                    int(r["tile_h"]), int(r["tile_w"]))
-                png = encode_png_gray(np.clip(arr, 0, 255))
+                per = {int(x["band"]): np.asarray(x["pixels"], np.float64)
+                       .reshape(int(x["tile_h"]), int(x["tile_w"]))
+                       for x in r["bs"]}
+                arrs = [np.clip(per[bi], 0, 255).astype(np.uint8)
+                        for bi in bands]
                 rows.append((int(r["zoom"]), int(r["tile_x"]),
-                             int(r["tile_y"]), png))
+                             int(r["tile_y"]), write_png(arrs)))
             yield pd.DataFrame(
                 rows, columns=["zoom", "tile_x", "tile_y", "png"])
 
-    return src.mapInPandas(
-        work, schema="zoom int, tile_x int, tile_y int, png binary")
+    return grouped.mapInPandas(
+        work_rgb, schema="zoom int, tile_x int, tile_y int, png binary")
 
 
 def write_mbtiles(
     tiles: DataFrame,
     path: str,
     raster_id: str,
-    band: int = 1,
+    band: int | tuple = 1,
     name: str | None = None,
     max_bytes: int = 512 * 1024 * 1024,
 ) -> int:
@@ -167,7 +201,7 @@ def write_gpkg_tiles(
     path: str,
     raster_id: str,
     table_name: str = "tiles",
-    band: int = 1,
+    band: int | tuple = 1,
     tile_px: int = 256,
     max_bytes: int = 512 * 1024 * 1024,
 ) -> int:
@@ -279,7 +313,7 @@ def read_mbtiles(spark, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def write_tms_directory(
-    tiles: DataFrame, root: str, raster_id: str, band: int = 1
+    tiles: DataFrame, root: str, raster_id: str, band: int | tuple = 1
 ) -> int:
     """Tile table -> {root}/{z}/{x}/{y}.png files (TMS row flip)."""
     import os
