@@ -3022,6 +3022,39 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the multimodal pipeline: 40 media rows whose
+    payloads are actual PNGs (RGB, 32×24, channel c value
+    (3px+5py+m+17c)%251) run image_features in STRICT mode — the fake
+    decoder would raise — with deliberately wrong metadata dims, so the
+    output dims/mean can only come from decoding the bytes."""
+    from lib_gdal_spark.operators.multimodal import image_features
+    from lib_gdal_spark.sources.png import write_png
+
+    base = spark.range(40).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(32), np.arange(24), indexing="xy")
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                bands = [((3 * px + 5 * py + m + 17 * c) % 251)
+                         .astype(np.uint8) for c in range(3)]
+                rows.append((m, "image", write_png(bands),
+                             0, 0, 3, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    from lib_gdal_spark.operators.multimodal import MEDIA_SCHEMA
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    feats = image_features(media, resize_to=(8, 8), strict=True)
+    return feats.select("media_id", "width", "height",
+                        F.round("mean", 6).alias("mean"))
+
+
 def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
     (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
@@ -3854,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ehdr_roundtrip": q_ehdr_roundtrip,
         "cdx_index": q_cdx_index,
         "format_convert": q_format_convert,
+        "image_decode_png": q_image_decode_png,
     }
 
 
@@ -7390,6 +7424,18 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["image_decode_png"] = """
+        SELECT m AS media_id, CAST(32 AS INT) AS width,
+               CAST(24 AS INT) AS height,
+               round(sum((3 * px + 5 * py + m + 17 * c) % 251)
+                     / 2304.0, 6) AS mean
+        FROM generate_series(0, 39) g(m)
+        CROSS JOIN generate_series(0, 2) ch(c)
+        CROSS JOIN generate_series(0, 31) a(px)
+        CROSS JOIN generate_series(0, 23) b(py)
+        GROUP BY m
     """
 
     sqls["format_convert"] = """

@@ -3,13 +3,17 @@ typed metadata, processed by Arrow-batched UDFs.
 
 Task-brief requirement (first-class alongside SURVEY §2): treat media as
 ``binary`` columns + typed metadata structs; implement decode /
-feature-extract / resize / frame-sample as ``mapInPandas`` stages. The
-image/audio codec libraries are not in this container, so the CODEC step
-is stubbed — either a clearly-marked ``NotImplementedError`` (strict
-mode) or a **deterministic fake decoder** (seeded from the payload bytes,
-so results are reproducible and testable) — while everything Spark-side
-is real: schemas, partitioning, UDF signatures, Arrow batch shapes, and
-the pure-NumPy post-decode math (resize, frame sampling, feature stats).
+feature-extract / resize / frame-sample as ``mapInPandas`` stages.
+
+Image decode is REAL for PNG and (Geo)TIFF payloads — the repo carries
+its own pure-stdlib codecs (sources/png.py, sources/gtiff.py), sniffed
+by magic bytes. Formats that genuinely need an external codec library
+(JPEG/WebP/audio/video — none in this container) fall back to either a
+clearly-marked ``NotImplementedError`` (strict mode) or a
+**deterministic fake decoder** (seeded from the payload bytes, so
+results are reproducible and testable); everything Spark-side is real
+either way: schemas, partitioning, UDF signatures, Arrow batch shapes,
+and the pure-NumPy post-decode math (resize, frame sampling, stats).
 
 Schema conventions:
 - media table: (media_id long, kind string in {image,audio,video},
@@ -76,12 +80,34 @@ def _fake_decode_audio(payload: bytes, n: int) -> np.ndarray:
     return (rng.standard_normal(n) * 0.1).astype(np.float32)
 
 
-def decode_image_strict(payload: bytes, *a, **k):  # pragma: no cover
-    raise NotImplementedError(
-        "real image decoding needs a codec library (PIL/turbojpeg) that is "
-        "not installed in this container; use strict=False for the "
-        "deterministic fake decoder"
-    )
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for the formats the repo carries codecs for —
+    PNG (sources/png.py) and (Geo)TIFF (sources/gtiff.py), sniffed by
+    magic bytes. Returns (h, w, c) uint8, or None for formats without an
+    in-repo codec (JPEG/WebP/...), which fall back to the deterministic
+    fake so the downstream plumbing still runs."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from lib_gdal_spark.sources.png import parse_png, png_to_rgb
+        bands = png_to_rgb(parse_png(payload))
+        return np.stack([b.astype(np.uint8) for b in bands], axis=2)
+    if payload[:2] in (b"II", b"MM"):
+        from lib_gdal_spark.sources.gtiff import parse_geotiff
+        g = parse_geotiff(payload)
+        return np.stack(
+            [np.clip(b, 0, 255).astype(np.uint8) for b in g.bands],
+            axis=2)
+    return None
+
+
+def decode_image_strict(payload: bytes, *a, **k):
+    img = decode_image(bytes(payload))
+    if img is None:
+        raise NotImplementedError(
+            "no in-repo codec for this image format (PNG and TIFF decode "
+            "natively; JPEG/WebP need a codec library this container "
+            "lacks); use strict=False for the deterministic fake decoder"
+        )
+    return img
 
 
 def image_features(
@@ -101,12 +127,12 @@ def image_features(
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                if strict:
+                real = decode_image(bytes(r["payload"]))
+                if strict and real is None:
                     decode_image_strict(bytes(r["payload"]))
-                img = _fake_decode_image(
+                img = (real if real is not None else _fake_decode_image(
                     bytes(r["payload"]), int(r["width"]), int(r["height"]),
-                    int(r["channels"]),
-                ).astype(np.float64)
+                    int(r["channels"]))).astype(np.float64)
                 h, w, c = img.shape
                 # box resize via 2-D bincount-style reduction
                 yi = (np.arange(h) * rh // h)

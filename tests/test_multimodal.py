@@ -65,3 +65,26 @@ def test_strict_mode_raises(spark, media):
     with pytest.raises(Exception) as ei:
         MM.image_features(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_real_png_decode_in_pipeline(spark):
+    """PNG payloads take the REAL decode path (strict mode passes and
+    dims come from the bytes, not the metadata)."""
+    import numpy as np
+    import pandas as pd
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image, image_features)
+    from lib_gdal_spark.sources.png import write_png
+
+    img = np.arange(12 * 10, dtype=np.uint8).reshape(10, 12)
+    payload = write_png([img, img // 2, img // 3])
+    assert decode_image(payload).shape == (10, 12, 3)
+    media = spark.createDataFrame(pd.DataFrame([
+        dict(media_id=1, kind="image", payload=payload,
+             width=0, height=0, channels=3, sample_rate=None,
+             n_samples=None, fps=None, n_frames=None)]),
+        schema=MEDIA_SCHEMA)
+    row = image_features(media, resize_to=(4, 4), strict=True).collect()[0]
+    assert (row["width"], row["height"]) == (12, 10)
+    want = (img.astype(float) + img // 2 + img // 3).sum() / (120 * 3)
+    assert abs(row["mean"] - want) < 1e-9
