@@ -3022,6 +3022,46 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Vector Tile codec (drivers/vector/mvt): 200 point features
+    fan into z=3 tiles (one keyed shuffle), each tile protobuf-encodes
+    on its executor, then DECODES BACK and emits every feature's tile
+    key + quantized tile-local coords + attribute; the oracle recomputes
+    the web-mercator quantization closed-form in SQL."""
+    from lib_gdal_spark.sinks.mvt import decode_tile, tile_features
+
+    base = spark.range(200).select(F.col("id").alias("i"))
+
+    def mk(batches):
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                lon = -177.25 + (i * 13.7 % 354.0)
+                lat = -63.05 + (i * 9.3 % 127.0)
+                rows.append((G.wkb_point(lon, lat), {"i": str(i)}))
+            yield pd.DataFrame(rows, columns=["geom_wkb", "attrs"])
+
+    feats = base.mapInPandas(mk, schema="geom_wkb binary, "
+                                        "attrs map<string,string>")
+    tiles = tile_features(feats, z=3, layer="pts")
+
+    def unpack(batches):
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                lay = decode_tile(bytes(r["mvt"]))[0]
+                for f in lay["features"]:
+                    x, y = (int(v) for v in f["parts"][0][0])
+                    rows.append((int(f["attrs"]["i"]), int(r["tx"]),
+                                 int(r["ty"]), x, y))
+            yield pd.DataFrame(rows, columns=["i", "tx", "ty",
+                                              "px", "py"])
+
+    return tiles.mapInPandas(
+        unpack, schema="i long, tx int, ty int, px int, py int")
+
+
 def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode in the multimodal pipeline: 40 media rows whose
     payloads are actual PNGs (RGB, 32×24, channel c value
@@ -3888,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "format_convert": q_format_convert,
         "image_decode_png": q_image_decode_png,
+        "mvt_tiles": q_mvt_tiles,
     }
 
 
@@ -7424,6 +7465,38 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    # mvt_tiles: web-mercator quantization reproduced closed-form —
+    # O = 20037508.342789244, size = 2O/8 at z=3, extent 4096.
+    sqls["mvt_tiles"] = """
+        WITH p AS (
+          SELECT i,
+                 -177.25 + fmod(i * 13.7, 354.0) AS lon,
+                 -63.05 + fmod(i * 9.3, 127.0) AS lat
+          FROM generate_series(0, 199) t(i)
+        ), m AS (
+          SELECT i,
+                 lon / 180.0 * 20037508.342789244 AS mx,
+                 ln(tan((90 + lat) * pi() / 360.0)) / pi()
+                     * 20037508.342789244 AS my
+          FROM p
+        ), k AS (
+          SELECT i, mx, my,
+                 CAST(floor((mx + 20037508.342789244)
+                      / (20037508.342789244 / 4)) AS INT) AS tx,
+                 CAST(floor((20037508.342789244 - my)
+                      / (20037508.342789244 / 4)) AS INT) AS ty
+          FROM m
+        )
+        SELECT i, tx, ty,
+               CAST(round((mx + 20037508.342789244)
+                    / (20037508.342789244 / 4) * 4096
+                    - tx * 4096, 0) AS INT) AS px,
+               CAST(round((20037508.342789244 - my)
+                    / (20037508.342789244 / 4) * 4096
+                    - ty * 4096, 0) AS INT) AS py
+        FROM k
     """
 
     sqls["image_decode_png"] = """
