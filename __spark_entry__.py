@@ -3022,6 +3022,55 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dxf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DXF source (drivers/vector/dxf): 60 documents with POINT / LINE /
+    closed LWPOLYLINE / CIRCLE entities encoded and parsed back; the
+    circle linearizes at the reference's 4° arc step, so its shoelace
+    area equals the regular-90-gon closed form 45·r²·sin(4°)."""
+    from lib_gdal_spark.sources.dxf import parse_dxf_documents, write_dxf
+
+    base = spark.range(60).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                s = float(k % 4 + 1)
+                ents = [
+                    {"type": "POINT", "point": (2.0 * k, float(k % 7))},
+                    {"type": "LINE", "pts": [(float(k), 0.0),
+                                             (k + 3.0, 2.0)]},
+                    {"type": "LWPOLYLINE", "closed": True,
+                     "pts": [(0.0, 0.0), (s, 0.0), (s, s), (0.0, s)]},
+                    {"type": "CIRCLE", "point": (float(k), float(k)),
+                     "radius": float(k % 3 + 1)},
+                ]
+                rows.append((f"d{k:02d}", write_dxf(ents)))
+            yield pd.DataFrame(rows, columns=["src", "dxf"])
+
+    feats = parse_dxf_documents(
+        base.mapInPandas(mk, schema="src string, dxf string"))
+
+    def measure(batches):
+        for b in batches:
+            meas = []
+            for ent, w in zip(b["entity"], b["geom_wkb"]):
+                wkb = bytes(w)
+                if ent in ("LWPOLYLINE", "CIRCLE"):
+                    meas.append(G.shoelace_area(G.polygon_rings(wkb)))
+                else:
+                    _b, _nd, p = G.parse_wkb_full(wkb)
+                    pts = [p] if ent == "POINT" else p
+                    meas.append(sum(q[0] + 2.0 * q[1] for q in pts))
+            yield pd.DataFrame({"src": b["src"], "fid": b["fid"],
+                                "entity": b["entity"],
+                                "meas": [round(m, 6) for m in meas]})
+
+    return feats.mapInPandas(
+        measure, schema="src string, fid long, entity string, meas double")
+
+
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mapbox Vector Tile codec (drivers/vector/mvt): 200 point features
     fan into z=3 tiles (one keyed shuffle), each tile protobuf-encodes
@@ -3929,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_convert": q_format_convert,
         "image_decode_png": q_image_decode_png,
         "mvt_tiles": q_mvt_tiles,
+        "dxf_entities": q_dxf_entities,
     }
 
 
@@ -7465,6 +7515,23 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["dxf_entities"] = """
+        SELECT 'd' || CASE WHEN k < 10 THEN '0' ELSE '' END || k AS src,
+               CAST(j AS BIGINT) AS fid,
+               CASE j WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINE'
+                      WHEN 2 THEN 'LWPOLYLINE' ELSE 'CIRCLE' END
+                   AS entity,
+               round(CASE j
+                 WHEN 0 THEN 2 * k + 2 * (k % 7)
+                 WHEN 1 THEN 2 * k + 7
+                 WHEN 2 THEN (k % 4 + 1) * (k % 4 + 1)
+                 ELSE 45.0 * (k % 3 + 1) * (k % 3 + 1)
+                      * sin(radians(4))
+               END, 6) AS meas
+        FROM generate_series(0, 59) a(k)
+        CROSS JOIN generate_series(0, 3) b(j)
     """
 
     # mvt_tiles: web-mercator quantization reproduced closed-form —
