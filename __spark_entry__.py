@@ -3022,6 +3022,29 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): the eval set is the
+    first 13 words of every 10th document; every document sharing any
+    13-gram with it must flag. Broadcast gram-hash semi-join — the
+    corpus never shuffles."""
+    from lib_gdal_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def mk_bench(batches):
+        for b in batches:
+            out = []
+            for did, t in zip(b["doc_id"], b["text"]):
+                if int(did) % 10 == 0:
+                    out.append(" ".join(t.lower().split()[:13]))
+            yield pd.DataFrame({"text": out})
+
+    bench = docs.mapInPandas(mk_bench, schema="text string")
+    return decontaminate(docs, bench, n=13).select(
+        "doc_id", "contaminated")
+
+
 def q_dxf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DXF source (drivers/vector/dxf): 60 documents with POINT / LINE /
     closed LWPOLYLINE / CIRCLE entities encoded and parsed back; the
@@ -3979,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_png": q_image_decode_png,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -7515,6 +7539,34 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    # decontaminate: independent n-gram overlap reproduction in SQL
+    # (same tokenization: lowercase, whitespace split, empties dropped;
+    # docs shorter than 13 tokens contribute their whole text as the
+    # single gram).
+    sqls["decontaminate"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 12, 1) + 1)) AS i
+          FROM toks
+        ), grams AS (
+          SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g FROM idx
+        ), bench AS (
+          SELECT DISTINCT array_to_string(t[1:13], ' ') AS g
+          FROM toks WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id IN (
+                 SELECT DISTINCT doc_id FROM grams
+                 WHERE g IN (SELECT g FROM bench)
+               ) THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM documents
     """
 
     sqls["dxf_entities"] = """
