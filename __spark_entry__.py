@@ -3022,6 +3022,28 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus extraction: 5000 pages each carrying two <a>
+    elements (one with nested markup in the anchor, one relative);
+    (src_host, href, anchor) rows emerge from pure JVM regex + transform
+    — the oracle rebuilds them closed-form."""
+    from lib_gdal_spark.operators.links import anchor_text_pairs
+
+    p = spark.range(5000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 300).cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.concat(
+            F.lit('<html><a href="https://t'),
+            ((F.col("id") * 11 + 3) % 500).cast("string"),
+            F.lit('.example/a">go <b>now</b> '),
+            F.col("id").cast("string"),
+            F.lit('</a><p>x</p><a href="/local/'),
+            F.col("id").cast("string"),
+            F.lit('"><i>rel</i></a></html>'),
+        ).alias("html"))
+    return anchor_text_pairs(p)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C): the eval set is the
     first 13 words of every 10th document; every document sharing any
@@ -4003,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
         "decontaminate": q_decontaminate,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -7539,6 +7562,20 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["anchor_text"] = """
+        SELECT 'h' || (id % 300) || '.example' AS src_host, href, anchor
+        FROM generate_series(0, 4999) t(id)
+        CROSS JOIN (VALUES (0), (1)) v(j)
+        CROSS JOIN LATERAL (
+          SELECT CASE WHEN j = 0
+                      THEN 'https://t' || ((id * 11 + 3) % 500)
+                           || '.example/a'
+                      ELSE '/local/' || id END AS href,
+                 CASE WHEN j = 0 THEN 'go now ' || id
+                      ELSE 'rel' END AS anchor
+        ) x
     """
 
     # decontaminate: independent n-gram overlap reproduction in SQL

@@ -116,6 +116,9 @@ BENCH = {
     "link_graph": lambda s: _force(E.q_link_graph(s, SF_DIR)),
     "gtiff_roundtrip": lambda s: _force(E.q_gtiff_roundtrip(s, SF_DIR)),
     "osm_way_assembly": lambda s: _force(E.q_osm_way_assembly(s, SF_DIR)),
+    "cdx_index": lambda s: _force(E.q_cdx_index(s, SF_DIR)),
+    "mvt_tiles": lambda s: _force(E.q_mvt_tiles(s, SF_DIR)),
+    "decontaminate": lambda s: _force(E.q_decontaminate(s, SF_DIR)),
 }
 
 

@@ -60,3 +60,32 @@ def host_in_degree(host_edges: DataFrame) -> DataFrame:
         F.sum("n_links").cast("long").alias("in_links"),
         F.count("*").cast("long").alias("n_src_hosts"),
     )
+
+
+ANCHOR_RE = r'<a[^>]*\shref="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts(html_col: Column) -> Column:
+    """html -> array<struct<href,anchor>>: the (link, anchor text)
+    pairs anchor-text datasets are built from. Two regexp_extract_all
+    passes over the SAME pattern (one per capture group — Spark extracts
+    one group at a time) stay index-aligned by construction; inner
+    markup strips with a JVM transform, so the whole extraction is
+    codegen'd column work."""
+    s = html_col.cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit(ANCHOR_RE), 1)
+    inner = F.regexp_extract_all(s, F.lit(ANCHOR_RE), 2)
+    text = F.transform(
+        inner, lambda t: F.trim(F.regexp_replace(t, r"<[^>]*>", "")))
+    return F.arrays_zip(hrefs.alias("href"), text.alias("anchor"))
+
+
+def anchor_text_pairs(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """pages -> (src_host, href, anchor) rows — the anchor-text corpus
+    (one explode, strings only; zero shuffle)."""
+    return pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(anchor_texts(F.col(html_col))).alias("a"),
+    ).select("src_host", F.col("a.href").alias("href"),
+             F.col("a.anchor").alias("anchor"))

@@ -47,3 +47,19 @@ def test_host_link_graph(spark):
     indeg = {r["dst_host"]: (r["in_links"], r["n_src_hosts"])
              for r in host_in_degree(host_link_graph(df)).collect()}
     assert indeg == {"b.example": (1, 1), "c.example": (3, 2)}
+
+
+def test_anchor_texts(spark):
+    from lib_gdal_spark.operators.links import anchor_text_pairs
+    df = local_df(spark, [
+        ("https://a.example/p",
+         '<a href="https://b.example/x">Click <b>here</b></a>'
+         '<a class="z" href="/rel">  rel text </a>'
+         '<a href="https://c.example/y"><img src="i.png"/></a>'),
+    ], "url string, html string")
+    rows = anchor_text_pairs(df).collect()
+    got = [(r["href"], r["anchor"]) for r in rows]
+    assert got == [("https://b.example/x", "Click here"),
+                   ("/rel", "rel text"),
+                   ("https://c.example/y", "")]
+    assert all(r["src_host"] == "a.example" for r in rows)
