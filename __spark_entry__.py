@@ -3022,6 +3022,40 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dted_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTED elevation codec (drivers/raster/dted, anchor 49187 verified
+    in tests): 30 one-degree cells (121×121, v=(7px+11py+c)%900-100 —
+    negatives exercise the signed-magnitude encoding) written with real
+    record checksums and parsed back distributed; per-cell sum/min plus
+    the cell-corner geotransform must match closed-form."""
+    from lib_gdal_spark.sources.dted import (
+        parse_dted_documents, write_dted)
+
+    base = spark.range(30).select(F.col("id").alias("c"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(121), np.arange(121),
+                             indexing="xy")
+        for b in batches:
+            out = []
+            for c in b["c"]:
+                c = int(c)
+                arr = ((7 * px + 11 * py + c) % 900 - 100) \
+                    .astype(np.float64)
+                out.append((f"t{c:02d}",
+                            write_dted(arr, lon0=c - 15, lat0=40)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    tiles = parse_dted_documents(files, tile=64)
+    return tiles.groupBy(F.col("raster_id")).agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.min(F.array_min("pixels")).cast("long").alias("min_v"),
+        F.round(F.min("gt0"), 9).alias("gt0"),
+    )
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus extraction: 5000 pages each carrying two <a>
     elements (one with nested markup in the anchor, one relative);
@@ -4026,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_entities": q_dxf_entities,
         "decontaminate": q_decontaminate,
         "anchor_text": q_anchor_text,
+        "dted_cells": q_dted_cells,
     }
 
 
@@ -7562,6 +7597,20 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["dted_cells"] = """
+        SELECT 't' || CASE WHEN c < 10 THEN '0' ELSE '' END || c
+                   AS raster_id,
+               CAST(sum((7 * px + 11 * py + c) % 900 - 100) AS BIGINT)
+                   AS sum_v,
+               CAST(min((7 * px + 11 * py + c) % 900 - 100) AS BIGINT)
+                   AS min_v,
+               round(CAST(c - 15 - 1.0 / 240 AS DOUBLE), 9) AS gt0
+        FROM generate_series(0, 29) g(c)
+        CROSS JOIN generate_series(0, 120) a(px)
+        CROSS JOIN generate_series(0, 120) b(py)
+        GROUP BY c
     """
 
     sqls["anchor_text"] = """
