@@ -51,3 +51,20 @@ def test_distributed_reads(spark, tmp_path):
         rows = df.collect()
         assert len(rows) == 4  # 2x2 tiles of 16 over 20x20
         assert sum(sum(r["pixels"]) for r in rows) == float(arr.sum())
+
+
+def test_reference_anchors():
+    """test_gdal_aaigrid.cpp pins pixel_per_line.asc at checksum 1123
+    and byte.tif.grd at 4672 — files written by the real toolchain
+    (incl. Fortran scientific-notation headers)."""
+    import os
+    import pytest as _pt
+    base = "/root/reference/tests/cpp/data"
+    if not os.path.exists(f"{base}/pixel_per_line.asc"):
+        _pt.skip("reference test data not present")
+    arr, gt, nd = parse_aaigrid(open(f"{base}/pixel_per_line.asc").read())
+    assert gdal_checksum(arr) == 1123
+    assert gt == (100000.0, 50.0, 0.0, 650600.0, 0.0, -50.0)
+    assert nd == -99999.0
+    arr, gt, _ = parse_aaigrid(open(f"{base}/byte.tif.grd").read())
+    assert gdal_checksum(arr) == 4672 and gt == GT
