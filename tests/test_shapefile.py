@@ -105,3 +105,25 @@ def test_distributed_parse_no_dbf(spark):
     out = parse_shapefile_documents(df, dbf_col="missing").collect()
     assert len(out) == 1 and out[0]["attrs"] is None
     assert wkb_to_wkt(out[0]["geom_wkb"]) == "POINT (5 5)"
+
+
+def test_reference_poly_shp():
+    """The reference's own poly.shp/.dbf fixture (test_ogr_shape.cpp,
+    the classic OGR autotest layer): 10 polygon features whose EAS_ID
+    sequence is pinned across the reference's test suite, and whose
+    shoelace areas must match the stored AREA attribute."""
+    import os
+    import pytest as _pt
+    base = "/root/reference/tests/cpp/data"
+    if not os.path.exists(f"{base}/poly.shp"):
+        _pt.skip("reference test data not present")
+    from lib_gdal_spark.functions import geometry as G
+    feats = parse_shp(open(f"{base}/poly.shp", "rb").read())
+    names, recs = parse_dbf(open(f"{base}/poly.dbf", "rb").read())
+    assert len(feats) == 10 and names == ["AREA", "EAS_ID", "PRFEDEA"]
+    assert [r["EAS_ID"] for r in recs] == \
+        ["168", "179", "171", "173", "172", "169", "166", "158",
+         "165", "170"]
+    for (_fid, wkb), rec in zip(feats, recs):
+        area = G.shoelace_area(G.polygon_rings(wkb))
+        assert abs(area - float(rec["AREA"])) / float(rec["AREA"]) < 1e-6
