@@ -165,3 +165,21 @@ def test_read_geotiff_overviews_zoom_levels(spark, tmp_path):
     assert z1["gt1"] == 120.0 and z1["gt5"] == -120.0  # 2x coarser
     assert sum(sum(r["pixels"]) for r in by_zoom[1]) == \
         pytest.approx(float(l1.sum(dtype=np.float64)))
+
+
+def test_all_reference_dtype_anchors():
+    """test_gdal_gtiff.cpp:71-82 pins 12 per-dtype fixtures (4672 for
+    every real dtype, 5028 for every complex dtype walking interleaved
+    words, 50054 for utmsmall) — all decode through this codec."""
+    anchors = {"byte.tif": 4672, "int16.tif": 4672, "uint16.tif": 4672,
+               "int32.tif": 4672, "uint32.tif": 4672,
+               "float32.tif": 4672, "float64.tif": 4672,
+               "cint16.tif": 5028, "cint32.tif": 5028,
+               "cfloat32.tif": 5028, "cfloat64.tif": 5028,
+               "utmsmall.tif": 50054}
+    base = "/root/reference/tests/cpp/data/"
+    if not os.path.exists(base + "byte.tif"):
+        pytest.skip("reference test data not present")
+    for f, want in anchors.items():
+        g = parse_geotiff(open(base + f, "rb").read())
+        assert gdal_checksum(g.bands[0].astype(np.float64)) == want, f
