@@ -1981,6 +1981,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (4 iterations, L1-normalized
+    fixed point) on the same 300-node functional link graph as pagerank;
+    oracle = the identical integer arithmetic unrolled as a CTE chain."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    return GG.hits(e1.unionByName(e2)).select(
+        "node", "hub_units", "auth_units")
+
+
 def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearblack (nearblack_lib.cpp): the border-connected near-black
     collar zeroes; the interior near-black blob survives."""
@@ -4061,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "anchor_text": q_anchor_text,
         "dted_cells": q_dted_cells,
+        "hits_scores": q_hits,
     }
 
 
@@ -6664,6 +6682,47 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 6) AS hll_estimate
         FROM e
     """
+
+    # hits: same unrolled-integer-CTE technique as pagerank below.
+    _h_scale = 10**6
+    _h_parts = [
+        """e AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        )""",
+        "nodes AS (SELECT DISTINCT u AS node FROM e "
+        "UNION SELECT DISTINCT v AS node FROM e)",
+        f"h0 AS (SELECT node, CAST({_h_scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for _i in range(4):
+        _h_parts += [
+            f"""araw{_i} AS MATERIALIZED (
+              SELECT e.v AS node, sum(h{_i}.h) AS ar
+              FROM e JOIN h{_i} ON e.u = h{_i}.node GROUP BY e.v)""",
+            f"""a{_i} AS MATERIALIZED (
+              SELECT nodes.node,
+                     (coalesce(ar, 0) * {_h_scale})
+                       // (SELECT sum(ar) FROM araw{_i}) AS a
+              FROM nodes LEFT JOIN araw{_i} USING (node))""",
+            f"""hraw{_i} AS MATERIALIZED (
+              SELECT e.u AS node, sum(a{_i}.a) AS hr
+              FROM e JOIN a{_i} ON e.v = a{_i}.node GROUP BY e.u)""",
+            f"""h{_i + 1} AS MATERIALIZED (
+              SELECT nodes.node,
+                     (coalesce(hr, 0) * {_h_scale})
+                       // (SELECT sum(hr) FROM hraw{_i}) AS h
+              FROM nodes LEFT JOIN hraw{_i} USING (node))""",
+        ]
+    sqls["hits_scores"] = (
+        "WITH " + ",\n".join(_h_parts)
+        + """
+        SELECT h4.node, CAST(h4.h AS BIGINT) AS hub_units,
+               CAST(a3.a AS BIGINT) AS auth_units
+        FROM h4 JOIN a3 USING (node)
+    """)
 
     # pagerank: the same integer fixed-point power iteration unrolled as
     # a CTE chain (floor divisions via //, int64 sums — order-free).

@@ -369,3 +369,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+def hits(edges: DataFrame, n_iters: int = 4,
+         scale: int = 10**6) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over a directed edge list
+    (u, v), in EXACT integer arithmetic like :func:`pagerank`: scores
+    live in ``scale`` fixed-point units and each round L1-normalizes
+    with integer division (sum-normalization keeps the ranking of the
+    classic L2 variant — normalization never reorders — while staying
+    order-independent and oracle-able; the float L2 form is neither).
+
+    Per iteration: auth_raw(v) = Σ hub(u) over in-edges, renormalized to
+    ``scale`` total; hub_raw(u) = Σ auth(v) over out-edges, same. Two
+    keyed shuffles per round (groupBy v, groupBy u) plus two 1-row
+    total aggregates folded in as broadcast frames — the same
+    one-job-per-round shape as pagerank, lineage truncated per round.
+    """
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v"))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node"))).distinct())
+    h = nodes.withColumn("h", F.lit(int(scale)).cast("long")) \
+        .localCheckpoint()
+    a = None
+    for _ in range(n_iters):
+        a_raw = e.join(h, e["u"] == h["node"]).groupBy("v") \
+            .agg(F.sum("h").alias("ar"))
+        ta = a_raw.agg(F.coalesce(F.sum("ar"), F.lit(1)).alias("ta"))
+        a = (nodes.join(a_raw, nodes["node"] == a_raw["v"], "left")
+             .crossJoin(F.broadcast(ta))
+             .select("node", F.expr(
+                 f"(coalesce(ar, 0) * {int(scale)}) div ta").alias("a"))
+             .localCheckpoint())
+        h_raw = e.join(a, e["v"] == a["node"]).groupBy("u") \
+            .agg(F.sum("a").alias("hr"))
+        th = h_raw.agg(F.coalesce(F.sum("hr"), F.lit(1)).alias("th"))
+        h = (nodes.join(h_raw, nodes["node"] == h_raw["u"], "left")
+             .crossJoin(F.broadcast(th))
+             .select("node", F.expr(
+                 f"(coalesce(hr, 0) * {int(scale)}) div th").alias("h"))
+             .localCheckpoint())
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub_units"),
+        F.col("a").alias("auth_units"),
+        (F.col("h") / float(scale)).alias("hub"),
+        (F.col("a") / float(scale)).alias("auth"))

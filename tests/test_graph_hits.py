@@ -1,0 +1,28 @@
+"""HITS hubs/authorities (operators/graph.py::hits)."""
+
+from lib_gdal_spark.operators.graph import hits
+from lib_gdal_spark.session import local_df
+
+
+def test_hits_hub_authority_structure(spark):
+    # 1 links to both sinks, 4 links to one: 1 must out-hub 4;
+    # 2 receives from both hubs plus nothing else? structure:
+    e = local_df(spark, [(1, 2), (1, 3), (4, 2), (2, 3)],
+                 "u long, v long")
+    got = {r["node"]: r for r in hits(e, n_iters=3).collect()}
+    assert got[1]["hub_units"] > got[4]["hub_units"] > 0
+    assert got[3]["auth_units"] >= got[2]["auth_units"] > 0
+    assert got[3]["hub_units"] == 0 and got[1]["auth_units"] == 0
+    # L1 normalization: units sum to <= scale (floor loss only)
+    assert sum(r["hub_units"] for r in got.values()) <= 10**6
+    assert sum(r["auth_units"] for r in got.values()) <= 10**6
+
+
+def test_hits_deterministic_across_parallelism(spark):
+    e = local_df(spark, [(i, (i * 3 + 1) % 40) for i in range(40)],
+                 "u long, v long")
+    a = {(r["node"], r["hub_units"], r["auth_units"])
+         for r in hits(e).collect()}
+    b = {(r["node"], r["hub_units"], r["auth_units"])
+         for r in hits(e.repartition(13)).collect()}
+    assert a == b
