@@ -3039,6 +3039,37 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hgt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRTM .hgt codec (drivers/raster/srtmhgt): 25 degree cells whose
+    georeference lives only in the FILE NAME (NxxWyyy.hgt), raw
+    big-endian int16 grids with the shared-edge half-pixel extent;
+    per-cell sum + gt0 must match closed-form."""
+    from lib_gdal_spark.sources.hgt import parse_hgt_documents, write_hgt
+
+    base = spark.range(25).select(F.col("id").alias("c"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(121), np.arange(121),
+                             indexing="xy")
+        for b in batches:
+            out = []
+            for c in b["c"]:
+                c = int(c)
+                arr = ((3 * px + 5 * py + c) % 4000 - 200) \
+                    .astype(np.float64)
+                out.append((f"N{40 + c:02d}W{100 + c:03d}.hgt",
+                            write_hgt(arr)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    tiles = parse_hgt_documents(files, tile=64)
+    return tiles.groupBy(F.col("raster_id")).agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.round(F.min("gt0"), 9).alias("gt0"),
+    )
+
+
 def q_dted_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTED elevation codec (drivers/raster/dted, anchor 49187 verified
     in tests): 30 one-degree cells (121×121, v=(7px+11py+c)%900-100 —
@@ -4079,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "dted_cells": q_dted_cells,
         "hits_scores": q_hits,
+        "hgt_cells": q_hgt_cells,
     }
 
 
@@ -7656,6 +7688,18 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["hgt_cells"] = """
+        SELECT 'N' || (40 + c) || 'W' || (100 + c) || '.hgt'
+                   AS raster_id,
+               CAST(sum((3 * px + 5 * py + c) % 4000 - 200) AS BIGINT)
+                   AS sum_v,
+               round(CAST(-(100 + c) - 1.0 / 240 AS DOUBLE), 9) AS gt0
+        FROM generate_series(0, 24) g(c)
+        CROSS JOIN generate_series(0, 120) a(px)
+        CROSS JOIN generate_series(0, 120) b(py)
+        GROUP BY c
     """
 
     sqls["dted_cells"] = """
