@@ -3039,6 +3039,26 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys (the range-partition locality key
+    for planet-scale spatial tables): 3000 grid points through the
+    16-level rotate-and-accumulate transform; the oracle unrolls the
+    same integer algorithm as a 16-step CTE chain."""
+    from lib_gdal_spark.functions.cells import hilbert_xy2d
+
+    base = spark.range(3000).select(F.col("id").alias("i"))
+
+    def work(batches):
+        for b in batches:
+            i = b["i"].to_numpy()
+            qx = (7 * i) % 65536
+            qy = (13 * i + 5) % 65536
+            yield pd.DataFrame({"i": i,
+                                "hkey": hilbert_xy2d(qx, qy, 16)})
+
+    return base.mapInPandas(work, schema="i long, hkey long")
+
+
 def q_hgt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRTM .hgt codec (drivers/raster/srtmhgt): 25 degree cells whose
     georeference lives only in the FILE NAME (NxxWyyy.hgt), raw
@@ -4111,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dted_cells": q_dted_cells,
         "hits_scores": q_hits,
         "hgt_cells": q_hgt_cells,
+        "hilbert_keys": q_hilbert_keys,
     }
 
 
@@ -7689,6 +7710,31 @@ def oracle_sql() -> dict[str, str]:
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
     """
+
+    # hilbert_keys: the same rotate-and-accumulate iteration unrolled as
+    # a 16-step integer CTE chain (xor() + CASE rotations, all BIGINT).
+    _hl_parts = [
+        """s0 AS (
+          SELECT i, (7 * i) % 65536 AS x, (13 * i + 5) % 65536 AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM generate_series(0, 2999) t(i)
+        )"""
+    ]
+    for _k in range(16):
+        _s = 1 << (15 - _k)
+        _hl_parts.append(f"""s{_k + 1} AS MATERIALIZED (
+          SELECT i,
+            CASE WHEN (y & {_s}) > 0 THEN x
+                 WHEN (x & {_s}) > 0 THEN {_s} - 1 - y ELSE y END AS x,
+            CASE WHEN (y & {_s}) > 0 THEN y
+                 WHEN (x & {_s}) > 0 THEN {_s} - 1 - x ELSE x END AS y,
+            d + {_s}::BIGINT * {_s} * xor(
+                3 * (CASE WHEN (x & {_s}) > 0 THEN 1 ELSE 0 END),
+                CASE WHEN (y & {_s}) > 0 THEN 1 ELSE 0 END) AS d
+          FROM s{_k})""")
+    sqls["hilbert_keys"] = (
+        "WITH " + ",\n".join(_hl_parts)
+        + "\nSELECT i, CAST(d AS BIGINT) AS hkey FROM s16")
 
     sqls["hgt_cells"] = """
         SELECT 'N' || (40 + c) || 'W' || (100 + c) || '.hgt'

@@ -335,3 +335,81 @@ def uncompact_cells(df, res: int, cell_col: str = "cell"):
         )
         cur = done.unionByName(children)
     raise RuntimeError("uncompact: resolution depth exceeded")
+
+
+def hilbert_xy2d(x, y, order: int = 16):
+    """Vectorized Hilbert-curve distance for integer grid coords in
+    [0, 2^order) (the classic rotate-and-accumulate algorithm).
+
+    Hilbert keys beat Morton/z-order for range-partition locality
+    (every curve step is grid-adjacent, so a contiguous key range is a
+    compact blob, not z-shaped stripes) — this is the clustering key a
+    planet-scale spatial table wants for `repartitionByRange` /
+    bucketed writes. NumPy-vectorized (16 fixed iterations over the
+    whole Arrow batch), no per-row Python.
+    """
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x, dtype=np.int64)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        rot = ry == 0
+        x, y = np.where(rot, y_f, x_f), np.where(rot, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_d2xy(d, order: int = 16):
+    """Inverse of :func:`hilbert_xy2d` (for tests / tile enumeration)."""
+    d = np.asarray(d, dtype=np.int64).copy()
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    t = d.copy()
+    s = np.int64(1)
+    top = np.int64(1) << order
+    while s < top:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        rot = ry == 0
+        x, y = np.where(rot, y_f, x_f), np.where(rot, x_f, y_f)
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def with_hilbert(df, lon_col: str = "lon", lat_col: str = "lat",
+                 order: int = 16, key_col: str = "hkey"):
+    """Add a Hilbert clustering key from lon/lat (web-mercator unit
+    square quantized to 2^order): the drop-in alternative to
+    :func:`with_zorder` where range-partition locality matters more
+    than pure-JVM key math."""
+    import pandas as _pd
+
+    cols = df.columns
+
+    def work(batches):
+        for b in batches:
+            lon = b[lon_col].to_numpy(dtype=np.float64)
+            lat = b[lat_col].to_numpy(dtype=np.float64)
+            nx, ny = mercator_norm(lon, lat)
+            n = np.int64(1) << order
+            qx = np.clip((nx * n).astype(np.int64), 0, int(n) - 1)
+            qy = np.clip((ny * n).astype(np.int64), 0, int(n) - 1)
+            b[key_col] = hilbert_xy2d(qx, qy, order)
+            yield b
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {key_col} long"
+    return df.mapInPandas(work, schema=schema)
