@@ -3166,7 +3166,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bench = docs.mapInPandas(mk_bench, schema="text string")
     return decontaminate(docs, bench, n=13).select(
-        "doc_id", "contaminated")
+        "doc_id", "n_grams", "n_contaminated",
+        F.col("contaminated").cast("int").alias("contaminated"))
 
 
 def q_dxf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7791,17 +7792,22 @@ def oracle_sql() -> dict[str, str]:
                  unnest(range(1, greatest(len(t) - 12, 1) + 1)) AS i
           FROM toks
         ), grams AS (
-          SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g FROM idx
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+          FROM idx
         ), bench AS (
           SELECT DISTINCT array_to_string(t[1:13], ' ') AS g
           FROM toks WHERE doc_id % 10 = 0
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN g IN (SELECT g FROM bench)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+          FROM grams GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(CASE WHEN doc_id IN (
-                 SELECT DISTINCT doc_id FROM grams
-                 WHERE g IN (SELECT g FROM bench)
-               ) THEN 1 ELSE 0 END AS INT) AS contaminated
-        FROM documents
+        SELECT doc_id, n_grams, n_contaminated,
+               CAST(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END
+                    AS INT) AS contaminated
+        FROM agg
     """
 
     sqls["dxf_entities"] = """

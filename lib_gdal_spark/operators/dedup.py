@@ -717,52 +717,3 @@ def line_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("__text", F.lit("")).alias(text_col),
     )
-
-
-def decontaminate(
-    docs: DataFrame,
-    benchmark: DataFrame,
-    n: int = 13,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bench_text_col: str = "text",
-) -> DataFrame:
-    """Benchmark decontamination (the GPT-3 appendix-C rule, kept by
-    most pipelines since): flag every training document sharing ANY
-    word n-gram (default 13) with an evaluation-benchmark text, so it
-    can be dropped before training.
-
-    Scale shape: the benchmark side is tiny (eval sets, not corpora) —
-    its distinct n-gram hash set BROADCASTS; the corpus explodes to
-    (doc_id, gram_hash) int64 keys only (never text) in a narrow map,
-    and the flag is one broadcast semi-join + distinct on doc ids. At
-    10^12 docs nothing shuffles except matched doc ids.
-
-    Returns ``docs`` with an ``int`` ``contaminated`` column (1/0 —
-    int, not nullable bool, for cross-engine hash stability).
-    """
-    import pandas as _pd
-
-    def grams(df: DataFrame, idc: str, tc: str) -> DataFrame:
-        def work(batches):
-            for b in batches:
-                ids: list = []
-                hs: list = []
-                for i, arr in zip(b[idc], _token_hashes(b[tc], n)):
-                    ids.extend([i] * len(arr))
-                    hs.extend(arr.view(np.int64))
-                yield _pd.DataFrame({"_gid": ids, "_gh": hs})
-
-        return df.select(idc, tc).mapInPandas(
-            work, schema="_gid long, _gh long")
-
-    bench_grams = grams(benchmark.select(
-        F.monotonically_increasing_id().alias("_bid"),
-        F.col(bench_text_col)), "_bid", bench_text_col) \
-        .select("_gh").distinct()
-    hits = (grams(docs, id_col, text_col)
-            .join(F.broadcast(bench_grams), "_gh")
-            .select(F.col("_gid").alias(id_col)).distinct()
-            .withColumn("contaminated", F.lit(1)))
-    return docs.join(hits, id_col, "left").withColumn(
-        "contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
