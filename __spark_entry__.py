@@ -3039,6 +3039,49 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gtiff_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF export sink (gdal_translate-to-file parity): 20 rasters
+    (64×64, v=(9px+5py+r)%200) enter as tile tables, gather through the
+    guarded per-raster encode into deflate GeoTIFF blobs, and re-parse;
+    the oracle pins size, gt, and pixel sum closed-form."""
+    from lib_gdal_spark.sources.gtiff import (
+        parse_geotiff, tiles_to_geotiff)
+    from lib_gdal_spark.sources.rasters import (
+        RASTER_COLS, RASTER_SCHEMA, tiles_from_array)
+
+    base = spark.range(20).select(F.col("id").alias("r"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(64), np.arange(64), indexing="xy")
+        for b in batches:
+            rows = []
+            for r in b["r"]:
+                r = int(r)
+                arr = ((9 * px + 5 * py + r) % 200).astype(np.uint8)
+                rows.extend(tiles_from_array(
+                    f"x{r:02d}", arr, (r * 5.0, 1.0, 0.0, 64.0, 0.0,
+                                       -1.0), tile=16))
+            yield pd.DataFrame(rows, columns=RASTER_COLS)
+
+    tiles = base.mapInPandas(mk, schema=RASTER_SCHEMA)
+    blobs = tiles_to_geotiff(tiles, tile=32)
+
+    def reparse(batches):
+        for b in batches:
+            rows = []
+            for rid, blob in zip(b["raster_id"], b["tif"]):
+                g = parse_geotiff(bytes(blob))
+                a = g.bands[0]
+                rows.append((rid, a.shape[1], a.shape[0],
+                             float(a.sum(dtype=np.float64)), g.gt[0]))
+            yield pd.DataFrame(rows, columns=["raster_id", "w", "h",
+                                              "sum_v", "gt0"])
+
+    return blobs.mapInPandas(
+        reparse, schema="raster_id string, w int, h int, sum_v double, "
+                        "gt0 double")
+
+
 def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve clustering keys (the range-partition locality key
     for planet-scale spatial tables): 3000 grid points through the
@@ -4133,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "hgt_cells": q_hgt_cells,
         "hilbert_keys": q_hilbert_keys,
+        "gtiff_export": q_gtiff_export,
     }
 
 
@@ -7710,6 +7754,18 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["gtiff_export"] = """
+        SELECT 'x' || CASE WHEN r < 10 THEN '0' ELSE '' END || r
+                   AS raster_id,
+               CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
+               CAST(sum((9 * px + 5 * py + r) % 200) AS DOUBLE) AS sum_v,
+               CAST(r * 5.0 AS DOUBLE) AS gt0
+        FROM generate_series(0, 19) g(r)
+        CROSS JOIN generate_series(0, 63) a(px)
+        CROSS JOIN generate_series(0, 63) b(py)
+        GROUP BY r
     """
 
     # hilbert_keys: the same rotate-and-accumulate iteration unrolled as

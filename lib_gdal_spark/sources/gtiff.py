@@ -781,3 +781,82 @@ def read_geotiff(spark: SparkSession, path: str, tile: int = 256,
     ``overviews=True`` also maps internal overview IFDs to zoom 1..n."""
     files = spark.read.format("binaryFile").load(path)
     return parse_geotiff_documents(files, tile=tile, overviews=overviews)
+
+
+def tiles_to_geotiff(tiles: DataFrame, *, compression: int = COMP_DEFLATE,
+                     predictor: int = 1, tile: int = 256,
+                     cog: bool = True,
+                     max_pixels_per_raster: int = 64 * 1024 * 1024
+                     ) -> DataFrame:
+    """Tile-table rows -> one encoded GeoTIFF blob per raster_id:
+    (raster_id, n_bands, n_levels, tif binary) — the export sink
+    (gdal_translate-to-file parity). Zoom levels become COG overview
+    IFDs when ``cog``.
+
+    A FILE is one object, so each raster's tiles gather into ONE task
+    (groupBy raster_id + applyInPandas) — inherent to any file sink,
+    same contract as the MBTiles writer. ``max_pixels_per_raster``
+    guards the gather: beyond it (default 64 Mpx ≈ 512 MB float64)
+    the encode raises instead of silently OOMing an executor; planetary
+    rasters should export per-level tile tables (MBTiles/TMS sinks) or
+    shard by window first.
+    """
+    import pandas as _pd
+
+    def work(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        (rid,) = key
+        total_px = int((pdf["tile_w"] * pdf["tile_h"]).sum())
+        if total_px > max_pixels_per_raster:
+            raise ValueError(
+                f"raster {rid}: {total_px} px exceeds the single-file "
+                f"gather guard ({max_pixels_per_raster}); export via the "
+                "tile-store sinks or shard by window")
+        levels = []
+        for z in sorted(pdf["zoom"].unique()):
+            zp = pdf[pdf["zoom"] == z]
+            bands = []
+            gt = None
+            for b in sorted(zp["band"].unique()):
+                bp = zp[zp["band"] == b]
+                x_off, acc = {}, 0
+                for tx in sorted(bp["tile_x"].unique()):
+                    x_off[tx] = acc
+                    acc += int(bp[bp["tile_x"] == tx]["tile_w"].iloc[0])
+                w = acc
+                y_off, acc = {}, 0
+                for ty in sorted(bp["tile_y"].unique()):
+                    y_off[ty] = acc
+                    acc += int(bp[bp["tile_y"] == ty]["tile_h"].iloc[0])
+                h = acc
+                arr = np.zeros((h, w))
+                for _, r in bp.iterrows():
+                    th, tw = int(r["tile_h"]), int(r["tile_w"])
+                    arr[y_off[r["tile_y"]]:y_off[r["tile_y"]] + th,
+                        x_off[r["tile_x"]]:x_off[r["tile_x"]] + tw] = \
+                        np.asarray(r["pixels"], np.float64).reshape(th, tw)
+                    if r["tile_x"] == min(x_off) and \
+                            r["tile_y"] == min(y_off):
+                        gt = (r["gt0"], r["gt1"], r["gt2"], r["gt3"],
+                              r["gt4"], r["gt5"])
+                dt = zp["dtype"].iloc[0]
+                bands.append(np.ascontiguousarray(arr).astype(dt))
+            levels.append((bands, gt))
+        nodata = pdf["nodata"].iloc[0]
+        nodata = None if _pd.isna(nodata) else float(nodata)
+        if cog and len(levels) > 1:
+            data = write_cog([bs for bs, _gt in levels], levels[0][1],
+                             compression=compression,
+                             predictor=predictor, tile=tile,
+                             nodata=nodata)
+        else:
+            data = write_geotiff(levels[0][0], levels[0][1],
+                                 compression=compression,
+                                 predictor=predictor, tile=tile,
+                                 nodata=nodata)
+        return _pd.DataFrame({
+            "raster_id": [rid], "n_bands": [len(levels[0][0])],
+            "n_levels": [len(levels)], "tif": [data]})
+
+    return tiles.groupBy("raster_id").applyInPandas(
+        work, schema="raster_id string, n_bands int, n_levels int, "
+                     "tif binary")

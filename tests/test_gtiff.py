@@ -183,3 +183,41 @@ def test_all_reference_dtype_anchors():
     for f, want in anchors.items():
         g = parse_geotiff(open(base + f, "rb").read())
         assert gdal_checksum(g.bands[0].astype(np.float64)) == want, f
+
+
+def test_tiles_to_geotiff_export(spark):
+    """Tile table -> COG blob per raster: byte20 fixture re-exported and
+    re-parsed must checksum 4672 at level 0, with the overview chain
+    and georeference intact."""
+    from lib_gdal_spark.sources.gtiff import (
+        parse_geotiff_all, tiles_to_geotiff)
+    from lib_gdal_spark.sources.rasters import (
+        RASTER_COLS, RASTER_SCHEMA, tiles_from_array)
+    b20 = byte20()
+    l1 = (b20.reshape(10, 2, 10, 2).astype(np.float64)
+          .mean(axis=(1, 3))).astype(np.uint8)
+    rows = (tiles_from_array("r", b20, BYTE20_GT, tile=16, zoom=0)
+            + tiles_from_array("r", l1,
+                               (BYTE20_GT[0], 120.0, 0.0, BYTE20_GT[3],
+                                0.0, -120.0), tile=16, zoom=1))
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in RASTER_COLS) for r in rows],
+        schema=RASTER_SCHEMA)
+    out = tiles_to_geotiff(df, tile=16).collect()
+    assert len(out) == 1 and out[0]["n_levels"] == 2
+    levels = parse_geotiff_all(bytes(out[0]["tif"]))
+    assert gdal_checksum(levels[0].bands[0].astype(np.float64)) == 4672
+    assert np.array_equal(levels[1].bands[0], l1)
+    assert levels[0].gt == BYTE20_GT
+
+
+def test_tiles_to_geotiff_guard(spark):
+    from lib_gdal_spark.sources.gtiff import tiles_to_geotiff
+    from lib_gdal_spark.sources.rasters import (
+        RASTER_COLS, RASTER_SCHEMA, tiles_from_array)
+    rows = tiles_from_array("r", byte20(), BYTE20_GT, tile=16)
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in RASTER_COLS) for r in rows],
+        schema=RASTER_SCHEMA)
+    with pytest.raises(Exception, match="gather guard"):
+        tiles_to_geotiff(df, max_pixels_per_raster=100).collect()
