@@ -41,12 +41,14 @@ QUERIES = [
 ]
 
 
-def _stage_totals(ui: str, app: str) -> tuple[int, int]:
+def _stage_totals(ui: str, app: str) -> tuple[int, int, int, int]:
     with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
         stages = json.load(r)
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
     wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return rd, wr
+    mem_sp = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk_sp = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    return rd, wr, mem_sp, disk_sp
 
 
 def main() -> None:
@@ -73,18 +75,22 @@ def main() -> None:
         before = _stage_totals(ui, app)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         after = _stage_totals(ui, app)
-        rows.append((name, after[0] - before[0], after[1] - before[1]))
+        rows.append((name, after[0] - before[0], after[1] - before[1],
+                     after[2] - before[2], after[3] - before[3]))
         print(f"{name:24s} shuffle_read={rows[-1][1]:>12,}  "
-              f"shuffle_write={rows[-1][2]:>12,}")
+              f"shuffle_write={rows[-1][2]:>12,}  "
+              f"spill_mem={rows[-1][3]:>10,}  spill_disk={rows[-1][4]:>8,}")
     spark.stop()
     if "--write" in sys.argv:
         with open(os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "BENCH.md"), "a") as f:
             f.write("\n## Shuffle-volume audit (sf0.1, local[32])\n\n")
-            f.write("| query | shuffle read | shuffle write |\n")
-            f.write("| --- | --- | --- |\n")
-            for name, rd, wr in rows:
-                f.write(f"| {name} | {rd:,} B | {wr:,} B |\n")
+            f.write("| query | shuffle read | shuffle write | "
+                    "spill (mem/disk) |\n")
+            f.write("| --- | --- | --- | --- |\n")
+            for name, rd, wr, sm, sd in rows:
+                f.write(f"| {name} | {rd:,} B | {wr:,} B | "
+                        f"{sm:,} / {sd:,} B |\n")
             f.write(
                 "\nReproduce: `python tools/shuffle_audit.py --write`. "
                 "Broadcast-side joins (PIP, kNN, rasterize, overlays) show "
@@ -93,7 +99,9 @@ def main() -> None:
                 "dedup groupBy) shuffle O(perimeter)/O(candidates), not "
                 "O(pixels)/O(corpus^2).\n"
             )
-    print(json.dumps({n: {"read": r, "write": w} for n, r, w in rows}))
+    print(json.dumps({n: {"read": r, "write": w, "spill_mem": sm,
+                      "spill_disk": sd}
+                  for n, r, w, sm, sd in rows}))
 
 
 if __name__ == "__main__":
