@@ -59,3 +59,47 @@ def test_png_roundtrip(h, w, nb, seed):
              for _ in range(nb)]
     p = parse_png(write_png(bands))
     assert all(np.array_equal(a, b) for a, b in zip(p.bands, bands))
+
+
+SHAPE_PTS = st.lists(
+    st.tuples(st.floats(-180, 180, allow_nan=False, width=32),
+              st.floats(-90, 90, allow_nan=False, width=32)),
+    min_size=2, max_size=40)
+
+
+@given(SHAPE_PTS, st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_shapefile_polyline_roundtrip(pts, seed):
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.sources.shapefile import (
+        SHP_POLYLINE, parse_shp, write_shp)
+    arr = np.asarray(pts, dtype=np.float64)
+    feats = parse_shp(write_shp([(0, [arr])], SHP_POLYLINE))
+    _b, _nd, got = G.parse_wkb_full(feats[0][1])
+    assert np.allclose(np.asarray(got), arr, rtol=0, atol=0)
+
+
+@given(st.lists(st.tuples(
+    st.floats(-1000, 1000, allow_nan=False, width=32),
+    st.floats(-1000, 1000, allow_nan=False, width=32)),
+    min_size=2, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_dxf_polyline_roundtrip(pts):
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.sources.dxf import parse_dxf, write_dxf
+    rows = parse_dxf(write_dxf([{"type": "LWPOLYLINE", "pts": pts}]))
+    _b, _nd, got = G.parse_wkb_full(rows[0][5])
+    assert np.allclose(np.asarray(got),
+                       np.asarray(pts, dtype=np.float64), rtol=0, atol=0)
+
+
+@given(st.lists(st.integers(-32767, 32767), min_size=4, max_size=4),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_dted_roundtrip_fuzz(corners, seed):
+    from lib_gdal_spark.sources.dted import parse_dted, write_dted
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32767, 32767, (121, 121)).astype(np.float64)
+    a[0, 0], a[0, -1], a[-1, 0], a[-1, -1] = corners
+    got, _gt = parse_dted(write_dted(a, lon0=-80, lat0=43))
+    assert np.array_equal(got, a)
