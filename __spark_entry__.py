@@ -3039,6 +3039,48 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_georss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoRSS source (drivers/vector/georss): 100 feeds of 5 items with
+    GeoRSS-Simple points in LAT-LON order (the trapsverse convention this
+    format alone uses); output echoes decoded lon/lat — a swapped axis
+    breaks every row."""
+    from lib_gdal_spark.sources.georss import parse_georss_documents
+
+    base = spark.range(100).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                items = "".join(
+                    f"<item><title>t{j}</title><georss:point>"
+                    f"{(k + j) % 80 - 40} {(3 * k + j) % 340 - 170}"
+                    f"</georss:point></item>" for j in range(5))
+                out.append((f"f{k}",
+                            '<rss xmlns:georss="http://www.georss.org/'
+                            f'georss"><channel>{items}</channel></rss>'))
+            yield pd.DataFrame(out, columns=["src", "rss"])
+
+    feats = parse_georss_documents(
+        base.mapInPandas(mk, schema="src string, rss string"))
+
+    def decode(batches):
+        for b in batches:
+            lon, lat = [], []
+            for w in b["geom_wkb"]:
+                p = G.parse_wkb_full(bytes(w))[2]
+                lon.append(p[0])
+                lat.append(p[1])
+            yield pd.DataFrame({"src": b["src"], "fid": b["fid"],
+                                "title": b["title"],
+                                "lon": lon, "lat": lat})
+
+    return feats.mapInPandas(
+        decode, schema="src string, fid long, title string, lon double, "
+                       "lat double")
+
+
 def q_gtiff_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF export sink (gdal_translate-to-file parity): 20 rasters
     (64×64, v=(9px+5py+r)%200) enter as tile tables, gather through the
@@ -4177,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hgt_cells": q_hgt_cells,
         "hilbert_keys": q_hilbert_keys,
         "gtiff_export": q_gtiff_export,
+        "georss_items": q_georss_items,
     }
 
 
@@ -7754,6 +7797,15 @@ def oracle_sql() -> dict[str, str]:
                    AS area
         FROM generate_series(0, 59) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
+    """
+
+    sqls["georss_items"] = """
+        SELECT 'f' || k AS src, CAST(j AS BIGINT) AS fid,
+               't' || j AS title,
+               CAST((3 * k + j) % 340 - 170 AS DOUBLE) AS lon,
+               CAST((k + j) % 80 - 40 AS DOUBLE) AS lat
+        FROM generate_series(0, 99) a(k)
+        CROSS JOIN generate_series(0, 4) b(j)
     """
 
     sqls["gtiff_export"] = """
