@@ -3041,7 +3041,7 @@ def q_gtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_georss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoRSS source (drivers/vector/georss): 100 feeds of 5 items with
-    GeoRSS-Simple points in LAT-LON order (the trapsverse convention this
+    GeoRSS-Simple points in LAT-LON order (the transposed axis convention this
     format alone uses); output echoes decoded lon/lat — a swapped axis
     breaks every row."""
     from lib_gdal_spark.sources.georss import parse_georss_documents
