@@ -3714,6 +3714,54 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET/WAT sidecar ingest (the Common-Crawl extracted-text +
+    metadata formats beside each .warc.gz): 30 synthetic .wet.gz and 30
+    .wat.gz files (20 records each) are encoded on the executors,
+    parsed back through the shared WARC envelope reader, and the two
+    views joined on url; token count (WET text), page title and link
+    count (WAT JSON, parsed JVM-side with from_json) must match the
+    closed-form oracle."""
+    from lib_gdal_spark.sources.warc import (
+        parse_warc_documents, wat_metadata_records, wet_text_records,
+        write_wat, write_wet)
+
+    base = spark.range(30).select(F.col("id").alias("k"))
+
+    def mk(batches):
+        for b in batches:
+            out = []
+            for k in b["k"]:
+                k = int(k)
+                wet, wat = [], []
+                for i in range(20):
+                    g = k * 20 + i
+                    url = f"https://h{g % 300}.example/p/{g}"
+                    date = f"2024-02-01T00:{g // 60:02d}:{g % 60:02d}Z"
+                    wet.append({"url": url, "date": date,
+                                "text": " ".join(
+                                    f"t{g % 7}" for _ in range(5 + g % 13))})
+                    wat.append({"url": url, "date": date,
+                                "title": f"Title {g % 50}",
+                                "links": [f"https://l{j}.example/{g}"
+                                          for j in range(g % 4)]})
+                out.append((f"c{k:02d}.wet.gz", write_wet(wet)))
+                out.append((f"c{k:02d}.wat.gz", write_wat(wat)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    recs = parse_warc_documents(files)
+    wet = wet_text_records(recs)
+    wat = wat_metadata_records(recs)
+    return wet.join(wat, ["url", "warc_ts"]).select(
+        "url",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+    )
+
+
 def q_cog_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cloud-Optimized GeoTIFF sink (gtiff overviews / COG layout): 30
     rasters (64×64, v=(3px+5py+r)%97) get 3-level 2×2-average pyramids,
@@ -4201,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_way_assembly": q_osm_way_assembly,
         "cog_pyramid": q_cog_pyramid,
         "warc_ingest": q_warc_ingest,
+        "wet_wat_ingest": q_wet_wat_ingest,
         "robots_filter": q_robots_filter,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
@@ -8104,6 +8153,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 200 END AS INT) AS http_status,
                CAST(50 + g % 200 AS BIGINT) AS n_bytes,
                CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + g AS BIGINT)
+                   AS ts_epoch
+        FROM g
+    """
+
+    sqls["wet_wat_ingest"] = """
+        WITH g AS (
+          SELECT k, i, k * 20 + i AS g
+          FROM generate_series(0, 29) a(k)
+          CROSS JOIN generate_series(0, 19) b(i)
+        )
+        SELECT 'https://h' || (g % 300) || '.example/p/' || g AS url,
+               CAST(5 + g % 13 AS BIGINT) AS n_tokens,
+               'Title ' || (g % 50) AS title,
+               CAST(g % 4 AS BIGINT) AS n_links,
+               CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') + g AS BIGINT)
                    AS ts_epoch
         FROM g
     """

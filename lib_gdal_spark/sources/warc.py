@@ -67,7 +67,9 @@ def _parse_record(raw: bytes) -> tuple | None:
     url = headers.get("warc-target-uri")
     date = headers.get("warc-date")
     status = None
-    ctype = None
+    # non-response records (WET conversion, WAT metadata, …) carry their
+    # payload type in the WARC header itself
+    ctype = headers.get("content-type") if wtype != "response" else None
     body = payload
     if wtype == "response" and payload.startswith(b"HTTP/"):
         he = payload.find(b"\r\n\r\n")
@@ -154,6 +156,58 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
+def _wrap_record(wtype: str, url: str, date: str, content_type: str,
+                 payload: bytes, gzip_members: bool) -> bytes:
+    """One non-response WARC record (WET ``conversion`` / WAT
+    ``metadata``) in the CC per-record-gzip-member convention."""
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    rec = head + payload + b"\r\n\r\n"
+    return gzip.compress(rec, compresslevel=6, mtime=0) if gzip_members \
+        else rec
+
+
+def write_wet(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Common-Crawl WET (extracted-text) encode: records
+    [{url, date, text}] -> ``WARC-Type: conversion`` +
+    ``Content-Type: text/plain`` members. Deterministic."""
+    out = bytearray()
+    for r in records:
+        out += _wrap_record("conversion", r["url"], r["date"],
+                            "text/plain", r["text"].encode("utf-8"),
+                            gzip_members)
+    return bytes(out)
+
+
+def write_wat(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Common-Crawl WAT (metadata) encode: records
+    [{url, date, title, links: [str]}] -> ``WARC-Type: metadata`` +
+    ``Content-Type: application/json`` members carrying the CC WAT
+    envelope shape (Envelope -> Payload-Metadata ->
+    HTTP-Response-Metadata -> HTML-Metadata -> Head/Links)."""
+    import json
+
+    out = bytearray()
+    for r in records:
+        doc = {"Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": r["url"], "WARC-Date": r["date"]},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {
+                    "Head": {"Title": r.get("title", "")},
+                    "Links": [{"path": "A@/href", "url": u}
+                              for u in r.get("links", [])]}}}}}
+        payload = json.dumps(doc, sort_keys=True,
+                             separators=(",", ":")).encode("utf-8")
+        out += _wrap_record("metadata", r["url"], r["date"],
+                            "application/json", payload, gzip_members)
+    return bytes(out)
+
+
 # ---------------------------------------------------- Spark integration
 def parse_warc_documents(files: DataFrame, content_col: str = "content",
                          id_col: str = "path") -> DataFrame:
@@ -177,6 +231,53 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file(s) at ``path`` (glob ok) -> distributed record table."""
     files = spark.read.format("binaryFile").load(path)
     return parse_warc_documents(files)
+
+
+def wet_text_records(records: DataFrame) -> DataFrame:
+    """WET record table -> (url, warc_ts, text): the extracted-text view
+    Common Crawl publishes beside each .warc.gz. Pure JVM projection
+    (decode + filter); this is the natural ingest head when the pipeline
+    wants text without the HTML parse."""
+    return records.where(F.col("warc_type") == "conversion").select(
+        "url",
+        F.to_timestamp("warc_date",
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
+#: CC WAT envelope subset (Head.Title + Links) — hyphenated JSON keys
+#: are fine as StructType field names, keeping the parse in the JVM.
+_WAT_SCHEMA = (
+    "struct<Envelope: struct<"
+    "`Payload-Metadata`: struct<"
+    "`HTTP-Response-Metadata`: struct<"
+    "`HTML-Metadata`: struct<"
+    "Head: struct<Title: string>, "
+    "Links: array<struct<path: string, url: string>>>>>>>"
+)
+
+
+def wat_metadata_records(records: DataFrame) -> DataFrame:
+    """WAT record table -> (url, warc_ts, title, links array<string>):
+    the CC metadata sidecar, parsed with ``from_json`` so the whole JSON
+    walk stays JVM-side (no Python in the record path)."""
+    meta = F.from_json(F.decode(F.col("body"), "UTF-8"), _WAT_SCHEMA)
+    html_md = (meta["Envelope"]["Payload-Metadata"]
+               ["HTTP-Response-Metadata"]["HTML-Metadata"])
+    return records.where(
+        (F.col("warc_type") == "metadata")
+        & (F.col("content_type") == "application/json")
+    ).select(
+        "url",
+        F.to_timestamp("warc_date",
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        html_md["Head"]["Title"].alias("title"),
+        F.coalesce(
+            F.transform(html_md["Links"], lambda l: l["url"]),
+            F.array().cast("array<string>"),
+        ).alias("links"),
+    )
 
 
 def warc_response_pages(records: DataFrame) -> DataFrame:
