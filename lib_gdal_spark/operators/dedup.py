@@ -569,6 +569,115 @@ def remove_repeated_windows(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = 4,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    LBFS/rsync-style dedup, applied at token granularity): a chunk
+    boundary falls AFTER every token whose md5 ends in a hex digit
+    divisible by ``divisor`` (expected chunk length = ``divisor`` tokens
+    for divisor in {2,4,8,16}), so boundaries depend only on content —
+    an insertion early in a document shifts at most one chunk, unlike
+    fixed-length chunking where every downstream chunk changes. That
+    stability is what makes chunk-hash dedup catch shared boilerplate
+    across near-identical pages.
+
+    ``min_tokens`` suppresses boundaries before a chunk reaches that
+    size; ``max_tokens`` forces one at that size (the classic CDC
+    min/max clamps). Tokenization matches the corpus convention:
+    lowercase, whitespace split, empties dropped.
+
+    Output: (id, chunk_no, chunk_text, n_tokens, chunk_hash) — one row
+    per chunk, in document order.
+
+    Scale: the whole chunker is one JVM ``aggregate`` over the token
+    array (no explode of the corpus, no shuffle, no Python); only the
+    final posexplode widens rows, and it widens to chunks, not tokens.
+    """
+    if divisor not in (2, 4, 8, 16):
+        raise ValueError("divisor must be one of 2, 4, 8, 16")
+    chars = [h for h in "0123456789abcdef" if int(h, 16) % divisor == 0]
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+    def grow(cur, t):
+        return F.when(cur == "", t).otherwise(F.concat(cur, F.lit(" "), t))
+
+    def merge(acc, t):
+        cur2 = grow(acc["cur"], t)
+        n2 = acc["n"] + 1
+        cut = (F.substring(F.md5(t), 32, 1).isin(*chars)
+               & (n2 >= F.lit(min_tokens)))
+        if max_tokens is not None:
+            cut = cut | (n2 >= F.lit(max_tokens))
+        return F.struct(
+            F.when(cut, F.concat(acc["done"], F.array(cur2)))
+            .otherwise(acc["done"]).alias("done"),
+            F.when(cut, F.lit("")).otherwise(cur2).alias("cur"),
+            F.when(cut, F.lit(0)).otherwise(n2).alias("n"),
+        )
+
+    chunks = F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.lit("").alias("cur"),
+            F.lit(0).alias("n"),
+        ),
+        merge,
+        lambda acc: F.when(acc["cur"] == "", acc["done"])
+        .otherwise(F.concat(acc["done"], F.array(acc["cur"]))),
+    )
+    return docs.select(
+        id_col, F.posexplode(chunks).alias("chunk_no", "chunk_text")
+    ).select(
+        id_col,
+        "chunk_no",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    divisor: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level duplicate report: CDC-chunk the corpus and group by
+    chunk hash, keeping chunks seen in >= ``min_docs`` distinct
+    documents — the "find the shared boilerplate" query, at a fraction
+    of the shingle-window cost (one row per CHUNK, not per token
+    window).
+
+    Output: (chunk_hash, n_tokens, n_docs, n_occurrences).
+
+    Scale: the only shuffle is a keys-only groupBy on chunk_hash with
+    map-side combine; the corpus text itself never moves.
+    """
+    ch = cdc_chunks(docs, divisor=divisor, id_col=id_col,
+                    text_col=text_col)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def bloom_membership(
     docs: DataFrame,
     blocklist: DataFrame,
