@@ -1170,7 +1170,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(d, k=3)
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_decontaminate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: word-3-gram overlap between a training
     split and a (broadcast) eval split of the documents table; the
     corpus streams once, the eval gram set is broadcast."""
@@ -1188,6 +1188,26 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (distributed window-hash variant of Lee et al. 2021)."""
     d = _t(spark, sf_dir, "documents")
     return DD.remove_repeated_windows(d, length=8)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the documents table (boundary after
+    every token whose md5 ends in a hex digit divisible by 4): chunk
+    numbering, token counts, and chunk hashes must match the windowed
+    SQL oracle exactly. The chunker is a single JVM array-aggregate —
+    the corpus is never exploded to token rows."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.cdc_chunks(d).select(
+        "doc_id", "chunk_no", "n_tokens", "chunk_hash")
+
+
+def q_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate report over CDC chunks: every chunk seen in
+    >=2 distinct documents, with its document and occurrence counts
+    (the shared-boilerplate detector; keys-only shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.cdc_duplicate_chunks(d).select(
+        "chunk_hash", "n_tokens", "n_docs", "n_occurrences")
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4198,7 +4218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
-        "decontaminate": q_decontaminate,
+        "decontaminate_3gram": q_decontaminate_3gram,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dup_chunks": q_cdc_dup_chunks,
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5198,41 +5220,6 @@ def oracle_sql() -> dict[str, str]:
         FROM base
     """
 
-    score_cols = ",\n".join(
-        f"          {_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS
-    )
-    when_chain = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in _LANGS)
-    sqls["lang_id"] = f"""
-        WITH low AS (SELECT doc_id, lower(text) AS low FROM documents),
-        scored AS (
-          SELECT doc_id,
-{score_cols}
-          FROM low
-        ),
-        mx AS (
-          SELECT doc_id, s_en, s_de, s_fr, s_es, s_ru, s_zh,
-                 greatest(s_en, s_de, s_fr, s_es, s_ru, s_zh) AS m
-          FROM scored
-        )
-        SELECT doc_id,
-               CASE WHEN m <= 0 THEN 'und' {when_chain} END AS lang_pred
-        FROM mx
-    """
-
-    sqls["cosine_near_dup"] = """
-        WITH c AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        FROM c a JOIN c b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-    """
-
     sqls["cosine_topk"] = """
         WITH q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
@@ -6230,7 +6217,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.
-    sqls["decontaminate"] = r"""
+    sqls["decontaminate_3gram"] = r"""
         WITH t AS (
           SELECT doc_id,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -7352,26 +7339,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {lang_pred} AS lang_pred FROM sc
     """
 
-    _cos = ("round(list_dot_product(qv, v) / "
-            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
-            ", 6)")
-    sqls["cosine_topk"] = f"""
-        WITH q AS (
-          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-          WHERE vec_id < 8
-        ),
-        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        j AS (
-          SELECT qid, vec_id, {_cos} AS cos_sim
-          FROM q CROSS JOIN c WHERE qid <> vec_id
-        )
-        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
-          FROM j
-        ) WHERE rank <= 5
-    """
-
     sqls["cosine_near_dup"] = f"""
         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -8170,6 +8137,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') + g AS BIGINT)
                    AS ts_epoch
         FROM g
+    """
+
+    # cdc: boundary flags are per-token pure (md5 last hex digit % 4),
+    # so chunk_no is a windowed running count of PRIOR boundaries and
+    # chunk text a per-(doc, chunk_no) ordered string_agg.
+    _cdc_chunked = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 unnest(range(1, len(t) + 1)) AS i
+          FROM toks
+        ), fl AS (
+          SELECT doc_id, tok, i,
+                 CASE WHEN strpos('048c', right(md5(tok), 1)) > 0
+                      THEN 1 ELSE 0 END AS b
+          FROM ex
+        ), cn AS (
+          SELECT doc_id, tok, i,
+                 COALESCE(SUM(b) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cno
+          FROM fl
+        ), ch AS (
+          SELECT doc_id, CAST(cno AS INT) AS chunk_no,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+          FROM cn GROUP BY doc_id, cno
+        )
+    """
+    sqls["cdc_chunks"] = _cdc_chunked + """
+        SELECT doc_id, chunk_no, n_tokens, chunk_hash FROM ch
+    """
+    sqls["cdc_dup_chunks"] = _cdc_chunked + """
+        SELECT chunk_hash, max(n_tokens) AS n_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM ch GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) >= 2
     """
 
     # cog_pyramid: block-average sums telescope — sum(level k) equals
