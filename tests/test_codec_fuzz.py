@@ -103,3 +103,47 @@ def test_dted_roundtrip_fuzz(corners, seed):
     a[0, 0], a[0, -1], a[-1, 0], a[-1, -1] = corners
     got, _gt = parse_dted(write_dted(a, lon0=-80, lat0=43))
     assert np.array_equal(got, a)
+
+
+# ------------------------------------------------- WARC/WET/WAT fuzz
+URLS = st.text(
+    alphabet=st.sampled_from("abcdefghij0123456789./-_"), min_size=1,
+    max_size=40).map(lambda p: "https://ex.example/" + p)
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           blacklist_categories=("Cs", "Cc")),
+    max_size=300)
+
+
+@given(st.lists(st.tuples(URLS, TEXTS), min_size=1, max_size=8),
+       st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_wet_roundtrip_fuzz(recs, gz):
+    from lib_gdal_spark.sources.warc import parse_warc, write_wet
+    wet = [{"url": u, "date": "2024-01-01T00:00:00Z", "text": t}
+           for u, t in recs]
+    rows = parse_warc(write_wet(wet, gzip_members=gz))
+    assert len(rows) == len(wet)
+    for row, rec in zip(rows, wet):
+        assert row[1] == "conversion"
+        assert row[2] == rec["url"]
+        assert row[6].decode("utf-8") == rec["text"]
+
+
+@given(st.lists(st.tuples(URLS, TEXTS, st.lists(URLS, max_size=4)),
+                min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_wat_roundtrip_fuzz(recs):
+    import json
+
+    from lib_gdal_spark.sources.warc import parse_warc, write_wat
+    wat = [{"url": u, "date": "2024-01-01T00:00:00Z", "title": t,
+            "links": ls} for u, t, ls in recs]
+    rows = parse_warc(write_wat(wat))
+    assert len(rows) == len(wat)
+    for row, rec in zip(rows, wat):
+        env = json.loads(row[6].decode("utf-8"))["Envelope"]
+        md = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"]
+        assert md["Head"]["Title"] == rec["title"]
+        assert [x["url"] for x in md["Links"]] == rec["links"]
