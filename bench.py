@@ -119,6 +119,9 @@ BENCH = {
     "cdx_index": lambda s: _force(E.q_cdx_index(s, SF_DIR)),
     "mvt_tiles": lambda s: _force(E.q_mvt_tiles(s, SF_DIR)),
     "decontaminate": lambda s: _force(E.q_decontaminate(s, SF_DIR)),
+    # round-3 continuation additions
+    "cdc_chunks": lambda s: _force(E.q_cdc_chunks(s, SF_DIR)),
+    "wet_wat_ingest": lambda s: _force(E.q_wet_wat_ingest(s, SF_DIR)),
 }
 
 
