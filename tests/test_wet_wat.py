@@ -73,3 +73,37 @@ def test_wat_ignores_malformed_json(spark):
 def recs_body_corrupt():
     from pyspark.sql import functions as F
     return F.encode(F.lit("{not json"), "UTF-8")
+
+
+def test_wet_ingest_runs_on_a_stream(spark, tmp_path):
+    """The WET parse chain (mapInPandas + JVM projection) is stateless,
+    so the BATCH operators run unchanged on a Structured Streaming blob
+    source (WARC blobs staged as a parquet stream here; any binary
+    stream works)."""
+    import pandas as pd
+
+    blobs = []
+    for k in range(4):
+        wet = [{"url": f"https://s{k}.example/{i}",
+                "date": "2024-03-01T00:00:00Z",
+                "text": f"w{i} " * (i + 1)} for i in range(6)]
+        blobs.append((f"f{k}.wet.gz", write_wet(wet)))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        pd.DataFrame(blobs, columns=["path", "content"])
+    ).repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema("path string, content binary") \
+        .parquet(src)
+    out = wet_text_records(parse_warc_documents(stream))
+    q = (out.writeStream.format("memory").queryName("wet_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["url"], r["text"]) for r in
+           spark.table("wet_stream").collect()}
+    want = {(r["url"], r["text"]) for r in
+            wet_text_records(parse_warc_documents(
+                spark.read.parquet(src))).collect()}
+    assert got == want and len(want) == 24
