@@ -38,6 +38,8 @@ QUERIES = [
     # round-3 source-codec wave
     "link_graph", "osm_way_assembly", "gtiff_roundtrip", "warc_ingest",
     "robots_filter", "cdx_index", "zonal_stats",
+    # round-3 continuation 2
+    "cdc_chunks", "cdc_dup_chunks", "wet_wat_ingest",
 ]
 
 
