@@ -427,6 +427,27 @@ def _dem_pixels(spark: SparkSession, op: str, round_to: int | None) -> DataFrame
     return ex.select("px", "py", val.alias(op))
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
+    60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
+    this fork predates the tool). Sampled-LOS definition is all-integer
+    cross-multiplied angle comparison, so visibility AND per-target
+    blocker counts are value-exact vs the windowed SQL oracle."""
+    from lib_gdal_spark.operators.viewshed import viewshed
+
+    g = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("px"),
+        (F.col("id") / 64).cast("long").alias("py"))
+    pixels = g.select(
+        "px", "py",
+        (((F.col("px") * F.col("px") + 3 * F.col("py")) % 37)
+         + ((F.col("px") + F.col("py") * F.col("py")) % 23)
+         + F.when(F.col("px") == 40, F.lit(60)).otherwise(F.lit(0))
+         ).cast("long").alias("z"))
+    return viewshed(pixels, ox=32, oy=32, obs_height=3).select(
+        "px", "py", "visible", "n_blockers")
+
+
 def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope via distributed 3x3 halo exchange (gdaldem_lib.cpp)."""
     return _dem_pixels(spark, "slope", round_to=6)
@@ -4117,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_components": q_polygonize_components,
         "dem_slope": q_dem_slope,
         "dem_hillshade": q_dem_hillshade,
+        "viewshed": q_viewshed,
         "grid_idw": q_grid_idw,
         "translate_decimate": q_translate_decimate,
         "location_info": q_location_info,
@@ -8122,6 +8144,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + g AS BIGINT)
                    AS ts_epoch
         FROM g
+    """
+
+    # viewshed: same all-integer sampled-LOS construction; the only
+    # float is the correctly-rounded sample-snap divide (engine-exact,
+    # see operators/viewshed.py docstring).
+    sqls["viewshed"] = """
+        WITH pxl AS (
+          SELECT x, y,
+                 CAST(((x*x + 3*y) % 37) + ((x + y*y) % 23)
+                      + CASE WHEN x = 40 THEN 60 ELSE 0 END AS BIGINT) AS z
+          FROM generate_series(0, 63) a(x)
+          CROSS JOIN generate_series(0, 63) b(y)
+        ), obs AS (
+          SELECT z + 3 AS oz FROM pxl WHERE x = 32 AND y = 32
+        ), tgt AS (
+          SELECT x AS tx, y AS ty, z AS tz,
+                 greatest(abs(x - 32), abs(y - 32)) AS n
+          FROM pxl
+        ), smp AS (
+          SELECT tx, ty, tz, n, unnest(range(1, n)) AS t
+          FROM tgt WHERE n >= 2
+        ), pos AS (
+          SELECT tx, ty, tz, n, t,
+                 CAST(floor((32 * n + t * (tx - 32)) / n + 0.5)
+                      AS BIGINT) AS sx,
+                 CAST(floor((32 * n + t * (ty - 32)) / n + 0.5)
+                      AS BIGINT) AS sy
+          FROM smp
+        ), blk AS (
+          SELECT tx, ty,
+                 SUM(CASE WHEN (p.z - o.oz) * pos.n
+                              >= (pos.tz - o.oz) * pos.t
+                     THEN 1 ELSE 0 END) AS nb
+          FROM pos
+          JOIN pxl p ON p.x = pos.sx AND p.y = pos.sy
+          CROSS JOIN obs o
+          GROUP BY tx, ty
+        )
+        SELECT CAST(t.tx AS BIGINT) AS px, CAST(t.ty AS BIGINT) AS py,
+               COALESCE(b.nb, 0) = 0 AS visible,
+               CAST(COALESCE(b.nb, 0) AS BIGINT) AS n_blockers
+        FROM tgt t LEFT JOIN blk b ON b.tx = t.tx AND b.ty = t.ty
     """
 
     sqls["wet_wat_ingest"] = """
