@@ -118,3 +118,56 @@ def test_flagship_pipeline_checkpointed_end_to_end(spark, root):
     for k in keys:
         m = stage.read_metrics(k)
         assert m["rows"] == n // parts and "committed_at" in m
+
+
+def _mk(spark, key: str, n: int = 10):
+    return lambda: spark.range(n).select(
+        F.col("id"), F.lit(key).alias("k"))
+
+
+def test_snapshot_log_and_time_travel(spark, root):
+    stage = CheckpointedStage(spark, root, "snap")
+    for i, key in enumerate(["a", "b", "c"], start=1):
+        m = stage.run_partition(key, _mk(spark, key, n=10 * i))
+        assert m["snapshot_id"] == i
+    assert stage.current_snapshot() == 3
+    log = stage.snapshot_log()
+    assert [e["partition"] for e in log] == ["a", "b", "c"]
+    assert [e["rows"] for e in log] == [10, 20, 30]
+    # time travel: snapshot 2 sees only a + b
+    assert stage.read_output(as_of=2).count() == 30
+    assert stage.read_output(as_of=1).count() == 10
+    assert stage.read_output().count() == 60
+    with pytest.raises(ValueError):
+        stage.read_output(as_of=0)
+
+
+def test_rollback_makes_partitions_pending_again(spark, root):
+    stage = CheckpointedStage(spark, root, "rb")
+    for key in ["a", "b", "c"]:
+        stage.run_partition(key, _mk(spark, key))
+    rolled = stage.rollback(1)
+    assert sorted(rolled) == ["b", "c"]
+    assert stage.pending(["a", "b", "c"]) == ["b", "c"]
+    assert stage.read_output().count() == 10
+    # rerun recommits with fresh snapshot ids continuing the sequence? —
+    # rollback rewound the head to 1, so the next commits are 2 and 3
+    stage.run_partition("b", _mk(spark, "b"))
+    stage.run_partition("c", _mk(spark, "c"))
+    assert stage.current_snapshot() == 3
+    assert stage.read_output().count() == 30
+
+
+def test_orphan_partition_dir_is_invisible(spark, root):
+    """A crash between the data rename and the manifest commit must not
+    expose the partition (and it must rerun on resume)."""
+    stage = CheckpointedStage(spark, root, "crash")
+    stage.run_partition("a", _mk(spark, "a"))
+    # simulate the crash: data dir exists, no manifest/log entry
+    orphan = os.path.join(stage.root, "part=zz")
+    spark.range(5).select(F.col("id"), F.lit("zz").alias("k")) \
+        .write.parquet(orphan)
+    assert stage.read_output().count() == 10          # orphan not read
+    assert stage.pending(["a", "zz"]) == ["zz"]       # and still pending
+    stage.run_partition("zz", _mk(spark, "zz"))
+    assert stage.read_output().count() == 20
