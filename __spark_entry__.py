@@ -3418,6 +3418,41 @@ def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("mean", 6).alias("mean"))
 
 
+def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the multimodal pipeline: 30 media
+    rows whose payloads are actual JPEGs (grayscale 32×24, constant per
+    8×8 block with value (7bx+11by+13m)%256 — the regime where the lossy
+    codec is bit-exact, see sources/jpeg.py) run image_features in
+    STRICT mode with wrong metadata dims; dims/mean can only come from
+    decoding the bytes."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_features)
+    from lib_gdal_spark.sources.jpeg import write_jpeg
+
+    base = spark.range(30).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        bx, by = np.meshgrid(np.arange(4), np.arange(3), indexing="xy")
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                blocks = (7 * bx + 11 * by + 13 * m) % 256
+                img = np.kron(blocks, np.ones((8, 8), dtype=int)) \
+                    .astype(np.uint8)
+                rows.append((m, "image", write_jpeg(img),
+                             0, 0, 1, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    feats = image_features(media, resize_to=(8, 8), strict=True)
+    return feats.select("media_id", "width", "height",
+                        F.round("mean", 6).alias("mean"))
+
+
 def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
     (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
@@ -4303,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "format_convert": q_format_convert,
         "image_decode_png": q_image_decode_png,
+        "image_decode_jpeg": q_image_decode_jpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
         "decontaminate": q_decontaminate,
@@ -8014,6 +8050,20 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN generate_series(0, 2) ch(c)
         CROSS JOIN generate_series(0, 31) a(px)
         CROSS JOIN generate_series(0, 23) b(py)
+        GROUP BY m
+    """
+
+    # image_decode_jpeg: block-constant grayscale at quant table 8 is
+    # the exactness regime of the baseline codec — per-image mean is the
+    # block-value sum over the 12 blocks (each block is 64 of 768 px).
+    sqls["image_decode_jpeg"] = """
+        SELECT m AS media_id, CAST(32 AS INT) AS width,
+               CAST(24 AS INT) AS height,
+               round(sum((7 * bx + 11 * by + 13 * m) % 256) / 12.0, 6)
+                   AS mean
+        FROM generate_series(0, 29) g(m)
+        CROSS JOIN generate_series(0, 3) a(bx)
+        CROSS JOIN generate_series(0, 2) b(by)
         GROUP BY m
     """
 

@@ -5,10 +5,11 @@ Task-brief requirement (first-class alongside SURVEY §2): treat media as
 ``binary`` columns + typed metadata structs; implement decode /
 feature-extract / resize / frame-sample as ``mapInPandas`` stages.
 
-Image decode is REAL for PNG and (Geo)TIFF payloads — the repo carries
-its own pure-stdlib codecs (sources/png.py, sources/gtiff.py), sniffed
-by magic bytes. Formats that genuinely need an external codec library
-(JPEG/WebP/audio/video — none in this container) fall back to either a
+Image decode is REAL for PNG, (Geo)TIFF, and baseline JPEG payloads —
+the repo carries its own pure-stdlib codecs (sources/png.py,
+sources/gtiff.py, sources/jpeg.py), sniffed by magic bytes. Formats that
+genuinely need an external codec library
+(WebP/AVIF/audio/video — none in this container) fall back to either a
 clearly-marked ``NotImplementedError`` (strict mode) or a
 **deterministic fake decoder** (seeded from the payload bytes, so
 results are reproducible and testable); everything Spark-side is real
@@ -82,10 +83,15 @@ def _fake_decode_audio(payload: bytes, n: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """REAL image decode for the formats the repo carries codecs for —
-    PNG (sources/png.py) and (Geo)TIFF (sources/gtiff.py), sniffed by
-    magic bytes. Returns (h, w, c) uint8, or None for formats without an
-    in-repo codec (JPEG/WebP/...), which fall back to the deterministic
-    fake so the downstream plumbing still runs."""
+    PNG (sources/png.py), (Geo)TIFF (sources/gtiff.py), and baseline
+    JPEG (sources/jpeg.py), sniffed by magic bytes. Returns (h, w, c)
+    uint8, or None for formats without an in-repo codec (WebP/...),
+    which fall back to the deterministic fake so the downstream plumbing
+    still runs."""
+    if payload[:2] == b"\xff\xd8":
+        from lib_gdal_spark.sources.jpeg import parse_jpeg
+        img = parse_jpeg(bytes(payload))
+        return img[:, :, None] if img.ndim == 2 else img
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from lib_gdal_spark.sources.png import parse_png, png_to_rgb
         bands = png_to_rgb(parse_png(payload))
@@ -103,9 +109,10 @@ def decode_image_strict(payload: bytes, *a, **k):
     img = decode_image(bytes(payload))
     if img is None:
         raise NotImplementedError(
-            "no in-repo codec for this image format (PNG and TIFF decode "
-            "natively; JPEG/WebP need a codec library this container "
-            "lacks); use strict=False for the deterministic fake decoder"
+            "no in-repo codec for this image format (PNG, TIFF, and "
+            "baseline JPEG decode natively; WebP/AVIF need a codec "
+            "library this container lacks); use strict=False for the "
+            "deterministic fake decoder"
         )
     return img
 
