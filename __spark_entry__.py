@@ -3453,6 +3453,76 @@ def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("mean", 6).alias("mean"))
 
 
+def q_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: 24 media rows whose payloads are actual WAV
+    PCM files (8 kHz mono int16, s_i = ((7m+13i)%2003)-1001) run
+    audio_features in STRICT mode with wrong metadata; duration/rms/
+    frame count can only come from decoding the RIFF bytes. rms is an
+    integer sum of squares under a sqrt — closed-form in SQL."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features)
+    from lib_gdal_spark.sources.wav import write_wav
+
+    base = spark.range(24).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        i = np.arange(4000)
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                s = (((7 * m + 13 * i) % 2003) - 1001).astype(np.int16)
+                rows.append((m, "audio", write_wav(s, 8000),
+                             0, 0, 1, 1, 1, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    feats = audio_features(media, frame_ms=25, strict=True)
+    return feats.select("media_id", "duration_s",
+                        F.round("rms", 6).alias("rms"), "n_frames")
+
+
+def q_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: 12 MJPEG-AVI payloads (10 frames, 32×24,
+    constant per 8×8 block with value (7bx+11by+13m+29k)%256 — the
+    JPEG-exact regime), sampled every 4th frame in STRICT mode with
+    wrong metadata fps/frame-count; frame means are closed-form."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, video_frame_sample)
+    from lib_gdal_spark.sources.avi import write_avi_mjpeg
+    from lib_gdal_spark.sources.jpeg import write_jpeg
+
+    base = spark.range(12).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        bx, by = np.meshgrid(np.arange(4), np.arange(3), indexing="xy")
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                frames = []
+                for k in range(10):
+                    blocks = (7 * bx + 11 * by + 13 * m + 29 * k) % 256
+                    frames.append(write_jpeg(
+                        np.kron(blocks, np.ones((8, 8), dtype=int))
+                        .astype(np.uint8)))
+                rows.append((m, "video",
+                             write_avi_mjpeg(frames, 5, 32, 24),
+                             0, 0, 3, None, None, 99.0, 2))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    fr = video_frame_sample(media, every_n=4, strict=True)
+    return fr.select("media_id", "frame_idx", "t_s",
+                     F.round("mean", 6).alias("mean"))
+
+
 def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
     (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
@@ -4339,6 +4409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_convert": q_format_convert,
         "image_decode_png": q_image_decode_png,
         "image_decode_jpeg": q_image_decode_jpeg,
+        "audio_decode_wav": q_audio_decode_wav,
+        "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
         "decontaminate": q_decontaminate,
@@ -8065,6 +8137,34 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN generate_series(0, 3) a(bx)
         CROSS JOIN generate_series(0, 2) b(by)
         GROUP BY m
+    """
+
+    # audio_decode_wav: int16 samples are a closed-form sequence, so the
+    # rms is sqrt(integer-sum-of-squares / n) / 32768 in SQL; 4000
+    # samples at 8 kHz with 25 ms frames -> duration 0.5 s, 20 frames.
+    sqls["audio_decode_wav"] = """
+        SELECT m AS media_id, CAST(0.5 AS DOUBLE) AS duration_s,
+               round(sqrt(sum(CAST(((7 * m + 13 * i) % 2003 - 1001)
+                                   * ((7 * m + 13 * i) % 2003 - 1001)
+                              AS DOUBLE)) / 4000.0) / 32768.0, 6) AS rms,
+               CAST(20 AS INT) AS n_frames
+        FROM generate_series(0, 23) g(m)
+        CROSS JOIN generate_series(0, 3999) s(i)
+        GROUP BY m
+    """
+
+    # video_decode_mjpeg: sampled frames 0/4/8 at the REAL container fps
+    # of 5; per-frame mean is the 12-block value sum / 12.
+    sqls["video_decode_mjpeg"] = """
+        SELECT m AS media_id, CAST(k AS INT) AS frame_idx,
+               CAST(k / 5.0 AS DOUBLE) AS t_s,
+               round(sum((7 * bx + 11 * by + 13 * m + 29 * k) % 256)
+                     / 12.0, 6) AS mean
+        FROM generate_series(0, 11) g(m)
+        CROSS JOIN (SELECT unnest([0, 4, 8]) AS k) fr
+        CROSS JOIN generate_series(0, 3) a(bx)
+        CROSS JOIN generate_series(0, 2) b(by)
+        GROUP BY m, k
     """
 
     sqls["format_convert"] = """

@@ -5,11 +5,12 @@ Task-brief requirement (first-class alongside SURVEY §2): treat media as
 ``binary`` columns + typed metadata structs; implement decode /
 feature-extract / resize / frame-sample as ``mapInPandas`` stages.
 
-Image decode is REAL for PNG, (Geo)TIFF, and baseline JPEG payloads —
-the repo carries its own pure-stdlib codecs (sources/png.py,
-sources/gtiff.py, sources/jpeg.py), sniffed by magic bytes. Formats that
-genuinely need an external codec library
-(WebP/AVIF/audio/video — none in this container) fall back to either a
+Decode is REAL wherever a pure-stdlib codec is possible — images: PNG,
+(Geo)TIFF, baseline JPEG (sources/png.py, gtiff.py, jpeg.py); audio: WAV
+PCM (sources/wav.py); video: MJPEG-in-AVI (sources/avi.py over the JPEG
+frame codec) — all sniffed by magic bytes. Formats that genuinely need
+an external codec library
+(WebP/AVIF, MP3/AAC, H.264/VP9 — none in this container) fall back to either a
 clearly-marked ``NotImplementedError`` (strict mode) or a
 **deterministic fake decoder** (seeded from the payload bytes, so
 results are reproducible and testable); everything Spark-side is real
@@ -105,6 +106,47 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     return None
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL audio decode for RIFF/WAVE PCM (sources/wav.py): returns
+    ((n_frames, channels) int16, sample_rate), or None for formats that
+    need external codec libs (MP3/AAC/...)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from lib_gdal_spark.sources.wav import parse_wav
+        return parse_wav(bytes(payload))
+    return None
+
+
+def decode_audio_strict(payload: bytes):
+    out = decode_audio(bytes(payload))
+    if out is None:
+        raise NotImplementedError(
+            "no in-repo codec for this audio format (WAV PCM decodes "
+            "natively; MP3/AAC/OGG need a codec library this container "
+            "lacks); use strict=False for the deterministic fake decoder")
+    return out
+
+
+def decode_video(payload: bytes) -> tuple[dict, list[np.ndarray]] | None:
+    """REAL video decode for MJPEG-in-AVI (sources/avi.py + the in-repo
+    baseline JPEG frame codec): returns (info, frames), or None for
+    inter-frame codecs (H.264/VP9/...)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from lib_gdal_spark.sources.avi import decode_avi_frames
+        return decode_avi_frames(bytes(payload))
+    return None
+
+
+def decode_video_strict(payload: bytes):
+    out = decode_video(bytes(payload))
+    if out is None:
+        raise NotImplementedError(
+            "no in-repo codec for this video format (MJPEG-AVI decodes "
+            "natively via the baseline JPEG codec; inter-frame codecs "
+            "need libraries this container lacks); use strict=False for "
+            "the deterministic fake decoder")
+    return out
+
+
 def decode_image_strict(payload: bytes, *a, **k):
     img = decode_image(bytes(payload))
     if img is None:
@@ -179,11 +221,18 @@ def audio_features(
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                if strict:
-                    decode_image_strict(bytes(r["payload"]))
-                sr = int(r["sample_rate"])
-                n = int(r["n_samples"])
-                wav = _fake_decode_audio(bytes(r["payload"]), n)
+                payload = bytes(r["payload"])
+                real = decode_audio_strict(payload) if strict \
+                    else decode_audio(payload)
+                if real is not None:
+                    s, sr = real
+                    n = s.shape[0]
+                    wav = (s.astype(np.float64).mean(axis=1)
+                           / 32768.0)
+                else:
+                    sr = int(r["sample_rate"])
+                    n = int(r["n_samples"])
+                    wav = _fake_decode_audio(payload, n)
                 flen = max(sr * frame_ms // 1000, 1)
                 nfr = n // flen
                 frames = wav[: nfr * flen].reshape(nfr, flen)
@@ -220,14 +269,26 @@ def video_frame_sample(
         for b in batches:
             rows = []
             for _, r in b.iterrows():
-                if strict:
-                    decode_image_strict(bytes(r["payload"]))
+                payload = bytes(r["payload"])
+                real = decode_video_strict(payload) if strict \
+                    else decode_video(payload)
+                if real is not None:
+                    info, frames = real
+                    fps = float(info["fps"])
+                    for k in range(0, len(frames), every_n):
+                        rows.append({
+                            "media_id": int(r["media_id"]),
+                            "frame_idx": k, "t_s": k / fps,
+                            "mean": float(frames[k]
+                                          .astype(np.float64).mean()),
+                        })
+                    continue
                 nf = int(r["n_frames"])
                 fps = float(r["fps"])
                 w, h = int(r["width"]), int(r["height"])
                 for k in range(0, nf, every_n):
                     frame = _fake_decode_image(
-                        bytes(r["payload"]) + k.to_bytes(4, "little"), w, h, 3
+                        payload + k.to_bytes(4, "little"), w, h, 3
                     )
                     rows.append({
                         "media_id": int(r["media_id"]), "frame_idx": k,
