@@ -267,59 +267,92 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
-def write_jpeg(image: np.ndarray, quant=None) -> bytes:
+def _downsample2(p: np.ndarray) -> np.ndarray:
+    """2x2 box mean with half-up rounding (4:2:0 chroma)."""
+    ph, pw = -p.shape[0] % 2, -p.shape[1] % 2
+    e = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+    m = (e[0::2, 0::2] + e[0::2, 1::2] + e[1::2, 0::2] + e[1::2, 1::2]) / 4.0
+    return np.floor(m + 0.5)
+
+
+def write_jpeg(image: np.ndarray, quant=None,
+               subsampling: str = "444") -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG
-    (4:4:4, single DQT shared by all components). Deterministic."""
+    (single DQT shared by all components; ``subsampling`` = '444' or
+    '420' for RGB). Deterministic."""
     img = np.asarray(image)
+    h, w = img.shape[:2]
     if img.ndim == 2:
-        planes = [img.astype(np.float64)]
+        comps = [(img.astype(np.float64), 1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
         ycc = rgb_to_ycbcr(img)
-        planes = [ycc[..., i].astype(np.float64) for i in range(3)]
+        y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+        if subsampling == "444":
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        elif subsampling == "420":
+            comps = [(y, 2, 2), (_downsample2(cb), 1, 1),
+                     (_downsample2(cr), 1, 1)]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
     else:
         raise ValueError("expected (h,w) or (h,w,3) uint8")
-    h, w = img.shape[:2]
     q = _quant_table(quant)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
+    # per component: pad plane to its MCU-covered block grid, DCT+quant,
+    # zig-zags addressable as (block_row, block_col)
     comp_zz = []
-    for p in planes:
-        blocks, nby, nbx = _blocks_of(p)
-        comp_zz.append(_fdct_quant(blocks, q))
-    n_blocks = comp_zz[0].shape[0]
+    for p, hs, vs in comps:
+        tby, tbx = mcuy * vs, mcux * hs
+        pad_h, pad_w = tby * 8 - p.shape[0], tbx * 8 - p.shape[1]
+        pp = np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge")
+        blocks = pp.reshape(tby, 8, tbx, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8)
+        comp_zz.append(_fdct_quant(blocks, q).reshape(tby, tbx, 64))
 
-    # pass 1: symbol inventory -> canonical tables (luma=c0, chroma=c1+)
+    def mcu_blocks():
+        """(comp_idx, zz) in interleaved scan-emission order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, hs, vs) in enumerate(comps):
+                    for v in range(vs):
+                        for u in range(hs):
+                            yield ci, comp_zz[ci][my * vs + v, mx * hs + u]
+
+    # pass 1: symbol inventory -> canonical tables (luma=t0, chroma=t1)
     dc_syms: list[list[int]] = [[], []]
     ac_syms: list[list[int]] = [[], []]
-    for ci, zzs in enumerate(comp_zz):
+    prev = [0] * len(comps)
+    for ci, zz in mcu_blocks():
         t = 0 if ci == 0 else 1
-        prev = 0
-        for bi in range(n_blocks):
-            d, a, prev = _block_symbols(zzs[bi], prev)
-            dc_syms[t] += d
-            ac_syms[t] += a
-    n_tables = 1 if len(planes) == 1 else 2
+        d, a, prev[ci] = _block_symbols(zz, prev[ci])
+        dc_syms[t] += d
+        ac_syms[t] += a
+    n_tables = 1 if len(comps) == 1 else 2
     dc_tabs = [_build_table(dc_syms[t]) for t in range(n_tables)]
     ac_tabs = [_build_table(ac_syms[t]) for t in range(n_tables)]
     dc_codes = [_canonical_codes(*t) for t in dc_tabs]
     ac_codes = [_canonical_codes(*t) for t in ac_tabs]
 
-    # pass 2: entropy-code MCUs (4:4:4 -> one block per component per MCU)
+    # pass 2: entropy-code in the same order
     bw = _BitWriter()
-    prev_dc = [0] * len(planes)
-    for bi in range(n_blocks):
-        for ci, zzs in enumerate(comp_zz):
-            t = 0 if ci == 0 else 1
-            prev_dc[ci] = _encode_block(zzs[bi], prev_dc[ci],
-                                        dc_codes[t], ac_codes[t], bw)
+    prev_dc = [0] * len(comps)
+    for ci, zz in mcu_blocks():
+        t = 0 if ci == 0 else 1
+        prev_dc[ci] = _encode_block(zz, prev_dc[ci],
+                                    dc_codes[t], ac_codes[t], bw)
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")                       # SOI
     dqt = bytes([0x00]) + bytes(int(q[i]) for i in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-    ncomp = len(planes)
+    ncomp = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    for ci, (_, hs, vs) in enumerate(comps):
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for t in range(n_tables):
         for cls, (bits, vals) in ((0, dc_tabs[t]), (1, ac_tabs[t])):
@@ -378,9 +411,11 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             h, w = struct.unpack(">HH", seg[1:5])
             for i in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError("subsampled components")
-                comps.append({"id": cid, "tq": tq})
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} (1..2 supported)")
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
         elif m == 0xC4:        # DHT
             o = 0
             while o < len(seg):
@@ -406,45 +441,67 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("no scan found")
 
     br = _BitReader(data[scan_start:])
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-              for _ in scan_comps]
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                       dtype=np.float64) for c in scan_comps]
     prev_dc = [0] * len(scan_comps)
-    for by in range(nby):
-        for bx in range(nbx):
+
+    def read_block(c: dict, ci: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _read_symbol(br, huff[(0, c["dc"])])
+        if cat:
+            v = br.read(cat)
+            if v < (1 << (cat - 1)):
+                v -= (1 << cat) - 1
+            prev_dc[ci] += v
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, huff[(1, c["ac"])])
+            if sym == 0x00:
+                break
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow")
+            v = br.read(size)
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            zz[k] = v
+            k += 1
+        deq = (zz * qt[c["tq"]])[_UNZZ].reshape(8, 8)
+        return _C.T @ deq.astype(np.float64) @ _C + 128.0
+
+    # interleaved MCUs: per component, Vi x Hi raster-ordered blocks
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, c in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _read_symbol(br, huff[(0, c["dc"])])
-                if cat:
-                    v = br.read(cat)
-                    if v < (1 << (cat - 1)):
-                        v -= (1 << cat) - 1
-                    prev_dc[ci] += v
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, huff[(1, c["ac"])])
-                    if sym == 0x00:
-                        break
-                    run, size = sym >> 4, sym & 15
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    v = br.read(size)
-                    if v < (1 << (size - 1)):
-                        v -= (1 << size) - 1
-                    zz[k] = v
-                    k += 1
-                deq = (zz * qt[c["tq"]])[_UNZZ].reshape(8, 8)
-                blk = _C.T @ deq.astype(np.float64) @ _C + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    planes = [np.clip(np.floor(p[:h, :w] + 0.5), 0, 255).astype(np.uint8)
-              for p in planes]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        by = my * c["v"] + v
+                        bx = mx * c["h"] + u
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = read_block(c, ci)
+    # crop to each component's true size, then nearest-upsample to full
+    out_planes = []
+    for ci, c in enumerate(scan_comps):
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        p = planes[ci][:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+              for p in out_planes]
     if len(planes) == 1:
         return planes[0]
     if len(planes) == 3:

@@ -95,3 +95,39 @@ def test_multimodal_strict_decodes_jpeg(spark):
     feats = image_features(media, resize_to=(8, 8), strict=True)
     got = {r["media_id"]: (r["width"], r["height"]) for r in feats.collect()}
     assert got == {m: (32, 24) for m in range(6)}
+
+
+def test_420_subsampling_roundtrip():
+    """Constant 16x16 macroblocks survive 4:2:0 exactly (modulo the
+    YCbCr transform, like 4:4:4)."""
+    rng = np.random.default_rng(8)
+    mb = rng.integers(0, 256, (2, 3, 3))
+    rgb = np.kron(mb, np.ones((16, 16, 1), dtype=int)) \
+        .astype(np.uint8).reshape(32, 48, 3)
+    dec = parse_jpeg(write_jpeg(rgb, subsampling="420"))
+    ref = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+    assert np.array_equal(dec, ref)
+    # and the file really is subsampled: luma gets 2x2 factors in SOF
+    raw = write_jpeg(rgb, subsampling="420")
+    sof = raw.find(b"\xff\xc0")
+    assert raw[sof + 11] == 0x22  # component 1 H=2,V=2
+
+
+def test_420_odd_dimensions():
+    rng = np.random.default_rng(9)
+    mb = rng.integers(0, 256, (2, 3, 3))
+    rgb = np.kron(mb, np.ones((16, 16, 1), dtype=int)) \
+        .astype(np.uint8).reshape(32, 48, 3)[:23, :37]
+    dec = parse_jpeg(write_jpeg(rgb, subsampling="420"))
+    ref = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+    assert dec.shape == (23, 37, 3)
+    assert np.array_equal(dec, ref)
+
+
+def test_420_smooth_quality():
+    x = np.linspace(0, 3 * np.pi, 40)
+    sm = np.stack([(127 + 90 * np.sin(x)[None, :] * np.cos(x)[:, None])
+                   .astype(np.uint8)] * 3, axis=2)
+    dec = parse_jpeg(write_jpeg(sm, quant=2, subsampling="420"))
+    rmse = np.sqrt(((dec.astype(float) - sm.astype(float)) ** 2).mean())
+    assert rmse < 3.0
