@@ -84,13 +84,17 @@ def decode_png_gray(png: bytes) -> np.ndarray:
 
 
 def _encoded_tiles(tiles: DataFrame, raster_id: str,
-                   band: int | tuple) -> DataFrame:
-    """Distributed PNG encode -> (zoom, tile_x, tile_y, png binary).
+                   band: int | tuple, fmt: str = "png") -> DataFrame:
+    """Distributed tile encode -> (zoom, tile_x, tile_y, png binary).
 
     ``band`` an int -> 8-bit grayscale tiles; a tuple of 2/3/4 band
     numbers -> gray+alpha / RGB / RGBA tiles via the full PNG encoder
     (sources/png.py), bands regrouped per tile key first (a keys+pixels
-    shuffle bounded by the tile table itself)."""
+    shuffle bounded by the tile table itself). ``fmt`` = 'png' or 'jpg'
+    (baseline JPEG via sources/jpeg.py — the common choice for imagery
+    MBTiles; gray or exactly 3 bands, JPEG has no alpha channel)."""
+    if fmt not in ("png", "jpg"):
+        raise ValueError("fmt must be 'png' or 'jpg'")
     if isinstance(band, int):
         src = tiles.where(
             (F.col("raster_id") == raster_id) & (F.col("band") == band)
@@ -102,9 +106,14 @@ def _encoded_tiles(tiles: DataFrame, raster_id: str,
                 for _, r in b.iterrows():
                     arr = np.asarray(r["pixels"], np.float64).reshape(
                         int(r["tile_h"]), int(r["tile_w"]))
-                    png = encode_png_gray(np.clip(arr, 0, 255))
+                    a8 = np.clip(arr, 0, 255)
+                    if fmt == "jpg":
+                        from lib_gdal_spark.sources.jpeg import write_jpeg
+                        blob = write_jpeg(a8.astype(np.uint8))
+                    else:
+                        blob = encode_png_gray(a8)
                     rows.append((int(r["zoom"]), int(r["tile_x"]),
-                                 int(r["tile_y"]), png))
+                                 int(r["tile_y"]), blob))
                 yield pd.DataFrame(
                     rows, columns=["zoom", "tile_x", "tile_y", "png"])
 
@@ -114,6 +123,9 @@ def _encoded_tiles(tiles: DataFrame, raster_id: str,
     from lib_gdal_spark.sources.png import write_png
 
     bands = tuple(band)
+    if fmt == "jpg" and len(bands) != 3:
+        raise ValueError("fmt='jpg' supports grayscale or exactly 3 "
+                         "bands (JPEG has no alpha channel)")
     grouped = tiles.where(
         (F.col("raster_id") == raster_id)
         & F.col("band").isin(list(bands))
@@ -130,8 +142,13 @@ def _encoded_tiles(tiles: DataFrame, raster_id: str,
                        for x in r["bs"]}
                 arrs = [np.clip(per[bi], 0, 255).astype(np.uint8)
                         for bi in bands]
+                if fmt == "jpg":
+                    from lib_gdal_spark.sources.jpeg import write_jpeg
+                    blob = write_jpeg(np.stack(arrs, axis=2))
+                else:
+                    blob = write_png(arrs)
                 rows.append((int(r["zoom"]), int(r["tile_x"]),
-                             int(r["tile_y"]), write_png(arrs)))
+                             int(r["tile_y"]), blob))
             yield pd.DataFrame(
                 rows, columns=["zoom", "tile_x", "tile_y", "png"])
 
@@ -146,13 +163,16 @@ def write_mbtiles(
     band: int | tuple = 1,
     name: str | None = None,
     max_bytes: int = 512 * 1024 * 1024,
+    fmt: str = "png",
 ) -> int:
     """Tile table -> a standard .mbtiles file; returns tile count.
 
     ``tiles`` rows must carry web-mercator (z, x, y) keys in
     (zoom, tile_x, tile_y) — i.e. the output of the warp/tile pipeline.
+    ``fmt`` = 'png' (lossless, default) or 'jpg' (baseline JPEG tiles —
+    the common imagery choice; recorded in the metadata table).
     """
-    enc = _encoded_tiles(tiles, raster_id, band)
+    enc = _encoded_tiles(tiles, raster_id, band, fmt=fmt)
     rows = enc.collect()
     total = sum(len(r["png"]) for r in rows)
     if total > max_bytes:
@@ -174,7 +194,7 @@ def write_mbtiles(
             "name": name or raster_id,
             "type": "overlay",
             "version": "1.1",
-            "format": "png",
+            "format": fmt,
             "minzoom": str(min(zooms)),
             "maxzoom": str(max(zooms)),
             "bounds": "-180.0,-85.051129,180.0,85.051129",

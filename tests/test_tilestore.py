@@ -117,3 +117,49 @@ def test_tms_directory_roundtrip(spark, merc_tiles):
     got = np.asarray(r["pixels"]).reshape(64, 64)
     assert np.array_equal(got, (i + j + 17 * 3 + 29 * 1) % 256)
     assert r["gt1"] == 2 * TS.ORIGIN_SHIFT / 4 / 64
+
+
+def test_mbtiles_jpeg_tiles_roundtrip(spark):
+    """fmt='jpg': block-constant tiles (the JPEG-exact regime) written
+    as baseline-JPEG payloads, format recorded in metadata, pixels
+    surviving the read-back decode bit-exactly."""
+    from lib_gdal_spark.sources.jpeg import parse_jpeg
+
+    rng = np.random.default_rng(11)
+    rows = []
+    want = {}
+    for ty in range(2):
+        for tx in range(2):
+            blocks = rng.integers(0, 256, (8, 8))
+            arr = np.kron(blocks, np.ones((8, 8), dtype=int)) \
+                .astype(np.float64)
+            want[(tx, ty)] = arr.astype(np.uint8)
+            rows.append(dict(
+                raster_id="j", band=1, zoom=1, tile_x=tx, tile_y=ty,
+                dtype="uint8", tile_w=64, tile_h=64,
+                gt0=0.0, gt1=1.0, gt2=0.0, gt3=0.0, gt4=0.0, gt5=-1.0,
+                nodata=None, pixels=arr.ravel().tolist()))
+    # zoom-1 keys must be < 2 for the TMS flip; 2x2 grid fits
+    tiles = spark.createDataFrame(pd.DataFrame(rows),
+                                  schema=RX.RASTER_SCHEMA)
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "j.mbtiles")
+    assert TS.write_mbtiles(tiles, path, "j", band=1, fmt="jpg") == 4
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "jpg"
+    con.close()
+    back = TS.read_mbtiles(spark, path).collect()
+    assert len(back) == 4
+    for r in back:
+        payload = bytes(r["png"])
+        assert payload[:2] == b"\xff\xd8"        # really JPEG bytes
+        dec = parse_jpeg(payload)
+        assert np.array_equal(dec, want[(r["tile_x"], r["tile_y"])])
+
+
+def test_mbtiles_jpg_rejects_alpha_bands(spark, merc_tiles):
+    d = tempfile.mkdtemp()
+    with pytest.raises(ValueError, match="alpha"):
+        TS.write_mbtiles(merc_tiles, os.path.join(d, "x.mbtiles"), "m",
+                         band=(1, 1, 1, 1), fmt="jpg")
