@@ -3523,6 +3523,62 @@ def q_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("mean", 6).alias("mean"))
 
 
+def _hash_media(spark: SparkSession, n: int, pixel_fn) -> DataFrame:
+    """n grayscale 32×24 PNG media rows with v = pixel_fn(m, x, y)."""
+    from lib_gdal_spark.operators.multimodal import MEDIA_SCHEMA
+    from lib_gdal_spark.sources.png import write_png
+
+    base = spark.range(n).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        x, y = np.meshgrid(np.arange(32), np.arange(24), indexing="xy")
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                img = pixel_fn(int(m), x, y).astype(np.uint8)
+                rows.append((int(m), "image", write_png([img]),
+                             0, 0, 1, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    return base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+
+
+def q_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (aHash + dHash, integer-exact grid/mean
+    semantics) over 40 real PNG payloads decoded on the executors; every
+    one of the 128 bits per image must match the SQL oracle's
+    cross-multiplied cell-mean comparisons."""
+    from lib_gdal_spark.operators.imagehash import image_hashes
+
+    media = _hash_media(
+        spark, 40, lambda m, x, y: (3 * x + 5 * y + 7 * m) % 251)
+    return image_hashes(media, strict=True).select(
+        "media_id", "ahash", "dhash")
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: 18 images (6 groups × 3 perturbed members)
+    hashed, then Hamming-<=3 pairs via the pigeonhole 16-bit block join
+    + exact bit_count verify; the oracle recomputes the hashes and
+    brute-forces all pairs, so the block join must be exactly
+    recall-complete."""
+    from lib_gdal_spark.operators.imagehash import (
+        hash_near_dup_pairs, image_hashes)
+
+    def pix(m, x, y):
+        g, j = m // 3, m % 3
+        bump = np.where((x * 8) // 32 == (j % 8), 11 * j, 0)
+        return (x * (3 + g) + y * (5 + 2 * g) + bump) % 251
+
+    media = _hash_media(spark, 18, pix)
+    hashes = image_hashes(media, strict=True)
+    return hash_near_dup_pairs(hashes, k=3).select(
+        "id_a", "id_b", "hamming")
+
+
 def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
     (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
@@ -4410,6 +4466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_png": q_image_decode_png,
         "image_decode_jpeg": q_image_decode_jpeg,
         "audio_decode_wav": q_audio_decode_wav,
+        "image_hashes": q_image_hashes,
+        "image_near_dup": q_image_near_dup,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
@@ -8165,6 +8223,66 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN generate_series(0, 3) a(bx)
         CROSS JOIN generate_series(0, 2) b(by)
         GROUP BY m, k
+    """
+
+    # image hashes: the exact integer grid/mean semantics spelled in SQL
+    # (cross-multiplied means, HUGEINT bit build, signed-int64 wrap).
+    def _imghash_cte(n_imgs: int, vexpr: str) -> str:
+        return f"""
+        WITH px AS (
+          SELECT m, x, y, CAST({vexpr} AS HUGEINT) AS v
+          FROM generate_series(0, {n_imgs - 1}) g(m)
+          CROSS JOIN generate_series(0, 31) a(x)
+          CROSS JOIN generate_series(0, 23) b(y)
+        ), tot AS (
+          SELECT m, sum(v) AS ts, count(*) AS tn FROM px GROUP BY m
+        ), ac AS (
+          SELECT m, (y * 8) // 24 AS r, (x * 8) // 32 AS c,
+                 sum(v) AS s, count(*) AS n
+          FROM px GROUP BY m, r, c
+        ), av AS (
+          SELECT ac.m,
+                 coalesce(sum(CASE WHEN s * tn > ts * n THEN
+                   CAST(1 AS HUGEINT) << CAST(r * 8 + c AS INT) END),
+                   0) AS u
+          FROM ac JOIN tot USING (m) GROUP BY ac.m
+        ), dc AS (
+          SELECT m, (y * 8) // 24 AS r, (x * 9) // 32 AS c,
+                 sum(v) AS s, count(*) AS n
+          FROM px GROUP BY m, r, c
+        ), dv AS (
+          SELECT l.m,
+                 coalesce(sum(CASE WHEN rr.s * l.n > l.s * rr.n THEN
+                   CAST(1 AS HUGEINT) << CAST(l.r * 8 + l.c AS INT) END),
+                   0) AS u
+          FROM dc l JOIN dc rr
+            ON rr.m = l.m AND rr.r = l.r AND rr.c = l.c + 1
+          GROUP BY l.m
+        ), hashes AS (
+          SELECT av.m,
+                 CAST(CASE WHEN av.u >= 9223372036854775808
+                      THEN av.u - 18446744073709551616 ELSE av.u END
+                      AS BIGINT) AS ahash,
+                 CAST(CASE WHEN dv.u >= 9223372036854775808
+                      THEN dv.u - 18446744073709551616 ELSE dv.u END
+                      AS BIGINT) AS dhash
+          FROM av JOIN dv ON dv.m = av.m
+        )
+        """
+
+    sqls["image_hashes"] = _imghash_cte(
+        40, "(3 * x + 5 * y + 7 * m) % 251") + """
+        SELECT m AS media_id, ahash, dhash FROM hashes
+    """
+
+    sqls["image_near_dup"] = _imghash_cte(
+        18, "(x * (3 + m // 3) + y * (5 + 2 * (m // 3))"
+            " + CASE WHEN (x * 8) // 32 = (m % 3) % 8"
+            " THEN 11 * (m % 3) ELSE 0 END) % 251") + """
+        SELECT a.m AS id_a, b.m AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.m < b.m
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     """
 
     sqls["format_convert"] = """
