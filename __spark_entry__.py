@@ -3579,6 +3579,50 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "hamming")
 
 
+def q_media_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged-media spatial bridge: 60 JPEGs carry EXIF GPS
+    (d/m/s-hundredths rationals, closed-form in m), the executors parse
+    the APP1 TIFF block back to lat/lon, and the standard web-mercator
+    z8 tile assignment runs on the result — multimodal bytes in, tile
+    keys out. The oracle mirrors the d + m/60 + (s/100)/3600 float op
+    order exactly, so coordinates AND tiles are value-exact."""
+    from lib_gdal_spark.operators.geo import with_tile
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, media_gps)
+    from lib_gdal_spark.sources.exif import build_exif_gps, insert_app1
+    from lib_gdal_spark.sources.jpeg import write_jpeg
+
+    base = spark.range(60).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        img = np.full((8, 8), 99, dtype=np.uint8)
+        plain = write_jpeg(img)
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                sign = 1 if m % 2 == 0 else -1
+                lat = sign * ((m * 7) % 60 + ((m * 11) % 60) / 60
+                              + (((m * 13) % 6000) / 100) / 3600)
+                lon = sign * ((m * 17) % 179 + ((m * 19) % 60) / 60
+                              + (((m * 23) % 6000) / 100) / 3600)
+                rows.append((m, "image",
+                             insert_app1(plain, build_exif_gps(lat, lon)),
+                             0, 0, 1, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    pts = media_gps(media)
+    tiled = with_tile(pts, z=8)
+    return tiled.select(
+        "media_id",
+        F.round("lat", 6).alias("lat6"), F.round("lon", 6).alias("lon6"),
+        F.col("tx"), F.col("ty"))
+
+
 def q_format_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr-style format chain (apps/ogr2ogr_lib.cpp): 80 polygons
     (square + hole) travel WKB -> shapefile bytes -> WKB -> GML 3 ->
@@ -4468,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_wav": q_audio_decode_wav,
         "image_hashes": q_image_hashes,
         "image_near_dup": q_image_near_dup,
+        "media_gps_tiles": q_media_gps_tiles,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
@@ -8283,6 +8328,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
         FROM hashes a JOIN hashes b ON a.m < b.m
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """
+
+    # media_gps_tiles: same float op order as the EXIF decoder
+    # (d + m/60 + (s/100)/3600, then the sign), then the standard z8
+    # mercator tile formula — bit-identical doubles end to end.
+    sqls["media_gps_tiles"] = """
+        WITH g AS (
+          SELECT m, CASE WHEN m % 2 = 0 THEN 1.0 ELSE -1.0 END AS sg,
+                 (m*7) % 60 AS dla, (m*11) % 60 AS mla,
+                 (m*13) % 6000 AS sla,
+                 (m*17) % 179 AS dlo, (m*19) % 60 AS mlo,
+                 (m*23) % 6000 AS slo
+          FROM generate_series(0, 59) t(m)
+        ), ll AS (
+          SELECT m,
+            sg * (CAST(dla AS DOUBLE) + mla / 60.0
+                  + (sla / 100.0) / 3600.0) AS lat,
+            sg * (CAST(dlo AS DOUBLE) + mlo / 60.0
+                  + (slo / 100.0) / 3600.0) AS lon
+          FROM g
+        )
+        SELECT m AS media_id, round(lat, 6) AS lat6,
+               round(lon, 6) AS lon6,
+               CAST(least(greatest(
+                 floor(((lon + 180.0) / 360.0) * 256.0), 0), 255)
+                 AS BIGINT) AS tx,
+               CAST(least(greatest(floor(
+                 (0.5 - ln((1.0 + sin(radians(lat)))
+                           / (1.0 - sin(radians(lat))))
+                        / (4.0 * pi())) * 256.0), 0), 255)
+                 AS BIGINT) AS ty
+        FROM ll
     """
 
     sqls["format_convert"] = """

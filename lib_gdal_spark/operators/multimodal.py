@@ -159,6 +159,29 @@ def decode_image_strict(payload: bytes, *a, **k):
     return img
 
 
+def media_gps(media: DataFrame) -> DataFrame:
+    """image rows -> (media_id, lat, lon) from EXIF GPS — the
+    multimodal->spatial bridge of the north star: geotagged JPEGs feed
+    the same cell/tile/PIP operators as coordinates mined from text.
+    Rows without GPS metadata are dropped (null-key skip). One stateless
+    Arrow pass; compose with operators/geo.with_tile or
+    functions/cells.cell_expr downstream (JVM column math)."""
+    from lib_gdal_spark.sources.exif import parse_exif_gps
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                gps = parse_exif_gps(bytes(r["payload"]))
+                if gps is not None:
+                    rows.append({"media_id": int(r["media_id"]),
+                                 "lat": gps[0], "lon": gps[1]})
+            yield pd.DataFrame(rows, columns=["media_id", "lat", "lon"])
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        work, schema="media_id long, lat double, lon double")
+
+
 def image_features(
     media: DataFrame,
     resize_to: tuple[int, int] = (16, 16),
