@@ -3579,6 +3579,31 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "hamming")
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (sitemaps.org / RFC 9309 §2.3):
+    200 synthetic robots files (k%4 Sitemap directives each, mixed-case
+    keys for odd k) built AND parsed entirely JVM-side; (host, sitemap)
+    rows must match the closed-form oracle."""
+    from lib_gdal_spark.operators.robots import sitemaps_from_robots
+
+    k = F.col("id")
+    key = F.when(k % 2 == 1, F.lit("sitemap:")).otherwise(
+        F.lit("Sitemap: "))
+    lines = F.when(k % 4 >= 1, F.transform(
+        F.sequence(F.lit(0), (k % 4).cast("int") - 1),
+        lambda j: F.concat(key, F.lit("https://h"), k.cast("string"),
+                           F.lit(".example/sm"), j.cast("string"),
+                           F.lit(".xml")))).otherwise(
+        F.array().cast("array<string>"))
+    docs = spark.range(200).select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /x\n"),
+                 F.array_join(F.coalesce(lines, F.array()), "\n"))
+        .alias("robots"))
+    return sitemaps_from_robots(docs)
+
+
 def q_media_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geotagged-media spatial bridge: 60 JPEGs carry EXIF GPS
     (d/m/s-hundredths rationals, closed-form in m), the executors parse
@@ -4513,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": q_image_hashes,
         "image_near_dup": q_image_near_dup,
         "media_gps_tiles": q_media_gps_tiles,
+        "robots_sitemaps": q_robots_sitemaps,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
@@ -8328,6 +8354,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
         FROM hashes a JOIN hashes b ON a.m < b.m
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """
+
+    sqls["robots_sitemaps"] = """
+        SELECT 'h' || k || '.example' AS host,
+               'https://h' || k || '.example/sm' || j || '.xml' AS sitemap
+        FROM generate_series(0, 199) a(k)
+        CROSS JOIN generate_series(0, 2) b(j)
+        WHERE j < k % 4
     """
 
     # media_gps_tiles: same float op order as the EXIF decoder

@@ -76,6 +76,26 @@ def parse_robots(docs: DataFrame, host_col: str = "host",
         work, schema=RULE_SCHEMA)
 
 
+def sitemaps_from_robots(docs: DataFrame, host_col: str = "host",
+                         text_col: str = "robots") -> DataFrame:
+    """(host, robots.txt text) -> (host, sitemap) rows from ``Sitemap:``
+    directives (sitemaps.org / RFC 9309 §2.3 — agent-independent, may
+    appear anywhere in the file, case-insensitive key). This is how a
+    crawler DISCOVERS the sitemap set; the URLs feed
+    sources/sitemap.py. Pure JVM: split -> filter -> regexp-extract ->
+    explode; zero Python, zero shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    sm = F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(?i)^sitemap\s*:"))
+    urls = F.transform(
+        sm, lambda l: F.trim(F.regexp_replace(
+            F.trim(l), r"(?i)^sitemap\s*:\s*", "")))
+    return docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(urls).alias("sitemap"),
+    ).where(F.col("sitemap") != "")
+
+
 def _pattern_regex(path: F.Column) -> F.Column:
     """REP path pattern -> anchored regex: quote specials, '*' -> '.*',
     trailing '$' -> end anchor."""

@@ -74,3 +74,26 @@ def test_robots_filter_specific_agent(spark):
     assert got == {"/index.html": False, "/private/x": False,
                    "/private/ok/y": False, "/docs/file.pdf": False,
                    "/docs/file.pdf.html": False}
+
+
+def test_sitemaps_from_robots(spark):
+    import pandas as pd
+
+    from lib_gdal_spark.operators.robots import sitemaps_from_robots
+    docs = spark.createDataFrame(pd.DataFrame({
+        "host": ["a.example", "b.example", "c.example"],
+        "robots": [
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.example/sm1.xml\n"
+            "sitemap:https://a.example/sm2.xml\n",
+            "SITEMAP:   https://b.example/s.xml  \n"
+            "Disallow: /private\n",
+            "User-agent: *\nAllow: /\n",       # none
+        ]}))
+    got = sorted((r["host"], r["sitemap"])
+                 for r in sitemaps_from_robots(docs).collect())
+    assert got == [
+        ("a.example", "https://a.example/sm1.xml"),
+        ("a.example", "https://a.example/sm2.xml"),
+        ("b.example", "https://b.example/s.xml"),
+    ]
