@@ -3604,6 +3604,77 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemaps_from_robots(docs)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness frontier: 600 urls over 40 hosts, Crawl-delay k%5
+    seconds for even hosts (odd hosts fall back to the 1 s default);
+    per-host lexicographic fetch order, k-th fetch at k*delay — the
+    whole schedule (seq + timestamp) must match the windowed oracle."""
+    from lib_gdal_spark.operators.robots import (
+        crawl_delays, crawl_frontier)
+
+    k = F.col("id")
+    rules = spark.range(40).where(k % 2 == 0).select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("User-agent: *\nCrawl-delay: "),
+                 (k % 5).cast("string"), F.lit("\nDisallow: /x\n"))
+        .alias("robots"))
+    i = F.col("id")
+    pages = spark.range(600).select(
+        F.concat(F.lit("https://h"), (i % 40).cast("string"),
+                 F.lit(".example/p"), i.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (i % 40).cast("string"),
+                 F.lit(".example")).alias("host"))
+    fr = crawl_frontier(pages, crawl_delays(rules), order_by="url")
+    return fr.select("url", "host", "fetch_seq",
+                     F.round("fetch_at_s", 6).alias("fetch_at_s"))
+
+
+_MIME_KINDS = [
+    "image/png", "image/jpeg", "image/gif", "image/tiff", "image/webp",
+    "audio/wav", "video/x-msvideo", "application/pdf",
+    "application/gzip", "application/zip", "application/warc",
+    "application/xml", "text/html", "application/json", "text/plain",
+    "application/octet-stream",
+]
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME triage: 160 payloads (16 formats × 10, several
+    produced by the repo's own encoders) classified by the pure-JVM
+    sniffer; the label of every row must match the m%16 oracle."""
+    import gzip as _gz
+
+    from lib_gdal_spark.operators.multimodal import with_mime
+    from lib_gdal_spark.sources.avi import write_avi_mjpeg
+    from lib_gdal_spark.sources.jpeg import write_jpeg
+    from lib_gdal_spark.sources.png import write_png
+    from lib_gdal_spark.sources.wav import write_wav
+
+    base = spark.range(160).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        img = np.full((8, 8), 9, dtype=np.uint8)
+        payloads = [
+            write_png([img]), write_jpeg(img), b"GIF89a......",
+            b"II*\x00rest", b"RIFF\x04\x00\x00\x00WEBPVP8 ",
+            write_wav(np.zeros(10, dtype=np.int16), 8000),
+            write_avi_mjpeg([write_jpeg(img)], 5, 8, 8),
+            b"%PDF-1.7\n", _gz.compress(b"x", mtime=0),
+            b"PK\x03\x04....", b"WARC/1.0\r\n",
+            b'<?xml version="1.0"?><a/>',
+            b"\n<!DOCTYPE html><html></html>", b'  {"k": 1}',
+            b"plain words here\n", b"\x00\x01\x02\xfe",
+        ]
+        for b in batches:
+            yield pd.DataFrame({
+                "m": [int(m) for m in b["m"]],
+                "payload": [payloads[int(m) % 16] for m in b["m"]]})
+
+    df = base.mapInPandas(mk, schema="m long, payload binary")
+    return with_mime(df).select("m", "mime")
+
+
 def q_media_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geotagged-media spatial bridge: 60 JPEGs carry EXIF GPS
     (d/m/s-hundredths rationals, closed-form in m), the executors parse
@@ -4539,6 +4610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "media_gps_tiles": q_media_gps_tiles,
         "robots_sitemaps": q_robots_sitemaps,
+        "crawl_frontier": q_crawl_frontier,
+        "mime_sniff": q_mime_sniff,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
@@ -8362,6 +8435,31 @@ def oracle_sql() -> dict[str, str]:
         FROM generate_series(0, 199) a(k)
         CROSS JOIN generate_series(0, 2) b(j)
         WHERE j < k % 4
+    """
+
+    _mime_case = " ".join(
+        f"WHEN {i} THEN '{k}'" for i, k in enumerate(_MIME_KINDS))
+    sqls["mime_sniff"] = f"""
+        SELECT m, CASE m % 16 {_mime_case} END AS mime
+        FROM generate_series(0, 159) t(m)
+    """
+
+    sqls["crawl_frontier"] = """
+        WITH pages AS (
+          SELECT 'https://h' || (i % 40) || '.example/p' || i AS url,
+                 'h' || (i % 40) || '.example' AS host, i % 40 AS hk
+          FROM generate_series(0, 599) t(i)
+        ), sched AS (
+          SELECT url, host,
+                 CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+                      - 1 AS INT) AS fetch_seq,
+                 CASE WHEN hk % 2 = 0 THEN CAST(hk % 5 AS DOUBLE)
+                      ELSE 1.0 END AS delay_s
+          FROM pages
+        )
+        SELECT url, host, fetch_seq,
+               round(fetch_seq * delay_s, 6) AS fetch_at_s
+        FROM sched
     """
 
     # media_gps_tiles: same float op order as the EXIF decoder

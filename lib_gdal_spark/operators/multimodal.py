@@ -159,6 +159,49 @@ def decode_image_strict(payload: bytes, *a, **k):
     return img
 
 
+def with_mime(df: DataFrame, payload_col: str = "payload",
+              out_col: str = "mime") -> DataFrame:
+    """Magic-byte MIME sniffing for binary columns — the triage step of
+    a mixed-content crawl (decide codec / route / drop before any
+    decode). Pure JVM: prefix equality on the binary column plus a
+    decoded-prefix heuristic for html/xml/json/text; one narrow map,
+    whole-stage codegen, zero Python."""
+    p = F.col(payload_col)
+
+    def pre(n: int) -> F.Column:
+        return F.substring(p, 1, n)
+
+    def at(off: int, lit: bytes) -> F.Column:
+        return F.substring(p, off, len(lit)) == F.lit(lit)
+
+    head = F.lower(F.substring(
+        F.decode(F.substring(p, 1, 256), "ISO-8859-1"), 1, 256))
+    printable = F.decode(F.substring(p, 1, 64), "ISO-8859-1") \
+        .rlike(r"^[\t\n\r\x20-\x7e]*$")
+    mime = (
+        F.when(pre(8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image/png")
+        .when(pre(3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
+        .when(pre(4) == F.lit(b"GIF8"), "image/gif")
+        .when((pre(4) == F.lit(b"II*\x00"))
+              | (pre(4) == F.lit(b"MM\x00*")), "image/tiff")
+        .when((pre(4) == F.lit(b"RIFF")) & at(9, b"WEBP"), "image/webp")
+        .when((pre(4) == F.lit(b"RIFF")) & at(9, b"WAVE"), "audio/wav")
+        .when((pre(4) == F.lit(b"RIFF")) & at(9, b"AVI "),
+              "video/x-msvideo")
+        .when(pre(4) == F.lit(b"%PDF"), "application/pdf")
+        .when(pre(2) == F.lit(b"\x1f\x8b"), "application/gzip")
+        .when(pre(4) == F.lit(b"PK\x03\x04"), "application/zip")
+        .when(pre(5) == F.lit(b"WARC/"), "application/warc")
+        .when(head.startswith("<?xml"), "application/xml")
+        .when(head.contains("<html") | head.contains("<!doctype html"),
+              "text/html")
+        .when(F.trim(head).rlike(r"^[\[{]"), "application/json")
+        .when(printable, "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    return df.withColumn(out_col, mime)
+
+
 def media_gps(media: DataFrame) -> DataFrame:
     """image rows -> (media_id, lat, lon) from EXIF GPS — the
     multimodal->spatial bridge of the north star: geotagged JPEGs feed

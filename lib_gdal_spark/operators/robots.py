@@ -96,6 +96,86 @@ def sitemaps_from_robots(docs: DataFrame, host_col: str = "host",
     ).where(F.col("sitemap") != "")
 
 
+def crawl_delays(docs: DataFrame, host_col: str = "host",
+                 text_col: str = "robots") -> DataFrame:
+    """(host, robots.txt) -> (host, agent, delay_s) from ``Crawl-delay``
+    lines (the de-facto extension honored by most crawlers; attributed
+    to the nearest preceding ``User-agent`` group like allow/disallow).
+    Pure JVM: an aggregate-fold over the line array carries the current
+    agent group; zero Python, zero shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    acc0 = F.struct(
+        F.lit("*").alias("agent"),
+        F.array().cast("array<struct<agent:string,delay:double>>")
+        .alias("out"))
+
+    def step(acc, l):
+        t = F.trim(l)
+        is_agent = t.rlike(r"(?i)^user-agent\s*:")
+        is_delay = t.rlike(r"(?i)^crawl-delay\s*:\s*[0-9.]+\s*$")
+        agent = F.when(
+            is_agent,
+            F.trim(F.regexp_replace(t, r"(?i)^user-agent\s*:\s*", "")),
+        ).otherwise(acc["agent"])
+        entry = F.struct(
+            acc["agent"].alias("agent"),
+            F.regexp_extract(t, r"([0-9.]+)", 1).cast("double")
+            .alias("delay"))
+        out = F.when(is_delay, F.concat(acc["out"], F.array(entry))) \
+            .otherwise(acc["out"])
+        return F.struct(agent.alias("agent"), out.alias("out"))
+
+    folded = F.aggregate(lines, acc0, step, lambda acc: acc["out"])
+    return docs.select(
+        F.col(host_col).alias("host"), F.explode(folded).alias("e")
+    ).select(
+        "host", F.col("e.agent").alias("agent"),
+        F.col("e.delay").alias("delay_s"))
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    delays: DataFrame,
+    agent: str = "*",
+    default_delay_s: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+    order_by: str = "hash",
+) -> DataFrame:
+    """Politeness-scheduled fetch plan: pages grouped per host, ordered
+    deterministically — ``order_by='hash'`` (default; xxhash64 of the
+    url spreads deep-path crawls instead of walking one directory) or
+    ``'url'`` (lexicographic) — each host's k-th fetch scheduled at
+    k * delay (robots Crawl-delay for ``agent``, else
+    ``default_delay_s``). Reproducible at any parallelism either way.
+
+    Output: (url, host, fetch_seq, fetch_at_s).
+
+    Scale: one shuffle on the host key for the per-host window — the
+    politeness constraint itself serializes a host, so a host's rows
+    landing in one task is the semantics, not a skew accident; the
+    delays side is a per-host aggregate joined broadcast-style (hosts
+    << pages)."""
+    d = (delays.where(F.col("agent") == agent)
+         .groupBy("host").agg(F.max("delay_s").alias("delay_s")))
+    if order_by not in ("hash", "url"):
+        raise ValueError("order_by must be 'hash' or 'url'")
+    from pyspark.sql import Window
+    keys = [F.xxhash64(url_col), F.col(url_col)] \
+        if order_by == "hash" else [F.col(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*keys)
+    seq = (F.row_number().over(w) - 1).alias("fetch_seq")
+    return (pages.join(F.broadcast(d), pages[host_col] == d["host"],
+                       "left")
+            .drop(d["host"])
+            .select(
+                url_col, host_col, seq,
+                ((F.row_number().over(w) - 1)
+                 * F.coalesce(F.col("delay_s"),
+                              F.lit(default_delay_s)))
+                .alias("fetch_at_s")))
+
+
 def _pattern_regex(path: F.Column) -> F.Column:
     """REP path pattern -> anchored regex: quote specials, '*' -> '.*',
     trailing '$' -> end anchor."""

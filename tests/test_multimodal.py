@@ -88,3 +88,41 @@ def test_real_png_decode_in_pipeline(spark):
     assert (row["width"], row["height"]) == (12, 10)
     want = (img.astype(float) + img // 2 + img // 3).sum() / (120 * 3)
     assert abs(row["mean"] - want) < 1e-9
+
+
+def test_with_mime_sniffing(spark):
+    import gzip as _gz
+
+    import numpy as np
+    import pandas as pd
+
+    from lib_gdal_spark.operators.multimodal import with_mime
+    from lib_gdal_spark.sources.avi import write_avi_mjpeg
+    from lib_gdal_spark.sources.jpeg import write_jpeg
+    from lib_gdal_spark.sources.png import write_png
+    from lib_gdal_spark.sources.wav import write_wav
+
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    cases = [
+        (write_png([img]), "image/png"),
+        (write_jpeg(img), "image/jpeg"),
+        (b"GIF89a......", "image/gif"),
+        (b"II*\x00rest", "image/tiff"),
+        (b"RIFF\x04\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (write_wav(np.zeros(10, dtype=np.int16), 8000), "audio/wav"),
+        (write_avi_mjpeg([write_jpeg(img)], 5, 8, 8), "video/x-msvideo"),
+        (b"%PDF-1.7\n", "application/pdf"),
+        (_gz.compress(b"x", mtime=0), "application/gzip"),
+        (b"PK\x03\x04....", "application/zip"),
+        (b"WARC/1.0\r\n", "application/warc"),
+        (b'<?xml version="1.0"?><a/>', "application/xml"),
+        (b"\n<!DOCTYPE html><html></html>", "text/html"),
+        (b'  {"k": 1}', "application/json"),
+        (b"plain words here\n", "text/plain"),
+        (b"\x00\x01\x02\xfe", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"i": range(len(cases)), "payload": [c[0] for c in cases]}))
+    got = {r["i"]: r["mime"] for r in with_mime(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

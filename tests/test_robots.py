@@ -97,3 +97,45 @@ def test_sitemaps_from_robots(spark):
         ("a.example", "https://a.example/sm2.xml"),
         ("b.example", "https://b.example/s.xml"),
     ]
+
+
+def test_crawl_delays_grouped_by_agent(spark):
+    import pandas as pd
+
+    from lib_gdal_spark.operators.robots import crawl_delays
+    docs = spark.createDataFrame(pd.DataFrame({
+        "host": ["a.example"],
+        "robots": ["User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+                   "User-agent: fastbot\ncrawl-delay: 0.5\n"
+                   "Crawl-delay: not-a-number\n"]}))
+    got = sorted((r["agent"], r["delay_s"])
+                 for r in crawl_delays(docs).collect())
+    assert got == [("*", 2.0), ("fastbot", 0.5)]
+
+
+def test_crawl_frontier_schedule(spark):
+    import pandas as pd
+
+    from lib_gdal_spark.operators.robots import (
+        crawl_delays, crawl_frontier)
+    rules = spark.createDataFrame(pd.DataFrame({
+        "host": ["slow.example"],
+        "robots": ["User-agent: *\nCrawl-delay: 10\n"]}))
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://slow.example/{i}" for i in range(5)]
+        + [f"https://fast.example/{i}" for i in range(3)],
+        "host": ["slow.example"] * 5 + ["fast.example"] * 3}))
+    fr = crawl_frontier(pages, crawl_delays(rules)).collect()
+    by_host = {}
+    for r in fr:
+        by_host.setdefault(r["host"], []).append(
+            (r["fetch_seq"], r["fetch_at_s"]))
+    slow = sorted(by_host["slow.example"])
+    assert slow == [(i, 10.0 * i) for i in range(5)]
+    fast = sorted(by_host["fast.example"])
+    assert fast == [(i, 1.0 * i) for i in range(3)]  # default delay
+    # determinism across parallelism
+    fr2 = crawl_frontier(pages.repartition(7),
+                         crawl_delays(rules)).collect()
+    assert {(r["url"], r["fetch_seq"]) for r in fr} == \
+           {(r["url"], r["fetch_seq"]) for r in fr2}
