@@ -3675,6 +3675,73 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_mime(df).select("m", "mime")
 
 
+def q_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (LZW validated against third-party encoder
+    output): 30 animated GIFs (3 frames, 32×24, palette
+    (13i+29c+7)%251, frame-0 index (x+2y+m)%16) through strict
+    image_features; dims/mean must come from decoding the bytes."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_features)
+    from lib_gdal_spark.sources.gif import write_gif
+
+    base = spark.range(30).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        x, y = np.meshgrid(np.arange(32), np.arange(24), indexing="xy")
+        i = np.arange(16)
+        c = np.arange(3)
+        pal = ((13 * i[:, None] + 29 * c[None, :] + 7) % 251) \
+            .astype(np.uint8)
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                frames = [((x + 2 * y + m + 5 * k) % 16)
+                          .astype(np.uint8) for k in range(3)]
+                rows.append((m, "image", write_gif(frames, pal),
+                             0, 0, 3, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    feats = image_features(media, resize_to=(8, 8), strict=True)
+    return feats.select("media_id", "width", "height",
+                        F.round("mean", 6).alias("mean"))
+
+
+def q_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: 20 24-bit BMPs (32×24, channel value
+    (3x+5y+m+17c)%251) through strict image_features."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_features)
+    from lib_gdal_spark.sources.bmp import write_bmp
+
+    base = spark.range(20).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        x, y = np.meshgrid(np.arange(32), np.arange(24), indexing="xy")
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                rgb = np.stack([(3 * x + 5 * y + m + 17 * c) % 251
+                                for c in range(3)], axis=2) \
+                    .astype(np.uint8)
+                rows.append((m, "image", write_bmp(rgb),
+                             0, 0, 3, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    feats = image_features(media, resize_to=(8, 8), strict=True)
+    return feats.select("media_id", "width", "height",
+                        F.round("mean", 6).alias("mean"))
+
+
 def q_media_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geotagged-media spatial bridge: 60 JPEGs carry EXIF GPS
     (d/m/s-hundredths rationals, closed-form in m), the executors parse
@@ -4612,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "crawl_frontier": q_crawl_frontier,
         "mime_sniff": q_mime_sniff,
+        "image_decode_gif": q_image_decode_gif,
+        "image_decode_bmp": q_image_decode_bmp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "mvt_tiles": q_mvt_tiles,
         "dxf_entities": q_dxf_entities,
@@ -8442,6 +8511,30 @@ def oracle_sql() -> dict[str, str]:
     sqls["mime_sniff"] = f"""
         SELECT m, CASE m % 16 {_mime_case} END AS mime
         FROM generate_series(0, 159) t(m)
+    """
+
+    sqls["image_decode_gif"] = """
+        SELECT m AS media_id, CAST(32 AS INT) AS width,
+               CAST(24 AS INT) AS height,
+               round(sum((13 * ((x + 2*y + m) % 16) + 29 * c + 7) % 251)
+                     / 2304.0, 6) AS mean
+        FROM generate_series(0, 29) g(m)
+        CROSS JOIN generate_series(0, 31) a(x)
+        CROSS JOIN generate_series(0, 23) b(y)
+        CROSS JOIN generate_series(0, 2) ch(c)
+        GROUP BY m
+    """
+
+    sqls["image_decode_bmp"] = """
+        SELECT m AS media_id, CAST(32 AS INT) AS width,
+               CAST(24 AS INT) AS height,
+               round(sum((3 * x + 5 * y + m + 17 * c) % 251)
+                     / 2304.0, 6) AS mean
+        FROM generate_series(0, 19) g(m)
+        CROSS JOIN generate_series(0, 31) a(x)
+        CROSS JOIN generate_series(0, 23) b(y)
+        CROSS JOIN generate_series(0, 2) ch(c)
+        GROUP BY m
     """
 
     sqls["crawl_frontier"] = """

@@ -103,6 +103,12 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return np.stack(
             [np.clip(b, 0, 255).astype(np.uint8) for b in g.bands],
             axis=2)
+    if payload[:4] in (b"GIF8",):
+        from lib_gdal_spark.sources.gif import gif_to_rgb_frames
+        return gif_to_rgb_frames(bytes(payload))[0]
+    if payload[:2] == b"BM":
+        from lib_gdal_spark.sources.bmp import parse_bmp
+        return parse_bmp(bytes(payload))
     return None
 
 
@@ -128,11 +134,20 @@ def decode_audio_strict(payload: bytes):
 
 def decode_video(payload: bytes) -> tuple[dict, list[np.ndarray]] | None:
     """REAL video decode for MJPEG-in-AVI (sources/avi.py + the in-repo
-    baseline JPEG frame codec): returns (info, frames), or None for
-    inter-frame codecs (H.264/VP9/...)."""
+    baseline JPEG frame codec) and animated GIF (sources/gif.py):
+    returns (info, frames), or None for inter-frame codecs
+    (H.264/VP9/...)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from lib_gdal_spark.sources.avi import decode_avi_frames
         return decode_avi_frames(bytes(payload))
+    if payload[:4] == b"GIF8":
+        from lib_gdal_spark.sources.gif import (
+            gif_to_rgb_frames, parse_gif)
+        g = parse_gif(bytes(payload))
+        delay = next((d for d in g["delays_cs"] if d), 10)
+        info = {"fps": round(100 / delay), "width": g["width"],
+                "height": g["height"], "n_frames": len(g["frames"])}
+        return info, gif_to_rgb_frames(bytes(payload))
     return None
 
 
@@ -182,6 +197,7 @@ def with_mime(df: DataFrame, payload_col: str = "payload",
         F.when(pre(8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image/png")
         .when(pre(3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
         .when(pre(4) == F.lit(b"GIF8"), "image/gif")
+        .when(pre(2) == F.lit(b"BM"), "image/bmp")
         .when((pre(4) == F.lit(b"II*\x00"))
               | (pre(4) == F.lit(b"MM\x00*")), "image/tiff")
         .when((pre(4) == F.lit(b"RIFF")) & at(9, b"WEBP"), "image/webp")
