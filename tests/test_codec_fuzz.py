@@ -147,3 +147,58 @@ def test_wat_roundtrip_fuzz(recs):
             "HTML-Metadata"]
         assert md["Head"]["Title"] == rec["title"]
         assert [x["url"] for x in md["Links"]] == rec["links"]
+
+
+@given(st.integers(2, 8), st.integers(0, 2 ** 32 - 1),
+       st.integers(1, 4000))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_fuzz(mcs, seed, n):
+    from lib_gdal_spark.sources.gif import _lzw_decode, _lzw_encode
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 1 << mcs, n).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(s, mcs), mcs) == s
+
+
+@given(st.integers(1, 29), st.integers(1, 29), st.integers(2, 32),
+       st.integers(1, 3), st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_container_roundtrip_fuzz(h, w, ncolors, nframes, seed):
+    from lib_gdal_spark.sources.gif import parse_gif, write_gif
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    frames = [rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+              for _ in range(nframes)]
+    g = parse_gif(write_gif(frames, pal))
+    assert (g["width"], g["height"]) == (w, h)
+    assert all(np.array_equal(a, b) for a, b in zip(g["frames"], frames))
+
+
+@given(st.integers(1, 29), st.integers(1, 29),
+       st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_fuzz(h, w, seed):
+    from lib_gdal_spark.sources.bmp import parse_bmp, write_bmp
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(parse_bmp(write_bmp(rgb)), rgb)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 2),
+       st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_fuzz(n, sr_k, ch, seed):
+    from lib_gdal_spark.sources.wav import parse_wav, write_wav
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    d, sr = parse_wav(write_wav(s, sr_k * 1000))
+    assert sr == sr_k * 1000 and np.array_equal(d, s)
+
+
+@given(st.integers(1, 4), st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_fuzz(nb, seed):
+    from lib_gdal_spark.sources.jpeg import parse_jpeg, write_jpeg
+    rng = np.random.default_rng(seed)
+    img = np.kron(rng.integers(0, 256, (nb, nb + 1)),
+                  np.ones((8, 8), dtype=int)).astype(np.uint8)
+    assert np.array_equal(parse_jpeg(write_jpeg(img)), img)
