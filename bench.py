@@ -122,6 +122,10 @@ BENCH = {
     # round-3 continuation additions
     "cdc_chunks": lambda s: _force(E.q_cdc_chunks(s, SF_DIR)),
     "wet_wat_ingest": lambda s: _force(E.q_wet_wat_ingest(s, SF_DIR)),
+    "viewshed": lambda s: _force(E.q_viewshed(s, SF_DIR)),
+    "image_hashes": lambda s: _force(E.q_image_hashes(s, SF_DIR)),
+    "media_gps_tiles": lambda s: _force(E.q_media_gps_tiles(s, SF_DIR)),
+    "crawl_frontier": lambda s: _force(E.q_crawl_frontier(s, SF_DIR)),
 }
 
 
