@@ -766,6 +766,8 @@ q_warp_median_z2 = _q_warp_stat("median")
 q_warp_q3_z2 = _q_warp_stat("q3")
 q_warp_mode_z2 = _q_warp_stat("mode")
 q_warp_max_z2 = _q_warp_stat("maximum")
+q_warp_sum_z2 = _q_warp_stat("sum")
+q_warp_rms_z2 = _q_warp_stat("rms")
 
 
 def q_sieve_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,6 +917,16 @@ def q_pyramid_avg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer round-half-up), children->parent groupBy reduce."""
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
     lvl1 = RAST.pyramid_level(tiles, alg="average", tile=64)
+    return _explode_px(lvl1).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_pyramid_rms_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One RMS pyramid step on gradient256 (overview.cpp "RMS" QuadraticMean,
+    GDAL >= 3.3): sqrt(mean(v^2)) per 2x2 box, round half-up."""
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "gradient256")
+    lvl1 = RAST.pyramid_level(tiles, alg="rms", tile=64)
     return _explode_px(lvl1).select(
         "px", "py", F.col("v").cast("long").alias("v")
     )
@@ -4521,7 +4533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_q3_z2": q_warp_q3_z2,
         "warp_mode_z2": q_warp_mode_z2,
         "warp_max_z2": q_warp_max_z2,
+        "warp_sum_z2": q_warp_sum_z2,
+        "warp_rms_z2": q_warp_rms_z2,
         "pyramid_avg_l1": q_pyramid_avg_l1,
+        "pyramid_rms_l1": q_pyramid_rms_l1,
         "pyramid_mode_l1": q_pyramid_mode_l1,
         "pyramid_gauss_l1": q_pyramid_gauss_l1,
         "contour_crossings": q_contour_crossings,
@@ -5021,6 +5036,17 @@ def oracle_sql() -> dict[str, str]:
         FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
     """
 
+    sqls["pyramid_rms_l1"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(floor(sqrt(
+                 (pow(trunc((2 * x.px + 2 * y.py) * 0.5), 2)
+                  + pow(trunc((2 * x.px + 1 + 2 * y.py) * 0.5), 2)
+                  + pow(trunc((2 * x.px + 2 * y.py + 1) * 0.5), 2)
+                  + pow(trunc((2 * x.px + 1 + 2 * y.py + 1) * 0.5), 2))
+                 / 4.0) + 0.5) AS BIGINT) AS v
+        FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+    """
+
     # bilinear warp oracle: same float-literal mirroring as the nearest one,
     # with the fractional source coords and the 4-tap triangle accumulation
     # in the kernel's exact loop order (dy outer, dx inner).
@@ -5397,6 +5423,20 @@ def oracle_sql() -> dict[str, str]:
     sqls["warp_max_z2"] = f"""
         WITH {_warp_box_cte}
         SELECT px, py, CAST(max(v) AS BIGINT) AS v
+        FROM vals GROUP BY px, py
+    """
+    sqls["warp_sum_z2"] = f"""
+        WITH {_warp_box_cte}
+        SELECT px, py,
+               CAST(least(greatest(floor(sum(v) + 0.5), 0), 255)
+                    AS BIGINT) AS v
+        FROM vals GROUP BY px, py
+    """
+    sqls["warp_rms_z2"] = f"""
+        WITH {_warp_box_cte}
+        SELECT px, py,
+               CAST(least(greatest(floor(sqrt(sum(v * v) / count(*)) + 0.5),
+                                   0), 255) AS BIGINT) AS v
         FROM vals GROUP BY px, py
     """
     for stat, qq in (("warp_median_z2", 0.5), ("warp_q3_z2", 0.75)):

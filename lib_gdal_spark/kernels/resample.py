@@ -209,7 +209,8 @@ def warp_tile(
     return clamp_round(out, dtype or str(src.dtype))
 
 
-AGG_ALGS = ("average", "minimum", "maximum", "median", "q1", "q3", "mode")
+AGG_ALGS = ("average", "minimum", "maximum", "median", "q1", "q3", "mode",
+            "sum", "rms")
 
 
 def warp_tile_stat(
@@ -293,6 +294,16 @@ def warp_tile_stat(
             srt = np.sort(pop, axis=0)  # NaNs sort last
             idx = np.floor(q * (np.maximum(cnt, 1) - 1)).astype(np.int64)
             out = np.take_along_axis(srt, idx[None, :, :], axis=0)[0]
+        elif stat == "sum":
+            # GRA_Sum (``gdalwarpkernel.cpp`` GWKSumPreserving entry point):
+            # total of contributing src pixels.  Simplified to the same
+            # box-population semantics as the other aggregate stats here
+            # (no partial-pixel weighting), documented so the oracle mirrors.
+            out = np.nansum(pop, axis=0)
+        elif stat == "rms":
+            # GRA_RMS (``gdalwarpkernel.cpp`` GWKAverageOrMode RMS branch):
+            # sqrt of the mean of squares over the box population.
+            out = np.sqrt(np.nansum(pop * pop, axis=0) / np.maximum(cnt, 1))
         elif stat == "mode":
             srt = np.sort(pop, axis=0)
             out = np.full(dst_shape, np.nan)
@@ -356,6 +367,40 @@ def overview_average(
         out = np.floor((total + np.floor(safe / 2.0)) / safe)
     else:
         out = total / safe
+    if nodata is not None:
+        out = np.where(count > 0, out, nodata)
+    return out.astype(src.dtype)
+
+
+def overview_rms(
+    src: np.ndarray, dst_shape: tuple[int, int], nodata: float | None = None
+) -> np.ndarray:
+    """RMS overview (``overview.cpp`` "RMS" path, GDAL >= 3.3):
+    ``sqrt(mean(v^2))`` over the same source window as AVERAGE; integer
+    types round half-up ``floor(rms + 0.5)`` (documented rule; matches the
+    reference's QuadraticMean rounding for real dtypes)."""
+    sh, sw = src.shape
+    dh, dw = dst_shape
+    xlo, xhi = _window_edges(dw, sw / dw, sw)
+    ylo, yhi = _window_edges(dh, sh / dh, sh)
+    srcf = src.astype(np.float64)
+    mask = np.ones_like(srcf) if nodata is None else (srcf != nodata).astype(np.float64)
+    vals2 = np.where(mask > 0, srcf * srcf, 0.0)
+    sat = np.zeros((sh + 1, sw + 1))
+    satm = np.zeros((sh + 1, sw + 1))
+    np.cumsum(np.cumsum(vals2, axis=0), axis=1, out=sat[1:, 1:])
+    np.cumsum(np.cumsum(mask, axis=0), axis=1, out=satm[1:, 1:])
+
+    def box(s, y0, y1, x0, x1):
+        return s[y1[:, None], x1[None, :]] - s[y0[:, None], x1[None, :]] - s[
+            y1[:, None], x0[None, :]
+        ] + s[y0[:, None], x0[None, :]]
+
+    total2 = box(sat, ylo, yhi, xlo, xhi)
+    count = box(satm, ylo, yhi, xlo, xhi)
+    out = np.sqrt(total2 / np.maximum(count, 1.0))
+    if np.issubdtype(src.dtype, np.integer):
+        out = np.floor(out + 0.5)
     if nodata is not None:
         out = np.where(count > 0, out, nodata)
     return out.astype(src.dtype)
@@ -449,6 +494,8 @@ def overview_reduce_2x2(children: dict[tuple[int, int], np.ndarray], tile: int,
         mosaic[dy * tile : (dy + 1) * tile, dx * tile : (dx + 1) * tile] = arr
     if alg == "average":
         return overview_average(mosaic, (tile, tile), nodata=nodata)
+    if alg == "rms":
+        return overview_rms(mosaic, (tile, tile), nodata=nodata)
     if alg == "gauss":
         return overview_gauss(mosaic, (tile, tile), nodata=nodata)
     if alg == "mode":

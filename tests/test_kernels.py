@@ -202,6 +202,39 @@ class TestResample:
         out = R.overview_average(src, (1, 1), nodata=255)
         assert out[0, 0] == 10
 
+    def test_overview_rms_2x2(self):
+        src = np.array([[3, 4], [0, 0]], dtype=np.uint8)
+        out = R.overview_rms(src, (1, 1))
+        # sqrt((9+16+0+0)/4) = 2.5 -> round half-up -> 3
+        assert out[0, 0] == 3
+
+    def test_overview_rms_float_and_nodata(self):
+        src = np.array([[3.0, 4.0], [9.0, 9.0]])
+        out = R.overview_rms(src, (1, 1), nodata=9.0)
+        assert out[0, 0] == pytest.approx(np.sqrt(12.5))
+        allnd = np.full((2, 2), 9.0)
+        assert R.overview_rms(allnd, (1, 1), nodata=9.0)[0, 0] == 9.0
+
+    def test_warp_stat_sum_rms(self):
+        # identity 2:1 downscale: each dst pixel's box is one 2x2 block
+        src = np.array([[1, 2, 10, 20], [3, 4, 30, 40],
+                        [5, 6, 7, 8], [9, 10, 11, 12]], dtype=np.uint8)
+        gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+        dst_gt = [0.0, 2.0, 0.0, 0.0, 0.0, -2.0]
+        out = R.warp_tile_stat(src, gt, (2, 2), dst_gt, "sum")
+        assert out.tolist() == [[10, 100], [30, 38]]
+        out = R.warp_tile_stat(src, gt, (2, 2), dst_gt, "rms")
+        exp = np.floor(np.sqrt([[30 / 4, 3000 / 4], [242 / 4, 378 / 4]]) + 0.5)
+        assert out.tolist() == exp.astype(int).tolist()
+
+    def test_warp_stat_sum_nodata_clamp(self):
+        src = np.full((2, 2), 200, dtype=np.uint8)
+        src[0, 0] = 7  # nodata drops out of the population
+        gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+        dst_gt = [0.0, 2.0, 0.0, 0.0, 0.0, -2.0]
+        out = R.warp_tile_stat(src, gt, (1, 1), dst_gt, "sum", nodata=7)
+        assert out[0, 0] == 255  # 600 saturates the Byte range
+
     def test_cubic_weights_partition(self):
         # Catmull-Rom interpolates: weights at integer offsets sum to 1
         for frac in (0.0, 0.25, 0.5, 0.9):
