@@ -1565,6 +1565,41 @@ def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint.cpp): valid-data mask binarized
+    JVM-side, polygonized, footprint area in world units via |det(gt)|."""
+    from lib_gdal_spark.operators import footprint as FPT
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+    out = FPT.footprint(tiles, spark, grid_w=grid.width, tile=grid.tile,
+                        nodata=0.0, gt=grid.gt)
+    return out.select(
+        "component", "n_pixels",
+        F.col("n_rings").cast("long").alias("n_rings"),
+        F.round("area", 6).alias("area"),
+    )
+
+
+def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalcompare (osgeo_utils/gdalcompare.py): per-band pixel-difference
+    stats between world4326 and gradient256 via one tile-key equi-join +
+    JVM zip_with/aggregate (no Python, no explode)."""
+    from lib_gdal_spark.operators import compare as CMPR
+
+    tiles = RS.fixture_rasters(spark)
+    a = tiles.where(F.col("raster_id") == "world4326")
+    b = tiles.where(F.col("raster_id") == "gradient256")
+    out = CMPR.compare_rasters(a, b)
+    return out.select(
+        F.col("band").cast("long").alias("band"),
+        "n_pixels", "n_diff",
+        F.round("max_abs_diff", 6).alias("max_abs_diff"),
+        F.round("sum_abs_diff", 6).alias("sum_abs_diff"),
+    )
+
+
 # Literal overlay fixture: rectangles + a concave, HOLED method polygon.
 # The method region decomposes into axis-aligned rectangles, so the oracle
 # areas come from independent rectangle arithmetic (not the slab kernel).
@@ -4539,6 +4574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rms_l1": q_pyramid_rms_l1,
         "pyramid_mode_l1": q_pyramid_mode_l1,
         "pyramid_gauss_l1": q_pyramid_gauss_l1,
+        "raster_footprint": q_raster_footprint,
+        "raster_compare": q_raster_compare,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
         "layer_erase": q_layer_erase,
@@ -5694,6 +5731,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS n_rings,
                round(CAST(count(*) AS DOUBLE), 6) AS area_px
         FROM burned GROUP BY fid
+    """
+
+    # footprint: disjoint pentagons -> one valid-mask component per fid;
+    # world area = n_pixels * |gt1 * gt5| (exact binary fractions 45/32,
+    # 45/64 -- no float rounding on either engine).
+    sqls["raster_footprint"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts})
+        SELECT min(py * 256 + px) AS component,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(1 AS BIGINT) AS n_rings,
+               round(count(*) * 1.40625 * 0.703125, 6) AS area
+        FROM burned GROUP BY fid
+    """
+
+    sqls["raster_compare"] = """
+        WITH g AS (
+          SELECT x.px AS px, y.py AS py
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        v AS (
+          SELECT trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0) AS va,
+                 trunc((px + py) * 0.5) AS vb
+          FROM g
+        )
+        SELECT CAST(1 AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(CASE WHEN va <> vb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_diff,
+               round(max(abs(va - vb)), 6) AS max_abs_diff,
+               round(sum(abs(va - vb)), 6) AS sum_abs_diff
+        FROM v
     """
 
     union_rows = _ov_expected_union()
