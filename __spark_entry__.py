@@ -1123,6 +1123,68 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# UTF-8 bytes of "café ’quote’ €5 — end" mis-decoded as cp1252 (the classic
+# double-encoding mojibake; includes the 0x80-0x9F specials €/™/‚/”).
+_MOJI_LIT = "cafÃ© â€™quoteâ€™ â‚¬5 â€” end"
+
+
+def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (the cleanup stage before any text dedup):
+    combining sequences appended to each doc compose to single code points;
+    DuckDB's nfc_normalize is the oracle."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # decomposed: e+COMBINING ACUTE, a+RING ABOVE, O+DIAERESIS
+    s = F.concat(F.substring("text", 1, 40),
+                 F.lit("e\u0301a\u030aO\u0308"))
+    out = TX.normalize_unicode(d.withColumn("s", s), text_col="s",
+                               out_col="nfc")
+    return out.select(
+        F.col("doc_id"),
+        F.length("s").cast("long").alias("raw_len"),
+        "nfc",
+        F.length("nfc").cast("long").alias("nfc_len"),
+    )
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (UTF-8 read as cp1252): every third doc
+    gets a double-encoded suffix; the repair is mirrored byte-for-byte in
+    the oracle via the sloppy-cp1252 char->byte map + UTF-8 re-decode."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.concat(
+        F.substring("text", 1, 30),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJI_LIT)).otherwise(F.lit("")),
+    )
+    out = TX.fix_mojibake(d.withColumn("s", s), text_col="s",
+                          out_col="fixed")
+    return out.select(
+        "doc_id", "fixed", F.length("fixed").cast("long").alias("n_chars")
+    )
+
+
+_BLOCKED_DOMAINS = ["site0.com", "sub1.site3.com", "bad.org"]
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-suffix blocklist: blocking a domain blocks all its
+    subdomains; zero-shuffle arrays_overlap against the literal list."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+    )
+    pages = d.withColumn("url", url)
+    out = TX.block_by_domain_suffix(pages, _BLOCKED_DOMAINS)
+    return out.select("doc_id", TX.url_host(F.col("url")).alias("host"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document."""
     d = _t(spark, sf_dir, "documents")
@@ -4593,6 +4655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "url_canonical": q_url_canonical,
+        "text_nfc": q_text_nfc,
+        "fix_mojibake": q_fix_mojibake,
+        "domain_blocklist": q_domain_blocklist,
         "cell_compact": q_cell_compact,
         "layer_dissolve": q_layer_dissolve,
         "lang_id": q_lang_id,
@@ -5618,6 +5683,56 @@ def oracle_sql() -> dict[str, str]:
                || CASE WHEN doc_id % 3 = 0
                        THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
+    """
+
+    sqls["text_nfc"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 substring(text, 1, 40) || 'e' || chr(769) || 'a' || chr(778)
+                   || 'O' || chr(776) AS s
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(s) AS BIGINT) AS raw_len,
+               nfc_normalize(s) AS nfc,
+               CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_len
+        FROM base
+    """
+
+    # sloppy-cp1252 char -> byte map spelled as CASE arms (specials from
+    # textops._CP1252_REV; everything else is its own code point <= 0xFF).
+    from lib_gdal_spark.operators.textops import _CP1252_REV as _C1252
+    _moji_arms = " ".join(
+        f"WHEN {cp} THEN '{b:02x}'" for cp, b in sorted(_C1252.items())
+    )
+    sqls["fix_mojibake"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 substring(text, 1, 30) ||
+                 CASE WHEN doc_id % 3 = 0 THEN '{_MOJI_LIT}' ELSE '' END AS s
+          FROM documents
+        ),
+        rep AS (
+          SELECT doc_id, s,
+            CASE WHEN regexp_matches(s, '[ÂÃà-ï]')
+            THEN decode(unhex(array_to_string(list_transform(
+                   string_split(s, ''),
+                   c -> CASE unicode(c) {_moji_arms}
+                        ELSE printf('%02x', unicode(c)) END), '')))
+            ELSE s END AS fixed
+          FROM base
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, fixed,
+               CAST(length(fixed) AS BIGINT) AS n_chars
+        FROM rep
+    """
+
+    sqls["domain_blocklist"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'sub' || (doc_id % 4) || '.site' || (doc_id % 7) || '.com'
+                 AS host
+        FROM documents
+        WHERE doc_id % 7 <> 0 AND NOT (doc_id % 4 = 1 AND doc_id % 7 = 3)
     """
 
     sqls["text_repetition"] = """

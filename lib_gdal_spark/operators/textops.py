@@ -725,3 +725,133 @@ def nb_classifier(
              ).alias("pred_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + encoding repair (the "fix the text" stage every
+# web-crawl pipeline runs before dedup/quality — cf. ftfy / CCNet cleanup)
+# ---------------------------------------------------------------------------
+
+def normalize_unicode(docs: DataFrame, text_col: str = "text",
+                      form: str = "NFC",
+                      out_col: str = "text_norm") -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD).
+
+    Spark has no normalization builtin, so this is the one deliberate
+    Pandas-UDF stage of the cleanup path: Arrow batches in, one
+    ``unicodedata.normalize`` call per value, no per-row Python overhead
+    beyond the string op itself. Normalization is embarrassingly parallel —
+    a narrow map, no shuffle, scales linearly with the corpus.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return docs.withColumn(out_col, norm(F.col(text_col)))
+
+
+# Windows-1252 specials: the 0x80-0x9F byte gap that latin-1 round-trips
+# miss. "Sloppy" variant: unmapped control code points pass through as
+# their byte value (what ftfy's sloppy-windows-1252 does).
+_CP1252_REV = {
+    0x20AC: 0x80, 0x201A: 0x82, 0x0192: 0x83, 0x201E: 0x84, 0x2026: 0x85,
+    0x2020: 0x86, 0x2021: 0x87, 0x02C6: 0x88, 0x2030: 0x89, 0x0160: 0x8A,
+    0x2039: 0x8B, 0x0152: 0x8C, 0x017D: 0x8E, 0x2018: 0x91, 0x2019: 0x92,
+    0x201C: 0x93, 0x201D: 0x94, 0x2022: 0x95, 0x2013: 0x96, 0x2014: 0x97,
+    0x02DC: 0x98, 0x2122: 0x99, 0x0161: 0x9A, 0x203A: 0x9B, 0x0153: 0x9C,
+    0x017E: 0x9E, 0x0178: 0x9F,
+}
+
+# UTF-8 lead bytes seen through a cp1252 decode: C2/C3 (2-byte seqs) and
+# E0-EF (3-byte seqs). Pure-ASCII text can never match.
+MOJIBAKE_MARKER_RE = "[ÂÃà-ï]"
+
+
+def _repair_mojibake_str(s: str) -> str:
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        b = _CP1252_REV.get(cp, cp)
+        if b > 0xFF:
+            return s  # not byte-shaped: leave untouched
+        out.append(b)
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return s  # marker was a real accented char, not mojibake
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text",
+                 out_col: str = "text_fixed") -> DataFrame:
+    """Repair UTF-8-read-as-cp1252 mojibake ('cafÃ©' -> 'café').
+
+    Deterministic rule (so the oracle can mirror it exactly): a string is a
+    repair candidate iff it matches :data:`MOJIBAKE_MARKER_RE`; candidates
+    map each char to its sloppy-cp1252 byte and re-decode as UTF-8; any
+    unmappable char or invalid UTF-8 keeps the original. The marker gate is
+    a JVM ``rlike`` so the Pandas UDF only ever sees candidate rows.
+    """
+
+    @F.pandas_udf("string")
+    def repair(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else _repair_mojibake_str(v))
+
+    cand = F.col(text_col).rlike(MOJIBAKE_MARKER_RE)
+    return docs.withColumn(
+        out_col,
+        F.when(cand, repair(F.col(text_col))).otherwise(F.col(text_col)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-suffix blocklist (UT1/adult-blocklist style filtering: blocking
+# "ads.example.com" also blocks every subdomain under it)
+# ---------------------------------------------------------------------------
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (port stripped), pure JVM."""
+    host = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def host_suffixes(host: Column) -> Column:
+    """array of dot-suffixes: a.b.c -> [a.b.c, b.c, c] (JVM transform)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def block_by_domain_suffix(pages: DataFrame, blocklist,
+                           url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL host equals or is a subdomain of a blocked
+    domain.
+
+    ``blocklist`` as a Python list stays zero-shuffle (``arrays_overlap``
+    against a literal array — right for the usual few-thousand-entry UT1
+    category). Pass a one-column DataFrame for huge lists: suffixes explode
+    (x #labels, ~4) into a **broadcast** semi-join, then an anti-join back
+    on a synthetic row id — no corpus shuffle either way.
+    """
+    sufx = host_suffixes(url_host(F.col(url_col)))
+    if isinstance(blocklist, (list, tuple)):
+        arr = F.array([F.lit(b) for b in blocklist])
+        return pages.where(~F.arrays_overlap(sufx, arr))
+    bl = blocklist.toDF("__blocked_suffix")
+    withid = pages.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).withColumn("__sufx", sufx)
+    blocked = (
+        withid.select("__rid", F.explode("__sufx").alias("__blocked_suffix"))
+        .join(F.broadcast(bl), "__blocked_suffix", "left_semi")
+        .select("__rid").distinct()
+    )
+    return (
+        withid.join(blocked, "__rid", "left_anti")
+        .drop("__rid", "__sufx")
+    )
