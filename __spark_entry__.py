@@ -458,6 +458,24 @@ def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dem_pixels(spark, "hillshade", round_to=None)
 
 
+def q_dem_hillshade_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+    gdaldem_lib.cpp:1113): acos-angle shading attenuated by slope."""
+    return _dem_pixels(spark, "hillshade_combined", round_to=None)
+
+
+def q_dem_hillshade_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -multidirectional (gdaldem_lib.cpp:1208, USGS
+    OF 92-422): 4 azimuths weighted by sin^2(aspect - az)."""
+    return _dem_pixels(spark, "hillshade_multidirectional", round_to=None)
+
+
+def q_dem_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -igor (GDALHillshadeIgorAlg, gdaldem_lib.cpp:883):
+    shadowness = 1 - slopeStrength * aspectStrength."""
+    return _dem_pixels(spark, "hillshade_igor", round_to=None)
+
+
 # The world4326 fixture is closed-form, so the oracle can recompute the
 # whole stencil in SQL: val(px,py) = trunc((sin(px*.19)+cos(py*.13))*60+128).
 def _dem_oracle(expr: str) -> str:
@@ -484,9 +502,11 @@ def _dem_oracle(expr: str) -> str:
           FROM pix
         ),
         horn AS (
-          SELECT px, py,
+          SELECT px, py, a, b, c, d, e, f, g, h, i,
             ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * 1.40625) AS dzdx,
-            ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * -0.703125) AS dzdy
+            ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * -0.703125) AS dzdy,
+            ((a + 2.0 * d + g) - (c + 2.0 * f + i)) / 1.40625 AS gx,
+            ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / -0.703125 AS gy
           FROM win
         )
         SELECT px, py, {expr}
@@ -4636,6 +4656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rms_l1": q_pyramid_rms_l1,
         "pyramid_mode_l1": q_pyramid_mode_l1,
         "pyramid_gauss_l1": q_pyramid_gauss_l1,
+        "dem_hillshade_combined": q_dem_hillshade_combined,
+        "dem_hillshade_multi": q_dem_hillshade_multi,
+        "dem_hillshade_igor": q_dem_hillshade_igor,
         "raster_footprint": q_raster_footprint,
         "raster_compare": q_raster_compare,
         "contour_crossings": q_contour_crossings,
@@ -5601,6 +5624,73 @@ def oracle_sql() -> dict[str, str]:
         "+ cos(radians(45.0)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
         "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx))) END + 0.5) "
         "AS BIGINT) AS hillshade"
+    )
+
+    # hillshade variants: constants factored exactly like the kernels
+    # (operators/dem.py), which factor them exactly like the reference.
+    import math as _m
+
+    from lib_gdal_spark.operators.dem import (
+        _INV_SQUARE_OF_HALF_PI as _INVSQ,
+    )
+    from lib_gdal_spark.operators.dem import _normalize_angle as _normang
+    _zs = 1.0 / 8.0
+    _sa = _m.sin(_m.radians(45.0))
+    _cacz = _m.cos(_m.radians(315.0)) * _m.cos(_m.radians(45.0)) * _zs
+    _sacz = _m.sin(_m.radians(315.0)) * _m.cos(_m.radians(45.0)) * _zs
+    _sqz = _zs * _zs
+    _slope_sql = f"((gx * gx + gy * gy) * {_sqz!r})"
+    _cang_sql = (
+        f"(1 - acos(({_sa!r} - (gy * {_cacz!r} - gx * {_sacz!r})) "
+        f"/ sqrt(1 + {_slope_sql})) "
+        f"* atan(sqrt({_slope_sql})) * {_INVSQ!r})"
+    )
+    sqls["dem_hillshade_combined"] = _dem_oracle(
+        f"CAST(floor(CASE WHEN {_cang_sql} <= 0.0 THEN 1.0 "
+        f"ELSE 1.0 + 254.0 * {_cang_sql} END + 0.5) AS BIGINT) "
+        "AS hillshade_combined"
+    )
+
+    _camz = _m.cos(_m.radians(45.0)) * _zs
+    _sa127 = 127.0 * _m.sin(_m.radians(45.0))
+    _sa254 = 254.0 * _m.sin(_m.radians(45.0))
+    _caz127 = 127.0 * _camz
+    _c225 = 127.0 * _m.cos(_m.radians(225.0)) * _camz
+    _md_num = (
+        f"((0.5 * (gx * gx + gy * gy) - gx * gy) "
+        f"* greatest({_sa127!r} + (gx - gy) * {_c225!r}, 0.0) "
+        f"+ (gx * gx) * greatest({_sa127!r} - gx * {_caz127!r}, 0.0) "
+        f"+ ((gx * gx + gy * gy) - (0.5 * (gx * gx + gy * gy) - gx * gy)) "
+        f"* greatest({_sa127!r} + (gx + gy) * {_c225!r}, 0.0) "
+        f"+ (gy * gy) * greatest({_sa127!r} - gy * {_caz127!r}, 0.0))"
+    )
+    sqls["dem_hillshade_multi"] = _dem_oracle(
+        f"CAST(floor(CASE WHEN gx * gx + gy * gy = 0.0 "
+        f"THEN 1.0 + {_sa254!r} "
+        f"ELSE 1.0 + ({_md_num} / (gx * gx + gy * gy) "
+        f"/ sqrt(1 + {_sqz!r} * (gx * gx + gy * gy))) END + 0.5) AS BIGINT) "
+        "AS hillshade_multidirectional"
+    )
+
+    _twopi = _m.pi * 2
+    _target = _normang(_m.pi * 3 / 2 - _m.radians(315.0), _twopi)
+    # aspect from the RAW window sums (the reference's igor aspect skips the
+    # res division); aspect in (-pi, pi], so fmod(aspect, 2pi) == aspect
+    _asp = ("atan2(((g + 2.0 * h + i) - (a + 2.0 * b + c)), "
+            "-((c + 2.0 * f + i) - (a + 2.0 * d + g)))")
+    _nasp = (
+        f"(CASE WHEN {_asp} < 0 THEN {_asp} + {_twopi!r} ELSE {_asp} END)"
+    )
+    _adiff = (
+        f"(CASE WHEN abs({_nasp} - {_target!r}) > {_m.pi!r} "
+        f"THEN {_twopi!r} - abs({_nasp} - {_target!r}) "
+        f"ELSE abs({_nasp} - {_target!r}) END)"
+    )
+    sqls["dem_hillshade_igor"] = _dem_oracle(
+        f"CAST(floor(255.0 * (1.0 - "
+        f"(degrees(atan(sqrt(gx * gx + gy * gy) * {_zs!r})) / 90.0) "
+        f"* (1.0 - {_adiff} / {_m.pi!r})) + 0.5) AS BIGINT) "
+        "AS hillshade_igor"
     )
 
     sqls["dedup_exact"] = """

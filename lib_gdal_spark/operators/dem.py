@@ -34,6 +34,7 @@ default edge handling of skipping windows without full data.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -132,6 +133,108 @@ def hillshade_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
     return np.floor(shade + 0.5)  # GDAL +0.5-floor rounding
 
 
+def _grad_ref(arr, ewres, nsres):
+    """Reference gradient convention (``apps/gdaldem_lib.cpp:740-751``
+    Gradient<HORN>::calc): x/y BEFORE the z/(8*scale) factor, signs as the
+    reference keeps them (x positive toward west)."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    x = ((a + 2.0 * d + g) - (c + 2.0 * f + i)) / ewres
+    y = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / nsres
+    return x, y
+
+
+_INV_SQUARE_OF_HALF_PI = 1.0 / ((math.pi * math.pi) / 4)
+
+
+def hillshade_combined_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
+                              azimuth=315.0, altitude=45.0):
+    """gdaldem hillshade -combined (``gdaldem_lib.cpp:1113``
+    GDALHillshadeCombinedAlg): oblique shading angle attenuated by slope,
+    ``cang = 1 - acos(dot) * atan(sqrt(slope)) * 4/pi^2``."""
+    zs = z / (8.0 * scale)
+    x, y = _grad_ref(arr, ewres, nsres)
+    xx_plus_yy = x * x + y * y
+    slope = xx_plus_yy * (zs * zs)
+    sin_alt = math.sin(math.radians(altitude))
+    cos_az_mul_cos_alt_mul_z = (math.cos(math.radians(azimuth))
+                                * math.cos(math.radians(altitude)) * zs)
+    sin_az_mul_cos_alt_mul_z = (math.sin(math.radians(azimuth))
+                                * math.cos(math.radians(altitude)) * zs)
+    cang = np.arccos(
+        (sin_alt - (y * cos_az_mul_cos_alt_mul_z
+                    - x * sin_az_mul_cos_alt_mul_z))
+        / np.sqrt(1 + slope)
+    )
+    cang = 1 - cang * np.arctan(np.sqrt(slope)) * _INV_SQUARE_OF_HALF_PI
+    shade = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    return np.floor(shade + 0.5)
+
+
+def hillshade_multidirectional_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
+                                      altitude=45.0):
+    """gdaldem hillshade -multidirectional (``gdaldem_lib.cpp:1208``,
+    USGS OF 92-422): four azimuths (225/270/315/360) weighted by
+    sin^2(aspect - az), spelled with the reference's exact factored
+    constants and clamp order."""
+    zs = z / (8.0 * scale)
+    cos_alt_mul_z = math.cos(math.radians(altitude)) * zs
+    square_z = zs * zs
+    sin_alt_127 = 127.0 * math.sin(math.radians(altitude))
+    sin_alt_254 = 254.0 * math.sin(math.radians(altitude))
+    cos_alt_z_127 = 127.0 * cos_alt_mul_z
+    cos225_az_cos_alt_z_127 = (127.0 * math.cos(math.radians(225.0))
+                               * cos_alt_mul_z)
+    x, y = _grad_ref(arr, ewres, nsres)
+    xx = x * x
+    yy = y * y
+    xx_plus_yy = xx + yy
+    val225 = np.maximum(sin_alt_127 + (x - y) * cos225_az_cos_alt_z_127, 0.0)
+    val270 = np.maximum(sin_alt_127 - x * cos_alt_z_127, 0.0)
+    val315 = np.maximum(sin_alt_127 + (x + y) * cos225_az_cos_alt_z_127, 0.0)
+    val360 = np.maximum(sin_alt_127 - y * cos_alt_z_127, 0.0)
+    w225 = 0.5 * xx_plus_yy - x * y
+    w270 = xx
+    w315 = xx_plus_yy - w225
+    w360 = yy
+    safe = np.where(xx_plus_yy == 0.0, 1.0, xx_plus_yy)
+    cang = 1.0 + ((w225 * val225 + w270 * val270
+                   + w315 * val315 + w360 * val360) / safe
+                  / np.sqrt(1 + square_z * xx_plus_yy))
+    flat = 1.0 + sin_alt_254
+    shade = np.where(xx_plus_yy == 0.0, flat, cang)
+    return np.floor(shade + 0.5)
+
+
+def _normalize_angle(angle: float, normalizer: float) -> float:
+    a = math.fmod(angle, normalizer)
+    return a + normalizer if a < 0 else a
+
+
+def hillshade_igor_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
+                          azimuth=315.0):
+    """gdaldem hillshade -igor (``gdaldem_lib.cpp:883``
+    GDALHillshadeIgorAlg): shadowness = 1 - slopeStrength * aspectStrength,
+    255-scaled; aspect measured WITHOUT the res division, slope WITH it."""
+    zs = z / (8.0 * scale)
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    dx = ((a + 2.0 * d + g) - (c + 2.0 * f + i)) / ewres
+    dy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / nsres
+    slope_degrees = np.degrees(np.arctan(np.sqrt(dx * dx + dy * dy) * zs))
+    dx2 = (c + 2.0 * f + i) - (a + 2.0 * d + g)
+    dy2 = (g + 2.0 * h + i) - (a + 2.0 * b + c)
+    aspect = np.arctan2(dy2, -dx2)
+    slope_strength = slope_degrees / 90.0
+    two_pi = math.pi * 2
+    target = _normalize_angle(math.pi * 3 / 2 - math.radians(azimuth), two_pi)
+    norm_aspect = np.fmod(aspect, two_pi)
+    norm_aspect = np.where(norm_aspect < 0, norm_aspect + two_pi, norm_aspect)
+    diff = np.abs(norm_aspect - target)
+    diff = np.where(diff > math.pi, two_pi - diff, diff)
+    aspect_strength = 1.0 - diff / math.pi
+    shadowness = 1.0 - slope_strength * aspect_strength
+    return np.floor(255.0 * shadowness + 0.5)
+
+
 def tri_kernel(arr, ewres, nsres):
     a, b, c, d, e, f, g, h, i = _hs(arr)
     s = sum(np.abs(x - e) for x in (a, b, c, d, f, g, h, i))
@@ -152,6 +255,9 @@ KERNELS = {
     "slope": slope_kernel,
     "aspect": aspect_kernel,
     "hillshade": hillshade_kernel,
+    "hillshade_combined": hillshade_combined_kernel,
+    "hillshade_multidirectional": hillshade_multidirectional_kernel,
+    "hillshade_igor": hillshade_igor_kernel,
     "tri": tri_kernel,
     "tpi": tpi_kernel,
     "roughness": roughness_kernel,

@@ -27,7 +27,9 @@ def _assemble(rows, h, w, tile):
 
 
 @pytest.mark.parametrize("op", ["slope", "aspect", "hillshade", "tri", "tpi",
-                                "roughness"])
+                                "roughness", "hillshade_combined",
+                                "hillshade_multidirectional",
+                                "hillshade_igor"])
 def test_dem_matches_single_array(spark, world_tiles, op):
     tiles, arr, gt = world_tiles
     got_rows = D.dem_op(tiles, op).collect()
@@ -53,6 +55,20 @@ def test_slope_flat_is_zero(spark):
     tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
     out = _assemble(D.dem_op(tiles, "slope").collect(), 64, 64, 32)
     assert np.all(out[1:-1, 1:-1] == 0.0)
+
+
+def test_hillshade_variants_flat_anchors(spark):
+    """Flat surface: combined == 255, multidirectional == 1+254*sin(45deg)
+    rounded (181), igor == 255 (gdaldem_lib.cpp flat-pixel branches)."""
+    import pandas as pd
+    arr = np.full((64, 64), 42.0)
+    rows = RS.tiles_from_array("flat", arr, (0, 1, 0, 64, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    for op, want in (("hillshade_combined", 255.0),
+                     ("hillshade_multidirectional", 181.0),
+                     ("hillshade_igor", 255.0)):
+        out = _assemble(D.dem_op(tiles, op).collect(), 64, 64, 32)
+        assert np.all(out[1:-1, 1:-1] == want), op
 
 
 def test_hillshade_range(spark, world_tiles):
