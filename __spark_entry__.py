@@ -458,6 +458,21 @@ def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dem_pixels(spark, "hillshade", round_to=None)
 
 
+def q_dem_slope_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope -p (percent-slope branch of GDALSlopeHornAlg)."""
+    return _dem_pixels(spark, "slope_percent", round_to=6)
+
+
+def q_dem_slope_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope -alg ZevenbergenThorne (2-tap central differences)."""
+    return _dem_pixels(spark, "slope_zt", round_to=6)
+
+
+def q_dem_aspect_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem aspect -alg ZevenbergenThorne (compass azimuth)."""
+    return _dem_pixels(spark, "aspect_zt", round_to=6)
+
+
 def q_dem_hillshade_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
     gdaldem_lib.cpp:1113): acos-angle shading attenuated by slope."""
@@ -4656,6 +4671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rms_l1": q_pyramid_rms_l1,
         "pyramid_mode_l1": q_pyramid_mode_l1,
         "pyramid_gauss_l1": q_pyramid_gauss_l1,
+        "dem_slope_percent": q_dem_slope_percent,
+        "dem_slope_zt": q_dem_slope_zt,
+        "dem_aspect_zt": q_dem_aspect_zt,
         "dem_hillshade_combined": q_dem_hillshade_combined,
         "dem_hillshade_multi": q_dem_hillshade_multi,
         "dem_hillshade_igor": q_dem_hillshade_igor,
@@ -5624,6 +5642,22 @@ def oracle_sql() -> dict[str, str]:
         "+ cos(radians(45.0)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
         "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx))) END + 0.5) "
         "AS BIGINT) AS hillshade"
+    )
+
+    _zt_dx = "((d - f) / 1.40625)"
+    _zt_dy = "((h - b) / -0.703125)"
+    sqls["dem_slope_percent"] = _dem_oracle(
+        "round(100 * (sqrt(gx * gx + gy * gy) / 8.0), 6) AS slope_percent"
+    )
+    sqls["dem_slope_zt"] = _dem_oracle(
+        f"round(degrees(atan(sqrt({_zt_dx} * {_zt_dx} "
+        f"+ {_zt_dy} * {_zt_dy}) / 2.0)), 6) AS slope_zt"
+    )
+    _zt_asp = "(90.0 - degrees(atan2((h - b), (d - f))))"
+    sqls["dem_aspect_zt"] = _dem_oracle(
+        f"round(CASE WHEN {_zt_asp} < 0.0 THEN {_zt_asp} + 360.0 "
+        f"WHEN {_zt_asp} >= 360.0 THEN {_zt_asp} - 360.0 "
+        f"ELSE {_zt_asp} END, 6) AS aspect_zt"
     )
 
     # hillshade variants: constants factored exactly like the kernels

@@ -143,6 +143,38 @@ def _grad_ref(arr, ewres, nsres):
     return x, y
 
 
+def slope_percent_kernel(arr, ewres, nsres, z=1.0, scale=1.0):
+    """gdaldem slope -p (``gdaldem_lib.cpp`` GDALSlopeHornAlg percent
+    branch): ``100 * sqrt(key) / (8 * scale)``."""
+    gx, gy = _grad_ref(arr, ewres, nsres)
+    key = gx * gx + gy * gy
+    return 100 * (np.sqrt(key) / (8.0 * scale))
+
+
+def slope_zt_kernel(arr, ewres, nsres, z=1.0, scale=1.0, percent=False):
+    """gdaldem slope -alg ZevenbergenThorne
+    (``GDALSlopeZevenbergenThorneAlg``): 2-tap central differences."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    dx = (d - f) / ewres
+    dy = (h - b) / nsres
+    key = dx * dx + dy * dy
+    if percent:
+        return 100 * (np.sqrt(key) / (2.0 * scale))
+    return np.degrees(np.arctan(np.sqrt(key) / (2.0 * scale)))
+
+
+def aspect_zt_kernel(arr, ewres, nsres):
+    """gdaldem aspect -alg ZevenbergenThorne
+    (``GDALAspectZevenbergenThorneAlg``), compass azimuth 0..360 like the
+    Horn variant above."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    asp = np.degrees(np.arctan2(h - b, d - f))
+    out = 90.0 - asp
+    out = np.where(out < 0.0, out + 360.0, out)
+    out = np.where(out >= 360.0, out - 360.0, out)
+    return out
+
+
 _INV_SQUARE_OF_HALF_PI = 1.0 / ((math.pi * math.pi) / 4)
 
 
@@ -255,6 +287,9 @@ KERNELS = {
     "slope": slope_kernel,
     "aspect": aspect_kernel,
     "hillshade": hillshade_kernel,
+    "slope_percent": slope_percent_kernel,
+    "slope_zt": slope_zt_kernel,
+    "aspect_zt": aspect_zt_kernel,
     "hillshade_combined": hillshade_combined_kernel,
     "hillshade_multidirectional": hillshade_multidirectional_kernel,
     "hillshade_igor": hillshade_igor_kernel,
