@@ -1137,6 +1137,32 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.compact_cells(cells).orderBy("cell")
 
 
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo-revenue share per brand: lineitem joins the
+    small part dim via an explicit broadcast (zero corpus shuffle on the
+    join side; the groupBy is map-side combinable). Revenue sums run in
+    DECIMAL so they are exact and shuffle-order-independent — the standard
+    trick for float-sum determinism at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice",
+                                              "l_discount")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    out = j.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+              .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("__er"),
+        F.sum(rev).alias("__tr"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        "p_brand", "n_items",
+        F.round(F.lit(100.0) * F.col("__er").cast("double")
+                / F.col("__tr").cast("double"), 6).alias("economy_share"),
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL normalization (the CC pipeline's URL-level dedup key):
     case folding, www/default-port strip, tracking-param removal — pure
@@ -4534,6 +4560,91 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(zones, vals)
 
 
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON codec parity (drivers/vector/geojson, RFC 7946): every
+    geometry survives WKB -> GeoJSON text -> WKB byte-identically; output
+    mirrors gml_roundtrip (type, vertex count, shoelace area, identity).
+    Arrow-batched narrow map, zero shuffle."""
+
+    def mk_wkt(fid: int) -> str:
+        w = 1.0 + (fid % 4)
+        k = fid % 6
+        if k == 0:
+            return f"POINT ({fid} {fid + 1})"
+        if k == 1:
+            return f"LINESTRING (0 0, {w} {w}, {2 * w} 0)"
+        if k == 2:
+            return f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))"
+        if k == 3:
+            return f"MULTIPOINT (({fid} 0), (0 {fid}), ({w} {w}))"
+        if k == 4:
+            return f"MULTILINESTRING ((0 0, {w} 0), (0 1, {w} 1, {w} 2))"
+        return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
+                f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
+                f"9 {9 + w / 2}, 9 9)))")
+
+    pdf = pd.DataFrame({"fid": range(60)})
+    pdf["wkt"] = pdf["fid"].map(mk_wkt)
+    base = spark.createDataFrame(pdf, schema="fid long, wkt string")
+
+    def work(batches):
+        import json as _json
+
+        import numpy as np
+        from lib_gdal_spark.functions import geometry as G
+        from lib_gdal_spark.functions.wkt import wkt_to_wkb
+        from lib_gdal_spark.sources.geojson import (
+            _wkb_to_geojson,
+            geojson_geometry_to_wkb,
+        )
+
+        names = {G.WKB_POINT: "POINT", G.WKB_LINESTRING: "LINESTRING",
+                 G.WKB_POLYGON: "POLYGON", G.WKB_MULTIPOINT: "MULTIPOINT",
+                 G.WKB_MULTILINESTRING: "MULTILINESTRING",
+                 G.WKB_MULTIPOLYGON: "MULTIPOLYGON"}
+
+        def shoelace(r):
+            r = np.asarray(r)
+            x, y = r[:, 0], r[:, 1]
+            return 0.5 * abs(np.dot(x, np.roll(y, -1))
+                             - np.dot(y, np.roll(x, -1)))
+
+        def describe(wkb0):
+            txt = _json.dumps(_wkb_to_geojson(wkb0), separators=(",", ":"))
+            back = geojson_geometry_to_wkb(_json.loads(txt))
+            base_c, _, payload = G.parse_wkb_full(back)
+            if base_c == G.WKB_POINT:
+                nv, area = 1, 0.0
+            elif base_c in (G.WKB_LINESTRING, G.WKB_MULTIPOINT):
+                nv, area = len(payload), 0.0
+            elif base_c == G.WKB_POLYGON:
+                nv = sum(len(r) for r in payload)
+                area = shoelace(payload[0]) - sum(
+                    shoelace(r) for r in payload[1:])
+            elif base_c == G.WKB_MULTILINESTRING:
+                nv, area = sum(len(ln) for ln in payload), 0.0
+            else:
+                nv = sum(len(r) for p in payload for r in p)
+                area = sum(shoelace(p[0]) - sum(shoelace(r) for r in p[1:])
+                           for p in payload)
+            return names[base_c], nv, round(area, 6), int(back == wkb0)
+
+        for b in batches:
+            rows = [describe(wkt_to_wkb(s)) for s in b["wkt"]]
+            yield pd.DataFrame({
+                "fid": b["fid"],
+                "gtype": [r[0] for r in rows],
+                "nv": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "area": [r[2] for r in rows],
+                "identical": np.asarray([r[3] for r in rows],
+                                        dtype=np.int64),
+            })
+
+    return base.mapInPandas(
+        work, schema="fid long, gtype string, nv long, area double, "
+                     "identical long")
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML codec parity (gml2ogrgeometry.cpp / ogr2gmlgeometry.cpp): every
     geometry survives WKB -> GML2 -> WKB -> GML3 -> WKB byte-identically;
@@ -4696,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "url_canonical": q_url_canonical,
+        "tpch_promo_share": q_tpch_promo_share,
         "text_nfc": q_text_nfc,
         "fix_mojibake": q_fix_mojibake,
         "domain_blocklist": q_domain_blocklist,
@@ -4810,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "gml_roundtrip": q_gml_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "zonal_stats": q_zonal_stats,
         "link_graph": q_link_graph,
         "gpx_track_points": q_gpx_track_points,
@@ -5807,6 +5920,21 @@ def oracle_sql() -> dict[str, str]:
                || CASE WHEN doc_id % 3 = 0
                        THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
+    """
+
+    sqls["tpch_promo_share"] = """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+               round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+               6) AS economy_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """
 
     sqls["text_nfc"] = """
@@ -8483,6 +8611,22 @@ def oracle_sql() -> dict[str, str]:
     # gml_roundtrip: the geometry family is deterministic in fid, so
     # type/vertex-count/area are closed-form; identical=1 asserts the
     # WKB -> GML2 -> WKB -> GML3 -> WKB loop is byte-lossless.
+    sqls["geojson_roundtrip"] = """
+        SELECT CAST(fid AS BIGINT) AS fid,
+          CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+               WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
+               WHEN 4 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END AS gtype,
+          CAST(CASE fid % 6 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+               WHEN 3 THEN 3 WHEN 4 THEN 5 ELSE 10 END AS BIGINT) AS nv,
+          round(CASE fid % 6
+               WHEN 2 THEN pow(1.0 + fid % 4, 2)
+               WHEN 5 THEN pow(1.0 + fid % 4, 2)
+                           + pow((1.0 + fid % 4) / 2.0, 2)
+               ELSE 0.0 END, 6) AS area,
+          CAST(1 AS BIGINT) AS identical
+        FROM generate_series(0, 59) t(fid)
+    """
+
     sqls["gml_roundtrip"] = """
         SELECT CAST(fid AS BIGINT) AS fid,
           CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
