@@ -1688,6 +1688,44 @@ def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p (POLYGONIZE mode): level-band polygons with
+    ELEV_MIN/ELEV_MAX over an integer-radius-squared bullseye, so each
+    band is a provable annulus (1 outer ring + 1 hole; the center disk has
+    no hole) and the shoelace area equals the SQL pixel count exactly."""
+    from lib_gdal_spark.operators import contour as CT
+
+    base = spark.range(4).select(
+        (F.col("id") % 2).cast("int").alias("tile_x"),
+        (F.col("id") / 2).cast("int").alias("tile_y"),
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for tx, ty in zip(b["tile_x"], b["tile_y"]):
+                yy, xx = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                gx = tx * 64 + xx
+                gy = ty * 64 + yy
+                rr = ((gx - 64.0) ** 2 + (gy - 64.0) ** 2)
+                rows.append({"tile_x": int(tx), "tile_y": int(ty),
+                             "tile_w": 64, "tile_h": 64,
+                             "pixels": rr.ravel().tolist()})
+            yield pd.DataFrame(rows)
+
+    tiles = base.mapInPandas(
+        make, schema="tile_x int, tile_y int, tile_w int, tile_h int, "
+                     "pixels array<double>")
+    out = CT.contour_polygons(tiles, spark, grid_w=128,
+                              levels=[256.0, 1024.0, 2304.0], tile=64)
+    return out.select(
+        "component", "band", "elev_min", "elev_max", "n_pixels",
+        F.col("n_rings").cast("long").alias("n_rings"),
+        F.round("area_px", 6).alias("area_px"),
+    )
+
+
 def q_raster_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_footprint (apps/gdal_footprint.cpp): valid-data mask binarized
     JVM-side, polygonized, footprint area in world units via |det(gt)|."""
@@ -4790,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_hillshade_igor": q_dem_hillshade_igor,
         "raster_footprint": q_raster_footprint,
         "raster_compare": q_raster_compare,
+        "contour_polygons": q_contour_polygons,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
         "layer_erase": q_layer_erase,
@@ -6111,6 +6150,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS n_rings,
                round(count(*) * 1.40625 * 0.703125, 6) AS area
         FROM burned GROUP BY fid
+    """
+
+    sqls["contour_polygons"] = """
+        WITH pix AS (
+          SELECT x.px AS px, y.py AS py
+          FROM generate_series(0, 127) x(px)
+          CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        band AS (
+          SELECT px, py,
+            CASE WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 2304 THEN 3
+                 WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 1024 THEN 2
+                 WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 256 THEN 1
+                 ELSE 0 END AS b
+          FROM pix
+        )
+        SELECT min(py * 128 + px) AS component,
+               CAST(b AS INTEGER) AS band,
+               CASE b WHEN 1 THEN 256.0 WHEN 2 THEN 1024.0
+                      WHEN 3 THEN 2304.0 ELSE NULL END AS elev_min,
+               CASE b WHEN 0 THEN 256.0 WHEN 1 THEN 1024.0
+                      WHEN 2 THEN 2304.0 ELSE NULL END AS elev_max,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(CASE b WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_rings,
+               round(CAST(count(*) AS DOUBLE), 6) AS area_px
+        FROM band GROUP BY b
     """
 
     sqls["raster_compare"] = """

@@ -158,3 +158,50 @@ def contour_polylines(
         schema="raster_id string, band int, level double, component long, "
                "n_points int, length double, closed boolean, wkb binary",
     )
+
+
+def contour_polygons(
+    tiles: DataFrame,
+    spark,
+    grid_w: int,
+    levels: list[float],
+    tile: int = 64,
+) -> DataFrame:
+    """gdal_contour -p analog (``apps/gdal_contour.cpp`` POLYGONIZE mode,
+    ``alg/contour/``): polygons of the regions BETWEEN fixed levels, each
+    carrying its elevation bounds (the reference's ELEV_MIN/ELEV_MAX
+    fields).
+
+    Band classification (``band = #levels <= v``, i.e. band b covers
+    ``levels[b-1] <= v < levels[b]``) runs JVM-side as a transform over the
+    pixel arrays; ring geometry comes from the distributed polygonizer
+    (WKB MultiPolygons, holes included). Boundaries are pixel-quantized —
+    each pixel belongs wholly to its band; the sub-pixel marching-squares
+    interpolation is the contour LINE path above.
+
+    Returns (component, band, elev_min, elev_max, n_pixels, n_rings,
+    area_px, wkb); elev_min is NULL below the first level, elev_max NULL
+    above the last, mirroring the reference's open outer intervals.
+    """
+    from lib_gdal_spark.operators.polygonize import polygonize_rings
+
+    lvl = sorted(float(x) for x in levels)
+    case = "CASE " + " ".join(
+        f"WHEN v >= CAST({x!r} AS DOUBLE) THEN {b + 1}.0D"
+        for b, x in reversed(list(enumerate(lvl)))
+    ) + " ELSE 0.0D END"
+    banded = tiles.withColumn("pixels",
+                              F.expr(f"transform(pixels, v -> {case})"))
+    rings = polygonize_rings(banded, spark, grid_w, tile=tile,
+                             background=None)
+    band = F.col("value").cast("int")
+    arr = F.array([F.lit(x) for x in lvl])
+    elev_min = F.when(band > 0, F.element_at(arr, band)).otherwise(F.lit(None))
+    elev_max = F.when(band < len(lvl),
+                      F.element_at(arr, band + 1)).otherwise(F.lit(None))
+    return rings.select(
+        "component", band.alias("band"),
+        elev_min.cast("double").alias("elev_min"),
+        elev_max.cast("double").alias("elev_max"),
+        "n_pixels", "n_rings", "area_px", "wkb",
+    )

@@ -137,3 +137,42 @@ def test_suggested_warp_output(spark):
     assert dst_gt[0] < 500_000.0 < dst_gt[0] + w * dst_gt[1]
     # pixel density comparable to the source (not degenerate)
     assert 64 <= w <= 4096 and 64 <= h <= 4096
+
+
+class TestContourPolygons:
+    def _tiles(self, spark, arr, tile=8):
+        import pandas as pd
+        h, w = arr.shape
+        rows = []
+        for ty in range(h // tile):
+            for tx in range(w // tile):
+                rows.append({
+                    "tile_x": tx, "tile_y": ty, "tile_w": tile,
+                    "tile_h": tile,
+                    "pixels": arr[ty * tile:(ty + 1) * tile,
+                                  tx * tile:(tx + 1) * tile]
+                    .ravel().tolist(),
+                })
+        return spark.createDataFrame(
+            pd.DataFrame(rows),
+            schema="tile_x int, tile_y int, tile_w int, tile_h int, "
+                   "pixels array<double>")
+
+    def test_two_bumps_and_bounds(self, spark):
+        from lib_gdal_spark.operators.contour import contour_polygons
+        arr = np.zeros((16, 16))
+        arr[2:5, 2:5] = 10.0    # bump A: 9 px over level 5
+        arr[10:14, 9:14] = 10.0  # bump B: 20 px
+        out = contour_polygons(self._tiles(spark, arr), spark, grid_w=16,
+                               levels=[5.0], tile=8).collect()
+        high = sorted([r for r in out if r.band == 1],
+                      key=lambda r: r.n_pixels)
+        low = [r for r in out if r.band == 0]
+        assert [r.n_pixels for r in high] == [9, 20]
+        assert all(r.elev_min == 5.0 and r.elev_max is None for r in high)
+        # the background band is ONE component with TWO holes
+        assert len(low) == 1
+        assert low[0].n_rings == 3
+        assert low[0].n_pixels == 256 - 29
+        assert low[0].elev_min is None and low[0].elev_max == 5.0
+        assert all(r.area_px == r.n_pixels for r in out)
