@@ -1137,6 +1137,26 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.compact_cells(cells).orderBy("cell")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy (gibberish/boilerplate signal):
+    JVM aggregate fold over sorted distinct chars, zero shuffle."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.with_char_entropy(d)
+    return out.select("doc_id", F.round("char_entropy", 6).alias("entropy"))
+
+
+def q_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentile (rank-based length filter)."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = TX.with_length_percentile(d)
+    return out.select("doc_id", "lang", "n_chars",
+                      F.round("len_pct", 6).alias("len_pct"))
+
+
 def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo-revenue share per brand: lineitem joins the
     small part dim via an explicit broadcast (zero corpus shuffle on the
@@ -4847,6 +4867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "url_canonical": q_url_canonical,
         "tpch_promo_share": q_tpch_promo_share,
+        "char_entropy": q_char_entropy,
+        "length_percentile": q_length_percentile,
         "text_nfc": q_text_nfc,
         "fix_mojibake": q_fix_mojibake,
         "domain_blocklist": q_domain_blocklist,
@@ -5958,6 +5980,27 @@ def oracle_sql() -> dict[str, str]:
                'https://site' || (doc_id % 7) || '.com/p/' || doc_id
                || CASE WHEN doc_id % 3 = 0
                        THEN '?q=' || doc_id ELSE '' END AS canon
+        FROM documents
+    """
+
+    sqls["char_entropy"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               round(-list_aggregate(list_transform(
+                 list_sort(list_distinct(string_split(text, ''))),
+                 c -> (CAST(length(text) - length(replace(text, c, ''))
+                            AS DOUBLE) / CAST(length(text) AS DOUBLE))
+                      * log2(CAST(length(text) - length(replace(text, c, ''))
+                                  AS DOUBLE) / CAST(length(text) AS DOUBLE))
+               ), 'sum'), 6) AS entropy
+        FROM documents
+    """
+
+    sqls["length_percentile"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               round(percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id), 6)
+                 AS len_pct
         FROM documents
     """
 

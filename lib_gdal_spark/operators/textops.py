@@ -855,3 +855,39 @@ def block_by_domain_suffix(pages: DataFrame, blocklist,
         withid.join(blocked, "__rid", "left_anti")
         .drop("__rid", "__sufx")
     )
+
+
+def with_char_entropy(docs: DataFrame, text_col: str = "text",
+                      out_col: str = "char_entropy") -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the classic gibberish/boilerplate quality signal
+    (low entropy = repeated filler, high = random noise).
+
+    Zero shuffle and zero Python: a JVM ``aggregate`` fold over the SORTED
+    distinct characters (sorted so the float summation order is
+    deterministic at any parallelism), with per-char counts from
+    ``length - length(replace(...))``; O(distinct_chars x len) per row.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    chars = F.array_sort(F.array_distinct(F.split(t, "")))
+
+    def term(acc, c):
+        cnt = (n - F.length(F.replace(t, c))).cast("double")
+        p = cnt / n.cast("double")
+        return acc + p * F.log2(p)
+
+    ent = -F.aggregate(chars, F.lit(0.0), term)
+    return docs.withColumn(out_col,
+                           F.when(n > 0, ent).otherwise(F.lit(0.0)))
+
+
+def with_length_percentile(docs: DataFrame, len_col: str = "n_chars",
+                           by: str = "lang", id_col: str = "doc_id",
+                           out_col: str = "len_pct") -> DataFrame:
+    """Per-group length percentile (percent_rank over (lang, length)):
+    the rank-based form of the length filter every quality pipeline
+    applies per language — rank math is exact, so unlike z-scores it
+    needs no float-sum determinism care. One shuffle on the group key."""
+    w = Window.partitionBy(by).orderBy(len_col, id_col)
+    return docs.withColumn(out_col, F.percent_rank().over(w))
