@@ -1137,6 +1137,28 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.compact_cells(cells).orderBy("cell")
 
 
+def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR great-circle navigation (ogr_geo_utils.cpp:55,72,135): spherical
+    distance, initial heading, and dead-reckoned position, all as JVM
+    column expressions with the reference's exact constants and guards."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    pts = _points(spark, sf_dir)
+    lat_b = F.col("lat") * 0.5 + 10.0
+    lon_b = F.col("lon") * 0.5 + 20.0
+    d = GC.great_circle_distance(F.col("lat"), F.col("lon"), lat_b, lon_b)
+    h = GC.great_circle_initial_heading(F.col("lat"), F.col("lon"),
+                                        lat_b, lon_b)
+    pos = GC.great_circle_extend_position(F.col("lat"), F.col("lon"), d, h)
+    return pts.select(
+        "pid",
+        F.round(d, 2).alias("dist_m"),
+        F.round(h, 6).alias("heading"),
+        F.round(pos["lat"], 6).alias("lat_b"),
+        F.round(pos["lon"], 6).alias("lon_b"),
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character Shannon entropy (gibberish/boilerplate signal):
     JVM aggregate fold over sorted distinct chars, zero shuffle."""
@@ -4868,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "tpch_promo_share": q_tpch_promo_share,
         "char_entropy": q_char_entropy,
+        "great_circle": q_great_circle,
         "length_percentile": q_length_percentile,
         "text_nfc": q_text_nfc,
         "fix_mojibake": q_fix_mojibake,
@@ -5981,6 +6004,108 @@ def oracle_sql() -> dict[str, str]:
                || CASE WHEN doc_id % 3 = 0
                        THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
+    """
+
+    # great-circle oracle: constants and op order mirror
+    # functions/greatcircle.py (which mirrors ogr_geo_utils.cpp).
+    from lib_gdal_spark.functions.greatcircle import (
+        DEG2RAD as _D,
+    )
+    from lib_gdal_spark.functions.greatcircle import (
+        METER2RAD as _MR,
+    )
+    from lib_gdal_spark.functions.greatcircle import (
+        RAD2DEG as _R2D,
+    )
+    from lib_gdal_spark.functions.greatcircle import (
+        RAD2METER as _RM,
+    )
+    _gc_fmod = ("((la - lb_lon_x) - trunc((la - lb_lon_x) / 360.0) * 360.0)"
+                .replace("la - lb_lon_x", "loa - lob"))
+    _gc_denom = (f"(sin(la * {_D!r}) * cos((loa - lob) * {_D!r}) "
+                 f"- cos(la * {_D!r}) * tan(lb * {_D!r}))")
+    _gc_track = (f"(atan(sin((loa - lob) * {_D!r}) / {_gc_denom}) "
+                 f"* {_R2D!r})")
+    _gc_general = (
+        f"CASE WHEN {_gc_denom} = 0.0 THEN 0.0 "
+        f"WHEN {_gc_denom} > 0.0 THEN 180.0 + {_gc_track} "
+        f"WHEN {_gc_track} < 0.0 THEN 360.0 + {_gc_track} "
+        f"ELSE {_gc_track} END"
+    )
+    _gc_heading = (
+        f"CASE WHEN abs(la - 90.0) < 1e-10 OR abs(lb + 90.0) < 1e-10 "
+        f"THEN 180.0 "
+        f"WHEN abs(la + 90.0) < 1e-10 OR abs(lb - 90.0) < 1e-10 THEN 0.0 "
+        f"WHEN abs({_gc_fmod}) < 1e-10 AND abs(la - lb) < 1e-10 THEN 0.0 "
+        f"WHEN abs(la) < 1e-10 AND abs(lb) < 1e-10 THEN "
+        f"(CASE WHEN lob > loa THEN 90.0 ELSE 270.0 END) "
+        f"WHEN abs({_gc_fmod}) < 1e-10 THEN "
+        f"(CASE WHEN la > lb THEN 180.0 ELSE 0.0 END) "
+        f"ELSE {_gc_general} END"
+    )
+    sqls["great_circle"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        ab AS (
+          SELECT pid, lat AS la, lon AS loa,
+                 lat * 0.5 + 10.0 AS lb, lon * 0.5 + 20.0 AS lob
+          FROM pts
+        ),
+        g1 AS (
+          SELECT pid, la, loa,
+            acos(least(greatest(
+              sin(la * {_D!r}) * sin(lb * {_D!r})
+              + cos(la * {_D!r}) * cos(lb * {_D!r})
+                * cos((lob - loa) * {_D!r}), -1.0), 1.0)) * {_RM!r} AS d,
+            {_gc_heading} AS h
+          FROM ab
+        ),
+        g2 AS (
+          SELECT pid, la, loa, d, h,
+                 cos(h * {_D!r}) AS cos_h, sin(h * {_D!r}) AS sin_h,
+                 d * {_MR!r} AS dr,
+                 cos(d * {_MR!r}) AS cos_d, sin(d * {_MR!r}) AS sin_d,
+                 sin(la * {_D!r}) AS ca, cos(la * {_D!r}) AS sa
+          FROM g1
+        ),
+        g3 AS (
+          SELECT *, cos_d * ca + sin_d * sa * cos_h AS ccb FROM g2
+        ),
+        g4 AS (
+          SELECT *, acos(least(greatest(ccb, -1.0), 1.0)) AS compb FROM g3
+        ),
+        g5 AS (
+          SELECT *,
+                 (cos_d - ccb * ca) / (sin(compb) * sa) AS cosdg,
+                 (h + 360.0) - trunc((h + 360.0) / 360.0) * 360.0 AS hmod
+          FROM g4
+        ),
+        g6 AS (
+          SELECT pid, la, loa, d, h, sin_h, cos_h, dr, ca, hmod,
+                 90.0 - compb * {_R2D!r} AS latg,
+                 acos(least(greatest(cosdg, -1.0), 1.0)) * {_R2D!r} AS dg
+          FROM g5
+        )
+        SELECT CAST(pid AS BIGINT) AS pid,
+               round(d, 2) AS dist_m,
+               round(h, 6) AS heading,
+               round(CASE WHEN d = 0.0 THEN la
+                          WHEN abs(la) >= 90.0 THEN la
+                          WHEN abs(sin_h) < 1e-8 THEN
+                            (CASE WHEN abs(hmod) < 1e-8
+                                  THEN la + dr * {_R2D!r}
+                                  ELSE la - dr * {_R2D!r} END)
+                          WHEN abs(ca) < 1e-8 AND abs(cos_h) < 1e-8 THEN la
+                          ELSE latg END, 6) AS lat_b,
+               round(CASE WHEN d = 0.0 THEN loa
+                          WHEN abs(la) >= 90.0 THEN loa
+                          WHEN abs(sin_h) < 1e-8 THEN loa
+                          WHEN abs(ca) < 1e-8 AND abs(cos_h) < 1e-8 THEN
+                            (CASE WHEN abs(h - 90.0) < 1e-8
+                                  THEN loa + dr * {_R2D!r}
+                                  ELSE loa - dr * {_R2D!r} END)
+                          WHEN sin_h < 0 THEN loa - dg
+                          ELSE loa + dg END, 6) AS lon_b
+        FROM g6
     """
 
     sqls["char_entropy"] = """

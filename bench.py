@@ -126,6 +126,10 @@ BENCH = {
     "image_hashes": lambda s: _force(E.q_image_hashes(s, SF_DIR)),
     "media_gps_tiles": lambda s: _force(E.q_media_gps_tiles(s, SF_DIR)),
     "crawl_frontier": lambda s: _force(E.q_crawl_frontier(s, SF_DIR)),
+    "dem_hillshade_multi": lambda s: _force(E.q_dem_hillshade_multi(s, SF_DIR)),
+    "contour_polygons": lambda s: _force(E.q_contour_polygons(s, SF_DIR)),
+    "tpch_promo_share": lambda s: _force(E.q_tpch_promo_share(s, SF_DIR)),
+    "char_entropy": lambda s: _force(E.q_char_entropy(s, SF_DIR)),
 }
 
 

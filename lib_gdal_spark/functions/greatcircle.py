@@ -1,0 +1,122 @@
+"""Great-circle navigation helpers — ``core/ogr/ogr_geo_utils.cpp``
+(OGR_GreatCircle_Distance :55, _InitialHeading :72, _ExtendPosition :135)
+re-expressed as pure JVM Column expressions (no UDF, codegen-friendly).
+
+The reference's spherical model and its exact constant derivations are
+kept: DEG2RAD = pi/180, RAD2DEG = 1/DEG2RAD (the reciprocal, NOT 180/pi —
+they differ in the last ulp), RAD2METER = (180/pi) * 60 * 1852 (nautical
+miles), acos clamped to [-1, 1] (OGR_Safe_acos). Branch guards (poles,
+meridian tracks, equator tracks) follow the reference's order so every
+input hits the same branch.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEG2RAD = math.pi / 180.0
+RAD2DEG = 1.0 / DEG2RAD
+RAD2METER = (180.0 / math.pi) * 60.0 * 1852.0
+METER2RAD = 1.0 / RAD2METER
+
+
+def _safe_acos(x: Column) -> Column:
+    return F.acos(F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)))
+
+
+def great_circle_distance(lat_a: Column, lon_a: Column,
+                          lat_b: Column, lon_b: Column) -> Column:
+    """Spherical distance in meters (``ogr_geo_utils.cpp:55``)."""
+    cos_p = F.cos((lon_b - lon_a) * F.lit(DEG2RAD))
+    lat_ar = lat_a * F.lit(DEG2RAD)
+    lat_br = lat_b * F.lit(DEG2RAD)
+    cos_angle = (F.sin(lat_ar) * F.sin(lat_br)
+                 + F.cos(lat_ar) * F.cos(lat_br) * cos_p)
+    return _safe_acos(cos_angle) * F.lit(RAD2METER)
+
+
+def great_circle_initial_heading(lat_a: Column, lon_a: Column,
+                                 lat_b: Column, lon_b: Column) -> Column:
+    """Initial track angle in degrees (``ogr_geo_utils.cpp:72``), with the
+    reference's special-case ladder (poles, identical point, equator,
+    shared meridian) in its order."""
+    lat_ar = lat_a * F.lit(DEG2RAD)
+    lat_br = lat_b * F.lit(DEG2RAD)
+    diff_g = (lon_a - lon_b) * F.lit(DEG2RAD)
+    denom = (F.sin(lat_ar) * F.cos(diff_g)
+             - F.cos(lat_ar) * F.tan(lat_br))
+    track = F.atan(F.sin(diff_g) / denom) * F.lit(RAD2DEG)
+    general = (
+        F.when(denom == 0.0, F.lit(0.0))
+        .when(denom > 0.0, F.lit(180.0) + track)
+        .when(track < 0.0, F.lit(360.0) + track)
+        .otherwise(track)
+    )
+    # fmod(x, 360): x - trunc(x/360)*360 (C fmod semantics for finite x;
+    # the oracle mirrors this trunc form rather than calling fmod)
+    x = lon_a - lon_b
+    fmod360 = x - (x / F.lit(360.0)).cast("long").cast("double") * F.lit(360.0)
+    return (
+        F.when((F.abs(lat_a - 90.0) < 1e-10) | (F.abs(lat_b + 90.0) < 1e-10),
+               F.lit(180.0))
+        .when((F.abs(lat_a + 90.0) < 1e-10) | (F.abs(lat_b - 90.0) < 1e-10),
+              F.lit(0.0))
+        .when((F.abs(fmod360) < 1e-10) & (F.abs(lat_a - lat_b) < 1e-10),
+              F.lit(0.0))
+        .when((F.abs(lat_a) < 1e-10) & (F.abs(lat_b) < 1e-10),
+              F.when(lon_b > lon_a, F.lit(90.0)).otherwise(F.lit(270.0)))
+        .when(F.abs(fmod360) < 1e-10,
+              F.when(lat_a > lat_b, F.lit(180.0)).otherwise(F.lit(0.0)))
+        .otherwise(general)
+    )
+
+
+def great_circle_extend_position(lat_a: Column, lon_a: Column,
+                                 distance_m: Column,
+                                 heading_deg: Column) -> Column:
+    """Dead-reckon ``distance_m`` along ``heading_deg`` from A
+    (``ogr_geo_utils.cpp:135``); returns struct(lat, lon) in degrees."""
+    heading_rad = heading_deg * F.lit(DEG2RAD)
+    cos_h = F.cos(heading_rad)
+    sin_h = F.sin(heading_rad)
+    dist_rad = distance_m * F.lit(METER2RAD)
+    cos_d = F.cos(dist_rad)
+    sin_d = F.sin(dist_rad)
+    lat_ar = lat_a * F.lit(DEG2RAD)
+    cos_comp_a = F.sin(lat_ar)   # cos of colatitude
+    sin_comp_a = F.cos(lat_ar)
+
+    # general branch
+    cos_comp_b = cos_d * cos_comp_a + sin_d * sin_comp_a * cos_h
+    comp_b = _safe_acos(cos_comp_b)
+    denomin = F.sin(comp_b) * sin_comp_a
+    cos_dg = (cos_d - cos_comp_b * cos_comp_a) / denomin
+    lat_gen = F.lit(90.0) - comp_b * F.lit(RAD2DEG)
+    dg_deg = _safe_acos(cos_dg) * F.lit(RAD2DEG)
+    lon_gen = F.when(sin_h < 0, lon_a - dg_deg).otherwise(lon_a + dg_deg)
+
+    h = heading_deg + F.lit(360.0)
+    hmod = h - (h / F.lit(360.0)).cast("long").cast("double") * F.lit(360.0)
+    north_south = F.struct(
+        F.when(F.abs(hmod) < 1e-8,
+               lat_a + dist_rad * F.lit(RAD2DEG))
+        .otherwise(lat_a - dist_rad * F.lit(RAD2DEG)).alias("lat"),
+        lon_a.alias("lon"),
+    )
+    east_west = F.struct(
+        lat_a.alias("lat"),
+        F.when(F.abs(heading_deg - 90.0) < 1e-8,
+               lon_a + dist_rad * F.lit(RAD2DEG))
+        .otherwise(lon_a - dist_rad * F.lit(RAD2DEG)).alias("lon"),
+    )
+    same = F.struct(lat_a.alias("lat"), lon_a.alias("lon"))
+    return (
+        F.when(distance_m == 0.0, same)
+        .when(F.abs(lat_a) >= 90.0, same)
+        .when(F.abs(sin_h) < 1e-8, north_south)
+        .when((F.abs(cos_comp_a) < 1e-8) & (F.abs(cos_h) < 1e-8), east_west)
+        .otherwise(F.struct(lat_gen.alias("lat"), lon_gen.alias("lon")))
+    )
