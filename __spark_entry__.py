@@ -4763,6 +4763,125 @@ def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "identical long")
 
 
+def q_explode_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -explodecollections (ogr2ogr_lib.cpp): one feature per
+    collection member over the 6-type WKT fixture."""
+    from lib_gdal_spark.operators import vectorops as VO
+
+    def mk_wkt(fid: int) -> str:
+        w = 1.0 + (fid % 4)
+        k = fid % 6
+        if k == 0:
+            return f"POINT ({fid} {fid + 1})"
+        if k == 1:
+            return f"LINESTRING (0 0, {w} {w}, {2 * w} 0)"
+        if k == 2:
+            return f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))"
+        if k == 3:
+            return f"MULTIPOINT (({fid} 0), (0 {fid}), ({w} {w}))"
+        if k == 4:
+            return f"MULTILINESTRING ((0 0, {w} 0), (0 1, {w} 1, {w} 2))"
+        return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
+                f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
+                f"9 {9 + w / 2}, 9 9)))")
+
+    pdf = pd.DataFrame({"fid": range(60)})
+    pdf["wkt"] = pdf["fid"].map(mk_wkt)
+    base = spark.createDataFrame(pdf, schema="fid long, wkt string")
+
+    def to_wkb(batches):
+        from lib_gdal_spark.functions.wkt import wkt_to_wkb
+        for b in batches:
+            yield pd.DataFrame({
+                "fid": b["fid"],
+                "geom_wkb": [wkt_to_wkb(s) for s in b["wkt"]],
+            })
+
+    feats = base.mapInPandas(to_wkb, schema="fid long, geom_wkb binary")
+    parts = VO.explode_collections(feats)
+
+    def describe(batches):
+        import numpy as np
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                base_c, _, payload = G.parse_wkb_full(bytes(r["geom_wkb"]))
+                if base_c == G.WKB_POINT:
+                    g, nv, area = "POINT", 1, 0.0
+                elif base_c == G.WKB_LINESTRING:
+                    g, nv, area = "LINESTRING", len(payload), 0.0
+                else:
+                    g = "POLYGON"
+                    nv = sum(len(x) for x in payload)
+                    area = G.shoelace_area(payload)
+                rows.append((int(r["fid"]), int(r["part"]), g, nv,
+                             round(area, 6)))
+            yield pd.DataFrame(rows, columns=["fid", "part", "gtype",
+                                              "nv", "area"])
+
+    return parts.mapInPandas(
+        describe,
+        schema="fid long, part long, gtype string, nv long, area double")
+
+
+def q_wrap_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -wrapdateline (OGRGeometryFactory antimeridian split):
+    crossing boxes split into two rectangles, crossing lines split at
+    lon=180 with the interpolated latitude; a non-crossing control row
+    passes through as part 0. All outputs land in [-180, 180]."""
+    from lib_gdal_spark.operators import vectorops as VO
+
+    def mk(i: int):
+        k = i % 3
+        if k == 0:  # crossing box
+            a, b2 = i % 5, i % 3
+            y0 = -40.0 + (i % 8) * 10.0
+            ring = G.box_ring(170.0 + a, y0, 186.0 + b2, y0 + 10.0)
+            ring = ring.copy()
+            # express east lons as negatives (crossing form): x>180 -> x-360
+            ring[:, 0] = np.where(ring[:, 0] > 180.0, ring[:, 0] - 360.0,
+                                  ring[:, 0])
+            return G.wkb_polygon([ring])
+        if k == 1:  # crossing line
+            c, d = i % 4, i % 3
+            return G.wkb_linestring(np.array(
+                [[172.0 + c, 10.0], [-176.0 + d, 30.0]]))
+        return G.wkb_polygon([G.box_ring(10.0, 0.0, 20.0, 5.0)])  # control
+
+    pdf = pd.DataFrame({"gid": range(36)})
+    pdf["geom_wkb"] = pdf["gid"].map(lambda i: bytearray(mk(int(i))))
+    feats = spark.createDataFrame(pdf[["gid", "geom_wkb"]],
+                                  schema="gid long, geom_wkb binary")
+    parts = VO.wrap_dateline(feats)
+
+    def describe(batches):
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                base_c, _, payload = G.parse_wkb_full(bytes(r["geom_wkb"]))
+                if base_c == G.WKB_LINESTRING:
+                    pts = np.asarray(payload)
+                    g, area = "LINESTRING", 0.0
+                else:
+                    g = "POLYGON"
+                    pts = np.vstack([np.asarray(x) for x in payload])
+                    area = G.shoelace_area(payload)
+                rows.append((int(r["gid"]), int(r["part"]), g,
+                             round(area, 6),
+                             round(float(pts[:, 0].min()), 6),
+                             round(float(pts[:, 0].max()), 6),
+                             round(float(pts[:, 1].min()), 6),
+                             round(float(pts[:, 1].max()), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "gid", "part", "gtype", "area", "minx", "maxx", "miny",
+                "maxy"])
+
+    return parts.mapInPandas(
+        describe,
+        schema="gid long, part long, gtype string, area double, "
+               "minx double, maxx double, miny double, maxy double")
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML codec parity (gml2ogrgeometry.cpp / ogr2gmlgeometry.cpp): every
     geometry survives WKB -> GML2 -> WKB -> GML3 -> WKB byte-identically;
@@ -5047,6 +5166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "gml_roundtrip": q_gml_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "explode_collections": q_explode_collections,
+        "wrap_dateline": q_wrap_dateline,
         "zonal_stats": q_zonal_stats,
         "link_graph": q_link_graph,
         "gpx_track_points": q_gpx_track_points,
@@ -8944,6 +9065,68 @@ def oracle_sql() -> dict[str, str]:
     # gml_roundtrip: the geometry family is deterministic in fid, so
     # type/vertex-count/area are closed-form; identical=1 asserts the
     # WKB -> GML2 -> WKB -> GML3 -> WKB loop is byte-lossless.
+    sqls["explode_collections"] = """
+        WITH f AS (
+          SELECT fid, fid % 6 AS k, 1.0 + fid % 4 AS w
+          FROM generate_series(0, 59) t(fid)
+        ),
+        e AS (
+          SELECT fid, k, w, part
+          FROM f CROSS JOIN generate_series(0, 2) p(part)
+          WHERE part < CASE k WHEN 3 THEN 3 WHEN 4 THEN 2 WHEN 5 THEN 2
+                        ELSE 1 END
+        )
+        SELECT CAST(fid AS BIGINT) AS fid, CAST(part AS BIGINT) AS part,
+               CASE WHEN k IN (0, 3) THEN 'POINT'
+                    WHEN k IN (1, 4) THEN 'LINESTRING'
+                    ELSE 'POLYGON' END AS gtype,
+               CAST(CASE WHEN k IN (0, 3) THEN 1
+                         WHEN k = 1 THEN 3
+                         WHEN k = 4 THEN (CASE part WHEN 0 THEN 2 ELSE 3 END)
+                         ELSE 5 END AS BIGINT) AS nv,
+               round(CASE WHEN k = 2 THEN w * w
+                          WHEN k = 5 THEN (CASE part WHEN 0 THEN w * w
+                               ELSE (w / 2.0) * (w / 2.0) END)
+                          ELSE 0.0 END, 6) AS area
+        FROM e
+    """
+
+    sqls["wrap_dateline"] = """
+        WITH g AS (
+          SELECT gid, gid % 3 AS k, gid % 5 AS a, gid % 3 AS b2,
+                 gid % 4 AS c, gid % 3 AS d,
+                 -40.0 + (gid % 8) * 10.0 AS y0
+          FROM generate_series(0, 35) t(gid)
+        ),
+        lt AS (
+          SELECT gid, c, d,
+                 (180.0 - (172.0 + c)) / ((184.0 + d) - (172.0 + c)) AS t
+          FROM g WHERE k = 1
+        ),
+        ly AS (SELECT gid, c, d, 10.0 + t * (30.0 - 10.0) AS yc FROM lt)
+        SELECT CAST(gid AS BIGINT) AS gid, CAST(0 AS BIGINT) AS part,
+               'POLYGON' AS gtype, round((10.0 - a) * 10.0, 6) AS area,
+               round(170.0 + a, 6) AS minx, 180.0 AS maxx,
+               round(y0, 6) AS miny, round(y0 + 10.0, 6) AS maxy
+        FROM g WHERE k = 0
+        UNION ALL
+        SELECT gid, 1, 'POLYGON', round((6.0 + b2) * 10.0, 6),
+               -180.0, round(-174.0 + b2, 6), round(y0, 6),
+               round(y0 + 10.0, 6)
+        FROM g WHERE k = 0
+        UNION ALL
+        SELECT gid, 0, 'LINESTRING', 0.0, round(172.0 + c, 6), 180.0,
+               10.0, round(yc, 6)
+        FROM ly
+        UNION ALL
+        SELECT gid, 1, 'LINESTRING', 0.0, -180.0, round(-176.0 + d, 6),
+               round(yc, 6), 30.0
+        FROM ly
+        UNION ALL
+        SELECT gid, 0, 'POLYGON', 50.0, 10.0, 20.0, 0.0, 5.0
+        FROM g WHERE k = 2
+    """
+
     sqls["geojson_roundtrip"] = """
         SELECT CAST(fid AS BIGINT) AS fid,
           CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'

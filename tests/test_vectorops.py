@@ -1,0 +1,67 @@
+"""ogr2ogr -explodecollections / -wrapdateline."""
+
+import numpy as np
+
+from lib_gdal_spark.functions import geometry as G
+from lib_gdal_spark.operators.vectorops import explode_collections, wrap_dateline
+
+
+def _df(spark, wkbs):
+    rows = [(i, bytearray(w)) for i, w in enumerate(wkbs)]
+    return spark.createDataFrame(rows, "fid long, geom_wkb binary")
+
+
+class TestExplodeCollections:
+    def test_nested_collection(self, spark):
+        inner = G.wkb_geometrycollection([
+            G.wkb_point(1.0, 2.0),
+            G.wkb_multipoint(np.array([[3.0, 4.0], [5.0, 6.0]])),
+        ])
+        gc = G.wkb_geometrycollection([G.wkb_linestring(
+            np.array([[0.0, 0.0], [1.0, 1.0]])), inner])
+        out = explode_collections(_df(spark, [gc])).collect()
+        assert len(out) == 4  # line + point + 2 multipoint members
+        assert sorted(r.part for r in out) == [0, 1, 2, 3]
+        types = sorted(G.parse_wkb_full(bytes(r.geom_wkb))[0] for r in out)
+        assert types == [G.WKB_POINT, G.WKB_POINT, G.WKB_POINT,
+                         G.WKB_LINESTRING]
+
+    def test_single_passthrough(self, spark):
+        p = G.wkb_point(9.0, 9.0)
+        out = explode_collections(_df(spark, [p])).collect()
+        assert len(out) == 1 and out[0].part == 0
+        assert bytes(out[0].geom_wkb) == p
+
+
+class TestWrapDateline:
+    def test_holed_polygon_split(self, spark):
+        outer = G.box_ring(170.0, 0.0, 190.0, 20.0)
+        hole = G.box_ring(174.0, 5.0, 186.0, 15.0)[::-1]  # CW hole
+        for ring in (outer, hole):
+            ring[:, 0] = np.where(ring[:, 0] > 180.0, ring[:, 0] - 360.0,
+                                  ring[:, 0])
+        poly = G.wkb_polygon([outer, hole])
+        out = wrap_dateline(_df(spark, [poly])).collect()
+        assert len(out) == 2
+        areas = {}
+        for r in out:
+            _, _, payload = G.parse_wkb_full(bytes(r.geom_wkb))
+            rings = [np.asarray(x) for x in payload]
+            assert all(abs(x[:, 0]).max() <= 180.0 for x in rings)
+            areas[r.part] = G.shoelace_area(payload)
+        # west: 10x20 outer minus 6x10 hole; east: same by symmetry
+        assert areas[0] == 200.0 - 60.0
+        assert areas[1] == 200.0 - 60.0
+
+    def test_non_crossing_passthrough(self, spark):
+        poly = G.wkb_polygon([G.box_ring(0.0, 0.0, 1.0, 1.0)])
+        out = wrap_dateline(_df(spark, [poly])).collect()
+        assert len(out) == 1 and bytes(out[0].geom_wkb) == poly
+
+    def test_line_split_latitude(self, spark):
+        ln = G.wkb_linestring(np.array([[178.0, 0.0], [-178.0, 4.0]]))
+        out = {r.part: r for r in wrap_dateline(_df(spark, [ln])).collect()}
+        _, _, p0 = G.parse_wkb_full(bytes(out[0].geom_wkb))
+        _, _, p1 = G.parse_wkb_full(bytes(out[1].geom_wkb))
+        assert np.allclose(np.asarray(p0), [[178.0, 0.0], [180.0, 2.0]])
+        assert np.allclose(np.asarray(p1), [[-180.0, 2.0], [-178.0, 4.0]])
