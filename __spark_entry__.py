@@ -393,6 +393,21 @@ def q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RZ.burned_pixel_counts(tiles)
 
 
+def q_rasterize_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -i (bInvertRasterize): the burn value lands OUTSIDE
+    the pentagons; global per-value pixel counts."""
+    from lib_gdal_spark.operators import rasterize as RZ
+
+    grid = RZ.world_grid(256, 256, 64)
+    tiles = RZ.rasterize_polygons(_raster_polys_df(spark), grid, invert=True)
+    return (
+        tiles.select(F.explode("pixels").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_pixels"))
+        .select(F.col("v").alias("value"), "n_pixels")
+    )
+
+
 def q_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector round trip: polygonize the rasterized pentagons into
     connected components (polygonize.cpp:435 semantics)."""
@@ -5028,6 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_footprint": q_raster_footprint,
         "raster_compare": q_raster_compare,
         "contour_polygons": q_contour_polygons,
+        "rasterize_invert": q_rasterize_invert,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
         "layer_erase": q_layer_erase,
@@ -5339,6 +5355,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(fid AS DOUBLE) AS burn,
                CAST(count(*) AS BIGINT) AS n_pixels
         FROM burned GROUP BY 1, 2, 3
+    """
+
+    sqls["rasterize_invert"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts}),
+        cov AS (SELECT count(*) AS n
+                FROM (SELECT DISTINCT px, py FROM burned))
+        SELECT 1.0 AS value, CAST(65536 - n AS BIGINT) AS n_pixels FROM cov
+        UNION ALL
+        SELECT 0.0 AS value, CAST(n AS BIGINT) AS n_pixels FROM cov
     """
 
     sqls["polygonize_components"] = f"""

@@ -73,13 +73,27 @@ def rasterize_polygons(
     dtype: str = "float64",
     dense: bool = False,
     all_touched: bool = False,
+    invert: bool = False,
 ) -> DataFrame:
     """polygons(fid long, geom_wkb binary, burn double) -> tile table.
 
     By default only tiles intersected by at least one geometry envelope are
     emitted (sparse output, like the reference writing into an existing
     dataset); ``dense=True`` emits every grid tile, background-filled.
+
+    ``invert=True`` is gdal_rasterize -i (``gdal_rasterize_lib.cpp``
+    bInvertRasterize): the burn value lands on every pixel NOT covered by
+    any geometry; covered pixels keep the background. Implies dense output
+    (the uncovered region spans the whole grid), and like the reference's
+    -i it uses ONE burn value for the whole layer (the first feature's).
     """
+    invert_burn = None
+    if invert:
+        dense = True
+        # one layer-wide burn value, like -burn; polygons is the small
+        # broadcast side, so this driver lookup is O(1)
+        row0 = polygons.select("burn").orderBy("burn").first()
+        invert_burn = float(row0["burn"]) if row0 is not None else 1.0
     ntx, nty = grid.n_tiles()
 
     def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,8 +145,12 @@ def rasterize_polygons(
             for r in rings:
                 px, py = grid.world_to_px(r[:, 0], r[:, 1])
                 px_rings.append(np.column_stack([px - x0, py - y0]))
-            S.burn_values(arr, px_rings, float(row["burn"]), merge_alg=merge_alg,
+            burn = (background + 1.0) if invert else float(row["burn"])
+            S.burn_values(arr, px_rings, burn,
+                          merge_alg="replace" if invert else merge_alg,
                           all_touched=all_touched)
+        if invert:
+            arr = np.where(arr == background, invert_burn, background)
         tgt = (
             gt[0] + x0 * gt[1], gt[1], 0.0,
             gt[3] + y0 * gt[5], 0.0, gt[5],

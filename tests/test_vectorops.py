@@ -65,3 +65,31 @@ class TestWrapDateline:
         _, _, p1 = G.parse_wkb_full(bytes(out[1].geom_wkb))
         assert np.allclose(np.asarray(p0), [[178.0, 0.0], [180.0, 2.0]])
         assert np.allclose(np.asarray(p1), [[-180.0, 2.0], [-178.0, 4.0]])
+
+
+class TestRasterizeInvert:
+    def test_invert_complements(self, spark):
+        import numpy as np
+        from lib_gdal_spark.operators.rasterize import (
+            GridSpec,
+            rasterize_polygons,
+        )
+        grid = GridSpec((0.0, 1.0, 0.0, 16.0, 0.0, -1.0), 16, 16, 8)
+        ring = G.box_ring(2.0, 2.0, 10.0, 10.0)
+        polys = spark.createDataFrame(
+            [(1, bytearray(G.wkb_polygon([ring])), 5.0)],
+            "fid long, geom_wkb binary, burn double")
+        normal = rasterize_polygons(polys, grid, dense=True)
+        inverted = rasterize_polygons(polys, grid, invert=True)
+
+        def full(df):
+            out = np.zeros((16, 16))
+            for r in df.collect():
+                a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+                out[r["tile_y"] * 8:(r["tile_y"] + 1) * 8,
+                    r["tile_x"] * 8:(r["tile_x"] + 1) * 8] = a
+            return out
+        n, i = full(normal), full(inverted)
+        assert ((n == 5.0) == (i == 0.0)).all()
+        assert ((n == 0.0) == (i == 5.0)).all()
+        assert (i == 5.0).sum() == 256 - 64  # 8x8 box covered

@@ -40,6 +40,11 @@ QUERIES = [
     "robots_filter", "cdx_index", "zonal_stats",
     # round-3 continuation 2
     "cdc_chunks", "cdc_dup_chunks", "wet_wat_ingest",
+    # round-3 session 5
+    "raster_footprint", "raster_compare", "contour_polygons",
+    "tpch_promo_share", "char_entropy", "domain_blocklist",
+    "fix_mojibake", "cosine_topk_int8", "wrap_dateline", "great_circle",
+    "dem_hillshade_multi",
 ]
 
 
