@@ -93,3 +93,31 @@ class TestRasterizeInvert:
         assert ((n == 5.0) == (i == 0.0)).all()
         assert ((n == 0.0) == (i == 5.0)).all()
         assert (i == 5.0).sum() == 256 - 64  # 8x8 box covered
+
+
+class TestWrapDatelineFuzz:
+    def test_area_conservation_random_boxes(self, spark):
+        """Fuzz: west part + east part == original box area exactly
+        (integer-coordinate rectangles keep the shoelace sums exact)."""
+        import numpy as np
+        rng = np.random.default_rng(99)
+        rows = []
+        want = {}
+        for i in range(25):
+            a = int(rng.integers(150, 179))     # west lon
+            b = int(rng.integers(-179, -150))   # east lon (crossing)
+            y0 = int(rng.integers(-80, 70))
+            h = int(rng.integers(1, 15))
+            ring = np.array([[a, y0], [b, y0], [b, y0 + h],
+                             [a, y0 + h], [a, y0]], dtype=np.float64)
+            rows.append((i, bytearray(G.wkb_polygon([ring]))))
+            want[i] = ((180 - a) + (b + 180)) * h
+        df = spark.createDataFrame(rows, "fid long, geom_wkb binary")
+        out = wrap_dateline(df).collect()
+        got = {}
+        for r in out:
+            _, _, payload = G.parse_wkb_full(bytes(r.geom_wkb))
+            rings = [np.asarray(x) for x in payload]
+            assert all(abs(x[:, 0]).max() <= 180.0 for x in rings)
+            got[r.fid] = got.get(r.fid, 0.0) + G.shoelace_area(payload)
+        assert got == {i: float(w) for i, w in want.items()}
