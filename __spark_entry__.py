@@ -1190,6 +1190,36 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.compact_cells(cells).orderBy("cell")
 
 
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cell ids at level 12 (cube face + quadratic ST + Hilbert):
+    the second index family of the north rule's "H3/S2". The oracle spells
+    the whole chain — sphere->face->uv->st->ij->12-step Hilbert — in SQL."""
+    from lib_gdal_spark.functions import s2cells as S2
+
+    pts = _points(spark, sf_dir)
+    out = S2.with_s2_cell(pts, level=12, out_col="cell")
+    face, pos = S2._face_pos(F.col("cell"), 12)
+    return out.select("pid", face.alias("face"), pos.alias("pos"), "cell")
+
+
+def q_s2_parent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hierarchy: level-12 cells roll up to level-6 parents by pure bit
+    math (Hilbert prefix property); the oracle recomputes level-6 cells
+    INDEPENDENTLY from the coarser ij grid, so the rollup identity is what
+    is actually being checked."""
+    from lib_gdal_spark.functions import s2cells as S2
+
+    pts = _points(spark, sf_dir)
+    out = S2.with_s2_cell(pts, level=12, out_col="cell")
+    parent = S2.s2_parent(F.col("cell"), 12, 6)
+    return (
+        out.select(parent.alias("parent"), "cell")
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.countDistinct("cell").alias("n_cells"))
+    )
+
+
 def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR great-circle navigation (ogr_geo_utils.cpp:55,72,135): spherical
     distance, initial heading, and dead-reckoned position, all as JVM
@@ -5064,6 +5094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_promo_share": q_tpch_promo_share,
         "char_entropy": q_char_entropy,
         "great_circle": q_great_circle,
+        "s2_cells": q_s2_cells,
+        "s2_parent_counts": q_s2_parent_counts,
         "length_percentile": q_length_percentile,
         "text_nfc": q_text_nfc,
         "fix_mojibake": q_fix_mojibake,
@@ -6192,6 +6224,69 @@ def oracle_sql() -> dict[str, str]:
                        THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
     """
+
+    # S2-style cell oracle: sphere -> face/uv -> quadratic st -> ij ->
+    # Hilbert fold, all spelled in SQL (constants/op order mirror
+    # functions/s2cells.py).
+    def _s2_sql(level: int, final: str) -> str:
+        n = 1 << level
+        parts = [f"""pts AS ({_POINTS_SQL}),
+        ang AS (SELECT pid, radians(lon) AS lonr, radians(lat) AS latr
+                FROM pts),
+        xyz AS (SELECT pid, cos(latr) * cos(lonr) AS x,
+                       cos(latr) * sin(lonr) AS y, sin(latr) AS z FROM ang),
+        fc AS (SELECT pid, x, y, z,
+          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN
+                 (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+               WHEN abs(y) >= abs(z) THEN
+                 (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+               ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face
+          FROM xyz),
+        uv AS (SELECT pid, face,
+          CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+               WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+          CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+               WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+          FROM fc),
+        st AS (SELECT pid, face,
+          CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+               ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+          CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+               ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+          FROM uv),
+        h0 AS (SELECT pid, face,
+          CAST(least(greatest(floor(s * {n}.0), 0.0), {n - 1}.0)
+               AS BIGINT) AS x,
+          CAST(least(greatest(floor(t * {n}.0), 0.0), {n - 1}.0)
+               AS BIGINT) AS y,
+          CAST(0 AS BIGINT) AS d
+          FROM st)"""]
+        for k in range(level):
+            s = 1 << (level - 1 - k)
+            parts.append(f"""h{k + 1} AS MATERIALIZED (
+              SELECT pid, face,
+                CASE WHEN (y & {s}) > 0 THEN x
+                     WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END AS x,
+                CASE WHEN (y & {s}) > 0 THEN y
+                     WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END AS y,
+                d + {s}::BIGINT * {s} * xor(
+                    3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+              FROM h{k})""")
+        return "WITH " + ",\n".join(parts) + f"\n{final.format(last=f'h{level}')}"
+
+    sqls["s2_cells"] = _s2_sql(12, """
+        SELECT CAST(pid AS BIGINT) AS pid, CAST(face AS BIGINT) AS face,
+               d AS pos,
+               CAST(face AS BIGINT) * {n2} + d * 2 + 1 AS cell
+        FROM {last}""".replace("{n2}", str(2 << 24)))
+
+    sqls["s2_parent_counts"] = _s2_sql(12, """
+        SELECT CAST(face AS BIGINT) * {n2} + (d >> 12) * 2 + 1 AS parent,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT d) AS BIGINT) AS n_cells
+        FROM {last} GROUP BY face, (d >> 12)""".replace("{n2}",
+                                                        str(2 << 12)))
 
     # great-circle oracle: constants and op order mirror
     # functions/greatcircle.py (which mirrors ogr_geo_utils.cpp).
