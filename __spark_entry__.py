@@ -1190,6 +1190,15 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.compact_cells(cells).orderBy("cell")
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-completion funnel view -> click -> purchase per user
+    (chained co-partitioned conditional-min aggregations)."""
+    from lib_gdal_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events")
+    return EV.funnel(ev)
+
+
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style cell ids at level 12 (cube face + quadratic ST + Hilbert):
     the second index family of the north rule's "H3/S2". The oracle spells
@@ -5095,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "great_circle": q_great_circle,
         "s2_cells": q_s2_cells,
+        "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
         "length_percentile": q_length_percentile,
         "text_nfc": q_text_nfc,
@@ -6223,6 +6233,34 @@ def oracle_sql() -> dict[str, str]:
                || CASE WHEN doc_id % 3 = 0
                        THEN '?q=' || doc_id ELSE '' END AS canon
         FROM documents
+    """
+
+    sqls["event_funnel"] = """
+        WITH e AS (
+          SELECT user_id AS u, epoch_us(ts) AS k, event_type AS t
+          FROM events
+        ),
+        s1 AS (
+          SELECT u, min(CASE WHEN t = 'view' THEN k END) AS k1
+          FROM e GROUP BY u
+        ),
+        s2 AS (
+          SELECT e.u, any_value(k1) AS k1,
+                 min(CASE WHEN t = 'click' AND k > k1 THEN k END) AS k2
+          FROM e JOIN s1 ON e.u = s1.u GROUP BY e.u
+        ),
+        s3 AS (
+          SELECT e.u, any_value(k1) AS k1, any_value(k2) AS k2,
+                 min(CASE WHEN t = 'purchase' AND k > k2 THEN k END) AS k3
+          FROM e JOIN s2 ON e.u = s2.u GROUP BY e.u
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST((CASE WHEN k1 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN k2 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN k3 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INTEGER) AS stage,
+               k1, k2, k3
+        FROM s3
     """
 
     # S2-style cell oracle: sphere -> face/uv -> quadratic st -> ij ->

@@ -142,3 +142,46 @@ def session_stats(
         F.max(us).alias("end_us"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user: the first step-1 event, then the
+    first step-2 event strictly after it, and so on (the classic
+    earliest-completion funnel of web analytics).
+
+    One row per user with ``stage`` (how many steps completed, in order)
+    and ``k1..kn`` (epoch-micros of each completed step, NULL beyond the
+    reached stage). All shuffles hash on ``user_col`` — after the first
+    exchange every chained aggregation/join is co-partitioned, so the
+    funnel depth adds no extra corpus movement at scale.
+    """
+    u = F.col(user_col)
+    ev = events.select(
+        u.alias("__u"),
+        _us(ts_col).alias("__k"),
+        F.col(type_col).alias("__t"),
+    )
+    acc = ev.groupBy("__u").agg(
+        F.min(F.when(F.col("__t") == steps[0], F.col("__k"))).alias("k1"))
+    for i, s in enumerate(steps[1:], start=2):
+        prev_ks = [f"k{m}" for m in range(1, i)]
+        j = ev.join(acc, "__u")
+        acc = j.groupBy("__u", *prev_ks).agg(
+            F.min(F.when((F.col("__t") == s)
+                         & (F.col("__k") > F.col(f"k{i - 1}")),
+                         F.col("__k"))).alias(f"k{i}"))
+    stage = sum(
+        (F.when(F.col(f"k{m}").isNotNull(), 1).otherwise(0)
+         for m in range(1, len(steps) + 1)),
+        F.lit(0),
+    )
+    return acc.select(
+        F.col("__u").alias(user_col), stage.alias("stage"),
+        *[f"k{m}" for m in range(1, len(steps) + 1)],
+    )

@@ -79,3 +79,33 @@ def test_cap_per_source_bucket_invariance(spark):
     for _, src, rank in a:
         per_src.setdefault(src, []).append(rank)
     assert all(sorted(v) == list(range(1, 21)) for v in per_src.values())
+
+
+class TestFunnel:
+    def test_earliest_completion_ordering(self, spark):
+        from lib_gdal_spark.operators.events import funnel
+        rows = [
+            # user 1 completes in order
+            (1, "2024-01-01 00:00:01", "view"),
+            (1, "2024-01-01 00:00:02", "click"),
+            (1, "2024-01-01 00:00:03", "purchase"),
+            # user 2: purchase BEFORE click -> stage 2 only
+            (2, "2024-01-01 00:00:01", "view"),
+            (2, "2024-01-01 00:00:02", "purchase"),
+            (2, "2024-01-01 00:00:03", "click"),
+            # user 3: click first, view later, no purchase -> stage 1
+            (3, "2024-01-01 00:00:01", "click"),
+            (3, "2024-01-01 00:00:02", "view"),
+            # user 4: never views -> stage 0
+            (4, "2024-01-01 00:00:01", "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+        out = {r.user_id: r for r in funnel(df).collect()}
+        assert out[1].stage == 3
+        assert out[2].stage == 2 and out[2].k3 is None
+        assert out[3].stage == 1 and out[3].k2 is None
+        assert out[4].stage == 0 and out[4].k1 is None
+        # earliest-completion: user 2's k2 is the LATER click? no - there is
+        # only one click, strictly after k1
+        assert out[2].k2 > out[2].k1
