@@ -43,12 +43,15 @@ def face_uv(lon_deg: np.ndarray, lat_deg: np.ndarray):
         np.where(ay >= az, np.where(y >= 0, 1, 4),
                  np.where(z >= 0, 2, 5)),
     ).astype(np.int64)
-    u = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
-    v = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # unselected np.select branches may divide by zero; the selected
+        # branch never does (its denominator is the largest |component|)
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
     return face, u, v
 
 
