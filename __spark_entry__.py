@@ -4293,6 +4293,44 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("priority"), F.lit(-1.0)).alias("prio"))
 
 
+def q_csv_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR CSV vector layer (drivers/vector/csv): WKT geometry column +
+    .csvt typing + RFC-4180 quoting (embedded commas/doubled quotes)
+    roundtrip on the executors; areas and typed attributes oracle-exact."""
+    base = spark.range(50).select(F.col("id").alias("k"))
+
+    def work(batches):
+        from lib_gdal_spark.functions import geometry as GG
+        from lib_gdal_spark.sources.csvlayer import (
+            parse_csv_layer,
+            write_csv_layer,
+        )
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                s = float(k % 5 + 2)
+                ring = GG.box_ring(float(k), float(k), k + s, k + s)
+                rows.append({
+                    "wkb": GG.wkb_polygon([ring]),
+                    "name": f'doc,"{k}"',
+                    "n": k,
+                    "x": k / 4.0,
+                })
+            text, csvt = write_csv_layer(
+                rows, [("name", "String"), ("n", "Integer"), ("x", "Real")])
+            out = []
+            for fid, r in enumerate(parse_csv_layer(text, csvt)):
+                _, payload = GG.parse_wkb(r["wkb"])
+                area = GG.shoelace_area(payload)
+                out.append((int(b["k"].iloc[fid]), round(area, 6),
+                            r["name"], r["n"], r["x"]))
+            yield pd.DataFrame(out, columns=["k", "area", "name", "n", "x"])
+
+    return base.mapInPandas(
+        work, schema="k long, area double, name string, n long, x double")
+
+
 def q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapInfo MIF/MID codec (drivers/vector/mitab): 50 document pairs
     (POINT + PLINE + REGION-with-hole, MID attributes) encoded on the
@@ -5239,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "csv_layer": q_csv_layer,
         "sitemap_entries": q_sitemap_entries,
         "png_roundtrip": q_png_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
@@ -9823,6 +9862,15 @@ def oracle_sql() -> dict[str, str]:
 
     # mif_roundtrip: measures per feature class — point x+2y, pline
     # Σ(x+2y), region shell area minus the 0.5-side hole (0.25).
+    sqls["csv_layer"] = """
+        SELECT k,
+               round(CAST((k % 5 + 2) * (k % 5 + 2) AS DOUBLE), 6) AS area,
+               'doc,"' || k || '"' AS name,
+               k AS n,
+               k / 4.0 AS x
+        FROM generate_series(0, 49) t(k)
+    """
+
     sqls["mif_roundtrip"] = """
         SELECT 'm' || CASE WHEN k < 10 THEN '0' ELSE '' END || k AS src,
                CAST(j AS BIGINT) AS fid,
