@@ -695,6 +695,20 @@ def q_translate_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_px(out).select("px", "py", F.col("v").cast("long").alias("v"))
 
 
+def q_translate_projwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -projwin -100 50 -30 10 on world4326: world window ->
+    srcwin (56, 56, 50, 57) via the reference's floor(+0.001)/floor(+0.5)
+    conversion; the oracle hardcodes the expected pixel window."""
+    from lib_gdal_spark.operators import translate as T
+
+    tiles = RS.fixture_rasters(spark)
+    out = T.translate_projwin(
+        tiles, "world4326", (-100.0, 50.0, -30.0, 10.0),
+        gt=(-180.0, 1.40625, 0.0, 90.0, 0.0, -0.703125))
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v"))
+
+
 def q_location_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdallocationinfo: world coord -> tile join -> pixel lookup."""
     from lib_gdal_spark.operators import translate as T
@@ -5278,6 +5292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "csv_layer": q_csv_layer,
+        "translate_projwin": q_translate_projwin,
         "sitemap_entries": q_sitemap_entries,
         "png_roundtrip": q_png_roundtrip,
         "ehdr_roundtrip": q_ehdr_roundtrip,
@@ -5567,6 +5582,14 @@ def oracle_sql() -> dict[str, str]:
                           + (21 + least(trunc(0.5 + y.py * 2.0), 99))) * 0.5)
                     AS BIGINT) AS v
         FROM generate_series(0, 74) x(px) CROSS JOIN generate_series(0, 49) y(py)
+    """
+
+    sqls["translate_projwin"] = """
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST(trunc((sin((56 + x.px) * 0.19)
+                           + cos((56 + y.py) * 0.13)) * 60.0 + 128.0)
+                    AS BIGINT) AS v
+        FROM generate_series(0, 49) x(px) CROSS JOIN generate_series(0, 56) y(py)
     """
 
     sqls["location_info"] = """

@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,6 +24,36 @@ from pyspark.sql import functions as F
 
 from lib_gdal_spark.kernels import resample as R
 from lib_gdal_spark.sources.rasters import RASTER_COLS, RASTER_SCHEMA
+
+
+def projwin_to_srcwin(
+    gt: tuple[float, float, float, float, float, float],
+    projwin: tuple[float, float, float, float],
+) -> tuple[int, int, int, int]:
+    """gdal_translate -projwin (ulx uly lrx lry, world units) -> pixel
+    srcwin, the reference's exact conversion (``gdal_translate_lib.cpp``:
+    offsets ``floor(+0.001)``, sizes ``floor(+0.5)`` of the window span —
+    the 0.001-pixel epsilon forgives coordinates that sit on cell edges).
+    North-up geotransforms only, like the reference's -projwin path."""
+    ulx, uly, lrx, lry = projwin
+    xoff = int(math.floor((ulx - gt[0]) / gt[1] + 0.001))
+    yoff = int(math.floor((uly - gt[3]) / gt[5] + 0.001))
+    xsize = int(math.floor((lrx - ulx) / gt[1] + 0.5))
+    ysize = int(math.floor((lry - uly) / gt[5] + 0.5))
+    return xoff, yoff, xsize, ysize
+
+
+def translate_projwin(
+    tiles: DataFrame,
+    raster_id: str,
+    projwin: tuple[float, float, float, float],
+    gt: tuple[float, float, float, float, float, float],
+    **kw,
+) -> DataFrame:
+    """gdal_translate -projwin: world-coordinate window -> the pixel-window
+    translate path (tile-range pruning included)."""
+    return translate_window(tiles, raster_id,
+                            projwin_to_srcwin(gt, projwin), **kw)
 
 
 def translate_window(

@@ -160,3 +160,15 @@ def test_translate_resampled_read_algs(spark):
             got[r["tile_y"] * 64 : r["tile_y"] * 64 + r["tile_h"],
                 r["tile_x"] * 64 : r["tile_x"] * 64 + r["tile_w"]] = arr
         assert np.array_equal(got, ref_fn(src)), alg
+
+
+class TestProjwin:
+    def test_projwin_to_srcwin_edges(self):
+        from lib_gdal_spark.operators.translate import projwin_to_srcwin
+        gt = (0.0, 1.0, 0.0, 100.0, 0.0, -1.0)
+        # exact cell edges: the +0.001 epsilon keeps offsets stable
+        assert projwin_to_srcwin(gt, (10.0, 90.0, 20.0, 80.0)) == (10, 10, 10, 10)
+        # slightly inside the cell still snaps to the same origin
+        assert projwin_to_srcwin(gt, (10.0004, 89.9996, 20.0, 80.0))[:2] == (10, 10)
+        # sizes round-half-up on the span
+        assert projwin_to_srcwin(gt, (0.0, 100.0, 10.6, 89.6))[2:] == (11, 10)
