@@ -130,6 +130,9 @@ BENCH = {
     "contour_polygons": lambda s: _force(E.q_contour_polygons(s, SF_DIR)),
     "tpch_promo_share": lambda s: _force(E.q_tpch_promo_share(s, SF_DIR)),
     "char_entropy": lambda s: _force(E.q_char_entropy(s, SF_DIR)),
+    "s2_cells": lambda s: _force(E.q_s2_cells(s, SF_DIR)),
+    "event_funnel": lambda s: _force(E.q_event_funnel(s, SF_DIR)),
+    "cosine_topk_int8": lambda s: _force(E.q_cosine_topk_int8(s, SF_DIR)),
 }
 
 

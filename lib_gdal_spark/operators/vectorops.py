@@ -126,26 +126,45 @@ def _wrap_polygon(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
 def wrap_dateline(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
     """ogr2ogr -wrapdateline: geometries crossing the antimeridian split
     into parts whose longitudes all lie in [-180, 180]; non-crossing
-    geometries pass through untouched with part 0. LineString and Polygon
-    (holes included — each ring clips independently) are supported, the
-    types the reference actually splits."""
+    geometries pass through untouched with part 0. LineString/Polygon
+    (holes included — each ring clips independently) and their Multi*
+    containers are supported — each member splits independently, like the
+    reference's per-geometry CutGeometryOnDateLineAndAddToMulti loop."""
     cols = df.columns
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", part int"
 
+    def split_line(payload) -> list[bytes] | None:
+        pts = np.asarray(payload, dtype=np.float64)
+        if not _crosses_dateline(pts[:, 0]):
+            return None
+        return [G.wkb_linestring(p) for p in _wrap_line(pts)]
+
+    def split_poly(payload) -> list[bytes] | None:
+        rings = [np.asarray(r, dtype=np.float64) for r in payload]
+        if not _crosses_dateline(rings[0][:, 0]):
+            return None
+        return [G.wkb_polygon(r) for r in _wrap_polygon(rings)]
+
     def split_one(wkb: bytes) -> list[bytes]:
         base, _, payload = G.parse_wkb_full(wkb)
         if base == G.WKB_LINESTRING:
-            pts = np.asarray(payload, dtype=np.float64)
-            if not _crosses_dateline(pts[:, 0]):
-                return [bytes(wkb)]
-            return [G.wkb_linestring(p) for p in _wrap_line(pts)]
+            return split_line(payload) or [bytes(wkb)]
         if base == G.WKB_POLYGON:
-            rings = [np.asarray(r, dtype=np.float64) for r in payload]
-            if not _crosses_dateline(rings[0][:, 0]):
-                return [bytes(wkb)]
-            return [G.wkb_polygon(r) for r in _wrap_polygon(rings)]
+            return split_poly(payload) or [bytes(wkb)]
+        if base == G.WKB_MULTILINESTRING:
+            out = []
+            for ln in payload:
+                out.extend(split_line(ln)
+                           or [G.wkb_linestring(np.asarray(ln, np.float64))])
+            return out
+        if base == G.WKB_MULTIPOLYGON:
+            out = []
+            for poly in payload:
+                out.extend(split_poly(poly) or [G.wkb_polygon(
+                    [np.asarray(r, np.float64) for r in poly])])
+            return out
         return [bytes(wkb)]
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -121,3 +121,29 @@ class TestWrapDatelineFuzz:
             assert all(abs(x[:, 0]).max() <= 180.0 for x in rings)
             got[r.fid] = got.get(r.fid, 0.0) + G.shoelace_area(payload)
         assert got == {i: float(w) for i, w in want.items()}
+
+
+class TestWrapDatelineMulti:
+    def test_multipolygon_members_split_independently(self, spark):
+        import numpy as np
+        crossing = G.box_ring(175.0, 0.0, 185.0, 10.0)
+        crossing[:, 0] = np.where(crossing[:, 0] > 180.0,
+                                  crossing[:, 0] - 360.0, crossing[:, 0])
+        plain = G.box_ring(0.0, 0.0, 5.0, 5.0)
+        mp = G.wkb_multipolygon([[crossing], [plain]])
+        out = wrap_dateline(_df(spark, [mp])).collect()
+        # crossing member -> 2 parts, plain member -> 1 part
+        assert len(out) == 3
+        areas = sorted(
+            round(G.shoelace_area(G.parse_wkb_full(bytes(r.geom_wkb))[2]), 6)
+            for r in out)
+        assert areas == [25.0, 50.0, 50.0]
+
+    def test_multilinestring(self, spark):
+        import numpy as np
+        ml = G.wkb_multilinestring([
+            np.array([[178.0, 0.0], [-178.0, 4.0]]),   # crossing
+            np.array([[0.0, 0.0], [1.0, 1.0]]),        # plain
+        ])
+        out = wrap_dateline(_df(spark, [ml])).collect()
+        assert len(out) == 3
