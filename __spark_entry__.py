@@ -1213,6 +1213,17 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.funnel(ev)
 
 
+def q_s2_ring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell-covering expansion join (north rule): all point pairs within
+    80 km via own-cell + 8 cross-face-wrapped ring-1 neighbors at level 6;
+    the brute-force cross join is the oracle, so COMPLETENESS (no pair
+    missed at face edges/corners) is what the gate checks."""
+    from lib_gdal_spark.operators import knn as KN
+
+    pts = _points(spark, sf_dir)
+    return KN.s2_ring_pairs(pts, max_km=80.0, level=6)
+
+
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style cell ids at level 12 (cube face + quadratic ST + Hilbert):
     the second index family of the north rule's "H3/S2". The oracle spells
@@ -5158,6 +5169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
+        "s2_ring_pairs": q_s2_ring_pairs,
         "length_percentile": q_length_percentile,
         "text_nfc": q_text_nfc,
         "fix_mojibake": q_fix_mojibake,
@@ -6323,6 +6335,16 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS stage,
                k1, k2, k3
         FROM s3
+    """
+
+    sqls["s2_ring_pairs"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        p2 AS (SELECT pid AS id_b, lon AS qlon, lat AS qlat FROM pts),
+        j AS (
+          SELECT pid AS id_a, id_b, {_HAVERSINE_SQL} AS dist_km
+          FROM pts JOIN p2 ON pid < id_b
+        )
+        SELECT id_a, id_b, dist_km FROM j WHERE dist_km <= 80.0
     """
 
     # S2-style cell oracle: sphere -> face/uv -> quadratic st -> ij ->

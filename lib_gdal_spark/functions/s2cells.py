@@ -37,22 +37,7 @@ def face_uv(lon_deg: np.ndarray, lat_deg: np.ndarray):
     x = np.cos(lat) * np.cos(lon)
     y = np.cos(lat) * np.sin(lon)
     z = np.sin(lat)
-    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(
-        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
-        np.where(ay >= az, np.where(y >= 0, 1, 4),
-                 np.where(z >= 0, 2, 5)),
-    ).astype(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        # unselected np.select branches may divide by zero; the selected
-        # branch never does (its denominator is the largest |component|)
-        u = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4],
-            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
-        v = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4],
-            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
-    return face, u, v
+    return _xyz_face_uv(x, y, z)
 
 
 def uv_to_st(u: np.ndarray) -> np.ndarray:
@@ -120,3 +105,67 @@ def s2_range(cell: Column, level: int,
           + F.shiftleft(F.shiftleft(pos, 2 * dl), 1) + 1)
     hi = lo + ((1 << (2 * dl)) - 1) * 2
     return lo.cast("long"), hi.cast("long")
+
+
+def st_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse quadratic transform (extends monotonically past [0, 1],
+    which is exactly what the cross-face neighbor unprojection needs)."""
+    return np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Inverse of the face projection in :func:`face_uv` (unnormalized
+    direction vectors; every component is an EXACT copy or negation of
+    u/v/1, so reprojecting a same-face point is bit-lossless)."""
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [one, -u, -u, -one, v], default=v)
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [u, one, -v, -v, -one], default=u)
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [v, v, one, -u, -u], default=-one)
+    return x, y, z
+
+
+def _xyz_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4),
+                 np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+    return face, u, v
+
+
+def s2_neighbor_ids(lon_deg, lat_deg, level: int) -> np.ndarray:
+    """(n, 9) array: own cell id + the 8 edge/corner neighbors, with exact
+    cross-face wrapping — out-of-face offsets unproject through the cube
+    (the face planes extend past |uv| = 1) and reproject onto the adjacent
+    face. Cube-corner cells produce a duplicate (only 7 distinct
+    neighbors); callers dedupe, which array_distinct does for free."""
+    face, i, j, _ = s2_cell_components(lon_deg, lat_deg, level)
+    n = np.int64(1) << level
+    cols = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ii = i + di
+            jj = j + dj
+            s = (ii + 0.5) / float(n)
+            t = (jj + 0.5) / float(n)
+            u = st_to_uv(np.asarray(s))
+            v = st_to_uv(np.asarray(t))
+            x, y, z = face_uv_to_xyz(face, u, v)
+            f2, u2, v2 = _xyz_face_uv(x, y, z)
+            i2 = np.clip(np.floor(uv_to_st(u2) * n), 0, n - 1).astype(np.int64)
+            j2 = np.clip(np.floor(uv_to_st(v2) * n), 0, n - 1).astype(np.int64)
+            pos = hilbert_xy2d(i2, j2, order=level)
+            cols.append(f2 * (np.int64(2) << (2 * level)) + pos * 2 + 1)
+    return np.stack(cols, axis=1)

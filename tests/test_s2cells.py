@@ -53,3 +53,36 @@ class TestS2Cells:
         face, _, _, pos = S2.s2_cell_components(lons, lats, 12)
         assert len(set(face.tolist())) == 1
         assert pos.max() - pos.min() < (1 << 24) // 64  # compact span
+
+
+class TestS2RingPairs:
+    def test_cross_face_completeness(self, spark):
+        """Pairs straddling cube edges AND the corner (45, 35.264) must all
+        be found by the ring join — the brute force is the ground truth."""
+        import itertools
+
+        from lib_gdal_spark.functions.cells import haversine_km
+        from lib_gdal_spark.operators.knn import s2_ring_pairs
+        corner_lat = 35.2643896827547  # atan(1/sqrt(2)): 3-face corner
+        hot = [(45.0, 0.0), (45.0, corner_lat), (-45.0, corner_lat),
+               (135.0, -corner_lat), (180.0, 0.0), (0.0, 89.0)]
+        rows = []
+        pid = 0
+        rng = np.random.default_rng(17)
+        for clon, clat in hot:
+            for _ in range(8):
+                rows.append((pid,
+                             clon + float(rng.uniform(-0.4, 0.4)),
+                             clat + float(rng.uniform(-0.4, 0.4))))
+                pid += 1
+        df = spark.createDataFrame(rows, "pid long, lon double, lat double")
+        got = {(r.id_a, r.id_b)
+               for r in s2_ring_pairs(df, max_km=50.0, level=6).collect()}
+        want = set()
+        for (ia, lo1, la1), (ib, lo2, la2) in itertools.combinations(rows, 2):
+            d = haversine_km(np.array([lo1]), np.array([la1]),
+                             np.array([lo2]), np.array([la2]))[0]
+            if round(d, 6) <= 50.0:
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want
+        assert len(want) > 30  # the fixture really exercises tight pairs
