@@ -62,3 +62,28 @@ def extract_coords(html: pd.Series) -> tuple[pd.Series, pd.Series]:
 def decode_html(html_bytes: pd.Series) -> pd.Series:
     """binary -> str (utf-8); vectorized via pandas bytes accessor."""
     return html_bytes.map(lambda b: b.decode("utf-8"), na_action="ignore")
+
+
+def extract_enriched(html: pd.Series):
+    """Fused single-pass extraction: (text, lon, lat) with each regex run
+    ONCE over the batch. ``html_to_text`` + ``extract_coords`` run the
+    geo-span regex twice between them; on the flagship pipeline that second
+    full-corpus scan is pure overhead, so the enrich path calls this
+    instead. Outputs are byte/bit-identical to the two-call form (same
+    regexes, same combination order) — the text invariant stays intact.
+    """
+    title = html.str.extract(_TITLE_RE, expand=False).fillna("")
+    paras = html.str.findall(_PARA_RE).str.join("\n")
+    span = html.str.extract(_SPAN_GEO_RE, expand=True)
+    span_text = span[2].fillna("")
+    text = title.str.cat(paras, sep="\n")
+    has_span = span_text.str.len() > 0
+    text = text.where(~has_span, text.str.cat(span_text, sep="\n"))
+    meta = html.str.extract(_META_GEO_RE, expand=True)
+    lat = pd.to_numeric(meta[0], errors="coerce").fillna(
+        pd.to_numeric(span[0], errors="coerce")
+    )
+    lon = pd.to_numeric(meta[1], errors="coerce").fillna(
+        pd.to_numeric(span[1], errors="coerce")
+    )
+    return text, lon.astype(np.float64), lat.astype(np.float64)

@@ -33,8 +33,9 @@ def enrich_pages(pages: DataFrame, res: int = 12) -> DataFrame:
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             html = X.decode_html(b["html"])
-            text = X.html_to_text(html)
-            lon, lat = X.extract_coords(html)
+            # fused single-pass extraction (the geo-span regex would
+            # otherwise scan the corpus twice); bit-identical outputs
+            text, lon, lat = X.extract_enriched(html)
             ok = ~(np.isnan(lon.to_numpy()) | np.isnan(lat.to_numpy()))
             cell = np.full(len(b), -1, dtype=np.int64)
             if ok.any():
