@@ -133,6 +133,7 @@ BENCH = {
     "s2_cells": lambda s: _force(E.q_s2_cells(s, SF_DIR)),
     "event_funnel": lambda s: _force(E.q_event_funnel(s, SF_DIR)),
     "cosine_topk_int8": lambda s: _force(E.q_cosine_topk_int8(s, SF_DIR)),
+    "s2_ring_pairs": lambda s: _force(E.q_s2_ring_pairs(s, SF_DIR)),
 }
 
 
