@@ -346,3 +346,48 @@ def test_checksum_typed_variants_match_4672():
     f = base.astype("float64")
     f[0, 0] = np.nan
     assert gdal_checksum(f) != 4672
+
+
+class TestSumRmsBruteForce:
+    """warp sum/rms + overview RMS vs per-pixel brute force on random
+    shapes (the fixed-example tests above pin conventions; these pin the
+    general window math)."""
+
+    def test_overview_rms_random(self):
+        rng = np.random.default_rng(21)
+        for _ in range(20):
+            sh = int(rng.integers(3, 24))
+            sw = int(rng.integers(3, 24))
+            dh = int(rng.integers(1, sh + 1))
+            dw = int(rng.integers(1, sw + 1))
+            src = rng.integers(0, 250, (sh, sw)).astype(np.uint8)
+            got = R.overview_rms(src, (dh, dw))
+            xlo, xhi = R._window_edges(dw, sw / dw, sw)
+            ylo, yhi = R._window_edges(dh, sh / dh, sh)
+            for j in range(dh):
+                for i in range(dw):
+                    box = src[ylo[j]:yhi[j], xlo[i]:xhi[i]].astype(float)
+                    want = np.floor(np.sqrt((box * box).sum() / box.size)
+                                    + 0.5)
+                    assert got[j, i] == want, (j, i)
+
+    def test_warp_sum_rms_random_boxes(self):
+        rng = np.random.default_rng(22)
+        for _ in range(10):
+            sh = sw = 16
+            src = rng.integers(0, 40, (sh, sw)).astype(np.uint8)
+            gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+            fx = int(rng.integers(2, 5))
+            fy = int(rng.integers(2, 5))
+            dst_gt = [0.0, float(fx), 0.0, 0.0, 0.0, -float(fy)]
+            dh, dw = sh // fy, sw // fx
+            s = R.warp_tile_stat(src, gt, (dh, dw), dst_gt, "sum",
+                                 dtype="float64")
+            r = R.warp_tile_stat(src, gt, (dh, dw), dst_gt, "rms",
+                                 dtype="float64")
+            for j in range(dh):
+                for i in range(dw):
+                    box = src[j * fy:(j + 1) * fy,
+                              i * fx:(i + 1) * fx].astype(float)
+                    assert s[j, i] == box.sum(), ("sum", j, i)
+                    assert r[j, i] == np.sqrt((box * box).sum() / box.size)
