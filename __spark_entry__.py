@@ -473,6 +473,12 @@ def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dem_pixels(spark, "hillshade", round_to=None)
 
 
+def q_dem_aspect_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem aspect -trigonometric (CCW-from-east convention; flat ->
+    -9999 like the reference default)."""
+    return _dem_pixels(spark, "aspect_trig", round_to=6)
+
+
 def q_dem_slope_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem slope -p (percent-slope branch of GDALSlopeHornAlg)."""
     return _dem_pixels(spark, "slope_percent", round_to=6)
@@ -5136,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rms_l1": q_pyramid_rms_l1,
         "pyramid_mode_l1": q_pyramid_mode_l1,
         "pyramid_gauss_l1": q_pyramid_gauss_l1,
+        "dem_aspect_trig": q_dem_aspect_trig,
         "dem_slope_percent": q_dem_slope_percent,
         "dem_slope_zt": q_dem_slope_zt,
         "dem_aspect_zt": q_dem_aspect_zt,
@@ -6142,6 +6149,19 @@ def oracle_sql() -> dict[str, str]:
         "+ cos(radians(45.0)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) "
         "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx))) END + 0.5) "
         "AS BIGINT) AS hillshade"
+    )
+
+    import math as _mm
+    _trig = ("(atan2(((g + 2.0 * h + i) - (a + 2.0 * b + c)), "
+             "-((c + 2.0 * f + i) - (a + 2.0 * d + g))) "
+             f"/ {_mm.pi / 180.0!r})")
+    _trig_n = (f"(CASE WHEN {_trig} < 0.0 THEN {_trig} + 360.0 "
+               f"ELSE {_trig} END)")
+    sqls["dem_aspect_trig"] = _dem_oracle(
+        "round(CASE WHEN ((c + 2.0 * f + i) - (a + 2.0 * d + g)) = 0.0 "
+        "AND ((g + 2.0 * h + i) - (a + 2.0 * b + c)) = 0.0 THEN -9999.0 "
+        f"WHEN {_trig_n} = 360.0 THEN 0.0 "
+        f"ELSE {_trig_n} END, 6) AS aspect_trig"
     )
 
     _zt_dx = "((d - f) / 1.40625)"

@@ -143,6 +143,22 @@ def _grad_ref(arr, ewres, nsres):
     return x, y
 
 
+def aspect_trig_kernel(arr, ewres, nsres, zero_for_flat=False):
+    """gdaldem aspect -trigonometric (``GDALAspectAlg`` with
+    bAngleAsAzimuth=false): counter-clockwise angle from east, 0..360,
+    flat cells -> -9999 (the reference's default nodata) or 0 with
+    -zero_for_flat. Note the reference DIVIDES by degrees-to-radians
+    rather than multiplying by 180/pi — mirrored here."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    dx = (c + 2.0 * f + i) - (a + 2.0 * d + g)
+    dy = (g + 2.0 * h + i) - (a + 2.0 * b + c)
+    asp = np.arctan2(dy, -dx) / (math.pi / 180.0)
+    asp = np.where(asp < 0.0, asp + 360.0, asp)
+    asp = np.where(asp == 360.0, 0.0, asp)
+    flat = (dx == 0.0) & (dy == 0.0)
+    return np.where(flat, 0.0 if zero_for_flat else -9999.0, asp)
+
+
 def slope_percent_kernel(arr, ewres, nsres, z=1.0, scale=1.0):
     """gdaldem slope -p (``gdaldem_lib.cpp`` GDALSlopeHornAlg percent
     branch): ``100 * sqrt(key) / (8 * scale)``."""
@@ -287,6 +303,7 @@ KERNELS = {
     "slope": slope_kernel,
     "aspect": aspect_kernel,
     "hillshade": hillshade_kernel,
+    "aspect_trig": aspect_trig_kernel,
     "slope_percent": slope_percent_kernel,
     "slope_zt": slope_zt_kernel,
     "aspect_zt": aspect_zt_kernel,

@@ -27,7 +27,8 @@ def _assemble(rows, h, w, tile):
 
 
 @pytest.mark.parametrize("op", ["slope", "aspect", "hillshade", "tri", "tpi",
-                                "roughness", "slope_percent", "slope_zt",
+                                "roughness", "aspect_trig", "slope_percent",
+                                "slope_zt",
                                 "aspect_zt", "hillshade_combined",
                                 "hillshade_multidirectional",
                                 "hillshade_igor"])
