@@ -256,7 +256,9 @@ def s2_ring_pairs(
     lon_col: str = "lon",
     lat_col: str = "lat",
     round_decimals: int = 6,
-) -> DataFrame:
+    max_cell_freq: int | None = None,
+    with_overflow: bool = False,
+):
     """All point pairs within ``max_km`` via the S2 cell grid: the probe
     side emits its own cell + 8 ring-1 neighbors (cross-face wrap included,
     functions/s2cells.s2_neighbor_ids), the build side emits one cell key,
@@ -268,6 +270,19 @@ def s2_ring_pairs(
     cell); the driver oracle proves completeness against a brute-force
     cross join. Scale: shuffles only (cell, id, lon, lat) keys — 9x the
     probe side, never a cross product.
+
+    **Hot-cell cap** (the simhash_pairs frequency-cap pattern): output is
+    inherently quadratic inside a dense cell, so on city-clustered web
+    points one hot cell can emit freq² candidates. ``max_cell_freq``
+    drops BUILD-side cell keys holding more than that many points from
+    candidate generation; because the join is symmetric (each pair is
+    also found through its other endpoint's own cell), a pair is lost
+    ONLY when **both** endpoints sit in over-cap cells. Pass
+    ``with_overflow=True`` to get ``(pairs, overflow)`` where ``overflow``
+    is the loud report — one row per capped cell ``(cell, n_points)``;
+    with the default ``max_cell_freq=None`` nothing is capped and
+    ``overflow`` is empty. Raising ``level`` (smaller cells) is the
+    remedy the report points to.
     """
     from lib_gdal_spark.functions import s2cells as S2
 
@@ -300,15 +315,38 @@ def s2_ring_pairs(
     bb = points.select(id_col, lon_col, lat_col).mapInPandas(
         build, schema=f"{id_col} long, {lon_col} double, "
                       f"{lat_col} double, cell long")
+    overflow = None
+    if max_cell_freq is not None:
+        # keys-only frequency count; hot cells are few by construction
+        # (they are the over-cap ones), so the anti-join broadcasts
+        freq = bb.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+        overflow = freq.where(F.col("n_points") > max_cell_freq)
+        bb = bb.join(F.broadcast(overflow.select("cell")),
+                     "cell", "left_anti")
     b2 = bb.select(
         F.col("cell"), F.col(id_col).alias("id_b"),
         F.col(lon_col).alias("__blon"), F.col(lat_col).alias("__blat"))
-    j = a.join(b2, "cell").where(F.col(id_col) < F.col("id_b"))
     dist = _haversine_col(F.col(lon_col), F.col(lat_col),
                           F.col("__blon"), F.col("__blat"))
-    return (
-        j.select(F.col(id_col).alias("id_a"), "id_b",
-                 F.round(dist, round_decimals).alias("dist_km"))
-        .where(F.col("dist_km") <= max_km)
-        .distinct()
-    )
+    if max_cell_freq is None:
+        # uncapped: both directions of every pair survive, so the cheap
+        # one-sided `<` filter halves candidates before the re-check
+        j = a.join(b2, "cell").where(F.col(id_col) < F.col("id_b"))
+        pairs = j.select(F.col(id_col).alias("id_a"), "id_b",
+                         F.round(dist, round_decimals).alias("dist_km"))
+    else:
+        # capped: a pair whose lower-id endpoint sits in a hot cell is
+        # only reachable through its other direction — keep both and
+        # normalize the id order instead
+        j = a.join(b2, "cell").where(F.col(id_col) != F.col("id_b"))
+        pairs = j.select(
+            F.least(id_col, "id_b").alias("id_a"),
+            F.greatest(F.col(id_col), F.col("id_b")).alias("id_b"),
+            F.round(dist, round_decimals).alias("dist_km"))
+    pairs = pairs.where(F.col("dist_km") <= max_km).distinct()
+    if not with_overflow:
+        return pairs
+    if overflow is None:
+        spark = points.sparkSession
+        overflow = spark.createDataFrame([], "cell long, n_points long")
+    return pairs, overflow
