@@ -1854,10 +1854,14 @@ def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdal_contour -p (POLYGONIZE mode): level-band polygons with
-    ELEV_MIN/ELEV_MAX over an integer-radius-squared bullseye, so each
-    band is a provable annulus (1 outer ring + 1 hole; the center disk has
-    no hole) and the shoelace area equals the SQL pixel count exactly."""
+    """gdal_contour -p (POLYGONIZE mode) with SUB-PIXEL band boundaries
+    (alg/marching_squares/polygon_ring_appender.h): level-band polygons
+    over an integer-radius-squared bullseye, so each band is a provable
+    annulus. Boundaries interpolate at exact level crossings; the oracle
+    recomputes each band's area by Green's theorem over the directed
+    marching-squares segments spelled in SQL (ring stitching preserves the
+    segment set, so the shoelace over stitched rings equals the segment
+    cross-product sum exactly)."""
     from lib_gdal_spark.operators import contour as CT
 
     base = spark.range(4).select(
@@ -1874,20 +1878,32 @@ def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gx = tx * 64 + xx
                 gy = ty * 64 + yy
                 rr = ((gx - 64.0) ** 2 + (gy - 64.0) ** 2)
-                rows.append({"tile_x": int(tx), "tile_y": int(ty),
+                rows.append({"raster_id": "bullseye", "band": 1, "zoom": 0,
+                             "tile_x": int(tx), "tile_y": int(ty),
+                             "dtype": "float64",
                              "tile_w": 64, "tile_h": 64,
+                             "gt0": 0.0, "gt1": 1.0, "gt2": 0.0,
+                             "gt3": 0.0, "gt4": 0.0, "gt5": 1.0,
+                             "nodata": float("nan"),
                              "pixels": rr.ravel().tolist()})
             yield pd.DataFrame(rows)
 
     tiles = base.mapInPandas(
-        make, schema="tile_x int, tile_y int, tile_w int, tile_h int, "
-                     "pixels array<double>")
-    out = CT.contour_polygons(tiles, spark, grid_w=128,
-                              levels=[256.0, 1024.0, 2304.0], tile=64)
-    return out.select(
-        "component", "band", "elev_min", "elev_max", "n_pixels",
-        F.col("n_rings").cast("long").alias("n_rings"),
-        F.round("area_px", 6).alias("area_px"),
+        make, schema="raster_id string, band int, zoom int, "
+                     "tile_x int, tile_y int, dtype string, "
+                     "tile_w int, tile_h int, "
+                     "gt0 double, gt1 double, gt2 double, "
+                     "gt3 double, gt4 double, gt5 double, "
+                     "nodata double, pixels array<double>")
+    out = CT.contour_polygons_subpixel(
+        tiles, [256.0, 1024.0, 2304.0], grid_w=128, grid_h=128, tile=64)
+    return out.groupBy("band").agg(
+        F.first("elev_min").alias("elev_min"),
+        F.first("elev_max").alias("elev_max"),
+        F.count("*").cast("long").alias("n_polys"),
+        F.sum("n_rings").cast("long").alias("n_rings"),
+        F.sum("n_holes").cast("long").alias("n_holes"),
+        F.round(F.sum("area_px"), 4).alias("area_px"),
     )
 
 
@@ -6804,30 +6820,86 @@ def oracle_sql() -> dict[str, str]:
         FROM burned GROUP BY fid
     """
 
-    sqls["contour_polygons"] = """
-        WITH pix AS (
-          SELECT x.px AS px, y.py AS py
-          FROM generate_series(0, 127) x(px)
-          CROSS JOIN generate_series(0, 127) y(py)
+    # contour -p sub-pixel oracle: Green's theorem over the directed
+    # marching-squares segments, spelled per 16-case in SQL. Ring
+    # stitching preserves the segment multiset, so the shoelace over the
+    # engine's stitched rings equals this cross-product sum exactly.
+    # Band area(b) = -0.5*(S(lo_b) - S(hi_b)) + border(b), where S(L) is
+    # the cross-product sum of the directed level-L segments and border(3)
+    # = 127*127 (every border pixel value is in [4096, 8192] >= 2304, so
+    # the whole domain border ring belongs to band 3). Ring/hole counts
+    # are the analytic annulus topology of the bullseye fixture.
+    def _cp_ept(edge: int) -> tuple[str, str]:
+        if edge == 0:
+            return ("px + (L - a) / (b - a)", "CAST(py AS DOUBLE)")
+        if edge == 1:
+            return ("px + 1.0", "py + (L - b) / (c - b)")
+        if edge == 2:
+            return ("px + (L - d) / (c - d)", "py + 1.0")
+        return ("CAST(px AS DOUBLE)", "py + (L - a) / (d - a)")
+
+    def _cp_cross(e1: int, e2: int) -> str:
+        x1, y1 = _cp_ept(e1)
+        x2, y2 = _cp_ept(e2)
+        return f"(({x1}) * ({y2}) - ({x2}) * ({y1}))"
+
+    _cp_cases = []
+    for code_, pr_ in {8: (3, 0), 7: (0, 3), 4: (0, 1), 11: (1, 0),
+                       2: (1, 2), 13: (2, 1), 1: (2, 3), 14: (3, 2),
+                       12: (3, 1), 3: (1, 3), 6: (0, 2), 9: (2, 0)}.items():
+        _cp_cases.append(f"WHEN {code_} THEN {_cp_cross(*pr_)}")
+    _cp_cases.append(
+        "WHEN 5 THEN CASE WHEN (a + b + c + d) / 4.0 >= L THEN "
+        f"{_cp_cross(0, 1)} + {_cp_cross(2, 3)} ELSE "
+        f"{_cp_cross(0, 3)} + {_cp_cross(2, 1)} END")
+    _cp_cases.append(
+        "WHEN 10 THEN CASE WHEN (a + b + c + d) / 4.0 >= L THEN "
+        f"{_cp_cross(3, 0)} + {_cp_cross(1, 2)} ELSE "
+        f"{_cp_cross(1, 0)} + {_cp_cross(3, 2)} END")
+    _cp_expr = "CASE code " + " ".join(_cp_cases) + " ELSE 0.0 END"
+
+    sqls["contour_polygons"] = f"""
+        WITH lv AS (SELECT unnest([256.0, 1024.0, 2304.0]) AS L),
+        cells AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py, L,
+            CAST((x.px-64)*(x.px-64) + (y.py-64)*(y.py-64) AS DOUBLE) AS a,
+            CAST((x.px-63)*(x.px-63) + (y.py-64)*(y.py-64) AS DOUBLE) AS b,
+            CAST((x.px-63)*(x.px-63) + (y.py-63)*(y.py-63) AS DOUBLE) AS c,
+            CAST((x.px-64)*(x.px-64) + (y.py-63)*(y.py-63) AS DOUBLE) AS d
+          FROM generate_series(0, 126) x(px)
+          CROSS JOIN generate_series(0, 126) y(py)
+          CROSS JOIN lv
         ),
-        band AS (
-          SELECT px, py,
-            CASE WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 2304 THEN 3
-                 WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 1024 THEN 2
-                 WHEN (px-64)*(px-64) + (py-64)*(py-64) >= 256 THEN 1
-                 ELSE 0 END AS b
-          FROM pix
+        coded AS (
+          SELECT *,
+            (CASE WHEN a >= L THEN 8 ELSE 0 END
+             + CASE WHEN b >= L THEN 4 ELSE 0 END
+             + CASE WHEN c >= L THEN 2 ELSE 0 END
+             + CASE WHEN d >= L THEN 1 ELSE 0 END) AS code
+          FROM cells
+        ),
+        s AS (
+          SELECT L, sum({_cp_expr}) AS sl FROM coded GROUP BY L
+        ),
+        bands(band, elev_min, elev_max, n_rings, n_holes) AS (
+          VALUES (0, NULL, 256.0, 1, 0), (1, 256.0, 1024.0, 2, 1),
+                 (2, 1024.0, 2304.0, 2, 1), (3, 2304.0, NULL, 2, 1)
         )
-        SELECT min(py * 128 + px) AS component,
-               CAST(b AS INTEGER) AS band,
-               CASE b WHEN 1 THEN 256.0 WHEN 2 THEN 1024.0
-                      WHEN 3 THEN 2304.0 ELSE NULL END AS elev_min,
-               CASE b WHEN 0 THEN 256.0 WHEN 1 THEN 1024.0
-                      WHEN 2 THEN 2304.0 ELSE NULL END AS elev_max,
-               CAST(count(*) AS BIGINT) AS n_pixels,
-               CAST(CASE b WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_rings,
-               round(CAST(count(*) AS DOUBLE), 6) AS area_px
-        FROM band GROUP BY b
+        SELECT CAST(band AS INTEGER) AS band,
+               CAST(elev_min AS DOUBLE) AS elev_min,
+               CAST(elev_max AS DOUBLE) AS elev_max,
+               CAST(1 AS BIGINT) AS n_polys,
+               CAST(n_rings AS BIGINT) AS n_rings,
+               CAST(n_holes AS BIGINT) AS n_holes,
+               round(CASE band
+                 WHEN 0 THEN 0.5 * (SELECT sl FROM s WHERE L = 256.0)
+                 WHEN 1 THEN -0.5 * ((SELECT sl FROM s WHERE L = 256.0)
+                                   - (SELECT sl FROM s WHERE L = 1024.0))
+                 WHEN 2 THEN -0.5 * ((SELECT sl FROM s WHERE L = 1024.0)
+                                   - (SELECT sl FROM s WHERE L = 2304.0))
+                 ELSE -0.5 * (SELECT sl FROM s WHERE L = 2304.0) + 16129.0
+               END, 4) AS area_px
+        FROM bands
     """
 
     sqls["raster_compare"] = """

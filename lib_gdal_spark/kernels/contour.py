@@ -46,11 +46,18 @@ def _edge_point(edge: int, ii, jj, a, b, c, d, level):
     return ii, jj + t
 
 
-def marching_squares(vals: np.ndarray, level: float):
+def marching_squares(vals: np.ndarray, level: float,
+                     x0: int = 0, y0: int = 0):
     """All contour segments of one level over a value grid.
 
     Returns an (n, 4) array of (x1, y1, x2, y2) in pixel-center coords.
     NaN corners suppress their cells (missing halo at raster edges).
+
+    ``x0``/``y0`` offset the emitted coordinates by an integer origin
+    BEFORE the fractional crossing is added, so a coordinate is always
+    ``fl(global_integer + t)`` — one rounding, bitwise identical for
+    every tiling of the same raster (a locally-offset ``fl(fl(local + t)
+    + origin)`` can differ in the last ulp between tilings).
     """
     h, w = vals.shape
     if h < 2 or w < 2:
@@ -68,7 +75,8 @@ def marching_squares(vals: np.ndarray, level: float):
     )
     code = np.where(ok, code, 0)
     segs = []
-    jj_all, ii_all = np.meshgrid(np.arange(h - 1), np.arange(w - 1),
+    jj_all, ii_all = np.meshgrid(np.arange(h - 1) + int(y0),
+                                 np.arange(w - 1) + int(x0),
                                  indexing="ij")
 
     def emit(mask, e1, e2):

@@ -160,6 +160,390 @@ def contour_polylines(
     )
 
 
+_BSEG_SCHEMA = (
+    "raster_id string, band_idx int, x1 double, y1 double, "
+    "x2 double, y2 double"
+)
+
+
+def _border_interval(va: np.ndarray, vb: np.ndarray,
+                     lo: float | None, hi: float | None):
+    """In-band parameter interval of level band [lo, hi) along directed
+    pixel-edge a->b, vectorized. Returns (t0, t1, mask). The crossing
+    formula is bitwise identical to ``kernels.contour._edge_point`` (the
+    marching-squares interpolation), so border sub-segments meet interior
+    level segments exactly at shared endpoints.
+    """
+    va = np.asarray(va, np.float64)
+    vb = np.asarray(vb, np.float64)
+    t0 = np.zeros_like(va)
+    t1 = np.ones_like(va)
+    ok = ~(np.isnan(va) | np.isnan(vb))
+    asc = vb > va
+    dsc = vb < va
+    eq = ok & ~asc & ~dsc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if lo is not None:
+            t = (lo - va) / (vb - va)
+            t0 = np.where(asc, np.maximum(t0, t), t0)
+            t1 = np.where(dsc, np.minimum(t1, t), t1)
+        if hi is not None:
+            t = (hi - va) / (vb - va)
+            t1 = np.where(asc, np.minimum(t1, t), t1)
+            t0 = np.where(dsc, np.maximum(t0, t), t0)
+    in_band = np.ones_like(va, dtype=bool)
+    if lo is not None:
+        in_band &= va >= lo
+    if hi is not None:
+        in_band &= va < hi
+    mask = ok & ((t0 < t1) & (asc | dsc) | (eq & in_band))
+    t0 = np.where(eq, 0.0, t0)
+    t1 = np.where(eq, 1.0, t1)
+    return t0, t1, mask
+
+
+def band_boundary_segments(
+    tiles: DataFrame,
+    levels: list[float],
+    grid_w: int,
+    grid_h: int,
+    tile: int = 64,
+) -> DataFrame:
+    """Directed sub-pixel boundary segments of every level band.
+
+    The boundary of band ``b`` (``levels[b-1] <= v < levels[b]``) walked so
+    the band interior is on a consistent side, in pixel-center coordinates:
+
+    - marching-squares segments at ``levels[b-1]`` as emitted (the case
+      table keeps the high side fixed),
+    - segments at ``levels[b]`` reversed (the band is the LOW side there),
+    - in-band sub-segments of the domain border, walked top right->left,
+      left top->bottom, bottom left->right, right bottom->top.
+
+    Endpoints on shared cell edges are bitwise identical across tiles (same
+    two pixel values, same formula, same float decomposition — the varying
+    coordinate of an edge's two incident cells always lives in the same
+    tile row/column), so ring stitching is an exact equi-join downstream.
+    Reference: ``apps/gdal_contour.cpp`` POLYGONIZE mode +
+    ``core/alg/marching_squares/polygon_ring_appender.h`` (sub-pixel band
+    polygon rings).
+    """
+    lvl = sorted(float(x) for x in levels)
+    strips = tiles.mapInPandas(_emit_strips, schema=_STRIP_SCHEMA)
+    nb = len(lvl) + 1
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["raster_id", "band_idx", "x1", "y1", "x2", "y2"]
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        pad = np.full((th + 1, tw + 1), np.nan)
+        for _, r in pdf.iterrows():
+            dx, dy = int(r["src_dx"]), int(r["src_dy"])
+            if dx == 1 or dy == 1:
+                continue
+            sh, sw = int(r["strip_h"]), int(r["strip_w"])
+            piece = np.asarray(r["pixels"], np.float64).reshape(sh, sw)
+            y0 = th if dy == -1 else 0
+            x0 = tw if dx == -1 else 0
+            pad[y0 : y0 + sh, x0 : x0 + sw] = piece
+        ox = int(crow["tile_x"]) * tile
+        oy = int(crow["tile_y"]) * tile
+        px0 = float(ox)
+        py0 = float(oy)
+        # global-integer origins INSIDE the kernel: every coordinate is
+        # fl(global_int + t), bitwise identical across tilings
+        lsegs = {L: CK.marching_squares(pad, L, x0=ox, y0=oy) for L in lvl}
+        frames = []
+
+        def emit(arr):
+            if len(arr):
+                frames.append(arr)
+
+        for b in range(nb):
+            lo = lvl[b - 1] if b > 0 else None
+            hi = lvl[b] if b < len(lvl) else None
+            parts = []
+            if lo is not None and len(lsegs[lo]):
+                s = lsegs[lo]
+                parts.append(np.column_stack(
+                    [np.full(len(s), float(b)), s[:, 0], s[:, 1],
+                     s[:, 2], s[:, 3]]))
+            if hi is not None and len(lsegs[hi]):
+                s = lsegs[hi]  # reversed: band is the low side of hi
+                parts.append(np.column_stack(
+                    [np.full(len(s), float(b)), s[:, 2], s[:, 3],
+                     s[:, 0], s[:, 1]]))
+            # domain border pieces (only tiles touching the global
+            # border), emitted in global coords: integer + t, one rounding
+            if py0 == 0.0 and tw >= 1:  # top row, walk right->left
+                x = np.arange(tw, dtype=np.float64) + px0
+                t0, t1, m = _border_interval(pad[0, :tw], pad[0, 1:tw + 1],
+                                             lo, hi)
+                if m.any():
+                    parts.append(np.column_stack(
+                        [np.full(m.sum(), float(b)),
+                         x[m] + t1[m], np.zeros(m.sum()),
+                         x[m] + t0[m], np.zeros(m.sum())]))
+            if px0 == 0.0 and th >= 1:  # left col, walk top->bottom
+                y = np.arange(th, dtype=np.float64) + py0
+                t0, t1, m = _border_interval(pad[:th, 0], pad[1:th + 1, 0],
+                                             lo, hi)
+                if m.any():
+                    parts.append(np.column_stack(
+                        [np.full(m.sum(), float(b)),
+                         np.zeros(m.sum()), y[m] + t0[m],
+                         np.zeros(m.sum()), y[m] + t1[m]]))
+            if py0 + th == float(grid_h):  # bottom row, walk left->right
+                yl = float(oy + th - 1)
+                x = np.arange(tw, dtype=np.float64) + px0
+                t0, t1, m = _border_interval(pad[th - 1, :tw],
+                                             pad[th - 1, 1:tw + 1], lo, hi)
+                if m.any():
+                    parts.append(np.column_stack(
+                        [np.full(m.sum(), float(b)),
+                         x[m] + t0[m], np.full(m.sum(), yl),
+                         x[m] + t1[m], np.full(m.sum(), yl)]))
+            if px0 + tw == float(grid_w):  # right col, walk bottom->top
+                xl = float(ox + tw - 1)
+                y = np.arange(th, dtype=np.float64) + py0
+                t0, t1, m = _border_interval(pad[:th, tw - 1],
+                                             pad[1:th + 1, tw - 1], lo, hi)
+                if m.any():
+                    parts.append(np.column_stack(
+                        [np.full(m.sum(), float(b)),
+                         np.full(m.sum(), xl), y[m] + t1[m],
+                         np.full(m.sum(), xl), y[m] + t0[m]]))
+            for p in parts:
+                emit(p)
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        seg = np.vstack(frames)
+        keep = ~((seg[:, 1] == seg[:, 3]) & (seg[:, 2] == seg[:, 4]))
+        seg = seg[keep]
+        return pd.DataFrame({
+            "raster_id": crow["raster_id"],
+            "band_idx": seg[:, 0].astype(np.int32),
+            "x1": seg[:, 1], "y1": seg[:, 2],
+            "x2": seg[:, 3], "y2": seg[:, 4],
+        })[cols]
+
+    return strips.groupBy(
+        "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
+        F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(per_tile, schema=_BSEG_SCHEMA)
+
+
+def contour_band_rings(
+    tiles: DataFrame,
+    levels: list[float],
+    grid_w: int,
+    grid_h: int,
+    tile: int = 64,
+) -> DataFrame:
+    """Sub-pixel band boundary rings: directed segments stitched into
+    closed rings by exact endpoint equality (connected components + a
+    per-component directed walk, the same machinery as
+    ``contour_polylines``). Output one row per ring with the signed
+    shoelace area flipped so exteriors are positive in the y-down pixel
+    frame: (raster_id, band, component, ring_idx, n_points, area_px,
+    is_hole, xs, ys).
+    """
+    from lib_gdal_spark.operators.components import connected_components
+
+    segs = band_boundary_segments(tiles, levels, grid_w, grid_h, tile=tile)
+    k1 = F.xxhash64("raster_id", "band_idx", "x1", "y1")
+    k2 = F.xxhash64("raster_id", "band_idx", "x2", "y2")
+    segs = segs.withColumn("u", k1).withColumn("v", k2).localCheckpoint()
+
+    mapping = connected_components(segs.select("u", "v"))
+    segc = segs.join(mapping, segs["u"] == mapping["label"], "left").select(
+        segs["*"], F.coalesce("component", segs["u"]).alias("component")
+    )
+
+    def rings_of(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(key[0])
+        # canonical segment order: at a degenerate junction (a pixel value
+        # exactly equal to a level puts 4 segments on one vertex) the
+        # Eulerian cycle decomposition depends on walk order — sorting
+        # makes it, and the emitted rings, shuffle- and tiling-invariant
+        pdf = pdf.sort_values(["x1", "y1", "x2", "y2"],
+                              ignore_index=True)
+        r0 = pdf.iloc[0]
+        p1 = list(zip(pdf["x1"].to_numpy(), pdf["y1"].to_numpy()))
+        p2 = list(zip(pdf["x2"].to_numpy(), pdf["y2"].to_numpy()))
+        n = len(pdf)
+        outgoing: dict[tuple, list[int]] = {}
+        for i in range(n):
+            outgoing.setdefault(p1[i], []).append(i)
+        used = np.zeros(n, dtype=bool)
+        out = []
+        ridx = 0
+        for i0 in range(n):
+            if used[i0]:
+                continue
+            path = [p1[i0]]
+            i = i0
+            while True:
+                used[i] = True
+                cur = p2[i]
+                path.append(cur)
+                if cur == path[0]:
+                    break
+                nxt = None
+                for j in outgoing.get(cur, ()):  # noqa: B007
+                    if not used[j]:
+                        nxt = j
+                        break
+                if nxt is None:
+                    raise AssertionError(
+                        f"contour ring dead-end at {cur} (component {comp})"
+                    )
+                i = nxt
+            arr = np.asarray(path, np.float64)
+            # canonicalize the start vertex (lexicographic min) so the
+            # vertex order — and therefore the shoelace summation order
+            # and the WKB bytes — is identical for every tiling and
+            # shuffle order (partition-invariant output)
+            open_ring = arr[:-1]
+            k = np.lexsort((open_ring[:, 1], open_ring[:, 0]))[0]
+            open_ring = np.roll(open_ring, -int(k), axis=0)
+            arr = np.vstack([open_ring, open_ring[:1]])
+            # y-down frame: exterior walks are CW-on-screen -> negative
+            # shoelace; flip so exteriors are positive, holes negative.
+            area = -0.5 * float(np.sum(arr[:-1, 0] * arr[1:, 1]
+                                       - arr[1:, 0] * arr[:-1, 1]))
+            out.append({
+                "raster_id": r0["raster_id"],
+                "band": int(r0["band_idx"]), "component": comp,
+                "ring_idx": ridx, "n_points": int(len(arr)),
+                "area_px": area, "is_hole": bool(area < 0),
+                "xs": arr[:, 0].tolist(), "ys": arr[:, 1].tolist(),
+            })
+            ridx += 1
+        return pd.DataFrame(out)
+
+    return segc.groupBy("component").applyInPandas(
+        rings_of,
+        schema="raster_id string, band int, component long, ring_idx int, "
+               "n_points int, area_px double, is_hole boolean, "
+               "xs array<double>, ys array<double>",
+    )
+
+
+def _ring_contains(xs: np.ndarray, ys: np.ndarray,
+                   px: float, py: float) -> bool:
+    """Even-odd ray cast of one point against one closed ring."""
+    x1, y1 = xs[:-1], ys[:-1]
+    x2, y2 = xs[1:], ys[1:]
+    cross = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+    return bool(np.count_nonzero(cross & (px < xi)) % 2)
+
+
+def contour_polygons_subpixel(
+    tiles: DataFrame,
+    levels: list[float],
+    grid_w: int,
+    grid_h: int,
+    tile: int = 64,
+    gt: list[float] | None = None,
+    max_band_vertices: int = 20_000_000,
+) -> DataFrame:
+    """gdal_contour -p with SUB-PIXEL boundaries (reference
+    ``marching_squares/polygon_ring_appender.h``): rings from
+    :func:`contour_band_rings`, holes assigned to their smallest
+    containing exterior per band (even-odd ray cast on a hole vertex),
+    one row per polygon.
+
+    The per-band assembly task is guarded by ``max_band_vertices`` — ring
+    geometry is O(contour length), ~sqrt(pixels), so a band's rings fit in
+    one task far beyond the raster sizes a single mosaic row describes;
+    the guard raises loudly instead of spilling (same labeled-assembly
+    precedent as ``grid.grid_linear``).
+
+    Output: (raster_id, band, elev_min, elev_max, poly_id, n_rings,
+    n_holes, area_px, area_world, wkb).
+    """
+    from lib_gdal_spark.functions import geometry as G
+
+    lvl = sorted(float(x) for x in levels)
+    rings = contour_band_rings(tiles, lvl, grid_w, grid_h, tile=tile)
+    gt = list(gt) if gt is not None else [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    det = abs(gt[1] * gt[5] - gt[2] * gt[4])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        nv = int(pdf["n_points"].sum())
+        if nv > max_band_vertices:
+            raise ValueError(
+                f"contour band {key} has {nv} ring vertices "
+                f"(> {max_band_vertices}); raise max_band_vertices or "
+                "split the raster into separate raster_ids"
+            )
+        rid, band = key[0], int(key[1])
+        ext = pdf[~pdf["is_hole"]].reset_index()
+        hol = pdf[pdf["is_hole"]].reset_index()
+        exts = [(np.asarray(r["xs"]), np.asarray(r["ys"]),
+                 float(r["area_px"]), int(r["component"]),
+                 int(r["ring_idx"])) for _, r in ext.iterrows()]
+        members: list[list] = [[] for _ in exts]
+        hole_area = [0.0] * len(exts)
+        order = sorted(range(len(exts)), key=lambda i: exts[i][2])
+        for _, h in hol.iterrows():
+            hx = np.asarray(h["xs"])
+            hy = np.asarray(h["ys"])
+            owner = None
+            for i in order:  # smallest containing exterior wins
+                xs, ys, _, _, _ = exts[i]
+                if (hx[0] >= xs.min() and hx[0] <= xs.max()
+                        and hy[0] >= ys.min() and hy[0] <= ys.max()
+                        and _ring_contains(xs, ys, float(hx[0]),
+                                           float(hy[0]))):
+                    owner = i
+                    break
+            if owner is None:
+                raise AssertionError(
+                    f"hole in band {band} contained by no exterior"
+                )
+            members[owner].append((hx, hy))
+            hole_area[owner] += float(h["area_px"])  # negative
+        out = []
+        for i, (xs, ys, a, comp, ridx) in enumerate(exts):
+            def world(wx, wy):
+                cx = wx + 0.5
+                cy = wy + 0.5
+                return np.column_stack(
+                    [gt[0] + cx * gt[1] + cy * gt[2],
+                     gt[3] + cx * gt[4] + cy * gt[5]])
+            poly = [world(xs, ys)]
+            poly.extend(world(hx, hy) for hx, hy in members[i])
+            area_px = a + hole_area[i]
+            out.append({
+                "raster_id": rid, "band": band,
+                "elev_min": lvl[band - 1] if band > 0 else None,
+                "elev_max": lvl[band] if band < len(lvl) else None,
+                # wrap to int64: comp is an xxhash64 label, ridx < 1024
+                "poly_id": (lambda v: v - 2**64 if v >= 2**63 else v)(
+                    ((comp << 10) | ridx) & (2**64 - 1)),
+                "n_rings": 1 + len(members[i]),
+                "n_holes": len(members[i]),
+                "area_px": area_px,
+                "area_world": area_px * det,
+                "wkb": bytearray(G.wkb_polygon(poly)),
+            })
+        return pd.DataFrame(out)
+
+    return rings.groupBy("raster_id", "band").applyInPandas(
+        assemble,
+        schema="raster_id string, band int, elev_min double, "
+               "elev_max double, poly_id long, n_rings int, n_holes int, "
+               "area_px double, area_world double, wkb binary",
+    )
+
+
 def contour_polygons(
     tiles: DataFrame,
     spark,
@@ -176,8 +560,10 @@ def contour_polygons(
     ``levels[b-1] <= v < levels[b]``) runs JVM-side as a transform over the
     pixel arrays; ring geometry comes from the distributed polygonizer
     (WKB MultiPolygons, holes included). Boundaries are pixel-quantized —
-    each pixel belongs wholly to its band; the sub-pixel marching-squares
-    interpolation is the contour LINE path above.
+    each pixel belongs wholly to its band. For the reference's actual -p
+    semantics (boundaries interpolated at exact level crossings) use
+    :func:`contour_polygons_subpixel`; this variant remains for
+    pixel-count-exact workflows (area_px == n_pixels).
 
     Returns (component, band, elev_min, elev_max, n_pixels, n_rings,
     area_px, wkb); elev_min is NULL below the first level, elev_max NULL
