@@ -6064,13 +6064,26 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(least(sxa, sxb) + 1e-10) AS BIGINT) + 1) AS xhi,
             CAST(floor(least(sya, syb) + 1e-10) AS BIGINT) AS ylo,
             greatest(CAST(ceil(greatest(sya, syb) - 1e-10) AS BIGINT),
-                     CAST(floor(least(sya, syb) + 1e-10) AS BIGINT) + 1) AS yhi
+                     CAST(floor(least(sya, syb) + 1e-10) AS BIGINT) + 1) AS yhi,
+            least(sxa, sxb) AS bxlo, greatest(sxa, sxb) AS bxhi,
+            least(sya, syb) AS bylo, greatest(sya, syb) AS byhi
           FROM sxy
         ),
         vals AS (
           SELECT b.px, b.py,
                  trunc((sin((b.xlo + o.dx) * 0.19)
-                        + cos((b.ylo + o.dy) * 0.13)) * 60.0 + 128.0) AS v
+                        + cos((b.ylo + o.dy) * 0.13)) * 60.0 + 128.0) AS v,
+                 -- GRA_Sum fractional coverage of src pixel by dst box,
+                 -- quantized to 1/4096 (mirrors kernels/resample.py)
+                 floor(least(greatest(least(CAST(b.xlo + o.dx AS DOUBLE) + 1.0,
+                                            b.bxhi)
+                                      - greatest(CAST(b.xlo + o.dx AS DOUBLE),
+                                                 b.bxlo), 0.0), 1.0)
+                       * least(greatest(least(CAST(b.ylo + o.dy AS DOUBLE) + 1.0,
+                                              b.byhi)
+                                        - greatest(CAST(b.ylo + o.dy AS DOUBLE),
+                                                   b.bylo), 0.0), 1.0)
+                       * 4096.0 + 0.5) / 4096.0 AS w
           FROM boxes b
           CROSS JOIN (SELECT a.dx, c.dy FROM generate_series(0, 7) a(dx)
                       CROSS JOIN generate_series(0, 7) c(dy)) o
@@ -6094,7 +6107,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["warp_sum_z2"] = f"""
         WITH {_warp_box_cte}
         SELECT px, py,
-               CAST(least(greatest(floor(sum(v) + 0.5), 0), 255)
+               CAST(least(greatest(floor(sum(v * w) + 0.5), 0), 255)
                     AS BIGINT) AS v
         FROM vals GROUP BY px, py
     """

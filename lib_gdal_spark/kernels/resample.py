@@ -233,7 +233,10 @@ def warp_tile_stat(
     Tie-breaks documented here (the reference's depend on scan order):
     median/q1/q3 take the element at index ``floor(q * (n-1))`` of the
     sorted population; mode takes the smallest value among the most
-    frequent. Windowed mode mirrors ``warp_tile``.
+    frequent. ``sum`` is sum-preserving (``GWKSumPreserving``): source
+    pixels are weighted by the fraction covered by the exact dst
+    footprint box, weights quantized to 1/4096 for order-independent
+    exact summation. Windowed mode mirrors ``warp_tile``.
     """
     h, w = dst_shape
     jj, ii = np.meshgrid(
@@ -265,6 +268,11 @@ def warp_tile_stat(
 
     max_bw = int((xhi - xlo).max())
     max_bh = int((yhi - ylo).max())
+    need_w = stat == "sum"
+    if need_w:
+        bxlo, bxhi = np.minimum(sxa, sxb), np.maximum(sxa, sxb)
+        bylo, byhi = np.minimum(sya, syb), np.maximum(sya, syb)
+        wplanes = []
     planes = []
     for dy in range(max_bh):
         py = ylo + dy
@@ -278,6 +286,17 @@ def warp_tile_stat(
             if nodata is not None:
                 ok = ok & (vals != nodata)
             planes.append(np.where(ok, vals, np.nan))
+            if need_w:
+                pxf, pyf = px.astype(np.float64), py.astype(np.float64)
+                wx = np.clip(np.minimum(pxf + 1.0, bxhi)
+                             - np.maximum(pxf, bxlo), 0.0, 1.0)
+                wy = np.clip(np.minimum(pyf + 1.0, byhi)
+                             - np.maximum(pyf, bylo), 0.0, 1.0)
+                # quantize to 1/4096 so each term v*w is an exact dyadic
+                # rational: the weighted sum is then order-independent and
+                # the DuckDB oracle reproduces it bit-for-bit
+                w = np.floor(wx * wy * 4096.0 + 0.5) / 4096.0
+                wplanes.append(np.where(ok, w, 0.0))
     pop = np.stack(planes)  # (offsets, h, w)
     cnt = (~np.isnan(pop)).sum(axis=0)
     empty = cnt == 0
@@ -295,11 +314,12 @@ def warp_tile_stat(
             idx = np.floor(q * (np.maximum(cnt, 1) - 1)).astype(np.int64)
             out = np.take_along_axis(srt, idx[None, :, :], axis=0)[0]
         elif stat == "sum":
-            # GRA_Sum (``gdalwarpkernel.cpp`` GWKSumPreserving entry point):
-            # total of contributing src pixels.  Simplified to the same
-            # box-population semantics as the other aggregate stats here
-            # (no partial-pixel weighting), documented so the oracle mirrors.
-            out = np.nansum(pop, axis=0)
+            # GRA_Sum (``gdalwarpkernel.cpp`` GWKSumPreserving): each src
+            # pixel contributes weighted by the fraction of it covered by
+            # the dst footprint box, so the resample preserves totals on
+            # non-integer box edges (dst footprints tile the plane, so
+            # every src pixel's weights sum to 1 across dst pixels).
+            out = (np.nan_to_num(pop) * np.stack(wplanes)).sum(axis=0)
         elif stat == "rms":
             # GRA_RMS (``gdalwarpkernel.cpp`` GWKAverageOrMode RMS branch):
             # sqrt of the mean of squares over the box population.

@@ -97,7 +97,7 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from lib_gdal_spark.sources.png import parse_png, png_to_rgb
         bands = png_to_rgb(parse_png(payload))
         return np.stack([b.astype(np.uint8) for b in bands], axis=2)
-    if payload[:2] in (b"II", b"MM"):
+    if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         from lib_gdal_spark.sources.gtiff import parse_geotiff
         g = parse_geotiff(payload)
         return np.stack(

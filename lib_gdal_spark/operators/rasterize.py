@@ -90,9 +90,10 @@ def rasterize_polygons(
     invert_burn = None
     if invert:
         dense = True
-        # one layer-wide burn value, like -burn; polygons is the small
-        # broadcast side, so this driver lookup is O(1)
-        row0 = polygons.select("burn").orderBy("burn").first()
+        # one layer-wide burn value — the first feature's (fid order),
+        # like -burn; polygons is the small broadcast side, so this
+        # driver lookup is O(1)
+        row0 = polygons.select("burn", "fid").orderBy("fid").first()
         invert_burn = float(row0["burn"]) if row0 is not None else 1.0
     ntx, nty = grid.n_tiles()
 

@@ -8,10 +8,10 @@ Decoder: SOI/APPn/COM/DQT/SOF0/DHT/SOS/EOI marker walk, canonical
 Huffman tables reconstructed from the stream's DHT segments (so
 real-world baseline files decode, not just this encoder's output),
 0xFF00 byte-unstuffing, DC prediction, zig-zag + dequant + orthonormal
-inverse DCT, BT.601 YCbCr->RGB for 3-component scans. Progressive
-(SOF2), subsampled (H/V != 1), 12-bit, arithmetic-coded, and
-restart-interval streams raise NotImplementedError loudly — baseline
-4:4:4 / grayscale is the scope.
+inverse DCT, BT.601 YCbCr->RGB for 3-component scans, chroma sampling
+factors 1-2 (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2), 12-bit,
+arithmetic-coded, restart-interval, and factor>2 streams raise
+NotImplementedError loudly — sequential baseline is the scope.
 
 Encoder: the matching baseline writer (4:4:4, per-table canonical
 Huffman codes generated from the symbols actually used — spec-legal via

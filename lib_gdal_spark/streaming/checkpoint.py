@@ -76,12 +76,19 @@ class CheckpointedStage:
         return out
 
     def keys_as_of(self, snapshot_id: int | None = None) -> list[str]:
-        """Partition keys visible at ``snapshot_id`` (None = latest)."""
+        """Partition keys visible at ``snapshot_id`` (None = latest).
+
+        Intersected with the manifest: the manifest is the single source
+        of visibility, so a log entry whose manifest commit never landed
+        (crash between the two writes) is ignored here, exactly as an
+        orphan ``part=`` dir is ignored by ``read_output``."""
+        done = self.done_keys()
         keys = []
         for e in self.snapshot_log():
             if snapshot_id is not None and e["snapshot_id"] > snapshot_id:
                 break
-            keys.append(e["partition"])
+            if e["partition"] in done:
+                keys.append(e["partition"])
         return keys
 
     def rollback(self, to_snapshot: int) -> list[str]:
@@ -125,15 +132,26 @@ class CheckpointedStage:
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        tmp_m = os.path.join(self.manifest, f".{key}.json.tmp")
-        with open(tmp_m, "w") as f:
-            json.dump(metrics, f)
-        os.rename(tmp_m, os.path.join(self.manifest, f"{key}.json"))
+        # Snapshot-log entry FIRST, manifest LAST: the manifest is the
+        # single source of visibility (done_keys / read_output), so every
+        # visible key is guaranteed a log entry. A crash between the two
+        # leaves only an orphan log entry, which keys_as_of ignores and
+        # which is swept here on the rerun before recommitting.
+        if len(self._snapshot_files()) != len(self.done_keys()):
+            for f_name in self._snapshot_files():
+                p = os.path.join(self.snapshots, f_name)
+                with open(p) as fh:
+                    if json.load(fh)["partition"] == key:
+                        os.remove(p)  # orphan from a crash mid-commit
         tmp_s = os.path.join(self.snapshots, f".{snapshot_id:012d}.json.tmp")
         with open(tmp_s, "w") as f:
             json.dump(metrics, f)
         os.rename(tmp_s,
                   os.path.join(self.snapshots, f"{snapshot_id:012d}.json"))
+        tmp_m = os.path.join(self.manifest, f".{key}.json.tmp")
+        with open(tmp_m, "w") as f:
+            json.dump(metrics, f)
+        os.rename(tmp_m, os.path.join(self.manifest, f"{key}.json"))
         return metrics
 
     def read_metrics(self, key: str) -> dict:

@@ -391,3 +391,30 @@ class TestSumRmsBruteForce:
                               i * fx:(i + 1) * fx].astype(float)
                     assert s[j, i] == box.sum(), ("sum", j, i)
                     assert r[j, i] == np.sqrt((box * box).sum() / box.size)
+
+    def test_warp_sum_preserving_fractional_boxes(self):
+        """GRA_Sum with NON-integer box edges: dst footprints tile the
+        src exactly, so the dst total must equal the src total (each src
+        pixel's fractional weights sum to 1) up to the documented 1/4096
+        weight quantization."""
+        rng = np.random.default_rng(23)
+        for _ in range(10):
+            sh = sw = 15
+            src = rng.integers(0, 40, (sh, sw)).astype(np.uint8)
+            gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+            dh = int(rng.integers(2, 7))
+            dw = int(rng.integers(2, 7))
+            dst_gt = [0.0, sw / dw, 0.0, 0.0, 0.0, -sh / dh]
+            s = R.warp_tile_stat(src, gt, (dh, dw), dst_gt, "sum",
+                                 dtype="float64")
+            n_terms = (sh // dh + 2) * (sw // dw + 2) * dh * dw
+            tol = n_terms * 40.0 / 4096.0
+            assert abs(s.sum() - float(src.sum())) <= tol, (dh, dw)
+            # and a fractional single box agrees with direct weighting
+            box = src[:, :].astype(float)
+            wx = np.clip(np.minimum(np.arange(sw) + 1.0, sw / dw)
+                         - np.arange(sw, dtype=float), 0.0, 1.0)
+            wy = np.clip(np.minimum(np.arange(sh) + 1.0, sh / dh)
+                         - np.arange(sh, dtype=float), 0.0, 1.0)
+            w = np.floor(np.outer(wy, wx) * 4096.0 + 0.5) / 4096.0
+            assert s[0, 0] == (box * w).sum(), (dh, dw)
