@@ -2898,12 +2898,16 @@ def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ogr_geometry_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-geometry-type layer through the widened WKT->WKB codec
     (ogr_core.h:317-410 type set incl. MultiPoint/MultiLineString/
-    GeometryCollection + Z) and the special virtual fields."""
+    GeometryCollection + Z, and the ogr_core.h:456-478 M/ZM measured
+    variants) and the special virtual fields. ``dim`` is the ISO
+    dimension flag read back from the WKB type word; ``m_max`` is the
+    measure range upper bound (measure_bounds), proving M ordinates
+    survive the WKT->WKB->parse round trip."""
     from lib_gdal_spark.plans.ogr_parser import execute_sql
 
     def mk_wkt(fid: int) -> str:
         w = 1.0 + (fid % 4)
-        k = fid % 6
+        k = fid % 10
         if k == 0:
             return f"POINT ({fid} {fid + 1})"
         if k == 1:
@@ -2914,27 +2918,43 @@ def q_ogr_geometry_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             return f"MULTIPOINT (({fid} 0), (0 {fid}), ({w} {w}))"
         if k == 4:
             return (f"MULTILINESTRING ((0 0, {w} 0), (0 1, {w} 1, {w} 2))")
-        return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
-                f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
-                f"9 {9 + w / 2}, 9 9)))")
+        if k == 5:
+            return (f"MULTIPOLYGON (((0 0, {w} 0, {w} {w}, 0 {w}, 0 0)), "
+                    f"((9 9, {9 + w / 2} 9, {9 + w / 2} {9 + w / 2}, "
+                    f"9 {9 + w / 2}, 9 9)))")
+        if k == 6:
+            return f"POINT M ({fid} {fid + 1} {fid * 10})"
+        if k == 7:
+            return f"POINT ZM ({fid} {fid + 1} 5 {fid * 10})"
+        if k == 8:
+            return f"LINESTRING M (0 0 0, {w} {w} {w}, {2 * w} 0 {2 * w})"
+        return (f"POLYGON ZM ((0 0 1 0, {w} 0 1 1, {w} {w} 1 2, "
+                f"0 {w} 1 3, 0 0 1 0))")
 
-    pdf = pd.DataFrame({"fid": range(60)})
+    pdf = pd.DataFrame({"fid": range(100)})
     pdf["wkt"] = pdf["fid"].map(mk_wkt)
     base = spark.createDataFrame(pdf, schema="fid long, wkt string")
 
     def to_wkb(batches):
+        from lib_gdal_spark.functions.geometry import (measure_bounds,
+                                                       wkb_dim_flag)
         from lib_gdal_spark.functions.wkt import wkt_to_wkb
         for b in batches:
+            wkbs = b["wkt"].map(lambda s: wkt_to_wkb(s))
+            mb = wkbs.map(measure_bounds)
             yield pd.DataFrame({
                 "fid": b["fid"],
-                "geom_wkb": b["wkt"].map(lambda s: wkt_to_wkb(s)),
+                "geom_wkb": wkbs,
+                "dim": wkbs.map(wkb_dim_flag),
+                "m_max": mb.map(lambda t: t[1] if t else None),
             })
 
-    layer = base.mapInPandas(to_wkb, schema="fid long, geom_wkb binary")
+    layer = base.mapInPandas(
+        to_wkb, schema="fid long, geom_wkb binary, dim string, m_max double")
     out = execute_sql(
         {"lyr": layer},
-        "SELECT FID AS fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area "
-        "FROM lyr ORDER BY FID",
+        "SELECT FID AS fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area, "
+        "dim, m_max FROM lyr ORDER BY FID",
     )
     return out.withColumn("area", F.round("area", 6))
 
@@ -8949,15 +8969,26 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["ogr_geometry_types"] = """
         SELECT CAST(fid AS BIGINT) AS fid,
-          CASE fid % 6 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+          CASE fid % 10 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
                WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
-               WHEN 4 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END AS gtype,
-          round(CASE fid % 6
+               WHEN 4 THEN 'MULTILINESTRING' WHEN 5 THEN 'MULTIPOLYGON'
+               WHEN 6 THEN 'POINT' WHEN 7 THEN 'POINT'
+               WHEN 8 THEN 'LINESTRING' ELSE 'POLYGON' END AS gtype,
+          round(CASE fid % 10
                WHEN 2 THEN pow(1.0 + fid % 4, 2)
                WHEN 5 THEN pow(1.0 + fid % 4, 2)
                            + pow((1.0 + fid % 4) / 2.0, 2)
-               ELSE 0.0 END, 6) AS area
-        FROM generate_series(0, 59) t(fid)
+               WHEN 9 THEN pow(1.0 + fid % 4, 2)
+               ELSE 0.0 END, 6) AS area,
+          CASE fid % 10 WHEN 6 THEN 'M' WHEN 7 THEN 'ZM'
+               WHEN 8 THEN 'M' WHEN 9 THEN 'ZM' ELSE '' END AS dim,
+          CASE fid % 10
+               WHEN 6 THEN CAST(fid * 10 AS DOUBLE)
+               WHEN 7 THEN CAST(fid * 10 AS DOUBLE)
+               WHEN 8 THEN 2.0 * (1.0 + fid % 4)
+               WHEN 9 THEN 3.0
+               ELSE NULL END AS m_max
+        FROM generate_series(0, 99) t(fid)
         ORDER BY fid
     """
 

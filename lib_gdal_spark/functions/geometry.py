@@ -9,9 +9,12 @@ these run inside Arrow-batched pandas UDFs on executors.
 
 WKB here is the standard OGC little-endian set: Point(1), LineString(2),
 Polygon(3), MultiPoint(4), MultiLineString(5), MultiPolygon(6),
-GeometryCollection(7), plus Z variants — written as ISO codes (base+1000)
-and read as either ISO or the OGR 2.5D flag 0x80000000 (``wkb25DBit``,
-``core/ogr/ogr_core.h:317-410``; importFromWkb ``ogrgeometry.cpp:1368``).
+GeometryCollection(7), plus the ISO dimension variants Z (base+1000),
+M (base+2000), ZM (base+3000) — ``ogr_core.h:456-478`` — written as ISO
+codes and read as either ISO or the OGR 2.5D flag 0x80000000
+(``wkb25DBit``, ``core/ogr/ogr_core.h:317-410``; importFromWkb
+``ogrgeometry.cpp:1368``). Measured ordinates round-trip byte-exactly;
+planar operators project to 2-D (:func:`parse_wkb` drops Z and M alike).
 """
 
 from __future__ import annotations
@@ -46,24 +49,39 @@ def _dims(arr: np.ndarray) -> int:
     return int(np.asarray(arr).shape[-1])
 
 
-def _type_code(base: int, ndim: int) -> int:
-    return base + 1000 if ndim == 3 else base  # ISO Z = base + 1000
+def _type_code(base: int, ndim: int, m: bool = False) -> int:
+    """ISO type word: Z = base+1000, M = base+2000, ZM = base+3000
+    (``ogr_core.h:456-478`` wkbPointM/wkbPointZM families). ``ndim`` is
+    the coordinate count; ``m`` disambiguates XYZ from XYM at count 3."""
+    if ndim == 4:
+        return base + 3000
+    if ndim == 3:
+        return base + (2000 if m else 1000)
+    return base
 
 
-def wkb_point(lon: float, lat: float, z: float | None = None) -> bytes:
-    if z is None:
-        return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
-    return struct.pack("<BIddd", 1, WKB_POINT + 1000, lon, lat, z)
+def wkb_point(lon: float, lat: float, z: float | None = None,
+              m: float | None = None, measured: bool = False) -> bytes:
+    """Point WKB. ``measured=True`` with three coordinates makes the
+    third coordinate M (XYM); a non-None ``m`` with ``z`` makes XYZM."""
+    vals = [lon, lat]
+    if z is not None:
+        vals.append(z)
+    if m is not None:
+        vals.append(m)
+        measured = True
+    code = _type_code(WKB_POINT, len(vals), measured)
+    return struct.pack(f"<BI{len(vals)}d", 1, code, *vals)
 
 
-def wkb_linestring(pts: np.ndarray) -> bytes:
+def wkb_linestring(pts: np.ndarray, m: bool = False) -> bytes:
     pts = np.asarray(pts, dtype="<f8")
-    code = _type_code(WKB_LINESTRING, _dims(pts))
+    code = _type_code(WKB_LINESTRING, _dims(pts), m)
     return struct.pack("<BII", 1, code, len(pts)) + pts.tobytes()
 
 
-def wkb_polygon(rings: Polygon) -> bytes:
-    code = _type_code(WKB_POLYGON, _dims(rings[0]) if rings else 2)
+def wkb_polygon(rings: Polygon, m: bool = False) -> bytes:
+    code = _type_code(WKB_POLYGON, _dims(rings[0]) if rings else 2, m)
     out = [struct.pack("<BII", 1, code, len(rings))]
     for ring in rings:
         ring = np.asarray(ring, dtype="<f8")
@@ -72,48 +90,66 @@ def wkb_polygon(rings: Polygon) -> bytes:
     return b"".join(out)
 
 
-def wkb_multipolygon(polys: MultiPolygon) -> bytes:
+def wkb_multipolygon(polys: MultiPolygon, m: bool = False) -> bytes:
     ndim = _dims(polys[0][0]) if polys else 2
-    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOLYGON, ndim),
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOLYGON, ndim, m),
                        len(polys))]
     for p in polys:
-        out.append(wkb_polygon(p))
+        out.append(wkb_polygon(p, m))
     return b"".join(out)
 
 
-def wkb_multipoint(pts: np.ndarray) -> bytes:
+def wkb_multipoint(pts: np.ndarray, m: bool = False) -> bytes:
     pts = np.asarray(pts, dtype="<f8")
     ndim = _dims(pts)
-    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOINT, ndim), len(pts))]
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTIPOINT, ndim, m),
+                       len(pts))]
     for p in pts:
-        out.append(wkb_point(*p))
+        out.append(wkb_point(*p, measured=m))
     return b"".join(out)
 
 
-def wkb_multilinestring(lines: list[np.ndarray]) -> bytes:
+def wkb_multilinestring(lines: list[np.ndarray], m: bool = False) -> bytes:
     ndim = _dims(lines[0]) if lines else 2
-    out = [struct.pack("<BII", 1, _type_code(WKB_MULTILINESTRING, ndim),
+    out = [struct.pack("<BII", 1, _type_code(WKB_MULTILINESTRING, ndim, m),
                        len(lines))]
     for ln in lines:
-        out.append(wkb_linestring(ln))
+        out.append(wkb_linestring(ln, m))
     return b"".join(out)
+
+
+def _container_code(base: int, members: list[bytes]) -> int:
+    """Container type word. ISO tags containers with their members'
+    dimensionality (``ogrgeometrycollection.cpp`` setMeasured/set3D on
+    addGeometry); M/ZM members tag the container so the measure variant
+    survives the round-trip. Z/2-D containers keep the legacy untagged
+    word (member words already carry Z)."""
+    flags = {wkb_dim_flag(mm) for mm in members}
+    if "ZM" in flags:
+        return base + 3000
+    if "M" in flags:
+        return base + 2000
+    return base
 
 
 def wkb_geometrycollection(members: list[bytes]) -> bytes:
-    out = [struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(members))]
+    code = _container_code(WKB_GEOMETRYCOLLECTION, members)
+    out = [struct.pack("<BII", 1, code, len(members))]
     out.extend(members)
     return b"".join(out)
 
 
-def wkb_circularstring(pts: np.ndarray) -> bytes:
+def wkb_circularstring(pts: np.ndarray, m: bool = False) -> bytes:
     pts = np.asarray(pts, dtype="<f8")
     if len(pts) % 2 == 0 or len(pts) < 3:
         raise ValueError("CircularString needs an odd point count >= 3")
-    code = _type_code(WKB_CIRCULARSTRING, _dims(pts))
+    code = _type_code(WKB_CIRCULARSTRING, _dims(pts), m)
     return struct.pack("<BII", 1, code, len(pts)) + pts.tobytes()
 
 
 def _wkb_container(code: int, members: list[bytes]) -> bytes:
+    if code < 1000:  # don't re-derive when the caller passes a tagged word
+        code = _container_code(code, members)
     return struct.pack("<BII", 1, code, len(members)) + b"".join(members)
 
 
@@ -135,9 +171,9 @@ def wkb_multisurface(members: list[bytes]) -> bytes:
     return _wkb_container(WKB_MULTISURFACE, members)
 
 
-def wkb_triangle(ring: np.ndarray) -> bytes:
+def wkb_triangle(ring: np.ndarray, m: bool = False) -> bytes:
     ring = np.asarray(ring, dtype="<f8")
-    code = _type_code(WKB_TRIANGLE, _dims(ring))
+    code = _type_code(WKB_TRIANGLE, _dims(ring), m)
     return (struct.pack("<BII", 1, code, 1)
             + struct.pack("<I", len(ring)) + ring.tobytes())
 
@@ -163,24 +199,45 @@ def surface_to_multipolygon(wkb: bytes) -> bytes:
 
 
 def _decode_type(raw: int) -> tuple[int, int]:
-    """Raw WKB type word -> (base type, ndim). Accepts ISO Z (base+1000)
-    and the OGR 2.5D flag (``ogr_core.h:410``); ISO M/ZM (base+2000/3000)
-    are rejected loudly — measured geometries (linear referencing) are out
-    of this engine's scope."""
+    """Raw WKB type word -> (base type, coordinate count). Accepts ISO Z
+    (base+1000), M (base+2000), ZM (base+3000) — ``ogr_core.h:456-478``
+    wkbPointM/wkbPointZM families — and the OGR 2.5D flag
+    (``ogr_core.h:410``). At coordinate count 3 the XYZ/XYM distinction
+    is carried by the type word only; use :func:`wkb_dim_flag` on the
+    geometry bytes when the variant matters (ISO geometries are
+    dimension-uniform, so the root word is authoritative)."""
     ndim = 2
     if raw & WKB_25D_BIT:
         ndim = 3
         raw &= ~WKB_25D_BIT
     raw &= 0x0FFFFFFF  # strip any SRID-ish flags
-    if raw >= 2000:
-        raise ValueError(
-            f"WKB type {raw}: ISO M/ZM (measured) variants are not "
-            f"supported; strip the M ordinate upstream"
-        )
-    if raw >= 1000:
+    if raw >= 3000:
+        ndim = 4
+        raw -= 3000
+    elif raw >= 2000:
+        ndim = 3  # XYM: third coordinate is the measure
+        raw -= 2000
+    elif raw >= 1000:
         ndim = 3
         raw -= 1000
     return raw, ndim
+
+
+def wkb_dim_flag(wkb: bytes) -> str:
+    """ISO dimension variant of a WKB geometry: '', 'Z', 'M', or 'ZM',
+    from the root type word (members of a valid ISO geometry share the
+    root's dimensionality)."""
+    (raw,) = struct.unpack_from("<I", wkb, 1)
+    if raw & WKB_25D_BIT:
+        return "Z"
+    raw &= 0x0FFFFFFF
+    if raw >= 3000:
+        return "ZM"
+    if raw >= 2000:
+        return "M"
+    if raw >= 1000:
+        return "Z"
+    return ""
 
 
 def _parse_polygon_body(buf: memoryview, off: int,
@@ -299,13 +356,43 @@ def parse_wkb(wkb: bytes) -> tuple[int, object]:
     list of (base, ndim, payload) members.
     """
     base, ndim, payload = parse_wkb_full(wkb)
-    if ndim == 3:
+    if ndim >= 3:
         payload = _drop_z(base, payload)
     return base, payload
 
 
 def _swap_wkb_to_le(wkb: bytes) -> bytes:  # pragma: no cover - rare path
     raise ValueError("big-endian WKB not supported; write little-endian")
+
+
+def _coord_arrays(base: int, payload):
+    """All coordinate arrays of a parsed payload, flattened."""
+    if base == WKB_POINT:
+        yield np.asarray(payload, dtype=np.float64)[None, :]
+    elif base in (WKB_LINESTRING, WKB_MULTIPOINT, WKB_CIRCULARSTRING):
+        yield np.asarray(payload, dtype=np.float64)
+    elif base in (WKB_POLYGON, WKB_MULTILINESTRING, WKB_TRIANGLE):
+        yield from payload
+    elif base == WKB_MULTIPOLYGON:
+        for poly in payload:
+            yield from poly
+    else:  # collection-layout containers: (base, ndim, payload) members
+        for b, _nd, p in payload:
+            yield from _coord_arrays(b, p)
+
+
+def measure_bounds(wkb: bytes) -> tuple[float, float] | None:
+    """(min, max) of the M ordinate for measured (M/ZM) geometries, or
+    None for unmeasured ones — the accessor linear-referencing operators
+    (``ogrlineref``) use to range-query measures. M is always the last
+    coordinate (``ogr_core.h:456-478`` layouts)."""
+    if "M" not in wkb_dim_flag(wkb):
+        return None
+    base, _ndim, payload = parse_wkb_full(wkb)
+    ms = [np.asarray(a, dtype=np.float64)[:, -1]
+          for a in _coord_arrays(base, payload)]
+    allm = np.concatenate(ms)
+    return float(allm.min()), float(allm.max())
 
 
 def polygon_rings(wkb: bytes) -> list[Ring]:
@@ -342,27 +429,28 @@ def envelope(wkb: bytes) -> tuple[float, float, float, float]:
     return float(mins[0]), float(mins[1]), float(maxs[0]), float(maxs[1])
 
 
-def _reencode_member(base: int, ndim: int, payload) -> bytes:
-    """Re-serialize one parsed geometry (collection member round-trips)."""
+def _reencode_member(base: int, ndim: int, payload, m: bool = False) -> bytes:
+    """Re-serialize one parsed geometry (collection member round-trips).
+    ``m=True`` marks a 3-coordinate payload as XYM (4 is always XYZM)."""
     if base == WKB_POINT:
-        return wkb_point(*payload)
+        return wkb_point(*payload, measured=m)
     if base == WKB_LINESTRING:
-        return wkb_linestring(np.asarray(payload))
+        return wkb_linestring(np.asarray(payload), m)
     if base == WKB_POLYGON:
-        return wkb_polygon(payload)
+        return wkb_polygon(payload, m)
     if base == WKB_MULTIPOINT:
-        return wkb_multipoint(np.asarray(payload))
+        return wkb_multipoint(np.asarray(payload), m)
     if base == WKB_MULTILINESTRING:
-        return wkb_multilinestring(payload)
+        return wkb_multilinestring(payload, m)
     if base == WKB_MULTIPOLYGON:
-        return wkb_multipolygon(payload)
+        return wkb_multipolygon(payload, m)
     if base == WKB_CIRCULARSTRING:
-        return wkb_circularstring(np.asarray(payload))
+        return wkb_circularstring(np.asarray(payload), m)
     if base == WKB_TRIANGLE:
-        return wkb_triangle(payload[0])
+        return wkb_triangle(payload[0], m)
     if base in (WKB_COMPOUNDCURVE, WKB_CURVEPOLYGON, WKB_MULTICURVE,
                 WKB_MULTISURFACE, WKB_TIN, WKB_POLYHEDRALSURFACE):
-        members = [_reencode_member(b, nd, p) for b, nd, p in payload]
+        members = [_reencode_member(b, nd, p, m) for b, nd, p in payload]
         return _wkb_container(base, members)
     raise ValueError(f"cannot re-encode member type {base}")
 

@@ -28,7 +28,7 @@ def _coords(body: str) -> np.ndarray:
     for pair in body.split(","):
         xy = re.findall(_NUM, pair)
         if width is None:
-            width = min(len(xy), 3)
+            width = min(len(xy), 4)
         pts.append(tuple(float(v) for v in xy[:width]))
     return np.asarray(pts, dtype=np.float64)
 
@@ -47,18 +47,22 @@ _POLY_RE = re.compile(r"\((?:[^()]*\([^()]*\)[^()]*)+\)")
 def wkt_to_wkb(wkt: str) -> bytes:
     s = wkt.strip()
     up = s.upper()
-    # strip an optional ISO dimension token: "POINT Z (...)"
-    up_head = re.match(r"([A-Z]+)\s*(Z|ZM|M)?\s*\(", up)
+    # strip an optional ISO dimension token: "POINT Z|M|ZM (...)"
+    up_head = re.match(r"([A-Z]+)\s*(ZM|Z|M)?\s*\(", up)
     kind = up_head.group(1) if up_head else up.split("(")[0].strip()
+    tok = (up_head.group(2) or "") if up_head else ""
+    mf = tok == "M"  # XYM: 3rd coordinate is the measure
     if kind == "POINT":
-        xy = re.findall(_NUM, s)
+        xy = [float(v) for v in re.findall(_NUM, s)]
+        if len(xy) >= 4:
+            return G.wkb_point(xy[0], xy[1], xy[2], xy[3])
         if len(xy) >= 3:
-            return G.wkb_point(float(xy[0]), float(xy[1]), float(xy[2]))
-        return G.wkb_point(float(xy[0]), float(xy[1]))
+            return G.wkb_point(xy[0], xy[1], xy[2], measured=mf)
+        return G.wkb_point(xy[0], xy[1])
     if kind == "LINESTRING":
-        return G.wkb_linestring(_coords(_body(s)))
+        return G.wkb_linestring(_coords(_body(s)), mf)
     if kind == "POLYGON":
-        return G.wkb_polygon(_rings(s[s.index("("):]))
+        return G.wkb_polygon(_rings(s[s.index("("):]), mf)
     if kind == "MULTIPOINT":
         # both "MULTIPOINT ((1 2), (3 4))" and "MULTIPOINT (1 2, 3 4)"
         body = _body(s)
@@ -67,52 +71,52 @@ def wkt_to_wkb(wkt: str) -> bytes:
             pts = np.vstack([_coords(b) for b in inner])
         else:
             pts = _coords(body)
-        return G.wkb_multipoint(pts)
+        return G.wkb_multipoint(pts, mf)
     if kind == "MULTILINESTRING":
-        return G.wkb_multilinestring(_rings(s[s.index("("):]))
+        return G.wkb_multilinestring(_rings(s[s.index("("):]), mf)
     if kind == "MULTIPOLYGON":
         body = _body(s)
         polys = [_rings(m.group(0)) for m in _POLY_RE.finditer(body)]
-        return G.wkb_multipolygon(polys)
+        return G.wkb_multipolygon(polys, mf)
     if kind == "GEOMETRYCOLLECTION":
         return G.wkb_geometrycollection(
             [wkt_to_wkb(m) for m in _split_members(_body(s))]
         )
     if kind == "CIRCULARSTRING":
-        return G.wkb_circularstring(_coords(_body(s)))
+        return G.wkb_circularstring(_coords(_body(s)), mf)
     if kind == "COMPOUNDCURVE":
         # members: CIRCULARSTRING (...) or bare (...) == LineString
         return G.wkb_compoundcurve(
-            [_curve_member(m, bare="LINESTRING")
+            [_curve_member(m, bare="LINESTRING", tok=tok)
              for m in _split_members(_body(s))]
         )
     if kind == "CURVEPOLYGON":
         return G.wkb_curvepolygon(
-            [_curve_member(m, bare="LINESTRING")
+            [_curve_member(m, bare="LINESTRING", tok=tok)
              for m in _split_members(_body(s))]
         )
     if kind == "MULTICURVE":
         return G.wkb_multicurve(
-            [_curve_member(m, bare="LINESTRING")
+            [_curve_member(m, bare="LINESTRING", tok=tok)
              for m in _split_members(_body(s))]
         )
     if kind == "MULTISURFACE":
         # bare ((...)) members are polygons
         return G.wkb_multisurface(
-            [_curve_member(m, bare="POLYGON")
+            [_curve_member(m, bare="POLYGON", tok=tok)
              for m in _split_members(_body(s))]
         )
     if kind == "TRIANGLE":
         rings = _rings(s[s.index("("):])
-        return G.wkb_triangle(rings[0])
+        return G.wkb_triangle(rings[0], mf)
     if kind == "TIN":
         return G.wkb_tin(
-            [_curve_member(m, bare="TRIANGLE")
+            [_curve_member(m, bare="TRIANGLE", tok=tok)
              for m in _split_members(_body(s))]
         )
     if kind == "POLYHEDRALSURFACE":
         return G.wkb_polyhedralsurface(
-            [_curve_member(m, bare="POLYGON")
+            [_curve_member(m, bare="POLYGON", tok=tok)
              for m in _split_members(_body(s))]
         )
     raise ValueError(f"unsupported WKT type: {s[:24]}")
@@ -135,11 +139,12 @@ def _split_members(body: str) -> list[str]:
     return [m.strip() for m in members if m.strip()]
 
 
-def _curve_member(m: str, bare: str) -> bytes:
+def _curve_member(m: str, bare: str, tok: str = "") -> bytes:
     """A curve-container member: typed sub-WKT, or a bare parenthesized
-    form interpreted as ``bare`` (OGC shorthand)."""
+    form interpreted as ``bare`` (OGC shorthand), inheriting the
+    container's dimension token."""
     if m.lstrip().startswith("("):
-        return wkt_to_wkb(f"{bare} {m}")
+        return wkt_to_wkb(f"{bare} {tok} {m}".replace("  ", " "))
     return wkt_to_wkb(m)
 
 
@@ -157,7 +162,9 @@ def _ring_txt(r: np.ndarray) -> str:
 
 def wkb_to_wkt(wkb: bytes) -> str:
     base, ndim, payload = G.parse_wkb_full(wkb)
-    ztag = " Z" if ndim == 3 else ""
+    flag = G.wkb_dim_flag(wkb)
+    ztag = f" {flag}" if flag else ""
+    mf = flag == "M"
     if base == G.WKB_POINT:
         return f"POINT{ztag} ({_pt_txt(payload)})"
     if base == G.WKB_LINESTRING:
@@ -179,9 +186,10 @@ def wkb_to_wkt(wkb: bytes) -> str:
         return f"MULTIPOLYGON{ztag} (" + ", ".join(parts) + ")"
     if base == G.WKB_GEOMETRYCOLLECTION:
         parts = [
-            wkb_to_wkt(G._reencode_member(b, nd, p)) for b, nd, p in payload
+            wkb_to_wkt(G._reencode_member(b, nd, p, mf))
+            for b, nd, p in payload
         ]
-        return "GEOMETRYCOLLECTION (" + ", ".join(parts) + ")"
+        return f"GEOMETRYCOLLECTION{ztag} (" + ", ".join(parts) + ")"
     if base == G.WKB_CIRCULARSTRING:
         return f"CIRCULARSTRING{ztag} " + _ring_txt(payload)
     if base == G.WKB_TRIANGLE:
@@ -197,9 +205,10 @@ def wkb_to_wkt(wkb: bytes) -> str:
                 G.WKB_TIN: "TIN",
                 G.WKB_POLYHEDRALSURFACE: "POLYHEDRALSURFACE"}[base]
         parts = [
-            wkb_to_wkt(G._reencode_member(b, nd, p)) for b, nd, p in payload
+            wkb_to_wkt(G._reencode_member(b, nd, p, mf))
+            for b, nd, p in payload
         ]
-        return f"{name} (" + ", ".join(parts) + ")"
+        return f"{name}{ztag} (" + ", ".join(parts) + ")"
     raise ValueError(f"unsupported WKB type {base}")
 
 

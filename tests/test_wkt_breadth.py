@@ -193,3 +193,48 @@ def test_style_string_parser(spark):
     assert rows[1][0]["tool"] == "PEN"
     assert rows[1][0]["params"]["w"] == "3"
     assert rows[2] is None
+
+
+def test_measured_m_zm_roundtrip():
+    """ISO M/ZM variants (ogr_core.h:456-478): WKT<->WKB round-trips are
+    byte-exact, the dimension flag reads back, 2-D projection drops the
+    measure, and measure_bounds exposes the M range."""
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.functions import wkt as W
+
+    cases = {
+        "POINT M (1 2 5)": ("M", (5.0, 5.0)),
+        "POINT ZM (1 2 3 4)": ("ZM", (4.0, 4.0)),
+        "LINESTRING M (0 0 0, 1 0 10, 1 1 20)": ("M", (0.0, 20.0)),
+        "LINESTRING ZM (0 0 1 0, 1 0 2 10)": ("ZM", (0.0, 10.0)),
+        "POLYGON M ((0 0 1, 4 0 2, 4 4 3, 0 0 1))": ("M", (1.0, 3.0)),
+        "MULTIPOINT M ((1 2 7), (3 4 9))": ("M", (7.0, 9.0)),
+        "MULTILINESTRING ZM ((0 0 1 2, 1 1 3 4))": ("ZM", (2.0, 4.0)),
+        "MULTIPOLYGON M (((0 0 1, 1 0 2, 1 1 3, 0 0 1)))": ("M", (1.0, 3.0)),
+        "CIRCULARSTRING M (0 0 1, 1 1 2, 2 0 3)": ("M", (1.0, 3.0)),
+        "GEOMETRYCOLLECTION M (POINT M (1 2 3), "
+        "LINESTRING M (0 0 1, 1 1 2))": ("M", (1.0, 3.0)),
+        "COMPOUNDCURVE M (CIRCULARSTRING M (0 0 1, 1 1 2, 2 0 3), "
+        "(2 0 3, 3 0 4))": ("M", (1.0, 4.0)),
+        "CURVEPOLYGON ZM (CIRCULARSTRING ZM (0 0 9 1, 2 0 9 2, 0 0 9 1))":
+            ("ZM", (1.0, 2.0)),
+        "TIN M (((0 0 1, 1 0 2, 0 1 3, 0 0 1)))": ("M", (1.0, 3.0)),
+    }
+    for wkt_in, (flag, mrange) in cases.items():
+        wkb = W.wkt_to_wkb(wkt_in)
+        assert G.wkb_dim_flag(wkb) == flag, wkt_in
+        out = W.wkb_to_wkt(wkb)
+        assert W.wkt_to_wkb(out) == wkb, (wkt_in, out)
+        assert G.measure_bounds(wkb) == mrange, wkt_in
+        base, payload = G.parse_wkb(wkb)  # planar projection still works
+        if base == G.WKB_POINT:
+            assert len(payload) == 2
+    # unmeasured stays unmeasured
+    assert G.measure_bounds(W.wkt_to_wkb("POINT Z (1 2 3)")) is None
+    assert G.wkb_dim_flag(W.wkt_to_wkb("POINT Z (1 2 3)")) == "Z"
+    # untagged collection of M members is promoted to an M collection
+    wkb = W.wkt_to_wkb("GEOMETRYCOLLECTION (POINT M (1 2 3))")
+    assert G.wkb_dim_flag(wkb) == "M"
+    # measured envelope reads XY only
+    assert G.envelope(W.wkt_to_wkb("LINESTRING M (0 0 5, 2 3 6)")) == \
+        (0.0, 0.0, 2.0, 3.0)
