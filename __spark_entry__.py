@@ -2092,6 +2092,86 @@ def q_warp_albers_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOLL_DST_GT = (-17_600_000.0, 275_000.0, 0.0, 8_800_000.0, 0.0, -137_500.0)
+_SINU_DST_GT = (-17_500_000.0, 273_437.5, 0.0, 8_750_000.0, 0.0, -136_718.75)
+
+
+def q_warp_mollweide_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into ESRI:54009 World Mollweide (Snyder §31, spherical on
+    the WGS84 semi-major like PROJ's moll) through the get_crs_transform
+    registry; the closed-form Mollweide inverse is spelled in the oracle."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    mo = CRS.get_crs_transform(54009)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _MOLL_DST_GT, 128, 128, mo.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_sinusoidal_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into the MODIS sinusoidal grid (Snyder §30 sphere,
+    R=6371007.181 — PROJ +proj=sinu +R=6371007.181) — the equal-area
+    projection MODIS land products ship in."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    si = CRS.modis_sinusoidal()
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _SINU_DST_GT, 128, 128, si.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -s_srs EPSG:4267 -t_srs EPSG:4326: NAD27 -> WGS84 datum
+    shift (towgs84 geocentric translations, EPSG method 9603; the PROJ
+    +towgs84 pipeline leg of core/ogr/ogrct.cpp) over a point layer —
+    geodetic -> Clarke-1866 ECEF -> Helmert -> Bowring -> WGS84 geodetic,
+    every step mirrored closed-form in the DuckDB oracle."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.functions import crs as CRS
+
+    pts = _points(spark, sf_dir).where(F.col("pid") < 3000)
+
+    def to_wkb(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "fid": b["pid"],
+                "geom_wkb": [
+                    G.wkb_point(lo, la)
+                    for lo, la in zip(b["lon"], b["lat"])
+                ],
+            })
+
+    layer = pts.mapInPandas(to_wkb, schema="fid long, geom_wkb binary")
+    out = CRS.reproject_layer(layer, 4267, 4326)
+
+    def coords(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            xy = [G.parse_wkb(bytes(w))[1] for w in b["geom_wkb"]]
+            yield pd.DataFrame({
+                "fid": b["fid"],
+                "lon": [p[0] for p in xy],
+                "lat": [p[1] for p in xy],
+            })
+
+    dec = out.mapInPandas(coords, schema="fid long, lon double, lat double")
+    # floor(x*1e7+0.5)/1e7 in BOTH engines (Spark round() is half-even,
+    # DuckDB's is half-away — this form is identical in each)
+    return dec.select(
+        "fid",
+        (F.floor(F.col("lon") * 1e7 + 0.5) / 1e7).alias("lon"),
+        (F.floor(F.col("lat") * 1e7 + 0.5) / 1e7).alias("lat"),
+    )
+
+
 def _explode_complex(tiles: DataFrame, tile: int = 64) -> DataFrame:
     """Complex tile table -> (px, py, re, im) logical-pixel rows, JVM-side."""
     from lib_gdal_spark.functions import complexfn as CF
@@ -5231,6 +5311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_utm_nearest": q_warp_utm_nearest,
         "warp_ps_nearest": q_warp_ps_nearest,
         "warp_albers_nearest": q_warp_albers_nearest,
+        "warp_mollweide_nearest": q_warp_mollweide_nearest,
+        "warp_sinusoidal_nearest": q_warp_sinusoidal_nearest,
+        "warp_datum_shift": q_warp_datum_shift,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -7212,6 +7295,141 @@ def oracle_sql() -> dict[str, str]:
                               + 128.0) AS BIGINT)
                     ELSE NULL END AS v
         FROM sp
+    """
+
+    # Mollweide (ESRI:54009): the closed-form Snyder §31 inverse — the
+    # constants come from the SAME Mollweide constructor the Spark query
+    # uses, so the double arithmetic is identical.
+    _mo = _CRS.get_crs_transform(54009)
+    _mcx, _mcy = float(_mo._cx), float(_mo._cy)
+    g0m, g1m, _, g3m, _, g5m = _MOLL_DST_GT
+    sqls["warp_mollweide_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0m!r} + (px + 0.5) * {g1m!r} AS E,
+            {g3m!r} + (py + 0.5) * {g5m!r} AS Yv
+          FROM pix
+        ),
+        th AS (
+          SELECT px, py, E, asin(Yv / {_mcy!r}) AS theta FROM en
+        ),
+        ll AS (
+          SELECT px, py,
+            0.0 + degrees(E / ({_mcx!r} * cos(theta))) AS lon,
+            degrees(asin((2.0 * theta + sin(2.0 * theta)) / pi())) AS lat
+          FROM th
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # MODIS sinusoidal: trivial spherical inverse (Snyder §30)
+    _si = _CRS.modis_sinusoidal()
+    _sr = float(_si.R)
+    g0s, g1s, _, g3s, _, g5s = _SINU_DST_GT
+    sqls["warp_sinusoidal_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0s!r} + (px + 0.5) * {g1s!r} AS E,
+            {g3s!r} + (py + 0.5) * {g5s!r} AS Yv
+          FROM pix
+        ),
+        ph AS (
+          SELECT px, py, E, Yv / {_sr!r} AS phi FROM en
+        ),
+        ll AS (
+          SELECT px, py,
+            0.0 + degrees(E / ({_sr!r} * cos(phi))) AS lon,
+            degrees(phi) AS lat
+          FROM ph
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # NAD27 -> WGS84 datum shift: geodetic -> Clarke-1866 ECEF -> 3-param
+    # Helmert -> Bowring single-step -> WGS84 geodetic, every constant and
+    # operation order mirroring functions/crs.py (geodetic_to_ecef /
+    # helmert_apply / ecef_to_geodetic).
+    _ca, _cf = _CRS.ELLIPSOIDS["clrk66"]
+    _ce2 = _cf * (2.0 - _cf)
+    _dx, _dy, _dz = _CRS.TOWGS84["NAD27"]
+    _wa, _wf = _CRS.ELLIPSOIDS["WGS84"]
+    _wb = _wa * (1.0 - _wf)
+    _we2 = _wf * (2.0 - _wf)
+    _wep2 = _we2 / (1.0 - _we2)
+    sqls["warp_datum_shift"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        rad AS (
+          SELECT pid, radians(lon) AS lam, radians(lat) AS phi
+          FROM pts WHERE pid < 3000
+        ),
+        tri AS (
+          SELECT pid, lam, sin(phi) AS sp, cos(phi) AS cp FROM rad
+        ),
+        nu AS (
+          SELECT pid, lam, sp, cp,
+                 {_ca!r} / sqrt(1.0 - {_ce2!r} * sp * sp) AS nu
+          FROM tri
+        ),
+        ecef AS (
+          -- 3-param Helmert: the rotation/scale terms are exact zeros in
+          -- helmert_apply, so X' = dx + X etc. bit-for-bit
+          SELECT pid,
+            {_dx!r} + nu * cp * cos(lam) AS X,
+            {_dy!r} + nu * cp * sin(lam) AS Y,
+            {_dz!r} + nu * {1.0 - _ce2!r} * sp AS Z
+          FROM nu
+        ),
+        bow AS (
+          SELECT pid, X, Y, Z, sqrt(X * X + Y * Y) AS p,
+                 atan2(Z * {_wa!r}, sqrt(X * X + Y * Y) * {_wb!r}) AS u
+          FROM ecef
+        ),
+        geo AS (
+          SELECT pid,
+            degrees(atan2(Y, X)) AS lon,
+            degrees(atan2(Z + {_wep2!r} * {_wb!r} * sin(u) * sin(u) * sin(u),
+                          p - {_we2!r} * {_wa!r} * cos(u) * cos(u) * cos(u)))
+              AS lat
+          FROM bow
+        )
+        SELECT pid AS fid,
+               floor(lon * 1e7 + 0.5) / 1e7 AS lon,
+               floor(lat * 1e7 + 0.5) / 1e7 AS lat
+        FROM geo
     """
 
     _fixture_vals = {

@@ -32,6 +32,17 @@ ELLIPSOIDS = {
     "GRS80": (GRS80_A, GRS80_F),
     "intl": (6378388.0, 1.0 / 297.0),        # International 1924
     "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),  # Clarke 1866
+    "airy": (6377563.396, 1.0 / 299.3249646),  # Airy 1830 (OSGB36)
+}
+
+# towgs84 Helmert parameters (dx, dy, dz[, rx, ry, rz, s]) — meters,
+# arc-seconds, ppm; position-vector convention (EPSG method 9606). Public
+# EPSG/PROJ datum definitions (the values PROJ ships for +datum=...).
+TOWGS84 = {
+    "NAD27": (-8.0, 160.0, 176.0),
+    "ED50": (-87.0, -98.0, -121.0),
+    "OSGB36": (446.448, -125.157, 542.060,
+               0.1502, 0.2470, 0.8421, -20.4894),
 }
 
 
@@ -126,6 +137,26 @@ def utm_zone(zone: int, south: bool = False,
         false_n=10_000_000.0 if south else 0.0,
         a=a, f=f,
     )
+
+
+def _tm_with_lat0(lat0: float, lon0: float, k0: float, false_e: float,
+                  false_n: float, a: float, f: float,
+                  towgs84: tuple | None = None) -> "TransverseMercator":
+    """TM with a non-equatorial natural origin (EPSG 9807 with
+    latitude-of-origin): northings measure from ``lat0``, so the
+    effective false northing absorbs the meridian arc at lat0 —
+    ``FN_eff = FN - k0·A·ξ(lat0)``, computed with the same Krüger
+    series the projector uses (exact self-consistency)."""
+    tm = TransverseMercator(lon0=lon0, k0=k0, false_e=false_e,
+                            false_n=0.0, a=a, f=f)
+    if lat0 != 0.0:
+        _, n0 = tm.forward(np.array([lon0]), np.array([lat0]))
+        tm.false_n = false_n - float(n0[0])
+    else:
+        tm.false_n = false_n
+    tm.lat0 = lat0
+    tm.towgs84 = towgs84
+    return tm
 
 
 class LambertConformalConic:
@@ -343,9 +374,159 @@ class PolarStereographic:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+class Sinusoidal:
+    """Spherical sinusoidal (Snyder 1987 §30 sphere case) — the MODIS
+    land-grid projection (PROJ ``+proj=sinu +R=6371007.181``) and ESRI
+    54008 World Sinusoidal (R = WGS84 semi-major, PROJ sphere-on-a)."""
+
+    def __init__(self, R: float = WGS84_A, lon0: float = 0.0):
+        self.R = R
+        self.a = R
+        self.lon0 = lon0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        return self.R * lam * np.cos(phi), self.R * phi
+
+    def inverse(self, x, y):
+        phi = np.asarray(y, np.float64) / self.R
+        lam = np.asarray(x, np.float64) / (self.R * np.cos(phi))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def modis_sinusoidal() -> Sinusoidal:
+    """The MODIS sinusoidal grid sphere (R = 6371007.181 m)."""
+    return Sinusoidal(R=6371007.181)
+
+
+class Mollweide:
+    """Spherical Mollweide (Snyder 1987 §31) — ESRI 54009 World
+    Mollweide (PROJ spherical ``moll`` on the WGS84 semi-major).
+    Forward solves 2θ + sin 2θ = π sin φ by Newton iteration; the
+    inverse is closed-form (Snyder 31-6..31-8), which is what the
+    warp oracles spell in SQL."""
+
+    def __init__(self, R: float = WGS84_A, lon0: float = 0.0):
+        self.R = R
+        self.a = R
+        self.lon0 = lon0
+        self._cx = 2.0 * np.sqrt(2.0) / np.pi * R
+        self._cy = np.sqrt(2.0) * R
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rhs = np.pi * np.sin(phi)
+        theta = phi.copy()
+        for _ in range(12):  # quadratic convergence; 12 is overkill-safe
+            f = 2.0 * theta + np.sin(2.0 * theta) - rhs
+            fp = 2.0 + 2.0 * np.cos(2.0 * theta)
+            theta = theta - f / np.where(np.abs(fp) < 1e-12, 1e-12, fp)
+        return self._cx * lam * np.cos(theta), self._cy * np.sin(theta)
+
+    def inverse(self, x, y):
+        theta = np.arcsin(np.asarray(y, np.float64) / self._cy)
+        phi = np.arcsin((2.0 * theta + np.sin(2.0 * theta)) / np.pi)
+        lam = np.asarray(x, np.float64) / (self._cx * np.cos(theta))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Datum shift: geodetic <-> geocentric + Helmert (towgs84) — the role of
+# the PROJ pipeline step ``+towgs84=...`` in ``core/ogr/ogrct.cpp``'s
+# transforms (EPSG methods 9603 geocentric translations / 9606 position
+# vector). All batch-array NumPy; formulas mirror the DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+def geodetic_to_ecef(lon, lat, a: float, f: float):
+    """(lon, lat) degrees, h=0 -> geocentric (X, Y, Z) meters."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    e2 = f * (2.0 - f)
+    sp, cp = np.sin(phi), np.cos(phi)
+    # explicit multiplies (not **) so SQL oracles mirror the exact op chain
+    nu = a / np.sqrt(1.0 - e2 * sp * sp)
+    X = nu * cp * np.cos(lam)
+    Y = nu * cp * np.sin(lam)
+    Z = nu * (1.0 - e2) * sp
+    return X, Y, Z
+
+
+def ecef_to_geodetic(X, Y, Z, a: float, f: float):
+    """Geocentric (X, Y, Z) -> (lon, lat) degrees via Bowring's
+    single-step formula (exact to sub-mm near the surface; the SAME
+    closed form the SQL oracles spell, so results are bit-comparable)."""
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    Z = np.asarray(Z, np.float64)
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.sqrt(X * X + Y * Y)
+    u = np.arctan2(Z * a, p * b)
+    su, cu = np.sin(u), np.cos(u)
+    phi = np.arctan2(Z + ep2 * b * su * su * su,
+                     p - e2 * a * cu * cu * cu)
+    lam = np.arctan2(Y, X)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def helmert_apply(X, Y, Z, params, inverse: bool = False):
+    """Position-vector Helmert (EPSG 9606; 9603 when rotations are 0):
+    ``X' = T + (1 + s·1e-6) · R(rx,ry,rz) · X`` with the small-angle
+    rotation matrix. ``inverse=True`` applies the standard first-order
+    inverse (subtract T, scale-divide, transposed rotation) — the same
+    convention PROJ uses; closure error is O(r²)·a ≈ 0.1 mm for
+    arc-second rotations."""
+    dx, dy, dz = params[0], params[1], params[2]
+    rx = ry = rz = s = 0.0
+    if len(params) == 7:
+        asec = np.pi / (180.0 * 3600.0)
+        rx, ry, rz = (params[3] * asec, params[4] * asec, params[5] * asec)
+        s = params[6]
+    m = 1.0 + s * 1e-6
+    if not inverse:
+        X2 = dx + m * (X - rz * Y + ry * Z)
+        Y2 = dy + m * (rz * X + Y - rx * Z)
+        Z2 = dz + m * (-ry * X + rx * Y + Z)
+        return X2, Y2, Z2
+    U, V, W = (X - dx) / m, (Y - dy) / m, (Z - dz) / m
+    # transpose of the small-angle rotation matrix = its inverse
+    X2 = U + rz * V - ry * W
+    Y2 = -rz * U + V + rx * W
+    Z2 = ry * U - rx * V + W
+    return X2, Y2, Z2
+
+
+def datum_shift(lon, lat, src_ab, src_towgs84, dst_ab, dst_towgs84):
+    """Geodetic coordinates src datum -> dst datum through WGS84
+    geocentric: src geodetic -> ECEF -> +towgs84 -> [inverse dst
+    towgs84] -> dst geodetic. ``*_ab`` are (a, f); ``*_towgs84`` None
+    means the datum IS WGS84-compatible (no-op leg)."""
+    if src_towgs84 is None and dst_towgs84 is None:
+        return lon, lat
+    a_s, f_s = src_ab
+    a_d, f_d = dst_ab
+    X, Y, Z = geodetic_to_ecef(lon, lat, a_s, f_s)
+    if src_towgs84 is not None:
+        X, Y, Z = helmert_apply(X, Y, Z, src_towgs84)
+    if dst_towgs84 is not None:
+        X, Y, Z = helmert_apply(X, Y, Z, dst_towgs84, inverse=True)
+    return ecef_to_geodetic(X, Y, Z, a_d, f_d)
+
+
 class Geographic:
     """Identity projector: lon/lat degrees ARE the projected coordinates
-    (EPSG:4326 and friends)."""
+    (EPSG:4326 and friends). A non-WGS84 geographic CRS (NAD27, ED50,
+    OSGB36 geographic) carries its ellipsoid + towgs84 so the datum leg
+    of a reprojection pipeline can chain through WGS84 geocentric."""
+
+    def __init__(self, a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84: tuple | None = None):
+        self.a = a
+        self.f = f
+        self.towgs84 = towgs84
 
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -393,6 +574,12 @@ def get_crs_transform(epsg: int):
     - 5070 NAD83 CONUS Albers, 3577 GDA94 Australian Albers
     - 2154 RGF93 Lambert-93, 3347 NAD83 Statistics-Canada LCC,
       102? US Atlas LCCs are out of scope
+    - 4267 NAD27 / 4230 ED50 / 4277 OSGB36 geographic — non-WGS84 datums
+      with towgs84 Helmert parameters (3- or 7-param)
+    - 27700 British National Grid (Airy TM, 49°N natural origin, OSGB36
+      datum), 2193 NZTM2000 (GRS80 TM)
+    - 54008 / 54009 ESRI World Sinusoidal / Mollweide (spherical, R = a);
+      :func:`modis_sinusoidal` for the MODIS R=6371007.181 grid
 
     Raises ``KeyError`` for anything else — callers should surface the code
     so users know the registry gap (no silent fallback).
@@ -431,6 +618,26 @@ def get_crs_transform(epsg: int):
         3347: lambda: LambertConformalConic(
             lat1=49.0, lat2=77.0, lat0=63.390675, lon0=-91.866667,
             false_e=6_200_000.0, false_n=3_000_000.0, a=ga, f=gf),
+        # non-WGS84 geographic datums (towgs84 Helmert legs)
+        4267: lambda: Geographic(*ELLIPSOIDS["clrk66"],
+                                 towgs84=TOWGS84["NAD27"]),
+        4230: lambda: Geographic(*ELLIPSOIDS["intl"],
+                                 towgs84=TOWGS84["ED50"]),
+        4277: lambda: Geographic(*ELLIPSOIDS["airy"],
+                                 towgs84=TOWGS84["OSGB36"]),
+        # national TM grids (natural-origin latitude via _tm_with_lat0)
+        27700: lambda: _tm_with_lat0(
+            lat0=49.0, lon0=-2.0, k0=0.9996012717,
+            false_e=400_000.0, false_n=-100_000.0,
+            a=ELLIPSOIDS["airy"][0], f=ELLIPSOIDS["airy"][1],
+            towgs84=TOWGS84["OSGB36"]),
+        2193: lambda: _tm_with_lat0(
+            lat0=0.0, lon0=173.0, k0=0.9996,
+            false_e=1_600_000.0, false_n=10_000_000.0, a=ga, f=gf),
+        # ESRI world projections (spherical on the WGS84 semi-major,
+        # matching PROJ's sphere-on-a behavior for moll/sinu)
+        54008: lambda: Sinusoidal(R=a),
+        54009: lambda: Mollweide(R=a),
     }
     try:
         return table[epsg]()
@@ -490,15 +697,25 @@ def transform_wkb(wkb: bytes, fwd) -> bytes:
 def reproject_layer(df, src_epsg: int, dst_epsg: int,
                     geom_col: str = "geom_wkb"):
     """ogr2ogr -s_srs/-t_srs over a layer DataFrame: every geometry's
-    coordinates run src.inverse -> dst.forward through the EPSG registry,
-    Arrow-batched."""
+    coordinates run src.inverse -> [towgs84 datum legs through WGS84
+    geocentric, when the datums differ] -> dst.forward through the EPSG
+    registry, Arrow-batched."""
     from pyspark.sql import functions as F
 
     src = get_crs_transform(src_epsg)
     dst = get_crs_transform(dst_epsg)
+    src_tw = getattr(src, "towgs84", None)
+    dst_tw = getattr(dst, "towgs84", None)
 
     def fwd(x, y):
         lon, lat = src.inverse(x, y)
+        if src_tw != dst_tw:
+            lon, lat = datum_shift(
+                lon, lat,
+                (getattr(src, "a", WGS84_A), getattr(src, "f", WGS84_F)),
+                src_tw,
+                (getattr(dst, "a", WGS84_A), getattr(dst, "f", WGS84_F)),
+                dst_tw)
         return dst.forward(lon, lat)
 
     @F.pandas_udf("binary")
@@ -521,6 +738,8 @@ _PROJ_IDS = {
     "LambertConformalConic": "lcc",
     "AlbersEqualArea": "aea",
     "PolarStereographic": "stere",
+    "Sinusoidal": "sinu",
+    "Mollweide": "moll",
 }
 
 

@@ -41,11 +41,15 @@ INT_RANGES = {
 
 
 def clamp_round(arr: np.ndarray, dtype: str) -> np.ndarray:
-    """GDAL float→int store: floor(v+0.5), clamp to dtype range."""
+    """GDAL float→int store: floor(v+0.5), clamp to dtype range.
+    Non-finite values (unwarped dst pixels with no nodata set) store as
+    0 — gdalwarp's INIT_DEST=0 default — explicitly, not via the
+    architecture-dependent NaN→int cast."""
     if dtype in ("float32", "float64"):
         return arr.astype(dtype)
     lo, hi = INT_RANGES[dtype]
-    out = np.floor(np.asarray(arr, dtype=np.float64) + 0.5)
+    arr = np.asarray(arr, dtype=np.float64)
+    out = np.floor(np.where(np.isfinite(arr), arr, -0.5) + 0.5)
     return np.clip(out, lo, hi).astype(dtype)
 
 

@@ -166,7 +166,7 @@ def test_epsg_registry_dispatch():
     assert abs(lon2[0] - 180.0) < 1e-9
     # unknown code: loud failure, no silent fallback
     try:
-        CRS.get_crs_transform(27700)
+        CRS.get_crs_transform(31370)  # Belgian Lambert 72: not registered
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
@@ -244,3 +244,97 @@ def test_reproject_layer_roundtrip(spark):
         i = r["fid"]
         assert abs(x - (i * 3 - 60)) < 1e-9
         assert abs(y - (i * 2 - 40)) < 1e-9
+
+
+def test_national_grids_and_world_projections():
+    """Round-4 registry breadth: OSGB 27700 (Airy TM, 49N natural origin),
+    NZTM2000 2193, ESRI 54008/54009 world sinusoidal/Mollweide."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    bng = CRS.get_crs_transform(27700)
+    # natural origin maps to the false easting/northing exactly
+    e, n = bng.forward(np.array([-2.0]), np.array([49.0]))
+    assert abs(e[0] - 400_000.0) < 1e-6 and abs(n[0] + 100_000.0) < 1e-6
+    # the published OS worked example (A guide to coordinate systems in
+    # Great Britain, C.1): 52d39m27.2531sN 1d43m4.5177sE ->
+    # E 651409.903 N 313177.270 (OSGB36 graticule)
+    phi = 52 + 39 / 60 + 27.2531 / 3600
+    lam = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = bng.forward(np.array([lam]), np.array([phi]))
+    assert abs(e[0] - 651409.903) < 0.002
+    assert abs(n[0] - 313177.270) < 0.002
+
+    nz = CRS.get_crs_transform(2193)
+    e, n = nz.forward(np.array([173.0]), np.array([0.0]))
+    assert abs(e[0] - 1_600_000.0) < 1e-6 and abs(n[0] - 10_000_000.0) < 1e-6
+
+    for code, pts in {
+        27700: ([-2.0, -3.5, 0.2], [49.0, 52.0, 55.0]),
+        2193: ([173.0, 168.0, 178.0], [-41.0, -46.0, -37.5]),
+        54008: ([-3.0, 120.0, -75.0], [51.5, -30.0, 45.0]),
+        54009: ([-3.0, 120.0, -75.0], [51.5, -30.0, 45.0]),
+    }.items():
+        t = CRS.get_crs_transform(code)
+        lon, lat = np.array(pts[0]), np.array(pts[1])
+        x, y = t.forward(lon, lat)
+        lo, la = t.inverse(x, y)
+        assert np.allclose(lo, lon, atol=1e-9), code
+        assert np.allclose(la, lat, atol=1e-9), code
+
+    # Mollweide pins: poles at y = sqrt(2) R, map width 4 sqrt(2) R
+    mo = CRS.get_crs_transform(54009)
+    _, y = mo.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(y[0] - np.sqrt(2) * 6378137.0) < 1e-3
+    x, _ = mo.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(x[0] - 2.0 * np.sqrt(2) * 6378137.0) < 1e-3
+    # MODIS sphere
+    assert CRS.modis_sinusoidal().R == 6371007.181
+
+
+def test_helmert_datum_shift():
+    """towgs84 Helmert legs (EPSG 9603/9606): known shift magnitudes,
+    exact algebraic inverse, and the geodetic<->ECEF round trip."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    lon = np.array([-100.0, -75.0, -122.4])
+    lat = np.array([40.0, 35.0, 37.8])
+    lo2, la2 = CRS.datum_shift(
+        lon, lat, CRS.ELLIPSOIDS["clrk66"], CRS.TOWGS84["NAD27"],
+        CRS.ELLIPSOIDS["WGS84"], None)
+    # NAD27->WGS84 moves CONUS coordinates by tens of meters
+    dm = np.hypot((lo2 - lon) * 111_320 * np.cos(np.radians(lat)),
+                  (la2 - lat) * 110_540)
+    assert np.all(dm > 10.0) and np.all(dm < 300.0)
+    # and the reverse leg closes to sub-nanodegree
+    lo3, la3 = CRS.datum_shift(
+        lo2, la2, CRS.ELLIPSOIDS["WGS84"], None,
+        CRS.ELLIPSOIDS["clrk66"], CRS.TOWGS84["NAD27"])
+    assert np.allclose(lo3, lon, atol=1e-9)
+    assert np.allclose(la3, lat, atol=1e-9)
+
+    # OSGB36 Greenwich meridian sits ~5.5 arcsec east of WGS84's
+    lo4, _ = CRS.datum_shift(
+        np.array([0.0]), np.array([51.4777]),
+        CRS.ELLIPSOIDS["airy"], CRS.TOWGS84["OSGB36"],
+        CRS.ELLIPSOIDS["WGS84"], None)
+    assert -0.0020 < lo4[0] < -0.0010
+
+    # 7-param helmert inverse is the standard first-order (transposed
+    # small-angle rotation) inverse: closure error O(r^2)*a ~ 0.1 mm
+    X, Y, Z = CRS.geodetic_to_ecef(
+        np.array([1.0]), np.array([52.0]), *CRS.ELLIPSOIDS["airy"])
+    X2, Y2, Z2 = CRS.helmert_apply(X, Y, Z, CRS.TOWGS84["OSGB36"])
+    X3, Y3, Z3 = CRS.helmert_apply(X2, Y2, Z2, CRS.TOWGS84["OSGB36"],
+                                   inverse=True)
+    assert abs(X3[0] - X[0]) < 1e-3
+    assert abs(Y3[0] - Y[0]) < 1e-3
+    assert abs(Z3[0] - Z[0]) < 1e-3
+
+    # geodetic <-> ECEF closes (Bowring single step, h=0)
+    lo, la = CRS.ecef_to_geodetic(X, Y, Z, *CRS.ELLIPSOIDS["airy"])
+    assert abs(lo[0] - 1.0) < 1e-12 and abs(la[0] - 52.0) < 1e-9
+
+    # same-datum reprojection takes no datum leg (identity fast path)
+    lo5, la5 = CRS.datum_shift(lon, lat, CRS.ELLIPSOIDS["WGS84"], None,
+                               CRS.ELLIPSOIDS["WGS84"], None)
+    assert lo5 is lon and la5 is lat
