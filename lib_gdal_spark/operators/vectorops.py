@@ -107,8 +107,33 @@ _EAST_BOX = G.box_ring(180.0, -91.0, 360.0, 91.0)
 
 def _wrap_polygon(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     """Clip a crossing polygon into the [..180] and [180..] halves
-    (Sutherland-Hodgman against half-world boxes, the relational analog of
-    the reference's CutGeometryOnDateLineAndAddToMulti)."""
+    (the relational analog of the reference's
+    CutGeometryOnDateLineAndAddToMulti; holes that THEMSELVES straddle
+    the seam go through the general overlay — ``apps/ogr2ogr_lib.cpp``
+    routes those through transformWithOptions' full geometry factory).
+
+    Fast path (outer crosses, holes don't): Sutherland-Hodgman per ring
+    against the half-world boxes — intersection distributes over the
+    even-odd difference, so clipping rings independently is exact.
+    General path (a hole crosses the seam): even-odd ring-soup boolean
+    intersection with each half box (functions/overlay.py), which
+    re-nodes hole edges that land on the cut line and splits the outer
+    when a seam-spanning hole severs it."""
+    if any(_crosses_dateline(_norm360(r)[:, 0]) for r in rings[1:]):
+        from lib_gdal_spark.functions import overlay as OV
+
+        soup = [_norm360(r) for r in rings]
+        out = []
+        for box, shift in ((_WEST_BOX, 0.0), (_EAST_BOX, -360.0)):
+            for poly in OV.boolean_op(soup, [np.asarray(box)],
+                                      "intersection"):
+                shifted = []
+                for r in poly:
+                    r = np.array(r, dtype=np.float64)
+                    r[:, 0] += shift
+                    shifted.append(r)
+                out.append(shifted)
+        return out
     out = []
     for box, shift in ((_WEST_BOX, 0.0), (_EAST_BOX, -360.0)):
         clipped = []

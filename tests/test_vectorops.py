@@ -147,3 +147,82 @@ class TestWrapDatelineMulti:
         ])
         out = wrap_dateline(_df(spark, [ml])).collect()
         assert len(out) == 3
+
+
+class TestWrapDatelineSeamHoles:
+    """VERDICT r3 missing #2 / TODO #5: holes that THEMSELVES straddle
+    the antimeridian route through the general overlay kernel."""
+
+    @staticmethod
+    def _even_odd_area(parts):
+        import numpy as np
+        tot = 0.0
+        for rings in parts:
+            x, y = rings[0][:, 0], rings[0][:, 1]
+            tot += abs(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+            for h in rings[1:]:
+                x, y = h[:, 0], h[:, 1]
+                tot -= abs(0.5 * np.sum(x * np.roll(y, -1)
+                                        - np.roll(x, -1) * y))
+        return tot
+
+    def test_seam_straddling_hole(self, spark):
+        import numpy as np
+        outer = np.array([[170., -10.], [-170., -10.], [-170., 10.],
+                          [170., 10.], [170., -10.]])
+        cases = {
+            # interior hole across the seam
+            0: (np.array([[175., -5.], [-175., -5.], [-175., 5.],
+                          [175., 5.], [175., -5.]]), 400.0 - 100.0),
+            # hole severs the band into two disconnected pieces
+            1: (np.array([[175., -10.], [-175., -10.], [-175., 10.],
+                          [175., 10.], [175., -10.]]), 400.0 - 200.0),
+            # hole edge ON the seam (west side only)
+            2: (np.array([[176., -4.], [180., -4.], [180., 4.],
+                          [176., 4.], [176., -4.]]), 400.0 - 32.0),
+        }
+        rows = [(i, bytearray(G.wkb_polygon([outer, h])))
+                for i, (h, _) in cases.items()]
+        df = spark.createDataFrame(rows, "fid long, geom_wkb binary")
+        got = {}
+        for r in wrap_dateline(df).collect():
+            _, _, payload = G.parse_wkb_full(bytes(r.geom_wkb))
+            rings = [np.asarray(x) for x in payload]
+            assert all(abs(x[:, 0]).max() <= 180.0 + 1e-9 for x in rings)
+            got.setdefault(r.fid, []).append(rings)
+        for i, (_, want) in cases.items():
+            assert abs(self._even_odd_area(got[i]) - want) < 1e-9, i
+        # the severing hole leaves NO coverage in (175, 180)
+        allx = np.concatenate([x[:, 0] for rings in got[1] for x in rings])
+        assert not np.any((allx > 175.0 + 1e-9) & (allx < 180.0 - 1e-9))
+
+    def test_area_conservation_random_holed_boxes(self, spark):
+        """Fuzz: crossing boxes with a random seam-straddling hole keep
+        outer-minus-hole area exactly (integer coordinates)."""
+        import numpy as np
+        rng = np.random.default_rng(7)
+        rows, want = [], {}
+        for i in range(20):
+            a = int(rng.integers(150, 175))
+            b = int(rng.integers(-175, -150))
+            y0 = int(rng.integers(-80, 60))
+            h = int(rng.integers(4, 15))
+            ha = int(rng.integers(a + 1, 179))
+            hb = int(rng.integers(-179, b))
+            hy0 = y0 + 1
+            hh = int(rng.integers(1, h - 1))
+            outer = np.array([[a, y0], [b, y0], [b, y0 + h], [a, y0 + h],
+                              [a, y0]], dtype=np.float64)
+            hole = np.array([[ha, hy0], [hb, hy0], [hb, hy0 + hh],
+                             [ha, hy0 + hh], [ha, hy0]], dtype=np.float64)
+            rows.append((i, bytearray(G.wkb_polygon([outer, hole]))))
+            want[i] = (((180 - a) + (b + 180)) * h
+                       - ((180 - ha) + (hb + 180)) * hh)
+        df = spark.createDataFrame(rows, "fid long, geom_wkb binary")
+        got = {}
+        for r in wrap_dateline(df).collect():
+            _, _, payload = G.parse_wkb_full(bytes(r.geom_wkb))
+            rings = [np.asarray(x) for x in payload]
+            got.setdefault(r.fid, []).append(rings)
+        for i, w in want.items():
+            assert abs(self._even_odd_area(got[i]) - w) < 1e-9, i
