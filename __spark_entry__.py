@@ -3393,7 +3393,8 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
-              2154, 3347, 3031, 3413, 3976, 3995]
+              2154, 3347, 3031, 3413, 3976, 3995,
+              27700, 2193, 54008, 54009, 4267]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9534,34 +9535,47 @@ def oracle_sql() -> dict[str, str]:
     # derived polar-stereographic k0 is recomputed INDEPENDENTLY from
     # Snyder 21-32..34 in SQL (t_ts, m_ts) rather than copied.
     srs_rows = []
-    for epsg, proj, fi, lon0, k0, lat_ts, lat0, lat1, lat2, fe, fn in [
+    _AIRY_A = 6377563.396
+    _CLRK66_A = 6378206.4
+    for (epsg, proj, fi, lon0, k0, lat_ts, lat0, lat1, lat2, fe, fn,
+         a_ax) in [
         (4326, "longlat", 298.257224, None, None, None, None, None, None,
-         None, None),
-        (3857, "merc", 0.0, 0.0, None, None, None, None, None, 0.0, 0.0),
+         None, None, 6378137.0),
+        (3857, "merc", 0.0, 0.0, None, None, None, None, None, 0.0, 0.0, 6378137.0),
         (32611, "tmerc", 298.257224, -117.0, 0.9996, None, None, None, None,
-         500000.0, 0.0),
+         500000.0, 0.0, 6378137.0),
         (32733, "tmerc", 298.257224, 15.0, 0.9996, None, None, None, None,
-         500000.0, 10000000.0),
+         500000.0, 10000000.0, 6378137.0),
         (26910, "tmerc", 298.257222, -123.0, 0.9996, None, None, None, None,
-         500000.0, 0.0),
+         500000.0, 0.0, 6378137.0),
         (25832, "tmerc", 298.257222, 9.0, 0.9996, None, None, None, None,
-         500000.0, 0.0),
+         500000.0, 0.0, 6378137.0),
         (5070, "aea", 298.257222, -96.0, None, None, 23.0, 29.5, 45.5,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
         (3577, "aea", 298.257222, 132.0, None, None, 0.0, -18.0, -36.0,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
         (2154, "lcc", 298.257222, 3.0, None, None, 46.5, 49.0, 44.0,
-         700000.0, 6600000.0),
+         700000.0, 6600000.0, 6378137.0),
         (3347, "lcc", 298.257222, -91.866667, None, None, 63.390675, 49.0,
-         77.0, 6200000.0, 3000000.0),
+         77.0, 6200000.0, 3000000.0, 6378137.0),
         (3031, "stere", 298.257224, 0.0, "K0", -71.0, None, None, None,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
         (3413, "stere", 298.257224, -45.0, "K0", 70.0, None, None, None,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
         (3976, "stere", 298.257224, 0.0, "K0", -70.0, None, None, None,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
         (3995, "stere", 298.257224, 0.0, "K0", 71.0, None, None, None,
-         0.0, 0.0),
+         0.0, 0.0, 6378137.0),
+    (27700, "tmerc", 299.324965, -2.0, 0.999601, None, 49.0, None,
+         None, 400000.0, -100000.0, _AIRY_A),
+        (2193, "tmerc", 298.257222, 173.0, 0.9996, None, 0.0, None, None,
+         1600000.0, 10000000.0, 6378137.0),
+        (54008, "sinu", 0.0, 0.0, None, None, None, None, None,
+         0.0, 0.0, 6378137.0),
+        (54009, "moll", 0.0, 0.0, None, None, None, None, None,
+         0.0, 0.0, 6378137.0),
+        (4267, "longlat", 294.978698, None, None, None, None, None, None,
+         None, None, _CLRK66_A),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
@@ -9579,7 +9593,7 @@ def oracle_sql() -> dict[str, str]:
             k0sql = lit(k0)
         srs_rows.append(
             f"SELECT CAST({epsg} AS BIGINT) AS epsg, '{proj}' AS proj, "
-            f"6378137.0 AS a, {lit(fi)} AS f_inv, {lit(lon0)} AS lon0, "
+            f"{a_ax!r} AS a, {lit(fi)} AS f_inv, {lit(lon0)} AS lon0, "
             f"{k0sql} AS k0, {lit(lat_ts)} AS lat_ts, {lit(lat0)} AS lat0, "
             f"{lit(lat1)} AS lat1, {lit(lat2)} AS lat2, "
             f"{lit(fe)} AS false_e, {lit(fn)} AS false_n"

@@ -78,6 +78,8 @@ BENCH = {
     "graph_sssp": lambda s: _force(E.q_graph_sssp(s, SF_DIR)),
     # round-3 additions
     "warp_ps": lambda s: _force(E.q_warp_ps_nearest(s, SF_DIR)),
+    "warp_mollweide": lambda s: _force(E.q_warp_mollweide_nearest(s, SF_DIR)),
+    "warp_datum_shift": lambda s: _force(E.q_warp_datum_shift(s, SF_DIR)),
     "translate_cubic": lambda s: _force(E.q_translate_cubic(s, SF_DIR)),
     "raster_checksum": lambda s: _force(E.q_raster_checksum(s, SF_DIR)),
     "pyramid_magphase": lambda s: _force(E.q_pyramid_magphase_l1(s, SF_DIR)),

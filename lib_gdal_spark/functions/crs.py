@@ -154,7 +154,8 @@ def _tm_with_lat0(lat0: float, lon0: float, k0: float, false_e: float,
         tm.false_n = false_n - float(n0[0])
     else:
         tm.false_n = false_n
-    tm.lat0 = lat0
+    tm.lat0_deg = lat0
+    tm.false_n_origin = false_n  # the EPSG-definition FN (srs_info reports)
     tm.towgs84 = towgs84
     return tm
 
@@ -770,13 +771,20 @@ def srs_info(epsg: int) -> dict:
         "false_n": getattr(t, "false_n", nan),
     }
     if isinstance(t, Geographic):
-        out.update(a=WGS84_A, f_inv=1.0 / WGS84_F,
+        out.update(a=t.a, f_inv=1.0 / t.f,
                    lon0=nan, false_e=nan, false_n=nan)
     elif isinstance(t, WebMercator):
         out.update(a=6378137.0, f_inv=0.0, lon0=0.0,
                    false_e=0.0, false_n=0.0)
+    elif isinstance(t, (Sinusoidal, Mollweide)):
+        out.update(a=t.R, f_inv=0.0, lon0=t.lon0,
+                   false_e=0.0, false_n=0.0)
     elif isinstance(t, TransverseMercator):
         out["f_inv"] = 1.0 / t.f
+        out["lat0"] = getattr(t, "lat0_deg", nan)
+        # report the EPSG-definition false northing, not the internal
+        # meridian-arc-adjusted one (natural-origin grids like 27700)
+        out["false_n"] = getattr(t, "false_n_origin", t.false_n)
     elif isinstance(t, (LambertConformalConic, AlbersEqualArea)):
         out["f_inv"] = 1.0 / (1.0 - np.sqrt(1.0 - t.e ** 2))
         out["lat0"] = getattr(t, "lat0_deg", nan)
