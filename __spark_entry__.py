@@ -2094,6 +2094,25 @@ def q_warp_albers_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOLL_DST_GT = (-17_600_000.0, 275_000.0, 0.0, 8_800_000.0, 0.0, -137_500.0)
 _SINU_DST_GT = (-17_500_000.0, 273_437.5, 0.0, 8_750_000.0, 0.0, -136_718.75)
+_BNG_DST_GT = (0.0, 5_468.75, 0.0, 1_250_000.0, 0.0, -9_765.625)
+
+
+def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:27700 (British National Grid): Airy-ellipsoid
+    Krüger TM inverse with the 49N natural origin PLUS the full 7-param
+    OSGB36->WGS84 Helmert datum leg (position vector, EPSG 9606) — the
+    complete dst->src pipeline a datum-shifted -t_srs builds; the oracle
+    spells TM series + Helmert matrix + Bowring, all closed-form."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    inv = CRS.datum_aware_inverse(27700)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _BNG_DST_GT, 128, 128, inv, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
 
 
 def q_warp_mollweide_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5315,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_mollweide_nearest": q_warp_mollweide_nearest,
         "warp_sinusoidal_nearest": q_warp_sinusoidal_nearest,
         "warp_datum_shift": q_warp_datum_shift,
+        "warp_bng_nearest": q_warp_bng_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -7363,6 +7383,121 @@ def oracle_sql() -> dict[str, str]:
             0.0 + degrees(E / ({_sr!r} * cos(phi))) AS lon,
             degrees(phi) AS lat
           FROM ph
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:27700 warp: Airy Krüger TM inverse (the warp_utm pattern with
+    # the 27700 constructor's coefficients + adjusted false northing) ->
+    # OSGB36 geodetic -> Airy ECEF -> FULL 7-param Helmert (position
+    # vector, rotations in radians + ppm scale as literals from the same
+    # TOWGS84 table) -> Bowring -> WGS84 -> src pixel.
+    _tmb = _CRS.get_crs_transform(27700)
+    _kAb = _tmb.k0 * _tmb.A
+    g0b, g1b, _, g3b, _, g5b = _BNG_DST_GT
+    _bsum_xi_b = " + ".join(
+        f"{b!r} * sin({2 * j}.0 * xi) * {_ch(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tmb.beta, start=1)
+    )
+    _bsum_eta_b = " + ".join(
+        f"{b!r} * cos({2 * j}.0 * xi) * {_sh(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tmb.beta, start=1)
+    )
+    _dsum_b = " + ".join(
+        f"{d!r} * sin({2 * j}.0 * chi)" for j, d in enumerate(_tmb.delta, 1)
+    )
+    _aa_b, _af_b = _CRS.ELLIPSOIDS["airy"]
+    _ae2_b = _af_b * (2.0 - _af_b)
+    _ob = _CRS.TOWGS84["OSGB36"]
+    _asec_b = np.pi / (180.0 * 3600.0)
+    _rxb, _ryb, _rzb = (_ob[3] * _asec_b, _ob[4] * _asec_b, _ob[5] * _asec_b)
+    _mmb = 1.0 + _ob[6] * 1e-6
+    _wa_b, _wf_b = _CRS.ELLIPSOIDS["WGS84"]
+    _wb_b = _wa_b * (1.0 - _wf_b)
+    _we2_b = _wf_b * (2.0 - _wf_b)
+    _wep2_b = _we2_b / (1.0 - _we2_b)
+    sqls["warp_bng_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0b!r} + (px + 0.5) * {g1b!r} AS E,
+            {g3b!r} + (py + 0.5) * {g5b!r} AS N
+          FROM pix
+        ),
+        xe AS (
+          SELECT px, py, (N - {_tmb.false_n!r}) / {_kAb!r} AS xi,
+                 (E - {_tmb.false_e!r}) / {_kAb!r} AS eta
+          FROM en
+        ),
+        p1 AS (
+          SELECT px, py,
+            xi - ({_bsum_xi_b}) AS xip,
+            eta - ({_bsum_eta_b}) AS etap
+          FROM xe
+        ),
+        p2 AS (
+          SELECT px, py, asin(sin(xip) / {_ch("etap")}) AS chi,
+                 atan2({_sh("etap")}, cos(xip)) AS lam
+          FROM p1
+        ),
+        gl AS (
+          SELECT px, py,
+            {_tmb.lon0!r} + degrees(lam) AS glon,
+            degrees(chi + ({_dsum_b})) AS glat
+          FROM p2
+        ),
+        tri AS (
+          SELECT px, py, radians(glon) AS lam2,
+                 sin(radians(glat)) AS sp, cos(radians(glat)) AS cp
+          FROM gl
+        ),
+        nuc AS (
+          SELECT px, py, lam2, sp, cp,
+                 {_aa_b!r} / sqrt(1.0 - {_ae2_b!r} * sp * sp) AS nu
+          FROM tri
+        ),
+        ec AS (
+          SELECT px, py,
+            nu * cp * cos(lam2) AS X,
+            nu * cp * sin(lam2) AS Y,
+            nu * {1.0 - _ae2_b!r} * sp AS Z
+          FROM nuc
+        ),
+        hel AS (
+          SELECT px, py,
+            {_ob[0]!r} + {_mmb!r} * (X - {_rzb!r} * Y + {_ryb!r} * Z) AS X,
+            {_ob[1]!r} + {_mmb!r} * ({_rzb!r} * X + Y - {_rxb!r} * Z) AS Y,
+            {_ob[2]!r} + {_mmb!r} * (-{_ryb!r} * X + {_rxb!r} * Y + Z) AS Z
+          FROM ec
+        ),
+        bow AS (
+          SELECT px, py, X, Y, Z, sqrt(X * X + Y * Y) AS p,
+                 atan2(Z * {_wa_b!r}, sqrt(X * X + Y * Y) * {_wb_b!r}) AS u
+          FROM hel
+        ),
+        ll AS (
+          SELECT px, py,
+            degrees(atan2(Y, X)) AS lon,
+            degrees(atan2(
+              Z + {_wep2_b!r} * {_wb_b!r} * sin(u) * sin(u) * sin(u),
+              p - {_we2_b!r} * {_wa_b!r} * cos(u) * cos(u) * cos(u))) AS lat
+          FROM bow
         ),
         sp AS (
           SELECT px, py,

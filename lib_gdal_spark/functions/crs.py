@@ -517,6 +517,25 @@ def datum_shift(lon, lat, src_ab, src_towgs84, dst_ab, dst_towgs84):
     return ecef_to_geodetic(X, Y, Z, a_d, f_d)
 
 
+def datum_aware_inverse(epsg: int):
+    """Projected (x, y) of ``epsg`` -> WGS84 (lon, lat): the projector's
+    inverse composed with the towgs84 leg when the CRS rides a non-WGS84
+    datum — the dst->src transform hook gdalwarp builds when -t_srs names
+    a datum-shifted CRS (``gdaltransformer.cpp`` GenImgProj with an
+    ogrct datum pipeline)."""
+    t = get_crs_transform(epsg)
+    tw = getattr(t, "towgs84", None)
+    if tw is None:
+        return t.inverse
+    ab = (t.a, t.f)
+
+    def inv(x, y):
+        lon, lat = t.inverse(x, y)
+        return datum_shift(lon, lat, ab, tw, (WGS84_A, WGS84_F), None)
+
+    return inv
+
+
 class Geographic:
     """Identity projector: lon/lat degrees ARE the projected coordinates
     (EPSG:4326 and friends). A non-WGS84 geographic CRS (NAD27, ED50,
