@@ -2095,6 +2095,8 @@ def q_warp_albers_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOLL_DST_GT = (-17_600_000.0, 275_000.0, 0.0, 8_800_000.0, 0.0, -137_500.0)
 _SINU_DST_GT = (-17_500_000.0, 273_437.5, 0.0, 8_750_000.0, 0.0, -136_718.75)
 _BNG_DST_GT = (0.0, 5_468.75, 0.0, 1_250_000.0, 0.0, -9_765.625)
+_LAEA_DST_GT = (2_500_000.0, 27_343.75, 0.0, 5_500_000.0, 0.0, -31_250.0)
+_RD_DST_GT = (0.0, 2_343.75, 0.0, 650_000.0, 0.0, -2_734.375)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2109,6 +2111,43 @@ def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _BNG_DST_GT, 128, 128, inv, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_laea_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:3035 (ETRS89 / LAEA Europe — ellipsoidal
+    Lambert azimuthal equal-area, Snyder §24 / EPSG method 9820, the
+    pan-European statistical grid) through the registry. The inverse is
+    fully closed-form (rho/ce/beta + the authalic-to-geodetic series),
+    spelled literally in the DuckDB oracle."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    laea = CRS.get_crs_transform(3035)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _LAEA_DST_GT, 128, 128, laea.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_rdnew_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:28992 (Amersfoort / RD New — oblique
+    stereographic double projection, EPSG method 9809, Bessel 1841)
+    PLUS the 7-param Amersfoort->WGS84 Helmert datum leg: the complete
+    dst->src pipeline for the Dutch national grid. The oracle spells the
+    GN7-2 g/h/i/j inverse, the 6-step unrolled isometric-latitude fixed
+    point, the Helmert matrix, and Bowring — all closed-form."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    inv = CRS.datum_aware_inverse(28992)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _RD_DST_GT, 128, 128, inv, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3413,7 +3452,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
-              27700, 2193, 54008, 54009, 4267]
+              27700, 2193, 54008, 54009, 4267, 3035, 28992]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5335,6 +5374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_sinusoidal_nearest": q_warp_sinusoidal_nearest,
         "warp_datum_shift": q_warp_datum_shift,
         "warp_bng_nearest": q_warp_bng_nearest,
+        "warp_laea_nearest": q_warp_laea_nearest,
+        "warp_rdnew_nearest": q_warp_rdnew_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -7497,6 +7538,206 @@ def oracle_sql() -> dict[str, str]:
             degrees(atan2(
               Z + {_wep2_b!r} * {_wb_b!r} * sin(u) * sin(u) * sin(u),
               p - {_we2_b!r} * {_wa_b!r} * cos(u) * cos(u) * cos(u))) AS lat
+          FROM bow
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:3035 warp: ellipsoidal LAEA inverse (Snyder 24-26..24-34) +
+    # the authalic-to-geodetic series (Snyder 3-18) — fully closed-form,
+    # every constant from the same 3035 constructor as the Spark path.
+    _la = _CRS.get_crs_transform(3035)
+    _sb1 = float(np.sin(_la.beta1))
+    _cb1 = float(np.cos(_la.beta1))
+    _2rq = 2.0 * _la.Rq
+    g0e, g1e, _, g3e, _, g5e = _LAEA_DST_GT
+    sqls["warp_laea_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0e!r} + (px + 0.5) * {g1e!r} AS E,
+            {g3e!r} + (py + 0.5) * {g5e!r} AS N
+          FROM pix
+        ),
+        xy AS (
+          -- the grid E/N values are binary-exact, so DOUBLE casts here
+          -- are lossless (DuckDB otherwise keeps DECIMAL and overflows
+          -- at yd*yd)
+          SELECT px, py,
+            CAST(E - {_la.false_e!r} AS DOUBLE) / {_la.D!r} AS xd,
+            CAST(N - {_la.false_n!r} AS DOUBLE) * {_la.D!r} AS yd
+          FROM en
+        ),
+        rh AS (
+          SELECT px, py, xd, yd, sqrt(xd * xd + yd * yd) AS rho FROM xy
+        ),
+        cc AS (
+          SELECT px, py, xd, yd, rho,
+            2.0 * asin(least(greatest(rho / {_2rq!r}, -1.0), 1.0)) AS ce
+          FROM rh
+        ),
+        bt AS (
+          SELECT px, py,
+            CASE WHEN rho = 0.0 THEN {_la.beta1!r}
+                 ELSE asin(least(greatest(
+                   cos(ce) * {_sb1!r} + yd * sin(ce) * {_cb1!r} / rho,
+                   -1.0), 1.0))
+            END AS beta,
+            atan2(xd * sin(ce),
+                  rho * {_cb1!r} * cos(ce) - yd * {_sb1!r} * sin(ce)) AS lam
+          FROM cc
+        ),
+        ll AS (
+          SELECT px, py,
+            {_la.lon0!r} + degrees(lam) AS lon,
+            degrees(beta + {_la.c2!r} * sin(2.0 * beta)
+                         + {_la.c4!r} * sin(4.0 * beta)
+                         + {_la.c6!r} * sin(6.0 * beta)) AS lat
+          FROM bt
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:28992 warp: oblique-stereographic GN7-2 g/h/i/j inverse on the
+    # Gauss sphere, the 6-step unrolled isometric-latitude fixed point,
+    # then Bessel ECEF -> FULL 7-param Amersfoort Helmert -> Bowring ->
+    # WGS84 -> src pixel. Constants from the same 28992 constructor.
+    _rd = _CRS.get_crs_transform(28992)
+    _rk2 = 2.0 * _rd.R * _rd.k0
+    _gq = float(_rk2 * np.tan(np.pi / 4.0 - _rd.chi0 / 2.0))
+    _hq = float(2.0 * _rk2 * np.tan(_rd.chi0) + _gq)
+    _re = float(_rd.e)
+    _rlnc2 = 0.5 * float(np.log(_rd.c))
+    _ba_r, _bf_r = _CRS.ELLIPSOIDS["bessel"]
+    _be2_r = _bf_r * (2.0 - _bf_r)
+    _am = _CRS.TOWGS84["AMERSFOORT"]
+    _asec_r = np.pi / (180.0 * 3600.0)
+    _rxr, _ryr, _rzr = (_am[3] * _asec_r, _am[4] * _asec_r, _am[5] * _asec_r)
+    _mmr = 1.0 + _am[6] * 1e-6
+    _wa_r, _wf_r = _CRS.ELLIPSOIDS["WGS84"]
+    _wb_r = _wa_r * (1.0 - _wf_r)
+    _we2_r = _wf_r * (2.0 - _wf_r)
+    _wep2_r = _we2_r / (1.0 - _we2_r)
+    g0r, g1r, _, g3r, _, g5r = _RD_DST_GT
+    _iso_step = (
+        "SELECT px, py, lon, psi, 2.0 * atan(exp(psi + {e} / 2.0 * "
+        "ln((1.0 + {e} * sin(phi)) / (1.0 - {e} * sin(phi))))) "
+        "- pi() / 2.0 AS phi FROM {src}"
+    )
+    _iso_ctes = ",\n        ".join(
+        f"it{k} AS ({_iso_step.format(e=repr(_re), src=('p0' if k == 1 else f'it{k - 1}'))})"
+        for k in range(1, _rd.ISO_ITERS + 1)
+    )
+    sqls["warp_rdnew_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0r!r} + (px + 0.5) * {g1r!r} AS Ep0,
+            {g3r!r} + (py + 0.5) * {g5r!r} AS Np0
+          FROM pix
+        ),
+        d1 AS (
+          SELECT px, py, Ep0 - {_rd.false_e!r} AS Ep,
+                 Np0 - {_rd.false_n!r} AS Np
+          FROM en
+        ),
+        d2 AS (
+          SELECT px, py, Ep, Np,
+            atan2(Ep, {_hq!r} + Np) AS i,
+            atan2(Ep, {_gq!r} - Np) - atan2(Ep, {_hq!r} + Np) AS j
+          FROM d1
+        ),
+        d3 AS (
+          SELECT px, py,
+            {_rd.chi0!r} + 2.0 * atan((Np - Ep * tan(j / 2.0))
+                                      / {_rk2!r}) AS chi,
+            j + 2.0 * i AS lam
+          FROM d2
+        ),
+        d4 AS (
+          SELECT px, py,
+            {_rd.lon0!r} + degrees(lam / {_rd.n!r}) AS lon,
+            (ln(tan(pi() / 4.0 + chi / 2.0)) - {_rlnc2!r})
+              / {_rd.n!r} AS psi
+          FROM d3
+        ),
+        p0 AS (
+          SELECT px, py, lon, psi,
+                 2.0 * atan(exp(psi)) - pi() / 2.0 AS phi
+          FROM d4
+        ),
+        {_iso_ctes},
+        gl AS (
+          SELECT px, py, lon AS glon, degrees(phi) AS glat
+          FROM it{_rd.ISO_ITERS}
+        ),
+        tri AS (
+          SELECT px, py, radians(glon) AS lam2,
+                 sin(radians(glat)) AS sp, cos(radians(glat)) AS cp
+          FROM gl
+        ),
+        nuc AS (
+          SELECT px, py, lam2, sp, cp,
+                 {_ba_r!r} / sqrt(1.0 - {_be2_r!r} * sp * sp) AS nu
+          FROM tri
+        ),
+        ec AS (
+          SELECT px, py,
+            nu * cp * cos(lam2) AS X,
+            nu * cp * sin(lam2) AS Y,
+            nu * {1.0 - _be2_r!r} * sp AS Z
+          FROM nuc
+        ),
+        hel AS (
+          SELECT px, py,
+            {_am[0]!r} + {_mmr!r} * (X - {_rzr!r} * Y + {_ryr!r} * Z) AS X,
+            {_am[1]!r} + {_mmr!r} * ({_rzr!r} * X + Y - {_rxr!r} * Z) AS Y,
+            {_am[2]!r} + {_mmr!r} * (-{_ryr!r} * X + {_rxr!r} * Y + Z) AS Z
+          FROM ec
+        ),
+        bow AS (
+          SELECT px, py, X, Y, Z, sqrt(X * X + Y * Y) AS p,
+                 atan2(Z * {_wa_r!r}, sqrt(X * X + Y * Y) * {_wb_r!r}) AS u
+          FROM hel
+        ),
+        ll AS (
+          SELECT px, py,
+            degrees(atan2(Y, X)) AS lon,
+            degrees(atan2(
+              Z + {_wep2_r!r} * {_wb_r!r} * sin(u) * sin(u) * sin(u),
+              p - {_we2_r!r} * {_wa_r!r} * cos(u) * cos(u) * cos(u))) AS lat
           FROM bow
         ),
         sp AS (
@@ -9711,6 +9952,10 @@ def oracle_sql() -> dict[str, str]:
          0.0, 0.0, 6378137.0),
         (4267, "longlat", 294.978698, None, None, None, None, None, None,
          None, None, _CLRK66_A),
+        (3035, "laea", 298.257222, 10.0, None, None, 52.0, None, None,
+         4321000.0, 3210000.0, 6378137.0),
+        (28992, "sterea", 299.152813, 5.387639, 0.999908, None,
+         52.156161, None, None, 155000.0, 463000.0, 6377397.155),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

@@ -136,6 +136,9 @@ BENCH = {
     "event_funnel": lambda s: _force(E.q_event_funnel(s, SF_DIR)),
     "cosine_topk_int8": lambda s: _force(E.q_cosine_topk_int8(s, SF_DIR)),
     "s2_ring_pairs": lambda s: _force(E.q_s2_ring_pairs(s, SF_DIR)),
+    # round-4 session-2 additions
+    "warp_laea": lambda s: _force(E.q_warp_laea_nearest(s, SF_DIR)),
+    "warp_rdnew": lambda s: _force(E.q_warp_rdnew_nearest(s, SF_DIR)),
 }
 
 

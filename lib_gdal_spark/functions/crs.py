@@ -33,6 +33,7 @@ ELLIPSOIDS = {
     "intl": (6378388.0, 1.0 / 297.0),        # International 1924
     "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),  # Clarke 1866
     "airy": (6377563.396, 1.0 / 299.3249646),  # Airy 1830 (OSGB36)
+    "bessel": (6377397.155, 1.0 / 299.1528128),  # Bessel 1841 (RD New)
 }
 
 # towgs84 Helmert parameters (dx, dy, dz[, rx, ry, rz, s]) — meters,
@@ -43,6 +44,9 @@ TOWGS84 = {
     "ED50": (-87.0, -98.0, -121.0),
     "OSGB36": (446.448, -125.157, 542.060,
                0.1502, 0.2470, 0.8421, -20.4894),
+    # Amsterdam / RD New (the +towgs84 PROJ ships for EPSG:4289)
+    "AMERSFOORT": (565.417, 50.3319, 465.552,
+                   -0.398957, 0.343988, -1.87740, 4.0725),
 }
 
 
@@ -433,6 +437,169 @@ class Mollweide:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+class LambertAzimuthalEqualArea:
+    """Lambert azimuthal equal-area, ellipsoidal (Snyder 1987 §24,
+    EPSG method 9820) — EPSG:3035 ETRS89 / LAEA Europe, the standard
+    pan-European statistical grid. Forward maps through the authalic
+    latitude beta = asin(q/qp); the inverse is fully closed-form
+    (Snyder 24-26..24-34 + the authalic-to-geodetic series 3-18),
+    which is what the warp oracle spells in SQL."""
+
+    def __init__(self, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F) -> None:
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lat0_deg = lat0
+        p0 = np.radians(lat0)
+        self.qp = float(self._q(np.pi / 2.0))
+        q0 = float(self._q(p0))
+        self.beta1 = float(np.arcsin(q0 / self.qp))
+        self.Rq = float(a * np.sqrt(self.qp / 2.0))
+        m1 = float(np.cos(p0) / np.sqrt(1.0 - self.e2 * np.sin(p0) ** 2))
+        self.D = float(a * m1 / (self.Rq * np.cos(self.beta1)))
+        # authalic -> geodetic series coefficients (Snyder 3-18)
+        e2, e4, e6 = self.e2, self.e2 ** 2, self.e2 ** 3
+        self.c2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+        self.c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+        self.c6 = 761.0 * e6 / 45360.0
+
+    def _q(self, phi):
+        e, e2 = self.e, self.e2
+        s = np.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        B = self.Rq * np.sqrt(
+            2.0 / (1.0 + sb1 * np.sin(beta)
+                   + cb1 * np.cos(beta) * np.cos(lam))
+        )
+        E = self.false_e + B * self.D * np.cos(beta) * np.sin(lam)
+        N = self.false_n + (B / self.D) * (
+            cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam)
+        )
+        return E, N
+
+    def inverse(self, E, N):
+        xd = (np.asarray(E, np.float64) - self.false_e) / self.D
+        yd = (np.asarray(N, np.float64) - self.false_n) * self.D
+        rho = np.sqrt(xd * xd + yd * yd)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        rho_safe = np.where(rho == 0.0, 1.0, rho)
+        beta = np.arcsin(np.clip(
+            np.cos(ce) * sb1 + yd * np.sin(ce) * cb1 / rho_safe,
+            -1.0, 1.0))
+        beta = np.where(rho == 0.0, self.beta1, beta)
+        lam = np.arctan2(
+            xd * np.sin(ce),
+            rho * cb1 * np.cos(ce) - yd * sb1 * np.sin(ce))
+        phi = (beta + self.c2 * np.sin(2.0 * beta)
+               + self.c4 * np.sin(4.0 * beta)
+               + self.c6 * np.sin(6.0 * beta))
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class ObliqueStereographic:
+    """Oblique stereographic, double projection through the Gauss
+    conformal sphere (EPSG method 9809) — EPSG:28992 Amersfoort / RD New,
+    the Dutch national grid. Formulas follow the published EPSG Guidance
+    Note 7-2 §1.4.7.1 (n, c, R from the 2nd flattening at the origin;
+    g/h/i/j inverse). The inverse's conformal-to-geodetic latitude step
+    inverts the isometric latitude by fixed-point iteration — unrolled
+    to a fixed depth so the SQL oracle can mirror it exactly."""
+
+    ISO_ITERS = 6
+
+    def __init__(self, lat0: float, lon0: float, k0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        self.a = a
+        self.f = f
+        self.k0 = k0
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lat0_deg = lat0
+        self.towgs84 = towgs84
+        p0 = np.radians(lat0)
+        e2, e = self.e2, self.e
+        s0, c0 = np.sin(p0), np.cos(p0)
+        # Gauss sphere constants at the origin (GN7-2)
+        self.n = float(np.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2)))
+        rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+        nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+        self.R = float(np.sqrt(rho0 * nu0))
+        S1 = (1.0 + s0) / (1.0 - s0)
+        S2 = (1.0 - e * s0) / (1.0 + e * s0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+        self.c = float((self.n + s0) * (1.0 - sin_chi0)
+                       / ((self.n - s0) * (1.0 + sin_chi0)))
+        w2 = self.c * w1
+        self.chi0 = float(np.arcsin((w2 - 1.0) / (w2 + 1.0)))
+
+    def _chi(self, phi):
+        e = self.e
+        s = np.sin(phi)
+        S1 = (1.0 + s) / (1.0 - s)
+        S2 = (1.0 - e * s) / (1.0 + e * s)
+        w = self.c * (S1 * S2 ** e) ** self.n
+        return np.arcsin((w - 1.0) / (w + 1.0))
+
+    def forward(self, lon, lat):
+        lam = self.n * np.radians(np.asarray(lon, np.float64) - self.lon0)
+        chi = self._chi(np.radians(np.asarray(lat, np.float64)))
+        s0, c0 = np.sin(self.chi0), np.cos(self.chi0)
+        B = 1.0 + np.sin(chi) * s0 + np.cos(chi) * c0 * np.cos(lam)
+        E = self.false_e + 2.0 * self.R * self.k0 * np.cos(chi) \
+            * np.sin(lam) / B
+        N = self.false_n + 2.0 * self.R * self.k0 \
+            * (np.sin(chi) * c0 - np.cos(chi) * s0 * np.cos(lam)) / B
+        return E, N
+
+    def inverse(self, E, N):
+        Ep = np.asarray(E, np.float64) - self.false_e
+        Np = np.asarray(N, np.float64) - self.false_n
+        Rk2 = 2.0 * self.R * self.k0
+        g = Rk2 * np.tan(np.pi / 4.0 - self.chi0 / 2.0)
+        h = 2.0 * Rk2 * np.tan(self.chi0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = self.chi0 + 2.0 * np.arctan((Np - Ep * np.tan(j / 2.0)) / Rk2)
+        lam = j + 2.0 * i
+        lon = self.lon0 + np.degrees(lam / self.n)
+        # conformal sphere chi -> geodetic phi: ln w = ln c + 2n*psi_ell
+        # and artanh(sin chi) = ln(w)/2, so the ellipsoidal isometric
+        # latitude is psi = (ln tan(pi/4 + chi/2) - ln(c)/2) / n; invert
+        # psi -> phi by fixed point
+        e = self.e
+        psi = (np.log(np.tan(np.pi / 4.0 + chi / 2.0))
+               - 0.5 * np.log(self.c)) / self.n
+        phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+        for _ in range(self.ISO_ITERS):
+            s = np.sin(phi)
+            phi = 2.0 * np.arctan(
+                np.exp(psi + e / 2.0
+                       * np.log((1.0 + e * s) / (1.0 - e * s)))
+            ) - np.pi / 2.0
+        return lon, np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # Datum shift: geodetic <-> geocentric + Helmert (towgs84) — the role of
 # the PROJ pipeline step ``+towgs84=...`` in ``core/ogr/ogrct.cpp``'s
@@ -600,6 +767,10 @@ def get_crs_transform(epsg: int):
       datum), 2193 NZTM2000 (GRS80 TM)
     - 54008 / 54009 ESRI World Sinusoidal / Mollweide (spherical, R = a);
       :func:`modis_sinusoidal` for the MODIS R=6371007.181 grid
+    - 3035 ETRS89 / LAEA Europe (ellipsoidal Lambert azimuthal
+      equal-area, Snyder §24 / EPSG 9820, origin 52N 10E)
+    - 28992 Amersfoort / RD New (oblique stereographic double
+      projection, EPSG 9809, Bessel 1841 + 7-param towgs84)
 
     Raises ``KeyError`` for anything else — callers should surface the code
     so users know the registry gap (no silent fallback).
@@ -658,6 +829,19 @@ def get_crs_transform(epsg: int):
         # matching PROJ's sphere-on-a behavior for moll/sinu)
         54008: lambda: Sinusoidal(R=a),
         54009: lambda: Mollweide(R=a),
+        # pan-European LAEA statistical grid (ETRS89/GRS80)
+        3035: lambda: LambertAzimuthalEqualArea(
+            lat0=52.0, lon0=10.0,
+            false_e=4_321_000.0, false_n=3_210_000.0, a=ga, f=gf),
+        # Dutch RD New: oblique stereographic on Bessel 1841 with the
+        # Amersfoort 7-param Helmert datum leg
+        28992: lambda: ObliqueStereographic(
+            lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            lon0=5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+            k0=0.9999079,
+            false_e=155_000.0, false_n=463_000.0,
+            a=ELLIPSOIDS["bessel"][0], f=ELLIPSOIDS["bessel"][1],
+            towgs84=TOWGS84["AMERSFOORT"]),
     }
     try:
         return table[epsg]()
@@ -760,6 +944,8 @@ _PROJ_IDS = {
     "PolarStereographic": "stere",
     "Sinusoidal": "sinu",
     "Mollweide": "moll",
+    "LambertAzimuthalEqualArea": "laea",
+    "ObliqueStereographic": "sterea",
 }
 
 
@@ -812,4 +998,10 @@ def srs_info(epsg: int) -> dict:
     elif isinstance(t, PolarStereographic):
         out["f_inv"] = 1.0 / (1.0 - np.sqrt(1.0 - t.e ** 2))
         out["lat_ts"] = getattr(t, "lat_ts_deg", nan)
+    elif isinstance(t, LambertAzimuthalEqualArea):
+        out["f_inv"] = 1.0 / (1.0 - np.sqrt(1.0 - t.e ** 2))
+        out["lat0"] = t.lat0_deg
+    elif isinstance(t, ObliqueStereographic):
+        out["f_inv"] = 1.0 / t.f
+        out["lat0"] = t.lat0_deg
     return out

@@ -338,3 +338,64 @@ def test_helmert_datum_shift():
     lo5, la5 = CRS.datum_shift(lon, lat, CRS.ELLIPSOIDS["WGS84"], None,
                                CRS.ELLIPSOIDS["WGS84"], None)
     assert lo5 is lon and la5 is lat
+
+
+def test_laea_europe_and_rd_new():
+    """Round-4 session-2 registry breadth: EPSG:3035 (ellipsoidal LAEA,
+    Snyder §24 / EPSG 9820) against the published EPSG Guidance Note 7-2
+    worked example, and EPSG:28992 (oblique stereographic double
+    projection, EPSG 9809, Bessel) against its GN7-2 worked example."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    laea = CRS.get_crs_transform(3035)
+    # GN7-2 §1.4.10 worked example (ETRS89/LAEA): 50N 5E ->
+    # E 3962799.45, N 2999718.85
+    e, n = laea.forward(np.array([5.0]), np.array([50.0]))
+    assert abs(e[0] - 3962799.45) < 0.01
+    assert abs(n[0] - 2999718.85) < 0.01
+    # natural origin maps to the false easting/northing exactly
+    e, n = laea.forward(np.array([10.0]), np.array([52.0]))
+    assert abs(e[0] - 4_321_000.0) < 1e-6 and abs(n[0] - 3_210_000.0) < 1e-6
+    # equal-area property: a small quad keeps its authalic area
+    for lat0 in (35.0, 52.0, 68.0):
+        d = 0.01
+        lon_q = np.array([0.0, d, d, 0.0]) - 3.0
+        lat_q = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = laea.forward(lon_q, lat_q)
+        area = 0.5 * abs(
+            np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        # ellipsoidal patch area via the authalic sphere
+        Rq = laea.Rq
+        phi = np.radians(lat0 + d / 2)
+        q1 = laea._q(np.radians(lat0))
+        q2 = laea._q(np.radians(lat0 + d))
+        truth = (laea.a ** 2 / 2.0) * (q2 - q1) * np.radians(d)
+        assert abs(area - truth) / truth < 1e-4, lat0
+    # closure fuzz over the European window
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-10.0, 30.0, 5000)
+    lat = rng.uniform(35.0, 70.0, 5000)
+    x, y = laea.forward(lon, lat)
+    lo, la = laea.inverse(x, y)
+    assert np.abs(lo - lon).max() < 1e-12
+    assert np.abs(la - lat).max() < 1e-7  # authalic series truncation
+
+    rd = CRS.get_crs_transform(28992)
+    # GN7-2 §1.4.7.1 worked example (Amersfoort/RD New): 53N 6E ->
+    # E 196105.283, N 557057.739
+    e, n = rd.forward(np.array([6.0]), np.array([53.0]))
+    assert abs(e[0] - 196105.283) < 0.002
+    assert abs(n[0] - 557057.739) < 0.002
+    # closure fuzz over the Dutch window (inverse is fully unrolled)
+    lon = rng.uniform(3.0, 8.0, 5000)
+    lat = rng.uniform(50.0, 54.0, 5000)
+    x, y = rd.forward(lon, lat)
+    lo, la = rd.inverse(x, y)
+    assert np.abs(lo - lon).max() < 1e-12
+    assert np.abs(la - lat).max() < 1e-12
+    # datum-aware inverse lands the RD origin on the published WGS84
+    # position of the Amersfoort natural origin (~5.38720E 52.15517N)
+    inv = CRS.datum_aware_inverse(28992)
+    lo, la = inv(np.array([155_000.0]), np.array([463_000.0]))
+    assert abs(lo[0] - 5.38720) < 5e-4
+    assert abs(la[0] - 52.15517) < 5e-4
