@@ -1282,6 +1282,47 @@ def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOD_TH = 2.0 * math.pi / 12.0
+
+
+def q_geodesic_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical polygon area + perimeter per ring (beyond the reference —
+    its ogr_geo_utils.cpp stops at distance/heading): the exact
+    Bevis & Cambareri (1987) edge-excess sum and the great-circle
+    perimeter over 200 synthetic 12-gon rings. Pure JVM column math,
+    one combinable groupBy; the oracle spells the identical edge terms."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    nv = 12
+    ids = spark.range(200 * nv)
+    k = F.floor(F.col("id") / nv).cast("long")
+    j = F.col("id") % nv
+
+    clon = F.lit(-150.0) + (k % 20).cast("double") * F.lit(15.3)
+    clat = F.lit(-60.0) + F.floor(k / 20).cast("double") * F.lit(12.4)
+    r = F.lit(0.5) + (k % 7).cast("double") * F.lit(0.7)
+
+    def vtx(jc):
+        th = jc.cast("double") * F.lit(_GEOD_TH)
+        lon = clon + r * F.cos(th) / F.cos(F.radians(clat))
+        lat = clat + r * F.sin(th)
+        return lon, lat
+
+    lon1, lat1 = vtx(j)
+    lon2, lat2 = vtx((j + 1) % nv)
+    edges = ids.select(
+        k.alias("poly_id"),
+        lon1.alias("lon"), lat1.alias("lat"),
+        lon2.alias("lon2"), lat2.alias("lat2"),
+    )
+    out = GC.ring_geodesy(edges)
+    return out.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.round(F.col("area_m2") / 1e6, 3).alias("area_km2"),
+        F.round("perimeter_m", 3).alias("perim_m"),
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character Shannon entropy (gibberish/boilerplate signal):
     JVM aggregate fold over sorted distinct chars, zero shuffle."""
@@ -5348,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_promo_share": q_tpch_promo_share,
         "char_entropy": q_char_entropy,
         "great_circle": q_great_circle,
+        "geodesic_ring_stats": q_geodesic_ring_stats,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
@@ -6724,6 +6766,50 @@ def oracle_sql() -> dict[str, str]:
                           WHEN sin_h < 0 THEN loa - dg
                           ELSE loa + dg END, 6) AS lon_b
         FROM g6
+    """
+
+    # geodesic_ring_stats: the Bevis & Cambareri edge-excess terms and
+    # the great-circle edge lengths spelled literally; the double casts
+    # on the decimal literals force the same IEEE ops Spark runs.
+    sqls["geodesic_ring_stats"] = f"""
+        WITH e AS (
+          SELECT CAST(ks.k AS BIGINT) AS poly_id, CAST(js.j AS BIGINT) AS j
+          FROM generate_series(0, 199) ks(k)
+          CROSS JOIN generate_series(0, 11) js(j)
+        ),
+        c AS (
+          SELECT poly_id, j,
+            -150.0 + (poly_id % 20) * CAST(15.3 AS DOUBLE) AS clon,
+            -60.0 + floor(poly_id / 20) * CAST(12.4 AS DOUBLE) AS clat,
+            0.5 + (poly_id % 7) * CAST(0.7 AS DOUBLE) AS r
+          FROM e
+        ),
+        v AS (
+          SELECT poly_id,
+            clon + r * cos(j * {_GEOD_TH!r}) / cos(radians(clat)) AS lon,
+            clat + r * sin(j * {_GEOD_TH!r}) AS lat,
+            clon + r * cos(((j + 1) % 12) * {_GEOD_TH!r})
+                 / cos(radians(clat)) AS lon2,
+            clat + r * sin(((j + 1) % 12) * {_GEOD_TH!r}) AS lat2
+          FROM c
+        ),
+        t AS (
+          SELECT poly_id,
+            2.0 * atan2(
+              tan((lon2 - lon) * {_D!r} / 2.0)
+                * (tan(lat * {_D!r} / 2.0) + tan(lat2 * {_D!r} / 2.0)),
+              1.0 + tan(lat * {_D!r} / 2.0) * tan(lat2 * {_D!r} / 2.0)
+            ) AS excess,
+            acos(least(greatest(
+              sin(lat * {_D!r}) * sin(lat2 * {_D!r})
+              + cos(lat * {_D!r}) * cos(lat2 * {_D!r})
+                * cos((lon2 - lon) * {_D!r}), -1.0), 1.0)) * {_RM!r} AS d
+          FROM v
+        )
+        SELECT poly_id,
+               round(abs(sum(excess)) * {_RM * _RM!r} / 1e6, 3) AS area_km2,
+               round(sum(d), 3) AS perim_m
+        FROM t GROUP BY poly_id
     """
 
     sqls["char_entropy"] = """

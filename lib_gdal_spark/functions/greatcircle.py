@@ -120,3 +120,46 @@ def great_circle_extend_position(lat_a: Column, lon_a: Column,
         .when((F.abs(cos_comp_a) < 1e-8) & (F.abs(cos_h) < 1e-8), east_west)
         .otherwise(F.struct(lat_gen.alias("lat"), lon_gen.alias("lon")))
     )
+
+
+def spherical_edge_excess(lat1: Column, lon1: Column,
+                          lat2: Column, lon2: Column) -> Column:
+    """Signed spherical-excess contribution of the great-circle edge
+    1 -> 2 on the UNIT sphere (Bevis & Cambareri 1987, "Computing the
+    area of a spherical polygon of arbitrary shape"):
+
+        E = 2 atan2( tan(dlam/2) (t1 + t2), 1 + t1 t2 ),  t = tan(phi/2)
+
+    Summed around a closed ring this is EXACT for great-circle edges
+    (octant triangle sums to pi/2 bit-for-bit in the tests). Multiply the
+    ring sum by R^2 for area; the sign encodes winding (CW positive with
+    this edge orientation). Pure JVM Column math — codegen-friendly, no
+    UDF; beyond the reference (its ogr_geo_utils.cpp stops at
+    distance/heading), using the same navigation-sphere model."""
+    t1 = F.tan(lat1 * F.lit(DEG2RAD) / F.lit(2.0))
+    t2 = F.tan(lat2 * F.lit(DEG2RAD) / F.lit(2.0))
+    dl = (lon2 - lon1) * F.lit(DEG2RAD)
+    return F.lit(2.0) * F.atan2(
+        F.tan(dl / F.lit(2.0)) * (t1 + t2),
+        F.lit(1.0) + t1 * t2,
+    )
+
+
+def ring_geodesy(vertices, poly_col: str = "poly_id",
+                 lat1: str = "lat", lon1: str = "lon",
+                 lat2: str = "lat2", lon2: str = "lon2"):
+    """Per-ring spherical area (m^2) and perimeter (m) from an edge table
+    (one row per directed edge, closed ring). One combinable groupBy —
+    map-side partials, keys-only shuffle; scale-safe at any ring count.
+    The sphere is the module's navigation sphere (R = RAD2METER m/rad),
+    keeping area/length consistent with great_circle_distance."""
+    la1, lo1 = F.col(lat1), F.col(lon1)
+    la2, lo2 = F.col(lat2), F.col(lon2)
+    return (
+        vertices.groupBy(poly_col).agg(
+            (F.abs(F.sum(spherical_edge_excess(la1, lo1, la2, lo2)))
+             * F.lit(RAD2METER * RAD2METER)).alias("area_m2"),
+            F.sum(great_circle_distance(la1, lo1, la2, lo2))
+            .alias("perimeter_m"),
+        )
+    )

@@ -50,3 +50,52 @@ class TestGreatCircle:
     def test_zero_distance(self, spark):
         r = _one(spark, 12.0, 34.0, 12.0, 34.0)
         assert r.d == 0.0 and r.lat2 == 12.0 and r.lon2 == 34.0
+
+
+class TestSphericalArea:
+    """Bevis & Cambareri edge-excess ring area + geodesic perimeter
+    (round-4 session-2, beyond-reference geodesy)."""
+
+    def test_octant_triangle_exact(self, spark):
+        # (0,0) -> (90E,0) -> (0,90N): excess pi/2, area pi R^2 / 2
+        from lib_gdal_spark.functions.greatcircle import (
+            RAD2METER, ring_geodesy,
+        )
+        rows = [(1, 0.0, 0.0, 0.0, 90.0),
+                (1, 0.0, 90.0, 90.0, 0.0),
+                (1, 90.0, 0.0, 0.0, 0.0)]
+        df = spark.createDataFrame(
+            rows, "poly_id int, lat double, lon double, "
+                  "lat2 double, lon2 double")
+        out = ring_geodesy(df).collect()[0]
+        assert abs(out["area_m2"]
+                   - math.pi * RAD2METER * RAD2METER / 2.0) < 1.0
+        # three quarter-circumference edges
+        assert abs(out["perimeter_m"]
+                   - 3.0 * (math.pi / 2.0) * RAD2METER) < 1e-3
+
+    def test_small_ring_matches_planar(self, spark):
+        # a 0.01-deg square at lat 45: area -> planar cos-scaled limit
+        from lib_gdal_spark.functions.greatcircle import (
+            RAD2METER, ring_geodesy,
+        )
+        d = 0.01
+        pts = [(0.0, 45.0), (d, 45.0), (d, 45.0 + d), (0.0, 45.0 + d)]
+        rows = [(7, pts[i][1], pts[i][0],
+                 pts[(i + 1) % 4][1], pts[(i + 1) % 4][0])
+                for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "poly_id int, lat double, lon double, "
+                  "lat2 double, lon2 double")
+        out = ring_geodesy(df).collect()[0]
+        rad = math.radians(d)
+        planar = (rad * math.cos(math.radians(45.0 + d / 2.0))) * rad \
+            * RAD2METER * RAD2METER
+        assert abs(out["area_m2"] - planar) / planar < 1e-4
+        # winding-insensitive (abs): reversed ring gives the same area
+        rows_rev = [(7, r[3], r[4], r[1], r[2]) for r in rows]
+        df2 = spark.createDataFrame(
+            rows_rev, "poly_id int, lat double, lon double, "
+                      "lat2 double, lon2 double")
+        out2 = ring_geodesy(df2).collect()[0]
+        assert abs(out2["area_m2"] - out["area_m2"]) < 1e-6
