@@ -2138,6 +2138,7 @@ _SINU_DST_GT = (-17_500_000.0, 273_437.5, 0.0, 8_750_000.0, 0.0, -136_718.75)
 _BNG_DST_GT = (0.0, 5_468.75, 0.0, 1_250_000.0, 0.0, -9_765.625)
 _LAEA_DST_GT = (2_500_000.0, 27_343.75, 0.0, 5_500_000.0, 0.0, -31_250.0)
 _RD_DST_GT = (0.0, 2_343.75, 0.0, 650_000.0, 0.0, -2_734.375)
+_KROVAK_DST_GT = (-920_000.0, 3_906.25, 0.0, -920_000.0, 0.0, -3_906.25)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2189,6 +2190,24 @@ def q_warp_rdnew_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _RD_DST_GT, 128, 128, inv, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_krovak_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:5514 (S-JTSK / Krovak East North — oblique
+    conformal conic, EPSG method 9819, Bessel 1841) PLUS the 3-param
+    S-JTSK->WGS84 Helmert leg. The oracle spells the GN7-2 inverse
+    (r/theta -> T/U/V on the oblique sphere, pow-based conic unroll, the
+    6-step conformal-latitude fixed point) + Helmert + Bowring."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    inv = CRS.datum_aware_inverse(5514)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _KROVAK_DST_GT, 128, 128, inv, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3493,7 +3512,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
-              27700, 2193, 54008, 54009, 4267, 3035, 28992]
+              27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5418,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bng_nearest": q_warp_bng_nearest,
         "warp_laea_nearest": q_warp_laea_nearest,
         "warp_rdnew_nearest": q_warp_rdnew_nearest,
+        "warp_krovak_nearest": q_warp_krovak_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -7842,6 +7862,126 @@ def oracle_sql() -> dict[str, str]:
         FROM sp
     """
 
+    # EPSG:5514 warp: Krovak GN7-2 inverse (oblique conformal conic via
+    # the conformal sphere), 6-step conformal-latitude fixed point, then
+    # Bessel ECEF -> 3-param S-JTSK Helmert (exact: zero rotation terms)
+    # -> Bowring -> WGS84 -> src pixel.
+    _kv = _CRS.get_crs_transform(5514)
+    _kca = float(np.cos(_kv.alpha_c))
+    _ksa = float(np.sin(_kv.alpha_c))
+    _kinvn = 1.0 / _kv.n
+    _kinvb = 1.0 / _kv.B
+    _kbase = float((1.0 / _kv.t0) ** (1.0 / _kv.B))
+    _ke = float(_kv.e)
+    _ke2_v = _kv.e2
+    _ka_v = _kv.a
+    _sj = _CRS.TOWGS84["S_JTSK"]
+    g0k, g1k, _, g3k, _, g5k = _KROVAK_DST_GT
+    _kv_step = (
+        "SELECT px, py, lon, base, 2.0 * (atan(base * pow((1.0 + {e} * "
+        "sin(phi)) / (1.0 - {e} * sin(phi)), {e} / 2.0)) - pi() / 4.0) "
+        "AS phi FROM {src}"
+    )
+    _kv_ctes = ",\n        ".join(
+        f"kt{k} AS ({_kv_step.format(e=repr(_ke), src=('k0' if k == 1 else f'kt{k - 1}'))})"
+        for k in range(1, _kv.ISO_ITERS + 1)
+    )
+    sqls["warp_krovak_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            CAST({g0k!r} + (px + 0.5) * {g1k!r} AS DOUBLE) AS E,
+            CAST({g3k!r} + (py + 0.5) * {g5k!r} AS DOUBLE) AS N
+          FROM pix
+        ),
+        sw AS (
+          SELECT px, py, -N AS Xs, -E AS Yw FROM en
+        ),
+        rt AS (
+          SELECT px, py,
+            sqrt(Xs * Xs + Yw * Yw) AS r,
+            atan2(Yw, Xs) AS theta
+          FROM sw
+        ),
+        td AS (
+          SELECT px, py, theta / {_kv.n!r} AS D,
+            2.0 * (atan(pow({_kv.r0!r} / r, {_kinvn!r})
+                        * {_kv._tanpp!r}) - pi() / 4.0) AS T
+          FROM rt
+        ),
+        uu AS (
+          SELECT px, py, D, T,
+            asin({_kca!r} * sin(T) - {_ksa!r} * cos(T) * cos(D)) AS U
+          FROM td
+        ),
+        vv AS (
+          SELECT px, py, U,
+            asin(cos(T) * sin(D) / cos(U)) AS V
+          FROM uu
+        ),
+        k0 AS (
+          SELECT px, py,
+            {_kv.lon0!r} - degrees(V / {_kv.B!r}) AS lon,
+            {_kbase!r} * pow(tan(U / 2.0 + pi() / 4.0), {_kinvb!r}) AS base,
+            U AS phi
+          FROM vv
+        ),
+        {_kv_ctes},
+        gl AS (
+          SELECT px, py, lon AS glon, degrees(phi) AS glat
+          FROM kt{_kv.ISO_ITERS}
+        ),
+        tri AS (
+          SELECT px, py, radians(glon) AS lam2,
+                 sin(radians(glat)) AS sp, cos(radians(glat)) AS cp
+          FROM gl
+        ),
+        nuc AS (
+          SELECT px, py, lam2, sp, cp,
+                 {_ka_v!r} / sqrt(1.0 - {_ke2_v!r} * sp * sp) AS nu
+          FROM tri
+        ),
+        ec AS (
+          -- 3-param Helmert: rotation/scale terms are exact zeros in
+          -- helmert_apply, so X' = dx + X etc. bit-for-bit
+          SELECT px, py,
+            {_sj[0]!r} + nu * cp * cos(lam2) AS X,
+            {_sj[1]!r} + nu * cp * sin(lam2) AS Y,
+            {_sj[2]!r} + nu * {1.0 - _ke2_v!r} * sp AS Z
+          FROM nuc
+        ),
+        bow AS (
+          SELECT px, py, X, Y, Z, sqrt(X * X + Y * Y) AS p,
+                 atan2(Z * {_wa_r!r}, sqrt(X * X + Y * Y) * {_wb_r!r}) AS u
+          FROM ec
+        ),
+        ll AS (
+          SELECT px, py,
+            degrees(atan2(Y, X)) AS lon,
+            degrees(atan2(
+              Z + {_wep2_r!r} * {_wb_r!r} * sin(u) * sin(u) * sin(u),
+              p - {_we2_r!r} * {_wa_r!r} * cos(u) * cos(u) * cos(u))) AS lat
+          FROM bow
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
     # NAD27 -> WGS84 datum shift: geodetic -> Clarke-1866 ECEF -> 3-param
     # Helmert -> Bowring single-step -> WGS84 geodetic, every constant and
     # operation order mirroring functions/crs.py (geodetic_to_ecef /
@@ -10042,6 +10182,8 @@ def oracle_sql() -> dict[str, str]:
          4321000.0, 3210000.0, 6378137.0),
         (28992, "sterea", 299.152813, 5.387639, 0.999908, None,
          52.156161, None, None, 155000.0, 463000.0, 6377397.155),
+        (5514, "krovak", 299.152813, 24.833333, 0.9999, None,
+         49.5, 78.5, None, 0.0, 0.0, 6377397.155),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

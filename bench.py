@@ -139,6 +139,8 @@ BENCH = {
     # round-4 session-2 additions
     "warp_laea": lambda s: _force(E.q_warp_laea_nearest(s, SF_DIR)),
     "warp_rdnew": lambda s: _force(E.q_warp_rdnew_nearest(s, SF_DIR)),
+    "warp_krovak": lambda s: _force(E.q_warp_krovak_nearest(s, SF_DIR)),
+    "geodesic_rings": lambda s: _force(E.q_geodesic_ring_stats(s, SF_DIR)),
 }
 
 

@@ -47,6 +47,8 @@ TOWGS84 = {
     # Amsterdam / RD New (the +towgs84 PROJ ships for EPSG:4289)
     "AMERSFOORT": (565.417, 50.3319, 465.552,
                    -0.398957, 0.343988, -1.87740, 4.0725),
+    # S-JTSK (Czech/Slovak, the 3-param +towgs84 PROJ ships for Krovak)
+    "S_JTSK": (589.0, 76.0, 480.0),
 }
 
 
@@ -600,6 +602,101 @@ class ObliqueStereographic:
         return lon, np.degrees(phi)
 
 
+class Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819) — the Czech /
+    Slovak S-JTSK national grid, here as EPSG:5514 (Krovak East North:
+    E = -Westing, N = -Southing). Formulas follow the published EPSG
+    Guidance Note 7-2 §1.4.3: double projection through a conformal
+    sphere, rotation to the oblique cone axis, then a conformal conic at
+    the pseudo standard parallel. The EPSG definition states the origin
+    as 42°30' east of Ferro; with Ferro at 17°40' W that is 24°50' east
+    of Greenwich, which is the net lambda0 used here (same as PROJ's
+    +lon_0=24.8333 +pm=greenwich) — so all longitudes stay
+    Greenwich-referenced. The inverse is closed-form except the final
+    conformal-to-geodetic latitude fixed point, unrolled to a fixed
+    depth for the SQL oracle."""
+
+    ISO_ITERS = 6
+
+    def __init__(self, lat_c: float = 49.5,
+                 lon0_gw: float = 24.0 + 50.0 / 60.0,
+                 alpha_c: float = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                 lat_p: float = 78.5, k_p: float = 0.9999,
+                 a: float = 6377397.155, f: float = 1.0 / 299.1528128,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.towgs84 = towgs84
+        self.lat_c_deg = lat_c
+        self.lat_p_deg = lat_p
+        self.k0 = k_p
+        self.lon0 = lon0_gw
+        self.false_e = 0.0
+        self.false_n = 0.0
+        pc = np.radians(lat_c)
+        e, e2 = self.e, self.e2
+        sc = np.sin(pc)
+        self.A = float(a * np.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc))
+        self.B = float(np.sqrt(1.0 + e2 * np.cos(pc) ** 4 / (1.0 - e2)))
+        self.gamma0 = float(np.arcsin(sc / self.B))
+        self.t0 = float(
+            np.tan(np.pi / 4.0 + self.gamma0 / 2.0)
+            * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * self.B / 2.0)
+            / np.tan(np.pi / 4.0 + pc / 2.0) ** self.B
+        )
+        pp = np.radians(lat_p)
+        self.n = float(np.sin(pp))
+        self.r0 = float(k_p * self.A / np.tan(pp))
+        self.alpha_c = float(np.radians(alpha_c))
+        self._tanpp = float(np.tan(np.pi / 4.0 + pp / 2.0))
+
+    def forward(self, lon, lat):
+        e, B = self.e, self.B
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        U = 2.0 * (np.arctan(
+            self.t0 * np.tan(phi / 2.0 + np.pi / 4.0) ** B
+            / ((1.0 + e * s) / (1.0 - e * s)) ** (e * B / 2.0)
+        ) - np.pi / 4.0)
+        V = B * np.radians(self.lon0 - np.asarray(lon, np.float64))
+        ca, sa = np.cos(self.alpha_c), np.sin(self.alpha_c)
+        T = np.arcsin(ca * np.sin(U) + sa * np.cos(U) * np.cos(V))
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        theta = self.n * D
+        r = self.r0 * self._tanpp ** self.n \
+            / np.tan(T / 2.0 + np.pi / 4.0) ** self.n
+        Xs = r * np.cos(theta)   # southing
+        Yw = r * np.sin(theta)   # westing
+        return -Yw, -Xs          # EPSG:5514 East, North
+
+    def inverse(self, E, N):
+        e, B = self.e, self.B
+        Xs = -np.asarray(N, np.float64)
+        Yw = -np.asarray(E, np.float64)
+        r = np.sqrt(Xs * Xs + Yw * Yw)
+        theta = np.arctan2(Yw, Xs)
+        D = theta / self.n
+        T = 2.0 * (np.arctan(
+            (self.r0 / r) ** (1.0 / self.n) * self._tanpp
+        ) - np.pi / 4.0)
+        ca, sa = np.cos(self.alpha_c), np.sin(self.alpha_c)
+        U = np.arcsin(ca * np.sin(T) - sa * np.cos(T) * np.cos(D))
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        lon = self.lon0 - np.degrees(V / B)
+        # conformal -> geodetic latitude fixed point (GN7-2, unrolled)
+        base = (1.0 / self.t0) ** (1.0 / B) \
+            * np.tan(U / 2.0 + np.pi / 4.0) ** (1.0 / B)
+        phi = U
+        for _ in range(self.ISO_ITERS):
+            s = np.sin(phi)
+            phi = 2.0 * (np.arctan(
+                base * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+            ) - np.pi / 4.0)
+        return lon, np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # Datum shift: geodetic <-> geocentric + Helmert (towgs84) — the role of
 # the PROJ pipeline step ``+towgs84=...`` in ``core/ogr/ogrct.cpp``'s
@@ -771,6 +868,8 @@ def get_crs_transform(epsg: int):
       equal-area, Snyder §24 / EPSG 9820, origin 52N 10E)
     - 28992 Amersfoort / RD New (oblique stereographic double
       projection, EPSG 9809, Bessel 1841 + 7-param towgs84)
+    - 5514 S-JTSK / Krovak East North (oblique conformal conic,
+      EPSG 9819, Bessel 1841 + 3-param towgs84)
 
     Raises ``KeyError`` for anything else — callers should surface the code
     so users know the registry gap (no silent fallback).
@@ -835,6 +934,8 @@ def get_crs_transform(epsg: int):
             false_e=4_321_000.0, false_n=3_210_000.0, a=ga, f=gf),
         # Dutch RD New: oblique stereographic on Bessel 1841 with the
         # Amersfoort 7-param Helmert datum leg
+        # Czech/Slovak S-JTSK Krovak East North (Bessel + 3-param Helmert)
+        5514: lambda: Krovak(towgs84=TOWGS84["S_JTSK"]),
         28992: lambda: ObliqueStereographic(
             lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
             lon0=5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
@@ -946,6 +1047,7 @@ _PROJ_IDS = {
     "Mollweide": "moll",
     "LambertAzimuthalEqualArea": "laea",
     "ObliqueStereographic": "sterea",
+    "Krovak": "krovak",
 }
 
 
@@ -1004,4 +1106,8 @@ def srs_info(epsg: int) -> dict:
     elif isinstance(t, ObliqueStereographic):
         out["f_inv"] = 1.0 / t.f
         out["lat0"] = t.lat0_deg
+    elif isinstance(t, Krovak):
+        out["f_inv"] = 1.0 / t.f
+        out["lat0"] = t.lat_c_deg
+        out["lat1"] = t.lat_p_deg  # pseudo standard parallel
     return out

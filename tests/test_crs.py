@@ -399,3 +399,45 @@ def test_laea_europe_and_rd_new():
     lo, la = inv(np.array([155_000.0]), np.array([463_000.0]))
     assert abs(lo[0] - 5.38720) < 5e-4
     assert abs(la[0] - 52.15517) < 5e-4
+
+
+def test_krovak():
+    """EPSG:5514 Krovak East North (EPSG method 9819) against the
+    published GN7-2 worked example and bit-exact closure."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    kr = CRS.get_crs_transform(5514)
+    # GN7-2 §1.4.3 worked example: 50d12m32.4416sN 16d50m59.1790sE ->
+    # Southing 1050538.63, Westing 568991.00 (2065); 5514 negates both
+    phi = 50 + 12 / 60 + 32.4416 / 3600
+    lam = 16 + 50 / 60 + 59.1790 / 3600
+    e, n = kr.forward(np.array([lam]), np.array([phi]))
+    assert abs(e[0] - (-568991.00)) < 0.02
+    assert abs(n[0] - (-1050538.63)) < 0.02
+    # closure fuzz over the Czech/Slovak window (unrolled fixed point)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(12.0, 23.0, 5000)
+    lat = rng.uniform(47.5, 51.5, 5000)
+    x, y = kr.forward(lon, lat)
+    lo, la = kr.inverse(x, y)
+    assert np.abs(lo - lon).max() < 1e-12
+    assert np.abs(la - lat).max() < 1e-12
+    # conformal: local scale isotropic (E/N aspect ratio of a tiny cross)
+    d = 1e-6
+    x0, y0 = kr.forward(np.array([17.0]), np.array([49.5]))
+    xe, ye = kr.forward(np.array([17.0 + d]), np.array([49.5]))
+    xn, yn = kr.forward(np.array([17.0]), np.array([49.5 + d]))
+    de = np.hypot(xe - x0, ye - y0)[0]
+    dn = np.hypot(xn - x0, yn - y0)[0]
+    # meters per degree lon vs lat on Bessel at 49.5N
+    e2 = kr.e2
+    sp = np.sin(np.radians(49.5))
+    nu = kr.a / np.sqrt(1 - e2 * sp * sp)
+    rho = kr.a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+    truth = (nu * np.cos(np.radians(49.5))) / rho
+    assert abs(de / dn - truth) < 1e-4
+    # datum leg lands Prague (-743km, -1043km) at ~14.4187E 50.0874N
+    inv = CRS.datum_aware_inverse(5514)
+    lo, la = inv(np.array([-743000.0]), np.array([-1043000.0]))
+    assert abs(lo[0] - 14.41867) < 5e-4
+    assert abs(la[0] - 50.08742) < 5e-4
