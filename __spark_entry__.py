@@ -1282,6 +1282,26 @@ def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loxodrome distance + constant compass bearing (the navigation
+    companion of the reference's great-circle trio, beyond
+    ogr_geo_utils.cpp): inverse-Mercator dpsi form with short-way
+    antimeridian wrap, pure JVM column math over the same A->B pairs as
+    the great_circle query; the oracle spells the identical expressions."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    pts = _points(spark, sf_dir)
+    lat_b = F.col("lat") * 0.5 + 10.0
+    lon_b = F.col("lon") * 0.5 + 20.0
+    d = GC.rhumb_distance(F.col("lat"), F.col("lon"), lat_b, lon_b)
+    b = GC.rhumb_bearing(F.col("lat"), F.col("lon"), lat_b, lon_b)
+    return pts.select(
+        "pid",
+        F.round(d, 2).alias("dist_m"),
+        F.round(b, 6).alias("bearing"),
+    )
+
+
 _GEOD_TH = 2.0 * math.pi / 12.0
 
 
@@ -5409,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "great_circle": q_great_circle,
         "geodesic_ring_stats": q_geodesic_ring_stats,
+        "rhumb_line": q_rhumb_line,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
@@ -6786,6 +6807,44 @@ def oracle_sql() -> dict[str, str]:
                           WHEN sin_h < 0 THEN loa - dg
                           ELSE loa + dg END, 6) AS lon_b
         FROM g6
+    """
+
+    # rhumb_line: identical inverse-Mercator expressions; pi()/4 and
+    # 2*pi() are exact power-of-two scalings of the same double pi.
+    sqls["rhumb_line"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        ab AS (
+          SELECT pid, lat AS la, lon AS loa,
+                 lat * 0.5 + 10.0 AS lb, lon * 0.5 + 20.0 AS lob
+          FROM pts
+        ),
+        r1 AS (
+          SELECT pid, la * {_D!r} AS p1, lb * {_D!r} AS p2,
+                 (lob - loa) * {_D!r} AS dlr
+          FROM ab
+        ),
+        r2 AS (
+          SELECT pid, p1, p2 - p1 AS dphi,
+            CASE WHEN dlr > pi() THEN dlr - 2.0 * pi()
+                 WHEN dlr < -pi() THEN dlr + 2.0 * pi()
+                 ELSE dlr END AS dlam,
+            ln(tan(p2 / 2.0 + pi() / 4.0))
+              - ln(tan(p1 / 2.0 + pi() / 4.0)) AS dpsi
+          FROM r1
+        ),
+        r3 AS (
+          SELECT pid, dphi, dlam, dpsi,
+            CASE WHEN abs(dpsi) > 1e-12 THEN dphi / dpsi
+                 ELSE cos(p1) END AS q
+          FROM r2
+        )
+        SELECT pid,
+          round(sqrt(dphi * dphi + q * q * dlam * dlam) * {_RM!r}, 2)
+            AS dist_m,
+          round(CASE WHEN atan2(dlam, dpsi) * {_R2D!r} < 0.0
+                     THEN atan2(dlam, dpsi) * {_R2D!r} + 360.0
+                     ELSE atan2(dlam, dpsi) * {_R2D!r} END, 6) AS bearing
+        FROM r3
     """
 
     # geodesic_ring_stats: the Bevis & Cambareri edge-excess terms and

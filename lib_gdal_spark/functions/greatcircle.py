@@ -163,3 +163,48 @@ def ring_geodesy(vertices, poly_col: str = "poly_id",
             .alias("perimeter_m"),
         )
     )
+
+
+def rhumb_distance(lat_a: Column, lon_a: Column,
+                   lat_b: Column, lon_b: Column) -> Column:
+    """Loxodrome (constant-bearing) distance in meters on the module's
+    navigation sphere — the track a fixed-compass course sails, the
+    companion of the reference's great-circle trio (beyond
+    ogr_geo_utils.cpp). Standard inverse-Mercator form: dpsi is the
+    isometric-latitude difference; east-west legs fall back to the
+    cos(lat)-scaled parallel. Longitudes wrap the short way across the
+    antimeridian. Pure JVM Column math."""
+    p1 = lat_a * F.lit(DEG2RAD)
+    p2 = lat_b * F.lit(DEG2RAD)
+    dphi = p2 - p1
+    dlam_raw = (lon_b - lon_a) * F.lit(DEG2RAD)
+    pi = math.pi
+    dlam = (
+        F.when(dlam_raw > pi, dlam_raw - F.lit(2.0 * pi))
+        .when(dlam_raw < -pi, dlam_raw + F.lit(2.0 * pi))
+        .otherwise(dlam_raw)
+    )
+    dpsi = (F.log(F.tan(p2 / F.lit(2.0) + F.lit(pi / 4.0)))
+            - F.log(F.tan(p1 / F.lit(2.0) + F.lit(pi / 4.0))))
+    q = F.when(F.abs(dpsi) > 1e-12, dphi / dpsi).otherwise(F.cos(p1))
+    return F.sqrt(dphi * dphi + q * q * dlam * dlam) * F.lit(RAD2METER)
+
+
+def rhumb_bearing(lat_a: Column, lon_a: Column,
+                  lat_b: Column, lon_b: Column) -> Column:
+    """Constant compass bearing of the loxodrome A -> B, degrees in
+    [0, 360). Same dpsi/short-way-dlam construction as
+    :func:`rhumb_distance`."""
+    p1 = lat_a * F.lit(DEG2RAD)
+    p2 = lat_b * F.lit(DEG2RAD)
+    pi = math.pi
+    dlam_raw = (lon_b - lon_a) * F.lit(DEG2RAD)
+    dlam = (
+        F.when(dlam_raw > pi, dlam_raw - F.lit(2.0 * pi))
+        .when(dlam_raw < -pi, dlam_raw + F.lit(2.0 * pi))
+        .otherwise(dlam_raw)
+    )
+    dpsi = (F.log(F.tan(p2 / F.lit(2.0) + F.lit(pi / 4.0)))
+            - F.log(F.tan(p1 / F.lit(2.0) + F.lit(pi / 4.0))))
+    th = F.atan2(dlam, dpsi) * F.lit(RAD2DEG)
+    return F.when(th < 0.0, th + F.lit(360.0)).otherwise(th)

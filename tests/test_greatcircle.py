@@ -99,3 +99,41 @@ class TestSphericalArea:
                       "lat2 double, lon2 double")
         out2 = ring_geodesy(df2).collect()[0]
         assert abs(out2["area_m2"] - out["area_m2"]) < 1e-6
+
+
+class TestRhumbLine:
+    def test_equator_and_meridian_match_great_circle(self, spark):
+        from lib_gdal_spark.functions.greatcircle import (
+            RAD2METER, rhumb_bearing, rhumb_distance,
+        )
+        rows = [(1, 0.0, 0.0, 0.0, 90.0),    # equator east
+                (2, 10.0, 5.0, 40.0, 5.0),   # meridian north
+                (3, 40.0, 5.0, 10.0, 5.0)]   # meridian south
+        df = spark.createDataFrame(
+            rows, "pid int, lat double, lon double, "
+                  "lat2 double, lon2 double")
+        out = {r["pid"]: r for r in df.select(
+            "pid",
+            rhumb_distance(F.col("lat"), F.col("lon"),
+                           F.col("lat2"), F.col("lon2")).alias("d"),
+            rhumb_bearing(F.col("lat"), F.col("lon"),
+                          F.col("lat2"), F.col("lon2")).alias("b"),
+        ).collect()}
+        # along the equator / a meridian the loxodrome IS the great circle
+        assert abs(out[1]["d"] - (math.pi / 2.0) * RAD2METER) < 1e-6
+        assert abs(out[1]["b"] - 90.0) < 1e-9
+        assert abs(out[2]["d"] - math.radians(30.0) * RAD2METER) < 1e-6
+        assert abs(out[2]["b"] - 0.0) < 1e-9
+        assert abs(out[3]["b"] - 180.0) < 1e-9
+
+    def test_antimeridian_short_way(self, spark):
+        from lib_gdal_spark.functions.greatcircle import rhumb_distance
+        df = spark.createDataFrame(
+            [(1, 0.0, 179.0, 0.0, -179.0)],
+            "pid int, lat double, lon double, lat2 double, lon2 double")
+        d = df.select(rhumb_distance(
+            F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+        ).alias("d")).collect()[0]["d"]
+        # 2 degrees across the seam, not 358 the long way
+        from lib_gdal_spark.functions.greatcircle import RAD2METER
+        assert abs(d - math.radians(2.0) * RAD2METER) < 1e-6
