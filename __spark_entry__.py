@@ -1282,6 +1282,29 @@ def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash base-32 Morton prefix codes (Niemeyer 2008; the string
+    spatial key companion of the repo's tile/Z-order/Hilbert/S2 keys):
+    encode at precision 12 + 6, decode back to the cell center — all
+    pure JVM bit math (the zorder spread-bits magic), no UDF. The oracle
+    spells the same spread chain and alphabet lookups in SQL, and its
+    center comes from the pre-interleave quantized coords, so equality
+    proves encode AND decode invert exactly."""
+    from lib_gdal_spark.functions import cells as C
+
+    pts = _points(spark, sf_dir)
+    gh12 = C.geohash_encode(F.col("lon"), F.col("lat"), 12)
+    out = pts.select("pid", gh12.alias("gh12"),
+                     C.geohash_encode(F.col("lon"), F.col("lat"), 6)
+                     .alias("gh6"))
+    dec = C.geohash_decode(F.col("gh12"), 12)
+    return out.select(
+        "pid", "gh12", "gh6",
+        F.round(dec["lon"], 9).alias("center_lon"),
+        F.round(dec["lat"], 9).alias("center_lat"),
+    )
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -5430,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "great_circle": q_great_circle,
         "geodesic_ring_stats": q_geodesic_ring_stats,
         "rhumb_line": q_rhumb_line,
+        "geohash_cells": q_geohash_cells,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
@@ -6807,6 +6831,68 @@ def oracle_sql() -> dict[str, str]:
                           WHEN sin_h < 0 THEN loa - dg
                           ELSE loa + dg END, 6) AS lon_b
         FROM g6
+    """
+
+    # geohash_cells: the spread-bits Morton chain + base-32 lookups in a
+    # CTE ladder; the center comes from the pre-interleave quantized
+    # coords so equality proves encode/decode invert exactly.
+    _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    _gh_chars = " || ".join(
+        f"substr('{_GH32}', CAST(((m >> {5 * (11 - k)}) & 31) AS INT) + 1, 1)"
+        for k in range(12)
+    )
+    sqls["geohash_cells"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        q AS (
+          SELECT pid,
+            least(1073741823, CAST(floor((lon + 180.0) / 360.0
+                                         * 1073741824.0) AS BIGINT)) AS xq,
+            least(1073741823, CAST(floor((lat + 90.0) / 180.0
+                                         * 1073741824.0) AS BIGINT)) AS yq
+          FROM pts
+        ),
+        s1 AS (
+          SELECT pid, xq, yq,
+            (xq | (xq << 16)) & 281470681808895 AS xs,
+            (yq | (yq << 16)) & 281470681808895 AS ys
+          FROM q
+        ),
+        s2 AS (
+          SELECT pid, xq, yq,
+            (xs | (xs << 8)) & 71777214294589695 AS xs,
+            (ys | (ys << 8)) & 71777214294589695 AS ys
+          FROM s1
+        ),
+        s3 AS (
+          SELECT pid, xq, yq,
+            (xs | (xs << 4)) & 1085102592571150095 AS xs,
+            (ys | (ys << 4)) & 1085102592571150095 AS ys
+          FROM s2
+        ),
+        s4 AS (
+          SELECT pid, xq, yq,
+            (xs | (xs << 2)) & 3689348814741910323 AS xs,
+            (ys | (ys << 2)) & 3689348814741910323 AS ys
+          FROM s3
+        ),
+        s5 AS (
+          SELECT pid, xq, yq,
+            (xs | (xs << 1)) & 6148914691236517205 AS xs,
+            (ys | (ys << 1)) & 6148914691236517205 AS ys
+          FROM s4
+        ),
+        mm AS (
+          SELECT pid, xq, yq, (xs << 1) | ys AS m FROM s5
+        ),
+        gh AS (
+          SELECT pid, xq, yq, {_gh_chars} AS gh12 FROM mm
+        )
+        SELECT pid, gh12, substr(gh12, 1, 6) AS gh6,
+          round((CAST(xq AS DOUBLE) + 0.5) / 1073741824.0 * 360.0 - 180.0, 9)
+            AS center_lon,
+          round((CAST(yq AS DOUBLE) + 0.5) / 1073741824.0 * 180.0 - 90.0, 9)
+            AS center_lat
+        FROM gh
     """
 
     # rhumb_line: identical inverse-Mercator expressions; pi()/4 and

@@ -413,3 +413,95 @@ def with_hilbert(df, lon_col: str = "lon", lat_col: str = "lat",
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields) + f", {key_col} long"
     return df.mapInPandas(work, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public Niemeyer 2008 scheme): base-32 Morton prefix codes —
+# the classic string spatial key alongside this module's tile/Z-order/
+# Hilbert keys. Pure JVM bit math (the same spread-bits magic as
+# zorder_key), no UDF; decode inverts exactly.
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _unspread_bits32(v):
+    """Inverse of _spread_bits32: gather the even bit positions of a
+    64-bit long back into a 32-bit int. JVM-only."""
+    from pyspark.sql import functions as F
+
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    v = v.bitwiseOR(F.shiftright(v, 1)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftright(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftright(v, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftright(v, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftright(v, 16)).bitwiseAND(F.lit(0xFFFFFFFF))
+    return v
+
+
+def _geohash_quant(lon, lat):
+    """30-bit quantized (xq, yq) grid coords — enough for precision 12
+    (60 interleaved bits). Quantizing at 30 bits and taking bit
+    prefixes is exact for every coarser precision (floor nesting)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << 30
+    xq = F.least(F.lit(n - 1),
+                 F.floor((lon + 180.0) / 360.0 * n).cast("long"))
+    yq = F.least(F.lit(n - 1),
+                 F.floor((lat + 90.0) / 180.0 * n).cast("long"))
+    return xq, yq
+
+
+def geohash_encode(lon, lat, precision: int = 12):
+    """Geohash string of ``precision`` chars (1..12) from lon/lat
+    Columns: longitude takes the even interleave positions starting at
+    the MSB (the published bit order), then 5-bit groups map through
+    the geohash base-32 alphabet."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    xq, yq = _geohash_quant(lon, lat)
+    m = F.shiftleft(_spread_bits32(xq), 1).bitwiseOR(_spread_bits32(yq))
+    chars = [
+        F.substr(
+            F.lit(GEOHASH32),
+            (F.shiftright(m, 5 * (11 - k)).bitwiseAND(F.lit(31))
+             + F.lit(1)).cast("int"),
+            F.lit(1),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_decode(gh, precision: int = 12):
+    """Cell-center struct(lon, lat) of a ``precision``-char geohash
+    Column — exact inverse of :func:`geohash_encode`'s quantization at
+    that precision (centers at (q + 0.5) of the cell grid).
+
+    Pass a MATERIALIZED column (a prior select/withColumn alias), not
+    the encode expression inline: this expression references ``gh``
+    once per character, so composing decode(encode(..)) in a single
+    projection multiplies the unexpanded plan tree ~12x and stalls
+    Catalyst analysis."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    m = F.lit(0).cast("long")
+    for k in range(precision):
+        idx = (F.instr(F.lit(GEOHASH32), F.substr(gh, F.lit(k + 1),
+                                                  F.lit(1))) - 1)
+        m = F.shiftleft(m, 5).bitwiseOR(idx.cast("long"))
+    total = 5 * precision
+    xbits = (total + 1) // 2
+    ybits = total // 2
+    # pad to the 30/30 layout, gather, then shift down to the real width
+    pad = 60 - total
+    mp = F.shiftleft(m, pad)
+    xq = F.shiftright(_unspread_bits32(F.shiftright(mp, 1)), 30 - xbits)
+    yq = F.shiftright(_unspread_bits32(mp), 30 - ybits)
+    lon = (xq.cast("double") + 0.5) / float(1 << xbits) * 360.0 - 180.0
+    lat = (yq.cast("double") + 0.5) / float(1 << ybits) * 180.0 - 90.0
+    return F.struct(lon.alias("lon"), lat.alias("lat"))

@@ -275,3 +275,56 @@ def test_compact_uncompact_cells(spark):
     again = sorted(r["cell"] for r in C.compact_cells(
         C.compact_cells(df)).collect())
     assert again == want
+
+
+class TestGeohash:
+    """Geohash base-32 Morton codes (round-4 session-2)."""
+
+    def test_published_anchors(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        df = spark.createDataFrame(
+            [(10.40744, 57.64911), (-5.6, 42.6)], "lon double, lat double")
+        rows = df.select(
+            C.geohash_encode(F.col("lon"), F.col("lat"), 11).alias("gh"),
+        ).collect()
+        # the two classic published examples
+        assert rows[0]["gh"] == "u4pruydqqvj"
+        assert rows[1]["gh"].startswith("ezs42")
+
+    def test_roundtrip_and_prefix(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        import random
+        rng = random.Random(9)
+        pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90))
+               for _ in range(500)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        enc = df.select(
+            "lon", "lat",
+            C.geohash_encode(F.col("lon"), F.col("lat"), 12).alias("gh12"),
+            C.geohash_encode(F.col("lon"), F.col("lat"), 7).alias("gh7"),
+        )
+        rows = enc.select(
+            "gh12", "gh7",
+            C.geohash_decode(F.col("gh12"), 12).alias("c"),
+            C.geohash_encode(F.col("c.lon"), F.col("c.lat"), 12)
+            .alias("gh12b"),
+        ).collect()
+        for r in rows:
+            # coarser precision is a strict prefix; center re-encodes
+            assert r["gh12"].startswith(r["gh7"])
+            assert r["gh12b"] == r["gh12"]
+
+    def test_decode_center_in_cell(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        df = spark.createDataFrame([(10.40744, 57.64911)],
+                                   "lon double, lat double")
+        # materialize the hash first: decode references its input 12x,
+        # so decode(encode(..)) in ONE expression explodes the plan tree
+        enc = df.select(
+            C.geohash_encode(F.col("lon"), F.col("lat"), 12).alias("gh"))
+        r = enc.select(
+            C.geohash_decode(F.col("gh"), 12).alias("c")
+        ).collect()[0]["c"]
+        # precision-12 cell is ~3.7e-7 deg lon: center within half of that
+        assert abs(r["lon"] - 10.40744) < 2e-7
+        assert abs(r["lat"] - 57.64911) < 1e-7
