@@ -1282,6 +1282,25 @@ def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vincenty_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vincenty inverse geodesic distance on the WGS84 ellipsoid
+    (Vincenty 1975; beyond the reference's spherical-only
+    ogr_geo_utils.cpp) over the same A->B pairs as great_circle. The
+    lambda fixed point is a FIXED 10-step unroll (withColumn chain in
+    Spark, CTE ladder in the oracle) so both engines run identical IEEE
+    op sequences regardless of convergence."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    pts = _points(spark, sf_dir)
+    df = pts.select(
+        "pid", F.col("lat").alias("la"), F.col("lon").alias("loa"),
+        (F.col("lat") * 0.5 + 10.0).alias("lb"),
+        (F.col("lon") * 0.5 + 20.0).alias("lob"),
+    )
+    out = GC.with_vincenty(df, "la", "loa", "lb", "lob", "vm")
+    return out.select("pid", F.round("vm", 3).alias("dist_m"))
+
+
 def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash base-32 Morton prefix codes (Niemeyer 2008; the string
     spatial key companion of the repo's tile/Z-order/Hilbert/S2 keys):
@@ -5454,6 +5473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_ring_stats": q_geodesic_ring_stats,
         "rhumb_line": q_rhumb_line,
         "geohash_cells": q_geohash_cells,
+        "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
         "s2_parent_counts": q_s2_parent_counts,
@@ -6831,6 +6851,107 @@ def oracle_sql() -> dict[str, str]:
                           WHEN sin_h < 0 THEN loa - dg
                           ELSE loa + dg END, 6) AS lon_b
         FROM g6
+    """
+
+    # vincenty_distance: the 10-step lambda unroll as a CTE ladder, every
+    # expression in the exact left-associated order the withColumn chain
+    # builds, so both engines run the same IEEE sequence.
+    _vf = 1.0 / 298.257223563
+    _va = 6378137.0
+    _vb = _va * (1.0 - _vf)
+    _vin_steps = []
+    for _k in range(1, 11):
+        _src = "v0" if _k == 1 else f"w{_k - 1}"
+        _vin_steps.append(f"""
+        a{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2,
+            sin(lam) AS sl, cos(lam) AS cl
+          FROM {_src}
+        ),
+        b{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, sl, cl,
+            cu2 * sl AS t1,
+            cu1 * su2 - su1 * cu2 * cl AS t2
+          FROM a{_k}
+        ),
+        c{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, sl, cl,
+            sqrt(t1 * t1 + t2 * t2) AS ssig,
+            su1 * su2 + cu1 * cu2 * cl AS csig
+          FROM b{_k}
+        ),
+        d{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, sl, ssig, csig,
+            atan2(ssig, csig) AS sig,
+            CASE WHEN ssig = 0.0 THEN 0.0
+                 ELSE cu1 * cu2 * sl / ssig END AS sal
+          FROM c{_k}
+        ),
+        e{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, ssig, csig, sig, sal,
+            1.0 - sal * sal AS c2a
+          FROM d{_k}
+        ),
+        f{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, ssig, csig, sig, sal, c2a,
+            CASE WHEN c2a = 0.0 THEN 0.0
+                 ELSE csig - 2.0 * su1 * su2 / c2a END AS c2m,
+            {_vf / 16.0!r} * c2a
+              * (4.0 + {_vf!r} * (4.0 - 3.0 * c2a)) AS cc
+          FROM e{_k}
+        ),
+        w{_k} AS (
+          SELECT pid, ll, su1, cu1, su2, cu2, ssig, csig, sig, c2a, c2m,
+            ll + (1.0 - cc) * {_vf!r} * sal
+              * (sig + cc * ssig * (c2m + cc * csig
+                 * (-1.0 + 2.0 * c2m * c2m))) AS lam
+          FROM f{_k}
+        )""")
+    # (each w{k} feeds a{k+1}; w10's ssig/csig/sig/c2a/c2m — computed
+    # from lambda_9, exactly like the withColumn chain — feed the series)
+    _vin_ctes = ",".join(_vin_steps)
+    sqls["vincenty_distance"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        ab AS (
+          SELECT pid, lat AS la, lon AS loa,
+                 lat * 0.5 + 10.0 AS lb, lon * 0.5 + 20.0 AS lob
+          FROM pts
+        ),
+        v0 AS (
+          SELECT pid,
+            radians(lob - loa) AS ll,
+            sin(atan({1.0 - _vf!r} * tan(radians(la)))) AS su1,
+            cos(atan({1.0 - _vf!r} * tan(radians(la)))) AS cu1,
+            sin(atan({1.0 - _vf!r} * tan(radians(lb)))) AS su2,
+            cos(atan({1.0 - _vf!r} * tan(radians(lb)))) AS cu2,
+            radians(lob - loa) AS lam
+          FROM ab
+        ),{_vin_ctes},
+        uu AS (
+          SELECT pid, ssig, csig, sig, c2m,
+            c2a * {_va * _va - _vb * _vb!r} / {_vb * _vb!r} AS u2v
+          FROM w10
+        ),
+        abv AS (
+          SELECT pid, ssig, csig, sig, c2m,
+            1.0 + u2v / 16384.0 * (4096.0 + u2v
+              * (-768.0 + u2v * (320.0 - 175.0 * u2v))) AS av,
+            u2v / 1024.0 * (256.0 + u2v
+              * (-128.0 + u2v * (74.0 - 47.0 * u2v))) AS bv
+          FROM uu
+        ),
+        ds AS (
+          SELECT pid, ssig, sig, av,
+            bv * ssig * (c2m + bv / 4.0 * (csig
+              * (-1.0 + 2.0 * c2m * c2m)
+              - bv / 6.0 * c2m * (-3.0 + 4.0 * ssig * ssig)
+                * (-3.0 + 4.0 * c2m * c2m))) AS dsig
+          FROM abv
+        )
+        SELECT pid,
+          round(CASE WHEN ssig = 0.0 THEN 0.0
+                     ELSE {_vb!r} * av * (sig - dsig) END, 3) AS dist_m
+        FROM ds
     """
 
     # geohash_cells: the spread-bits Morton chain + base-32 lookups in a

@@ -141,6 +141,8 @@ BENCH = {
     "warp_rdnew": lambda s: _force(E.q_warp_rdnew_nearest(s, SF_DIR)),
     "warp_krovak": lambda s: _force(E.q_warp_krovak_nearest(s, SF_DIR)),
     "geodesic_rings": lambda s: _force(E.q_geodesic_ring_stats(s, SF_DIR)),
+    "rhumb_line": lambda s: _force(E.q_rhumb_line(s, SF_DIR)),
+    "geohash_cells": lambda s: _force(E.q_geohash_cells(s, SF_DIR)),
 }
 
 

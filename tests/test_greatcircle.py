@@ -137,3 +137,49 @@ class TestRhumbLine:
         # 2 degrees across the seam, not 358 the long way
         from lib_gdal_spark.functions.greatcircle import RAD2METER
         assert abs(d - math.radians(2.0) * RAD2METER) < 1e-6
+
+
+class TestVincenty:
+    def test_published_anchors(self, spark):
+        """Equator/meridian degree arcs + Vincenty's own published test
+        line (Flinders Peak -> Buninyong, 54972.271 m)."""
+        from lib_gdal_spark.functions.greatcircle import with_vincenty
+        rows = [
+            (1, 0.0, 0.0, 0.0, 1.0),
+            (2, 0.0, 0.0, 1.0, 0.0),
+            (3, -37.95103341666667, 144.42486788888888,
+                 -37.65282113888889, 143.92649552777777),
+            (4, 40.0, -74.0, 40.0, -74.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "pid int, lat1 double, lon1 double, "
+                  "lat2 double, lon2 double")
+        out = {r["pid"]: r["vincenty_m"] for r in with_vincenty(
+            df, "lat1", "lon1", "lat2", "lon2").collect()}
+        assert abs(out[1] - 111319.4908) < 0.01   # a * pi/180
+        assert abs(out[2] - 110574.3886) < 0.01   # meridian degree at 0
+        assert abs(out[3] - 54972.271) < 0.01     # Vincenty 1975 table
+        assert out[4] == 0.0                      # coincident guard
+
+    def test_vs_great_circle_within_flattening(self, spark):
+        from lib_gdal_spark.functions.greatcircle import (
+            great_circle_distance, with_vincenty,
+        )
+        import random
+        rng = random.Random(3)
+        rows = [(i, rng.uniform(-60, 60), rng.uniform(-179, 179),
+                 rng.uniform(-60, 60), rng.uniform(-179, 179))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "pid int, lat1 double, lon1 double, "
+                  "lat2 double, lon2 double")
+        out = with_vincenty(df, "lat1", "lon1", "lat2", "lon2").select(
+            "pid", "vincenty_m",
+            great_circle_distance(F.col("lat1"), F.col("lon1"),
+                                  F.col("lat2"), F.col("lon2"))
+            .alias("gc_m"),
+        ).collect()
+        for r in out:
+            if r["gc_m"] > 1000.0:
+                # spherical error is bounded by ~the flattening
+                assert abs(r["vincenty_m"] - r["gc_m"]) / r["gc_m"] < 0.006
