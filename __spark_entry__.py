@@ -1344,6 +1344,44 @@ def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mgrs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS (NGA TM 8358.1 / GEOTRANS MGRS.c) — the NATO alphabetic key
+    over UTM coordinates, companion of the repo's geohash/tile/Hilbert/S2
+    string+integer keys: encode at 1 m and 100 m precision, then decode
+    the 1 m reference back (zone/band/easting + the northing resolved
+    across the 2,000 km row-letter cycle with the GEOTRANS band-minimum
+    table). All lettering is pure JVM integer/substr math, no UDF; the
+    oracle spells the identical arithmetic, and its decode column comes
+    from closed-form congruence math (not string parsing), so equality
+    proves encode AND the string-parse decode invert exactly."""
+    from lib_gdal_spark.functions import cells as C
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 7) % 60 + 1).alias("zone"),
+        ((F.col("event_id") * 13) % 20).alias("band_idx"),
+        ((F.col("event_id") * 9973) % 800000 + 100000).alias("easting"),
+        ((F.col("event_id") * 104729) % 9000000).alias("northing"),
+    )
+    enc = base.select(
+        "pid", "zone", "band_idx", "easting", "northing",
+        C.mgrs_encode(F.col("zone"), F.col("band_idx"),
+                      F.col("easting"), F.col("northing"), 5).alias("m5"),
+        C.mgrs_encode(F.col("zone"), F.col("band_idx"),
+                      F.col("easting"), F.col("northing"), 3).alias("m3"),
+    )
+    dec = enc.select("pid", "m5", "m3",
+                     C.mgrs_decode(F.col("m5"), 5).alias("d"))
+    return dec.select(
+        "pid", "m5", "m3",
+        F.col("d.zone").alias("d_zone"),
+        F.col("d.band_idx").alias("d_band"),
+        F.col("d.easting").alias("d_east"),
+        F.col("d.northing").alias("d_north"),
+    )
+
+
 _GEOD_TH = 2.0 * math.pi / 12.0
 
 
@@ -5472,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "great_circle": q_great_circle,
         "geodesic_ring_stats": q_geodesic_ring_stats,
         "rhumb_line": q_rhumb_line,
+        "mgrs_cells": q_mgrs_cells,
         "geohash_cells": q_geohash_cells,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
@@ -7014,6 +7053,57 @@ def oracle_sql() -> dict[str, str]:
           round((CAST(yq AS DOUBLE) + 0.5) / 1073741824.0 * 180.0 - 90.0, 9)
             AS center_lat
         FROM gh
+    """
+
+    # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on
+    # the same literal alphabets, identical integer div/mod chain); the
+    # decode northing comes from closed-form congruence math + the
+    # GEOTRANS band-minimum list, NOT from parsing the string — equality
+    # therefore proves Spark's string-parse decode inverts the encode.
+    _mgrs_minn = ",".join(f"{v!r}" for v in C.MGRS_BAND_MIN_NORTHING)
+    sqls["mgrs_cells"] = f"""
+        WITH base AS (
+          SELECT event_id AS pid,
+            (event_id * 7) % 60 + 1 AS zone,
+            (event_id * 13) % 20 AS band_idx,
+            (event_id * 9973) % 800000 + 100000 AS easting,
+            (event_id * 104729) % 9000000 AS northing
+          FROM events
+        ),
+        parts AS (
+          SELECT *,
+            ((zone - 1) % 3) * 8 + (easting // 100000) - 1 AS col_idx,
+            CASE WHEN zone % 2 = 0
+                 THEN ((northing // 100000) % 20 + 5) % 20
+                 ELSE (northing // 100000) % 20 END AS row_idx
+          FROM base
+        ),
+        enc AS (
+          SELECT *,
+            CAST(zone AS VARCHAR)
+              || substr('{C.MGRS_BANDS}', CAST(band_idx AS INT) + 1, 1)
+              || substr('{C.MGRS_COLS}', CAST(col_idx AS INT) + 1, 1)
+              || substr('{C.MGRS_ROWS}', CAST(row_idx AS INT) + 1, 1)
+              AS sq
+          FROM parts
+        ),
+        dec AS (
+          SELECT *,
+            CAST(northing % 2000000 AS DOUBLE) AS n_mod,
+            list_extract([{_mgrs_minn}], CAST(band_idx AS INT) + 1) AS min_n
+          FROM enc
+        )
+        SELECT pid,
+          sq || lpad(CAST(easting % 100000 AS VARCHAR), 5, '0')
+             || lpad(CAST(northing % 100000 AS VARCHAR), 5, '0') AS m5,
+          sq || lpad(CAST((easting % 100000) // 100 AS VARCHAR), 3, '0')
+             || lpad(CAST((northing % 100000) // 100 AS VARCHAR), 3, '0')
+             AS m3,
+          zone AS d_zone, band_idx AS d_band,
+          CAST(easting AS DOUBLE) AS d_east,
+          n_mod + ceil(greatest(0.0, min_n - n_mod) / 2000000.0) * 2000000.0
+            AS d_north
+        FROM dec
     """
 
     # rhumb_line: identical inverse-Mercator expressions; pi()/4 and

@@ -505,3 +505,122 @@ def geohash_decode(gh, precision: int = 12):
     lon = (xq.cast("double") + 0.5) / float(1 << xbits) * 360.0 - 180.0
     lat = (yq.cast("double") + 0.5) / float(1 << ybits) * 180.0 - 90.0
     return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
+# ---------------------------------------------------------------------------
+# MGRS (Military Grid Reference System) — the NATO string key over UTM
+# coordinates (the alphabetic companion of the numeric UTM easting/northing
+# the CRS registry already produces; reference scope stops at the EPSG
+# codes, so this is beyond-reference breadth like geohash above).
+#
+# Published scheme (NGA TM 8358.1 §3; the GEOTRANS MGRS.c tables):
+#   * 6° UTM zones 1..60; latitude bands C..X (8° each from 80°S, I/O
+#     skipped, X stretched to 84°N).
+#   * 100 km square column letter: the 24-letter alphabet (I/O skipped)
+#     in three 8-letter sets A-H / J-R / S-Z cycling with ``zone mod 3``;
+#     column index = floor(E / 100 km) ∈ 1..8.
+#   * 100 km square row letter: 20-letter alphabet A..V (I/O skipped),
+#     row index = floor(N / 100 km) mod 20, offset +5 ("F start") for
+#     even zones (the AA scheme used with WGS84/GRS80).
+#   * Numeric part: easting then northing remainders, 10^(5-p) m units,
+#     zero-padded to p digits each (p = precision 1..5).
+# Everything is integer/letter arithmetic → pure JVM Column math.
+# ---------------------------------------------------------------------------
+
+MGRS_COLS = "ABCDEFGHJKLMNPQRSTUVWXYZ"  # 24, I/O skipped (3 sets of 8)
+MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"      # 20, I/O skipped
+MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"     # 20 bands, 8° each from -80°
+
+# Minimum northing (m) of each latitude band in its own UTM frame
+# (southern bands count down from the 10,000,000 m false northing) — the
+# GEOTRANS MGRS.c "Latitude_Band_Table" used to resolve the 2,000 km row
+# -letter cycle on decode.
+MGRS_BAND_MIN_NORTHING = [
+    1100000.0, 2000000.0, 2800000.0, 3700000.0, 4600000.0,  # C D E F G
+    5500000.0, 6400000.0, 7300000.0, 8200000.0, 9100000.0,  # H J K L M
+    0.0, 800000.0, 1700000.0, 2600000.0, 3500000.0,         # N P Q R S
+    4400000.0, 5300000.0, 6200000.0, 7000000.0, 7900000.0,  # T U V W X
+]
+
+
+def mgrs_band_index(lat):
+    """Latitude-band index 0..19 (C..X) of a latitude Column. 8° bands
+    from −80°; band X absorbs 80..84°N (NGA TM 8358.1 §3-2)."""
+    from pyspark.sql import functions as F
+
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(19), F.floor((lat + 80.0) / 8.0).cast("int")),
+    )
+
+
+def mgrs_encode(zone, band_idx, easting, northing, precision: int = 5):
+    """MGRS string Column from UTM parts (all Columns: ``zone`` 1..60,
+    ``band_idx`` 0..19 = bands C..X, ``easting``/``northing`` metres in
+    the square's own UTM frame). Pure JVM letter/integer arithmetic —
+    no UDF. Zone is unpadded (the Wikipedia/GEOTRANS display form)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= precision <= 5:
+        raise ValueError("MGRS precision must be in 1..5")
+    e = easting.cast("long")
+    n = northing.cast("long")
+    set_off = ((zone.cast("long") - 1) % 3) * 8
+    col_idx = set_off + (e / 100000).cast("long") - 1       # 0-based in set
+    row_raw = (n / 100000).cast("long") % 20
+    row_idx = F.when(zone.cast("long") % 2 == 0,
+                     (row_raw + 5) % 20).otherwise(row_raw)
+    unit = 10 ** (5 - precision)
+    ed = ((e % 100000) / unit).cast("long")
+    nd = ((n % 100000) / unit).cast("long")
+    return F.concat(
+        zone.cast("long").cast("string"),
+        F.substr(F.lit(MGRS_BANDS), (band_idx + 1).cast("int"), F.lit(1)),
+        F.substr(F.lit(MGRS_COLS), (col_idx + 1).cast("int"), F.lit(1)),
+        F.substr(F.lit(MGRS_ROWS), (row_idx + 1).cast("int"), F.lit(1)),
+        F.lpad(ed.cast("string"), precision, "0"),
+        F.lpad(nd.cast("string"), precision, "0"),
+    )
+
+
+def mgrs_decode(mgrs, precision: int = 5):
+    """Decode an MGRS string Column (unpadded zone, ``precision`` digit
+    pairs) back to struct(zone, band_idx, easting, northing) — the SW
+    corner of the reference at that precision, northing resolved across
+    the 2,000 km row-letter cycle with the GEOTRANS band-minimum table.
+
+    Pass a MATERIALIZED column (same Catalyst-expansion caveat as
+    :func:`geohash_decode`)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= precision <= 5:
+        raise ValueError("MGRS precision must be in 1..5")
+    # zone is 1 or 2 leading digits: 2 unless the 2nd char is a letter
+    two = F.substr(mgrs, F.lit(2), F.lit(1)).rlike("[0-9]")
+    zlen = F.when(two, F.lit(2)).otherwise(F.lit(1))
+    zone = F.substr(mgrs, F.lit(1), zlen).cast("long")
+    band_idx = (F.instr(F.lit(MGRS_BANDS),
+                        F.substr(mgrs, zlen + 1, F.lit(1))) - 1).cast("long")
+    col_idx = (F.instr(F.lit(MGRS_COLS),
+                       F.substr(mgrs, zlen + 2, F.lit(1))) - 1).cast("long")
+    row_idx = (F.instr(F.lit(MGRS_ROWS),
+                       F.substr(mgrs, zlen + 3, F.lit(1))) - 1).cast("long")
+    unit = 10 ** (5 - precision)
+    ed = F.substr(mgrs, zlen + 4, F.lit(precision)).cast("long") * unit
+    nd = F.substr(mgrs, zlen + 4 + precision,
+                  F.lit(precision)).cast("long") * unit
+    e100k = (col_idx - ((zone - 1) % 3) * 8) + 1            # 1..8
+    row_raw = F.when(zone % 2 == 0, (row_idx - 5 + 20) % 20) \
+        .otherwise(row_idx)
+    easting = e100k * 100000 + ed
+    n_mod = (row_raw * 100000 + nd).cast("double")
+    min_n = F.element_at(
+        F.array(*[F.lit(v) for v in MGRS_BAND_MIN_NORTHING]),
+        (band_idx + 1).cast("int"),
+    )
+    # smallest n_mod + k*2,000,000 that is >= the band's minimum northing
+    k = F.ceil(F.greatest(F.lit(0.0), min_n - n_mod) / 2000000.0)
+    northing = n_mod + k.cast("double") * 2000000.0
+    return F.struct(zone.alias("zone"), band_idx.alias("band_idx"),
+                    easting.cast("double").alias("easting"),
+                    northing.alias("northing"))

@@ -328,3 +328,83 @@ class TestGeohash:
         # precision-12 cell is ~3.7e-7 deg lon: center within half of that
         assert abs(r["lon"] - 10.40744) < 2e-7
         assert abs(r["lat"] - 57.64911) < 1e-7
+
+
+class TestMGRS:
+    """MGRS lettering (NGA TM 8358.1 / GEOTRANS tables; round-4)."""
+
+    def test_lettering_rules(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        # (zone, band_idx, E, N) -> expected prefix letters per the
+        # published scheme: col sets A-H/J-R/S-Z by zone mod 3; row
+        # A-start for odd zones, F-start for even zones.
+        df = spark.createDataFrame(
+            [(18, 13, 100000, 0),   # even zone, set 3 -> col S, row F
+             (1, 13, 100000, 0),    # odd zone, set 1 -> col A, row A
+             (2, 13, 899999, 1999999)],  # even, set 2 -> col R, row (19+5)%20=4 -> E
+            "zone long, band long, e long, n long")
+        rows = df.select(C.mgrs_encode(
+            F.col("zone"), F.col("band"), F.col("e"), F.col("n"), 5)
+            .alias("m")).collect()
+        assert rows[0]["m"] == "18RSF0000000000"
+        assert rows[1]["m"] == "1RAA0000000000"
+        assert rows[2]["m"] == "2RRE9999999999"
+
+    def test_paris_square_anchor(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        # UTM 31N easting 448,251 northing 5,411,932 (the Eiffel Tower
+        # vicinity) lies in the well-known 100 km square 31UDQ.
+        df = spark.createDataFrame([(31, 448251.0, 5411932.0, 48.858)],
+                                   "zone long, e double, n double, lat double")
+        r = df.select(C.mgrs_encode(
+            F.col("zone"), C.mgrs_band_index(F.col("lat")),
+            F.col("e"), F.col("n"), 4).alias("m")).collect()[0]["m"]
+        assert r == "31UDQ48251193"[:5] + "4825" + "1193"
+        assert r.startswith("31UDQ")
+
+    def test_band_index_edges(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        df = spark.createDataFrame(
+            [(-80.0,), (-79.9,), (-0.1,), (0.0,), (55.0,), (71.9,),
+             (72.1,), (83.9,)], "lat double")
+        rows = df.select(C.mgrs_band_index(F.col("lat")).alias("b")).collect()
+        bands = [C.MGRS_BANDS[r["b"]] for r in rows]
+        # 8-degree ladder through W (64..72); X is the 12-degree band
+        # absorbing 72..84N (NGA TM 8358.1 fig. 6)
+        assert bands == ["C", "C", "M", "N", "U", "W", "X", "X"]
+
+    def test_roundtrip_property(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        import random
+        rng = random.Random(4)
+        data = [(rng.randrange(1, 61), rng.randrange(0, 20),
+                 rng.randrange(100000, 900000), rng.randrange(0, 10000000))
+                for _ in range(400)]
+        df = spark.createDataFrame(
+            data, "zone long, band long, e long, n long")
+        enc = df.select(
+            "zone", "band", "e", "n",
+            C.mgrs_encode(F.col("zone"), F.col("band"), F.col("e"),
+                          F.col("n"), 5).alias("m"))
+        rows = enc.select(
+            "zone", "band", "e", "n",
+            C.mgrs_decode(F.col("m"), 5).alias("d")).collect()
+        for r in rows:
+            assert r["d"]["zone"] == r["zone"]
+            assert r["d"]["band_idx"] == r["band"]
+            assert r["d"]["easting"] == float(r["e"])
+            # northing: exact congruence mod the 2,000 km cycle, and at
+            # least the band minimum (full inversion needs the band's
+            # true range, which random (band, N) pairs need not satisfy)
+            assert r["d"]["northing"] % 2000000 == r["n"] % 2000000
+            assert (r["d"]["northing"]
+                    >= C.MGRS_BAND_MIN_NORTHING[r["band"]])
+
+    def test_decode_precision3(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        df = spark.createDataFrame([("31UDQ482119",)], "m string")
+        r = df.select(C.mgrs_decode(F.col("m"), 3).alias("d")).collect()[0]
+        assert r["d"]["zone"] == 31
+        assert r["d"]["easting"] == 448200.0
+        # band U min northing 5,300,000 -> cycle resolves to 5,411,900
+        assert r["d"]["northing"] == 5411900.0
