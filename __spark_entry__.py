@@ -1382,6 +1382,32 @@ def q_mgrs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_plus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Location Codes (Google's open "plus codes" spec) — the third
+    string spatial key beside geohash and MGRS: 10-char (1/8000° cell)
+    and 11-char (4x5 grid refinement) encode, then decode the 10-char
+    code back to its cell center. Pure JVM base-20 quantization math, no
+    UDF; the oracle spells the identical digit/substr arithmetic and
+    derives the center from the pre-encode quantized values, so equality
+    proves encode AND the string-parse decode invert exactly. Anchored
+    in pytest to the spec's published Zurich example 8FVC9G8F+6X."""
+    from lib_gdal_spark.functions import cells as C
+
+    pts = _points(spark, sf_dir)
+    enc = pts.select(
+        "pid",
+        C.olc_encode(F.col("lon"), F.col("lat"), 10).alias("olc10"),
+        C.olc_encode(F.col("lon"), F.col("lat"), 11).alias("olc11"),
+    )
+    dec = enc.select("pid", "olc10", "olc11",
+                     C.olc_decode(F.col("olc10"), 10).alias("d"))
+    return dec.select(
+        "pid", "olc10", "olc11",
+        F.round(F.col("d.lat_c"), 9).alias("clat"),
+        F.round(F.col("d.lon_c"), 9).alias("clon"),
+    )
+
+
 _GEOD_TH = 2.0 * math.pi / 12.0
 
 
@@ -5511,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_ring_stats": q_geodesic_ring_stats,
         "rhumb_line": q_rhumb_line,
         "mgrs_cells": q_mgrs_cells,
+        "plus_codes": q_plus_codes,
         "geohash_cells": q_geohash_cells,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
@@ -7104,6 +7131,49 @@ def oracle_sql() -> dict[str, str]:
           n_mod + ceil(greatest(0.0, min_n - n_mod) / 2000000.0) * 2000000.0
             AS d_north
         FROM dec
+    """
+
+    # plus_codes: the OLC base-20 digit chain spelled in SQL (identical
+    # quantization, substr lookups on the same literal alphabet); the
+    # decoded center comes from the pre-encode quantized values with the
+    # same IEEE op order, so equality proves encode/decode invert.
+    _olc_digits = []
+    for _p in (160000, 8000, 400, 20, 1):
+        for _q in ("latq", "lonq"):
+            if _p == 1 and _q == "latq":
+                _olc_digits.append("'+'")
+            _olc_digits.append(
+                f"substr('{C.OLC_ALPHABET}', "
+                f"CAST(({_q} // {_p}) % 20 AS INT) + 1, 1)"
+            )
+    _olc10 = " || ".join(_olc_digits)
+    _hlat = 0.5 / 8000.0
+    sqls["plus_codes"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        q AS (
+          SELECT pid,
+            least(1439999, greatest(0,
+              CAST(floor((lat + 90.0) * 8000.0) AS BIGINT))) AS latq,
+            ((CAST(floor((lon + 180.0) * 8000.0) AS BIGINT) % 2880000)
+              + 2880000) % 2880000 AS lonq,
+            least(7199999,
+              CAST(floor((lat + 90.0) * 40000.0) AS BIGINT)) % 5 AS row5,
+            ((CAST(floor((lon + 180.0) * 32000.0) AS BIGINT) % 11520000)
+              + 11520000) % 4 AS col4
+          FROM pts
+        ),
+        enc AS (
+          SELECT pid, latq, lonq, {_olc10} AS olc10,
+            substr('{C.OLC_ALPHABET}',
+                   CAST(row5 * 4 + col4 AS INT) + 1, 1) AS g
+          FROM q
+        )
+        SELECT pid, olc10, olc10 || g AS olc11,
+          round(CAST(latq AS DOUBLE) / 8000.0 - 90.0 + {_hlat!r}, 9)
+            AS clat,
+          round(CAST(lonq AS DOUBLE) / 8000.0 - 180.0 + {_hlat!r}, 9)
+            AS clon
+        FROM enc
     """
 
     # rhumb_line: identical inverse-Mercator expressions; pi()/4 and

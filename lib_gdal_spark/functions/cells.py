@@ -624,3 +624,94 @@ def mgrs_decode(mgrs, precision: int = 5):
     return F.struct(zone.alias("zone"), band_idx.alias("band_idx"),
                     easting.cast("double").alias("easting"),
                     northing.alias("northing"))
+
+
+# ---------------------------------------------------------------------------
+# Open Location Code ("plus codes", Google 2014; the open spec at
+# github.com/google/open-location-code) — the third string spatial key
+# beside geohash and MGRS. A 10-char code is 5 base-20 digit PAIRS
+# (lat digit then lon digit, most significant first, '+' after 8 chars);
+# pair k has resolution 20^(1-k) degrees, so the full 10-char cell is
+# 1/8000° (~14 m). The optional 11th char refines the cell on a 4×5
+# grid (cols base 4 in lon, rows base 5 in lat). Pure integer
+# quantization → JVM Column math, no UDF.
+# ---------------------------------------------------------------------------
+
+OLC_ALPHABET = "23456789CFGHJMPQRVWX"  # base 20, no vowels/lookalikes
+
+
+def olc_encode(lon, lat, length: int = 10):
+    """Open Location Code string Column (length 10 or 11) from lon/lat
+    degree Columns. Latitude clips to the poles (90°N encodes into the
+    northernmost cell per the spec), longitude wraps into [-180, 180)."""
+    from pyspark.sql import functions as F
+
+    if length not in (10, 11):
+        raise ValueError("OLC length must be 10 or 11")
+    latq = F.least(F.lit(180 * 8000 - 1),
+                   F.greatest(F.lit(0),
+                              F.floor((lat + 90.0) * 8000.0).cast("long")))
+    lonq = ((F.floor((lon + 180.0) * 8000.0).cast("long") % (360 * 8000))
+            + (360 * 8000)) % (360 * 8000)
+
+    def dig(q, k):  # base-20 digit k (0 = most significant of 5)
+        return (q / 20 ** (4 - k)).cast("long") % 20
+
+    def ch(idx):
+        return F.substr(F.lit(OLC_ALPHABET), (idx + 1).cast("int"), F.lit(1))
+
+    parts = []
+    for k in range(5):
+        if k == 4:
+            parts.append(F.lit("+"))
+        parts.append(ch(dig(latq, k)))
+        parts.append(ch(dig(lonq, k)))
+    if length == 11:
+        row5 = F.least(F.lit(5 * 180 * 8000 - 1),
+                       F.floor((lat + 90.0) * 40000.0).cast("long")) % 5
+        col4 = ((F.floor((lon + 180.0) * 32000.0).cast("long")
+                 % (4 * 360 * 8000)) + 4 * 360 * 8000) % 4
+        parts.append(ch(row5 * 4 + col4))
+    return F.concat(*parts)
+
+
+def olc_decode(code, length: int = 10):
+    """Decode a 10- or 11-char plus-code Column to
+    struct(lat_lo, lon_lo, lat_hi, lon_hi, lat_c, lon_c) — the cell's SW
+    corner, NE corner, and center, the spec's CodeArea. Exact inverse of
+    :func:`olc_encode`'s quantization. Pass a MATERIALIZED column (the
+    expression references ``code`` once per character)."""
+    from pyspark.sql import functions as F
+
+    if length not in (10, 11):
+        raise ValueError("OLC length must be 10 or 11")
+
+    def idx(pos):  # 0-based char position in the padded code
+        return (F.instr(F.lit(OLC_ALPHABET),
+                        F.substr(code, F.lit(pos + 1), F.lit(1))) - 1
+                ).cast("long")
+
+    # char positions: pairs at 0..7, '+', then 9..10
+    latq = F.lit(0).cast("long")
+    lonq = F.lit(0).cast("long")
+    for k in range(5):
+        p = 2 * k if k < 4 else 2 * k + 1  # skip the '+'
+        latq = latq * 20 + idx(p)
+        lonq = lonq * 20 + idx(p + 1)
+    if length == 11:
+        g = idx(11)
+        lat_lo = (latq.cast("double") * 5.0 + (g / 4).cast("long")
+                  .cast("double")) / 40000.0 - 90.0
+        lon_lo = (lonq.cast("double") * 4.0 + (g % 4).cast("double")) \
+            / 32000.0 - 180.0
+        hlat, hlon = 0.5 / 40000.0, 0.5 / 32000.0
+    else:
+        lat_lo = latq.cast("double") / 8000.0 - 90.0
+        lon_lo = lonq.cast("double") / 8000.0 - 180.0
+        hlat = hlon = 0.5 / 8000.0
+    return F.struct(
+        lat_lo.alias("lat_lo"), lon_lo.alias("lon_lo"),
+        (lat_lo + 2.0 * hlat).alias("lat_hi"),
+        (lon_lo + 2.0 * hlon).alias("lon_hi"),
+        (lat_lo + hlat).alias("lat_c"), (lon_lo + hlon).alias("lon_c"),
+    )

@@ -408,3 +408,67 @@ class TestMGRS:
         assert r["d"]["easting"] == 448200.0
         # band U min northing 5,300,000 -> cycle resolves to 5,411,900
         assert r["d"]["northing"] == 5411900.0
+
+
+class TestPlusCodes:
+    """Open Location Codes (the published Google OLC spec; round-4)."""
+
+    def test_published_zurich_anchor(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        # the spec's canonical example: 47.365590, 8.524997 in Zurich
+        df = spark.createDataFrame([(8.524997, 47.365590)],
+                                   "lon double, lat double")
+        r = df.select(
+            C.olc_encode(F.col("lon"), F.col("lat"), 10).alias("c10"),
+            C.olc_encode(F.col("lon"), F.col("lat"), 11).alias("c11"),
+        ).collect()[0]
+        assert r["c10"] == "8FVC9G8F+6X"
+        assert r["c11"].startswith("8FVC9G8F+6X") and len(r["c11"]) == 12
+
+    def test_origin_and_plus_position(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+        r = df.select(C.olc_encode(F.col("lon"), F.col("lat"), 10)
+                      .alias("c")).collect()[0]["c"]
+        assert r == "6FG22222+22"
+        assert r[8] == "+"
+
+    def test_roundtrip_and_cell_contains(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        import random
+        rng = random.Random(11)
+        pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90))
+               for _ in range(500)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        for length in (10, 11):
+            enc = df.select(
+                "lon", "lat",
+                C.olc_encode(F.col("lon"), F.col("lat"), length)
+                .alias("c"))
+            rows = enc.select(
+                "lon", "lat", "c",
+                C.olc_decode(F.col("c"), length).alias("d"),
+            ).collect()
+            for r in rows:
+                d = r["d"]
+                # the original point lies inside the decoded cell, and
+                # the center re-encodes to the same code
+                assert d["lat_lo"] - 1e-9 <= r["lat"] <= d["lat_hi"] + 1e-9
+                assert d["lon_lo"] - 1e-9 <= r["lon"] <= d["lon_hi"] + 1e-9
+            re = enc.select(
+                "c",
+                C.olc_decode(F.col("c"), length).alias("d"),
+            ).select(
+                "c",
+                C.olc_encode(F.col("d.lon_c"), F.col("d.lat_c"), length)
+                .alias("c2"))
+            assert re.filter(F.col("c") != F.col("c2")).count() == 0
+
+    def test_pole_clip(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        # 90N encodes into the northernmost cell (spec behavior)
+        df = spark.createDataFrame([(0.0, 90.0), (0.0, 89.9999)],
+                                   "lon double, lat double")
+        rows = df.select(C.olc_encode(F.col("lon"), F.col("lat"), 10)
+                         .alias("c")).collect()
+        assert rows[0]["c"] == rows[1]["c"]
