@@ -1642,6 +1642,35 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.c4_clean(synth, blocklist=("badword1", "badword2"))
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densitometric boilerplate removal (Kohlschütter et al., WSDM 2010
+    — the boilerpipe NumWordsRulesClassifier tree) over synthesized
+    HTML: documents become 8-word lines, every (doc_id+i)%4==0 line is a
+    fully-linked nav row, every (doc_id+i)%7==0 line gets a 3-word
+    trailing anchor, so all tree branches (link-dense current, nav-
+    context previous, short-line/neighbor rescues) are exercised. One
+    zero-shuffle JVM projection; the oracle spells the same synthesis,
+    feature extraction, and decision tree in DuckDB list lambdas."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.when(
+            (F.col("doc_id") + i) % 4 == 0,
+            F.concat(F.lit('<a href="#">'),
+                     F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+                     F.lit("</a>")),
+        ).when(
+            (F.col("doc_id") + i) % 7 == 0,
+            F.concat(F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+                     F.lit(' <a href="#">more info here</a>')),
+        ).otherwise(F.array_join(F.slice(words, i * 8 + 1, 8), " ")),
+    )
+    synth = d.select("doc_id", F.array_join(body, "\n").alias("html"))
+    return TXT.boilerplate_lines(synth)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
     polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
@@ -5621,6 +5650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "c4_clean": q_c4_clean,
+        "boilerplate_removal": q_boilerplate_removal,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
@@ -9365,6 +9395,79 @@ def oracle_sql() -> dict[str, str]:
     # contamination on fixed residues) then the full C4 rule set spelled
     # with DuckDB list lambdas; kept is 0/1 int to avoid nullable-bool
     # hash skew.
+    # boilerplate_removal: same line synthesis, the same tag-strip /
+    # anchor-extract features, and the boilerpipe NumWordsRulesClassifier
+    # tree spelled in DuckDB list lambdas (1-based list indexing; out-of-
+    # range -> NULL -> the empty-block coalesce defaults). DuckDB
+    # regexp_replace needs the explicit 'g' flag to match Spark's global
+    # replace.
+    sqls["boilerplate_removal"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)
+                   AS n_l
+          FROM documents
+        ),
+        synth AS (
+          SELECT doc_id,
+            list_transform(range(0, n_l), i -> CASE
+              WHEN (doc_id + i) % 4 = 0 THEN
+                '<a href="#">'
+                  || array_to_string(list_slice(w, i*8+1, i*8+8), ' ')
+                  || '</a>'
+              WHEN (doc_id + i) % 7 = 0 THEN
+                array_to_string(list_slice(w, i*8+1, i*8+8), ' ')
+                  || ' <a href="#">more info here</a>'
+              ELSE array_to_string(list_slice(w, i*8+1, i*8+8), ' ')
+            END) AS lines
+          FROM base
+        ),
+        feat AS (
+          SELECT doc_id, lines,
+            list_transform(lines, s -> len(list_filter(
+              string_split_regex(
+                regexp_replace(s, '<[^>]*>', ' ', 'g'), '\s+'),
+              x -> x != ''))) AS nw,
+            list_transform(lines, s -> len(list_filter(
+              string_split_regex(
+                array_to_string(
+                  regexp_extract_all(s, '<a [^>]*>(.*?)</a>', 1), ' '),
+                '\s+'),
+              x -> x != ''))) AS aw
+          FROM synth
+        ),
+        ld AS (
+          SELECT doc_id, lines, nw,
+            list_transform(range(1, len(nw) + 1),
+              k -> CASE WHEN nw[k] > 0
+                   THEN CAST(aw[k] AS DOUBLE) / CAST(nw[k] AS DOUBLE)
+                   ELSE 0.0 END) AS ldv
+          FROM feat
+        ),
+        cls AS (
+          SELECT doc_id, lines,
+            list_transform(range(0, len(lines)), i -> CASE
+              WHEN ldv[i + 1] > 0.333333 THEN false
+              WHEN coalesce(CASE WHEN i > 0 THEN ldv[i] END, 0.0)
+                   <= 0.555556
+                THEN (nw[i + 1] > 16 OR coalesce(nw[i + 2], 0) > 15
+                      OR coalesce(CASE WHEN i > 0 THEN nw[i] END, 0) > 4)
+              ELSE (nw[i + 1] > 40 OR coalesce(nw[i + 2], 0) > 17)
+            END) AS keepv
+          FROM ld
+        )
+        SELECT doc_id,
+          len(lines) AS n_lines,
+          len(list_filter(keepv, k -> k)) AS n_content,
+          coalesce(array_to_string(
+            list_transform(
+              list_filter(range(1, len(lines) + 1), k -> keepv[k]),
+              k -> trim(regexp_replace(regexp_replace(
+                     lines[k], '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))),
+            chr(10)), '') AS content_text
+        FROM cls
+    """
+
     sqls["c4_clean"] = r"""
         WITH base AS (
           SELECT doc_id, regexp_split_to_array(text, ' ') AS words

@@ -891,3 +891,111 @@ def with_length_percentile(docs: DataFrame, len_col: str = "n_chars",
     needs no float-sum determinism care. One shuffle on the group key."""
     w = Window.partitionBy(by).orderBy(len_col, id_col)
     return docs.withColumn(out_col, F.percent_rank().over(w))
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Densitometric boilerplate removal (Kohlschütter, Fankhauser &
+    Nejdl, WSDM 2010, "Boilerplate Detection using Shallow Text
+    Features" — the boilerpipe ``NumWordsRulesClassifier`` decision
+    tree). Blocks are newline-separated lines; per line the classifier
+    sees only ``numWords`` (whitespace tokens after tag stripping) and
+    ``linkDensity`` (tokens inside ``<a>`` anchors / all tokens), plus
+    the same two features of the previous and next line (absent
+    neighbors count as empty blocks, the boilerpipe convention):
+
+        curr.linkDensity > 1/3                      -> boilerplate
+        prev.linkDensity <= 0.555556:
+            curr.numWords > 16 or next.numWords > 15 -> content
+            else prev.numWords > 4                   -> content
+        prev.linkDensity  > 0.555556:
+            curr.numWords > 40 or next.numWords > 17 -> content
+
+    Everything is JVM built-ins (split / regexp / transform over the
+    line array) in ONE zero-shuffle narrow projection — per-line
+    neighbor context never leaves the row, so at 100 TB this is a pure
+    map stage with no window shuffle. Returns
+    (id, n_lines, n_content, content_text).
+    """
+    lines = F.split(F.col(html_col), "\n", -1)
+
+    def nwords(s):
+        stripped = F.regexp_replace(s, "<[^>]*>", " ")
+        return F.size(F.filter(F.split(stripped, r"\s+", -1),
+                               lambda x: x != ""))
+
+    def awords(s):
+        atext = F.array_join(
+            F.regexp_extract_all(s, F.lit("<a [^>]*>(.*?)</a>"), 1), " ")
+        return F.size(F.filter(F.split(atext, r"\s+", -1),
+                               lambda x: x != ""))
+
+    d = docs.select(
+        F.col(id_col), lines.alias("_lines"),
+        F.transform(lines, nwords).alias("_nw"),
+        F.transform(lines, awords).alias("_aw"),
+    ).select(
+        id_col, "_lines", "_nw",
+        F.zip_with(
+            "_aw", "_nw",
+            lambda a, n: F.when(n > 0, a.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0)),
+        ).alias("_ld"),
+    )
+
+    n = F.size(F.col("_lines"))
+
+    verdicts = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(
+            F.element_at(F.col("_ld"), (i + 1).cast("int")) > 0.333333,
+            F.lit(False),
+        ).otherwise(
+            F.when(
+                F.coalesce(
+                    F.element_at(F.col("_ld"), F.when(i > 0, i)
+                                 .otherwise(F.lit(None)).cast("int")),
+                    F.lit(0.0)) <= 0.555556,
+                # low-link-density neighborhood branch
+                (F.element_at(F.col("_nw"), (i + 1).cast("int")) > 16)
+                | (F.coalesce(
+                    F.element_at(F.col("_nw"), F.when(i + 2 <= n, i + 2)
+                                 .otherwise(F.lit(None)).cast("int")),
+                    F.lit(0)) > 15)
+                | (F.coalesce(
+                    F.element_at(F.col("_nw"), F.when(i > 0, i)
+                                 .otherwise(F.lit(None)).cast("int")),
+                    F.lit(0)) > 4),
+            ).otherwise(
+                # prev line is link-dense (nav context)
+                (F.element_at(F.col("_nw"), (i + 1).cast("int")) > 40)
+                | (F.coalesce(
+                    F.element_at(F.col("_nw"), F.when(i + 2 <= n, i + 2)
+                                 .otherwise(F.lit(None)).cast("int")),
+                    F.lit(0)) > 17),
+            )
+        ),
+    )
+
+    kept = F.transform(
+        F.filter(
+            F.zip_with("_lines", "_keep",
+                       lambda s, k: F.when(k, s).otherwise(F.lit(None))),
+            lambda s: s.isNotNull(),
+        ),
+        lambda s: F.trim(F.regexp_replace(
+            F.regexp_replace(s, "<[^>]*>", " "), r"\s+", " ")),
+    )
+    return d.select(
+        id_col,
+        F.col("_lines").alias("_lines"),
+        verdicts.alias("_keep"),
+    ).select(
+        id_col,
+        F.size("_lines").alias("n_lines"),
+        F.size(F.filter("_keep", lambda k: k)).alias("n_content"),
+        F.array_join(kept, "\n").alias("content_text"),
+    )

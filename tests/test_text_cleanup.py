@@ -78,3 +78,62 @@ class TestDomainBlocklist:
         r = df.collect()[0]
         assert r.h == "a.b.co"
         assert r.s == ["a.b.co", "b.co", "co"]
+
+
+class TestBoilerplateLines:
+    """Kohlschütter WSDM-2010 NumWordsRulesClassifier (round-4)."""
+
+    def _run(self, spark, lines):
+        from lib_gdal_spark.operators.textops import boilerplate_lines
+        df = spark.createDataFrame([(1, "\n".join(lines))],
+                                   "doc_id long, html string")
+        return boilerplate_lines(df).collect()[0]
+
+    def test_link_dense_line_is_boilerplate(self, spark):
+        # after a link-dense line the tree demands >40 words (nav context)
+        heavy = "a long informative paragraph " + " ".join(
+            "word%d" % i for i in range(38))
+        r = self._run(spark, [
+            '<a href="x">home</a> <a href="y">about</a> <a href="z">faq</a>',
+            heavy,
+        ])
+        assert r["n_content"] == 1
+        assert r["content_text"].startswith("a long informative")
+
+    def test_nav_context_needs_heavier_line(self, spark):
+        # prev linkDensity > 0.555556: an 8-word line needs next>17 words
+        nav = '<a href="x">one two three four five six</a>'
+        mid = "just eight words sit on this line here"
+        heavy = " ".join(["w%d" % i for i in range(18)])
+        light = " ".join(["w%d" % i for i in range(10)])
+        keep = self._run(spark, [nav, mid, heavy + "."])
+        drop = self._run(spark, [nav, mid, light + "."])
+        mids_kept = "just eight words" in keep["content_text"]
+        mids_dropped = "just eight words" not in drop["content_text"]
+        assert mids_kept and mids_dropped
+
+    def test_short_line_rescued_by_prev_words(self, spark):
+        # prev ld<=0.5556, curr<=16, next<=15: content iff prev>4 words
+        long_prev = "five words and then some more padding tokens"
+        r = self._run(spark, [long_prev, "short tail line"])
+        # the 8-word opener itself has no prev and a short next -> dropped;
+        # the short tail is rescued by its 8-word predecessor
+        assert r["n_content"] == 1
+        assert r["content_text"] == "short tail line"
+        r2 = self._run(spark, ["tiny one", "short tail line"])
+        assert r2["n_content"] == 0
+
+    def test_tags_stripped_and_whitespace_collapsed(self, spark):
+        r = self._run(spark, [
+            "body <b>bold</b>   words with more than sixteen tokens "
+            "one two three four five six seven eight nine ten",
+        ])
+        assert "  " not in r["content_text"]
+        assert "<b>" not in r["content_text"]
+        assert r["content_text"].startswith("body bold words")
+
+    def test_empty_and_blank_lines(self, spark):
+        r = self._run(spark, ["", "   ", "x"])
+        assert r["n_lines"] == 3
+        assert r["n_content"] == 0
+        assert r["content_text"] == ""
