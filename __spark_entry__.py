@@ -1671,6 +1671,32 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.boilerplate_lines(synth)
 
 
+def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher repetition rule (Rae et al. 2021 §A1.1):
+    fraction of characters covered by duplicated word n-grams (n=5 and
+    n=10, span-union semantics, token characters only). Every third
+    document gets its first 12 words re-appended so real duplicated
+    grams exist at every sf. Relational shape: keys-only (doc, gram)
+    counts + join-back + position explode of duplicated starts only;
+    the oracle spells the identical gram/coverage SQL in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    synth = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "),
+                     F.array_join(F.slice(words, 1, 12), " ")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TXT.dup_ngram_char_frac(synth, ns=(5, 10))
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("dup_5gram_char_frac", 9).alias("dup5"),
+        F.round("dup_10gram_char_frac", 9).alias("dup10"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
     polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
@@ -5651,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "c4_clean": q_c4_clean,
         "boilerplate_removal": q_boilerplate_removal,
+        "gopher_dup_ngrams": q_gopher_dup_ngrams,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
@@ -9395,6 +9422,60 @@ def oracle_sql() -> dict[str, str]:
     # contamination on fixed residues) then the full C4 rule set spelled
     # with DuckDB list lambdas; kept is 0/1 int to avoid nullable-bool
     # hash skew.
+    # gopher_dup_ngrams: the span-union coverage spelled relationally in
+    # DuckDB — same synthesis, grams via list_slice, HAVING count(*)>1
+    # for duplicated grams, lateral-unnest position explode, DISTINCT
+    # union, one sum of token lengths. Token chars only (no separators).
+    def _dupfrac_cte(n: int, tag: str) -> str:
+        return f"""
+        grams{tag} AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+            array_to_string(list_slice(w, u.i, u.i + {n - 1}), ' ') AS g
+          FROM base, UNNEST(range(1, greatest(nt - {n - 1}, 0) + 1))
+            AS u(i)
+        ),
+        dup{tag} AS (
+          SELECT doc_id, g FROM grams{tag}
+          GROUP BY doc_id, g HAVING count(*) > 1
+        ),
+        cov{tag} AS (
+          SELECT DISTINCT gr.doc_id, gr.s + o.j AS pos
+          FROM grams{tag} gr
+          JOIN dup{tag} d USING (doc_id, g),
+          UNNEST(range(0, {n})) AS o(j)
+        ),
+        cchars{tag} AS (
+          SELECT c.doc_id, sum(length(b.w[CAST(c.pos AS INT)])) AS cc
+          FROM cov{tag} c JOIN base b USING (doc_id)
+          GROUP BY c.doc_id
+        )"""
+
+    sqls["gopher_dup_ngrams"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              text || ' ' || array_to_string(
+                list_slice(string_split(text, ' '), 1, 12), ' ')
+            ELSE text END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS nt,
+                 list_sum(list_transform(string_split(text, ' '),
+                                         x -> length(x))) AS n_chars
+          FROM raw
+        ),{_dupfrac_cte(5, "5")},{_dupfrac_cte(10, "10")}
+        SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+          round(coalesce(c5.cc, 0) * 1.0
+                / greatest(b.n_chars, 1), 9) AS dup5,
+          round(coalesce(c10.cc, 0) * 1.0
+                / greatest(b.n_chars, 1), 9) AS dup10
+        FROM base b
+        LEFT JOIN cchars5 c5 USING (doc_id)
+        LEFT JOIN cchars10 c10 USING (doc_id)
+    """
+
     # boilerplate_removal: same line synthesis, the same tag-strip /
     # anchor-extract features, and the boilerpipe NumWordsRulesClassifier
     # tree spelled in DuckDB list lambdas (1-based list indexing; out-of-

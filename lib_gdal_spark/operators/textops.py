@@ -999,3 +999,87 @@ def boilerplate_lines(
         F.size(F.filter("_keep", lambda k: k)).alias("n_content"),
         F.array_join(kept, "\n").alias("content_text"),
     )
+
+
+def dup_ngram_char_frac(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (5, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The remaining Gopher repetition rule (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters contained in any word
+    n-gram that occurs more than once, for each n in ``ns`` (the paper
+    uses n = 5..10; the common thresholds are 0.15/0.14/0.13/0.12/
+    0.11/0.10). A character is counted once no matter how many
+    duplicated grams cover it (span-union semantics, the DataTrove /
+    NeMo-Curator reproduction); characters are TOKEN characters —
+    separators are not attributed to either side.
+
+    Relational formulation, no per-row quadratic folds: grams with
+    start positions (zip_with over aligned slices), a keys-only
+    (doc, gram) count to find duplicated grams, join-back to recover
+    their start positions, an explode of each duplicated start into its
+    n covered token positions, distinct, then one sum of token lengths
+    over covered positions. Every shuffle is keyed by (doc, gram) or
+    (doc, pos) — map-side combinable, O(corpus tokens) keys, the same
+    scale shape as the shingle-dedup path; the n-fold position explode
+    amplifies only DUPLICATED gram starts, not the corpus.
+
+    Returns (id, n_chars, dup_{n}gram_char_frac ...).
+    """
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " +").alias("t")
+    ).withColumn("n_tok", F.size("t"))
+
+    t = F.col("t")
+    ntok = F.col("n_tok")
+
+    def gram_array(n: int):
+        out = F.slice(t, 1, F.greatest(ntok - (n - 1), F.lit(0)))
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(t, 1 + j, F.greatest(ntok - (n - 1), F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(ntok >= n, out).otherwise(F.array())
+
+    total = toks.select(
+        id_col, "t", "n_tok",
+        F.aggregate(F.transform(t, F.length), F.lit(0),
+                    lambda acc, x: acc + x).alias("n_chars"),
+    )
+
+    out = total.select(id_col, "n_chars")
+    for n in ns:
+        gpos = total.select(
+            id_col, F.posexplode(gram_array(n)).alias("s", "g"))
+        dup = (gpos.groupBy(id_col, "g")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > 1)
+               .select(id_col, "g"))
+        cov = (
+            gpos.join(dup, [id_col, "g"])
+            .select(id_col,
+                    F.explode(F.sequence(F.col("s"),
+                                         F.col("s") + (n - 1))).alias("p"))
+            .distinct()
+        )
+        toklen = total.select(
+            id_col, F.posexplode(F.transform(t, F.length))
+            .alias("p", "len"))
+        covered = (
+            cov.join(toklen, [id_col, "p"])
+            .groupBy(id_col)
+            .agg(F.sum("len").alias("cchars"))
+        )
+        out = (
+            out.join(covered, id_col, "left")
+            .withColumn(
+                f"dup_{n}gram_char_frac",
+                F.coalesce(F.col("cchars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+            )
+            .drop("cchars")
+        )
+    return out

@@ -137,3 +137,47 @@ class TestBoilerplateLines:
         assert r["n_lines"] == 3
         assert r["n_content"] == 0
         assert r["content_text"] == ""
+
+
+class TestDupNgramCharFrac:
+    """Gopher duplicate-n-gram character coverage (round-4)."""
+
+    def _run(self, spark, text, ns=(5,)):
+        from lib_gdal_spark.operators.textops import dup_ngram_char_frac
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return dup_ngram_char_frac(df, ns=ns).collect()[0]
+
+    def test_hand_computed_coverage(self, spark):
+        # "a b c d e" occurs at positions 0 and 5 -> covers tokens 0..9
+        # of 13 single-char tokens -> 10/13
+        r = self._run(spark, "a b c d e a b c d e x y z")
+        assert r["n_chars"] == 13
+        assert abs(r["dup_5gram_char_frac"] - 10.0 / 13.0) < 1e-12
+
+    def test_overlap_counted_once(self, spark):
+        # "a a a a a a" has 5-grams at 0 and 1, both duplicated ("a"x5),
+        # spans 0-4 and 1-5 union to ALL 6 tokens -> frac 1.0, not >1
+        r = self._run(spark, "a a a a a a")
+        assert r["dup_5gram_char_frac"] == 1.0
+
+    def test_no_duplicates_and_short_doc(self, spark):
+        assert self._run(spark, "all fully distinct words here now"
+                         )["dup_5gram_char_frac"] == 0.0
+        assert self._run(spark, "too short")["dup_5gram_char_frac"] == 0.0
+
+    def test_char_weighting(self, spark):
+        # duplicated gram made of LONG tokens dominates n_chars
+        txt = "looooong tokens here make grams looooong tokens here make grams x"
+        r = self._run(spark, txt)
+        # covered = both occurrences of the 5-gram = 10 tokens
+        covered = sum(len(w) for w in txt.split()[:10])
+        total = sum(len(w) for w in txt.split())
+        assert abs(r["dup_5gram_char_frac"] - covered / total) < 1e-12
+
+    def test_multiple_ns(self, spark):
+        r = self._run(spark, " ".join(["w%d" % (i % 12) for i in range(40)]),
+                      ns=(5, 10))
+        # a 12-token period repeated >3x: both n=5 and n=10 near-fully cover
+        assert r["dup_5gram_char_frac"] > 0.9
+        assert r["dup_10gram_char_frac"] > 0.9
+        assert r["dup_5gram_char_frac"] >= r["dup_10gram_char_frac"]
