@@ -1697,6 +1697,64 @@ def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-level Gopher quality rules (Rae et al. 2021 §A1.1 —
+    word count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word hits, and the
+    combined verdict), completing the repo's Gopher §A1.1 coverage
+    beside with_repetition / dup_ngram_char_frac / top_ngram_char_frac.
+    Documents are re-lined (8-word lines) with deterministic bullet
+    prefixes, ellipsis suffixes, and a hash-symbol line so every signal
+    varies; one zero-shuffle JVM projection; the oracle spells the same
+    synthesis and rules in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.when((F.col("doc_id") + i) % 6 == 0, F.lit("• "))
+            .otherwise(F.lit("")),
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 9 == 0, F.lit("..."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    extra = F.when(F.col("doc_id") % 4 == 0,
+                   F.array(F.lit("# hash # marks # here"))) \
+        .otherwise(F.array().cast("array<string>"))
+    synth = d.select(
+        "doc_id",
+        F.array_join(F.concat(body, extra), "\n").alias("text"))
+    return TXT.gopher_quality_signals(synth)
+
+
+def q_gopher_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram char-fraction rules (Rae et al. 2021 §A1.1,
+    n=2,3,4 at thresholds 0.20/0.18/0.16): fraction of token characters
+    inside the single most frequent n-gram (count x gram chars / total
+    chars, lexicographic tie-break). Same dup synthesis as
+    gopher_dup_ngrams; keys-only (doc, gram) counts + relational argmax;
+    identical SQL in the oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    synth = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "),
+                     F.array_join(F.slice(words, 1, 12), " ")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TXT.top_ngram_char_frac(synth, ns=(2, 3, 4))
+    return out.select(
+        "doc_id", "n_chars",
+        F.round("top_2gram_char_frac", 9).alias("top2"),
+        F.round("top_3gram_char_frac", 9).alias("top3"),
+        F.round("top_4gram_char_frac", 9).alias("top4"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
     polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
@@ -5678,6 +5736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "boilerplate_removal": q_boilerplate_removal,
         "gopher_dup_ngrams": q_gopher_dup_ngrams,
+        "gopher_quality": q_gopher_quality,
+        "gopher_top_ngrams": q_gopher_top_ngrams,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
@@ -9474,6 +9534,136 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         LEFT JOIN cchars5 c5 USING (doc_id)
         LEFT JOIN cchars10 c10 USING (doc_id)
+    """
+
+    # gopher_quality: same line synthesis + the §A1.1 signal arithmetic
+    # in DuckDB list lambdas. DuckDB '/' on integers is float division
+    # (like Spark's Column '/'), so the ellipsis-triplet term matches.
+    _stop_sql = ",".join(f"'{s}'" for s in TXT.GOPHER_STOPWORDS)
+    _bullet_re = "^[•●‣\\-*]"
+    sqls["gopher_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)
+                   AS n_l
+          FROM documents
+        ),
+        synth AS (
+          SELECT doc_id,
+            array_to_string(list_concat(
+              list_transform(range(0, n_l), i ->
+                (CASE WHEN (doc_id + i) % 6 = 0 THEN '• ' ELSE '' END)
+                || array_to_string(list_slice(w, i*8+1, i*8+8), ' ')
+                || (CASE WHEN (doc_id + i) % 9 = 0 THEN '...'
+                    ELSE '' END)),
+              CASE WHEN doc_id % 4 = 0 THEN ['# hash # marks # here']
+                   ELSE [] END
+            ), chr(10)) AS text
+          FROM base
+        ),
+        sig AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'),
+                        x -> x != '') AS wd,
+            list_filter(string_split(text, chr(10)),
+                        s -> trim(s) != '') AS ln
+          FROM synth
+        ),
+        calc AS (
+          SELECT doc_id,
+            len(wd) AS n_words,
+            CAST(greatest(len(wd), 1) AS DOUBLE) AS sw,
+            list_sum(list_transform(wd, x -> length(x))) AS tc,
+            length(text) - length(replace(text, '#', '')) AS nhash,
+            length(text) - length(replace(text, '…', '')) AS nuell,
+            (length(text) - length(replace(text, '...', ''))) / 3 AS ndell,
+            CAST(greatest(len(ln), 1) AS DOUBLE) AS sl,
+            len(list_filter(ln,
+              s -> regexp_matches(trim(s), '{_bullet_re}'))) AS nbul,
+            len(list_filter(ln,
+              s -> regexp_matches(trim(s), '(\\.\\.\\.|…)$'))) AS nell,
+            len(list_filter(wd,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+            len(list_filter(
+              list_distinct(list_transform(wd, x -> lower(x))),
+              x -> list_contains([{_stop_sql}], x))) AS nstop
+          FROM sig
+        ),
+        rounded AS (
+          SELECT doc_id, n_words,
+            round(CAST(tc AS DOUBLE) / sw, 9) AS mean_word_len,
+            round((nhash + nuell + ndell) / sw, 9) AS symbol_word_ratio,
+            round(CAST(nbul AS DOUBLE) / sl, 9) AS bullet_line_frac,
+            round(CAST(nell AS DOUBLE) / sl, 9) AS ellipsis_line_frac,
+            round(CAST(nalpha AS DOUBLE) / sw, 9) AS alpha_word_frac,
+            nstop AS n_stop_hits
+          FROM calc
+        )
+        SELECT *,
+          CASE WHEN n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND n_stop_hits >= 2
+          THEN 1 ELSE 0 END AS gopher_pass
+        FROM rounded
+    """
+
+    # gopher_top_ngrams: same dup synthesis; per n: gram counts, max
+    # count per doc, lexicographic-min tie-break, count x gram-chars.
+    def _topgram_cte(n: int, tag: str) -> str:
+        return f"""
+        grams{tag} AS (
+          SELECT doc_id,
+            array_to_string(list_slice(w, u.i, u.i + {n - 1}), ' ') AS g
+          FROM tbase, UNNEST(range(1, greatest(nt - {n - 1}, 0) + 1))
+            AS u(i)
+        ),
+        cnt{tag} AS (
+          SELECT doc_id, g, count(*) AS c FROM grams{tag}
+          GROUP BY doc_id, g
+        ),
+        mx{tag} AS (
+          SELECT doc_id, max(c) AS mc FROM cnt{tag} GROUP BY doc_id
+        ),
+        top{tag} AS (
+          SELECT c.doc_id, min(c.g) AS g, max(m.mc) AS mc
+          FROM cnt{tag} c JOIN mx{tag} m USING (doc_id)
+          WHERE c.c = m.mc GROUP BY c.doc_id
+        ),
+        f{tag} AS (
+          SELECT doc_id, mc * (length(g) - {n - 1}) AS cc FROM top{tag}
+        )"""
+
+    sqls["gopher_top_ngrams"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              text || ' ' || array_to_string(
+                list_slice(string_split(text, ' '), 1, 12), ' ')
+            ELSE text END AS text
+          FROM documents
+        ),
+        tbase AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS nt,
+                 list_sum(list_transform(string_split(text, ' '),
+                                         x -> length(x))) AS n_chars
+          FROM raw
+        ),{_topgram_cte(2, "2")},{_topgram_cte(3, "3")},{_topgram_cte(4, "4")}
+        SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+          round(coalesce(f2.cc, 0) * 1.0 / greatest(b.n_chars, 1), 9)
+            AS top2,
+          round(coalesce(f3.cc, 0) * 1.0 / greatest(b.n_chars, 1), 9)
+            AS top3,
+          round(coalesce(f4.cc, 0) * 1.0 / greatest(b.n_chars, 1), 9)
+            AS top4
+        FROM tbase b
+        LEFT JOIN f2 USING (doc_id)
+        LEFT JOIN f3 USING (doc_id)
+        LEFT JOIN f4 USING (doc_id)
     """
 
     # boilerplate_removal: same line synthesis, the same tag-strip /

@@ -1083,3 +1083,153 @@ def dup_ngram_char_frac(
             .drop("cchars")
         )
     return out
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "●", "‣", "-", "*")
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The document-level Gopher quality rules (Rae et al. 2021 §A1.1),
+    completing the repo's Gopher coverage beside the repetition filters
+    (:func:`with_repetition`, :func:`dup_ngram_char_frac`). Signals and
+    the paper's thresholds (verdict ``gopher_pass`` applies all):
+
+    - ``n_words`` in [50, 100,000];
+    - ``mean_word_len`` in [3, 10] (token chars / tokens);
+    - ``symbol_word_ratio`` <= 0.1 (# and ellipsis symbols per word;
+      ``…`` and the three-dot form both count);
+    - ``bullet_line_frac`` <= 0.9 (lines starting with a bullet mark);
+    - ``ellipsis_line_frac`` <= 0.3 (lines ending with an ellipsis);
+    - ``alpha_word_frac`` >= 0.8 (words containing >=1 [A-Za-z]);
+    - ``n_stop_hits`` >= 2 (distinct members of the paper's 8-word stop
+      list {the, be, to, of, and, that, have, with} present).
+
+    One zero-shuffle JVM projection (split / filter / rlike) — a pure
+    map stage at any scale. Bullet/ellipsis character sets are pinned
+    here so the oracle can mirror them exactly.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(txt, r"\s+", -1), lambda x: x != "")
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    n_tok_chars = F.aggregate(F.transform(words, F.length), F.lit(0),
+                              lambda a, x: a + x)
+    mean_wl = n_tok_chars.cast("double") / safe_w
+
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_uni_ell = F.length(txt) - F.length(F.regexp_replace(txt, "…", ""))
+    n_dot_ell = (F.length(txt)
+                 - F.length(F.regexp_replace(txt, r"\.\.\.", ""))) / 3
+    sym_ratio = (n_hash + n_uni_ell + n_dot_ell).cast("double") / safe_w
+
+    lines = F.filter(F.split(txt, "\n", -1), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    safe_l = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_re = "^[" + "".join(GOPHER_BULLETS).replace("-", r"\-") + "]"
+    bullet_frac = F.size(F.filter(
+        lines, lambda s: F.trim(s).rlike(bullet_re))).cast("double") / safe_l
+    ell_frac = F.size(F.filter(
+        lines, lambda s: F.trim(s).rlike(r"(\.\.\.|…)$"))
+    ).cast("double") / safe_l
+
+    alpha_frac = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / safe_w
+
+    lowered = F.transform(words, F.lower)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(lowered),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+
+    sig = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 9).alias("mean_word_len"),
+        F.round(sym_ratio, 9).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 9).alias("bullet_line_frac"),
+        F.round(ell_frac, 9).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 9).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    return sig.withColumn(
+        "gopher_pass",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+         & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+         & (F.col("symbol_word_ratio") <= 0.1)
+         & (F.col("bullet_line_frac") <= 0.9)
+         & (F.col("ellipsis_line_frac") <= 0.3)
+         & (F.col("alpha_word_frac") >= 0.8)
+         & (F.col("n_stop_hits") >= 2)).cast("int"),
+    )
+
+
+def top_ngram_char_frac(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The other half of Gopher's repetition table (Rae et al. 2021
+    §A1.1): for n in {2,3,4}, the fraction of characters contained in
+    the MOST FREQUENT n-gram (occurrence count x gram token chars /
+    total token chars; thresholds 0.20/0.18/0.16). Deterministic
+    argmax: ties break toward the lexicographically smallest gram.
+
+    Keys-only (doc, gram) count + one max_by per doc — map-side
+    combinable, the corpus token stream is never collected. Character
+    totals are token chars (separators excluded), matching
+    :func:`dup_ngram_char_frac`.
+    """
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " +").alias("t")
+    ).withColumn("n_tok", F.size("t"))
+    t = F.col("t")
+    ntok = F.col("n_tok")
+
+    def gram_array(n: int):
+        out = F.slice(t, 1, F.greatest(ntok - (n - 1), F.lit(0)))
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(t, 1 + j, F.greatest(ntok - (n - 1), F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(ntok >= n, out).otherwise(F.array())
+
+    total = toks.select(
+        id_col, "t", "n_tok",
+        F.aggregate(F.transform(t, F.length), F.lit(0),
+                    lambda a, x: a + x).alias("n_chars"),
+    )
+    out = total.select(id_col, F.col("n_chars").cast("long").alias("n_chars"))
+    for n in ns:
+        counts = (
+            total.select(id_col, F.explode(gram_array(n)).alias("g"))
+            .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        )
+        # deterministic argmax (gram token chars = len(g) - (n-1)
+        # separators): max count per doc, then min gram among ties
+        mx = counts.groupBy(id_col).agg(F.max("c").alias("mc"))
+        tie = (
+            counts.join(mx, id_col)
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy(id_col)
+            .agg(F.min("g").alias("g"), F.first("mc").alias("mc"))
+        )
+        frac = tie.select(
+            id_col,
+            (F.col("mc") * (F.length("g") - (n - 1))).alias("cc"),
+        )
+        out = (
+            out.join(frac, id_col, "left")
+            .withColumn(
+                f"top_{n}gram_char_frac",
+                F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+            )
+            .drop("cc")
+        )
+    return out

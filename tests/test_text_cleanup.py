@@ -181,3 +181,73 @@ class TestDupNgramCharFrac:
         assert r["dup_5gram_char_frac"] > 0.9
         assert r["dup_10gram_char_frac"] > 0.9
         assert r["dup_5gram_char_frac"] >= r["dup_10gram_char_frac"]
+
+
+class TestGopherQualitySignals:
+    """Gopher §A1.1 document-level rules (round-4)."""
+
+    def _run(self, spark, text):
+        from lib_gdal_spark.operators.textops import gopher_quality_signals
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_quality_signals(df).collect()[0]
+
+    def test_clean_doc_passes(self, spark):
+        text = " ".join(
+            ["the quick brown fox jumps over that lazy dog with"] * 6)
+        r = self._run(spark, text)
+        assert r["gopher_pass"] == 1
+        assert r["n_words"] == 60
+        assert r["n_stop_hits"] >= 2
+
+    def test_word_count_bounds(self, spark):
+        assert self._run(spark, "the of words")["gopher_pass"] == 0
+
+    def test_symbol_ratio(self, spark):
+        base = " ".join(["the quick brown fox jumps that with go on it"] * 6)
+        # 10 hashes over 70 words > 0.1
+        r = self._run(spark, base + " " + "# " * 9 + "#")
+        assert r["symbol_word_ratio"] > 0.1
+        assert r["gopher_pass"] == 0
+        # unicode and triple-dot ellipses both count
+        r2 = self._run(spark, base + " x… y... z")
+        assert abs(r2["symbol_word_ratio"] - 2.0 / r2["n_words"]) < 1e-9
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        words = "the quick brown fox that with over it go now"
+        bullets = "\n".join(["• %s" % words] * 10)
+        r = self._run(spark, bullets)
+        assert r["bullet_line_frac"] == 1.0 and r["gopher_pass"] == 0
+        ell = "\n".join(["%s..." % words] * 4 + [words] * 6)
+        r2 = self._run(spark, ell)
+        assert abs(r2["ellipsis_line_frac"] - 0.4) < 1e-9
+        assert r2["gopher_pass"] == 0
+
+    def test_alpha_word_fraction(self, spark):
+        words = ["the", "of"] + ["w%d" % i for i in range(48)]
+        nums = ["123", "456", "789", "000"] * 4
+        r = self._run(spark, " ".join(words + nums))
+        frac = len(words) / (len(words) + len(nums))
+        assert abs(r["alpha_word_frac"] - frac) < 1e-9
+
+
+class TestTopNgramCharFrac:
+    def test_hand_computed(self, spark):
+        from lib_gdal_spark.operators.textops import top_ngram_char_frac
+        df = spark.createDataFrame([(1, "x y x y x y z w q")],
+                                   "doc_id long, text string")
+        r = top_ngram_char_frac(df, ns=(2,)).collect()[0]
+        # top bigram "x y" x3, gram chars 2 -> 6/9
+        assert r["n_chars"] == 9
+        assert abs(r["top_2gram_char_frac"] - 6.0 / 9.0) < 1e-12
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from lib_gdal_spark.operators.textops import top_ngram_char_frac
+        # "b a" and "a b" both occur twice; tie -> "a b" chosen (same
+        # char count here, but the deterministic argmax is the contract)
+        df = spark.createDataFrame([(1, "a b a b"), (2, "zz yy zz yy")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               top_ngram_char_frac(df, ns=(2,)).collect()}
+        # doc 2: "zz yy" x2 (4 chars x 2 = 8) over 8 chars -> 1.0
+        assert out[2]["top_2gram_char_frac"] == 1.0
+        assert abs(out[1]["top_2gram_char_frac"] - 4.0 / 4.0) < 1e-12
