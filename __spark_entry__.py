@@ -1755,6 +1755,28 @@ def q_gopher_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (the published 1948 /
+    1975 formulas) with the pinned vowel-group syllable heuristic.
+    Documents are re-phrased into 7-word sentences with cycling . ! ?
+    terminators so the sentence splitter has real work; one zero-shuffle
+    JVM projection; the oracle spells the identical syllable and
+    formula arithmetic in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_sent = F.ceil(F.size(words) / F.lit(7)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 7 + 1, 7), " "),
+            F.element_at(F.array(F.lit("."), F.lit("!"), F.lit("?")),
+                         ((F.col("doc_id") + i) % 3 + 1).cast("int")),
+        ),
+    )
+    synth = d.select("doc_id", F.array_join(body, " ").alias("text"))
+    return TXT.readability_scores(synth)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): char-5-gram
     polynomial hashes, window-4 rightmost-min selection; one zero-shuffle
@@ -5738,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_dup_ngrams": q_gopher_dup_ngrams,
         "gopher_quality": q_gopher_quality,
         "gopher_top_ngrams": q_gopher_top_ngrams,
+        "readability": q_readability,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
@@ -9534,6 +9557,67 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         LEFT JOIN cchars5 c5 USING (doc_id)
         LEFT JOIN cchars10 c10 USING (doc_id)
+    """
+
+    # readability: same sentence synthesis; syllable heuristic (vowel
+    # groups via split-on-consonant-runs, silent-e, le-guard) and the
+    # Flesch/Kincaid formulas spelled with the same left-associated
+    # double arithmetic.
+    sqls["readability"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(ceil(len(string_split(text, ' ')) / 7.0) AS INT)
+                   AS n_s
+          FROM documents
+        ),
+        synth AS (
+          SELECT doc_id,
+            array_to_string(
+              list_transform(range(0, n_s), i ->
+                array_to_string(list_slice(w, i*7+1, i*7+7), ' ')
+                || (['.', '!', '?'])[CAST((doc_id + i) % 3 AS INT) + 1]),
+              ' ') AS text
+          FROM base
+        ),
+        toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> x != '') AS wd,
+            greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                     s -> trim(s) != '')), 1) AS n_sent
+          FROM synth
+        ),
+        syl AS (
+          SELECT doc_id, wd, n_sent,
+            list_sum(list_transform(wd, wx ->
+              greatest(
+                len(list_filter(
+                  string_split_regex(lower(wx), '[^aeiouy]+'),
+                  seg -> seg != ''))
+                - CASE WHEN regexp_matches(lower(wx), 'e$')
+                        AND NOT regexp_matches(lower(wx), 'le$')
+                        AND len(list_filter(
+                              string_split_regex(lower(wx), '[^aeiouy]+'),
+                              seg -> seg != '')) >= 2
+                  THEN 1 ELSE 0 END,
+                1)
+              * CASE WHEN regexp_matches(lower(wx), '[a-z]')
+                THEN 1 ELSE 0 END)) AS n_syll
+          FROM toks
+        )
+        SELECT doc_id,
+          len(wd) AS n_words,
+          n_sent AS n_sentences,
+          coalesce(n_syll, 0) AS n_syllables,
+          round(206.835
+                - 1.015 * (CAST(len(wd) AS DOUBLE) / n_sent)
+                - 84.6 * (CAST(coalesce(n_syll, 0) AS DOUBLE)
+                          / greatest(len(wd), 1)), 6) AS fre,
+          round(0.39 * (CAST(len(wd) AS DOUBLE) / n_sent)
+                + 11.8 * (CAST(coalesce(n_syll, 0) AS DOUBLE)
+                          / greatest(len(wd), 1))
+                - 15.59, 6) AS fk_grade
+        FROM syl
     """
 
     # gopher_quality: same line synthesis + the §A1.1 signal arithmetic

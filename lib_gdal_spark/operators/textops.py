@@ -1233,3 +1233,63 @@ def top_ngram_char_frac(
             .drop("cc")
         )
     return out
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch Reading Ease and Flesch-Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975 - the published formulas):
+
+        FRE   = 206.835 - 1.015 (words/sentences) - 84.6 (syllables/words)
+        grade = 0.39 (words/sentences) + 11.8 (syllables/words) - 15.59
+
+    Sentences are maximal runs ending in ``. ! ?`` (a text with no
+    terminal mark counts as one sentence). Syllables use the standard
+    vowel-group heuristic, pinned here so the oracle can mirror it
+    exactly: per lowercase word, the number of maximal ``[aeiouy]+``
+    runs, minus one when the word ends in a silent ``e`` (ends with
+    ``e`` but not ``le``, and has >= 2 vowel groups), floored at 1 for
+    any word containing a letter. Words with no [a-z] letter contribute
+    0 syllables but still count as words (token-count semantics).
+
+    One zero-shuffle JVM projection (split / regexp / transform) - a
+    pure map stage. Returns (id, n_words, n_sentences, n_syllables,
+    fre, fk_grade), scores rounded to 6 dp.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(txt, r"\s+", -1), lambda x: x != "")
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+
+    sentences = F.filter(
+        F.split(txt, r"[.!?]+", -1), lambda s: F.trim(s) != "")
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+
+    def syl(w):
+        lw = F.lower(w)
+        # vowel GROUPS: split on non-vowel runs, count non-empty parts
+        groups = F.size(F.filter(
+            F.split(lw, "[^aeiouy]+", -1), lambda seg: seg != ""))
+        silent_e = (lw.rlike("e$") & ~lw.rlike("le$")
+                    & (groups >= 2)).cast("int")
+        has_letter = lw.rlike("[a-z]").cast("int")
+        return F.greatest(groups - silent_e, F.lit(1)) * has_letter
+
+    n_syll = F.aggregate(F.transform(words, syl), F.lit(0),
+                         lambda a, x: a + x)
+
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / safe_w
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(fre, 6).alias("fre"),
+        F.round(grade, 6).alias("fk_grade"),
+    )

@@ -251,3 +251,41 @@ class TestTopNgramCharFrac:
         # doc 2: "zz yy" x2 (4 chars x 2 = 8) over 8 chars -> 1.0
         assert out[2]["top_2gram_char_frac"] == 1.0
         assert abs(out[1]["top_2gram_char_frac"] - 4.0 / 4.0) < 1e-12
+
+
+class TestReadability:
+    """Flesch / Flesch-Kincaid (round-4)."""
+
+    def _run(self, spark, text):
+        from lib_gdal_spark.operators.textops import readability_scores
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return readability_scores(df).collect()[0]
+
+    def test_classic_sentence(self, spark):
+        # 6 monosyllables, 1 sentence: FRE = 206.835 - 1.015*6 - 84.6*1
+        r = self._run(spark, "The cat sat on the mat.")
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 1, 6)
+        assert abs(r["fre"] - 116.145) < 1e-9
+        assert abs(r["fk_grade"] - (0.39 * 6 + 11.8 - 15.59)) < 1e-9
+
+    def test_silent_e_and_le_guard(self, spark):
+        # age/late/time/make: silent e -> 1 each; table/little: -le
+        # keeps its group -> 2 each
+        r = self._run(spark, "age late time make")
+        assert r["n_syllables"] == 4
+        r2 = self._run(spark, "table little")
+        assert r2["n_syllables"] == 4
+
+    def test_sentence_split_on_terminators(self, spark):
+        r = self._run(spark, "One two! Three four? Five six.")
+        assert r["n_sentences"] == 3
+
+    def test_no_terminator_is_one_sentence(self, spark):
+        r = self._run(spark, "words with no end mark at all")
+        assert r["n_sentences"] == 1
+
+    def test_nonletter_words(self, spark):
+        # digits count as words but contribute no syllables
+        r = self._run(spark, "cat 123 456 dog.")
+        assert r["n_words"] == 4
+        assert r["n_syllables"] == 2
