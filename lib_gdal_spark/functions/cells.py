@@ -715,3 +715,51 @@ def olc_decode(code, length: int = 10):
         (lon_lo + 2.0 * hlon).alias("lon_hi"),
         (lat_lo + hlat).alias("lat_c"), (lon_lo + hlon).alias("lon_c"),
     )
+
+
+def mgrs_from_lonlat(lon: np.ndarray, lat: np.ndarray,
+                     precision: int = 5) -> np.ndarray:
+    """End-to-end MGRS references from lon/lat degrees (NumPy, for the
+    Arrow-UDF path): standard 6-degree zone selection (the Norway /
+    Svalbard zone exceptions are NOT applied — documented deviation),
+    UTM forward through the CRS registry's Transverse Mercator
+    (functions/crs.py, the OS-worked-example-validated kernel), then the
+    lettering scheme of :func:`mgrs_encode`. Vectorized per distinct
+    zone; returns an object array of strings.
+
+    Valid for lat in [-80, 84) (the MGRS domain); raises outside.
+    """
+    from lib_gdal_spark.functions import crs as _crs
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if np.any((lat < -80.0) | (lat >= 84.0)):
+        raise ValueError("MGRS is defined for latitudes in [-80, 84)")
+    zone = np.clip(((lon + 180.0) // 6.0).astype(np.int64) + 1, 1, 60)
+    band = np.clip(((lat + 80.0) // 8.0).astype(np.int64), 0, 19)
+    south = lat < 0.0
+    E = np.empty_like(lon)
+    N = np.empty_like(lat)
+    for z in np.unique(zone):
+        for s in (False, True):
+            m = (zone == z) & (south == s)
+            if not m.any():
+                continue
+            tm = _crs.utm_zone(int(z), south=s)
+            e, n = tm.forward(lon[m], lat[m])
+            E[m], N[m] = e, n
+    ei = np.floor(E).astype(np.int64)
+    ni = np.floor(N).astype(np.int64)
+    set_off = ((zone - 1) % 3) * 8
+    col_idx = set_off + ei // 100000 - 1
+    row_raw = (ni // 100000) % 20
+    row_idx = np.where(zone % 2 == 0, (row_raw + 5) % 20, row_raw)
+    unit = 10 ** (5 - precision)
+    ed = (ei % 100000) // unit
+    nd = (ni % 100000) // unit
+    out = np.empty(lon.shape, dtype=object)
+    for i in range(lon.size):
+        out[i] = (f"{zone[i]}{MGRS_BANDS[band[i]]}"
+                  f"{MGRS_COLS[col_idx[i]]}{MGRS_ROWS[row_idx[i]]}"
+                  f"{ed[i]:0{precision}d}{nd[i]:0{precision}d}")
+    return out

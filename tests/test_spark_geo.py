@@ -472,3 +472,64 @@ class TestPlusCodes:
         rows = df.select(C.olc_encode(F.col("lon"), F.col("lat"), 10)
                          .alias("c")).collect()
         assert rows[0]["c"] == rows[1]["c"]
+
+
+class TestMGRSFromLonLat:
+    """End-to-end lon/lat -> UTM -> MGRS (round-4)."""
+
+    def test_known_squares(self):
+        import numpy as np
+        from lib_gdal_spark.functions import cells as C
+        r = C.mgrs_from_lonlat(
+            np.array([2.2945, -74.0445, 151.2153]),
+            np.array([48.8584, 40.6892, -33.8568]))
+        # published 100 km squares: Paris 31UDQ, NYC 18TWL, Sydney 56HLH
+        assert r[0].startswith("31UDQ")
+        assert r[1].startswith("18TWL")
+        assert r[2].startswith("56HLH")
+        # Eiffel Tower digits near the commonly-cited 31UDQ 48251 11932
+        # reference (tolerance covers the monument's ~125 m footprint —
+        # "the Eiffel Tower" is not a single point)
+        assert abs(int(r[0][5:10]) - 48251) <= 100
+        assert abs(int(r[0][10:15]) - 11932) <= 100
+
+    def test_southern_hemisphere_and_precision(self):
+        import numpy as np
+        from lib_gdal_spark.functions import cells as C
+        r5 = C.mgrs_from_lonlat(np.array([151.2153]), np.array([-33.8568]))
+        r1 = C.mgrs_from_lonlat(np.array([151.2153]), np.array([-33.8568]),
+                                precision=1)
+        # coarser precision truncates the same reference
+        assert r1[0] == r5[0][:5] + r5[0][5] + r5[0][10]
+        assert len(r5[0]) == 15 and len(r1[0]) == 7
+
+    def test_domain_guard(self):
+        import numpy as np
+        import pytest as _pt
+        from lib_gdal_spark.functions import cells as C
+        with _pt.raises(ValueError):
+            C.mgrs_from_lonlat(np.array([0.0]), np.array([85.0]))
+
+    def test_matches_jvm_lettering(self, spark):
+        """NumPy end-to-end lettering == the JVM mgrs_encode lettering
+        given the same UTM parts (cross-checks the two implementations)."""
+        import numpy as np
+        from lib_gdal_spark.functions import cells as C
+        from lib_gdal_spark.functions import crs as CRS
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-179, 179, 50)
+        lat = rng.uniform(-79, 83, 50)
+        full = C.mgrs_from_lonlat(lon, lat)
+        zone = np.clip(((lon + 180.0) // 6.0).astype(np.int64) + 1, 1, 60)
+        band = np.clip(((lat + 80.0) // 8.0).astype(np.int64), 0, 19)
+        rows = []
+        for i in range(lon.size):
+            tm = CRS.utm_zone(int(zone[i]), south=bool(lat[i] < 0))
+            e, n = tm.forward(np.array([lon[i]]), np.array([lat[i]]))
+            rows.append((int(zone[i]), int(band[i]),
+                         int(np.floor(e[0])), int(np.floor(n[0]))))
+        df = spark.createDataFrame(rows, "zone long, band long, e long, n long")
+        jvm = [r["m"] for r in df.select(C.mgrs_encode(
+            F.col("zone"), F.col("band"), F.col("e"), F.col("n"), 5)
+            .alias("m")).collect()]
+        assert list(full) == jvm
