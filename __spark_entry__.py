@@ -2400,6 +2400,8 @@ _BNG_DST_GT = (0.0, 5_468.75, 0.0, 1_250_000.0, 0.0, -9_765.625)
 _LAEA_DST_GT = (2_500_000.0, 27_343.75, 0.0, 5_500_000.0, 0.0, -31_250.0)
 _RD_DST_GT = (0.0, 2_343.75, 0.0, 650_000.0, 0.0, -2_734.375)
 _KROVAK_DST_GT = (-920_000.0, 3_906.25, 0.0, -920_000.0, 0.0, -3_906.25)
+# Trinidad grid in Clarke's LINKS: 800k-link (~161 km) frame over the island
+_CASS_DST_GT = (0.0, 6_250.0, 0.0, 800_000.0, 0.0, -6_250.0)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,6 +2453,25 @@ def q_warp_rdnew_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _RD_DST_GT, 128, 128, inv, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_cassini_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:30200 (Trinidad 1903 / Trinidad grid —
+    Cassini-Soldner, EPSG method 9806, Clarke 1858 in Clarke's LINKS;
+    the registry forward reproduces the GN7-2 worked example
+    66644.94 / 82536.22 exactly, pinned in pytest). The inverse is
+    fully closed-form (footpoint-latitude rectifying series + the D
+    polynomial — no fixed point), spelled literally in the oracle."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    cass = CRS.get_crs_transform(30200)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _CASS_DST_GT, 128, 128, cass.inverse, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3773,7 +3794,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
-              27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514]
+              27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5704,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_laea_nearest": q_warp_laea_nearest,
         "warp_rdnew_nearest": q_warp_rdnew_nearest,
         "warp_krovak_nearest": q_warp_krovak_nearest,
+        "warp_cassini_nearest": q_warp_cassini_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -8282,6 +8304,82 @@ def oracle_sql() -> dict[str, str]:
                          + {_la.c4!r} * sin(4.0 * beta)
                          + {_la.c6!r} * sin(6.0 * beta)) AS lat
           FROM bt
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:30200 warp: Cassini-Soldner inverse (GN7-2 §1.4.4 / Snyder
+    # §13) — footpoint latitude by the rectifying series, then the D
+    # polynomial; fully closed-form, every constant from the SAME 30200
+    # constructor, every expression in numpy's op order.
+    _cs = _CRS.get_crs_transform(30200)
+    _cs_am0 = _cs.a * _cs.m0
+    _cs_a1me2 = _cs.a * (1.0 - _cs.e2)
+    g0c, g1c, _, g3c, _, g5c = _CASS_DST_GT
+    sqls["warp_cassini_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0c!r} + (px + 0.5) * {g1c!r} AS E,
+            {g3c!r} + (py + 0.5) * {g5c!r} AS N
+          FROM pix
+        ),
+        fp AS (
+          SELECT px, py, E,
+            ({_cs.M0!r} + (N - {_cs.false_n!r})) / {_cs_am0!r} AS mu1
+          FROM en
+        ),
+        p1 AS (
+          SELECT px, py, E,
+            mu1 + {_cs.j2!r} * sin(2.0 * mu1)
+                + {_cs.j4!r} * sin(4.0 * mu1)
+                + {_cs.j6!r} * sin(6.0 * mu1)
+                + {_cs.j8!r} * sin(8.0 * mu1) AS phi1
+          FROM fp
+        ),
+        tw AS (
+          SELECT px, py, E, phi1,
+            tan(phi1) AS t1,
+            1.0 - {_cs.e2!r} * sin(phi1) * sin(phi1) AS w
+          FROM p1
+        ),
+        dd AS (
+          SELECT px, py, phi1, t1, t1 * t1 AS T1,
+            {_cs.a!r} / sqrt(w) AS nu1,
+            {_cs_a1me2!r} / (w * sqrt(w)) AS rho1,
+            (E - {_cs.false_e!r}) / ({_cs.a!r} / sqrt(w)) AS D
+          FROM tw
+        ),
+        pw AS (
+          SELECT px, py, phi1, t1, T1, nu1, rho1, D,
+            D * D AS D2, (D * D) * D AS D3,
+            (D * D) * (D * D) AS D4, ((D * D) * (D * D)) * D AS D5
+          FROM dd
+        ),
+        ll AS (
+          SELECT px, py,
+            {_cs.lon0!r} + degrees(
+              (D - T1 * D3 / 3.0
+                 + (1.0 + 3.0 * T1) * T1 * D5 / 15.0) / cos(phi1)) AS lon,
+            degrees(phi1 - (nu1 * t1 / rho1)
+                    * (D2 / 2.0 - (1.0 + 3.0 * T1) * D4 / 24.0)) AS lat
+          FROM pw
         ),
         sp AS (
           SELECT px, py,
@@ -11068,6 +11166,10 @@ def oracle_sql() -> dict[str, str]:
          52.156161, None, None, 155000.0, 463000.0, 6377397.155),
         (5514, "krovak", 299.152813, 24.833333, 0.9999, None,
          49.5, 78.5, None, 0.0, 0.0, 6377397.155),
+        # Trinidad 1903 grid: Clarke 1858 in LINKS (a = 20926348 ft/0.66)
+        (30200, "cass", round(1.0 / _CRS._CLARKE1858_F, 6), -61.333333,
+         None, None, 10.441667, None, None, 430000.0, 325000.0,
+         round(_CRS._CLARKE1858_A_LINKS, 6)),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

@@ -697,6 +697,104 @@ class Krovak:
         return lon, np.degrees(phi)
 
 
+class CassiniSoldner:
+    """Cassini-Soldner (EPSG method 9806) — the historic national-grid
+    projection (Trinidad 1903, Palestine 1923, many cadastral grids).
+    Formulas follow EPSG Guidance Note 7-2 §1.4.4 (equivalently Snyder
+    §13): forward uses the meridian-arc M series and the A/T/C
+    polynomial; the inverse is FULLY closed-form — footpoint latitude by
+    the standard e1 rectifying series (Snyder 3-26), then the D
+    polynomial. No fixed point anywhere, so the SQL oracle spells every
+    step literally.
+
+    ``a``/``false_*`` may be in any linear unit (EPSG:30200 is defined
+    in Clarke's links); outputs are in the same unit.
+    """
+
+    def __init__(self, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = e2 = f * (2.0 - f)
+        self.towgs84 = towgs84
+        self.lat0 = lat0
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        e4 = e2 * e2
+        e6 = e4 * e2
+        # Snyder 3-21 meridian arc coefficients
+        self.m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        self.m1 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        self.m2 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        self.m3 = 35.0 * e6 / 3072.0
+        self.M0 = self._marc(np.radians(lat0))
+        # Snyder 3-26 footpoint (rectifying) series
+        sq = np.sqrt(1.0 - e2)
+        e1 = (1.0 - sq) / (1.0 + sq)
+        self.j2 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+        self.j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 ** 4 / 32.0
+        self.j6 = 151.0 * e1 ** 3 / 96.0
+        self.j8 = 1097.0 * e1 ** 4 / 512.0
+
+    def _marc(self, phi):
+        return self.a * (self.m0 * phi - self.m1 * np.sin(2.0 * phi)
+                         + self.m2 * np.sin(4.0 * phi)
+                         - self.m3 * np.sin(6.0 * phi))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        A = np.radians(np.asarray(lon, np.float64) - self.lon0) * np.cos(phi)
+        t = np.tan(phi)
+        T = t * t
+        C = self.e2 * np.cos(phi) ** 2 / (1.0 - self.e2)
+        nu = self.a / np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+        A2 = A * A
+        A3 = A2 * A
+        A4 = A2 * A2
+        A5 = A4 * A
+        E = self.false_e + nu * (A - T * A3 / 6.0
+                                 - (8.0 - T + 8.0 * C) * T * A5 / 120.0)
+        N = (self.false_n + self._marc(phi) - self.M0
+             + nu * t * (A2 / 2.0 + (5.0 - T + 6.0 * C) * A4 / 24.0))
+        return E, N
+
+    def inverse(self, E, N):
+        E = np.asarray(E, np.float64)
+        N = np.asarray(N, np.float64)
+        M1 = self.M0 + (N - self.false_n)
+        mu1 = M1 / (self.a * self.m0)
+        phi1 = (mu1 + self.j2 * np.sin(2.0 * mu1)
+                + self.j4 * np.sin(4.0 * mu1)
+                + self.j6 * np.sin(6.0 * mu1)
+                + self.j8 * np.sin(8.0 * mu1))
+        s1 = np.sin(phi1)
+        t1 = np.tan(phi1)
+        T1 = t1 * t1
+        w = 1.0 - self.e2 * s1 * s1
+        nu1 = self.a / np.sqrt(w)
+        rho1 = self.a * (1.0 - self.e2) / (w * np.sqrt(w))
+        D = (E - self.false_e) / nu1
+        D2 = D * D
+        D3 = D2 * D
+        D4 = D2 * D2
+        D5 = D4 * D
+        phi = phi1 - (nu1 * t1 / rho1) * (D2 / 2.0
+                                          - (1.0 + 3.0 * T1) * D4 / 24.0)
+        lam = (D - T1 * D3 / 3.0
+               + (1.0 + 3.0 * T1) * T1 * D5 / 15.0) / np.cos(phi1)
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# Clarke 1858 in Clarke's links (1 link = 0.66 Clarke's feet): the
+# ellipsoid of the Trinidad 1903 grid, stated in GN7-2 as
+# a = 20926348 ft, b = 20855233 ft.
+_CLARKE1858_A_LINKS = 20926348.0 / 0.66
+_CLARKE1858_F = 1.0 - 20855233.0 / 20926348.0
+
+
 # ---------------------------------------------------------------------------
 # Datum shift: geodetic <-> geocentric + Helmert (towgs84) — the role of
 # the PROJ pipeline step ``+towgs84=...`` in ``core/ogr/ogrct.cpp``'s
@@ -936,6 +1034,13 @@ def get_crs_transform(epsg: int):
         # Amersfoort 7-param Helmert datum leg
         # Czech/Slovak S-JTSK Krovak East North (Bessel + 3-param Helmert)
         5514: lambda: Krovak(towgs84=TOWGS84["S_JTSK"]),
+        # Trinidad 1903 / Trinidad grid (Cassini-Soldner on Clarke 1858,
+        # coordinates in Clarke's LINKS — the GN7-2 worked example)
+        30200: lambda: CassiniSoldner(
+            lat0=10.0 + 26.0 / 60.0 + 30.0 / 3600.0,
+            lon0=-(61.0 + 20.0 / 60.0),
+            false_e=430_000.0, false_n=325_000.0,
+            a=_CLARKE1858_A_LINKS, f=_CLARKE1858_F),
         28992: lambda: ObliqueStereographic(
             lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
             lon0=5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
@@ -1048,6 +1153,7 @@ _PROJ_IDS = {
     "LambertAzimuthalEqualArea": "laea",
     "ObliqueStereographic": "sterea",
     "Krovak": "krovak",
+    "CassiniSoldner": "cass",
 }
 
 
@@ -1110,4 +1216,7 @@ def srs_info(epsg: int) -> dict:
         out["f_inv"] = 1.0 / t.f
         out["lat0"] = t.lat_c_deg
         out["lat1"] = t.lat_p_deg  # pseudo standard parallel
+    elif isinstance(t, CassiniSoldner):
+        out["f_inv"] = 1.0 / t.f
+        out["lat0"] = t.lat0
     return out

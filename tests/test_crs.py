@@ -441,3 +441,35 @@ def test_krovak():
     lo, la = inv(np.array([-743000.0]), np.array([-1043000.0]))
     assert abs(lo[0] - 14.41867) < 5e-4
     assert abs(la[0] - 50.08742) < 5e-4
+
+
+def test_cassini_soldner_trinidad():
+    """EPSG:30200 Trinidad 1903 grid — GN7-2 §1.4.4 worked example:
+    10°00'N 62°00'W -> E 66644.94, N 82536.22 Clarke's links."""
+    import numpy as np
+    from lib_gdal_spark.functions import crs as CRS
+
+    cs = CRS.get_crs_transform(30200)
+    E, N = cs.forward(np.array([-62.0]), np.array([10.0]))
+    assert abs(E[0] - 66644.94) < 0.01
+    assert abs(N[0] - 82536.22) < 0.01
+    # closed-form inverse reverses the worked example
+    lon, lat = cs.inverse(E, N)
+    assert abs(lon[0] + 62.0) < 1e-9
+    assert abs(lat[0] - 10.0) < 1e-9
+    # natural origin maps to the false origin
+    E0, N0 = cs.forward(np.array([cs.lon0]), np.array([cs.lat0]))
+    assert abs(E0[0] - 430000.0) < 1e-6
+    assert abs(N0[0] - 325000.0) < 1e-6
+    # roundtrip fuzz over the island
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(-62.5, -60.0, 2000)
+    la = rng.uniform(9.0, 12.0, 2000)
+    e, n = cs.forward(lo, la)
+    lo2, la2 = cs.inverse(e, n)
+    assert np.abs(lo2 - lo).max() < 1e-10
+    assert np.abs(la2 - la).max() < 1e-8
+    # srs_info reports the method
+    info = CRS.srs_info(30200)
+    assert info["proj"] == "cass"
+    assert abs(info["false_e"] - 430000.0) < 1e-9
