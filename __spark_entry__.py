@@ -2431,6 +2431,9 @@ _RD_DST_GT = (0.0, 2_343.75, 0.0, 650_000.0, 0.0, -2_734.375)
 _KROVAK_DST_GT = (-920_000.0, 3_906.25, 0.0, -920_000.0, 0.0, -3_906.25)
 # Trinidad grid in Clarke's LINKS: 800k-link (~161 km) frame over the island
 _CASS_DST_GT = (0.0, 6_250.0, 0.0, 800_000.0, 0.0, -6_250.0)
+# Brazil Polyconic frame straddling the equator (no pixel-center row can
+# hit N == FN exactly: (py+0.5)*15625 == 600000 has no integer solution)
+_POLY_DST_GT = (2_800_000.0, 34_375.0, 0.0, 10_600_000.0, 0.0, -15_625.0)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,6 +2504,26 @@ def q_warp_cassini_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _CASS_DST_GT, 128, 128, cass.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_polyconic_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:29101 (SAD69 / Brazil Polyconic — American
+    Polyconic, EPSG method 9818, GRS 1967; the forward reproduces
+    Snyder's §18 numerical example to 0.1 m, pinned in pytest). The
+    inverse is Snyder's 18-21 Newton-Raphson unrolled to the class's
+    fixed 10 steps — the oracle spells every step's named intermediates
+    (s2 / C / Ma / Mp) literally, so both engines run identical IEEE
+    sequences regardless of convergence rate."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    poly = CRS.get_crs_transform(29101)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _POLY_DST_GT, 128, 128, poly.inverse, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3823,7 +3846,8 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
-              27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200]
+              27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200,
+              29101]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5756,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_rdnew_nearest": q_warp_rdnew_nearest,
         "warp_krovak_nearest": q_warp_krovak_nearest,
         "warp_cassini_nearest": q_warp_cassini_nearest,
+        "warp_polyconic_nearest": q_warp_polyconic_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -8434,6 +8459,92 @@ def oracle_sql() -> dict[str, str]:
             degrees(phi1 - (nu1 * t1 / rho1)
                     * (D2 / 2.0 - (1.0 + 3.0 * T1) * D4 / 24.0)) AS lat
           FROM pw
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:29101 warp: American Polyconic inverse (Snyder 18-18..18-21)
+    # — the 10-step Newton-Raphson unrolled as CTE pairs (intermediates
+    # s2/C/Ma/Mp in one, the phi update in the next), every expression
+    # in numpy's op order, every constant from the SAME 29101
+    # constructor.
+    _po = _CRS.get_crs_transform(29101)
+    _po_aa = _po.a * _po.a
+    g0p2, g1p2, _, g3p2, _, g5p2 = _POLY_DST_GT
+
+    def _poly_step(k: int) -> str:
+        src = "pp0" if k == 1 else f"pu{k - 1}"
+        return f"""
+        pi{k} AS (
+          SELECT px, py, xg, A, B, phi,
+            sin(2.0 * phi) AS s2,
+            sqrt(1.0 - {_po.e2!r} * sin(phi) * sin(phi)) * tan(phi) AS C,
+            {_po.m0!r} * phi - {_po.m1!r} * sin(2.0 * phi)
+              + {_po.m2!r} * sin(4.0 * phi)
+              - {_po.m3!r} * sin(6.0 * phi) AS Ma,
+            {_po.m0!r} - 2.0 * {_po.m1!r} * cos(2.0 * phi)
+              + 4.0 * {_po.m2!r} * cos(4.0 * phi)
+              - 6.0 * {_po.m3!r} * cos(6.0 * phi) AS Mp
+          FROM {src}
+        ),
+        pu{k} AS (
+          SELECT px, py, xg, A, B,
+            phi - (A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C)
+                / ({_po.e2!r} * s2 * (Ma * Ma + B - 2.0 * A * Ma)
+                     / (4.0 * C)
+                   + (A - Ma) * (C * Mp - 2.0 / s2) - Mp) AS phi
+          FROM pi{k}
+        )"""
+
+    _poly_ctes = ",".join(_poly_step(k) for k in range(1, _po.ITERS + 1))
+    sqls["warp_polyconic_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0p2!r} + (px + 0.5) * {g1p2!r} AS E,
+            {g3p2!r} + (py + 0.5) * {g5p2!r} AS N
+          FROM pix
+        ),
+        pp0 AS (
+          SELECT px, py,
+            E - {_po.false_e!r} AS xg,
+            ({_po.M0!r} + (N - {_po.false_n!r})) / {_po.a!r} AS A,
+            (E - {_po.false_e!r}) * (E - {_po.false_e!r}) / {_po_aa!r}
+              + (({_po.M0!r} + (N - {_po.false_n!r})) / {_po.a!r})
+                * (({_po.M0!r} + (N - {_po.false_n!r})) / {_po.a!r}) AS B,
+            ({_po.M0!r} + (N - {_po.false_n!r})) / {_po.a!r} AS phi
+          FROM en
+        ),{_poly_ctes},
+        fin AS (
+          SELECT px, py,
+            asin(least(greatest(
+              xg * (sqrt(1.0 - {_po.e2!r} * sin(phi) * sin(phi))
+                    * tan(phi)) / {_po.a!r}, -1.0), 1.0)) / sin(phi)
+              AS lam,
+            phi
+          FROM pu{_po.ITERS}
+        ),
+        ll AS (
+          SELECT px, py,
+            {_po.lon0!r} + degrees(lam) AS lon,
+            degrees(phi) AS lat
+          FROM fin
         ),
         sp AS (
           SELECT px, py,
@@ -11224,6 +11335,8 @@ def oracle_sql() -> dict[str, str]:
         (30200, "cass", round(1.0 / _CRS._CLARKE1858_F, 6), -61.333333,
          None, None, 10.441667, None, None, 430000.0, 325000.0,
          round(_CRS._CLARKE1858_A_LINKS, 6)),
+        (29101, "poly", 298.25, -54.0, None, None, 0.0, None, None,
+         5000000.0, 10000000.0, 6378160.0),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

@@ -143,6 +143,18 @@ BENCH = {
     "geodesic_rings": lambda s: _force(E.q_geodesic_ring_stats(s, SF_DIR)),
     "rhumb_line": lambda s: _force(E.q_rhumb_line(s, SF_DIR)),
     "geohash_cells": lambda s: _force(E.q_geohash_cells(s, SF_DIR)),
+    # round-4 session-3 additions
+    "vincenty": lambda s: _force(E.q_vincenty_distance(s, SF_DIR)),
+    "mgrs_cells": lambda s: _force(E.q_mgrs_cells(s, SF_DIR)),
+    "plus_codes": lambda s: _force(E.q_plus_codes(s, SF_DIR)),
+    "quadkeys": lambda s: _force(E.q_quadkeys(s, SF_DIR)),
+    "warp_cassini": lambda s: _force(E.q_warp_cassini_nearest(s, SF_DIR)),
+    "warp_polyconic": lambda s: _force(E.q_warp_polyconic_nearest(s, SF_DIR)),
+    "boilerplate": lambda s: _force(E.q_boilerplate_removal(s, SF_DIR)),
+    "gopher_dup_ngrams": lambda s: _force(E.q_gopher_dup_ngrams(s, SF_DIR)),
+    "gopher_quality": lambda s: _force(E.q_gopher_quality(s, SF_DIR)),
+    "gopher_top_ngrams": lambda s: _force(E.q_gopher_top_ngrams(s, SF_DIR)),
+    "readability": lambda s: _force(E.q_readability(s, SF_DIR)),
 }
 
 

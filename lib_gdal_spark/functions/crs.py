@@ -34,6 +34,7 @@ ELLIPSOIDS = {
     "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),  # Clarke 1866
     "airy": (6377563.396, 1.0 / 299.3249646),  # Airy 1830 (OSGB36)
     "bessel": (6377397.155, 1.0 / 299.1528128),  # Bessel 1841 (RD New)
+    "GRS67": (6378160.0, 1.0 / 298.25),  # GRS 1967 (SAD69 / Brazil)
 }
 
 # towgs84 Helmert parameters (dx, dy, dz[, rx, ry, rz, s]) — meters,
@@ -795,6 +796,95 @@ _CLARKE1858_A_LINKS = 20926348.0 / 0.66
 _CLARKE1858_F = 1.0 - 20855233.0 / 20926348.0
 
 
+class AmericanPolyconic:
+    """American Polyconic (EPSG method 9818 / Snyder §18) — the
+    projection of Brazil's SAD69 topographic grid (EPSG:29101) and the
+    historic USGS quadrangles. Forward: Snyder 18-12..18-14 (each
+    parallel is a true-scale circular arc). Inverse: Snyder's
+    Newton-Raphson 18-18..18-21, run to a FIXED depth (``ITERS``) with
+    named intermediates so the SQL oracle can unroll the identical IEEE
+    sequence step by step; the final longitude is 18-15 with the
+    converged latitude. Equator rows (phi = 0) use the exact limiting
+    forms x = a*lam, y = -M0.
+    """
+
+    ITERS = 10
+
+    def __init__(self, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = e2 = f * (2.0 - f)
+        self.towgs84 = towgs84
+        self.lat0 = lat0
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        e4 = e2 * e2
+        e6 = e4 * e2
+        self.m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        self.m1 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        self.m2 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        self.m3 = 35.0 * e6 / 3072.0
+        self.M0 = self._marc(np.radians(lat0))
+
+    def _marc(self, phi):
+        return self.a * (self.m0 * phi - self.m1 * np.sin(2.0 * phi)
+                         + self.m2 * np.sin(4.0 * phi)
+                         - self.m3 * np.sin(6.0 * phi))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sp = np.sin(phi)
+            L = lam * sp
+            nu_cot = (self.a / np.sqrt(1.0 - self.e2 * sp * sp)
+                      * (np.cos(phi) / sp))
+            x = nu_cot * np.sin(L)
+            y = self._marc(phi) - self.M0 + nu_cot * (1.0 - np.cos(L))
+        eq = phi == 0.0
+        x = np.where(eq, self.a * lam, x)
+        y = np.where(eq, -self.M0, y)
+        return self.false_e + x, self.false_n + y
+
+    def _newton_step(self, phi, A, B):
+        """One Snyder 18-21 step — mirrored literally in the oracle."""
+        sp = np.sin(phi)
+        s2 = np.sin(2.0 * phi)
+        C = np.sqrt(1.0 - self.e2 * sp * sp) * np.tan(phi)
+        Ma = (self.m0 * phi - self.m1 * s2
+              + self.m2 * np.sin(4.0 * phi)
+              - self.m3 * np.sin(6.0 * phi))
+        Mp = (self.m0 - 2.0 * self.m1 * np.cos(2.0 * phi)
+              + 4.0 * self.m2 * np.cos(4.0 * phi)
+              - 6.0 * self.m3 * np.cos(6.0 * phi))
+        num = A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C
+        den = (self.e2 * s2 * (Ma * Ma + B - 2.0 * A * Ma) / (4.0 * C)
+               + (A - Ma) * (C * Mp - 2.0 / s2) - Mp)
+        return phi - num / den
+
+    def inverse(self, E, N):
+        x = np.asarray(E, np.float64) - self.false_e
+        y = np.asarray(N, np.float64) - self.false_n
+        A = (self.M0 + y) / self.a
+        B = x * x / (self.a * self.a) + A * A
+        phi = A.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for _ in range(self.ITERS):
+                phi = self._newton_step(phi, A, B)
+            sp = np.sin(phi)
+            C = np.sqrt(1.0 - self.e2 * sp * sp) * np.tan(phi)
+            lam = np.arcsin(
+                np.clip(x * C / self.a, -1.0, 1.0)) / sp
+        eq = A == 0.0
+        lam = np.where(eq, x / self.a, lam)
+        phi = np.where(eq, 0.0, phi)
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # Datum shift: geodetic <-> geocentric + Helmert (towgs84) — the role of
 # the PROJ pipeline step ``+towgs84=...`` in ``core/ogr/ogrct.cpp``'s
@@ -1041,6 +1131,11 @@ def get_crs_transform(epsg: int):
             lon0=-(61.0 + 20.0 / 60.0),
             false_e=430_000.0, false_n=325_000.0,
             a=_CLARKE1858_A_LINKS, f=_CLARKE1858_F),
+        # SAD69 / Brazil Polyconic (GRS 1967; the national topo grid)
+        29101: lambda: AmericanPolyconic(
+            lat0=0.0, lon0=-54.0,
+            false_e=5_000_000.0, false_n=10_000_000.0,
+            a=ELLIPSOIDS["GRS67"][0], f=ELLIPSOIDS["GRS67"][1]),
         28992: lambda: ObliqueStereographic(
             lat0=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
             lon0=5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
@@ -1154,6 +1249,7 @@ _PROJ_IDS = {
     "ObliqueStereographic": "sterea",
     "Krovak": "krovak",
     "CassiniSoldner": "cass",
+    "AmericanPolyconic": "poly",
 }
 
 
@@ -1216,7 +1312,7 @@ def srs_info(epsg: int) -> dict:
         out["f_inv"] = 1.0 / t.f
         out["lat0"] = t.lat_c_deg
         out["lat1"] = t.lat_p_deg  # pseudo standard parallel
-    elif isinstance(t, CassiniSoldner):
+    elif isinstance(t, (CassiniSoldner, AmericanPolyconic)):
         out["f_inv"] = 1.0 / t.f
         out["lat0"] = t.lat0
     return out

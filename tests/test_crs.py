@@ -473,3 +473,38 @@ def test_cassini_soldner_trinidad():
     info = CRS.srs_info(30200)
     assert info["proj"] == "cass"
     assert abs(info["false_e"] - 430000.0) < 1e-9
+
+
+def test_american_polyconic_brazil():
+    """EPSG:29101 SAD69 / Brazil Polyconic (Snyder §18)."""
+    import numpy as np
+    from lib_gdal_spark.functions import crs as CRS
+
+    p = CRS.get_crs_transform(29101)
+    # natural origin (0N 54W) -> false origin
+    E, N = p.forward(np.array([-54.0]), np.array([0.0]))
+    assert (E[0], N[0]) == (5_000_000.0, 10_000_000.0)
+    # central meridian is the meridian arc (x = FE exactly)
+    E2, N2 = p.forward(np.array([-54.0]), np.array([-15.0]))
+    assert E2[0] == 5_000_000.0
+    assert abs((N2[0] - 1e7) - (p._marc(np.radians(-15.0)) - p.M0)) < 1e-6
+    # Snyder's §18 numerical example (Clarke 1866, lat0 30N lon0 96W,
+    # point 40N 75W): x = 1,776,774.5 m, y = 1,319,657.8 m
+    s = CRS.AmericanPolyconic(lat0=30.0, lon0=-96.0, a=6378206.4,
+                              f=1.0 - 6356583.8 / 6378206.4)
+    xs, ys = s.forward(np.array([-75.0]), np.array([40.0]))
+    assert abs(xs[0] - 1776774.5) < 0.5
+    assert abs(ys[0] - 1319657.8) < 0.5
+    # Newton inverse roundtrips across Brazil incl. the equator band
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(-74, -34, 3000)
+    la = rng.uniform(-34, 5.5, 3000)
+    e, n = p.forward(lo, la)
+    lo2, la2 = p.inverse(e, n)
+    assert np.abs(lo2 - lo).max() < 1e-10
+    assert np.abs(la2 - la).max() < 1e-9
+    # exact equator row uses the limiting form
+    Ee, Ne = p.forward(np.array([-60.0]), np.array([0.0]))
+    loe, lae = p.inverse(Ee, Ne)
+    assert abs(lae[0]) < 1e-12 and abs(loe[0] + 60.0) < 1e-12
+    assert CRS.srs_info(29101)["proj"] == "poly"
