@@ -1545,6 +1545,40 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape quality signals (the RefinedWeb / Dolma URL-filter
+    features): path depth, query/tracking param counts, digit-segment
+    fraction, longest segment, explicit port. URLs are synthesized
+    parametrically from doc_id; the oracle computes every feature
+    CLOSED-FORM from the synthesis residues (never re-parsing the
+    string), so equality proves the JVM parser extracts them right."""
+    from lib_gdal_spark.operators import textops as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (i % 5).cast("string"),
+        F.when(i % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/"), i.cast("string"),
+        F.when(i % 3 == 0, F.lit("/2024/01")).otherwise(F.lit("")),
+        F.when(i % 6 == 0,
+               F.concat(F.lit("/verylongsegmentxyz"), i.cast("string")))
+        .otherwise(F.lit("")),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("?page="), i.cast("string"),
+                        F.lit("&utm_source=x"),
+                        F.when(i % 8 == 0, F.lit("&gclid=abc&x=1"))
+                        .otherwise(F.lit("")))).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    out = TX.url_quality_features(d.select("doc_id", url.alias("url")))
+    return out.select(
+        "doc_id", "path_depth", "n_query_params", "n_tracking_params",
+        "url_len", F.round("digit_seg_frac", 9).alias("digit_seg_frac"),
+        "max_seg_len", "has_port",
+    )
+
+
 # UTF-8 bytes of "café ’quote’ €5 — end" mis-decoded as cp1252 (the classic
 # double-encoding mojibake; includes the 0x80-0x9F specials €/™/‚/”).
 _MOJI_LIT = "cafÃ© â€™quoteâ€™ â‚¬5 â€” end"
@@ -5838,6 +5872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_top_ngrams": q_gopher_top_ngrams,
         "readability": q_readability,
+        "url_features": q_url_features,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
@@ -9820,6 +9855,51 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         LEFT JOIN cchars5 c5 USING (doc_id)
         LEFT JOIN cchars10 c10 USING (doc_id)
+    """
+
+    # url_features: every feature computed CLOSED-FORM from the doc_id
+    # residues that drove the synthesis (the oracle never parses the
+    # URL); url_len measures the independently re-constructed string.
+    sqls["url_features"] = """
+        WITH f AS (
+          SELECT doc_id,
+            2 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+              + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS path_depth,
+            1 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS digit_cnt,
+            CASE WHEN doc_id % 2 = 0
+                 THEN 2 + CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 0 END
+                 ELSE 0 END AS n_query_params,
+            CASE WHEN doc_id % 2 = 0
+                 THEN 1 + CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END
+                 ELSE 0 END AS n_tracking_params,
+            length('https://site' || CAST(doc_id % 5 AS VARCHAR)
+              || CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END
+              || '/a/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN '/2024/01' ELSE '' END
+              || CASE WHEN doc_id % 6 = 0
+                 THEN '/verylongsegmentxyz' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+              || CASE WHEN doc_id % 2 = 0
+                 THEN '?page=' || CAST(doc_id AS VARCHAR) || '&utm_source=x'
+                   || CASE WHEN doc_id % 8 = 0 THEN '&gclid=abc&x=1'
+                      ELSE '' END
+                 ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+              AS url_len,
+            greatest(1, length(CAST(doc_id AS VARCHAR)),
+              CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END,
+              CASE WHEN doc_id % 6 = 0
+                   THEN 18 + length(CAST(doc_id AS VARCHAR))
+                   ELSE 0 END) AS max_seg_len,
+            CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS has_port
+          FROM documents
+        )
+        SELECT doc_id, path_depth, n_query_params, n_tracking_params,
+          url_len,
+          round(CAST(digit_cnt AS DOUBLE) / path_depth, 9)
+            AS digit_seg_frac,
+          max_seg_len, has_port
+        FROM f
     """
 
     # readability: same sentence synthesis; syllable heuristic (vowel

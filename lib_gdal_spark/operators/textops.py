@@ -1293,3 +1293,49 @@ def readability_scores(
         F.round(fre, 6).alias("fre"),
         F.round(grade, 6).alias("fk_grade"),
     )
+
+
+def url_quality_features(
+    pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-shape quality signals (the RefinedWeb / Dolma URL-filter
+    feature set — beside the blocklist in :func:`block_by_domain_suffix`
+    and the canonicalizer in :func:`canonical_url`):
+
+    - ``path_depth``: number of non-empty ``/`` path segments;
+    - ``n_query_params``: ``&``-separated pairs in the query string;
+    - ``n_tracking_params``: utm_* / fbclid / gclid pairs among them;
+    - ``url_len``: total characters;
+    - ``digit_seg_frac``: fraction of path segments that are purely
+      digits (pagination/ID paths — a boilerplate-page signal);
+    - ``max_seg_len``: longest path segment (hash-like blobs);
+    - ``has_port``: explicit non-default port present.
+
+    One zero-shuffle JVM projection (regexp/split/filter) — a pure map
+    stage; every rule is spelled here so the oracle mirrors it exactly.
+    """
+    u = F.trim(F.col(url_col))
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_replace(F.regexp_extract(tail, r"\?(.*)$", 1), r"^$", "")
+    segs = F.filter(F.split(path, "/", -1), lambda s: s != "")
+    qparams = F.filter(F.split(query, "&", -1), lambda s: s != "")
+    n_seg = F.size(segs)
+    digit_segs = F.size(F.filter(segs, lambda s: s.rlike("^[0-9]+$")))
+    return pages.withColumns({
+        "path_depth": n_seg,
+        "n_query_params": F.size(qparams),
+        "n_tracking_params": F.size(F.filter(
+            qparams,
+            lambda p: p.rlike("^(utm_[A-Za-z]+|fbclid|gclid)="))),
+        "url_len": F.length(u),
+        "digit_seg_frac": (digit_segs.cast("double")
+                           / F.greatest(n_seg, F.lit(1)).cast("double")),
+        "max_seg_len": F.coalesce(
+            F.array_max(F.transform(segs, F.length)), F.lit(0)),
+        "has_port": hostport.rlike(":[0-9]+$").cast("int"),
+    })

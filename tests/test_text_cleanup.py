@@ -289,3 +289,43 @@ class TestReadability:
         r = self._run(spark, "cat 123 456 dog.")
         assert r["n_words"] == 4
         assert r["n_syllables"] == 2
+
+
+class TestUrlQualityFeatures:
+    """RefinedWeb/Dolma-style URL-shape signals (round-4)."""
+
+    def _run(self, spark, url):
+        from lib_gdal_spark.operators.textops import url_quality_features
+        df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+        return url_quality_features(df).collect()[0]
+
+    def test_full_url(self, spark):
+        r = self._run(
+            spark,
+            "https://sub.example.com:8080/blog/2024/01/post-title"
+            "?page=2&utm_source=x&gclid=abc#frag")
+        assert r["path_depth"] == 4
+        assert r["n_query_params"] == 3
+        assert r["n_tracking_params"] == 2
+        assert r["has_port"] == 1
+        assert abs(r["digit_seg_frac"] - 0.5) < 1e-12  # 2024, 01
+        assert r["max_seg_len"] == len("post-title")
+
+    def test_bare_and_rooted(self, spark):
+        r = self._run(spark, "https://example.com")
+        assert r["path_depth"] == 0
+        assert r["n_query_params"] == 0
+        assert r["digit_seg_frac"] == 0.0
+        assert r["max_seg_len"] == 0
+        r2 = self._run(spark, "https://example.com/")
+        assert r2["path_depth"] == 0
+
+    def test_fragment_excluded_from_query(self, spark):
+        r = self._run(spark, "https://e.com/p?a=1#b=2&c=3")
+        assert r["n_query_params"] == 1
+
+    def test_no_scheme_passthrough(self, spark):
+        r = self._run(spark, "example.com/a/b")
+        # schemeless: host swallows 'example.com', path /a/b
+        assert r["path_depth"] == 2
+        assert r["has_port"] == 0
