@@ -155,6 +155,7 @@ BENCH = {
     "gopher_quality": lambda s: _force(E.q_gopher_quality(s, SF_DIR)),
     "gopher_top_ngrams": lambda s: _force(E.q_gopher_top_ngrams(s, SF_DIR)),
     "readability": lambda s: _force(E.q_readability(s, SF_DIR)),
+    "url_features": lambda s: _force(E.q_url_features(s, SF_DIR)),
 }
 
 
