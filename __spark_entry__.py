@@ -2468,6 +2468,10 @@ _CASS_DST_GT = (0.0, 6_250.0, 0.0, 800_000.0, 0.0, -6_250.0)
 # Brazil Polyconic frame straddling the equator (no pixel-center row can
 # hit N == FN exactly: (py+0.5)*15625 == 600000 has no integer solution)
 _POLY_DST_GT = (2_800_000.0, 34_375.0, 0.0, 10_600_000.0, 0.0, -15_625.0)
+# World Mercator (3395) and plate-carree (4087) global frames
+_MERC3395_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 15_000_000.0, 0.0,
+                    -234_375.0)
+_EQC_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 9_400_000.0, 0.0, -146_875.0)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,6 +2562,43 @@ def q_warp_polyconic_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _POLY_DST_GT, 128, 128, poly.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_mercator_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:3395 (WGS84 World Mercator — ELLIPSOIDAL
+    Mercator, EPSG method 9804; the registry's 1SP kernel reproduces the
+    GN7-2 Makassar/NEIEZ worked example 5009726.58/569150.82 exactly,
+    pinned in pytest). The inverse's isometric-latitude fixed point is
+    unrolled to the class's fixed 10 steps in the oracle (same scheme as
+    the RD New oracle)."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    merc = CRS.get_crs_transform(3395)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _MERC3395_DST_GT, 128, 128, merc.inverse, alg="nearest",
+        tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_eqc_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:4087 (WGS84 World Equidistant Cylindrical,
+    EPSG method 1028 — the global-DEM plate-carree grid): N is the true
+    meridian arc, so the inverse is FULLY closed-form via the rectifying
+    footpoint series, spelled literally in the oracle."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    eqc = CRS.get_crs_transform(4087)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _EQC_DST_GT, 128, 128, eqc.inverse, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3881,7 +3922,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
               27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200,
-              29101]
+              29101, 3395, 3002, 4087]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5815,6 +5856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_krovak_nearest": q_warp_krovak_nearest,
         "warp_cassini_nearest": q_warp_cassini_nearest,
         "warp_polyconic_nearest": q_warp_polyconic_nearest,
+        "warp_mercator_nearest": q_warp_mercator_nearest,
+        "warp_eqc_nearest": q_warp_eqc_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -8580,6 +8623,109 @@ def oracle_sql() -> dict[str, str]:
             {_po.lon0!r} + degrees(lam) AS lon,
             degrees(phi) AS lat
           FROM fin
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:3395 warp: ellipsoidal Mercator inverse — the isometric-
+    # latitude fixed point unrolled to the class's 10 steps, numpy op
+    # order mirrored.
+    _me = _CRS.get_crs_transform(3395)
+    g0m, g1m, _, g3m, _, g5m = _MERC3395_DST_GT
+    _me_step = (
+        "SELECT px, py, lam, psi, "
+        "2.0 * atan(exp(psi + {e} / 2.0 * ln((1.0 + {e} * sin(phi)) "
+        "/ (1.0 - {e} * sin(phi))))) - pi() / 2.0 AS phi FROM {src}"
+    )
+    _me_ctes = ",\n        ".join(
+        f"me{k} AS ({_me_step.format(e=repr(float(_me.e)), src=('me0' if k == 1 else f'me{k - 1}'))})"
+        for k in range(1, _me.ISO_ITERS + 1)
+    )
+    sqls["warp_mercator_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0m!r} + (px + 0.5) * {g1m!r} AS E,
+            {g3m!r} + (py + 0.5) * {g5m!r} AS N
+          FROM pix
+        ),
+        me0 AS (
+          SELECT px, py,
+            (E - {_me.false_e!r}) / {_me.ak!r} AS lam,
+            (N - {_me.false_n!r}) / {_me.ak!r} AS psi,
+            2.0 * atan(exp((N - {_me.false_n!r}) / {_me.ak!r}))
+              - pi() / 2.0 AS phi
+          FROM en
+        ),
+        {_me_ctes},
+        ll AS (
+          SELECT px, py,
+            {_me.lon0!r} + degrees(lam) AS lon,
+            degrees(phi) AS lat
+          FROM me{_me.ISO_ITERS}
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:4087 warp: equidistant-cylindrical inverse — closed-form
+    # rectifying footpoint series (Snyder 3-26), numpy op order.
+    _eq = _CRS.get_crs_transform(4087)
+    _eq_am0 = _eq.a * _eq.m0
+    g0q, g1q, _, g3q, _, g5q = _EQC_DST_GT
+    sqls["warp_eqc_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0q!r} + (px + 0.5) * {g1q!r} AS E,
+            {g3q!r} + (py + 0.5) * {g5q!r} AS N
+          FROM pix
+        ),
+        fp AS (
+          SELECT px, py, E,
+            (N - {_eq.false_n!r}) / {_eq_am0!r} AS mu
+          FROM en
+        ),
+        ll AS (
+          SELECT px, py,
+            {_eq.lon0!r} + degrees(
+              (E - {_eq.false_e!r}) / {_eq.R_ts!r}) AS lon,
+            degrees(mu + {_eq.j2!r} * sin(2.0 * mu)
+                       + {_eq.j4!r} * sin(4.0 * mu)
+                       + {_eq.j6!r} * sin(6.0 * mu)
+                       + {_eq.j8!r} * sin(8.0 * mu)) AS lat
+          FROM fp
         ),
         sp AS (
           SELECT px, py,
@@ -11417,6 +11563,12 @@ def oracle_sql() -> dict[str, str]:
          round(_CRS._CLARKE1858_A_LINKS, 6)),
         (29101, "poly", 298.25, -54.0, None, None, 0.0, None, None,
          5000000.0, 10000000.0, 6378160.0),
+        (3395, "merc", 298.257224, 0.0, 1.0, None, None, None, None,
+         0.0, 0.0, 6378137.0),
+        (3002, "merc", 299.152813, 110.0, 0.997, None, None, None, None,
+         3900000.0, 900000.0, 6377397.155),
+        (4087, "eqc", 298.257224, 0.0, None, 0.0, None, None, None,
+         0.0, 0.0, 6378137.0),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

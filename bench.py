@@ -156,6 +156,8 @@ BENCH = {
     "gopher_top_ngrams": lambda s: _force(E.q_gopher_top_ngrams(s, SF_DIR)),
     "readability": lambda s: _force(E.q_readability(s, SF_DIR)),
     "url_features": lambda s: _force(E.q_url_features(s, SF_DIR)),
+    "warp_mercator": lambda s: _force(E.q_warp_mercator_nearest(s, SF_DIR)),
+    "warp_eqc": lambda s: _force(E.q_warp_eqc_nearest(s, SF_DIR)),
 }
 
 

@@ -796,6 +796,109 @@ _CLARKE1858_A_LINKS = 20926348.0 / 0.66
 _CLARKE1858_F = 1.0 - 20855233.0 / 20926348.0
 
 
+class MercatorEllipsoidal:
+    """Ellipsoidal Mercator, 1SP variant (EPSG method 9804; also covers
+    EPSG:3395 WGS84 World Mercator with k0 = 1 — the nautical-chart
+    Mercator, distinct from the SPHERICAL web-mercator 3857 already in
+    the registry). Forward: E = FE + a k0 lam, N = FN + a k0 psi with
+    psi the isometric latitude. Inverse: the standard isometric-latitude
+    fixed point (same scheme the registry's oblique-stereographic 28992
+    already unrolls in SQL), run to a FIXED depth ``ISO_ITERS``."""
+
+    ISO_ITERS = 10
+
+    def __init__(self, k0: float = 1.0, lon0: float = 0.0,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.k0 = k0
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        self.towgs84 = towgs84
+        self.ak = a * k0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        sp = np.sin(phi)
+        psi = (np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+               - self.e / 2.0 * np.log((1.0 + self.e * sp)
+                                       / (1.0 - self.e * sp)))
+        return self.false_e + self.ak * lam, self.false_n + self.ak * psi
+
+    def inverse(self, E, N):
+        psi = (np.asarray(N, np.float64) - self.false_n) / self.ak
+        lam = (np.asarray(E, np.float64) - self.false_e) / self.ak
+        phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+        for _ in range(self.ISO_ITERS):
+            phi = 2.0 * np.arctan(np.exp(
+                psi + self.e / 2.0 * np.log(
+                    (1.0 + self.e * np.sin(phi))
+                    / (1.0 - self.e * np.sin(phi))))) - np.pi / 2.0
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class EquidistantCylindrical:
+    """Ellipsoidal Equidistant Cylindrical (EPSG method 1028 — EPSG:4087
+    WGS84 World Equidistant Cylindrical, the global-DEM/plate-carree
+    grid). E scales longitude at the standard parallel's parallel
+    radius; N is the meridian arc. The inverse is FULLY closed-form via
+    the rectifying footpoint series (Snyder 3-26, shared shape with
+    CassiniSoldner)."""
+
+    def __init__(self, lat_ts: float = 0.0, lon0: float = 0.0,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = e2 = f * (2.0 - f)
+        self.lat_ts_deg = lat_ts
+        self.lon0 = lon0
+        self.false_e = false_e
+        self.false_n = false_n
+        self.towgs84 = towgs84
+        e4 = e2 * e2
+        e6 = e4 * e2
+        self.m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        self.m1 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        self.m2 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        self.m3 = 35.0 * e6 / 3072.0
+        sq = np.sqrt(1.0 - e2)
+        e1 = (1.0 - sq) / (1.0 + sq)
+        self.j2 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+        self.j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 ** 4 / 32.0
+        self.j6 = 151.0 * e1 ** 3 / 96.0
+        self.j8 = 1097.0 * e1 ** 4 / 512.0
+        s1 = np.sin(np.radians(lat_ts))
+        # radius of the standard parallel: nu1 * cos(lat_ts)
+        self.R_ts = (a * np.cos(np.radians(lat_ts))
+                     / np.sqrt(1.0 - e2 * s1 * s1))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        M = self.a * (self.m0 * phi - self.m1 * np.sin(2.0 * phi)
+                      + self.m2 * np.sin(4.0 * phi)
+                      - self.m3 * np.sin(6.0 * phi))
+        return self.false_e + self.R_ts * lam, self.false_n + M
+
+    def inverse(self, E, N):
+        mu = ((np.asarray(N, np.float64) - self.false_n)
+              / (self.a * self.m0))
+        phi = (mu + self.j2 * np.sin(2.0 * mu)
+               + self.j4 * np.sin(4.0 * mu)
+               + self.j6 * np.sin(6.0 * mu)
+               + self.j8 * np.sin(8.0 * mu))
+        lam = (np.asarray(E, np.float64) - self.false_e) / self.R_ts
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 class AmericanPolyconic:
     """American Polyconic (EPSG method 9818 / Snyder §18) — the
     projection of Brazil's SAD69 topographic grid (EPSG:29101) and the
@@ -1131,6 +1234,16 @@ def get_crs_transform(epsg: int):
             lon0=-(61.0 + 20.0 / 60.0),
             false_e=430_000.0, false_n=325_000.0,
             a=_CLARKE1858_A_LINKS, f=_CLARKE1858_F),
+        # WGS84 World Mercator (ellipsoidal — nautical charts; distinct
+        # from the spherical web-mercator 3857)
+        3395: lambda: MercatorEllipsoidal(),
+        # Makassar / NEIEZ (Mercator 1SP on Bessel — the GN7-2 worked
+        # example parameters)
+        3002: lambda: MercatorEllipsoidal(
+            k0=0.997, lon0=110.0, false_e=3_900_000.0, false_n=900_000.0,
+            a=ELLIPSOIDS["bessel"][0], f=ELLIPSOIDS["bessel"][1]),
+        # WGS84 World Equidistant Cylindrical (plate carree, method 1028)
+        4087: lambda: EquidistantCylindrical(),
         # SAD69 / Brazil Polyconic (GRS 1967; the national topo grid)
         29101: lambda: AmericanPolyconic(
             lat0=0.0, lon0=-54.0,
@@ -1250,6 +1363,8 @@ _PROJ_IDS = {
     "Krovak": "krovak",
     "CassiniSoldner": "cass",
     "AmericanPolyconic": "poly",
+    "MercatorEllipsoidal": "merc",
+    "EquidistantCylindrical": "eqc",
 }
 
 
@@ -1315,4 +1430,9 @@ def srs_info(epsg: int) -> dict:
     elif isinstance(t, (CassiniSoldner, AmericanPolyconic)):
         out["f_inv"] = 1.0 / t.f
         out["lat0"] = t.lat0
+    elif isinstance(t, MercatorEllipsoidal):
+        out["f_inv"] = 1.0 / t.f
+    elif isinstance(t, EquidistantCylindrical):
+        out["f_inv"] = 1.0 / t.f
+        out["lat_ts"] = t.lat_ts_deg
     return out

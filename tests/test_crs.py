@@ -508,3 +508,48 @@ def test_american_polyconic_brazil():
     loe, lae = p.inverse(Ee, Ne)
     assert abs(lae[0]) < 1e-12 and abs(loe[0] + 60.0) < 1e-12
     assert CRS.srs_info(29101)["proj"] == "poly"
+
+
+def test_mercator_ellipsoidal_and_eqc():
+    """EPSG:3395/3002 ellipsoidal Mercator + EPSG:4087 equidistant
+    cylindrical (methods 9804 / 1028)."""
+    import numpy as np
+    from lib_gdal_spark.functions import crs as CRS
+
+    # GN7-2 Mercator-1SP worked example: Makassar / NEIEZ (Bessel,
+    # k0 0.997, lon0 110E), point 3S 120E -> E 5009726.58, N 569150.82
+    m = CRS.get_crs_transform(3002)
+    E, N = m.forward(np.array([120.0]), np.array([-3.0]))
+    assert abs(E[0] - 5009726.58) < 0.01
+    assert abs(N[0] - 569150.82) < 0.01
+    lo, la = m.inverse(E, N)
+    assert abs(lo[0] - 120.0) < 1e-9 and abs(la[0] + 3.0) < 1e-9
+
+    # 3395: equator at true scale (E = a*lam), N(0) = 0; differs from
+    # the SPHERICAL 3857 away from the equator
+    w = CRS.get_crs_transform(3395)
+    E0, N0 = w.forward(np.array([10.0]), np.array([0.0]))
+    assert abs(E0[0] - np.radians(10.0) * 6378137.0) < 1e-6
+    assert N0[0] == 0.0
+    web = CRS.get_crs_transform(3857)
+    _, Nw = w.forward(np.array([0.0]), np.array([45.0]))
+    _, Ns = web.forward(np.array([0.0]), np.array([45.0]))
+    assert 0.001 < (Ns[0] - Nw[0]) / Ns[0] < 0.01  # ~0.7% ellipsoidal
+
+    # 4087: N is the true meridian arc (numeric-integration cross-check)
+    q = CRS.get_crs_transform(4087)
+    _, Nq = q.forward(np.array([0.0]), np.array([45.0]))
+    assert abs(Nq[0] - CRS.meridian_arc_numeric(45.0)) < 1e-3
+
+    # roundtrip fuzz, world-wide
+    rng = np.random.default_rng(11)
+    lo_ = rng.uniform(-179, 179, 2000)
+    la_ = rng.uniform(-85, 85, 2000)
+    for p, tol in ((w, 1e-12), (q, 1e-8)):
+        e, n = p.forward(lo_, la_)
+        l2, a2 = p.inverse(e, n)
+        assert np.abs(l2 - lo_).max() < 1e-12
+        assert np.abs(a2 - la_).max() < tol
+
+    assert CRS.srs_info(3395)["proj"] == "merc"
+    assert CRS.srs_info(4087)["proj"] == "eqc"
