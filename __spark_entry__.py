@@ -2472,6 +2472,8 @@ _POLY_DST_GT = (2_800_000.0, 34_375.0, 0.0, 10_600_000.0, 0.0, -15_625.0)
 _MERC3395_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 15_000_000.0, 0.0,
                     -234_375.0)
 _EQC_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 9_400_000.0, 0.0, -146_875.0)
+# RSO Borneo frame (Hotine variant B, meters)
+_OMERC_DST_GT = (-200_000.0, 14_062.5, 0.0, 1_200_000.0, 0.0, -10_937.5)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,6 +2601,26 @@ def q_warp_eqc_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _EQC_DST_GT, 128, 128, eqc.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_omerc_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:29873 (Timbalai 1948 / RSO Borneo — Hotine
+    Oblique Mercator variant B, EPSG method 9815, Everest 1830; the
+    registry kernel reproduces the GN7-2 worked example
+    679245.73/596562.78 exactly, pinned in pytest). The oracle spells
+    the full aposphere inverse (skew rotation, Q/S/T/V/U chain, the
+    1/B power) with the conformal-latitude fixed point unrolled to the
+    class's 10 steps."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    om = CRS.get_crs_transform(29873)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _OMERC_DST_GT, 128, 128, om.inverse, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3922,7 +3944,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
               27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200,
-              29101, 3395, 3002, 4087]
+              29101, 3395, 3002, 4087, 29873]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5858,6 +5880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_polyconic_nearest": q_warp_polyconic_nearest,
         "warp_mercator_nearest": q_warp_mercator_nearest,
         "warp_eqc_nearest": q_warp_eqc_nearest,
+        "warp_omerc_nearest": q_warp_omerc_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -8743,6 +8766,102 @@ def oracle_sql() -> dict[str, str]:
         FROM sp
     """
 
+    # EPSG:29873 warp: Hotine Oblique Mercator variant-B inverse (GN7-2
+    # §1.3.6) — skew rotation, the Q/S/T/V/U aposphere chain, the 1/B
+    # power, then the conformal-latitude fixed point unrolled 10 steps.
+    # Every constant from the SAME 29873 constructor; trig of the
+    # constants injected as the identical Python doubles.
+    _om = _CRS.get_crs_transform(29873)
+    _om_cgc = float(np.cos(_om.gc))
+    _om_sgc = float(np.sin(_om.gc))
+    _om_cg0 = float(np.cos(_om.gamma0))
+    _om_sg0 = float(np.sin(_om.gamma0))
+    _om_ucoff = float(np.abs(_om.uc) * np.sign(_om.uc))
+    _om_invB = 1.0 / _om.B
+    _om_e2h = float(_om.e / 2.0)
+    g0o, g1o, _, g3o, _, g5o = _OMERC_DST_GT
+    _om_step = (
+        "SELECT px, py, S, V, up, "
+        "pi() / 2.0 - 2.0 * atan(t * pow((1.0 - {e} * sin(phi)) "
+        "/ (1.0 + {e} * sin(phi)), {eh})) AS phi, t FROM {src}"
+    )
+    _om_ctes = ",\n        ".join(
+        f"om{k} AS ({_om_step.format(e=repr(float(_om.e)), eh=repr(_om_e2h), src=('om0' if k == 1 else f'om{k - 1}'))})"
+        for k in range(1, _om.ISO_ITERS + 1)
+    )
+    sqls["warp_omerc_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          -- grid E/N values are binary-exact; DOUBLE casts are lossless
+          -- (DuckDB otherwise keeps DECIMAL and overflows in the skew
+          -- rotation products)
+          SELECT px, py,
+            CAST({g0o!r} + (px + 0.5) * {g1o!r} - {_om.false_e!r}
+                 AS DOUBLE) AS dE,
+            CAST({g3o!r} + (py + 0.5) * {g5o!r} - {_om.false_n!r}
+                 AS DOUBLE) AS dN
+          FROM pix
+        ),
+        sk AS (
+          SELECT px, py,
+            dE * {_om_cgc!r} - dN * {_om_sgc!r} AS vp,
+            dN * {_om_cgc!r} + dE * {_om_sgc!r} + {_om_ucoff!r} AS up
+          FROM en
+        ),
+        qq AS (
+          SELECT px, py, up,
+            exp(-({_om.B!r} * vp / {_om.A!r})) AS Q,
+            sin({_om.B!r} * up / {_om.A!r}) AS V
+          FROM sk
+        ),
+        st AS (
+          SELECT px, py, up, V,
+            (Q - 1.0 / Q) / 2.0 AS S,
+            (Q + 1.0 / Q) / 2.0 AS T
+          FROM qq
+        ),
+        uu AS (
+          SELECT px, py, up, V, S,
+            (V * {_om_cg0!r} + S * {_om_sg0!r}) / T AS U
+          FROM st
+        ),
+        om0 AS (
+          SELECT px, py, S, V, up,
+            pi() / 2.0 - 2.0 * atan(
+              pow({_om.H!r} / sqrt((1.0 + U) / (1.0 - U)),
+                  {_om_invB!r})) AS phi,
+            pow({_om.H!r} / sqrt((1.0 + U) / (1.0 - U)),
+                {_om_invB!r}) AS t
+          FROM uu
+        ),
+        {_om_ctes},
+        ll AS (
+          SELECT px, py,
+            degrees({_om.lam0!r} - atan2(
+              S * {_om_cg0!r} - V * {_om_sg0!r},
+              cos({_om.B!r} * up / {_om.A!r})) / {_om.B!r}) AS lon,
+            degrees(phi) AS lat
+          FROM om{_om.ISO_ITERS}
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
     # EPSG:28992 warp: oblique-stereographic GN7-2 g/h/i/j inverse on the
     # Gauss sphere, the 6-step unrolled isometric-latitude fixed point,
     # then Bessel ECEF -> FULL 7-param Amersfoort Helmert -> Bowring ->
@@ -11569,6 +11688,9 @@ def oracle_sql() -> dict[str, str]:
          3900000.0, 900000.0, 6377397.155),
         (4087, "eqc", 298.257224, 0.0, None, 0.0, None, None, None,
          0.0, 0.0, 6378137.0),
+        # omerc: azimuth in the lat1 slot, grid angle in lat2
+        (29873, "omerc", 300.8017, 115.0, 0.99984, None, 4.0,
+         53.315820, 53.130102, 590476.87, 442857.65, 6377298.556),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

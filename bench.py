@@ -158,6 +158,7 @@ BENCH = {
     "url_features": lambda s: _force(E.q_url_features(s, SF_DIR)),
     "warp_mercator": lambda s: _force(E.q_warp_mercator_nearest(s, SF_DIR)),
     "warp_eqc": lambda s: _force(E.q_warp_eqc_nearest(s, SF_DIR)),
+    "warp_omerc": lambda s: _force(E.q_warp_omerc_nearest(s, SF_DIR)),
 }
 
 

@@ -899,6 +899,103 @@ class EquidistantCylindrical:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+class HotineObliqueMercator:
+    """Hotine Oblique Mercator, variant B (EPSG method 9815) — the
+    rectified skew orthomorphic of Borneo (Timbalai 1948 RSO,
+    EPSG:29873) and Peninsular Malaysia. Formulas follow EPSG Guidance
+    Note 7-2 §1.3.6: the B/A/t0/D/F/H/G setup constants, the oblique
+    aposphere forward, and the inverse whose only non-closed step is
+    the conformal-to-geodetic latitude fixed point (the same scheme the
+    polar-stereographic oracle already unrolls), run to ``ISO_ITERS``.
+    Angles: azimuth ``alpha_c`` and rectified-grid angle ``gamma_c`` at
+    the projection center; false coordinates apply AT the center
+    (variant B)."""
+
+    ISO_ITERS = 10
+
+    def __init__(self, lat_c: float, lon_c: float, alpha_c: float,
+                 gamma_c: float, k_c: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F,
+                 towgs84=None) -> None:
+        self.a = a
+        self.f = f
+        self.e2 = e2 = f * (2.0 - f)
+        self.e = e = np.sqrt(e2)
+        self.towgs84 = towgs84
+        self.lat_c_deg = lat_c
+        self.lon_c_deg = lon_c
+        self.alpha_c_deg = alpha_c
+        self.gamma_c_deg = gamma_c
+        self.k0 = k_c
+        self.false_e = false_e
+        self.false_n = false_n
+        phic = np.radians(lat_c)
+        sc, cc = np.sin(phic), np.cos(phic)
+        self.B = np.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+        self.A = (a * self.B * k_c * np.sqrt(1.0 - e2)
+                  / (1.0 - e2 * sc * sc))
+        t0 = (np.tan(np.pi / 4.0 - phic / 2.0)
+              / ((1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2.0))
+        D = (self.B * np.sqrt(1.0 - e2)
+             / (cc * np.sqrt(1.0 - e2 * sc * sc)))
+        D2 = max(D * D, 1.0)
+        sign = 1.0 if lat_c >= 0.0 else -1.0
+        Fc = D + np.sqrt(D2 - 1.0) * sign
+        self.H = Fc * t0 ** self.B
+        G = (Fc - 1.0 / Fc) / 2.0
+        self.gamma0 = np.arcsin(np.sin(np.radians(alpha_c)) / D)
+        self.lam0 = (np.radians(lon_c)
+                     - np.arcsin(G * np.tan(self.gamma0)) / self.B)
+        # variant B: u at the projection center
+        self.uc = (self.A / self.B) * np.arctan2(
+            np.sqrt(D2 - 1.0), np.cos(np.radians(alpha_c))) * sign
+        self.gc = np.radians(gamma_c)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        sp = np.sin(phi)
+        t = (np.tan(np.pi / 4.0 - phi / 2.0)
+             / ((1.0 - self.e * sp) / (1.0 + self.e * sp))
+             ** (self.e / 2.0))
+        Q = self.H / t ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = self.B * (lam - self.lam0)
+        V = np.sin(dl)
+        U = (-V * np.cos(self.gamma0) + S * np.sin(self.gamma0)) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+        u = (self.A * np.arctan2(
+            S * np.cos(self.gamma0) + V * np.sin(self.gamma0),
+            np.cos(dl)) / self.B) - np.abs(self.uc) * np.sign(self.uc)
+        E = v * np.cos(self.gc) + u * np.sin(self.gc) + self.false_e
+        N = u * np.cos(self.gc) - v * np.sin(self.gc) + self.false_n
+        return E, N
+
+    def inverse(self, E, N):
+        dE = np.asarray(E, np.float64) - self.false_e
+        dN = np.asarray(N, np.float64) - self.false_n
+        vp = dE * np.cos(self.gc) - dN * np.sin(self.gc)
+        up = (dN * np.cos(self.gc) + dE * np.sin(self.gc)
+              + np.abs(self.uc) * np.sign(self.uc))
+        Q = np.exp(-(self.B * vp / self.A))
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(self.B * up / self.A)
+        U = (V * np.cos(self.gamma0) + S * np.sin(self.gamma0)) / T
+        t = (self.H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / self.B)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(self.ISO_ITERS):
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * np.sin(phi))
+                     / (1.0 + self.e * np.sin(phi))) ** (self.e / 2.0))
+        lam = self.lam0 - np.arctan2(
+            S * np.cos(self.gamma0) - V * np.sin(self.gamma0),
+            np.cos(self.B * up / self.A)) / self.B
+        return np.degrees(lam), np.degrees(phi)
+
+
 class AmericanPolyconic:
     """American Polyconic (EPSG method 9818 / Snyder §18) — the
     projection of Brazil's SAD69 topographic grid (EPSG:29101) and the
@@ -1244,6 +1341,16 @@ def get_crs_transform(epsg: int):
             a=ELLIPSOIDS["bessel"][0], f=ELLIPSOIDS["bessel"][1]),
         # WGS84 World Equidistant Cylindrical (plate carree, method 1028)
         4087: lambda: EquidistantCylindrical(),
+        # Timbalai 1948 / RSO Borneo (m) — Hotine Oblique Mercator
+        # variant B on Everest 1830 (1967 definition); the GN7-2
+        # worked-example parameters
+        29873: lambda: HotineObliqueMercator(
+            lat_c=4.0, lon_c=115.0,
+            alpha_c=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+            gamma_c=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+            k_c=0.99984,
+            false_e=590_476.87, false_n=442_857.65,
+            a=6377298.556, f=1.0 / 300.8017),
         # SAD69 / Brazil Polyconic (GRS 1967; the national topo grid)
         29101: lambda: AmericanPolyconic(
             lat0=0.0, lon0=-54.0,
@@ -1365,6 +1472,7 @@ _PROJ_IDS = {
     "AmericanPolyconic": "poly",
     "MercatorEllipsoidal": "merc",
     "EquidistantCylindrical": "eqc",
+    "HotineObliqueMercator": "omerc",
 }
 
 
@@ -1435,4 +1543,10 @@ def srs_info(epsg: int) -> dict:
     elif isinstance(t, EquidistantCylindrical):
         out["f_inv"] = 1.0 / t.f
         out["lat_ts"] = t.lat_ts_deg
+    elif isinstance(t, HotineObliqueMercator):
+        out["f_inv"] = 1.0 / t.f
+        out["lat0"] = t.lat_c_deg
+        out["lon0"] = t.lon_c_deg
+        out["lat1"] = t.alpha_c_deg   # azimuth reported in lat1 slot
+        out["lat2"] = t.gamma_c_deg   # rectified grid angle in lat2
     return out

@@ -553,3 +553,45 @@ def test_mercator_ellipsoidal_and_eqc():
 
     assert CRS.srs_info(3395)["proj"] == "merc"
     assert CRS.srs_info(4087)["proj"] == "eqc"
+
+
+def test_hotine_oblique_mercator_borneo():
+    """EPSG:29873 Timbalai 1948 / RSO Borneo — GN7-2 §1.3.6 variant-B
+    worked example: 5°23'14.1129"N 115°48'19.8196"E ->
+    E 679245.73, N 596562.78 m."""
+    import numpy as np
+    from lib_gdal_spark.functions import crs as CRS
+
+    h = CRS.get_crs_transform(29873)
+    lat = 5.0 + 23.0 / 60.0 + 14.1129 / 3600.0
+    lon = 115.0 + 48.0 / 60.0 + 19.8196 / 3600.0
+    E, N = h.forward(np.array([lon]), np.array([lat]))
+    assert abs(E[0] - 679245.73) < 0.01
+    assert abs(N[0] - 596562.78) < 0.01
+    lo, la = h.inverse(E, N)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+    # variant B: the projection center carries the false coordinates
+    Ec, Nc = h.forward(np.array([115.0]), np.array([4.0]))
+    assert abs(Ec[0] - 590476.87) < 1e-4
+    assert abs(Nc[0] - 442857.65) < 1e-4
+    # conformality: isotropic local scale at an off-axis point
+    d = 1e-6
+    x0, y0 = h.forward(np.array([117.0]), np.array([6.0]))
+    xe, ye = h.forward(np.array([117.0 + d]), np.array([6.0]))
+    xn, yn = h.forward(np.array([117.0]), np.array([6.0 + d]))
+    de = np.hypot(xe - x0, ye - y0)[0]
+    dn = np.hypot(xn - x0, yn - y0)[0]
+    sp = np.sin(np.radians(6.0))
+    nu = h.a / np.sqrt(1 - h.e2 * sp * sp)
+    rho = h.a * (1 - h.e2) / (1 - h.e2 * sp * sp) ** 1.5
+    truth = (nu * np.cos(np.radians(6.0))) / rho
+    assert abs(de / dn - truth) < 1e-4
+    # roundtrip fuzz over Borneo
+    rng = np.random.default_rng(13)
+    lo_ = rng.uniform(109, 120, 3000)
+    la_ = rng.uniform(-1, 8, 3000)
+    e, n = h.forward(lo_, la_)
+    l2, a2 = h.inverse(e, n)
+    assert np.abs(l2 - lo_).max() < 1e-12
+    assert np.abs(a2 - la_).max() < 1e-12
+    assert CRS.srs_info(29873)["proj"] == "omerc"
