@@ -1869,6 +1869,24 @@ def q_decontaminate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item contamination attribution (the Llama/GPT-4
+    appendix direction): for every (train doc, eval item) pair sharing
+    a word-3-gram, the fraction of the eval item's distinct grams
+    contained in the doc + a 0.2-threshold verdict. Corpus grams
+    explode once; the eval side is broadcast with item ids; the oracle
+    spells the same containment SQL."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 101 != 7)
+    bench = d.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    out = DD.decontaminate_by_item(train, bench, n=3, threshold=0.2)
+    return out.select(
+        "doc_id", "eval_id", "n_hits", "eval_grams",
+        F.round("containment", 9).alias("containment"), "flagged",
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup: cut every 8-token window shared by >=2
     documents (distributed window-hash variant of Lee et al. 2021)."""
@@ -5943,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "chunk_documents": q_chunk_documents,
         "decontaminate_3gram": q_decontaminate_3gram,
+        "decontaminate_items": q_decontaminate_items,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -12041,6 +12060,43 @@ def oracle_sql() -> dict[str, str]:
     # (same tokenization: lowercase, whitespace split, empties dropped;
     # docs shorter than 13 tokens contribute their whole text as the
     # single gram).
+    # decontaminate_items: same gram machinery with the eval item id
+    # kept; containment per (doc, eval) pair spelled relationally.
+    sqls["decontaminate_items"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+          FROM toks
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM idx
+        ), train_g AS (
+          SELECT doc_id, g FROM grams WHERE doc_id % 101 <> 7
+        ), bench_g AS (
+          SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 101 = 7
+        ), sizes AS (
+          SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams
+          FROM bench_g GROUP BY eval_id
+        ), hits AS (
+          SELECT t.doc_id, b.eval_id,
+                 CAST(count(*) AS BIGINT) AS n_hits
+          FROM train_g t JOIN bench_g b USING (g)
+          GROUP BY t.doc_id, b.eval_id
+        )
+        SELECT h.doc_id, h.eval_id, h.n_hits, s.eval_grams,
+          round(CAST(h.n_hits AS DOUBLE) / CAST(s.eval_grams AS DOUBLE),
+                9) AS containment,
+          CAST(CASE WHEN CAST(h.n_hits AS DOUBLE)
+                         / CAST(s.eval_grams AS DOUBLE) >= 0.2
+               THEN 1 ELSE 0 END AS INT) AS flagged
+        FROM hits h JOIN sizes s USING (eval_id)
+    """
+
     sqls["decontaminate"] = """
         WITH toks AS (
           SELECT doc_id,

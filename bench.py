@@ -159,6 +159,7 @@ BENCH = {
     "warp_mercator": lambda s: _force(E.q_warp_mercator_nearest(s, SF_DIR)),
     "warp_eqc": lambda s: _force(E.q_warp_eqc_nearest(s, SF_DIR)),
     "warp_omerc": lambda s: _force(E.q_warp_omerc_nearest(s, SF_DIR)),
+    "decontaminate_items": lambda s: _force(E.q_decontaminate_items(s, SF_DIR)),
 }
 
 

@@ -1258,6 +1258,12 @@ def get_crs_transform(epsg: int):
       projection, EPSG 9809, Bessel 1841 + 7-param towgs84)
     - 5514 S-JTSK / Krovak East North (oblique conformal conic,
       EPSG 9819, Bessel 1841 + 3-param towgs84)
+    - 30200 Trinidad 1903 grid (Cassini-Soldner 9806, Clarke 1858 in
+      Clarke's links), 29101 SAD69 / Brazil Polyconic (9818, GRS 1967)
+    - 3395 WGS84 World Mercator / 3002 Makassar NEIEZ (ellipsoidal
+      Mercator 9804), 4087 WGS84 World Equidistant Cylindrical (1028)
+    - 29873 Timbalai 1948 / RSO Borneo (Hotine Oblique Mercator
+      variant B, EPSG 9815, Everest 1830)
 
     Raises ``KeyError`` for anything else — callers should surface the code
     so users know the registry gap (no silent fallback).

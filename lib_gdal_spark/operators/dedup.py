@@ -839,3 +839,61 @@ def line_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("__text", F.lit("")).alias(text_col),
     )
+
+
+def decontaminate_by_item(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "eval_id",
+) -> DataFrame:
+    """Per-eval-item contamination report — the attribution companion of
+    :func:`decontaminate` (which only flags corpus docs): for every
+    (corpus doc, eval item) pair sharing at least one word n-gram,
+    report the CONTAINMENT of the eval item in the doc — the fraction
+    of the eval item's distinct n-grams present in the doc (the
+    direction that measures "this benchmark question leaked into
+    training", as in the Llama/GPT-4 contamination appendices) — and a
+    ``flagged`` verdict at ``threshold``.
+
+    Scale shape: the corpus gram stream explodes ONCE to distinct
+    xxhash64 keys; the benchmark side (tiny by construction) is
+    broadcast WITH its item ids, so the join multiplies only by the
+    number of eval items sharing a gram; one map-side-combinable
+    groupBy((doc, eval)) count. Pairs with zero hits never materialize.
+    """
+    doc_g = docs.select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    bench_g = (
+        benchmark.select(
+            bench_id_col,
+            F.explode(F.array_distinct(word_ngrams(text_col, n)))
+            .alias("gram"),
+        )
+        .select(bench_id_col, F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    sizes = bench_g.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("eval_grams"))
+    hits = (
+        doc_g.join(F.broadcast(bench_g), "gh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(F.broadcast(sizes), bench_id_col)
+        .withColumn(
+            "containment",
+            F.col("n_hits").cast("double")
+            / F.col("eval_grams").cast("double"),
+        )
+        .withColumn("flagged",
+                    (F.col("containment") >= threshold).cast("int"))
+        .select(id_col, bench_id_col, "n_hits", "eval_grams",
+                "containment", "flagged")
+    )

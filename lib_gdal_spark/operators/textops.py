@@ -1179,9 +1179,10 @@ def top_ngram_char_frac(
     total token chars; thresholds 0.20/0.18/0.16). Deterministic
     argmax: ties break toward the lexicographically smallest gram.
 
-    Keys-only (doc, gram) count + one max_by per doc — map-side
-    combinable, the corpus token stream is never collected. Character
-    totals are token chars (separators excluded), matching
+    Keys-only (doc, gram) counts, then a relational argmax (max count
+    per doc, min gram among ties) — every stage map-side combinable,
+    the corpus token stream is never collected. Character totals are
+    token chars (separators excluded), matching
     :func:`dup_ngram_char_frac`.
     """
     toks = docs.select(

@@ -23,3 +23,36 @@ def test_decontaminate(spark):
     got = {r["doc_id"]: r["contaminated"]
            for r in decontaminate(docs, bench, n=30).collect()}
     assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_decontaminate_by_item_containment(spark):
+    """Per-eval-item containment: hand-computed fractions + threshold."""
+    from lib_gdal_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),   # contains e1 fully
+        (2, "alpha beta gamma nope nope2 nope3"),     # partial overlap
+        (3, "totally different words here now ok"),   # clean
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "alpha beta gamma delta"),              # 2 distinct 3-grams
+        (200, "unrelated eval question text"),
+    ], "eval_id long, text string")
+    out = {(r["doc_id"], r["eval_id"]): r for r in
+           DD.decontaminate_by_item(docs, bench, n=3, threshold=0.5)
+           .collect()}
+    # eval 100 grams: "alpha beta gamma", "beta gamma delta"
+    r1 = out[(1, 100)]
+    assert r1["eval_grams"] == 2 and r1["n_hits"] == 2
+    assert r1["containment"] == 1.0 and r1["flagged"] == 1
+    r2 = out[(2, 100)]
+    assert r2["n_hits"] == 1 and abs(r2["containment"] - 0.5) < 1e-12
+    assert r2["flagged"] == 1  # 0.5 >= threshold
+    # clean doc and unrelated eval never materialize
+    assert (3, 100) not in out and (1, 200) not in out
+    # stricter threshold unflags the partial pair
+    strict = {(r["doc_id"], r["eval_id"]): r["flagged"] for r in
+              DD.decontaminate_by_item(docs, bench, n=3, threshold=0.9)
+              .collect()}
+    assert strict[(2, 100)] == 0 and strict[(1, 100)] == 1
