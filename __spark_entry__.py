@@ -2492,6 +2492,8 @@ _MERC3395_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 15_000_000.0, 0.0,
 _EQC_DST_GT = (-20_000_000.0, 312_500.0, 0.0, 9_400_000.0, 0.0, -146_875.0)
 # RSO Borneo frame (Hotine variant B, meters)
 _OMERC_DST_GT = (-200_000.0, 14_062.5, 0.0, 1_200_000.0, 0.0, -10_937.5)
+# UPS North frame around the pole (false origin 2,000,000 / 2,000,000)
+_UPS_DST_GT = (1_300_000.0, 10_937.5, 0.0, 2_700_000.0, 0.0, -10_937.5)
 
 
 def q_warp_bng_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2619,6 +2621,25 @@ def q_warp_eqc_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
     out = RAST.warp_to_crs_tiles_dist(
         tiles, _EQC_DST_GT, 128, 128, eqc.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_ups_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:32661 (Universal Polar Stereographic North —
+    variant A, k0 = 0.994 AT THE POLE, false origin 2,000,000 m; the
+    MGRS polar companion grid). Same conformal-latitude fixed point as
+    the 3031 oracle, but through the k0 rho-factor and the north
+    (no-negation) branch; pole-scale and pole-origin anchors in
+    pytest."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    ups = CRS.get_crs_transform(32661)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _UPS_DST_GT, 128, 128, ups.inverse, alg="nearest", tile=64
     )
     return _explode_px(out).select(
         "px", "py", F.col("v").cast("long").alias("v")
@@ -3962,7 +3983,7 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
               27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200,
-              29101, 3395, 3002, 4087, 29873]
+              29101, 3395, 3002, 4087, 29873, 32661, 32761]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5899,6 +5920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_mercator_nearest": q_warp_mercator_nearest,
         "warp_eqc_nearest": q_warp_eqc_nearest,
         "warp_omerc_nearest": q_warp_omerc_nearest,
+        "warp_ups_nearest": q_warp_ups_nearest,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -8768,6 +8790,65 @@ def oracle_sql() -> dict[str, str]:
                        + {_eq.j6!r} * sin(6.0 * mu)
                        + {_eq.j8!r} * sin(8.0 * mu)) AS lat
           FROM fp
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE 0 END AS v
+        FROM sp
+    """
+
+    # EPSG:32661 warp: UPS North — the 3031 fixed-point scheme through
+    # the k0 = 0.994 rho-factor, north branch (no negation), false
+    # origin subtracted first (exact: 2e6 and the grid are binary-exact).
+    _up = _CRS.get_crs_transform(32661)
+    _uf, _ue = float(_up._rho_factor), float(_up.e)
+    g0u2, g1u2, _, g3u2, _, g5u2 = _UPS_DST_GT
+    _up_iters = "".join(
+        f""",
+        ut{k} AS (
+          SELECT px, py, t, lam,
+            pi()/2.0 - 2.0 * atan(t * pow(
+              (1.0 - {_ue!r} * sin(phi)) / (1.0 + {_ue!r} * sin(phi)),
+              {_ue / 2.0!r})) AS phi
+          FROM ut{k - 1}
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["warp_ups_nearest"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            CAST({g0u2!r} + (px + 0.5) * {g1u2!r} - 2000000.0
+                 AS DOUBLE) AS E,
+            CAST({g3u2!r} + (py + 0.5) * {g5u2!r} - 2000000.0
+                 AS DOUBLE) AS N
+          FROM pix
+        ),
+        base AS (
+          SELECT px, py,
+            sqrt(E * E + N * N) / {_uf!r} AS t,
+            atan2(E, -N) AS lam
+          FROM en
+        ),
+        ut0 AS (
+          SELECT px, py, t, lam, pi()/2.0 - 2.0 * atan(t) AS phi FROM base
+        ){_up_iters},
+        ll AS (
+          SELECT px, py, degrees(lam) AS lon, degrees(phi) AS lat
+          FROM ut10
         ),
         sp AS (
           SELECT px, py,
@@ -11710,6 +11791,10 @@ def oracle_sql() -> dict[str, str]:
         # omerc: azimuth in the lat1 slot, grid angle in lat2
         (29873, "omerc", 300.8017, 115.0, 0.99984, None, 4.0,
          53.315820, 53.130102, 590476.87, 442857.65, 6377298.556),
+        (32661, "stere", 298.257224, 0.0, 0.994, 90.0, None, None, None,
+         2000000.0, 2000000.0, 6378137.0),
+        (32761, "stere", 298.257224, 0.0, 0.994, -90.0, None, None, None,
+         2000000.0, 2000000.0, 6378137.0),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

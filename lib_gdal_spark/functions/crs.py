@@ -320,7 +320,7 @@ class PolarStereographic:
     def __init__(self, lat_ts: float = 90.0, lon0: float = 0.0,
                  north: bool = True, false_e: float = 0.0,
                  false_n: float = 0.0, a: float = WGS84_A,
-                 f: float = WGS84_F) -> None:
+                 f: float = WGS84_F, k0: float = 1.0) -> None:
         self.lon0 = lon0
         self.north = north
         self.false_e = false_e
@@ -330,10 +330,12 @@ class PolarStereographic:
         self.lat_ts_deg = lat_ts
         e = self.e
         if abs(lat_ts) >= 90.0 - 1e-12:
-            # scale defined at the pole (k0 formulation, Snyder 21-33)
-            self.k0 = 1.0
+            # scale defined at the pole (k0 formulation, Snyder 21-33;
+            # variant A / EPSG 9810 — k0 = 0.994 gives UPS)
+            self.k0 = k0
             self._rho_factor = (
-                2.0 * a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+                2.0 * a * k0
+                / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
             )
         else:
             pts = np.radians(abs(lat_ts))
@@ -1290,6 +1292,14 @@ def get_crs_transform(epsg: int):
         3976: lambda: PolarStereographic(lat_ts=-70.0, lon0=0.0, north=False),
         3413: lambda: PolarStereographic(lat_ts=70.0, lon0=-45.0, north=True),
         3995: lambda: PolarStereographic(lat_ts=71.0, lon0=0.0, north=True),
+        # Universal Polar Stereographic (variant A, k0 = 0.994 at the
+        # pole, FE = FN = 2,000,000 — the MGRS polar companion grids)
+        32661: lambda: PolarStereographic(
+            lat_ts=90.0, lon0=0.0, north=True, k0=0.994,
+            false_e=2_000_000.0, false_n=2_000_000.0),
+        32761: lambda: PolarStereographic(
+            lat_ts=-90.0, lon0=0.0, north=False, k0=0.994,
+            false_e=2_000_000.0, false_n=2_000_000.0),
         # Albers equal-area
         5070: lambda: AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0,
                                       lon0=-96.0, a=ga, f=gf),

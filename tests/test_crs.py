@@ -595,3 +595,40 @@ def test_hotine_oblique_mercator_borneo():
     assert np.abs(l2 - lo_).max() < 1e-12
     assert np.abs(a2 - la_).max() < 1e-12
     assert CRS.srs_info(29873)["proj"] == "omerc"
+
+
+def test_ups_polar_grids():
+    """EPSG:32661/32761 Universal Polar Stereographic (variant A,
+    k0 = 0.994 at the pole, 2,000,000 m false origin)."""
+    import numpy as np
+    from lib_gdal_spark.functions import crs as CRS
+
+    u = CRS.get_crs_transform(32661)
+    # the pole carries the false origin, and local scale there is k0
+    E, N = u.forward(np.array([0.0]), np.array([90.0]))
+    assert (E[0], N[0]) == (2_000_000.0, 2_000_000.0)
+    d = 1e-7
+    x0, y0 = u.forward(np.array([0.0]), np.array([89.999]))
+    x1, y1 = u.forward(np.array([0.0]), np.array([89.999 + d]))
+    e2 = u.e * u.e
+    rho = (6378137.0 * (1 - e2)
+           / (1 - e2 * np.sin(np.radians(89.999)) ** 2) ** 1.5)
+    k = np.hypot(x1 - x0, y1 - y0)[0] / (np.radians(d) * rho)
+    assert abs(k - 0.994) < 1e-5
+    # south grid mirrors
+    s = CRS.get_crs_transform(32761)
+    E3, N3 = s.forward(np.array([0.0]), np.array([-90.0]))
+    assert (E3[0], N3[0]) == (2_000_000.0, 2_000_000.0)
+    # roundtrip fuzz over the MGRS polar caps
+    rng = np.random.default_rng(21)
+    lo = rng.uniform(-180, 180, 2000)
+    la = rng.uniform(84.0, 89.99, 2000)
+    e, n = u.forward(lo, la)
+    l2, a2 = u.inverse(e, n)
+    assert np.abs(((l2 - lo + 180) % 360) - 180).max() < 1e-11
+    assert np.abs(a2 - la).max() < 1e-11
+    las = -la
+    es, ns = s.forward(lo, las)
+    l2s, a2s = s.inverse(es, ns)
+    assert np.abs(((l2s - lo + 180) % 360) - 180).max() < 1e-11
+    assert np.abs(a2s - las).max() < 1e-11
