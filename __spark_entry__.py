@@ -2146,6 +2146,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.ngram_lm_perplexity(d, k=0.5)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020
+    §4.3): per-language percent_rank over the corpus-LM cross-entropy,
+    cut into thirds. Rank-based, so exact at any parallelism; the
+    oracle wraps the lm_perplexity oracle in the identical window."""
+    d = _t(spark, sf_dir, "documents")
+    out = TXT.ccnet_perplexity_buckets(d, by="lang", k=0.5)
+    return out.select(
+        "doc_id", "lang", "n_bigrams", "cross_entropy",
+        F.round("ppl_pct", 9).alias("ppl_pct"), "bucket",
+    )
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components
     -> canonical min-id representative per near-dup cluster."""
@@ -5995,6 +6008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -9964,6 +9978,35 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # ccnet_buckets: the lm_perplexity oracle wrapped in the same
+    # per-language percent_rank window (ties broken by doc_id, so rank
+    # is unique); bucket thresholds compared on the UNROUNDED pct, as
+    # in the Spark operator; unscorable docs keep NULL pct/bucket.
+    sqls["ccnet_buckets"] = f"""
+        WITH scored AS ({sqls["lm_perplexity"]}),
+        j AS (
+          SELECT s.doc_id, d.lang, s.n_bigrams, s.cross_entropy
+          FROM scored s JOIN documents d USING (doc_id)
+        ),
+        nn AS (
+          SELECT *, percent_rank() OVER (
+            PARTITION BY lang ORDER BY cross_entropy, doc_id) AS ppl_pct
+          FROM j WHERE cross_entropy IS NOT NULL
+        ),
+        nul AS (
+          SELECT *, CAST(NULL AS DOUBLE) AS ppl_pct
+          FROM j WHERE cross_entropy IS NULL
+        ),
+        u AS (SELECT * FROM nn UNION ALL SELECT * FROM nul)
+        SELECT doc_id, lang, n_bigrams, cross_entropy,
+          round(ppl_pct, 9) AS ppl_pct,
+          CASE WHEN ppl_pct IS NULL THEN NULL
+               WHEN ppl_pct < 1.0 / 3.0 THEN 'head'
+               WHEN ppl_pct < 2.0 / 3.0 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM u
     """
 
     # decontaminate: distinct word 3-grams; eval split doc_id % 101 = 7.

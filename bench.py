@@ -161,6 +161,7 @@ BENCH = {
     "warp_omerc": lambda s: _force(E.q_warp_omerc_nearest(s, SF_DIR)),
     "decontaminate_items": lambda s: _force(E.q_decontaminate_items(s, SF_DIR)),
     "warp_ups": lambda s: _force(E.q_warp_ups_nearest(s, SF_DIR)),
+    "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
 }
 
 

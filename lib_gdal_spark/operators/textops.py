@@ -1340,3 +1340,44 @@ def url_quality_features(
             F.array_max(F.transform(segs, F.length)), F.lit(0)),
         "has_port": hostport.rlike(":[0-9]+$").cast("int"),
     })
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    by: str = "lang",
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's signature head/middle/tail split (Wenzek et al. 2020
+    §4.3): per language, rank documents by LM cross-entropy
+    (:func:`ngram_lm_perplexity`) and cut into equal thirds —
+    ``head`` = most fluent (lowest perplexity), ``tail`` = worst.
+    Rank-based (percent_rank over (lang, entropy, id)), so the split
+    is exact and deterministic at any parallelism; documents too short
+    to score (< 2 tokens) keep their row with a NULL bucket.
+
+    One shuffle on the language key for the window (CCNet's own
+    per-language percentile pass); the LM scoring underneath is the
+    keys-only combinable shape documented on ngram_lm_perplexity.
+    Returns (id, by, n_bigrams, cross_entropy, ppl_pct, bucket).
+    """
+    scored = ngram_lm_perplexity(docs, k=k, id_col=id_col,
+                                 text_col=text_col)
+    joined = docs.select(F.col(id_col), F.col(by)).join(scored, id_col)
+    has = joined.filter(F.col("cross_entropy").isNotNull())
+    w = Window.partitionBy(by).orderBy("cross_entropy", id_col)
+    ranked = has.withColumn("ppl_pct", F.percent_rank().over(w))
+    bucket = (
+        F.when(F.col("ppl_pct") < 1.0 / 3.0, F.lit("head"))
+        .when(F.col("ppl_pct") < 2.0 / 3.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    ranked = ranked.withColumn("bucket", bucket)
+    rest = (
+        joined.filter(F.col("cross_entropy").isNull())
+        .withColumn("ppl_pct", F.lit(None).cast("double"))
+        .withColumn("bucket", F.lit(None).cast("string"))
+    )
+    return ranked.unionByName(rest).select(
+        id_col, by, "n_bigrams", "cross_entropy", "ppl_pct", "bucket")

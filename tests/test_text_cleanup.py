@@ -329,3 +329,44 @@ class TestUrlQualityFeatures:
         # schemeless: host swallows 'example.com', path /a/b
         assert r["path_depth"] == 2
         assert r["has_port"] == 0
+
+
+class TestCcnetBuckets:
+    """CCNet head/middle/tail perplexity split (round-4)."""
+
+    def test_thirds_and_order(self, spark):
+        from lib_gdal_spark.operators.textops import (
+            ccnet_perplexity_buckets)
+        # 9 scorable docs in one language: fluent docs repeat corpus-
+        # common bigrams, garbled ones are unique -> lower entropy for
+        # fluent
+        fluent = "the cat sat on the mat and the cat sat"
+        rows = [(i, "en", fluent) for i in range(6)]
+        rows += [(10 + i, "en", f"zq{i} xv{i} qk{i} jw{i} vv{i}")
+                 for i in range(3)]
+        rows += [(99, "en", "one")]  # unscorable (1 token)
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = {r["doc_id"]: r for r in
+               ccnet_perplexity_buckets(df).collect()}
+        # 9 ranked docs -> 3 head, 3 middle, 3 tail
+        from collections import Counter
+        c = Counter(r["bucket"] for r in out.values()
+                    if r["bucket"] is not None)
+        assert c == {"head": 3, "middle": 3, "tail": 3}
+        # the garbled docs land in the tail
+        assert {out[10]["bucket"], out[11]["bucket"], out[12]["bucket"]} \
+            == {"tail"}
+        assert out[99]["bucket"] is None and out[99]["ppl_pct"] is None
+
+    def test_per_language_partitions(self, spark):
+        from lib_gdal_spark.operators.textops import (
+            ccnet_perplexity_buckets)
+        rows = [(i, "en", "the cat sat on the mat ok fine") for i in range(3)]
+        rows += [(10 + i, "de", "der hund lief durch den wald gut ja")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = ccnet_perplexity_buckets(df).collect()
+        # each language ranks independently: one head per language
+        heads = [r["doc_id"] for r in out if r["bucket"] == "head"]
+        assert len(heads) == 2
+        assert len({h // 10 for h in heads}) == 2
