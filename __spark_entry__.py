@@ -1963,6 +1963,21 @@ def q_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the mBERT/XLM-R/mT5 alpha
+    sampler, alpha=0.3, target half the corpus): rates from exact
+    source counts with a sorted-order power-sum fold, applied via the
+    splitmix integer-threshold draw. The oracle recomputes the rates in
+    SQL (pow + ordered list_reduce fold + the same least/truncate
+    chain) and the identical splitmix hash."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents")
+    out = MX.sample_temperature(d, alpha=0.3, target_frac=0.5)
+    return out.select("doc_id", "source",
+                      F.round("keep_rate", 9).alias("keep_rate"))
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token-budget prefix sample (hash order)."""
     from lib_gdal_spark.operators import mixing as MX
@@ -6005,6 +6020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "sample_sources": q_sample_sources,
         "sample_token_budget": q_sample_token_budget,
+        "sample_temperature": q_sample_temperature,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
@@ -10729,6 +10745,42 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ) WHERE h < {_rate_case}
     """
+    # sample_temperature: rates recomputed in SQL — pow per source, the
+    # power sum folded over the SORTED source list (list_reduce left
+    # fold == Python's sorted-order fold; 0-init is exact), the same
+    # least/multiply/divide parenthesization, int-truncated threshold,
+    # identical splitmix draw.
+    sqls["sample_temperature"] = f"""
+        WITH sz AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS c,
+                 pow(CAST(count(*) AS DOUBLE), 0.3) AS p
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(list_reduce(list(p ORDER BY source),
+                                  (a, b) -> a + b) AS DOUBLE) AS t,
+                 CAST(sum(c) AS BIGINT) AS n
+          FROM sz
+        ),
+        rates AS (
+          SELECT source, c,
+            least(1.0, 0.5 * n * (p / t) / c) AS rate
+          FROM sz, tot
+        ),
+        thr AS (
+          SELECT source, rate,
+            CAST(floor(rate * 9007199254740992.0) AS BIGINT) AS h_thr
+          FROM rates
+        )
+        SELECT d.doc_id, d.source, round(t.rate, 9) AS keep_rate
+        FROM (
+          SELECT doc_id, source,
+                 ({_mix_sql("doc_id", 9005)}) // 2048 AS h
+          FROM documents
+        ) d JOIN thr t USING (source)
+        WHERE d.h < t.h_thr
+    """
+
     sqls["sample_token_budget"] = f"""
         WITH d AS (
           SELECT doc_id, source,

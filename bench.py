@@ -162,6 +162,7 @@ BENCH = {
     "decontaminate_items": lambda s: _force(E.q_decontaminate_items(s, SF_DIR)),
     "warp_ups": lambda s: _force(E.q_warp_ups_nearest(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
+    "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
 }
 
 

@@ -403,3 +403,50 @@ def cap_per_source(
         .where(F.col("rank") <= cap)
         .drop("__h", "__b", "__rn_b", "__off")
     )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    stream: int = 9005,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the multilingual-LM sampling
+    standard (mBERT/XLM-R/mT5: draw sources with p_s proportional to
+    c_s^alpha, alpha < 1 up-weighting low-resource sources). The target
+    corpus size is ``target_frac`` of the input; per-source keep rates
+
+        rate_s = min(1, target_frac * N * (c_s^alpha / sum c^alpha) / c_s)
+
+    are computed from exact source counts (one combinable groupBy; the
+    count table is tiny — #sources rows — and collected; the power sum
+    folds in SORTED source order so the double arithmetic is
+    reproducible), then applied with :func:`sample_sources`'s
+    integer-threshold Bernoulli draw — bit-exact keep decisions at any
+    parallelism. Output keeps the surviving rows plus their
+    ``keep_rate``.
+    """
+    sizes = {
+        r[source_col]: r["c"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    pows = {s: float(c) ** alpha for s, c in sizes.items()}
+    tot = 0.0
+    for s in sorted(pows):
+        tot = tot + pows[s]
+    n_total = sum(sizes.values())
+    rates = {
+        s: min(1.0, target_frac * n_total * (pows[s] / tot) / sizes[s])
+        for s in sizes
+    }
+    kept = sample_sources(docs, rates, default_rate=0.0, id_col=id_col,
+                          source_col=source_col, seed=seed, stream=stream)
+    rate_col = F.lit(0.0)
+    for s, r in sorted(rates.items()):
+        rate_col = F.when(F.col(source_col) == s, F.lit(r)) \
+            .otherwise(rate_col)
+    return kept.withColumn("keep_rate", rate_col)
