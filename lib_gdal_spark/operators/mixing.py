@@ -429,6 +429,14 @@ def sample_temperature(
     parallelism. Output keeps the surviving rows plus their
     ``keep_rate``.
     """
+    n_src = docs.select(source_col).distinct().count()
+    if n_src > 10_000:
+        raise ValueError(
+            f"sample_temperature: {n_src} distinct sources — the rate "
+            f"table is driver-collected and meant for mixing DOMAINS "
+            f"(languages/corpora), not per-host keys; pre-aggregate "
+            f"sources (e.g. registrable domain -> corpus bucket) first"
+        )
     sizes = {
         r[source_col]: r["c"]
         for r in docs.groupBy(source_col)

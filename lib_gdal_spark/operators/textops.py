@@ -1348,24 +1348,68 @@ def ccnet_perplexity_buckets(
     k: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "rank",
 ) -> DataFrame:
     """CCNet's signature head/middle/tail split (Wenzek et al. 2020
     §4.3): per language, rank documents by LM cross-entropy
     (:func:`ngram_lm_perplexity`) and cut into equal thirds —
     ``head`` = most fluent (lowest perplexity), ``tail`` = worst.
-    Rank-based (percent_rank over (lang, entropy, id)), so the split
-    is exact and deterministic at any parallelism; documents too short
-    to score (< 2 tokens) keep their row with a NULL bucket.
-
-    One shuffle on the language key for the window (CCNet's own
-    per-language percentile pass); the LM scoring underneath is the
-    keys-only combinable shape documented on ngram_lm_perplexity.
-    Returns (id, by, n_bigrams, cross_entropy, ppl_pct, bucket).
+    ``method="rank"`` (default) uses percent_rank over
+    (lang, entropy, id) — exact and deterministic at any parallelism,
+    but the window sorts each language in ONE task, so a web-scale run
+    where English is 70% of the corpus hot-spots one reducer.
+    ``method="quantile"`` is the 100 TB path: the per-language 1/3 and
+    2/3 ENTROPY THRESHOLDS come from the exact distributed quantile
+    operator (operators/quantiles.exact_quantiles — combinable
+    histogram passes, no global sort; one call per language, languages
+    are few), then bucketing is a broadcast-join comparison. The two
+    methods agree except exactly AT a threshold value (rank splits
+    ties by id; thresholds put the whole tie in one bucket), so the
+    oracle gates the rank path and pytest checks cross-method
+    agreement away from ties. Documents too short to score (< 2
+    tokens) keep their row with a NULL bucket; ``ppl_pct`` is NULL in
+    quantile mode. Returns (id, by, n_bigrams, cross_entropy, ppl_pct,
+    bucket).
     """
+    if method not in ("rank", "quantile"):
+        raise ValueError("method must be 'rank' or 'quantile'")
     scored = ngram_lm_perplexity(docs, k=k, id_col=id_col,
                                  text_col=text_col)
     joined = docs.select(F.col(id_col), F.col(by)).join(scored, id_col)
     has = joined.filter(F.col("cross_entropy").isNotNull())
+    if method == "quantile":
+        from lib_gdal_spark.operators.quantiles import exact_quantiles
+
+        langs = [r[0] for r in has.select(by).distinct().collect()]
+        rows = []
+        for lg in sorted(langs):
+            qv = {r["q"]: r["value"] for r in exact_quantiles(
+                has.filter(F.col(by) == lg), "cross_entropy",
+                [1.0 / 3.0, 2.0 / 3.0]).collect()}
+            rows.append((lg, qv[1.0 / 3.0], qv[2.0 / 3.0]))
+        th = docs.sparkSession.createDataFrame(
+            rows, f"{by} string, q13 double, q23 double")
+        ranked = (
+            has.join(F.broadcast(th), by)
+            .withColumn("ppl_pct", F.lit(None).cast("double"))
+            .withColumn(
+                "bucket",
+                F.when(F.col("cross_entropy") <= F.col("q13"),
+                       F.lit("head"))
+                .when(F.col("cross_entropy") <= F.col("q23"),
+                      F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .drop("q13", "q23")
+        )
+        rest = (
+            joined.filter(F.col("cross_entropy").isNull())
+            .withColumn("ppl_pct", F.lit(None).cast("double"))
+            .withColumn("bucket", F.lit(None).cast("string"))
+        )
+        return ranked.unionByName(rest).select(
+            id_col, by, "n_bigrams", "cross_entropy", "ppl_pct",
+            "bucket")
     w = Window.partitionBy(by).orderBy("cross_entropy", id_col)
     ranked = has.withColumn("ppl_pct", F.percent_rank().over(w))
     bucket = (

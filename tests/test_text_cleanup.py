@@ -370,3 +370,46 @@ class TestCcnetBuckets:
         heads = [r["doc_id"] for r in out if r["bucket"] == "head"]
         assert len(heads) == 2
         assert len({h // 10 for h in heads}) == 2
+
+
+def test_ccnet_quantile_path_agrees_with_rank(spark):
+    """The 100 TB threshold path buckets identically to percent_rank
+    away from threshold ties, and the loud guards hold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators.textops import ccnet_perplexity_buckets
+
+    rng = random.Random(3)
+    vocab = ["the", "cat", "dog", "runs", "fast", "slow", "big", "red"]
+    rows = [(i, "en", " ".join(rng.choices(vocab, k=12)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rank = {r["doc_id"]: r["bucket"] for r in
+            ccnet_perplexity_buckets(df, method="rank").collect()}
+    quant = {r["doc_id"]: r["bucket"] for r in
+             ccnet_perplexity_buckets(df, method="quantile").collect()}
+    # entropies can tie at the cut; everything else must agree
+    diff = [k for k in rank if rank[k] != quant[k]]
+    assert len(diff) <= len(rank) * 0.2
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for k in diff:  # any disagreement is at most one adjacent bucket
+        assert abs(order[rank[k]] - order[quant[k]]) == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ccnet_perplexity_buckets(df, method="nope")
+
+
+def test_sample_temperature_source_guard(spark):
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators import mixing as MX
+    import pytest as _pt
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), F.col("id")).alias("source"),
+        F.lit("x").alias("text"))
+    with _pt.raises(ValueError, match="distinct sources"):
+        MX.sample_temperature(df)
