@@ -2161,6 +2161,33 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.ngram_lm_perplexity(d, k=0.5)
 
 
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 validation of card-number candidates (the precision
+    pass after redact_pii's regex): 16-digit strings synthesized from
+    doc_id, extracted with the card regex, checked with the JVM Luhn
+    fold. The oracle recomputes the full checksum in DuckDB list
+    lambdas, so equality proves the arithmetic digit-for-digit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    num16 = F.lpad(((F.col("doc_id") * 7919) % F.lit(10 ** 16))
+                   .cast("string"), 16, "0")
+    num15 = F.lpad(((F.col("doc_id") * 104729) % F.lit(10 ** 15))
+                   .cast("string"), 15, "0")
+    grouped = F.concat(
+        F.substring(num16, 1, 4), F.lit(" "), F.substring(num16, 5, 4),
+        F.lit(" "), F.substring(num16, 9, 4), F.lit(" "),
+        F.substring(num16, 13, 4))
+    synth = d.select(
+        "doc_id",
+        F.concat(F.lit("pay "), num16, F.lit(" or grouped "), grouped,
+                 F.lit(" also "), num15, F.lit(" end")).alias("text"),
+    )
+    out = TXT.validate_card_candidates(synth)
+    return out.select(
+        "doc_id", "n_candidates", "n_luhn_valid",
+        F.array_join("valid_cards", ",").alias("valid_cards"),
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020
     §4.3): per-language percent_rank over the corpus-LM cross-entropy,
@@ -6025,6 +6052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
+        "pii_luhn": q_pii_luhn,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -9994,6 +10022,65 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # pii_luhn: same synthesis; candidates via the same RE2 card regex;
+    # the Luhn fold (reverse, double odd reversed-indices, -9 over 9,
+    # sum mod 10) spelled per candidate in DuckDB list lambdas.
+    _luhn_term = (
+        "list_sum(list_transform(range(1, length(dd) + 1), i -> "
+        "CASE WHEN (i - 1) % 2 = 1 THEN "
+        "CASE WHEN CAST(substr(reverse(dd), i, 1) AS INT) * 2 > 9 "
+        "THEN CAST(substr(reverse(dd), i, 1) AS INT) * 2 - 9 "
+        "ELSE CAST(substr(reverse(dd), i, 1) AS INT) * 2 END "
+        "ELSE CAST(substr(reverse(dd), i, 1) AS INT) END))"
+    )
+    sqls["pii_luhn"] = f"""
+        WITH synth AS (
+          SELECT doc_id,
+            'pay ' || lpad(CAST((doc_id * 7919) % 10000000000000000
+                                AS VARCHAR), 16, '0')
+            || ' or grouped '
+            || substr(lpad(CAST((doc_id * 7919) % 10000000000000000
+                                AS VARCHAR), 16, '0'), 1, 4) || ' '
+            || substr(lpad(CAST((doc_id * 7919) % 10000000000000000
+                                AS VARCHAR), 16, '0'), 5, 4) || ' '
+            || substr(lpad(CAST((doc_id * 7919) % 10000000000000000
+                                AS VARCHAR), 16, '0'), 9, 4) || ' '
+            || substr(lpad(CAST((doc_id * 7919) % 10000000000000000
+                                AS VARCHAR), 16, '0'), 13, 4)
+            || ' also '
+            || lpad(CAST((doc_id * 104729) % 1000000000000000
+                         AS VARCHAR), 15, '0')
+            || ' end' AS text
+          FROM documents
+        ),
+        cand AS (
+          SELECT doc_id,
+            list_transform(
+              regexp_extract_all(text,
+                '\\b(?:\\d[ -]?){{12,18}}\\d\\b', 0),
+              s -> regexp_replace(s, '[^0-9]', '', 'g')) AS digs
+          FROM synth
+        ),
+        rng AS (
+          SELECT doc_id,
+            list_filter(digs,
+              d -> length(d) >= 13 AND length(d) <= 19) AS digs
+          FROM cand
+        ),
+        chk AS (
+          SELECT doc_id, digs,
+            list_filter(digs, dd ->
+              regexp_matches(dd, '^[0-9]{{2,}}$')
+              AND ({_luhn_term}) % 10 = 0) AS valid
+          FROM rng
+        )
+        SELECT doc_id,
+          len(digs) AS n_candidates,
+          len(valid) AS n_luhn_valid,
+          coalesce(array_to_string(valid, ','), '') AS valid_cards
+        FROM chk
     """
 
     # ccnet_buckets: the lm_perplexity oracle wrapped in the same

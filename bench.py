@@ -163,6 +163,7 @@ BENCH = {
     "warp_ups": lambda s: _force(E.q_warp_ups_nearest(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
+    "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),
 }
 
 

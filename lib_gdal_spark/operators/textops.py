@@ -1425,3 +1425,56 @@ def ccnet_perplexity_buckets(
     )
     return ranked.unionByName(rest).select(
         id_col, by, "n_bigrams", "cross_entropy", "ppl_pct", "bucket")
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn mod-10 checksum (ISO/IEC 7812 — the card-number check the
+    PII scrubber's regex alone can't do): True iff the digit-string
+    Column passes. Pure JVM: reverse the digits, double every second
+    one, subtract 9 when > 9, sum mod 10. Non-digit or empty input
+    yields false (never null), so it composes as a filter."""
+    ds = F.filter(F.split(F.reverse(digits), "", -1), lambda c: c != "")
+    term = F.aggregate(
+        F.zip_with(
+            ds,
+            F.sequence(F.lit(0), F.greatest(F.size(ds) - 1, F.lit(0))),
+            lambda c, i: F.when(
+                i % 2 == 1,
+                F.when((c.cast("int") * 2) > 9, c.cast("int") * 2 - 9)
+                .otherwise(c.cast("int") * 2),
+            ).otherwise(c.cast("int")),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        digits.rlike("^[0-9]{2,}$") & ((term % 10) == 0)
+    )
+
+
+def validate_card_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Find 13-19 digit card-number candidates (with optional space/dash
+    group separators, the redact_pii pattern) and split them into
+    Luhn-valid cards vs regex-only false positives — the precision
+    upgrade every PII pipeline applies after the regex pass. One narrow
+    JVM projection (regexp_extract_all + the luhn_valid fold).
+    Returns (id, n_candidates, n_luhn_valid, valid_cards: array of
+    digit strings)."""
+    cand = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"\b(?:\d[ -]?){12,18}\d\b"), 0)
+    digits = F.transform(
+        cand, lambda s: F.regexp_replace(s, "[^0-9]", ""))
+    in_range = F.filter(
+        digits, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19))
+    valid = F.filter(in_range, luhn_valid)
+    return docs.select(
+        id_col,
+        F.size(in_range).alias("n_candidates"),
+        F.size(valid).alias("n_luhn_valid"),
+        valid.alias("valid_cards"),
+    )

@@ -413,3 +413,34 @@ def test_sample_temperature_source_guard(spark):
         F.lit("x").alias("text"))
     with _pt.raises(ValueError, match="distinct sources"):
         MX.sample_temperature(df)
+
+
+class TestLuhnValidation:
+    """ISO/IEC 7812 Luhn mod-10 (round-4)."""
+
+    def test_known_vectors(self, spark):
+        from lib_gdal_spark.operators.textops import luhn_valid
+        rows = [("4539578763621486",), ("79927398713",), ("49927398716",),
+                ("4539578763621487",), ("79927398710",), ("",), ("12ab34",)]
+        df = spark.createDataFrame(rows, "d string")
+        got = [r["v"] for r in
+               df.select(luhn_valid(F.col("d")).alias("v")).collect()]
+        # the first three are published Luhn-valid vectors
+        assert got == [True, True, True, False, False, False, False]
+
+    def test_candidate_extraction(self, spark):
+        from lib_gdal_spark.operators.textops import (
+            validate_card_candidates)
+        df = spark.createDataFrame([
+            (1, "pay 4539578763621486 or 4539 5787 6362 1486 ok"),
+            (2, "fake 4539578763621487 and short 12345"),
+            (3, "no numbers at all here"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               validate_card_candidates(df).collect()}
+        assert out[1]["n_candidates"] == 2
+        assert out[1]["n_luhn_valid"] == 2
+        assert set(out[1]["valid_cards"]) == {"4539578763621486"}
+        assert out[2]["n_candidates"] == 1
+        assert out[2]["n_luhn_valid"] == 0
+        assert out[3]["n_candidates"] == 0
