@@ -1887,6 +1887,29 @@ def q_decontaminate_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 title pairs via the SymSpell delete-neighborhood
+    join (recall-complete at k=1, no all-pairs): every third document
+    shares a base title, with one deletion-corrupted and one
+    substitution-corrupted sibling; the exact levenshtein verify keeps
+    dist<=1. The oracle spells the same variant explode + join +
+    DuckDB's levenshtein built-in."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(F.lit("album rec "),
+                    F.floor(F.col("doc_id") / 3).cast("long").cast("string"),
+                    F.lit(" edition x"))
+    title = (
+        F.when(F.col("doc_id") % 3 == 0, base)
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.substring(base, 1, 2), F.substr(base, F.lit(4))))
+        .otherwise(F.concat(F.substring(base, 1, 4), F.lit("Z"),
+                            F.substr(base, F.lit(6))))
+    )
+    synth = d.select("doc_id", title.alias("title"))
+    return DD.typo_near_dup_pairs(synth).select(
+        "id1", "id2", "key1", "key2", F.col("dist").cast("long").alias("dist"))
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup: cut every 8-token window shared by >=2
     documents (distributed window-hash variant of Lee et al. 2021)."""
@@ -6039,6 +6062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "decontaminate_3gram": q_decontaminate_3gram,
         "decontaminate_items": q_decontaminate_items,
+        "typo_pairs": q_typo_pairs,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -10022,6 +10046,44 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # typo_pairs: the SymSpell delete-neighborhood join spelled in SQL;
+    # DuckDB's levenshtein built-in is the independent-engine verify
+    # (hash-collision candidates die at the dist<=1 filter identically).
+    sqls["typo_pairs"] = """
+        WITH base AS (
+          SELECT doc_id,
+            'album rec ' || CAST(doc_id // 3 AS VARCHAR)
+              || ' edition x' AS b
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN b
+              WHEN 1 THEN substr(b, 1, 2) || substr(b, 4)
+              ELSE substr(b, 1, 4) || 'Z' || substr(b, 6)
+            END AS title
+          FROM base
+        ),
+        v AS (
+          SELECT DISTINCT doc_id, title,
+            unnest(list_concat([title],
+              list_transform(range(1, greatest(length(title), 1) + 1),
+                i -> substr(title, 1, CAST(i AS INT) - 1)
+                     || substr(title, CAST(i AS INT) + 1)))) AS var
+          FROM t
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 a.title AS key1, b.title AS key2
+          FROM v a JOIN v b USING (var)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id1, id2, key1, key2,
+               CAST(levenshtein(key1, key2) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(key1, key2) <= 1
     """
 
     # pii_luhn: same synthesis; candidates via the same RE2 card regex;

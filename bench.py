@@ -164,6 +164,7 @@ BENCH = {
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),
+    "typo_pairs": lambda s: _force(E.q_typo_pairs(s, SF_DIR)),
 }
 
 

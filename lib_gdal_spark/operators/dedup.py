@@ -897,3 +897,53 @@ def decontaminate_by_item(
         .select(id_col, bench_id_col, "n_hits", "eval_grams",
                 "containment", "flagged")
     )
+
+
+def typo_near_dup_pairs(
+    docs: DataFrame,
+    key_col: str = "title",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs over a SHORT key column
+    (titles, product names, normalized headings) via the SymSpell
+    delete-neighborhood scheme (Garbe): every key emits itself plus all
+    single-character deletions; two keys within Levenshtein distance 1
+    provably share at least one emitted variant, so the equi-join on
+    variants is RECALL-COMPLETE at k = 1 — no all-pairs comparison
+    anywhere. Candidates are then verified with the engine's exact
+    ``levenshtein`` built-in (<= 1, distinct ids).
+
+    Scale shape: O(L) variant keys per row (L = key length — keep keys
+    short; this is a title matcher, not a document matcher), one
+    equi-join on the variant hash, a distinct on (id1, id2), then the
+    O(L^2) DP only on surviving candidates. Returns
+    (id1, id2, key1, key2, dist).
+    """
+    k = F.col(key_col)
+    n = F.length(k)
+    variants = F.array_union(
+        F.array(k),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat(F.substring(k, F.lit(1).cast("int"), (i - 1).cast("int")),
+                               F.substr(k, (i + 1).cast("int"))),
+        ),
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("_id"), k.alias("_key"),
+        F.explode(variants).alias("_v"),
+    ).select("_id", "_key", F.xxhash64("_v").alias("_vh")).distinct()
+    a = keyed.select(F.col("_id").alias("id1"), F.col("_key").alias("key1"),
+                     "_vh")
+    b = keyed.select(F.col("_id").alias("id2"), F.col("_key").alias("key2"),
+                     "_vh")
+    cand = (
+        a.join(b, "_vh")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "key1", "key2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("key1", "key2"))
+        .where(F.col("dist") <= 1)
+    )

@@ -56,3 +56,36 @@ def test_decontaminate_by_item_containment(spark):
               DD.decontaminate_by_item(docs, bench, n=3, threshold=0.9)
               .collect()}
     assert strict[(2, 100)] == 0 and strict[(1, 100)] == 1
+
+
+def test_typo_near_dup_pairs_recall_complete(spark):
+    """SymSpell delete-neighborhood join vs a brute-force oracle: every
+    distance-<=1 pair is found, nothing above survives."""
+    import itertools
+
+    from lib_gdal_spark.operators import dedup as DD
+
+    titles = [
+        (1, "hello world"), (2, "hello world"), (3, "hello worl"),
+        (4, "hxllo world"), (5, "jello wxrld"), (6, "other thing"),
+        (7, "hello worlds"), (8, ""),
+    ]
+    df = spark.createDataFrame(titles, "doc_id long, title string")
+    got = {(r["id1"], r["id2"], r["dist"]) for r in
+           DD.typo_near_dup_pairs(df).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {(i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(titles, 2)
+            if lev(a, b) <= 1}
+    assert got == want
+    # insertions (the reverse deletion) are caught too
+    assert (1, 7, 1) in got
