@@ -2211,6 +2211,30 @@ def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 13616 IBAN mod-97 validation (the bank-account companion of
+    pii_luhn): German-shape IBANs synthesized from doc_id — even docs
+    get CORRECT check digits (98 - N mod 97, computed in decimal(38)),
+    odd docs mostly-broken ones. Spark validates with the int64
+    streaming fold (never materializing the big integer); the oracle
+    validates INDEPENDENTLY by casting the rearranged digit string to
+    HUGEINT and taking % 97 directly — two different algorithms, same
+    verdicts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d18 = ((F.col("doc_id") * 7919) % F.lit(10 ** 18))
+    rem = ((d18.cast("decimal(38,0)") * 1000000 + 131400) % 97) \
+        .cast("long")
+    cc = F.when(F.col("doc_id") % 2 == 0, 98 - rem) \
+        .otherwise(F.col("doc_id") % 100)
+    iban = F.concat(F.lit("DE"), F.lpad(cc.cast("string"), 2, "0"),
+                    F.lpad(d18.cast("string"), 18, "0"))
+    synth = d.select("doc_id", iban.alias("iban"))
+    return synth.select(
+        "doc_id", "iban",
+        TXT.iban_valid(F.col("iban")).cast("int").alias("valid"),
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020
     §4.3): per-language percent_rank over the corpus-LM cross-entropy,
@@ -6077,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
         "pii_luhn": q_pii_luhn,
+        "pii_iban": q_pii_iban,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -10046,6 +10071,33 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # pii_iban: the oracle validates by a DIFFERENT algorithm than the
+    # Spark fold — rearranged digit string cast to HUGEINT, one % 97.
+    sqls["pii_iban"] = """
+        WITH s AS (
+          SELECT doc_id,
+            (doc_id * 7919) % 1000000000000000000 AS d18,
+            CAST((CAST((doc_id * 7919) % 1000000000000000000 AS HUGEINT)
+                  * 1000000 + 131400) % 97 AS BIGINT) AS rem
+          FROM documents
+        ),
+        ib AS (
+          SELECT doc_id, d18,
+            CASE WHEN doc_id % 2 = 0 THEN 98 - rem
+                 ELSE doc_id % 100 END AS cc
+          FROM s
+        )
+        SELECT doc_id,
+          'DE' || lpad(CAST(cc AS VARCHAR), 2, '0')
+               || lpad(CAST(d18 AS VARCHAR), 18, '0') AS iban,
+          CAST(CASE WHEN
+            CAST(lpad(CAST(d18 AS VARCHAR), 18, '0') || '1314'
+                 || lpad(CAST(cc AS VARCHAR), 2, '0') AS HUGEINT)
+            % 97 = 1
+          THEN 1 ELSE 0 END AS INT) AS valid
+        FROM ib
     """
 
     # typo_pairs: the SymSpell delete-neighborhood join spelled in SQL;

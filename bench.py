@@ -165,6 +165,7 @@ BENCH = {
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),
     "typo_pairs": lambda s: _force(E.q_typo_pairs(s, SF_DIR)),
+    "pii_iban": lambda s: _force(E.q_pii_iban(s, SF_DIR)),
 }
 
 

@@ -1478,3 +1478,30 @@ def validate_card_candidates(
         F.size(valid).alias("n_luhn_valid"),
         valid.alias("valid_cards"),
     )
+
+
+def iban_valid(iban: Column) -> Column:
+    """ISO 13616 IBAN mod-97 check (the bank-account companion of
+    :func:`luhn_valid`): move the first four characters to the end, map
+    letters to two-digit values (A=10..Z=35), and fold the digit stream
+    into a running remainder mod 97 — the fold never materializes the
+    big integer, so it is exact in int64. Valid iff the remainder is 1,
+    the length is 15..34, and the shape is 2 letters + 2 digits + BBAN.
+    Uppercases and strips spaces first (the display form).
+    """
+    s = F.upper(F.regexp_replace(iban, r"\s+", ""))
+    shape_ok = s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{15,30}$") & \
+        (F.length(s) <= 34)
+    rearr = F.concat(F.substr(s, F.lit(5)), F.substring(s, 1, 4))
+    chars = F.filter(F.split(rearr, "", -1), lambda c: c != "")
+    rem = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.when(
+            c.rlike("[0-9]"),
+            (acc * 10 + c.cast("long")) % 97,
+        ).otherwise(
+            (acc * 100 + (F.ascii(c) - 55).cast("long")) % 97
+        ),
+    )
+    return shape_ok & (rem == 1)

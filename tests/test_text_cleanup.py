@@ -444,3 +444,37 @@ class TestLuhnValidation:
         assert out[2]["n_candidates"] == 1
         assert out[2]["n_luhn_valid"] == 0
         assert out[3]["n_candidates"] == 0
+
+
+class TestIbanValidation:
+    """ISO 13616 mod-97 (round-4)."""
+
+    def test_published_examples(self, spark):
+        from lib_gdal_spark.operators.textops import iban_valid
+        rows = [("GB82 WEST 1234 5698 7654 32",),
+                ("DE89 3704 0044 0532 0130 00",),
+                ("FR14 2004 1010 0505 0001 3M02 606",),
+                ("gb82 west 1234 5698 7654 32",),   # case-folded input
+                ("GB82 WEST 1234 5698 7654 33",),   # corrupted check
+                ("DE00 0000 0000 0000 0000 00",),
+                ("XX12 34",), ("",)]
+        df = spark.createDataFrame(rows, "i string")
+        got = [r["v"] for r in
+               df.select(iban_valid(F.col("i")).alias("v")).collect()]
+        assert got == [True, True, True, True, False, False, False, False]
+
+    def test_fold_matches_bigint_mod(self, spark):
+        """The int64 streaming fold == direct big-integer mod 97."""
+        import random
+        rng = random.Random(6)
+        rows = []
+        for _ in range(200):
+            bban = "".join(rng.choice("0123456789") for _ in range(18))
+            cc = rng.randrange(0, 100)
+            rows.append((f"DE{cc:02d}{bban}",))
+        df = spark.createDataFrame(rows, "i string")
+        from lib_gdal_spark.operators.textops import iban_valid
+        got = [r["v"] for r in
+               df.select(iban_valid(F.col("i")).alias("v")).collect()]
+        want = [int(f"{r[0][4:]}1314{r[0][2:4]}") % 97 == 1 for r in rows]
+        assert got == want
