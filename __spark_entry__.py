@@ -2211,6 +2211,40 @@ def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOUNDEX_ANCHORS = [
+    # (name, published NARA code) — the census/archives documented pairs
+    ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+    ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+    ("Honeyman", "H555"), ("Washington", "W252"), ("Lee", "L000"),
+    ("Gutierrez", "G362"), ("Jackson", "J250"),
+]
+
+
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict NARA Soundex phonetic keys (the entity-resolution blocking
+    key family member beside minhash/simhash/geohash): documents cycle
+    through the 11 PUBLISHED census anchor names (three case/punctuation
+    mutations so normalization is exercised), and the oracle is the
+    externally documented code table itself — ground truth, not a
+    recomputation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    idx = (F.col("doc_id") * 13) % len(_SOUNDEX_ANCHORS)
+    name = F.element_at(
+        F.array(*[F.lit(n) for n, _ in _SOUNDEX_ANCHORS]),
+        (idx + 1).cast("int"))
+    mutated = (
+        F.when(F.col("doc_id") % 3 == 1, F.lower(name))
+        .when(F.col("doc_id") % 3 == 2,
+              F.concat(F.lit(" "), F.upper(name), F.lit("!")))
+        .otherwise(name)
+    )
+    synth = d.select("doc_id", mutated.alias("name"))
+    return synth.select(
+        "doc_id", "name",
+        TXT.soundex_nara(F.col("name")).alias("sdx"),
+    )
+
+
 def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO 13616 IBAN mod-97 validation (the bank-account companion of
     pii_luhn): German-shape IBANs synthesized from doc_id — even docs
@@ -6102,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "pii_luhn": q_pii_luhn,
         "pii_iban": q_pii_iban,
+        "soundex_keys": q_soundex_keys,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -10071,6 +10106,30 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # soundex_keys: the oracle is the PUBLISHED code table (external
+    # ground truth), with the same name synthesis spelled in SQL.
+    _sx_names = ", ".join(f"'{n}'" for n, _ in _SOUNDEX_ANCHORS)
+    _sx_codes = ", ".join(f"'{c}'" for _, c in _SOUNDEX_ANCHORS)
+    sqls["soundex_keys"] = f"""
+        WITH pick AS (
+          SELECT doc_id,
+            (['{"', '".join(n for n, _ in _SOUNDEX_ANCHORS)}'])
+              [CAST((doc_id * 13) % {len(_SOUNDEX_ANCHORS)} AS INT) + 1]
+              AS base,
+            ([{_sx_codes}])
+              [CAST((doc_id * 13) % {len(_SOUNDEX_ANCHORS)} AS INT) + 1]
+              AS sdx
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE doc_id % 3
+            WHEN 1 THEN lower(base)
+            WHEN 2 THEN ' ' || upper(base) || '!'
+            ELSE base END AS name,
+          sdx
+        FROM pick
     """
 
     # pii_iban: the oracle validates by a DIFFERENT algorithm than the

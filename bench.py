@@ -166,6 +166,7 @@ BENCH = {
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),
     "typo_pairs": lambda s: _force(E.q_typo_pairs(s, SF_DIR)),
     "pii_iban": lambda s: _force(E.q_pii_iban(s, SF_DIR)),
+    "soundex_keys": lambda s: _force(E.q_soundex_keys(s, SF_DIR)),
 }
 
 

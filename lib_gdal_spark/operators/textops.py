@@ -1505,3 +1505,55 @@ def iban_valid(iban: Column) -> Column:
         ),
     )
     return shape_ok & (rem == 1)
+
+
+# NARA soundex letter codes: digit, '0' for vowels+Y (code separators),
+# '7' for H/W (transparent — do NOT separate equal codes).
+_SOUNDEX_MAP = {
+    **{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+    **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"},
+    "R": "6", **{c: "0" for c in "AEIOUY"}, "H": "7", "W": "7",
+}
+SOUNDEX_CODES = "".join(
+    _SOUNDEX_MAP.get(chr(ordc), "0") for ordc in range(65, 91))
+
+
+def soundex_nara(name: Column) -> Column:
+    """Strict American/NARA Soundex (the census rules, including the
+    H/W subtlety most SQL built-ins get wrong): same-code letters
+    separated by H or W code ONCE, separated by a vowel code twice.
+    Published anchors: Robert/Rupert -> R163, Ashcraft -> A261 (the
+    H/W rule), Tymczak -> T522, Pfister -> P236, Honeyman -> H555.
+
+    Pure JVM fold: letters map through a 26-char code string, then one
+    ``aggregate`` walk with a (digits, prev_code) struct accumulator —
+    vowels reset prev, H/W leave it, new codes append. Non-letter input
+    characters are dropped; empty input yields NULL.
+    """
+    up = F.regexp_replace(F.upper(name), "[^A-Z]", "")
+    chars = F.filter(F.split(up, "", -1), lambda c: c != "")
+
+    def code(c):
+        return F.substring(F.lit(SOUNDEX_CODES), F.ascii(c) - 64, 1)
+
+    first = F.element_at(chars, 1)
+    acc0 = F.struct(F.lit("").alias("out"), code(first).alias("prev"))
+    walked = F.aggregate(
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        acc0,
+        lambda a, c: F.when(
+            code(c) == "0",  # vowel/Y: codes nothing, separates
+            F.struct(a["out"].alias("out"), F.lit("0").alias("prev")),
+        ).when(
+            code(c) == "7",  # H/W: transparent
+            a,
+        ).when(
+            code(c) == a["prev"],  # run (possibly across H/W): skip
+            a,
+        ).otherwise(
+            F.struct(F.concat(a["out"], code(c)).alias("out"),
+                     code(c).alias("prev")),
+        ),
+    )
+    sx = F.concat(first, F.rpad(F.substring(walked["out"], 1, 3), 3, "0"))
+    return F.when(F.length(up) > 0, sx).otherwise(F.lit(None))

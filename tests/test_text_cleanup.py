@@ -478,3 +478,45 @@ class TestIbanValidation:
                df.select(iban_valid(F.col("i")).alias("v")).collect()]
         want = [int(f"{r[0][4:]}1314{r[0][2:4]}") % 97 == 1 for r in rows]
         assert got == want
+
+
+class TestSoundexNara:
+    """Strict NARA soundex incl. the H/W rule (round-4)."""
+
+    def test_published_census_anchors(self, spark):
+        from lib_gdal_spark.operators.textops import soundex_nara
+        import __spark_entry__ as E
+        df = spark.createDataFrame(E._SOUNDEX_ANCHORS, "n string, want string")
+        bad = df.select(
+            "n", "want", soundex_nara(F.col("n")).alias("got")
+        ).filter(F.col("got") != F.col("want")).collect()
+        assert bad == []
+
+    def test_hw_vs_vowel_separation(self, spark):
+        from lib_gdal_spark.operators.textops import soundex_nara
+        # c-H-c codes once (Ashcraft A261); c-A-c codes twice (Tymczak)
+        df = spark.createDataFrame(
+            [("BOB",), ("BHOB",), ("BAOB",)], "n string")
+        got = [r["s"] for r in
+               df.select(soundex_nara(F.col("n")).alias("s")).collect()]
+        # B-O-B: vowel separates -> B100? B then B codes 1 -> B100
+        assert got[0] == "B100"
+        # B-H-O-B: H transparent, then vowel -> still B100
+        assert got[1] == "B100"
+        assert got[2] == "B100"
+        df2 = spark.createDataFrame([("PFB",), ("PHFB",), ("PAFB",)],
+                                    "n string")
+        got2 = [r["s"] for r in
+                df2.select(soundex_nara(F.col("n")).alias("s")).collect()]
+        # P-F-B: one run of code 1 -> P000; H transparent keeps the run;
+        # a vowel BREAKS it, so P-A-F-B codes the 1 once after the reset
+        assert got2 == ["P000", "P000", "P100"]
+
+    def test_normalization_and_empty(self, spark):
+        from lib_gdal_spark.operators.textops import soundex_nara
+        df = spark.createDataFrame(
+            [(" o'Brien! ",), ("123",), (None,)], "n string")
+        got = [r["s"] for r in
+               df.select(soundex_nara(F.col("n")).alias("s")).collect()]
+        assert got[0] == "O165"
+        assert got[1] is None and got[2] is None
