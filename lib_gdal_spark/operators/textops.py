@@ -1211,18 +1211,18 @@ def top_ngram_char_frac(
             total.select(id_col, F.explode(gram_array(n)).alias("g"))
             .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
         )
-        # deterministic argmax (gram token chars = len(g) - (n-1)
-        # separators): max count per doc, then min gram among ties
-        mx = counts.groupBy(id_col).agg(F.max("c").alias("mc"))
-        tie = (
-            counts.join(mx, id_col)
-            .filter(F.col("c") == F.col("mc"))
-            .groupBy(id_col)
-            .agg(F.min("g").alias("g"), F.first("mc").alias("mc"))
-        )
-        frac = tie.select(
+        # deterministic argmax in ONE combinable pass (audited: the
+        # two-join form re-read the counts exchange twice): min_by on
+        # (-count, gram) = max count, lexicographic-min gram on ties
+        top = counts.groupBy(id_col).agg(
+            F.min_by(
+                F.struct(F.col("g"), F.col("c")),
+                F.struct((-F.col("c")).alias("nc"), F.col("g")),
+            ).alias("top"))
+        frac = top.select(
             id_col,
-            (F.col("mc") * (F.length("g") - (n - 1))).alias("cc"),
+            (F.col("top.c")
+             * (F.length("top.g") - (n - 1))).alias("cc"),
         )
         out = (
             out.join(frac, id_col, "left")

@@ -45,6 +45,14 @@ QUERIES = [
     "tpch_promo_share", "char_entropy", "domain_blocklist",
     "fix_mojibake", "cosine_topk_int8", "wrap_dateline", "great_circle",
     "dem_hillshade_multi",
+    # round-4 session-3 additions
+    "mgrs_cells", "plus_codes", "quadkeys", "soundex_keys",
+    "boilerplate_removal", "gopher_dup_ngrams", "gopher_quality",
+    "gopher_top_ngrams", "readability", "url_features",
+    "warp_cassini_nearest", "warp_polyconic_nearest",
+    "warp_mercator_nearest", "warp_eqc_nearest", "warp_omerc_nearest",
+    "warp_ups_nearest", "decontaminate_items", "ccnet_buckets",
+    "sample_temperature", "pii_luhn", "pii_iban", "typo_pairs",
 ]
 
 
