@@ -1440,6 +1440,36 @@ def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEOD_TH = 2.0 * math.pi / 12.0
 
 
+def q_gc_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the aviation formulary (Ed Williams) beyond the
+    reference's distance/heading/extend: great-circle INTERMEDIATE
+    points (slerp), signed CROSS-TRACK and ALONG-TRACK distances —
+    pure JVM column math over the same deterministic A->B pairs as
+    great_circle, with P a third derived point; the oracle spells the
+    identical expressions (same clamps, same constant derivations)."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    pts = _points(spark, sf_dir)
+    la, loa = F.col("lat"), F.col("lon")
+    lb = F.col("lat") * 0.5 + 10.0
+    lob = F.col("lon") * 0.5 + 20.0
+    lp = F.col("lat") * 0.25 + 5.0
+    lop = F.col("lon") * 0.75 + 8.0
+    mid = GC.gc_intermediate_point(la, loa, lb, lob, F.lit(0.25))
+    d = pts.select(
+        "pid", mid.alias("m"),
+        GC.cross_track_distance(la, loa, lb, lob, lp, lop).alias("xtd"),
+        GC.along_track_distance(la, loa, lb, lob, lp, lop).alias("atd"),
+    )
+    return d.select(
+        "pid",
+        F.round(F.col("m.lat"), 9).alias("mid_lat"),
+        F.round(F.col("m.lon"), 9).alias("mid_lon"),
+        F.round("xtd", 3).alias("xtd_m"),
+        F.round("atd", 3).alias("atd_m"),
+    )
+
+
 def q_geodesic_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical polygon area + perimeter per ring (beyond the reference —
     its ogr_geo_utils.cpp stops at distance/heading): the exact
@@ -6137,6 +6167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "pii_iban": q_pii_iban,
         "soundex_keys": q_soundex_keys,
+        "gc_navigation": q_gc_navigation,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -7355,6 +7386,90 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN la > lb THEN 180.0 ELSE 0.0 END) "
         f"ELSE {_gc_general} END"
     )
+    # gc_navigation: slerp midpoint + formulary XTD/ATD. Heading SQL is
+    # the same guarded CASE re-targeted at (lb,lob) and (lp,lop) by
+    # token substitution; radians/degrees use JAVA's op order
+    # (x / 180 * pi, x * 180 / pi) because the Spark code calls
+    # F.radians/F.degrees rather than the module constants.
+    def _head_to(latv: str, lonv: str) -> str:
+        return (_gc_heading.replace("lob", lonv).replace("lb", latv))
+
+    _mr2 = float(_MR)
+    _rm2 = float(_RM)
+    _gcnav_d = (
+        "acos(least(greatest("
+        f"sin(la * {_D!r}) * sin({{lat}} * {_D!r})"
+        f" + cos(la * {_D!r}) * cos({{lat}} * {_D!r})"
+        f" * cos(({{lon}} - loa) * {_D!r}), -1.0), 1.0)) * {_RM!r}"
+    )
+    sqls["gc_navigation"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        ab AS (
+          SELECT pid, lat AS la, lon AS loa,
+                 lat * 0.5 + 10.0 AS lb, lon * 0.5 + 20.0 AS lob,
+                 lat * 0.25 + 5.0 AS lp, lon * 0.75 + 8.0 AS lop
+          FROM pts
+        ),
+        rad AS (
+          SELECT *,
+            la / 180.0 * pi() AS p1, loa / 180.0 * pi() AS l1,
+            lb / 180.0 * pi() AS p2, lob / 180.0 * pi() AS l2
+          FROM ab
+        ),
+        dd AS (
+          SELECT *,
+            acos(least(greatest(
+              sin(p1) * sin(p2) + cos(p1) * cos(p2) * cos(l2 - l1),
+              -1.0), 1.0)) AS dmid
+          FROM rad
+        ),
+        sl AS (
+          SELECT *, sin(dmid) AS sd,
+            sin(0.75 * dmid) / sin(dmid) AS A,
+            sin(0.25 * dmid) / sin(dmid) AS B
+          FROM dd
+        ),
+        xyz AS (
+          SELECT *,
+            A * cos(p1) * cos(l1) + B * cos(p2) * cos(l2) AS x,
+            A * cos(p1) * sin(l1) + B * cos(p2) * sin(l2) AS y,
+            A * sin(p1) + B * sin(p2) AS z
+          FROM sl
+        ),
+        mid AS (
+          SELECT pid, la, loa, lb, lob, lp, lop, sd,
+            CASE WHEN sd = 0.0 THEN la
+                 ELSE atan2(z, sqrt(x * x + y * y)) * 180.0 / pi() END
+              AS mid_lat,
+            CASE WHEN sd = 0.0 THEN loa
+                 ELSE atan2(y, x) * 180.0 / pi() END AS mid_lon
+          FROM xyz
+        ),
+        hx AS (
+          SELECT *,
+            ({_gcnav_d.format(lat="lp", lon="lop")}) * {_mr2!r} AS d_ap,
+            ({_head_to("lp", "lop")}) AS h_ap,
+            ({_gc_heading}) AS h_ab
+          FROM mid
+        ),
+        xt AS (
+          SELECT *,
+            asin(least(greatest(
+              sin(d_ap) * sin(h_ap / 180.0 * pi()
+                              - h_ab / 180.0 * pi()),
+              -1.0), 1.0)) * {_rm2!r} AS xtd
+          FROM hx
+        )
+        SELECT CAST(pid AS BIGINT) AS pid,
+          round(mid_lat, 9) AS mid_lat,
+          round(mid_lon, 9) AS mid_lon,
+          round(xtd, 3) AS xtd_m,
+          round(acos(least(greatest(
+              cos(d_ap) / cos(xtd * {_mr2!r}), -1.0), 1.0))
+            * {_rm2!r}, 3) AS atd_m
+        FROM xt
+    """
+
     sqls["great_circle"] = f"""
         WITH pts AS ({_POINTS_SQL}),
         ab AS (

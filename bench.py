@@ -167,6 +167,7 @@ BENCH = {
     "typo_pairs": lambda s: _force(E.q_typo_pairs(s, SF_DIR)),
     "pii_iban": lambda s: _force(E.q_pii_iban(s, SF_DIR)),
     "soundex_keys": lambda s: _force(E.q_soundex_keys(s, SF_DIR)),
+    "gc_navigation": lambda s: _force(E.q_gc_navigation(s, SF_DIR)),
 }
 
 

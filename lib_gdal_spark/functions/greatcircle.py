@@ -296,3 +296,70 @@ def with_vincenty(df, lat_a: str, lon_a: str, lat_b: str, lon_b: str,
             "_sl", "_cl", "_t1", "_t2", "_ssig", "_csig", "_sig", "_sal",
             "_c2a", "_c2m", "_cc"]
     return out.drop(*drop)
+
+
+def gc_intermediate_point(lat_a: Column, lon_a: Column,
+                          lat_b: Column, lon_b: Column,
+                          f: Column) -> Column:
+    """Point at fraction ``f`` (0..1) along the great circle A->B — the
+    aviation-formulary (Ed Williams) spherical linear interpolation:
+
+        d = angular distance; A = sin((1-f)d)/sin d; B = sin(fd)/sin d
+        x = A cos(lat_a) cos(lon_a) + B cos(lat_b) cos(lon_b)   (and y, z)
+        lat = atan2(z, hypot(x, y)); lon = atan2(y, x)
+
+    Coincident endpoints (sin d == 0) return A. Pure JVM column math;
+    returns struct(lat, lon) in degrees.
+    """
+    p1, l1 = F.radians(lat_a), F.radians(lon_a)
+    p2, l2 = F.radians(lat_b), F.radians(lon_b)
+    d = _safe_acos(
+        F.sin(p1) * F.sin(p2) + F.cos(p1) * F.cos(p2) * F.cos(l2 - l1))
+    sd = F.sin(d)
+    A = F.sin((1.0 - f) * d) / sd
+    B = F.sin(f * d) / sd
+    x = A * F.cos(p1) * F.cos(l1) + B * F.cos(p2) * F.cos(l2)
+    y = A * F.cos(p1) * F.sin(l1) + B * F.cos(p2) * F.sin(l2)
+    z = A * F.sin(p1) + B * F.sin(p2)
+    lat = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+    lon = F.degrees(F.atan2(y, x))
+    return F.struct(
+        F.when(sd == 0.0, lat_a).otherwise(lat).alias("lat"),
+        F.when(sd == 0.0, lon_a).otherwise(lon).alias("lon"),
+    )
+
+
+def cross_track_distance(lat_a: Column, lon_a: Column,
+                         lat_b: Column, lon_b: Column,
+                         lat_p: Column, lon_p: Column) -> Column:
+    """Signed cross-track distance (meters) of point P from the great
+    circle through A->B (the formulary XTD):
+
+        xtd = asin( sin(d_AP) * sin(theta_AP - theta_AB) ) * R
+
+    The formulary sign: positive RIGHT of the course, negative LEFT
+    (a point north of an eastward track is negative). Uses the
+    module's reference constants (RAD2METER nautical-mile earth)."""
+    d_ap = great_circle_distance(lat_a, lon_a, lat_p, lon_p) * METER2RAD
+    th_ap = F.radians(
+        great_circle_initial_heading(lat_a, lon_a, lat_p, lon_p))
+    th_ab = F.radians(
+        great_circle_initial_heading(lat_a, lon_a, lat_b, lon_b))
+    return F.asin(
+        F.least(F.greatest(F.sin(d_ap) * F.sin(th_ap - th_ab),
+                           F.lit(-1.0)), F.lit(1.0))
+    ) * RAD2METER
+
+
+def along_track_distance(lat_a: Column, lon_a: Column,
+                         lat_b: Column, lon_b: Column,
+                         lat_p: Column, lon_p: Column) -> Column:
+    """Along-track distance (meters) from A to the foot of P's
+    perpendicular on the A->B great circle (formulary ATD):
+
+        atd = acos( cos(d_AP) / cos(xtd) ) * R
+    """
+    d_ap = great_circle_distance(lat_a, lon_a, lat_p, lon_p) * METER2RAD
+    xtd = cross_track_distance(lat_a, lon_a, lat_b, lon_b,
+                               lat_p, lon_p) * METER2RAD
+    return _safe_acos(F.cos(d_ap) / F.cos(xtd)) * RAD2METER

@@ -183,3 +183,70 @@ class TestVincenty:
             if r["gc_m"] > 1000.0:
                 # spherical error is bounded by ~the flattening
                 assert abs(r["vincenty_m"] - r["gc_m"]) / r["gc_m"] < 0.006
+
+
+class TestFormularyNavigation:
+    """Intermediate points + cross/along-track (round-4)."""
+
+    def test_equator_track_anchors(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import greatcircle as GC
+        df = spark.createDataFrame(
+            [(0.0, 0.0, 0.0, 90.0, 1.0, 45.0)],
+            "la double, loa double, lb double, lob double, "
+            "lp double, lop double")
+        r = df.select(
+            GC.gc_intermediate_point(
+                F.col("la"), F.col("loa"), F.col("lb"), F.col("lob"),
+                F.lit(0.5)).alias("m"),
+            GC.cross_track_distance(
+                F.col("la"), F.col("loa"), F.col("lb"), F.col("lob"),
+                F.col("lp"), F.col("lop")).alias("xtd"),
+            GC.along_track_distance(
+                F.col("la"), F.col("loa"), F.col("lb"), F.col("lob"),
+                F.col("lp"), F.col("lop")).alias("atd"),
+        ).collect()[0]
+        # midpoint of the 0..90E equator arc is exactly (0, 45)
+        assert (r["m"]["lat"], r["m"]["lon"]) == (0.0, 45.0)
+        # 1 deg north of an eastward track = 60 NM LEFT (negative)
+        assert abs(r["xtd"] + 60 * 1852.0) < 1e-6
+        # foot of the perpendicular at 45E = 45 deg along track
+        assert abs(r["atd"] - 45 * 60 * 1852.0) < 1e-6
+
+    def test_interpolation_endpoints_and_oncircle(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import greatcircle as GC
+        df = spark.createDataFrame([(10.0, 20.0, 50.0, 80.0)],
+                                   "la double, loa double, lb double, lob double")
+        ends = df.select(
+            GC.gc_intermediate_point(F.col("la"), F.col("loa"),
+                                     F.col("lb"), F.col("lob"),
+                                     F.lit(0.0)).alias("s"),
+            GC.gc_intermediate_point(F.col("la"), F.col("loa"),
+                                     F.col("lb"), F.col("lob"),
+                                     F.lit(1.0)).alias("e"),
+            GC.gc_intermediate_point(F.col("la"), F.col("loa"),
+                                     F.col("lb"), F.col("lob"),
+                                     F.lit(0.5)).alias("m"),
+        ).collect()[0]
+        assert abs(ends["s"]["lat"] - 10.0) < 1e-9
+        assert abs(ends["e"]["lon"] - 80.0) < 1e-9
+        # the midpoint lies ON the great circle: XTD(mid) == 0
+        df2 = spark.createDataFrame(
+            [(10.0, 20.0, 50.0, 80.0,
+              ends["m"]["lat"], ends["m"]["lon"])],
+            "la double, loa double, lb double, lob double, "
+            "lp double, lop double")
+        x = df2.select(GC.cross_track_distance(
+            F.col("la"), F.col("loa"), F.col("lb"), F.col("lob"),
+            F.col("lp"), F.col("lop")).alias("x")).collect()[0]["x"]
+        assert abs(x) < 1e-3  # < 1 mm
+
+    def test_coincident_endpoints(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import greatcircle as GC
+        df = spark.createDataFrame([(33.0, -7.0)], "la double, loa double")
+        r = df.select(GC.gc_intermediate_point(
+            F.col("la"), F.col("loa"), F.col("la"), F.col("loa"),
+            F.lit(0.4)).alias("m")).collect()[0]["m"]
+        assert (r["lat"], r["lon"]) == (33.0, -7.0)
