@@ -1470,6 +1470,29 @@ def q_gc_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rhumb_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct rhumb-line problem (dead-reckoning on a constant compass
+    course — the loxodrome counterpart of the reference's
+    ExtendPosition): standard direct form with the isometric-latitude
+    q-guard and (-180, 180] wrap; the oracle spells the identical
+    expressions (pi()/4 and 2*pi() are exact power-of-two scalings)."""
+    from lib_gdal_spark.functions import greatcircle as GC
+
+    pts = _points(spark, sf_dir)
+    b = ((F.col("pid") * 7) % 360).cast("double") + 0.5
+    # cap the leg so no track dead-reckons past a pole (max lat 85
+    # + 400.5 km = 3.6 deg < 90): the direct form is undefined beyond
+    dist = ((F.col("pid") % 400) * 1000).cast("double") + 500.0
+    dest = GC.rhumb_destination(F.col("lat"), F.col("lon"), b, dist)
+    return pts.select(
+        "pid", dest.alias("p"),
+    ).select(
+        "pid",
+        F.round(F.col("p.lat"), 9).alias("dlat"),
+        F.round(F.col("p.lon"), 9).alias("dlon"),
+    )
+
+
 def q_geodesic_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical polygon area + perimeter per ring (beyond the reference —
     its ogr_geo_utils.cpp stops at distance/heading): the exact
@@ -6168,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_iban": q_pii_iban,
         "soundex_keys": q_soundex_keys,
         "gc_navigation": q_gc_navigation,
+        "rhumb_destination": q_rhumb_destination,
         "pack_sequences": q_pack_sequences,
         "dsir_importance": q_dsir_importance,
         "bloom_membership": q_bloom_membership,
@@ -7386,6 +7410,50 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN la > lb THEN 180.0 ELSE 0.0 END) "
         f"ELSE {_gc_general} END"
     )
+    # rhumb_destination: identical direct-rhumb expressions; constants
+    # injected from the same module (DEG2RAD/METER2RAD/RAD2DEG).
+    sqls["rhumb_destination"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        inp AS (
+          SELECT pid, lat AS la, lon AS loa,
+                 CAST((pid * 7) % 360 AS DOUBLE) + 0.5 AS b,
+                 CAST((pid % 400) * 1000 AS DOUBLE) + 500.0 AS dist
+          FROM pts
+        ),
+        r1 AS (
+          SELECT pid, la, loa,
+            la * {_D!r} AS p1, b * {_D!r} AS th,
+            dist * {_MR!r} AS d
+          FROM inp
+        ),
+        r2 AS (
+          SELECT *, d * cos(th) AS dphi FROM r1
+        ),
+        r3 AS (
+          SELECT *, p1 + dphi AS p2 FROM r2
+        ),
+        r4 AS (
+          SELECT *,
+            ln(tan(p2 / 2.0 + pi() / 4.0))
+              - ln(tan(p1 / 2.0 + pi() / 4.0)) AS dpsi
+          FROM r3
+        ),
+        r5 AS (
+          SELECT *,
+            CASE WHEN abs(dpsi) > 1e-12 THEN dphi / dpsi
+                 ELSE cos(p1) END AS q
+          FROM r4
+        ),
+        r6 AS (
+          SELECT *, loa * {_D!r} + d * sin(th) / q AS l2 FROM r5
+        )
+        SELECT CAST(pid AS BIGINT) AS pid,
+          round(p2 * {_R2D!r}, 9) AS dlat,
+          round((l2 - floor((l2 + pi()) / (2.0 * pi())) * (2.0 * pi()))
+                * {_R2D!r}, 9) AS dlon
+        FROM r6
+    """
+
     # gc_navigation: slerp midpoint + formulary XTD/ATD. Heading SQL is
     # the same guarded CASE re-targeted at (lb,lob) and (lp,lop) by
     # token substitution; radians/degrees use JAVA's op order

@@ -168,6 +168,7 @@ BENCH = {
     "pii_iban": lambda s: _force(E.q_pii_iban(s, SF_DIR)),
     "soundex_keys": lambda s: _force(E.q_soundex_keys(s, SF_DIR)),
     "gc_navigation": lambda s: _force(E.q_gc_navigation(s, SF_DIR)),
+    "rhumb_destination": lambda s: _force(E.q_rhumb_destination(s, SF_DIR)),
 }
 
 

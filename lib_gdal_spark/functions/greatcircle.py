@@ -363,3 +363,33 @@ def along_track_distance(lat_a: Column, lon_a: Column,
     xtd = cross_track_distance(lat_a, lon_a, lat_b, lon_b,
                                lat_p, lon_p) * METER2RAD
     return _safe_acos(F.cos(d_ap) / F.cos(xtd)) * RAD2METER
+
+
+def rhumb_destination(lat_a: Column, lon_a: Column,
+                      bearing_deg: Column, dist_m: Column) -> Column:
+    """Dead-reckoned position after sailing ``dist_m`` meters on the
+    constant compass ``bearing_deg`` — the loxodrome counterpart of the
+    reference's great-circle ExtendPosition (same navigation sphere,
+    standard direct-rhumb form):
+
+        dphi = d cos(theta); q = dphi/dpsi (cos(lat) when the isometric
+        difference vanishes — east-west legs); dlam = d sin(theta)/q
+
+    Longitude wraps into (-180, 180]. Returns struct(lat, lon) degrees.
+    Pure JVM Column math (no UDF)."""
+    p1 = lat_a * F.lit(DEG2RAD)
+    th = bearing_deg * F.lit(DEG2RAD)
+    d = dist_m * F.lit(METER2RAD)
+    pi = math.pi
+    dphi = d * F.cos(th)
+    p2 = p1 + dphi
+    dpsi = (F.log(F.tan(p2 / F.lit(2.0) + F.lit(pi / 4.0)))
+            - F.log(F.tan(p1 / F.lit(2.0) + F.lit(pi / 4.0))))
+    q = F.when(F.abs(dpsi) > 1e-12, dphi / dpsi).otherwise(F.cos(p1))
+    dlam = d * F.sin(th) / q
+    l2 = lon_a * F.lit(DEG2RAD) + dlam
+    l2w = l2 - F.floor((l2 + F.lit(pi)) / F.lit(2.0 * pi)) * F.lit(2.0 * pi)
+    return F.struct(
+        (p2 * F.lit(RAD2DEG)).alias("lat"),
+        (l2w * F.lit(RAD2DEG)).alias("lon"),
+    )

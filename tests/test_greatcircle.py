@@ -250,3 +250,49 @@ class TestFormularyNavigation:
             F.col("la"), F.col("loa"), F.col("la"), F.col("loa"),
             F.lit(0.4)).alias("m")).collect()[0]["m"]
         assert (r["lat"], r["lon"]) == (33.0, -7.0)
+
+
+class TestRhumbDestination:
+    def test_cardinal_anchors_and_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import greatcircle as GC
+        df = spark.createDataFrame([(0.0, 0.0)], "la double, loa double")
+        nm60 = 60 * 1852.0
+        east = df.select(GC.rhumb_destination(
+            F.col("la"), F.col("loa"), F.lit(90.0), F.lit(nm60))
+            .alias("p")).collect()[0]["p"]
+        north = df.select(GC.rhumb_destination(
+            F.col("la"), F.col("loa"), F.lit(0.0), F.lit(nm60))
+            .alias("p")).collect()[0]["p"]
+        # 60 NM = one degree on the navigation sphere (cos(pi/2) is
+        # ~6e-17, not exactly 0, so 'due east' drifts a femto-degree)
+        assert abs(east["lat"]) < 1e-10
+        assert abs(east["lon"] - 1.0) < 1e-10
+        assert abs(north["lat"] - 1.0) < 1e-10
+        assert abs(north["lon"]) < 1e-10
+        # destination then inverse recovers bearing/distance
+        df2 = spark.createDataFrame([(31.4, -42.7, 77.0, 500000.0)],
+                                    "la double, loa double, b double, d double")
+        p = df2.select(GC.rhumb_destination(
+            F.col("la"), F.col("loa"), F.col("b"), F.col("d"))
+            .alias("p")).select("p.*").collect()[0]
+        chk = spark.createDataFrame(
+            [(31.4, -42.7, p["lat"], p["lon"])],
+            "la double, loa double, lb double, lob double"
+        ).select(
+            GC.rhumb_distance(F.col("la"), F.col("loa"),
+                              F.col("lb"), F.col("lob")).alias("d"),
+            GC.rhumb_bearing(F.col("la"), F.col("loa"),
+                             F.col("lb"), F.col("lob")).alias("b"),
+        ).collect()[0]
+        assert abs(chk["d"] - 500000.0) < 1e-6
+        assert abs(chk["b"] - 77.0) < 1e-9
+
+    def test_antimeridian_wrap(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.functions import greatcircle as GC
+        df = spark.createDataFrame([(10.0, 179.5)], "la double, loa double")
+        p = df.select(GC.rhumb_destination(
+            F.col("la"), F.col("loa"), F.lit(90.0), F.lit(200000.0))
+            .alias("p")).collect()[0]["p"]
+        assert p["lon"] < -178.0  # wrapped into (-180, 180]
