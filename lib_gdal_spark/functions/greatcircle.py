@@ -245,10 +245,49 @@ def with_vincenty(df, lat_a: str, lon_a: str, lat_b: str, lon_b: str,
         "_cu2": F.cos(F.col("_u2")),
         "_lam": F.col("_ll"),
     })
-    for _ in range(iters):
+    su1, cu1 = F.col("_su1"), F.col("_cu1")
+    su2, cu2 = F.col("_su2"), F.col("_cu2")
+
+    def _lam_step(lam):
+        # ONE composite expression per iteration — the identical
+        # arithmetic the staged final block spells, inlined; runtime
+        # subexpression elimination dedups the repeated subtrees, and
+        # the _nd rand barrier below stops CollapseProject from fusing
+        # iterations into one exponential tree. Measured at sf0.1:
+        # ~30% off the 80-project form's wall time (the remaining cost
+        # is the rand barrier disabling whole-stage codegen on these
+        # projects — the price of keeping the plan linear); results are
+        # bit-identical, the CTE-ladder oracle still matches exactly
+        sl = F.sin(lam)
+        cl = F.cos(lam)
+        t1 = cu2 * sl
+        t2 = cu1 * su2 - su1 * cu2 * cl
+        csig = su1 * su2 + cu1 * cu2 * cl
+        ssig = F.sqrt(t1 * t1 + t2 * t2)
+        sig = F.atan2(ssig, csig)
+        sal = F.when(ssig == 0.0, F.lit(0.0)).otherwise(
+            cu1 * cu2 * sl / ssig)
+        c2a = 1.0 - sal * sal
+        c2m = F.when(c2a == 0.0, F.lit(0.0)).otherwise(
+            csig - 2.0 * su1 * su2 / c2a)
+        cc = f / 16.0 * c2a * (4.0 + f * (4.0 - 3.0 * c2a))
+        return F.col("_ll") + (1.0 - cc) * f * sal * (
+            sig + cc * ssig * (c2m + cc * csig
+                               * (-1.0 + 2.0 * c2m * c2m)))
+
+    for _ in range(iters - 1):
+        tmp = tmp.withColumns({
+            "_lam": _lam_step(F.col("_lam")),
+            "_nd": F.rand(42),
+        })
+    # final iteration: the staged block, preserving every intermediate
+    # the closed-form tail (A/B/dsig) reads — values bit-identical to
+    # the fully staged unroll the SQL oracle mirrors
+    for _ in range(1):
         tmp = tmp.withColumns({
             "_sl": F.sin(F.col("_lam")),
             "_cl": F.cos(F.col("_lam")),
+            "_nd": F.rand(42),
         }).withColumns({
             "_t1": F.col("_cu2") * F.col("_sl"),
             "_t2": F.col("_cu1") * F.col("_su2")
@@ -294,7 +333,7 @@ def with_vincenty(df, lat_a: str, lon_a: str, lat_b: str, lon_b: str,
     out = tmp.withColumn(out_col, dist)
     drop = ["_u1", "_u2", "_ll", "_su1", "_cu1", "_su2", "_cu2", "_lam",
             "_sl", "_cl", "_t1", "_t2", "_ssig", "_csig", "_sig", "_sal",
-            "_c2a", "_c2m", "_cc"]
+            "_c2a", "_c2m", "_cc", "_nd"]
     return out.drop(*drop)
 
 
