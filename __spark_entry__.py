@@ -1456,10 +1456,32 @@ def q_gc_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = F.col("lat") * 0.25 + 5.0
     lop = F.col("lon") * 0.75 + 8.0
     mid = GC.gc_intermediate_point(la, loa, lb, lob, F.lit(0.25))
-    d = pts.select(
+    # stage the shared building blocks ONCE (the generic
+    # cross/along_track helpers each recompute distance+headings; that
+    # cost the suite its new slowest query — same arithmetic, so the
+    # oracle is untouched)
+    c1 = pts.select(
         "pid", mid.alias("m"),
-        GC.cross_track_distance(la, loa, lb, lob, lp, lop).alias("xtd"),
-        GC.along_track_distance(la, loa, lb, lob, lp, lop).alias("atd"),
+        (GC.great_circle_distance(la, loa, lp, lop)
+         * GC.METER2RAD).alias("d_ap"),
+        GC.great_circle_initial_heading(la, loa, lp, lop).alias("h_ap"),
+        GC.great_circle_initial_heading(la, loa, lb, lob).alias("h_ab"),
+        F.rand(42).alias("_nd"),  # collapse barrier (see with_vincenty)
+    )
+    c2 = c1.select(
+        "pid", "m", "d_ap",
+        (F.asin(F.least(F.greatest(
+            F.sin(F.col("d_ap"))
+            * F.sin(F.radians(F.col("h_ap")) - F.radians(F.col("h_ab"))),
+            F.lit(-1.0)), F.lit(1.0))) * GC.RAD2METER).alias("xtd"),
+        F.rand(42).alias("_nd2"),
+    )
+    d = c2.select(
+        "pid", "m", "xtd",
+        (F.acos(F.least(F.greatest(
+            F.cos(F.col("d_ap"))
+            / F.cos(F.col("xtd") * GC.METER2RAD),
+            F.lit(-1.0)), F.lit(1.0))) * GC.RAD2METER).alias("atd"),
     )
     return d.select(
         "pid",
