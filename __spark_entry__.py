@@ -2320,6 +2320,27 @@ def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate (dimension / NaN / zero / norm-bounds
+    checks before any ANN or clustering indexing): every 13th vector is
+    NaN-poisoned, every 17th truncated, every 19th zeroed — all flagged;
+    the oracle spells the identical double-fold norm and verdicts."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    corrupted = (
+        F.when(vid % 13 == 0,
+               F.concat(F.slice(F.col("embedding"), 1, 63),
+                        F.array(F.lit(float("nan")).cast("float"))))
+        .when(vid % 17 == 0, F.slice(F.col("embedding"), 1, 32))
+        .when(vid % 19 == 0,
+              F.transform(F.col("embedding"),
+                          lambda x: F.lit(0.0).cast("float")))
+        .otherwise(F.col("embedding"))
+    )
+    synth = emb.select("vec_id", corrupted.alias("embedding"))
+    return ANN.embedding_qa(synth, expected_dims=64)
+
+
 def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO 13616 IBAN mod-97 validation (the bank-account companion of
     pii_luhn): German-shape IBANs synthesized from doc_id — even docs
@@ -6212,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "pii_iban": q_pii_iban,
         "soundex_keys": q_soundex_keys,
+        "embedding_qa": q_embedding_qa,
         "gc_navigation": q_gc_navigation,
         "rhumb_destination": q_rhumb_destination,
         "pack_sequences": q_pack_sequences,
@@ -10335,6 +10357,38 @@ def oracle_sql() -> dict[str, str]:
             ELSE base END AS name,
           sdx
         FROM pick
+    """
+
+    # embedding_qa: same corruption synthesis; the norm fold is exact
+    # double accumulation of exact float32*float32 products (list_sum
+    # folds in list order, matching Spark's aggregate).
+    sqls["embedding_qa"] = """
+        WITH synth AS (
+          SELECT vec_id,
+            CASE
+              WHEN vec_id % 13 = 0 THEN
+                list_concat(embedding[1:63], ['NaN'::FLOAT])
+              WHEN vec_id % 17 = 0 THEN embedding[1:32]
+              WHEN vec_id % 19 = 0 THEN
+                list_transform(embedding, x -> 0.0::FLOAT)
+              ELSE embedding
+            END AS e
+          FROM embeddings
+        ),
+        qa AS (
+          SELECT vec_id, len(e) AS n_dims,
+            list_sum(list_transform(e,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq,
+            len(list_filter(e, x -> isnan(x))) > 0 AS has_nan
+          FROM synth
+        )
+        SELECT vec_id, n_dims,
+          round(sqrt(sq), 6) AS l2_norm,
+          CAST(has_nan AS INT) AS has_nan,
+          CAST(sq = 0.0 AS INT) AS is_zero,
+          CAST((n_dims = 64 AND NOT has_nan
+                AND sqrt(sq) >= 1e-6 AND sqrt(sq) <= 1e6) AS INT) AS ok
+        FROM qa
     """
 
     # pii_iban: the oracle validates by a DIFFERENT algorithm than the

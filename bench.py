@@ -169,6 +169,7 @@ BENCH = {
     "soundex_keys": lambda s: _force(E.q_soundex_keys(s, SF_DIR)),
     "gc_navigation": lambda s: _force(E.q_gc_navigation(s, SF_DIR)),
     "rhumb_destination": lambda s: _force(E.q_rhumb_destination(s, SF_DIR)),
+    "embedding_qa": lambda s: _force(E.q_embedding_qa(s, SF_DIR)),
 }
 
 

@@ -273,3 +273,38 @@ def cosine_topk_int8(
         query_cols=(qid, qvec), corpus_cols=(cid, "__xr"),
         round_decimals=round_decimals,
     )
+
+
+def embedding_qa(
+    vecs: DataFrame,
+    expected_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_norm: float = 1e-6,
+    max_norm: float = 1e6,
+) -> DataFrame:
+    """Embedding hygiene pass (the QA gate every ANN/clustering pipeline
+    runs before indexing — wrong-dimension, NaN-poisoned, zero, or
+    exploded vectors corrupt a whole IVF cell or LSH bucket): per
+    vector, dimension count, L2 norm (squares accumulated in DOUBLE —
+    float32*float32 is exact in double, so the left-to-right fold is
+    engine-reproducible), NaN/zero flags, and an ``ok`` verdict against
+    [min_norm, max_norm]. One zero-shuffle JVM projection.
+    """
+    e = F.col(vec_col)
+    n_dims = F.size(e)
+    sq = F.aggregate(
+        F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    has_nan = F.exists(e, lambda x: F.isnan(x))
+    norm = F.sqrt(sq)
+    ok = ((n_dims == expected_dims) & ~has_nan
+          & (norm >= min_norm) & (norm <= max_norm))
+    return vecs.select(
+        F.col(id_col),
+        n_dims.alias("n_dims"),
+        F.round(norm, 6).alias("l2_norm"),
+        has_nan.cast("int").alias("has_nan"),
+        (sq == 0.0).cast("int").alias("is_zero"),
+        ok.cast("int").alias("ok"),
+    )

@@ -42,3 +42,26 @@ class TestInt8Quantization:
         ap = {(r.qid, r.vec_id) for r in approx.collect()}
         # int8 keeps ~7 bits of precision; top-5 should survive nearly intact
         assert len(ex & ap) >= int(0.8 * len(ex))
+
+
+def test_embedding_qa_flags(spark):
+    """QA gate: dims / NaN / zero / norm-bound verdicts (round-4)."""
+    from pyspark.sql import functions as F
+
+    from lib_gdal_spark.operators.ann import embedding_qa
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5, ok
+        (2, [0.0, 0.0]),          # zero
+        (3, [float("nan"), 1.0]),  # NaN
+        (4, [1.0, 2.0, 3.0]),     # wrong dims
+        (5, [1e9, 1e9]),          # exploded norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           embedding_qa(df, expected_dims=2).collect()}
+    assert out[1]["ok"] == 1 and abs(out[1]["l2_norm"] - 5.0) < 1e-9
+    assert out[2]["is_zero"] == 1 and out[2]["ok"] == 0
+    assert out[3]["has_nan"] == 1 and out[3]["ok"] == 0
+    assert out[4]["n_dims"] == 3 and out[4]["ok"] == 0
+    assert out[5]["ok"] == 0
