@@ -6027,6 +6027,91 @@ def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def _stat_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-degree lattice cell counts over the _points coordinates, derived
+    with INTEGER division on the pre-float hundredth-degree keys so cell
+    assignment has no float-floor boundary risk in either engine."""
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    return (
+        ev.select(
+            ((k1 - k1 % 1000) / 1000).cast("int").alias("gx"),
+            ((k2 - k2 % 1000) / 1000).cast("int").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950; Cliff & Ord
+    1981 normality moments) of per-cell page counts on a 10-degree lattice
+    with queen contiguity. Beyond the reference (GDAL has no spatial-stats
+    layer; nearest analog is gdalgrid.cpp:1183 data-metrics). All partials
+    are exact int64 aggregates (one keyed shuffle over the AGGREGATED cell
+    table); the oracle spells the identical final float expression, so the
+    match is bit-level, not tolerance-level."""
+    from lib_gdal_spark.operators.spatialstats import morans_i
+
+    return morans_i(_stat_cells(spark, sf_dir), queen=True)
+
+
+def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot z-scores (Getis & Ord 1992) per occupied
+    10-degree cell, queen-star neighborhoods. nbr_sum/w_i are exact int64
+    join-aggregates over the aggregated cell lattice; the one-row global
+    moments broadcast; a single final float expression per cell that the
+    oracle reproduces exactly."""
+    from lib_gdal_spark.operators.spatialstats import getis_gi_star
+
+    return getis_gi_star(_stat_cells(spark, sf_dir), queen=True)
+
+
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized quartic-kernel density heatmap (Silverman 1986 eq. 4.5)
+    over 1-degree pixel-binned points, radius 3 px. Kernel weights are
+    1/4096 dyadic rationals (the GRA_Sum trick, kernels/resample.py), so
+    per-pixel density sums are exact and order-independent — the oracle
+    matches UNROUNDED. Shape: bin (keyed shuffle, combinable) -> bounded
+    (2R-1)^2 explode of the aggregate -> re-sum (keyed, combinable)."""
+    from lib_gdal_spark.operators.spatialstats import kde_heatmap
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    counts = (
+        ev.select(
+            ((k1 - k1 % 100) / 100).cast("int").alias("px"),
+            ((k2 - k2 % 100) / 100).cast("int").alias("py"),
+        )
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return kde_heatmap(counts, radius=3)
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / Besag's L point-pattern statistics (Ripley 1976) at
+    r = 1, 2, 5 degrees over the [0,40)x[0,40) window. Pair counting runs
+    the bounded 3x3 cell-covering join (cell = r_max, the knn.s2_ring_pairs
+    completeness argument); the oracle counts the same ordered pairs BRUTE
+    FORCE (n^2 self-join at sf0.01), so equality proves the covering join
+    finds every in-range pair. Uncorrected estimator (no edge correction;
+    documented in operators/spatialstats.py)."""
+    from lib_gdal_spark.operators.spatialstats import ripley_k
+
+    pts = (
+        _points(spark, sf_dir)
+        .where(
+            (F.col("lon") >= 0) & (F.col("lon") < 40)
+            & (F.col("lat") >= 0) & (F.col("lat") < 40)
+        )
+        .select("pid", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    )
+    return ripley_k(pts, [1.0, 2.0, 5.0], area=1600.0, cell=5.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -6313,6 +6398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_keys": q_hilbert_keys,
         "gtiff_export": q_gtiff_export,
         "georss_items": q_georss_items,
+        "morans_i": q_morans_i,
+        "getis_hotspots": q_getis_hotspots,
+        "kde_heatmap": q_kde_heatmap,
+        "ripley_k": q_ripley_k,
     }
 
 
@@ -13365,6 +13454,118 @@ def oracle_sql() -> dict[str, str]:
                CAST(d.id + i AS DOUBLE) AS ele
         FROM generate_series(0, 199) d(id)
         CROSS JOIN generate_series(0, 4) t(i)
+    """
+
+    # Spatial statistics: Moran's I / Getis-Ord Gi* over the 10-degree
+    # lattice cell counts. Every partial is an exact int64 aggregate; the
+    # final float expressions below mirror operators/spatialstats.py
+    # operation-for-operation, so the doubles are bit-identical.
+    _STAT_CELLS_SQL = """
+        SELECT CAST((k1 - k1 % 1000) / 1000 AS INT) AS gx,
+               CAST((k2 - k2 % 1000) / 1000 AS INT) AS gy,
+               COUNT(*) AS x
+        FROM (SELECT (event_id * 7919) % 36000 AS k1,
+                     (event_id * 104729) % 17000 AS k2 FROM events)
+        GROUP BY 1, 2
+    """
+    _STAT_PAIRS_SQL = """
+        SELECT a.gx AS gx, a.gy AS gy, a.x AS xi, b.x AS xj
+        FROM cells a JOIN cells b
+          ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+         AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+         AND NOT (b.gx = a.gx AND b.gy = a.gy)
+    """
+    sqls["morans_i"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx FROM cells),
+        p AS (SELECT COUNT(*) AS s0, SUM(xi*xj) AS spp,
+                     SUM(xi+xj) AS sxy FROM pairs),
+        d AS (SELECT SUM(deg*deg) AS sdeg2 FROM
+              (SELECT gx, gy, COUNT(*) AS deg FROM pairs GROUP BY 1, 2))
+        SELECT n AS n_cells, s0,
+          round((n / s0)
+                * (spp - (sx/n)*sxy + (sx/n)*(sx/n)*s0)
+                / (sxx - n*(sx/n)*(sx/n)), 10) AS moran_i,
+          round(-1.0/(n - 1), 10) AS e_i,
+          round(((n / s0)
+                 * (spp - (sx/n)*sxy + (sx/n)*(sx/n)*s0)
+                 / (sxx - n*(sx/n)*(sx/n))
+                 - (-1.0/(n - 1)))
+                / sqrt((n*n*(2.0*s0) - n*(4.0*sdeg2) + 3.0*s0*s0)
+                       / ((n*n - 1.0) * s0 * s0)
+                       - (-1.0/(n - 1)) * (-1.0/(n - 1))), 8) AS z_norm
+        FROM g, p, d
+    """
+    sqls["getis_hotspots"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        nbr AS (SELECT gx, gy, SUM(xj) AS nsum, COUNT(*) AS deg
+                FROM pairs GROUP BY 1, 2),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx FROM cells),
+        per AS (SELECT c.gx, c.gy, c.x,
+                       COALESCE(nb.deg, 0) + 1 AS w_i,
+                       COALESCE(nb.nsum, 0) + c.x AS nbr_sum
+                FROM cells c LEFT JOIN nbr nb USING (gx, gy))
+        SELECT gx, gy, x, w_i, nbr_sum,
+          round((nbr_sum - (sx/n)*w_i)
+                / (sqrt(sxx/n - (sx/n)*(sx/n))
+                   * sqrt((n*w_i - w_i*w_i) / (n - 1.0))), 9) AS gi_star
+        FROM per, g
+    """
+
+    # kde_heatmap: the quartic kernel quanta are dyadic multiples of
+    # 1/4096 computed by the SAME helper the operator uses, so the VALUES
+    # list cannot drift; repr() round-trips dyadic doubles exactly.
+    from lib_gdal_spark.operators.spatialstats import kernel_quanta
+
+    _kq_vals = ", ".join(
+        f"({dx}, {dy}, {q!r})" for dx, dy, q in kernel_quanta(3)
+    )
+    sqls["kde_heatmap"] = f"""
+        WITH kq(dx, dy, q) AS (VALUES {_kq_vals}),
+        cnts AS (
+          SELECT CAST((k1 - k1 % 100) / 100 AS INT) AS px,
+                 CAST((k2 - k2 % 100) / 100 AS INT) AS py,
+                 COUNT(*) AS cnt
+          FROM (SELECT (event_id * 7919) % 36000 AS k1,
+                       (event_id * 104729) % 17000 AS k2 FROM events)
+          GROUP BY 1, 2
+        )
+        SELECT c.px + k.dx AS px, c.py + k.dy AS py,
+               SUM(c.cnt * k.q) AS density
+        FROM cnts c CROSS JOIN kq k
+        GROUP BY 1, 2
+    """
+
+    # ripley_k: BRUTE-FORCE ordered-pair counts (n^2 self-join at sf0.01)
+    # against the engine's 3x3 cell-covering join — equality proves the
+    # covering join complete, the same proof pattern as s2_ring_pairs.
+    sqls["ripley_k"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM pts),
+        pr AS (
+          SELECT (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+          FROM pts a JOIN pts b ON a.pid <> b.pid
+        ),
+        c AS (
+          SELECT COALESCE(SUM(CASE WHEN d2 < 1.0 THEN 1 ELSE 0 END), 0) AS c0,
+                 COALESCE(SUM(CASE WHEN d2 < 4.0 THEN 1 ELSE 0 END), 0) AS c1,
+                 COALESCE(SUM(CASE WHEN d2 < 25.0 THEN 1 ELSE 0 END), 0) AS c2
+          FROM pr
+        ),
+        u AS (
+          SELECT 1.0 AS r, c0 AS n_pairs FROM c
+          UNION ALL SELECT 2.0, c1 FROM c
+          UNION ALL SELECT 5.0, c2 FROM c
+        )
+        SELECT r, n_pairs,
+          round(1600.0 * n_pairs / (n * (n - 1.0)), 9) AS k_hat,
+          round(sqrt(1600.0 * n_pairs / (n * (n - 1.0)) / pi()), 9) AS l_hat
+        FROM u, nn
     """
 
     return sqls

@@ -170,6 +170,11 @@ BENCH = {
     "gc_navigation": lambda s: _force(E.q_gc_navigation(s, SF_DIR)),
     "rhumb_destination": lambda s: _force(E.q_rhumb_destination(s, SF_DIR)),
     "embedding_qa": lambda s: _force(E.q_embedding_qa(s, SF_DIR)),
+    # round-4 session-5 additions: spatial statistics
+    "morans_i": lambda s: _force(E.q_morans_i(s, SF_DIR)),
+    "getis_hotspots": lambda s: _force(E.q_getis_hotspots(s, SF_DIR)),
+    "kde_heatmap": lambda s: _force(E.q_kde_heatmap(s, SF_DIR)),
+    "ripley_k": lambda s: _force(E.q_ripley_k(s, SF_DIR)),
 }
 
 

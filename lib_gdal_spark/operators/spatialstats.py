@@ -1,0 +1,323 @@
+"""Spatial statistics over cell-aggregated pages: Moran's I, Getis-Ord Gi*,
+kernel-density heatmaps, Ripley's K.
+
+Beyond the reference (GDAL 2.4 has no spatial-stats layer; its closest
+analogs are the band statistics in ``core/gcore/gdalrasterband.cpp`` and the
+data-metrics grid algorithms in ``core/alg/gdalgrid.cpp:1183`` — per-window
+count/min/max/avg-distance); the formulas here are the published classics:
+Moran (1950), Getis & Ord (1992, Geographical Analysis 24), Ripley (1976),
+quartic-kernel density per Silverman (1986, eq. 4.5).
+
+Design for exactness AND scale:
+
+- Every statistic is decomposed into **exact int64 partial sums** (counts,
+  sums, sums of squares/products over integer-valued cell variables) that
+  Spark aggregates distributively — map-side combinable, one keyed shuffle —
+  followed by ONE final float expression on the driver-sized result. Because
+  the partials are exact integers, the outputs are partitioning- and
+  order-independent, and a SQL oracle that spells the identical final
+  expression reproduces them bit-for-bit.
+- Neighborhoods are **equi-joins on (gx, gy) lattice keys** (queen/rook
+  contiguity) — never a distance cross-join. The cell table is the
+  *aggregated* corpus (|cells| << |pages|), so the join is small even when
+  the input is 100 TB of pages.
+- The KDE kernel is **quantized to 1/4096 dyadic rationals** (same trick as
+  kernels/resample.py's GRA_Sum weights), so density sums are exact and
+  order-independent.
+- Ripley's K uses the same bounded 3x3 covering join as operators/knn.py:
+  cell size >= r_max guarantees every pair within r_max is found (proven
+  against a brute-force oracle in the driver query).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "neighbor_pairs",
+    "morans_i",
+    "getis_gi_star",
+    "kde_heatmap",
+    "ripley_k",
+]
+
+
+def _offsets(queen: bool) -> list[tuple[int, int]]:
+    return [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0) and (queen or dx == 0 or dy == 0)
+    ]
+
+
+def neighbor_pairs(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Directed contiguity pairs over occupied lattice cells.
+
+    ``cells``: (gx int, gy int, x long) — one row per OCCUPIED cell.
+    Returns (gx, gy, xi, ngx, ngy, xj): one row per directed pair of
+    occupied cells that are queen- (8-) or rook- (4-) adjacent. Binary
+    symmetric weights; unoccupied neighbors simply don't join (this is the
+    standard "occupied-cells lattice" weight matrix).
+
+    Shape: |cells| x 8 explode of the AGGREGATED table, then one equi-join
+    on (gx, gy) — no distance predicate, no cross join.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(queen)
+        ]
+    )
+    probe = (
+        cells.select("gx", "gy", F.col("x").alias("xi"), F.explode(offs).alias("o"))
+        .select(
+            "gx",
+            "gy",
+            "xi",
+            (F.col("gx") + F.col("o.dx")).alias("ngx"),
+            (F.col("gy") + F.col("o.dy")).alias("ngy"),
+        )
+    )
+    nbr = cells.select(
+        F.col("gx").alias("ngx"), F.col("gy").alias("ngy"), F.col("x").alias("xj")
+    )
+    return probe.join(nbr, ["ngx", "ngy"])
+
+
+def morans_i(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Global Moran's I with the normality z-score (Moran 1950; Cliff & Ord
+    1981 moments) over an integer cell variable.
+
+    One-row result: (n_cells, s0, moran_i, e_i, z_norm).
+
+    Everything up to the last expression is an exact int64 aggregate:
+      sum_w(xi-m)(xj-m) = spp - m*sxy + m^2*s0   (m = sx/n)
+      sum (xi-m)^2      = sxx - n*m^2
+    with spp = sum(xi*xj), sxy = sum(xi+xj) over pairs, s0 = #directed
+    pairs; the normality variance uses S1 = 2*s0 (binary symmetric W) and
+    S2 = 4*sum(deg_i^2). The SQL oracle spells the identical final
+    arithmetic over the same integer partials.
+    """
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    pairs = neighbor_pairs(cells, queen)
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("xi") * F.col("xj")).alias("spp"),
+        F.sum(F.col("xi") + F.col("xj")).alias("sxy"),
+    )
+    deg = (
+        pairs.groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")).alias("sdeg2"))
+    )
+    j = g.crossJoin(p).crossJoin(deg)
+    m = F.col("sx") / F.col("n")
+    num = F.col("spp") - m * F.col("sxy") + m * m * F.col("s0")
+    den = F.col("sxx") - F.col("n") * m * m
+    i = (F.col("n") / F.col("s0")) * num / den
+    e_i = F.lit(-1.0) / (F.col("n") - F.lit(1))
+    s1 = 2.0 * F.col("s0")
+    s2 = 4.0 * F.col("sdeg2")
+    var = (
+        (F.col("n") * F.col("n") * s1 - F.col("n") * s2
+         + 3.0 * F.col("s0") * F.col("s0"))
+        / ((F.col("n") * F.col("n") - 1.0) * F.col("s0") * F.col("s0"))
+        - e_i * e_i
+    )
+    return j.select(
+        F.col("n").alias("n_cells"),
+        F.col("s0"),
+        F.round(i, 10).alias("moran_i"),
+        F.round(e_i, 10).alias("e_i"),
+        F.round((i - e_i) / F.sqrt(var), 8).alias("z_norm"),
+    )
+
+
+def getis_gi_star(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot z-scores (Getis & Ord 1992, eq. 14 with
+    the self-inclusive star weights; Ord & Getis 1995 standardization).
+
+    Per occupied cell: (gx, gy, x, w_i, nbr_sum, gi_star) where
+      nbr_sum = sum of x over the cell AND its occupied neighbors,
+      w_i     = that neighborhood's size (deg_i + 1),
+      gi_star = (nbr_sum - m*w_i) / (s * sqrt((n*w_i - w_i^2)/(n-1)))
+    with m = sx/n and s = sqrt(sxx/n - m^2) over ALL cells. nbr_sum/w_i
+    are exact int64 join-aggregates; the global (n, sx, sxx) broadcast to
+    every row; one final float expression.
+    """
+    pairs = neighbor_pairs(cells, queen)
+    nbr = pairs.groupBy("gx", "gy").agg(
+        F.sum("xj").alias("nsum"), F.count(F.lit(1)).alias("deg")
+    )
+    per = (
+        cells.join(nbr, ["gx", "gy"], "left")
+        .select(
+            "gx",
+            "gy",
+            "x",
+            (F.coalesce(F.col("deg"), F.lit(0)) + F.lit(1)).alias("w_i"),
+            (F.coalesce(F.col("nsum"), F.lit(0)) + F.col("x")).alias("nbr_sum"),
+        )
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    m = F.col("sx") / F.col("n")
+    s = F.sqrt(F.col("sxx") / F.col("n") - m * m)
+    gi = (F.col("nbr_sum") - m * F.col("w_i")) / (
+        s
+        * F.sqrt(
+            (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i"))
+            / (F.col("n") - 1.0)
+        )
+    )
+    return j.select("gx", "gy", "x", "w_i", "nbr_sum", F.round(gi, 9).alias("gi_star"))
+
+
+def kernel_quanta(radius: int) -> list[tuple[int, int, float]]:
+    """Quartic (biweight) kernel K(u) = (1-u^2)^2 on the integer offset
+    lattice, u^2 = (dx^2+dy^2)/R^2, quantized to 1/4096 dyadic rationals
+    (exactly the GRA_Sum weight trick, kernels/resample.py) so that any
+    summation order yields the identical float density."""
+    out = []
+    r2 = float(radius * radius)
+    for dx in range(-radius + 1, radius):
+        for dy in range(-radius + 1, radius):
+            d2 = float(dx * dx + dy * dy)
+            if d2 >= r2:
+                continue
+            u = 1.0 - d2 / r2
+            q = math.floor(u * u * 4096.0 + 0.5) / 4096.0
+            if q > 0.0:
+                out.append((dx, dy, q))
+    return out
+
+
+def kde_heatmap(counts: DataFrame, radius: int = 3) -> DataFrame:
+    """Quantized kernel-density heatmap over pixel-binned points.
+
+    ``counts``: (px int, py int, cnt long) — points pre-binned to pixels
+    (the standard quantized KDE: each point sits at its pixel, so kernel
+    weights depend only on the INTEGER offset and are computed once).
+    Returns (px, py, density) for every pixel with positive density.
+
+    Shape: the (2R-1)^2 bounded explode runs over the AGGREGATED pixel
+    table, not the raw points; both shuffles (bin, re-sum) are keyed and
+    map-side combinable. density = sum(cnt * q) with dyadic q — exact.
+    """
+    quanta = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(q).alias("q")
+            )
+            for dx, dy, q in kernel_quanta(radius)
+        ]
+    )
+    return (
+        counts.select("px", "py", "cnt", F.explode(quanta).alias("k"))
+        .select(
+            (F.col("px") + F.col("k.dx")).alias("px"),
+            (F.col("py") + F.col("k.dy")).alias("py"),
+            (F.col("cnt") * F.col("k.q")).alias("w"),
+        )
+        .groupBy("px", "py")
+        .agg(F.sum("w").alias("density"))
+    )
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    area: float,
+    cell: float,
+) -> DataFrame:
+    """Ripley's K / Besag's L at the given radii over a planar window.
+
+    ``points``: (pid long, x double, y double) inside a window of measure
+    ``area``; ``cell`` must be >= max(radii) so the 3x3 covering join finds
+    every pair within range (same completeness argument as knn.s2_ring_pairs,
+    proven against the brute-force oracle in the driver query).
+
+    K_hat(r) = area * #{ordered pairs with d < r} / (n * (n-1)) — the
+    uncorrected estimator (no edge correction; documented). L_hat(r) =
+    sqrt(K_hat / pi). Pair counts are exact int64; one final float row per
+    radius.
+    """
+    if cell < max(radii):
+        raise ValueError(f"cell {cell} must be >= max radius {max(radii)}")
+    pts = points.select(
+        "pid",
+        "x",
+        "y",
+        F.floor(F.col("x") / cell).cast("int").alias("cx"),
+        F.floor(F.col("y") / cell).cast("int").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        "pid", "x", "y", F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).select("pid", "x", "y", "ncx", "ncy")
+    other = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (
+        (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+        + (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb"))
+    )
+    pairs = (
+        probe.join(other, ["ncx", "ncy"])
+        .where(F.col("pid") != F.col("pid_b"))
+        .select(d2.alias("d2"))
+    )
+    aggs = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("d2") < F.lit(float(r) * float(r))).cast("long")),
+                F.lit(0),
+            ).alias(f"c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    cnt = points.agg(F.count(F.lit(1)).alias("n"))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(float(r)).alias("r"), F.col(f"c{i}").alias("n_pairs")
+            )
+            for i, r in enumerate(radii)
+        ]
+    )
+    k_hat = F.lit(area) * F.col("n_pairs") / (F.col("n") * (F.col("n") - 1.0))
+    return (
+        aggs.crossJoin(cnt)
+        .select(F.explode(arr).alias("e"), "n")
+        .select(F.col("e.r").alias("r"), F.col("e.n_pairs").alias("n_pairs"), "n")
+        .select(
+            "r",
+            "n_pairs",
+            F.round(k_hat, 9).alias("k_hat"),
+            F.round(F.sqrt(k_hat / math.pi), 9).alias("l_hat"),
+        )
+    )

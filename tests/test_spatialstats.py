@@ -1,0 +1,209 @@
+"""Spatial statistics vs independent numpy brute-force oracles.
+
+The module's own exactness claim (int64 partials -> one float expression)
+is verified by recomputing each statistic with dense-matrix numpy on the
+collected cells and requiring EXACT float equality, plus partition
+invariance (the distributive-aggregation property the claim rests on).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import spatialstats as S
+
+
+def _cells_df(spark, n=400, seed=7, parts=1):
+    rng = np.random.default_rng(seed)
+    gx = rng.integers(0, 12, n)
+    gy = rng.integers(0, 12, n)
+    rows = {}
+    for x, y in zip(gx, gy):
+        rows[(int(x), int(y))] = rows.get((int(x), int(y)), 0) + 1
+    # salt counts so the variable has real structure (gradient + noise)
+    data = [
+        (x, y, c + 3 * x + (7 * y) % 5)
+        for (x, y), c in sorted(rows.items())
+    ]
+    df = spark.createDataFrame(data, "gx int, gy int, x long")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _brute(cells, queen=True):
+    """Dense numpy Moran/Gi* on the collected cells."""
+    pts = {(r["gx"], r["gy"]): r["x"] for r in cells.collect()}
+    keys = sorted(pts)
+    x = np.array([pts[k] for k in keys], dtype=np.int64)
+    n = len(keys)
+    w = np.zeros((n, n), dtype=np.int64)
+    for i, (ax, ay) in enumerate(keys):
+        for j, (bx, by) in enumerate(keys):
+            if i == j:
+                continue
+            dx, dy = abs(ax - bx), abs(ay - by)
+            if max(dx, dy) == 1 and (queen or dx + dy == 1):
+                w[i, j] = 1
+    return keys, x, w
+
+
+class TestMoran:
+    def test_vs_brute(self, spark):
+        cells = _cells_df(spark)
+        keys, x, w = _brute(cells)
+        n = len(x)
+        m = x.sum() / n
+        s0 = int(w.sum())
+        num = float(
+            int((w * np.outer(x, x)).sum())
+            - m * int((w * (x[:, None] + x[None, :])).sum())
+            + m * m * s0
+        )
+        den = float(int((x * x).sum()) - n * m * m)
+        i_brute = (n / s0) * num / den
+        got = S.morans_i(cells).collect()[0]
+        assert got["n_cells"] == n and got["s0"] == s0
+        assert got["moran_i"] == pytest.approx(i_brute, abs=1e-9)
+        assert got["e_i"] == round(-1.0 / (n - 1), 10)
+        # normality z-score moments
+        deg = w.sum(axis=1)
+        s1, s2 = 2.0 * s0, 4.0 * float((deg * deg).sum())
+        var = (n * n * s1 - n * s2 + 3.0 * s0 * s0) / (
+            (n * n - 1.0) * s0 * s0
+        ) - (1.0 / (n - 1)) ** 2
+        z = (i_brute - (-1.0 / (n - 1))) / math.sqrt(var)
+        assert got["z_norm"] == pytest.approx(z, abs=1e-7)
+
+    def test_checkerboard_negative(self, spark):
+        # alternating high/low on a rook lattice -> strongly negative I
+        data = [
+            (x, y, 100 if (x + y) % 2 == 0 else 1)
+            for x in range(8)
+            for y in range(8)
+        ]
+        cells = spark.createDataFrame(data, "gx int, gy int, x long")
+        got = S.morans_i(cells, queen=False).collect()[0]
+        assert got["moran_i"] < -0.9  # rook checkerboard is maximally negative
+        assert got["z_norm"] < -5.0
+
+    def test_partition_invariance(self, spark):
+        a = S.morans_i(_cells_df(spark, parts=1)).collect()[0]
+        b = S.morans_i(_cells_df(spark, parts=11)).collect()[0]
+        assert a == b  # exact, not approx: int partials + one float expr
+
+
+class TestGetis:
+    def test_vs_brute(self, spark):
+        cells = _cells_df(spark)
+        keys, x, w = _brute(cells)
+        n = len(x)
+        m = x.sum() / n
+        s = math.sqrt(int((x * x).sum()) / n - m * m)
+        got = {(r["gx"], r["gy"]): r for r in S.getis_gi_star(cells).collect()}
+        assert len(got) == n
+        for i, k in enumerate(keys):
+            w_i = int(w[i].sum()) + 1
+            nbr = int((w[i] * x).sum()) + int(x[i])
+            gi = (nbr - m * w_i) / (
+                s * math.sqrt((n * w_i - w_i * w_i) / (n - 1.0))
+            )
+            r = got[k]
+            assert r["w_i"] == w_i and r["nbr_sum"] == nbr
+            assert r["gi_star"] == pytest.approx(gi, abs=1e-8)
+
+    def test_hot_cell_tops(self, spark):
+        # one cell and its ring boosted -> that cell has the max Gi*
+        data = [
+            (x, y, 500 if max(abs(x - 5), abs(y - 5)) <= 1 else 10)
+            for x in range(11)
+            for y in range(11)
+        ]
+        cells = spark.createDataFrame(data, "gx int, gy int, x long")
+        rows = S.getis_gi_star(cells).collect()
+        top = max(rows, key=lambda r: r["gi_star"])
+        assert (top["gx"], top["gy"]) == (5, 5)
+        assert top["gi_star"] > 3.0
+
+
+class TestKDE:
+    def test_vs_brute_and_conservation(self, spark):
+        rng = np.random.default_rng(3)
+        pix = {}
+        for _ in range(300):
+            k = (int(rng.integers(0, 25)), int(rng.integers(0, 25)))
+            pix[k] = pix.get(k, 0) + 1
+        counts = spark.createDataFrame(
+            [(x, y, c) for (x, y), c in sorted(pix.items())],
+            "px int, py int, cnt long",
+        )
+        r = 3
+        quanta = S.kernel_quanta(r)
+        dense = {}
+        for (x, y), c in pix.items():
+            for dx, dy, q in quanta:
+                k = (x + dx, y + dy)
+                dense[k] = dense.get(k, 0.0) + c * q
+        got = {(row["px"], row["py"]): row["density"]
+               for row in S.kde_heatmap(counts, r).collect()}
+        assert got.keys() == dense.keys()
+        for k, v in dense.items():
+            assert got[k] == v  # exact: dyadic quanta, order-free sums
+        # mass conservation: every point contributes sum(quanta) exactly
+        total_q = sum(q for _, _, q in quanta)
+        assert sum(got.values()) == pytest.approx(300 * total_q, rel=1e-12)
+
+    def test_kernel_shape(self):
+        q = {(dx, dy): v for dx, dy, v in S.kernel_quanta(3)}
+        assert q[(0, 0)] == 1.0  # center weight is exactly 1
+        assert q[(2, 2)] == math.floor((1 - 8 / 9) ** 2 * 4096 + 0.5) / 4096
+        assert all(v * 4096 == int(v * 4096) for v in q.values())
+        assert (3, 0) not in q  # strict support: d2 < R^2
+
+
+class TestRipley:
+    def test_vs_brute(self, spark):
+        rng = np.random.default_rng(11)
+        xs = rng.uniform(0, 40, 250).round(2)
+        ys = rng.uniform(0, 40, 250).round(2)
+        pts = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+            "pid long, x double, y double",
+        )
+        radii = [1.0, 2.0, 5.0]
+        got = {r["r"]: r for r in S.ripley_k(pts, radii, 1600.0, 5.0).collect()}
+        d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+        np.fill_diagonal(d2, np.inf)
+        n = len(xs)
+        for r in radii:
+            pairs = int((d2 < r * r).sum())
+            assert got[r]["n_pairs"] == pairs  # covering join is complete
+            k = 1600.0 * pairs / (n * (n - 1.0))
+            assert got[r]["k_hat"] == pytest.approx(k, abs=1e-9)
+            assert got[r]["l_hat"] == pytest.approx(
+                math.sqrt(k / math.pi), abs=1e-9
+            )
+
+    def test_cell_guard(self, spark):
+        pts = spark.createDataFrame(
+            [(0, 1.0, 1.0)], "pid long, x double, y double"
+        )
+        with pytest.raises(ValueError, match="must be >="):
+            S.ripley_k(pts, [10.0], 1600.0, 5.0)
+
+    def test_csr_poisson_scale(self, spark):
+        # complete spatial randomness: K(r) ~ pi r^2, L(r) ~ r
+        rng = np.random.default_rng(5)
+        pts = spark.createDataFrame(
+            [
+                (i, float(x), float(y))
+                for i, (x, y) in enumerate(
+                    zip(rng.uniform(0, 100, 2000), rng.uniform(0, 100, 2000))
+                )
+            ],
+            "pid long, x double, y double",
+        )
+        got = {r["r"]: r for r in
+               S.ripley_k(pts, [2.0, 4.0], 10000.0, 4.0).collect()}
+        for r in (2.0, 4.0):
+            assert got[r]["l_hat"] == pytest.approx(r, rel=0.15)
