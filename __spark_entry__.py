@@ -1324,6 +1324,35 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hexbin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axial hexagonal binning (cube-rounding construction) — the
+    hex-grid companion of the repo's geohash/quadkey/Hilbert/S2 keys,
+    H3-style aggregation without the icosahedral projection: every op is
+    +,-,*,/ / floor / abs, so the DuckDB oracle replays the identical
+    IEEE sequence and the integer cell ids match bit-for-bit. Bins the
+    synthetic point cloud at a coarse (R=4 deg) and fine (R=0.5 deg)
+    resolution, then reports per-coarse-cell point count, distinct fine
+    cells occupied, and the exact lattice center. GroupBy on integer
+    (q, r) keys is a plain combinable hash aggregate — one keys-only
+    shuffle at any scale."""
+    from lib_gdal_spark.functions import cells as C
+
+    pts = _points(spark, sf_dir)
+    coarse = C.hex_axial_expr(F.col("lon"), F.col("lat"), 4.0)
+    fine = C.hex_axial_expr(F.col("lon"), F.col("lat"), 0.5)
+    d = pts.select(
+        coarse["q"].alias("hq"), coarse["r"].alias("hr"),
+        (fine["q"] * 100000 + fine["r"]).alias("fk"))
+    out = d.groupBy("hq", "hr").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("fk").alias("n_fine"))
+    cx, cy = C.hex_center_expr(F.col("hq"), F.col("hr"), 4.0)
+    return out.select(
+        "hq", "hr", "n_points", "n_fine",
+        F.round(cx, 9).alias("center_lon"),
+        F.round(cy, 9).alias("center_lat"))
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -6202,6 +6231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plus_codes": q_plus_codes,
         "quadkeys": q_quadkeys,
         "geohash_cells": q_geohash_cells,
+        "hexbin_cells": q_hexbin_cells,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -7897,6 +7927,55 @@ def oracle_sql() -> dict[str, str]:
           round((CAST(yq AS DOUBLE) + 0.5) / 1073741824.0 * 180.0 - 90.0, 9)
             AS center_lat
         FROM gh
+    """
+
+    # hexbin_cells: the axial/cube-rounding hex lattice spelled in SQL —
+    # fractional axial coords, floor(+0.5) cube round, largest-residual
+    # repair CASE — the exact op sequence of cells.hex_axial_expr (no
+    # transcendentals, so integer cell ids match bit-for-bit).
+    def _hex_sql(p: str, size: float) -> str:
+        # fractional + rounded + residual columns for one resolution,
+        # all as SELECT-list expressions over (lon, lat)
+        fq = f"(1.7320508075688772 * lon - lat) / 3.0 / {size}"
+        fr = f"(lat * 2.0) / 3.0 / {size}"
+        return (
+            f"floor(({fq}) + 0.5) AS {p}rq, "
+            f"floor(({fr}) + 0.5) AS {p}rr, "
+            f"floor((-({fq}) - ({fr})) + 0.5) AS {p}rs, "
+            f"abs(floor(({fq}) + 0.5) - ({fq})) AS {p}dq, "
+            f"abs(floor(({fr}) + 0.5) - ({fr})) AS {p}dr, "
+            f"abs(floor((-({fq}) - ({fr})) + 0.5) - (-({fq}) - ({fr}))) "
+            f"AS {p}ds"
+        )
+
+    def _hex_fix(p: str) -> str:
+        q = (f"CAST(CASE WHEN {p}dq > {p}dr AND {p}dq > {p}ds "
+             f"THEN -{p}rr - {p}rs ELSE {p}rq END AS BIGINT)")
+        r = (f"CAST(CASE WHEN NOT ({p}dq > {p}dr AND {p}dq > {p}ds) "
+             f"AND {p}dr > {p}ds THEN -{p}rq - {p}rs ELSE {p}rr END "
+             f"AS BIGINT)")
+        return q, r
+
+    _cq, _cr = _hex_fix("c")
+    _fq, _fr = _hex_fix("f")
+    sqls["hexbin_cells"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        frac AS (
+          SELECT pid, {_hex_sql('c', 4.0)}, {_hex_sql('f', 0.5)}
+          FROM pts
+        ),
+        cells AS (
+          SELECT pid, {_cq} AS hq, {_cr} AS hr,
+                 {_fq} * 100000 + {_fr} AS fk
+          FROM frac
+        )
+        SELECT hq, hr, count(*) AS n_points,
+          count(DISTINCT fk) AS n_fine,
+          round((1.7320508075688772
+                 * (CAST(hq AS DOUBLE) + CAST(hr AS DOUBLE) / 2.0))
+                * 4.0, 9) AS center_lon,
+          round(CAST(hr AS DOUBLE) * 1.5 * 4.0, 9) AS center_lat
+        FROM cells GROUP BY hq, hr
     """
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on

@@ -800,3 +800,71 @@ def quadkey_decode(qk, z: int):
         x = F.shiftleft(x, 1).bitwiseOR(d.bitwiseAND(F.lit(1)))
         y = F.shiftleft(y, 1).bitwiseOR(F.shiftright(d, 1))
     return F.struct(F.lit(z).alias("z"), x.alias("x"), y.alias("y"))
+
+
+HEX_SQRT3 = 1.7320508075688772  # sqrt(3) pinned to one double literal
+
+
+def hex_axial_expr(lon, lat, size: float):
+    """Pointy-top axial hex-bin cell ``struct(q, r)`` from lon/lat
+    Columns (the standard axial/cube-rounding construction, Red Blob
+    Games hex-grid notes): fractional axial coords, cube round with
+    largest-residual repair. The hexagonal companion of the repo's
+    square tile / geohash / Hilbert / S2 keys — H3-style equal-area-ish
+    binning without the icosahedral projection, which keeps every op a
+    plain +,-,*,/ / floor / abs so a SQL oracle can replay the identical
+    IEEE sequence bit-for-bit (no transcendentals anywhere, so cell ids
+    are exactly reproducible across engines). ``size`` is the hex
+    circumradius in degrees and must be a Python literal."""
+    from pyspark.sql import functions as F
+
+    s = float(size)
+    fq = (F.lit(HEX_SQRT3) * lon - lat) / 3.0 / s
+    fr = (lat * 2.0) / 3.0 / s
+    fs = -fq - fr
+    rq = F.floor(fq + 0.5)
+    rr = F.floor(fr + 0.5)
+    rs = F.floor(fs + 0.5)
+    dq = F.abs(rq - fq)
+    dr = F.abs(rr - fr)
+    ds = F.abs(rs - fs)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    q = F.when(q_fix, -rr - rs).otherwise(rq).cast("long")
+    r = F.when(r_fix, -rq - rs).otherwise(rr).cast("long")
+    return F.struct(q.alias("q"), r.alias("r"))
+
+
+def hex_center_expr(q, r, size: float):
+    """Center lon/lat Columns of an axial hex cell — exact inverse of
+    the :func:`hex_axial_expr` lattice map for integer (q, r)."""
+    from pyspark.sql import functions as F
+
+    s = float(size)
+    qf = q.cast("double")
+    rf = r.cast("double")
+    cx = (F.lit(HEX_SQRT3) * (qf + rf / 2.0)) * s
+    cy = rf * 1.5 * s
+    return cx, cy
+
+
+def hex_axial_np(lon, lat, size: float):
+    """NumPy reference twin of :func:`hex_axial_expr` (same op order) —
+    used by tests to pin the Spark expression tree."""
+    import numpy as np
+
+    s = float(size)
+    fq = (HEX_SQRT3 * lon - lat) / 3.0 / s
+    fr = (lat * 2.0) / 3.0 / s
+    fs = -fq - fr
+    rq = np.floor(fq + 0.5)
+    rr = np.floor(fr + 0.5)
+    rs = np.floor(fs + 0.5)
+    dq = np.abs(rq - fq)
+    dr = np.abs(rr - fr)
+    ds = np.abs(rs - fs)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    q = np.where(q_fix, -rr - rs, rq).astype(np.int64)
+    r = np.where(r_fix, -rq - rs, rr).astype(np.int64)
+    return q, r
