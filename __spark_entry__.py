@@ -1353,6 +1353,28 @@ def q_hexbin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cy, 9).alias("center_lat"))
 
 
+def q_toponym_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer toponym resolution (geotagging): dictionary place-name
+    mentions extracted from document text, each document resolved to its
+    most-populous matched place (population-prior baseline), and the
+    resolved location keyed into the axial hex grid. The gazetteer here
+    derives deterministically from the corpus vocabulary (no external
+    fixture); in production it is a broadcast GeoNames-style dim table
+    of the same schema. Tokenize is a narrow map, the gazetteer join is
+    broadcast, disambiguation is one doc_id-keyed window — the only
+    shuffles are keys-only."""
+    from lib_gdal_spark.functions import cells as C
+    from lib_gdal_spark.operators import toponym as T
+
+    docs = _t(spark, sf_dir, "documents")
+    gaz = T.corpus_gazetteer(docs)
+    res = T.toponym_resolve(docs, gaz)
+    h = C.hex_axial_expr(F.col("lon"), F.col("lat"), 4.0)
+    return res.select(
+        "doc_id", "place", "pop", "lat", "lon", "n_mentions", "n_places",
+        h["q"].alias("hq"), h["r"].alias("hr"))
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -6232,6 +6254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkeys": q_quadkeys,
         "geohash_cells": q_geohash_cells,
         "hexbin_cells": q_hexbin_cells,
+        "toponym_resolve": q_toponym_resolve,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -7976,6 +7999,54 @@ def oracle_sql() -> dict[str, str]:
                 * 4.0, 9) AS center_lon,
           round(CAST(hr AS DOUBLE) * 1.5 * 4.0, 9) AS center_lat
         FROM cells GROUP BY hq, hr
+    """
+
+    # toponym_resolve: the corpus-derived gazetteer + population-prior
+    # disambiguation spelled in SQL — same unrolled 31-polynomial ascii
+    # hash, same row_number tie-break, same hex-lattice key (reuses the
+    # hexbin CASE helpers above).
+    from lib_gdal_spark.operators.toponym import token_hash_sql
+    sqls["toponym_resolve"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS place
+          FROM documents
+        ),
+        vocab AS (
+          SELECT DISTINCT place FROM toks WHERE length(place) >= 5
+        ),
+        gaz AS (
+          SELECT place,
+            (h % 17000) / 100.0 - 85.0 AS lat,
+            ((h * 7919) % 36000) / 100.0 - 180.0 AS lon,
+            h % 1000000 AS pop
+          FROM (SELECT place, {token_hash_sql('place')} AS h FROM vocab)
+          WHERE h % 3 = 0
+        ),
+        hits AS (
+          SELECT t.doc_id, t.place, g.pop, g.lat, g.lon
+          FROM toks t JOIN gaz g USING (place)
+        ),
+        per_place AS (
+          SELECT doc_id, place, pop, lat, lon, count(*) AS mentions
+          FROM hits GROUP BY doc_id, place, pop, lat, lon
+        ),
+        ranked AS (
+          SELECT doc_id, place, pop, lat, lon,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY pop DESC, place ASC) AS rn,
+            CAST(sum(mentions) OVER (PARTITION BY doc_id) AS BIGINT)
+              AS n_mentions,
+            count(*) OVER (PARTITION BY doc_id) AS n_places
+          FROM per_place
+        ),
+        hx AS (
+          SELECT doc_id, place, pop, lat, lon, n_mentions, n_places,
+            {_hex_sql('c', 4.0)}
+          FROM ranked WHERE rn = 1
+        )
+        SELECT doc_id, place, pop, lat, lon, n_mentions, n_places,
+          {_cq} AS hq, {_cr} AS hr
+        FROM hx
     """
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on
