@@ -1375,6 +1375,63 @@ def q_toponym_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         h["q"].alias("hq"), h["r"].alias("hr"))
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot change detection over the input-hint (url,
+    warc_ts) shape: three synthetic crawls of the documents corpus
+    (each crawl drops (doc_id+c)%11==0 urls; doc_id%4==0 pages change
+    content every crawl via an md5 version salt), classified per row as
+    new/changed/unchanged by a url-keyed lag window, plus 'gone' rows
+    for urls absent from the final crawl. md5 is identical across
+    engines, so the oracle replays the exact same hashes."""
+    from lib_gdal_spark.operators import snapshots as S
+
+    docs = _t(spark, sf_dir, "documents")
+    snaps = (docs
+             .select("doc_id", "text",
+                     F.explode(F.sequence(F.lit(0), F.lit(2)))
+                     .alias("crawl"))
+             .filter((F.col("doc_id") + F.col("crawl")) % 11 != 0)
+             .select(
+                 F.concat(F.lit("https://ex.com/"),
+                          F.col("doc_id").cast("string")).alias("url"),
+                 "crawl",
+                 F.md5(F.concat(
+                     F.col("text"), F.lit("|"),
+                     F.when(F.col("doc_id") % 4 == 0, F.col("crawl"))
+                     .otherwise(F.lit(0)).cast("string")))
+                 .alias("content_hash")))
+    return S.snapshot_delta(snaps, last_crawl=2)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic per language: OLS slope/intercept
+    of ln(freq) on ln(rank) over each language's 50 most frequent
+    tokens, plus corpus type/token totals. Slope near -1 is the
+    natural-language signature; template-dominated sources flatten it.
+    The 6-dp rounding absorbs cross-engine ln/accumulation ULP noise
+    (sums run over <=50 doubles)."""
+    from lib_gdal_spark.operators.textops import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_k=50)
+
+
+def q_hex_kring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring expansion pair join (H3-style kRing on the axial
+    lattice): every point pair within 0.45 deg found through a 7-cell
+    ring-1 covering join at R=0.5 — never a cross product. The oracle
+    is the brute-force cross join, so equality PROVES the ring-1
+    covering is complete (max_dist < circumradius bound)."""
+    from lib_gdal_spark.operators.knn import hex_ring_pairs
+
+    # compress the Kronecker point cloud 4x per axis so the 0.45-deg
+    # radius actually captures pairs (9,081 at sf0.01)
+    pts = _points(spark, sf_dir).select(
+        "pid", (F.col("lon") / 4.0).alias("lon"),
+        (F.col("lat") / 4.0).alias("lat"))
+    return hex_ring_pairs(pts, max_dist=0.45, size=0.5)
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -6255,6 +6312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash_cells,
         "hexbin_cells": q_hexbin_cells,
         "toponym_resolve": q_toponym_resolve,
+        "crawl_delta": q_crawl_delta,
+        "zipf_fit": q_zipf_fit,
+        "hex_kring_pairs": q_hex_kring_pairs,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -8047,6 +8107,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, place, pop, lat, lon, n_mentions, n_places,
           {_cq} AS hq, {_cr} AS hr
         FROM hx
+    """
+
+    # crawl_delta: the same three synthetic crawls (md5 is md5 in both
+    # engines), the same url-keyed lag classification, and the gone set
+    # as a HAVING max(crawl) filter.
+    sqls["crawl_delta"] = """
+        WITH snaps AS (
+          SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                 c.crawl AS crawl,
+                 md5(text || '|' || CAST(CASE WHEN doc_id % 4 = 0
+                     THEN c.crawl ELSE 0 END AS VARCHAR)) AS content_hash
+          FROM documents,
+               (SELECT unnest(generate_series(0, 2)) AS crawl) c
+          WHERE (doc_id + c.crawl) % 11 <> 0
+        ),
+        hist AS (
+          SELECT url, crawl,
+            CASE WHEN lag(content_hash) OVER
+                   (PARTITION BY url ORDER BY crawl) IS NULL THEN 'new'
+                 WHEN lag(content_hash) OVER
+                   (PARTITION BY url ORDER BY crawl) = content_hash
+                   THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM snaps
+        ),
+        gone AS (
+          SELECT url, CAST(2 AS BIGINT) AS crawl, 'gone' AS status
+          FROM snaps GROUP BY url HAVING max(crawl) < 2
+        )
+        SELECT url, crawl, status FROM hist
+        UNION ALL SELECT url, crawl, status FROM gone
+    """
+
+    # zipf_fit: identical token counts (regexp split, empty filtered),
+    # identical row_number ranking and closed-form OLS; 6-dp rounding
+    # absorbs ln/accumulation ULP differences between engines.
+    sqls["zipf_fit"] = """
+        WITH toks AS (
+          SELECT lang,
+            unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '')) AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+        ),
+        ranked AS (
+          SELECT lang, tok, c,
+            row_number() OVER (PARTITION BY lang
+                               ORDER BY c DESC, tok ASC) AS rank
+          FROM counts
+        ),
+        fit AS (
+          SELECT lang, count(*) AS n,
+            sum(ln(CAST(rank AS DOUBLE))) AS sx,
+            sum(ln(CAST(c AS DOUBLE))) AS sy,
+            sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+            sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)))
+              AS sxx
+          FROM ranked WHERE rank <= 50 GROUP BY lang
+        ),
+        totals AS (
+          SELECT lang, count(*) AS n_types,
+            CAST(sum(c) AS BIGINT) AS n_tokens
+          FROM counts GROUP BY lang
+        )
+        SELECT f.lang, t.n_types, t.n_tokens,
+          round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+          round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                / CAST(n AS DOUBLE), 6) AS intercept
+        FROM fit f JOIN totals t USING (lang)
+    """
+
+    # hex_kring_pairs: the oracle is the brute-force cross join — NOT
+    # the ring enumeration — so equality proves the ring-1 covering
+    # finds every qualifying pair (completeness, not just agreement).
+    sqls["hex_kring_pairs"] = f"""
+        WITH pts0 AS ({_POINTS_SQL}),
+        pts AS (
+          SELECT pid, lon / 4.0 AS lon, lat / 4.0 AS lat FROM pts0
+        )
+        SELECT a.pid AS pid_a, b.pid AS pid_b,
+          round(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                     + (a.lat - b.lat) * (a.lat - b.lat)), 9) AS dist
+        FROM pts a JOIN pts b ON a.pid < b.pid
+        WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                   + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.45
     """
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on

@@ -350,3 +350,68 @@ def s2_ring_pairs(
         spark = points.sparkSession
         overflow = spark.createDataFrame([], "cell long, n_points long")
     return pairs, overflow
+
+
+HEX_RING1 = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+
+
+def hex_ring_pairs(
+    points: DataFrame,
+    max_dist: float,
+    size: float,
+    id_col: str = "pid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """All point pairs within planar distance ``max_dist`` via the axial
+    hex grid — the hex k-ring expansion join (the "H3 k-ring" shape of
+    the north rule, on the repo's cube-rounded lattice): the probe side
+    emits its home cell plus the 6 ring-1 neighbors, the build side one
+    key, and one equi-join + exact distance re-check finds every pair.
+
+    Completeness: each point lies within one circumradius ``size`` of
+    its cell center (cube-rounding containment), ring-2 cell centers are
+    >= 3*size apart, so ``max_dist < size`` guarantees every qualifying
+    pair's cells are within hex distance 1 — proven against a
+    brute-force oracle in the driver query. Because hex distance between
+    the two home cells is <= 1, exactly ONE probe delta matches per
+    pair: no duplicate candidates, no DISTINCT needed.
+
+    Scale: shuffles only (cell, id, lon, lat) keys — 7x the probe side
+    (vs 9x for the square/S2 ring), never a cross product; dense-cell
+    skew remedies are the same as s2_ring_pairs (smaller ``size``, or
+    mirror its frequency cap)."""
+    if not max_dist < size:
+        raise ValueError("hex_ring_pairs requires max_dist < size "
+                         "(ring-1 completeness bound)")
+    from lib_gdal_spark.functions import cells as C
+
+    h = C.hex_axial_expr(F.col(lon_col), F.col(lat_col), size)
+    pts = points.select(
+        F.col(id_col), F.col(lon_col), F.col(lat_col),
+        h["q"].alias("hq"), h["r"].alias("hr"))
+    deltas = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in HEX_RING1])
+    probe = pts.select(
+        F.col(id_col).alias("pid_a"), F.col(lon_col).alias("lon_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.explode(deltas).alias("d"),
+        F.col("hq"), F.col("hr"),
+    ).select(
+        "pid_a", "lon_a", "lat_a",
+        (F.col("hq") + F.col("d.dq")).alias("jq"),
+        (F.col("hr") + F.col("d.dr")).alias("jr"))
+    build = pts.select(
+        F.col(id_col).alias("pid_b"), F.col(lon_col).alias("lon_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col("hq").alias("jq"), F.col("hr").alias("jr"))
+    dx = F.col("lon_a") - F.col("lon_b")
+    dy = F.col("lat_a") - F.col("lat_b")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (probe.join(build, ["jq", "jr"])
+            .filter(F.col("pid_a") < F.col("pid_b"))
+            .filter(dist <= max_dist)
+            .select("pid_a", "pid_b",
+                    F.round(dist, round_decimals).alias("dist")))

@@ -1557,3 +1557,50 @@ def soundex_nara(name: Column) -> Column:
     )
     sx = F.concat(first, F.rpad(F.substring(walked["out"], 1, 3), 3, "0"))
     return F.when(F.length(up) > 0, sx).otherwise(F.lit(None))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             lang_col: str = "lang", top_k: int = 50) -> DataFrame:
+    """Zipf rank-frequency fit per language: OLS of ln(freq) on
+    ln(rank) over the ``top_k`` most frequent tokens (Zipf 1949; slope
+    near -1 signals natural-language-like token distributions — a
+    corpus-health diagnostic that flags template/boilerplate-dominated
+    sources, whose slopes flatten).
+
+    Returns (lang, n_types, slope, intercept) with slope/intercept
+    rounded to 6 dp (the closed-form OLS sums run over ``top_k`` <= a
+    few hundred doubles, so cross-engine accumulation-order error is
+    far below the rounding grain).
+
+    Scale shape: token counts are a combinable (lang, token) groupBy;
+    ranking is a window over each language's counts where only the
+    top_k survive — at web scale prune with an approximate pre-filter
+    (count >= per-partition threshold) before the window; the fit
+    itself aggregates top_k rows per language. No UDFs."""
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("tok"))
+    counts = (toks.filter(F.col("tok") != "")
+              .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(),
+                                           F.col("tok").asc())
+    ranked = (counts
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= top_k))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"))
+    totals = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"))
+    nf = F.col("n").cast("double")
+    slope = ((nf * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (nf * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / nf
+    return agg.join(totals, "lang").select(
+        "lang", "n_types", "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"))
