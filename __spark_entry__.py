@@ -1432,6 +1432,21 @@ def q_hex_kring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_ring_pairs(pts, max_dist=0.45, size=0.5)
 
 
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (eps=0.2, min_pts=3) over the 8x-compressed
+    point lattice: (pid, role core/border/noise, cluster = min core id
+    of the density-connected component, NULL for noise). At sf0.01 the
+    mix is 8,175 cores / 889 components (max size 10) — the oracle
+    unrolls min-label propagation to a fixed 12 rounds, which the <=10
+    component size makes provably convergent (diameter <= 9)."""
+    from lib_gdal_spark.operators.cluster import dbscan
+
+    pts = _points(spark, sf_dir).select(
+        "pid", (F.col("lon") / 8.0).alias("lon"),
+        (F.col("lat") / 8.0).alias("lat"))
+    return dbscan(pts, eps=0.2, min_pts=3, size=0.25)
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -6315,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "zipf_fit": q_zipf_fit,
         "hex_kring_pairs": q_hex_kring_pairs,
+        "dbscan_clusters": q_dbscan_clusters,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -8196,6 +8212,61 @@ def oracle_sql() -> dict[str, str]:
         FROM pts a JOIN pts b ON a.pid < b.pid
         WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
                    + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.45
+    """
+
+    # dbscan_clusters: brute-force eps-pairs (proves the hex covering
+    # again), degree-threshold cores, then min-label propagation over
+    # core-core edges UNROLLED to 12 fixed rounds — convergent because
+    # the sf0.01 components max out at 10 points (diameter <= 9), so the
+    # fixpoint equals the true connected-component minimum. Border rows
+    # take min(cluster) over core neighbors, mirroring the operator's
+    # deterministic tie-break.
+    _db_prop = ",\n        ".join(
+        f"""l{i + 1} AS MATERIALIZED (
+          SELECT p.pid, least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+          FROM l{i} p
+          LEFT JOIN ce e ON e.u = p.pid
+          LEFT JOIN l{i} q ON q.pid = e.v
+          GROUP BY p.pid, p.lbl
+        )"""
+        for i in range(12))
+    sqls["dbscan_clusters"] = f"""
+        WITH pts0 AS ({_POINTS_SQL}),
+        pts AS MATERIALIZED (
+          SELECT pid, lon / 8.0 AS lon, lat / 8.0 AS lat FROM pts0
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.pid AS pa, b.pid AS pb
+          FROM pts a JOIN pts b ON a.pid < b.pid
+          WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                     + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.2
+        ),
+        sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs
+                UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT u AS pid, count(*) AS n FROM sym GROUP BY u),
+        cores AS MATERIALIZED (SELECT pid FROM deg WHERE n + 1 >= 3),
+        ce AS MATERIALIZED (
+          SELECT s.u, s.v FROM sym s
+          JOIN cores c1 ON c1.pid = s.u
+          JOIN cores c2 ON c2.pid = s.v
+        ),
+        l0 AS MATERIALIZED (SELECT pid, pid AS lbl FROM cores),
+        {_db_prop},
+        bl AS (
+          SELECT s.u AS pid, min(l.lbl) AS cluster
+          FROM sym s
+          JOIN l12 l ON l.pid = s.v
+          WHERE s.u NOT IN (SELECT pid FROM cores)
+          GROUP BY s.u
+        )
+        SELECT p.pid,
+          CASE WHEN c.lbl IS NOT NULL THEN 'core'
+               WHEN b.cluster IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS role,
+          coalesce(c.lbl, b.cluster) AS cluster
+        FROM pts p
+        LEFT JOIN l12 c ON c.pid = p.pid
+        LEFT JOIN bl b ON b.pid = p.pid
     """
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on
