@@ -175,6 +175,9 @@ BENCH = {
     "getis_hotspots": lambda s: _force(E.q_getis_hotspots(s, SF_DIR)),
     "kde_heatmap": lambda s: _force(E.q_kde_heatmap(s, SF_DIR)),
     "ripley_k": lambda s: _force(E.q_ripley_k(s, SF_DIR)),
+    # round-4 session-6 additions
+    "hex_kring_pairs": lambda s: _force(E.q_hex_kring_pairs(s, SF_DIR)),
+    "dbscan_clusters": lambda s: _force(E.q_dbscan_clusters(s, SF_DIR)),
 }
 
 

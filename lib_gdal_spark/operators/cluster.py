@@ -229,7 +229,11 @@ def dbscan(
     sym = pairs.union(pairs.select(F.col("pid_b"), F.col("pid_a")))
     deg = sym.groupBy(F.col("pid_a").alias("id")).agg(
         F.count(F.lit(1)).alias("n_nbrs"))
-    cores = deg.where(F.col("n_nbrs") + 1 >= min_pts).select("id")
+    # keys-only core set, consumed four times (two core-edge joins, the
+    # border anti-join, the label assembly) — checkpoint so the 2x|pairs|
+    # degree aggregate runs once
+    cores = (deg.where(F.col("n_nbrs") + 1 >= min_pts).select("id")
+             .localCheckpoint())
 
     core_edges = (
         sym.join(cores.withColumnRenamed("id", "pid_a"), "pid_a")

@@ -55,6 +55,33 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Bounded-size edge list -> (label, component) via driver union-find.
+
+    Only called on edge sets whose count was just measured to be under
+    the caller's threshold. Emits a row for EVERY label seen on either
+    edge side (a component minimum maps to itself), a superset of the
+    fixpoint path's groupBy("u") — identical after the caller's
+    ``coalesce(component, label)`` contract."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(k, find(k)) for k in parent]
+    from lib_gdal_spark.session import local_df
+    return local_df(e.sparkSession, rows, "label long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,
@@ -71,6 +98,14 @@ def connected_components(
     unbounded round-1 pattern — it saves ~10 Spark jobs of fixed latency
     on small/medium inputs); larger graphs run the large-star/small-star
     rounds, each localCheckpointed to truncate the iterative lineage.
+    Because every star round strictly contracts the edge set (cliques
+    collapse to stars on the first pass), the loop re-checks the count —
+    already computed for the convergence signature — after each round and
+    finishes the residual graph with the same bounded union-find the
+    moment it fits; giant-component graphs (one 100k-core DBSCAN blob)
+    drop from ~8 rounds to 1 round + one sub-threshold collect, and at
+    sizes where the residual never fits the iteration just runs to the
+    fixpoint as before.
     """
     e = edges.select(
         F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
@@ -78,24 +113,7 @@ def connected_components(
 
     n_edges = e.count()
     if n_edges <= driver_threshold:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for r in e.collect():
-            ra, rb = find(r["u"]), find(r["v"])
-            if ra != rb:
-                if ra > rb:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        rows = [(k, find(k)) for k in parent]
-        from lib_gdal_spark.session import local_df
-        spark = edges.sparkSession
-        return local_df(spark, rows, "label long, component long")
+        return _driver_union_find(e)
 
     prev_sig = None
     for _ in range(max_rounds):
@@ -104,6 +122,12 @@ def connected_components(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
         ).first()
+        if sig["n"] <= driver_threshold:
+            # the contracted residual is bounded now — same collect
+            # contract as the top short-circuit, same component minima
+            # (star rounds preserve connectivity over all remaining
+            # labels, and union-find computes the same closure).
+            return _driver_union_find(e2)
         cur_sig = (sig["n"], sig["h"])
         if cur_sig == prev_sig:
             e = e2
