@@ -1447,6 +1447,21 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(pts, eps=0.2, min_pts=3, size=0.25)
 
 
+def q_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Encoded Polyline Format over the point lattice bucketed
+    into 200 tracks (line = pid % 200, vertex order = pid): quantize ->
+    delta -> zigzag -> 5-bit varint chunks, all JVM column math; the
+    oracle spells the identical shift/mask/substr arithmetic and
+    string_agg's in the same vertex order, so equality proves the wire
+    bytes. Spec worked example anchored in tests/test_polyline.py."""
+    from lib_gdal_spark.functions.polyline import polyline_encode
+
+    pts = _points(spark, sf_dir).select(
+        (F.col("pid") % 200).alias("line_id"), F.col("pid").alias("seq"),
+        "lon", "lat")
+    return polyline_encode(pts)
+
+
 def q_rhumb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loxodrome distance + constant compass bearing (the navigation
     companion of the reference's great-circle trio, beyond
@@ -6331,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "hex_kring_pairs": q_hex_kring_pairs,
         "dbscan_clusters": q_dbscan_clusters,
+        "polyline_encode": q_polyline_encode,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -8268,6 +8284,60 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN l12 c ON c.pid = p.pid
         LEFT JOIN bl b ON b.pid = p.pid
     """
+
+    # polyline_encode: the Encoded Polyline wire bytes respelled — same
+    # quantize/delta/zigzag, same unrolled 7-group shift/mask emitter on
+    # the same chr(63..126) alphabet literal, string_agg in vertex order.
+    from lib_gdal_spark.functions.polyline import PL_ALPHA as _PLA
+
+    def _pl_sql(c: str) -> str:
+        terms = []
+        for i in range(7):
+            cond = "TRUE" if i == 0 else f"({c} >> {5 * i}) > 0"
+            more = f"CASE WHEN ({c} >> {5 * (i + 1)}) > 0 THEN 32 ELSE 0 END"
+            terms.append(
+                f"CASE WHEN {cond} THEN substr($PLA$, "
+                f"CAST((({c} >> {5 * i}) & 31) + {more} AS INT) + 1, 1) "
+                f"ELSE '' END")
+        return " || ".join(terms)
+
+    sqls["polyline_encode"] = f"""
+        WITH pts AS ({_POINTS_SQL}),
+        q AS (
+          SELECT pid % 200 AS line_id, pid AS seq,
+            CAST(CASE WHEN lat * 100000.0 >= 0
+                 THEN floor(lat * 100000.0 + 0.5)
+                 ELSE -floor(-lat * 100000.0 + 0.5) END AS BIGINT) AS qlat,
+            CAST(CASE WHEN lon * 100000.0 >= 0
+                 THEN floor(lon * 100000.0 + 0.5)
+                 ELSE -floor(-lon * 100000.0 + 0.5) END AS BIGINT) AS qlon
+          FROM pts
+        ),
+        d AS (
+          SELECT line_id, seq,
+            qlat - coalesce(lag(qlat) OVER
+              (PARTITION BY line_id ORDER BY seq), 0) AS dlat,
+            qlon - coalesce(lag(qlon) OVER
+              (PARTITION BY line_id ORDER BY seq), 0) AS dlon
+          FROM q
+        ),
+        s AS (
+          SELECT line_id, seq,
+            CASE WHEN dlat < 0 THEN -(dlat * 2) - 1
+                 ELSE dlat * 2 END AS svlat,
+            CASE WHEN dlon < 0 THEN -(dlon * 2) - 1
+                 ELSE dlon * 2 END AS svlon
+          FROM d
+        ),
+        e AS (
+          SELECT line_id, seq,
+            ({_pl_sql('svlat')}) || ({_pl_sql('svlon')}) AS enc
+          FROM s
+        )
+        SELECT line_id, CAST(count(*) AS BIGINT) AS n_pts,
+               string_agg(enc, '' ORDER BY seq) AS polyline
+        FROM e GROUP BY line_id
+    """.replace("$PLA$", "'" + _PLA + "'")
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on
     # the same literal alphabets, identical integer div/mod chain); the
