@@ -3449,6 +3449,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / TrustRank (teleport + dangling mass land
+    only on the seed set node % 60 == 7) on the same 300-node functional
+    link graph as pagerank; same exact int64 fixed-point arithmetic,
+    oracle = the seeded power iteration unrolled as a CTE chain."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    seeds = spark.range(0, 300).where(F.col("id") % 60 == 7).select(
+        F.col("id").alias("node"))
+    return GG.personalized_pagerank(e1.unionByName(e2), seeds)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (4 iterations, L1-normalized
     fixed point) on the same 300-node functional link graph as pagerank;
@@ -6479,6 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -12200,6 +12220,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, CAST(r AS BIGINT) AS rank_units,
                round(r / {float(_pr_scale)!r}, 9) AS rank
         FROM r4"""
+    )
+
+    # trustrank: the seeded variant — teleport AND dangling mass land
+    # only on seeds (node % 60 = 7); same int64 floor arithmetic.
+    _tr_parts = list(_pr_parts[:4]) + [
+        "sd AS (SELECT node FROM nodes WHERE node % 60 = 7)",
+        "nsd AS (SELECT count(*) AS n FROM sd)",
+        f"""r0t AS (SELECT node,
+              CASE WHEN node IN (SELECT node FROM sd)
+                   THEN CAST({_pr_scale} AS BIGINT) // (SELECT n FROM nsd)
+                   ELSE CAST(0 AS BIGINT) END AS r
+            FROM nodes)""",
+    ]
+    for _i in range(4):
+        _tr_parts += [
+            f"""dangt{_i} AS (
+              SELECT coalesce(sum(r), 0) AS s FROM r{_i}t
+              LEFT JOIN deg ON r{_i}t.node = deg.u WHERE deg.d IS NULL)""",
+            f"""inft{_i} AS (
+              SELECT e.v AS node, sum(r{_i}t.r // deg.d) AS s
+              FROM e JOIN r{_i}t ON e.u = r{_i}t.node
+                     JOIN deg ON deg.u = e.u
+              GROUP BY e.v)""",
+            f"""r{_i + 1}t AS (
+              SELECT nodes.node,
+                CASE WHEN nodes.node IN (SELECT node FROM sd)
+                THEN (15 * CAST({_pr_scale} AS BIGINT))
+                       // (100 * (SELECT n FROM nsd))
+                     + (85 * (coalesce(inft{_i}.s, 0)
+                        + (SELECT s FROM dangt{_i})
+                          // (SELECT n FROM nsd))) // 100
+                ELSE (85 * coalesce(inft{_i}.s, 0)) // 100 END AS r
+              FROM nodes LEFT JOIN inft{_i} USING (node))""",
+        ]
+    sqls["trustrank"] = (
+        "WITH " + ",\n".join(_tr_parts)
+        + f"""
+        SELECT node, node IN (SELECT node FROM sd) AS is_seed,
+               CAST(r AS BIGINT) AS rank_units,
+               round(r / {float(_pr_scale)!r}, 9) AS rank
+        FROM r4t"""
     )
 
     # exact_quantiles: DuckDB's native quantile_disc is the independent

@@ -179,6 +179,7 @@ BENCH = {
     "hex_kring_pairs": lambda s: _force(E.q_hex_kring_pairs(s, SF_DIR)),
     "dbscan_clusters": lambda s: _force(E.q_dbscan_clusters(s, SF_DIR)),
     "polyline_encode": lambda s: _force(E.q_polyline_encode(s, SF_DIR)),
+    "trustrank": lambda s: _force(E.q_trustrank(s, SF_DIR)),
 }
 
 

@@ -1,0 +1,66 @@
+"""Personalized PageRank / TrustRank: seeded teleport semantics —
+unreachable nodes get exactly 0, mass stays bounded by scale, seeds
+outside the graph are ignored, and an all-outside seed set raises."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators.graph import pagerank, personalized_pagerank
+from lib_gdal_spark.session import local_df
+
+
+def _edges(spark, pairs):
+    return local_df(spark, [(int(u), int(v)) for u, v in pairs],
+                    "u long, v long")
+
+
+def _seeds(spark, ids):
+    return local_df(spark, [(int(i),) for i in ids], "node long")
+
+
+def test_unreachable_island_gets_zero(spark):
+    # component A: 1 -> 2 -> 3 -> 1 (seeded); island B: 10 -> 11 -> 10
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)])
+    out = {r["node"]: r for r in
+           personalized_pagerank(e, _seeds(spark, [1])).collect()}
+    assert out[1]["is_seed"] and out[1]["rank_units"] > 0
+    assert out[2]["rank_units"] > 0 and out[3]["rank_units"] > 0
+    assert out[10]["rank_units"] == 0
+    assert out[11]["rank_units"] == 0
+    total = sum(r["rank_units"] for r in out.values())
+    assert 0 < total <= 10**12  # floor-division loss only
+
+
+def test_uniform_seed_set_matches_plain_pagerank(spark):
+    # seeding EVERY node reproduces plain pagerank exactly (same n, same
+    # integer arithmetic) — the strongest cross-check of the shared core
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    all_nodes = _seeds(spark, [1, 2, 3, 4])
+    pp = {r["node"]: r["rank_units"]
+          for r in personalized_pagerank(e, all_nodes).collect()}
+    pr = {r["node"]: r["rank_units"] for r in pagerank(e).collect()}
+    assert pp == pr
+
+
+def test_outside_seeds_ignored_and_all_outside_raises(spark):
+    e = _edges(spark, [(1, 2), (2, 1)])
+    # 999 is not a graph node: ignored, so this equals seeding {1} alone
+    a = sorted(map(tuple,
+                   personalized_pagerank(e, _seeds(spark, [1, 999])).collect()))
+    b = sorted(map(tuple,
+                   personalized_pagerank(e, _seeds(spark, [1])).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, _seeds(spark, [999]))
+
+
+def test_dangling_mass_returns_to_seeds(spark):
+    # 1 -> 2, 2 dangling: every drop of 2's rank must flow back to the
+    # seed (1), never to non-seed nodes; node 3 is reachable only from 2.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    # make 3 dangling instead: 1 -> 2 -> 3, seed {1}
+    out = {r["node"]: r["rank_units"] for r in
+           personalized_pagerank(e, _seeds(spark, [1]), n_iters=8).collect()}
+    # ranks decay along the chain; the dangling node keeps arriving mass
+    assert out[1] > out[2] > 0
+    assert out[3] > 0
