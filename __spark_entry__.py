@@ -1385,22 +1385,71 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the oracle replays the exact same hashes."""
     from lib_gdal_spark.operators import snapshots as S
 
+    return S.snapshot_delta(_snaps_fixture(spark, sf_dir), last_crawl=2)
+
+
+def _snaps_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl_delta snapshot fixture, shared with url_history."""
     docs = _t(spark, sf_dir, "documents")
-    snaps = (docs
-             .select("doc_id", "text",
-                     F.explode(F.sequence(F.lit(0), F.lit(2)))
-                     .alias("crawl"))
-             .filter((F.col("doc_id") + F.col("crawl")) % 11 != 0)
-             .select(
-                 F.concat(F.lit("https://ex.com/"),
-                          F.col("doc_id").cast("string")).alias("url"),
-                 "crawl",
-                 F.md5(F.concat(
-                     F.col("text"), F.lit("|"),
-                     F.when(F.col("doc_id") % 4 == 0, F.col("crawl"))
-                     .otherwise(F.lit(0)).cast("string")))
-                 .alias("content_hash")))
-    return S.snapshot_delta(snaps, last_crawl=2)
+    return (docs
+            .select("doc_id", "text",
+                    F.explode(F.sequence(F.lit(0), F.lit(2)))
+                    .alias("crawl"))
+            .filter((F.col("doc_id") + F.col("crawl")) % 11 != 0)
+            .select(
+                F.concat(F.lit("https://ex.com/"),
+                         F.col("doc_id").cast("string")).alias("url"),
+                "crawl",
+                F.md5(F.concat(
+                    F.col("text"), F.lit("|"),
+                    F.when(F.col("doc_id") % 4 == 0, F.col("crawl"))
+                    .otherwise(F.lit(0)).cast("string")))
+                .alias("content_hash")))
+
+
+def q_url_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over the same three-crawl fixture as
+    crawl_delta: consecutive same-hash captures collapse to one
+    (url, version, content_hash, from_crawl, to_crawl, n_captures,
+    is_current) row — the time-travel side of snapshot change
+    detection. Pure url-keyed windows, identical SQL in the oracle."""
+    from lib_gdal_spark.operators import snapshots as S
+
+    return S.snapshot_intervals(_snaps_fixture(spark, sf_dir))
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (deterministic min-tie synchronous
+    LPA, 4 rounds) on a planted-partition graph: 15 blocks of 20 nodes,
+    each block a degree-8 circulant (+1..+4 chords), blocks joined in a
+    sparse ring by one bridge edge each. LPA recovers the 15 blocks
+    EXACTLY (purity 1.0) while connected components would see ONE
+    component — asserted in tests/test_lpa.py. Oracle unrolls the
+    vote/count/rank rounds."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300)
+    blk = F.floor(F.col("id") / 20)
+    e = None
+    for d in (1, 2, 3, 4):
+        ed = r.select(F.col("id").alias("u"),
+                      (blk * 20 + (F.col("id") + d) % 20).alias("v"))
+        e = ed if e is None else e.unionByName(ed)
+    bridges = r.where(F.col("id") % 20 == 0).select(
+        F.col("id").alias("u"), ((F.col("id") + 20) % 300).alias("v"))
+    return GG.lpa_communities(e.unionByName(bridges))
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (priority sampling,
+    Duffield-Lund-Thorup JACM'07): 25 docs per source, weight =
+    character length — the exact-double u=(h+1)/2^53 and the single
+    IEEE division make the sample bit-reproducible in both engines."""
+    from lib_gdal_spark.operators import mixing as MX
+
+    docs = _t(spark, sf_dir, "documents")
+    return MX.priority_sample(
+        docs, k=25, weight_col=F.length("text"), group_col="source")
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6366,6 +6415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_pairs": q_hex_kring_pairs,
         "dbscan_clusters": q_dbscan_clusters,
         "polyline_encode": q_polyline_encode,
+        "url_history": q_url_history,
+        "lpa_communities": q_lpa_communities,
+        "priority_sample": q_priority_sample,
         "vincenty_distance": q_vincenty_distance,
         "s2_cells": q_s2_cells,
         "event_funnel": q_event_funnel,
@@ -8191,6 +8243,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, crawl, status FROM hist
         UNION ALL SELECT url, crawl, status FROM gone
     """
+
+    # url_history: the SCD2 collapse — same change-flag lag window,
+    # same running-sum version id, same min/max/count per run.
+    sqls["url_history"] = """
+        WITH snaps AS (
+          SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                 c.crawl AS crawl,
+                 md5(text || '|' || CAST(CASE WHEN doc_id % 4 = 0
+                     THEN c.crawl ELSE 0 END AS VARCHAR)) AS content_hash
+          FROM documents,
+               (SELECT unnest(generate_series(0, 2)) AS crawl) c
+          WHERE (doc_id + c.crawl) % 11 <> 0
+        ),
+        flags AS (
+          SELECT url, crawl, content_hash,
+            CASE WHEN lag(content_hash) OVER w IS NULL
+                   OR lag(content_hash) OVER w <> content_hash
+                 THEN 1 ELSE 0 END AS chg
+          FROM snaps
+          WINDOW w AS (PARTITION BY url ORDER BY crawl)
+        ),
+        runs AS (
+          SELECT url, crawl, content_hash,
+            sum(chg) OVER (PARTITION BY url ORDER BY crawl) AS version
+          FROM flags
+        ),
+        iv AS (
+          SELECT url, version, min(content_hash) AS content_hash,
+                 min(crawl) AS from_crawl, max(crawl) AS to_crawl,
+                 CAST(count(*) AS BIGINT) AS n_captures
+          FROM runs GROUP BY url, version
+        )
+        SELECT url, version, content_hash, from_crawl, to_crawl,
+               n_captures,
+               version = max(version) OVER (PARTITION BY url) AS is_current
+        FROM iv
+    """
+
+    # lpa_communities: the synchronous min-tie vote unrolled — per
+    # round, neighbor labels + one self vote, count, row_number ordered
+    # (count DESC, label ASC).
+    _lpa_parts = [
+        """eraw AS (
+          SELECT i AS u, (i // 20) * 20 + (i + d) % 20 AS v
+          FROM range(0, 300) t(i), (SELECT unnest([1, 2, 3, 4]) AS d)
+          UNION ALL
+          SELECT i AS u, (i + 20) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 20 = 0
+        )""",
+        """sym AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM eraw WHERE u <> v
+            UNION ALL
+            SELECT v AS u, u AS v FROM eraw WHERE u <> v
+          )
+        )""",
+        "lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)",
+    ]
+    for _i in range(4):
+        _lpa_parts.append(f"""lp{_i + 1} AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER
+              (PARTITION BY node ORDER BY n DESC, lbl) AS rk
+            FROM (
+              SELECT node, lbl, count(*) AS n FROM (
+                SELECT s.u AS node, l.lbl
+                FROM sym s JOIN lp{_i} l ON l.node = s.v
+                UNION ALL SELECT node, lbl FROM lp{_i}
+              ) GROUP BY node, lbl
+            )
+          ) WHERE rk = 1
+        )""")
+    sqls["lpa_communities"] = (
+        "WITH " + ",\n".join(_lpa_parts)
+        + "\nSELECT node, lbl AS community FROM lp4"
+    )
+
 
     # zipf_fit: identical token counts (regexp split, empty filtered),
     # identical row_number ranking and closed-form OLS; 6-dp rounding
@@ -11812,6 +11941,29 @@ def oracle_sql() -> dict[str, str]:
                  ({_mix_sql("doc_id", 9001)}) // 2048 AS h
           FROM documents
         ) WHERE h < {_rate_case}
+    """
+
+    # priority_sample: u = (splitmix53 + 1) / 2^53 is an exact double,
+    # p = w / u one IEEE division — both engines produce the same bits,
+    # so rank order (p DESC, doc_id) is identical.
+    sqls["priority_sample"] = f"""
+        WITH x AS (
+          SELECT doc_id, source,
+            CAST(length(text) AS DOUBLE) AS weight,
+            CAST(length(text) AS DOUBLE)
+              / (CAST((({_mix_sql("doc_id", 7331)}) // 2048) + 1 AS DOUBLE)
+                 / {float(1 << 53)!r}) AS p
+          FROM documents
+        ),
+        rk AS (
+          SELECT doc_id, source, weight, p,
+            row_number() OVER
+              (PARTITION BY source ORDER BY p DESC, doc_id) AS rk
+          FROM x
+        )
+        SELECT doc_id, source, weight, round(p, 6) AS priority,
+               CAST(rk AS INT) AS rk
+        FROM rk WHERE rk <= 25
     """
     # sample_temperature: rates recomputed in SQL — pow per source, the
     # power sum folded over the SORTED source list (list_reduce left

@@ -180,6 +180,9 @@ BENCH = {
     "dbscan_clusters": lambda s: _force(E.q_dbscan_clusters(s, SF_DIR)),
     "polyline_encode": lambda s: _force(E.q_polyline_encode(s, SF_DIR)),
     "trustrank": lambda s: _force(E.q_trustrank(s, SF_DIR)),
+    "url_history": lambda s: _force(E.q_url_history(s, SF_DIR)),
+    "lpa_communities": lambda s: _force(E.q_lpa_communities(s, SF_DIR)),
+    "priority_sample": lambda s: _force(E.q_priority_sample(s, SF_DIR)),
 }
 
 

@@ -500,3 +500,52 @@ def personalized_pagerank(
         F.col("r").alias("rank_units"),
         F.round(F.col("r") / scale, 9).alias("rank"),
     )
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by label propagation (Raghavan, Albert &
+    Kumara 2007), in the deterministic synchronous variant every engine
+    can replay: each round, a node's vote multiset is its neighbors'
+    labels plus ONE self vote (damps the bipartite oscillation of pure
+    LPA), and the winner is the most frequent label with ties to the
+    MINIMUM label — the paper's random tie-break made order-free. Fixed
+    ``rounds`` (data-independent, so the oracle unrolls it); labels
+    start as node ids; edges are treated as undirected.
+
+    Returns (node, community). Scale shape: per round, one equi-join of
+    the label table onto the symmetrized edge list + one combinable
+    (node, label) count + one rank window keyed by node — all shuffles
+    carry (long, long) keys only; lineage truncated per round. The
+    component minimum is NOT guaranteed (communities are denser than
+    components); use connected_components for reachability semantics.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("u"),
+        F.col(edges.columns[1]).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "lbl")
+        )
+        votes = nbr.unionByName(labels)          # + one self vote
+        counts = votes.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("n"))
+        labels = (
+            counts.withColumn("__rk", F.row_number().over(win))
+            .where(F.col("__rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -458,3 +458,50 @@ def sample_temperature(
         rate_col = F.when(F.col(source_col) == s, F.lit(r)) \
             .otherwise(rate_col)
     return kept.withColumn("keep_rate", rate_col)
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: Column | str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    stream: int = 7331,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group, via
+    priority sampling (Duffield, Lund & Thorup, JACM 2007): each row
+    draws u_i in (0, 1] and gets priority p_i = w_i / u_i; the k highest
+    priorities per group are the sample. Inclusion probability is
+    proportional-to-weight in expectation, and the scheme is the
+    published variance-optimal one for subset-sum estimation.
+
+    Determinism contract (cross-engine oracle-able, unlike the classic
+    Efraimidis-Spirakis u^(1/w) key, whose pow/log differ across libms):
+    u_i = (hash53(id) + 1) / 2^53 is an EXACT double (numerator <= 2^53,
+    power-of-two denominator), and p_i = w_i / u_i is ONE correctly-
+    rounded IEEE division — bit-identical in the JVM and DuckDB. Ties
+    break on id.
+
+    Scale shape: the hash is a narrow Arrow map; per-group top-k is one
+    rank window keyed by ``group_col`` (keys-only shuffle). A group's
+    rows land on one task — same contract as every per-source mixer
+    here; salt-and-merge if one source dominates the corpus.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = _hash53(id_col, stream, seed)
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(M53))
+    p = w.cast("double") / u
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__p").desc(), F.col(id_col))
+    return (
+        docs.withColumn("__p", p)
+        .withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .select(
+            F.col(id_col), F.col(group_col),
+            w.cast("double").alias("weight"),
+            F.round(F.col("__p"), 6).alias("priority"),
+            F.col("__rk").alias("rk"),
+        )
+    )

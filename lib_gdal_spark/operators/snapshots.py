@@ -51,3 +51,42 @@ def snapshot_delta(snaps: DataFrame, last_crawl: int,
     return (snapshot_history(snaps, key_col, crawl_col, hash_col)
             .unionByName(snapshot_gone(snaps, last_crawl,
                                        key_col, crawl_col)))
+
+
+def snapshot_intervals(snaps: DataFrame, key_col: str = "url",
+                       crawl_col: str = "crawl",
+                       hash_col: str = "content_hash") -> DataFrame:
+    """SCD2-style version history: consecutive same-hash captures of a
+    url collapse into one validity row —
+    (url, version, content_hash, from_crawl, to_crawl, n_captures,
+    is_current) — version numbering from 1 in capture order and
+    ``is_current`` marking each url's latest version. The time-travel
+    companion of :func:`snapshot_history`: joining a crawl id against
+    [from_crawl, to_crawl] reconstructs the corpus as of that crawl
+    without scanning every capture.
+
+    Shape: one lag window to flag content changes, one running-sum
+    window for the version id (both keyed by url — keys-only shuffle,
+    payload hashes never move), then a combinable groupBy(url, version)
+    and one max window for the current flag. No UDFs.
+    """
+    w = Window.partitionBy(key_col).orderBy(crawl_col)
+    prev = F.lag(hash_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(hash_col)),
+                 F.lit(1)).otherwise(F.lit(0))
+    runs = snaps.select(
+        key_col, crawl_col, hash_col,
+        F.sum(chg).over(w).alias("version"),
+    )
+    iv = runs.groupBy(key_col, "version").agg(
+        F.min_by(hash_col, crawl_col).alias(hash_col),
+        F.min(crawl_col).alias("from_crawl"),
+        F.max(crawl_col).alias("to_crawl"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    wk = Window.partitionBy(key_col)
+    return iv.select(
+        key_col, "version", hash_col, "from_crawl", "to_crawl",
+        "n_captures",
+        (F.col("version") == F.max("version").over(wk)).alias("is_current"),
+    )
