@@ -442,6 +442,15 @@ def _dem_pixels(spark: SparkSession, op: str, round_to: int | None) -> DataFrame
     return ex.select("px", "py", val.alias(op))
 
 
+def q_dem_flowdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESRI D8 flow direction (Jenson & Domingue 1988) over the
+    world4326 fixture via the same distributed 3x3 halo exchange as the
+    gdaldem kernels; codes E=1..NE=128, flats/pits 0, ties to the lowest
+    code. The oracle spells the eight drop/distance slopes and the
+    first-match CASE chain (same tie-break)."""
+    return _dem_pixels(spark, "flowdir", round_to=None)
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
     60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
@@ -4527,6 +4536,25 @@ def q_gpx_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "ele double")
 
 
+def q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pair counts (Small 1973) on a functional 1000-host
+    edge list (h -> (7h+1)%1000, h -> (13h+5)%1000, and every third host
+    h -> (29h+11)%1000): distinct-source pairs linking both targets,
+    out-degree capped at 10. Oracle = the same self equi-join."""
+    from lib_gdal_spark.operators import links as LK
+
+    r = spark.range(0, 1000)
+    e = (r.select(F.col("id").alias("src"),
+                  ((F.col("id") * 7 + 1) % 1000).alias("dst"))
+         .unionByName(r.select(
+             F.col("id").alias("src"),
+             ((F.col("id") * 13 + 5) % 1000).alias("dst")))
+         .unionByName(r.where(F.col("id") % 3 == 0).select(
+             F.col("id").alias("src"),
+             ((F.col("id") * 29 + 11) % 1000).alias("dst"))))
+    return LK.co_citation(e, max_out_degree=10)
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph from raw HTML: href regexp_extract_all +
     host parse + keys-only edge aggregate, all JVM-side. Pages are
@@ -6481,6 +6509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tri": q_dem_tri,
         "dem_tpi": q_dem_tpi,
         "dem_roughness": q_dem_roughness,
+        "dem_flowdir": q_dem_flowdir,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
@@ -6575,6 +6604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrap_dateline": q_wrap_dateline,
         "zonal_stats": q_zonal_stats,
         "link_graph": q_link_graph,
+        "co_citation": q_co_citation,
         "gpx_track_points": q_gpx_track_points,
         "gtiff_roundtrip": q_gtiff_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
@@ -12598,6 +12628,26 @@ def oracle_sql() -> dict[str, str]:
         f"round(greatest({_win9}) - least({_win9}), 6) AS roughness"
     )
 
+    # dem_flowdir: the eight drop/distance slopes and the first-match
+    # CASE chain in the kernel's neighbor order (E, SE, S, SW, W, NW, N,
+    # NE == codes ascending), which IS np.argmax's first-occurrence
+    # tie-break; sqrt(2) is one correctly-rounded double both engines
+    # share.
+    _d8 = [("(e - f)", 1, False), ("(e - i)", 2, True),
+           ("(e - h)", 4, False), ("(e - g)", 8, True),
+           ("(e - d)", 16, False), ("(e - a)", 32, True),
+           ("(e - b)", 64, False), ("(e - c)", 128, True)]
+    _d8s = [f"({drop} / sqrt(2.0))" if diag else drop
+            for drop, _, diag in _d8]
+    _d8max = "greatest(" + ", ".join(_d8s) + ")"
+    _d8case = " ".join(
+        f"WHEN {s} = {_d8max} THEN {code}"
+        for s, (_, code, _) in zip(_d8s, _d8))
+    sqls["dem_flowdir"] = _win_oracle(
+        f"CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END AS BIGINT)"
+        " AS flowdir"
+    )
+
     sqls["translate_auto"] = """
         SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
                CAST(2 * x.px + 2 * y.py + 1 AS BIGINT) AS v
@@ -13364,6 +13414,28 @@ def oracle_sql() -> dict[str, str]:
 
     # link_graph: independent closed-form reproduction of the edge list
     # (the Spark side must get there through the href regex on real HTML).
+    # co_citation: same functional edges, same distinct/degree-cap/self
+    # equi-join.
+    sqls["co_citation"] = """
+        WITH e AS (
+          SELECT i AS src, (i * 7 + 1) % 1000 AS dst
+          FROM range(0, 1000) t(i)
+          UNION ALL
+          SELECT i AS src, (i * 13 + 5) % 1000 AS dst
+          FROM range(0, 1000) t(i)
+          UNION ALL
+          SELECT i AS src, (i * 29 + 11) % 1000 AS dst
+          FROM range(0, 1000) t(i) WHERE i % 3 = 0
+        ),
+        d AS (SELECT DISTINCT src AS s, dst AS t FROM e),
+        keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 10),
+        k AS (SELECT d.s, d.t FROM d JOIN keep USING (s))
+        SELECT a.t AS dst_a, b.t AS dst_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM k a JOIN k b ON a.s = b.s AND a.t < b.t
+        GROUP BY 1, 2
+    """
+
     sqls["link_graph"] = """
         WITH p AS (
           SELECT id % 1000 AS src, (id * 7 + 1) % 1000 AS d1,

@@ -183,6 +183,8 @@ BENCH = {
     "url_history": lambda s: _force(E.q_url_history(s, SF_DIR)),
     "lpa_communities": lambda s: _force(E.q_lpa_communities(s, SF_DIR)),
     "priority_sample": lambda s: _force(E.q_priority_sample(s, SF_DIR)),
+    "dem_flowdir": lambda s: _force(E.q_dem_flowdir(s, SF_DIR)),
+    "co_citation": lambda s: _force(E.q_co_citation(s, SF_DIR)),
 }
 
 

@@ -299,6 +299,27 @@ def roughness_kernel(arr, ewres, nsres):
     return win.max(axis=0) - win.min(axis=0)
 
 
+def flowdir_kernel(arr, ewres, nsres):
+    """ESRI D8 flow direction (Jenson & Domingue 1988; the hydrology
+    companion of the gdaldem family — the reference stops at slope/
+    aspect): steepest descent among the 8 neighbors, drop divided by
+    sqrt(2) on diagonals, encoded E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64
+    NE=128 with flats and pits (no positive drop) = 0. Ties take the
+    LOWEST code (argmax first-occurrence over the ascending code list) —
+    a fixed rule instead of ESRI's unspecified one, so the result is
+    engine-reproducible."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    s2 = float(np.sqrt(2.0))
+    # (neighbor, code, distance); y grows downward, so h is SOUTH
+    nbrs = [(f, 1, 1.0), (i, 2, s2), (h, 4, 1.0), (g, 8, s2),
+            (d, 16, 1.0), (a, 32, s2), (b, 64, 1.0), (c, 128, s2)]
+    slopes = np.stack([(e - z) / dist for z, _, dist in nbrs])
+    best = slopes.max(axis=0)
+    codes = np.array([c0 for _, c0, _ in nbrs], dtype=np.float64)
+    out = codes[slopes.argmax(axis=0)]
+    return np.where(best <= 0.0, 0.0, out)
+
+
 KERNELS = {
     "slope": slope_kernel,
     "aspect": aspect_kernel,
@@ -313,6 +334,7 @@ KERNELS = {
     "tri": tri_kernel,
     "tpi": tpi_kernel,
     "roughness": roughness_kernel,
+    "flowdir": flowdir_kernel,
 }
 
 

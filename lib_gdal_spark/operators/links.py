@@ -89,3 +89,57 @@ def anchor_text_pairs(pages: DataFrame, url_col: str = "url",
         F.explode(anchor_texts(F.col(html_col))).alias("a"),
     ).select("src_host", F.col("a.href").alias("href"),
              F.col("a.anchor").alias("anchor"))
+
+
+def co_citation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_out_degree: int = 1000,
+) -> DataFrame:
+    """Co-citation counts (Small 1973, the web-graph similarity classic):
+    for every unordered page pair (a, b), how many distinct sources link
+    BOTH — the "cited together" signal HITS/SALSA build on. Returns
+    (dst_a, dst_b, n_common) with dst_a < dst_b.
+
+    Scale shape: one distinct on (src, dst), one combinable out-degree
+    count, then the per-source pair explode — quadratic ONLY in a single
+    source's out-degree, which ``max_out_degree`` caps (sources above it
+    are dropped, the standard hub-cutoff; a nav-bar hub linking 10^4
+    pages contributes 10^8 meaningless pairs otherwise). The pair join
+    itself is a self equi-join on src — never a cross product.
+    """
+    d = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).distinct()
+    deg = d.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    kept = d.join(
+        deg.where(F.col("__deg") <= max_out_degree).select("s"), "s")
+    a = kept.select("s", F.col("t").alias("dst_a"))
+    b = kept.select("s", F.col("t").alias("dst_b"))
+    return (
+        a.join(b, "s")
+        .where(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): for every source pair, how
+    many distinct targets BOTH link — co_citation on the transposed
+    graph. Returns (src_a, src_b, n_common); ``max_in_degree`` caps the
+    per-target explode (a page cited by everyone pairs everyone)."""
+    out = co_citation(
+        edges.select(F.col(dst_col).alias("src"),
+                     F.col(src_col).alias("dst")),
+        max_out_degree=max_in_degree,
+    )
+    return out.select(
+        F.col("dst_a").alias("src_a"), F.col("dst_b").alias("src_b"),
+        "n_common")
