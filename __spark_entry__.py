@@ -1490,6 +1490,46 @@ def q_hex_kring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_ring_pairs(pts, max_dist=0.45, size=0.5)
 
 
+def _skewed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City-skew fixture: 80% of points pile into cell 0, the rest
+    spread over cells 1..99 — the hot-key shape the north rule's
+    salting clause targets."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "pid", "lon", "lat",
+        F.when(F.col("pid") % 5 != 0, F.lit(0))
+        .otherwise(F.col("pid") % 100).cast("long").alias("cell"))
+
+
+def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell salted join (the north rule's cell-key salting made
+    first-class): the 80%-in-one-cell point table joins a 100-row cell
+    dim through skew.salted_join (n_salt=8 — the big side salts on a
+    row hash, the dim replicates 8x), spreading the hot cell across 8
+    shuffle partitions. The oracle is the PLAIN join, so equality
+    proves salting is semantically invisible."""
+    from lib_gdal_spark.operators.skew import salted_join
+
+    pts = _skewed_cells(spark, sf_dir)
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("cell"),
+        (F.col("id") * 31 % 97).alias("zone"),
+        F.concat(F.lit("region-"), (F.col("id") % 7).cast("string"))
+        .alias("region"))
+    out = salted_join(pts.select("pid", "cell"), dim, "cell", n_salt=8)
+    return out.select("pid", "cell", "zone", "region")
+
+
+def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection over the same skewed fixture: cells whose row
+    count exceeds 10x the mean cell count (one combinable aggregation
+    pass) — the trigger side of the salting remedy."""
+    from lib_gdal_spark.operators.skew import detect_hot_keys
+
+    return detect_hot_keys(_skewed_cells(spark, sf_dir), "cell",
+                           threshold_ratio=10.0)
+
+
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed DBSCAN (eps=0.2, min_pts=3) over the 8x-compressed
     point lattice: (pid, role core/border/noise, cluster = min core id
@@ -6443,6 +6483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_pairs": q_hex_kring_pairs,
         "dbscan_clusters": q_dbscan_clusters,
         "polyline_encode": q_polyline_encode,
+        "salted_hot_join": q_salted_hot_join,
+        "hot_cells": q_hot_cells,
         "url_history": q_url_history,
         "lpa_communities": q_lpa_communities,
         "priority_sample": q_priority_sample,
@@ -8517,6 +8559,33 @@ def oracle_sql() -> dict[str, str]:
                string_agg(enc, '' ORDER BY seq) AS polyline
         FROM e GROUP BY line_id
     """.replace("$PLA$", "'" + _PLA + "'")
+
+    # salted_hot_join: the oracle is the UNSALTED plain join — equality
+    # proves the salting round-trip changes nothing. hot_cells: the same
+    # count/mean/threshold pass.
+    _skew_cells_sql = f"""
+        WITH pts0 AS ({_POINTS_SQL}),
+        pts AS (
+          SELECT pid, CAST(CASE WHEN pid % 5 <> 0 THEN 0
+                           ELSE pid % 100 END AS BIGINT) AS cell
+          FROM pts0
+        )"""
+    sqls["salted_hot_join"] = f"""
+        {_skew_cells_sql},
+        dim AS (
+          SELECT i AS cell, (i * 31) % 97 AS zone,
+                 'region-' || CAST(i % 7 AS VARCHAR) AS region
+          FROM range(0, 100) t(i)
+        )
+        SELECT p.pid, p.cell, d.zone, d.region
+        FROM pts p JOIN dim d USING (cell)
+    """
+    sqls["hot_cells"] = f"""
+        {_skew_cells_sql},
+        counts AS (SELECT cell, count(*) AS n FROM pts GROUP BY cell)
+        SELECT cell, CAST(n AS BIGINT) AS n FROM counts
+        WHERE n > (SELECT avg(n) FROM counts) * 10.0
+    """
 
     # mgrs_cells: the NGA lettering arithmetic spelled in SQL (substr on
     # the same literal alphabets, identical integer div/mod chain); the

@@ -1,53 +1,65 @@
-"""Salting / skew machinery: identical results, spread load."""
+"""Skew machinery: salted_join semantic transparency (inner + left,
+unmatched keys, duplicate rows), the how-guard, detect_hot_keys on a
+planted hot key, and spatial_repartition count preservation."""
 
-from __future__ import annotations
-
+import pytest
 from pyspark.sql import functions as F
 
-from lib_gdal_spark.operators import skew as SK
+from lib_gdal_spark.operators.skew import (
+    detect_hot_keys,
+    salted_join,
+    spatial_repartition,
+)
+from lib_gdal_spark.session import local_df
 
 
-def test_salted_join_equals_plain_join(spark):
-    # skewed big side: 90% of rows share one key
-    big = spark.range(10_000).select(
-        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50)
-        .alias("cell"),
-        F.col("id").alias("payload"),
-    )
-    small = spark.range(50).select(
-        F.col("id").alias("cell"), (F.col("id") * 100).alias("attr")
-    )
-    plain = big.join(small, "cell").select("cell", "payload", "attr")
-    salted = SK.salted_join(big, small, "cell", n_salt=8).select(
-        "cell", "payload", "attr"
-    )
-    assert plain.count() == salted.count()
-    assert plain.exceptAll(salted).count() == 0
-    assert salted.exceptAll(plain).count() == 0
+def _skewed(spark, n=2000):
+    # 90% of rows on key 0; cold keys {0,10,20,30}, where 20 and 30 are
+    # absent from the dim; duplicates included (two rows share pid 7)
+    rows = [(i, 0 if i % 10 != 0 else i % 40, "p%d" % i) for i in range(n)]
+    rows.append((7, 0, "p7"))
+    return local_df(spark, rows, "pid long, cell long, payload string")
+
+
+def _dim(spark):
+    rows = [(c, "zone%d" % (c * 3)) for c in range(15)]  # keys 15..19 unmatched
+    return local_df(spark, rows, "cell long, zone string")
+
+
+def test_salted_inner_equals_plain(spark):
+    big, dim = _skewed(spark), _dim(spark)
+    plain = sorted(map(tuple, big.join(dim, "cell").collect()))
+    salted = sorted(map(tuple, salted_join(big, dim, "cell", n_salt=8).collect()))
+    assert salted == plain
+
+
+def test_salted_left_keeps_unmatched_big_rows(spark):
+    big, dim = _skewed(spark), _dim(spark)
+    plain = sorted(map(tuple, big.join(dim, "cell", "left").collect()))
+    salted = sorted(map(tuple,
+                        salted_join(big, dim, "cell", n_salt=4,
+                                    how="left").collect()))
+    assert salted == plain
+    # rows with cell 15..19 survive with NULL zone
+    assert any(t[-1] is None for t in salted)
+
+
+def test_right_join_rejected(spark):
+    with pytest.raises(ValueError):
+        salted_join(_skewed(spark), _dim(spark), "cell", how="right")
 
 
 def test_detect_hot_keys(spark):
-    big = spark.range(10_000).select(
-        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50)
-        .alias("cell")
-    )
-    hot = SK.detect_hot_keys(big, "cell", threshold_ratio=3.0).collect()
-    assert [r["cell"] for r in hot] == [7]
+    # 4 distinct keys, ~(1851, 50, 50, 50): the mean (~500) is dominated
+    # by the hot key itself, so the ratio must stay below 1851/500
+    hot = detect_hot_keys(_skewed(spark), "cell", threshold_ratio=3.0)
+    rows = {r["cell"]: r["n"] for r in hot.collect()}
+    assert set(rows) == {0}
+    assert rows[0] > 1800
 
 
-def test_spatial_repartition_orders_cells(spark):
-    df = spark.range(1000).select((F.col("id") * 7919 % 997).alias("cell"))
-    parts = SK.spatial_repartition(df, "cell", num_partitions=8)
-    # range partitioning: per-partition max(cell) is non-overlapping
-    import pandas as pd
-
-    def bounds(it):
-        for b in it:
-            if len(b):
-                yield pd.DataFrame({"lo": [b["cell"].min()],
-                                    "hi": [b["cell"].max()]})
-
-    rows = parts.mapInPandas(bounds, "lo long, hi long").collect()
-    spans = sorted((r["lo"], r["hi"]) for r in rows)
-    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
-        assert h1 <= l2
+def test_spatial_repartition_preserves_rows(spark):
+    df = _skewed(spark)
+    rp = spatial_repartition(df, "cell", num_partitions=5)
+    assert rp.count() == df.count()
+    assert rp.rdd.getNumPartitions() == 5
