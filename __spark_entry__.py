@@ -4595,6 +4595,24 @@ def q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LK.co_citation(e, max_out_degree=10)
 
 
+def q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) on the same functional
+    1000-host edge list as co_citation: source pairs sharing out-links,
+    in-degree capped at 10 — co-citation on the transposed graph."""
+    from lib_gdal_spark.operators import links as LK
+
+    r = spark.range(0, 1000)
+    e = (r.select(F.col("id").alias("src"),
+                  ((F.col("id") * 7 + 1) % 1000).alias("dst"))
+         .unionByName(r.select(
+             F.col("id").alias("src"),
+             ((F.col("id") * 13 + 5) % 1000).alias("dst")))
+         .unionByName(r.where(F.col("id") % 3 == 0).select(
+             F.col("id").alias("src"),
+             ((F.col("id") * 29 + 11) % 1000).alias("dst"))))
+    return LK.bibliographic_coupling(e, max_in_degree=10)
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph from raw HTML: href regexp_extract_all +
     host parse + keys-only edge aggregate, all JVM-side. Pages are
@@ -6647,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "link_graph": q_link_graph,
         "co_citation": q_co_citation,
+        "bib_coupling": q_bib_coupling,
         "gpx_track_points": q_gpx_track_points,
         "gtiff_roundtrip": q_gtiff_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
@@ -13500,6 +13519,28 @@ def oracle_sql() -> dict[str, str]:
         keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 10),
         k AS (SELECT d.s, d.t FROM d JOIN keep USING (s))
         SELECT a.t AS dst_a, b.t AS dst_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM k a JOIN k b ON a.s = b.s AND a.t < b.t
+        GROUP BY 1, 2
+    """
+
+    # bib_coupling: the transpose — swap src/dst before the same
+    # distinct/cap/self-join.
+    sqls["bib_coupling"] = """
+        WITH e AS (
+          SELECT i AS src, (i * 7 + 1) % 1000 AS dst
+          FROM range(0, 1000) t(i)
+          UNION ALL
+          SELECT i AS src, (i * 13 + 5) % 1000 AS dst
+          FROM range(0, 1000) t(i)
+          UNION ALL
+          SELECT i AS src, (i * 29 + 11) % 1000 AS dst
+          FROM range(0, 1000) t(i) WHERE i % 3 = 0
+        ),
+        d AS (SELECT DISTINCT dst AS s, src AS t FROM e),
+        keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 10),
+        k AS (SELECT d.s, d.t FROM d JOIN keep USING (s))
+        SELECT a.t AS src_a, b.t AS src_b,
                CAST(count(*) AS BIGINT) AS n_common
         FROM k a JOIN k b ON a.s = b.s AND a.t < b.t
         GROUP BY 1, 2
