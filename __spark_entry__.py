@@ -451,6 +451,20 @@ def q_dem_flowdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dem_pixels(spark, "flowdir", round_to=None)
 
 
+def q_dem_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drainage-basin labels over the D8 flow raster (Jenson & Domingue
+    1988 watershed step): every interior cell labeled with its terminal
+    sink's id, computed by pointer doubling over the successor function
+    (log rounds of keys-only self-joins; 898 basins on the world4326
+    fixture). The oracle unrolls EIGHT materialized doubling CTEs
+    (covers path length 256 >> the fixture's ~35) over the identical
+    flowdir + successor arithmetic."""
+    from lib_gdal_spark.operators.dem import d8_basins
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return d8_basins(tiles)
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
     60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
@@ -6570,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tpi": q_dem_tpi,
         "dem_roughness": q_dem_roughness,
         "dem_flowdir": q_dem_flowdir,
+        "dem_basins": q_dem_basins,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
@@ -12735,6 +12750,62 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END AS BIGINT)"
         " AS flowdir"
     )
+
+    # dem_basins: the same flowdir arithmetic, a successor CASE, then
+    # EIGHT materialized pointer-doubling CTEs (path length 256 cover).
+    def _bv(dx2: int, dy2: int) -> str:
+        fx = f"(px + {dx2})" if dx2 else "px"
+        fy = f"(py + {dy2})" if dy2 else "py"
+        return (f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13)) "
+                f"* 60.0 + 128.0)")
+
+    _bwin = ",\n            ".join(
+        f"{_bv(dx2, dy2)} AS {n}"
+        for n, (dx2, dy2) in zip(
+            "abcdefghi",
+            [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+             (-1, 1), (0, 1), (1, 1)]))
+    _bdx = ("CASE code WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 "
+            "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
+            "WHEN 64 THEN 0 WHEN 128 THEN 1 ELSE 0 END")
+    _bdy = ("CASE code WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 "
+            "WHEN 8 THEN 1 WHEN 16 THEN 0 WHEN 32 THEN -1 "
+            "WHEN 64 THEN -1 WHEN 128 THEN -1 ELSE 0 END")
+    _bdbl = ",\n        ".join(
+        f"""s{_k + 1} AS MATERIALIZED (
+          SELECT a.id, b.nxt FROM s{_k} a JOIN s{_k} b ON a.nxt = b.id
+        )""" for _k in range(8))
+    sqls["dem_basins"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+            {_bwin}
+          FROM pix
+        ),
+        fd AS (
+          SELECT px, py,
+            CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END
+                 AS BIGINT) AS code
+          FROM win
+        ),
+        tgt AS (
+          SELECT px, py, px + {_bdx} AS tx, py + {_bdy} AS ty FROM fd
+        ),
+        s0 AS MATERIALIZED (
+          SELECT py * 65536 + px AS id,
+            CASE WHEN tx BETWEEN 1 AND 254 AND ty BETWEEN 1 AND 254
+                 THEN ty * 65536 + tx
+                 ELSE py * 65536 + px END AS nxt
+          FROM tgt
+        ),
+        {_bdbl}
+        SELECT p.px, p.py, s8.nxt AS basin
+        FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
+    """
 
     sqls["translate_auto"] = """
         SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,

@@ -186,6 +186,7 @@ BENCH = {
     "dem_flowdir": lambda s: _force(E.q_dem_flowdir(s, SF_DIR)),
     "co_citation": lambda s: _force(E.q_co_citation(s, SF_DIR)),
     "salted_hot_join": lambda s: _force(E.q_salted_hot_join(s, SF_DIR)),
+    "dem_basins": lambda s: _force(E.q_dem_basins(s, SF_DIR)),
 }
 
 

@@ -89,3 +89,34 @@ def test_bibliographic_coupling(spark):
     assert out[(1, 2)] == 2
     assert out[(1, 3)] == 1
     assert out[(2, 3)] == 1
+
+
+def _basins(spark, arr, tile=32, lo=1, hi=62):
+    from lib_gdal_spark.operators.dem import d8_basins
+    h, w = arr.shape
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, h, 0, -1), tile=tile)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    return {(r["px"], r["py"]): r["basin"]
+            for r in d8_basins(tiles, tile=tile, lo=lo, hi=hi).collect()}
+
+
+def test_basins_east_tilt_one_sink_per_row(spark):
+    # plane tilted so everything flows EAST: each row drains to its
+    # last interior cell (hi, py) -> exactly one basin per row
+    arr = np.tile(np.arange(64, 0, -1, dtype=float), (64, 1))
+    b = _basins(spark, arr)
+    for (px, py), basin in b.items():
+        assert basin == py * 65536 + 62
+    assert len({v for v in b.values()}) == 62
+
+
+def test_basins_bowl_single_pit(spark):
+    # paraboloid bowl centered at (31.3, 30.7): every interior cell
+    # drains to the single pit cell
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr = ((xx - 31.3) ** 2 + (yy - 30.7) ** 2).astype(float)
+    b = _basins(spark, arr)
+    sinks = set(b.values())
+    assert sinks == {31 * 65536 + 31}
+    # and the pit maps to itself
+    assert b[(31, 31)] == 31 * 65536 + 31
