@@ -465,6 +465,29 @@ def q_dem_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d8_basins(tiles)
 
 
+def q_basin_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal elevation statistics per drainage basin — the hydrology
+    composition (flowdir -> basins -> zonal agg): cell count, min/max
+    and 6-dp mean elevation per basin over world4326. One combinable
+    groupBy on the basin label; the oracle extends the dem_basins SQL
+    with the same closed-form elevation."""
+    from lib_gdal_spark.operators.dem import d8_basins
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    b = d8_basins(tiles)
+    # the fixture's closed form; all values positive so trunc == the
+    # int cast, and integer-valued doubles sum EXACTLY (mean = one IEEE
+    # division — engine-identical)
+    elev = (F.sin(F.col("px") * 0.19) + F.cos(F.col("py") * 0.13)) * 60.0
+    elev = (elev + 128.0).cast("long").cast("double")
+    return (b.withColumn("z", elev)
+            .groupBy("basin")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.min("z").alias("z_min"),
+                 F.max("z").alias("z_max"),
+                 F.round(F.avg("z"), 6).alias("z_mean")))
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
     60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
@@ -6585,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_roughness": q_dem_roughness,
         "dem_flowdir": q_dem_flowdir,
         "dem_basins": q_dem_basins,
+        "basin_zonal": q_basin_zonal,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
@@ -12805,6 +12829,19 @@ def oracle_sql() -> dict[str, str]:
         {_bdbl}
         SELECT p.px, p.py, s8.nxt AS basin
         FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
+    """
+
+    # basin_zonal: the same basins chain + per-basin elevation stats;
+    # elevations are integer-valued doubles, so sums are exact and the
+    # mean is one IEEE division — engine-identical before the rounding.
+    _bz_head, _bz_tail = sqls["dem_basins"].rsplit("SELECT p.px", 1)
+    sqls["basin_zonal"] = _bz_head + f"""SELECT s8.nxt AS basin,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               min({_bv(0, 0)}) AS z_min,
+               max({_bv(0, 0)}) AS z_max,
+               round(avg({_bv(0, 0)}), 6) AS z_mean
+        FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
+        GROUP BY 1
     """
 
     sqls["translate_auto"] = """
