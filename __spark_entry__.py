@@ -1511,6 +1511,29 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_k=50)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join through the covering-bucket equi-join
+    (width 64): two derived interval tables over events, every
+    overlapping (left, right) pair emitted exactly once from the
+    canonical overlap-start bucket. The oracle is the PLAIN theta
+    overlap join, so equality proves both completeness (every bucket
+    pair found) and the no-duplicate canonicalization."""
+    from lib_gdal_spark.operators.events import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.where(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("lid"),
+        ((F.col("event_id") * 13) % 100000).alias("lstart"),
+        ((F.col("event_id") * 13) % 100000
+         + F.col("event_id") % 50).alias("lend"))
+    r = ev.where(F.col("event_id") % 3 == 1).select(
+        F.col("event_id").alias("rid"),
+        ((F.col("event_id") * 29 + 7) % 100000).alias("rstart"),
+        ((F.col("event_id") * 29 + 7) % 100000
+         + F.col("event_id") % 80).alias("rend"))
+    return interval_join(l, r, bucket=64)
+
+
 def q_hex_kring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex k-ring expansion pair join (H3-style kRing on the axial
     lattice): every point pair within 0.45 deg found through a 7-cell
@@ -6540,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_encode": q_polyline_encode,
         "salted_hot_join": q_salted_hot_join,
         "hot_cells": q_hot_cells,
+        "interval_join": q_interval_join,
         "url_history": q_url_history,
         "lpa_communities": q_lpa_communities,
         "priority_sample": q_priority_sample,
@@ -8507,6 +8531,26 @@ def oracle_sql() -> dict[str, str]:
         FROM pts a JOIN pts b ON a.pid < b.pid
         WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
                    + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.45
+    """
+
+    # interval_join: the oracle is the plain theta overlap join —
+    # equality proves the bucket covering is complete AND the canonical-
+    # bucket rule emits each pair exactly once.
+    sqls["interval_join"] = """
+        WITH l AS (
+          SELECT event_id AS lid,
+                 (event_id * 13) % 100000 AS lstart,
+                 (event_id * 13) % 100000 + event_id % 50 AS lend
+          FROM events WHERE event_id % 3 = 0
+        ),
+        r AS (
+          SELECT event_id AS rid,
+                 (event_id * 29 + 7) % 100000 AS rstart,
+                 (event_id * 29 + 7) % 100000 + event_id % 80 AS rend
+          FROM events WHERE event_id % 3 = 1
+        )
+        SELECT lid, lstart, lend, rid, rstart, rend
+        FROM l JOIN r ON lstart <= rend AND rstart <= lend
     """
 
     # dbscan_clusters: brute-force eps-pairs (proves the hex covering

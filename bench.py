@@ -187,6 +187,7 @@ BENCH = {
     "co_citation": lambda s: _force(E.q_co_citation(s, SF_DIR)),
     "salted_hot_join": lambda s: _force(E.q_salted_hot_join(s, SF_DIR)),
     "dem_basins": lambda s: _force(E.q_dem_basins(s, SF_DIR)),
+    "interval_join": lambda s: _force(E.q_interval_join(s, SF_DIR)),
 }
 
 

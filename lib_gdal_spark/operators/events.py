@@ -185,3 +185,45 @@ def funnel(
         F.col("__u").alias(user_col), stage.alias("stage"),
         *[f"k{m}" for m in range(1, len(steps) + 1)],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: int = 64,
+    l_cols: tuple[str, str, str] = ("lid", "lstart", "lend"),
+    r_cols: tuple[str, str, str] = ("rid", "rstart", "rend"),
+) -> DataFrame:
+    """Interval-overlap equi-bucket join: every (left, right) pair with
+    ``lstart <= rend AND rstart <= lend`` — the range-join shape Spark's
+    optimizer turns into a BroadcastNestedLoopJoin when written as a
+    theta join. Here both sides explode to their covering buckets of
+    width ``bucket`` and meet in an EQUI-join; a pair that shares
+    several buckets is emitted exactly once by keeping it only in the
+    canonical bucket of the overlap start, floor(max(lstart, rstart) /
+    bucket) — no DISTINCT pass, no duplicate shuffle rows downstream.
+
+    Scale: shuffle volume is keys-only times the explode factor
+    (interval length / bucket + 1 per side) — pick ``bucket`` near the
+    median interval length so the factor stays ~2; the exact overlap
+    re-check bounds false candidates to same-bucket neighbors. This is
+    the same covering-join contract as the spatial ring joins
+    (knn.hex_ring_pairs), applied to the time axis.
+    """
+    lid, ls, le = l_cols
+    rid, rs, re_ = r_cols
+    lb = left.select(
+        lid, ls, le,
+        F.explode(F.sequence(
+            F.floor(F.col(ls) / bucket), F.floor(F.col(le) / bucket)
+        )).alias("__b"))
+    rb = right.select(
+        rid, rs, re_,
+        F.explode(F.sequence(
+            F.floor(F.col(rs) / bucket), F.floor(F.col(re_) / bucket)
+        )).alias("__b"))
+    j = lb.join(rb, "__b")
+    overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    canonical = F.col("__b") == F.floor(
+        F.greatest(F.col(ls), F.col(rs)) / bucket)
+    return j.where(overlap & canonical).select(lid, ls, le, rid, rs, re_)
