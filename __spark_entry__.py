@@ -1534,6 +1534,27 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(l, r, bucket=64)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) over daily event
+    counts per event_type, with a deterministic +25/day level shift
+    injected from day 20 (so the statistic actually fires). The
+    max(0, .) recursion runs as its closed form — running sum minus
+    clamped running min, two ordered windows whose sequential float
+    stream both engines share; the oracle spells the same windows."""
+    from lib_gdal_spark.operators.events import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.select(F.col("event_type").alias("key"),
+                       F.dayofmonth("ts").alias("t"))
+             .groupBy("key", "t")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select("key", "t",
+                     (F.col("n")
+                      + F.when(F.col("t") >= 20, F.lit(25))
+                      .otherwise(F.lit(0))).cast("double").alias("x")))
+    return cusum_drift(daily, slack=2.0, threshold=50.0)
+
+
 def q_hex_kring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex k-ring expansion pair join (H3-style kRing on the axial
     lattice): every point pair within 0.45 deg found through a 7-cell
@@ -6564,6 +6585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_join": q_salted_hot_join,
         "hot_cells": q_hot_cells,
         "interval_join": q_interval_join,
+        "cusum_drift": q_cusum_drift,
         "url_history": q_url_history,
         "lpa_communities": q_lpa_communities,
         "priority_sample": q_priority_sample,
@@ -8551,6 +8573,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lid, lstart, lend, rid, rstart, rend
         FROM l JOIN r ON lstart <= rend AND rstart <= lend
+    """
+
+    # cusum_drift: same daily aggregation, same two ordered windows
+    # (running sum, clamped running min) — ordered windows evaluate
+    # sequentially in both engines, so the float stream matches.
+    sqls["cusum_drift"] = """
+        WITH daily AS (
+          SELECT event_type AS key, CAST(day(ts) AS BIGINT) AS t,
+            CAST(count(*) + CASE WHEN CAST(day(ts) AS BIGINT) >= 20
+                 THEN 25 ELSE 0 END AS DOUBLE) AS x
+          FROM events GROUP BY event_type, CAST(day(ts) AS BIGINT)
+        ),
+        m AS (
+          SELECT key, t, x, avg(x) OVER (PARTITION BY key) AS mu
+          FROM daily
+        ),
+        p AS (
+          SELECT key, t, x,
+            sum(x - mu - 2.0) OVER (PARTITION BY key ORDER BY t) AS pp
+          FROM m
+        ),
+        s AS (
+          SELECT key, t, x,
+            round(pp - least(0.0, min(pp)
+              OVER (PARTITION BY key ORDER BY t)), 6) AS cusum
+          FROM p
+        )
+        SELECT key, t, x, cusum, cusum > 50.0 AS drift FROM s
     """
 
     # dbscan_clusters: brute-force eps-pairs (proves the hex covering

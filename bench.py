@@ -188,6 +188,7 @@ BENCH = {
     "salted_hot_join": lambda s: _force(E.q_salted_hot_join(s, SF_DIR)),
     "dem_basins": lambda s: _force(E.q_dem_basins(s, SF_DIR)),
     "interval_join": lambda s: _force(E.q_interval_join(s, SF_DIR)),
+    "cusum_drift": lambda s: _force(E.q_cusum_drift(s, SF_DIR)),
 }
 
 

@@ -227,3 +227,44 @@ def interval_join(
     canonical = F.col("__b") == F.floor(
         F.greatest(F.col(ls), F.col(rs)) / bucket)
     return j.where(overlap & canonical).select(lid, ls, le, rid, rs, re_)
+
+
+def cusum_drift(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    x_col: str = "x",
+    slack: float = 0.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) over per-key ordered
+    series — the crawl-monitoring classic (did a host's daily page
+    yield shift upward?). The textbook recursion S_t = max(0, S_{t-1} +
+    (x_t - mean - slack)) is NOT window-expressible, but its closed
+    form is: with P_t = cumsum(x - mean_key - slack),
+    S_t = P_t - min(0, min_{k<=t} P_k) — one running sum plus one
+    running min, both plain ordered windows (the prefix-min clamp IS
+    the max(0, .) floor). Ordered windows evaluate sequentially in
+    every engine, so the float stream is identical and the oracle
+    compares exactly.
+
+    Returns (key, t, x, cusum, drift) with drift = cusum > threshold.
+    Scale: two windows keyed by ``key_col`` — keys-only shuffle of the
+    (already aggregated) series table, never the raw events.
+    """
+    wk = Window.partitionBy(key_col)
+    wo = wk.orderBy(t_col)
+    # windows stage (no nesting): mean first, then the running sum
+    m = series.select(key_col, t_col, x_col,
+                      F.avg(x_col).over(wk).alias("__mu"))
+    base = m.select(
+        key_col, t_col, x_col,
+        F.sum(F.col(x_col) - F.col("__mu") - F.lit(slack))
+        .over(wo).alias("__p"),
+    )
+    s = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(wo))
+    return base.select(
+        key_col, t_col, x_col,
+        F.round(s, 6).alias("cusum"),
+        (F.round(s, 6) > threshold).alias("drift"),
+    )
