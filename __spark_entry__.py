@@ -3628,6 +3628,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph topology summary (reciprocity + Newman degree
+    assortativity) on the 300-node functional graph: every Pearson term
+    is an exact int64 sum, only the final division/round is floating
+    point, spelled with identical parenthesization in the oracle."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    return GG.degree_stats(e1.unionByName(e2))
+
+
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank / TrustRank (teleport + dangling mass land
     only on the seed set node % 60 == 7) on the same 300-node functional
@@ -6725,6 +6742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
+        "graph_stats": q_graph_stats,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -12624,6 +12642,57 @@ def oracle_sql() -> dict[str, str]:
                round(r / {float(_pr_scale)!r}, 9) AS rank
         FROM r4"""
     )
+
+    # graph_stats: same distinct edges; all Pearson terms int64-exact,
+    # identical final float parenthesization.
+    sqls["graph_stats"] = """
+        WITH e AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT i AS u, (i * 7 + 3) % 300 AS v
+            FROM range(0, 300) t(i) WHERE i % 17 <> 0
+            UNION ALL
+            SELECT i AS u, (i * 13 + 5) % 300 AS v
+            FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          ) WHERE u <> v
+        ),
+        nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+          ) GROUP BY node
+        ),
+        ed AS (
+          SELECT du.d AS du, dv.d AS dv
+          FROM e JOIN deg du ON du.node = e.u
+                 JOIN deg dv ON dv.node = e.v
+        ),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(du * dv) AS BIGINT) AS sxy,
+                 CAST(sum(du + dv) AS BIGINT) AS sx,
+                 CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx
+          FROM ed
+        ),
+        base AS (
+          SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                 (SELECT count(*) FROM e) AS n_edges,
+                 (SELECT count(*) FROM e a JOIN e b
+                    ON a.u = b.v AND a.v = b.u) AS n_recip,
+                 m, sxy, sx, sxx
+          FROM sums
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity,
+               round((CAST(sxy AS DOUBLE) / m
+                      - (CAST(sx AS DOUBLE) / (2 * m))
+                        * (CAST(sx AS DOUBLE) / (2 * m)))
+                     / (CAST(sxx AS DOUBLE) / (2 * m)
+                        - (CAST(sx AS DOUBLE) / (2 * m))
+                          * (CAST(sx AS DOUBLE) / (2 * m))), 6)
+                 AS assortativity
+        FROM base
+    """
 
     # trustrank: the seeded variant — teleport AND dangling mass land
     # only on seeds (node % 60 = 7); same int64 floor arithmetic.

@@ -549,3 +549,69 @@ def lpa_communities(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Whole-graph topology summary for a directed edge list — the
+    link-graph health metrics crawl pipelines monitor: node/edge
+    counts, reciprocity (Garlaschelli & Loffredo 2004: fraction of
+    directed edges whose reverse also exists), and Newman's degree
+    assortativity (Newman 2002: the Pearson correlation of the
+    endpoint total-degrees over the undirected edge multiset).
+
+    One row out. Exactness: every Pearson term is an int64 sum of
+    integer degrees (degrees bounded by n, sums by n*m — no overflow at
+    web scale thanks to the 2^63 headroom), so only the FINAL division
+    and sqrt are floating point — one expression, engine-identical.
+    Shape: two combinable degree aggregates, one self-join for
+    reciprocity, one edge-degree join — all keys-only shuffles.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("u"),
+        F.col(edges.columns[1]).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    n_edges = e.count()
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node"))).distinct())
+    n_nodes = nodes.count()
+    recip = (e.alias("a")
+             .join(e.alias("b"),
+                   (F.col("a.u") == F.col("b.v"))
+                   & (F.col("a.v") == F.col("b.u")))
+             .count())
+    # total degree (in + out) per node over the distinct directed edges
+    deg = (e.select(F.col("u").alias("node"))
+           .union(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    # undirected edge multiset: each directed edge contributes its
+    # endpoint degree pair once (Newman's formulation over edges)
+    ed = (e.join(deg.withColumnRenamed("node", "u")
+                 .withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("node", "v")
+                .withColumnRenamed("d", "dv"), "v"))
+    sums = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") + F.col("dv")).alias("sx"),
+        F.sum(F.col("du") * F.col("du")
+              + F.col("dv") * F.col("dv")).alias("sxx"),
+    ).first()
+    m, sxy, sx, sxx = (sums["m"], sums["sxy"], sums["sx"], sums["sxx"])
+    spark = edges.sparkSession
+    from lib_gdal_spark.session import local_df
+    out = local_df(
+        spark, [(n_nodes, n_edges, recip, m, sxy, sx, sxx)],
+        "n_nodes long, n_edges long, n_recip long, m long, "
+        "sxy long, sx long, sxx long")
+    # spelled as explicit multiplications (pow(x, 2) is not guaranteed
+    # identical to x*x across libms; the product is)
+    half = F.col("sx") / (2 * F.col("m"))
+    num = F.col("sxy") / F.col("m") - half * half
+    den = F.col("sxx") / (2 * F.col("m")) - half * half
+    return out.select(
+        "n_nodes", "n_edges",
+        F.round(F.col("n_recip") / F.col("n_edges"), 6).alias("reciprocity"),
+        # degree-regular graphs have zero variance: assortativity is
+        # undefined -> NULL (ANSI division would throw)
+        F.round(F.when(den != 0.0, num / den), 6).alias("assortativity"),
+    )

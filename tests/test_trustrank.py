@@ -64,3 +64,24 @@ def test_dangling_mass_returns_to_seeds(spark):
     # ranks decay along the chain; the dangling node keeps arriving mass
     assert out[1] > out[2] > 0
     assert out[3] > 0
+
+
+def test_degree_stats_known_values(spark):
+    from lib_gdal_spark.operators.graph import degree_stats
+
+    # 4-leaf star (hub 0) plus one mutual pair 10<->11
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 10)])
+    r = degree_stats(e).collect()[0]
+    assert r["n_nodes"] == 7 and r["n_edges"] == 6
+    assert r["reciprocity"] == round(2 / 6, 6)
+    # star edges pair degree 4 with degree 1 (disassortative), the
+    # mutual pair 1-with-1; overall r must be negative
+    assert r["assortativity"] < 0
+
+    # a clique triangle (all 6 directed edges) is perfectly reciprocal
+    # and degree-regular: assortativity denominator is 0 -> NULL; the
+    # operator surfaces NULL rather than a fake 0
+    e2 = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)])
+    r2 = degree_stats(e2).collect()[0]
+    assert r2["reciprocity"] == 1.0
+    assert r2["assortativity"] is None
