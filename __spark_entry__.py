@@ -1534,6 +1534,36 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(l, r, bucket=64)
 
 
+def q_jsonld_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-metadata geocoordinate mining: every third document
+    carries a schema.org Place JSON-LD block (integer micro-degree
+    coordinates), every third+1 a non-Place block, the rest none; the
+    operator extracts the script body, keeps Place geo only, and
+    assigns the axial hex cell. The oracle runs the SAME regex + JSON
+    path in DuckDB (both engines' behavior pinned in pytest)."""
+    from lib_gdal_spark.operators.geo import jsonld_geo
+
+    d = _t(spark, sf_dir, "documents")
+    lat_i = ((F.col("doc_id") * 104729) % 1700000 - 850000).cast("long")
+    lon_i = ((F.col("doc_id") * 7919) % 3600000 - 1800000).cast("long")
+    place = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type":"Place","geo":{"latitude":'),
+        lat_i.cast("string"), F.lit(',"longitude":'),
+        lon_i.cast("string"),
+        F.lit('}}</script></head><body>x</body></html>'))
+    article = F.lit(
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"Article","headline":"h"}</script></head></html>')
+    none = F.lit("<html><body>plain</body></html>")
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, place)
+        .when(F.col("doc_id") % 3 == 1, article)
+        .otherwise(none).alias("html"))
+    return jsonld_geo(pages, id_col="doc_id")
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection (Page 1954) over daily event
     counts per event_type, with a deterministic +25/day level shift
@@ -6603,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_cells": q_hot_cells,
         "interval_join": q_interval_join,
         "cusum_drift": q_cusum_drift,
+        "jsonld_geo": q_jsonld_geo,
         "url_history": q_url_history,
         "lpa_communities": q_lpa_communities,
         "priority_sample": q_priority_sample,
@@ -8357,6 +8388,53 @@ def oracle_sql() -> dict[str, str]:
                 * 4.0, 9) AS center_lon,
           round(CAST(hr AS DOUBLE) * 1.5 * 4.0, 9) AS center_lat
         FROM cells GROUP BY hq, hr
+    """
+
+    # jsonld_geo: the same html synthesis, the same non-greedy script
+    # regex and JSON paths (engine agreement pinned in pytest), the
+    # same micro-degree division and hex-cell CASE helpers.
+    _jq, _jr = _hex_fix("j")
+    sqls["jsonld_geo"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              '<html><head><script type="application/ld+json">'
+              || '{{"@type":"Place","geo":{{"latitude":'
+              || CAST(CAST((doc_id * 104729) % 1700000 - 850000
+                      AS BIGINT) AS VARCHAR)
+              || ',"longitude":'
+              || CAST(CAST((doc_id * 7919) % 3600000 - 1800000
+                      AS BIGINT) AS VARCHAR)
+              || '}}}}</script></head><body>x</body></html>'
+            WHEN doc_id % 3 = 1 THEN
+              '<html><head><script type="application/ld+json">'
+              || '{{"@type":"Article","headline":"h"}}</script></head></html>'
+            ELSE '<html><body>plain</body></html>' END AS html
+          FROM documents
+        ),
+        ext AS (
+          SELECT doc_id, regexp_extract(html,
+            '<script type="application/ld\\+json">(.*?)</script>', 1) AS b
+          FROM src
+        ),
+        vals AS (
+          -- json_extract errors on '' (the regex-miss value); Spark's
+          -- get_json_object returns NULL there -- guard explicitly
+          SELECT doc_id,
+            CASE WHEN b <> ''
+                   AND json_extract_string(b, '$."@type"') = 'Place'
+                 THEN CAST(json_extract_string(b, '$.geo.latitude')
+                           AS BIGINT) / 10000.0 END AS lat,
+            CASE WHEN b <> ''
+                   AND json_extract_string(b, '$."@type"') = 'Place'
+                 THEN CAST(json_extract_string(b, '$.geo.longitude')
+                           AS BIGINT) / 10000.0 END AS lon
+          FROM ext
+        ),
+        frac AS (
+          SELECT doc_id, lat, lon, {_hex_sql('j', 4.0)} FROM vals
+        )
+        SELECT doc_id, lat, lon, {_jq} AS hq, {_jr} AS hr FROM frac
     """
 
     # toponym_resolve: the corpus-derived gazetteer + population-prior

@@ -189,6 +189,8 @@ BENCH = {
     "dem_basins": lambda s: _force(E.q_dem_basins(s, SF_DIR)),
     "interval_join": lambda s: _force(E.q_interval_join(s, SF_DIR)),
     "cusum_drift": lambda s: _force(E.q_cusum_drift(s, SF_DIR)),
+    "jsonld_geo": lambda s: _force(E.q_jsonld_geo(s, SF_DIR)),
+    "graph_stats": lambda s: _force(E.q_graph_stats(s, SF_DIR)),
 }
 
 

@@ -101,3 +101,39 @@ def with_tile(df: DataFrame, z: int, lon="lon", lat="lat", tms: bool = False) ->
     return df.withColumn("z", F.lit(z)).withColumn("tx", tx).withColumn(
         "ty", ty
     )
+
+
+def jsonld_geo(pages: DataFrame, html_col: str = "html",
+               id_col: str = "url", hex_size: float = 4.0) -> DataFrame:
+    """Structured-metadata geocoordinate mining: pull the first
+    schema.org Place block out of each page's embedded
+    ``<script type="application/ld+json">`` and read geo.latitude /
+    geo.longitude — the metadata half of the north rule's
+    "geocoordinates mined from page text/METADATA" (enrich_pages is the
+    text half). Pure JVM: one non-greedy regexp_extract for the script
+    body (a regex subset Java and RE2 agree on) + get_json_object for
+    the two fields; rows without a Place block keep NULLs. The output
+    also carries the axial hex cell of the point so the result plugs
+    straight into the binning/pair-join operators.
+
+    Coordinates are expected as INTEGER micro-degrees (1e-4 deg) in the
+    JSON — the emitter convention that keeps the corpus and both query
+    engines free of float-formatting drift.
+    """
+    from lib_gdal_spark.functions import cells as C
+
+    body = F.regexp_extract(
+        F.col(html_col).cast("string"),
+        r'<script type="application/ld\+json">(.*?)</script>', 1)
+    is_place = F.get_json_object(body, "$.@type") == "Place"
+    lat = F.when(is_place, F.get_json_object(body, "$.geo.latitude")
+                 .cast("long") / 10000.0)
+    lon = F.when(is_place, F.get_json_object(body, "$.geo.longitude")
+                 .cast("long") / 10000.0)
+    out = pages.select(F.col(id_col), lat.alias("lat"), lon.alias("lon"))
+    h = C.hex_axial_expr(F.col("lon"), F.col("lat"), hex_size)
+    return out.select(
+        id_col, "lat", "lon",
+        F.when(F.col("lat").isNotNull(), h["q"]).alias("hq"),
+        F.when(F.col("lat").isNotNull(), h["r"]).alias("hr"),
+    )
