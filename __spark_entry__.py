@@ -3658,6 +3658,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core peeling (Seidman 1983) on dense blocks (degree 8) plus an
+    attached sparse path with bridges: the path peels in round one and
+    the blocks survive intact — (node, core_deg). The oracle unrolls
+    four materialized peeling rounds (fixpoint by round two)."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r200 = spark.range(0, 200)
+    blk = F.floor(F.col("id") / 20)
+    e = None
+    for d in (1, 2, 3, 4):
+        ed = r200.select(F.col("id").alias("u"),
+                         (blk * 20 + (F.col("id") + d) % 20).alias("v"))
+        e = ed if e is None else e.unionByName(ed)
+    path = spark.range(200, 299).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    bridges = spark.range(0, 10).select(
+        (F.col("id") * 20).alias("u"), (200 + F.col("id") * 10).alias("v"))
+    return GG.kcore(e.unionByName(path).unionByName(bridges), k=5)
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph topology summary (reciprocity + Newman degree
     assortativity) on the 300-node functional graph: every Pearson term
@@ -6774,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "graph_stats": q_graph_stats,
+        "graph_kcore": q_graph_kcore,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -12719,6 +12741,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, CAST(r AS BIGINT) AS rank_units,
                round(r / {float(_pr_scale)!r}, 9) AS rank
         FROM r4"""
+    )
+
+    # graph_kcore: the same peeling unrolled to four materialized
+    # rounds (fixpoint by round two on this fixture).
+    _kc_parts = [
+        """eraw AS (
+          SELECT i AS u, (i // 20) * 20 + (i + d) % 20 AS v
+          FROM range(0, 200) t(i), (SELECT unnest([1, 2, 3, 4]) AS d)
+          UNION ALL
+          SELECT i AS u, i + 1 AS v FROM range(200, 299) t(i)
+          UNION ALL
+          SELECT i * 20 AS u, 200 + i * 10 AS v FROM range(0, 10) t(i)
+        )""",
+        """c0 AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM eraw WHERE u <> v
+            UNION ALL SELECT v, u FROM eraw WHERE u <> v
+          )
+        )""",
+    ]
+    for _i in range(4):
+        _kc_parts += [
+            f"""k{_i} AS MATERIALIZED (
+              SELECT u FROM c{_i} GROUP BY u HAVING count(*) >= 5
+            )""",
+            f"""c{_i + 1} AS MATERIALIZED (
+              SELECT c.u, c.v FROM c{_i} c
+              JOIN k{_i} a ON a.u = c.u
+              JOIN k{_i} b ON b.u = c.v
+            )""",
+        ]
+    sqls["graph_kcore"] = (
+        "WITH " + ",\n".join(_kc_parts)
+        + """
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM c4 GROUP BY u HAVING count(*) >= 5"""
     )
 
     # graph_stats: same distinct edges; all Pearson terms int64-exact,

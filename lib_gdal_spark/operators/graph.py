@@ -615,3 +615,85 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         # undefined -> NULL (ANSI division would throw)
         F.round(F.when(den != 0.0, num / den), 6).alias("assortativity"),
     )
+
+
+def _driver_kcore_peel(rows: list, k: int) -> dict:
+    """Bounded symmetric edge list -> {node: core degree} by exact
+    Matula-Beck bucket peeling. Only called on a residual that already
+    fits the driver (same contract as components._driver_union_find)."""
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+    deg = {n: len(vs) for n, vs in adj.items()}
+    frontier = [n for n, d in deg.items() if d < k]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            if n not in adj:
+                continue
+            for m in adj.pop(n):
+                vs = adj.get(m)
+                if vs is not None:
+                    vs.discard(n)
+                    if len(vs) == k - 1:
+                        nxt.append(m)
+        frontier = nxt
+    return {n: len(vs) for n, vs in adj.items() if len(vs) >= k}
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 50,
+          driver_threshold: int = 2_000_000) -> DataFrame:
+    """The k-core of an undirected graph (Seidman 1983): the maximal
+    subgraph where every node keeps degree >= k — the spam-farm /
+    tightly-knit-community detector that survives where degree alone
+    lies. Iterative peeling: drop nodes under degree k, recompute,
+    repeat to the fixpoint (each round one combinable degree count +
+    one semi-join, lineage truncated).
+
+    Scale note: bulk peeling converges in few rounds on web graphs, but
+    an adversarial pendant chain peels ONE node per round (O(n) rounds).
+    Mirroring components.connected_components' short-circuit, once the
+    surviving symmetric edge list fits ``driver_threshold`` rows the
+    residual peels exactly on the driver in one pass (Matula-Beck
+    buckets) — the distributed rounds only ever run while the graph is
+    genuinely large, so ``max_rounds`` bounds rounds-at-scale, not
+    correctness.
+
+    Returns (node, core_deg) for k-core members, core_deg = the node's
+    degree inside the core."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("u"),
+        F.col(edges.columns[1]).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    sym = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+
+    def _finish_local(cur: DataFrame) -> DataFrame:
+        core = _driver_kcore_peel(cur.collect(), k)
+        spark = cur.sparkSession
+        if not core:
+            return spark.createDataFrame([], "node long, core_deg long")
+        return spark.createDataFrame(
+            [(n, d) for n, d in core.items()], "node long, core_deg long")
+
+    cur = sym
+    m = cur.count()
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        if m <= driver_threshold:
+            return _finish_local(cur)
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u").localCheckpoint()
+        n = keep.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        cur = (cur.join(keep, "u")
+               .join(keep.withColumnRenamed("u", "v"), "v")
+               .select("u", "v").localCheckpoint())
+        m = cur.count()
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    return (cur.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+            .where(F.col("core_deg") >= k)
+            .select(F.col("u").alias("node"), "core_deg"))

@@ -85,3 +85,27 @@ def test_degree_stats_known_values(spark):
     r2 = degree_stats(e2).collect()[0]
     assert r2["reciprocity"] == 1.0
     assert r2["assortativity"] is None
+
+
+def test_kcore_cascade_peeling(spark):
+    from lib_gdal_spark.operators.graph import kcore
+
+    # K4 on {1,2,3,4} (degree 3 each) with a pendant chain 4-5-6: the
+    # chain peels first, and the 2-core keeps exactly the K4 (degree 3).
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    e = _edges(spark, k4 + [(4, 5), (5, 6)])
+    out = {r["node"]: r["core_deg"] for r in kcore(e, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # cascade: a tail 4-5, 5-6, 6-7 where each node depends on the next;
+    # with k=2 the whole tail peels node by node (3 cascade rounds) but
+    # the K4 core survives
+    e2 = _edges(spark, k4 + [(4, 5), (5, 6), (6, 7)])
+    out2 = {r["node"]: r["core_deg"] for r in kcore(e2, k=2).collect()}
+    assert set(out2) == {1, 2, 3, 4}
+    # empty core when k exceeds the densest degree
+    assert kcore(e, k=4).count() == 0
+    # distributed peel path (driver_threshold=0 disables the local
+    # short-circuit) must agree with the driver peel exactly
+    outd = {r["node"]: r["core_deg"]
+            for r in kcore(e2, k=2, driver_threshold=0).collect()}
+    assert outd == out2
