@@ -3679,6 +3679,39 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GG.kcore(e.unionByName(path).unionByName(bridges), k=5)
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss (Cohen 2008) on 20 K10 blocks (edge support 8) + a
+    30-triangle chain (support 1, peels round one) + clique->chain
+    bridges (support 0) + a K5-minus-an-edge gadget whose support-2
+    fringe peels first and then starves its inner triangle — a 3-round
+    cascade. Only the K10 edges survive, support 8. The oracle unrolls
+    four materialized support-count/filter rounds."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 200)
+    a = r.select(F.col("id").alias("u"), (F.col("id") / 10)
+                 .cast("long").alias("ba"))
+    b = r.select(F.col("id").alias("v"), (F.col("id") / 10)
+                 .cast("long").alias("bb"))
+    cliques = (a.join(b, (F.col("ba") == F.col("bb"))
+                      & (F.col("u") < F.col("v"))).select("u", "v"))
+    tri = spark.range(0, 30).select(
+        (200 + F.col("id") * 2).alias("b0"))
+    chain = None
+    for du, dv in ((0, 1), (1, 2), (0, 2)):
+        ed = tri.select((F.col("b0") + du).alias("u"),
+                        (F.col("b0") + dv).alias("v"))
+        chain = ed if chain is None else chain.unionByName(ed)
+    bridges = spark.range(0, 10).select(
+        (F.col("id") * 10).alias("u"), (200 + F.col("id") * 2).alias("v"))
+    gadget = spark.createDataFrame(
+        [(300 + x, 300 + y) for x, y in
+         ((0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+          (2, 3), (2, 4), (3, 4))], "u long, v long")
+    e = cliques.unionByName(chain).unionByName(bridges).unionByName(gadget)
+    return GG.ktruss(e, k=5)
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph topology summary (reciprocity + Newman degree
     assortativity) on the 300-node functional graph: every Pearson term
@@ -6796,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "graph_stats": q_graph_stats,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "lineref_parts": q_lineref_parts,
         "lineref_pos": q_lineref_pos,
         "lineref_coord": q_lineref_coord,
@@ -12777,6 +12811,62 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM c4 GROUP BY u HAVING count(*) >= 5"""
+    )
+
+    # graph_ktruss: the same fixture peeled by per-edge triangle
+    # support, unrolled to four materialized rounds (fixpoint by round
+    # three: chain/bridges/gadget-fringe, then the starved gadget
+    # triangle, then nothing).
+    _kt_parts = [
+        """eraw AS (
+          SELECT a.i AS u, b.i AS v
+          FROM range(0, 200) a(i), range(0, 200) b(i)
+          WHERE a.i // 10 = b.i // 10 AND a.i < b.i
+          UNION ALL
+          SELECT 200 + 2 * t.i + x.du AS u, 200 + 2 * t.i + x.dv AS v
+          FROM range(0, 30) t(i),
+               (VALUES (0, 1), (1, 2), (0, 2)) x(du, dv)
+          UNION ALL
+          SELECT t.i * 10 AS u, 200 + 2 * t.i AS v FROM range(0, 10) t(i)
+          UNION ALL
+          SELECT 300 + p.a AS u, 300 + p.b AS v
+          FROM (VALUES (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+                       (2, 3), (2, 4), (3, 4)) p(a, b)
+        )""",
+        """c0 AS MATERIALIZED (
+          SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM eraw WHERE u <> v
+        )""",
+    ]
+    for _i in range(4):
+        _kt_parts += [
+            f"""s{_i} AS MATERIALIZED (
+              SELECT u, v, count(*) AS s FROM (
+                SELECT e1.u AS u, e1.v AS v
+                FROM c{_i} e1 JOIN c{_i} e2 ON e2.u = e1.v
+                JOIN c{_i} e3 ON e3.u = e1.u AND e3.v = e2.v
+                UNION ALL
+                SELECT e1.u, e2.v
+                FROM c{_i} e1 JOIN c{_i} e2 ON e2.u = e1.v
+                JOIN c{_i} e3 ON e3.u = e1.u AND e3.v = e2.v
+                UNION ALL
+                SELECT e1.v, e2.v
+                FROM c{_i} e1 JOIN c{_i} e2 ON e2.u = e1.v
+                JOIN c{_i} e3 ON e3.u = e1.u AND e3.v = e2.v
+              ) GROUP BY u, v
+            )""",
+            f"""c{_i + 1} AS MATERIALIZED (
+              SELECT c.u, c.v FROM c{_i} c
+              JOIN s{_i} s ON s.u = c.u AND s.v = c.v
+              WHERE s.s >= 3
+            )""",
+        ]
+    sqls["graph_ktruss"] = (
+        "WITH " + ",\n".join(_kt_parts)
+        + """
+        SELECT c.u, c.v, CAST(s.s AS BIGINT) AS support
+        FROM c4 c JOIN s3 s ON s.u = c.u AND s.v = c.v
+        WHERE s.s >= 3"""
     )
 
     # graph_stats: same distinct edges; all Pearson terms int64-exact,

@@ -109,3 +109,43 @@ def test_kcore_cascade_peeling(spark):
     outd = {r["node"]: r["core_deg"]
             for r in kcore(e2, k=2, driver_threshold=0).collect()}
     assert outd == out2
+
+
+def test_ktruss_cascade_peeling(spark):
+    from lib_gdal_spark.operators.graph import ktruss
+
+    # K5: every edge closes 3 triangles -> the 5-truss keeps all 10
+    # edges with support 3; the 6-truss cascades to empty
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    e = _edges(spark, k5)
+    out = {(r["u"], r["v"]): r["support"] for r in ktruss(e, k=5).collect()}
+    assert out == {(a, b): 3 for a, b in k5}
+    assert ktruss(e, k=6).count() == 0
+
+    # K5 minus edge (0,1): edges touching 0 or 1 have support 2, edges
+    # among {2,3,4} support 3. k=5 (support>=3) peels the support-2
+    # edges first, which drops the {2,3,4} triangle to support 1 ->
+    # cascades to empty over 3 rounds. k=4 keeps everything.
+    k5m = [p for p in k5 if p != (0, 1)]
+    e2 = _edges(spark, k5m)
+    assert ktruss(e2, k=5).count() == 0
+    out4 = {(r["u"], r["v"]): r["support"]
+            for r in ktruss(e2, k=4).collect()}
+    assert len(out4) == 9 and out4[(2, 3)] == 3 and out4[(0, 2)] == 2
+
+    # chained triangles share vertices but no edges: support 1 each,
+    # so the 3-truss keeps them and the 4-truss drops them
+    chain = []
+    for i in range(4):
+        b = 10 + 2 * i
+        chain += [(b, b + 1), (b + 1, b + 2), (b, b + 2)]
+    e3 = _edges(spark, chain)
+    assert ktruss(e3, k=3).count() == 12
+    assert ktruss(e3, k=4).count() == 0
+
+    # forced-distributed rounds must agree with the driver peel exactly
+    mixed = _edges(spark, k5m + chain)
+    loc = sorted(tuple(r) for r in ktruss(mixed, k=4).collect())
+    dist = sorted(tuple(r) for r in
+                  ktruss(mixed, k=4, driver_threshold=0).collect())
+    assert loc == dist and len(loc) == 9
