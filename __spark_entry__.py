@@ -3748,6 +3748,25 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GG.personalized_pagerank(e1.unionByName(e2), seeds)
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyongyi et al., VLDB 2006) = (PR - TR) / PR
+    on the shared 300-node functional link graph with trusted seeds
+    node % 60 == 7: both fixed points in the same int64 units, so the
+    difference is exact; oracle = both unrolled CTE chains joined."""
+    from lib_gdal_spark.operators import graph as GG
+
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    seeds = spark.range(0, 300).where(F.col("id") % 60 == 7).select(
+        F.col("id").alias("node"))
+    return GG.spam_mass(e1.unionByName(e2), seeds)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (4 iterations, L1-normalized
     fixed point) on the same 300-node functional link graph as pagerank;
@@ -6827,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
+        "spam_mass": q_spam_mass,
         "graph_stats": q_graph_stats,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
@@ -12959,6 +12979,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(r AS BIGINT) AS rank_units,
                round(r / {float(_pr_scale)!r}, 9) AS rank
         FROM r4t"""
+    )
+
+    # spam_mass: both unrolled fixed points (the full _pr_parts chain +
+    # trustrank's seeded tail, which shares its first four CTEs) joined
+    # on node; mass = PR - TR in the same int64 units.
+    sqls["spam_mass"] = (
+        "WITH " + ",\n".join(_pr_parts + _tr_parts[4:])
+        + """
+        SELECT r4.node,
+               r4.node IN (SELECT node FROM sd) AS is_seed,
+               CAST(r4.r AS BIGINT) AS pr_units,
+               CAST(r4t.r AS BIGINT) AS tr_units,
+               CAST(r4.r - r4t.r AS BIGINT) AS mass_units,
+               CASE WHEN r4.r > 0 THEN
+                 round((r4.r - r4t.r) / CAST(r4.r AS DOUBLE), 9)
+               END AS rel_mass
+        FROM r4 JOIN r4t ON r4.node = r4t.node"""
     )
 
     # exact_quantiles: DuckDB's native quantile_disc is the independent

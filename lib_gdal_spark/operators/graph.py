@@ -814,3 +814,29 @@ def ktruss(edges: DataFrame, k: int = 4, max_rounds: int = 50,
             return s.where(F.col("support") >= k - 2)
         c, m = nxt, m2
     raise RuntimeError(f"ktruss did not converge in {max_rounds} rounds")
+
+
+def spam_mass(edges: DataFrame, seeds: DataFrame, n_iters: int = 4,
+              damping_pct: int = 85, scale: int = 10**12) -> DataFrame:
+    """Relative spam mass (Gyongyi, Garcia-Molina & Pedersen, "Link
+    Spam Detection Based on Mass Estimation", VLDB 2006): the fraction
+    of a page's PageRank that does NOT flow from the trusted seed set —
+    near 1 for link-farm targets, near/below 0 for well-endorsed pages.
+
+    mass_units = PR - TR in the shared int64 fixed-point units (both
+    distributions total ~``scale``, so the difference is directly
+    comparable and exact); rel_mass = mass / PR. Cost: the two rank
+    fixed points (one keyed edge join per round each) plus one final
+    n-row join on node — nothing beyond what pagerank already shuffles.
+    """
+    pr = pagerank(edges, n_iters, damping_pct, scale).select(
+        "node", F.col("rank_units").alias("pr_units"))
+    tr = personalized_pagerank(
+        edges, seeds, n_iters, damping_pct, scale).select(
+        "node", "is_seed", F.col("rank_units").alias("tr_units"))
+    mass = F.col("pr_units") - F.col("tr_units")
+    return pr.join(tr, "node").select(
+        "node", "is_seed", "pr_units", "tr_units",
+        mass.alias("mass_units"),
+        F.round(F.when(F.col("pr_units") > 0,
+                       mass / F.col("pr_units")), 9).alias("rel_mass"))

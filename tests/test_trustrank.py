@@ -111,6 +111,28 @@ def test_kcore_cascade_peeling(spark):
     assert outd == out2
 
 
+def test_spam_mass_separates_island_from_trusted(spark):
+    from lib_gdal_spark.operators.graph import spam_mass
+
+    # trusted hub 1 endorses 2 and 3; spam island {10, 11} endorses
+    # itself and pumps rank into target 12, unreachable from the seed
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1),
+                       (10, 11), (11, 10), (10, 12), (11, 12)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    rows = {r["node"]: r for r in spam_mass(e, seeds).collect()}
+    assert rows[1]["is_seed"] and not rows[12]["is_seed"]
+    # the island receives zero trust -> rel_mass exactly 1
+    for n in (10, 11, 12):
+        assert rows[n]["tr_units"] == 0 and rows[n]["rel_mass"] == 1.0
+    # the trusted neighborhood as a whole holds more trust than
+    # pagerank gives it (per-node signs rotate with the 3-cycle under
+    # finite iterations, so only the component sum is invariant)
+    assert sum(rows[n]["mass_units"] for n in (1, 2, 3)) < 0
+    # exactness: units columns reconcile by construction
+    for r in rows.values():
+        assert r["mass_units"] == r["pr_units"] - r["tr_units"]
+
+
 def test_ktruss_cascade_peeling(spark):
     from lib_gdal_spark.operators.graph import ktruss
 
