@@ -442,6 +442,25 @@ def _dem_pixels(spark: SparkSession, op: str, round_to: int | None) -> DataFrame
     return ex.select("px", "py", val.alias(op))
 
 
+def q_dem_curv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen & Thorne 1987 profile curvature (eq. 14) — curvature
+    along the slope line; oracle spells the partial-quadric
+    coefficients with identical float parenthesization."""
+    return _dem_pixels(spark, "curv_profile", round_to=6)
+
+
+def q_dem_curv_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen & Thorne 1987 plan curvature (eq. 15) — contour
+    curvature separating convergent channels from divergent ridges."""
+    return _dem_pixels(spark, "curv_plan", round_to=6)
+
+
+def q_dem_curv_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen & Thorne 1987 general curvature -2(D + E): the
+    Laplacian of the fitted quadric."""
+    return _dem_pixels(spark, "curv_total", round_to=6)
+
+
 def q_dem_flowdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESRI D8 flow direction (Jenson & Domingue 1988) over the
     world4326 fixture via the same distributed 3x3 halo exchange as the
@@ -6774,6 +6793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tpi": q_dem_tpi,
         "dem_roughness": q_dem_roughness,
         "dem_flowdir": q_dem_flowdir,
+        "dem_curv_profile": q_dem_curv_profile,
+        "dem_curv_plan": q_dem_curv_plan,
+        "dem_curv_total": q_dem_curv_total,
         "dem_basins": q_dem_basins,
         "basin_zonal": q_basin_zonal,
         "translate_auto": q_translate_auto,
@@ -7772,6 +7794,35 @@ def oracle_sql() -> dict[str, str]:
         f"round(CASE WHEN {_zt_asp} < 0.0 THEN {_zt_asp} + 360.0 "
         f"WHEN {_zt_asp} >= 360.0 THEN {_zt_asp} - 360.0 "
         f"ELSE {_zt_asp} END, 6) AS aspect_zt"
+    )
+
+    # Curvatures (Zevenbergen & Thorne 1987): the partial-quadric
+    # coefficients spelled with the kernel's exact float
+    # parenthesization; divisor constants pre-multiplied in Python so
+    # the SQL divides by bit-identical doubles.
+    _cv_ew, _cv_ns = 1.40625, -0.703125
+    _cv_dd = f"(((d + f) / 2.0 - e) / {_cv_ew * _cv_ew!r})"
+    _cv_ee = f"(((b + h) / 2.0 - e) / {_cv_ns * _cv_ns!r})"
+    _cv_ff = f"((-a + c + g - i) / {4.0 * _cv_ew * _cv_ns!r})"
+    _cv_gg = f"((f - d) / {2.0 * _cv_ew!r})"
+    _cv_hh = f"((b - h) / {2.0 * _cv_ns!r})"
+    _cv_p = f"({_cv_gg} * {_cv_gg} + {_cv_hh} * {_cv_hh})"
+    sqls["dem_curv_profile"] = _dem_oracle(
+        f"round(CASE WHEN {_cv_p} = 0.0 THEN 0.0 ELSE "
+        f"-2.0 * ({_cv_dd} * {_cv_gg} * {_cv_gg} "
+        f"+ {_cv_ee} * {_cv_hh} * {_cv_hh} "
+        f"+ {_cv_ff} * {_cv_gg} * {_cv_hh}) / {_cv_p} END, 6) "
+        "AS curv_profile"
+    )
+    sqls["dem_curv_plan"] = _dem_oracle(
+        f"round(CASE WHEN {_cv_p} = 0.0 THEN 0.0 ELSE "
+        f"2.0 * ({_cv_dd} * {_cv_hh} * {_cv_hh} "
+        f"+ {_cv_ee} * {_cv_gg} * {_cv_gg} "
+        f"- {_cv_ff} * {_cv_gg} * {_cv_hh}) / {_cv_p} END, 6) "
+        "AS curv_plan"
+    )
+    sqls["dem_curv_total"] = _dem_oracle(
+        f"round(-2.0 * ({_cv_dd} + {_cv_ee}), 6) AS curv_total"
     )
 
     # hillshade variants: constants factored exactly like the kernels

@@ -299,6 +299,49 @@ def roughness_kernel(arr, ewres, nsres):
     return win.max(axis=0) - win.min(axis=0)
 
 
+def _zt_quadric(arr, ewres, nsres):
+    """Zevenbergen & Thorne 1987 partial-quadric coefficients on the
+    3x3 window, generalized to anisotropic cell sizes (ewres, nsres).
+    Letters follow _hs: b=N, d=W, e=center, f=E, h=S."""
+    a, b, c, d, e, f, g, h, i = _hs(arr)
+    dd = ((d + f) / 2.0 - e) / (ewres * ewres)
+    ee = ((b + h) / 2.0 - e) / (nsres * nsres)
+    ff = (-a + c + g - i) / (4.0 * ewres * nsres)
+    gg = (f - d) / (2.0 * ewres)
+    hh = (b - h) / (2.0 * nsres)
+    return dd, ee, ff, gg, hh
+
+
+def curvature_profile_kernel(arr, ewres, nsres):
+    """Profile curvature (Zevenbergen & Thorne 1987 eq. 14): the
+    surface's curvature along the slope direction — negative where flow
+    accelerates (convex), positive where it decelerates (concave).
+    Flat cells (zero gradient) report 0."""
+    dd, ee, ff, gg, hh = _zt_quadric(arr, ewres, nsres)
+    p = gg * gg + hh * hh
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = -2.0 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / p
+    return np.where(p == 0.0, 0.0, out)
+
+
+def curvature_plan_kernel(arr, ewres, nsres):
+    """Plan curvature (Zevenbergen & Thorne 1987 eq. 15): curvature of
+    the contour line — positive where flow diverges (ridges), negative
+    where it converges (channels). Flat cells report 0."""
+    dd, ee, ff, gg, hh = _zt_quadric(arr, ewres, nsres)
+    p = gg * gg + hh * hh
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = 2.0 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / p
+    return np.where(p == 0.0, 0.0, out)
+
+
+def curvature_total_kernel(arr, ewres, nsres):
+    """General/total curvature -2(D + E) (Zevenbergen & Thorne 1987):
+    the Laplacian of the fitted quadric — direction-free convexity."""
+    dd, ee, _ff, _gg, _hh = _zt_quadric(arr, ewres, nsres)
+    return -2.0 * (dd + ee)
+
+
 def flowdir_kernel(arr, ewres, nsres):
     """ESRI D8 flow direction (Jenson & Domingue 1988; the hydrology
     companion of the gdaldem family — the reference stops at slope/
@@ -335,6 +378,9 @@ KERNELS = {
     "tpi": tpi_kernel,
     "roughness": roughness_kernel,
     "flowdir": flowdir_kernel,
+    "curv_profile": curvature_profile_kernel,
+    "curv_plan": curvature_plan_kernel,
+    "curv_total": curvature_total_kernel,
 }
 
 

@@ -31,7 +31,8 @@ def _assemble(rows, h, w, tile):
                                 "slope_zt",
                                 "aspect_zt", "hillshade_combined",
                                 "hillshade_multidirectional",
-                                "hillshade_igor"])
+                                "hillshade_igor", "curv_profile",
+                                "curv_plan", "curv_total"])
 def test_dem_matches_single_array(spark, world_tiles, op):
     tiles, arr, gt = world_tiles
     got_rows = D.dem_op(tiles, op).collect()
@@ -145,3 +146,31 @@ def test_color_relief(spark):
     # interpolation midpoint v=64 -> halfway blue->green
     yy, xx = 64, 64  # v = 64
     assert by[2][yy, xx] == np.floor(np.interp(64, [0, 128], [0, 255]) + 0.5)
+
+
+def test_curvature_paraboloid_analytic():
+    """z = c*(x^2 + y^2) on unit cells has closed-form ZT curvatures:
+    profile = -2c everywhere off-center, plan = +2c, total = -4c (the
+    quadric fit is exact for a quadric)."""
+    c = 0.03
+    y, x = np.mgrid[0:33, 0:33]
+    z = c * ((x - 16.0) ** 2 + (y - 16.0) ** 2)
+    pad = np.full((35, 35), np.nan)
+    pad[1:-1, 1:-1] = z
+    # kernels consume the halo-padded array and return the 33x33 grid;
+    # its border ring touches the NaN halo, so compare the interior
+    prof = D.KERNELS["curv_profile"](pad, 1.0, 1.0)[1:-1, 1:-1]
+    plan = D.KERNELS["curv_plan"](pad, 1.0, 1.0)[1:-1, 1:-1]
+    tot = D.KERNELS["curv_total"](pad, 1.0, 1.0)[1:-1, 1:-1]
+    xi, yi = x[1:-1, 1:-1], y[1:-1, 1:-1]
+    mask = ~((xi == 16) & (yi == 16))  # apex is flat (G=H=0) -> 0
+    assert np.allclose(prof[mask], -2 * c, atol=1e-12)
+    assert np.allclose(plan[mask], 2 * c, atol=1e-12)
+    assert prof[15, 15] == 0.0 and plan[15, 15] == 0.0  # apex, shifted
+    assert np.allclose(tot, -4 * c, atol=1e-12)
+    # an inclined plane is curvature-free in every sense
+    zp = 0.7 * x + 0.2 * y + 5.0
+    pad[1:-1, 1:-1] = zp
+    for op in ("curv_profile", "curv_plan", "curv_total"):
+        out = D.KERNELS[op](pad, 1.0, 1.0)[1:-1, 1:-1]
+        assert np.allclose(out, 0.0, atol=1e-12)
