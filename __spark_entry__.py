@@ -3485,6 +3485,20 @@ def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "count")
 
 
+def q_hypsometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypsometric curve (Strahler 1952) over the world4326 fixture: 32
+    elevation bands of [0, 256), per-band cell count + cumulative
+    area fraction at-or-above the band; int64 counts divide exactly in
+    both engines."""
+    from lib_gdal_spark.operators import stats as ST
+
+    tiles = RS.fixture_rasters(spark).where(
+        F.col("raster_id") == "world4326"
+    )
+    out = ST.hypsometric(tiles, 0.0, 256.0, buckets=32)
+    return out.select("bucket", "count", "elev_lo", "frac_above")
+
+
 def q_pyramid_cubic_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBIC convolution overview step (overview.cpp:2429): halo-strip
     pyramid; interior pixels oracle-exact (the scaled Catmull-Rom weights
@@ -6771,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_pixelfuncs": q_complex_pixelfuncs,
         "band_stats": q_band_stats,
         "band_histogram": q_band_histogram,
+        "hypsometric": q_hypsometric,
         "pyramid_cubic_l1": q_pyramid_cubic_l1,
         "grid_linear": q_grid_linear,
         "grid_invdistnn": q_grid_invdistnn,
@@ -10820,6 +10835,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS count
         FROM ({_fix_pix("(px + py) // 2", 256)})
         GROUP BY 1
+    """
+
+    # hypsometric: per-band counts over the closed-form world4326, then
+    # the at-or-above cumulative fraction (int64 counts divide exactly).
+    sqls["hypsometric"] = f"""
+        WITH h AS (
+          SELECT CAST(floor(v / 8.0) AS INTEGER) AS bucket,
+                 CAST(count(*) AS BIGINT) AS count
+          FROM ({_fix_pix(_fixture_vals["world4326"][0], 256)})
+          GROUP BY 1
+        )
+        SELECT bucket, count,
+               0.0 + bucket * 8.0 AS elev_lo,
+               round(
+                 sum(count) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(count) OVER () AS DOUBLE), 9) AS frac_above
+        FROM h
     """
 
     _cw = [-0.0234375, -0.0703125, 0.2265625, 0.8671875,

@@ -117,6 +117,34 @@ def band_histogram(
     )
 
 
+def hypsometric(tiles: DataFrame, vmin: float, vmax: float,
+                buckets: int = 32) -> DataFrame:
+    """Hypsometric curve (Strahler 1952): the area-elevation
+    distribution — for each elevation band, the cell count and the
+    cumulative fraction of surface area at-or-above the band's lower
+    edge. The curve's integral (the hypsometric integral) separates
+    youthful high-relief terrain from mature low-relief terrain.
+
+    Bands follow band_histogram's GDAL bucket rule. Scale shape: the
+    per-tile partial histogram is map-side combinable and the window
+    cumsum runs over at most ``buckets`` rows per raster — nothing
+    data-sized crosses the shuffle."""
+    from pyspark.sql import Window
+
+    width = (vmax - vmin) / buckets
+    h = band_histogram(tiles, vmin, vmax, buckets)
+    key = ["raster_id", "band", "zoom"]
+    w_above = (Window.partitionBy(*key).orderBy(F.col("bucket").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*key)
+    return h.select(
+        *key, "bucket", "count",
+        (F.lit(vmin) + F.col("bucket") * F.lit(width)).alias("elev_lo"),
+        F.round(F.sum("count").over(w_above) / F.sum("count").over(w_tot),
+                9).alias("frac_above"),
+    )
+
+
 def zonal_stats(
     zone_tiles: DataFrame,
     value_tiles: DataFrame,

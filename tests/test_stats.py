@@ -25,3 +25,24 @@ def test_zonal_stats(spark):
         1.0: (2, 30.0, 10.0, 20.0, 15.0),
         2.0: (3, 42.0, 5.0, 30.0, 14.0),
     }
+
+
+def test_hypsometric_known_distribution(spark):
+    """A 4-step staircase raster: each elevation quarter holds 1/4 of
+    the area, so frac_above descends 1.0, 0.75, 0.5, 0.25."""
+    import numpy as np
+    import pandas as pd
+
+    from lib_gdal_spark.operators.stats import hypsometric
+    from lib_gdal_spark.sources.rasters import RASTER_SCHEMA, tiles_from_array
+
+    arr = np.repeat(np.array([10.0, 30.0, 50.0, 70.0]), 16 * 64).reshape(64, 64)
+    rows = tiles_from_array("stairs", arr, (0, 1, 0, 64, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RASTER_SCHEMA)
+    out = {r["bucket"]: r for r in
+           hypsometric(tiles, 0.0, 80.0, buckets=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    for b in out.values():
+        assert b["count"] == 1024
+    assert [out[b]["frac_above"] for b in (0, 1, 2, 3)] == [1.0, 0.75, 0.5, 0.25]
+    assert [out[b]["elev_lo"] for b in (0, 1, 2, 3)] == [0.0, 20.0, 40.0, 60.0]
