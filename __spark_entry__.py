@@ -3957,6 +3957,34 @@ def q_contour_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching: 500 deterministic points snapped to their nearest
+    of 40 road segments within 8 units via the covering-cell bucketed
+    join; oracle = global brute-force argmin with the identical
+    projection arithmetic, so the gate also proves the bucketed
+    candidate set is recall-complete."""
+    from lib_gdal_spark.operators.mapmatch import match_points
+
+    pts = spark.range(0, 500).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 % 997).cast("double") / 10.0).alias("x"),
+        ((F.col("id") * 61 % 983).cast("double") / 10.0).alias("y"),
+    )
+    segs = spark.range(0, 40).select(
+        F.col("id").alias("seg_id"),
+        ((F.col("id") * 53 % 90).cast("double") + 2.0).alias("x1"),
+        ((F.col("id") * 29 % 90).cast("double") + 3.0).alias("y1"),
+        ((F.col("id") * 53 % 90).cast("double") + 2.0
+         + (F.col("id") * 17 % 21).cast("double") - 10.0).alias("x2"),
+        ((F.col("id") * 29 % 90).cast("double") + 3.0
+         + (F.col("id") * 11 % 21).cast("double") - 10.0).alias("y2"),
+    )
+    out = match_points(pts, segs, max_dist=8.0)
+    return out.select(
+        "pid", "x", "y", "seg_id",
+        F.round("t", 9).alias("t"), F.round("dist", 9).alias("dist"))
+
+
 def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-sized exact kNN (density-derived resolution + per-query
     exactness escalation, knn_kring_exact) — must equal brute force, so it
@@ -6801,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_frames": q_media_audio_frames,
         "contour_length": q_contour_length,
         "knn_auto": q_knn_auto,
+        "map_match": q_map_match,
         "focal_mean": q_focal_mean,
         "graph_kshortest": q_graph_kshortest,
         "dem_aspect": q_dem_aspect,
@@ -12972,6 +13001,48 @@ def oracle_sql() -> dict[str, str]:
         FROM c4 c JOIN s3 s ON s.u = c.u AND s.v = c.v
         WHERE s.s >= 3"""
     )
+
+    # map_match: global brute-force nearest-segment argmin with the
+    # operator's exact projection arithmetic (clamped t, euclidean
+    # distance) — also proves the bucketed candidate join is complete.
+    sqls["map_match"] = """
+        WITH pts AS (
+          SELECT i AS pid, (i * 37 % 997) / 10.0 AS x,
+                 (i * 61 % 983) / 10.0 AS y
+          FROM range(0, 500) t(i)
+        ),
+        segs AS (
+          SELECT j AS seg_id,
+                 (j * 53 % 90) + 2.0 AS x1, (j * 29 % 90) + 3.0 AS y1,
+                 (j * 53 % 90) + 2.0 + (j * 17 % 21) - 10.0 AS x2,
+                 (j * 29 % 90) + 3.0 + (j * 11 % 21) - 10.0 AS y2
+          FROM range(0, 40) t(j)
+        ),
+        geom AS (
+          SELECT p.pid, p.x, p.y, s.seg_id, s.x1, s.y1,
+                 s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
+          FROM pts p CROSS JOIN segs s
+        ),
+        proj AS (
+          SELECT pid, x, y, seg_id, x1, y1, dx, dy,
+                 CASE WHEN dx * dx + dy * dy = 0.0 THEN 0.0
+                 ELSE least(greatest(
+                   ((x - x1) * dx + (y - y1) * dy) / (dx * dx + dy * dy),
+                   0.0), 1.0) END AS t
+          FROM geom
+        ),
+        scored AS (
+          SELECT pid, x, y, seg_id, t,
+                 sqrt((x - (x1 + t * dx)) * (x - (x1 + t * dx))
+                      + (y - (y1 + t * dy)) * (y - (y1 + t * dy))) AS d
+          FROM proj
+        )
+        SELECT pid, x, y, seg_id, round(t, 9) AS t, round(d, 9) AS dist
+        FROM (SELECT *, row_number()
+                OVER (PARTITION BY pid ORDER BY d, seg_id) AS rn
+              FROM scored WHERE d <= 8.0)
+        WHERE rn = 1
+    """
 
     # graph_stats: same distinct edges; all Pearson terms int64-exact,
     # identical final float parenthesization.
