@@ -507,6 +507,19 @@ def q_basin_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("z"), 6).alias("z_mean")))
 
 
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation over world4326 — per-cell upstream-cell
+    counts (ESRI Flow Accumulation semantics; the channel-network step
+    after flowdir/basins). Spark runs the log-round jump-table path
+    expansion (pairs at distance <= 2^k, one equi-join per round); the
+    oracle walks the identical flow edges with a recursive CTE and
+    counts visits. Counts are integers, so equality is exact."""
+    from lib_gdal_spark.operators.dem import d8_flow_accumulation
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return d8_flow_accumulation(tiles)
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
     60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
@@ -6842,6 +6855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_curv_total": q_dem_curv_total,
         "dem_basins": q_dem_basins,
         "basin_zonal": q_basin_zonal,
+        "flow_accumulation": q_flow_accumulation,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
@@ -13423,6 +13437,50 @@ def oracle_sql() -> dict[str, str]:
                round(avg({_bv(0, 0)}), 6) AS z_mean
         FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
         GROUP BY 1
+    """
+
+    # flow_accumulation: the same flowdir + successor arithmetic, flow
+    # EDGES only for positive-drop cells whose target stays interior,
+    # then a recursive CTE walks every path (the D8 graph is acyclic —
+    # strictly decreasing elevation — so each (ancestor, node) pair
+    # occurs exactly once) and a count per destination is the upstream
+    # cell count.
+    sqls["flow_accumulation"] = f"""
+        WITH RECURSIVE pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+            {_bwin}
+          FROM pix
+        ),
+        fd AS (
+          SELECT px, py,
+            CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END
+                 AS BIGINT) AS code
+          FROM win
+        ),
+        tgt AS (
+          SELECT px, py, px + {_bdx} AS tx, py + {_bdy} AS ty FROM fd
+        ),
+        edges AS MATERIALIZED (
+          SELECT py * 65536 + px AS src, ty * 65536 + tx AS dst
+          FROM tgt
+          WHERE (tx <> px OR ty <> py)
+            AND tx BETWEEN 1 AND 254 AND ty BETWEEN 1 AND 254
+        ),
+        walk AS (
+          SELECT src, dst FROM edges
+          UNION ALL
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        ),
+        acc AS (
+          SELECT dst, count(*) AS n FROM walk GROUP BY dst
+        )
+        SELECT p.px, p.py, CAST(coalesce(a.n, 0) AS BIGINT) AS acc
+        FROM pix p LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
     """
 
     sqls["translate_auto"] = """

@@ -1,0 +1,81 @@
+"""D8 flow accumulation (operators/dem.d8_flow_accumulation)."""
+
+import numpy as np
+import pandas as pd
+
+from lib_gdal_spark.operators import dem as D
+from lib_gdal_spark.sources import rasters as RS
+
+D8 = {1: (1, 0), 2: (1, 1), 4: (0, 1), 8: (-1, 1),
+      16: (-1, 0), 32: (-1, -1), 64: (0, -1), 128: (1, -1)}
+
+
+def _brute(arr, lo, hi):
+    """Walk every cell's D8 path; count visits per cell (excl. self)."""
+    h, w = arr.shape
+    s2 = np.sqrt(2.0)
+    acc = {}
+
+    def code(x, y):
+        e = arr[y, x]
+        best, bc = 0.0, 0
+        for c, (dx, dy) in sorted(D8.items()):
+            nx, ny = x + dx, y + dy
+            d = (e - arr[ny, nx]) / (s2 if dx and dy else 1.0)
+            if d > best:
+                best, bc = d, c
+        return bc
+
+    for y in range(lo, hi + 1):
+        for x in range(lo, hi + 1):
+            cx, cy = x, y
+            while True:
+                c = code(cx, cy)
+                if c == 0:
+                    break
+                dx, dy = D8[c]
+                nx, ny = cx + dx, cy + dy
+                if not (lo <= nx <= hi and lo <= ny <= hi):
+                    break
+                acc[(nx, ny)] = acc.get((nx, ny), 0) + 1
+                cx, cy = nx, ny
+    return acc
+
+
+def _run(spark, arr, tile=32, lo=1, hi=62):
+    h, w = arr.shape
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, h, 0, -1), tile=tile)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    return {(r["px"], r["py"]): r["acc"]
+            for r in D.d8_flow_accumulation(
+                tiles, tile=tile, lo=lo, hi=hi).collect()}
+
+
+def test_east_tilt_row_prefix_counts(spark):
+    # everything flows EAST: accumulation at column x is x - 1 upstream
+    # cells in its row (cells lo..x-1), 0 at the western edge
+    arr = np.tile(np.arange(64, 0, -1, dtype=float), (64, 1))
+    got = _run(spark, arr)
+    for (px, py), a in got.items():
+        assert a == px - 1, (px, py, a)
+
+
+def test_bowl_matches_bruteforce(spark):
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr = ((xx - 31.3) ** 2 + (yy - 30.7) ** 2).astype(float)
+    got = _run(spark, arr)
+    want = _brute(arr, 1, 62)
+    for (px, py), a in got.items():
+        assert a == want.get((px, py), 0), (px, py, a)
+    # the pit collects every other interior cell
+    assert got[(31, 31)] == 62 * 62 - 1
+
+
+def test_rough_terrain_matches_bruteforce(spark):
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr = np.trunc((np.sin(xx * 0.19) + np.cos(yy * 0.13)) * 60.0 + 128.0)
+    got = _run(spark, arr)
+    want = _brute(arr, 1, 62)
+    assert len(got) == 62 * 62
+    for (px, py), a in got.items():
+        assert a == want.get((px, py), 0), (px, py, a)
