@@ -2533,6 +2533,25 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory dwell segmentation (stay-point detection) per user over
+    the events stream: integer-valued planar coordinates hashed from
+    event_id, steps classified stay/move by dist <= v_max * dt, maximal
+    stay runs >= 1 h emitted with centroids. One window + one combinable
+    groupBy; coordinates are integer-valued doubles so the centroid sums
+    are exact in any aggregation order, and the oracle spells the
+    identical window/threshold arithmetic."""
+    from lib_gdal_spark.operators.trajectory import dwell_segments
+
+    ev = _t(spark, sf_dir, "events")
+    track = ev.select(
+        F.col("user_id").alias("eid"), "ts",
+        ((F.col("event_id") * 7919) % 1000).cast("double").alias("x"),
+        ((F.col("event_id") * 104729) % 1000).cast("double").alias("y"),
+    )
+    return dwell_segments(track, v_max=0.04, min_dwell_s=3600.0)
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the events table (8h gap) with
     per-session rollups — exact integer-microsecond timestamp math."""
@@ -6635,6 +6654,31 @@ def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_gi_star(_stat_cells(spark, sf_dir), queen=True)
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall trend over day-binned event counts — the
+    emerging-hotspot statistic (Mann 1945 / Kendall 1975; Gi* says hot
+    NOW, MK says HEATING UP). 6x6 lattice from the _stat_cells integer
+    hash keys, tbin = dayofyear(ts). S, n, and the tie sums are exact
+    int64 aggregates (a bounded T^2 self-join per cell on the
+    AGGREGATED lattice); only the final z is float, spelled identically
+    in the oracle."""
+    from lib_gdal_spark.operators.spatialstats import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    cells = (
+        ev.select(
+            ((k1 - k1 % 6000) / 6000).cast("int").alias("gx"),
+            ((k2 - k2 % 3000) / 3000).cast("int").alias("gy"),
+            F.dayofyear("ts").alias("tbin"),
+        )
+        .groupBy("gx", "gy", "tbin")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return mann_kendall(cells)
+
+
 def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized quartic-kernel density heatmap (Silverman 1986 eq. 4.5)
     over 1-degree pixel-binned points, radius 3 px. Kernel weights are
@@ -6917,6 +6961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "line_dedup": q_line_dedup,
         "events_sessionize": q_events_sessionize,
+        "dwell_segments": q_dwell_segments,
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
         "nb_classifier": q_nb_classifier,
@@ -6998,6 +7043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "georss_items": q_georss_items,
         "morans_i": q_morans_i,
         "getis_hotspots": q_getis_hotspots,
+        "mann_kendall": q_mann_kendall,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
     }
@@ -12679,6 +12725,58 @@ def oracle_sql() -> dict[str, str]:
 
     # events_sessionize: inactivity-gap sessions, integer-microsecond
     # math (epoch_us == Spark unix_micros on UTC-normalized parquet).
+    # dwell_segments: identical window chain (lag, class, break flag,
+    # running-sum run ids) and the identical stay aggregation; the
+    # stay/move comparison is the same single multiply, and integer
+    # coordinates make every sum exact.
+    sqls["dwell_segments"] = """
+        WITH pts AS (
+          SELECT user_id AS eid, ts,
+                 CAST((event_id * 7919) % 1000 AS DOUBLE) AS x,
+                 CAST((event_id * 104729) % 1000 AS DOUBLE) AS y
+          FROM events
+        ),
+        st AS (
+          SELECT eid, ts, x, y,
+                 lag(x) OVER w AS px, lag(y) OVER w AS py,
+                 lag(ts) OVER w AS pts
+          FROM pts WINDOW w AS (PARTITION BY eid ORDER BY ts, x, y)
+        ),
+        cl AS (
+          SELECT *, CASE WHEN sqrt((x - px) * (x - px)
+                                   + (y - py) * (y - py))
+                           <= 0.04 * ((epoch_us(ts) - epoch_us(pts))
+                                      / 1000000.0)
+                         THEN 'stay' ELSE 'move' END AS cls
+          FROM st WHERE pts IS NOT NULL
+        ),
+        br AS (
+          SELECT *, CASE WHEN lag(cls) OVER w IS NULL
+                           OR lag(cls) OVER w <> cls THEN 1 ELSE 0 END AS brk
+          FROM cl WINDOW w AS (PARTITION BY eid ORDER BY ts, x, y)
+        ),
+        sg AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY eid ORDER BY ts, x, y
+                                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM br
+        ),
+        agg AS (
+          SELECT eid, seg, min(pts) AS t_start, max(ts) AS t_end,
+                 count(*) AS n_steps, sum(x) AS sx, sum(y) AS sy,
+                 arg_min(px, ts) AS fx,
+                 arg_min(py, ts) AS fy
+          FROM sg WHERE cls = 'stay' GROUP BY 1, 2
+        )
+        SELECT eid, CAST(seg AS BIGINT) AS seg, t_start, t_end,
+               round((epoch_us(t_end) - epoch_us(t_start)) / 1000000.0, 6)
+                 AS dur_s,
+               CAST(n_steps + 1 AS BIGINT) AS n_pts,
+               round((sx + fx) / (n_steps + 1), 9) AS cx,
+               round((sy + fy) / (n_steps + 1), 9) AS cy
+        FROM agg
+        WHERE (epoch_us(t_end) - epoch_us(t_start)) / 1000000.0 >= 3600.0
+    """
+
     sqls["events_sessionize"] = """
         WITH s AS (
           SELECT user_id, epoch_us(ts) AS us,
@@ -15104,6 +15202,56 @@ def oracle_sql() -> dict[str, str]:
     _kq_vals = ", ".join(
         f"({dx}, {dy}, {q!r})" for dx, dy, q in kernel_quanta(3)
     )
+    # mann_kendall: the identical int64 partials (S from the tbin-pair
+    # self-join, tie groups, per-cell bin counts) and the identical
+    # final z expression — trend classified on the UNROUNDED z exactly
+    # as the operator does.
+    sqls["mann_kendall"] = """
+        WITH cells AS (
+          SELECT CAST((k1 - k1 % 6000) / 6000 AS INT) AS gx,
+                 CAST((k2 - k2 % 3000) / 3000 AS INT) AS gy,
+                 dayofyear(ts) AS tbin, COUNT(*) AS x
+          FROM (SELECT (event_id * 7919) % 36000 AS k1,
+                       (event_id * 104729) % 17000 AS k2, ts FROM events)
+          GROUP BY 1, 2, 3
+        ),
+        s AS (
+          SELECT a.gx, a.gy,
+                 SUM(CASE WHEN b.x > a.x THEN 1
+                          WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+          FROM cells a JOIN cells b
+            ON a.gx = b.gx AND a.gy = b.gy AND a.tbin < b.tbin
+          GROUP BY 1, 2
+        ),
+        n AS (SELECT gx, gy, COUNT(*) AS n_bins FROM cells GROUP BY 1, 2),
+        ties AS (
+          SELECT gx, gy, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+          FROM (SELECT gx, gy, x, COUNT(*) AS t FROM cells GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT n.gx, n.gy, n.n_bins, COALESCE(s.s, 0) AS s,
+                 (n.n_bins * (n.n_bins - 1) * (2 * n.n_bins + 5)
+                  - ties.tt) / 18.0 AS var
+          FROM n
+          LEFT JOIN s ON s.gx = n.gx AND s.gy = n.gy
+          JOIN ties ON ties.gx = n.gx AND ties.gy = n.gy
+        ),
+        zz AS (
+          SELECT gx, gy, n_bins, s,
+                 CASE WHEN var > 0 AND s > 0 THEN (s - 1) / sqrt(var)
+                      WHEN var > 0 AND s < 0 THEN (s + 1) / sqrt(var)
+                      ELSE 0.0 END AS z_raw
+          FROM j
+        )
+        SELECT gx, gy, CAST(n_bins AS BIGINT) AS n_bins,
+               CAST(s AS BIGINT) AS s, round(z_raw, 8) AS z,
+               CASE WHEN z_raw > 1.959964 THEN 'increasing'
+                    WHEN z_raw < -1.959964 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM zz
+    """
+
     sqls["kde_heatmap"] = f"""
         WITH kq(dx, dy, q) AS (VALUES {_kq_vals}),
         cnts AS (

@@ -42,6 +42,7 @@ __all__ = [
     "getis_gi_star",
     "kde_heatmap",
     "ripley_k",
+    "mann_kendall",
 ]
 
 
@@ -319,5 +320,76 @@ def ripley_k(
             "n_pairs",
             F.round(k_hat, 9).alias("k_hat"),
             F.round(F.sqrt(k_hat / math.pi), 9).alias("l_hat"),
+        )
+    )
+
+
+def mann_kendall(cells: DataFrame, z_crit: float = 1.959964) -> DataFrame:
+    """Per-cell Mann-Kendall trend test over time-binned counts — the
+    "emerging hotspot" statistic (Mann 1945; Kendall 1975; the
+    space-time companion of :func:`getis_gi_star`: Gi* answers "is this
+    cell hot NOW", MK answers "is it HEATING UP").
+
+    ``cells``: one row per (gx, gy, tbin, x) — the cell lattice crossed
+    with time bins, x the integer count in that bin (pre-aggregated, so
+    |input| = |occupied cells| * T << corpus size). Missing bins are
+    simply absent (MK is rank-based and needs no imputation; n is the
+    per-cell bin count).
+
+    Per cell: S = sum over bin pairs i<j of sign(x_j - x_i); the
+    tie-corrected normal variance Var = (n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5)) / 18 over tie groups t; the continuity-corrected
+    z = (S -+ 1)/sqrt(Var); and the trend label at ``z_crit``
+    (two-sided 5% by default). S, n, and the tie sums are exact int64
+    aggregates — one bounded self-join on the cell key (T(T-1)/2 pairs
+    per cell, T a small constant) plus two combinable groupBys — so the
+    only float arithmetic is the final z expression, which a SQL oracle
+    reproduces bit-for-bit.
+
+    Returns (gx, gy, n_bins, s, z, trend) with z rounded to 8 dp and
+    trend in {'increasing', 'decreasing', 'no_trend'}.
+    """
+    a = cells.select("gx", "gy", F.col("tbin").alias("ti"),
+                     F.col("x").alias("xi"))
+    b = cells.select("gx", "gy", F.col("tbin").alias("tj"),
+                     F.col("x").alias("xj"))
+    s = (
+        a.join(b, ["gx", "gy"])
+        .where(F.col("ti") < F.col("tj"))
+        .groupBy("gx", "gy")
+        .agg(F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long"))
+             .alias("s"))
+    )
+    n = cells.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n_bins"))
+    t = F.col("t")
+    ties = (
+        cells.groupBy("gx", "gy", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("gx", "gy")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tt"))
+    )
+    nn = F.col("n_bins")
+    var = (nn * (nn - 1) * (2 * nn + 5) - F.col("tt")) / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    # all-tied cells (var == 0) have s == 0, so z's otherwise-branch
+    # already yields 0.0 without touching the 0/0
+    z = F.when(var > 0, z).otherwise(F.lit(0.0))
+    trend = (
+        F.when(z > z_crit, F.lit("increasing"))
+        .when(z < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return (
+        n.join(s, ["gx", "gy"], "left")
+        .join(ties, ["gx", "gy"], "left")
+        .select(
+            "gx", "gy", "n_bins",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+            F.round(z, 8).alias("z"),
+            trend.alias("trend"),
         )
     )

@@ -1,0 +1,101 @@
+"""Trajectory segmentation: speed-threshold stay/move runs per entity.
+
+The dwell-detection operator for timestamped geotagged streams (the
+classic trajectory-mining primitive — Zheng 2015's stay-point family,
+here the speed-threshold run formulation, which is exactly expressible
+in windowed SQL and therefore oracle-checkable): split each entity's
+time-ordered track into maximal runs of consecutive STEPS classified
+stay (step distance <= v_max * dt) or move, and emit the stay runs
+longer than ``min_dwell_s`` with their centroid — the places the entity
+lingered. Reference analog: none (lib_gdal has no trajectory layer);
+the nearest kin in this repo are events.sessionize (time-gap runs) and
+mapmatch (the road-snap that often precedes this).
+
+Scale shape: ONE window (partitionBy entity, orderBy ts, monotonic lag
++ running sum — Spark executes it as a single keyed sort within
+partitions after one hash exchange on the entity key; per-entity tracks
+are small, so no skew beyond the hottest entity's row count) followed by
+one map-side-combinable groupBy. No UDFs, no cross joins; everything is
+JVM column math, and the stay/move comparison is a single multiply
+(dist^2 <= (v_max*dt)^2 avoided deliberately — sqrt once, spelled
+identically in the oracle, keeps the expression IEEE-identical in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dwell_segments"]
+
+
+def dwell_segments(track: DataFrame, v_max: float,
+                   min_dwell_s: float = 0.0) -> DataFrame:
+    """Stay segments of each entity's track.
+
+    ``track``: (eid, ts, x, y) — ts a timestamp, x/y planar coordinates
+    (pre-project lon/lat for metric thresholds). Ordering ties break on
+    (ts, x, y), so the result is deterministic for any input.
+
+    A STEP i-1 -> i is a ``stay`` step when
+    ``dist(i-1, i) <= v_max * dt_seconds`` (dt from microsecond-exact
+    epoch arithmetic), else a ``move`` step. Maximal runs of equal-class
+    steps form segments; this returns the stay runs with
+    ``dur_s >= min_dwell_s`` as
+    (eid, seg, t_start, t_end, dur_s, n_pts, cx, cy): seg the step-run
+    ordinal within the entity, t_start the run's first point's ts,
+    n_pts the number of distinct track points in the run (steps + 1),
+    and (cx, cy) the unweighted centroid of those points.
+    """
+    e, ts = F.col("eid"), F.col("ts")
+    w = Window.partitionBy("eid").orderBy("ts", "x", "y")
+    st = track.select(
+        e.alias("eid"),
+        # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs
+        # TIMESTAMP, and the session timezone is pinned UTC so the cast
+        # is a pure reinterpretation
+        ts.cast("timestamp").alias("ts"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    ).withColumn("px", F.lag("x").over(w)) \
+     .withColumn("py", F.lag("y").over(w)) \
+     .withColumn("pts", F.lag("ts").over(w)) \
+     .where(F.col("pts").isNotNull())
+    dist = F.sqrt((F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+                  + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))
+    dt = (F.unix_micros("ts") - F.unix_micros("pts")) / F.lit(1000000.0)
+    st = st.withColumn(
+        "cls", F.when(dist <= F.lit(float(v_max)) * dt, F.lit("stay"))
+                .otherwise(F.lit("move")))
+    w2 = Window.partitionBy("eid").orderBy("ts", "x", "y")
+    st = st.withColumn(
+        "brk",
+        F.when(F.lag("cls").over(w2).isNull()
+               | (F.lag("cls").over(w2) != F.col("cls")), 1).otherwise(0))
+    st = st.withColumn(
+        "seg", F.sum("brk").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)))
+    stays = st.where(F.col("cls") == "stay")
+    agg = stays.groupBy("eid", "seg").agg(
+        F.min("pts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.count(F.lit(1)).alias("n_steps"),
+        # centroid over DISTINCT run points: every step's cur point
+        # plus the run's first prev point (min_by on the order key)
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.min_by("px", F.struct("ts", "x", "y")).alias("fx"),
+        F.min_by("py", F.struct("ts", "x", "y")).alias("fy"),
+    )
+    dur = (F.unix_micros("t_end") - F.unix_micros("t_start")) / F.lit(1e6)
+    n_pts = F.col("n_steps") + 1
+    return (
+        agg.where(dur >= F.lit(float(min_dwell_s)))
+        .select(
+            "eid", "seg", "t_start", "t_end",
+            F.round(dur, 6).alias("dur_s"),
+            n_pts.cast("long").alias("n_pts"),
+            F.round((F.col("sx") + F.col("fx")) / n_pts, 9).alias("cx"),
+            F.round((F.col("sy") + F.col("fy")) / n_pts, 9).alias("cy"),
+        )
+    )
