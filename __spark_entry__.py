@@ -507,6 +507,20 @@ def q_basin_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("z"), 6).alias("z_mean")))
 
 
+def q_strahler_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order over the world4326 [1,126]^2 window — the
+    stream-hierarchy step after flowdir/accumulation (order-1 sources,
+    +1 where >= 2 maximal branches meet; max order 5 on this terrain).
+    Spark peels level-synchronously with the kcore-style driver
+    short-circuit; the oracle unrolls 44 resolve rounds (forest height
+    39 here) over the identical flow edges. Orders are integers —
+    exact equality."""
+    from lib_gdal_spark.operators.dem import strahler_order
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return strahler_order(tiles, lo=1, hi=126)
+
+
 def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 flow accumulation over world4326 — per-cell upstream-cell
     counts (ESRI Flow Accumulation semantics; the channel-network step
@@ -6900,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_basins": q_dem_basins,
         "basin_zonal": q_basin_zonal,
         "flow_accumulation": q_flow_accumulation,
+        "strahler_order": q_strahler_order,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
         "warp_rpc": q_warp_rpc,
@@ -13535,6 +13550,69 @@ def oracle_sql() -> dict[str, str]:
                round(avg({_bv(0, 0)}), 6) AS z_mean
         FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
         GROUP BY 1
+    """
+
+    # strahler_order: identical flow edges on the [1,126]^2 window, then
+    # 44 unrolled level-resolve rounds (materialized CTEs) — each round
+    # admits every unresolved cell whose upstream set is fully resolved
+    # and applies the Strahler rule via list aggregation (order-
+    # insensitive: only the max and its multiplicity are used).
+    _st_rounds = "".join(f"""
+        c{i} AS MATERIALIZED (
+          SELECT id, list_max(os)
+                 + (CASE WHEN len(list_filter(os, x -> x = list_max(os)))
+                         >= 2 THEN 1 ELSE 0 END) AS ord
+          FROM (
+            SELECT e.dst AS id, list(r.ord) AS os,
+                   count(*) AS n_res, any_value(u.n_up) AS n_up
+            FROM edges e
+            JOIN r{i - 1} r ON r.id = e.src
+            LEFT JOIN r{i - 1} d ON d.id = e.dst
+            JOIN indeg u ON u.id = e.dst
+            WHERE d.id IS NULL
+            GROUP BY e.dst
+          ) WHERE n_res = n_up
+        ),
+        r{i} AS MATERIALIZED (
+          SELECT * FROM r{i - 1} UNION ALL SELECT id, ord FROM c{i}
+        ),""" for i in range(1, 45))
+    sqls["strahler_order"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 126) x(px)
+          CROSS JOIN generate_series(1, 126) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+            {_bwin}
+          FROM pix
+        ),
+        fd AS (
+          SELECT px, py,
+            CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END
+                 AS BIGINT) AS code
+          FROM win
+        ),
+        tgt AS (
+          SELECT px, py, px + {_bdx} AS tx, py + {_bdy} AS ty FROM fd
+        ),
+        edges AS MATERIALIZED (
+          SELECT py * 65536 + px AS src, ty * 65536 + tx AS dst
+          FROM tgt
+          WHERE (tx <> px OR ty <> py)
+            AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
+        ),
+        indeg AS MATERIALIZED (
+          SELECT dst AS id, count(*) AS n_up FROM edges GROUP BY dst
+        ),
+        r0 AS MATERIALIZED (
+          SELECT p.py * 65536 + p.px AS id, CAST(1 AS BIGINT) AS ord
+          FROM pix p LEFT JOIN indeg i ON i.id = p.py * 65536 + p.px
+          WHERE i.id IS NULL
+        ),{_st_rounds}
+        fin AS (SELECT id, ord FROM r44)
+        SELECT p.px, p.py, CAST(f.ord AS BIGINT) AS strahler
+        FROM pix p JOIN fin f ON f.id = p.py * 65536 + p.px
     """
 
     # flow_accumulation: the same flowdir + successor arithmetic, flow

@@ -747,3 +747,166 @@ def d8_flow_accumulation(tiles: DataFrame, tile: int = 64,
         .select("px", "py",
                 F.coalesce(F.col("acc"), F.lit(0)).cast("long").alias("acc"))
     )
+
+
+def _strahler_dp(cell_ids, edge_list, seed_orders=None):
+    """Level-synchronous Strahler DP over a bounded flow forest
+    (Strahler 1957 numbering): sources are order 1; a cell whose
+    upstream maximum m is attained >= 2 times gets m + 1, else m.
+    ``seed_orders`` supplies already-known orders for boundary cells
+    feeding the residual (the distributed short-circuit contract)."""
+    ups: dict = {}
+    succ: dict = {}
+    for u, v in edge_list:
+        ups.setdefault(v, []).append(u)
+        succ[u] = v
+    order = dict(seed_orders or {})
+    pend = {v: len(us) for v, us in ups.items()}
+    got: dict = {v: [] for v in ups}
+    frontier = []
+    for c in cell_ids:
+        if c not in ups and c not in order:
+            order[c] = 1
+            frontier.append(c)
+    # seeded boundary cells act as already-emitted frontier members
+    for c in list(order):
+        if c in succ:
+            frontier.append(c)
+    seen_emit = set()
+    while frontier:
+        nxt = []
+        for u in frontier:
+            v = succ.get(u)
+            if v is None or u in seen_emit:
+                continue
+            seen_emit.add(u)
+            got[v].append(order[u])
+            pend[v] -= 1
+            if pend[v] == 0:
+                m = max(got[v])
+                order[v] = m + (1 if got[v].count(m) >= 2 else 0)
+                nxt.append(v)
+        frontier = nxt
+    return order
+
+
+def strahler_order(tiles: DataFrame, tile: int = 64,
+                   lo: int = 1, hi: int = 254,
+                   max_rounds: int = 10_000,
+                   driver_threshold: int = 2_000_000) -> DataFrame:
+    """Strahler stream order (Strahler 1957) over the D8 flow raster —
+    the stream-network hierarchy step after flowdir/accumulation:
+    sources (no upstream cell) are order 1; where two or more upstream
+    branches of equal maximal order m meet, the downstream cell becomes
+    m + 1, otherwise it keeps m. Returns (px, py, strahler) for every
+    interior cell.
+
+    Strahler is an inherently bottom-up tree DP (a cell needs ALL its
+    upstream orders before its own), so the distributed form is
+    LEVEL-SYNCHRONOUS PEELING: each round resolves every cell whose
+    upstream set is fully resolved — one equi-join of the edge list
+    against the resolved table plus one combinable groupBy per round,
+    rounds = forest height. Heights grow with river length, so exactly
+    like :func:`~lib_gdal_spark.operators.graph.kcore` the loop
+    SHORT-CIRCUITS: once the unresolved residual fits
+    ``driver_threshold`` rows it is collected (edges + the boundary
+    orders feeding it) and finished by the exact in-memory DP — the
+    distributed rounds only ever run while the frontier is genuinely
+    large, and ``max_rounds`` bounds rounds-at-scale, not correctness.
+    """
+    fd = dem_op(tiles, "flowdir")
+    ex = fd.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "code"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int"))
+    cells = ex.select(
+        px.cast("long").alias("px"), py.cast("long").alias("py"),
+        F.col("code").cast("int").alias("code"),
+    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi)))
+
+    dx = F.lit(0)
+    dy = F.lit(0)
+    for code, (cdx, cdy) in D8_OFFSETS.items():
+        dx = F.when(F.col("code") == code, F.lit(cdx)).otherwise(dx)
+        dy = F.when(F.col("code") == code, F.lit(cdy)).otherwise(dy)
+    tx = F.col("px") + dx
+    ty = F.col("py") + dy
+    ids = cells.select(
+        "px", "py", (F.col("py") * 65536 + F.col("px")).alias("id")
+    ).localCheckpoint()
+    edges = cells.where(
+        ((tx != F.col("px")) | (ty != F.col("py")))
+        & tx.between(lo, hi) & ty.between(lo, hi)
+    ).select(
+        (F.col("py") * 65536 + F.col("px")).alias("src"),
+        (ty * 65536 + tx).alias("dst"),
+    ).localCheckpoint()
+    spark = tiles.sparkSession
+
+    def _attach(order: dict) -> DataFrame:
+        odf = spark.createDataFrame(
+            list(order.items()), "id long, strahler long")
+        return ids.join(odf, "id").select("px", "py", "strahler")
+
+    if edges.count() <= driver_threshold:
+        order = _strahler_dp([r["id"] for r in ids.collect()],
+                             [(r["src"], r["dst"]) for r in edges.collect()])
+        return _attach(order)
+
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_up")) \
+                 .select(F.col("dst").alias("id"), "n_up").localCheckpoint()
+    resolved = (
+        ids.join(indeg, "id", "left_anti")
+        .select("id", F.lit(1).cast("long").alias("ord"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        n_unres = ids.join(resolved, "id", "left_anti").count()
+        if n_unres == 0:
+            break
+        if n_unres <= driver_threshold:
+            unres = ids.join(resolved, "id", "left_anti").select("id")
+            res_e = edges.join(
+                unres.withColumnRenamed("id", "dst"), "dst")
+            seed = (res_e.select(F.col("src").alias("id")).distinct()
+                    .join(resolved, "id"))
+            order = _strahler_dp(
+                [r["id"] for r in unres.collect()],
+                [(r["src"], r["dst"]) for r in res_e.collect()],
+                {r["id"]: r["ord"] for r in seed.collect()})
+            full = resolved.unionByName(spark.createDataFrame(
+                [(k, v) for k, v in order.items()
+                 if k not in ()], "id long, ord long"))
+            return ids.join(
+                full.withColumnRenamed("ord", "strahler").dropDuplicates(
+                    ["id"]), "id").select("px", "py", "strahler")
+        j = (
+            edges.join(resolved.withColumnRenamed("id", "src"), "src")
+            .join(resolved.select(F.col("id").alias("dst")),
+                  "dst", "left_anti")
+            .join(indeg.withColumnRenamed("id", "dst"), "dst")
+        )
+        cand = (
+            j.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("n_res"),
+                 F.first("n_up").alias("n_up"),
+                 F.collect_list("ord").alias("os"))
+            .where(F.col("n_res") == F.col("n_up"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.array_max("os")
+                 + F.when(
+                     F.size(F.filter(
+                         "os",
+                         lambda x: x == F.array_max(F.col("os")))) >= 2,
+                     1).otherwise(0)).cast("long").alias("ord"))
+        )
+        resolved = resolved.unionByName(cand).localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"strahler_order did not converge in {max_rounds} rounds")
+    return ids.join(resolved.withColumnRenamed("ord", "strahler"), "id") \
+              .select("px", "py", "strahler")
