@@ -993,6 +993,21 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("v", 6).alias("v"))
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated cost distance (GRASS r.cost analog — proximity's
+    weighted generalization) over world4326 [1,40]^2 from three seeds:
+    grid-graph edges weighted (cu+cv)/2 (x sqrt(2) diagonal), then the
+    multi-source Bellman-Ford relaxation to fixpoint (37 synchronous
+    rounds here). The oracle unrolls 44 relaxation rounds over the
+    identical edges; every path sum folds left-to-right in both
+    engines, so the fixpoint minima are bit-identical before the 9-dp
+    round."""
+    from lib_gdal_spark.operators.proximity import cost_distance
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return cost_distance(tiles, [(5, 5), (38, 20), (20, 38)], lo=1, hi=40)
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity raster (gdalproximity.cpp): exact distance to the nearest
     value-150 pixel of world4326, bounded at 10 px."""
@@ -6806,6 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_erase": q_layer_erase,
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
+        "cost_distance": q_cost_distance,
         "sieve_counts": q_sieve_counts,
         "fillnodata": q_fillnodata,
         "ngram_jaccard": q_ngram_jaccard,
@@ -13550,6 +13566,48 @@ def oracle_sql() -> dict[str, str]:
                round(avg({_bv(0, 0)}), 6) AS z_mean
         FROM pix p JOIN s8 ON s8.id = p.py * 65536 + p.px
         GROUP BY 1
+    """
+
+    # cost_distance: identical grid-graph weights and 44 unrolled
+    # min-relaxation rounds (fixpoint at 37 on this window); the seed
+    # ids are py * 65536 + px.
+    _cd_rounds = "".join(f"""
+        r{i} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM r{i - 1}
+            UNION ALL
+            SELECT e.v AS node, r.dist + e.w AS dist
+            FROM r{i - 1} r JOIN edges e ON e.u = r.node
+          ) GROUP BY node
+        ),""" for i in range(1, 45))
+    sqls["cost_distance"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 40) x(px)
+          CROSS JOIN generate_series(1, 40) y(py)
+        ),
+        cells AS MATERIALIZED (
+          SELECT px, py, {_bv(0, 0)} AS c FROM pix
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.py * 65536 + a.px AS u, b.py * 65536 + b.px AS v,
+                 ((a.c + b.c) / 2.0)
+                 * (CASE WHEN a.px <> b.px AND a.py <> b.py
+                         THEN sqrt(2.0) ELSE 1.0 END) AS w
+          FROM cells a JOIN cells b
+            ON b.px BETWEEN a.px - 1 AND a.px + 1
+           AND b.py BETWEEN a.py - 1 AND a.py + 1
+           AND (a.px <> b.px OR a.py <> b.py)
+        ),
+        r0 AS MATERIALIZED (
+          SELECT * FROM (VALUES
+            (5 * 65536 + 5, 0.0),
+            (20 * 65536 + 38, 0.0),
+            (38 * 65536 + 20, 0.0)) t(node, dist)
+        ),{_cd_rounds}
+        fin AS (SELECT node, dist FROM r44)
+        SELECT p.px, p.py, round(f.dist, 9) AS dist
+        FROM cells p JOIN fin f ON f.node = p.py * 65536 + p.px
     """
 
     # strahler_order: identical flow edges on the [1,126]^2 window, then

@@ -33,15 +33,18 @@ def graph_connected_components(edges: DataFrame) -> DataFrame:
 
 def shortest_path_tree(
     edges: DataFrame,
-    source: int,
+    source: int | list,
     directed: bool = False,
     max_rounds: int = 50,
 ) -> DataFrame:
-    """Single-source shortest distances: (node, dist, prev).
+    """Single- or multi-source shortest distances: (node, dist, prev).
 
     ``edges``: (u long, v long, w double). Iterative relaxation: dist' =
     min(dist, min over incoming (dist[u] + w)). Stops when no distance
-    improves (converged) or after ``max_rounds``.
+    improves (converged) or after ``max_rounds``. A list ``source``
+    seeds every listed node at distance 0 (the multi-source transform —
+    cost_distance's seed set; equivalent to a virtual super-source with
+    zero-weight edges, without materializing it).
     """
     e = edges.select(
         F.col(edges.columns[0]).alias("u"),
@@ -52,9 +55,10 @@ def shortest_path_tree(
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     e = e.localCheckpoint()
 
+    sources = [source] if isinstance(source, int) else list(source)
     from lib_gdal_spark.session import local_df
     dist = local_df(
-        e.sparkSession, [(source, 0.0, None)],
+        e.sparkSession, [(int(s), 0.0, None) for s in sources],
         "node long, dist double, prev long",
     )
     prev_sig = None

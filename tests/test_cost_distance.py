@@ -1,0 +1,74 @@
+"""Accumulated cost distance (operators/proximity.cost_distance)."""
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+
+from lib_gdal_spark.operators.proximity import cost_distance
+from lib_gdal_spark.sources import rasters as RS
+
+S2 = math.sqrt(2.0)
+D8 = [(1, 0, 1.0), (1, 1, S2), (0, 1, 1.0), (-1, 1, S2),
+      (-1, 0, 1.0), (-1, -1, S2), (0, -1, 1.0), (1, -1, S2)]
+
+
+def dijkstra(cost, seeds, lo, hi):
+    dist = {s: 0.0 for s in seeds}
+    pq = [(0.0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, (x, y) = heapq.heappop(pq)
+        if d > dist.get((x, y), math.inf):
+            continue
+        for dx, dy, mult in D8:
+            nx, ny = x + dx, y + dy
+            if not (lo <= nx <= hi and lo <= ny <= hi):
+                continue
+            nd = d + ((cost[y, x] + cost[ny, nx]) / 2.0) * mult
+            if nd < dist.get((nx, ny), math.inf):
+                dist[(nx, ny)] = nd
+                heapq.heappush(pq, (nd, (nx, ny)))
+    return dist
+
+
+def _run(spark, arr, seeds, tile=32, lo=1, hi=None):
+    h, w = arr.shape
+    hi = hi if hi is not None else h - 2
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, h, 0, -1), tile=tile)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    return {(r["px"], r["py"]): r["dist"]
+            for r in cost_distance(tiles, seeds, tile=tile, lo=lo,
+                                   hi=hi).collect()}
+
+
+def test_uniform_cost_is_chamfer_distance(spark):
+    # constant cost 2 -> step costs are 2 / 2*sqrt(2): the chamfer metric
+    arr = np.full((32, 32), 2.0)
+    got = _run(spark, arr, [(15, 15)])
+    for (px, py), d in got.items():
+        ax, ay = abs(px - 15), abs(py - 15)
+        want = 2.0 * (min(ax, ay) * S2 + abs(ax - ay))
+        assert abs(d - round(want, 9)) < 1e-6, (px, py, d, want)
+
+
+def test_rough_terrain_matches_dijkstra(spark):
+    yy, xx = np.mgrid[0:40, 0:40]
+    arr = np.trunc((np.sin(xx * 0.19) + np.cos(yy * 0.13)) * 60.0 + 128.0)
+    seeds = [(5, 5), (38, 20)]
+    got = _run(spark, arr, seeds, hi=38)
+    want = dijkstra(arr, seeds, 1, 38)
+    assert len(got) == 38 * 38
+    for k, d in got.items():
+        assert abs(d - want[k]) < 1e-9, (k, d, want[k])
+    assert got[(5, 5)] == 0.0 and got[(38, 20)] == 0.0
+
+
+def test_wall_forces_detour(spark):
+    arr = np.full((32, 32), 1.0)
+    arr[5:27, 16] = 1e6          # a costly wall with a gap at the top
+    got = _run(spark, arr, [(5, 15)])
+    # a cell just across the wall is reached around it, not through it
+    assert got[(20, 15)] < 1e5
+    assert got[(20, 15)] > got[(12, 15)]
