@@ -993,6 +993,20 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("v", 6).alias("v"))
 
 
+def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost path (r.drain analog) from the nearest of three seeds
+    to (10, 35) over the world4326 [1,40]^2 cost window: deterministic
+    predecessor tree (ties break to the smallest predecessor id), then
+    a log-round jump-table backtrack. The oracle re-derives the same
+    prev tree from the relaxation fixpoint (row_number over exact
+    du + w = dv matches) and walks it with a recursive CTE."""
+    from lib_gdal_spark.operators.proximity import least_cost_path
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return least_cost_path(tiles, [(5, 5), (38, 20), (20, 38)], (10, 35),
+                           lo=1, hi=40)
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated cost distance (GRASS r.cost analog — proximity's
     weighted generalization) over world4326 [1,40]^2 from three seeds:
@@ -6822,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
         "cost_distance": q_cost_distance,
+        "least_cost_path": q_least_cost_path,
         "sieve_counts": q_sieve_counts,
         "fillnodata": q_fillnodata,
         "ngram_jaccard": q_ngram_jaccard,
@@ -13608,6 +13623,36 @@ def oracle_sql() -> dict[str, str]:
         fin AS (SELECT node, dist FROM r44)
         SELECT p.px, p.py, round(f.dist, 9) AS dist
         FROM cells p JOIN fin f ON f.node = p.py * 65536 + p.px
+    """
+
+    # least_cost_path: the same fixpoint table, prev = the smallest
+    # predecessor achieving du + w = dv exactly (the operator's
+    # deterministic tie-break), then a recursive backtrack from the
+    # target; step re-oriented seed -> target like the operator.
+    _cd_head = sqls["cost_distance"].rsplit("fin AS", 1)[0]
+    sqls["least_cost_path"] = "WITH RECURSIVE " + _cd_head.split("WITH ", 1)[1] + """
+        fin AS MATERIALIZED (SELECT node, dist FROM r44),
+        prevs AS MATERIALIZED (
+          SELECT id, prev FROM (
+            SELECT e.v AS id, e.u AS prev,
+                   row_number() OVER (PARTITION BY e.v ORDER BY e.u) AS rn
+            FROM edges e
+            JOIN fin fu ON fu.node = e.u
+            JOIN fin fv ON fv.node = e.v
+            WHERE fu.dist + e.w = fv.dist
+          ) WHERE rn = 1
+        ),
+        walk(back, id) AS (
+          SELECT 0, 35 * 65536 + 10
+          UNION ALL
+          SELECT w.back + 1, p.prev FROM walk w JOIN prevs p ON p.id = w.id
+        ),
+        n AS (SELECT max(back) AS len FROM walk)
+        SELECT CAST(n.len - w.back AS INT) AS step, c.px, c.py,
+               round(f.dist, 9) AS dist
+        FROM walk w CROSS JOIN n
+        JOIN cells c ON c.py * 65536 + c.px = w.id
+        JOIN fin f ON f.node = w.id
     """
 
     # strahler_order: identical flow edges on the [1,126]^2 window, then

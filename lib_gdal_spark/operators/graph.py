@@ -73,7 +73,13 @@ def shortest_path_tree(
         merged = (
             dist.unionByName(cand)
             .groupBy("node")
-            .agg(F.min_by(F.struct("dist", "prev"), "dist").alias("s"))
+            # lexicographic (dist, prev) ordering: ties at the minimal
+            # distance break to the SMALLEST predecessor id, so the
+            # shortest-path tree (and any path backtracked through it)
+            # is deterministic and an independent oracle can reproduce
+            # it. dist alone would leave prev arbitrary on ties.
+            .agg(F.min_by(F.struct("dist", "prev"),
+                          F.struct("dist", "prev")).alias("s"))
             .select("node", F.col("s.dist").alias("dist"),
                     F.col("s.prev").alias("prev"))
             .localCheckpoint()

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lib_gdal_spark.sources.rasters import RASTER_SCHEMA
@@ -182,4 +182,111 @@ def cost_distance(tiles: DataFrame, seeds: list, tile: int = 64,
     return (
         cells.join(d, cells.id == d.node)
         .select("px", "py", F.round("dist", 9).alias("dist"))
+    )
+
+
+def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
+                    tile: int = 64, lo: int = 1, hi: int = 254,
+                    max_rounds: int = 400,
+                    max_doublings: int = 24) -> DataFrame:
+    """The minimal-cost corridor from the nearest seed to ``target``
+    over the cost raster — cost_distance's path-extraction companion
+    (``r.drain`` in the GRASS family). Returns one row per path cell:
+    (step, px, py, dist), step 0 at the seed, dist the accumulated cost
+    (strictly increasing along the path for positive costs).
+
+    The relaxation's predecessor tree is DETERMINISTIC (ties at the
+    minimal distance break to the smallest predecessor id — see
+    shortest_path_tree), so the path is reproducible and an independent
+    SQL oracle can re-derive it. Backtracking never walks the chain one
+    hop per round: the prev table doubles into 2^k-ancestor jump tables
+    and the reach set from ``target`` expands by one equi-join per
+    round — log2(path length) rounds, O(path) rows.
+    """
+    import math as _m
+
+    from lib_gdal_spark.operators.graph import shortest_path_tree
+
+    # same grid graph as cost_distance (kept in lockstep deliberately:
+    # the two operators must agree on weights to compose)
+    ex = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "c"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int"))
+    cells = ex.select(
+        px.cast("long").alias("px"), py.cast("long").alias("py"),
+        F.col("c").cast("double").alias("c"),
+    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi))) \
+     .withColumn("id", F.col("py") * 65536 + F.col("px")) \
+     .localCheckpoint()
+    s2 = _m.sqrt(2.0)
+    nbrs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(s2 if dx and dy else 1.0).alias("mult"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ])
+    half = cells.select(
+        "id", "c",
+        F.explode(nbrs).alias("n"),
+        (F.col("px") + F.col("n.dx")).alias("nx"),
+        (F.col("py") + F.col("n.dy")).alias("ny"),
+    ).where(F.col("nx").between(lo, hi) & F.col("ny").between(lo, hi))
+    edges = (
+        half.join(
+            cells.select((F.col("id")).alias("vid"),
+                         F.col("c").alias("cv")),
+            (F.col("ny") * 65536 + F.col("nx")) == F.col("vid"))
+        .select(
+            F.col("id").alias("u"), F.col("vid").alias("v"),
+            (((F.col("c") + F.col("cv")) / F.lit(2.0))
+             * F.col("n.mult")).alias("w"))
+    )
+    seed_ids = [int(y) * 65536 + int(x) for x, y in seeds]
+    tree = shortest_path_tree(edges, seed_ids, directed=True,
+                              max_rounds=max_rounds).localCheckpoint()
+
+    spark = tiles.sparkSession
+    tgt_id = int(target[1]) * 65536 + int(target[0])
+    from lib_gdal_spark.session import local_df
+    reach = local_df(spark, [(tgt_id,)], "id long")
+    jump = tree.where(F.col("prev").isNotNull()) \
+               .select(F.col("node").alias("id"),
+                       F.col("prev").alias("anc")).localCheckpoint()
+    n_reach = 1
+    for _ in range(max_doublings):
+        grown = (
+            reach.unionByName(
+                reach.join(jump, "id").select(F.col("anc").alias("id")))
+            .distinct().localCheckpoint()
+        )
+        n = grown.count()
+        reach = grown
+        if n == n_reach:
+            break
+        n_reach = n
+        jump = (
+            jump.alias("a")
+            .join(jump.select(F.col("id").alias("mid"),
+                              F.col("anc").alias("a2")).alias("b"),
+                  F.col("a.anc") == F.col("mid"))
+            .select(F.col("a.id").alias("id"), F.col("a2").alias("anc"))
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"least_cost_path did not converge in {max_doublings} "
+            "doublings")
+    path = (
+        reach.join(tree, reach.id == tree.node)
+        .join(cells.select("id", "px", "py"), "id")
+    )
+    # global window is fine here: `path` is O(path length) rows by
+    # construction (the reach set), never the raster
+    w = Window.orderBy("dist")
+    return path.select(
+        (F.row_number().over(w) - 1).alias("step"),
+        "px", "py", F.round("dist", 9).alias("dist"),
     )

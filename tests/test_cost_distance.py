@@ -72,3 +72,23 @@ def test_wall_forces_detour(spark):
     # a cell just across the wall is reached around it, not through it
     assert got[(20, 15)] < 1e5
     assert got[(20, 15)] > got[(12, 15)]
+
+
+def test_least_cost_path_descends_tree(spark):
+    from lib_gdal_spark.operators.proximity import least_cost_path
+    yy, xx = np.mgrid[0:40, 0:40]
+    arr = np.trunc((np.sin(xx * 0.19) + np.cos(yy * 0.13)) * 60.0 + 128.0)
+    seeds = [(5, 5), (38, 20)]
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, 40, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    path = least_cost_path(tiles, seeds, (20, 36), tile=32, lo=1,
+                           hi=38).orderBy("step").collect()
+    # starts at a seed, ends at the target, dist strictly increasing,
+    # every step moves to an 8-neighbor, and the total matches dijkstra
+    assert (path[0].px, path[0].py) in seeds and path[0].dist == 0.0
+    assert (path[-1].px, path[-1].py) == (20, 36)
+    want = dijkstra(arr, seeds, 1, 38)
+    assert abs(path[-1].dist - want[(20, 36)]) < 1e-9
+    for a, b in zip(path, path[1:]):
+        assert max(abs(a.px - b.px), abs(a.py - b.py)) == 1
+        assert b.dist > a.dist
