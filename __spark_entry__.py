@@ -2595,6 +2595,17 @@ def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dwell_segments(track, v_max=0.04, min_dwell_s=3600.0)
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the events stream (first-seen
+    day cohorts, per-offset active fraction) — the classic web-analytics
+    rollup beside sessionize. Counts are exact int64 (one distinct + two
+    combinable groupBys); the only float is the final division, spelled
+    identically in the oracle."""
+    from lib_gdal_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the events table (8h gap) with
     per-session rollups — exact integer-microsecond timestamp math."""
@@ -7007,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "line_dedup": q_line_dedup,
         "events_sessionize": q_events_sessionize,
+        "retention_cohorts": q_retention_cohorts,
         "dwell_segments": q_dwell_segments,
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
@@ -12771,6 +12783,28 @@ def oracle_sql() -> dict[str, str]:
 
     # events_sessionize: inactivity-gap sessions, integer-microsecond
     # math (epoch_us == Spark unix_micros on UTC-normalized parquet).
+    # retention_cohorts: identical daily bins (floor of epoch_us / day),
+    # exact integer counts, one final division.
+    sqls["retention_cohorts"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS uid,
+                 CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b
+          FROM events
+        ),
+        coh AS (SELECT uid, min(b) AS cohort FROM act GROUP BY uid),
+        sizes AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
+        per AS (
+          SELECT c.cohort, a.b - c.cohort AS offset, count(*) AS n_active
+          FROM act a JOIN coh c ON c.uid = a.uid
+          GROUP BY 1, 2
+        )
+        SELECT p.cohort, p.offset,
+               CAST(p.n_active AS BIGINT) AS n_active,
+               CAST(s.n_cohort AS BIGINT) AS n_cohort,
+               round(p.n_active / s.n_cohort, 9) AS retention
+        FROM per p JOIN sizes s ON s.cohort = p.cohort
+    """
+
     # dwell_segments: identical window chain (lag, class, break flag,
     # running-sum run ids) and the identical stay aggregation; the
     # stay/move comparison is the same single multiply, and integer

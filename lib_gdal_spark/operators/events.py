@@ -268,3 +268,45 @@ def cusum_drift(
         F.round(s, 6).alias("cusum"),
         (F.round(s, 6) > threshold).alias("drift"),
     )
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bin_us: int = 86_400_000_000) -> DataFrame:
+    """Cohort retention matrix — the standard web-analytics rollup that
+    sits beside :func:`sessionize`: users are grouped into cohorts by
+    their FIRST active time bin (``bin_us`` microseconds wide; the
+    default is daily), and for every (cohort, offset) the fraction of
+    that cohort active ``offset`` bins later is reported.
+
+    Returns (cohort, offset, n_active, n_cohort, retention): cohort the
+    first-activity bin index (floor(epoch_us / bin_us)), offset >= 0 in
+    bins, retention = n_active / n_cohort (the single float in the
+    result — counts are exact int64; offset 0 always has
+    retention 1.0).
+
+    Scale shape: one distinct over (user, bin) — map-side combinable on
+    the dominant duplicate mass — then a per-user min (combinable), a
+    broadcast-sized cohort table, and one final keyed groupBy. No
+    windows, no self-joins; skew is bounded by the busiest cohort,
+    which is |users|-bounded, not |events|-bounded.
+    """
+    b = F.floor(_us(ts_col) / F.lit(int(bin_us))).cast("long")
+    act = (events.select(F.col(user_col).alias("uid"), b.alias("b"))
+           .distinct())
+    coh = act.groupBy("uid").agg(F.min("b").alias("cohort"))
+    sizes = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    per = (
+        act.join(coh, "uid")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        per.join(sizes, "cohort")
+        .select(
+            "cohort", "offset", "n_active", "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 9)
+            .alias("retention"),
+        )
+    )

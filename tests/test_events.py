@@ -109,3 +109,30 @@ class TestFunnel:
         # earliest-completion: user 2's k2 is the LATER click? no - there is
         # only one click, strictly after k1
         assert out[2].k2 > out[2].k1
+
+
+class TestRetentionCohorts:
+    def test_small_matrix(self, spark):
+        import datetime as dt
+        import pandas as pd
+        from lib_gdal_spark.operators.events import retention_cohorts
+
+        d0 = dt.datetime(2024, 1, 1, 12)
+        day = dt.timedelta(days=1)
+        rows = [
+            # cohort day 0: users 1, 2; user 1 returns d1 and d2, user 2 d2
+            (1, d0), (2, d0), (1, d0 + day), (1, d0 + 2 * day),
+            (2, d0 + 2 * day), (2, d0),          # duplicate activity
+            # cohort day 1: user 3, never returns
+            (3, d0 + day),
+        ]
+        ev = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"]))
+        out = {(r.cohort, r.offset): (r.n_active, r.n_cohort, r.retention)
+               for r in retention_cohorts(ev).collect()}
+        base = d0.toordinal() - dt.date(1970, 1, 1).toordinal()
+        assert out[(base, 0)] == (2, 2, 1.0)
+        assert out[(base, 1)] == (1, 2, 0.5)
+        assert out[(base, 2)] == (2, 2, 1.0)
+        assert out[(base + 1, 0)] == (1, 1, 1.0)
+        assert len(out) == 4
