@@ -2434,6 +2434,18 @@ def q_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_hash", "n_tokens", "n_docs", "n_occurrences")
 
 
+def q_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004) over the documents
+    corpus: window-2 co-occurrence graph -> exact integer PageRank ->
+    top 25 terms. The oracle builds the identical term graph keyed on
+    the STRINGS and unrolls the same four fixed-point rounds, so a
+    Spark-side xxhash64 node-id collision would break the match (none
+    can at this vocabulary)."""
+    from lib_gdal_spark.operators.textops import textrank_terms
+
+    return textrank_terms(_t(spark, sf_dir, "documents"), window=2, k=25)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, 6-dp rounded scores)."""
     d = _t(spark, sf_dir, "documents")
@@ -6999,6 +7011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": q_fuzzy_dedup,
         "substring_dedup": q_substring_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "textrank_terms": q_textrank_terms,
         "pii_redact": q_pii_redact,
         "sample_sources": q_sample_sources,
         "sample_token_budget": q_sample_token_budget,
@@ -11517,6 +11530,61 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # tfidf_top_terms: smooth idf (sklearn form), 6-dp round before rank.
+    # textrank_terms: identical tokenization/windowed pairs, pagerank
+    # keyed on the term strings, four unrolled integer rounds (symmetric
+    # graph -> zero dangling mass, so the (dang div n) term is exactly 0
+    # in both engines).
+    _tr_iters = "".join(f"""
+        r{i + 1} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST(base.b + (85 * coalesce(inf.s, 0)) // 100
+                      AS BIGINT) AS r
+          FROM nodes n
+          CROSS JOIN (SELECT (15 * 1000000000000) // (100 * n) AS b
+                      FROM nn) base
+          LEFT JOIN (
+            SELECT e.v, sum(r.r // d.d) AS s
+            FROM e JOIN r{i} r ON r.node = e.u JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+          ) inf ON inf.v = n.node
+        ),""" for i in range(4))
+    sqls["textrank_terms"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+        ),
+        pos AS MATERIALIZED (
+          SELECT doc_id, i, t[i] AS term FROM idx WHERE t[i] <> ''
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT least(a.term, b.term) AS ta,
+                          greatest(a.term, b.term) AS tb
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           AND b.i > a.i AND b.i <= a.i + 2 AND a.term <> b.term
+        ),
+        e AS MATERIALIZED (
+          SELECT ta AS u, tb AS v FROM pairs
+          UNION ALL SELECT tb AS u, ta AS v FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+          FROM nodes, nn
+        ),{_tr_iters}
+        fin AS (SELECT node AS term, r AS rank_units FROM r4)
+        SELECT CAST(pos AS INT) AS pos, term,
+               CAST(rank_units AS BIGINT) AS rank_units
+        FROM (SELECT row_number() OVER (ORDER BY rank_units DESC, term)
+                AS pos, term, rank_units FROM fin)
+        WHERE pos <= 25
+    """
+
     sqls["tfidf_top_terms"] = r"""
         WITH t AS (
           SELECT doc_id,

@@ -1604,3 +1604,74 @@ def zipf_fit(docs: DataFrame, text_col: str = "text",
         "lang", "n_types", "n_tokens",
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"))
+
+
+def textrank_terms(docs: DataFrame, text_col: str = "text",
+                   window: int = 2, n_iters: int = 4,
+                   k: int = 25) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) over
+    the whole corpus: terms are nodes, two terms co-occurring within
+    ``window`` token positions anywhere are an (unweighted, undirected)
+    edge, and the ranking is the repo's EXACT integer PageRank
+    (operators/graph.pagerank — fixed-point units, so the scores are
+    bit-identical at any parallelism and reproducible by a SQL oracle
+    keyed on the term strings themselves).
+
+    Returns the top ``k`` terms as (pos, term, rank_units): pos the
+    1-based rank ordinal (ties broken by term), rank_units the exact
+    fixed-point PageRank mass.
+
+    Scale shape: tokenize (narrow map) -> windowed position self-join
+    per doc (equi-join on doc_id, |pairs| = tokens * window before the
+    distinct) -> DISTINCT canonical term-pair edges (the aggregated
+    vocabulary graph, tiny vs the corpus) -> 4 pagerank rounds on it.
+    Node ids are xxhash64(term) Spark-side (collisions would be caught
+    by the oracle, which ranks the strings directly).
+    """
+    from lib_gdal_spark.operators.graph import pagerank
+
+    # the row id must be assigned BEFORE the explode — inside the same
+    # select, monotonically_increasing_id() would be evaluated once per
+    # GENERATED row, giving every token its own id and no pairs at all
+    toks = (
+        docs.withColumn("__rid", F.monotonically_increasing_id())
+        .select(
+            "__rid",
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("pos", "term"),
+        )
+        .where(F.col("term") != "")
+    )
+    a = toks.select(F.col("__rid").alias("d"), F.col("pos").alias("pa"),
+                    F.col("term").alias("ta"))
+    b = toks.select(F.col("__rid").alias("d"), F.col("pos").alias("pb"),
+                    F.col("term").alias("tb"))
+    pairs = (
+        a.join(b, "d")
+        .where((F.col("pb") > F.col("pa"))
+               & (F.col("pb") <= F.col("pa") + window)
+               & (F.col("ta") != F.col("tb")))
+        .select(F.least("ta", "tb").alias("ta"),
+                F.greatest("ta", "tb").alias("tb"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = pairs.select(F.xxhash64("ta").alias("u"), F.xxhash64("tb").alias("v"))
+    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pr = pagerank(e, n_iters=n_iters)
+    terms = (
+        pairs.select(F.col("ta").alias("term"))
+        .unionByName(pairs.select(F.col("tb").alias("term")))
+        .distinct()
+        .withColumn("id", F.xxhash64("term"))
+    )
+    ranked = pr.join(terms, pr.node == terms.id).select("term", "rank_units")
+    # vocabulary-sized table: the global window is over the aggregated
+    # term graph, never the corpus
+    w = Window.orderBy(F.col("rank_units").desc(), F.col("term"))
+    return (
+        ranked.select(F.row_number().over(w).alias("pos"), "term",
+                      "rank_units")
+        .where(F.col("pos") <= k)
+    )
