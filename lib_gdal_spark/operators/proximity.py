@@ -115,30 +115,17 @@ def proximity(
     )
 
 
-def cost_distance(tiles: DataFrame, seeds: list, tile: int = 64,
-                  lo: int = 1, hi: int = 254,
-                  max_rounds: int = 400) -> DataFrame:
-    """Accumulated-cost distance over a cost raster (the GRASS ``r.cost``
-    semantics — the weighted generalization of :func:`proximity`'s
-    euclidean transform): from a set of ``seeds`` (``[(px, py), ...]``,
-    cost 0), the minimal path cost to every interior cell, where a step
-    u -> v over the 8-neighborhood costs ``(cost(u) + cost(v)) / 2``
-    on cardinals and ``(cost(u) + cost(v)) / 2 * sqrt(2)`` on
-    diagonals. Returns (px, py, dist) for every reached cell.
+def _grid_cost_graph(tiles: DataFrame, tile: int, lo: int, hi: int):
+    """Cost raster -> (cells, directed weighted 8-neighbor edge list).
 
-    Distributed shape: the raster becomes its 8-neighbor grid graph
-    (keys-only, one explode + one equi-join — no halo machinery needed
-    since weights only read the two endpoint costs) and the existing
-    Bellman-Ford relaxation (graph.shortest_path_tree, multi-source
-    seeded) runs to fixpoint. Synchronous relaxation needs one round
-    per HOP of the longest min-cost path — fine for windowed mosaics
-    and bounded corridors, round-heavy for continental rasters (the
-    known cost of exactness at scale; delta-stepping would trade
-    determinism for rounds, so it is deliberately not used here).
+    cells: (px, py, c, id) for the [lo, hi]^2 window, id = py*2^16 + px;
+    edges: (u, v, w) with w = (cost(u) + cost(v)) / 2, x sqrt(2) on
+    diagonals (GRASS r.cost step weights). Keys-only: one explode + one
+    equi-join, no halo machinery — weights read only the two endpoint
+    costs. Shared by cost_distance and least_cost_path, which must
+    agree on weights to compose.
     """
     import math as _m
-
-    from lib_gdal_spark.operators.graph import shortest_path_tree
 
     ex = tiles.select(
         "tile_x", "tile_y", "tile_w",
@@ -176,6 +163,33 @@ def cost_distance(tiles: DataFrame, seeds: list, tile: int = 64,
             (((F.col("c") + F.col("cv")) / F.lit(2.0))
              * F.col("n.mult")).alias("w"))
     )
+    return cells, edges
+
+
+def cost_distance(tiles: DataFrame, seeds: list, tile: int = 64,
+                  lo: int = 1, hi: int = 254,
+                  max_rounds: int = 400) -> DataFrame:
+    """Accumulated-cost distance over a cost raster (the GRASS ``r.cost``
+    semantics — the weighted generalization of :func:`proximity`'s
+    euclidean transform): from a set of ``seeds`` (``[(px, py), ...]``,
+    cost 0), the minimal path cost to every interior cell, where a step
+    u -> v over the 8-neighborhood costs ``(cost(u) + cost(v)) / 2``
+    on cardinals and ``(cost(u) + cost(v)) / 2 * sqrt(2)`` on
+    diagonals. Returns (px, py, dist) for every reached cell.
+
+    Distributed shape: the raster becomes its 8-neighbor grid graph
+    (keys-only, one explode + one equi-join — no halo machinery needed
+    since weights only read the two endpoint costs) and the existing
+    Bellman-Ford relaxation (graph.shortest_path_tree, multi-source
+    seeded) runs to fixpoint. Synchronous relaxation needs one round
+    per HOP of the longest min-cost path — fine for windowed mosaics
+    and bounded corridors, round-heavy for continental rasters (the
+    known cost of exactness at scale; delta-stepping would trade
+    determinism for rounds, so it is deliberately not used here).
+    """
+    from lib_gdal_spark.operators.graph import shortest_path_tree
+
+    cells, edges = _grid_cost_graph(tiles, tile, lo, hi)
     seed_ids = [int(y) * 65536 + int(x) for x, y in seeds]
     d = shortest_path_tree(edges, seed_ids, directed=True,
                            max_rounds=max_rounds)
@@ -203,47 +217,9 @@ def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
     and the reach set from ``target`` expands by one equi-join per
     round — log2(path length) rounds, O(path) rows.
     """
-    import math as _m
-
     from lib_gdal_spark.operators.graph import shortest_path_tree
 
-    # same grid graph as cost_distance (kept in lockstep deliberately:
-    # the two operators must agree on weights to compose)
-    ex = tiles.select(
-        "tile_x", "tile_y", "tile_w",
-        F.posexplode("pixels").alias("pos", "c"),
-    )
-    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
-    py = (F.col("tile_y") * tile
-          + (F.col("pos") / F.col("tile_w")).cast("int"))
-    cells = ex.select(
-        px.cast("long").alias("px"), py.cast("long").alias("py"),
-        F.col("c").cast("double").alias("c"),
-    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi))) \
-     .withColumn("id", F.col("py") * 65536 + F.col("px")) \
-     .localCheckpoint()
-    s2 = _m.sqrt(2.0)
-    nbrs = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-                 F.lit(s2 if dx and dy else 1.0).alias("mult"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
-    ])
-    half = cells.select(
-        "id", "c",
-        F.explode(nbrs).alias("n"),
-        (F.col("px") + F.col("n.dx")).alias("nx"),
-        (F.col("py") + F.col("n.dy")).alias("ny"),
-    ).where(F.col("nx").between(lo, hi) & F.col("ny").between(lo, hi))
-    edges = (
-        half.join(
-            cells.select((F.col("id")).alias("vid"),
-                         F.col("c").alias("cv")),
-            (F.col("ny") * 65536 + F.col("nx")) == F.col("vid"))
-        .select(
-            F.col("id").alias("u"), F.col("vid").alias("v"),
-            (((F.col("c") + F.col("cv")) / F.lit(2.0))
-             * F.col("n.mult")).alias("w"))
-    )
+    cells, edges = _grid_cost_graph(tiles, tile, lo, hi)
     seed_ids = [int(y) * 65536 + int(x) for x, y in seeds]
     tree = shortest_path_tree(edges, seed_ids, directed=True,
                               max_rounds=max_rounds).localCheckpoint()
