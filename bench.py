@@ -191,6 +191,15 @@ BENCH = {
     "cusum_drift": lambda s: _force(E.q_cusum_drift(s, SF_DIR)),
     "jsonld_geo": lambda s: _force(E.q_jsonld_geo(s, SF_DIR)),
     "graph_stats": lambda s: _force(E.q_graph_stats(s, SF_DIR)),
+    # round-4 session-8 additions (flow_accumulation / strahler_order /
+    # cost_distance / least_cost_path are gate-only: their wall time is
+    # dominated by fixed iterative-round latency, not data volume, so
+    # they would add minutes to the suite without measuring throughput)
+    "map_match": lambda s: _force(E.q_map_match(s, SF_DIR)),
+    "mann_kendall": lambda s: _force(E.q_mann_kendall(s, SF_DIR)),
+    "dwell_segments": lambda s: _force(E.q_dwell_segments(s, SF_DIR)),
+    "retention_cohorts": lambda s: _force(E.q_retention_cohorts(s, SF_DIR)),
+    "textrank_terms": lambda s: _force(E.q_textrank_terms(s, SF_DIR)),
 }
 
 
