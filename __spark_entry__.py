@@ -2607,6 +2607,24 @@ def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dwell_segments(track, v_max=0.04, min_dwell_s=3600.0)
 
 
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst detection (KDD 2002, batched binomial
+    variant) over per-type daily event shares — in exact int64
+    fixed-point costs (coefficients precomputed once and shared with
+    the oracle), so every Viterbi decision is integer-exact. The oracle
+    walks the identical forward DP and backtrack with recursive CTEs."""
+    from lib_gdal_spark.operators.burst import cost_units, kleinberg_bursts
+
+    ev = _t(spark, sf_dir, "events")
+    by = ev.groupBy(F.col("event_type").alias("key"),
+                    F.dayofyear("ts").alias("tbin")).agg(
+        F.count(F.lit(1)).alias("r"))
+    tot = ev.groupBy(F.dayofyear("ts").alias("tbin")).agg(
+        F.count(F.lit(1)).alias("d"))
+    bins = by.join(tot, "tbin").select("key", "tbin", "r", "d")
+    return kleinberg_bursts(bins, cost_units(0.15, 0.30), 2 * 10**9)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over the events stream (first-seen
     day cohorts, per-offset active fraction) — the classic web-analytics
@@ -7032,6 +7050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "events_sessionize": q_events_sessionize,
         "retention_cohorts": q_retention_cohorts,
+        "burst_detection": q_burst_detection,
         "dwell_segments": q_dwell_segments,
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
@@ -12851,6 +12870,60 @@ def oracle_sql() -> dict[str, str]:
 
     # events_sessionize: inactivity-gap sessions, integer-microsecond
     # math (epoch_us == Spark unix_micros on UTC-normalized parquet).
+    # burst_detection: identical integer Viterbi — the same fixed-point
+    # coefficients (computed once in Python, embedded on both sides),
+    # forward DP and backtrack as recursive CTEs, same tie rules
+    # (predecessor-of-q0 ties to q0 via <=, predecessor-of-q1 ties to
+    # q1 via strict <, final tie to q0).
+    from lib_gdal_spark.operators.burst import cost_units as _bc
+    _bk = _bc(0.15, 0.30)
+    _bg = 2 * 10**9
+    sqls["burst_detection"] = f"""
+        WITH RECURSIVE b AS (
+          SELECT event_type AS k, dayofyear(ts) AS t, count(*) AS r
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT dayofyear(ts) AS t, count(*) AS d FROM events GROUP BY 1
+        ),
+        bins AS MATERIALIZED (
+          SELECT k, b.t AS tbin, r, d,
+                 row_number() OVER (PARTITION BY k ORDER BY b.t) AS step
+          FROM b JOIN tot ON tot.t = b.t
+        ),
+        mx AS (SELECT k, max(step) AS n FROM bins GROUP BY k),
+        fwd(k, step, dp0, dp1, a0, a1) AS (
+          SELECT k, step,
+                 {_bk["c0_r"]} * r + {_bk["c0_n"]} * (d - r),
+                 {_bg} + {_bk["c1_r"]} * r + {_bk["c1_n"]} * (d - r),
+                 0, 0
+          FROM bins WHERE step = 1
+          UNION ALL
+          SELECT n.k, n.step,
+                 least(f.dp0, f.dp1)
+                   + {_bk["c0_r"]} * n.r + {_bk["c0_n"]} * (n.d - n.r),
+                 least(f.dp0 + {_bg}, f.dp1)
+                   + {_bk["c1_r"]} * n.r + {_bk["c1_n"]} * (n.d - n.r),
+                 CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END,
+                 CASE WHEN f.dp0 + {_bg} < f.dp1 THEN 0 ELSE 1 END
+          FROM fwd f JOIN bins n ON n.k = f.k AND n.step = f.step + 1
+        ),
+        bwd(k, step, state) AS (
+          SELECT f.k, f.step,
+                 CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END
+          FROM fwd f JOIN mx ON mx.k = f.k AND mx.n = f.step
+          UNION ALL
+          SELECT w.k, w.step - 1,
+                 CASE WHEN w.state = 0 THEN f.a0 ELSE f.a1 END
+          FROM bwd w JOIN fwd f ON f.k = w.k AND f.step = w.step
+          WHERE w.step > 1
+        )
+        SELECT bb.k AS key, CAST(bb.tbin AS BIGINT) AS tbin,
+               CAST(bb.r AS BIGINT) AS r, CAST(bb.d AS BIGINT) AS d,
+               CAST(s.state AS INT) AS state
+        FROM bins bb JOIN bwd s ON s.k = bb.k AND s.step = bb.step
+    """
+
     # retention_cohorts: identical daily bins (floor of epoch_us / day),
     # exact integer counts, one final division.
     sqls["retention_cohorts"] = """

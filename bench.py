@@ -200,6 +200,7 @@ BENCH = {
     "dwell_segments": lambda s: _force(E.q_dwell_segments(s, SF_DIR)),
     "retention_cohorts": lambda s: _force(E.q_retention_cohorts(s, SF_DIR)),
     "textrank_terms": lambda s: _force(E.q_textrank_terms(s, SF_DIR)),
+    "burst_detection": lambda s: _force(E.q_burst_detection(s, SF_DIR)),
 }
 
 
