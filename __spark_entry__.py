@@ -865,6 +865,32 @@ METHOD_BOXES: dict[int, tuple[float, float, float, float]] = {
 }
 
 
+def q_polygon_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rook adjacency table over a 12x10 shared-lattice box layer:
+    canonical-segment decomposition (Arrow map) -> one equi-join on the
+    4-double segment key -> combinable groupBy. The oracle is the
+    analytic grid adjacency (horizontal pairs share the 1.5 edge,
+    vertical pairs the 2.0 edge; diagonals share nothing)."""
+    from collections.abc import Iterator as _It
+
+    from lib_gdal_spark.operators.layer_algebra import polygon_neighbors
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for k in b["id"]:
+                i, j = int(k) % 12, int(k) // 12
+                ring = G.box_ring(i * 2.0, j * 1.5,
+                                  i * 2.0 + 2.0, j * 1.5 + 1.5)
+                rows.append({"fid": j * 16 + i,
+                             "geom_wkb": G.wkb_polygon([ring])})
+            yield pd.DataFrame(rows, columns=["fid", "geom_wkb"])
+
+    layer = spark.range(0, 120).mapInPandas(
+        boxes, schema="fid long, geom_wkb binary")
+    return polygon_neighbors(layer)
+
+
 def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR layer-algebra Intersection (ogrlayer.cpp:2062): cell-cover join +
     envelope pre-test + Sutherland-Hodgman clip; areas oracle-checked via
@@ -6873,6 +6899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_invert": q_rasterize_invert,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
+        "polygon_neighbors": q_polygon_neighbors,
         "layer_erase": q_layer_erase,
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
@@ -7629,6 +7656,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE least(lon + 2.0, {mxx!r}) > greatest(lon - 2.0, {mnx!r})
           AND least(lat + 1.5, {mxy!r}) > greatest(lat - 1.5, {mny!r})
         """)
+    # polygon_neighbors: analytic 12x10 grid adjacency — 11*10
+    # horizontal pairs share the vertical 1.5 edge, 12*9 vertical pairs
+    # the horizontal 2.0 edge (both exact doubles: sqrt(1.5^2) and
+    # sqrt(2^2) are exact).
+    sqls["polygon_neighbors"] = """
+        WITH g AS (
+          SELECT i, j FROM range(0, 12) t(i) CROSS JOIN range(0, 10) u(j)
+        ),
+        h AS (
+          SELECT j * 16 + i AS fid_a, j * 16 + i + 1 AS fid_b,
+                 1.5 AS shared_len
+          FROM g WHERE i < 11
+        ),
+        v AS (
+          SELECT j * 16 + i AS fid_a, (j + 1) * 16 + i AS fid_b,
+                 2.0 AS shared_len
+          FROM g WHERE j < 9
+        )
+        SELECT CAST(fid_a AS BIGINT) AS fid_a,
+               CAST(fid_b AS BIGINT) AS fid_b,
+               CAST(1 AS BIGINT) AS n_edges, shared_len
+        FROM (SELECT * FROM h UNION ALL SELECT * FROM v)
+    """
+
     sqls["layer_intersection"] = (
         f"WITH pts AS ({_POINTS_SQL}) " + " UNION ALL ".join(box_parts)
     )

@@ -374,3 +374,63 @@ def dissolve(
 
     out_schema = f"{by} long, geom_wkb binary, area double, n_parts int"
     return layer.groupBy(by).applyInPandas(fold, schema=out_schema)
+
+
+def polygon_neighbors(layer: DataFrame) -> DataFrame:
+    """Rook adjacency between polygons of one layer: every pair sharing
+    at least one boundary SEGMENT, with the shared edge count and total
+    shared boundary length — the topology query behind dissolve
+    planning, region adjacency graphs, and cartographic neighbor
+    coloring. Reference kin: OGR's Touches predicate
+    (``core/ogr/ogrgeometry.cpp`` OGR_G_Touches) answers the boolean
+    per pair; this produces the whole adjacency table in one pass.
+
+    CONTRACT: inputs must share noded boundaries (coincident edges use
+    identical vertex coordinates), which holds for polygonize outputs,
+    layer-algebra results, tile/admin topologies, and any layer built
+    from a common lattice. Segments are matched by EXACT endpoint
+    equality — no tolerance snapping (that would need a noding pass).
+
+    Scale shape: each polygon ring decomposes into canonical segments
+    (lexicographic endpoint order; an Arrow-batched map, O(vertices)),
+    then ONE equi-join on the 4-double segment key between distinct
+    fids and one combinable groupBy. No distance join, no cross
+    product; skew is bounded by the most-shared single segment (2 for
+    valid planar topologies).
+
+    Returns (fid_a, fid_b, n_edges, shared_len) with fid_a < fid_b.
+    """
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, wkb in zip(b["fid"], b["geom_wkb"]):
+                for ring in _rings_of(bytes(wkb)):
+                    pts = np.asarray(ring, dtype=np.float64)
+                    for i in range(len(pts) - 1):
+                        x1, y1 = float(pts[i][0]), float(pts[i][1])
+                        x2, y2 = float(pts[i + 1][0]), float(pts[i + 1][1])
+                        if (x1, y1) == (x2, y2):
+                            continue
+                        if (x1, y1) > (x2, y2):
+                            x1, y1, x2, y2 = x2, y2, x1, y1
+                        rows.append((int(fid), x1, y1, x2, y2))
+            yield pd.DataFrame(
+                rows, columns=["fid", "x1", "y1", "x2", "y2"])
+
+    s = layer.mapInPandas(
+        segs,
+        schema="fid long, x1 double, y1 double, x2 double, y2 double",
+    )
+    a = s.alias("a")
+    b = s.select(F.col("fid").alias("fid_b"), "x1", "y1", "x2", "y2") \
+         .alias("b")
+    length = F.sqrt(
+        (F.col("a.x2") - F.col("a.x1")) * (F.col("a.x2") - F.col("a.x1"))
+        + (F.col("a.y2") - F.col("a.y1")) * (F.col("a.y2") - F.col("a.y1")))
+    return (
+        a.join(b, ["x1", "y1", "x2", "y2"])
+        .where(F.col("a.fid") < F.col("fid_b"))
+        .groupBy(F.col("a.fid").alias("fid_a"), "fid_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"),
+             F.round(F.sum(length), 9).alias("shared_len"))
+    )

@@ -112,3 +112,45 @@ def test_dissolve(spark):
     assert got[2]["n_parts"] == 2
     b, polys = G.parse_wkb(bytes(got[1]["geom_wkb"]))
     assert b == G.WKB_MULTIPOLYGON
+
+
+class TestPolygonNeighbors:
+    def test_grid_rook_adjacency(self, spark):
+        import pandas as pd
+        from lib_gdal_spark.functions import geometry as G
+        from lib_gdal_spark.operators.layer_algebra import polygon_neighbors
+
+        rows = []
+        for j in range(3):
+            for i in range(4):
+                ring = G.box_ring(i * 2.0, j * 1.5, i * 2.0 + 2.0,
+                                  j * 1.5 + 1.5)
+                rows.append((j * 10 + i, bytearray(G.wkb_polygon([ring]))))
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "geom_wkb"]),
+            schema="fid long, geom_wkb binary")
+        out = {(r.fid_a, r.fid_b): (r.n_edges, r.shared_len)
+               for r in polygon_neighbors(layer).collect()}
+        # 3x4 grid: 3*3 horizontal + 2*4 vertical pairs, no diagonals
+        assert len(out) == 9 + 8
+        for j in range(3):
+            for i in range(3):
+                assert out[(j * 10 + i, j * 10 + i + 1)] == (1, 1.5)
+        for j in range(2):
+            for i in range(4):
+                assert out[(j * 10 + i, (j + 1) * 10 + i)] == (1, 2.0)
+
+    def test_disjoint_and_diagonal_absent(self, spark):
+        import pandas as pd
+        from lib_gdal_spark.functions import geometry as G
+        from lib_gdal_spark.operators.layer_algebra import polygon_neighbors
+
+        rows = [
+            (1, bytearray(G.wkb_polygon([G.box_ring(0, 0, 1, 1)]))),
+            (2, bytearray(G.wkb_polygon([G.box_ring(1, 1, 2, 2)]))),  # corner
+            (3, bytearray(G.wkb_polygon([G.box_ring(5, 5, 6, 6)]))),  # far
+        ]
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["fid", "geom_wkb"]),
+            schema="fid long, geom_wkb binary")
+        assert polygon_neighbors(layer).count() == 0
