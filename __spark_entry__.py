@@ -3600,6 +3600,18 @@ def q_warp_gcp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_quantile_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency raster classification of world4326 into 5
+    classes at the exact type-1 quintile breaks (exact_quantiles'
+    iterative histogram refinement; classification is a zero-shuffle
+    JVM projection). Oracle: DuckDB quantile_disc breaks + the
+    identical sum(v > break) rule."""
+    from lib_gdal_spark.operators.stats import classify_quantiles
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return classify_quantiles(tiles, k=5)
+
+
 def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster band statistics (gdalrasterband.cpp:3821 ComputeStatistics):
     JVM-side per-tile moments, closed-form fixtures oracle."""
@@ -6982,6 +6994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
         "complex_pixelfuncs": q_complex_pixelfuncs,
         "band_stats": q_band_stats,
+        "raster_quantile_classes": q_raster_quantile_classes,
         "band_histogram": q_band_histogram,
         "hypsometric": q_hypsometric,
         "pyramid_cubic_l1": q_pyramid_cubic_l1,
@@ -13879,6 +13892,26 @@ def oracle_sql() -> dict[str, str]:
         FROM walk w CROSS JOIN n
         JOIN cells c ON c.py * 65536 + c.px = w.id
         JOIN fin f ON f.node = w.id
+    """
+
+    # raster_quantile_classes: quantile_disc quintile breaks over the
+    # same closed-form pixels + the identical strict-greater class sum.
+    sqls["raster_quantile_classes"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 CAST({_bv(0, 0)} AS DOUBLE) AS v
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        br AS (
+          SELECT quantile_disc(v, [0.2, 0.4, 0.6, 0.8]) AS bs FROM pix
+        )
+        SELECT px, py, v,
+               CAST((CASE WHEN v > bs[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN v > bs[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN v > bs[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN v > bs[4] THEN 1 ELSE 0 END) AS INT) AS cls
+        FROM pix, br
     """
 
     # strahler_order: identical flow edges on the [1,126]^2 window, then

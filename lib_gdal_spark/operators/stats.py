@@ -226,3 +226,44 @@ def zonal_stats(
             F.round(F.sum("s") / F.sum("cnt"), round_decimals).alias("v_mean"),
         )
     )
+
+
+def classify_quantiles(tiles: DataFrame, k: int = 5,
+                       tile: int = 64) -> DataFrame:
+    """Equal-frequency (quantile) raster classification — the standard
+    choropleth/elevation-banding scheme beside color_relief's fixed
+    breaks: pixel values split at the exact type-1 ``i/k`` quantiles
+    into ``k`` classes. Returns (px, py, v, cls) with cls in [0, k-1]
+    (cls = number of interior breaks strictly below-or-equal... the
+    rule is ``sum(v > break_i)``, so each break value itself closes its
+    class — DuckDB quantile_disc's convention).
+
+    Scale shape: the breaks come from
+    :func:`~lib_gdal_spark.operators.quantiles.exact_quantiles`
+    (iterative histogram refinement; driver sees <= 4096-row
+    histograms, never the data), then classification is a zero-shuffle
+    JVM projection against the k-1 broadcast break literals.
+    """
+    from lib_gdal_spark.operators.quantiles import exact_quantiles
+
+    ex = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"),
+    ).select(
+        (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+        .cast("long").alias("px"),
+        (F.col("tile_y") * tile
+         + (F.col("pos") / F.col("tile_w")).cast("int"))
+        .cast("long").alias("py"),
+        F.col("v").cast("double").alias("v"),
+    )
+    qs = [i / k for i in range(1, k)]
+    breaks = sorted(
+        float(r["value"])
+        for r in exact_quantiles(ex, "v", qs).collect()
+        if r["value"] is not None
+    )
+    cls = F.lit(0)
+    for b in breaks:
+        cls = cls + (F.col("v") > F.lit(b)).cast("int")
+    return ex.select("px", "py", "v", cls.cast("int").alias("cls"))

@@ -46,3 +46,21 @@ def test_hypsometric_known_distribution(spark):
         assert b["count"] == 1024
     assert [out[b]["frac_above"] for b in (0, 1, 2, 3)] == [1.0, 0.75, 0.5, 0.25]
     assert [out[b]["elev_lo"] for b in (0, 1, 2, 3)] == [0.0, 20.0, 40.0, 60.0]
+
+
+def test_classify_quantiles_equal_frequency(spark):
+    import numpy as np
+    import pandas as pd
+    from lib_gdal_spark.operators.stats import classify_quantiles
+    from lib_gdal_spark.sources import rasters as RS
+
+    # values 0..4095 once each: quartiles split exactly into 4 x 1024
+    arr = np.arange(64 * 64, dtype=float).reshape(64, 64)
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, 64, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    out = classify_quantiles(tiles, k=4, tile=32).toPandas()
+    counts = out.groupby("cls").size().to_dict()
+    assert counts == {0: 1024, 1: 1024, 2: 1024, 3: 1024}
+    # class is monotone in value
+    s = out.sort_values("v")
+    assert (s.cls.diff().fillna(0) >= 0).all()
