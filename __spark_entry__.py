@@ -2651,6 +2651,18 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kleinberg_bursts(bins, cost_units(0.15, 0.30), 2 * 10**9)
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over the events stream: every purchase's
+    prior-6h same-user touches with first/last flags and exact touch
+    counts (credit = the integer pair (1, n), never a float sum). One
+    user-keyed equi-join with a range predicate + per-conversion
+    windows; the oracle spells the identical join and window ranks."""
+    from lib_gdal_spark.operators.events import attribution
+
+    return attribution(_t(spark, sf_dir, "events"), conv_type="purchase",
+                       lookback_s=6 * 3600.0)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over the events stream (first-seen
     day cohorts, per-offset active fraction) — the classic web-analytics
@@ -7090,6 +7102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "events_sessionize": q_events_sessionize,
         "retention_cohorts": q_retention_cohorts,
+        "attribution": q_attribution,
         "burst_detection": q_burst_detection,
         "dwell_segments": q_dwell_segments,
         "events_asof": q_events_asof,
@@ -12986,6 +12999,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(bb.r AS BIGINT) AS r, CAST(bb.d AS BIGINT) AS d,
                CAST(s.state AS INT) AS state
         FROM bins bb JOIN bwd s ON s.k = bb.k AND s.step = bb.step
+    """
+
+    # attribution: identical user-keyed join with the microsecond range
+    # predicate and the same (ts, id) window tie-breaks.
+    sqls["attribution"] = """
+        WITH conv AS (
+          SELECT event_id AS conv_id, user_id AS uid, ts AS conv_ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+          SELECT user_id AS uid, event_type AS channel, ts AS touch_ts,
+                 event_id AS touch_id
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        j AS (
+          SELECT c.conv_id, c.uid, c.conv_ts, t.channel, t.touch_ts,
+                 t.touch_id
+          FROM conv c JOIN touch t ON t.uid = c.uid
+          WHERE epoch_us(t.touch_ts) < epoch_us(c.conv_ts)
+            AND epoch_us(t.touch_ts) >= epoch_us(c.conv_ts) - 21600000000
+        )
+        SELECT conv_id, uid, conv_ts, channel, touch_ts,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                 AS n_touches,
+               CAST(CASE WHEN row_number() OVER (PARTITION BY conv_id
+                      ORDER BY touch_ts, touch_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS is_first,
+               CAST(CASE WHEN row_number() OVER (PARTITION BY conv_id
+                      ORDER BY touch_ts DESC, touch_id DESC) = 1
+                    THEN 1 ELSE 0 END AS INT) AS is_last
+        FROM j
     """
 
     # retention_cohorts: identical daily bins (floor of epoch_us / day),

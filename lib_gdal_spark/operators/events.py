@@ -310,3 +310,55 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .alias("retention"),
         )
     )
+
+
+def attribution(events: DataFrame, conv_type: str = "purchase",
+                lookback_s: float = 86400.0,
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type",
+                id_col: str = "event_id") -> DataFrame:
+    """Multi-touch attribution — which channels get credit for each
+    conversion (the classic funnel follow-up beside :func:`funnel` and
+    :func:`sessionize`): for every ``conv_type`` event, its TOUCHES are
+    the same user's earlier non-conversion events within ``lookback_s``
+    seconds, and each touch row carries the first-/last-touch flags and
+    the touch count that the standard credit models (first, last,
+    linear = 1/n) are computed from. Credit itself is returned as the
+    exact integer pair (1, n_touches) rather than a float sum, so any
+    downstream rollup can stay order-independent.
+
+    Returns one row per (conversion, touch):
+    (conv_id, uid, conv_ts, channel, touch_ts, n_touches, is_first,
+    is_last). Conversions with no touch in the window are absent.
+
+    Scale shape: ONE equi-join on the user key with a range predicate
+    (per-user event counts are naturally bounded in web logs, so the
+    join fan-out is touches-per-conversion, not corpus-squared) and one
+    window over each conversion's touch set (bounded by the lookback).
+    Ties on touch_ts break by the touch's event id — deterministic.
+    """
+    conv = events.where(F.col(type_col) == conv_type).select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col).alias("uid"),
+        F.col(ts_col).cast("timestamp").alias("conv_ts"),
+    )
+    touch = events.where(F.col(type_col) != conv_type).select(
+        F.col(user_col).alias("uid"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).cast("timestamp").alias("touch_ts"),
+        F.col(id_col).alias("touch_id"),
+    )
+    lb = F.lit(int(round(lookback_s * 1e6))).cast("long")
+    j = conv.join(touch, "uid").where(
+        (F.unix_micros("touch_ts") < F.unix_micros("conv_ts"))
+        & (F.unix_micros("touch_ts") >= F.unix_micros("conv_ts") - lb))
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("touch_ts", "touch_id")
+    return j.select(
+        "conv_id", "uid", "conv_ts", "channel", "touch_ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_touches"),
+        (F.row_number().over(wo) == 1).cast("int").alias("is_first"),
+        (F.row_number().over(
+            w.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc()))
+         == 1).cast("int").alias("is_last"),
+    )

@@ -136,3 +136,42 @@ class TestRetentionCohorts:
         assert out[(base, 2)] == (2, 2, 1.0)
         assert out[(base + 1, 0)] == (1, 1, 1.0)
         assert len(out) == 4
+
+
+class TestAttribution:
+    def test_touch_flags_and_window(self, spark):
+        import datetime as dt
+        import pandas as pd
+        from lib_gdal_spark.operators.events import attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            (1, 1, t0 + 0 * s, "ad"),          # outside 5s lookback
+            (2, 1, t0 + 7 * s, "search"),      # first touch
+            (3, 1, t0 + 8 * s, "email"),       # middle
+            (4, 1, t0 + 9 * s, "search"),      # last touch
+            (5, 1, t0 + 10 * s, "purchase"),   # conversion
+            (6, 2, t0, "purchase"),            # no touches -> absent
+        ]
+        ev = spark.createDataFrame(pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type"]))
+        out = attribution(ev, conv_type="purchase", lookback_s=5.0) \
+            .orderBy("touch_ts").collect()
+        assert [r.channel for r in out] == ["search", "email", "search"]
+        assert all(r.n_touches == 3 and r.conv_id == 5 for r in out)
+        assert [r.is_first for r in out] == [1, 0, 0]
+        assert [r.is_last for r in out] == [0, 0, 1]
+
+    def test_boundary_exactly_at_lookback_included(self, spark):
+        import datetime as dt
+        import pandas as pd
+        from lib_gdal_spark.operators.events import attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, 1, t0, "ad"),
+                (2, 1, t0 + dt.timedelta(seconds=5), "purchase")]
+        ev = spark.createDataFrame(pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type"]))
+        assert attribution(ev, lookback_s=5.0).count() == 1
+        assert attribution(ev, lookback_s=4.999).count() == 0

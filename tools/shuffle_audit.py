@@ -53,6 +53,10 @@ QUERIES = [
     "warp_mercator_nearest", "warp_eqc_nearest", "warp_omerc_nearest",
     "warp_ups_nearest", "decontaminate_items", "ccnet_buckets",
     "sample_temperature", "pii_luhn", "pii_iban", "typo_pairs",
+    # round-4 session-8 additions
+    "map_match", "mann_kendall", "dwell_segments", "retention_cohorts",
+    "textrank_terms", "burst_detection", "polygon_neighbors",
+    "raster_quantile_classes",
 ]
 
 
