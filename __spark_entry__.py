@@ -531,7 +531,7 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lib_gdal_spark.operators.dem import d8_flow_accumulation
 
     tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
-    return d8_flow_accumulation(tiles)
+    return d8_flow_accumulation(tiles, lo=1, hi=126)
 
 
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14030,8 +14030,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["flow_accumulation"] = f"""
         WITH RECURSIVE pix AS (
           SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
-          FROM generate_series(1, 254) x(px)
-          CROSS JOIN generate_series(1, 254) y(py)
+          FROM generate_series(1, 126) x(px)
+          CROSS JOIN generate_series(1, 126) y(py)
         ),
         win AS (
           SELECT px, py,
@@ -14051,7 +14051,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT py * 65536 + px AS src, ty * 65536 + tx AS dst
           FROM tgt
           WHERE (tx <> px OR ty <> py)
-            AND tx BETWEEN 1 AND 254 AND ty BETWEEN 1 AND 254
+            AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
         ),
         walk AS (
           SELECT src, dst FROM edges
