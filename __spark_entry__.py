@@ -6788,6 +6788,30 @@ def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_gi_star(_stat_cells(spark, sf_dir), queen=True)
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot classification (space-time Gi* per day x
+    Mann-Kendall trend, the documented 7-category simplification of the
+    ESRI taxonomy) over the 6x6 event lattice: per-bin Gi* z rounded to
+    10 dp is the contract between the two stages, so the composition is
+    engine-reproducible end to end. The oracle spells both stages and
+    the category CASE verbatim."""
+    from lib_gdal_spark.operators.spatialstats import emerging_hotspots
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    cells = (
+        ev.select(
+            ((k1 - k1 % 6000) / 6000).cast("int").alias("gx"),
+            ((k2 - k2 % 3000) / 3000).cast("int").alias("gy"),
+            F.dayofyear("ts").alias("tbin"),
+        )
+        .groupBy("gx", "gy", "tbin")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return emerging_hotspots(cells)
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell Mann-Kendall trend over day-binned event counts — the
     emerging-hotspot statistic (Mann 1945 / Kendall 1975; Gi* says hot
@@ -7187,6 +7211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "getis_hotspots": q_getis_hotspots,
         "mann_kendall": q_mann_kendall,
+        "emerging_hotspots": q_emerging_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
     }
@@ -15686,6 +15711,107 @@ def oracle_sql() -> dict[str, str]:
     _kq_vals = ", ".join(
         f"({dx}, {dy}, {q!r})" for dx, dy, q in kernel_quanta(3)
     )
+    # emerging_hotspots: per-bin Gi* (identical formula and degenerate
+    # guards, z rounded 10) -> MK over the rounded z series -> the same
+    # category CASE in the same order.
+    sqls["emerging_hotspots"] = """
+        WITH cells AS (
+          SELECT CAST((k1 - k1 % 6000) / 6000 AS INT) AS gx,
+                 CAST((k2 - k2 % 3000) / 3000 AS INT) AS gy,
+                 dayofyear(ts) AS tbin, COUNT(*) AS x
+          FROM (SELECT (event_id * 7919) % 36000 AS k1,
+                       (event_id * 104729) % 17000 AS k2, ts FROM events)
+          GROUP BY 1, 2, 3
+        ),
+        offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        pairs AS (
+          SELECT a.gx, a.gy, a.tbin, b.x AS xj
+          FROM cells a, offs o
+          JOIN cells b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+           AND b.tbin = a.tbin
+        ),
+        agg AS (
+          SELECT gx, gy, tbin, SUM(xj) AS nsum, COUNT(*) AS deg
+          FROM pairs GROUP BY 1, 2, 3
+        ),
+        g AS (
+          SELECT tbin, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+          FROM cells GROUP BY 1
+        ),
+        per AS (
+          SELECT c.gx, c.gy, c.tbin, c.x,
+                 COALESCE(a.deg, 0) + 1 AS w_i,
+                 COALESCE(a.nsum, 0) + c.x AS nbr_sum,
+                 g.n, g.sx, g.sxx
+          FROM cells c
+          LEFT JOIN agg a ON a.gx = c.gx AND a.gy = c.gy
+           AND a.tbin = c.tbin
+          JOIN g ON g.tbin = c.tbin
+        ),
+        zz AS (
+          SELECT gx, gy, tbin,
+            CASE WHEN sqrt(sxx/n - (sx/n)*(sx/n)) > 0
+                  AND n * w_i - w_i * w_i > 0
+                 THEN round((nbr_sum - (sx/n)*w_i)
+                      / (sqrt(sxx/n - (sx/n)*(sx/n))
+                         * sqrt(CAST(n*w_i - w_i*w_i AS DOUBLE)
+                                / (n - 1.0))), 10)
+                 ELSE 0.0 END AS z
+          FROM per
+        ),
+        s AS (
+          SELECT a.gx, a.gy,
+                 SUM(CASE WHEN b.z > a.z THEN 1
+                          WHEN b.z < a.z THEN -1 ELSE 0 END) AS s
+          FROM zz a JOIN zz b
+            ON a.gx = b.gx AND a.gy = b.gy AND a.tbin < b.tbin
+          GROUP BY 1, 2
+        ),
+        nb AS (SELECT gx, gy, COUNT(*) AS n_bins FROM zz GROUP BY 1, 2),
+        ties AS (
+          SELECT gx, gy, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+          FROM (SELECT gx, gy, z, COUNT(*) AS t FROM zz GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ),
+        mkj AS (
+          SELECT nb.gx, nb.gy, nb.n_bins, COALESCE(s.s, 0) AS s,
+                 (nb.n_bins * (nb.n_bins - 1) * (2 * nb.n_bins + 5)
+                  - ties.tt) / 18.0 AS var
+          FROM nb
+          LEFT JOIN s ON s.gx = nb.gx AND s.gy = nb.gy
+          JOIN ties ON ties.gx = nb.gx AND ties.gy = nb.gy
+        ),
+        mk AS (
+          SELECT gx, gy, n_bins,
+                 CASE WHEN var > 0 AND s > 0 THEN (s - 1) / sqrt(var)
+                      WHEN var > 0 AND s < 0 THEN (s + 1) / sqrt(var)
+                      ELSE 0.0 END AS z_raw
+          FROM mkj
+        ),
+        lastb AS (SELECT max(tbin) AS lb FROM zz),
+        hotagg AS (
+          SELECT gx, gy,
+                 SUM(CASE WHEN z > 1.645 THEN 1 ELSE 0 END) AS n_hot,
+                 MAX(CASE WHEN tbin = (SELECT lb FROM lastb)
+                           AND z > 1.645 THEN 1 ELSE 0 END) AS hot_last
+          FROM zz GROUP BY 1, 2
+        )
+        SELECT m.gx, m.gy, CAST(m.n_bins AS BIGINT) AS n_bins,
+               CAST(h.n_hot AS BIGINT) AS n_hot,
+               round(m.z_raw, 8) AS mk_z,
+               CASE WHEN h.hot_last = 1 AND h.n_hot = 1 THEN 'new'
+                    WHEN h.n_hot >= 0.9 * m.n_bins
+                         AND m.z_raw > 1.959964 THEN 'intensifying'
+                    WHEN h.n_hot >= 0.9 * m.n_bins
+                         AND m.z_raw < -1.959964 THEN 'diminishing'
+                    WHEN h.n_hot >= 0.9 * m.n_bins THEN 'persistent'
+                    WHEN h.hot_last = 1 THEN 'sporadic'
+                    WHEN h.n_hot > 0 THEN 'historic'
+                    ELSE 'none' END AS category
+        FROM mk m JOIN hotagg h ON h.gx = m.gx AND h.gy = m.gy
+    """
+
     # mann_kendall: the identical int64 partials (S from the tbin-pair
     # self-join, tie groups, per-cell bin counts) and the identical
     # final z expression — trend classified on the UNROUNDED z exactly

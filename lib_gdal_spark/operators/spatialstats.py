@@ -43,6 +43,8 @@ __all__ = [
     "kde_heatmap",
     "ripley_k",
     "mann_kendall",
+    "getis_per_bin",
+    "emerging_hotspots",
 ]
 
 
@@ -370,13 +372,14 @@ def mann_kendall(cells: DataFrame, z_crit: float = 1.959964) -> DataFrame:
     )
     nn = F.col("n_bins")
     var = (nn * (nn - 1) * (2 * nn + 5) - F.col("tt")) / F.lit(18.0)
+    # the divisor is substituted, not just CASE-guarded: ANSI mode may
+    # evaluate the hoisted division on rows where var == 0 (all tied)
+    rt = F.sqrt(F.when(var > 0, var).otherwise(F.lit(1.0)))
     z = (
-        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
-        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        F.when(F.col("s") > 0, (F.col("s") - 1) / rt)
+        .when(F.col("s") < 0, (F.col("s") + 1) / rt)
         .otherwise(F.lit(0.0))
     )
-    # all-tied cells (var == 0) have s == 0, so z's otherwise-branch
-    # already yields 0.0 without touching the 0/0
     z = F.when(var > 0, z).otherwise(F.lit(0.0))
     trend = (
         F.when(z > z_crit, F.lit("increasing"))
@@ -393,3 +396,125 @@ def mann_kendall(cells: DataFrame, z_crit: float = 1.959964) -> DataFrame:
             trend.alias("trend"),
         )
     )
+
+
+def getis_per_bin(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Space-time Gi*: :func:`getis_gi_star` computed independently per
+    time bin. ``cells``: (gx, gy, tbin, x) — occupied cells per bin.
+    Returns (gx, gy, tbin, z) with z rounded to 10 dp (the rounding is
+    part of the contract: downstream trend tests compare these values,
+    and a consistently-rounded input keeps the composition
+    engine-reproducible at the bit level).
+
+    Same scale shape as the per-slice statistic — the 8-offset explode
+    and the neighbor equi-join just carry tbin in the key, and the
+    global moments become one combinable groupBy(tbin).
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(queen)
+        ]
+    )
+    probe = (
+        cells.select("gx", "gy", "tbin", F.explode(offs).alias("o"))
+        .select(
+            "gx", "gy", "tbin",
+            (F.col("gx") + F.col("o.dx")).alias("ngx"),
+            (F.col("gy") + F.col("o.dy")).alias("ngy"),
+        )
+    )
+    nbr = cells.select(
+        F.col("gx").alias("ngx"), F.col("gy").alias("ngy"),
+        F.col("tbin").alias("tbin"), F.col("x").alias("xj"))
+    pairs = probe.join(nbr, ["ngx", "ngy", "tbin"])
+    agg = pairs.groupBy("gx", "gy", "tbin").agg(
+        F.sum("xj").alias("nsum"), F.count(F.lit(1)).alias("deg"))
+    g = cells.groupBy("tbin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    per = (
+        cells.join(agg, ["gx", "gy", "tbin"], "left")
+        .select(
+            "gx", "gy", "tbin", "x",
+            (F.coalesce(F.col("deg"), F.lit(0)) + F.lit(1)).alias("w_i"),
+            (F.coalesce(F.col("nsum"), F.lit(0)) + F.col("x"))
+            .alias("nbr_sum"),
+        )
+        .join(F.broadcast(g), "tbin")
+    )
+    m = F.col("sx") / F.col("n")
+    s = F.sqrt(F.col("sxx") / F.col("n") - m * m)
+    # Two degenerate cases get z = 0 by definition: a zero-variance bin
+    # (every occupied cell equal), and a cell whose star neighborhood
+    # covers the WHOLE bin (w_i == n, e.g. tiny lattices — numerator and
+    # variance both vanish). Divisors are substituted, not just CASE-
+    # guarded: ANSI mode may still evaluate the hoisted division.
+    wterm = F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    ok = (s > 0) & (wterm > 0)
+    s_safe = F.when(ok, s).otherwise(F.lit(1.0))
+    w_safe = F.when(ok, wterm.cast("double")).otherwise(F.lit(1.0))
+    gi = (F.col("nbr_sum") - m * F.col("w_i")) / (
+        s_safe * F.sqrt(w_safe / (F.col("n") - 1.0)))
+    gi = F.when(ok, gi).otherwise(F.lit(0.0))
+    return per.select("gx", "gy", "tbin", F.round(gi, 10).alias("z"))
+
+
+def emerging_hotspots(cells: DataFrame, z_hot: float = 1.645,
+                      z_trend: float = 1.959964,
+                      persist_frac: float = 0.9,
+                      queen: bool = True) -> DataFrame:
+    """Emerging-hotspot classification — the space-time composition of
+    Gi* per bin (:func:`getis_per_bin`) and the Mann-Kendall trend over
+    each cell's z series (:func:`mann_kendall`), a deliberately
+    SIMPLIFIED 7-category variant of the ESRI Space Time Pattern Mining
+    taxonomy (the full product has 17; the rules here are documented
+    and mirrored verbatim by the oracle):
+
+    - ``new``          hot in the latest global bin, for the first time
+    - ``intensifying`` hot in >= ``persist_frac`` of its bins, MK z
+                       significantly increasing
+    - ``diminishing``  same coverage, MK z significantly decreasing
+    - ``persistent``   same coverage, no significant trend
+    - ``sporadic``     hot in the latest bin plus some history below
+                       the persistence bar
+    - ``historic``     hot in the past, cold in the latest bin
+    - ``none``         never hot
+
+    Returns (gx, gy, n_bins, n_hot, mk_z, category). All counts are
+    exact int64; the only floats are the per-bin z (rounded 10 dp
+    upstream) and the MK z over that rounded series.
+    """
+    z = getis_per_bin(cells, queen=queen)
+    last_bin = z.agg(F.max("tbin")).first()[0]
+    hot = (F.col("z") > F.lit(float(z_hot))).cast("int")
+    per = z.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(hot).alias("n_hot"),
+        F.max(F.when(F.col("tbin") == last_bin, hot).otherwise(F.lit(0)))
+        .alias("hot_last"),
+    )
+    mk = mann_kendall(
+        z.select("gx", "gy", "tbin", F.col("z").alias("x")),
+        z_crit=z_trend,
+    ).select("gx", "gy", F.col("z").alias("mk_z"),
+             F.col("trend").alias("mk_trend"))
+    j = per.join(mk, ["gx", "gy"])
+    persist = F.col("n_hot") >= F.lit(float(persist_frac)) * F.col("n_bins")
+    cat = (
+        F.when((F.col("hot_last") == 1) & (F.col("n_hot") == 1),
+               F.lit("new"))
+        .when(persist & (F.col("mk_trend") == "increasing"),
+              F.lit("intensifying"))
+        .when(persist & (F.col("mk_trend") == "decreasing"),
+              F.lit("diminishing"))
+        .when(persist, F.lit("persistent"))
+        .when(F.col("hot_last") == 1, F.lit("sporadic"))
+        .when(F.col("n_hot") > 0, F.lit("historic"))
+        .otherwise(F.lit("none"))
+    )
+    return j.select("gx", "gy", "n_bins",
+                    F.col("n_hot").cast("long").alias("n_hot"),
+                    "mk_z", cat.alias("category"))

@@ -207,3 +207,53 @@ class TestRipley:
                S.ripley_k(pts, [2.0, 4.0], 10000.0, 4.0).collect()}
         for r in (2.0, 4.0):
             assert got[r]["l_hat"] == pytest.approx(r, rel=0.15)
+
+
+class TestEmergingHotspots:
+    def _cells(self, spark, series):
+        import pandas as pd
+        rows = []
+        for (gx, gy), xs in series.items():
+            for t, x in enumerate(xs):
+                rows.append((gx, gy, t, x))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["gx", "gy", "tbin", "x"]))
+
+    def test_per_bin_matches_single_slice(self, spark):
+        import numpy as np
+        from lib_gdal_spark.operators.spatialstats import (
+            getis_gi_star, getis_per_bin)
+        rng = np.random.default_rng(3)
+        vals = {(i % 5, i // 5): int(v)
+                for i, v in enumerate(rng.integers(1, 50, 25))}
+        cells1 = spark.createDataFrame(
+            [(gx, gy, x) for (gx, gy), x in vals.items()],
+            "gx int, gy int, x long")
+        cells2 = self._cells(spark, {k: [v] for k, v in vals.items()})
+        a = {(r.gx, r.gy): r.gi_star for r in getis_gi_star(cells1).collect()}
+        b = {(r.gx, r.gy): r.z for r in getis_per_bin(cells2).collect()}
+        for k in vals:
+            assert abs(a[k] - b[k]) < 1e-9, k
+
+    def test_categories(self, spark):
+        from lib_gdal_spark.operators.spatialstats import emerging_hotspots
+        # 7x7 lattice over 10 bins; a 3x3 BLOCK ramps from cold to very
+        # hot in the last bins (a lone spiked cell cannot clear the Gi*
+        # threshold — the spike inflates the global variance as fast as
+        # its own neighborhood sum; hotspots are clusters by
+        # construction of the statistic).
+        ramp = [10, 10, 10, 12, 16, 24, 40, 70, 120, 200]
+        series = {}
+        for gx in range(7):
+            for gy in range(7):
+                series[(gx, gy)] = (
+                    list(ramp) if 1 <= gx <= 3 and 1 <= gy <= 3
+                    else [10] * 10)
+        out = {(r.gx, r.gy): r for r in
+               emerging_hotspots(self._cells(spark, series)).collect()}
+        c = out[(2, 2)]
+        assert c.category in ("new", "sporadic", "intensifying")
+        assert c.n_hot >= 1 and c.mk_z > 0
+        # flat neighbors never exceed the hot threshold on a flat field
+        flat = out[(0, 0)]
+        assert flat.category in ("none", "historic")
