@@ -201,6 +201,11 @@ BENCH = {
     "retention_cohorts": lambda s: _force(E.q_retention_cohorts(s, SF_DIR)),
     "textrank_terms": lambda s: _force(E.q_textrank_terms(s, SF_DIR)),
     "burst_detection": lambda s: _force(E.q_burst_detection(s, SF_DIR)),
+    "polygon_neighbors": lambda s: _force(E.q_polygon_neighbors(s, SF_DIR)),
+    "raster_quantile_classes":
+        lambda s: _force(E.q_raster_quantile_classes(s, SF_DIR)),
+    "attribution": lambda s: _force(E.q_attribution(s, SF_DIR)),
+    "emerging_hotspots": lambda s: _force(E.q_emerging_hotspots(s, SF_DIR)),
 }
 
 

@@ -56,7 +56,7 @@ QUERIES = [
     # round-4 session-8 additions
     "map_match", "mann_kendall", "dwell_segments", "retention_cohorts",
     "textrank_terms", "burst_detection", "polygon_neighbors",
-    "raster_quantile_classes",
+    "raster_quantile_classes", "attribution", "emerging_hotspots",
 ]
 
 
