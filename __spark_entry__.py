@@ -13082,7 +13082,10 @@ def oracle_sql() -> dict[str, str]:
     # dwell_segments: identical window chain (lag, class, break flag,
     # running-sum run ids) and the identical stay aggregation; the
     # stay/move comparison is the same single multiply, and integer
-    # coordinates make every sum exact.
+    # coordinates make every sum exact. arg_min keys on ts alone where
+    # the operator keys on (ts, x, y): equivalent here because the
+    # events fixture's timestamps are unique per user (sequential
+    # generation), so the composite tie-break never engages.
     sqls["dwell_segments"] = """
         WITH pts AS (
           SELECT user_id AS eid, ts,

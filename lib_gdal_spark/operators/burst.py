@@ -69,6 +69,13 @@ def kleinberg_bursts(bins: DataFrame, costs: dict,
     are mirrored verbatim by the SQL oracle.
 
     Returns (key, tbin, r, d, state).
+
+    Overflow budget: dp accumulates at most
+    ``max(costs) * sum(d over a key's bins) + gamma_units`` on top of
+    the 2^60 init sentinel — with the default scale=1e9 that bounds a
+    key's total trials to ~4e8 before int64 headroom runs out. Rescale
+    ``cost_units(..., scale=...)`` down for larger series (the same
+    fixed-point budget discipline as graph.pagerank's rank units).
     """
     c0r = F.lit(int(costs["c0_r"])).cast("long")
     c0n = F.lit(int(costs["c0_n"])).cast("long")

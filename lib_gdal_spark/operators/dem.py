@@ -657,6 +657,45 @@ def d8_basins(tiles: DataFrame, tile: int = 64,
     ).join(cur, "id").select("px", "py", F.col("nxt").alias("basin"))
 
 
+def _d8_flow_edges(tiles: DataFrame, tile: int, lo: int, hi: int):
+    """flowdir -> (cells, edges) for the [lo, hi]^2 interior window.
+
+    cells: (px, py, code); edges: (src, dst) int64 keys (py*2^16 + px)
+    for every positive-drop cell whose D8 target stays interior —
+    pits/flats (code 0, offset (0,0)) and window exits emit no edge.
+    Shared by d8_flow_accumulation and strahler_order (d8_basins keeps
+    its own successor table: its sinks SELF-LOOP, which the doubling
+    fixpoint needs, while these consumers need terminating paths)."""
+    fd = dem_op(tiles, "flowdir")
+    ex = fd.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "code"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int"))
+    cells = ex.select(
+        px.cast("long").alias("px"), py.cast("long").alias("py"),
+        F.col("code").cast("int").alias("code"),
+    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi)))
+
+    dx = F.lit(0)
+    dy = F.lit(0)
+    for code, (cdx, cdy) in D8_OFFSETS.items():
+        dx = F.when(F.col("code") == code, F.lit(cdx)).otherwise(dx)
+        dy = F.when(F.col("code") == code, F.lit(cdy)).otherwise(dy)
+    tx = F.col("px") + dx
+    ty = F.col("py") + dy
+    edges = cells.where(
+        ((tx != F.col("px")) | (ty != F.col("py")))
+        & tx.between(lo, hi) & ty.between(lo, hi)
+    ).select(
+        (F.col("py") * 65536 + F.col("px")).alias("src"),
+        (ty * 65536 + tx).alias("dst"),
+    ).localCheckpoint()
+    return cells, edges
+
+
 def d8_flow_accumulation(tiles: DataFrame, tile: int = 64,
                          lo: int = 1, hi: int = 254,
                          max_doublings: int = 16) -> DataFrame:
@@ -684,35 +723,7 @@ def d8_flow_accumulation(tiles: DataFrame, tile: int = 64,
     equi-join on the cell key; lineage is truncated per round. The
     final count is one map-side-combinable groupBy.
     """
-    fd = dem_op(tiles, "flowdir")
-    ex = fd.select(
-        "tile_x", "tile_y", "tile_w",
-        F.posexplode("pixels").alias("pos", "code"),
-    )
-    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
-    py = (F.col("tile_y") * tile
-          + (F.col("pos") / F.col("tile_w")).cast("int"))
-    cells = ex.select(
-        px.cast("long").alias("px"), py.cast("long").alias("py"),
-        F.col("code").cast("int").alias("code"),
-    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi)))
-
-    dx = F.lit(0)
-    dy = F.lit(0)
-    for code, (cdx, cdy) in D8_OFFSETS.items():
-        dx = F.when(F.col("code") == code, F.lit(cdx)).otherwise(dx)
-        dy = F.when(F.col("code") == code, F.lit(cdy)).otherwise(dy)
-    tx = F.col("px") + dx
-    ty = F.col("py") + dy
-    # edges only for flowing cells whose target stays interior; a
-    # pit/flat (code 0) has tx == px and ty == py and is excluded
-    edges = cells.where(
-        ((tx != F.col("px")) | (ty != F.col("py")))
-        & tx.between(lo, hi) & ty.between(lo, hi)
-    ).select(
-        (F.col("py") * 65536 + F.col("px")).alias("src"),
-        (ty * 65536 + tx).alias("dst"),
-    ).localCheckpoint()
+    cells, edges = _d8_flow_edges(tiles, tile, lo, hi)
 
     pairs = edges  # all (ancestor, node) pairs with distance <= 2^k
     jump = edges   # u -> its 2^k-th successor (rows absent once off-path)
@@ -814,35 +825,9 @@ def strahler_order(tiles: DataFrame, tile: int = 64,
     distributed rounds only ever run while the frontier is genuinely
     large, and ``max_rounds`` bounds rounds-at-scale, not correctness.
     """
-    fd = dem_op(tiles, "flowdir")
-    ex = fd.select(
-        "tile_x", "tile_y", "tile_w",
-        F.posexplode("pixels").alias("pos", "code"),
-    )
-    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
-    py = (F.col("tile_y") * tile
-          + (F.col("pos") / F.col("tile_w")).cast("int"))
-    cells = ex.select(
-        px.cast("long").alias("px"), py.cast("long").alias("py"),
-        F.col("code").cast("int").alias("code"),
-    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi)))
-
-    dx = F.lit(0)
-    dy = F.lit(0)
-    for code, (cdx, cdy) in D8_OFFSETS.items():
-        dx = F.when(F.col("code") == code, F.lit(cdx)).otherwise(dx)
-        dy = F.when(F.col("code") == code, F.lit(cdy)).otherwise(dy)
-    tx = F.col("px") + dx
-    ty = F.col("py") + dy
+    cells, edges = _d8_flow_edges(tiles, tile, lo, hi)
     ids = cells.select(
         "px", "py", (F.col("py") * 65536 + F.col("px")).alias("id")
-    ).localCheckpoint()
-    edges = cells.where(
-        ((tx != F.col("px")) | (ty != F.col("py")))
-        & tx.between(lo, hi) & ty.between(lo, hi)
-    ).select(
-        (F.col("py") * 65536 + F.col("px")).alias("src"),
-        (ty * 65536 + tx).alias("dst"),
     ).localCheckpoint()
     spark = tiles.sparkSession
 
@@ -878,8 +863,7 @@ def strahler_order(tiles: DataFrame, tile: int = 64,
                 [(r["src"], r["dst"]) for r in res_e.collect()],
                 {r["id"]: r["ord"] for r in seed.collect()})
             full = resolved.unionByName(spark.createDataFrame(
-                [(k, v) for k, v in order.items()
-                 if k not in ()], "id long, ord long"))
+                list(order.items()), "id long, ord long"))
             return ids.join(
                 full.withColumnRenamed("ord", "strahler").dropDuplicates(
                     ["id"]), "id").select("px", "py", "strahler")

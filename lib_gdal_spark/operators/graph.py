@@ -55,7 +55,8 @@ def shortest_path_tree(
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     e = e.localCheckpoint()
 
-    sources = [source] if isinstance(source, int) else list(source)
+    sources = (list(source) if isinstance(source, (list, tuple, set))
+               else [int(source)])  # int() accepts numpy scalars too
     from lib_gdal_spark.session import local_df
     dist = local_df(
         e.sparkSession, [(int(s), 0.0, None) for s in sources],

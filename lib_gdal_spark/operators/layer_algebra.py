@@ -417,10 +417,12 @@ def polygon_neighbors(layer: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["fid", "x1", "y1", "x2", "y2"])
 
+    # checkpoint: both join sides read this, and the Arrow WKB ring
+    # decode is the expensive stage — without it the parse runs twice
     s = layer.mapInPandas(
         segs,
         schema="fid long, x1 double, y1 double, x2 double, y2 double",
-    )
+    ).localCheckpoint()
     a = s.alias("a")
     b = s.select(F.col("fid").alias("fid_b"), "x1", "y1", "x2", "y2") \
          .alias("b")

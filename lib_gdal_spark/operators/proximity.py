@@ -216,10 +216,21 @@ def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
     hop per round: the prev table doubles into 2^k-ancestor jump tables
     and the reach set from ``target`` expands by one equi-join per
     round — log2(path length) rounds, O(path) rows.
+
+    Costs must be STRICTLY POSITIVE (checked, loud): zero-cost cells
+    create zero-weight cycles in which predecessor chains are not
+    well-defined for any backtracking algorithm. (cost_distance itself
+    tolerates zeros — distances stay well-defined, only paths don't.)
     """
     from lib_gdal_spark.operators.graph import shortest_path_tree
 
     cells, edges = _grid_cost_graph(tiles, tile, lo, hi)
+    min_cost = cells.agg(F.min("c")).first()[0]
+    if min_cost is not None and min_cost <= 0:
+        raise ValueError(
+            f"least_cost_path requires strictly positive costs "
+            f"(min cell cost is {min_cost}); zero-cost cells make the "
+            "predecessor chain ill-defined")
     seed_ids = [int(y) * 65536 + int(x) for x, y in seeds]
     tree = shortest_path_tree(edges, seed_ids, directed=True,
                               max_rounds=max_rounds).localCheckpoint()
@@ -227,22 +238,32 @@ def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
     spark = tiles.sparkSession
     tgt_id = int(target[1]) * 65536 + int(target[0])
     from lib_gdal_spark.session import local_df
-    reach = local_df(spark, [(tgt_id,)], "id long")
+    # reach carries `back` = hops back from the target along the prev
+    # chain: the node 2^k ancestors up enters with back + 2^k, exactly
+    # once (a chain has one node per depth). Step then derives from the
+    # CHAIN, not from a dist sort — tied accumulated costs (legal with
+    # zero-cost cells) would make a dist ordering nondeterministic.
+    reach = local_df(spark, [(tgt_id, 0)], "id long, back long")
     jump = tree.where(F.col("prev").isNotNull()) \
                .select(F.col("node").alias("id"),
                        F.col("prev").alias("anc")).localCheckpoint()
     n_reach = 1
+    stride = 1  # the current jump table's span: 2^k
     for _ in range(max_doublings):
         grown = (
             reach.unionByName(
-                reach.join(jump, "id").select(F.col("anc").alias("id")))
-            .distinct().localCheckpoint()
+                reach.join(jump, "id")
+                .select(F.col("anc").alias("id"),
+                        (F.col("back") + F.lit(stride)).alias("back")))
+            .groupBy("id").agg(F.min("back").alias("back"))
+            .localCheckpoint()
         )
         n = grown.count()
         reach = grown
         if n == n_reach:
             break
         n_reach = n
+        stride *= 2
         jump = (
             jump.alias("a")
             .join(jump.select(F.col("id").alias("mid"),
@@ -258,11 +279,9 @@ def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
     path = (
         reach.join(tree, reach.id == tree.node)
         .join(cells.select("id", "px", "py"), "id")
+        .crossJoin(F.broadcast(reach.agg(F.max("back").alias("plen"))))
     )
-    # global window is fine here: `path` is O(path length) rows by
-    # construction (the reach set), never the raster
-    w = Window.orderBy("dist")
     return path.select(
-        (F.row_number().over(w) - 1).alias("step"),
+        (F.col("plen") - F.col("back")).cast("int").alias("step"),
         "px", "py", F.round("dist", 9).alias("dist"),
     )

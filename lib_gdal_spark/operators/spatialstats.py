@@ -487,7 +487,10 @@ def emerging_hotspots(cells: DataFrame, z_hot: float = 1.645,
     exact int64; the only floats are the per-bin z (rounded 10 dp
     upstream) and the MK z over that rounded series.
     """
-    z = getis_per_bin(cells, queen=queen)
+    # checkpoint once: z feeds three consumers (last-bin scalar, the
+    # hot/persist aggregation, and the MK pair self-join) — without it
+    # the whole per-bin Gi* pipeline would re-execute per branch
+    z = getis_per_bin(cells, queen=queen).localCheckpoint()
     last_bin = z.agg(F.max("tbin")).first()[0]
     hot = (F.col("z") > F.lit(float(z_hot))).cast("int")
     per = z.groupBy("gx", "gy").agg(

@@ -1643,15 +1643,21 @@ def textrank_terms(docs: DataFrame, text_col: str = "text",
         )
         .where(F.col("term") != "")
     )
-    a = toks.select(F.col("__rid").alias("d"), F.col("pos").alias("pa"),
-                    F.col("term").alias("ta"))
+    # the probe side explodes each token to its `window` forward
+    # offsets so the join key is (doc, EXACT position) — an equi-join
+    # with O(tokens * window) probe rows. Joining on the doc id alone
+    # and range-filtering positions would scan O(tokens^2) candidate
+    # pairs inside every long document.
+    offs = F.array(*[F.lit(i) for i in range(1, window + 1)])
+    a = toks.select(
+        F.col("__rid").alias("d"), F.col("term").alias("ta"),
+        "pos", F.explode(offs).alias("off"),
+    ).select("d", "ta", (F.col("pos") + F.col("off")).alias("pb"))
     b = toks.select(F.col("__rid").alias("d"), F.col("pos").alias("pb"),
                     F.col("term").alias("tb"))
     pairs = (
-        a.join(b, "d")
-        .where((F.col("pb") > F.col("pa"))
-               & (F.col("pb") <= F.col("pa") + window)
-               & (F.col("ta") != F.col("tb")))
+        a.join(b, ["d", "pb"])
+        .where(F.col("ta") != F.col("tb"))
         .select(F.least("ta", "tb").alias("ta"),
                 F.greatest("ta", "tb").alias("tb"))
         .distinct()

@@ -48,14 +48,13 @@ def dwell_segments(track: DataFrame, v_max: float,
     n_pts the number of distinct track points in the run (steps + 1),
     and (cx, cy) the unweighted centroid of those points.
     """
-    e, ts = F.col("eid"), F.col("ts")
     w = Window.partitionBy("eid").orderBy("ts", "x", "y")
     st = track.select(
-        e.alias("eid"),
+        F.col("eid").alias("eid"),
         # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs
         # TIMESTAMP, and the session timezone is pinned UTC so the cast
         # is a pure reinterpretation
-        ts.cast("timestamp").alias("ts"),
+        F.col("ts").cast("timestamp").alias("ts"),
         F.col("x").cast("double").alias("x"),
         F.col("y").cast("double").alias("y"),
     ).withColumn("px", F.lag("x").over(w)) \
@@ -68,14 +67,13 @@ def dwell_segments(track: DataFrame, v_max: float,
     st = st.withColumn(
         "cls", F.when(dist <= F.lit(float(v_max)) * dt, F.lit("stay"))
                 .otherwise(F.lit("move")))
-    w2 = Window.partitionBy("eid").orderBy("ts", "x", "y")
     st = st.withColumn(
         "brk",
-        F.when(F.lag("cls").over(w2).isNull()
-               | (F.lag("cls").over(w2) != F.col("cls")), 1).otherwise(0))
+        F.when(F.lag("cls").over(w).isNull()
+               | (F.lag("cls").over(w) != F.col("cls")), 1).otherwise(0))
     st = st.withColumn(
         "seg", F.sum("brk").over(
-            w2.rowsBetween(Window.unboundedPreceding, 0)))
+            w.rowsBetween(Window.unboundedPreceding, 0)))
     stays = st.where(F.col("cls") == "stay")
     agg = stays.groupBy("eid", "seg").agg(
         F.min("pts").alias("t_start"),

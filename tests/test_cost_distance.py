@@ -92,3 +92,13 @@ def test_least_cost_path_descends_tree(spark):
     for a, b in zip(path, path[1:]):
         assert max(abs(a.px - b.px), abs(a.py - b.py)) == 1
         assert b.dist > a.dist
+
+
+def test_least_cost_path_rejects_zero_costs(spark):
+    from lib_gdal_spark.operators.proximity import least_cost_path
+    import pytest
+    arr = np.zeros((32, 32))
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, 32, 0, -1), tile=16)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    with pytest.raises(ValueError, match="strictly positive"):
+        least_cost_path(tiles, [(5, 15)], (25, 15), tile=16, lo=1, hi=30)
