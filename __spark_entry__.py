@@ -1060,6 +1060,20 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean allocation (GRASS r.grow.distance value= semantics; the
+    companion of gdalproximity.cpp's distance output): every world4326
+    pixel gets the VALUE of its nearest target pixel (targets = values
+    100/150), bounded at 12 px. Nearest-target choice is an exact
+    int64 argmin over the packed key d2*2^32 + ty*2^16 + tx, so ties
+    are deterministic and the oracle's arg_min reproduces them."""
+    from lib_gdal_spark.operators import proximity as PX
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = PX.allocation(tiles, target_values=[100.0, 150.0], max_dist=12.0)
+    return out.select("px", "py", "alloc", "d2")
+
+
 def q_layer_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR layer-algebra Erase (ogrlayer.cpp:4079): convex-difference
     decomposition; remaining areas oracle-checked closed-form."""
@@ -6951,6 +6965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_erase": q_layer_erase,
         "pansharpen": q_pansharpen,
         "proximity": q_proximity,
+        "proximity_allocation": q_proximity_allocation,
         "cost_distance": q_cost_distance,
         "least_cost_path": q_least_cost_path,
         "sieve_counts": q_sieve_counts,
@@ -7825,6 +7840,42 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY p.px, p.py
         )
         SELECT p.px, p.py, round(coalesce(j.d, -1.0), 6) AS dist
+        FROM pix p LEFT JOIN j ON p.px = j.px AND p.py = j.py
+    """
+
+    sqls["proximity_allocation"] = """
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px) CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        val AS (
+          SELECT px, py,
+                 trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0 + 128.0) AS v
+          FROM pix
+        ),
+        tgt AS (
+          SELECT px AS tx, py AS ty, v AS tv FROM val
+          WHERE v IN (100.0, 150.0)
+        ),
+        j AS (
+          SELECT p.px, p.py,
+                 min(((p.px - t.tx) * (p.px - t.tx)
+                      + (p.py - t.ty) * (p.py - t.ty)) * 4294967296
+                     + t.ty * 65536 + t.tx) AS k,
+                 arg_min(t.tv,
+                         ((p.px - t.tx) * (p.px - t.tx)
+                          + (p.py - t.ty) * (p.py - t.ty)) * 4294967296
+                         + t.ty * 65536 + t.tx) AS tv
+          FROM pix p JOIN tgt t
+            ON t.tx BETWEEN p.px - 12 AND p.px + 12
+           AND t.ty BETWEEN p.py - 12 AND p.py + 12
+          WHERE (p.px - t.tx) * (p.px - t.tx)
+                + (p.py - t.ty) * (p.py - t.ty) <= 144
+          GROUP BY p.px, p.py
+        )
+        SELECT p.px, p.py,
+               coalesce(j.tv, -1.0) AS alloc,
+               CAST(coalesce(j.k // 4294967296, -1) AS BIGINT) AS d2
         FROM pix p LEFT JOIN j ON p.px = j.px AND p.py = j.py
     """
 

@@ -115,6 +115,124 @@ def proximity(
     )
 
 
+def allocation(
+    tiles: DataFrame,
+    target_values: list[float],
+    max_dist: float,
+    tile: int = 64,
+) -> DataFrame:
+    """Euclidean allocation (the GRASS ``r.grow.distance value=`` /
+    ArcGIS Euclidean Allocation semantics — the companion output of
+    :func:`proximity`): every pixel receives the VALUE of its nearest
+    target pixel, bounded at ``max_dist``.
+
+    Same distributed shape as :func:`proximity` (bounded broadcast ring:
+    each target reaches only the tiles within ``ceil(max_dist / tile)``,
+    then an exact per-tile transform over the gathered candidates —
+    never a global all-pairs). The nearest-target choice is an EXACT
+    INTEGER argmin: pixel coordinates are integers, so the squared
+    distance is an int64, and ties break deterministically on
+    ``(d2, target_gy, target_gx)`` via one packed sort key
+    ``d2 * 2^32 + gy * 2^16 + gx`` — bit-identical at any parallelism
+    and spellable verbatim in the SQL oracle (a float argmin would be
+    tie-unstable across engines). Pixels farther than ``max_dist`` get
+    the nodata sentinels ``alloc = -1.0, d2 = -1`` (GDAL's proximity
+    writes nodata beyond MAXDIST too).
+
+    Returns exploded cells ``(px, py, alloc, d2)`` — ``alloc`` is the
+    nearest target's pixel value, ``d2`` the exact squared distance.
+    """
+    ring = int(math.ceil(max_dist / tile))
+    tv = set(float(v) for v in target_values)
+
+    def targets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = np.arange(-ring, ring + 1)
+        dx, dy = np.meshgrid(offs, offs)
+        dx = dx.ravel()
+        dy = dy.ravel()
+        for b in batches:
+            outs = []
+            for _, r in b.iterrows():
+                th, tw = int(r["tile_h"]), int(r["tile_w"])
+                vals = np.asarray(r["pixels"], dtype=np.float64).reshape(th, tw)
+                mask = np.isin(vals, list(tv))
+                if not mask.any():
+                    continue
+                py, px = np.nonzero(mask)
+                gx = px + int(r["tile_x"]) * tile
+                gy = py + int(r["tile_y"]) * tile
+                n, m = len(gx), len(dx)
+                rep = np.repeat(np.arange(n), m)
+                outs.append(pd.DataFrame({
+                    "raster_id": r["raster_id"], "band": r["band"],
+                    "zoom": r["zoom"],
+                    "dst_x": int(r["tile_x"]) + np.tile(dx, n),
+                    "dst_y": int(r["tile_y"]) + np.tile(dy, n),
+                    "gx": gx[rep], "gy": gy[rep],
+                    "tval": vals[py, px][rep],
+                }))
+            yield (pd.concat(outs, ignore_index=True) if outs
+                   else pd.DataFrame({"raster_id": [], "band": [], "zoom": [],
+                                      "dst_x": [], "dst_y": [],
+                                      "gx": [], "gy": [], "tval": []}))
+
+    tgt = tiles.mapInPandas(
+        targets,
+        schema="raster_id string, band int, zoom int, dst_x int, dst_y int, "
+               "gx long, gy long, tval double",
+    )
+
+    CHUNK = 8192
+    md2 = int(math.floor(max_dist * max_dist))
+
+    def per_tile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["px", "py", "alloc", "d2"])
+        r = left.iloc[0]
+        th, tw = int(r["tile_h"]), int(r["tile_w"])
+        x0 = int(key[3]) * tile
+        y0 = int(key[4]) * tile
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = (ii + x0).ravel().astype(np.int64)
+        gy = (jj + y0).ravel().astype(np.int64)
+        best = np.full(th * tw, np.iinfo(np.int64).max, dtype=np.int64)
+        best_val = np.full(th * tw, np.nan)
+        tx = right["gx"].to_numpy(np.int64)
+        ty = right["gy"].to_numpy(np.int64)
+        tval = right["tval"].to_numpy(np.float64)
+        for c0 in range(0, len(tx), CHUNK):
+            cx = tx[c0 : c0 + CHUNK]
+            cy = ty[c0 : c0 + CHUNK]
+            if not len(cx):
+                continue
+            d2 = (gx[:, None] - cx[None, :]) ** 2 + (
+                gy[:, None] - cy[None, :]
+            ) ** 2
+            # packed exact argmin key: d2 then (ty, tx) — deterministic
+            k = (d2 << 32) | (cy[None, :] << 16) | cx[None, :]
+            idx = np.argmin(k, axis=1)
+            kmin = k[np.arange(len(gx)), idx]
+            take = kmin < best
+            best = np.where(take, kmin, best)
+            best_val = np.where(take, tval[c0 : c0 + CHUNK][idx], best_val)
+        d2b = best >> 32
+        hit = d2b <= md2
+        return pd.DataFrame({
+            "px": gx, "py": gy,
+            "alloc": np.where(hit, best_val, -1.0),
+            "d2": np.where(hit, d2b, -1).astype(np.int64),
+        })
+
+    out = (
+        tiles.groupBy("raster_id", "band", "zoom", "tile_x", "tile_y")
+        .cogroup(tgt.groupBy("raster_id", "band", "zoom", "dst_x", "dst_y"))
+        .applyInPandas(per_tile,
+                       schema="px long, py long, alloc double, d2 long")
+    )
+    return out
+
+
 def _grid_cost_graph(tiles: DataFrame, tile: int, lo: int, hi: int):
     """Cost raster -> (cells, directed weighted 8-neighbor edge list).
 

@@ -51,3 +51,31 @@ def test_proximity_exact_small(spark):
     # cross-tile influence: pixel in another tile near target (10,12)
     assert got[10, 33] > 0 or got[10, 33] == -1.0  # in-range check below
     assert got[30, 12] == -1.0 or got[30, 12] > 12 - 1  # boundary sanity
+
+
+def test_allocation_exact_brute_force(spark):
+    """Euclidean allocation vs a brute-force argmin with the same
+    (d2, ty, tx) tie-break, including an exact-tie pixel."""
+    import pandas as pd
+    arr = np.zeros((64, 64))
+    arr[10, 12] = 5.0   # value 5
+    arr[10, 20] = 7.0   # value 7 — pixel (10, 16) ties at d2=16
+    arr[40, 50] = 9.0
+    rows = RS.tiles_from_array("p", arr, (0, 1, 0, 64, 0, -1), tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    out = PX.allocation(tiles, [5.0, 7.0, 9.0], max_dist=12.0, tile=32)
+    got = {(r["px"], r["py"]): (r["alloc"], r["d2"]) for r in out.collect()}
+    assert len(got) == 64 * 64
+
+    tgts = [(12, 10, 5.0), (20, 10, 7.0), (50, 40, 9.0)]
+    for py in range(64):
+        for px in range(64):
+            cand = sorted(
+                ((px - tx) ** 2 + (py - ty) ** 2, ty, tx, tv)
+                for tx, ty, tv in tgts
+            )
+            d2, _, _, tv = cand[0]
+            want = (tv, d2) if d2 <= 144 else (-1.0, -1)
+            assert got[(px, py)] == want, (px, py)
+    # the tie pixel resolves to the smaller (ty, tx) key -> value 5
+    assert got[(16, 10)] == (5.0, 16)
