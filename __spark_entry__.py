@@ -534,6 +534,23 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d8_flow_accumulation(tiles, lo=1, hi=126)
 
 
+def q_fill_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depression filling (Planchon-Darboux eps=0 fixed point; the
+    r.fill.dir hydrology-conditioning step before dem_flowdir/basins)
+    over the 128x128 world4326 window. Spark runs the Barnes-2016
+    parallel priority-flood (tile-local heap solves + halo rounds); the
+    oracle unrolls 80 Jacobi rounds of the same min/max lattice update
+    (fixpoint at 73 on this surface). W is min/max lattice math only —
+    every output value is an input z value, so equality is exact."""
+    from lib_gdal_spark.operators.fillsinks import fill_sinks
+
+    tiles = RS.fixture_rasters(spark).where(
+        (F.col("raster_id") == "world4326")
+        & (F.col("tile_x") < 2) & (F.col("tile_y") < 2))
+    return fill_sinks(tiles, tile=64).select(
+        "px", "py", F.col("fill").cast("long").alias("fill"))
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from (32,32)+3 over a deterministic 64x64 DEM with a
     60-unit wall at x=40 (gdal_viewshed analog; beyond-reference —
@@ -7077,6 +7094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_basins": q_dem_basins,
         "basin_zonal": q_basin_zonal,
         "flow_accumulation": q_flow_accumulation,
+        "fill_sinks": q_fill_sinks,
         "strahler_order": q_strahler_order,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
@@ -14143,6 +14161,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.px, p.py, CAST(coalesce(a.n, 0) AS BIGINT) AS acc
         FROM pix p LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
     """
+
+    # fill_sinks: 80 unrolled Jacobi rounds of the Planchon-Darboux
+    # min/max update (fixpoint at round 73 on this window — margin 7);
+    # lattice ops only, so values match the priority-flood bit-for-bit.
+    _fs_parts = [
+        """fsg AS MATERIALIZED (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 CAST(y.py * 128 + x.px AS BIGINT) AS id,
+                 trunc((sin(x.px * 0.19) + cos(y.py * 0.13)) * 60.0
+                       + 128.0) AS z,
+                 (x.px = 0 OR x.px = 127 OR y.py = 0 OR y.py = 127) AS brd
+          FROM generate_series(0, 127) x(px)
+          CROSS JOIN generate_series(0, 127) y(py)
+        )""",
+        """fsnb AS MATERIALIZED (
+          SELECT g.id, n.id AS nid
+          FROM fsg g JOIN fsg n
+            ON n.px BETWEEN g.px - 1 AND g.px + 1
+           AND n.py BETWEEN g.py - 1 AND g.py + 1
+           AND (n.px <> g.px OR n.py <> g.py)
+        )""",
+        """fsw0 AS MATERIALIZED (
+          SELECT id, CASE WHEN brd THEN z ELSE 1e30 END AS w FROM fsg
+        )""",
+    ]
+    for _i in range(80):
+        _fs_parts.append(
+            f"""fsw{_i + 1} AS MATERIALIZED (
+              SELECT g.id,
+                     CASE WHEN g.brd THEN g.z
+                          ELSE greatest(g.z, min(p.w)) END AS w
+              FROM fsg g
+              JOIN fsnb nb ON nb.id = g.id
+              JOIN fsw{_i} p ON p.id = nb.nid
+              GROUP BY g.id, g.z, g.brd
+            )""")
+    sqls["fill_sinks"] = (
+        "WITH " + ",\n".join(_fs_parts)
+        + """
+        SELECT g.px, g.py, CAST(w.w AS BIGINT) AS fill
+        FROM fsg g JOIN fsw80 w ON w.id = g.id"""
+    )
 
     sqls["translate_auto"] = """
         SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
