@@ -534,6 +534,19 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d8_flow_accumulation(tiles, lo=1, hi=126)
 
 
+def q_dem_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index (Beven & Kirkby 1979) over world4326:
+    ln((flow_acc + 1) / max(tan(Horn slope), 0.001)) — pure composition
+    of the flow-accumulation jump table and the slope halo kernel, one
+    JVM-side projection on top; the oracle composes the identical
+    recursive-CTE walk and Horn window expression."""
+    from lib_gdal_spark.operators.dem import dem_twi
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_twi(tiles, flow_lo=1, flow_hi=126)
+    return out.select("px", "py", F.round("twi", 6).alias("twi"))
+
+
 def q_fill_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depression filling (Planchon-Darboux eps=0 fixed point; the
     r.fill.dir hydrology-conditioning step before dem_flowdir/basins)
@@ -7095,6 +7108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_zonal": q_basin_zonal,
         "flow_accumulation": q_flow_accumulation,
         "fill_sinks": q_fill_sinks,
+        "dem_twi": q_dem_twi,
         "strahler_order": q_strahler_order,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
@@ -14160,6 +14174,61 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.px, p.py, CAST(coalesce(a.n, 0) AS BIGINT) AS acc
         FROM pix p LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
+    """
+
+    # dem_twi: the flow-accumulation walk composed with the Horn slope
+    # window — ln((acc + 1) / max(tan(slope), 0.001)), op-for-op.
+    sqls["dem_twi"] = f"""
+        WITH RECURSIVE pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 126) x(px)
+          CROSS JOIN generate_series(1, 126) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+            {_bwin}
+          FROM pix
+        ),
+        fd AS (
+          SELECT px, py,
+            CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END
+                 AS BIGINT) AS code
+          FROM win
+        ),
+        tgt AS (
+          SELECT px, py, px + {_bdx} AS tx, py + {_bdy} AS ty FROM fd
+        ),
+        edges AS MATERIALIZED (
+          SELECT py * 65536 + px AS src, ty * 65536 + tx AS dst
+          FROM tgt
+          WHERE (tx <> px OR ty <> py)
+            AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
+        ),
+        walk AS (
+          SELECT src, dst FROM edges
+          UNION ALL
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        ),
+        acc AS (
+          SELECT dst, count(*) AS n FROM walk GROUP BY dst
+        ),
+        slope AS (
+          SELECT px, py,
+            degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 1.0)) AS sl
+          FROM (
+            SELECT px, py,
+              ((c + 2.0 * f + i) - (a + 2.0 * d + g))
+                / (8.0 * 1.40625) AS dzdx,
+              ((g + 2.0 * h + i) - (a + 2.0 * b + c))
+                / (8.0 * -0.703125) AS dzdy
+            FROM win)
+        )
+        SELECT p.px, p.py,
+               round(ln((coalesce(a.n, 0) + 1.0)
+                        / greatest(tan(radians(s.sl)), 0.001)), 6) AS twi
+        FROM pix p
+        LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
+        JOIN slope s ON s.px = p.px AND s.py = p.py
     """
 
     # fill_sinks: 80 unrolled Jacobi rounds of the Planchon-Darboux

@@ -894,3 +894,49 @@ def strahler_order(tiles: DataFrame, tile: int = 64,
             f"strahler_order did not converge in {max_rounds} rounds")
     return ids.join(resolved.withColumnRenamed("ord", "strahler"), "id") \
               .select("px", "py", "strahler")
+
+
+def dem_twi(tiles: DataFrame, tile: int = 64,
+            lo: int = 1, hi: int = 254,
+            flow_lo: int = 1, flow_hi: int = 126,
+            min_tan: float = 0.001) -> DataFrame:
+    """Topographic wetness index (Beven & Kirkby 1979):
+    ``TWI = ln((acc + 1) / max(tan(slope), min_tan))`` per cell — the
+    standard saturation-propensity composite of the two hydrology
+    rasters this module already computes. ``acc + 1`` stands in for the
+    specific catchment area in unit cells (the per-meter scaling is a
+    constant offset in log space); ``min_tan`` clamps flats the way
+    every TWI implementation does (tan 0 would blow up).
+
+    Distributed shape: pure composition — Horn slope (3x3 halo
+    exchange, :func:`dem_op`) joined to D8 flow accumulation
+    (:func:`d8_flow_accumulation`, log-round jump table) on the cell
+    key, then one JVM-side ln/tan projection; no new shuffle beyond
+    the two operands' own. Window [flow_lo, flow_hi]^2 is the flow
+    window (its interior contract is tighter than slope's).
+    """
+    acc = d8_flow_accumulation(tiles, tile=tile, lo=flow_lo, hi=flow_hi)
+    sl = dem_op(tiles, "slope")
+    ex = sl.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "slope_deg"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int"))
+    sl_px = ex.select(
+        px.cast("long").alias("px"), py.cast("long").alias("py"),
+        "slope_deg",
+    ).where(F.col("px").between(flow_lo, flow_hi)
+            & F.col("py").between(flow_lo, flow_hi))
+    return (
+        sl_px.join(acc, ["px", "py"])
+        .select(
+            "px", "py",
+            F.log(
+                (F.col("acc") + F.lit(1.0))
+                / F.greatest(F.tan(F.radians("slope_deg")),
+                             F.lit(float(min_tan)))
+            ).alias("twi"),
+        )
+    )

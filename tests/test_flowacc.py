@@ -79,3 +79,29 @@ def test_rough_terrain_matches_bruteforce(spark):
     assert len(got) == 62 * 62
     for (px, py), a in got.items():
         assert a == want.get((px, py), 0), (px, py, a)
+
+
+def test_twi_composes_acc_and_slope(spark):
+    """dem_twi == ln((acc+1)/max(tan(slope),1e-3)) recomputed from the
+    two component operators independently."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr = np.trunc((np.sin(xx * 0.19) + np.cos(yy * 0.13)) * 60.0 + 128.0)
+    rows = RS.tiles_from_array("t", arr, (0, 1.40625, 0, 64, 0, -0.703125),
+                               tile=32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    got = {(r["px"], r["py"]): r["twi"]
+           for r in D.dem_twi(tiles, tile=32, flow_lo=1, flow_hi=62)
+           .collect()}
+    assert len(got) == 62 * 62
+    acc = _brute(arr, 1, 62)
+    sl = {}
+    out = D.dem_op(tiles, "slope").collect()
+    for r in out:
+        a = np.asarray(r["pixels"]).reshape(r["tile_h"], r["tile_w"])
+        for j in range(r["tile_h"]):
+            for i in range(r["tile_w"]):
+                sl[(r["tile_x"] * 32 + i, r["tile_y"] * 32 + j)] = a[j, i]
+    for (px, py), twi in got.items():
+        want = np.log((acc.get((px, py), 0) + 1.0)
+                      / max(np.tan(np.radians(sl[(px, py)])), 0.001))
+        assert abs(twi - want) < 1e-12, (px, py)
