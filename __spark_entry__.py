@@ -4027,6 +4027,44 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "hub_units", "auth_units")
 
 
+def _link_fixture_edges(spark: SparkSession):
+    """The 300-node functional link graph shared by pagerank/hits/salsa/
+    harmonic (dangling nodes at id % 17 == 0)."""
+    r = spark.range(0, 300).where(F.col("id") % 17 != 0)
+    e1 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 300).alias("v")
+    )
+    e2 = r.select(
+        F.col("id").alias("u"), ((F.col("id") * 13 + 5) % 300).alias("v")
+    )
+    return e1.unionByName(e2)
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled harmonic centrality (Boldi & Vigna 2014) from 8
+    fixed roots on the 300-node functional link graph: one multi-source
+    level-synchronous BFS, reciprocal distances summed as exact
+    scale-div-d integers; oracle = recursive-CTE BFS with the same
+    d < 20 cap (max seed eccentricity is 13)."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.harmonic_centrality(
+        _link_fixture_edges(spark),
+        seeds=[1, 31, 61, 91, 121, 151, 181, 211],
+    ).select("node", "harmonic_units")
+
+
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact SALSA (Lempel & Moran 2001; 4 iterations of the
+    degree-normalized hub/authority walk) on the same functional link
+    graph as pagerank/hits; oracle = the identical floor-division
+    arithmetic unrolled as a CTE chain."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.salsa(_link_fixture_edges(spark)).select(
+        "node", "hub_units", "auth_units")
+
+
 def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearblack (nearblack_lib.cpp): the border-connected near-black
     collar zeroes; the interior near-black blob survives."""
@@ -7251,6 +7289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "dted_cells": q_dted_cells,
         "hits_scores": q_hits,
+        "harmonic_centrality": q_harmonic,
+        "salsa_scores": q_salsa,
         "hgt_cells": q_hgt_cells,
         "hilbert_keys": q_hilbert_keys,
         "gtiff_export": q_gtiff_export,
@@ -13415,6 +13455,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT h4.node, CAST(h4.h AS BIGINT) AS hub_units,
                CAST(a3.a AS BIGINT) AS auth_units
         FROM h4 JOIN a3 USING (node)
+    """)
+
+    # harmonic_centrality: recursive-CTE BFS from the 8 seeds (UNION
+    # distinct bounds the walk at |seeds| x |nodes| x 21 rows despite
+    # cycles), reciprocal distances as exact scale-div-d integers.
+    sqls["harmonic_centrality"] = """
+        WITH RECURSIVE e AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        ),
+        seeds AS (
+          SELECT unnest([1, 31, 61, 91, 121, 151, 181, 211]) AS seed
+        ),
+        bfs AS (
+          SELECT seed, seed AS node, 0 AS d FROM seeds
+          UNION
+          SELECT b.seed, e.v AS node, b.d + 1 AS d
+          FROM bfs b JOIN e ON e.u = b.node
+          WHERE b.d < 20
+        ),
+        md AS (
+          SELECT seed, node, min(d) AS d FROM bfs GROUP BY seed, node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(sum(1000000 // d) AS BIGINT) AS harmonic_units
+        FROM md WHERE d > 0 GROUP BY node
+    """
+
+    # salsa_scores: the same functional graph; 4 unrolled rounds of the
+    # degree-normalized walk with per-node floor division (h div outdeg
+    # forward, a div indeg backward) — identical integer arithmetic.
+    _sa_scale = 10**12
+    _sa_parts = [
+        """e AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        )""",
+        "nodes AS (SELECT DISTINCT u AS node FROM e "
+        "UNION SELECT DISTINCT v AS node FROM e)",
+        "od AS (SELECT u, count(*) AS od FROM e GROUP BY u)",
+        "idg AS (SELECT v, count(*) AS id FROM e GROUP BY v)",
+        f"sh0 AS (SELECT node, CAST({_sa_scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for _i in range(4):
+        _sa_parts += [
+            f"""sa{_i} AS MATERIALIZED (
+              SELECT nodes.node, CAST(coalesce(t.ar, 0) AS BIGINT) AS a
+              FROM nodes LEFT JOIN (
+                SELECT e.v AS node, sum(sh{_i}.h // od.od) AS ar
+                FROM e JOIN sh{_i} ON e.u = sh{_i}.node
+                JOIN od ON od.u = e.u
+                GROUP BY e.v) t USING (node))""",
+            f"""sh{_i + 1} AS MATERIALIZED (
+              SELECT nodes.node, CAST(coalesce(t.hr, 0) AS BIGINT) AS h
+              FROM nodes LEFT JOIN (
+                SELECT e.u AS node, sum(sa{_i}.a // idg.id) AS hr
+                FROM e JOIN sa{_i} ON e.v = sa{_i}.node
+                JOIN idg ON idg.v = e.v
+                GROUP BY e.u) t USING (node))""",
+        ]
+    sqls["salsa_scores"] = (
+        "WITH " + ",\n".join(_sa_parts)
+        + """
+        SELECT sh4.node, sh4.h AS hub_units, sa3.a AS auth_units
+        FROM sh4 JOIN sa3 USING (node)
     """)
 
     # pagerank: the same integer fixed-point power iteration unrolled as

@@ -851,3 +851,119 @@ def spam_mass(edges: DataFrame, seeds: DataFrame, n_iters: int = 4,
         mass.alias("mass_units"),
         F.round(F.when(F.col("pr_units") > 0,
                        mass / F.col("pr_units")), 9).alias("rel_mass"))
+
+
+def harmonic_centrality(edges: DataFrame, seeds: list,
+                        max_dist: int = 20,
+                        scale: int = 10**6) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, the in-variant used for
+    web-graph ranking) estimated from a fixed SEED SAMPLE — the standard
+    scale path (Eppstein-Wang style sampling): exact all-pairs BFS is
+    quadratic, so production rankings BFS from k sampled roots and sum
+    reciprocal distances. ``H(v) = sum over seeds s of 1/d(s, v)``
+    (unreachable and self terms contribute 0), accumulated as EXACT
+    integers ``scale div d`` so the sum is order-independent and
+    oracle-able (a float 1/d sum is neither).
+
+    Scale shape: one level-synchronous multi-source BFS keyed by
+    (seed, node) — per round ONE equi-join of the frontier with the
+    edge list and a min-combine groupBy; state is |seeds| x |reached|
+    keys-only rows, frontier-only rows join each round. Rounds =
+    max seed eccentricity, capped at ``max_dist`` (distances beyond the
+    cap contribute < scale/max_dist and are dropped — the documented
+    truncation every sampled-harmonic system applies). Lineage is
+    truncated per round.
+    """
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v")).localCheckpoint()
+    from lib_gdal_spark.session import local_df
+    dist = local_df(
+        e.sparkSession, [(int(s), int(s), 0) for s in seeds],
+        "seed long, node long, d int",
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, max_dist + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"), F.lit(r).alias("d"))
+            .distinct()
+            .join(dist.select(F.col("seed").alias("s2"),
+                              F.col("node").alias("n2")),
+                  (F.col("seed") == F.col("s2"))
+                  & (F.col("node") == F.col("n2")), "left_anti")
+            .localCheckpoint()
+        )
+        if cand.isEmpty():
+            break
+        dist = dist.unionByName(cand).localCheckpoint()
+        frontier = cand
+    return (
+        dist.where(F.col("d") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.expr(f"{int(scale)} div d")).alias("harmonic_units"))
+        .select("node", "harmonic_units",
+                F.round(F.col("harmonic_units") / scale, 9).alias("harmonic"))
+    )
+
+
+def salsa(edges: DataFrame, n_iters: int = 4,
+          scale: int = 10**12) -> DataFrame:
+    """SALSA hubs/authorities (Lempel & Moran 2001; TKDE) — the
+    degree-normalized variant of HITS that resists tightly-knit-community
+    inflation: the authority walk steps BACKWARD over a uniformly random
+    in-edge then FORWARD over a random out-edge, so each edge carries
+    ``1/deg`` of its endpoint's mass instead of the full score.
+
+    EXACT integer arithmetic like :func:`pagerank` / :func:`hits`:
+    scores live in ``scale`` fixed-point units; per half-step each node
+    splits its mass by integer division over its degree
+    (``h div outdeg`` forward, ``a div indeg`` backward), and sums are
+    int64 — order-independent, bit-identical at any parallelism, and
+    spellable as an unrolled CTE chain. Mass lost to floor division
+    stays lost (deterministic), so scores drift below ``scale`` total
+    by < n_edges per round — irrelevant to ranking and exactly mirrored
+    by the oracle.
+
+    Per iteration: ``a'(v) = sum over in-edges (u,v) of h(u) div od(u)``
+    then ``h'(u) = sum over out-edges (u,v) of a'(v) div id(v)`` — two
+    keyed shuffles per round, map-side combinable, lineage truncated
+    per round; degree tables are computed once.
+    """
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v")).localCheckpoint()
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node"))).distinct())
+    od = e.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy("v").agg(F.count(F.lit(1)).alias("id"))
+    h = nodes.withColumn("h", F.lit(int(scale)).cast("long")) \
+        .localCheckpoint()
+    a = None
+    for _ in range(n_iters):
+        contrib = (
+            h.join(od, h["node"] == od["u"])
+            .select(F.col("node").alias("cu"), F.expr("h div od").alias("c"))
+        )
+        a = (
+            nodes.join(
+                e.join(contrib, e["u"] == F.col("cu"))
+                .groupBy("v").agg(F.sum("c").alias("ar")),
+                nodes["node"] == F.col("v"), "left")
+            .select("node", F.coalesce("ar", F.lit(0)).alias("a"))
+            .localCheckpoint()
+        )
+        back = (
+            a.join(idg, a["node"] == idg["v"])
+            .select(F.col("node").alias("cv"), F.expr("a div id").alias("c"))
+        )
+        h = (
+            nodes.join(
+                e.join(back, e["v"] == F.col("cv"))
+                .groupBy("u").agg(F.sum("c").alias("hr")),
+                nodes["node"] == F.col("u"), "left")
+            .select("node", F.coalesce("hr", F.lit(0)).alias("h"))
+            .localCheckpoint()
+        )
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub_units"), F.col("a").alias("auth_units"),
+        F.round(F.col("h") / scale, 9).alias("hub"),
+        F.round(F.col("a") / scale, 9).alias("auth"))

@@ -94,3 +94,52 @@ def test_pagerank_dangling_redistribution(spark):
     total = sum(out.values())
     assert 10**12 - total < 100           # dangling mass is recycled
     assert out[2] > out[1]                # 2 receives 1's full outflow
+
+
+def test_harmonic_centrality_matches_bfs(spark):
+    """Path graph 0->1->2->3 plus a shortcut 0->3: known distances."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "u long, v long")
+    got = {r["node"]: r["harmonic_units"]
+           for r in GG.harmonic_centrality(edges, seeds=[0, 1]).collect()}
+    S = 10**6
+    # from 0: d(1)=1 d(2)=2 d(3)=1; from 1: d(2)=1 d(3)=2
+    assert got == {
+        1: S // 1,
+        2: S // 2 + S // 1,
+        3: S // 1 + S // 2,
+    }
+
+
+def test_harmonic_unreachable_contributes_zero(spark):
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "u long, v long")
+    got = {r["node"]: r["harmonic_units"]
+           for r in GG.harmonic_centrality(edges, seeds=[0]).collect()}
+    assert got == {1: 10**6}  # 2, 3 unreachable from 0; seed itself d=0
+
+
+def test_salsa_degree_normalization(spark):
+    """Star u0 -> {v1, v2} vs the parallel pair u1 -> v1, u2 -> v2:
+    after one authority step every contribution is h div outdeg, so the
+    star's children each get half of u0's mass while v1 also gets all
+    of u1's. Verified against a tiny numpy-free manual unroll."""
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10)], "u long, v long")
+    out = {r["node"]: (r["hub_units"], r["auth_units"])
+           for r in GG.salsa(edges, n_iters=1, scale=100).collect()}
+    # h0 = 100 everywhere. a(10) = 100 div 2 + 100 div 1 = 150,
+    # a(11) = 50. Then id(10)=2, id(11)=1:
+    # h(0) = a(10) div 2 + a(11) div 1 = 75 + 50 = 125
+    # h(1) = a(10) div 2 = 75; sinks have no out-edges -> hub 0.
+    assert out[10] == (0, 150)
+    assert out[11] == (0, 50)
+    assert out[0] == (125, 0)
+    assert out[1] == (75, 0)
+
+
+def test_salsa_partition_invariance(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)], "u long, v long")
+    a = GG.salsa(edges).collect()
+    b = GG.salsa(edges.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
