@@ -2766,6 +2766,26 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (Beyer et al. SIGMOD 2007): token-vocabulary
+    distinct / union / intersection / Jaccard estimates between sources
+    src0 and src1 from k=16 k-minimum-values synopses (k below the
+    fixture's ~31-token vocabulary so the order-statistic estimator
+    genuinely runs, not the exact small-set path), next to the
+    exact answers. Hash = splitmix64(FNV-1a) — both stages spelled in
+    the DuckDB oracle, every rank and estimate bit-exact."""
+    from lib_gdal_spark.operators import sketch as SK
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    two = d.where(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(toks).alias("v"))
+    return SK.kmv_two_set_stats(two, "v", "source", "src0", "src1", k=16)
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics without a global sort: iterative histogram
     refinement (driver sees only <=4096-row histograms per pass; matches
@@ -7219,6 +7239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
+        "kmv_distinct": q_kmv_distinct,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13414,6 +13435,78 @@ def oracle_sql() -> dict[str, str]:
                           THEN {_hm}.0 * ln({_hm}.0 / ({_hm} - V))
                           ELSE raw END, 6) AS hll_estimate
         FROM e
+    """
+
+    # kmv_distinct: hash = splitmix64(FNV-1a) — _mix_sql composed over
+    # _FNV; ranks are pure-integer; the estimator (k-1)*2^64/kth is the
+    # shared repr() double literal over ONE IEEE division, so every
+    # estimate matches Spark bit-for-bit before the 6-dp round.
+    _kmv_k = 16
+    _kmv_num = repr(float((_kmv_k - 1) * (1 << 64)))
+    _kmv_hash = _mix_sql("(" + _FNV.format(g="tok") + ")", 55)
+    _kmv_est = (
+        f"CASE WHEN k_used < {_kmv_k} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE {_kmv_num} / CAST(kth AS DOUBLE) END"
+    )
+    sqls["kmv_distinct"] = rf"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '')) AS tok
+          FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        h AS (SELECT DISTINCT source, {_kmv_hash} AS hv FROM toks),
+        ska AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+            FROM (SELECT DISTINCT hv FROM h WHERE source = 'src0')
+          ) WHERE rk <= {_kmv_k}),
+        skb AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+            FROM (SELECT DISTINCT hv FROM h WHERE source = 'src1')
+          ) WHERE rk <= {_kmv_k}),
+        sku AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+            FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+          ) WHERE rk <= {_kmv_k}),
+        sa AS (SELECT count(*) AS k_used, max(hv) AS kth FROM ska),
+        sb AS (SELECT count(*) AS k_used, max(hv) AS kth FROM skb),
+        su AS (SELECT count(*) AS k_used, max(hv) AS kth FROM sku),
+        ov AS (SELECT count(*) AS overlap FROM sku
+               WHERE hv IN (SELECT hv FROM ska)
+                 AND hv IN (SELECT hv FROM skb)),
+        ex AS (SELECT sum(ia) AS exact_a, sum(ib) AS exact_b,
+                      count(*) AS exact_u,
+                      sum(ia * ib) AS exact_inter
+               FROM (SELECT tok,
+                       max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                         AS ia,
+                       max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                         AS ib
+                     FROM toks GROUP BY tok))
+        SELECT CAST({_kmv_k} AS INT) AS k,
+               CAST(sa.k_used AS BIGINT) AS ka,
+               CAST(sa.kth AS DOUBLE) AS kth_a,
+               round({_kmv_est.replace("k_used", "sa.k_used")
+                               .replace("kth", "sa.kth")}, 6) AS est_a,
+               CAST(exact_a AS BIGINT) AS exact_a,
+               CAST(sb.k_used AS BIGINT) AS kb,
+               CAST(sb.kth AS DOUBLE) AS kth_b,
+               round({_kmv_est.replace("k_used", "sb.k_used")
+                               .replace("kth", "sb.kth")}, 6) AS est_b,
+               CAST(exact_b AS BIGINT) AS exact_b,
+               CAST(su.k_used AS BIGINT) AS ku,
+               CAST(su.kth AS DOUBLE) AS kth_u,
+               round({_kmv_est.replace("k_used", "su.k_used")
+                               .replace("kth", "su.kth")}, 6) AS est_u,
+               CAST(exact_u AS BIGINT) AS exact_u,
+               CAST(overlap AS BIGINT) AS overlap,
+               round(CAST(overlap AS DOUBLE) / {float(_kmv_k)!r}, 6)
+                 AS jaccard_est,
+               round((CAST(overlap AS DOUBLE) / {float(_kmv_k)!r})
+                 * ({_kmv_est.replace("k_used", "su.k_used")
+                              .replace("kth", "su.kth")}), 6) AS est_inter,
+               CAST(exact_inter AS BIGINT) AS exact_inter
+        FROM sa, sb, su, ov, ex
     """
 
     # hits: same unrolled-integer-CTE technique as pagerank below.

@@ -210,3 +210,190 @@ def hll_distinct(
         F.col("__V").cast("long").alias("n_registers_set"),
         F.round(est, 6).alias("hll_estimate"),
     )
+
+
+def kmv_hash_batch(vals: list[str], stream: int = 55,
+                   seed: int = 42) -> np.ndarray:
+    """FNV-1a 64 then the splitmix64 finalizer (sources/pages._mix):
+    FNV alone clusters order statistics on short similar strings (its
+    k-th min can sit 4x low), and KMV is exactly an order-statistic
+    estimator — the finalizer restores uniformity. Both stages are
+    already spelled in DuckDB SQL elsewhere in the repo (_FNV, _mix_sql),
+    so composition stays engine-exact."""
+    from lib_gdal_spark.sources.pages import _mix
+
+    return _mix(fnv1a64_batch(vals), stream, seed)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_col: str = "g",
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002 /
+    Beyer et al. SIGMOD 2007, the "KMV synopsis") of a string column,
+    one sketch per ``group_col`` value: the ``k`` smallest DISTINCT
+    splitmix64(FNV-1a) hash values, returned as
+    ``(group, hv decimal(20,0), rk int)`` with rk = 1..k ascending.
+
+    Unlike HLL (one register array, distinct COUNT only), a KMV sketch
+    supports set operations — the k smallest hashes of ``A UNION B`` are
+    computable from the two sketches alone, which gives intersection /
+    Jaccard estimates between corpus slices without ever joining them.
+
+    Deterministic by construction: hashes are exact integers carried as
+    ``decimal(20,0)`` in UNSIGNED order (no float anywhere), so the
+    DuckDB oracle reproduces every rank bit-for-bit.
+
+    Scale shape: each Arrow partition reduces to at most ``k`` distinct
+    hashes per group inside the Python worker (np.unique + slice), so
+    the shuffle carries <= n_partitions * k rows per group, never
+    values; the global merge is one distinct + one per-group rank window
+    over that bounded set — the classic mergeable-synopsis contract.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator uses the k-th min)")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for g, vals in pdf.groupby(group_col, sort=False)[col]:
+                hv = np.unique(kmv_hash_batch(
+                    vals.dropna().astype(str).tolist()))
+                prev = best.get(g)
+                if prev is not None:
+                    hv = np.union1d(prev, hv)
+                best[g] = hv[:k]
+        for g, hv in best.items():
+            yield pd.DataFrame({
+                group_col: np.full(len(hv), g, dtype=object),
+                "hv": [str(int(x)) for x in hv],
+            })
+
+    cand = df.select(group_col, col).mapInPandas(
+        partial, f"{group_col} string, hv string"
+    ).select(group_col, F.col("hv").cast("decimal(20,0)").alias("hv"))
+    from pyspark.sql import Window
+    win = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        cand.distinct()
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+    )
+
+
+# (k-1) * 2^64 as a shared decimal literal: repr() round-trips the exact
+# double, so Spark and DuckDB parse the *same* rounded constant and the
+# single IEEE division below is bit-identical in both engines.
+def _kmv_numerator(k: int) -> float:
+    return float((k - 1) * (1 << 64))
+
+
+def kmv_estimate_expr(k: int) -> "F.Column":
+    """Distinct-count estimate from an aggregated sketch row set:
+    expects columns ``k_used`` (count of sketch rows) and ``kth``
+    (max hv = the k_used-th smallest). Unbiased KMV estimator
+    (k-1) * 2^64 / h_(k); when the sketch saw fewer than k distinct
+    values it IS the distinct set, so the estimate is exact."""
+    return F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(_kmv_numerator(k)) / F.col("kth").cast("double")
+    )
+
+
+def kmv_two_set_stats(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct / union / intersection / Jaccard estimates between two
+    corpus slices from their KMV sketches, next to the exact answers
+    (the exact side is the small-scale verification; at 100 TB only the
+    sketch side runs). ONE wide row:
+
+    (k, ka, kth_a, est_a, exact_a, kb, kth_b, est_b, exact_b,
+     ku, kth_u, est_u, exact_u, overlap, jaccard_est, est_inter,
+     exact_inter)
+
+    Union sketch = k smallest of the union of the two sketches' hash
+    sets (provably the KMV sketch of A UNION B); ``overlap`` counts
+    union-sketch hashes present in BOTH input sketches; Jaccard ~=
+    overlap/k (Beyer et al. 2007 Thm 3); intersection ~= Jaccard * |A u B|.
+
+    Scale: everything after the two bounded sketches is driver-trivial
+    (<= 2k rows); the exact sides are keys-only distinct aggregates.
+    """
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .otherwise(F.lit("b")).alias("g"),
+        F.col(col).alias("v"),
+    )
+    sk = kmv_sketch(two, "v", k=k, group_col="g").cache()
+    a = sk.where(F.col("g") == "a").select("hv")
+    b = sk.where(F.col("g") == "b").select("hv")
+
+    def topstats(hvs: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Window
+        win = Window.orderBy("hv")
+        t = (hvs.distinct().withColumn("rk", F.row_number().over(win))
+             .where(F.col("rk") <= k))
+        return t.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("hv").alias("kth"),
+        ).select(
+            F.col("k_used").alias(f"k{name}"),
+            F.col("kth").cast("double").alias(f"kth_{name}"),
+            F.round(kmv_estimate_expr(k), 6).alias(f"est_{name}"),
+        )
+
+    # union sketch: k smallest of the union of the two sketches
+    u_hv = a.union(b)
+    from pyspark.sql import Window
+    uwin = Window.orderBy("hv")
+    u_sk = (u_hv.distinct().withColumn("rk", F.row_number().over(uwin))
+            .where(F.col("rk") <= k).cache())
+    overlap = (
+        u_sk.join(a.withColumnRenamed("hv", "hv_a"),
+                  u_sk["hv"] == F.col("hv_a"), "left_semi")
+        .join(b.withColumnRenamed("hv", "hv_b"),
+              F.col("hv") == F.col("hv_b"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    u_stats = u_sk.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth"),
+    ).select(
+        F.col("k_used").alias("ku"),
+        F.col("kth").cast("double").alias("kth_u"),
+        kmv_estimate_expr(k).alias("__est_u_raw"),
+    )
+
+    exact = two.groupBy("v").agg(
+        F.max(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ia"),
+        F.max(F.when(F.col("g") == "b", 1).otherwise(0)).alias("ib"),
+    ).agg(
+        F.sum("ia").alias("exact_a"),
+        F.sum("ib").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_u"),
+        F.sum(F.col("ia") * F.col("ib")).alias("exact_inter"),
+    )
+
+    row = (
+        topstats(a, "a").crossJoin(topstats(b, "b"))
+        .crossJoin(u_stats).crossJoin(overlap).crossJoin(exact)
+    )
+    jac = F.col("overlap").cast("double") / F.lit(float(k))
+    return row.select(
+        F.lit(k).alias("k"),
+        "ka", "kth_a", "est_a", "exact_a",
+        "kb", "kth_b", "est_b", "exact_b",
+        "ku", "kth_u", F.round("__est_u_raw", 6).alias("est_u"), "exact_u",
+        "overlap",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * F.col("__est_u_raw"), 6).alias("est_inter"),
+        "exact_inter",
+    )
