@@ -2786,6 +2786,24 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_two_set_stats(two, "v", "source", "src0", "src1", k=16)
 
 
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (Borzsony et al. ICDE 2001) document
+    selection: MAXIMIZE token count, MINIMIZE char length (information
+    density) — every doc not dominated on both criteria. Combinable
+    local-skyline partials + one guarded merge task; the oracle is the
+    literal NOT EXISTS dominance definition."""
+    from lib_gdal_spark.operators.skyline import skyline
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    ))
+    dd = d.select("doc_id", toks.alias("n_tokens"), F.col("n_chars"))
+    return skyline(dd, [("n_tokens", "max"), ("n_chars", "min")],
+                   keep_cols=["doc_id"])
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics without a global sort: iterative histogram
     refinement (driver sees only <=4096-row histograms per pass; matches
@@ -7240,6 +7258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "kmv_distinct": q_kmv_distinct,
+        "skyline_docs": q_skyline_docs,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13507,6 +13526,26 @@ def oracle_sql() -> dict[str, str]:
                               .replace("kth", "su.kth")}), 6) AS est_inter,
                CAST(exact_inter AS BIGINT) AS exact_inter
         FROM sa, sb, su, ov, ex
+    """
+
+    # skyline_docs: the literal ICDE-2001 dominance definition as a
+    # NOT EXISTS anti-join — integer comparisons only, order-free.
+    sqls["skyline_docs"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\s+'), x -> x <> '')) AS INT)
+                   AS n_tokens,
+                 n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, CAST(n_chars AS BIGINT) AS n_chars
+        FROM t a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t b
+          WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
+            AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)
+        )
     """
 
     # hits: same unrolled-integer-CTE technique as pagerank below.
