@@ -2804,6 +2804,22 @@ def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    keep_cols=["doc_id"])
 
 
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped n-gram precision (BLEU p_1/p_2, Papineni et al. ACL 2002)
+    between each document and its successor: den/hits/p per order, the
+    sqrt(p1*p2) geometric mean (sqrt is IEEE correctly-rounded, so it is
+    engine-exact where exp/log would not be), and the brevity length
+    ratio. All counts integer; both engines do the identical divisions."""
+    from lib_gdal_spark.operators.textops import ngram_precision_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("pair_id"),
+                 F.col("text").alias("cand"))
+    b = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                 F.col("text").alias("ref"))
+    return ngram_precision_pairs(a.join(b, "pair_id"))
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics without a global sort: iterative histogram
     refinement (driver sees only <=4096-row histograms per pass; matches
@@ -7259,6 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kmv_distinct": q_kmv_distinct,
         "skyline_docs": q_skyline_docs,
+        "bleu_pairs": q_bleu_pairs,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13546,6 +13563,67 @@ def oracle_sql() -> dict[str, str]:
           WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
             AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)
         )
+    """
+
+    # bleu_pairs: clipped-precision counts are pure integers; p_n, the
+    # sqrt geometric mean, and the brevity ratio are the same IEEE ops
+    # in the same order as the Spark expressions.
+    sqls["bleu_pairs"] = r"""
+        WITH pairs AS (
+          SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        ),
+        ct AS (SELECT pair_id, list_filter(regexp_split_to_array(
+                 trim(lower(cand)), '\s+'), x -> x <> '') AS t FROM pairs),
+        rt AS (SELECT pair_id, list_filter(regexp_split_to_array(
+                 trim(lower(ref)), '\s+'), x -> x <> '') AS t FROM pairs),
+        cc1 AS (SELECT pair_id, gram, count(*) AS c FROM
+                  (SELECT pair_id, unnest(t) AS gram FROM ct)
+                GROUP BY 1, 2),
+        rc1 AS (SELECT pair_id, gram, count(*) AS c FROM
+                  (SELECT pair_id, unnest(t) AS gram FROM rt)
+                GROUP BY 1, 2),
+        a1 AS (SELECT cc1.pair_id, sum(cc1.c) AS den1,
+                      sum(least(cc1.c, coalesce(rc1.c, 0))) AS hits1
+               FROM cc1 LEFT JOIN rc1 USING (pair_id, gram) GROUP BY 1),
+        cc2 AS (SELECT pair_id, gram, count(*) AS c FROM
+                  (SELECT pair_id, unnest(list_transform(
+                     range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                     AS gram FROM ct)
+                GROUP BY 1, 2),
+        rc2 AS (SELECT pair_id, gram, count(*) AS c FROM
+                  (SELECT pair_id, unnest(list_transform(
+                     range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                     AS gram FROM rt)
+                GROUP BY 1, 2),
+        a2 AS (SELECT cc2.pair_id, sum(cc2.c) AS den2,
+                      sum(least(cc2.c, coalesce(rc2.c, 0))) AS hits2
+               FROM cc2 LEFT JOIN rc2 USING (pair_id, gram) GROUP BY 1),
+        j AS (SELECT pairs.pair_id,
+                     coalesce(den1, 0) AS den1, coalesce(hits1, 0) AS hits1,
+                     coalesce(den2, 0) AS den2, coalesce(hits2, 0) AS hits2,
+                     len(ct.t) AS lc, len(rt.t) AS lr
+              FROM pairs
+              LEFT JOIN a1 USING (pair_id) LEFT JOIN a2 USING (pair_id)
+              JOIN ct USING (pair_id) JOIN rt USING (pair_id)),
+        p AS (SELECT *,
+                CASE WHEN den1 = 0 THEN 0.0
+                     ELSE CAST(hits1 AS DOUBLE) / CAST(den1 AS DOUBLE)
+                END AS p1r,
+                CASE WHEN den2 = 0 THEN 0.0
+                     ELSE CAST(hits2 AS DOUBLE) / CAST(den2 AS DOUBLE)
+                END AS p2r
+              FROM j)
+        SELECT pair_id,
+               CAST(den1 AS BIGINT) AS den1, CAST(hits1 AS BIGINT) AS hits1,
+               round(p1r, 6) AS p1,
+               CAST(den2 AS BIGINT) AS den2, CAST(hits2 AS BIGINT) AS hits2,
+               round(p2r, 6) AS p2,
+               round(sqrt(p1r * p2r), 6) AS bleu,
+               round(CASE WHEN lr = 0 THEN 0.0
+                          ELSE CAST(lc AS DOUBLE) / CAST(lr AS DOUBLE)
+                     END, 6) AS brevity
+        FROM p
     """
 
     # hits: same unrolled-integer-CTE technique as pagerank below.
