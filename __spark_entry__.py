@@ -4315,6 +4315,32 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.col("v").alias("v"))
 
 
+def q_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary morphology over the world4326 fixture mask (v >= 128):
+    3x3 erosion, dilation, and opening (= dilate(erode), TWO distributed
+    halo-exchange rounds — stage two's halo strips come from stage one's
+    output tiles, exercising dem_op composition). Interior pixels only;
+    the oracle spells the 9-term least/greatest windows and the 81-term
+    opening directly over the closed-form fixture."""
+    from lib_gdal_spark.operators.dem import dem_op
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    er = dem_op(tiles, "morph_erode", threshold=128.0)
+    di = dem_op(tiles, "morph_dilate", threshold=128.0)
+    op = dem_op(er, "morph_dilate", threshold=0.5)
+    e = _explode_px(er).select(
+        "px", "py", F.col("v").cast("int").alias("eroded"))
+    d = _explode_px(di).select(
+        "px", "py", F.col("v").cast("int").alias("dilated"))
+    o = _explode_px(op).select(
+        "px", "py", F.col("v").cast("int").alias("opened"))
+    return (
+        e.join(d, ["px", "py"]).join(o, ["px", "py"])
+        .where(F.col("px").between(2, 253) & F.col("py").between(2, 253))
+        .select("px", "py", "eroded", "dilated", "opened")
+    )
+
+
 def q_graph_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GNM K-shortest paths (gnmgraph.cpp:233, Yen) on a 4x4 grid DAG with
     closed-form weights; the oracle enumerates every simple path by
@@ -7276,6 +7302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "skyline_docs": q_skyline_docs,
         "bleu_pairs": q_bleu_pairs,
+        "morph_open": q_morph_open,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -14167,6 +14194,33 @@ def oracle_sql() -> dict[str, str]:
                  cost, path
           FROM p WHERE node = 15
         ) WHERE rank <= 3
+    """
+
+    # morph_open: binary mask m(dx,dy) over the closed-form fixture;
+    # erode = least of the 9 masks, dilate = greatest, opening =
+    # greatest over the 9 offsets of each offset's 9-term erosion.
+    def _morph_mask(dx: int, dy: int) -> str:
+        fx = f"(px + {dx})" if dx else "px"
+        fy = f"(py + {dy})" if dy else "py"
+        return (f"CASE WHEN trunc((sin({fx} * 0.19) + cos({fy} * 0.13))"
+                f" * 60.0 + 128.0) >= 128.0 THEN 1 ELSE 0 END")
+
+    _offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    _mo_erode = "least(" + ", ".join(
+        _morph_mask(dx, dy) for dx, dy in _offs) + ")"
+    _mo_dilate = "greatest(" + ", ".join(
+        _morph_mask(dx, dy) for dx, dy in _offs) + ")"
+    _mo_open = "greatest(" + ", ".join(
+        "least(" + ", ".join(
+            _morph_mask(ox + ex, oy + ey) for ex, ey in _offs) + ")"
+        for ox, oy in _offs) + ")"
+    sqls["morph_open"] = f"""
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST({_mo_erode} AS INT) AS eroded,
+               CAST({_mo_dilate} AS INT) AS dilated,
+               CAST({_mo_open} AS INT) AS opened
+        FROM generate_series(2, 253) x(px)
+        CROSS JOIN generate_series(2, 253) y(py)
     """
 
     sqls["dem_aspect"] = _dem_oracle(

@@ -342,6 +342,21 @@ def curvature_total_kernel(arr, ewres, nsres):
     return -2.0 * (dd + ee)
 
 
+def morph_erode_kernel(arr, ewres, nsres, threshold=0.5):
+    """Binary 3x3 erosion: 1 where EVERY neighbor (8-conn + center) has
+    value >= threshold. NaN (the outside-raster halo) is background, so
+    the mask erodes inward at raster edges — the standard convention."""
+    m = np.where(np.isnan(arr), 0.0, (arr >= threshold).astype(np.float64))
+    return np.stack(_hs(m)).min(axis=0)
+
+
+def morph_dilate_kernel(arr, ewres, nsres, threshold=0.5):
+    """Binary 3x3 dilation: 1 where ANY neighbor has value >= threshold;
+    NaN halo counts as background (cannot seed growth from outside)."""
+    m = np.where(np.isnan(arr), 0.0, (arr >= threshold).astype(np.float64))
+    return np.stack(_hs(m)).max(axis=0)
+
+
 def flowdir_kernel(arr, ewres, nsres):
     """ESRI D8 flow direction (Jenson & Domingue 1988; the hydrology
     companion of the gdaldem family — the reference stops at slope/
@@ -378,6 +393,8 @@ KERNELS = {
     "tpi": tpi_kernel,
     "roughness": roughness_kernel,
     "flowdir": flowdir_kernel,
+    "morph_erode": morph_erode_kernel,
+    "morph_dilate": morph_dilate_kernel,
     "curv_profile": curvature_profile_kernel,
     "curv_plan": curvature_plan_kernel,
     "curv_total": curvature_total_kernel,
@@ -940,3 +957,30 @@ def dem_twi(tiles: DataFrame, tile: int = 64,
             ).alias("twi"),
         )
     )
+
+
+def morphology(tiles: DataFrame, op: str, threshold: float = 0.5) -> DataFrame:
+    """Binary mathematical morphology over the tile table: ``erode`` /
+    ``dilate`` (one 3x3 halo-exchange round) and their compositions
+    ``open`` = dilate(erode) / ``close`` = erode(dilate) (two rounds —
+    each stage is a full dem_op, so tiles stay distributed and only
+    1-pixel strips move between rounds). The input is binarized at
+    ``threshold``; stage two re-binarizes at 0.5 since stage one's
+    output is already a 0/1 raster. Output values are 0.0 / 1.0.
+
+    Opening removes speckle smaller than the structuring element,
+    closing fills pin-holes — the standard mask-cleanup pair for
+    rasterized footprints / validity masks (cheaper than sieve when the
+    size criterion is 'fits the 3x3 element', not an area threshold).
+    """
+    if op == "erode":
+        return dem_op(tiles, "morph_erode", threshold=threshold)
+    if op == "dilate":
+        return dem_op(tiles, "morph_dilate", threshold=threshold)
+    if op == "open":
+        er = dem_op(tiles, "morph_erode", threshold=threshold)
+        return dem_op(er, "morph_dilate", threshold=0.5)
+    if op == "close":
+        di = dem_op(tiles, "morph_dilate", threshold=threshold)
+        return dem_op(di, "morph_erode", threshold=0.5)
+    raise ValueError(f"unknown morphology op {op!r}")
