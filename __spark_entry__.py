@@ -4341,6 +4341,25 @@ def q_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster cross-tabulation (GRASS r.cross / confusion-matrix
+    primitive): world4326 banded into 8 zones (v//32) crossed with
+    gradient256 banded into 4 classes (v//64) — per-pair pixel count
+    and ground area (zone raster's |gt1*gt5| = 2025/2048, dyadic so the
+    area sum is exact). Co-partitioned tile join + NumPy unique per
+    tile; only sparse partials shuffle."""
+    from lib_gdal_spark.operators.stats import zonal_crosstab
+
+    rast = RS.fixture_rasters(spark)
+    zt = rast.where(F.col("raster_id") == "world4326")
+    ct = rast.where(F.col("raster_id") == "gradient256")
+    out = zonal_crosstab(zt, ct,
+                         zone_fn=lambda a: a // 32.0,
+                         class_fn=lambda a: a // 64.0)
+    return out.select("zone", "cls", "n",
+                      F.round("area", 6).alias("area"))
+
+
 def q_graph_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GNM K-shortest paths (gnmgraph.cpp:233, Yen) on a 4x4 grid DAG with
     closed-form weights; the oracle enumerates every simple path by
@@ -7303,6 +7322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_docs": q_skyline_docs,
         "bleu_pairs": q_bleu_pairs,
         "morph_open": q_morph_open,
+        "zonal_crosstab": q_zonal_crosstab,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -14221,6 +14241,25 @@ def oracle_sql() -> dict[str, str]:
                CAST({_mo_open} AS INT) AS opened
         FROM generate_series(2, 253) x(px)
         CROSS JOIN generate_series(2, 253) y(py)
+    """
+
+    # zonal_crosstab: both fixtures in closed form; pixel area is the
+    # dyadic 2025/2048, so count * area is exact before the round.
+    sqls["zonal_crosstab"] = """
+        WITH pix AS (
+          SELECT x.px AS px, y.py AS py
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        v AS (
+          SELECT CAST(trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0
+                   + 128.0) AS BIGINT) // 32 AS zone,
+                 ((px + py) // 2) // 64 AS cls
+          FROM pix
+        )
+        SELECT zone, cls, CAST(count(*) AS BIGINT) AS n,
+               round(count(*) * 0.98876953125, 6) AS area
+        FROM v GROUP BY 1, 2
     """
 
     sqls["dem_aspect"] = _dem_oracle(

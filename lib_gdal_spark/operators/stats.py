@@ -267,3 +267,63 @@ def classify_quantiles(tiles: DataFrame, k: int = 5,
     for b in breaks:
         cls = cls + (F.col("v") > F.lit(b)).cast("int")
     return ex.select("px", "py", "v", cls.cast("int").alias("cls"))
+
+
+def zonal_crosstab(
+    zone_tiles: DataFrame,
+    class_tiles: DataFrame,
+    zone_fn=None,
+    class_fn=None,
+) -> DataFrame:
+    """Cross-tabulation of two aligned rasters (GRASS ``r.cross`` /
+    the confusion-matrix primitive): pixel count and ground area per
+    (zone, cls) combination, where ``zone_fn`` / ``class_fn`` are
+    optional per-tile NumPy array transforms (e.g. value banding)
+    applied before tabulation — identity + int64 truncation when None.
+
+    Output: (zone, cls, n, area) — ``area`` = n * |gt1 * gt5| of the
+    zone raster, accumulated per tile so mixed-resolution mosaics
+    tabulate correctly.
+
+    Scale shape: same contract as :func:`zonal_stats` — a co-partitioned
+    (tile_x, tile_y) equi-join, one NumPy np.unique(return_counts) per
+    joined tile over packed (zone, cls) codes, sparse partials out, one
+    map-side-combinable groupBy. Constant memory per task; the only
+    shuffle carries O(distinct pairs) rows.
+    """
+    z = zone_tiles.select(
+        "tile_x", "tile_y", "gt1", "gt5", F.col("pixels").alias("zpx"))
+    c = class_tiles.select(
+        "tile_x", "tile_y", F.col("pixels").alias("cpx"))
+    joined = z.join(c, ["tile_x", "tile_y"])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple[int, int], list] = {}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                za = np.asarray(r["zpx"], dtype=np.float64)
+                ca = np.asarray(r["cpx"], dtype=np.float64)
+                if za.size != ca.size:
+                    raise ValueError(
+                        f"tile ({r['tile_x']},{r['tile_y']}) size mismatch: "
+                        f"zone {za.size} px vs class {ca.size} px")
+                zi = (zone_fn(za) if zone_fn else za).astype(np.int64)
+                ci = (class_fn(ca) if class_fn else ca).astype(np.int64)
+                pa = abs(float(r["gt1"]) * float(r["gt5"]))
+                pairs = np.stack([zi, ci], axis=1)
+                uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+                for (zv, cv), n in zip(uniq, cnt):
+                    key = (int(zv), int(cv))
+                    slot = acc.setdefault(key, [0, 0.0])
+                    slot[0] += int(n)
+                    slot[1] += int(n) * pa
+        if acc:
+            yield pd.DataFrame(
+                [(z_, c_, n_, a_) for (z_, c_), (n_, a_) in acc.items()],
+                columns=["zone", "cls", "n", "area"],
+            )
+
+    part = joined.mapInPandas(
+        partial, "zone long, cls long, n long, area double")
+    return part.groupBy("zone", "cls").agg(
+        F.sum("n").alias("n"), F.sum("area").alias("area"))
