@@ -4341,6 +4341,18 @@ def q_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test split keyed on the GROUP
+    (source) so correlated documents never straddle splits; per-split
+    doc/group/char audit. Assignment is splitmix64(fnv1a64(source))>>11
+    against integer thresholds — both hash stages and the exact Python
+    float-accumulated thresholds are replicated in the oracle."""
+    from lib_gdal_spark.operators.mixing import split_report
+
+    d = _t(spark, sf_dir, "documents")
+    return split_report(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7323,6 +7335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_pairs": q_bleu_pairs,
         "morph_open": q_morph_open,
         "zonal_crosstab": q_zonal_crosstab,
+        "split_report": q_split_report,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13610,6 +13623,31 @@ def oracle_sql() -> dict[str, str]:
           WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
             AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)
         )
+    """
+
+    # split_report: same splitmix(fnv) composition as kmv; thresholds
+    # replicate split_by_group's float accumulation exactly.
+    _sp_cum, _sp_bounds = 0.0, []
+    for _nm, _w in {"train": 0.8, "val": 0.1, "test": 0.1}.items():
+        _sp_cum += _w
+        _sp_bounds.append((_nm, int(_sp_cum * (1 << 53))))
+    _sp_bounds[-1] = (_sp_bounds[-1][0], 1 << 53)
+    _sp_draw = "(" + _mix_sql("(" + _FNV.format(g="source") + ")",
+                              4242) + ") // 2048"
+    _sp_case = ("CASE WHEN draw < {} THEN '{}' WHEN draw < {} THEN '{}' "
+                "ELSE '{}' END").format(
+        _sp_bounds[0][1], _sp_bounds[0][0],
+        _sp_bounds[1][1], _sp_bounds[1][0], _sp_bounds[2][0])
+    sqls["split_report"] = f"""
+        WITH d AS (
+          SELECT source, text, {_sp_draw} AS draw FROM documents
+        ),
+        a AS (SELECT {_sp_case} AS split, source, text FROM d)
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM a GROUP BY 1 ORDER BY 1
     """
 
     # bleu_pairs: clipped-precision counts are pure integers; p_n, the

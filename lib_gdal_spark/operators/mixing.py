@@ -505,3 +505,88 @@ def priority_sample(
             F.col("__rk").alias("rk"),
         )
     )
+
+
+def _hash53_str(col: str, stream: int, seed: int) -> Column:
+    """53-bit draw for STRING keys: splitmix64(fnv1a64(key)) >> 11 —
+    the same FNV+finalizer composition as sketch.kmv_hash_batch, so the
+    DuckDB oracle spells it as _mix_sql over _FNV."""
+    from lib_gdal_spark.operators.dedup import fnv1a64_batch
+
+    @F.pandas_udf("long")
+    def h(keys: pd.Series) -> pd.Series:
+        hv = fnv1a64_batch(keys.fillna("").astype(str).tolist())
+        m = _mix(hv, stream, seed)
+        return pd.Series((m >> np.uint64(11)).astype(np.int64))
+
+    return h(F.col(col))
+
+
+def split_by_group(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    seed: int = 42,
+    stream: int = 4242,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (source, registered domain, …), so every
+    document of a group lands in the same split — the standard guard
+    against near-duplicate leakage across splits (pages of one host are
+    correlated; splitting by row would leak them between train and
+    eval). Adds a ``split`` column.
+
+    Deterministic integer-threshold form: draw = splitmix64(fnv1a64(
+    group)) >> 11 in [0, 2^53); split s_i covers draws in
+    [floor(c_{i-1} * 2^53), floor(c_i * 2^53)) with c_i the cumulative
+    weights in the INSERTION order of ``weights`` (dict order is the
+    contract — name your splits in priority order). Weights must sum to
+    1 (exactly, after float addition — use dyadic fractions like
+    0.8/0.15/0.05 if bit-certainty matters).
+
+    Scale shape: one narrow Arrow map adds the draw; no shuffle at all —
+    the assignment is embarrassingly parallel and reproducible across
+    reruns, clusters, and engines (no sampleBy nondeterminism).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    tot = sum(weights.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {tot}")
+    draw = _hash53_str(group_col, stream, seed)
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name, w in weights.items():
+        cum += w
+        bounds.append((name, int(cum * M53)))
+    bounds[-1] = (bounds[-1][0], M53)  # close the last interval exactly
+    # nested whens, lowest threshold innermost: first matching interval wins
+    out = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        out = F.when(draw < hi, F.lit(name)).otherwise(out)
+    return docs.withColumn("split", out)
+
+
+def split_report(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    stream: int = 4242,
+) -> DataFrame:
+    """Split assignment + the audit a pipeline actually reviews: one row
+    per split with document count, group count, and char volume. Group
+    counts across splits sum to the total distinct groups by
+    construction (a group maps to exactly one split) — the no-leakage
+    invariant made visible."""
+    s = split_by_group(docs, weights, group_col, seed, stream)
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(group_col).alias("n_groups"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("split")
+    )
