@@ -4353,6 +4353,17 @@ def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_report(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (Church & Hanks 1990): top-25 adjacent bigrams
+    by lift = (c_xy * N^2)/(B * c_x * c_y) with min support 3 — the raw
+    ratio, not its log, so the arithmetic is engine-exact and the
+    ranking identical (log is monotone)."""
+    from lib_gdal_spark.operators.textops import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"),
+                        min_count=3, top_k=25)
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7336,6 +7347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_open": q_morph_open,
         "zonal_crosstab": q_zonal_crosstab,
         "split_report": q_split_report,
+        "collocations": q_collocations,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13648,6 +13660,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
                CAST(sum(length(text)) AS BIGINT) AS n_chars
         FROM a GROUP BY 1 ORDER BY 1
+    """
+
+    # collocations: identical lift parenthesization; bigram pairs via
+    # the same "w1 w2" join trick as bleu (tokens are whitespace-free).
+    sqls["collocations"] = r"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+            '\s+'), x -> x <> '') AS t
+          FROM documents
+        ),
+        uni AS (SELECT w, count(*) AS c FROM
+                  (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        bi0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
+        bi AS (SELECT split_part(g, ' ', 1) AS w1,
+                      split_part(g, ' ', 2) AS w2,
+                      count(*) AS n_pair
+               FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 3),
+        tot AS (SELECT sum(len(t)) AS N,
+                       sum(greatest(len(t) - 1, 0)) AS B FROM toks),
+        j AS (SELECT bi.w1, bi.w2, bi.n_pair, u1.c AS c1, u2.c AS c2, N, B
+              FROM bi JOIN uni u1 ON u1.w = bi.w1
+                      JOIN uni u2 ON u2.w = bi.w2, tot),
+        l AS (SELECT *,
+                (CAST(n_pair AS DOUBLE)
+                  * (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+                / ((CAST(B AS DOUBLE) * CAST(c1 AS DOUBLE))
+                   * CAST(c2 AS DOUBLE)) AS lift
+              FROM j)
+        SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT)
+                 AS rank,
+               w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+               round(lift, 6) AS lift
+        FROM l ORDER BY lift DESC, w1, w2 LIMIT 25
     """
 
     # bleu_pairs: clipped-precision counts are pure integers; p_n, the

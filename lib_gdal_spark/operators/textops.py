@@ -1792,3 +1792,80 @@ def ngram_precision_pairs(
         keep.append("bleu")
     keep.append("brevity")
     return out.select(*keep)
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    top_k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): adjacent word pairs
+    that co-occur far more than their unigram frequencies predict —
+    corpus phrase discovery for tokenizer/vocab curation. Returns the
+    ``top_k`` bigrams by lift with ``min_count`` support:
+    (rank, w1, w2, n_pair, lift) where
+
+        lift = (c_xy * N^2) / (B * c_x * c_y)
+
+    — the exp of PMI with unigram probabilities c/N and bigram
+    probability c_xy/B. Reported as the raw lift ratio rather than its
+    log: the ranking is identical (log is monotone) and the arithmetic
+    stays engine-exact (products/divisions of integer-valued doubles in
+    a fixed order), where libm log would not be.
+
+    Scale shape: two map-side-combinable groupBys (unigrams, bigrams),
+    two equi-joins against the unigram counts, two scalar totals, and a
+    TakeOrdered top-k — no Python, no driver loop; the min_count filter
+    prunes the join's probe side before it shuffles.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(toks.alias("t")).cache()
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i + 1).alias("w1"),
+            F.element_at(F.col("t"), i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        base.where(F.size("t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    totals = base.agg(
+        F.sum(F.size("t")).alias("N"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("B"),
+    )
+    j = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+                "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    nd = F.col("N").cast("double")
+    lift = (F.col("n_pair").cast("double") * (nd * nd)) / (
+        (F.col("B").cast("double") * F.col("c1").cast("double"))
+        * F.col("c2").cast("double")
+    )
+    ranked = (
+        j.withColumn("__lift", lift)
+        .orderBy(F.col("__lift").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+    win = Window.orderBy(F.col("__lift").desc(), "w1", "w2")
+    return ranked.select(
+        F.row_number().over(win).alias("rank"),
+        "w1", "w2", "n_pair",
+        F.round("__lift", 6).alias("lift"),
+    )
