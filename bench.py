@@ -206,6 +206,14 @@ BENCH = {
         lambda s: _force(E.q_raster_quantile_classes(s, SF_DIR)),
     "attribution": lambda s: _force(E.q_attribution(s, SF_DIR)),
     "emerging_hotspots": lambda s: _force(E.q_emerging_hotspots(s, SF_DIR)),
+    # round-4 session-9 additions
+    "kmv_distinct": lambda s: _force(E.q_kmv_distinct(s, SF_DIR)),
+    "skyline_docs": lambda s: _force(E.q_skyline_docs(s, SF_DIR)),
+    "bleu_pairs": lambda s: _force(E.q_bleu_pairs(s, SF_DIR)),
+    "morph_open": lambda s: _force(E.q_morph_open(s, SF_DIR)),
+    "zonal_crosstab": lambda s: _force(E.q_zonal_crosstab(s, SF_DIR)),
+    "split_report": lambda s: _force(E.q_split_report(s, SF_DIR)),
+    "collocations": lambda s: _force(E.q_collocations(s, SF_DIR)),
 }
 
 
