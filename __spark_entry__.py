@@ -4364,6 +4364,16 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         min_count=3, top_k=25)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over events: deterministic splitmix 50/50 user
+    bucketing + pooled two-proportion z on purchase conversion. Counts
+    integer; p/se/z are fixed-order IEEE ops (sqrt only — no erf), so
+    the oracle matches bitwise before the 6-dp round."""
+    from lib_gdal_spark.operators.events import ab_test
+
+    return ab_test(_t(spark, sf_dir, "events"), value_floor=150.0)
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7348,6 +7358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_crosstab": q_zonal_crosstab,
         "split_report": q_split_report,
         "collocations": q_collocations,
+        "ab_test": q_ab_test,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13635,6 +13646,46 @@ def oracle_sql() -> dict[str, str]:
           WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
             AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)
         )
+    """
+
+    # ab_test: splitmix bucketing on the integer user id; identical
+    # pooled-z parenthesization, CASE se=0 -> z=0.
+    _ab_draw = "(" + _mix_sql("user_id", 77) + ") // 2048"
+    sqls["ab_test"] = f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        asg AS (SELECT user_id,
+                  CASE WHEN {_ab_draw} < {(1 << 53) // 2} THEN 'A'
+                       ELSE 'B' END AS variant
+                FROM users),
+        conv AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase' AND value >= 150.0),
+        per AS (SELECT variant, count(*) AS n,
+                       sum(CASE WHEN conv.user_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS x
+                FROM asg LEFT JOIN conv USING (user_id) GROUP BY 1),
+        one AS (SELECT
+                  (SELECT n FROM per WHERE variant = 'A') AS n_a,
+                  (SELECT x FROM per WHERE variant = 'A') AS x_a,
+                  (SELECT n FROM per WHERE variant = 'B') AS n_b,
+                  (SELECT x FROM per WHERE variant = 'B') AS x_b),
+        d AS (SELECT *,
+                CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+              FROM one),
+        s AS (SELECT *,
+                sqrt((pp * (1.0 - pp))
+                     * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE))) AS se
+              FROM d)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+               round(pa, 6) AS p_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+               round(pb, 6) AS p_b,
+               round(CASE WHEN se = 0.0 THEN 0.0
+                          ELSE (pa - pb) / se END, 6) AS z
+        FROM s
     """
 
     # split_report: same splitmix(fnv) composition as kmv; thresholds

@@ -362,3 +362,73 @@ def attribution(events: DataFrame, conv_type: str = "purchase",
             w.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc()))
          == 1).cast("int").alias("is_last"),
     )
+
+
+def ab_test(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_floor: float | None = None,
+    value_col: str = "value",
+    stream: int = 77,
+    seed: int = 42,
+) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 user assignment
+    (splitmix64 of the user id — the reproducible bucketing every
+    experimentation platform uses, never Spark's nondeterministic
+    sample) + the pooled two-proportion z-test on conversion.
+
+    ONE row: (n_a, x_a, p_a, n_b, x_b, p_b, z) with x = users having at
+    least one ``convert_type`` event (optionally restricted to events
+    with ``value_col`` >= ``value_floor`` — "high-value conversion"),
+
+        z = (p_a - p_b) / sqrt(p(1-p) * (1/n_a + 1/n_b)),  p pooled
+
+    Engine-exact: counts are integers; p's, the pooled se, and z are
+    IEEE divisions/multiplications/one sqrt in a fixed order (no erf —
+    the p-value lookup belongs in the caller's stats table, keeping the
+    pipeline's arithmetic bit-reproducible). Degenerate pools (p = 0 or
+    1, or an empty arm) report z = 0.
+
+    Scale shape: two keys-only distincts (users, converted users), one
+    equi-join, one two-row aggregate — no data-volume shuffle at all.
+    """
+    from lib_gdal_spark.operators.mixing import M53, _hash53
+
+    users = events.select(user_col).distinct()
+    draw = _hash53(user_col, stream, seed)
+    assigned = users.select(
+        F.col(user_col),
+        F.when(draw < M53 // 2, F.lit("A")).otherwise(F.lit("B"))
+        .alias("variant"),
+    )
+    ce = events.where(F.col(type_col) == convert_type)
+    if value_floor is not None:
+        ce = ce.where(F.col(value_col) >= value_floor)
+    conv = ce.select(user_col).distinct().withColumn("__conv", F.lit(1))
+    per = (
+        assigned.join(conv, user_col, "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("__conv"), F.lit(0))).alias("x"),
+        )
+    )
+    a = per.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a"))
+    b = per.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b"))
+    row = a.crossJoin(b)
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    se = F.sqrt((pp * (F.lit(1.0) - pp)) * (F.lit(1.0) / na
+                                            + F.lit(1.0) / nb))
+    z = F.when(se == 0.0, F.lit(0.0)).otherwise((pa - pb) / se)
+    return row.select(
+        "n_a", "x_a", F.round(pa, 6).alias("p_a"),
+        "n_b", "x_b", F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+    )
