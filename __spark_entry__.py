@@ -4374,6 +4374,23 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test(_t(spark, sf_dir, "events"), value_floor=150.0)
 
 
+def q_openness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive topographic openness (Yokoyama et al. PE&RS 2002),
+    radius L=8: mean over 8 azimuths of (90 - max elevation angle),
+    computed through the generalized k-pixel halo exchange (dem_op_k —
+    strips are 8 px wide, shuffle stays O(k*perimeter)). Interior
+    pixels; the oracle spells all 64 slope samples, per-direction
+    greatest, one atan per direction, and the left-fold mean."""
+    from lib_gdal_spark.operators.dem import dem_op_k, openness_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 8, openness_kernel)
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(8, 247) & F.col("py").between(8, 247)
+    ).select("px", "py", F.round("v", 6).alias("openness"))
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7359,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_report": q_split_report,
         "collocations": q_collocations,
         "ab_test": q_ab_test,
+        "openness": q_openness,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -14376,6 +14394,40 @@ def oracle_sql() -> dict[str, str]:
                CAST({_mo_open} AS INT) AS opened
         FROM generate_series(2, 253) x(px)
         CROSS JOIN generate_series(2, 253) y(py)
+    """
+
+    # openness: 64 slope samples over the closed-form fixture, greatest
+    # per direction, atan once per direction, left-fold mean in the
+    # kernel's OPENNESS_DIRS order; denominators are the repr() floats
+    # the kernel computes (t, t*sqrt(2)).
+    from lib_gdal_spark.operators.dem import OPENNESS_DIRS as _OD
+    import math as _math
+
+    def _op_v(ox: int, oy: int) -> str:
+        fx = f"(px + {ox})" if ox else "px"
+        fy = f"(py + {oy})" if oy else "py"
+        return (f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13))"
+                f" * 60.0 + 128.0)")
+
+    _op_dirs = []
+    for _dx, _dy in _OD:
+        _dist = _math.sqrt(2.0) if (_dx and _dy) else 1.0
+        _terms = ", ".join(
+            f"(({_op_v(_t * _dx, _t * _dy)}) - c) / {_t * _dist!r}"
+            for _t in range(1, 9))
+        _op_dirs.append(f"(90.0 - degrees(atan(greatest({_terms}))))")
+    _op_fold = _op_dirs[0]
+    for _d in _op_dirs[1:]:
+        _op_fold = f"({_op_fold} + {_d})"
+    sqls["openness"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(8, 247) x(px)
+          CROSS JOIN generate_series(8, 247) y(py)
+        ),
+        ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix)
+        SELECT px, py, round(({_op_fold}) / 8.0, 6) AS openness
+        FROM ctr
     """
 
     # zonal_crosstab: both fixtures in closed form; pixel area is the

@@ -984,3 +984,118 @@ def morphology(tiles: DataFrame, op: str, threshold: float = 0.5) -> DataFrame:
         di = dem_op(tiles, "morph_dilate", threshold=threshold)
         return dem_op(di, "morph_erode", threshold=0.5)
     raise ValueError(f"unknown morphology op {op!r}")
+
+
+def _emit_strips_k(k: int):
+    """Like :func:`_emit_strips` but with ``k``-pixel-wide edge strips
+    and k x k corners — the halo for kernels that look k pixels out."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                th, tw = int(r["tile_h"]), int(r["tile_w"])
+                arr = np.asarray(r["pixels"], dtype=np.float64).reshape(
+                    th, tw)
+                kh, kw = min(k, th), min(k, tw)
+                base = {kk: r[kk] for kk in (
+                    "raster_id", "band", "zoom", "tile_x", "tile_y",
+                    "dtype", "tile_w", "tile_h", "gt0", "gt1", "gt2",
+                    "gt3", "gt4", "gt5", "nodata",
+                )}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            piece = arr
+                        else:
+                            ys = slice(th - kh, th) if dy == 1 else (
+                                slice(0, kh) if dy == -1 else slice(0, th))
+                            xs = slice(tw - kw, tw) if dx == 1 else (
+                                slice(0, kw) if dx == -1 else slice(0, tw))
+                            piece = arr[ys, xs]
+                        rows.append({
+                            **base,
+                            "pixels": piece.ravel().tolist(),
+                            "dst_x": int(r["tile_x"]) + dx,
+                            "dst_y": int(r["tile_y"]) + dy,
+                            "src_dx": dx, "src_dy": dy,
+                            "strip_h": piece.shape[0],
+                            "strip_w": piece.shape[1],
+                        })
+            yield pd.DataFrame(rows)
+
+    return emit
+
+
+def dem_op_k(tiles: DataFrame, k: int, kernel, **kw) -> DataFrame:
+    """Generalized :func:`dem_op`: a k-pixel halo exchange feeding a
+    kernel ``kernel(pad, k, ewres, nsres, **kw)`` over the
+    (th+2k, tw+2k) padded array (NaN outside the raster). Shuffle volume
+    is O(k * perimeter) per tile — still strips, never whole rasters."""
+    strips = tiles.mapInPandas(_emit_strips_k(k), schema=_STRIP_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in RASTER_SCHEMA.split(", ")])
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        pad = np.full((th + 2 * k, tw + 2 * k), np.nan)
+        for _, r in pdf.iterrows():
+            sh, sw = int(r["strip_h"]), int(r["strip_w"])
+            piece = np.asarray(r["pixels"], dtype=np.float64).reshape(sh, sw)
+            dx, dy = int(r["src_dx"]), int(r["src_dy"])
+            y0 = (k - sh if dy == 1 else (th + k if dy == -1 else k))
+            x0 = (k - sw if dx == 1 else (tw + k if dx == -1 else k))
+            pad[y0:y0 + sh, x0:x0 + sw] = piece
+        out = kernel(pad, k, float(crow["gt1"]), float(crow["gt5"]), **kw)
+        row = {kk: crow[kk] for kk in (
+            "raster_id", "band", "zoom", "tile_x", "tile_y",
+            "tile_w", "tile_h", "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
+            "nodata",
+        )}
+        row["dtype"] = "float64"
+        row["pixels"] = out.ravel().tolist()
+        return pd.DataFrame([row])
+
+    return strips.groupBy(
+        "raster_id", "band", "zoom", F.col("dst_x").alias("tile_x"),
+        F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(assemble, schema=RASTER_SCHEMA)
+
+
+# direction order is the cross-engine contract: the openness sum is a
+# LEFT FOLD over exactly this sequence in both NumPy and the SQL oracle
+OPENNESS_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1),
+                 (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def openness_kernel(pad: np.ndarray, k: int, ewres: float, nsres: float,
+                    pixel_units: bool = True) -> np.ndarray:
+    """Positive topographic openness (Yokoyama, Shirasawa & Pike, PE&RS
+    2002): mean over 8 azimuths of (90 deg - the maximum elevation angle
+    within radial distance L=k). High values = ridges/plains, low =
+    valleys; the standard terrain-texture visualization beside
+    hillshade. Distances are in pixels (``pixel_units``, the common
+    square-grid form; diagonals scale by sqrt(2)).
+
+    Exactness contract: per direction, the angle maximum is taken on the
+    monotone slope ratio (dz / (t * dist), one subtraction and one
+    division per sample with precomputed float denominators), atan runs
+    ONCE on the max, and the 8 direction values accumulate by left fold
+    in OPENNESS_DIRS order — every step reproducible in SQL."""
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    z0 = pad[k:k + th, k:k + tw]
+    total = None
+    sqrt2 = math.sqrt(2.0)
+    for dx, dy in OPENNESS_DIRS:
+        dist = sqrt2 if (dx != 0 and dy != 0) else 1.0
+        mx = None
+        for t in range(1, k + 1):
+            zs = pad[k + t * dy:k + t * dy + th, k + t * dx:k + t * dx + tw]
+            slope = (zs - z0) / (t * dist)
+            mx = slope if mx is None else np.maximum(mx, slope)
+        o = 90.0 - np.degrees(np.arctan(mx))
+        total = o if total is None else total + o
+    return total / 8.0
