@@ -4391,6 +4391,21 @@ def q_openness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.round("v", 6).alias("openness"))
 
 
+def q_sky_view_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sky-view factor (Zaksek et al. 2011), radius 8, over world4326:
+    trig-free via sin(atan(s)) = s/sqrt(1+s^2) — the oracle is bit-exact
+    by construction (max, one fma-free multiply-add, sqrt, division),
+    not by libm coincidence."""
+    from lib_gdal_spark.operators.dem import dem_op_k, sky_view_factor_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 8, sky_view_factor_kernel)
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(8, 247) & F.col("py").between(8, 247)
+    ).select("px", "py", F.round("v", 9).alias("svf"))
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7377,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "ab_test": q_ab_test,
         "openness": q_openness,
+        "sky_view_factor": q_sky_view_factor,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -14427,6 +14443,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix)
         SELECT px, py, round(({_op_fold}) / 8.0, 6) AS openness
+        FROM ctr
+    """
+
+    # sky_view_factor: same 64 slope samples; per direction
+    # s = greatest(0, max_slope), term = 1 - s/sqrt(1+s*s) — no trig.
+    _svf_dirs = []
+    for _dx, _dy in _OD:
+        _dist = _math.sqrt(2.0) if (_dx and _dy) else 1.0
+        _terms = ", ".join(
+            f"(({_op_v(_t * _dx, _t * _dy)}) - c) / {_t * _dist!r}"
+            for _t in range(1, 9))
+        _s = f"greatest(greatest({_terms}), 0.0)"
+        _svf_dirs.append(f"(1.0 - {_s} / sqrt(1.0 + {_s} * {_s}))")
+    _svf_fold = _svf_dirs[0]
+    for _d in _svf_dirs[1:]:
+        _svf_fold = f"({_svf_fold} + {_d})"
+    sqls["sky_view_factor"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(8, 247) x(px)
+          CROSS JOIN generate_series(8, 247) y(py)
+        ),
+        ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix)
+        SELECT px, py, round(({_svf_fold}) / 8.0, 9) AS svf
         FROM ctr
     """
 

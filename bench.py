@@ -214,6 +214,8 @@ BENCH = {
     "zonal_crosstab": lambda s: _force(E.q_zonal_crosstab(s, SF_DIR)),
     "split_report": lambda s: _force(E.q_split_report(s, SF_DIR)),
     "collocations": lambda s: _force(E.q_collocations(s, SF_DIR)),
+    "ab_test": lambda s: _force(E.q_ab_test(s, SF_DIR)),
+    "openness": lambda s: _force(E.q_openness(s, SF_DIR)),
 }
 
 

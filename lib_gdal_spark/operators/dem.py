@@ -1099,3 +1099,34 @@ def openness_kernel(pad: np.ndarray, k: int, ewres: float, nsres: float,
         o = 90.0 - np.degrees(np.arctan(mx))
         total = o if total is None else total + o
     return total / 8.0
+
+
+def sky_view_factor_kernel(pad: np.ndarray, k: int, ewres: float,
+                           nsres: float) -> np.ndarray:
+    """Sky-view factor (Zaksek, Ostir & Kokalj, Remote Sensing 2011):
+    the fraction of the sky hemisphere visible from each cell,
+    SVF = mean over 8 azimuths of (1 - sin(horizon angle)) with the
+    horizon angle clamped at the horizontal (terrain below eye level
+    never blocks sky). The relief-visualization standard beside
+    hillshade/openness.
+
+    Trig-free exactness: sin(atan(s)) = s / sqrt(1 + s^2), so per
+    direction the kernel needs only the slope-ratio maximum (shared with
+    :func:`openness_kernel`), one multiply-add, one sqrt, one division —
+    every op IEEE correctly-rounded, no libm atan/sin anywhere, making
+    the SQL oracle bit-exact by construction rather than by libm luck."""
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    z0 = pad[k:k + th, k:k + tw]
+    total = None
+    sqrt2 = math.sqrt(2.0)
+    for dx, dy in OPENNESS_DIRS:
+        dist = sqrt2 if (dx != 0 and dy != 0) else 1.0
+        mx = None
+        for t in range(1, k + 1):
+            zs = pad[k + t * dy:k + t * dy + th, k + t * dx:k + t * dx + tw]
+            slope = (zs - z0) / (t * dist)
+            mx = slope if mx is None else np.maximum(mx, slope)
+        s = np.maximum(mx, 0.0)
+        term = 1.0 - s / np.sqrt(1.0 + s * s)
+        total = term if total is None else total + term
+    return total / 8.0

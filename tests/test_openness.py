@@ -70,3 +70,38 @@ def test_pit_is_less_open_peak_more(spark):
     assert gp[16, 16] < 60.0       # bowl center: sky narrowed
     assert gk[16, 16] > 120.0      # cone apex: wide open
     assert gp[16, 16] + gk[16, 16] == pytest.approx(180.0)  # symmetry
+
+
+def test_svf_flat_plane_is_one(spark):
+    from lib_gdal_spark.operators.dem import sky_view_factor_kernel
+    arr = np.full((32, 32), 7.0)
+    got = _grid(dem_op_k(_tiles(spark, arr, 16), 4,
+                         sky_view_factor_kernel), 32, 16)
+    assert np.allclose(got[4:-4, 4:-4], 1.0)
+
+
+def test_svf_bowl_below_one_peak_stays_one(spark):
+    from lib_gdal_spark.operators.dem import sky_view_factor_kernel
+    n = 33
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    r = np.sqrt((i - 16.0) ** 2 + (j - 16.0) ** 2)
+    bowl = _grid(dem_op_k(_tiles(spark, r, 16), 8,
+                          sky_view_factor_kernel), n, 16)
+    cone = _grid(dem_op_k(_tiles(spark, -r, 16), 8,
+                          sky_view_factor_kernel), n, 16)
+    assert bowl[16, 16] < 0.5           # bowl center sees little sky
+    assert cone[16, 16] == 1.0          # apex horizon never above level
+    assert np.all(bowl[8:-8, 8:-8] <= 1.0)
+
+
+def test_svf_matches_bruteforce(spark):
+    from lib_gdal_spark.operators.dem import sky_view_factor_kernel
+    arr = _terrain()
+    k = 4
+    got = _grid(dem_op_k(_tiles(spark, arr, 16), k,
+                         sky_view_factor_kernel), 48, 16)
+    pad = np.full((48 + 2 * k, 48 + 2 * k), np.nan)
+    pad[k:-k, k:-k] = arr
+    want = sky_view_factor_kernel(pad, k, 1.0, -1.0)
+    inner = slice(k, 48 - k)
+    assert np.array_equal(got[inner, inner], want[inner, inner])
