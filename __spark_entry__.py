@@ -4406,6 +4406,22 @@ def q_sky_view_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.round("v", 9).alias("svf"))
 
 
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) between each document and its successor,
+    truncated to 12 tokens per side (the documented oracle-tractability
+    knob — the SQL DP is O(n*m) per pair). The oracle runs the SAME
+    running-max row update as the NumPy kernel, as a recursive CTE with
+    lag + cumulative max OVER j; integer LCS, fixed-order IEEE p/r/f1."""
+    from lib_gdal_spark.operators.textops import rouge_l_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("pair_id"),
+                 F.col("text").alias("cand"))
+    b = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                 F.col("text").alias("ref"))
+    return rouge_l_pairs(a.join(b, "pair_id"), max_tokens=12)
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7393,6 +7409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "openness": q_openness,
         "sky_view_factor": q_sky_view_factor,
+        "rouge_l": q_rouge_l,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13720,6 +13737,52 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN se = 0.0 THEN 0.0
                           ELSE (pa - pb) / se END, 6) AS z
         FROM s
+    """
+
+    # rouge_l: the NumPy running-max LCS row update transcribed as a
+    # recursive CTE — lag() gives old[j-1], the outer cumulative max
+    # OVER j gives the in-row propagation; pure-integer DP.
+    sqls["rouge_l"] = r"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.doc_id AS pair_id,
+            list_slice(list_filter(regexp_split_to_array(
+              trim(lower(a.text)), '\s+'), x -> x <> ''), 1, 12) AS ct,
+            list_slice(list_filter(regexp_split_to_array(
+              trim(lower(b.text)), '\s+'), x -> x <> ''), 1, 12) AS rt
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        ),
+        m2 AS (SELECT pair_id, ct, rt, len(ct) AS nc, len(rt) AS nr
+               FROM pairs),
+        dp(pair_id, i, j, v) AS (
+          SELECT pair_id, 0, unnest(range(0, nr + 1)), 0 FROM m2
+          UNION ALL
+          SELECT pair_id, i + 1, j,
+                 max(base) OVER (PARTITION BY pair_id ORDER BY j) AS v
+          FROM (
+            SELECT dp.pair_id, dp.i, dp.j,
+              greatest(dp.v,
+                CASE WHEN dp.j > 0 AND m.ct[dp.i + 1] = m.rt[dp.j]
+                  THEN coalesce(lag(dp.v) OVER
+                         (PARTITION BY dp.pair_id ORDER BY dp.j), 0) + 1
+                  ELSE 0 END) AS base
+            FROM dp JOIN m2 m USING (pair_id) WHERE dp.i < m.nc
+          ) s
+        ),
+        res AS (
+          SELECT dp.pair_id, nc, nr, v AS lcs,
+            CASE WHEN nc = 0 THEN 0.0
+                 ELSE CAST(v AS DOUBLE) / CAST(nc AS DOUBLE) END AS p,
+            CASE WHEN nr = 0 THEN 0.0
+                 ELSE CAST(v AS DOUBLE) / CAST(nr AS DOUBLE) END AS r
+          FROM dp JOIN m2 USING (pair_id) WHERE i = nc AND j = nr
+        )
+        SELECT pair_id, CAST(nc AS INT) AS c_len, CAST(nr AS INT) AS r_len,
+               CAST(lcs AS INT) AS lcs,
+               round(p, 6) AS precision, round(r, 6) AS recall,
+               round(CASE WHEN p + r > 0.0
+                          THEN (2.0 * (p * r)) / (p + r)
+                          ELSE 0.0 END, 6) AS f1
+        FROM res
     """
 
     # split_report: same splitmix(fnv) composition as kmv; thresholds

@@ -216,6 +216,8 @@ BENCH = {
     "collocations": lambda s: _force(E.q_collocations(s, SF_DIR)),
     "ab_test": lambda s: _force(E.q_ab_test(s, SF_DIR)),
     "openness": lambda s: _force(E.q_openness(s, SF_DIR)),
+    "sky_view_factor": lambda s: _force(E.q_sky_view_factor(s, SF_DIR)),
+    "rouge_l": lambda s: _force(E.q_rouge_l(s, SF_DIR)),
 }
 
 

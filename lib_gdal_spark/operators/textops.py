@@ -1869,3 +1869,80 @@ def collocations(
         "w1", "w2", "n_pair",
         F.round("__lift", 6).alias("lift"),
     )
+
+
+def rouge_l_pairs(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004): longest-common-subsequence overlap per
+    (candidate, reference) pair — order-aware similarity that BLEU's
+    bag-of-ngrams misses. Output: (pair_id, c_len, r_len, lcs,
+    precision, recall, f1) with precision = lcs/c_len, recall =
+    lcs/r_len, f1 their harmonic mean (the beta=1 ROUGE-L score);
+    empty sides score 0. ``max_tokens`` truncates both token lists —
+    the documented oracle-tractability knob (the SQL DP is O(n*m)).
+
+    The DP is the vectorized running-max row update: per candidate
+    token, base[j] = max(old[j], old[j-1]+1 if match) and new =
+    cummax(base) — O(n) NumPy row ops per pair instead of O(n*m) Python,
+    and the same two-window formulation the SQL oracle uses (lag + max
+    OVER ORDER BY j inside a recursive CTE).
+
+    Scale shape: one narrow mapInPandas — per-pair work only, no
+    shuffle; LCS is quadratic per pair by nature, so the operator's
+    distribution axis is pairs, the only one that grows with the corpus.
+    """
+
+    def dp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("pair_id", "c_len", "r_len", "lcs",
+                    "precision", "recall", "f1")}
+            for pid, cs, rs in zip(pdf[id_col], pdf[cand_col],
+                                   pdf[ref_col]):
+                ct = [w for w in (cs or "").lower().split() if w]
+                rt = [w for w in (rs or "").lower().split() if w]
+                if max_tokens is not None:
+                    ct, rt = ct[:max_tokens], rt[:max_tokens]
+                nc, nr = len(ct), len(rt)
+                if nc and nr:
+                    r_arr = np.array(rt, dtype=object)
+                    old = np.zeros(nr + 1, dtype=np.int64)
+                    for c in ct:
+                        tmp = np.where(r_arr == c, old[:-1] + 1, 0)
+                        base = np.maximum(old[1:], tmp)
+                        old = np.concatenate(
+                            ([0], np.maximum.accumulate(base)))
+                    lcs = int(old[-1])
+                else:
+                    lcs = 0
+                p = lcs / nc if nc else 0.0
+                r = lcs / nr if nr else 0.0
+                f1 = (2.0 * (p * r)) / (p + r) if (p + r) > 0.0 else 0.0
+                out["pair_id"].append(pid)
+                out["c_len"].append(nc)
+                out["r_len"].append(nr)
+                out["lcs"].append(lcs)
+                # raw doubles out; rounding happens in F.round below so
+                # the decimal convention is Spark's (== the oracle's),
+                # not Python's
+                out["precision"].append(p)
+                out["recall"].append(r)
+                out["f1"].append(f1)
+            yield pd.DataFrame(out)
+
+    raw = pairs.select(id_col, cand_col, ref_col).mapInPandas(
+        dp,
+        f"{id_col} long, c_len int, r_len int, lcs int, "
+        "precision double, recall double, f1 double",
+    )
+    return raw.select(
+        id_col, "c_len", "r_len", "lcs",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
