@@ -2607,6 +2607,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLU.semantic_dedup(emb, k=8, iters=4, threshold=0.3)
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. TPAMI 2011): 64-dim embeddings
+    -> 4 subspaces x 4 centroids (2 Lloyd iters each, exact int64
+    micro-units) -> (vec_id, code_0..code_3, total reconstruction
+    dist2). The oracle unrolls all four independent k-means chains over
+    list_slice'd subvectors."""
+    from lib_gdal_spark.operators import cluster as CLU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return CLU.pq_encode(emb, m=4, k=4, iters=2)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence-packing plan: deterministic global concatenation
     order + fixed-length (256-token) window assignment per document."""
@@ -7410,6 +7422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "openness": q_openness,
         "sky_view_factor": q_sky_view_factor,
         "rouge_l": q_rouge_l,
+        "pq_encode": q_pq_encode,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -12132,6 +12145,57 @@ def oracle_sql() -> dict[str, str]:
                coalesce(d.n_dups, 0) AS n_dups,
                coalesce(d.n_dups, 0) = 0 AS keep
         FROM {_FINAL} f LEFT JOIN dups d ON f.id = d.id
+    """
+
+    # pq_encode: four independent kmeans chains (the _km recipe) over
+    # list_slice'd 16-dim subvectors; total dist2 is the exact int64 sum.
+    def _pq_sub(tag: str, off: int, s: int = 16, K: int = 4,
+                IT: int = 2) -> list[str]:
+        cte = [
+            f"e{tag} AS (SELECT vec_id AS id, list_transform("
+            f"list_slice(embedding::DOUBLE[], {off + 1}, {off + s}), "
+            f"x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v "
+            f"FROM embeddings)",
+            f"c0{tag} AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 "
+            f"AS INTEGER) AS cid, v FROM (SELECT id, v FROM e{tag} "
+            f"ORDER BY id LIMIT {K}))",
+        ]
+        for i in range(1, IT + 2):
+            cte.append(
+                f"d{i}{tag} AS (SELECT e{tag}.id, e{tag}.v, c.cid, "
+                f"CAST(list_sum(list_transform(range(1, {s + 1}), "
+                f"j -> (e{tag}.v[j] - c.v[j]) * (e{tag}.v[j] - c.v[j]))) "
+                f"AS BIGINT) AS dist2 FROM e{tag} CROSS JOIN c{i - 1}{tag} c)"
+            )
+            cte.append(
+                f"a{i}{tag} AS (SELECT id, v, cid, dist2 FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY id "
+                f"ORDER BY dist2, cid) AS rn FROM d{i}{tag}) WHERE rn = 1)"
+            )
+            if i <= IT:
+                cte.append(
+                    f"c{i}{tag} AS (SELECT p.cid, coalesce(nv.v, p.v) AS v "
+                    f"FROM c{i - 1}{tag} p LEFT JOIN ("
+                    f"SELECT cid, list(m ORDER BY j) AS v FROM ("
+                    f"SELECT cid, j, CAST(floor(sum(v[j]) * 1.0 / count(*)) "
+                    f"AS BIGINT) AS m FROM a{i}{tag}, range(1, {s + 1}) t(j) "
+                    f"GROUP BY cid, j) GROUP BY cid) nv ON p.cid = nv.cid)"
+                )
+        return cte
+
+    _pq_ctes: list[str] = []
+    for _j in range(4):
+        _pq_ctes += _pq_sub(f"s{_j}", _j * 16)
+    _pq_chain = ",\n        ".join(_pq_ctes)
+    sqls["pq_encode"] = f"""
+        WITH {_pq_chain}
+        SELECT a3s0.id AS vec_id,
+               a3s0.cid AS code_0, a3s1.cid AS code_1,
+               a3s2.cid AS code_2, a3s3.cid AS code_3,
+               CAST(a3s0.dist2 + a3s1.dist2 + a3s2.dist2 + a3s3.dist2
+                    AS BIGINT) AS dist2
+        FROM a3s0 JOIN a3s1 USING (id) JOIN a3s2 USING (id)
+                  JOIN a3s3 USING (id)
     """
 
     # lm_perplexity: corpus-trained add-0.5 bigram LM; log-probs quantized

@@ -218,6 +218,7 @@ BENCH = {
     "openness": lambda s: _force(E.q_openness(s, SF_DIR)),
     "sky_view_factor": lambda s: _force(E.q_sky_view_factor(s, SF_DIR)),
     "rouge_l": lambda s: _force(E.q_rouge_l(s, SF_DIR)),
+    "pq_encode": lambda s: _force(E.q_pq_encode(s, SF_DIR)),
 }
 
 

@@ -269,3 +269,62 @@ def dbscan(
             F.coalesce("c_core", "c_border").alias("cluster"),
         )
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou, Douze & Schmid, TPAMI 2011): split
+    each embedding into ``m`` contiguous subvectors, k-means each
+    subspace independently, and encode every vector as its m nearest
+    subspace-centroid ids — the memory layout behind billion-scale ANN
+    (m*log2(k) bits per vector instead of dim*32).
+
+    Returns (id, code_0..code_{m-1} int, dist2 long) with dist2 the
+    EXACT total squared reconstruction error in int64 micro-units (the
+    sum of the per-subspace k-means dist2 — subspaces are orthogonal
+    coordinate blocks, so errors add exactly).
+
+    Determinism: inherits :func:`kmeans`'s exact-integer contract per
+    subspace (quantized micro-units, lowest-id init, first-minimum tie
+    break), so codes and dist2 are reproducible at any parallelism and
+    in the DuckDB oracle.
+
+    Scale shape: m driver-coordinated Lloyd chains over SLICED columns
+    (each pass reads dim/m of the vector bytes — column pruning keeps
+    subspace passes cheap); codebooks are driver-sized (m*k*dim/m ints);
+    the final assembly is m-way equi-joins on the id, each side already
+    reduced to (id, code, dist2).
+    """
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty vector table")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    s = dim // m
+    out = None
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * s + 1, s).alias(vec_col),
+        )
+        asg = kmeans(sub, k=k, iters=iters, id_col=id_col,
+                     vec_col=vec_col).select(
+            id_col,
+            F.col("cid").alias(f"code_{j}"),
+            F.col("dist2").alias(f"__d{j}"),
+        )
+        out = asg if out is None else out.join(asg, id_col)
+    total = F.col("__d0")
+    for j in range(1, m):
+        total = total + F.col(f"__d{j}")
+    return out.select(
+        id_col, *[f"code_{j}" for j in range(m)],
+        total.alias("dist2"),
+    )
