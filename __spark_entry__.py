@@ -2619,6 +2619,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLU.pq_encode(emb, m=4, k=4, iters=2)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-20 for query vec_id=0: the scan reads
+    ONLY the 4 code columns plus a broadcast 4x4 integer LUT folded into
+    the plan (element_at over code) — never the raw vectors; true
+    quantized distance reported beside the estimate. Oracle re-derives
+    the codebooks (same Lloyd chains) and the integer LUT sums."""
+    from lib_gdal_spark.operators import cluster as CLU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return CLU.pq_topk(emb, query_id=0, topk=20, m=4, k=4, iters=2)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence-packing plan: deterministic global concatenation
     order + fixed-length (256-token) window assignment per document."""
@@ -7423,6 +7435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sky_view_factor": q_sky_view_factor,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -12196,6 +12209,47 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS dist2
         FROM a3s0 JOIN a3s1 USING (id) JOIN a3s2 USING (id)
                   JOIN a3s3 USING (id)
+    """
+
+    # pq_topk: same four chains; LUT = integer distance from query
+    # subvector to each final centroid (c2 after 2 iters); adc = the
+    # LUT value of each vector's final code; exact side is the full
+    # 64-dim quantized distance.
+    _pqk = list(_pq_ctes)
+    for _j in range(4):
+        _pqk.append(
+            f"l s{_j} AS (SELECT c.cid, CAST(list_sum(list_transform("
+            f"range(1, 17), x -> (q.v[x] - c.v[x]) * (q.v[x] - c.v[x]))) "
+            f"AS BIGINT) AS ld FROM c2s{_j} c, "
+            f"(SELECT v FROM es{_j} WHERE id = 0) q)".replace("l s", "ls")
+        )
+    _pqk.append(
+        "ef AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[], "
+        "x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v FROM embeddings)"
+    )
+    _pqk.append(
+        "ex AS (SELECT ef.id, CAST(list_sum(list_transform(range(1, 65), "
+        "x -> (ef.v[x] - q.v[x]) * (ef.v[x] - q.v[x]))) AS BIGINT) "
+        "AS exact_dist2 FROM ef, (SELECT v FROM ef WHERE id = 0) q)"
+    )
+    _pqk.append(
+        "adc AS (SELECT a3s0.id, CAST(l0.ld + l1.ld + l2.ld + l3.ld "
+        "AS BIGINT) AS adc_dist2 "
+        "FROM a3s0 JOIN a3s1 USING (id) JOIN a3s2 USING (id) "
+        "JOIN a3s3 USING (id) "
+        "JOIN ls0 l0 ON l0.cid = a3s0.cid "
+        "JOIN ls1 l1 ON l1.cid = a3s1.cid "
+        "JOIN ls2 l2 ON l2.cid = a3s2.cid "
+        "JOIN ls3 l3 ON l3.cid = a3s3.cid)"
+    )
+    _pqk_chain = ",\n        ".join(_pqk)
+    sqls["pq_topk"] = f"""
+        WITH {_pqk_chain}
+        SELECT CAST(row_number() OVER (ORDER BY adc_dist2, id) AS INT)
+                 AS rank,
+               id AS vec_id, adc_dist2, exact_dist2
+        FROM adc JOIN ex USING (id)
+        ORDER BY adc_dist2, id LIMIT 20
     """
 
     # lm_perplexity: corpus-trained add-0.5 bigram LM; log-probs quantized

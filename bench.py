@@ -219,6 +219,7 @@ BENCH = {
     "sky_view_factor": lambda s: _force(E.q_sky_view_factor(s, SF_DIR)),
     "rouge_l": lambda s: _force(E.q_rouge_l(s, SF_DIR)),
     "pq_encode": lambda s: _force(E.q_pq_encode(s, SF_DIR)),
+    "pq_topk": lambda s: _force(E.q_pq_topk(s, SF_DIR)),
 }
 
 

@@ -86,6 +86,20 @@ def kmeans(
     side streams once per iteration with no driver gather. An emptied
     cluster keeps its previous centroid.
     """
+    asg, _ = kmeans_fit(vectors, k, iters, id_col, vec_col)
+    return asg
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """:func:`kmeans` that ALSO returns the fitted codebook — the k x dim
+    integer centroid table (micro-units) — for consumers that score new
+    points against the model (PQ asymmetric-distance search below)."""
     pts = vectors.select(
         F.col(id_col).alias("id"), _quantize(vec_col).alias("v")
     )
@@ -112,9 +126,10 @@ def kmeans(
                 if j in new:
                     cents[j] = new[j]
 
-        return _assign(pts, cents).select(
+        asg = _assign(pts, cents).select(
             F.col("id").alias(id_col), "cid", "dist2"
         )
+        return asg, cents
     finally:
         pts.unpersist()
 
@@ -327,4 +342,81 @@ def pq_encode(
     return out.select(
         id_col, *[f"code_{j}" for j in range(m)],
         total.alias("dist2"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    topk: int = 20,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search (Jegou et al. 2011
+    §III-B): score every vector by sum_j ||q_j - centroid(code_j)||^2
+    using only its m codes and the m*k lookup table of exact integer
+    distances from the query's subvectors to the codebook — the scan
+    never touches raw vectors, which is the entire point at 100 TB
+    (m*log2(k) bits/vector stream through the scan; the codebook LUT is
+    a broadcast-sized literal folded into the plan as element_at over
+    code columns — zero joins, zero Python in the scan).
+
+    Returns the ``topk`` rows (rank, vec_id, adc_dist2, exact_dist2):
+    ``exact_dist2`` is the true quantized squared distance, reported so
+    the ADC approximation quality is visible next to the estimate.
+    """
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty vector table")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    s = dim // m
+
+    q_row = vectors.where(F.col(id_col) == query_id).select(
+        _quantize(vec_col).alias("v")).first()
+    if q_row is None:
+        raise ValueError(f"query_id {query_id} not found")
+    q = np.asarray(q_row["v"], dtype=np.int64)
+
+    adc = None
+    codes = None
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * s + 1, s).alias(vec_col),
+        )
+        asg, cents = kmeans_fit(sub, k=k, iters=iters, id_col=id_col,
+                                vec_col=vec_col)
+        qj = q[j * s:(j + 1) * s]
+        lut = [int(((qj - np.asarray(c, dtype=np.int64)) ** 2).sum())
+               for c in cents]
+        part = asg.select(id_col, F.col("cid").alias(f"code_{j}"))
+        codes = part if codes is None else codes.join(part, id_col)
+        term = F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in lut]),
+            F.col(f"code_{j}") + 1)
+        adc = term if adc is None else adc + term
+
+    qlit = F.array(*[F.lit(int(x)) for x in q])
+    exact = vectors.select(
+        F.col(id_col), _quantize(vec_col).alias("__v")
+    ).select(
+        id_col,
+        F.aggregate(
+            F.zip_with(F.col("__v"), qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("exact_dist2"),
+    )
+    scored = codes.withColumn("adc_dist2", adc).join(exact, id_col)
+    from pyspark.sql import Window
+    top = scored.orderBy("adc_dist2", id_col).limit(topk)
+    win = Window.orderBy("adc_dist2", id_col)
+    return top.select(
+        F.row_number().over(win).alias("rank"),
+        F.col(id_col), F.col("adc_dist2").cast("long").alias("adc_dist2"),
+        "exact_dist2",
     )
