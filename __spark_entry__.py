@@ -4446,6 +4446,21 @@ def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_pairs(a.join(b, "pair_id"), max_tokens=12)
 
 
+def q_dem_vrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector ruggedness measure (Sappington 2007) over world4326 on the
+    k=2 halo path: 9 Horn-gradient unit normals per cell, fixed-order
+    fold — squares/sums/sqrt/divisions only, no trig, so the oracle is
+    exact by construction."""
+    from lib_gdal_spark.operators.dem import dem_op_k, vrm_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 2, vrm_kernel)
+    ex = _explode_px(out)
+    return ex.where(
+        F.col("px").between(2, 253) & F.col("py").between(2, 253)
+    ).select("px", "py", F.round("v", 9).alias("vrm"))
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7436,6 +7451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "dem_vrm": q_dem_vrm,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -14649,6 +14665,59 @@ def oracle_sql() -> dict[str, str]:
         ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix)
         SELECT px, py, round(({_svf_fold}) / 8.0, 9) AS svf
         FROM ctr
+    """
+
+    # dem_vrm: per-offset Horn gradients over the closed-form fixture;
+    # the 9-normal sums use list_reduce over idx-ordered lists — the
+    # same left fold as the kernel's VRM_OFFS accumulation.
+    def _vrm_v(dx: int, dy: int) -> str:
+        return (f"trunc((sin((px + ox + {dx}) * 0.19)"
+                f" + cos((py + oy + {dy}) * 0.13)) * 60.0 + 128.0)")
+
+    _vrm_w = {
+        "a": _vrm_v(-1, -1), "b": _vrm_v(0, -1), "c": _vrm_v(1, -1),
+        "d": _vrm_v(-1, 0), "f": _vrm_v(1, 0),
+        "g": _vrm_v(-1, 1), "h": _vrm_v(0, 1), "i": _vrm_v(1, 1),
+    }
+    _vrm_offs = ", ".join(
+        f"({i}, {ox}, {oy})"
+        for i, (ox, oy) in enumerate(
+            [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+             (-1, 1), (0, 1), (1, 1)]))
+    sqls["dem_vrm"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(2, 253) x(px)
+          CROSS JOIN generate_series(2, 253) y(py)
+        ),
+        offs(idx, ox, oy) AS (SELECT * FROM (VALUES {_vrm_offs})),
+        pq AS (
+          SELECT px, py, idx,
+            (({_vrm_w["c"]} + 2.0 * {_vrm_w["f"]} + {_vrm_w["i"]})
+             - ({_vrm_w["a"]} + 2.0 * {_vrm_w["d"]} + {_vrm_w["g"]}))
+              / (8.0 * 1.40625) AS p,
+            (({_vrm_w["g"]} + 2.0 * {_vrm_w["h"]} + {_vrm_w["i"]})
+             - ({_vrm_w["a"]} + 2.0 * {_vrm_w["b"]} + {_vrm_w["c"]}))
+              / (8.0 * -0.703125) AS q
+          FROM pix CROSS JOIN offs
+        ),
+        n AS (
+          SELECT px, py, idx,
+                 (0.0 - p) / den AS nx, (0.0 - q) / den AS ny,
+                 1.0 / den AS nz
+          FROM (SELECT *, sqrt(1.0 + (p * p + q * q)) AS den FROM pq)
+        ),
+        s AS (
+          SELECT px, py,
+                 list_reduce(list(nx ORDER BY idx), (u, w) -> u + w) AS sx,
+                 list_reduce(list(ny ORDER BY idx), (u, w) -> u + w) AS sy,
+                 list_reduce(list(nz ORDER BY idx), (u, w) -> u + w) AS sz
+          FROM n GROUP BY px, py
+        )
+        SELECT px, py,
+               round(1.0 - sqrt((sx * sx + sy * sy) + sz * sz) / 9.0, 9)
+                 AS vrm
+        FROM s
     """
 
     # zonal_crosstab: both fixtures in closed form; pixel area is the

@@ -220,6 +220,7 @@ BENCH = {
     "rouge_l": lambda s: _force(E.q_rouge_l(s, SF_DIR)),
     "pq_encode": lambda s: _force(E.q_pq_encode(s, SF_DIR)),
     "pq_topk": lambda s: _force(E.q_pq_topk(s, SF_DIR)),
+    "dem_vrm": lambda s: _force(E.q_dem_vrm(s, SF_DIR)),
 }
 
 

@@ -1130,3 +1130,42 @@ def sky_view_factor_kernel(pad: np.ndarray, k: int, ewres: float,
         term = 1.0 - s / np.sqrt(1.0 + s * s)
         total = term if total is None else total + term
     return total / 8.0
+
+
+# row-major 3x3 offsets: the VRM accumulation order shared with the oracle
+VRM_OFFS = ((-1, -1), (0, -1), (1, -1),
+            (-1, 0), (0, 0), (1, 0),
+            (-1, 1), (0, 1), (1, 1))
+
+
+def vrm_kernel(pad: np.ndarray, k: int, ewres: float,
+               nsres: float) -> np.ndarray:
+    """Vector ruggedness measure (Sappington, Longshore & Thompson,
+    J. Wildlife Mgmt 2007): 1 - |sum of the 9 unit surface normals| / 9
+    over the 3x3 neighborhood — decouples ruggedness from slope (a
+    steep smooth face scores ~0, broken terrain scores high), the
+    standard habitat/terrain-heterogeneity metric.
+
+    Needs k >= 2 (each neighbor's normal needs its own 3x3). Normals
+    come from Horn gradients: n = (-p, -q, 1)/sqrt(1+p^2+q^2) — only
+    squares, sums, one sqrt, divisions, all in the fixed VRM_OFFS fold
+    order, so the oracle is exact by construction (no trig: the
+    published sin/cos-of-slope/aspect formulation is algebraically this)."""
+    if k < 2:
+        raise ValueError("vrm needs a k >= 2 halo")
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    sub = pad[k - 2:k + th + 2, k - 2:k + tw + 2]
+    p, q = _horn(sub, ewres, nsres)        # (th+2, tw+2)
+    den = np.sqrt(1.0 + (p * p + q * q))
+    nx, ny, nz = (0.0 - p) / den, (0.0 - q) / den, 1.0 / den
+    sx = sy = sz = None
+    for ox, oy in VRM_OFFS:
+        ys, xs = slice(1 + oy, 1 + oy + th), slice(1 + ox, 1 + ox + tw)
+        if sx is None:
+            sx, sy, sz = nx[ys, xs], ny[ys, xs], nz[ys, xs]
+        else:
+            sx = sx + nx[ys, xs]
+            sy = sy + ny[ys, xs]
+            sz = sz + nz[ys, xs]
+    mag = np.sqrt((sx * sx + sy * sy) + sz * sz)
+    return 1.0 - mag / 9.0

@@ -105,3 +105,34 @@ def test_svf_matches_bruteforce(spark):
     want = sky_view_factor_kernel(pad, k, 1.0, -1.0)
     inner = slice(k, 48 - k)
     assert np.array_equal(got[inner, inner], want[inner, inner])
+
+
+def test_vrm_flat_and_smooth_slope_are_zeroish(spark):
+    from lib_gdal_spark.operators.dem import vrm_kernel
+    flat = np.full((32, 32), 3.0)
+    g = _grid(dem_op_k(_tiles(spark, flat, 16), 2, vrm_kernel), 32, 16)
+    assert np.allclose(g[2:-2, 2:-2], 0.0)
+    # uniform planar slope: all normals parallel -> VRM == 0 exactly
+    i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="xy")
+    plane = (2.0 * i + 1.0 * j).astype(float)
+    gp = _grid(dem_op_k(_tiles(spark, plane, 16), 2, vrm_kernel), 32, 16)
+    assert np.allclose(gp[2:-2, 2:-2], 0.0)
+
+
+def test_vrm_rough_terrain_positive_and_matches_bruteforce(spark):
+    from lib_gdal_spark.operators.dem import vrm_kernel
+    arr = _terrain()
+    k = 2
+    got = _grid(dem_op_k(_tiles(spark, arr, 16), k, vrm_kernel), 48, 16)
+    pad = np.full((48 + 2 * k, 48 + 2 * k), np.nan)
+    pad[k:-k, k:-k] = arr
+    want = vrm_kernel(pad, k, 1.0, -1.0)
+    inner = slice(k, 48 - k)
+    assert np.array_equal(got[inner, inner], want[inner, inner])
+    assert np.nanmax(got[inner, inner]) > 0.0
+
+
+def test_vrm_rejects_thin_halo(spark):
+    from lib_gdal_spark.operators.dem import vrm_kernel
+    with pytest.raises(ValueError, match="k >= 2"):
+        vrm_kernel(np.zeros((10, 10)), 1, 1.0, -1.0)
