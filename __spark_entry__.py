@@ -4461,6 +4461,15 @@ def q_dem_vrm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.round("v", 9).alias("vrm"))
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the documents corpus:
+    integer (N_d, V_d) curve, micro-unit-quantized logs, DECIMAL(38,0)
+    regression sums — order-independent, oracle-exact."""
+    from lib_gdal_spark.operators.textops import heaps_law
+
+    return heaps_law(_t(spark, sf_dir, "documents"))
+
+
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster cross-tabulation (GRASS r.cross / confusion-matrix
     primitive): world4326 banded into 8 zones (v//32) crossed with
@@ -7452,6 +7461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "dem_vrm": q_dem_vrm,
+        "heaps_law": q_heaps_law,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13917,6 +13927,62 @@ def oracle_sql() -> dict[str, str]:
                           THEN (2.0 * (p * r)) / (p + r)
                           ELSE 0.0 END, 6) AS f1
         FROM res
+    """
+
+    # heaps_law: HUGEINT regression sums over the identical quantized
+    # log lattice; beta/ln_k with the same parenthesization.
+    sqls["heaps_law"] = r"""
+        WITH tok AS (
+          SELECT doc_id AS d,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '')) AS tok
+          FROM documents
+        ),
+        per_doc AS (SELECT d, count(*) AS nt FROM tok GROUP BY d),
+        new_types AS (
+          SELECT d, count(*) AS nv FROM
+            (SELECT tok, min(d) AS d FROM tok GROUP BY tok) GROUP BY d
+        ),
+        lattice AS (
+          SELECT per_doc.d, nt, coalesce(nv, 0) AS nv
+          FROM per_doc LEFT JOIN new_types USING (d)
+        ),
+        curve AS (
+          SELECT d,
+                 sum(nt) OVER (ORDER BY d) AS N,
+                 sum(nv) OVER (ORDER BY d) AS V
+          FROM lattice
+        ),
+        pts AS (
+          SELECT CAST(round(ln(N) * 10000.0) AS BIGINT) AS x,
+                 CAST(round(ln(V) * 10000.0) AS BIGINT) AS y
+          FROM curve WHERE N > 0 AND V > 0
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                      AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                      AS HUGEINT) AS sxy
+          FROM pts
+        ),
+        tot AS (SELECT max(N) AS n_tokens, max(V) AS v_types FROM curve),
+        fit AS (
+          SELECT n, sx, sy, n_tokens, v_types,
+            CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) AS beta
+          FROM agg, tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(v_types AS BIGINT) AS v_types,
+               round(beta, 6) AS beta,
+               round(((CAST(sy AS DOUBLE) / 10000.0)
+                      - beta * (CAST(sx AS DOUBLE) / 10000.0))
+                     / CAST(n AS DOUBLE), 6) AS ln_k
+        FROM fit
     """
 
     # split_report: same splitmix(fnv) composition as kmv; thresholds

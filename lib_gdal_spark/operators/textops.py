@@ -1946,3 +1946,75 @@ def rouge_l_pairs(
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
+    corpus-health diagnostic beside zipf_fit (a crawl whose beta drifts
+    up is accumulating junk tokens; one whose beta collapses is
+    duplicating). ONE row: (n_points, n_tokens, v_types, beta, ln_k).
+
+    Construction is exact end-to-end: per-doc token counts and per-token
+    first-document ids are integer aggregates; the (N_d, V_d) curve is
+    two cumulative sums over the doc-id order; the log-log least-squares
+    fit quantizes ln N / ln V to ``quant`` micro-units (int64) and takes
+    all five regression sums as DECIMAL(38,0), so accumulation order
+    cannot perturb the fit (float log-sums are order-dependent; the
+    lm_perplexity trick). beta / ln_k are fixed-order IEEE divisions of
+    the exact sums.
+
+    Scale shape: one token explode feeding two combinable groupBys, a
+    keys-only lattice of O(#docs) checkpoint rows, and the global
+    cumulative window over that lattice (at 100 TB, thin the lattice by
+    sampling checkpoint doc-ids first — the fit needs hundreds of
+    points, not billions).
+    """
+    toks = F.explode(F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )).alias("tok")
+    tok_tbl = docs.select(F.col(id_col).alias("d"), toks).cache()
+    per_doc = tok_tbl.groupBy("d").agg(F.count(F.lit(1)).alias("nt"))
+    new_types = (
+        tok_tbl.groupBy("tok").agg(F.min("d").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("nv"))
+    )
+    lattice = per_doc.join(new_types, "d", "left").na.fill({"nv": 0})
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = lattice.select(
+        "d",
+        F.sum("nt").over(w).alias("N"),
+        F.sum("nv").over(w).alias("V"),
+    ).where((F.col("N") > 0) & (F.col("V") > 0))
+    q = float(quant)
+    pts = curve.select(
+        F.round(F.log("N") * q).cast("long").alias("x"),
+        F.round(F.log("V") * q).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    agg = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("x").cast(d38))).alias("sxx"),
+        F.sum((F.col("x").cast(d38) * F.col("y").cast(d38))).alias("sxy"),
+    )
+    tot = curve.agg(F.max("N").alias("n_tokens"),
+                    F.max("V").alias("v_types"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    beta = num.cast("double") / den.cast("double")
+    nn = F.col("n").cast("double")
+    ln_k = ((F.col("sy").cast("double") / F.lit(q))
+            - beta * (F.col("sx").cast("double") / F.lit(q))) / nn
+    return agg.crossJoin(tot).select(
+        F.col("n").cast("long").alias("n_points"),
+        "n_tokens", "v_types",
+        F.round(beta, 6).alias("beta"),
+        F.round(ln_k, 6).alias("ln_k"),
+    )
