@@ -4461,6 +4461,18 @@ def q_dem_vrm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.round("v", 9).alias("vrm"))
 
 
+def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse-tf cosine (Bayardo et al. WWW 2007) at
+    threshold 0.98 over documents — exact semantics (no df cap: the
+    fixture's closed 31-term vocabulary makes every term a stop word,
+    the degenerate case the cap exists for; real corpora keep the 1000
+    default). Integer dots, two sqrts, one division — engine-exact."""
+    from lib_gdal_spark.operators.dedup import allpairs_cosine_tf
+
+    d = _t(spark, sf_dir, "documents")
+    return allpairs_cosine_tf(d, threshold=0.98, max_doc_freq=None)
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit over the documents corpus:
     integer (N_d, V_d) curve, micro-unit-quantized logs, DECIMAL(38,0)
@@ -7462,6 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "dem_vrm": q_dem_vrm,
         "heaps_law": q_heaps_law,
+        "allpairs_cosine": q_allpairs_cosine,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "pagerank": q_pagerank,
@@ -13927,6 +13940,34 @@ def oracle_sql() -> dict[str, str]:
                           THEN (2.0 * (p * r)) / (p + r)
                           ELSE 0.0 END, 6) AS f1
         FROM res
+    """
+
+    # allpairs_cosine: inverted-index self-join, integer dots, the same
+    # sqrt/divide order.
+    sqls["allpairs_cosine"] = r"""
+        WITH tf AS (
+          SELECT d, term, count(*) AS tf FROM (
+            SELECT doc_id AS d,
+                   unnest(list_filter(regexp_split_to_array(
+                     trim(lower(text)), '\s+'), x -> x <> '')) AS term
+            FROM documents
+          ) GROUP BY d, term
+        ),
+        n2 AS (SELECT d, sum(tf * tf) AS n2 FROM tf GROUP BY d),
+        dots AS (
+          SELECT a.d AS doc_a, b.d AS doc_b, sum(a.tf * b.tf) AS dot
+          FROM tf a JOIN tf b USING (term)
+          WHERE a.d < b.d GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT doc_a, doc_b, dot,
+                 round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE))
+                          * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+          FROM dots JOIN n2 na ON na.d = doc_a JOIN n2 nb ON nb.d = doc_b
+        )
+        SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot, cosine
+        FROM c WHERE cosine >= 0.98
     """
 
     # heaps_law: HUGEINT regression sums over the identical quantized

@@ -947,3 +947,67 @@ def typo_near_dup_pairs(
         cand.withColumn("dist", F.levenshtein("key1", "key2"))
         .where(F.col("dist") <= 1)
     )
+
+
+def allpairs_cosine_tf(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """All-pairs cosine similarity over sparse term-frequency vectors
+    (the Bayardo/Ma/Srikant WWW 2007 problem) — the WEIGHTED companion
+    of :func:`ngram_jaccard_pairs`: repeated terms count, so it
+    separates "same vocabulary" from "same emphasis".
+
+    Candidates come from the inverted-index self-join on shared terms;
+    ``max_doc_freq`` removes terms above the document-frequency cap from
+    the VECTOR SPACE itself (stop-word removal by df — the same
+    quadratic-blowup guard and the same filtered-universe semantics as
+    ngram_jaccard_pairs; norms are computed over the filtered space so
+    the score is a true cosine there). All arithmetic is exact: tf and
+    dot products are int64; cosine = dot / (sqrt(na2) * sqrt(nb2)) is
+    two correctly-rounded sqrts and one division in fixed order.
+
+    Output: (doc_a, doc_b, dot, cosine) for pairs with rounded cosine
+    >= threshold.
+
+    Scale shape: tf is one combinable groupBy; the candidate join is
+    keyed on the term with both sides already reduced to (doc, term,
+    tf); per-pair dot is a combinable groupBy on (doc_a, doc_b). The
+    df cap bounds any term's candidate contribution at cap^2.
+    """
+    toks = F.explode(F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )).alias("term")
+    tf = (
+        docs.select(F.col(id_col).alias("d"), toks)
+        .groupBy("d", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_doc_freq is not None:
+        freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        tf = tf.join(freq.where(F.col("__df") <= max_doc_freq),
+                     "term").drop("__df")
+    tf = tf.withColumn(
+        "n2", F.sum(F.col("tf") * F.col("tf")).over(
+            Window.partitionBy("d")))
+    a = tf.select(F.col("d").alias("doc_a"), "term",
+                  F.col("tf").alias("tf_a"), F.col("n2").alias("n2_a"))
+    b = tf.select(F.col("d").alias("doc_b"), "term",
+                  F.col("tf").alias("tf_b"), F.col("n2").alias("n2_b"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n2_a", "n2_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double"))
+           * F.sqrt(F.col("n2_b").cast("double"))), 6)
+    return (
+        dots.select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
