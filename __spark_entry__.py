@@ -4143,6 +4143,18 @@ def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "hub_units", "auth_units")
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (Liben-Nowell & Kleinberg 2003) on
+    the 300-node functional link graph: candidate non-edges scored by
+    common-neighbor count, Jaccard, and preferential attachment — all
+    integer arithmetic except one per-row rounded division; oracle =
+    the identical wedge self-join + anti-join spelled in SQL."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.link_prediction(_link_fixture_edges(spark)).select(
+        "a", "b", "cn", "deg_a", "deg_b", "jaccard", "pref_attach")
+
+
 def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearblack (nearblack_lib.cpp): the border-connected near-black
     collar zeroes; the interior near-black blob survives."""
@@ -7547,6 +7559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "harmonic_centrality": q_harmonic,
         "salsa_scores": q_salsa,
+        "link_prediction": q_link_prediction,
         "hgt_cells": q_hgt_cells,
         "hilbert_keys": q_hilbert_keys,
         "gtiff_export": q_gtiff_export,
@@ -14257,6 +14270,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT sh4.node, sh4.h AS hub_units, sa3.a AS auth_units
         FROM sh4 JOIN sa3 USING (node)
     """)
+
+    # link_prediction: identical wedge self-join on the symmetrized
+    # functional graph + NOT EXISTS anti-join; all-integer except one
+    # per-row round(cn / (deg_a + deg_b - cn), 6) on an exact int ratio
+    # with denominator < 600 (no representable half-ulp ties).
+    sqls["link_prediction"] = """
+        WITH e0 AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        ),
+        sym AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM e0 WHERE u <> v
+            UNION ALL
+            SELECT v AS u, u AS v FROM e0 WHERE u <> v
+          )
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+        pairs AS (
+          SELECT x.v AS a, y.v AS b, count(*) AS cn
+          FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+          GROUP BY x.v, y.v
+          HAVING count(*) >= 2
+        ),
+        ne AS (
+          SELECT p.a, p.b, p.cn FROM pairs p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sym s WHERE s.u = p.a AND s.v = p.b)
+        )
+        SELECT CAST(ne.a AS BIGINT) AS a, CAST(ne.b AS BIGINT) AS b,
+               CAST(ne.cn AS BIGINT) AS cn,
+               CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+               round(CAST(ne.cn AS DOUBLE) / (da.d + db.d - ne.cn), 6)
+                 AS jaccard,
+               CAST(da.d * db.d AS BIGINT) AS pref_attach
+        FROM ne JOIN deg da ON da.node = ne.a
+                JOIN deg db ON db.node = ne.b
+    """
 
     # pagerank: the same integer fixed-point power iteration unrolled as
     # a CTE chain (floor divisions via //, int64 sums — order-free).

@@ -143,3 +143,36 @@ def test_salsa_partition_invariance(spark):
     a = GG.salsa(edges).collect()
     b = GG.salsa(edges.repartition(13)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# square 1-2-3-4 with diagonal 1-3, pendant 5 on 4:
+#   N(1)={2,3,4} N(2)={1,3} N(3)={1,2,4} N(4)={1,3,5} N(5)={4}
+LP_EDGES = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (4, 5)]
+
+
+def test_link_prediction_square_diagonal(spark):
+    e = spark.createDataFrame(LP_EDGES, "u long, v long")
+    rows = GG.link_prediction(e).collect()
+    assert len(rows) == 1  # only (2,4) has >= 2 common neighbors
+    r = rows[0]
+    assert (r["a"], r["b"], r["cn"]) == (2, 4, 2)  # via 1 and 3
+    assert (r["deg_a"], r["deg_b"]) == (2, 3)
+    assert r["jaccard"] == pytest.approx(round(2 / 3, 6))
+    assert r["pref_attach"] == 6
+
+
+def test_link_prediction_min_common_and_dupes(spark):
+    # duplicated / reversed / self-loop edges collapse in the
+    # symmetrize-distinct; min_common=1 admits the pendant wedges
+    e = spark.createDataFrame(
+        LP_EDGES + [(2, 1), (4, 3), (4, 5), (5, 5)], "u long, v long")
+    got = {(r["a"], r["b"]): r["cn"]
+           for r in GG.link_prediction(e, min_common=1).collect()}
+    assert got == {(2, 4): 2, (1, 5): 1, (3, 5): 1}
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    # cap 2 removes wedges through the degree-3 nodes 1, 3, 4; the
+    # surviving wedge midpoints (2, 5) only generate existing edges
+    e = spark.createDataFrame(LP_EDGES, "u long, v long")
+    assert GG.link_prediction(e, min_common=1, hub_cap=2).count() == 0
