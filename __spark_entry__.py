@@ -2901,6 +2901,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.ngram_lm_perplexity(d, k=0.5)
 
 
+def q_kn_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM table (Kneser & Ney 1995,
+    Chen & Goodman 1999) — the model KenLM trains for the CCNet
+    perplexity filter: exact int64 bigram/prefix/continuation-type
+    counts plus the one-expression discounted probability. min_count=2
+    bounds the output to recurring bigram types."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.kneser_ney_bigram(d, discount=0.75, min_count=2)
+
+
 def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn mod-10 validation of card-number candidates (the precision
     pass after redact_pii's regex): 16-digit strings synthesized from
@@ -7450,6 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "kn_lm_table": q_kn_lm_table,
         "ccnet_buckets": q_ccnet_buckets,
         "pii_luhn": q_pii_luhn,
         "pii_iban": q_pii_iban,
@@ -12338,6 +12349,40 @@ def oracle_sql() -> dict[str, str]:
                round(-s / (nb * 1000000.0), 6) AS cross_entropy,
                round(exp(round(-s / (nb * 1000000.0), 6)), 6) AS ppl
         FROM n LEFT JOIN s USING (doc_id)
+    """
+
+    # kn_lm_table: the identical interpolated Kneser-Ney expression over
+    # the same exact-integer count tables — every operand is an int64
+    # count, D=0.75 is dyadic, and the probability is ONE fixed-order
+    # IEEE double expression in both engines (greatest(c2-D,0)/c1 +
+    # (D*n1_fwd/c1)*(n1_bwd/Ntypes)), so equality is bitwise before the
+    # single shared round(..., 9).
+    sqls["kn_lm_table"] = r"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        n AS (SELECT toks, len(toks) AS nt FROM t WHERE len(toks) >= 2),
+        bg AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(range(1, nt)) AS i FROM n)
+        ),
+        ty AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        pre AS (SELECT w1, sum(c2) AS c1, count(*) AS n1_fwd
+                FROM ty GROUP BY w1),
+        post AS (SELECT w2, count(*) AS n1_bwd FROM ty GROUP BY w2),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS ntypes FROM ty)
+        SELECT ty.w1, ty.w2,
+               CAST(ty.c2 AS BIGINT) AS c2,
+               CAST(pre.c1 AS BIGINT) AS c1,
+               CAST(pre.n1_fwd AS BIGINT) AS n1_fwd,
+               CAST(post.n1_bwd AS BIGINT) AS n1_bwd,
+               round(greatest(ty.c2 - 0.75, 0.0) / pre.c1
+                     + (0.75 * pre.n1_fwd / pre.c1)
+                       * (post.n1_bwd / tot.ntypes), 9) AS p_kn
+        FROM ty JOIN pre USING (w1) JOIN post USING (w2), tot
+        WHERE ty.c2 >= 2
     """
 
     # soundex_keys: the oracle is the PUBLISHED code table (external

@@ -2018,3 +2018,87 @@ def heaps_law(
         F.round(beta, 6).alias("beta"),
         F.round(ln_k, 6).alias("ln_k"),
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    discount: float = 0.75,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM table over the corpus — the
+    model KenLM actually trains for the CCNet perplexity filter
+    (Wenzek et al. 2020; Kneser & Ney 1995, Chen & Goodman 1999), where
+    :func:`ngram_lm_perplexity` stands in with add-k smoothing.
+
+    Per bigram type (w1, w2):
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 •)
+                      + D * N1+(w1 •) / c(w1 •) * N1+(• w2) / N1+(• •)
+
+    with fixed discount ``D`` (0.75, Chen & Goodman's heuristic; exact
+    dyadic so c2 - D is exact), c(w1 •) the bigram-prefix count (NOT the
+    unigram token count — they differ at document ends), N1+(w1 •) /
+    N1+(• w2) the distinct-continuation / distinct-history type counts,
+    and N1+(• •) the total number of bigram types. Every input is an
+    exact int64 count; the probability is one fixed-order IEEE double
+    expression, identical in the DuckDB oracle, rounded once.
+
+    Output: (w1, w2, c2, c1, n1_fwd, n1_bwd, p_kn) for bigram types with
+    c2 >= min_count (counts over the FULL corpus either way).
+
+    Scale: one bigram explode feeding four map-side-combinable count
+    aggregations (two of them keyed groupBys, one keys-only distinct
+    count, one 1-row total), then equi-joins back on the gram keys —
+    AQE broadcasts the type-count sides when small. No Python anywhere.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(toks.alias("__t")).where(F.size("__t") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 2),
+                lambda i: F.struct(
+                    F.element_at("__t", i + 1).alias("w1"),
+                    F.element_at("__t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    types = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    types = types.persist()
+    pre = types.groupBy("w1").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    post = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    n_types = types.count()  # N1+(• •), exact integer in both engines
+    d = float(discount)
+    p_kn = (
+        F.greatest(F.col("c2") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + (F.lit(d) * F.col("n1_fwd") / F.col("c1"))
+        * (F.col("n1_bwd") / F.lit(float(n_types)))
+    )
+    try:
+        out = (
+            types.join(pre, "w1")
+            .join(post, "w2")
+            .where(F.col("c2") >= int(min_count))
+            .select(
+                "w1", "w2",
+                F.col("c2").cast("long").alias("c2"),
+                F.col("c1").cast("long").alias("c1"),
+                F.col("n1_fwd").cast("long").alias("n1_fwd"),
+                F.col("n1_bwd").cast("long").alias("n1_bwd"),
+                F.round(p_kn, round_decimals).alias("p_kn"),
+            )
+            .localCheckpoint()  # pin before dropping the cached types
+        )
+    finally:
+        types.unpersist()
+    return out
