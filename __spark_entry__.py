@@ -2911,6 +2911,14 @@ def q_kn_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.kneser_ney_bigram(d, discount=0.75, min_count=2)
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): per-document top-3
+    stopword-delimited phrases by summed deg/freq word scores, all
+    ranking arithmetic in quantized int64 micro-units."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.rake_keywords(d, top_n=3)
+
+
 def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn mod-10 validation of card-number candidates (the precision
     pass after redact_pii's regex): 16-digit strings synthesized from
@@ -7461,6 +7469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
         "kn_lm_table": q_kn_lm_table,
+        "rake_keywords": q_rake_keywords,
         "ccnet_buckets": q_ccnet_buckets,
         "pii_luhn": q_pii_luhn,
         "pii_iban": q_pii_iban,
@@ -12384,6 +12393,71 @@ def oracle_sql() -> dict[str, str]:
         FROM ty JOIN pre USING (w1) JOIN post USING (w2), tot
         WHERE ty.c2 >= 2
     """
+
+    # rake_keywords: the identical per-document phrase segmentation
+    # (punctuation -> sentinel, stopword breaks, running break-count as
+    # phrase id), exact int64 deg/freq counts, the same one-division
+    # micro-unit quantization, integer phrase sums, and the same
+    # (score desc, phrase asc) binary-collation tie-break.
+    _rake_stops = ", ".join(f"'{s}'" for s in TXT.RAKE_STOPWORDS)
+    sqls["rake_keywords"] = r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(
+                   regexp_replace(lower(text),
+                     '[^a-z0-9''\s]+', ' § ', 'g'), '\s+'),
+                 x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok0 AS (
+          SELECT doc_id, i, toks[i] AS tok,
+                 (toks[i] = '§' OR toks[i] IN (__STOPS__)) AS brk
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                FROM t)
+        ),
+        tok1 AS (
+          -- window BEFORE the filter: SQL evaluates WHERE first, which
+          -- would drop the break rows the running sum needs
+          SELECT doc_id, i, tok, brk,
+                 sum(CASE WHEN brk THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS pid
+          FROM tok0
+        ),
+        tok AS (SELECT doc_id, i, tok, pid FROM tok1 WHERE NOT brk),
+        plen AS (SELECT doc_id, pid, count(*) AS plen
+                 FROM tok GROUP BY doc_id, pid),
+        words AS (SELECT tok.*, plen.plen
+                  FROM tok JOIN plen USING (doc_id, pid)),
+        wstat AS (
+          SELECT doc_id, tok,
+                 CAST(round(sum(plen) / count(*) * 1000000.0) AS BIGINT)
+                   AS wscore
+          FROM words GROUP BY doc_id, tok
+        ),
+        phr AS (
+          SELECT w.doc_id, w.pid,
+                 string_agg(w.tok, ' ' ORDER BY w.i) AS phrase,
+                 count(*) AS n_words,
+                 sum(s.wscore) AS score_micro
+          FROM words w JOIN wstat s USING (doc_id, tok)
+          GROUP BY w.doc_id, w.pid
+        ),
+        uniq AS (
+          SELECT doc_id, phrase, max(n_words) AS n_words,
+                 count(*) AS n_occ, max(score_micro) AS score_micro
+          FROM phr GROUP BY doc_id, phrase
+        )
+        SELECT doc_id, phrase,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(score_micro AS BIGINT) AS score_micro,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_micro DESC, phrase) AS rank
+          FROM uniq)
+        WHERE rank <= 3
+    """.replace("__STOPS__", _rake_stops)
 
     # soundex_keys: the oracle is the PUBLISHED code table (external
     # ground truth), with the same name synthesis spelled in SQL.

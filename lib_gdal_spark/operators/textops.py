@@ -2102,3 +2102,111 @@ def kneser_ney_bigram(
     finally:
         types.unpersist()
     return out
+
+
+# The classic function-word stoplist RAKE splits candidate phrases on
+# (Rose et al. 2010 use the Fox 1989 stoplist; this is the high-frequency
+# core — the operator takes any list, this is just the default).
+RAKE_STOPWORDS = (
+    "a about above after again all am an and any are as at be because been"
+    " before being below between both but by could did do does doing down"
+    " during each few for from further had has have having he her here hers"
+    " him his how i if in into is it its just me more most my no nor not of"
+    " off on once only or other our out over own same she should so some"
+    " such than that the their them then there these they this those"
+    " through to too under until up very was we were what when where which"
+    " while who whom why will with would you your"
+).split()
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: list[str] | None = None,
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword/punctuation-free token runs;
+    each word scores deg(w)/freq(w) within the document (deg = summed
+    length of the phrases containing w, freq = occurrence count); a
+    phrase scores the sum of its words' scores; the per-document top-N
+    phrases are the keywords.
+
+    Determinism contract: deg and freq are exact int64 counts; each
+    word score is quantized to round(deg/freq * 1e6) micro-units (one
+    IEEE division + multiply, identical in the oracle) and phrase
+    scores are SUMMED IN INTEGERS, so aggregation order cannot perturb
+    the ranking; ties break on the phrase string (ASCII-binary in both
+    engines) so row_number is reproducible.
+
+    Output: (id, phrase, n_words, n_occ, score_micro, rank), rank 1..N
+    per document by (score desc, phrase asc); duplicate phrase texts
+    collapse to one row carrying their occurrence count.
+
+    Scale: everything is per-document — the phrase-id window, the two
+    count groupBys, and the rank window all partition on the doc id, so
+    there is no corpus-wide hot key; shuffles carry (id, token) /
+    (id, phrase) keys only. No Python anywhere.
+    """
+    stops = RAKE_STOPWORDS if stopwords is None else list(stopwords)
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)),
+                             r"[^a-z0-9'\s]+", " § "),
+            r"\s+",
+        ),
+        lambda x: x != F.lit(""),
+    )
+    tok = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(toks).alias("i", "tok"))
+    )
+    brk = F.col("tok").isin(*stops) | (F.col("tok") == "§")
+    w = Window.partitionBy("id").orderBy("i")
+    tok = tok.select(
+        "id", "i", "tok",
+        F.sum(brk.cast("int")).over(w).alias("pid"),
+        brk.alias("brk"),
+    ).where(~F.col("brk"))
+    plen = tok.groupBy("id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    words = tok.join(plen, ["id", "pid"])
+    wstat = words.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "id", "tok",
+        F.round(F.col("deg") / F.col("freq") * 1e6)
+         .cast("long").alias("wscore"),
+    )
+    phrases = (
+        words.join(wstat, ["id", "tok"])
+        .groupBy("id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ), " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wscore").alias("score_micro"),
+        )
+    )
+    uniq = phrases.groupBy("id", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    rw = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase"))
+    return (
+        uniq.select(
+            F.col("id").alias(id_col), "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+            F.row_number().over(rw).alias("rank"),
+        )
+        .where(F.col("rank") <= int(top_n))
+    )
