@@ -442,6 +442,14 @@ def _dem_pixels(spark: SparkSession, op: str, round_to: int | None) -> DataFrame
     return ex.select("px", "py", val.alias(op))
 
 
+def q_dem_insolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily potential direct-beam insolation (r.sun mode-1 analog, no
+    cast shadows): 12 hour-angle steps at lat 45 / June-solstice
+    declination, each max(0, incidence) quantized to int64 nano-units
+    and integer-summed, scaled to cos-weighted hours."""
+    return _dem_pixels(spark, "insolation", round_to=6)
+
+
 def q_dem_curv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zevenbergen & Thorne 1987 profile curvature (eq. 14) — curvature
     along the slope line; oracle spells the partial-quadric
@@ -7417,6 +7425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": q_flow_accumulation,
         "fill_sinks": q_fill_sinks,
         "dem_twi": q_dem_twi,
+        "dem_insolation": q_dem_insolation,
         "strahler_order": q_strahler_order,
         "translate_auto": q_translate_auto,
         "warp_tps": q_warp_tps,
@@ -8474,6 +8483,41 @@ def oracle_sql() -> dict[str, str]:
         "  * cos(radians(315.0) - pi() / 2.0 - atan2(dzdy, -dzdx))) END + 0.5) "
         "AS BIGINT) AS hillshade"
     )
+
+    # dem_insolation: the same 12-step hour-angle integration with the
+    # per-step solar ENU scalars precomputed by the IDENTICAL numpy
+    # expressions the kernel uses (repr-inlined doubles), so the only
+    # cross-engine trig left is sin/cos/atan/atan2/sqrt over pixel
+    # values — the functions dem_hillshade already proves bit-equal;
+    # per-step contributions are int64 nano-units summed inline
+    # (integer addition, order-free).
+    _ins_terms = []
+    _ins_phi = np.radians(45.0)
+    _ins_d = np.radians(23.439281)
+    for _t in range(12):
+        _h = -np.pi + (_t + 0.5) * (2.0 * np.pi / 12)
+        _e = np.cos(_ins_d) * np.sin(_h)
+        _nn = (np.cos(_ins_phi) * np.sin(_ins_d)
+               - np.sin(_ins_phi) * np.cos(_ins_d) * np.cos(_h))
+        _u = (np.sin(_ins_phi) * np.sin(_ins_d)
+              + np.cos(_ins_phi) * np.cos(_ins_d) * np.cos(_h))
+        if _u <= 0.0:
+            continue
+        _ct = np.sqrt(1.0 - _u * _u)
+        _azm = np.arctan2(_e, _nn) - np.pi / 2.0
+        _ins_terms.append(
+            f"CAST(floor(greatest({float(_u)!r} * cos(s) + {float(_ct)!r}"
+            f" * sin(s) * cos({float(_azm)!r} - a), 0.0)"
+            " * 1000000000.0 + 0.5) AS BIGINT)")
+    sqls["dem_insolation"] = f"""
+        WITH b AS ({_dem_oracle(
+            "atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS s, "
+            "atan2(dzdy, -dzdx) AS a")})
+        SELECT px, py,
+               round(({" + ".join(_ins_terms)})
+                     * 2.0 / 1000000000.0, 6) AS insolation
+        FROM b
+    """
 
     import math as _mm
     _trig = ("(atan2(((g + 2.0 * h + i) - (a + 2.0 * b + c)), "

@@ -378,6 +378,52 @@ def flowdir_kernel(arr, ewres, nsres):
     return np.where(best <= 0.0, 0.0, out)
 
 
+def insolation_kernel(arr, ewres, nsres, z=1.0, scale=1.0,
+                      lat=45.0, decl=23.439281, n_steps=12):
+    """Daily potential direct-beam insolation index (the r.sun-style
+    clear-sky integration, WITHOUT cast shadows — the horizon-shadow
+    variant needs a long-range halo like viewshed; this is the
+    slope/aspect-only "potential" product GRASS calls mode 1).
+
+    For each of ``n_steps`` hour angles H_t = -pi + (t+0.5)*2pi/n the
+    sun's ENU direction at latitude ``lat`` with declination ``decl``
+    is E = cos d sin H, N = cos(lat) sin d - sin(lat) cos d cos H,
+    U = sin(lat) sin d + cos(lat) cos d cos H (U = cos of the zenith
+    angle = sin of solar altitude). Daylight steps (U > 0) contribute
+    the hillshade incidence expression with sin(alt) = U:
+
+        cang_t = U cos S + sqrt(1 - U^2) sin S cos(azm_t - A)
+
+    over the Horn slope S and math-convention aspect A, where azm_t =
+    atan2(E, N) - pi/2 (hillshade's own azimuth offset). Contributions
+    max(0, cang_t) are quantized to int64 nano-units and SUMMED IN
+    INTEGERS (order-free, the lm_perplexity contract), then scaled to
+    cos-incidence-weighted HOURS: insol = sum * (24/n) / 1e9. Multiply
+    by the solar constant and an atmospheric transmittance outside the
+    operator for physical W·h/m².
+    """
+    dzdx, dzdy = _horn(arr, ewres, nsres)
+    slope = np.arctan(z * np.sqrt(dzdx**2 + dzdy**2) / scale)
+    aspect = np.arctan2(dzdy, -dzdx)
+    phi = np.radians(lat)
+    d = np.radians(decl)
+    acc = np.zeros(slope.shape, dtype=np.int64)
+    for t in range(n_steps):
+        h = -np.pi + (t + 0.5) * (2.0 * np.pi / n_steps)
+        e = np.cos(d) * np.sin(h)
+        nn = np.cos(phi) * np.sin(d) - np.sin(phi) * np.cos(d) * np.cos(h)
+        u = np.sin(phi) * np.sin(d) + np.cos(phi) * np.cos(d) * np.cos(h)
+        if u <= 0.0:
+            continue  # sun below the horizon plane: no direct beam
+        ct = np.sqrt(1.0 - u * u)
+        azm = np.arctan2(e, nn) - np.pi / 2.0
+        cang = u * np.cos(slope) + ct * np.sin(slope) * np.cos(azm - aspect)
+        q = np.floor(np.maximum(cang, 0.0) * 1e9 + 0.5)
+        acc += np.where(np.isfinite(q), q, 0.0).astype(np.int64)
+    out = acc.astype(np.float64) * (24.0 / n_steps) / 1e9
+    return np.where(np.isnan(slope), np.nan, out)
+
+
 KERNELS = {
     "slope": slope_kernel,
     "aspect": aspect_kernel,
@@ -398,6 +444,7 @@ KERNELS = {
     "curv_profile": curvature_profile_kernel,
     "curv_plan": curvature_plan_kernel,
     "curv_total": curvature_total_kernel,
+    "insolation": insolation_kernel,
 }
 
 

@@ -32,7 +32,7 @@ def _assemble(rows, h, w, tile):
                                 "aspect_zt", "hillshade_combined",
                                 "hillshade_multidirectional",
                                 "hillshade_igor", "curv_profile",
-                                "curv_plan", "curv_total"])
+                                "curv_plan", "curv_total", "insolation"])
 def test_dem_matches_single_array(spark, world_tiles, op):
     tiles, arr, gt = world_tiles
     got_rows = D.dem_op(tiles, op).collect()
