@@ -958,6 +958,60 @@ def q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("in_fid", "m_fid", F.round("area", 6).alias("area"))
 
 
+def _areal_layers(spark: SparkSession, sf_dir: str):
+    """Source boxes (4x3 deg around the event points, val = pid%97+1)
+    and the 3 METHOD_BOXES target zones for areal interpolation."""
+    from collections.abc import Iterator as _It
+
+    pts = _points(spark, sf_dir)
+
+    def boxes(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["pid"], b["lon"], b["lat"]):
+                ring = G.box_ring(lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
+                rows.append({"fid": pid, "geom_wkb": G.wkb_polygon([ring]),
+                             "val": float(int(pid) % 97 + 1)})
+            yield pd.DataFrame(rows, columns=["fid", "geom_wkb", "val"])
+
+    source = pts.mapInPandas(
+        boxes, schema="fid long, geom_wkb binary, val double")
+    target = local_df(
+        spark,
+        [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])))
+         for mid, bb in METHOD_BOXES.items()],
+        "fid long, geom_wkb binary",
+    )
+    return source, target
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extensive areal interpolation (mass-preserving attribute transfer
+    between incongruent zone layers; the rasterize->zonal-stats composition
+    in the reference done as ONE overlay): per-piece contributions
+    integer-quantized at 1e-6 so the distributed sum is order-exact."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    source, target = _areal_layers(spark, sf_dir)
+    # unit 1/(12e6): extensive contributions are val*overlap/12 with
+    # overlap on the 1e-6 decimal lattice, so ideal values are exact
+    # multiples of this unit — no rounding ties between engines
+    out = LA.areal_interpolate(source, target, ["val"], res=5,
+                               mode="extensive", quantize=1.0 / 12e6)
+    return out.select("fid", F.round("val", 6).alias("val"))
+
+
+def q_areal_interp_intensive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensive areal interpolation: piece-area-weighted mean of a
+    density attribute onto the target zones (same quantized-int64 sums)."""
+    from lib_gdal_spark.operators import layer_algebra as LA
+
+    source, target = _areal_layers(spark, sf_dir)
+    out = LA.areal_interpolate(source, target, ["val"], res=5,
+                               mode="intensive", quantize=1e-6)
+    return out.select("fid", F.round("val", 6).alias("val"))
+
+
 def _q_warp_stat(alg: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles = RS.fixture_rasters(spark)
@@ -7307,6 +7361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_invert": q_rasterize_invert,
         "contour_crossings": q_contour_crossings,
         "layer_intersection": q_layer_intersection,
+        "areal_interp": q_areal_interp,
+        "areal_interp_intensive": q_areal_interp_intensive,
         "polygon_neighbors": q_polygon_neighbors,
         "layer_erase": q_layer_erase,
         "pansharpen": q_pansharpen,
@@ -8118,6 +8174,44 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["layer_intersection"] = (
         f"WITH pts AS ({_POINTS_SQL}) " + " UNION ALL ".join(box_parts)
+    )
+
+    # areal interpolation: same box-overlap closed form; contributions are
+    # snapped to the 1/(12e6) lattice (extensive: val*overlap/12 with
+    # overlap a 6-decimal lattice value, so ideal contributions are exact
+    # integer multiples of the unit — floor(x/u + 0.5) never sits on a tie)
+    # and summed as exact int64 in BOTH engines.
+    u_ext = repr(1.0 / 12e6)
+    ai_ext, ai_num, ai_den = [], [], []
+    for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():
+        ov = (f"((least(lon + 2.0, {mxx!r}) - greatest(lon - 2.0, {mnx!r}))"
+              f" * (least(lat + 1.5, {mxy!r}) - greatest(lat - 1.5, {mny!r})))")
+        cond = (f"least(lon + 2.0, {mxx!r}) > greatest(lon - 2.0, {mnx!r}) "
+                f"AND least(lat + 1.5, {mxy!r}) > greatest(lat - 1.5, {mny!r})")
+        srcarea = ("(((lon + 2.0) - (lon - 2.0)) * "
+                   "((lat + 1.5) - (lat - 1.5)))")
+        val = "CAST(pid % 97 + 1 AS DOUBLE)"
+        ai_ext.append(
+            f"SELECT CAST({mid} AS BIGINT) AS fid, "
+            f"CAST(floor({val} * {ov} / {srcarea} / {u_ext} + 0.5) AS BIGINT)"
+            f" AS q FROM pts WHERE {cond}")
+        ai_num.append(
+            f"SELECT CAST({mid} AS BIGINT) AS fid, "
+            f"CAST(floor({val} * {ov} / 1e-06 + 0.5) AS BIGINT) AS qn, "
+            f"CAST(floor({ov} / 1e-06 + 0.5) AS BIGINT) AS qd "
+            f"FROM pts WHERE {cond}")
+    sqls["areal_interp"] = (
+        f"WITH pts AS ({_POINTS_SQL}), "
+        f"c AS ({' UNION ALL '.join(ai_ext)}) "
+        f"SELECT fid, round(CAST(sum(q) AS DOUBLE) * {u_ext}, 6) AS val "
+        f"FROM c GROUP BY fid"
+    )
+    sqls["areal_interp_intensive"] = (
+        f"WITH pts AS ({_POINTS_SQL}), "
+        f"c AS ({' UNION ALL '.join(ai_num)}) "
+        f"SELECT fid, round((CAST(sum(qn) AS DOUBLE) * 1e-06) / "
+        f"(CAST(sum(qd) AS DOUBLE) * 1e-06), 6) AS val "
+        f"FROM c GROUP BY fid"
     )
 
     # pansharpen oracle: bands are closed forms; weight literal is the repr

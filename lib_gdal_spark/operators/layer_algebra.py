@@ -436,3 +436,89 @@ def polygon_neighbors(layer: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_edges"),
              F.round(F.sum(length), 9).alias("shared_len"))
     )
+
+
+def layer_areas(layer: DataFrame, fid_col: str = "fid") -> DataFrame:
+    """(fid, geom_area): even-odd normalized polygon area per feature
+    (OGR_G_Area / ``core/ogr/ogrsurface.cpp`` get_Area analog), as an
+    Arrow-batched narrow map — no shuffle."""
+    def areas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [(int(fid), _normalize_area(bytes(wkb))[1])
+                    for fid, wkb in zip(b[fid_col], b["geom_wkb"])]
+            yield pd.DataFrame(rows, columns=["fid", "geom_area"])
+
+    return layer.select(F.col(fid_col).alias(fid_col), "geom_wkb") \
+                .mapInPandas(areas, schema="fid long, geom_area double")
+
+
+def areal_interpolate(
+    source: DataFrame,
+    target: DataFrame,
+    value_cols: list[str],
+    res: int = 6,
+    mode: str = "extensive",
+    quantize: float | None = None,
+) -> DataFrame:
+    """Area-weighted areal interpolation: transfer attribute values from
+    ``source`` zones onto an incongruent ``target`` zone layer (the
+    gdal_rasterize -> zonal-stats composition users run in the reference;
+    one distributed overlay here instead of a raster detour).
+
+    ``mode='extensive'`` (counts, totals): each intersection piece carries
+    ``value * piece_area / source_area``; target value is the sum — mass
+    within covered regions is conserved. ``mode='intensive'`` (densities,
+    rates): target value is the piece-area-weighted mean.
+
+    Scale shape: rides :func:`intersection` (cell-cover equi-join, method
+    side broadcast, exact clip in Arrow batches) plus one combinable
+    groupBy on the target fid — the big source table never shuffles
+    beyond its covering cells, and the result is O(|target|).
+
+    ``quantize`` (e.g. ``1e-6``): per-piece contributions are snapped to
+    that unit and summed as exact int64, making the result bit-identical
+    under any partitioning / AQE re-plan — the property every oracle and
+    restart-resume check in this repo leans on. ``None`` sums raw doubles.
+
+    Returns (fid, <value_cols...>) — one row per target zone that
+    intersects any source feature.
+    """
+    if mode not in ("extensive", "intensive"):
+        raise ValueError(f"mode must be extensive|intensive, got {mode!r}")
+    pieces = intersection(source, target, res=res) \
+        .select("in_fid", "m_fid", "area")
+    src = source.select(F.col("fid").alias("in_fid"),
+                        *[F.col(c).cast("double").alias(c)
+                          for c in value_cols])
+    if mode == "extensive":
+        src = src.join(
+            layer_areas(source).select(F.col("fid").alias("in_fid"),
+                                       "geom_area"),
+            "in_fid")
+    j = pieces.join(src, "in_fid")
+
+    def contrib(c: str):
+        if mode == "extensive":
+            return F.col(c) * F.col("area") / F.col("geom_area")
+        return F.col(c) * F.col("area")
+
+    if quantize is not None:
+        unit = float(quantize)
+        aggs = [
+            (F.sum(F.floor(contrib(c) / unit + F.lit(0.5)).cast("long"))
+             * unit).alias(c)
+            for c in value_cols
+        ]
+        wsum = (F.sum(F.floor(F.col("area") / unit + F.lit(0.5))
+                      .cast("long")) * unit)
+    else:
+        aggs = [F.sum(contrib(c)).alias(c) for c in value_cols]
+        wsum = F.sum("area")
+    out = j.groupBy(F.col("m_fid").alias("fid")).agg(*aggs,
+                                                     wsum.alias("_w"))
+    if mode == "intensive":
+        out = out.select(
+            "fid", *[(F.col(c) / F.col("_w")).alias(c) for c in value_cols])
+    else:
+        out = out.drop("_w")
+    return out

@@ -154,3 +154,62 @@ class TestPolygonNeighbors:
             pd.DataFrame(rows, columns=["fid", "geom_wkb"]),
             schema="fid long, geom_wkb binary")
         assert polygon_neighbors(layer).count() == 0
+
+
+class TestArealInterpolate:
+    """Area-weighted areal interpolation vs analytic expectations."""
+
+    def _layers(self, spark):
+        # two 10x10 source zones side by side; one 10x10 target zone
+        # straddling them half-and-half
+        src = spark.createDataFrame(
+            [(1, bytearray(G.wkb_polygon([G.box_ring(0, 0, 10, 10)])), 100.0, 4.0),
+             (2, bytearray(G.wkb_polygon([G.box_ring(10, 0, 20, 10)])), 60.0, 8.0)],
+            "fid long, geom_wkb binary, pop double, density double",
+        ).coalesce(1)
+        tgt = spark.createDataFrame(
+            [(7, bytearray(G.wkb_polygon([G.box_ring(5, 0, 15, 10)])))],
+            "fid long, geom_wkb binary",
+        ).coalesce(1)
+        return src, tgt
+
+    def test_extensive_mass_transfer(self, spark):
+        src, tgt = self._layers(spark)
+        out = LA.areal_interpolate(src, tgt, ["pop"], res=4).collect()
+        assert len(out) == 1
+        # half of each source zone overlaps: 100*0.5 + 60*0.5 = 80
+        assert out[0]["fid"] == 7
+        assert out[0]["pop"] == pytest.approx(80.0)
+
+    def test_intensive_weighted_mean(self, spark):
+        src, tgt = self._layers(spark)
+        out = LA.areal_interpolate(src, tgt, ["density"], res=4,
+                                   mode="intensive").collect()
+        # equal-area pieces -> plain mean of 4 and 8
+        assert out[0]["density"] == pytest.approx(6.0)
+
+    def test_extensive_conserves_total_mass(self, spark):
+        # targets that tile the full source extent: total mass conserved
+        src, _ = self._layers(spark)
+        tgt = spark.createDataFrame(
+            [(i, bytearray(G.wkb_polygon(
+                [G.box_ring(i * 5.0, 0, i * 5.0 + 5.0, 10)])))
+             for i in range(4)],
+            "fid long, geom_wkb binary",
+        ).coalesce(1)
+        out = LA.areal_interpolate(src, tgt, ["pop"], res=4).toPandas()
+        assert len(out) == 4
+        assert out["pop"].sum() == pytest.approx(160.0)
+
+    def test_quantized_partition_invariance(self, spark):
+        src, tgt = self._layers(spark)
+        a = LA.areal_interpolate(src, tgt, ["pop"], res=4,
+                                 quantize=1e-6).collect()[0]["pop"]
+        b = LA.areal_interpolate(src.repartition(7), tgt, ["pop"], res=4,
+                                 quantize=1e-6).collect()[0]["pop"]
+        assert a == b  # bit-identical under re-partitioning
+
+    def test_bad_mode_raises(self, spark):
+        src, tgt = self._layers(spark)
+        with pytest.raises(ValueError):
+            LA.areal_interpolate(src, tgt, ["pop"], mode="nope")
