@@ -7202,6 +7202,38 @@ def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_gi_star(_stat_cells(spark, sf_dir), queen=True)
 
 
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C (Geary 1954; Cliff & Ord 1981 normality moments)
+    over the 10-degree lattice cell counts, queen contiguity — the
+    local-difference complement to Moran's I. The pair numerator
+    sum_w (xi-xj)^2 is an exact int64 aggregate; one final float
+    expression the oracle spells identically (bit-level match)."""
+    from lib_gdal_spark.operators.spatialstats import gearys_c
+
+    return gearys_c(_stat_cells(spark, sf_dir), queen=True)
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA; Anselin 1995) per occupied cell with
+    randomization moments and HH/LL/HL/LH quadrant labels. nsum/deg are
+    int64 join-aggregates; the global kurtosis b2 comes from raw int64
+    power sums; one float expression per row, oracle-identical."""
+    from lib_gdal_spark.operators.spatialstats import local_moran
+
+    return local_moran(_stat_cells(spark, sf_dir), queen=True)
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981) for the binary
+    odd-count indicator over lattice cells: BB/BW/WW joins plus the
+    free-sampling z for BB. All counts exact int64."""
+    from lib_gdal_spark.operators.spatialstats import join_counts
+
+    cells = _stat_cells(spark, sf_dir).select(
+        "gx", "gy", (F.col("x") % 2).alias("x"))
+    return join_counts(cells, queen=True)
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emerging-hotspot classification (space-time Gi* per day x
     Mann-Kendall trend, the documented 7-category simplification of the
@@ -7650,6 +7682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtiff_export": q_gtiff_export,
         "georss_items": q_georss_items,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
+        "local_moran": q_local_moran,
+        "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
         "mann_kendall": q_mann_kendall,
         "emerging_hotspots": q_emerging_hotspots,
@@ -17193,6 +17228,81 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(sxx/n - (sx/n)*(sx/n))
                    * sqrt((n*w_i - w_i*w_i) / (n - 1.0))), 9) AS gi_star
         FROM per, g
+    """
+
+    sqls["gearys_c"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx FROM cells),
+        p AS (SELECT COUNT(*) AS s0, SUM((xi-xj)*(xi-xj)) AS sdd FROM pairs),
+        d AS (SELECT SUM(deg*deg) AS sdeg2 FROM
+              (SELECT gx, gy, COUNT(*) AS deg FROM pairs GROUP BY 1, 2))
+        SELECT n AS n_cells, s0,
+          round((n - 1.0) * sdd
+                / (2.0 * s0 * (sxx - n*(sx/n)*(sx/n))), 10) AS geary_c,
+          round(((n - 1.0) * sdd
+                 / (2.0 * s0 * (sxx - n*(sx/n)*(sx/n))) - 1.0)
+                / sqrt(((2.0*(2.0*s0) + 4.0*sdeg2) * (n - 1.0)
+                        - 4.0*s0*s0)
+                       / (2.0 * (n + 1.0) * s0 * s0)), 8) AS z_norm
+        FROM g, p, d
+    """
+    sqls["local_moran"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        nbr AS (SELECT gx, gy, SUM(xj) AS nsum, COUNT(*) AS deg
+                FROM pairs GROUP BY 1, 2),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+                     SUM(x*x*x) AS sx3, SUM(x*x*x*x) AS sx4 FROM cells),
+        per AS (SELECT c.gx, c.gy, c.x,
+                       COALESCE(nb.nsum, 0) AS nsum,
+                       COALESCE(nb.deg, 0) AS deg
+                FROM cells c LEFT JOIN nbr nb USING (gx, gy)),
+        e AS (SELECT per.*, n, sx, sxx, sx3, sx4,
+                     sx/n AS m,
+                     (sxx - n*(sx/n)*(sx/n)) / n AS m2,
+                     ((sx4 - 4.0*(sx/n)*sx3 + 6.0*(sx/n)*(sx/n)*sxx
+                       - 3.0*n*(sx/n)*(sx/n)*(sx/n)*(sx/n)) / n)
+                     / (((sxx - n*(sx/n)*(sx/n)) / n)
+                        * ((sxx - n*(sx/n)*(sx/n)) / n)) AS b2
+              FROM per, g)
+        SELECT gx, gy, x, deg,
+          round((x - m) / m2 * (nsum - deg*m), 10) AS ii,
+          round((0 - deg) / (n - 1.0), 10) AS e_ii,
+          CASE WHEN deg > 0 THEN
+            round(((x - m) / m2 * (nsum - deg*m) - (0 - deg) / (n - 1.0))
+                  / sqrt(deg * (n - b2) / (n - 1.0)
+                         + (deg*deg - deg) * (2.0*b2 - n)
+                           / ((n - 1.0) * (n - 2.0))
+                         - (deg*deg) / ((n - 1.0) * (n - 1.0))), 8)
+          END AS z,
+          CASE WHEN deg = 0 THEN NULL ELSE
+            (CASE WHEN x * n >= sx THEN 'H' ELSE 'L' END) ||
+            (CASE WHEN nsum - deg*m >= 0 THEN 'H' ELSE 'L' END)
+          END AS quad
+        FROM e
+    """
+    sqls["join_counts"] = f"""
+        WITH cells0 AS ({_STAT_CELLS_SQL}),
+        cells AS (SELECT gx, gy, x % 2 AS x FROM cells0),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        p AS (SELECT COUNT(*) AS s0, SUM(xi*xj) AS bb2,
+                     SUM((1-xi)*(1-xj)) AS ww2,
+                     SUM(xi*(1-xj) + (1-xi)*xj) AS bw2 FROM pairs),
+        d AS (SELECT SUM(deg*(deg-1)) AS k2 FROM
+              (SELECT gx, gy, COUNT(*) AS deg FROM pairs GROUP BY 1, 2)),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS nb FROM cells)
+        SELECT n AS n_cells, nb AS n_black,
+          CAST(bb2/2 AS BIGINT) AS jj_bb,
+          CAST(bw2/2 AS BIGINT) AS jj_bw,
+          CAST(ww2/2 AS BIGINT) AS jj_ww,
+          round((s0/2.0) * (nb/n) * (nb/n), 10) AS e_bb,
+          round((bb2/2.0 - (s0/2.0) * (nb/n) * (nb/n))
+                / sqrt((s0/2.0) * (nb/n) * (nb/n)
+                       + 2.0 * (k2/2.0) * (nb/n) * (nb/n) * (nb/n)
+                       - ((s0/2.0) + 2.0 * (k2/2.0))
+                         * (nb/n) * (nb/n) * (nb/n) * (nb/n)), 8) AS z_bb
+        FROM g, p, d
     """
 
     # kde_heatmap: the quartic kernel quanta are dyadic multiples of

@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "neighbor_pairs",
     "morans_i",
+    "gearys_c",
+    "local_moran",
+    "join_counts",
     "getis_gi_star",
     "kde_heatmap",
     "ripley_k",
@@ -521,3 +524,169 @@ def emerging_hotspots(cells: DataFrame, z_hot: float = 1.645,
     return j.select("gx", "gy", "n_bins",
                     F.col("n_hot").cast("long").alias("n_hot"),
                     "mk_z", cat.alias("category"))
+
+
+def gearys_c(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Global Geary's C (Geary 1954) with the normality z-score — the
+    local-difference complement to Moran's I (sensitive to local rather
+    than global departures).
+
+    One-row result: (n_cells, s0, geary_c, z_norm). E[C] = 1; C < 1 is
+    positive spatial autocorrelation.
+
+    Same exact-int64 decomposition as :func:`morans_i`: the numerator
+    sum_w (xi-xj)^2 is an integer pair aggregate (sdd), the denominator
+    variance comes from (n, sx, sxx), and the normality variance
+    (Cliff & Ord 1981) uses S1 = 2*s0, S2 = 4*sum(deg^2):
+      Var(C) = ((2*S1 + S2)*(n-1) - 4*s0^2) / (2*(n+1)*s0^2).
+    """
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    pairs = neighbor_pairs(cells, queen)
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum((F.col("xi") - F.col("xj")) * (F.col("xi") - F.col("xj")))
+        .alias("sdd"),
+    )
+    deg = (
+        pairs.groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")).alias("sdeg2"))
+    )
+    j = g.crossJoin(p).crossJoin(deg)
+    m = F.col("sx") / F.col("n")
+    den = F.col("sxx") - F.col("n") * m * m  # sum (xi-m)^2
+    c = (F.col("n") - 1.0) * F.col("sdd") / (2.0 * F.col("s0") * den)
+    s1 = 2.0 * F.col("s0")
+    s2 = 4.0 * F.col("sdeg2")
+    var = (
+        ((2.0 * s1 + s2) * (F.col("n") - 1.0)
+         - 4.0 * F.col("s0") * F.col("s0"))
+        / (2.0 * (F.col("n") + 1.0) * F.col("s0") * F.col("s0"))
+    )
+    return j.select(
+        F.col("n").alias("n_cells"),
+        F.col("s0"),
+        F.round(c, 10).alias("geary_c"),
+        F.round((c - 1.0) / F.sqrt(var), 8).alias("z_norm"),
+    )
+
+
+def local_moran(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Local Moran's I (LISA; Anselin 1995) per occupied cell, with the
+    randomization moments and the HH/LL/HL/LH cluster quadrant.
+
+    Per cell: (gx, gy, x, deg, ii, e_ii, z, quad) where
+      Ii   = (xi - m)/m2 * sum_j wij (xj - m)      (m2 = sum(xk-m)^2 / n)
+      E[Ii]  = -deg_i / (n - 1)
+      Var[Ii] = deg_i*(n - b2)/(n-1)
+                + (deg_i^2 - deg_i)*(2*b2 - n)/((n-1)*(n-2))
+                - deg_i^2/(n-1)^2                   (b2 = n*m4/m2s^2 kurtosis,
+                                                     m4/m2s raw int sums)
+      quad = HH/LL/LH/HL by sign of (xi - m) and the neighbor lag mean.
+    Cells with no occupied neighbor emit NULL z (their Ii is 0 with no
+    moment) — the standard PySAL "island" convention.
+
+    Exactness: nsum/deg are int64 join-aggregates; m, m2, b2 come from the
+    global int64 (n, sx, sxx, sx3, sx4); one final float expression per
+    row, so results are partition-invariant and a SQL oracle spelling the
+    identical arithmetic is bit-exact.
+    """
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sx3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("sx4"),
+    )
+    nbr = neighbor_pairs(cells, queen).groupBy("gx", "gy").agg(
+        F.sum("xj").alias("nsum"), F.count(F.lit(1)).alias("deg")
+    )
+    per = cells.join(nbr, ["gx", "gy"], "left").select(
+        "gx", "gy", "x",
+        F.coalesce(F.col("nsum"), F.lit(0)).alias("nsum"),
+        F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    n = F.col("n")
+    m = F.col("sx") / n
+    # central moment sums from raw power sums (exact-integer inputs)
+    m2s = F.col("sxx") - n * m * m
+    m4s = (F.col("sx4") - 4.0 * m * F.col("sx3")
+           + 6.0 * m * m * F.col("sxx") - 3.0 * n * m * m * m * m)
+    m2 = m2s / n
+    b2 = (m4s / n) / (m2 * m2)
+    lag = F.col("nsum") - F.col("deg") * m  # sum_j wij (xj - m)
+    ii = (F.col("x") - m) / m2 * lag
+    e_ii = -F.col("deg") / (n - 1.0)
+    var = (
+        F.col("deg") * (n - b2) / (n - 1.0)
+        + (F.col("deg") * F.col("deg") - F.col("deg"))
+        * (2.0 * b2 - n) / ((n - 1.0) * (n - 2.0))
+        - (F.col("deg") * F.col("deg")) / ((n - 1.0) * (n - 1.0))
+    )
+    z = F.when(F.col("deg") > 0, (ii - e_ii) / F.sqrt(var))
+    quad = F.when(F.col("deg") == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.when(F.col("x") * n >= F.col("sx"), F.lit("H")).otherwise(F.lit("L")),
+            F.when(lag >= 0, F.lit("H")).otherwise(F.lit("L")),
+        )
+    )
+    return j.select(
+        "gx", "gy", "x", "deg",
+        F.round(ii, 10).alias("ii"),
+        F.round(e_ii, 10).alias("e_ii"),
+        F.round(z, 8).alias("z"),
+        quad.alias("quad"),
+    )
+
+
+def join_counts(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Join-count statistics for a BINARY cell variable (Cliff & Ord 1981
+    ch. 1; the classic black/white map test). ``cells``: (gx, gy, x) with
+    x in {0, 1}.
+
+    One row: (n_cells, n_black, jj_bb, jj_bw, jj_ww, e_bb, z_bb) over
+    UNORDERED neighbor joins. z_bb is the free-sampling (binomial) z for
+    the BB count with p = n_black/n:
+      E[BB] = J*p^2,  Var[BB] = J*p^2 + 2*K*p^3 - (J + 2*K)*p^4
+    where J = total joins = s0/2 and K = sum_i C(deg_i, 2) counts paths of
+    length 2. All counts are exact int64 aggregates.
+    """
+    pairs = neighbor_pairs(cells, queen)
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("xi") * F.col("xj")).alias("bb2"),
+        F.sum((1 - F.col("xi")) * (1 - F.col("xj"))).alias("ww2"),
+        F.sum(
+            F.col("xi") * (1 - F.col("xj")) + (1 - F.col("xi")) * F.col("xj")
+        ).alias("bw2"),
+    )
+    deg = (
+        pairs.groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1)).alias("k2"))
+    )
+    g = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("nb"))
+    j = g.crossJoin(p).crossJoin(deg)
+    jn = F.col("s0") / 2.0
+    k = F.col("k2") / 2.0
+    pr = F.col("nb") / F.col("n")
+    e_bb = jn * pr * pr
+    # Var[BB] = J p^2 + 2K p^3 - (J + 2K) p^4  (iid Bernoulli(p) derivation:
+    # J same-join pairs at p^2, 2K one-shared-vertex pairs at p^3, the
+    # disjoint rest at p^4, minus E[BB]^2)
+    var = (jn * pr * pr + 2.0 * k * pr * pr * pr
+           - (jn + 2.0 * k) * pr * pr * pr * pr)
+    return j.select(
+        F.col("n").alias("n_cells"),
+        F.col("nb").alias("n_black"),
+        (F.col("bb2") / 2).cast("long").alias("jj_bb"),
+        (F.col("bw2") / 2).cast("long").alias("jj_bw"),
+        (F.col("ww2") / 2).cast("long").alias("jj_ww"),
+        F.round(e_bb, 10).alias("e_bb"),
+        F.round((F.col("bb2") / 2.0 - e_bb) / F.sqrt(var), 8).alias("z_bb"),
+    )

@@ -257,3 +257,107 @@ class TestEmergingHotspots:
         # flat neighbors never exceed the hot threshold on a flat field
         flat = out[(0, 0)]
         assert flat.category in ("none", "historic")
+
+
+class TestGearysC:
+    def test_vs_numpy_brute(self, spark):
+        cells = _cells_df(spark)
+        row = S.gearys_c(cells).collect()[0]
+        pts = {(r["gx"], r["gy"]): r["x"] for r in cells.collect()}
+        keys = sorted(pts)
+        x = np.array([pts[k] for k in keys], dtype=np.float64)
+        n = len(keys)
+        num = 0.0
+        s0 = 0
+        for i, (ax, ay) in enumerate(keys):
+            for j, (bx, by) in enumerate(keys):
+                if i != j and abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                    num += (x[i] - x[j]) ** 2
+                    s0 += 1
+        m = x.mean()
+        c = (n - 1) * num / (2.0 * s0 * ((x - m) ** 2).sum())
+        assert row["geary_c"] == pytest.approx(c, abs=1e-9)
+        assert row["s0"] == s0
+
+    def test_checkerboard_is_dispersed(self, spark):
+        # perfect rook checkerboard -> strong negative autocorrelation:
+        # C > 1 and z >> 0
+        data = [(i, j, (i + j) % 2 * 10 + 1)
+                for i in range(8) for j in range(8)]
+        cells = spark.createDataFrame(data, "gx int, gy int, x long")
+        row = S.gearys_c(cells, queen=False).collect()[0]
+        assert row["geary_c"] > 1.5
+        assert row["z_norm"] > 3.0
+
+    def test_partition_invariance(self, spark):
+        a = S.gearys_c(_cells_df(spark, parts=1)).collect()[0]
+        b = S.gearys_c(_cells_df(spark, parts=13)).collect()[0]
+        assert a["geary_c"] == b["geary_c"] and a["z_norm"] == b["z_norm"]
+
+
+class TestLocalMoran:
+    def test_vs_numpy_brute(self, spark):
+        cells = _cells_df(spark)
+        out = {(r["gx"], r["gy"]): r for r in S.local_moran(cells).collect()}
+        pts = {(r["gx"], r["gy"]): r["x"] for r in cells.collect()}
+        keys = sorted(pts)
+        x = np.array([pts[k] for k in keys], dtype=np.float64)
+        n = len(keys)
+        m = x.mean()
+        m2 = ((x - m) ** 2).sum() / n
+        for i, k in enumerate(keys):
+            lag = sum(
+                x[j] - m
+                for j, kb in enumerate(keys)
+                if j != i and abs(k[0] - kb[0]) <= 1 and abs(k[1] - kb[1]) <= 1
+            )
+            ii = (x[i] - m) / m2 * lag
+            assert out[k]["ii"] == pytest.approx(ii, abs=1e-8), k
+
+    def test_quadrants_and_island(self, spark):
+        # one hot 2x2 block in a cold field + an isolated far cell
+        data = [(i, j, 100) for i in range(2) for j in range(2)]
+        data += [(i, j, 1) for i in range(5) for j in range(5)
+                 if not (i < 2 and j < 2)]
+        data += [(50, 50, 1)]
+        cells = spark.createDataFrame(data, "gx int, gy int, x long")
+        out = {(r["gx"], r["gy"]): r for r in S.local_moran(cells).collect()}
+        assert out[(0, 0)]["quad"] == "HH"      # hot cell, hot corner nbrs
+        assert out[(4, 4)]["quad"] == "LL"      # cold cell among cold
+        assert out[(2, 0)]["quad"] == "LH"      # cold cell beside the block
+        island = out[(50, 50)]
+        assert island["deg"] == 0 and island["z"] is None
+        assert island["quad"] is None
+
+    def test_mean_of_ii_equals_global_moran(self, spark):
+        # sum(Ii) / s0 * n relates LISA to global I (Anselin 1995 eq. 8):
+        # I = sum_i Ii / n with row-standardized W; with binary W,
+        # I = sum(Ii) / s0.
+        cells = _cells_df(spark)
+        glob = S.morans_i(cells).collect()[0]
+        loc = S.local_moran(cells).agg(F.sum("ii").alias("s")).collect()[0]
+        assert loc["s"] / glob["s0"] == pytest.approx(
+            glob["moran_i"], abs=1e-8)
+
+
+class TestJoinCounts:
+    def test_counts_checkerboard(self, spark):
+        # rook checkerboard of 0/1: every join is BW
+        data = [(i, j, (i + j) % 2) for i in range(6) for j in range(6)]
+        cells = spark.createDataFrame(data, "gx int, gy int, x long")
+        row = S.join_counts(cells, queen=False).collect()[0]
+        joins = 2 * 6 * 5  # rook joins on a 6x6 grid
+        assert row["jj_bb"] == 0 and row["jj_ww"] == 0
+        assert row["jj_bw"] == joins
+        assert row["z_bb"] < 0  # far fewer BB than chance
+
+    def test_totals_and_expectation(self, spark):
+        cells = _cells_df(spark).select(
+            "gx", "gy", (F.col("x") % 2).alias("x"))
+        row = S.join_counts(cells).collect()[0]
+        # BB + BW + WW exhausts all unordered joins
+        pairs = S.neighbor_pairs(cells).count()
+        assert row["jj_bb"] + row["jj_bw"] + row["jj_ww"] == pairs // 2
+        # E[BB] = J * p^2
+        p = row["n_black"] / row["n_cells"]
+        assert row["e_bb"] == pytest.approx((pairs / 2) * p * p, abs=1e-6)
