@@ -7202,6 +7202,22 @@ def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_gi_star(_stat_cells(spark, sf_dir), queen=True)
 
 
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrography per group (mean center, standard distance, standard
+    deviational ellipse — Lefever 1926 / the ESRI directional-distribution
+    toolset) over the integer hundredth-degree keys: all partials are
+    exact int64 groupBy aggregates; rotation uses the algebraic cos/sin
+    (no transcendentals in the axes), oracle-identical."""
+    from lib_gdal_spark.operators.spatialstats import centrography
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    pts = ev.select((F.col("event_id") % 4).alias("g"),
+                    k1.alias("x"), k2.alias("y"))
+    return centrography(pts, by="g")
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Geary's C (Geary 1954; Cliff & Ord 1981 normality moments)
     over the 10-degree lattice cell counts, queen contiguity — the
@@ -7683,6 +7699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "georss_items": q_georss_items,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
+        "std_ellipse": q_std_ellipse,
         "local_moran": q_local_moran,
         "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
@@ -17228,6 +17245,49 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(sxx/n - (sx/n)*(sx/n))
                    * sqrt((n*w_i - w_i*w_i) / (n - 1.0))), 9) AS gi_star
         FROM per, g
+    """
+
+    sqls["std_ellipse"] = """
+        WITH pts AS (
+          SELECT event_id % 4 AS g,
+                 (event_id * 7919) % 36000 AS x,
+                 (event_id * 104729) % 17000 AS y
+          FROM events
+        ),
+        agg AS (
+          SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+          FROM pts GROUP BY g
+        ),
+        e1 AS (
+          SELECT g, n, sx/n AS mx, sy/n AS my,
+                 sxx - n*(sx/n)*(sx/n) AS cxx,
+                 syy - n*(sy/n)*(sy/n) AS cyy,
+                 sxy - n*(sx/n)*(sy/n) AS cxy
+          FROM agg
+        ),
+        e2 AS (
+          SELECT e1.*,
+                 CASE WHEN cxy <> 0.0 THEN
+                   ((cxx - cyy) + sqrt((cxx - cyy)*(cxx - cyy)
+                                       + 4.0*cxy*cxy)) / (2.0*cxy)
+                 ELSE 0.0 END AS t
+          FROM e1
+        ),
+        e3 AS (
+          SELECT e2.*, 1.0/sqrt(1.0 + t*t) AS c,
+                 t/sqrt(1.0 + t*t) AS s
+          FROM e2
+        )
+        SELECT CAST(g AS BIGINT) AS g, n,
+          round(mx, 9) AS mean_x, round(my, 9) AS mean_y,
+          round(sqrt((cxx + cyy)/n), 9) AS std_dist,
+          round(sqrt(2.0) * sqrt((c*c*cxx - 2.0*c*s*cxy + s*s*cyy)/n), 9)
+            AS sigma_x,
+          round(sqrt(2.0) * sqrt((s*s*cxx + 2.0*c*s*cxy + c*c*cyy)/n), 9)
+            AS sigma_y,
+          round(atan(t), 9) AS theta
+        FROM e3
     """
 
     sqls["gearys_c"] = f"""

@@ -690,3 +690,64 @@ def join_counts(cells: DataFrame, queen: bool = True) -> DataFrame:
         F.round(e_bb, 10).alias("e_bb"),
         F.round((F.col("bb2") / 2.0 - e_bb) / F.sqrt(var), 8).alias("z_bb"),
     )
+
+
+def centrography(pts: DataFrame, by: str = "g") -> DataFrame:
+    """Centrography per group (the ESRI "measuring geographic
+    distributions" toolbox: Mean Center, Standard Distance, Directional
+    Distribution / standard deviational ellipse; Lefever 1926, Yuill 1971).
+
+    ``pts``: (``by``, x long, y long) — integer lattice coordinates (e.g.
+    the hundredth-degree keys), so every partial (n, sx, sy, sxx, syy,
+    sxy) is an exact int64 aggregate: one map-side-combinable groupBy,
+    partition-invariant, oracle-reproducible. Bound: n * max(x)^2 per
+    group must stay < 2^63 (7e9 rows per group at 36k keys — pre-shift or
+    coarsen keys beyond that).
+
+    Per group: (g, n, mean_x, mean_y, std_dist, sigma_x, sigma_y, theta)
+    where theta = atan(t) is the ESRI directional-distribution rotation —
+    radians CLOCKWISE FROM NORTH (for a cloud elongated along slope m the
+    reported angle is pi/2 - atan(m)):
+      t = (A + sqrt(A^2 + 4*Cxy^2)) / (2*Cxy),  A = Cxx - Cyy
+    and the semi-axes use the algebraic rotation (cos,sin from t via
+    1/sqrt(1+t^2) — no transcendentals in the axis lengths, so the only
+    cross-engine trig is the reported theta itself):
+      sigma_x = sqrt(2) * sqrt((c^2*Cxx - 2*c*s*Cxy + s^2*Cyy) / n)
+      sigma_y = sqrt(2) * sqrt((s^2*Cxx + 2*c*s*Cxy + c^2*Cyy) / n).
+    Cxy = 0 (axis-aligned spread) yields t = 0 -> theta 0; sigma_x is then
+    the x-axis deviation (the larger axis may be sigma_y — callers wanting
+    major-first can order by value).
+    """
+    agg = pts.groupBy(F.col(by).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx") / n
+    my = F.col("sy") / n
+    cxx = F.col("sxx") - n * mx * mx
+    cyy = F.col("syy") - n * my * my
+    cxy = F.col("sxy") - n * mx * my
+    a = cxx - cyy
+    t = F.when(cxy != 0.0,
+               (a + F.sqrt(a * a + 4.0 * cxy * cxy)) / (2.0 * cxy)) \
+         .otherwise(F.lit(0.0))
+    h = F.sqrt(1.0 + t * t)
+    c, s = 1.0 / h, t / h
+    sig_x = F.sqrt(F.lit(2.0)) * F.sqrt(
+        (c * c * cxx - 2.0 * c * s * cxy + s * s * cyy) / n)
+    sig_y = F.sqrt(F.lit(2.0)) * F.sqrt(
+        (s * s * cxx + 2.0 * c * s * cxy + c * c * cyy) / n)
+    return agg.select(
+        "g", "n",
+        F.round(mx, 9).alias("mean_x"),
+        F.round(my, 9).alias("mean_y"),
+        F.round(F.sqrt((cxx + cyy) / n), 9).alias("std_dist"),
+        F.round(sig_x, 9).alias("sigma_x"),
+        F.round(sig_y, 9).alias("sigma_y"),
+        F.round(F.atan(t), 9).alias("theta"),
+    )

@@ -361,3 +361,67 @@ class TestJoinCounts:
         # E[BB] = J * p^2
         p = row["n_black"] / row["n_cells"]
         assert row["e_bb"] == pytest.approx((pairs / 2) * p * p, abs=1e-6)
+
+
+class TestCentrography:
+    def test_vs_numpy_brute(self, spark):
+        rng = np.random.default_rng(11)
+        xs = rng.integers(0, 1000, 300)
+        ys = (xs * 0.7 + rng.integers(0, 200, 300)).astype(np.int64)
+        df = spark.createDataFrame(
+            [(0, int(a), int(b)) for a, b in zip(xs, ys)],
+            "g int, x long, y long").repartition(9)
+        row = S.centrography(df).collect()[0]
+        mx, my = xs.mean(), ys.mean()
+        dx, dy = xs - mx, ys - my
+        assert row["mean_x"] == pytest.approx(mx, abs=1e-9)
+        assert row["mean_y"] == pytest.approx(my, abs=1e-9)
+        assert row["std_dist"] == pytest.approx(
+            math.sqrt((dx @ dx + dy @ dy) / len(xs)), abs=1e-6)
+        a = dx @ dx - dy @ dy
+        b = dx @ dy
+        t = (a + math.sqrt(a * a + 4 * b * b)) / (2 * b)
+        th = math.atan(t)
+        cs, sn = math.cos(th), math.sin(th)
+        sx = math.sqrt(2) * math.sqrt(((cs * dx - sn * dy) ** 2).mean())
+        sy = math.sqrt(2) * math.sqrt(((sn * dx + cs * dy) ** 2).mean())
+        assert row["sigma_x"] == pytest.approx(sx, rel=1e-9)
+        assert row["sigma_y"] == pytest.approx(sy, rel=1e-9)
+        assert row["theta"] == pytest.approx(th, abs=1e-9)
+
+    def test_collinear_diagonal(self, spark):
+        # points on the 45-degree line: theta = pi/4, minor axis 0
+        df = spark.createDataFrame(
+            [(1, i, i) for i in range(10)], "g int, x long, y long")
+        row = S.centrography(df).collect()[0]
+        assert row["theta"] == pytest.approx(math.pi / 4, abs=1e-9)
+        assert min(row["sigma_x"], row["sigma_y"]) == pytest.approx(0, abs=1e-9)
+        # major axis: sqrt(2)*std of projected coords = sqrt(2)*std(x)*sqrt(2)
+        xs = np.arange(10.0)
+        proj = (xs - xs.mean()) * math.sqrt(2)
+        assert max(row["sigma_x"], row["sigma_y"]) == pytest.approx(
+            math.sqrt(2) * math.sqrt((proj ** 2).mean()), rel=1e-9)
+
+    def test_axis_aligned_zero_covariance(self, spark):
+        # symmetric cross: cxy = 0 -> t = 0, theta = 0; sigma_x/sigma_y are
+        # the plain axis deviations
+        pts = [(2, 5, 0), (2, -5, 0), (2, 0, 2), (2, 0, -2)]
+        df = spark.createDataFrame(pts, "g int, x long, y long")
+        row = S.centrography(df).collect()[0]
+        assert row["theta"] == 0.0
+        assert row["sigma_x"] == pytest.approx(
+            math.sqrt(2) * math.sqrt((25 + 25) / 4), rel=1e-12)
+        assert row["sigma_y"] == pytest.approx(
+            math.sqrt(2) * math.sqrt((4 + 4) / 4), rel=1e-12)
+
+    def test_groups_and_partition_invariance(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(int(i % 3), int(rng.integers(0, 500)),
+                 int(rng.integers(0, 500))) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "g int, x long, y long")
+        out1 = {r["g"]: r for r in S.centrography(df1).collect()}
+        out2 = {r["g"]: r for r in
+                S.centrography(df1.repartition(17)).collect()}
+        assert len(out1) == 3
+        for g in out1:
+            assert out1[g] == out2[g]
