@@ -3935,6 +3935,153 @@ def q_grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("px", "py", F.round("v", 4).alias("v"))
 
 
+def q_grid_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging (Matheron 1963; covariance-form system, spherical
+    variogram) over the 3 nearest in-radius points per pixel center. The
+    oracle replays the SAME fixed-order pivot-free Gaussian elimination as
+    a generated SQL CTE chain, so the prediction matches bit-for-bit
+    (compared at round-6)."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("pid"), F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("pid") % 97).cast("double").alias("v"),
+    )
+    grid = GridSpec((-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125), 64, 64, 16)
+    tiles = GR.grid_kriging(pts, grid, radius=25.0, max_points=3,
+                            min_points=3, nugget=0.0, psill=1.0,
+                            vrange=25.0, model="spherical", nodata=-1.0,
+                            id_col="pid")
+    out = _explode_px(tiles, tile=16)
+    return out.select("px", "py", F.round("v", 6).alias("v"))
+
+
+def _kriging_oracle_sql() -> str:
+    """Generate the kriging oracle: top-3 neighbors by (d2, pid), then the
+    ordinary-kriging covariance system solved by the IDENTICAL fixed-order
+    elimination the numpy kernel runs (operators/grid.py grid_kriging) —
+    generated with the same loop structure so the op order cannot drift."""
+    a, psill, sill = 25.0, 1.0, 1.0
+
+    def cov(h: str) -> str:
+        u = f"({h}/{a!r})"
+        return (f"(CASE WHEN {h} = 0.0 THEN {sill!r} "
+                f"WHEN {h} >= {a!r} THEN 0.0 "
+                f"ELSE {psill!r}*(1.0 - (1.5*{u} - 0.5*{u}*{u}*{u})) END)")
+
+    n = 4
+    # initial entries in CTE m0 (ranks 1..3 pivot to x1..x3,y1..y3,v1..v3)
+    init = {}
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                init[f"a{i}{j}"] = repr(sill)
+            else:
+                h = (f"sqrt((x{i+1}-x{j+1})*(x{i+1}-x{j+1})"
+                     f" + (y{i+1}-y{j+1})*(y{i+1}-y{j+1}))")
+                init[f"a{i}{j}"] = cov(h)
+        init[f"a{i}3"] = "1.0"
+        init[f"a3{i}"] = "1.0"
+        init[f"b{i}"] = cov(f"sqrt(d2_{i+1})")
+    init["a33"] = "0.0"
+    init["b3"] = "1.0"
+    m0_cols = ",\n              ".join(
+        f"{e} AS {k}" for k, e in init.items())
+
+    cur = {f"a{r}{c}": f"a{r}{c}" for r in range(n) for c in range(n)}
+    cur.update({f"b{r}": f"b{r}" for r in range(n)})
+    ctes = []
+    prev = "m0"
+    for col in range(n - 1):
+        fdefs = []
+        for r in range(col + 1, n):
+            fdefs.append(
+                f"{cur[f'a{r}{col}']}/{cur[f'a{col}{col}']} AS f{r}_{col}")
+        fname = f"ef{col}"
+        ctes.append(f"{fname} AS (SELECT *, {', '.join(fdefs)} FROM {prev})")
+        udefs = []
+        for r in range(col + 1, n):
+            for cc in range(col + 1, n):
+                new = f"a{r}{cc}_s{col}"
+                udefs.append(
+                    f"{cur[f'a{r}{cc}']} - f{r}_{col}*{cur[f'a{col}{cc}']}"
+                    f" AS {new}")
+            newb = f"b{r}_s{col}"
+            udefs.append(
+                f"{cur[f'b{r}']} - f{r}_{col}*{cur[f'b{col}']} AS {newb}")
+        uname = f"eu{col}"
+        ctes.append(f"{uname} AS (SELECT *, {', '.join(udefs)} FROM {fname})")
+        for r in range(col + 1, n):
+            for cc in range(col + 1, n):
+                cur[f"a{r}{cc}"] = f"a{r}{cc}_s{col}"
+            cur[f"b{r}"] = f"b{r}_s{col}"
+        prev = uname
+    # back-substitution, sequential subtraction (matches the numpy loop)
+    wdefs = []
+    wname = {}
+    for i in range(n - 1, -1, -1):
+        s = cur[f"b{i}"]
+        for j in range(i + 1, n):
+            s = f"({s} - {cur[f'a{i}{j}']}*{wname[j]})"
+        wname[i] = f"w{i}"
+        wdefs.append(f"{s}/{cur[f'a{i}{i}']} AS w{i}")
+        ctes.append(
+            f"bs{i} AS (SELECT *, {s}/{cur[f'a{i}{i}']} AS w{i} FROM {prev})")
+        prev = f"bs{i}"
+    elim = ",\n        ".join(ctes)
+    return f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y, CAST(pid % 97 AS DOUBLE) AS v
+          FROM ({_POINTS_SQL})
+        ),
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 -180.0 + (x.px + 0.5) * 5.625 AS cx,
+                 90.0 + (y.py + 0.5) * -2.8125 AS cy
+          FROM generate_series(0, 63) x(px) CROSS JOIN generate_series(0, 63) y(py)
+        ),
+        cand AS (
+          SELECT px, py, pid, v, x, y,
+                 (cx - x) * (cx - x) + (cy - y) * (cy - y) AS d2
+          FROM pix CROSS JOIN pts
+          WHERE (cx - x) * (cx - x) + (cy - y) * (cy - y) <= 625.0
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY px, py ORDER BY d2 ASC, pid ASC) AS r
+          FROM cand
+        ),
+        nb AS (
+          SELECT px, py, count(*) AS n_in,
+                 max(CASE WHEN r=1 THEN x END) AS x1,
+                 max(CASE WHEN r=1 THEN y END) AS y1,
+                 max(CASE WHEN r=1 THEN v END) AS v1,
+                 max(CASE WHEN r=1 THEN d2 END) AS d2_1,
+                 max(CASE WHEN r=2 THEN x END) AS x2,
+                 max(CASE WHEN r=2 THEN y END) AS y2,
+                 max(CASE WHEN r=2 THEN v END) AS v2,
+                 max(CASE WHEN r=2 THEN d2 END) AS d2_2,
+                 max(CASE WHEN r=3 THEN x END) AS x3,
+                 max(CASE WHEN r=3 THEN y END) AS y3,
+                 max(CASE WHEN r=3 THEN v END) AS v3,
+                 max(CASE WHEN r=3 THEN d2 END) AS d2_3
+          FROM rk WHERE r <= 3 GROUP BY px, py
+        ),
+        m0 AS (
+          SELECT px, py, v1, v2, v3,
+              {m0_cols}
+          FROM nb WHERE n_in >= 3
+        ),
+        {elim},
+        pred AS (
+          SELECT px, py, round(w0*v1 + w1*v2 + w2*v3, 6) AS v FROM {prev}
+        )
+        SELECT p.px, p.py, coalesce(a.v, -1.0) AS v
+        FROM pix p LEFT JOIN pred a ON p.px = a.px AND p.py = a.py
+    """
+
+
 def q_rasterize_alltouched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL_TOUCHED rasterize (llrasterize.cpp:411): every cell the polygon
     touches burns; for the box fixtures the cell cover is closed-form."""
@@ -7501,6 +7648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_cubic_l1": q_pyramid_cubic_l1,
         "grid_linear": q_grid_linear,
         "grid_invdistnn": q_grid_invdistnn,
+        "grid_kriging": q_grid_kriging,
         "rasterize_alltouched": q_rasterize_alltouched,
         "rasterize_line": q_rasterize_line,
         "rasterize_points": q_rasterize_points,
@@ -11814,6 +11962,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.px, p.py, coalesce(a.v, -1.0) AS v
         FROM pix p LEFT JOIN agg a ON p.px = a.px AND p.py = a.py
     """
+
+    sqls["grid_kriging"] = _kriging_oracle_sql()
 
     at_parts = []
     for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():

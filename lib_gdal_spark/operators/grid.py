@@ -514,3 +514,221 @@ def grid_linear_dist(
     return tasks.groupBy("tile_x", "tile_y").applyInPandas(
         interp, schema=RASTER_SCHEMA
     )
+
+
+def grid_kriging(
+    points: DataFrame,
+    grid: GridSpec,
+    radius: float,
+    max_points: int = 8,
+    min_points: int = 1,
+    nugget: float = 0.0,
+    psill: float = 1.0,
+    vrange: float | None = None,
+    model: str = "spherical",
+    nodata: float = 0.0,
+    raster_id: str = "grid",
+    point_cols: tuple[str, str, str] = ("x", "y", "v"),
+    id_col: str | None = None,
+) -> DataFrame:
+    """Ordinary kriging: scattered points -> raster, the geostatistical
+    upgrade of gdal_grid IDW (the reference stops at invdist,
+    ``core/alg/gdalgrid.cpp:127``; kriging per Matheron 1963 / Cressie
+    1993 ch. 3 is what its users run through SAGA/ArcGIS after gdal_grid).
+
+    Per pixel center: the ``max_points`` nearest in-radius samples
+    (deterministic (d2, id) order), then the ordinary-kriging system in
+    COVARIANCE form [C 1; 1 0][w; mu] = [c0; 1] with C(h) = sill - gamma(h)
+    — the covariance form makes every pivot positive (C(0) = nugget+psill,
+    then Schur complements of a PD matrix; the Lagrange pivot turns
+    nonzero after the sample rows), so fixed-order Gaussian elimination
+    WITHOUT pivoting is numerically safe and — crucially — the identical
+    operation sequence is spellable in plain SQL, which is how the driver
+    oracle reproduces the prediction bit-for-bit at k=3. Variogram models:
+    'spherical' (default), 'exponential', 'gaussian', 'linear'; sill =
+    nugget + psill, range ``vrange`` defaults to ``radius``.
+
+    Fewer than ``min_points`` in radius -> nodata; between min and max ->
+    the smaller exact system. Coincident sample coordinates make the
+    system singular — pre-aggregate duplicates upstream.
+
+    Scale shape: identical bucket layout to :func:`grid_invdistnn` (one
+    shuffle to covering tile buckets, per-tile Arrow kernel, chunked
+    top-k merge bounded by pixels x max_points); the solve is one
+    vectorized batched elimination over (pixels, k+1, k+1).
+    """
+    if radius <= 0.0:
+        raise ValueError("kriging requires a positive search radius")
+    if nugget + psill <= 0.0:
+        raise ValueError("nugget + psill must be positive")
+    if model not in ("spherical", "exponential", "gaussian", "linear"):
+        raise ValueError(f"unknown variogram model {model!r}")
+    a = float(vrange if vrange is not None else radius)
+    sill = nugget + psill
+    xcol, ycol, vcol = point_cols
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    span_x = abs(gt[1]) * tile
+    span_y = abs(gt[5]) * tile
+    ring_x = int(math.ceil(radius / span_x))
+    ring_y = int(math.ceil(radius / span_y))
+
+    def cov(h: np.ndarray) -> np.ndarray:
+        """C(h) = sill - gamma(h); the h>0, h<a branch mirrors the SQL
+        oracle operation-for-operation (see __spark_entry__ kriging)."""
+        u = h / a
+        if model == "spherical":
+            g = 1.5 * u - 0.5 * u * u * u
+        elif model == "exponential":
+            g = 1.0 - np.exp(-3.0 * u)
+        elif model == "gaussian":
+            g = 1.0 - np.exp(-3.0 * u * u)
+        else:  # linear
+            g = u
+        c = psill * (1.0 - g)
+        if model in ("spherical", "linear"):
+            c = np.where(h >= a, 0.0, c)
+        return np.where(h == 0.0, sill, c)
+
+    sel = [xcol, ycol, vcol] + ([id_col] if id_col else [])
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            x = b[xcol].to_numpy(np.float64)
+            y = b[ycol].to_numpy(np.float64)
+            v = b[vcol].to_numpy(np.float64)
+            pid = (b[id_col].to_numpy(np.int64) if id_col
+                   else np.zeros(len(x), np.int64))
+            px, py = grid.world_to_px(x, y)
+            bx = np.clip(px // tile, 0, ntx - 1).astype(np.int64)
+            by = np.clip(py // tile, 0, nty - 1).astype(np.int64)
+            dx, dy = np.meshgrid(np.arange(-ring_x, ring_x + 1),
+                                 np.arange(-ring_y, ring_y + 1))
+            dx = dx.ravel()
+            dy = dy.ravel()
+            n, m = len(x), len(dx)
+            tx = (bx[:, None] + dx[None, :]).ravel()
+            ty = (by[:, None] + dy[None, :]).ravel()
+            ok = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+            rep = np.repeat(np.arange(n), m)[ok]
+            yield pd.DataFrame({
+                "tile_x": tx[ok], "tile_y": ty[ok],
+                "x": x[rep], "y": y[rep], "v": v[rep], "pid": pid[rep],
+            })
+
+    buckets = points.select(*sel).mapInPandas(
+        bucket,
+        schema="tile_x long, tile_y long, x double, y double, "
+               "v double, pid long",
+    )
+    W, H = grid.width, grid.height
+    CHUNK = 4096
+    r2 = radius * radius
+    k = max_points
+
+    def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        x0, y0 = tx * tile, ty * tile
+        tw = min(tile, W - x0)
+        th = min(tile, H - y0)
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+        gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+        npx = th * tw
+        # deterministic candidate order: (pid, x, y) so the top-k merge
+        # tie-break on equal d2 is (d2, pid) — matching the oracle's
+        # row_number() ORDER BY d2, pid
+        order = np.lexsort((pdf["y"].to_numpy(), pdf["x"].to_numpy(),
+                            pdf["pid"].to_numpy()))
+        px_all = pdf["x"].to_numpy(np.float64)[order]
+        py_all = pdf["y"].to_numpy(np.float64)[order]
+        pv_all = pdf["v"].to_numpy(np.float64)[order]
+        pi_all = pdf["pid"].to_numpy(np.int64)[order]
+        top_d2 = np.full((npx, k), np.inf)
+        top_x = np.zeros((npx, k))
+        top_y = np.zeros((npx, k))
+        top_v = np.zeros((npx, k))
+        top_i = np.full((npx, k), np.iinfo(np.int64).max, np.int64)
+        rows = np.arange(npx)[:, None]
+        for c0 in range(0, len(px_all), CHUNK):
+            px_ = px_all[c0:c0 + CHUNK]
+            py_ = py_all[c0:c0 + CHUNK]
+            d2 = (gx[:, None] - px_[None, :]) ** 2 + \
+                 (gy[:, None] - py_[None, :]) ** 2
+            d2 = np.where(d2 <= r2, d2, np.inf)
+            md = np.concatenate([top_d2, d2], axis=1)
+            mx = np.concatenate(
+                [top_x, np.broadcast_to(px_[None, :], d2.shape)], axis=1)
+            my = np.concatenate(
+                [top_y, np.broadcast_to(py_[None, :], d2.shape)], axis=1)
+            mv = np.concatenate(
+                [top_v, np.broadcast_to(pv_all[c0:c0 + CHUNK][None, :],
+                                        d2.shape)], axis=1)
+            mi = np.concatenate(
+                [top_i, np.broadcast_to(pi_all[c0:c0 + CHUNK][None, :],
+                                        d2.shape)], axis=1)
+            sel_k = np.lexsort((mi, md), axis=1)[:, :k]
+            top_d2 = md[rows, sel_k]
+            top_x = mx[rows, sel_k]
+            top_y = my[rows, sel_k]
+            top_v = mv[rows, sel_k]
+            top_i = mi[rows, sel_k]
+        n_in = np.isfinite(top_d2).sum(axis=1)
+        out = np.full(npx, nodata)
+        for c in range(max(min_points, 1), k + 1):
+            mask = n_in == c
+            m = int(mask.sum())
+            if m == 0:
+                continue
+            cx = top_x[mask, :c]
+            cy = top_y[mask, :c]
+            cv = top_v[mask, :c]
+            cd2 = top_d2[mask, :c]
+            n = c + 1
+            A = np.zeros((m, n, n))
+            for i in range(c):
+                for jcol in range(c):
+                    if i == jcol:
+                        A[:, i, jcol] = sill
+                    else:
+                        h = np.sqrt((cx[:, i] - cx[:, jcol]) ** 2
+                                    + (cy[:, i] - cy[:, jcol]) ** 2)
+                        A[:, i, jcol] = cov(h)
+                A[:, i, c] = 1.0
+                A[:, c, i] = 1.0
+            b = np.empty((m, n))
+            for i in range(c):
+                b[:, i] = cov(np.sqrt(cd2[:, i]))
+            b[:, c] = 1.0
+            # fixed-order elimination (no pivoting; see docstring), then
+            # back-substitution with sequential subtraction — the exact
+            # operation order the SQL oracle spells for k = 3
+            for col in range(n - 1):
+                piv = A[:, col, col].copy()
+                for r in range(col + 1, n):
+                    f = A[:, r, col] / piv
+                    for cc in range(col + 1, n):
+                        A[:, r, cc] = A[:, r, cc] - f * A[:, col, cc]
+                    b[:, r] = b[:, r] - f * b[:, col]
+            w = np.zeros((m, n))
+            for i in range(n - 1, -1, -1):
+                s = b[:, i].copy()
+                for jcol in range(i + 1, n):
+                    s = s - A[:, i, jcol] * w[:, jcol]
+                w[:, i] = s / A[:, i, i]
+            pred = np.zeros(m)
+            for i in range(c):
+                pred = pred + w[:, i] * cv[:, i]
+            out[mask] = pred
+        return pd.DataFrame([dict(
+            raster_id=raster_id, band=1, zoom=0, tile_x=tx, tile_y=ty,
+            dtype="float64", tile_w=tw, tile_h=th,
+            gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+            gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+            nodata=nodata, pixels=out.tolist(),
+        )])
+
+    return buckets.groupBy("tile_x", "tile_y").applyInPandas(
+        interp, schema=RASTER_SCHEMA
+    )
