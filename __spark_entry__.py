@@ -3957,6 +3957,157 @@ def q_grid_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("px", "py", F.round("v", 6).alias("v"))
 
 
+def _elim_backsub_ctes(n: int, prev: str) -> tuple[list[str], str]:
+    """Generate CTEs replaying fixed-order pivot-free Gaussian elimination
+    + sequential back-substitution on an n x n system whose entries
+    a{r}{c} / rhs b{r} are columns of CTE ``prev`` — the IDENTICAL loop
+    structure as the numpy kernels (operators/grid.py grid_kriging /
+    grid_gwr), so the float op order cannot drift. Returns (ctes,
+    final_cte) with solution columns w0..w{n-1}."""
+    cur = {f"a{r}{c}": f"a{r}{c}" for r in range(n) for c in range(n)}
+    cur.update({f"b{r}": f"b{r}" for r in range(n)})
+    ctes = []
+    for col in range(n - 1):
+        fdefs = []
+        for r in range(col + 1, n):
+            fdefs.append(
+                f"{cur[f'a{r}{col}']}/{cur[f'a{col}{col}']} AS f{r}_{col}")
+        fname = f"ef{col}"
+        ctes.append(f"{fname} AS (SELECT *, {', '.join(fdefs)} FROM {prev})")
+        udefs = []
+        for r in range(col + 1, n):
+            for cc in range(col + 1, n):
+                new = f"a{r}{cc}_s{col}"
+                udefs.append(
+                    f"{cur[f'a{r}{cc}']} - f{r}_{col}*{cur[f'a{col}{cc}']}"
+                    f" AS {new}")
+            newb = f"b{r}_s{col}"
+            udefs.append(
+                f"{cur[f'b{r}']} - f{r}_{col}*{cur[f'b{col}']} AS {newb}")
+        uname = f"eu{col}"
+        ctes.append(f"{uname} AS (SELECT *, {', '.join(udefs)} FROM {fname})")
+        for r in range(col + 1, n):
+            for cc in range(col + 1, n):
+                cur[f"a{r}{cc}"] = f"a{r}{cc}_s{col}"
+            cur[f"b{r}"] = f"b{r}_s{col}"
+        prev = uname
+    # back-substitution, sequential subtraction (matches the numpy loop)
+    wname = {}
+    for i in range(n - 1, -1, -1):
+        s = cur[f"b{i}"]
+        for j in range(i + 1, n):
+            s = f"({s} - {cur[f'a{i}{j}']}*{wname[j]})"
+        wname[i] = f"w{i}"
+        ctes.append(
+            f"bs{i} AS (SELECT *, {s}/{cur[f'a{i}{i}']} AS w{i} FROM {prev})")
+        prev = f"bs{i}"
+    return ctes, prev
+
+
+def q_grid_gwr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographically weighted regression (Fotheringham et al. 2002)
+    coefficient surfaces: local bisquare-weighted least squares per pixel
+    center; weights snap to 1/4096 dyadics and the predictors are
+    integer-valued, so every normal-equation sum is exact and the
+    generated SQL elimination oracle matches bit-for-bit."""
+    from lib_gdal_spark.operators import grid as GR
+    from lib_gdal_spark.operators.rasterize import GridSpec
+
+    pts = _points(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        (F.col("pid") % 23).cast("double").alias("x1"),
+        ((F.col("pid") * 7) % 19).cast("double").alias("x2"),
+        ((F.col("pid") % 5 + 1) * (F.col("pid") % 23)
+         + 2 * ((F.col("pid") * 7) % 19)
+         + F.col("pid") % 11).cast("double").alias("resp"),
+    )
+    grid = GridSpec((-180.0, 11.25, 0.0, 90.0, 0.0, -5.625), 32, 32, 16)
+    tiles = GR.grid_gwr(pts, grid, bandwidth=40.0, min_points=8,
+                        nodata=-999.0, point_cols=("x", "y"),
+                        x_cols=("x1", "x2"), y_col="resp")
+    ex = tiles.select(
+        "band", "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    px = (F.col("tile_x") * 16 + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * 16
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    return ex.select(F.col("band").cast("long").alias("band"),
+                     px.alias("px"), py.alias("py"),
+                     F.round("v", 6).alias("v"))
+
+
+def _gwr_oracle_sql() -> str:
+    """GWR oracle: bisquare dyadic weights, exact weighted sums, then the
+    generated 3x3 fixed-order elimination (same codegen as kriging) and
+    the local-R^2 expression in the numpy kernel's term order."""
+    bw2 = repr(40.0 * 40.0)
+    ctes, prev = _elim_backsub_ctes(3, "m0")
+    elim = ",\n        ".join(ctes)
+    r2 = ("1.0 - ((syy - 2.0*(w0*sy + w1*sx1y + w2*sx2y)) + "
+          "(w0*w0*sw + w1*w1*sx11 + w2*w2*sx22 + 2.0*w0*w1*sx1 "
+          "+ 2.0*w0*w2*sx2 + 2.0*w1*w2*sx12)) "
+          "/ (syy - sy*sy/sw)")
+    return f"""
+        WITH pts AS (
+          SELECT lon AS x, lat AS y,
+                 CAST(pid % 23 AS DOUBLE) AS x1,
+                 CAST((pid * 7) % 19 AS DOUBLE) AS x2,
+                 CAST((pid % 5 + 1) * (pid % 23) + 2 * ((pid * 7) % 19)
+                      + pid % 11 AS DOUBLE) AS yv
+          FROM ({_POINTS_SQL})
+        ),
+        pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+                 -180.0 + (x.px + 0.5) * 11.25 AS cx,
+                 90.0 + (y.py + 0.5) * -5.625 AS cy
+          FROM generate_series(0, 31) x(px) CROSS JOIN generate_series(0, 31) y(py)
+        ),
+        cand AS (
+          SELECT px, py, x1, x2, yv,
+                 floor((1.0 - ((cx - x) * (cx - x) + (cy - y) * (cy - y))
+                              / {bw2})
+                       * (1.0 - ((cx - x) * (cx - x) + (cy - y) * (cy - y))
+                                / {bw2})
+                       * 4096.0 + 0.5) / 4096.0 AS w
+          FROM pix CROSS JOIN pts
+          WHERE (cx - x) * (cx - x) + (cy - y) * (cy - y) < {bw2}
+        ),
+        agg AS (
+          SELECT px, py, count(*) AS n_in,
+                 sum(w) AS sw, sum(w*x1) AS sx1, sum(w*x2) AS sx2,
+                 sum(w*x1*x1) AS sx11, sum(w*x1*x2) AS sx12,
+                 sum(w*x2*x2) AS sx22,
+                 sum(w*yv) AS sy, sum(w*x1*yv) AS sx1y,
+                 sum(w*x2*yv) AS sx2y, sum(w*yv*yv) AS syy
+          FROM cand GROUP BY px, py
+        ),
+        m0 AS (
+          SELECT px, py, sw, sx1, sx2, sx11, sx12, sx22,
+                 sy, sx1y, sx2y, syy,
+                 sw AS a00, sx1 AS a01, sx2 AS a02,
+                 sx1 AS a10, sx11 AS a11, sx12 AS a12,
+                 sx2 AS a20, sx12 AS a21, sx22 AS a22,
+                 sy AS b0, sx1y AS b1, sx2y AS b2
+          FROM agg WHERE n_in >= 8
+        ),
+        {elim},
+        solved AS (
+          SELECT px, py, round(w0, 6) AS c0, round(w1, 6) AS c1,
+                 round(w2, 6) AS c2, round({r2}, 6) AS cr2
+          FROM {prev}
+        ),
+        allpix AS (
+          SELECT b.band, p.px, p.py
+          FROM pix p CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS band) b
+        )
+        SELECT CAST(a.band AS BIGINT) AS band, a.px, a.py,
+               coalesce(CASE a.band WHEN 1 THEN s.c0 WHEN 2 THEN s.c1
+                        WHEN 3 THEN s.c2 ELSE s.cr2 END, -999.0) AS v
+        FROM allpix a LEFT JOIN solved s ON a.px = s.px AND a.py = s.py
+    """
+
+
 def _kriging_oracle_sql() -> str:
     """Generate the kriging oracle: top-3 neighbors by (d2, pid), then the
     ordinary-kriging covariance system solved by the IDENTICAL fixed-order
@@ -3989,46 +4140,7 @@ def _kriging_oracle_sql() -> str:
     m0_cols = ",\n              ".join(
         f"{e} AS {k}" for k, e in init.items())
 
-    cur = {f"a{r}{c}": f"a{r}{c}" for r in range(n) for c in range(n)}
-    cur.update({f"b{r}": f"b{r}" for r in range(n)})
-    ctes = []
-    prev = "m0"
-    for col in range(n - 1):
-        fdefs = []
-        for r in range(col + 1, n):
-            fdefs.append(
-                f"{cur[f'a{r}{col}']}/{cur[f'a{col}{col}']} AS f{r}_{col}")
-        fname = f"ef{col}"
-        ctes.append(f"{fname} AS (SELECT *, {', '.join(fdefs)} FROM {prev})")
-        udefs = []
-        for r in range(col + 1, n):
-            for cc in range(col + 1, n):
-                new = f"a{r}{cc}_s{col}"
-                udefs.append(
-                    f"{cur[f'a{r}{cc}']} - f{r}_{col}*{cur[f'a{col}{cc}']}"
-                    f" AS {new}")
-            newb = f"b{r}_s{col}"
-            udefs.append(
-                f"{cur[f'b{r}']} - f{r}_{col}*{cur[f'b{col}']} AS {newb}")
-        uname = f"eu{col}"
-        ctes.append(f"{uname} AS (SELECT *, {', '.join(udefs)} FROM {fname})")
-        for r in range(col + 1, n):
-            for cc in range(col + 1, n):
-                cur[f"a{r}{cc}"] = f"a{r}{cc}_s{col}"
-            cur[f"b{r}"] = f"b{r}_s{col}"
-        prev = uname
-    # back-substitution, sequential subtraction (matches the numpy loop)
-    wdefs = []
-    wname = {}
-    for i in range(n - 1, -1, -1):
-        s = cur[f"b{i}"]
-        for j in range(i + 1, n):
-            s = f"({s} - {cur[f'a{i}{j}']}*{wname[j]})"
-        wname[i] = f"w{i}"
-        wdefs.append(f"{s}/{cur[f'a{i}{i}']} AS w{i}")
-        ctes.append(
-            f"bs{i} AS (SELECT *, {s}/{cur[f'a{i}{i}']} AS w{i} FROM {prev})")
-        prev = f"bs{i}"
+    ctes, prev = _elim_backsub_ctes(n, "m0")
     elim = ",\n        ".join(ctes)
     return f"""
         WITH pts AS (
@@ -7649,6 +7761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_linear": q_grid_linear,
         "grid_invdistnn": q_grid_invdistnn,
         "grid_kriging": q_grid_kriging,
+        "grid_gwr": q_grid_gwr,
         "rasterize_alltouched": q_rasterize_alltouched,
         "rasterize_line": q_rasterize_line,
         "rasterize_points": q_rasterize_points,
@@ -11964,6 +12077,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["grid_kriging"] = _kriging_oracle_sql()
+    sqls["grid_gwr"] = _gwr_oracle_sql()
 
     at_parts = []
     for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():

@@ -516,6 +516,32 @@ def grid_linear_dist(
     )
 
 
+def _solve_fixed_order(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched (m, n, n) @ (m, n) linear solve by fixed-order pivot-free
+    Gaussian elimination + sequential back-substitution — the exact
+    operation order the generated SQL oracles replay (see
+    __spark_entry__._elim_backsub_ctes), so results are bit-identical
+    across engines. Callers must guarantee nonzero pivots (PD-plus-
+    Lagrange kriging systems, weighted normal equations)."""
+    A = A.copy()
+    b = b.copy()
+    m, n = b.shape
+    for col in range(n - 1):
+        piv = A[:, col, col].copy()
+        for r in range(col + 1, n):
+            f = A[:, r, col] / piv
+            for cc in range(col + 1, n):
+                A[:, r, cc] = A[:, r, cc] - f * A[:, col, cc]
+            b[:, r] = b[:, r] - f * b[:, col]
+    w = np.zeros((m, n))
+    for i in range(n - 1, -1, -1):
+        s = b[:, i].copy()
+        for jcol in range(i + 1, n):
+            s = s - A[:, i, jcol] * w[:, jcol]
+        w[:, i] = s / A[:, i, i]
+    return w
+
+
 def grid_kriging(
     points: DataFrame,
     grid: GridSpec,
@@ -701,22 +727,7 @@ def grid_kriging(
             for i in range(c):
                 b[:, i] = cov(np.sqrt(cd2[:, i]))
             b[:, c] = 1.0
-            # fixed-order elimination (no pivoting; see docstring), then
-            # back-substitution with sequential subtraction — the exact
-            # operation order the SQL oracle spells for k = 3
-            for col in range(n - 1):
-                piv = A[:, col, col].copy()
-                for r in range(col + 1, n):
-                    f = A[:, r, col] / piv
-                    for cc in range(col + 1, n):
-                        A[:, r, cc] = A[:, r, cc] - f * A[:, col, cc]
-                    b[:, r] = b[:, r] - f * b[:, col]
-            w = np.zeros((m, n))
-            for i in range(n - 1, -1, -1):
-                s = b[:, i].copy()
-                for jcol in range(i + 1, n):
-                    s = s - A[:, i, jcol] * w[:, jcol]
-                w[:, i] = s / A[:, i, i]
+            w = _solve_fixed_order(A, b)
             pred = np.zeros(m)
             for i in range(c):
                 pred = pred + w[:, i] * cv[:, i]
@@ -731,4 +742,174 @@ def grid_kriging(
 
     return buckets.groupBy("tile_x", "tile_y").applyInPandas(
         interp, schema=RASTER_SCHEMA
+    )
+
+
+def grid_gwr(
+    points: DataFrame,
+    grid: GridSpec,
+    bandwidth: float,
+    x_cols: tuple[str, str] = ("x1", "x2"),
+    y_col: str = "y",
+    min_points: int = 8,
+    nodata: float = 0.0,
+    raster_id: str = "gwr",
+    point_cols: tuple[str, str] = ("x", "y"),
+    quantize: int | None = 4096,
+) -> DataFrame:
+    """Geographically weighted regression (Fotheringham, Brunsdon &
+    Charlton 2002) coefficient surfaces: at every pixel center, a local
+    weighted least-squares fit y ~ b0 + b1*x1 + b2*x2 over the samples
+    within ``bandwidth``, bisquare kernel w = (1 - (d/bw)^2)^2 — chosen
+    over the Gaussian kernel because it is ALGEBRAIC (no exp), so the SQL
+    oracle reproduces the weights bit-for-bit.
+
+    Output raster bands: 1 = intercept, 2 = beta_x1, 3 = beta_x2,
+    4 = local weighted R^2. Pixels with fewer than ``min_points`` samples
+    in the bandwidth emit ``nodata`` in all four bands.
+
+    ``quantize`` (default 4096): kernel weights snap to 1/4096 dyadic
+    rationals (the KDE/GRA_Sum trick) — with integer-valued predictors
+    every accumulated normal-equation sum is an exact dyadic rational,
+    making the fit partitioning/chunk-order invariant and
+    oracle-reproducible. ``None`` keeps raw weights.
+
+    Scale shape: same one-shuffle bucket layout as grid_invdistnn/
+    grid_kriging (ring from the bandwidth); per tile one vectorized
+    accumulation over (pixels x points) chunks, then a batched 3x3
+    fixed-order solve (:func:`_solve_fixed_order`). Degenerate local
+    designs (constant predictor within a window) make the normal matrix
+    singular — inf/nan propagates; keep min_points honest.
+    """
+    if bandwidth <= 0.0:
+        raise ValueError("gwr requires a positive bandwidth")
+    xcol, ycol = point_cols
+    cols = [xcol, ycol, *x_cols, y_col]
+    if len(set(cols)) != len(cols):
+        raise ValueError(
+            f"point/predictor/response column names must be distinct, got "
+            f"{cols}")
+    x1c, x2c = x_cols
+    ntx, nty = grid.n_tiles()
+    tile = grid.tile
+    gt = grid.gt
+    span_x = abs(gt[1]) * tile
+    span_y = abs(gt[5]) * tile
+    ring_x = int(math.ceil(bandwidth / span_x))
+    ring_y = int(math.ceil(bandwidth / span_y))
+    bw2 = bandwidth * bandwidth
+    q = float(quantize) if quantize else 0.0
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            x = b[xcol].to_numpy(np.float64)
+            y = b[ycol].to_numpy(np.float64)
+            px, py = grid.world_to_px(x, y)
+            bx = np.clip(px // tile, 0, ntx - 1).astype(np.int64)
+            by = np.clip(py // tile, 0, nty - 1).astype(np.int64)
+            dx, dy = np.meshgrid(np.arange(-ring_x, ring_x + 1),
+                                 np.arange(-ring_y, ring_y + 1))
+            dx = dx.ravel()
+            dy = dy.ravel()
+            n, m = len(x), len(dx)
+            tx = (bx[:, None] + dx[None, :]).ravel()
+            ty = (by[:, None] + dy[None, :]).ravel()
+            ok = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+            rep = np.repeat(np.arange(n), m)[ok]
+            yield pd.DataFrame({
+                "tile_x": tx[ok], "tile_y": ty[ok],
+                "x": x[rep], "y": y[rep],
+                "x1": b[x1c].to_numpy(np.float64)[rep],
+                "x2": b[x2c].to_numpy(np.float64)[rep],
+                "yv": b[y_col].to_numpy(np.float64)[rep],
+            })
+
+    buckets = points.select(xcol, ycol, x1c, x2c, y_col).mapInPandas(
+        bucket,
+        schema="tile_x long, tile_y long, x double, y double, "
+               "x1 double, x2 double, yv double",
+    )
+    W, H = grid.width, grid.height
+    CHUNK = 4096
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        x0, y0 = tx * tile, ty * tile
+        tw = min(tile, W - x0)
+        th = min(tile, H - y0)
+        jj, ii = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+        gx = (gt[0] + (x0 + ii + 0.5) * gt[1]).ravel()
+        gy = (gt[3] + (y0 + jj + 0.5) * gt[5]).ravel()
+        npx = th * tw
+        names = ["w", "x1", "x2", "x11", "x12", "x22",
+                 "y", "x1y", "x2y", "yy"]
+        s = {k: np.zeros(npx) for k in names}
+        n_in = np.zeros(npx, dtype=np.int64)
+        PX = pdf["x"].to_numpy(np.float64)
+        PY = pdf["y"].to_numpy(np.float64)
+        X1 = pdf["x1"].to_numpy(np.float64)
+        X2 = pdf["x2"].to_numpy(np.float64)
+        YV = pdf["yv"].to_numpy(np.float64)
+        for c0 in range(0, len(PX), CHUNK):
+            px_ = PX[c0:c0 + CHUNK][None, :]
+            py_ = PY[c0:c0 + CHUNK][None, :]
+            x1 = X1[c0:c0 + CHUNK][None, :]
+            x2 = X2[c0:c0 + CHUNK][None, :]
+            yv = YV[c0:c0 + CHUNK][None, :]
+            d2 = (gx[:, None] - px_) ** 2 + (gy[:, None] - py_) ** 2
+            inside = d2 < bw2
+            u = d2 / bw2
+            base = (1.0 - u) * (1.0 - u)
+            w = np.where(inside, base, 0.0)
+            if q:
+                w = np.floor(w * q + 0.5) / q
+            n_in += inside.sum(axis=1)
+            s["w"] += w.sum(axis=1)
+            s["x1"] += (w * x1).sum(axis=1)
+            s["x2"] += (w * x2).sum(axis=1)
+            s["x11"] += (w * x1 * x1).sum(axis=1)
+            s["x12"] += (w * x1 * x2).sum(axis=1)
+            s["x22"] += (w * x2 * x2).sum(axis=1)
+            s["y"] += (w * yv).sum(axis=1)
+            s["x1y"] += (w * x1 * yv).sum(axis=1)
+            s["x2y"] += (w * x2 * yv).sum(axis=1)
+            s["yy"] += (w * yv * yv).sum(axis=1)
+        ok = n_in >= min_points
+        m = int(ok.sum())
+        bands = {1: np.full(npx, nodata), 2: np.full(npx, nodata),
+                 3: np.full(npx, nodata), 4: np.full(npx, nodata)}
+        if m:
+            A = np.empty((m, 3, 3))
+            A[:, 0, 0] = s["w"][ok]
+            A[:, 0, 1] = A[:, 1, 0] = s["x1"][ok]
+            A[:, 0, 2] = A[:, 2, 0] = s["x2"][ok]
+            A[:, 1, 1] = s["x11"][ok]
+            A[:, 1, 2] = A[:, 2, 1] = s["x12"][ok]
+            A[:, 2, 2] = s["x22"][ok]
+            rhs = np.stack([s["y"][ok], s["x1y"][ok], s["x2y"][ok]], axis=1)
+            w_ = _solve_fixed_order(A, rhs)
+            b0, b1, b2 = w_[:, 0], w_[:, 1], w_[:, 2]
+            # local weighted R^2 — term order mirrors the SQL oracle
+            syh = b0 * s["y"][ok] + b1 * s["x1y"][ok] + b2 * s["x2y"][ok]
+            sy2h = (b0 * b0 * s["w"][ok] + b1 * b1 * s["x11"][ok]
+                    + b2 * b2 * s["x22"][ok] + 2.0 * b0 * b1 * s["x1"][ok]
+                    + 2.0 * b0 * b2 * s["x2"][ok]
+                    + 2.0 * b1 * b2 * s["x12"][ok])
+            sse = s["yy"][ok] - 2.0 * syh + sy2h
+            tss = s["yy"][ok] - s["y"][ok] * s["y"][ok] / s["w"][ok]
+            r2 = 1.0 - sse / tss
+            bands[1][ok] = b0
+            bands[2][ok] = b1
+            bands[3][ok] = b2
+            bands[4][ok] = r2
+        return pd.DataFrame([dict(
+            raster_id=raster_id, band=bn, zoom=0, tile_x=tx, tile_y=ty,
+            dtype="float64", tile_w=tw, tile_h=th,
+            gt0=gt[0] + x0 * gt[1], gt1=gt[1], gt2=0.0,
+            gt3=gt[3] + y0 * gt[5], gt4=0.0, gt5=gt[5],
+            nodata=nodata, pixels=bands[bn].tolist(),
+        ) for bn in (1, 2, 3, 4)])
+
+    return buckets.groupBy("tile_x", "tile_y").applyInPandas(
+        fit, schema=RASTER_SCHEMA
     )
