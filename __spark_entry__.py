@@ -7477,6 +7477,23 @@ def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centrography(pts, by="g")
 
 
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Matheron semivariogram over a pid%7 systematic subsample
+    of the integer-key points: the 3x3 cell-ring covering join is proven
+    complete against the oracle's brute-force pair join; (vi-vj)^2 / d2
+    sums are exact int64, so gamma matches bit-for-bit."""
+    from lib_gdal_spark.operators.spatialstats import empirical_variogram
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 7919) % 1200).alias("x"),
+        ((F.col("event_id") * 104729) % 1200).alias("y"),
+        (F.col("event_id") % 97).alias("v"),
+    )
+    return empirical_variogram(pts, max_dist=150.0, n_bins=6)
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Geary's C (Geary 1954; Cliff & Ord 1981 normality moments)
     over the 10-degree lattice cell counts, queen contiguity — the
@@ -7961,6 +7978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
         "std_ellipse": q_std_ellipse,
+        "variogram": q_variogram,
         "local_moran": q_local_moran,
         "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
@@ -17509,6 +17527,31 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(sxx/n - (sx/n)*(sx/n))
                    * sqrt((n*w_i - w_i*w_i) / (n - 1.0))), 9) AS gi_star
         FROM per, g
+    """
+
+    # variogram oracle: brute-force unordered pair join over the ~1/7
+    # subsample — completeness proof for the operator's cell-ring join
+    sqls["variogram"] = """
+        WITH pts AS (
+          SELECT event_id AS pid,
+                 (event_id * 7919) % 1200 AS x,
+                 (event_id * 104729) % 1200 AS y,
+                 event_id % 97 AS v
+          FROM events WHERE event_id % 7 = 0
+        ),
+        pairs AS (
+          SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+                 (a.v - b.v) * (a.v - b.v) AS dd
+          FROM pts a JOIN pts b ON a.pid < b.pid
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                < 22500.0
+        )
+        SELECT CAST(floor(sqrt(CAST(d2 AS DOUBLE)) / 25.0) AS BIGINT)
+                 AS bin,
+               count(*) AS n_pairs,
+               round(sum(dd) / (2.0 * count(*)), 9) AS gamma,
+               round(sum(d2) / count(*), 9) AS avg_d2
+        FROM pairs GROUP BY 1 ORDER BY 1
     """
 
     sqls["std_ellipse"] = """

@@ -48,6 +48,8 @@ __all__ = [
     "mann_kendall",
     "getis_per_bin",
     "emerging_hotspots",
+    "centrography",
+    "empirical_variogram",
 ]
 
 
@@ -750,4 +752,89 @@ def centrography(pts: DataFrame, by: str = "g") -> DataFrame:
         F.round(sig_x, 9).alias("sigma_x"),
         F.round(sig_y, 9).alias("sigma_y"),
         F.round(F.atan(t), 9).alias("theta"),
+    )
+
+
+def empirical_variogram(
+    pts: DataFrame,
+    max_dist: float,
+    n_bins: int = 10,
+    cell: float | None = None,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram over integer-coordinate points —
+    the estimation half of the kriging workflow (operators/grid.py
+    grid_kriging consumes the fitted model):
+      gamma(bin) = sum (vi - vj)^2 / (2 * n_pairs)
+    over unordered point pairs with separation h < ``max_dist``, binned by
+    floor(h / (max_dist / n_bins)).
+
+    ``pts``: (pid long, x long, y long, v long) — integer lattice coords
+    and an integer variable, so pair d2 and (vi-vj)^2 are exact int64 and
+    every aggregate is order-independent (bit-reproducible).
+
+    Scale shape: NO cross join — points key to a square lattice cell of
+    side ``cell`` (default ``max_dist``; must be >= ``max_dist`` for
+    completeness), the probe side explodes to the 3x3 cell ring, one
+    equi-join, pid_a < pid_b dedup. All JVM-side (zero Python). Dense
+    cells are quadratic in their own population — the estimator's true
+    cost; ``max_per_cell`` bounds it by keeping only the ``max_per_cell``
+    lowest-pid points per cell (a deterministic systematic subsample, the
+    standard practice for variogram estimation on large point sets).
+    Callers needing an unbiased thinning should pre-sample upstream.
+
+    Returns (bin, n_pairs, gamma, avg_d2) ordered by bin.
+    """
+    c = float(cell if cell is not None else max_dist)
+    if c < max_dist:
+        raise ValueError(f"cell ({c}) must be >= max_dist ({max_dist}) "
+                         "or ring coverage is incomplete")
+    cl = F.lit(c)
+    base = pts.select(
+        "pid", "x", "y", "v",
+        F.floor(F.col("x") / cl).cast("long").alias("cx"),
+        F.floor(F.col("y") / cl).cast("long").alias("cy"),
+    )
+    if max_per_cell is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cx", "cy").orderBy("pid")
+        base = (base.withColumn("_r", F.row_number().over(w))
+                    .where(F.col("_r") <= max_per_cell).drop("_r"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = base.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("v").alias("va"),
+        F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    ).drop("o")
+    build = base.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("v").alias("vb"),
+        F.col("cx").alias("jcx"), F.col("cy").alias("jcy"),
+    )
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    dd = (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+    bw = max_dist / n_bins
+    pairs = (
+        probe.join(build, ["jcx", "jcy"])
+        .where(F.col("pid_a") < F.col("pid_b"))
+        .select(d2.alias("d2"), dd.alias("dd"))
+        .where(F.col("d2") < F.lit(max_dist * max_dist))
+    )
+    return (
+        pairs.groupBy(F.floor(F.sqrt(F.col("d2")) / F.lit(bw))
+                      .cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("dd").alias("sdd"),
+             F.sum("d2").alias("sd2"))
+        .select("bin", "n_pairs",
+                F.round(F.col("sdd") / (2.0 * F.col("n_pairs")), 9)
+                 .alias("gamma"),
+                F.round(F.col("sd2") / F.col("n_pairs"), 9).alias("avg_d2"))
+        .orderBy("bin")
     )

@@ -425,3 +425,54 @@ class TestCentrography:
         assert len(out1) == 3
         for g in out1:
             assert out1[g] == out2[g]
+
+
+class TestEmpiricalVariogram:
+    def _pts(self, spark, n=300, seed=2, parts=1):
+        rng = np.random.default_rng(seed)
+        rows = [(int(i), int(rng.integers(0, 400)), int(rng.integers(0, 400)),
+                 int(rng.integers(0, 50))) for i in range(n)]
+        df = spark.createDataFrame(rows, "pid long, x long, y long, v long")
+        return (df.repartition(parts) if parts > 1 else df), rows
+
+    def test_vs_brute_force(self, spark):
+        df, rows = self._pts(spark)
+        out = {r["bin"]: r for r in
+               S.empirical_variogram(df, max_dist=80.0, n_bins=4).collect()}
+        import itertools
+        bins = {}
+        for (pa, xa, ya, va), (pb, xb, yb, vb) in \
+                itertools.combinations(rows, 2):
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 < 6400:
+                b = int(math.floor(math.sqrt(d2) / 20.0))
+                n, sdd, sd2 = bins.get(b, (0, 0, 0))
+                bins[b] = (n + 1, sdd + (va - vb) ** 2, sd2 + d2)
+        assert set(out) == set(bins)
+        for b, (n, sdd, sd2) in bins.items():
+            assert out[b]["n_pairs"] == n, b
+            assert out[b]["gamma"] == pytest.approx(sdd / (2 * n), abs=1e-9)
+            assert out[b]["avg_d2"] == pytest.approx(sd2 / n, abs=1e-9)
+
+    def test_pure_nugget_flat(self, spark):
+        # spatially-independent values: gamma is ~variance at every lag
+        df, rows = self._pts(spark, n=500, seed=9)
+        out = S.empirical_variogram(df, max_dist=200.0, n_bins=4).collect()
+        v = np.array([r[3] for r in rows], dtype=float)
+        var = v.var()
+        for r in out:
+            if r["n_pairs"] > 200:
+                assert abs(r["gamma"] - var) / var < 0.25
+
+    def test_partition_invariance_and_cap(self, spark):
+        df1, _ = self._pts(spark, parts=1)
+        df2, _ = self._pts(spark, parts=11)
+        a = S.empirical_variogram(df1, 80.0, 4).collect()
+        b = S.empirical_variogram(df2, 80.0, 4).collect()
+        assert a == b
+        capped = S.empirical_variogram(df1, 80.0, 4,
+                                       max_per_cell=5).collect()
+        assert sum(r["n_pairs"] for r in capped) < \
+            sum(r["n_pairs"] for r in a)
+        with pytest.raises(ValueError):
+            S.empirical_variogram(df1, 80.0, 4, cell=50.0)
