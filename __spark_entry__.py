@@ -7494,6 +7494,62 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return empirical_variogram(pts, max_dist=150.0, n_bins=6)
 
 
+def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-least-squares spherical variogram fit (Cressie 1985
+    weighting) over the empirical variogram, candidate-range grid search:
+    per candidate a closed-form 2x2 Cramer solve; argmin WSS."""
+    from lib_gdal_spark.operators.spatialstats import (
+        empirical_variogram, fit_variogram)
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 7919) % 1200).alias("x"),
+        ((F.col("event_id") * 104729) % 1200).alias("y"),
+        (F.col("event_id") % 97).alias("v"),
+    )
+    vgm = empirical_variogram(pts, max_dist=150.0, n_bins=6)
+    fit = fit_variogram(vgm, [50.0, 75.0, 100.0, 125.0, 150.0],
+                        max_dist=150.0, n_bins=6)
+    # re-round at magnitude-appropriate precision: the 6-bin double sums
+    # are engine-order-dependent at ~1e-14 relative, and wss is O(1e8)
+    return fit.select("vrange", F.round("nugget", 5).alias("nugget"),
+                      F.round("psill", 5).alias("psill"),
+                      F.round("wss", 2).alias("wss"))
+
+
+HUFF_STORES: list[tuple[int, int, int, float]] = [
+    (1, 5, 4, 100.0), (2, 20, 8, 200.0), (3, 30, 12, 150.0)]
+
+
+def q_huff_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff gravity model (Huff 1964) over the 10-degree demand lattice:
+    capture shares and primary-catchment cell counts for 3 competing
+    stores; beta=2 exact 1/d2 weights, broadcast store dim."""
+    from lib_gdal_spark.operators.spatialstats import huff_model
+
+    cells = _stat_cells(spark, sf_dir)
+    demand = cells.select(
+        (F.col("gx").cast("long") * 100 + F.col("gy")).alias("cid"),
+        F.col("gx").cast("long").alias("x"),
+        F.col("gy").cast("long").alias("y"),
+        F.col("x").alias("pop"))
+    stores = local_df(spark, HUFF_STORES,
+                      "fid long, x long, y long, attr double")
+    return huff_model(demand, stores, beta=2.0)
+
+
+def q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat chi-square CSR test (Greig-Smith 1952) on an 8x8 split of
+    the 1200x1200 integer-key window; exact int64 partials."""
+    from lib_gdal_spark.operators.spatialstats import quadrat_test
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(((F.col("event_id") * 7919) % 1200).alias("x"),
+                    ((F.col("event_id") * 104729) % 1200).alias("y"))
+    return quadrat_test(pts, (0, 1200), (0, 1200), 8, 8)
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Geary's C (Geary 1954; Cliff & Ord 1981 normality moments)
     over the 10-degree lattice cell counts, queen contiguity — the
@@ -7979,6 +8035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "std_ellipse": q_std_ellipse,
         "variogram": q_variogram,
+        "variogram_fit": q_variogram_fit,
+        "huff_model": q_huff_model,
+        "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
         "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
@@ -17552,6 +17611,107 @@ def oracle_sql() -> dict[str, str]:
                round(sum(dd) / (2.0 * count(*)), 9) AS gamma,
                round(sum(d2) / count(*), 9) AS avg_d2
         FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["variogram_fit"] = f"""
+        WITH vgm AS ({sqls["variogram"]}),
+        cand AS (SELECT unnest([50.0, 75.0, 100.0, 125.0, 150.0])
+                   AS vrange),
+        j AS (
+          SELECT vrange, CAST(n_pairs AS DOUBLE) AS w, gamma AS y,
+                 CASE WHEN (bin + 0.5) * 25.0 >= vrange THEN 1.0
+                      ELSE 1.5*(((bin + 0.5) * 25.0)/vrange)
+                           - 0.5*(((bin + 0.5) * 25.0)/vrange)
+                             *(((bin + 0.5) * 25.0)/vrange)
+                             *(((bin + 0.5) * 25.0)/vrange) END AS g
+          FROM vgm CROSS JOIN cand
+        ),
+        s AS (
+          SELECT vrange, sum(w) AS sw, sum(w*g) AS swg,
+                 sum(w*g*g) AS swgg, sum(w*y) AS swy,
+                 sum(w*g*y) AS swgy, sum(w*y*y) AS swyy
+          FROM j GROUP BY vrange
+        ),
+        c AS (
+          SELECT s.*,
+                 (swy*swgg - swg*swgy) / (sw*swgg - swg*swg) AS c0,
+                 (sw*swgy - swg*swy) / (sw*swgg - swg*swg) AS c1
+          FROM s
+        )
+        SELECT vrange, round(round(c0, 9), 5) AS nugget,
+               round(round(c1, 9), 5) AS psill,
+               round(round(swyy - 2.0*c0*swy - 2.0*c1*swgy + c0*c0*sw
+                           + 2.0*c0*c1*swg + c1*c1*swgg, 6), 2) AS wss
+        FROM c ORDER BY round(swyy - 2.0*c0*swy - 2.0*c1*swgy + c0*c0*sw
+                              + 2.0*c0*c1*swg + c1*c1*swgg, 6), vrange
+        LIMIT 1
+    """
+
+    huff_stores = ", ".join(f"({f}, {x}, {y}, {a!r})"
+                            for f, x, y, a in HUFF_STORES)
+    sqls["huff_model"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        demand AS (
+          SELECT CAST(gx AS BIGINT) * 100 + gy AS cid,
+                 CAST(gx AS BIGINT) AS x, CAST(gy AS BIGINT) AS y,
+                 x AS pop
+          FROM cells
+        ),
+        stores(fid, sx, sy, attr) AS (VALUES {huff_stores}),
+        j AS (
+          SELECT cid, pop, fid,
+                 (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2, attr
+          FROM demand CROSS JOIN stores
+        ),
+        j2 AS (
+          SELECT *,
+                 CASE WHEN d2 = 0 THEN NULL ELSE attr / d2 END AS w,
+                 sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cid) AS hit
+          FROM j
+        ),
+        p AS (
+          SELECT cid, pop, fid,
+            CASE WHEN hit > 0 THEN
+              CASE WHEN fid = min(CASE WHEN d2 = 0 THEN fid END)
+                            OVER (PARTITION BY cid)
+                   THEN 1.0 ELSE 0.0 END
+            ELSE w / sum(w) OVER (PARTITION BY cid) END AS p
+          FROM j2
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY p DESC, fid ASC) AS rk
+          FROM p
+        )
+        SELECT CAST(fid AS BIGINT) AS fid,
+               round(sum(pop * p), 6) AS share,
+               sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_primary
+        FROM rk GROUP BY fid
+    """
+
+    sqls["quadrat_test"] = """
+        WITH pts AS (
+          SELECT (event_id * 7919) % 1200 AS x,
+                 (event_id * 104729) % 1200 AS y
+          FROM events
+        ),
+        q AS (
+          SELECT CAST((x - x % 150) / 150 AS BIGINT) AS qcx,
+                 CAST((y - y % 150) / 150 AS BIGINT) AS qcy,
+                 count(*) AS n
+          FROM pts
+          WHERE x >= 0 AND x < 1200 AND y >= 0 AND y < 1200
+          GROUP BY 1, 2
+        ),
+        g AS (SELECT sum(n) AS ntot, sum(n*n) AS sn2 FROM q)
+        SELECT ntot AS n_points, CAST(64 AS BIGINT) AS n_quadrats,
+               round(((sn2 - ntot * (ntot / 64)) / 64)
+                     / (ntot / 64), 9) AS vmr,
+               round(64 * sn2 / ntot - ntot, 9) AS chi2,
+               round(sqrt(2.0 * (64 * sn2 / ntot - ntot))
+                     - sqrt(2.0 * 63.0 - 1.0), 8) AS z
+        FROM g
     """
 
     sqls["std_ellipse"] = """

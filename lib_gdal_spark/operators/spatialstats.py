@@ -838,3 +838,175 @@ def empirical_variogram(
                 F.round(F.col("sd2") / F.col("n_pairs"), 9).alias("avg_d2"))
         .orderBy("bin")
     )
+
+
+def fit_variogram(
+    vgm: DataFrame,
+    candidates: list[float],
+    max_dist: float,
+    n_bins: int,
+    model: str = "spherical",
+) -> DataFrame:
+    """Fit (nugget, psill, range) to an :func:`empirical_variogram` result
+    by pair-count-weighted least squares (Cressie 1985 weighting, the
+    gstat default shape): for each candidate range the model is LINEAR in
+    (nugget, psill), so each fit is a closed-form 2x2 Cramer solve; the
+    winning candidate minimizes the weighted SSE (ties -> smaller range).
+    Output (one row): (vrange, nugget, psill, wss) — feed straight into
+    operators/grid.grid_kriging.
+
+    Input is inherently tiny (n_bins rows), so this is a driver-sized
+    DataFrame computation; lag centers are h = (bin + 0.5) * max_dist /
+    n_bins. Parameters are NOT sign-clamped — a negative fitted nugget
+    flags a mis-specified model to the caller rather than being hidden.
+    """
+    if not candidates:
+        raise ValueError("need at least one candidate range")
+    if model != "spherical":
+        raise ValueError("only the spherical model is implemented")
+    spark = vgm.sparkSession
+    cand = spark.createDataFrame([(float(a),) for a in candidates],
+                                 "vrange double")
+    bw = max_dist / n_bins
+    h = (F.col("bin") + 0.5) * bw
+    u = h / F.col("vrange")
+    g = F.when(h >= F.col("vrange"), 1.0).otherwise(
+        1.5 * u - 0.5 * u * u * u)
+    j = vgm.crossJoin(F.broadcast(cand)).select(
+        "vrange", F.col("n_pairs").cast("double").alias("w"),
+        F.col("gamma").alias("y"), g.alias("g"))
+    s = j.groupBy("vrange").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("g")).alias("swg"),
+        F.sum(F.col("w") * F.col("g") * F.col("g")).alias("swgg"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("g") * F.col("y")).alias("swgy"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("swyy"),
+    )
+    det = F.col("sw") * F.col("swgg") - F.col("swg") * F.col("swg")
+    c0 = (F.col("swy") * F.col("swgg") - F.col("swg") * F.col("swgy")) / det
+    c1 = (F.col("sw") * F.col("swgy") - F.col("swg") * F.col("swy")) / det
+    wss = (F.col("swyy") - 2.0 * c0 * F.col("swy")
+           - 2.0 * c1 * F.col("swgy") + c0 * c0 * F.col("sw")
+           + 2.0 * c0 * c1 * F.col("swg") + c1 * c1 * F.col("swgg"))
+    return (
+        s.select("vrange", F.round(c0, 9).alias("nugget"),
+                 F.round(c1, 9).alias("psill"),
+                 F.round(wss, 6).alias("wss"))
+        .orderBy("wss", "vrange").limit(1)
+    )
+
+
+def huff_model(
+    demand: DataFrame,
+    stores: DataFrame,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Huff gravity model (Huff 1964): probabilistic market capture of
+    competing destinations over a demand surface.
+
+    ``demand``: (cid long, x long, y long, pop long) — demand cells on an
+    integer lattice. ``stores``: (fid long, x long, y long, attr double)
+    — the small destination layer (broadcast). Capture probability of
+    store j at cell i is attr_j * d_ij^-beta normalized over stores;
+    beta=2 uses exact 1/d2 (no pow). A demand cell coincident with a
+    store is captured fully by it (the d -> 0 limit; ties by fid order).
+
+    Returns per store: (fid, share, n_primary) where share = sum_i pop_i
+    * p_ij (expected captured demand) and n_primary counts cells where
+    the store has the highest capture probability (ties -> lowest fid).
+
+    Scale shape: broadcast the store dim, one narrow crossJoin over the
+    AGGREGATED demand cells, a window for the per-cell normalizer, one
+    groupBy(fid). No shuffle of the raw corpus — demand is already the
+    cell rollup.
+    """
+    from pyspark.sql import Window
+
+    if beta != 2.0:
+        raise ValueError("only beta=2 (exact 1/d2 weights) is implemented")
+    d = demand.select(F.col("cid"), F.col("x").alias("dx"),
+                      F.col("y").alias("dy"), "pop")
+    st = stores.select("fid", F.col("x").alias("sx"),
+                       F.col("y").alias("sy"), "attr")
+    d2 = ((F.col("dx") - F.col("sx")) * (F.col("dx") - F.col("sx"))
+          + (F.col("dy") - F.col("sy")) * (F.col("dy") - F.col("sy")))
+    j = d.crossJoin(F.broadcast(st)).select(
+        "cid", "pop", "fid", d2.alias("d2"), "attr")
+    wcell = Window.partitionBy("cid")
+    # zero-distance capture: if any store sits ON the cell, it takes all
+    hit = F.sum(F.when(F.col("d2") == 0, 1).otherwise(0)).over(wcell)
+    w = F.when(F.col("d2") == 0, F.lit(None)).otherwise(
+        F.col("attr") / F.col("d2"))
+    j = j.select("cid", "pop", "fid", "d2", "attr",
+                 w.alias("w"), hit.alias("hit"))
+    den = F.sum("w").over(wcell)
+    first0 = F.min(F.when(F.col("d2") == 0, F.col("fid"))).over(wcell)
+    p = (F.when(F.col("hit") > 0,
+                F.when(F.col("fid") == first0, 1.0).otherwise(0.0))
+         .otherwise(F.col("w") / den))
+    scored = j.select("cid", "pop", "fid", p.alias("p"))
+    rk = Window.partitionBy("cid").orderBy(F.col("p").desc(), F.col("fid"))
+    scored = scored.withColumn("rk", F.row_number().over(rk))
+    return (
+        scored.groupBy("fid").agg(
+            F.round(F.sum(F.col("pop") * F.col("p")), 6).alias("share"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_primary"),
+        )
+    )
+
+
+def quadrat_test(
+    pts: DataFrame,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    qx: int,
+    qy: int,
+) -> DataFrame:
+    """Quadrat analysis / chi-square test of complete spatial randomness
+    (Greig-Smith 1952; the classic CSR screen before Ripley's K).
+
+    ``pts``: (x long, y long) on an integer lattice; the window
+    [x0, x1) x [y0, y1) splits into ``qx`` x ``qy`` equal quadrats via
+    integer arithmetic (no float-floor boundary risk). Points outside the
+    window are ignored.
+
+    One row: (n_points, n_quadrats, vmr, chi2, z) where vmr is the
+    variance-mean ratio (1 under CSR, > 1 clustered, < 1 dispersed),
+    chi2 = (Q * sum(n^2) / N) - N with df = Q-1, and z is the
+    Wilson-Hilferty-style normal approximation sqrt(2*chi2) -
+    sqrt(2*df - 1). All partials exact int64 (empty quadrats enter via
+    the closed form, not by materializing them).
+    """
+    x0, x1 = x_range
+    y0, y1 = y_range
+    if (x1 - x0) % qx or (y1 - y0) % qy:
+        raise ValueError("window must split evenly into quadrats")
+    wx = (x1 - x0) // qx
+    wy = (y1 - y0) // qy
+    inside = ((F.col("x") >= x0) & (F.col("x") < x1)
+              & (F.col("y") >= y0) & (F.col("y") < y1))
+    q = pts.where(inside).select(
+        (((F.col("x") - x0) - (F.col("x") - x0) % wx) / wx)
+        .cast("long").alias("qcx"),
+        (((F.col("y") - y0) - (F.col("y") - y0) % wy) / wy)
+        .cast("long").alias("qcy"),
+    )
+    counts = q.groupBy("qcx", "qcy").agg(F.count(F.lit(1)).alias("n"))
+    g = counts.agg(F.sum("n").alias("ntot"),
+                   F.sum(F.col("n") * F.col("n")).alias("sn2"))
+    qn = qx * qy
+    n = F.col("ntot")
+    chi2 = qn * F.col("sn2") / n - n
+    df = float(qn - 1)
+    # VMR over ALL Q quadrats (empty ones contribute 0 to both sums)
+    mean = n / qn
+    var = (F.col("sn2") - n * mean) / qn
+    return g.select(
+        F.col("ntot").alias("n_points"),
+        F.lit(qn).cast("long").alias("n_quadrats"),
+        F.round(var / mean, 9).alias("vmr"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(F.sqrt(2.0 * chi2) - math.sqrt(2.0 * df - 1.0), 8)
+         .alias("z"),
+    )

@@ -476,3 +476,105 @@ class TestEmpiricalVariogram:
             sum(r["n_pairs"] for r in a)
         with pytest.raises(ValueError):
             S.empirical_variogram(df1, 80.0, 4, cell=50.0)
+
+
+class TestFitVariogram:
+    def test_recovers_known_spherical(self, spark):
+        # synthesize an empirical variogram FROM a known spherical model:
+        # the WLS fit must recover (nugget, psill) exactly and pick the
+        # true range from the candidate grid
+        true_n, true_p, true_a = 3.0, 12.0, 90.0
+        rows = []
+        for b in range(6):
+            h = (b + 0.5) * 25.0
+            u = min(h / true_a, 1.0)
+            gam = true_n + true_p * (1.5 * u - 0.5 * u ** 3) \
+                if h < true_a else true_n + true_p
+            rows.append((b, 1000 + 100 * b, float(gam), h * h))
+        vgm = spark.createDataFrame(
+            rows, "bin long, n_pairs long, gamma double, avg_d2 double")
+        fit = S.fit_variogram(vgm, [60.0, 90.0, 120.0],
+                              max_dist=150.0, n_bins=6).collect()[0]
+        assert fit["vrange"] == 90.0
+        assert fit["nugget"] == pytest.approx(true_n, abs=1e-6)
+        assert fit["psill"] == pytest.approx(true_p, abs=1e-6)
+        assert fit["wss"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_validation(self, spark):
+        vgm = spark.createDataFrame(
+            [(0, 10, 1.0, 4.0)],
+            "bin long, n_pairs long, gamma double, avg_d2 double")
+        with pytest.raises(ValueError):
+            S.fit_variogram(vgm, [], 150.0, 6)
+        with pytest.raises(ValueError):
+            S.fit_variogram(vgm, [50.0], 150.0, 6, model="exponential")
+
+
+class TestHuffModel:
+    def test_two_equal_stores_split_demand(self, spark):
+        # symmetric layout: two identical stores equidistant from every
+        # demand cell on the perpendicular bisector -> 50/50 split
+        demand = spark.createDataFrame(
+            [(i, 10, i, 100) for i in range(1, 6)],
+            "cid long, x long, y long, pop long")
+        stores = spark.createDataFrame(
+            [(1, 0, 0, 50.0), (2, 20, 0, 50.0)],
+            "fid long, x long, y long, attr double")
+        out = {r["fid"]: r for r in S.huff_model(demand, stores).collect()}
+        assert out[1]["share"] == pytest.approx(250.0)
+        assert out[2]["share"] == pytest.approx(250.0)
+        # primary ties break to the lower fid
+        assert out[1]["n_primary"] == 5 and out[2]["n_primary"] == 0
+
+    def test_attractiveness_and_distance_decay(self, spark):
+        demand = spark.createDataFrame(
+            [(0, 0, 0, 60)], "cid long, x long, y long, pop long")
+        stores = spark.createDataFrame(
+            [(1, 1, 0, 10.0), (2, 2, 0, 10.0)],   # d2 = 1 vs 4
+            "fid long, x long, y long, attr double")
+        out = {r["fid"]: r for r in S.huff_model(demand, stores).collect()}
+        # p1 = 10/1 / (10/1 + 10/4) = 0.8
+        assert out[1]["share"] == pytest.approx(48.0)
+        assert out[2]["share"] == pytest.approx(12.0)
+
+    def test_zero_distance_captures_all(self, spark):
+        demand = spark.createDataFrame(
+            [(0, 7, 7, 30)], "cid long, x long, y long, pop long")
+        stores = spark.createDataFrame(
+            [(1, 7, 7, 1.0), (2, 8, 7, 1000.0)],
+            "fid long, x long, y long, attr double")
+        out = {r["fid"]: r for r in S.huff_model(demand, stores).collect()}
+        assert out[1]["share"] == pytest.approx(30.0)
+        assert 2 not in out or out[2]["share"] == 0.0
+
+
+class TestQuadratTest:
+    def test_uniform_grid_dispersed(self, spark):
+        # one point per quadrat exactly: vmr = 0, chi2 = 0
+        pts = spark.createDataFrame(
+            [(i * 10 + 5, j * 10 + 5) for i in range(4) for j in range(4)],
+            "x long, y long")
+        row = S.quadrat_test(pts, (0, 40), (0, 40), 4, 4).collect()[0]
+        assert row["vmr"] == 0.0 and row["chi2"] == 0.0
+
+    def test_fully_clustered(self, spark):
+        # all N points in one quadrat: chi2 = N*(Q-1), vmr = N - N/Q
+        pts = spark.createDataFrame([(1, 1)] * 64, "x long, y long")
+        row = S.quadrat_test(pts, (0, 40), (0, 40), 4, 4).collect()[0]
+        assert row["chi2"] == pytest.approx(64 * 15)
+        assert row["vmr"] == pytest.approx(64 - 4.0)
+        assert row["z"] > 10
+
+    def test_csr_near_one(self, spark):
+        rng = np.random.default_rng(0)
+        pts = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 400, 3000), rng.integers(0, 400, 3000))],
+            "x long, y long")
+        row = S.quadrat_test(pts, (0, 400), (0, 400), 8, 8).collect()[0]
+        assert 0.8 < row["vmr"] < 1.25 and abs(row["z"]) < 2.5
+
+    def test_window_validation(self, spark):
+        pts = spark.createDataFrame([(1, 1)], "x long, y long")
+        with pytest.raises(ValueError):
+            S.quadrat_test(pts, (0, 41), (0, 40), 4, 4)
