@@ -7494,6 +7494,36 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return empirical_variogram(pts, max_dist=150.0, n_bins=6)
 
 
+def q_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993) of the doc_id%4==0
+    slice vs the rest: exact int64 contingency counts, one ln formula,
+    top 25 by (G2 desc, term)."""
+    from lib_gdal_spark.operators.textops import keyness_g2
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4 == 0).alias("in_focus"))
+    out = keyness_g2(docs, min_count=5)
+    w = Window.orderBy(F.col("g2").desc(), F.col("term").asc())
+    return (out.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 25)
+               .select("rank", "term", "a", "b", "g2", "direction"))
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric attribution (Burrows 2002): every doc
+    scored against 3 candidate profiles over the 20 most frequent corpus
+    terms; z-space from the doc corpus, zeros explicit."""
+    from lib_gdal_spark.operators.textops import burrows_delta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("cand_id"), "text")
+    out = burrows_delta(docs, cands, k_words=20)
+    return out.where(F.col("rank") == 1).select(
+        "doc_id", "cand_id", "delta")
+
+
 def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-least-squares spherical variogram fit (Cressie 1985
     weighting) over the empirical variogram, candidate-range grid search:
@@ -8036,6 +8066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "variogram": q_variogram,
         "variogram_fit": q_variogram_fit,
+        "keyness_g2": q_keyness_g2,
+        "burrows_delta": q_burrows_delta,
         "huff_model": q_huff_model,
         "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
@@ -17611,6 +17643,98 @@ def oracle_sql() -> dict[str, str]:
                round(sum(dd) / (2.0 * count(*)), 9) AS gamma,
                round(sum(d2) / count(*), 9) AS avg_d2
         FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+    sqls["keyness_g2"] = r"""
+        WITH t AS (
+          SELECT doc_id % 4 = 0 AS foc, term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS term
+                FROM documents)
+          WHERE term <> ''
+        ),
+        counts AS (
+          SELECT term,
+                 sum(CASE WHEN foc THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN foc THEN 0 ELSE 1 END) AS b
+          FROM t GROUP BY term
+        ),
+        tot AS (
+          SELECT sum(CASE WHEN foc THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN foc THEN 0 ELSE 1 END) AS nb
+          FROM t
+        ),
+        j AS (
+          SELECT term, a, b,
+            round(2.0 * (
+              (CASE WHEN a > 0
+                THEN a * ln(a / (na * (a + b) / (na + nb)))
+                ELSE 0.0 END)
+              + (CASE WHEN b > 0
+                 THEN b * ln(b / (nb * (a + b) / (na + nb)))
+                 ELSE 0.0 END)), 6) AS g2,
+            CASE WHEN a * nb > b * na THEN 1 ELSE -1 END AS direction
+          FROM counts, tot WHERE a + b >= 5
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, term, a, b, g2, direction
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY g2 DESC, term ASC) AS rank FROM j)
+        WHERE rank <= 25
+    """
+
+    sqls["burrows_delta"] = r"""
+        WITH tok AS (
+          SELECT doc_id AS _id, term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS term
+                FROM documents)
+          WHERE term <> ''
+        ),
+        cnt AS (SELECT _id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        dlen AS (SELECT _id, count(*) AS len FROM tok GROUP BY 1),
+        nd AS (SELECT count(*) AS n FROM documents),
+        vocab AS (
+          SELECT term FROM
+            (SELECT term, sum(c) AS tot FROM cnt GROUP BY term)
+          ORDER BY tot DESC, term ASC LIMIT 20
+        ),
+        f AS (
+          SELECT cnt._id, cnt.term, cnt.c / dlen.len AS f
+          FROM cnt JOIN vocab USING (term) JOIN dlen USING (_id)
+        ),
+        mom AS (
+          SELECT term, sum(f) AS sf, sum(f*f) AS sff
+          FROM f GROUP BY term
+        ),
+        stats AS (
+          SELECT term, sf/n AS mu, sqrt(sff/n - (sf/n)*(sf/n)) AS sigma
+          FROM mom, nd
+        ),
+        dgrid AS (
+          SELECT doc_id AS _id, term FROM documents CROSS JOIN vocab
+        ),
+        dz AS (
+          SELECT g._id, g.term,
+                 (coalesce(f.f, 0.0) - s.mu) / s.sigma AS z
+          FROM dgrid g LEFT JOIN f ON f._id = g._id AND f.term = g.term
+          JOIN stats s ON s.term = g.term
+        ),
+        cz AS (
+          SELECT _id AS cid, term, z AS cz FROM dz WHERE _id < 3
+        ),
+        pairs AS (
+          SELECT dz._id, cz.cid,
+                 round(sum(abs(dz.z - cz.cz)) / 20, 6) AS delta
+          FROM dz JOIN cz ON dz.term = cz.term
+          GROUP BY 1, 2
+        )
+        SELECT _id AS doc_id, cid AS cand_id, delta
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY _id ORDER BY delta ASC, cid ASC) AS rk
+              FROM pairs)
+        WHERE rk = 1
     """
 
     sqls["variogram_fit"] = f"""

@@ -2210,3 +2210,148 @@ def rake_keywords(
         )
         .where(F.col("rank") <= int(top_n))
     )
+
+
+def keyness_g2(
+    docs: DataFrame,
+    focus_col: str = "in_focus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, "Accurate Methods
+    for the Statistics of Surprise and Coincidence"): which terms are
+    over/under-represented in a focus slice vs the rest of the corpus —
+    the standard corpus-linguistics keyword test, and the slice-drift
+    diagnostic of a training-data pipeline (what vocabulary did this
+    domain/date/language filter change?).
+
+    Per term with a + b >= ``min_count``:
+      G2 = 2 * (a*ln(a/e1) + b*ln(b/e2)),  e1 = NA*(a+b)/(NA+NB),
+                                           e2 = NB*(a+b)/(NA+NB)
+    (0*ln(0) = 0), with ``direction`` +1 when the focus rate a/NA exceeds
+    b/NB. All counts are exact int64 one-shuffle aggregates; the final
+    expression is one float formula an oracle spells identically.
+
+    Returns (term, a, b, g2, direction).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    t = docs.select(F.col(focus_col).alias("foc"),
+                    F.explode(toks).alias("term"))
+    counts = t.groupBy("term").agg(
+        F.sum(F.when(F.col("foc"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("foc"), 0).otherwise(1)).alias("b"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("foc"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("foc"), 0).otherwise(1)).alias("nb"),
+    )
+    j = counts.where(F.col("a") + F.col("b") >= min_count) \
+              .crossJoin(F.broadcast(tot))
+    e1 = F.col("na") * (F.col("a") + F.col("b")) / (F.col("na") + F.col("nb"))
+    e2 = F.col("nb") * (F.col("a") + F.col("b")) / (F.col("na") + F.col("nb"))
+    term_a = F.when(F.col("a") > 0, F.col("a") * F.log(F.col("a") / e1)) \
+              .otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, F.col("b") * F.log(F.col("b") / e2)) \
+              .otherwise(F.lit(0.0))
+    g2 = 2.0 * (term_a + term_b)
+    direction = F.when(F.col("a") * F.col("nb") > F.col("b") * F.col("na"),
+                       1).otherwise(-1)
+    return j.select("term", "a", "b", F.round(g2, 6).alias("g2"),
+                    direction.alias("direction"))
+
+
+def burrows_delta(
+    docs: DataFrame,
+    candidates: DataFrame,
+    k_words: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cand_id_col: str = "cand_id",
+) -> DataFrame:
+    """Burrows' Delta (Burrows 2002; Evert et al. 2017 formulation) —
+    the standard stylometric attribution distance: z-score the relative
+    frequencies of the ``k_words`` most frequent corpus terms (the
+    "function words"), then Delta(doc, candidate) = mean |z_doc - z_cand|.
+
+    ``candidates`` is the SMALL profile table (cand_id, text) — candidate
+    author samples, broadcast everywhere; ``docs`` is the big table.
+    Corpus statistics (term means/stds over docs, population std) come
+    from ``docs`` only, so candidate profiles are scored in the docs'
+    z-space. Missing terms count as frequency 0 (the zeros matter — they
+    carry authorship signal).
+
+    Scale shape: one explode+groupBy over docs for counts; the k-word
+    vocabulary and its (mu, sigma) moments are tiny broadcasts; the
+    doc x candidate x k join is |docs| * |candidates| * k rows of pure
+    JVM arithmetic — linear in the corpus for a bounded candidate set.
+
+    Returns (doc_id, cand_id, delta, rank) — rank 1 is the attribution.
+    """
+    from pyspark.sql import Window
+
+    def term_freqs(df, idc):
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+            lambda x: x != F.lit(""),
+        )
+        t = df.select(F.col(idc).alias("_id"), F.explode(toks).alias("term"))
+        cnt = t.groupBy("_id", "term").agg(F.count("*").alias("c"))
+        length = t.groupBy("_id").agg(F.count("*").alias("len"))
+        return cnt, length
+
+    cnt, dlen = term_freqs(docs, id_col)
+    n_docs = docs.count()
+    vocab = (
+        cnt.groupBy("term").agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("term").asc())
+        .limit(k_words)
+        .select("term")
+    )
+    # per-(doc, term) relative frequency over the k vocabulary
+    f = (cnt.join(F.broadcast(vocab), "term")
+            .join(dlen, "_id")
+            .select("_id", "term", (F.col("c") / F.col("len")).alias("f")))
+    # population moments over ALL docs (absent terms are zeros: they
+    # contribute to n but not to the sums)
+    mom = f.groupBy("term").agg(F.sum("f").alias("sf"),
+                                F.sum(F.col("f") * F.col("f")).alias("sff"))
+    mu = F.col("sf") / n_docs
+    sg = F.sqrt(F.col("sff") / n_docs - mu * mu)
+    stats = F.broadcast(
+        mom.select("term", mu.alias("mu"), sg.alias("sigma")))
+
+    ccnt, clen = term_freqs(candidates, cand_id_col)
+    cf = (ccnt.join(F.broadcast(vocab), "term")
+              .join(clen, "_id")
+              .select(F.col("_id").alias("cid"), "term",
+                      (F.col("c") / F.col("len")).alias("cf")))
+    # dense doc x vocab grid so zero frequencies are explicit
+    dgrid = (docs.select(F.col(id_col).alias("_id"))
+                 .crossJoin(F.broadcast(vocab)))
+    dz = (dgrid.join(f, ["_id", "term"], "left")
+               .join(stats, "term")
+               .select("_id", "term",
+                       ((F.coalesce(F.col("f"), F.lit(0.0)) - F.col("mu"))
+                        / F.col("sigma")).alias("z")))
+    cgrid = (candidates.select(F.col(cand_id_col).alias("cid"))
+                       .crossJoin(F.broadcast(vocab)))
+    cz = F.broadcast(
+        cgrid.join(cf, ["cid", "term"], "left")
+             .join(stats, "term")
+             .select("cid", "term",
+                     ((F.coalesce(F.col("cf"), F.lit(0.0)) - F.col("mu"))
+                      / F.col("sigma")).alias("cz")))
+    pairs = (dz.join(cz, "term")
+               .groupBy("_id", "cid")
+               .agg((F.sum(F.abs(F.col("z") - F.col("cz"))) / k_words)
+                    .alias("delta")))
+    return pairs.select(F.col("_id").alias(id_col),
+                        F.col("cid").alias(cand_id_col),
+                        F.round("delta", 6).alias("delta")) \
+                .withColumn("rank", F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("delta").asc(), F.col(cand_id_col).asc())))
