@@ -221,6 +221,17 @@ BENCH = {
     "pq_encode": lambda s: _force(E.q_pq_encode(s, SF_DIR)),
     "pq_topk": lambda s: _force(E.q_pq_topk(s, SF_DIR)),
     "dem_vrm": lambda s: _force(E.q_dem_vrm(s, SF_DIR)),
+    # round-4 session-10 additions: geostatistics + spatial stats + text
+    "areal_interp": lambda s: _force(E.q_areal_interp(s, SF_DIR)),
+    "gearys_c": lambda s: _force(E.q_gearys_c(s, SF_DIR)),
+    "local_moran": lambda s: _force(E.q_local_moran(s, SF_DIR)),
+    "std_ellipse": lambda s: _force(E.q_std_ellipse(s, SF_DIR)),
+    "grid_kriging": lambda s: _force(E.q_grid_kriging(s, SF_DIR)),
+    "grid_gwr": lambda s: _force(E.q_grid_gwr(s, SF_DIR)),
+    "variogram": lambda s: _force(E.q_variogram(s, SF_DIR)),
+    "huff_model": lambda s: _force(E.q_huff_model(s, SF_DIR)),
+    "keyness_g2": lambda s: _force(E.q_keyness_g2(s, SF_DIR)),
+    "burrows_delta": lambda s: _force(E.q_burrows_delta(s, SF_DIR)),
 }
 
 
