@@ -7524,6 +7524,32 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cand_id", "delta")
 
 
+def q_morans_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental spatial autocorrelation: Moran's I + normality z per
+    distance band over the integer-key subsample (directed band weights
+    from the covering pair join; all partials exact int64)."""
+    from lib_gdal_spark.operators.spatialstats import morans_by_distance
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 7919) % 1200).alias("x"),
+        ((F.col("event_id") * 104729) % 1200).alias("y"),
+        (F.col("event_id") % 97).alias("v"),
+    )
+    return morans_by_distance(pts, max_dist=150.0, n_bins=6)
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon token-distribution drift between the doc_id%4==0
+    slice and the rest: exact int64 counts, one ln formula per term."""
+    from lib_gdal_spark.operators.textops import js_divergence
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("doc_id") % 4 == 0).alias("in_focus"))
+    return js_divergence(docs)
+
+
 def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-least-squares spherical variogram fit (Cressie 1985
     weighting) over the empirical variogram, candidate-range grid search:
@@ -8068,6 +8094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_fit": q_variogram_fit,
         "keyness_g2": q_keyness_g2,
         "burrows_delta": q_burrows_delta,
+        "morans_by_distance": q_morans_by_distance,
+        "js_divergence": q_js_divergence,
         "huff_model": q_huff_model,
         "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
@@ -17735,6 +17763,87 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY _id ORDER BY delta ASC, cid ASC) AS rk
               FROM pairs)
         WHERE rk = 1
+    """
+
+    sqls["morans_by_distance"] = """
+        WITH pts AS (
+          SELECT event_id AS pid,
+                 (event_id * 7919) % 1200 AS x,
+                 (event_id * 104729) % 1200 AS y,
+                 event_id % 97 AS v
+          FROM events WHERE event_id % 7 = 0
+        ),
+        pairs AS (
+          SELECT CAST(floor(sqrt(CAST(
+                   (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                 AS DOUBLE)) / 25.0) AS BIGINT) AS bin,
+                 a.pid AS pid_a, a.v AS va, b.v AS vb
+          FROM pts a JOIN pts b ON a.pid <> b.pid
+          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) < 22500.0
+        ),
+        p AS (
+          SELECT bin, count(*) AS s0, sum(va*vb) AS spp,
+                 sum(va+vb) AS sxy
+          FROM pairs GROUP BY bin
+        ),
+        d AS (
+          SELECT bin, sum(deg*deg) AS sdeg2 FROM
+            (SELECT bin, pid_a, count(*) AS deg
+             FROM pairs GROUP BY 1, 2)
+          GROUP BY bin
+        ),
+        g AS (SELECT count(*) AS n, sum(v) AS sx, sum(v*v) AS sxx
+              FROM pts)
+        SELECT bin, s0,
+          round((n / s0)
+                * (spp - (sx/n)*sxy + (sx/n)*(sx/n)*s0)
+                / (sxx - n*(sx/n)*(sx/n)), 10) AS moran_i,
+          round(-1.0/(n - 1), 10) AS e_i,
+          round(((n / s0)
+                 * (spp - (sx/n)*sxy + (sx/n)*(sx/n)*s0)
+                 / (sxx - n*(sx/n)*(sx/n))
+                 - (-1.0/(n - 1)))
+                / sqrt((n*n*(2.0*s0) - n*(4.0*sdeg2) + 3.0*s0*s0)
+                       / ((n*n - 1.0) * s0 * s0)
+                       - (-1.0/(n - 1)) * (-1.0/(n - 1))), 8) AS z_norm
+        FROM p JOIN d USING (bin), g
+        WHERE s0 >= 2 ORDER BY bin
+    """
+
+    sqls["js_divergence"] = r"""
+        WITH t AS (
+          SELECT doc_id % 4 = 0 AS foc, term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS term
+                FROM documents)
+          WHERE term <> ''
+        ),
+        counts AS (
+          SELECT term,
+                 sum(CASE WHEN foc THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN foc THEN 0 ELSE 1 END) AS b
+          FROM t GROUP BY term
+        ),
+        tot AS (
+          SELECT sum(CASE WHEN foc THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN foc THEN 0 ELSE 1 END) AS nb
+          FROM t
+        ),
+        k AS (
+          SELECT count(*) AS n_terms, max(na) AS na, max(nb) AS nb,
+            sum(CASE WHEN a > 0 THEN (a/na)
+                  * ln((a/na) / (((a/na) + (b/nb)) / 2.0))
+                ELSE 0.0 END) AS klp,
+            sum(CASE WHEN b > 0 THEN (b/nb)
+                  * ln((b/nb) / (((a/na) + (b/nb)) / 2.0))
+                ELSE 0.0 END) AS klq
+          FROM counts, tot
+        )
+        SELECT n_terms, na, nb, round(klp, 9) AS kl_p,
+               round(klq, 9) AS kl_q,
+               round((klp + klq) / 2.0, 9) AS jsd
+        FROM k
     """
 
     sqls["variogram_fit"] = f"""

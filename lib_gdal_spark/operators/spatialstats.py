@@ -1010,3 +1010,106 @@ def quadrat_test(
         F.round(F.sqrt(2.0 * chi2) - math.sqrt(2.0 * df - 1.0), 8)
          .alias("z"),
     )
+
+
+def morans_by_distance(
+    pts: DataFrame,
+    max_dist: float,
+    n_bins: int = 6,
+    cell: float | None = None,
+) -> DataFrame:
+    """Incremental spatial autocorrelation (the ESRI tool of that name;
+    Moran's I per distance band): global Moran's I computed over binary
+    band-distance weights for each lag bin — the peak z picks the
+    analysis scale for hotspot work (the reason this pairs with
+    :func:`getis_gi_star`).
+
+    ``pts``: (pid long, x long, y long, v long) integer lattice points,
+    same contract (and the same 3x3 cell-ring covering join — no cross
+    join, complete for ``cell >= max_dist``) as
+    :func:`empirical_variogram`. Per band the Moran partials are the
+    DIRECTED pair sums (2x the unordered join output) and the normality
+    moments need sum(deg^2), one extra keys-only groupBy. Everything up
+    to the final float expression is exact int64, so the result is
+    bit-reproducible.
+
+    Returns (bin, s0, moran_i, e_i, z_norm) ordered by bin; bands with
+    fewer than 2 directed pairs are dropped (degenerate variance).
+    """
+    c = float(cell if cell is not None else max_dist)
+    if c < max_dist:
+        raise ValueError(f"cell ({c}) must be >= max_dist ({max_dist}) "
+                         "or ring coverage is incomplete")
+    cl = F.lit(c)
+    base = pts.select(
+        "pid", "x", "y", "v",
+        F.floor(F.col("x") / cl).cast("long").alias("cx"),
+        F.floor(F.col("y") / cl).cast("long").alias("cy"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = base.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("v").alias("va"),
+        F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    ).drop("o")
+    build = base.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("v").alias("vb"),
+        F.col("cx").alias("jcx"), F.col("cy").alias("jcy"),
+    )
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    bw = max_dist / n_bins
+    # DIRECTED pairs (a != b): each unordered pair appears twice, which
+    # is exactly the s0 / spp / sxy convention of morans_i
+    pairs = (
+        probe.join(build, ["jcx", "jcy"])
+        .where(F.col("pid_a") != F.col("pid_b"))
+        .select("pid_a", "va", "vb", d2.alias("d2"))
+        .where(F.col("d2") < F.lit(max_dist * max_dist))
+        .select(F.floor(F.sqrt(F.col("d2")) / F.lit(bw)).cast("long")
+                 .alias("bin"),
+                "pid_a", "va", "vb")
+    )
+    p = pairs.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("va") * F.col("vb")).alias("spp"),
+        F.sum(F.col("va") + F.col("vb")).alias("sxy"),
+    )
+    deg = (
+        pairs.groupBy("bin", "pid_a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("bin")
+        .agg(F.sum(F.col("deg") * F.col("deg")).alias("sdeg2"))
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    j = p.join(deg, "bin").crossJoin(F.broadcast(g)) \
+         .where(F.col("s0") >= 2)
+    m = F.col("sx") / F.col("n")
+    num = F.col("spp") - m * F.col("sxy") + m * m * F.col("s0")
+    den = F.col("sxx") - F.col("n") * m * m
+    i = (F.col("n") / F.col("s0")) * num / den
+    e_i = F.lit(-1.0) / (F.col("n") - F.lit(1))
+    s1 = 2.0 * F.col("s0")
+    s2 = 4.0 * F.col("sdeg2")
+    var = (
+        (F.col("n") * F.col("n") * s1 - F.col("n") * s2
+         + 3.0 * F.col("s0") * F.col("s0"))
+        / ((F.col("n") * F.col("n") - 1.0) * F.col("s0") * F.col("s0"))
+        - e_i * e_i
+    )
+    return j.select(
+        "bin", "s0",
+        F.round(i, 10).alias("moran_i"),
+        F.round(e_i, 10).alias("e_i"),
+        F.round((i - e_i) / F.sqrt(var), 8).alias("z_norm"),
+    ).orderBy("bin")

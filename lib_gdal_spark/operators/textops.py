@@ -2355,3 +2355,54 @@ def burrows_delta(
                 .withColumn("rank", F.row_number().over(
                     Window.partitionBy(id_col).orderBy(
                         F.col("delta").asc(), F.col(cand_id_col).asc())))
+
+
+def js_divergence(
+    docs: DataFrame,
+    focus_col: str = "in_focus",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) between the token
+    distributions of two corpus slices — the bounded, symmetric drift
+    metric that complements :func:`keyness_g2`'s per-term test: one
+    number for "how different did this filter/domain/date slice make the
+    corpus", 0 = identical, ln(2) = disjoint (nats).
+
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2, zero-count terms
+    contribute nothing to their side's KL (0*ln(0) = 0 and M > 0
+    whenever either side is present — no smoothing needed).
+
+    All counts are exact int64 one-shuffle aggregates; the divergence is
+    one ln expression per term summed over the (tiny) vocabulary.
+    Returns one row: (n_terms, na, nb, kl_p, kl_q, jsd).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    t = docs.select(F.col(focus_col).alias("foc"),
+                    F.explode(toks).alias("term"))
+    counts = t.groupBy("term").agg(
+        F.sum(F.when(F.col("foc"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("foc"), 0).otherwise(1)).alias("b"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("foc"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("foc"), 0).otherwise(1)).alias("nb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("a") / F.col("na")
+    q = F.col("b") / F.col("nb")
+    mm = (p + q) / 2.0
+    kl_p_t = F.when(F.col("a") > 0, p * F.log(p / mm)).otherwise(F.lit(0.0))
+    kl_q_t = F.when(F.col("b") > 0, q * F.log(q / mm)).otherwise(F.lit(0.0))
+    return (
+        j.agg(F.count(F.lit(1)).alias("n_terms"),
+              F.max("na").alias("na"), F.max("nb").alias("nb"),
+              F.sum(kl_p_t).alias("klp"), F.sum(kl_q_t).alias("klq"))
+        .select("n_terms", "na", "nb",
+                F.round(F.col("klp"), 9).alias("kl_p"),
+                F.round(F.col("klq"), 9).alias("kl_q"),
+                F.round((F.col("klp") + F.col("klq")) / 2.0, 9)
+                 .alias("jsd"))
+    )

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from lib_gdal_spark.operators.textops import burrows_delta, keyness_g2
+from lib_gdal_spark.operators.textops import (burrows_delta,
+                                               js_divergence, keyness_g2)
 
 
 class TestKeynessG2:
@@ -86,3 +87,35 @@ class TestBurrowsDelta:
         assert [x[:2] + (x[3],) for x in a] == \
             [x[:2] + (x[3],) for x in b]  # ids + rank identical
         assert all(abs(x[2] - y[2]) < 1e-9 for x, y in zip(a, b))
+
+
+class TestJsDivergence:
+    def test_identical_slices_zero(self, spark):
+        rows = [(i, "alpha beta gamma", i % 2 == 0) for i in range(20)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, in_focus boolean")
+        row = js_divergence(docs).collect()[0]
+        assert row["jsd"] == 0.0 and row["kl_p"] == 0.0
+
+    def test_disjoint_slices_ln2(self, spark):
+        rows = [(0, "xx yy zz", True), (1, "aa bb cc", False)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, in_focus boolean")
+        row = js_divergence(docs).collect()[0]
+        assert row["jsd"] == pytest.approx(math.log(2), abs=1e-9)
+
+    def test_matches_scipy_style_formula(self, spark):
+        rows = [(0, "a a a b", True), (1, "a b b c", False)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, in_focus boolean")
+        row = js_divergence(docs).collect()[0]
+        import numpy as _np
+        p = _np.array([3, 1, 0]) / 4
+        q = _np.array([1, 2, 1]) / 4
+        m = (p + q) / 2
+        klp = sum(pi * math.log(pi / mi) for pi, mi in zip(p, m) if pi > 0)
+        klq = sum(qi * math.log(qi / mi) for qi, mi in zip(q, m) if qi > 0)
+        assert row["kl_p"] == pytest.approx(klp, abs=1e-9)
+        assert row["kl_q"] == pytest.approx(klq, abs=1e-9)
+        assert row["jsd"] == pytest.approx((klp + klq) / 2, abs=1e-9)
+        assert row["n_terms"] == 3  # union vocab {a, b, c}

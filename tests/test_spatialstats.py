@@ -578,3 +578,59 @@ class TestQuadratTest:
         pts = spark.createDataFrame([(1, 1)], "x long, y long")
         with pytest.raises(ValueError):
             S.quadrat_test(pts, (0, 41), (0, 40), 4, 4)
+
+
+class TestMoransByDistance:
+    def test_clustered_short_range(self, spark):
+        # values correlated at short range only: band-0 I >> band-3 I
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(800):
+            x, y = int(rng.integers(0, 600)), int(rng.integers(0, 600))
+            v = int((x // 100 + y // 100) * 10 + rng.integers(0, 4))
+            rows.append((i, x, y, v))
+        df = spark.createDataFrame(rows, "pid long, x long, y long, v long")
+        out = {r["bin"]: r for r in
+               S.morans_by_distance(df, max_dist=200.0, n_bins=4).collect()}
+        assert out[0]["moran_i"] > out[3]["moran_i"]
+        assert out[0]["z_norm"] > 3.0
+
+    def test_vs_global_moran_consistency(self, spark):
+        # one band spanning everything == dense Moran over the same
+        # weight matrix (brute-check on a small set)
+        rng = np.random.default_rng(1)
+        rows = [(i, int(rng.integers(0, 50)), int(rng.integers(0, 50)),
+                 int(rng.integers(0, 30))) for i in range(60)]
+        df = spark.createDataFrame(rows, "pid long, x long, y long, v long")
+        out = S.morans_by_distance(df, max_dist=30.0, n_bins=1).collect()
+        band = out[0]
+        x = np.array([r[3] for r in rows], dtype=float)
+        n = len(rows)
+        m = x.mean()
+        num = s0 = 0.0
+        deg = np.zeros(n)
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                d2 = ((rows[i][1] - rows[j][1]) ** 2
+                      + (rows[i][2] - rows[j][2]) ** 2)
+                if d2 < 900:
+                    num += (x[i] - m) * (x[j] - m)
+                    s0 += 1
+                    deg[i] += 1
+        i_val = (n / s0) * num / ((x - m) ** 2).sum()
+        assert band["s0"] == s0
+        assert band["moran_i"] == pytest.approx(i_val, abs=1e-9)
+
+    def test_partition_invariance(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(i, int(rng.integers(0, 300)), int(rng.integers(0, 300)),
+                 int(rng.integers(0, 20))) for i in range(300)]
+        a = S.morans_by_distance(
+            spark.createDataFrame(rows, "pid long, x long, y long, v long"),
+            100.0, 4).collect()
+        b = S.morans_by_distance(
+            spark.createDataFrame(rows, "pid long, x long, y long, v long")
+            .repartition(13), 100.0, 4).collect()
+        assert a == b
