@@ -7550,6 +7550,83 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(docs)
 
 
+def q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet (Eiter & Mannila 1994) + Hausdorff distances,
+    SQUARED on integer lattices — every DP cell exact int64; the oracle
+    unrolls the full coupling recurrence as generated lateral-alias SQL,
+    so the match is integer-exact."""
+    from lib_gdal_spark.operators.trajectory import trajectory_similarity
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 96)
+    k = F.col("event_id")
+    tracks = ev.select(
+        (k % 12).alias("tid"),
+        (((k - k % 12) / 12)).cast("int").alias("seq"),
+        ((k * 7919) % 500).alias("x"),
+        ((k * 104729) % 500).alias("y"),
+    )
+    return trajectory_similarity(tracks)
+
+
+def _traj_oracle_sql() -> str:
+    """Generated fully-unrolled discrete-Fréchet DP + Hausdorff over the
+    12 fixed-length-8 fixture tracks: the same recurrence loop emits the
+    SQL (lateral aliases carry the in-row dependency), all int64."""
+    L = 8
+    xcols = ", ".join(
+        f"max(CASE WHEN seq = {i} THEN x END) AS x{i}, "
+        f"max(CASE WHEN seq = {i} THEN y END) AS y{i}"
+        for i in range(L))
+    d2 = {(i, j): (f"((ax{i}-bx{j})*(ax{i}-bx{j})"
+                   f" + (ay{i}-by{j})*(ay{i}-by{j}))")
+          for i in range(L) for j in range(L)}
+    m0 = ", ".join(f"{e} AS d{i}_{j}" for (i, j), e in d2.items())
+    least_rows = [f"least({', '.join(f'd{i}_{j}' for j in range(L))})"
+                  for i in range(L)]
+    least_cols = [f"least({', '.join(f'd{i}_{j}' for i in range(L))})"
+                  for j in range(L)]
+    haus = f"greatest({', '.join(least_rows + least_cols)})"
+    # DP rows as chained CTEs; within a row, lateral aliases carry cur[j-1]
+    ctes = []
+    row0 = [f"d0_0 AS f0_0"]
+    for j in range(1, L):
+        row0.append(f"greatest(f0_{j-1}, d0_{j}) AS f0_{j}")
+    ctes.append(f"r0 AS (SELECT *, {', '.join(row0)} FROM m0)")
+    for i in range(1, L):
+        row = [f"greatest(f{i-1}_0, d{i}_0) AS f{i}_0"]
+        for j in range(1, L):
+            row.append(
+                f"greatest(d{i}_{j}, least(f{i-1}_{j}, f{i-1}_{j-1}, "
+                f"f{i}_{j-1})) AS f{i}_{j}")
+        ctes.append(f"r{i} AS (SELECT *, {', '.join(row)} FROM r{i-1})")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH tr AS (
+          SELECT event_id % 12 AS tid, {xcols}
+          FROM (SELECT event_id,
+                       CAST((event_id - event_id % 12) / 12 AS INT) AS seq,
+                       (event_id * 7919) % 500 AS x,
+                       (event_id * 104729) % 500 AS y
+                FROM events WHERE event_id < 96)
+          GROUP BY 1
+        ),
+        p AS (
+          SELECT a.tid AS tid_a, b.tid AS tid_b,
+                 {', '.join(f'a.x{i} AS ax{i}, a.y{i} AS ay{i}, '
+                            f'b.x{i} AS bx{i}, b.y{i} AS by{i}'
+                            for i in range(L))}
+          FROM tr a JOIN tr b ON a.tid < b.tid
+        ),
+        m0 AS (SELECT tid_a, tid_b, {m0} FROM p),
+        {chain}
+        SELECT tid_a, tid_b, CAST({L} AS BIGINT) AS len_a,
+               CAST({L} AS BIGINT) AS len_b,
+               CAST({haus} AS BIGINT) AS hausdorff2,
+               CAST(f{L-1}_{L-1} AS BIGINT) AS frechet2
+        FROM r{L-1}
+    """
+
+
 def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-least-squares spherical variogram fit (Cressie 1985
     weighting) over the empirical variogram, candidate-range grid search:
@@ -8096,6 +8173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "morans_by_distance": q_morans_by_distance,
         "js_divergence": q_js_divergence,
+        "trajectory_similarity": q_trajectory_similarity,
         "huff_model": q_huff_model,
         "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
@@ -17764,6 +17842,8 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
         WHERE rk = 1
     """
+
+    sqls["trajectory_similarity"] = _traj_oracle_sql()
 
     sqls["morans_by_distance"] = """
         WITH pts AS (

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dwell_segments"]
+__all__ = ["dwell_segments", "trajectory_similarity"]
 
 
 def dwell_segments(track: DataFrame, v_max: float,
@@ -96,4 +96,93 @@ def dwell_segments(track: DataFrame, v_max: float,
             F.round((F.col("sx") + F.col("fx")) / n_pts, 9).alias("cx"),
             F.round((F.col("sy") + F.col("fy")) / n_pts, 9).alias("cy"),
         )
+    )
+
+
+def trajectory_similarity(
+    tracks: DataFrame,
+    id_col: str = "tid",
+    max_len: int = 4096,
+    max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """All-pairs trajectory similarity: discrete Fréchet distance (Eiter
+    & Mannila 1994 coupling recurrence) and directed-symmetric Hausdorff
+    distance — the two classic curve-matching metrics behind trajectory
+    clustering, map-trace dedup, and route canonicalization.
+
+    ``tracks``: (tid long, seq int, x long, y long) — integer-lattice
+    vertices. Both metrics are returned SQUARED (``frechet2``,
+    ``hausdorff2``): on integer coordinates every DP cell is an exact
+    int64 (max/min of squared distances — no sqrt anywhere), so results
+    are bit-reproducible and oracle-checkable; callers wanting metric
+    units take one sqrt at the end.
+
+    Scale shape: one groupBy assembles each track into an ordered array
+    (sort_array on the (seq, x, y) struct); the tid_a < tid_b self-join
+    is the pair axis — QUADRATIC in the number of tracks by definition
+    of all-pairs, guarded by ``max_pairs`` (pre-bucket by region or
+    cluster upstream to bound it); each pair's O(La*Lb) dynamic program
+    runs inside an Arrow batch, lengths guarded by ``max_len``.
+
+    Returns (tid_a, tid_b, len_a, len_b, hausdorff2, frechet2).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    asm = (
+        tracks.groupBy(F.col(id_col).alias("tid"))
+        .agg(F.sort_array(F.collect_list(
+            F.struct("seq", "x", "y"))).alias("pts"),
+            F.count(F.lit(1)).alias("n"))
+    )
+    bad = asm.where(F.col("n") > max_len).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"track {bad[0]['tid']} has {bad[0]['n']} vertices "
+            f"(> max_len={max_len}); simplify or split upstream")
+    n_tracks = asm.count()
+    if n_tracks * (n_tracks - 1) // 2 > max_pairs:
+        raise ValueError(
+            f"{n_tracks} tracks -> {n_tracks * (n_tracks - 1) // 2} pairs "
+            f"(> max_pairs={max_pairs}); pre-cluster or bucket upstream")
+    a = asm.select(F.col("tid").alias("tid_a"), F.col("pts").alias("pa"))
+    b = asm.select(F.col("tid").alias("tid_b"), F.col("pts").alias("pb"))
+    pairs = a.join(b, F.col("tid_a") < F.col("tid_b"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                pa = np.array([(p["x"], p["y"]) for p in r["pa"]],
+                              dtype=np.int64)
+                pb = np.array([(p["x"], p["y"]) for p in r["pb"]],
+                              dtype=np.int64)
+                dx = pa[:, 0][:, None] - pb[:, 0][None, :]
+                dy = pa[:, 1][:, None] - pb[:, 1][None, :]
+                d2 = dx * dx + dy * dy  # (La, Lb) exact int64
+                h2 = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+                la, lb = d2.shape
+                prev = np.empty(lb, dtype=np.int64)
+                prev[0] = d2[0, 0]
+                for j in range(1, lb):
+                    prev[j] = max(prev[j - 1], d2[0, j])
+                for i in range(1, la):
+                    cur = np.empty(lb, dtype=np.int64)
+                    cur[0] = max(prev[0], d2[i, 0])
+                    for j in range(1, lb):
+                        cur[j] = max(d2[i, j],
+                                     min(prev[j], prev[j - 1], cur[j - 1]))
+                    prev = cur
+                rows.append((int(r["tid_a"]), int(r["tid_b"]),
+                             la, lb, int(h2), int(prev[lb - 1])))
+            yield pd.DataFrame(
+                rows, columns=["tid_a", "tid_b", "len_a", "len_b",
+                               "hausdorff2", "frechet2"])
+
+    return pairs.mapInPandas(
+        kernel,
+        schema="tid_a long, tid_b long, len_a long, len_b long, "
+               "hausdorff2 long, frechet2 long",
     )
