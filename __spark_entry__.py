@@ -7550,6 +7550,25 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(docs)
 
 
+def q_zonal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal geometry (ArcGIS ZonalGeometry analog): per-zone pixel/ground
+    area, ground perimeter from 4-neighbor exposed edges (halo-exchange
+    partials), isoperimetric compactness. Box zones -> closed-form
+    oracle; every ground term is a dyadic rational, so sums are exact."""
+    from lib_gdal_spark.operators import rasterize as RZ
+    from lib_gdal_spark.operators.stats import zonal_geometry
+
+    grid = RZ.world_grid(256, 256, 64)
+    polys = local_df(
+        spark,
+        [(mid, bytearray(G.wkb_polygon([G.box_ring(*bb)])), float(mid))
+         for mid, bb in METHOD_BOXES.items()],
+        "fid long, geom_wkb binary, burn double",
+    )
+    tiles = RZ.rasterize_polygons(polys, grid)
+    return zonal_geometry(tiles)
+
+
 def q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Fréchet (Eiter & Mannila 1994) + Hausdorff distances,
     SQUARED on integer lattices — every DP cell exact int64; the oracle
@@ -7681,6 +7700,14 @@ def q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(((F.col("event_id") * 7919) % 1200).alias("x"),
                     ((F.col("event_id") * 104729) % 1200).alias("y"))
     return quadrat_test(pts, (0, 1200), (0, 1200), 8, 8)
+
+
+def q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G high/low clustering over the 10-degree cell
+    counts (queen weights): exact int64 numerator/denominator."""
+    from lib_gdal_spark.operators.spatialstats import general_g
+
+    return general_g(_stat_cells(spark, sf_dir), queen=True)
 
 
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8174,6 +8201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_by_distance": q_morans_by_distance,
         "js_divergence": q_js_divergence,
         "trajectory_similarity": q_trajectory_similarity,
+        "zonal_geometry": q_zonal_geometry,
+        "general_g": q_general_g,
         "huff_model": q_huff_model,
         "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
@@ -17844,6 +17873,44 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["trajectory_similarity"] = _traj_oracle_sql()
+
+    sqls["general_g"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+              FROM cells),
+        p AS (SELECT COUNT(*) AS s0, SUM(xi*xj) AS spp FROM pairs)
+        SELECT n AS n_cells, s0,
+          round(spp / (sx*sx - sxx), 12) AS g,
+          round(s0 / (n * (n - 1.0)), 12) AS e_g,
+          round((spp / (sx*sx - sxx)) / (s0 / (n * (n - 1.0))), 9)
+            AS g_ratio
+        FROM g, p
+    """
+
+    zg_parts = []
+    fourpi = repr(4.0 * math.pi)
+    for mid, (mnx, mny, mxx, mxy) in METHOD_BOXES.items():
+        zg_parts.append(f"""
+        SELECT CAST({mid} AS BIGINT) AS zone,
+          (SELECT count(*) FROM generate_series(0, 255) t(px)
+           WHERE -180.0 + (px + 0.5) * 1.40625 > {mnx!r}
+             AND -180.0 + (px + 0.5) * 1.40625 < {mxx!r}) AS nw,
+          (SELECT count(*) FROM generate_series(0, 255) t(py)
+           WHERE 90.0 - (py + 0.5) * 0.703125 > {mny!r}
+             AND 90.0 - (py + 0.5) * 0.703125 < {mxy!r}) AS nh
+        """)
+    sqls["zonal_geometry"] = f"""
+        WITH b AS ({' UNION ALL '.join(zg_parts)})
+        SELECT zone, nw * nh AS area_px,
+          round(nw * nh * (1.40625 * 0.703125), 9) AS area,
+          round((2 * nh) * 0.703125 + (2 * nw) * 1.40625, 9) AS perimeter,
+          round({fourpi} * (nw * nh * (1.40625 * 0.703125))
+                / (((2 * nh) * 0.703125 + (2 * nw) * 1.40625)
+                   * ((2 * nh) * 0.703125 + (2 * nw) * 1.40625)), 9)
+            AS compactness
+        FROM b
+    """
 
     sqls["morans_by_distance"] = """
         WITH pts AS (

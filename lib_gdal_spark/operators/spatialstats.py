@@ -1113,3 +1113,39 @@ def morans_by_distance(
         F.round(e_i, 10).alias("e_i"),
         F.round((i - e_i) / F.sqrt(var), 8).alias("z_norm"),
     ).orderBy("bin")
+
+
+def general_g(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Getis-Ord General G (Getis & Ord 1992, eq. 6) — the global
+    high/low clustering statistic: G = sum_w xi*xj / sum_{i!=j} xi*xj
+    over a nonnegative variable. G above its expectation means HIGH
+    values cluster (Moran's I cannot tell high-clusters from
+    low-clusters; G can).
+
+    One row: (n_cells, s0, g, e_g, g_ratio) with E[G] = s0 / (n*(n-1))
+    and g_ratio = G / E[G] (> 1: high clustering). Both numerator and
+    denominator are exact int64 aggregates — the denominator is
+    (sum x)^2 - sum x^2 via the all-directed-pairs identity, no second
+    join. (The Ord-Getis 1992 variance needs the full B0..B4 moment
+    expansion; it is deliberately not reproduced here — use
+    :func:`getis_gi_star` for per-cell inference.)
+    """
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    p = neighbor_pairs(cells, queen).agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("xi") * F.col("xj")).alias("spp"),
+    )
+    j = g.crossJoin(p)
+    den = F.col("sx") * F.col("sx") - F.col("sxx")
+    gg = F.col("spp") / den
+    e_g = F.col("s0") / (F.col("n") * (F.col("n") - 1.0))
+    return j.select(
+        F.col("n").alias("n_cells"), F.col("s0"),
+        F.round(gg, 12).alias("g"),
+        F.round(e_g, 12).alias("e_g"),
+        F.round(gg / e_g, 9).alias("g_ratio"),
+    )

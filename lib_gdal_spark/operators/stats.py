@@ -327,3 +327,96 @@ def zonal_crosstab(
         partial, "zone long, cls long, n long, area double")
     return part.groupBy("zone", "cls").agg(
         F.sum("n").alias("n"), F.sum("area").alias("area"))
+
+
+def zonal_geometry(tiles: DataFrame, background: float = 0.0) -> DataFrame:
+    """Zonal geometry (the ArcGIS ZonalGeometry / GRASS r.object.geometry
+    analog): per raster zone — pixel area, ground area, ground perimeter,
+    and the isoperimetric compactness 4*pi*A/P^2 (1.0 = disk; elongated
+    or ragged zones approach 0).
+
+    Zones are the integer-valued pixels of a categorical raster (e.g.
+    rasterize/polygonize output); ``background`` pixels belong to no
+    zone. An edge counts toward the perimeter when the 4-neighbor differs
+    in zone, is background, or is outside the raster. Horizontal-neighbor
+    edges have ground length |gt5| (pixel height), vertical-neighbor
+    edges |gt1| — mixed-resolution mosaics aggregate correctly because
+    each tile contributes with its own geotransform.
+
+    Scale shape: the dem.py one-pixel halo exchange (strips, O(perimeter)
+    shuffle) feeds a per-tile kernel that emits per-zone PARTIALS
+    (area / edge counts, exact int64 + per-tile ground factors); one
+    map-side-combinable groupBy(zone) finishes. No driver geometry, no
+    polygonization required.
+
+    Returns (zone, area_px, area, perimeter, compactness).
+    """
+    import math as _math
+
+    from lib_gdal_spark.operators.dem import _STRIP_SCHEMA, _emit_strips
+
+    strips = tiles.mapInPandas(_emit_strips, schema=_STRIP_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_dx"] == 0) & (pdf["src_dy"] == 0)]
+        cols = ["zone", "area_px", "garea", "ex", "ey", "gt1", "gt5"]
+        if center.empty:
+            return pd.DataFrame(columns=cols)
+        crow = center.iloc[0]
+        th, tw = int(crow["tile_h"]), int(crow["tile_w"])
+        pad = np.full((th + 2, tw + 2), np.nan)
+        for _, r in pdf.iterrows():
+            sh, sw = int(r["strip_h"]), int(r["strip_w"])
+            piece = np.asarray(r["pixels"], dtype=np.float64).reshape(sh, sw)
+            dx, dy = int(r["src_dx"]), int(r["src_dy"])
+            y0 = 0 if dy == 1 else (th + 1 if dy == -1 else 1)
+            x0 = 0 if dx == 1 else (tw + 1 if dx == -1 else 1)
+            pad[y0:y0 + sh, x0:x0 + sw] = piece
+        z0 = pad[1:-1, 1:-1]
+        zone_mask = ~np.isnan(z0) & (z0 != background)
+        out = {}
+
+        def exposed(nb):
+            return zone_mask & (np.isnan(nb) | (nb != z0))
+
+        east = exposed(pad[1:-1, 2:])
+        west = exposed(pad[1:-1, :-2])
+        north = exposed(pad[:-2, 1:-1])
+        south = exposed(pad[2:, 1:-1])
+        zones = np.unique(z0[zone_mask])
+        for zv in zones:
+            m = zone_mask & (z0 == zv)
+            out[zv] = (int(m.sum()),
+                       int(east[m].sum() + west[m].sum()),
+                       int(north[m].sum() + south[m].sum()))
+        gt1, gt5 = float(crow["gt1"]), float(crow["gt5"])
+        rows = [
+            {"zone": int(zv), "area_px": a,
+             "garea": a * abs(gt1 * gt5),
+             "ex": ex_, "ey": ey_, "gt1": abs(gt1), "gt5": abs(gt5)}
+            for zv, (a, ex_, ey_) in out.items()
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    part = strips.groupBy(
+        "raster_id", "band", "zoom",
+        F.col("dst_x").alias("tile_x"), F.col("dst_y").alias("tile_y"),
+    ).applyInPandas(
+        assemble,
+        schema="zone long, area_px long, garea double, ex long, ey long, "
+               "gt1 double, gt5 double",
+    )
+    agg = part.groupBy("zone").agg(
+        F.sum("area_px").alias("area_px"),
+        F.sum("garea").alias("area"),
+        F.sum(F.col("ex") * F.col("gt5")).alias("px_len"),
+        F.sum(F.col("ey") * F.col("gt1")).alias("py_len"),
+    )
+    perim = F.col("px_len") + F.col("py_len")
+    return agg.select(
+        "zone", "area_px",
+        F.round(F.col("area"), 9).alias("area"),
+        F.round(perim, 9).alias("perimeter"),
+        F.round(4.0 * _math.pi * F.col("area") / (perim * perim), 9)
+         .alias("compactness"),
+    )

@@ -634,3 +634,33 @@ class TestMoransByDistance:
             spark.createDataFrame(rows, "pid long, x long, y long, v long")
             .repartition(13), 100.0, 4).collect()
         assert a == b
+
+
+class TestGeneralG:
+    def test_high_clustering_detected(self, spark):
+        # big values adjacent -> G above expectation; scattered -> near it
+        hot = [(0, 0, 50), (0, 1, 50), (1, 0, 50), (1, 1, 50)]
+        cold = [(i, j, 1) for i in range(6) for j in range(6)
+                if not (i < 2 and j < 2)]
+        cells = spark.createDataFrame(hot + cold, "gx int, gy int, x long")
+        row = S.general_g(cells).collect()[0]
+        assert row["g_ratio"] > 1.5
+
+    def test_matches_dense_numpy(self, spark):
+        cells = _cells_df(spark)
+        row = S.general_g(cells).collect()[0]
+        pts = {(r["gx"], r["gy"]): r["x"] for r in cells.collect()}
+        keys = sorted(pts)
+        x = np.array([pts[k] for k in keys], dtype=float)
+        num = den = s0 = 0.0
+        for i, a in enumerate(keys):
+            for j, b in enumerate(keys):
+                if i == j:
+                    continue
+                den += x[i] * x[j]
+                if abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1:
+                    num += x[i] * x[j]
+                    s0 += 1
+        assert row["g"] == pytest.approx(num / den, abs=1e-12)
+        assert row["e_g"] == pytest.approx(
+            s0 / (len(keys) * (len(keys) - 1)), abs=1e-12)
