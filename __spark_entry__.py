@@ -1140,6 +1140,21 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost_distance(tiles, [(5, 5), (38, 20), (20, 38)], lo=1, hi=40)
 
 
+def q_cost_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost corridor (ArcGIS Corridor tool semantics): per cell,
+    accumulated cost to the nearest A-seed PLUS to the nearest B-seed,
+    over the same world4326 [1,40]^2 cost window as cost_distance. The
+    raster min of ``corridor`` is the least A->B path cost; thresholding
+    at min+delta yields the routing envelope. Pure composition of two
+    cost_distance fixpoints joined on the cell key — the oracle unrolls
+    both relaxation chains (60 rounds each, fixpoint earlier) over the
+    identical (cu+cv)/2 x sqrt(2) grid-graph edges."""
+    from lib_gdal_spark.operators.proximity import cost_corridor
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return cost_corridor(tiles, [(5, 5), (20, 38)], [(38, 20)], lo=1, hi=40)
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity raster (gdalproximity.cpp): exact distance to the nearest
     value-150 pixel of world4326, bounded at 10 px."""
@@ -7909,6 +7924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "proximity_allocation": q_proximity_allocation,
         "cost_distance": q_cost_distance,
+        "cost_corridor": q_cost_corridor,
         "least_cost_path": q_least_cost_path,
         "sieve_counts": q_sieve_counts,
         "fillnodata": q_fillnodata,
@@ -15916,6 +15932,41 @@ def oracle_sql() -> dict[str, str]:
         FROM walk w CROSS JOIN n
         JOIN cells c ON c.py * 65536 + c.px = w.id
         JOIN fin f ON f.node = w.id
+    """
+
+    # cost_corridor: two independent relaxation chains over the SAME
+    # edges (seeds A = (5,5)+(20,38), seeds B = (38,20)), 60 unrolled
+    # rounds each (fixpoint earlier); corridor = round9(a) + round9(b)
+    # re-rounded, matching the operator's composition of two
+    # cost_distance outputs.
+    def _cc_rounds(pfx: str) -> str:
+        return "".join(f"""
+        {pfx}{i} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {pfx}{i - 1}
+            UNION ALL
+            SELECT e.v AS node, r.dist + e.w AS dist
+            FROM {pfx}{i - 1} r JOIN edges e ON e.u = r.node
+          ) GROUP BY node
+        ),""" for i in range(1, 61))
+
+    _cc_edges = sqls["cost_distance"].split("r0 AS", 1)[0]
+    sqls["cost_corridor"] = _cc_edges + f"""ca0 AS MATERIALIZED (
+          SELECT * FROM (VALUES
+            (5 * 65536 + 5, 0.0),
+            (38 * 65536 + 20, 0.0)) t(node, dist)
+        ),{_cc_rounds("ca")}
+        cb0 AS MATERIALIZED (
+          SELECT * FROM (VALUES
+            (20 * 65536 + 38, 0.0)) t(node, dist)
+        ),{_cc_rounds("cb")}
+        fa AS (SELECT node, round(dist, 9) AS dist FROM ca60),
+        fb AS (SELECT node, round(dist, 9) AS dist FROM cb60)
+        SELECT p.px, p.py, fa.dist AS dist_a, fb.dist AS dist_b,
+               round(fa.dist + fb.dist, 9) AS corridor
+        FROM cells p
+        JOIN fa ON fa.node = p.py * 65536 + p.px
+        JOIN fb ON fb.node = p.py * 65536 + p.px
     """
 
     # raster_quantile_classes: quantile_disc quintile breaks over the

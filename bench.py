@@ -192,7 +192,7 @@ BENCH = {
     "jsonld_geo": lambda s: _force(E.q_jsonld_geo(s, SF_DIR)),
     "graph_stats": lambda s: _force(E.q_graph_stats(s, SF_DIR)),
     # round-4 session-8 additions (flow_accumulation / strahler_order /
-    # cost_distance / least_cost_path are gate-only: their wall time is
+    # cost_distance / least_cost_path / cost_corridor are gate-only: wall time
     # dominated by fixed iterative-round latency, not data volume, so
     # they would add minutes to the suite without measuring throughput)
     "map_match": lambda s: _force(E.q_map_match(s, SF_DIR)),

@@ -403,3 +403,27 @@ def least_cost_path(tiles: DataFrame, seeds: list, target: tuple,
         (F.col("plen") - F.col("back")).cast("int").alias("step"),
         "px", "py", F.round("dist", 9).alias("dist"),
     )
+
+
+def cost_corridor(tiles: DataFrame, seeds_a: list, seeds_b: list,
+                  tile: int = 64, lo: int = 1, hi: int = 254,
+                  max_rounds: int = 400) -> DataFrame:
+    """Least-cost corridor (the ArcGIS Corridor tool semantics): per
+    cell, accumulated cost to the nearest A-seed PLUS accumulated cost
+    to the nearest B-seed. The raster minimum of ``corridor`` equals the
+    least A->B path cost, and thresholding at ``min + delta`` yields the
+    corridor band every near-optimal route passes through — the standard
+    wildlife-connectivity / routing-envelope product.
+
+    Pure composition: two :func:`cost_distance` fixpoints (each the
+    deterministic synchronous relaxation) joined on the cell key; only
+    cells reached from BOTH sides appear. Returns
+    (px, py, dist_a, dist_b, corridor).
+    """
+    da = cost_distance(tiles, seeds_a, tile, lo, hi, max_rounds) \
+        .withColumnRenamed("dist", "dist_a")
+    db = cost_distance(tiles, seeds_b, tile, lo, hi, max_rounds) \
+        .withColumnRenamed("dist", "dist_b")
+    return da.join(db, ["px", "py"]).select(
+        "px", "py", "dist_a", "dist_b",
+        F.round(F.col("dist_a") + F.col("dist_b"), 9).alias("corridor"))

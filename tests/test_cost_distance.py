@@ -102,3 +102,31 @@ def test_least_cost_path_rejects_zero_costs(spark):
     tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
     with pytest.raises(ValueError, match="strictly positive"):
         least_cost_path(tiles, [(5, 15)], (25, 15), tile=16, lo=1, hi=30)
+
+
+def test_cost_corridor_min_equals_path_cost(spark):
+    """Corridor = dist_A + dist_B per cell; its raster minimum equals the
+    least A->B path cost (the defining Corridor-tool identity), verified
+    against a local Dijkstra on the same (cu+cv)/2 x sqrt(2) graph."""
+    from lib_gdal_spark.operators.proximity import cost_corridor
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(1, 9, size=(24, 24)).astype(float)
+    h, w = arr.shape
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, h, 0, -1), tile=16)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    seeds_a, seeds_b = [(2, 3)], [(20, 19)]
+    got = {(r["px"], r["py"]): (r["dist_a"], r["dist_b"], r["corridor"])
+           for r in cost_corridor(tiles, seeds_a, seeds_b, tile=16,
+                                  lo=1, hi=h - 2).collect()}
+    da = dijkstra(arr, seeds_a, 1, h - 2)
+    db = dijkstra(arr, seeds_b, 1, h - 2)
+    assert set(got) == set(da) & set(db)
+    for k, (a, b, c) in got.items():
+        assert abs(a - da[k]) < 1e-8 and abs(b - db[k]) < 1e-8
+        assert abs(c - (round(a, 9) + round(b, 9))) < 1e-9
+    # raster min of the corridor == least A->B path cost, attained at
+    # every cell ON an optimal path (in particular at both seeds).
+    best = min(c for _, _, c in got.values())
+    assert abs(best - da[seeds_b[0]]) < 1e-8
+    assert abs(got[seeds_a[0]][2] - best) < 1e-8
