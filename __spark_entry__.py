@@ -4796,6 +4796,35 @@ def q_sky_view_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("px", "py", F.round("v", 9).alias("svf"))
 
 
+def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geomorphon landform classification (Jasiewicz & Stepinski 2013,
+    GRASS r.geomorphon), lookup radius L=8, flatness 1 deg, over
+    world4326: 8-direction ternary pattern sign(max angle + min angle)
+    -> (num_minus, num_plus) -> the paper's 9x9 form lookup. Trig-free
+    tangent-space thresholding makes the class decision IEEE-exact in
+    both engines (no libm atan at a boundary); the oracle spells all
+    128 slope samples, 16 greatest/least reductions, the tangent
+    addition rule, and the same lookup table."""
+    from lib_gdal_spark.operators.dem import (
+        GEOMORPHON_FORMS, dem_op_k, geomorphon_kernel)
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 8, geomorphon_kernel)
+    ex = _explode_px(out).where(
+        F.col("px").between(8, 247) & F.col("py").between(8, 247))
+    form = (F.col("v") % 100).cast("int")
+    name = F.when(form == 1, GEOMORPHON_FORMS[0])
+    for i, n in enumerate(GEOMORPHON_FORMS[1:], start=2):
+        name = name.when(form == i, n)
+    return ex.select(
+        "px", "py",
+        F.floor(F.col("v") / 10000).cast("int").alias("num_minus"),
+        (F.floor(F.col("v") / 100).cast("int") % 100).alias("num_plus"),
+        form.alias("form"),
+        name.alias("landform"),
+    )
+
+
 def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L (Lin 2004) between each document and its successor,
     truncated to 12 tokens per side (the documented oracle-tractability
@@ -8124,6 +8153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "openness": q_openness,
         "sky_view_factor": q_sky_view_factor,
+        "geomorphons": q_geomorphons,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -15659,6 +15689,58 @@ def oracle_sql() -> dict[str, str]:
         ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix)
         SELECT px, py, round(({_svf_fold}) / 8.0, 9) AS svf
         FROM ctr
+    """
+
+    # geomorphons: per direction mx = greatest / mn = least of the same
+    # 8 slope samples, then the trig-free tangent-addition sign test
+    # (den = 1 - mx*mn; sum > flat iff den > 0 ? mx+mn > f*den : mx > 0)
+    # with f = tan(radians(1.0)) embedded as the identical repr float;
+    # counts -> the kernel's GEOMORPHON_MATRIX spelled as a CASE.
+    from lib_gdal_spark.operators.dem import (
+        GEOMORPHON_FORMS as _GF, GEOMORPHON_MATRIX as _GM)
+    _gm_f = _math.tan(_math.radians(1.0))
+    _gm_cols, _gm_plus, _gm_minus = [], [], []
+    for _i, (_dx, _dy) in enumerate(_OD):
+        _dist = _math.sqrt(2.0) if (_dx and _dy) else 1.0
+        _terms = ", ".join(
+            f"(({_op_v(_t * _dx, _t * _dy)}) - c) / {_t * _dist!r}"
+            for _t in range(1, 9))
+        _gm_cols.append(f"greatest({_terms}) AS mx{_i}, "
+                        f"least({_terms}) AS mn{_i}")
+        _den = f"(1.0 - mx{_i} * mn{_i})"
+        _gm_plus.append(
+            f"(CASE WHEN {_den} > 0.0"
+            f" THEN (mx{_i} + mn{_i}) > {_gm_f!r} * {_den}"
+            f" ELSE mx{_i} > 0.0 END)::INT")
+        _gm_minus.append(
+            f"(CASE WHEN {_den} > 0.0"
+            f" THEN (mx{_i} + mn{_i}) < -({_gm_f!r} * {_den})"
+            f" ELSE mx{_i} < 0.0 END)::INT")
+    _gm_case = "CASE " + " ".join(
+        f"WHEN nm = {_r} AND np = {_c} THEN {_v}"
+        for _r, _row in enumerate(_GM) for _c, _v in enumerate(_row)
+        if _v) + " END"
+    _gm_name = "CASE form " + " ".join(
+        f"WHEN {_i + 1} THEN '{_n}'" for _i, _n in enumerate(_GF)) + " END"
+    sqls["geomorphons"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(8, 247) x(px)
+          CROSS JOIN generate_series(8, 247) y(py)
+        ),
+        ctr AS (SELECT px, py, {_op_v(0, 0)} AS c FROM pix),
+        dirs AS (SELECT px, py, {", ".join(_gm_cols)} FROM ctr),
+        tern AS (
+          SELECT px, py,
+                 {" + ".join(_gm_plus)} AS np,
+                 {" + ".join(_gm_minus)} AS nm
+          FROM dirs
+        ),
+        cls AS (SELECT px, py, nm, np, {_gm_case} AS form FROM tern)
+        SELECT px, py, CAST(nm AS INT) AS num_minus,
+               CAST(np AS INT) AS num_plus, CAST(form AS INT) AS form,
+               {_gm_name} AS landform
+        FROM cls
     """
 
     # dem_vrm: per-offset Horn gradients over the closed-form fixture;

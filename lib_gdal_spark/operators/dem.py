@@ -1179,6 +1179,77 @@ def sky_view_factor_kernel(pad: np.ndarray, k: int, ewres: float,
     return total / 8.0
 
 
+# Geomorphon landform names, 1-based (Jasiewicz & Stepinski,
+# Geomorphology 182 (2013) "Geomorphons - a pattern recognition approach
+# to classification and mapping of landforms", Fig. 5 / GRASS
+# r.geomorphon forms.c): the 10 most common geomorphons.
+GEOMORPHON_FORMS = ("flat", "peak", "ridge", "shoulder", "spur",
+                    "slope", "hollow", "footslope", "valley", "pit")
+
+# (num_minus, num_plus) -> 1-based form code; 0 marks the impossible
+# cells (num_minus + num_plus > 8). Row = count of '-' directions,
+# column = count of '+' directions, per the paper's lookup table.
+GEOMORPHON_MATRIX = (
+    (1, 1, 1, 8, 8, 9, 9, 9, 10),
+    (1, 1, 8, 8, 8, 9, 9, 9, 0),
+    (1, 4, 6, 6, 7, 7, 9, 0, 0),
+    (4, 4, 6, 6, 6, 7, 0, 0, 0),
+    (4, 4, 5, 6, 6, 0, 0, 0, 0),
+    (3, 3, 5, 5, 0, 0, 0, 0, 0),
+    (3, 3, 3, 0, 0, 0, 0, 0, 0),
+    (3, 3, 0, 0, 0, 0, 0, 0, 0),
+    (2, 0, 0, 0, 0, 0, 0, 0, 0),
+)
+
+
+def geomorphon_kernel(pad: np.ndarray, k: int, ewres: float,
+                      nsres: float, flat_deg: float = 1.0) -> np.ndarray:
+    """Geomorphon landform classification (Jasiewicz & Stepinski 2013;
+    GRASS r.geomorphon): per cell, an 8-direction ternary line-of-sight
+    pattern — for each azimuth the zenith/nadir angle pair reduces to
+    the SIGN of (max elevation angle + min elevation angle) within
+    lookup radius L=k, thresholded at the flatness angle — then the
+    (num_minus, num_plus) pair indexes the paper's 9x9 lookup table of
+    the 10 most common landform elements (flat, peak, ridge, shoulder,
+    spur, slope, hollow, footslope, valley, pit).
+
+    Trig-free exactness: with a = atan(mx), b = atan(mn) both in
+    (-90, 90) deg, a + b > flat iff (den > 0 and mx + mn > tan(flat) *
+    den) or (den <= 0 and mx > 0), where den = 1 - mx * mn (the tangent
+    addition identity; den <= 0 puts |a + b| beyond 90 deg, whose sign
+    is mx's sign). Only +, -, *, comparisons — IEEE-exact in any
+    engine, no libm atan near a class boundary. Direction counts are
+    commutative integer adds, so no fold-order contract is needed.
+
+    Returns packed floats num_minus * 10000 + num_plus * 100 + form
+    (all exact small integers); unpack with floor-division/modulo."""
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    z0 = pad[k:k + th, k:k + tw]
+    f = math.tan(math.radians(flat_deg))
+    nplus = np.zeros((th, tw))
+    nminus = np.zeros((th, tw))
+    sqrt2 = math.sqrt(2.0)
+    for dx, dy in OPENNESS_DIRS:
+        dist = sqrt2 if (dx != 0 and dy != 0) else 1.0
+        mx = mn = None
+        for t in range(1, k + 1):
+            zs = pad[k + t * dy:k + t * dy + th, k + t * dx:k + t * dx + tw]
+            slope = (zs - z0) / (t * dist)
+            if mx is None:
+                mx, mn = slope, slope
+            else:
+                mx = np.maximum(mx, slope)
+                mn = np.minimum(mn, slope)
+        num = mx + mn
+        den = 1.0 - mx * mn
+        with np.errstate(invalid="ignore"):
+            nplus += np.where(den > 0.0, num > f * den, mx > 0.0)
+            nminus += np.where(den > 0.0, num < -f * den, mx < 0.0)
+    lut = np.asarray(GEOMORPHON_MATRIX, dtype=np.float64)
+    form = lut[nminus.astype(np.int64), nplus.astype(np.int64)]
+    return nminus * 10000.0 + nplus * 100.0 + form
+
+
 # row-major 3x3 offsets: the VRM accumulation order shared with the oracle
 VRM_OFFS = ((-1, -1), (0, -1), (1, -1),
             (-1, 0), (0, 0), (1, 0),
