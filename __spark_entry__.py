@@ -7879,6 +7879,45 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripley_k(pts, [1.0, 2.0, 5.0], area=1600.0, cell=5.0)
 
 
+def _window_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _points(spark, sf_dir)
+        .where(
+            (F.col("lon") >= 0) & (F.col("lon") < 40)
+            & (F.col("lat") >= 0) & (F.col("lat") < 40)
+        )
+        .select("pid", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    )
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate (cross) Ripley K/L (Lotwick & Silverman 1982) between
+    the even-pid and odd-pid point sets at r = 1, 2, 5 over the same
+    [0,40)^2 window as ripley_k: K_ab = area * #{(a,b): d < r} /
+    (n_a * n_b). The engine's 3x3 covering join is proven complete
+    against the oracle's brute-force n_a x n_b pair count."""
+    from lib_gdal_spark.operators.spatialstats import cross_k
+
+    pts = _window_points(spark, sf_dir)
+    return cross_k(pts.where(F.col("pid") % 2 == 0),
+                   pts.where(F.col("pid") % 2 == 1),
+                   [1.0, 2.0, 5.0], area=1600.0, cell=5.0)
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans nearest-neighbour index (Clark & Evans 1954) over the
+    [0,40)^2 window points: R = mean NN distance / (0.5*sqrt(area/n)),
+    z = (obs-exp)/(0.26136/sqrt(n^2/area)). The engine resolves NN via
+    the escalating covering join (accept only when d <= cell); NN
+    distances are quantized to integer micrometres so the distributed
+    sum is exact; the oracle brute-forces every NN and spells the same
+    quantized mean and final expressions."""
+    from lib_gdal_spark.operators.spatialstats import clark_evans
+
+    return clark_evans(_window_points(spark, sf_dir),
+                       area=1600.0, cell=5.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -8258,6 +8297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
+        "cross_k": q_cross_k,
+        "clark_evans": q_clark_evans,
     }
 
 
@@ -18548,6 +18589,66 @@ def oracle_sql() -> dict[str, str]:
           round(1600.0 * n_pairs / (n * (n - 1.0)), 9) AS k_hat,
           round(sqrt(1600.0 * n_pairs / (n * (n - 1.0)) / pi()), 9) AS l_hat
         FROM u, nn
+    """
+
+    # cross_k: brute-force n_a x n_b pair counts between the even/odd
+    # pid halves — equality proves the bivariate covering join complete.
+    sqls["cross_k"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        pa AS (SELECT * FROM pts WHERE pid % 2 = 0),
+        pb AS (SELECT * FROM pts WHERE pid % 2 = 1),
+        nn AS (SELECT (SELECT COUNT(*) FROM pa) AS na,
+                      (SELECT COUNT(*) FROM pb) AS nb),
+        pr AS (
+          SELECT (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+          FROM pa a CROSS JOIN pb b
+        ),
+        c AS (
+          SELECT COALESCE(SUM(CASE WHEN d2 < 1.0 THEN 1 ELSE 0 END), 0) AS c0,
+                 COALESCE(SUM(CASE WHEN d2 < 4.0 THEN 1 ELSE 0 END), 0) AS c1,
+                 COALESCE(SUM(CASE WHEN d2 < 25.0 THEN 1 ELSE 0 END), 0) AS c2
+          FROM pr
+        ),
+        u AS (
+          SELECT 1.0 AS r, c0 AS n_pairs FROM c
+          UNION ALL SELECT 2.0, c1 FROM c
+          UNION ALL SELECT 5.0, c2 FROM c
+        )
+        SELECT r, n_pairs,
+          round(1600.0 * n_pairs / (na * nb * 1.0), 9) AS k_ab,
+          round(sqrt(1600.0 * n_pairs / (na * nb * 1.0) / pi()), 9) AS l_ab
+        FROM u, nn
+    """
+
+    # clark_evans: brute-force per-point NN min, the identical integer-
+    # micrometre quantization, and the same final float expressions.
+    sqls["clark_evans"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        nnd AS (
+          SELECT a.pid,
+                 min((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS d2
+          FROM pts a JOIN pts b ON a.pid <> b.pid
+          GROUP BY a.pid
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(round(sqrt(d2) * 1e6, 0) AS BIGINT)) AS sum_q
+          FROM nnd
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(sum_q / n / 1e6, 9) AS mean_nn,
+               round(0.5 * sqrt(1600.0 / n), 9) AS expected_nn,
+               round((sum_q / n / 1e6) / (0.5 * sqrt(1600.0 / n)), 9)
+                 AS r_index,
+               round(((sum_q / n / 1e6) - 0.5 * sqrt(1600.0 / n))
+                     / (0.26136 / sqrt(n * n / 1600.0)), 9) AS z
+        FROM agg
     """
 
     return sqls

@@ -45,6 +45,8 @@ __all__ = [
     "getis_gi_star",
     "kde_heatmap",
     "ripley_k",
+    "cross_k",
+    "clark_evans",
     "mann_kendall",
     "getis_per_bin",
     "emerging_hotspots",
@@ -328,6 +330,147 @@ def ripley_k(
             F.round(k_hat, 9).alias("k_hat"),
             F.round(F.sqrt(k_hat / math.pi), 9).alias("l_hat"),
         )
+    )
+
+
+def _covered(points: DataFrame, cell: float, prefix: str = "") -> DataFrame:
+    p = prefix
+    return points.select(
+        F.col("pid").alias(f"{p}pid"),
+        F.col("x").alias(f"{p}x"),
+        F.col("y").alias(f"{p}y"),
+        F.floor(F.col("x") / cell).cast("int").alias("cx"),
+        F.floor(F.col("y") / cell).cast("int").alias("cy"),
+    )
+
+
+_OFFS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def cross_k(points_a: DataFrame, points_b: DataFrame, radii: list[float],
+            area: float, cell: float) -> DataFrame:
+    """Bivariate (cross) Ripley K / L (Lotwick & Silverman, JRSS-B 1982):
+    K_ab(r) = area * #{(a, b) pairs with d(a, b) < r} / (n_a * n_b) over a
+    planar window of measure ``area`` — the independence test between two
+    point processes (clustering of B around A when L_ab(r) > r). Both
+    inputs are (pid long, x double, y double); ``cell`` >= max(radii)
+    gives the same 3x3 covering-join completeness guarantee as
+    :func:`ripley_k` (proven vs a brute-force oracle in the driver
+    query). Uncorrected estimator (no edge correction; documented). Pair
+    counts are exact int64; one float row per radius."""
+    if cell < max(radii):
+        raise ValueError(f"cell {cell} must be >= max radius {max(radii)}")
+    a = _covered(points_a, cell)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in _OFFS9])
+    probe = a.select(
+        "pid", "x", "y", F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).select("pid", "x", "y", "ncx", "ncy")
+    b = _covered(points_b, cell, "b").select(
+        "bpid", "bx", "by",
+        F.col("cx").alias("ncx"), F.col("cy").alias("ncy"))
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    pairs = probe.join(b, ["ncx", "ncy"]).select(d2.alias("d2"))
+    aggs = pairs.agg(*[
+        F.coalesce(
+            F.sum((F.col("d2") < F.lit(float(r) * float(r))).cast("long")),
+            F.lit(0)).alias(f"c{i}")
+        for i, r in enumerate(radii)])
+    na = points_a.agg(F.count(F.lit(1)).alias("na"))
+    nb = points_b.agg(F.count(F.lit(1)).alias("nb"))
+    arr = F.array(*[
+        F.struct(F.lit(float(r)).alias("r"), F.col(f"c{i}").alias("n_pairs"))
+        for i, r in enumerate(radii)])
+    k_ab = F.lit(area) * F.col("n_pairs") / (F.col("na") * F.col("nb") * 1.0)
+    return (
+        aggs.crossJoin(na).crossJoin(nb)
+        .select(F.explode(arr).alias("e"), "na", "nb")
+        .select(F.col("e.r").alias("r"),
+                F.col("e.n_pairs").alias("n_pairs"), "na", "nb")
+        .select("r", "n_pairs",
+                F.round(k_ab, 9).alias("k_ab"),
+                F.round(F.sqrt(k_ab / math.pi), 9).alias("l_ab"))
+    )
+
+
+def clark_evans(points: DataFrame, area: float, cell: float,
+                max_doublings: int = 8) -> DataFrame:
+    """Clark-Evans nearest-neighbour index (Clark & Evans, Ecology 1954):
+    R = observed mean NN distance / expected under CSR (0.5 *
+    sqrt(area/n)), with the normal test statistic z = (obs - exp) /
+    (0.26136 / sqrt(n^2 / area)). R < 1 clustered, R > 1 dispersed/
+    regular. No edge correction (the classic estimator; documented).
+
+    Scale path: per-point NN via the bounded 3x3 covering join at
+    ``cell``, accepting a candidate only when its distance <= the
+    current cell size (the covering-completeness criterion — a nearer
+    point cannot hide outside the 3x3 block); unresolved points retry at
+    doubled cell sizes (each round touches only the remainder), and any
+    survivors after ``max_doublings`` finish against a broadcast of the
+    (tiny) remainder over one full scan — exact at every step, never an
+    n^2 self-join on the full set.
+
+    Exactness: each NN distance is quantized to integer micrometres
+    (round(d * 1e6) as int64) so the distributed sum is exact and
+    order-independent; the mean and the final floats are one fixed
+    expression, reproducible in SQL."""
+    pts = points.select("pid", "x", "y").persist()
+    n_total = pts.count()
+    if n_total < 2:
+        raise ValueError("clark_evans needs >= 2 points")
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in _OFFS9])
+    resolved = None
+    remain = pts
+    c = float(cell)
+    for _ in range(max_doublings):
+        a = _covered(remain, c)
+        probe = a.select(
+            "pid", "x", "y", F.explode(offs).alias("o"),
+            (F.col("cx") + F.col("o.dx")).alias("ncx"),
+            (F.col("cy") + F.col("o.dy")).alias("ncy"),
+        ).select("pid", "x", "y", "ncx", "ncy")
+        b = _covered(pts, c, "b").select(
+            "bpid", "bx", "by",
+            F.col("cx").alias("ncx"), F.col("cy").alias("ncy"))
+        d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+              + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+        best = (probe.join(b, ["ncx", "ncy"])
+                .where(F.col("pid") != F.col("bpid"))
+                .groupBy("pid").agg(F.min(d2).alias("d2")))
+        ok = best.where(F.sqrt("d2") <= F.lit(c)).persist()
+        resolved = ok if resolved is None else resolved.unionByName(ok)
+        remain = remain.join(ok.select("pid"), "pid", "left_anti").persist()
+        if remain.isEmpty():
+            break
+        c *= 2.0
+    else:
+        # tiny remainder x one full scan, exact (broadcast the remainder)
+        rem = remain.select(
+            F.col("pid").alias("rpid"), F.col("x").alias("rx"),
+            F.col("y").alias("ry"))
+        d2 = ((F.col("rx") - F.col("x")) * (F.col("rx") - F.col("x"))
+              + (F.col("ry") - F.col("y")) * (F.col("ry") - F.col("y")))
+        tail = (pts.join(F.broadcast(rem), F.col("pid") != F.col("rpid"))
+                .groupBy(F.col("rpid").alias("pid"))
+                .agg(F.min(d2).alias("d2")))
+        resolved = resolved.unionByName(tail)
+    nn_q = F.round(F.sqrt("d2") * 1e6, 0).cast("long")
+    agg = resolved.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(nn_q).alias("sum_q"))
+    pts.unpersist()
+    obs = F.col("sum_q") / F.col("n") / 1e6
+    exp = 0.5 * F.sqrt(F.lit(area) / F.col("n"))
+    se = 0.26136 / F.sqrt(F.col("n") * F.col("n") / F.lit(area))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 9).alias("mean_nn"),
+        F.round(exp, 9).alias("expected_nn"),
+        F.round(obs / exp, 9).alias("r_index"),
+        F.round((obs - exp) / se, 9).alias("z"),
     )
 
 
