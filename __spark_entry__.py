@@ -5998,6 +5998,39 @@ def q_dted_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF-3 classic codec (drivers/raster/netcdf parity, pure-stdlib
+    CDF-1): 24 CF grids (90x120, v=(7px+11py+13c)%500-50) written with
+    lon/lat coordinate variables and parsed back distributed; per-file
+    sum/min plus the coordinate-derived geotransform origin must match
+    closed-form."""
+    from lib_gdal_spark.sources.netcdf import (
+        parse_netcdf_documents, write_netcdf_grid)
+
+    base = spark.range(24).select(F.col("id").alias("c"))
+
+    def mk(batches):
+        px, py = np.meshgrid(np.arange(120), np.arange(90), indexing="xy")
+        for b in batches:
+            out = []
+            for c in b["c"]:
+                c = int(c)
+                arr = ((7 * px + 11 * py + 13 * c) % 500 - 50) \
+                    .astype(np.float64)
+                gt = (2.0 * c, 0.5, 0.0, 50.0, 0.0, -0.25)
+                out.append((f"n{c:02d}", write_netcdf_grid(arr, gt)))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = base.mapInPandas(mk, schema="path string, content binary")
+    tiles = parse_netcdf_documents(files, tile=64)
+    return tiles.groupBy(F.col("raster_id")).agg(
+        F.sum(F.aggregate("pixels", F.lit(0.0),
+                          lambda a, x: a + x)).cast("long").alias("sum_v"),
+        F.min(F.array_min("pixels")).cast("long").alias("min_v"),
+        F.round(F.min("gt0"), 9).alias("gt0"),
+    )
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus extraction: 5000 pages each carrying two <a>
     elements (one with nested markup in the anchor, one relative);
@@ -8268,6 +8301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "anchor_text": q_anchor_text,
         "dted_cells": q_dted_cells,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
         "hits_scores": q_hits,
         "harmonic_centrality": q_harmonic,
         "salsa_scores": q_salsa,
@@ -17242,6 +17276,20 @@ def oracle_sql() -> dict[str, str]:
         FROM generate_series(0, 29) g(c)
         CROSS JOIN generate_series(0, 120) a(px)
         CROSS JOIN generate_series(0, 120) b(py)
+        GROUP BY c
+    """
+
+    sqls["netcdf_roundtrip"] = """
+        SELECT 'n' || CASE WHEN c < 10 THEN '0' ELSE '' END || c
+                   AS raster_id,
+               CAST(sum((7 * px + 11 * py + 13 * c) % 500 - 50) AS BIGINT)
+                   AS sum_v,
+               CAST(min((7 * px + 11 * py + 13 * c) % 500 - 50) AS BIGINT)
+                   AS min_v,
+               round(CAST(2.0 * c AS DOUBLE), 9) AS gt0
+        FROM generate_series(0, 23) g(c)
+        CROSS JOIN generate_series(0, 119) a(px)
+        CROSS JOIN generate_series(0, 89) b(py)
         GROUP BY c
     """
 
