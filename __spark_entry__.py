@@ -4486,6 +4486,21 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "harmonic_units")
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled Brandes betweenness (Brandes 2001; Brandes & Pich
+    2007 sampling) from 4 fixed sources on the 300-node functional link
+    graph: exact int64 shortest-path counts (sigma), then the dependency
+    back-propagation in integer fixed point — D(v) = sum over DAG
+    successors of (sigma_v * (scale + D(w))) div sigma_w — so every
+    stage is order-independent. The oracle unrolls 16 BFS-sigma levels
+    forward and 16 dependency levels backward with identical floor
+    divisions."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.betweenness(_link_fixture_edges(spark),
+                          seeds=[1, 31, 61, 91], max_dist=16)
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact SALSA (Lempel & Moran 2001; 4 iterations of the
     degree-normalized hub/authority walk) on the same functional link
@@ -8304,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "hits_scores": q_hits,
         "harmonic_centrality": q_harmonic,
+        "betweenness": q_betweenness,
         "salsa_scores": q_salsa,
         "link_prediction": q_link_prediction,
         "hgt_cells": q_hgt_cells,
@@ -15166,6 +15182,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(1000000 // d) AS BIGINT) AS harmonic_units
         FROM md WHERE d > 0 GROUP BY node
     """
+
+    # betweenness: recursive-CTE min-dist BFS, then 16 unrolled sigma
+    # levels (sum of predecessor sigmas), the BFS DAG, and 16 unrolled
+    # backward dependency levels with the identical integer floor
+    # division sig_v * (scale + D_w) // sig_w.
+    _bc_scale = 10**6
+    _bc_lev = 16
+    _bc_parts = [
+        """eraw AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        )""",
+        "e AS (SELECT DISTINCT u, v FROM eraw)",
+        "seeds AS (SELECT unnest([1, 31, 61, 91]) AS seed)",
+        f"""bfs AS (
+          SELECT seed, seed AS node, 0 AS d FROM seeds
+          UNION
+          SELECT b.seed, e.v AS node, b.d + 1 AS d
+          FROM bfs b JOIN e ON e.u = b.node
+          WHERE b.d < {_bc_lev}
+        )""",
+        "md AS (SELECT seed, node, min(d) AS d FROM bfs GROUP BY 1, 2)",
+        "sig0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sig "
+        "FROM seeds)",
+    ]
+    for _i in range(1, _bc_lev + 1):
+        _bc_parts.append(f"""sig{_i} AS MATERIALIZED (
+          SELECT s.seed, e.v AS node, SUM(s.sig) AS sig
+          FROM sig{_i - 1} s
+          JOIN e ON e.u = s.node
+          JOIN md m ON m.seed = s.seed AND m.node = e.v AND m.d = {_i}
+          GROUP BY 1, 2
+        )""")
+    _bc_parts.append(
+        "sig_all AS (" + " UNION ALL ".join(
+            f"SELECT * FROM sig{_i}" for _i in range(_bc_lev + 1)) + ")")
+    _bc_parts.append("""dag AS MATERIALIZED (
+          SELECT mv.seed, mv.node AS vn, mw.node AS wn, mv.d AS dv,
+                 sv.sig AS sig_v, sw.sig AS sig_w
+          FROM e
+          JOIN md mv ON mv.node = e.u
+          JOIN md mw ON mw.seed = mv.seed AND mw.node = e.v
+                    AND mw.d = mv.d + 1
+          JOIN sig_all sv ON sv.seed = mv.seed AND sv.node = e.u
+          JOIN sig_all sw ON sw.seed = mv.seed AND sw.node = e.v
+        )""")
+    _top = _bc_lev - 1
+    _bc_parts.append(f"""dep{_top} AS MATERIALIZED (
+          SELECT seed, vn AS node,
+                 SUM(sig_v * ({_bc_scale} + 0) // sig_w) AS dep
+          FROM dag WHERE dv = {_top} GROUP BY 1, 2
+        )""")
+    _bc_parts.append(f"acc{_top} AS (SELECT * FROM dep{_top})")
+    for _lv in range(_top - 1, -1, -1):
+        _bc_parts.append(f"""dep{_lv} AS MATERIALIZED (
+          SELECT d.seed, d.vn AS node,
+                 SUM(d.sig_v * ({_bc_scale} + COALESCE(p.dep, 0))
+                     // d.sig_w) AS dep
+          FROM dag d
+          LEFT JOIN acc{_lv + 1} p
+            ON p.seed = d.seed AND p.node = d.wn
+          WHERE d.dv = {_lv} GROUP BY 1, 2
+        )""")
+        _bc_parts.append(
+            f"acc{_lv} AS (SELECT * FROM dep{_lv} "
+            f"UNION ALL SELECT * FROM acc{_lv + 1})")
+    sqls["betweenness"] = (
+        "WITH RECURSIVE " + ",\n".join(_bc_parts)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(SUM(dep) AS BIGINT) AS bc_units,
+               round(SUM(dep) / {float(_bc_scale)!r}, 9) AS bc
+        FROM acc0 WHERE node <> seed GROUP BY node"""
+    )
 
     # salsa_scores: the same functional graph; 4 unrolled rounds of the
     # degree-normalized walk with per-node floor division (h div outdeg

@@ -906,6 +906,110 @@ def harmonic_centrality(edges: DataFrame, seeds: list,
     )
 
 
+def betweenness(edges: DataFrame, seeds: list, max_dist: int = 20,
+                scale: int = 10**6) -> DataFrame:
+    """Seed-sampled betweenness centrality (Brandes, J. Math. Sociology
+    2001, with the standard source-sampling estimator of Brandes &
+    Pich 2007): BC(v) = sum over sampled sources s of the dependency
+    delta_s(v), where delta_s(v) = sum over BFS-DAG successors w of
+    sigma_s(v)/sigma_s(w) * (1 + delta_s(w)) and sigma is the count of
+    shortest s-paths. Exact all-sources Brandes is O(nm); production
+    web-graph rankings sample sources, exactly like
+    :func:`harmonic_centrality`.
+
+    Exactness contract: sigma values are exact int64 (level-synchronous
+    sums of predecessor sigmas). Dependencies are accumulated in
+    ``scale`` fixed-point units with per-DAG-edge floor division —
+    D(v) = sum over successors w of (sigma_v * (scale + D(w))) div
+    sigma_w — so every partial sum is an integer and the result is
+    bit-identical at any parallelism and in any engine (the float
+    formulation is order-dependent and cannot be oracled). Requires
+    sigma_max * (scale + D_max) < 2^63 — comfortable for sampled seeds
+    with bounded depth; lower ``scale`` for adversarially path-dense
+    graphs.
+
+    Scale shape: forward = one level-synchronous multi-source BFS keyed
+    by (seed, node) carrying (d, sigma) — per round one frontier⋈edges
+    equi-join + a combinable groupBy, exactly harmonic_centrality's
+    state shape. The BFS DAG (d(w) = d(v)+1 edges) materializes once;
+    backward = one keyed join + integer groupBy per level, deepest
+    level first. Rounds <= ``max_dist`` each way (the documented
+    truncation every sampled-BC system applies). Lineage truncated per
+    round. Returns (node, bc_units, bc); sources are excluded from
+    their own dependency sums per Brandes, and only nodes with at least
+    one DAG successor appear (leaves have zero dependency)."""
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v")) \
+        .distinct().localCheckpoint()
+    from lib_gdal_spark.session import local_df
+    dist = local_df(
+        e.sparkSession, [(int(s), int(s), 0, 1) for s in seeds],
+        "seed long, node long, d int, sig long",
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, max_dist + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .groupBy("seed", F.col("v").alias("node"))
+            .agg(F.sum("sig").alias("sig"))
+            .join(dist.select(F.col("seed").alias("s2"),
+                              F.col("node").alias("n2")),
+                  (F.col("seed") == F.col("s2"))
+                  & (F.col("node") == F.col("n2")), "left_anti")
+            .select("seed", "node", F.lit(r).alias("d"), "sig")
+            .localCheckpoint()
+        )
+        if cand.isEmpty():
+            break
+        dist = dist.unionByName(cand).localCheckpoint()
+        frontier = cand
+    # BFS-DAG edges: (v, w) with d(w) = d(v) + 1 under the same seed
+    dv = dist.select("seed", F.col("node").alias("vn"),
+                     F.col("d").alias("dv"), F.col("sig").alias("sig_v"))
+    dw = dist.select(F.col("seed").alias("sw"), F.col("node").alias("wn"),
+                     F.col("d").alias("dw"), F.col("sig").alias("sig_w"))
+    dag = (
+        dv.join(e, dv["vn"] == e["u"])
+        .join(dw, (F.col("seed") == F.col("sw")) & (e["v"] == dw["wn"]))
+        .where(F.col("dw") == F.col("dv") + 1)
+        .select("seed", "vn", "wn", "dv", "sig_v", "sig_w")
+        .localCheckpoint()
+    )
+    max_lev = dag.agg(F.coalesce(F.max("dv"), F.lit(-1))).first()[0]
+    dep = None  # (seed, node, dep_units) accumulated deepest-first
+    for lev in range(int(max_lev), -1, -1):
+        lvl = dag.where(F.col("dv") == lev)
+        if dep is not None:
+            lvl = lvl.join(
+                dep.select(F.col("seed").alias("s3"),
+                           F.col("node").alias("n3"),
+                           F.col("dep_units").alias("dw_units")),
+                (F.col("seed") == F.col("s3"))
+                & (F.col("wn") == F.col("n3")), "left")
+        else:
+            lvl = lvl.withColumn("dw_units", F.lit(None).cast("long"))
+        new = (
+            lvl.select(
+                "seed", F.col("vn").alias("node"),
+                F.expr(f"sig_v * ({int(scale)} + coalesce(dw_units, 0))"
+                       " div sig_w").alias("c"))
+            .groupBy("seed", "node")
+            .agg(F.sum("c").alias("dep_units"))
+            .localCheckpoint()
+        )
+        dep = new if dep is None else dep.unionByName(new).localCheckpoint()
+    if dep is None:
+        return e.sparkSession.createDataFrame(
+            [], "node long, bc_units long, bc double")
+    return (
+        dep.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum("dep_units").alias("bc_units"))
+        .select("node", "bc_units",
+                F.round(F.col("bc_units") / scale, 9).alias("bc"))
+    )
+
+
 def salsa(edges: DataFrame, n_iters: int = 4,
           scale: int = 10**12) -> DataFrame:
     """SALSA hubs/authorities (Lempel & Moran 2001; TKDE) — the
