@@ -2778,6 +2778,24 @@ def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dwell_segments(track, v_max=0.04, min_dwell_s=3600.0)
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over the same hashed planar
+    tracks as dwell_segments, binned to 100-unit cells: per user, every
+    consecutive step (ordered ts, x, y) that crosses a cell boundary
+    becomes a transition; flows aggregate exact trip and distinct-user
+    counts per (origin, destination) cell pair. The oracle spells the
+    identical window-lag + floor-division pipeline."""
+    from lib_gdal_spark.operators.trajectory import od_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    track = ev.select(
+        F.col("user_id").alias("eid"), "ts",
+        ((F.col("event_id") * 7919) % 1000).cast("double").alias("x"),
+        ((F.col("event_id") * 104729) % 1000).cast("double").alias("y"),
+    )
+    return od_matrix(track, cell=100.0)
+
+
 def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg 2-state burst detection (KDD 2002, batched binomial
     variant) over per-type daily event shares — in exact int64
@@ -4837,6 +4855,27 @@ def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("v") / 100).cast("int") % 100).alias("num_plus"),
         form.alias("form"),
         name.alias("landform"),
+    )
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal range / population std / majority (r.neighbors analog)
+    over the world4326 3x3 windows via the halo exchange. Integer-exact
+    range and majority (mode, ties to smallest); std from exact int
+    sums with an explicit half-up 1e-6 quantization so both engines
+    floor the identical double. The oracle spells all 9 samples, 81
+    equality counts, and the same variance expression."""
+    from lib_gdal_spark.operators.dem import dem_op_k, focal_stats_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 1, focal_stats_kernel)
+    ex = _explode_px(out).where(
+        F.col("px").between(1, 254) & F.col("py").between(1, 254))
+    return ex.select(
+        "px", "py",
+        F.floor(F.col("v") / 1e12).cast("long").alias("f_majority"),
+        (F.floor(F.col("v") / 1e9) % 1000).cast("long").alias("f_range"),
+        ((F.col("v") % 1e9) / 1e6).alias("f_std"),
     )
 
 
@@ -8225,6 +8264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "burst_detection": q_burst_detection,
         "dwell_segments": q_dwell_segments,
+        "od_matrix": q_od_matrix,
         "events_asof": q_events_asof,
         "cap_per_source": q_cap_per_source,
         "nb_classifier": q_nb_classifier,
@@ -8241,6 +8281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "openness": q_openness,
         "sky_view_factor": q_sky_view_factor,
         "geomorphons": q_geomorphons,
+        "focal_stats": q_focal_stats,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -14524,6 +14565,33 @@ def oracle_sql() -> dict[str, str]:
     # the operator keys on (ts, x, y): equivalent here because the
     # events fixture's timestamps are unique per user (sequential
     # generation), so the composite tie-break never engages.
+    sqls["od_matrix"] = """
+        WITH trk AS (
+          SELECT user_id AS eid, ts,
+                 CAST((event_id * 7919) % 1000 AS DOUBLE) AS x,
+                 CAST((event_id * 104729) % 1000 AS DOUBLE) AS y
+          FROM events
+        ),
+        cl AS (
+          SELECT eid, ts, x, y,
+                 CAST(floor(x / 100.0) AS BIGINT) AS cx,
+                 CAST(floor(y / 100.0) AS BIGINT) AS cy
+          FROM trk
+        ),
+        lg AS (
+          SELECT eid, cx, cy,
+                 lag(cx) OVER (PARTITION BY eid ORDER BY ts, x, y) AS pcx,
+                 lag(cy) OVER (PARTITION BY eid ORDER BY ts, x, y) AS pcy
+          FROM cl
+        )
+        SELECT pcx AS ocx, pcy AS ocy, cx AS dcx, cy AS dcy,
+               CAST(count(*) AS BIGINT) AS trips,
+               CAST(count(DISTINCT eid) AS BIGINT) AS users
+        FROM lg
+        WHERE pcx IS NOT NULL AND (cx <> pcx OR cy <> pcy)
+        GROUP BY 1, 2, 3, 4
+    """
+
     sqls["dwell_segments"] = """
         WITH pts AS (
           SELECT user_id AS eid, ts,
@@ -15909,6 +15977,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(np AS INT) AS num_plus, CAST(form AS INT) AS form,
                {_gm_name} AS landform
         FROM cls
+    """
+
+    # focal_stats: the 9 window samples as columns, 81 equality counts
+    # for the majority (ties to smallest), exact-int sum/sum-of-squares
+    # variance, and the identical explicit half-up 1e-6 std quantization.
+    _fs_offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    _fs_vals = ", ".join(
+        f"({_op_v(dx, dy)}) AS w{_i}"
+        for _i, (dx, dy) in enumerate(_fs_offs))
+    _fs_cnts = ", ".join(
+        "(" + " + ".join(f"(CASE WHEN w{_i} = w{_j} THEN 1 ELSE 0 END)"
+                         for _j in range(9)) + f") AS cnt{_i}"
+        for _i in range(9))
+    _fs_all = ", ".join(f"w{_i}" for _i in range(9))
+    _fs_s = " + ".join(f"w{_i}" for _i in range(9))
+    _fs_s2 = " + ".join(f"w{_i} * w{_i}" for _i in range(9))
+    _fs_maxc = "greatest(" + ", ".join(f"cnt{_i}" for _i in range(9)) + ")"
+    _fs_maj = "least(" + ", ".join(
+        f"(CASE WHEN cnt{_i} = mc THEN w{_i} ELSE 1e18 END)"
+        for _i in range(9)) + ")"
+    sqls["focal_stats"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        vals AS (SELECT px, py, {_fs_vals} FROM pix),
+        cnt AS (SELECT px, py, {_fs_all}, {_fs_cnts},
+                       {_fs_s} AS s, {_fs_s2} AS s2,
+                       greatest({_fs_all}) - least({_fs_all}) AS rng
+                FROM vals),
+        mc AS (SELECT *, {_fs_maxc} AS mc FROM cnt)
+        SELECT px, py,
+               CAST({_fs_maj} AS BIGINT) AS f_majority,
+               CAST(rng AS BIGINT) AS f_range,
+               floor(sqrt((9.0 * s2 - s * s) / 81.0) * 1e6 + 0.5) / 1e6
+                 AS f_std
+        FROM mc
     """
 
     # dem_vrm: per-offset Horn gradients over the closed-form fixture;

@@ -1250,6 +1250,41 @@ def geomorphon_kernel(pad: np.ndarray, k: int, ewres: float,
     return nminus * 10000.0 + nplus * 100.0 + form
 
 
+def focal_stats_kernel(pad: np.ndarray, k: int, ewres: float,
+                       nsres: float) -> np.ndarray:
+    """Focal statistics beyond the mean (ArcGIS Focal Statistics / GRASS
+    r.neighbors RANGE/STDDEV/MODE) over the 3x3 window: value range,
+    population standard deviation, and majority (mode, ties broken to
+    the SMALLEST value — a stated contract, not an implementation
+    accident).
+
+    Exactness: inputs are integer-valued, so sum and sum-of-squares are
+    exact; var = (9*s2 - s*s)/81 and std = sqrt(var) are one fixed
+    float expression reproducible in SQL; the std is quantized half-up
+    to integer 1e-6 units (floor(std*1e6 + 0.5) — explicit, engine-
+    independent, unlike banker's-rounding library calls). Majority uses
+    only equality counts and min — integer-exact.
+
+    Returns packed floats majority * 1e12 + range * 1e9 +
+    floor(std * 1e6 + 0.5); all components exact integers < 2^53."""
+    if k != 1:
+        raise ValueError("focal_stats_kernel is a 3x3 (k=1) kernel")
+    th, tw = pad.shape[0] - 2, pad.shape[1] - 2
+    vs = [pad[1 + dy:1 + dy + th, 1 + dx:1 + dx + tw]
+          for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    stack = np.stack(vs)
+    s = stack.sum(axis=0)
+    s2 = (stack * stack).sum(axis=0)
+    var = (9.0 * s2 - s * s) / 81.0
+    with np.errstate(invalid="ignore"):
+        std6 = np.floor(np.sqrt(var) * 1e6 + 0.5)
+        rng = stack.max(axis=0) - stack.min(axis=0)
+        cnts = (stack[:, None, :, :] == stack[None, :, :, :]).sum(axis=1)
+        maxc = cnts.max(axis=0)
+        maj = np.where(cnts == maxc[None, :, :], stack, np.inf).min(axis=0)
+    return maj * 1e12 + rng * 1e9 + std6
+
+
 # row-major 3x3 offsets: the VRM accumulation order shared with the oracle
 VRM_OFFS = ((-1, -1), (0, -1), (1, -1),
             (-1, 0), (0, 0), (1, 0),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dwell_segments", "trajectory_similarity"]
+__all__ = ["dwell_segments", "trajectory_similarity", "od_matrix"]
 
 
 def dwell_segments(track: DataFrame, v_max: float,
@@ -185,4 +185,42 @@ def trajectory_similarity(
         kernel,
         schema="tid_a long, tid_b long, len_a long, len_b long, "
                "hausdorff2 long, frechet2 long",
+    )
+
+
+def od_matrix(track: DataFrame, cell: float) -> DataFrame:
+    """Origin-destination flow matrix (the flow-mapping staple; GIS
+    'OD cost matrix' / flowmap aggregation): bin each track point to a
+    square cell of size ``cell``, take every CONSECUTIVE step (per
+    entity, ordered by (ts, x, y) — the dwell_segments determinism
+    contract) that crosses a cell boundary, and aggregate transitions
+    into (origin cell, destination cell) flows.
+
+    Returns (ocx, ocy, dcx, dcy, trips, users): trips = number of
+    boundary-crossing steps, users = distinct entities making that
+    transition. Exact integers end-to-end (cells are floor-divided
+    lattice keys), so the result is order- and partition-independent.
+
+    Scale shape: ONE window shuffle keyed by entity (the track is
+    already the per-user event stream) + one combinable groupBy on the
+    4-int cell-pair key; no geometry moves. At web scale the flows
+    table is tiny (|cells|^2 worst case, far less in practice) while
+    the input can be the full 10^12-event stream.
+    """
+    w = Window.partitionBy("eid").orderBy("ts", "x", "y")
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    st = track.select(
+        "eid", "ts", "x", "y", cx.alias("cx"), cy.alias("cy"),
+    ).withColumn("pcx", F.lag("cx").over(w)) \
+     .withColumn("pcy", F.lag("cy").over(w)) \
+     .where(F.col("pcx").isNotNull()
+            & ((F.col("cx") != F.col("pcx"))
+               | (F.col("cy") != F.col("pcy"))))
+    return (
+        st.groupBy(
+            F.col("pcx").alias("ocx"), F.col("pcy").alias("ocy"),
+            F.col("cx").alias("dcx"), F.col("cy").alias("dcy"))
+        .agg(F.count(F.lit(1)).alias("trips"),
+             F.countDistinct("eid").alias("users"))
     )
