@@ -542,6 +542,20 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d8_flow_accumulation(tiles, lo=1, hi=126)
 
 
+def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream D8 flow length (r.stream.distance / Flow Length
+    DOWNSTREAM) over the same world4326 window as flow_accumulation:
+    pointer doubling folds the path as two exact integer step counts
+    (cardinal, diagonal); sqrt(2) is applied once at the end, so the
+    doubling tree's fold order cannot perturb the result. The oracle
+    walks the identical D8 successor table with a recursive CTE and the
+    same final expression."""
+    from lib_gdal_spark.operators.dem import d8_flow_length
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return d8_flow_length(tiles, lo=1, hi=126)
+
+
 def q_dem_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topographic wetness index (Beven & Kirkby 1979) over world4326:
     ln((flow_acc + 1) / max(tan(Horn slope), 0.001)) — pure composition
@@ -8192,6 +8206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_basins": q_dem_basins,
         "basin_zonal": q_basin_zonal,
         "flow_accumulation": q_flow_accumulation,
+        "flow_length": q_flow_length,
         "fill_sinks": q_fill_sinks,
         "dem_twi": q_dem_twi,
         "dem_insolation": q_dem_insolation,
@@ -16450,6 +16465,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.px, p.py, CAST(coalesce(a.n, 0) AS BIGINT) AS acc
         FROM pix p LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
+    """
+
+    # flow_length: the same D8 successor table with self-looping
+    # terminals; a recursive-CTE walk folds integer (cardinal, diagonal)
+    # step counts, and sqrt(2) is applied once in the final expression —
+    # identical to the operator's pointer-doubling contract.
+    sqls["flow_length"] = f"""
+        WITH RECURSIVE pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 126) x(px)
+          CROSS JOIN generate_series(1, 126) y(py)
+        ),
+        win AS (
+          SELECT px, py,
+            {_bwin}
+          FROM pix
+        ),
+        fd AS (
+          SELECT px, py,
+            CAST(CASE WHEN {_d8max} <= 0.0 THEN 0 {_d8case} END
+                 AS BIGINT) AS code
+          FROM win
+        ),
+        tgt AS (
+          SELECT px, py, px + {_bdx} AS tx, py + {_bdy} AS ty FROM fd
+        ),
+        succ AS MATERIALIZED (
+          SELECT py * 65536 + px AS id,
+                 CASE WHEN (tx <> px OR ty <> py)
+                       AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
+                      THEN ty * 65536 + tx ELSE py * 65536 + px END AS nxt,
+                 CASE WHEN (tx <> px OR ty <> py)
+                       AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
+                       AND NOT (abs(tx - px) = 1 AND abs(ty - py) = 1)
+                      THEN 1 ELSE 0 END AS nc,
+                 CASE WHEN (tx <> px OR ty <> py)
+                       AND tx BETWEEN 1 AND 126 AND ty BETWEEN 1 AND 126
+                       AND abs(tx - px) = 1 AND abs(ty - py) = 1
+                      THEN 1 ELSE 0 END AS nd
+          FROM tgt
+        ),
+        walk AS (
+          SELECT id AS src, nxt AS cur, nc, nd FROM succ WHERE nxt <> id
+          UNION ALL
+          SELECT w.src, s.nxt, w.nc + s.nc, w.nd + s.nd
+          FROM walk w JOIN succ s ON s.id = w.cur WHERE s.nxt <> s.id
+        ),
+        fin AS (
+          SELECT w.src AS id, w.nc, w.nd
+          FROM walk w JOIN succ t ON t.id = w.cur AND t.nxt = t.id
+          UNION ALL
+          SELECT id, 0, 0 FROM succ WHERE nxt = id
+        )
+        SELECT p.px, p.py,
+               CAST(f.nc AS BIGINT) AS n_card,
+               CAST(f.nd AS BIGINT) AS n_diag,
+               round(f.nc + sqrt(2.0) * f.nd, 9) AS flow_len
+        FROM pix p JOIN fin f ON f.id = p.py * 65536 + p.px
     """
 
     # dem_twi: the flow-accumulation walk composed with the Horn slope

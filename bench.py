@@ -232,6 +232,12 @@ BENCH = {
     "huff_model": lambda s: _force(E.q_huff_model(s, SF_DIR)),
     "keyness_g2": lambda s: _force(E.q_keyness_g2(s, SF_DIR)),
     "burrows_delta": lambda s: _force(E.q_burrows_delta(s, SF_DIR)),
+    # round-4 session-11 additions (cost_corridor stays gate-only with
+    # the other fixpoint ops; cross_k/clark_evans/od_matrix/betweenness
+    # are sub-second fixtures better covered by the gate)
+    "geomorphons": lambda s: _force(E.q_geomorphons(s, SF_DIR)),
+    "focal_stats": lambda s: _force(E.q_focal_stats(s, SF_DIR)),
+    "netcdf_roundtrip": lambda s: _force(E.q_netcdf_roundtrip(s, SF_DIR)),
 }
 
 

@@ -760,6 +760,79 @@ def _d8_flow_edges(tiles: DataFrame, tile: int, lo: int, hi: int):
     return cells, edges
 
 
+def d8_flow_length(tiles: DataFrame, tile: int = 64,
+                   lo: int = 1, hi: int = 254,
+                   max_doublings: int = 16) -> DataFrame:
+    """Downstream D8 flow length (GRASS r.stream.distance / ESRI Flow
+    Length DOWNSTREAM): the along-path distance from every cell to the
+    terminus of its steepest-descent path (pit/flat or window exit),
+    cardinal steps counting 1 cell and diagonals sqrt(2) — the
+    hillslope-length input of erosion (LS-factor) and time-of-
+    concentration models.
+
+    Exactness: the path folds as two INTEGER step counts (n_card,
+    n_diag) — associative, order-free — and the float
+    ``n_card + sqrt(2) * n_diag`` is applied ONCE at the end, so the
+    result is bit-identical in any engine and at any doubling schedule
+    (summing sqrt(2)-weighted floats along the path would depend on the
+    doubling tree's fold order; counts cannot).
+
+    Scale shape: pointer doubling exactly like :func:`d8_basins` —
+    successor table with self-looping terminals carrying (0, 0) counts,
+    log2(longest path) equi-join rounds, lineage truncated per round.
+    Returns (px, py, n_card, n_diag, flow_len)."""
+    cells, edges = _d8_flow_edges(tiles, tile, lo, hi)
+    dxe = F.abs(F.col("dst") % 65536 - F.col("src") % 65536)
+    dye = F.abs(
+        (F.col("dst") / 65536).cast("long")
+        - (F.col("src") / 65536).cast("long"))
+    diag = (dxe == 1) & (dye == 1)
+    step = edges.select(
+        "src", "dst",
+        F.when(diag, F.lit(0)).otherwise(F.lit(1)).alias("nc"),
+        F.when(diag, F.lit(1)).otherwise(F.lit(0)).alias("nd"),
+    )
+    ids = cells.select(
+        "px", "py", (F.col("py") * 65536 + F.col("px")).alias("id"))
+    cur = ids.join(step, ids["id"] == step["src"], "left").select(
+        "id",
+        F.coalesce("dst", "id").alias("nxt"),
+        F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+        F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
+    ).localCheckpoint()
+    for _ in range(max_doublings):
+        nxt2 = (
+            cur.alias("a")
+            .join(cur.select(F.col("id").alias("bid"),
+                             F.col("nxt").alias("bnxt"),
+                             F.col("nc").alias("bnc"),
+                             F.col("nd").alias("bnd")).alias("b"),
+                  F.col("a.nxt") == F.col("bid"))
+            .select(F.col("a.id").alias("id"),
+                    F.col("bnxt").alias("nxt"),
+                    (F.col("a.nc") + F.col("bnc")).alias("nc"),
+                    (F.col("a.nd") + F.col("bnd")).alias("nd"))
+            .localCheckpoint()
+        )
+        moved = (
+            nxt2.alias("x")
+            .join(cur.select(F.col("id").alias("id2"),
+                             F.col("nxt").alias("old")).alias("y"),
+                  F.col("x.id") == F.col("id2"))
+            .where(F.col("x.nxt") != F.col("old")).count()
+        )
+        cur = nxt2
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"d8_flow_length did not converge in {max_doublings} doublings")
+    return ids.join(cur, "id").select(
+        "px", "py", F.col("nc").alias("n_card"), F.col("nd").alias("n_diag"),
+        F.round(F.col("nc") + math.sqrt(2.0) * F.col("nd"), 9)
+        .alias("flow_len"))
+
+
 def d8_flow_accumulation(tiles: DataFrame, tile: int = 64,
                          lo: int = 1, hi: int = 254,
                          max_doublings: int = 16) -> DataFrame:

@@ -105,3 +105,46 @@ def test_twi_composes_acc_and_slope(spark):
         want = np.log((acc.get((px, py), 0) + 1.0)
                       / max(np.tan(np.radians(sl[(px, py)])), 0.001))
         assert abs(twi - want) < 1e-12, (px, py)
+
+
+def test_flow_length_matches_brute_walk(spark):
+    rng = np.random.default_rng(21)
+    arr = (rng.integers(0, 50, size=(40, 40)).astype(float)
+           + np.arange(40)[None, :] * 0.5)  # gentle eastward tilt
+    lo, hi = 1, 38
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, 40, 0, -1), tile=16)
+    tiles = spark.createDataFrame(pd.DataFrame(rows),
+                                  schema=RS.RASTER_SCHEMA)
+    got = {(r["px"], r["py"]): (r["n_card"], r["n_diag"], r["flow_len"])
+           for r in D.d8_flow_length(tiles, tile=16, lo=lo,
+                                     hi=hi).collect()}
+    s2 = np.sqrt(2.0)
+
+    def code(x, y):
+        e = arr[y, x]
+        best, bc = 0.0, 0
+        for c, (dx, dy) in sorted(D8.items()):
+            d = (e - arr[y + dy, x + dx]) / (s2 if dx and dy else 1.0)
+            if d > best:
+                best, bc = d, c
+        return bc
+
+    for y in range(lo, hi + 1):
+        for x in range(lo, hi + 1):
+            cx, cy, nc, nd = x, y, 0, 0
+            while True:
+                c = code(cx, cy)
+                if c == 0:
+                    break
+                dx, dy = D8[c]
+                nx, ny = cx + dx, cy + dy
+                if not (lo <= nx <= hi and lo <= ny <= hi):
+                    break
+                if dx and dy:
+                    nd += 1
+                else:
+                    nc += 1
+                cx, cy = nx, ny
+            g = got[(x, y)]
+            assert (g[0], g[1]) == (nc, nd), (x, y)
+            assert abs(g[2] - round(nc + s2 * nd, 9)) < 1e-12
