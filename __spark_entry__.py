@@ -8005,6 +8005,38 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                    [1.0, 2.0, 5.0], area=1600.0, cell=5.0)
 
 
+def q_two_step_fca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang 2003)
+    over the [0,40)^2 window: supplies = pid%10==0 points with capacity
+    pid%5+1, demands = the rest with weight pid%3+1, catchment radius 5.
+    Supply ratios are one float division quantized half-up to 1e-9
+    units; step-2 sums are exact int64. The oracle brute-forces both
+    distance joins and spells the identical quantization."""
+    from lib_gdal_spark.operators.spatialstats import two_step_fca
+
+    pts = _window_points(spark, sf_dir)
+    sup = pts.where(F.col("pid") % 10 == 0).select(
+        "pid", "x", "y", (F.col("pid") % 5 + 1).alias("s"))
+    dem = pts.where(F.col("pid") % 10 != 0).select(
+        "pid", "x", "y", (F.col("pid") % 3 + 1).alias("d"))
+    return two_step_fca(sup, dem, radius=5.0)
+
+
+def q_colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocation quotient (Leslie & Kronenfeld 2011) over the window
+    points with categories pid%3: each point's exact nearest neighbour
+    (escalating covering join, ties to smallest (d2, pid)) contributes
+    to C_a->b; CLQ = (C_ab/N_a) / (N_b'/(N-1)). The oracle brute-forces
+    every NN with the same arg-min tie-break."""
+    from lib_gdal_spark.operators.spatialstats import colocation_quotient
+
+    pts = _window_points(spark, sf_dir).select(
+        "pid", "x", "y",
+        F.concat(F.lit("c"), (F.col("pid") % 3).cast("string"))
+        .alias("cat"))
+    return colocation_quotient(pts, cell=5.0)
+
+
 def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clark-Evans nearest-neighbour index (Clark & Evans 1954) over the
     [0,40)^2 window points: R = mean NN distance / (0.5*sqrt(area/n)),
@@ -8405,6 +8437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "cross_k": q_cross_k,
         "clark_evans": q_clark_evans,
+        "two_step_fca": q_two_step_fca,
+        "colocation_quotient": q_colocation_quotient,
     }
 
 
@@ -18941,6 +18975,77 @@ def oracle_sql() -> dict[str, str]:
           round(1600.0 * n_pairs / (na * nb * 1.0), 9) AS k_ab,
           round(sqrt(1600.0 * n_pairs / (na * nb * 1.0) / pi()), 9) AS l_ab
         FROM u, nn
+    """
+
+    # two_step_fca: brute-force radius joins both ways, identical
+    # half-up 1e-9 ratio quantization, exact int access sums.
+    sqls["two_step_fca"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        sup AS (SELECT pid AS spid, x, y, pid % 5 + 1 AS s
+                FROM pts WHERE pid % 10 = 0),
+        dem AS (SELECT pid AS dpid, x, y, pid % 3 + 1 AS d
+                FROM pts WHERE pid % 10 <> 0),
+        pr AS (
+          SELECT sup.spid, sup.s, dem.dpid, dem.d
+          FROM sup JOIN dem
+            ON (sup.x - dem.x)*(sup.x - dem.x)
+             + (sup.y - dem.y)*(sup.y - dem.y) <= 25.0
+        ),
+        ratio AS (
+          SELECT spid,
+                 CAST(floor(min(s) / sum(d) * 1e9 + 0.5) AS BIGINT)
+                   AS r_units
+          FROM pr GROUP BY spid
+        ),
+        acc AS (
+          SELECT pr.dpid, SUM(ratio.r_units) AS access_units
+          FROM pr JOIN ratio ON ratio.spid = pr.spid
+          GROUP BY pr.dpid
+        )
+        SELECT dem.dpid AS pid,
+               CAST(COALESCE(acc.access_units, 0) AS BIGINT)
+                 AS access_units,
+               round(COALESCE(acc.access_units, 0) / 1e9, 9) AS access
+        FROM dem LEFT JOIN acc ON acc.dpid = dem.dpid
+    """
+
+    # colocation_quotient: brute-force NN with the identical
+    # (d2, neighbour-pid) arg-min tie-break, exact pair counts.
+    sqls["colocation_quotient"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y,
+                 'c' || (pid % 3) AS cat
+          FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        nt AS (SELECT count(*) AS n FROM pts),
+        nnp AS (
+          SELECT pid, cat_a, cat_b FROM (
+            SELECT a.pid, a.cat AS cat_a, b.cat AS cat_b,
+                   row_number() OVER (
+                     PARTITION BY a.pid
+                     ORDER BY (a.x - b.x)*(a.x - b.x)
+                            + (a.y - b.y)*(a.y - b.y), b.pid) AS rn
+            FROM pts a JOIN pts b ON a.pid <> b.pid
+          ) WHERE rn = 1
+        ),
+        cats AS (SELECT cat, count(*) AS n FROM pts GROUP BY cat),
+        pair AS (
+          SELECT cat_a, cat_b, count(*) AS c_ab
+          FROM nnp GROUP BY cat_a, cat_b
+        )
+        SELECT p.cat_a, p.cat_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+               CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+               round((p.c_ab / ca.n)
+                     / ((CASE WHEN p.cat_a = p.cat_b THEN cb.n - 1
+                              ELSE cb.n END)
+                        / ((SELECT n FROM nt) - 1.0)), 9) AS clq
+        FROM pair p
+        JOIN cats ca ON ca.cat = p.cat_a
+        JOIN cats cb ON cb.cat = p.cat_b
     """
 
     # clark_evans: brute-force per-point NN min, the identical integer-

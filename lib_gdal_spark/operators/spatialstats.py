@@ -47,6 +47,8 @@ __all__ = [
     "ripley_k",
     "cross_k",
     "clark_evans",
+    "two_step_fca",
+    "colocation_quotient",
     "mann_kendall",
     "getis_per_bin",
     "emerging_hotspots",
@@ -472,6 +474,160 @@ def clark_evans(points: DataFrame, area: float, cell: float,
         F.round(obs / exp, 9).alias("r_index"),
         F.round((obs - exp) / se, 9).alias("z"),
     )
+
+
+def two_step_fca(supply: DataFrame, demand: DataFrame, radius: float,
+                 cell: float | None = None,
+                 scale: int = 10**9) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang,
+    Env. & Planning B 2003 — the health-care/service accessibility
+    standard). Step 1: each supply site j gets the ratio
+    R_j = S_j / sum of demand within ``radius``; step 2: each demand
+    point i gets A_i = sum of R_j over supplies within ``radius``.
+
+    ``supply``: (pid, x, y, s); ``demand``: (pid, x, y, d) — s/d
+    integer-valued weights. Exactness: each R_j is ONE float division of
+    exact int64 sums, quantized half-up to integer ``1/scale`` units
+    (floor(R*scale + 0.5) — explicit, engine-independent), so the step-2
+    sum is an exact int64 and the result is order- and partition-
+    independent. Binary catchment (no distance decay; the classic
+    formulation — E2SFCA weights would slot into the same joins).
+
+    Scale shape: both steps are the bounded 3x3 covering join at
+    ``cell`` (default = radius; must be >= radius for completeness —
+    the ripley_k/s2_ring_pairs argument) plus map-side-combinable
+    groupBys on point keys; never an all-pairs join. Returns
+    (pid, access_units, access) per demand point — demand points with
+    no supply in range get 0."""
+    c = float(cell if cell is not None else radius)
+    if c < radius:
+        raise ValueError(f"cell {c} must be >= radius {radius}")
+    r2 = float(radius) * float(radius)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in _OFFS9])
+    sup = _covered(supply.select("pid", "x", "y", "s"), c)
+    sup = supply.select(F.col("pid").alias("spid"), "s").join(
+        sup, F.col("spid") == F.col("pid")).select(
+        "spid", "s", "x", "y", "cx", "cy")
+    dem = _covered(demand.select("pid", "x", "y", "d"), c, "b")
+    dem = demand.select(F.col("pid").alias("dpid"), "d").join(
+        dem, F.col("dpid") == F.col("bpid")).select(
+        "dpid", "d", "bx", "by", "cx", "cy")
+    probe = sup.select(
+        "spid", "s", "x", "y", F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).select("spid", "s", "x", "y", "ncx", "ncy")
+    dem_k = dem.select("dpid", "d", "bx", "by",
+                       F.col("cx").alias("ncx"), F.col("cy").alias("ncy"))
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    pairs = (probe.join(dem_k, ["ncx", "ncy"])
+             .where(d2 <= F.lit(r2))
+             .select("spid", "s", "dpid", "d").persist())
+    ratio = (pairs.groupBy("spid").agg(
+        F.min("s").alias("s"), F.sum("d").alias("dem_sum"))
+        .select("spid", F.floor(
+            F.col("s") / F.col("dem_sum") * F.lit(float(scale)) + 0.5)
+            .cast("long").alias("r_units")))
+    access = (pairs.select("spid", "dpid").join(ratio, "spid")
+              .groupBy("dpid").agg(F.sum("r_units").alias("access_units")))
+    out = (demand.select(F.col("pid").alias("dpid"))
+           .join(access, "dpid", "left")
+           .select(F.col("dpid").alias("pid"),
+                   F.coalesce("access_units", F.lit(0)).cast("long")
+                   .alias("access_units")))
+    pairs.unpersist()
+    return out.select(
+        "pid", "access_units",
+        F.round(F.col("access_units") / scale, 9).alias("access"))
+
+
+def colocation_quotient(points: DataFrame, cell: float,
+                        max_doublings: int = 8) -> DataFrame:
+    """Colocation quotient (Leslie & Kronenfeld, Geographical Analysis
+    2011): for each ordered category pair (a, b),
+    CLQ_a->b = (C_a->b / N_a) / (N_b' / (N - 1)), where C_a->b counts
+    a-points whose nearest neighbour (among ALL other points) has
+    category b, and N_b' = N_b minus 1 when a = b (a point cannot be
+    its own neighbour). CLQ > 1: b clusters around a more than chance.
+
+    ``points``: (pid, x, y, cat). NN resolution is the exact escalating
+    covering join of :func:`clark_evans` (accept only when the block
+    minimum distance <= current cell; doubling rounds touch only the
+    unresolved remainder; broadcast tail for stragglers). Ties break
+    deterministically on (d2, neighbour pid) — d2 comparisons are exact
+    IEEE doubles, so the chosen neighbour is engine-independent. All
+    counts are exact int64; the final CLQ is one float expression.
+
+    Returns (cat_a, cat_b, c_ab, n_a, n_b, clq) for observed pairs."""
+    pts = points.select("pid", "x", "y", "cat").persist()
+    n_total = pts.count()
+    if n_total < 2:
+        raise ValueError("colocation_quotient needs >= 2 points")
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in _OFFS9])
+    resolved = None
+    remain = pts.select("pid", "x", "y")
+    c = float(cell)
+    for _ in range(max_doublings):
+        a = _covered(remain, c)
+        probe = a.select(
+            "pid", "x", "y", F.explode(offs).alias("o"),
+            (F.col("cx") + F.col("o.dx")).alias("ncx"),
+            (F.col("cy") + F.col("o.dy")).alias("ncy"),
+        ).select("pid", "x", "y", "ncx", "ncy")
+        b = _covered(pts, c, "b").select(
+            "bpid", "bx", "by",
+            F.col("cx").alias("ncx"), F.col("cy").alias("ncy"))
+        d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+              + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+        best = (probe.join(b, ["ncx", "ncy"])
+                .where(F.col("pid") != F.col("bpid"))
+                .select("pid", F.col("bpid"), d2.alias("d2"))
+                .groupBy("pid")
+                .agg(F.min("d2").alias("d2"),
+                     F.min_by("bpid", F.struct("d2", "bpid")).alias("nn")))
+        ok = best.where(F.sqrt("d2") <= F.lit(c)).persist()
+        resolved = ok if resolved is None else resolved.unionByName(ok)
+        remain = remain.join(ok.select("pid"), "pid", "left_anti").persist()
+        if remain.isEmpty():
+            break
+        c *= 2.0
+    else:
+        rem = remain.select(
+            F.col("pid").alias("rpid"), F.col("x").alias("rx"),
+            F.col("y").alias("ry"))
+        d2 = ((F.col("rx") - F.col("x")) * (F.col("rx") - F.col("x"))
+              + (F.col("ry") - F.col("y")) * (F.col("ry") - F.col("y")))
+        tail = (pts.join(F.broadcast(rem), F.col("pid") != F.col("rpid"))
+                .select(F.col("rpid"), F.col("pid").alias("bpid"),
+                        d2.alias("d2"))
+                .groupBy(F.col("rpid").alias("pid"))
+                .agg(F.min("d2").alias("d2"),
+                     F.min_by("bpid", F.struct("d2", "bpid")).alias("nn")))
+        resolved = resolved.unionByName(tail)
+    cats = pts.groupBy("cat").agg(F.count(F.lit(1)).alias("n"))
+    nn_cat = (resolved.select("pid", "nn")
+              .join(pts.select(F.col("pid").alias("p2"),
+                               F.col("cat").alias("cat_a")),
+                    F.col("pid") == F.col("p2"))
+              .join(pts.select(F.col("pid").alias("p3"),
+                               F.col("cat").alias("cat_b")),
+                    F.col("nn") == F.col("p3")))
+    pair = nn_cat.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).alias("c_ab"))
+    out = (pair
+           .join(cats.select(F.col("cat").alias("cat_a"),
+                             F.col("n").alias("n_a")), "cat_a")
+           .join(cats.select(F.col("cat").alias("cat_b"),
+                             F.col("n").alias("n_b")), "cat_b"))
+    nb_eff = F.when(F.col("cat_a") == F.col("cat_b"),
+                    F.col("n_b") - 1).otherwise(F.col("n_b"))
+    clq = (F.col("c_ab") / F.col("n_a")) / (nb_eff / F.lit(n_total - 1.0))
+    pts.unpersist()
+    return out.select("cat_a", "cat_b", "c_ab", "n_a", "n_b",
+                      F.round(clq, 9).alias("clq"))
 
 
 def mann_kendall(cells: DataFrame, z_crit: float = 1.959964) -> DataFrame:
