@@ -4872,6 +4872,18 @@ def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu automatic threshold (1979) over world4326: exact int64
+    histogram + cumulative sums, one float between-class-variance
+    expression per present value, argmax with (var DESC, t ASC)
+    tie-break. The oracle spells the identical cumulation and argmax
+    over the closed-form fixture histogram."""
+    from lib_gdal_spark.operators.stats import otsu_threshold
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return otsu_threshold(tiles)
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal range / population std / majority (r.neighbors analog)
     over the world4326 3x3 windows via the halo exchange. Integer-exact
@@ -8037,6 +8049,36 @@ def q_colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocation_quotient(pts, cell=5.0)
 
 
+def q_str_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR (sort-tile-recursive) balanced spatial partitioning
+    (Leutenegger et al. 1997) of the window points into a 4x4 grid of
+    equal-count partitions: exact global ranks (range repartition +
+    per-partition offsets — no single-reducer window), integer floor
+    cuts. The oracle is the same double row_number + div arithmetic."""
+    from lib_gdal_spark.operators.skew import str_partition
+
+    return str_partition(_window_points(spark, sf_dir), nx=4, ny=4)
+
+
+def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964) over the window
+    points carrying their event timestamps: pairs close in space
+    (d <= 2 deg, covering join) and time (|dt| <= 2 days, 1-D bucket
+    join), all counts exact int64 with microsecond time arithmetic; the
+    oracle brute-forces all n(n-1)/2 pairs."""
+    from lib_gdal_spark.operators.spatialstats import knox_test
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        (((F.col("event_id") * 7919) % 36000) / 100.0 - 180.0).alias("x"),
+        (((F.col("event_id") * 104729) % 17000) / 100.0 - 85.0).alias("y"),
+        "ts",
+    ).where((F.col("x") >= 0) & (F.col("x") < 40)
+            & (F.col("y") >= 0) & (F.col("y") < 40))
+    return knox_test(pts, ds=2.0, dt_s=2 * 86400.0)
+
+
 def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clark-Evans nearest-neighbour index (Clark & Evans 1954) over the
     [0,40)^2 window points: R = mean NN distance / (0.5*sqrt(area/n)),
@@ -8329,6 +8371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sky_view_factor": q_sky_view_factor,
         "geomorphons": q_geomorphons,
         "focal_stats": q_focal_stats,
+        "otsu_threshold": q_otsu_threshold,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -8439,6 +8482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clark_evans": q_clark_evans,
         "two_step_fca": q_two_step_fca,
         "colocation_quotient": q_colocation_quotient,
+        "knox_test": q_knox_test,
+        "str_partition": q_str_partition,
     }
 
 
@@ -16028,6 +16073,42 @@ def oracle_sql() -> dict[str, str]:
         FROM cls
     """
 
+    # otsu_threshold: identical histogram cumulation + between-class
+    # variance argmax with the same (var DESC, t ASC) tie-break.
+    sqls["otsu_threshold"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        hist AS (
+          SELECT CAST({_op_v(0, 0)} AS BIGINT) AS v, count(*) AS c
+          FROM pix GROUP BY 1
+        ),
+        cum AS (
+          SELECT v, c,
+                 SUM(c) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS c0,
+                 SUM(c * v) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS s0
+          FROM hist
+        ),
+        tot AS (SELECT SUM(c) AS n, SUM(c * v) AS s FROM hist),
+        sc AS (
+          SELECT v AS threshold,
+                 (c0 / n) * ((n - c0) / n)
+                   * (s0 / c0 - (s - s0) / (n - c0))
+                   * (s0 / c0 - (s - s0) / (n - c0)) AS between_var,
+                 c0 AS n_below, n - c0 AS n_above
+          FROM cum, tot WHERE c0 > 0 AND c0 < n
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               round(between_var, 9) AS between_var,
+               CAST(n_below AS BIGINT) AS n_below,
+               CAST(n_above AS BIGINT) AS n_above
+        FROM sc ORDER BY sc.between_var DESC, threshold LIMIT 1
+    """
+
     # focal_stats: the 9 window samples as columns, 81 equality counts
     # for the majority (ties to smallest), exact-int sum/sum-of-squares
     # variance, and the identical explicit half-up 1e-6 std quantization.
@@ -19046,6 +19127,76 @@ def oracle_sql() -> dict[str, str]:
         FROM pair p
         JOIN cats ca ON ca.cat = p.cat_a
         JOIN cats cb ON cb.cat = p.cat_b
+    """
+
+    # str_partition: the same ranks/cuts via two row_number windows and
+    # integer floor division.
+    sqls["str_partition"] = f"""
+        WITH pts AS (
+          SELECT pid, lon AS x, lat AS y FROM ({_POINTS_SQL})
+          WHERE lon >= 0 AND lon < 40 AND lat >= 0 AND lat < 40
+        ),
+        nn AS (SELECT count(*) AS n FROM pts),
+        rx AS (
+          SELECT pid, x, y,
+                 row_number() OVER (ORDER BY x, pid) AS r
+          FROM pts
+        ),
+        sl AS (
+          SELECT pid, x, y,
+                 ((r - 1) * 4) // (SELECT n FROM nn) AS slab
+          FROM rx
+        ),
+        ry AS (
+          SELECT pid, x, y, slab,
+                 row_number() OVER (PARTITION BY slab
+                                    ORDER BY y, pid) AS r2,
+                 count(*) OVER (PARTITION BY slab) AS m
+          FROM sl
+        )
+        SELECT pid, x, y, CAST(slab AS BIGINT) AS slab,
+               CAST(((r2 - 1) * 4) // m AS BIGINT) AS cell,
+               CAST(slab * 4 + ((r2 - 1) * 4) // m AS BIGINT) AS part
+        FROM ry
+    """
+
+    # knox_test: brute-force all unordered pairs with exact microsecond
+    # time arithmetic; identical final float expressions.
+    sqls["knox_test"] = f"""
+        WITH pts AS (
+          SELECT event_id AS pid,
+                 ((event_id * 7919) % 36000) / 100.0 - 180.0 AS x,
+                 ((event_id * 104729) % 17000) / 100.0 - 85.0 AS y,
+                 epoch_us(ts) AS t
+          FROM events
+          WHERE ((event_id * 7919) % 36000) / 100.0 - 180.0 >= 0
+            AND ((event_id * 7919) % 36000) / 100.0 - 180.0 < 40
+            AND ((event_id * 104729) % 17000) / 100.0 - 85.0 >= 0
+            AND ((event_id * 104729) % 17000) / 100.0 - 85.0 < 40
+        ),
+        nn AS (SELECT count(*) AS n FROM pts),
+        pr AS (
+          SELECT CASE WHEN (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                           <= 4.0 THEN 1 ELSE 0 END AS sp,
+                 CASE WHEN abs(a.t - b.t) <= {2 * 86400 * 10**6}
+                      THEN 1 ELSE 0 END AS tp
+          FROM pts a JOIN pts b ON a.pid < b.pid
+        ),
+        agg AS (
+          SELECT SUM(sp) AS space_pairs, SUM(tp) AS time_pairs,
+                 SUM(sp * tp) AS st_pairs, COUNT(*) AS total_pairs
+          FROM pr
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(space_pairs AS BIGINT) AS space_pairs,
+               CAST(time_pairs AS BIGINT) AS time_pairs,
+               CAST(st_pairs AS BIGINT) AS st_pairs,
+               round(space_pairs * time_pairs / total_pairs, 9)
+                 AS expected,
+               round((st_pairs - space_pairs * time_pairs / total_pairs)
+                     / sqrt(space_pairs * time_pairs / total_pairs), 9)
+                 AS z
+        FROM agg, nn
     """
 
     # clark_evans: brute-force per-point NN min, the identical integer-

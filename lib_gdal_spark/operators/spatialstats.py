@@ -49,6 +49,7 @@ __all__ = [
     "clark_evans",
     "two_step_fca",
     "colocation_quotient",
+    "knox_test",
     "mann_kendall",
     "getis_per_bin",
     "emerging_hotspots",
@@ -628,6 +629,86 @@ def colocation_quotient(points: DataFrame, cell: float,
     pts.unpersist()
     return out.select("cat_a", "cat_b", "c_ab", "n_a", "n_b",
                       F.round(clq, 9).alias("clq"))
+
+
+def knox_test(points: DataFrame, ds: float, dt_s: float,
+              cell: float | None = None) -> DataFrame:
+    """Knox space-time interaction test (Knox, Applied Statistics 1964
+    — the classic epidemiology cluster detector, e.g. disease outbreaks
+    or burst news coverage): X = number of unordered point pairs that
+    are close in BOTH space (d <= ds) and time (|Δt| <= dt_s seconds);
+    under no interaction E[X] = S * T / P with S/T the space-only/
+    time-only close pair counts and P = n(n-1)/2, and the usual Poisson
+    approximation gives z = (X - E) / sqrt(E).
+
+    ``points``: (pid, x, y, ts). All pair counts are exact int64:
+    space candidates come from the bounded 3x3 covering join at
+    ``cell`` (default ds; must be >= ds — the ripley_k completeness
+    argument), time candidates from the SAME covering pattern in 1-D
+    (floor(t/dt) buckets, adjacent-bucket join), and time differences
+    are exact microsecond integers. The ordered-pair counts are halved
+    exactly (each unordered pair is seen twice). One float row out."""
+    c = float(cell if cell is not None else ds)
+    if c < ds:
+        raise ValueError(f"cell {c} must be >= ds {ds}")
+    dt_us = int(round(float(dt_s) * 1e6))
+    pts = points.select(
+        "pid", "x", "y",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t")).persist()
+    n = pts.count()
+    if n < 2:
+        raise ValueError("knox_test needs >= 2 points")
+    # space-close ordered pairs via the 3x3 covering join
+    a = _covered(pts, c)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in _OFFS9])
+    probe = a.select(
+        "pid", "x", "y", F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).join(pts.select(F.col("pid").alias("pid2"), F.col("t").alias("t1")),
+           F.col("pid") == F.col("pid2")) \
+     .select("pid", "x", "y", "t1", "ncx", "ncy")
+    b = _covered(pts, c, "b").join(
+        pts.select(F.col("pid").alias("pid3"), F.col("t").alias("t2")),
+        F.col("bpid") == F.col("pid3")).select(
+        "bpid", "bx", "by", "t2",
+        F.col("cx").alias("ncx"), F.col("cy").alias("ncy"))
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    sp = (probe.join(b, ["ncx", "ncy"])
+          .where((F.col("pid") != F.col("bpid")) & (d2 <= ds * ds))
+          .agg(F.count(F.lit(1)).alias("s2"),
+               F.sum(((F.abs(F.col("t1") - F.col("t2")) <= dt_us)
+                      ).cast("long")).alias("x2")).first())
+    space_pairs, st_pairs = sp["s2"] // 2, int(sp["x2"] or 0) // 2
+    # time-close ordered pairs via 1-D bucket covering (3 buckets)
+    tb = pts.select("pid", "t",
+                    F.floor(F.col("t") / F.lit(dt_us)).alias("tb"))
+    toffs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    tp = tb.select("pid", "t", F.explode(toffs).alias("o"),
+                   (F.col("tb") + F.col("o")).alias("ntb")) \
+        .select("pid", "t", "ntb")
+    t2 = tb.select(F.col("pid").alias("qid"), F.col("t").alias("t2"),
+                   F.col("tb").alias("ntb"))
+    tm = (tp.join(t2, "ntb")
+          .where((F.col("pid") != F.col("qid"))
+                 & (F.abs(F.col("t") - F.col("t2")) <= dt_us))
+          .agg(F.count(F.lit(1)).alias("c")).first())
+    time_pairs = int(tm["c"] or 0) // 2
+    pts.unpersist()
+    total = n * (n - 1) // 2
+    spark = points.sparkSession
+    out = spark.createDataFrame(
+        [(n, space_pairs, time_pairs, st_pairs, total)],
+        "n long, space_pairs long, time_pairs long, st_pairs long, "
+        "total_pairs long")
+    exp = (F.col("space_pairs") * F.col("time_pairs")
+           / F.col("total_pairs"))
+    return out.select(
+        "n", "space_pairs", "time_pairs", "st_pairs",
+        F.round(exp, 9).alias("expected"),
+        F.round((F.col("st_pairs") - exp) / F.sqrt(exp), 9).alias("z"))
 
 
 def mann_kendall(cells: DataFrame, z_crit: float = 1.959964) -> DataFrame:

@@ -420,3 +420,49 @@ def zonal_geometry(tiles: DataFrame, background: float = 0.0) -> DataFrame:
         F.round(4.0 * _math.pi * F.col("area") / (perim * perim), 9)
          .alias("compactness"),
     )
+
+
+def otsu_threshold(tiles: DataFrame, bins: int = 256) -> DataFrame:
+    """Otsu's automatic threshold (Otsu, IEEE Trans. SMC 1979) — the
+    standard histogram binarizer behind change-detection masks, water/
+    land splits and document binarization. Pixels must be integer-valued
+    in [0, bins); the threshold t splits values into [0, t] vs
+    [t+1, bins), and the chosen t maximizes the between-class variance
+    sigma_b^2(t) = w0 * w1 * (mu0 - mu1)^2.
+
+    Exactness: the histogram and its cumulative count/value sums are
+    exact int64 (one combinable explode + groupBy over the tile table;
+    the per-bin cumulation window runs over <= ``bins`` rows by
+    construction — documented, not a data-sized window). sigma_b^2 is
+    ONE float expression of those integers per bin, and the argmax
+    breaks ties to the smallest t via (variance DESC, t ASC) — both
+    engine-independent. Returns one row
+    (threshold, between_var, n_below, n_above)."""
+    from pyspark.sql import Window
+
+    px = tiles.select(F.explode("pixels").alias("v")) \
+        .select(F.col("v").cast("long").alias("v"))
+    hist = px.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", "c",
+        F.sum("c").over(w).alias("c0"),
+        F.sum(F.col("c") * F.col("v")).over(w).alias("s0"))
+    tot = hist.agg(F.sum("c").alias("n"),
+                   F.sum(F.col("c") * F.col("v")).alias("s"))
+    j = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("c0") > 0) & (F.col("c0") < F.col("n")))
+    mu0 = F.col("s0") / F.col("c0")
+    mu1 = (F.col("s") - F.col("s0")) / (F.col("n") - F.col("c0"))
+    var = (F.col("c0") / F.col("n")) \
+        * ((F.col("n") - F.col("c0")) / F.col("n")) \
+        * (mu0 - mu1) * (mu0 - mu1)
+    return (j.select(F.col("v").alias("threshold"),
+                     var.alias("between_var"),
+                     F.col("c0").alias("n_below"),
+                     (F.col("n") - F.col("c0")).alias("n_above"))
+            .orderBy(F.desc("between_var"), F.asc("threshold"))
+            .limit(1)
+            .select("threshold",
+                    F.round("between_var", 9).alias("between_var"),
+                    "n_below", "n_above"))
