@@ -1379,6 +1379,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.cosine_topk(queries, corpus, k=5)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 sign projection (Achlioptas 2003) of
+    the 64-d embeddings to 16 dims: signs from splitmix64 parity
+    (jl_sign_matrix, single-sourced — the oracle inlines the same
+    matrix's literals), each output dim one zip_with/aggregate fold +
+    one divide, rounded to 6 dp."""
+    from lib_gdal_spark.operators.ann import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return random_projection(emb, k=16)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embeddings table (per-vector
     max-abs scale): scalar summaries + reconstruction L1 error, all JVM."""
@@ -8219,6 +8232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "embedding_quantize": q_embedding_quantize,
+        "random_projection": q_random_projection,
         "cosine_topk_int8": q_cosine_topk_int8,
         "cosine_near_dup": q_cosine_near_dup,
         # round-2 operators
@@ -11043,6 +11057,22 @@ def oracle_sql() -> dict[str, str]:
           FROM s8
         )
     """
+    # random_projection: the identical splitmix-parity sign matrix
+    # (single-sourced from jl_sign_matrix) inlined as literal rows;
+    # list_dot_product == the zip_with/aggregate left fold at 6 dp.
+    from lib_gdal_spark.operators.ann import jl_sign_matrix as _jl
+    _jl_rows = ", ".join(
+        "({}, [{}])".format(
+            j, ", ".join(f"{float(s)!r}" for s in row))
+        for j, row in enumerate(_jl(64, 16)))
+    sqls["random_projection"] = f"""
+        SELECT vec_id AS id, CAST(s.j AS INT) AS j,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), s.sv)
+                     / sqrt(16.0), 6) AS v
+        FROM embeddings
+        CROSS JOIN (VALUES {_jl_rows}) s(j, sv)
+    """
+
     sqls["embedding_quantize"] = f"""
         WITH {_q8_cte}
         SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -308,3 +309,43 @@ def embedding_qa(
         (sq == 0.0).cast("int").alias("is_zero"),
         ok.cast("int").alias("ok"),
     )
+
+
+def jl_sign_matrix(d: int, k: int, seed: int = 42,
+                   stream: int = 4242) -> np.ndarray:
+    """The (k, d) +-1 sign matrix for :func:`random_projection`, from
+    splitmix64(i * 4096 + j) parity — the same deterministic generator
+    as the sampling ops, so any engine can reproduce it (the oracle
+    inlines this matrix's literals; single-sourced here)."""
+    from lib_gdal_spark.sources.pages import _mix
+
+    idx = np.arange(d * k, dtype=np.int64)
+    bits = _mix(idx, stream, seed).astype(np.uint64) & np.uint64(1)
+    return np.where(bits == 0, 1.0, -1.0).reshape(k, d)
+
+
+def random_projection(emb: DataFrame, k: int = 16, seed: int = 42,
+                      stream: int = 4242, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas, JCSS
+    2003: +-1 entries scaled by 1/sqrt(k) preserve pairwise distances
+    within (1 +- eps) for k = O(log n / eps^2)) — the embedding
+    compression step before ANN / semantic dedup: d -> k dims cuts
+    every downstream shuffle and scan by d/k with a fixed, data-
+    independent matrix (no training pass, unlike PQ/IVF).
+
+    Pure JVM narrow map: each output dim j is one zip_with + aggregate
+    LEFT fold of the input against a broadcast literal sign row (the
+    fold-order contract every embedding op here uses), then one divide
+    by sqrt(k). Deterministic: signs from :func:`jl_sign_matrix`.
+    Returns (id, j, v) rows, v rounded to 6 dp."""
+    d = len(emb.select(vec_col).first()[0])
+    signs = jl_sign_matrix(d, k, seed, stream)
+    rt = math.sqrt(float(k))
+    cols = []
+    for j in range(k):
+        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+        cols.append(F.round(_dot(F.col(vec_col), srow) / rt, 6))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*cols)).alias("j", "v"))
