@@ -8073,6 +8073,27 @@ def q_str_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return str_partition(_window_points(spark, sf_dir), nx=4, ny=4)
 
 
+def q_line_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line density raster (ArcGIS Line Density) over 200 hashed unit
+    segments in [0,40)^2, radius 1.5, 20x20 cells of size 2: exact
+    closed-form segment-disc clip lengths quantized half-up to 1e-9
+    units, exact int64 per-cell sums. The oracle cross-joins all
+    (segment, cell) pairs with the identical formula."""
+    from lib_gdal_spark.operators.grid import line_density
+
+    k = F.col("id")
+    segs = spark.range(200).select(
+        k.alias("sid"),
+        (((k * 7919) % 4000) / 100.0).alias("x0"),
+        (((k * 104729) % 4000) / 100.0).alias("y0"),
+        ((((k * 7919) % 4000) / 100.0)
+         + ((((k * 31 + 7) % 200) - 100) / 100.0)).alias("x1"),
+        ((((k * 104729) % 4000) / 100.0)
+         + ((((k * 53 + 11) % 200) - 100) / 100.0)).alias("y1"),
+    )
+    return line_density(segs, radius=1.5, cell=2.0, nx=20, ny=20)
+
+
 def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knox space-time interaction test (Knox 1964) over the window
     points carrying their event timestamps: pairs close in space
@@ -8498,6 +8519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_quotient": q_colocation_quotient,
         "knox_test": q_knox_test,
         "str_partition": q_str_partition,
+        "line_density": q_line_density,
     }
 
 
@@ -19188,6 +19210,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(((r2 - 1) * 4) // m AS BIGINT) AS cell,
                CAST(slab * 4 + ((r2 - 1) * 4) // m AS BIGINT) AS part
         FROM ry
+    """
+
+    # line_density: all (segment, cell) pairs brute force with the
+    # identical clip formula, half-up 1e-9 quantization, exact sums.
+    import math as _ldm
+    _ld_area = _ldm.pi * (1.5 * 1.5)  # pi * r2, the operator's op order
+    sqls["line_density"] = f"""
+        WITH segs AS (
+          SELECT k AS sid,
+                 ((k * 7919) % 4000) / 100.0 AS x0,
+                 ((k * 104729) % 4000) / 100.0 AS y0,
+                 ((k * 7919) % 4000) / 100.0
+                   + (((k * 31 + 7) % 200) - 100) / 100.0 AS x1,
+                 ((k * 104729) % 4000) / 100.0
+                   + (((k * 53 + 11) % 200) - 100) / 100.0 AS y1
+          FROM generate_series(0, 199) t(k)
+        ),
+        cells AS (
+          SELECT CAST(i.ci AS INT) AS ci, CAST(j.cj AS INT) AS cj,
+                 (i.ci + 0.5) * 2.0 AS cx, (j.cj + 0.5) * 2.0 AS cy
+          FROM generate_series(0, 19) i(ci)
+          CROSS JOIN generate_series(0, 19) j(cj)
+        ),
+        p1 AS (
+          SELECT ci, cj,
+                 x1 - x0 AS dx, y1 - y0 AS dy,
+                 (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) AS a,
+                 x0 - cx AS fx, y0 - cy AS fy
+          FROM segs CROSS JOIN cells
+        ),
+        p2 AS (
+          SELECT ci, cj, a,
+                 2.0 * (fx * dx + fy * dy) AS b,
+                 fx * fx + fy * fy - 2.25 AS c0
+          FROM p1
+        ),
+        p3 AS (
+          SELECT ci, cj, a, b, b * b - 4.0 * a * c0 AS disc FROM p2
+        ),
+        p4 AS (
+          SELECT ci, cj, a,
+                 CASE WHEN a > 0.0 AND disc > 0.0
+                      THEN greatest((-b - sqrt(disc)) / (2.0 * a), 0.0)
+                      ELSE 0.0 END AS lo,
+                 CASE WHEN a > 0.0 AND disc > 0.0
+                      THEN least((-b + sqrt(disc)) / (2.0 * a), 1.0)
+                      ELSE 0.0 END AS hi,
+                 (a > 0.0 AND disc > 0.0) AS live
+          FROM p3
+        ),
+        p5 AS (
+          SELECT ci, cj,
+                 CAST(floor((CASE WHEN live AND hi > lo
+                             THEN (hi - lo) * sqrt(a)
+                             ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS u
+          FROM p4
+        ),
+        agg AS (
+          SELECT ci, cj, SUM(u) AS length_units FROM p5 GROUP BY 1, 2
+        )
+        SELECT c.ci, c.cj,
+               CAST(COALESCE(a.length_units, 0) AS BIGINT)
+                 AS length_units,
+               round(COALESCE(a.length_units, 0) / 1e9
+                     / {_ld_area!r}, 9) AS density
+        FROM cells c LEFT JOIN agg a ON a.ci = c.ci AND a.cj = c.cj
     """
 
     # knox_test: brute-force all unordered pairs with exact microsecond
