@@ -4546,6 +4546,25 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
                           seeds=[1, 31, 61, 91], max_dist=16)
 
 
+def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity (Garlaschelli & Loffredo 2004) + out-in degree
+    assortativity (Newman 2002) of the functional link graph: exact
+    int64/decimal moment sums over edges, two final float expressions.
+    The oracle spells identical HUGEINT moments and casts."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.degree_mixing(_link_fixture_edges(spark))
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Colizza et al. 2006) at k = 2, 3, 4 on
+    the undirected view of the functional link graph: exact club-node
+    and intra-club edge counts, phi = 2E/(N(N-1)) one float each."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.rich_club(_link_fixture_edges(spark), ks=[2, 3, 4])
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact SALSA (Lempel & Moran 2001; 4 iterations of the
     degree-normalized hub/authority walk) on the same functional link
@@ -8486,6 +8505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "harmonic_centrality": q_harmonic,
         "betweenness": q_betweenness,
+        "degree_mixing": q_degree_mixing,
+        "rich_club": q_rich_club,
         "salsa_scores": q_salsa,
         "link_prediction": q_link_prediction,
         "hgt_cells": q_hgt_cells,
@@ -15473,6 +15494,79 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(dep) / {float(_bc_scale)!r}, 9) AS bc
         FROM acc0 WHERE node <> seed GROUP BY node"""
     )
+
+    # degree_mixing / rich_club: identical exact integer moments and
+    # final float expressions over the same functional graph.
+    _gm_edges = """eraw AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        ),
+        e AS (SELECT DISTINCT u, v FROM eraw)"""
+    sqls["degree_mixing"] = f"""
+        WITH {_gm_edges},
+        nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        ind AS (SELECT v, count(*) AS idg FROM e GROUP BY v),
+        recip AS (
+          SELECT count(*) AS r FROM e
+          JOIN e rev ON rev.u = e.v AND rev.v = e.u
+        ),
+        dd AS (
+          SELECT COALESCE(ju.idg, 0) AS du, COALESCE(jv.idg, 0) AS dv
+          FROM e
+          LEFT JOIN ind ju ON ju.v = e.u
+          LEFT JOIN ind jv ON jv.v = e.v
+        ),
+        mom AS (
+          SELECT count(*) AS m,
+                 SUM(CAST(du AS HUGEINT)) AS sx,
+                 SUM(CAST(dv AS HUGEINT)) AS sy,
+                 SUM(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS sxx,
+                 SUM(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS syy,
+                 SUM(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxy
+          FROM dd
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(r AS BIGINT) FROM recip) AS n_reciprocal,
+               round((SELECT r FROM recip)
+                     / CAST((SELECT count(*) FROM e) AS DOUBLE), 9)
+                 AS reciprocity,
+               round(CAST(m * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 9)
+                 AS assortativity
+        FROM mom
+    """
+    sqls["rich_club"] = f"""
+        WITH {_gm_edges},
+        und AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM eraw WHERE u <> v
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        ks AS (SELECT unnest([2, 3, 4]) AS k),
+        st AS (
+          SELECT k,
+                 (SELECT count(*) FROM deg WHERE d > k) AS n_k,
+                 (SELECT count(*) FROM und
+                  JOIN deg da ON da.node = und.a AND da.d > k
+                  JOIN deg db ON db.node = und.b AND db.d > k) AS e_k
+          FROM ks
+        )
+        SELECT CAST(k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_k,
+               CAST(e_k AS BIGINT) AS e_k,
+               round(CASE WHEN n_k > 1
+                          THEN 2.0 * e_k / (n_k * (n_k - 1))
+                          ELSE 0.0 END, 9) AS phi
+        FROM st
+    """
 
     # salsa_scores: the same functional graph; 4 unrolled rounds of the
     # degree-normalized walk with per-node floor division (h div outdeg

@@ -1010,6 +1010,107 @@ def betweenness(edges: DataFrame, seeds: list, max_dist: int = 20,
     )
 
 
+def degree_mixing(edges: DataFrame) -> DataFrame:
+    """Degree-mixing statistics of a directed link graph in one pass:
+
+    - **reciprocity** (Garlaschelli & Loffredo, PRL 2004 definition r =
+      L_bidir / L): the fraction of directed edges whose reverse edge
+      also exists — crawl graphs sit far below social graphs here.
+    - **degree assortativity** (Newman, PRL 2002): the Pearson
+      correlation of (in-degree of u, in-degree of v) over directed
+      edges (the in-in flavor; Foster et al., PNAS 2010 taxonomy) —
+      typically negative on the web (hubs link to low-degree pages).
+      Nodes with no in-edges count as degree 0 (left join + coalesce).
+      Zero variance on either margin yields NULL (undefined), not an
+      error.
+
+    Exactness: every moment is an exact int64/int128 sum of integer
+    degrees over edges (map-side combinable; DECIMAL(38) guards the
+    squared sums), and the final r / assortativity are one float
+    expression each — order-free, engine-exact. Self-loops count;
+    duplicate edges are collapsed (documented contract).
+
+    Returns one row (n_nodes, n_edges, n_reciprocal, reciprocity,
+    assortativity)."""
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v")).distinct() \
+        .persist()
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node"))).distinct())
+    ind = e.groupBy("v").agg(F.count(F.lit(1)).alias("idg"))
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(rev, ["u", "v"]).count()
+    ju = ind.select(F.col("v").alias("u"), F.col("idg").alias("du"))
+    jv = ind.select("v", F.col("idg").alias("dv"))
+    j = (e.join(ju, "u", "left").join(jv, "v", "left")
+         .select(F.coalesce("du", F.lit(0)).cast("decimal(38,0)")
+                 .alias("x"),
+                 F.coalesce("dv", F.lit(0)).cast("decimal(38,0)")
+                 .alias("y")))
+    m = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n_nodes = nodes.count()
+    n_edges = e.count()
+    e.unpersist()
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("m") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")) \
+        * F.sqrt((F.col("m") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(int(recip)).cast("long").alias("n_reciprocal"),
+        F.round(F.lit(int(recip)) / F.lit(float(n_edges)), 9)
+        .alias("reciprocity"),
+        F.round(F.when(den != 0.0, num / den), 9).alias("assortativity"))
+
+
+def rich_club(edges: DataFrame, ks: list) -> DataFrame:
+    """Rich-club coefficient (Colizza, Flammini, Serrano & Vespignani,
+    Nature Physics 2006): phi(k) = 2 * E_k / (N_k * (N_k - 1)), where
+    N_k counts nodes of TOTAL degree > k (undirected view, duplicate and
+    reverse edges collapsed) and E_k the undirected edges among them —
+    do high-degree hubs preferentially interlink? All counts exact
+    int64 (one degree groupBy + one broadcast-filtered edge count per
+    k); returns (k, n_k, e_k, phi) for each requested k."""
+    und = edges.select(
+        F.least(F.col("u").cast("long"), F.col("v").cast("long")).alias("a"),
+        F.greatest(F.col("u").cast("long"),
+                   F.col("v").cast("long")).alias("b")) \
+        .where(F.col("a") != F.col("b")).distinct().persist()
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")).persist())
+    rows = []
+    for k in ks:
+        k = int(k)
+        club = deg.where(F.col("d") > k).select("node")
+        n_k = club.count()
+        e_k = (und
+               .join(club.select(F.col("node").alias("a")), "a")
+               .join(club.select(F.col("node").alias("b")), "b")
+               .count())
+        rows.append((k, n_k, e_k))
+    und.unpersist()
+    deg.unpersist()
+    out = edges.sparkSession.createDataFrame(
+        rows, "k long, n_k long, e_k long")
+    # phi as ONE engine-side float expression (round half-up, matching
+    # the SQL oracle's round semantics — not Python's banker's round)
+    return out.select(
+        "k", "n_k", "e_k",
+        F.round(F.when(F.col("n_k") > 1,
+                       2.0 * F.col("e_k")
+                       / (F.col("n_k") * (F.col("n_k") - 1)))
+                .otherwise(F.lit(0.0)), 9).alias("phi"))
+
+
 def salsa(edges: DataFrame, n_iters: int = 4,
           scale: int = 10**12) -> DataFrame:
     """SALSA hubs/authorities (Lempel & Moran 2001; TKDE) — the
