@@ -4904,6 +4904,19 @@ def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpi_landforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weiss multi-scale TPI landform facets (Weiss 2001) over
+    world4326: TPI at radii 2 and 8 quantized to exact 1e-6 units,
+    z-scored in the single-division form (q*n - s)/sqrt(n*s2 - s^2)
+    over the interior window, classified with Horn slope at 5 deg. The
+    oracle spells the 24- and 288-term window sums, the identical
+    HUGEINT moments, and the same CASE chain."""
+    from lib_gdal_spark.operators.dem import tpi_landforms
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return tpi_landforms(tiles)
+
+
 def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Otsu automatic threshold (1979) over world4326: exact int64
     histogram + cumulative sums, one float between-class-variance
@@ -8426,6 +8439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geomorphons": q_geomorphons,
         "focal_stats": q_focal_stats,
         "otsu_threshold": q_otsu_threshold,
+        "tpi_landforms": q_tpi_landforms,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -16216,6 +16230,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT px, py, CAST(nm AS INT) AS num_minus,
                CAST(np AS INT) AS num_plus, CAST(form AS INT) AS form,
                {_gm_name} AS landform
+        FROM cls
+    """
+
+    # tpi_landforms: 24- and 288-term exact window sums, identical
+    # quantization, HUGEINT moments, single-division z form, Horn slope,
+    # and the same ordered classification CASE.
+    def _tpi_sum(kk: int) -> str:
+        # chunked into 16-term groups: DuckDB's binder recursion limit
+        # (128) rejects a 288-term left-deep chain; integer sums are
+        # grouping-invariant so the chunking cannot change the value
+        terms = [
+            _op_v(dx, dy)
+            for dy in range(-kk, kk + 1) for dx in range(-kk, kk + 1)
+            if not (dx == 0 and dy == 0)]
+        chunks = [" + ".join(terms[i:i + 16])
+                  for i in range(0, len(terms), 16)]
+        return "(" + " + ".join(f"({c})" for c in chunks) + ")"
+
+    from lib_gdal_spark.operators.dem import TPI_LANDFORMS as _TL
+    _tl_name = ("CASE form " + " ".join(
+        f"WHEN {i + 1} THEN '{nm}'" for i, nm in enumerate(_TL))
+        + " END")
+    sqls["tpi_landforms"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(8, 247) x(px)
+          CROSS JOIN generate_series(8, 247) y(py)
+        ),
+        tq AS (
+          SELECT px, py,
+            CAST(floor(({_op_v(0, 0)} - {_tpi_sum(2)} / 24.0)
+                       * 1000000.0 + 0.5) AS BIGINT) AS qs,
+            CAST(floor(({_op_v(0, 0)} - {_tpi_sum(8)} / 288.0)
+                       * 1000000.0 + 0.5) AS BIGINT) AS ql,
+            degrees(atan(sqrt(
+              ((({_op_v(1, -1)} + 2.0 * {_op_v(1, 0)} + {_op_v(1, 1)})
+                - ({_op_v(-1, -1)} + 2.0 * {_op_v(-1, 0)}
+                   + {_op_v(-1, 1)})) / (8.0 * 1.40625))
+              * ((({_op_v(1, -1)} + 2.0 * {_op_v(1, 0)} + {_op_v(1, 1)})
+                - ({_op_v(-1, -1)} + 2.0 * {_op_v(-1, 0)}
+                   + {_op_v(-1, 1)})) / (8.0 * 1.40625))
+              + ((({_op_v(-1, 1)} + 2.0 * {_op_v(0, 1)} + {_op_v(1, 1)})
+                - ({_op_v(-1, -1)} + 2.0 * {_op_v(0, -1)}
+                   + {_op_v(1, -1)})) / (8.0 * -0.703125))
+              * ((({_op_v(-1, 1)} + 2.0 * {_op_v(0, 1)} + {_op_v(1, 1)})
+                - ({_op_v(-1, -1)} + 2.0 * {_op_v(0, -1)}
+                   + {_op_v(1, -1)})) / (8.0 * -0.703125))
+            ) / 1.0)) AS slope
+          FROM pix
+        ),
+        mo AS (
+          SELECT count(*) AS n,
+                 SUM(qs) AS ss, SUM(ql) AS sl_,
+                 SUM(CAST(qs AS HUGEINT) * CAST(qs AS HUGEINT)) AS ss2,
+                 SUM(CAST(ql AS HUGEINT) * CAST(ql AS HUGEINT)) AS sl2
+          FROM tq
+        ),
+        z AS (
+          SELECT px, py, slope,
+            CAST(qs * n - ss AS DOUBLE)
+              / sqrt(CAST(n * ss2 - CAST(ss AS HUGEINT)
+                          * CAST(ss AS HUGEINT) AS DOUBLE)) AS zs,
+            CAST(ql * n - sl_ AS DOUBLE)
+              / sqrt(CAST(n * sl2 - CAST(sl_ AS HUGEINT)
+                          * CAST(sl_ AS HUGEINT) AS DOUBLE)) AS zl
+          FROM tq, mo
+        ),
+        cls AS (
+          SELECT px, py, zs, zl, slope,
+            CASE WHEN zs <= -1.0 AND zl <= -1.0 THEN 1
+                 WHEN zs <= -1.0 AND zl < 1.0 THEN 2
+                 WHEN zs <= -1.0 THEN 3
+                 WHEN zs < 1.0 AND zl <= -1.0 THEN 4
+                 WHEN zs < 1.0 AND zl < 1.0 AND slope <= 5.0 THEN 5
+                 WHEN zs < 1.0 AND zl < 1.0 THEN 6
+                 WHEN zs < 1.0 THEN 7
+                 WHEN zl <= -1.0 THEN 8
+                 WHEN zl < 1.0 THEN 9
+                 ELSE 10 END AS form
+          FROM z
+        )
+        SELECT px, py, round(zs, 6) AS zs, round(zl, 6) AS zl,
+               round(slope, 6) AS slope, CAST(form AS INT) AS form,
+               {_tl_name} AS landform
         FROM cls
     """
 

@@ -1323,6 +1323,124 @@ def geomorphon_kernel(pad: np.ndarray, k: int, ewres: float,
     return nminus * 10000.0 + nplus * 100.0 + form
 
 
+def tpi_k_kernel(pad: np.ndarray, k: int, ewres: float,
+                 nsres: float) -> np.ndarray:
+    """Generalized-radius Topographic Position Index: center elevation
+    minus the mean of the full (2k+1)^2 window EXCLUDING the center
+    (Weiss 2001 / gdaldem TPI generalized beyond 3x3). Window sums of
+    integer-valued DEMs are exact, so the result is one subtraction and
+    one division — order-free and SQL-reproducible."""
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    z0 = pad[k:k + th, k:k + tw]
+    total = None
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            if dx == 0 and dy == 0:
+                continue
+            zs = pad[k + dy:k + dy + th, k + dx:k + dx + tw]
+            total = zs if total is None else total + zs
+    n = (2 * k + 1) ** 2 - 1
+    return z0 - total / float(n)
+
+
+# Weiss (2001, ESRI poster) 10-class multi-scale TPI landform names,
+# 1-based, in the classification CASE's order.
+TPI_LANDFORMS = ("canyon", "midslope_drainage", "upland_drainage",
+                 "u_valley", "plains", "open_slopes", "upper_slopes",
+                 "local_ridge", "midslope_ridge", "mountain_top")
+
+
+def tpi_landforms(tiles: DataFrame, k_small: int = 2, k_large: int = 8,
+                  slope_limit: float = 5.0, lo: int = 8, hi: int = 247,
+                  tile: int = 64, scale: int = 10**6) -> DataFrame:
+    """Weiss multi-scale TPI landform classification (Weiss 2001; the
+    ArcGIS Land Facet Analysis / GRASS r.tpi scheme, complementing
+    :func:`geomorphon_kernel`'s pattern approach): standardize TPI at a
+    small and a large neighborhood to z-scores over the study window,
+    then classify the (z_small, z_large, slope) triple into the 10
+    canonical landform facets (canyon ... mountain top; slope <=
+    ``slope_limit`` deg splits plains from open slopes).
+
+    Exactness: TPI values are quantized half-up to integer ``1/scale``
+    units so the window moments are exact int64/decimal sums, and each
+    z-score is computed in the single-division form
+    (q * n - sum) / sqrt(n * sumsq - sum^2) — one exact-integer
+    numerator, one sqrt, one division, reproducible op-for-op in SQL.
+    Slope is the Horn kernel (same libm contract as every dem op).
+
+    Scale shape: two k-halo exchanges + the 3x3 slope pass, one keyed
+    join on the pixel key, two 1-row moment aggregates broadcast back.
+    Returns (px, py, zs, zl, slope, form, landform) for the [lo, hi]^2
+    interior."""
+    def q_of(kk: int) -> DataFrame:
+        out = dem_op_k(tiles, kk, tpi_k_kernel)
+        ex = out.select(
+            "tile_x", "tile_y", "tile_w",
+            F.posexplode("pixels").alias("pos", "v"))
+        px = (F.col("tile_x") * tile
+              + F.col("pos") % F.col("tile_w")).cast("long")
+        py = (F.col("tile_y") * tile
+              + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+        return ex.select(
+            px.alias("px"), py.alias("py"),
+            F.floor(F.col("v") * float(scale) + 0.5).cast("long")
+            .alias("q")).where(
+            F.col("px").between(lo, hi) & F.col("py").between(lo, hi))
+
+    qs = q_of(k_small).withColumnRenamed("q", "qs")
+    ql = q_of(k_large).withColumnRenamed("q", "ql")
+    slp = dem_op(tiles, "slope")
+    exs = slp.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "v"))
+    px = (F.col("tile_x") * tile
+          + F.col("pos") % F.col("tile_w")).cast("long")
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int")).cast("long")
+    sl = exs.select(px.alias("px"), py.alias("py"),
+                    F.col("v").alias("slope")).where(
+        F.col("px").between(lo, hi) & F.col("py").between(lo, hi))
+
+    j = qs.join(ql, ["px", "py"]).join(sl, ["px", "py"]).persist()
+    mo = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qs").alias("ss"), F.sum("ql").alias("sl_"),
+        F.sum(F.col("qs").cast("decimal(38,0)")
+              * F.col("qs").cast("decimal(38,0)")).alias("ss2"),
+        F.sum(F.col("ql").cast("decimal(38,0)")
+              * F.col("ql").cast("decimal(38,0)")).alias("sl2"))
+    z = j.crossJoin(F.broadcast(mo))
+    zs = ((F.col("qs") * F.col("n") - F.col("ss")).cast("double")
+          / F.sqrt((F.col("n") * F.col("ss2")
+                    - F.col("ss").cast("decimal(38,0)")
+                    * F.col("ss").cast("decimal(38,0)")).cast("double")))
+    zl = ((F.col("ql") * F.col("n") - F.col("sl_")).cast("double")
+          / F.sqrt((F.col("n") * F.col("sl2")
+                    - F.col("sl_").cast("decimal(38,0)")
+                    * F.col("sl_").cast("decimal(38,0)")).cast("double")))
+    z = z.withColumn("zs", zs).withColumn("zl", zl)
+    form = (
+        F.when((F.col("zs") <= -1.0) & (F.col("zl") <= -1.0), 1)
+        .when((F.col("zs") <= -1.0) & (F.col("zl") < 1.0), 2)
+        .when(F.col("zs") <= -1.0, 3)
+        .when((F.col("zs") < 1.0) & (F.col("zl") <= -1.0), 4)
+        .when((F.col("zs") < 1.0) & (F.col("zl") < 1.0)
+              & (F.col("slope") <= slope_limit), 5)
+        .when((F.col("zs") < 1.0) & (F.col("zl") < 1.0), 6)
+        .when(F.col("zs") < 1.0, 7)
+        .when(F.col("zl") <= -1.0, 8)
+        .when(F.col("zl") < 1.0, 9)
+        .otherwise(10))
+    name = F.when(form == 1, TPI_LANDFORMS[0])
+    for i, nm in enumerate(TPI_LANDFORMS[1:], start=2):
+        name = name.when(form == i, nm)
+    return z.select(
+        "px", "py",
+        F.round("zs", 6).alias("zs"), F.round("zl", 6).alias("zl"),
+        F.round("slope", 6).alias("slope"),
+        form.cast("int").alias("form"), name.alias("landform"))
+
+
 def focal_stats_kernel(pad: np.ndarray, k: int, ewres: float,
                        nsres: float) -> np.ndarray:
     """Focal statistics beyond the mean (ArcGIS Focal Statistics / GRASS
