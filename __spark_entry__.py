@@ -6178,6 +6178,20 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_pairs(p)
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard self-join at t = 19/20 via prefix
+    filtering (ICDE'06 / PPJoin candidate generation): candidates come
+    only from each document's rare-token prefix (provably complete),
+    verification and the threshold test are cross-multiplied integer
+    arithmetic (no float boundary). The oracle brute-forces every
+    token-sharing pair — equality proves the prefix filter missed
+    nothing."""
+    from lib_gdal_spark.operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(_t(spark, sf_dir, "documents"),
+                               t_num=19, t_den=20)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C): the eval set is the
     first 13 words of every 10th document; every document sharing any
@@ -8238,6 +8252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_counts": q_sieve_counts,
         "fillnodata": q_fillnodata,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
         "knn_kring": q_knn_kring,
         "knn_bruteforce": q_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -17586,6 +17601,33 @@ def oracle_sql() -> dict[str, str]:
     # inverted_index / phrase_search: whitespace tokenization of
     # trim(lower(text)), 0-based positions over non-empty tokens —
     # byte-identical posting strings by construction.
+    # jaccard_prefix_join: brute-force every token-sharing pair (a
+    # qualifying pair at t > 0 must share a token, so the join is
+    # complete); identical integer threshold arithmetic.
+    sqls["jaccard_prefix_join"] = r"""
+        WITH t AS (
+          SELECT DISTINCT doc_id AS doc, unnest(list_filter(
+            regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x <> '')) AS term
+          FROM documents
+        ),
+        sz AS (SELECT doc, count(*) AS n FROM t GROUP BY doc),
+        pr AS (
+          SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa.n AS BIGINT) AS size_a,
+               CAST(sb.n AS BIGINT) AS size_b,
+               round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 9)
+                 AS jaccard
+        FROM pr
+        JOIN sz sa ON sa.doc = id_a
+        JOIN sz sb ON sb.doc = id_b
+        WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)
+    """
+
     sqls["inverted_index"] = r"""
         WITH t AS (
           SELECT doc_id,

@@ -1011,3 +1011,87 @@ def allpairs_cosine_tf(
         dots.select("doc_a", "doc_b", "dot", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (Chaudhuri,
+    Ganti & Kaushik, ICDE 2006; the candidate-generation core of PPJoin,
+    Xiao et al., WWW 2008): all document pairs whose word-set Jaccard is
+    >= t = ``t_num / t_den`` — no candidate is missed AND no hot-token
+    cap is needed, unlike :func:`ngram_jaccard_pairs`' frequency-capped
+    semantics.
+
+    **Prefix-filter lemma** (the completeness proof): order every
+    token set by one global total order (here ascending document
+    frequency, ties on the token — rare tokens first, which minimizes
+    candidates); if J(A, B) >= t, then A and B must share at least one
+    token within the first |A| - ceil(t * |A|) + 1 (resp. |B|...)
+    tokens of each ordered set. So joining ONLY on prefix tokens finds
+    every qualifying pair; the exact verification then filters.
+
+    Exactness: the threshold is a RATIONAL t_num/t_den and every
+    comparison is cross-multiplied integer arithmetic — ceil(t * n) =
+    (t_num * n + t_den - 1) div t_den, and the final test is
+    inter * t_den >= t_num * (n_a + n_b - inter) — no float boundary
+    anywhere (0.6 * 5 is not 3.0 in IEEE; 3*5 div 5 is).
+
+    Scale shape: tokens-distinct (one combinable groupBy), document
+    frequency (one more), per-doc rank window (partitioned by doc —
+    parallel), prefix explode (sum of prefix lengths ~ (1 - t) *
+    corpus tokens), equi-join on the prefix token, then ONE verify join
+    per candidate pair on the token key. Tokenization is the
+    whitespace/lower contract shared with operators/index.py, so the
+    oracle reproduces it in ANSI SQL. Returns (id_a, id_b, inter,
+    size_a, size_b, jaccard)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""))).alias("term"),
+    ).distinct().persist()
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "term")
+    ranked = (toks.join(dfreq, "term")
+              .withColumn("r", F.row_number().over(w))
+              .join(sizes, "doc"))
+    # p = n - ceil(t*n) + 1, all-integer
+    p = (F.col("n")
+         - F.expr(f"({int(t_num)} * n + {int(t_den)} - 1) div {int(t_den)}")
+         + 1)
+    prefix = ranked.where(F.col("r") <= p).select("doc", "term")
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"), "term")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("id_a"),
+                    F.col("b.doc").alias("id_b"))
+            .distinct())
+    ta = toks.select(F.col("doc").alias("id_a"), "term")
+    tb = toks.select(F.col("doc").alias("bdoc"),
+                     F.col("term").alias("term_b"))
+    inter = (cand.join(ta, "id_a")
+             .join(tb, (F.col("id_b") == F.col("bdoc"))
+                   & (F.col("term") == F.col("term_b")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("size_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .where(F.col("inter") * t_den
+                  >= t_num * (F.col("size_a") + F.col("size_b")
+                              - F.col("inter")))
+           .select("id_a", "id_b", "inter", "size_a", "size_b",
+                   F.round(F.col("inter")
+                           / (F.col("size_a") + F.col("size_b")
+                              - F.col("inter")).cast("double"), 9)
+                   .alias("jaccard")))
+    toks.unpersist()
+    return out
