@@ -556,6 +556,18 @@ def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d8_flow_length(tiles, lo=1, hi=126)
 
 
+def q_flow_length_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream D8 flow length (longest flow path through each cell)
+    over the same world4326 window: the flow-accumulation log-round
+    pair expansion carrying exact integer step units (diagonal =
+    1414214 = half-up sqrt(2)e6), one max groupBy. The oracle reuses
+    the recursive successor walk and takes the same integer max."""
+    from lib_gdal_spark.operators.dem import d8_flow_length_upstream
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return d8_flow_length_upstream(tiles, lo=1, hi=126)
+
+
 def q_dem_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topographic wetness index (Beven & Kirkby 1979) over world4326:
     ln((flow_acc + 1) / max(tan(Horn slope), 0.001)) — pure composition
@@ -8363,6 +8375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_zonal": q_basin_zonal,
         "flow_accumulation": q_flow_accumulation,
         "flow_length": q_flow_length,
+        "flow_length_upstream": q_flow_length_upstream,
         "fill_sinks": q_fill_sinks,
         "dem_twi": q_dem_twi,
         "dem_insolation": q_dem_insolation,
@@ -16897,6 +16910,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(f.nd AS BIGINT) AS n_diag,
                round(f.nc + sqrt(2.0) * f.nd, 9) AS flow_len
         FROM pix p JOIN fin f ON f.id = p.py * 65536 + p.px
+    """
+
+    # flow_length_upstream: the same successor walk; per-node integer
+    # max of nc*1e6 + nd*1414214 over every ancestor path.
+    _flu_head = sqls["flow_length"].rsplit("fin AS", 1)[0]
+    sqls["flow_length_upstream"] = _flu_head + f"""umax AS (
+          SELECT cur AS id,
+                 max(nc * 1000000 + nd * 1414214) AS upstream_units
+          FROM walk GROUP BY cur
+        )
+        SELECT p.px, p.py,
+               CAST(COALESCE(u.upstream_units, 0) AS BIGINT)
+                 AS upstream_units,
+               round(COALESCE(u.upstream_units, 0) / 1e6, 6)
+                 AS upstream_len
+        FROM pix p LEFT JOIN umax u ON u.id = p.py * 65536 + p.px
     """
 
     # dem_twi: the flow-accumulation walk composed with the Horn slope

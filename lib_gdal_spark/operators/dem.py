@@ -833,6 +833,90 @@ def d8_flow_length(tiles: DataFrame, tile: int = 64,
         .alias("flow_len"))
 
 
+# Upstream flow length integer units: cardinal = 1e6, diagonal =
+# floor(sqrt(2)*1e6 + 0.5). Max-plus over paths needs ONE totally
+# ordered weight, so the (n_card, n_diag) pair trick of d8_flow_length
+# cannot apply; this explicit quantization is the documented contract.
+FLOWLEN_CARD_UNITS = 1_000_000
+FLOWLEN_DIAG_UNITS = 1_414_214
+
+
+def d8_flow_length_upstream(tiles: DataFrame, tile: int = 64,
+                            lo: int = 1, hi: int = 254,
+                            max_doublings: int = 16) -> DataFrame:
+    """Upstream D8 flow length (r.stream.distance upstream / ESRI Flow
+    Length UPSTREAM): per cell, the MAXIMUM along-flow distance from any
+    ancestor cell draining through it — the longest-flow-path input of
+    time-of-concentration and watershed-shape metrics.
+
+    Max-plus over a path's mixed cardinal/diagonal steps needs one
+    totally ordered weight, so steps quantize to exact integer units
+    (FLOWLEN_CARD_UNITS / FLOWLEN_DIAG_UNITS — half-up sqrt(2) at 1e-6;
+    a documented quantization, unlike d8_flow_length's exact two-count
+    fold which max cannot decompose over). All sums and the max are
+    exact int64.
+
+    Scale shape: the SAME log-round (pairs, jump) path expansion as
+    :func:`d8_flow_accumulation` — the D8 graph is functional, so every
+    (ancestor, node) pair materializes exactly once with its unique
+    path counts — then one map-side-combinable max groupBy. Returns
+    (px, py, upstream_units, upstream_len) with sources at 0."""
+    cells, edges = _d8_flow_edges(tiles, tile, lo, hi)
+    dxe = F.abs(F.col("dst") % 65536 - F.col("src") % 65536)
+    dye = F.abs((F.col("dst") / 65536).cast("long")
+                - (F.col("src") / 65536).cast("long"))
+    diag = (dxe == 1) & (dye == 1)
+    e2 = edges.select(
+        "src", "dst",
+        F.when(diag, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("nc"),
+        F.when(diag, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("nd"),
+    ).localCheckpoint()
+    pairs = e2
+    jump = e2
+    for _ in range(max_doublings):
+        ext = (
+            jump.alias("j")
+            .join(pairs.alias("p"), F.col("j.dst") == F.col("p.src"))
+            .select(F.col("j.src").alias("src"), F.col("p.dst").alias("dst"),
+                    (F.col("j.nc") + F.col("p.nc")).alias("nc"),
+                    (F.col("j.nd") + F.col("p.nd")).alias("nd"))
+            .localCheckpoint()
+        )
+        if ext.isEmpty():
+            break
+        pairs = pairs.unionByName(ext).localCheckpoint()
+        jump = (
+            jump.alias("a")
+            .join(jump.select(F.col("src").alias("mid"),
+                              F.col("dst").alias("d2"),
+                              F.col("nc").alias("nc2"),
+                              F.col("nd").alias("nd2")).alias("b"),
+                  F.col("a.dst") == F.col("mid"))
+            .select(F.col("a.src").alias("src"), F.col("d2").alias("dst"),
+                    (F.col("a.nc") + F.col("nc2")).alias("nc"),
+                    (F.col("a.nd") + F.col("nd2")).alias("nd"))
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"d8_flow_length_upstream did not converge in "
+            f"{max_doublings} doublings")
+    units = (F.col("nc") * FLOWLEN_CARD_UNITS
+             + F.col("nd") * FLOWLEN_DIAG_UNITS)
+    up = pairs.select("dst", units.alias("u")) \
+        .groupBy("dst").agg(F.max("u").alias("upstream_units"))
+    return (
+        cells.select("px", "py",
+                     (F.col("py") * 65536 + F.col("px")).alias("id"))
+        .join(up, F.col("id") == F.col("dst"), "left")
+        .select("px", "py",
+                F.coalesce("upstream_units", F.lit(0)).cast("long")
+                .alias("upstream_units"),
+                F.round(F.coalesce("upstream_units", F.lit(0))
+                        / 1e6, 6).alias("upstream_len"))
+    )
+
+
 def d8_flow_accumulation(tiles: DataFrame, tile: int = 64,
                          lo: int = 1, hi: int = 254,
                          max_doublings: int = 16) -> DataFrame:

@@ -148,3 +148,49 @@ def test_flow_length_matches_brute_walk(spark):
             g = got[(x, y)]
             assert (g[0], g[1]) == (nc, nd), (x, y)
             assert abs(g[2] - round(nc + s2 * nd, 9)) < 1e-12
+
+
+def test_flow_length_upstream_matches_brute(spark):
+    from lib_gdal_spark.operators.dem import (
+        FLOWLEN_CARD_UNITS, FLOWLEN_DIAG_UNITS, d8_flow_length_upstream)
+
+    rng = np.random.default_rng(29)
+    arr = (rng.integers(0, 50, size=(36, 36)).astype(float)
+           + np.arange(36)[None, :] * 0.4)
+    lo, hi = 1, 34
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, 36, 0, -1), tile=12)
+    tiles = spark.createDataFrame(pd.DataFrame(rows),
+                                  schema=RS.RASTER_SCHEMA)
+    got = {(r["px"], r["py"]): r["upstream_units"]
+           for r in d8_flow_length_upstream(tiles, tile=12, lo=lo,
+                                            hi=hi).collect()}
+    s2 = np.sqrt(2.0)
+
+    def code(x, y):
+        e = arr[y, x]
+        best, bc = 0.0, 0
+        for c, (dx, dy) in sorted(D8.items()):
+            d = (e - arr[y + dy, x + dx]) / (s2 if dx and dy else 1.0)
+            if d > best:
+                best, bc = d, c
+        return bc
+
+    ref = {}
+    for y in range(lo, hi + 1):
+        for x in range(lo, hi + 1):
+            cx, cy, units = x, y, 0
+            while True:
+                c = code(cx, cy)
+                if c == 0:
+                    break
+                dx, dy = D8[c]
+                nx, ny = cx + dx, cy + dy
+                if not (lo <= nx <= hi and lo <= ny <= hi):
+                    break
+                units += (FLOWLEN_DIAG_UNITS if dx and dy
+                          else FLOWLEN_CARD_UNITS)
+                cx, cy = nx, ny
+                ref[(cx, cy)] = max(ref.get((cx, cy), 0), units)
+    for y in range(lo, hi + 1):
+        for x in range(lo, hi + 1):
+            assert got[(x, y)] == ref.get((x, y), 0), (x, y)
