@@ -2978,6 +2978,29 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_precision_pairs(a.join(b, "pair_id"))
 
 
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Covington & McFall 2010), window 20,
+    over documents: per-window distinct counts exact, MATTR = one float
+    division of exact int64 sums; short docs fall back to whole-doc
+    TTR. The oracle enumerates windows per doc and counts distinct
+    terms identically."""
+    from lib_gdal_spark.operators.textops import mattr
+
+    return mattr(_t(spark, sf_dir, "documents"), window=20)
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem (quantity,
+    extendedprice, discount, tax) in one pass of exact cent-quantized
+    integer moments; each corr is one float expression over HUGEINT-
+    exact sums."""
+    from lib_gdal_spark.operators.quantiles import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics without a global sort: iterative histogram
     refinement (driver sees only <=4096-row histograms per pass; matches
@@ -8476,6 +8499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_cosine": q_allpairs_cosine,
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
+        "mattr": q_mattr,
+        "corr_matrix": q_corr_matrix,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,
@@ -15983,6 +16008,86 @@ def oracle_sql() -> dict[str, str]:
 
     # exact_quantiles: DuckDB's native quantile_disc is the independent
     # oracle for the histogram-refinement order statistic.
+    # mattr: windows enumerated per doc, identical distinct counts and
+    # the single final division of exact sums.
+    sqls["mattr"] = r"""
+        WITH t AS (
+          SELECT doc_id AS doc,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT doc, len(toks) AS n, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM t
+        ),
+        lw AS (
+          SELECT p.doc, p.n, s.s, p.term
+          FROM p JOIN LATERAL (
+            SELECT unnest(generate_series(
+              greatest(p.pos - 19, 0), least(p.pos, p.n - 20))) AS s
+          ) s ON TRUE
+          WHERE p.n >= 20
+        ),
+        pw AS (
+          SELECT doc, n, s, count(DISTINCT term) AS d
+          FROM lw GROUP BY 1, 2, 3
+        ),
+        agg_long AS (
+          SELECT doc AS doc_id, n AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(SUM(d) AS BIGINT) AS sum_distinct,
+                 round(SUM(d) / CAST(count(*) * 20 AS DOUBLE), 9)
+                   AS mattr
+          FROM pw GROUP BY 1, 2
+        ),
+        short AS (
+          SELECT doc AS doc_id, n AS n_tokens,
+                 CAST(1 AS BIGINT) AS n_windows,
+                 CAST(count(DISTINCT term) AS BIGINT) AS sum_distinct,
+                 round(count(DISTINCT term) / CAST(n AS DOUBLE), 9)
+                   AS mattr
+          FROM p WHERE n > 0 AND n < 20 GROUP BY 1, 2
+        )
+        SELECT * FROM agg_long UNION ALL SELECT * FROM short
+    """
+
+    # corr_matrix: identical cent quantization, HUGEINT moments, and
+    # per-pair float expression.
+    _cm_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    _cm_q = ", ".join(
+        f"CAST(round({c} * 100, 0) AS BIGINT) AS q{i}"
+        for i, c in enumerate(_cm_cols))
+    _cm_sums = ["count(*) AS n"]
+    for _i in range(4):
+        _cm_sums.append(f"SUM(q{_i}) AS s{_i}")
+        for _j in range(_i, 4):
+            _cm_sums.append(
+                f"SUM(CAST(q{_i} AS HUGEINT) * CAST(q{_j} AS HUGEINT))"
+                f" AS s{_i}_{_j}")
+    _cm_rows = []
+    for _i in range(4):
+        for _j in range(_i + 1, 4):
+            _num = (f"CAST(n * s{_i}_{_j} - CAST(s{_i} AS HUGEINT)"
+                    f" * CAST(s{_j} AS HUGEINT) AS DOUBLE)")
+            _vx = (f"CAST(n * s{_i}_{_i} - CAST(s{_i} AS HUGEINT)"
+                   f" * CAST(s{_i} AS HUGEINT) AS DOUBLE)")
+            _vy = (f"CAST(n * s{_j}_{_j} - CAST(s{_j} AS HUGEINT)"
+                   f" * CAST(s{_j} AS HUGEINT) AS DOUBLE)")
+            _cm_rows.append(
+                f"SELECT '{_cm_cols[_i]}' AS col_x,"
+                f" '{_cm_cols[_j]}' AS col_y,"
+                f" round(CASE WHEN sqrt({_vx}) * sqrt({_vy}) <> 0.0"
+                f" THEN {_num} / (sqrt({_vx}) * sqrt({_vy}))"
+                f" END, 9) AS corr FROM mom")
+    sqls["corr_matrix"] = f"""
+        WITH q AS (SELECT {_cm_q} FROM lineitem),
+        mom AS (SELECT {", ".join(_cm_sums)} FROM q)
+        {" UNION ALL ".join(_cm_rows)}
+    """
+
     sqls["exact_quantiles"] = """
         WITH a AS (SELECT quantile_disc(l_extendedprice,
                      [0.25, 0.5, 0.75, 0.95]) AS vs FROM lineitem)

@@ -135,3 +135,48 @@ def exact_quantiles(
     return spark.createDataFrame(
         [(float(q), float(_solve(q))) for q in qs], "q double, value double"
     )
+
+
+def corr_matrix(df: DataFrame, cols: list, scale: int = 100) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    distributed pass of exact integer moments — the profiling primitive
+    behind feature audits (which TPC-H measures co-move?).
+
+    Each column is quantized half-up to integer ``1/scale`` units
+    (fixed-point money/ratio columns are exact at scale=100), so every
+    sum and cross-sum is an exact int64/decimal(38) — order- and
+    partition-independent — and each correlation is one float
+    expression (n*s_xy - s_x*s_y) / (sqrt(n*s_xx - s_x^2) *
+    sqrt(n*s_yy - s_y^2)). Zero-variance columns yield NULL, not an
+    error. Returns (col_x, col_y, corr) for every unordered pair,
+    col_x < col_y in ``cols`` order."""
+    k = len(cols)
+    qs = [F.round(F.col(c) * scale, 0).cast("long").alias(f"q{i}")
+          for i, c in enumerate(cols)]
+    q = df.select(*qs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(f"q{i}").alias(f"s{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(F.col(f"q{i}").cast("decimal(38,0)")
+                              * F.col(f"q{j}").cast("decimal(38,0)"))
+                        .alias(f"s{i}_{j}"))
+    m = q.agg(*aggs)
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = (F.col("n") * F.col(f"s{i}_{j}")
+                   - F.col(f"s{i}").cast("decimal(38,0)")
+                   * F.col(f"s{j}").cast("decimal(38,0)")).cast("double")
+            vx = (F.col("n") * F.col(f"s{i}_{i}")
+                  - F.col(f"s{i}").cast("decimal(38,0)")
+                  * F.col(f"s{i}").cast("decimal(38,0)")).cast("double")
+            vy = (F.col("n") * F.col(f"s{j}_{j}")
+                  - F.col(f"s{j}").cast("decimal(38,0)")
+                  * F.col(f"s{j}").cast("decimal(38,0)")).cast("double")
+            den = F.sqrt(vx) * F.sqrt(vy)
+            pairs.append(F.struct(
+                F.lit(cols[i]).alias("col_x"), F.lit(cols[j]).alias("col_y"),
+                F.round(F.when(den != 0.0, num / den), 9).alias("corr")))
+    return (m.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.col_x", "p.col_y", "p.corr"))

@@ -2406,3 +2406,58 @@ def js_divergence(
                 F.round((F.col("klp") + F.col("klq")) / 2.0, 9)
                  .alias("jsd"))
     )
+
+
+def mattr(docs: DataFrame, window: int = 20, id_col: str = "doc_id",
+          text_col: str = "text") -> DataFrame:
+    """MATTR — moving-average type-token ratio (Covington & McFall,
+    J. Quantitative Linguistics 2010), the length-robust lexical-
+    diversity measure (plain TTR shrinks with document length, making
+    cross-length comparisons meaningless): average the type-token ratio
+    over every length-``window`` sliding window of the token stream;
+    documents shorter than the window fall back to their whole-document
+    TTR (the reference implementation's rule).
+
+    Exactness: per-window distinct counts are exact integers and MATTR
+    = sum(distinct_w) / (n_windows * window) is ONE float division of
+    exact int64 sums — no per-window float mean to accumulate.
+
+    Scale shape: each token explodes to the <= ``window`` window-starts
+    covering it (bounded fan-out, O(tokens * window) keys-only rows),
+    then two combinable groupBys. Tokenization is the lower/whitespace
+    contract shared with operators/index.py so the oracle reproduces
+    positions in SQL. Returns (doc_id, n_tokens, n_windows,
+    sum_distinct, mattr)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""))
+    pos = docs.select(
+        F.col(id_col).alias("doc"), F.size(toks).alias("n"),
+        F.posexplode(toks).alias("pos", "term"))
+    W = int(window)
+    long_docs = pos.where(F.col("n") >= W)
+    starts = long_docs.select(
+        "doc", "n", "term",
+        F.explode(F.sequence(
+            F.greatest(F.col("pos") - (W - 1), F.lit(0)),
+            F.least(F.col("pos"), F.col("n") - W))).alias("s"))
+    per_win = (starts.groupBy("doc", "n", "s")
+               .agg(F.countDistinct("term").alias("d")))
+    agg_long = (per_win.groupBy("doc", "n")
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.sum("d").alias("sum_distinct"))
+                .select("doc", F.col("n").alias("n_tokens"),
+                        "n_windows", "sum_distinct",
+                        F.round(F.col("sum_distinct")
+                                / (F.col("n_windows") * F.lit(W))
+                                .cast("double"), 9).alias("mattr")))
+    short = (pos.where((F.col("n") > 0) & (F.col("n") < W))
+             .groupBy("doc", "n")
+             .agg(F.countDistinct("term").alias("d"))
+             .select("doc", F.col("n").alias("n_tokens"),
+                     F.lit(1).cast("long").alias("n_windows"),
+                     F.col("d").alias("sum_distinct"),
+                     F.round(F.col("d") / F.col("n").cast("double"), 9)
+                     .alias("mattr")))
+    return agg_long.unionByName(short) \
+        .withColumnRenamed("doc", id_col)
