@@ -4939,6 +4939,19 @@ def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jenks natural breaks (Fisher exact DP), k=5, over world4326:
+    exact distributed histogram -> driver DP over integer cumulants
+    with the fixed float SSE expression s2 - (s*s)/n and smallest-m
+    tie-break. The oracle unrolls the same 5-level DP over the fixture
+    histogram in SQL (row_number argmin per level + backtrack chain) —
+    equality proves the DP float-for-float."""
+    from lib_gdal_spark.operators.stats import jenks_breaks
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return jenks_breaks(tiles, k=5)
+
+
 def q_tpi_landforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weiss multi-scale TPI landform facets (Weiss 2001) over
     world4326: TPI at radii 2 and 8 quantized to exact 1e-6 units,
@@ -8491,6 +8504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": q_focal_stats,
         "otsu_threshold": q_otsu_threshold,
         "tpi_landforms": q_tpi_landforms,
+        "jenks_breaks": q_jenks_breaks,
         "rouge_l": q_rouge_l,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -16364,6 +16378,91 @@ def oracle_sql() -> dict[str, str]:
                CAST(np AS INT) AS num_plus, CAST(form AS INT) AS form,
                {_gm_name} AS landform
         FROM cls
+    """
+
+    # jenks_breaks: the identical Fisher DP unrolled — integer
+    # cumulants, the same float SSE expression, per-level row_number
+    # argmin with (cost, m) tie-break, and the 4-step backtrack chain.
+    _jk_dp = []
+    for _c in range(2, 6):
+        _jk_dp.append(f"""dp{_c} AS MATERIALIZED (
+          SELECT i, cost, m FROM (
+            SELECT s.b AS i, d.cost + s.sse AS cost, s.p AS m,
+                   row_number() OVER (PARTITION BY s.b
+                                      ORDER BY d.cost + s.sse, s.p) AS rn
+            FROM dp{_c - 1} d JOIN ssepair s ON s.p = d.i
+          ) WHERE rn = 1
+        )""")
+    sqls["jenks_breaks"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        hist AS (
+          SELECT CAST({_op_v(0, 0)} AS BIGINT) AS v, count(*) AS c
+          FROM pix GROUP BY 1
+        ),
+        ordv AS (
+          SELECT row_number() OVER (ORDER BY v) AS i, v, c FROM hist
+        ),
+        cum1 AS (
+          SELECT i, v,
+                 SUM(c) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(c * v) OVER (ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS cs,
+                 SUM(c * v * v) OVER (ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS cs2
+          FROM ordv
+        ),
+        cum AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS v,
+                 CAST(0 AS BIGINT) AS cn, CAST(0 AS BIGINT) AS cs,
+                 CAST(0 AS BIGINT) AS cs2
+          UNION ALL SELECT i, v, cn, cs, cs2 FROM cum1
+        ),
+        ssepair AS MATERIALIZED (
+          SELECT p.i AS p, b.i AS b,
+                 CAST(b.cs2 - p.cs2 AS DOUBLE)
+                 - (CAST(b.cs - p.cs AS DOUBLE)
+                    * CAST(b.cs - p.cs AS DOUBLE))
+                   / CAST(b.cn - p.cn AS DOUBLE) AS sse
+          FROM cum p JOIN cum b ON p.i < b.i
+        ),
+        dp1 AS (SELECT b AS i, sse AS cost, 0 AS m
+                FROM ssepair WHERE p = 0),
+        {",".join(_jk_dp)},
+        bt AS (
+          SELECT imax.i AS b5,
+                 (SELECT m FROM dp5 WHERE i = imax.i) AS b4
+          FROM (SELECT max(i) AS i FROM cum1) imax
+        ),
+        bt2 AS (SELECT b5, b4,
+                       (SELECT m FROM dp4 WHERE i = bt.b4) AS b3 FROM bt),
+        bt3 AS (SELECT b5, b4, b3,
+                       (SELECT m FROM dp3 WHERE i = bt2.b3) AS b2
+                FROM bt2),
+        bt4 AS (SELECT b5, b4, b3, b2,
+                       (SELECT m FROM dp2 WHERE i = bt3.b2) AS b1
+                FROM bt3),
+        cl AS (SELECT unnest([1, 2, 3, 4, 5]) AS cls),
+        bounds AS (
+          SELECT cls,
+            CASE cls WHEN 1 THEN 0 WHEN 2 THEN b1 WHEN 3 THEN b2
+                     WHEN 4 THEN b3 ELSE b4 END AS lo_i,
+            CASE cls WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3
+                     WHEN 4 THEN b4 ELSE b5 END AS hi_i
+          FROM cl, bt4
+        )
+        SELECT CAST(cls AS BIGINT) AS cls,
+               (SELECT v FROM cum1 WHERE i = lo_i + 1) AS lower,
+               (SELECT v FROM cum1 WHERE i = hi_i) AS upper,
+               CAST((SELECT cn FROM cum WHERE i = hi_i)
+                    - (SELECT cn FROM cum WHERE i = lo_i) AS BIGINT)
+                 AS n_pixels,
+               round((SELECT sse FROM ssepair
+                      WHERE p = lo_i AND b = hi_i), 6) AS sse
+        FROM bounds
     """
 
     # tpi_landforms: 24- and 288-term exact window sums, identical

@@ -466,3 +466,74 @@ def otsu_threshold(tiles: DataFrame, bins: int = 256) -> DataFrame:
             .select("threshold",
                     F.round("between_var", 9).alias("between_var"),
                     "n_below", "n_above"))
+
+
+def jenks_breaks(tiles: DataFrame, k: int = 5) -> DataFrame:
+    """Jenks natural breaks (Fisher 1958 exact least-SSE 1-D partition
+    DP; Jenks & Caspall 1971) — THE cartographic classifier beside
+    :func:`classify_quantiles`: split the pixel-value distribution into
+    ``k`` classes minimizing total within-class squared error, exactly
+    (no k-means iteration, no sampling).
+
+    Exactness/scale contract: the distributed part is the exact
+    histogram (one combinable groupBy — the driver sees <= |distinct
+    values| rows, never pixels, like :func:`otsu_threshold`); the
+    O(bins^2 * k) DP runs on the driver over exact integer cumulants,
+    with every SSE evaluated by the fixed float expression
+    s2 - (s * s) / n and ties at a DP minimum broken to the smallest
+    split index — the identical doubles an unrolled SQL DP produces, so
+    the result is engine-exact. Returns one row per class:
+    (cls 1..k, lower, upper, n_pixels, sse)."""
+    px = tiles.select(F.explode("pixels").alias("v")) \
+        .select(F.col("v").cast("long").alias("v"))
+    hist = sorted((int(r["v"]), int(r["c"])) for r in
+                  px.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+                  .collect())
+    vals = [v for v, _ in hist]
+    nbins = len(vals)
+    if nbins < k:
+        raise ValueError(f"need >= {k} distinct values, have {nbins}")
+    # exact integer cumulants, 1-based
+    cn = [0] * (nbins + 1)
+    cs = [0] * (nbins + 1)
+    cs2 = [0] * (nbins + 1)
+    for i, (v, c) in enumerate(hist, start=1):
+        cn[i] = cn[i - 1] + c
+        cs[i] = cs[i - 1] + c * v
+        cs2[i] = cs2[i - 1] + c * v * v
+
+    def sse(a: int, b: int) -> float:  # values[a..b], 1-based inclusive
+        n = float(cn[b] - cn[a - 1])
+        s = float(cs[b] - cs[a - 1])
+        s2 = float(cs2[b] - cs2[a - 1])
+        return s2 - (s * s) / n
+
+    INF = float("inf")
+    cost = [[INF] * (nbins + 1) for _ in range(k + 1)]
+    back = [[0] * (nbins + 1) for _ in range(k + 1)]
+    for i in range(1, nbins + 1):
+        cost[1][i] = sse(1, i)
+    for c in range(2, k + 1):
+        for i in range(c, nbins + 1):
+            best, bm = INF, 0
+            for m in range(c - 1, i):
+                t = cost[c - 1][m] + sse(m + 1, i)
+                if t < best:  # ties keep the earlier (smaller) m
+                    best, bm = t, m
+            cost[c][i] = best
+            back[c][i] = bm
+    bounds = [nbins]
+    for c in range(k, 1, -1):
+        bounds.append(back[c][bounds[-1]])
+    bounds.append(0)
+    bounds.reverse()  # [0, m1, ..., nbins]
+    rows = []
+    for c in range(1, k + 1):
+        lo, hi = bounds[c - 1] + 1, bounds[c]
+        rows.append((c, vals[lo - 1], vals[hi - 1],
+                     cn[hi] - cn[lo - 1], sse(lo, hi)))
+    out = tiles.sparkSession.createDataFrame(
+        rows, "cls long, lower long, upper long, n_pixels long, "
+              "sse_raw double")
+    return out.select("cls", "lower", "upper", "n_pixels",
+                      F.round("sse_raw", 6).alias("sse"))
