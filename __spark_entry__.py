@@ -4343,6 +4343,23 @@ def q_rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_rotated_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum rotated (oriented) bounding rectangle — GEOS
+    MinimumRotatedRectangle parity via rotating calipers — for the
+    three fixture pentagons: candidate directions are all vertex pairs
+    (superset of hull edges, optimum guaranteed), width/height/area
+    one fixed float chain, ties to the smallest pair key. The oracle
+    inlines the same vertex literals and expressions."""
+    from lib_gdal_spark.operators.vectorops import min_rotated_rect
+
+    rows = [(fid, i, x, y)
+            for fid, vs in POLYGONS.items()
+            for i, (x, y) in enumerate(vs)]
+    verts = spark.createDataFrame(
+        rows, "fid long, idx long, x double, y double")
+    return min_rotated_rect(verts)
+
+
 def q_constructive_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constructive geometry (ogrgeometry.cpp Distance/Centroid/Buffer):
     per point-box distance to a fixed box, centroid, buffer(+1) area —
@@ -8388,6 +8405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_line": q_rasterize_line,
         "rasterize_points": q_rasterize_points,
         "constructive_geom": q_constructive_geom,
+        "min_rotated_rect": q_min_rotated_rect,
         "graph_sssp": q_graph_sssp,
         "nearblack": q_nearblack,
         "raster_pyramid_cksum": q_raster_pyramid_cksum,
@@ -12806,6 +12824,55 @@ def oracle_sql() -> dict[str, str]:
     mnx, mny, mxx, mxy = METHOD_BOXES[10]
     _buf_area = round(4.0 * 3.0 + 2.0 * (4.0 + 3.0)
                       + 16.0 * math.sin(math.pi / 16.0), 6)
+    # min_rotated_rect: same vertex literals (single-sourced from
+    # POLYGONS), all-pair directions, identical projection/extent/area
+    # float chain and (area, pair-key) argmin.
+    _mrr_vals = ", ".join(
+        f"({fid}, {i}, {x!r}, {y!r})"
+        for fid, vs in POLYGONS.items()
+        for i, (x, y) in enumerate(vs))
+    sqls["min_rotated_rect"] = f"""
+        WITH verts AS (
+          SELECT * FROM (VALUES {_mrr_vals}) t(fid, idx, x, y)
+        ),
+        dirs AS (
+          SELECT a.fid, a.idx * 65536 + b.idx AS e,
+                 b.x - a.x AS dx, b.y - a.y AS dy
+          FROM verts a JOIN verts b
+            ON a.fid = b.fid AND a.idx < b.idx
+          WHERE b.x - a.x <> 0 OR b.y - a.y <> 0
+        ),
+        pr AS (
+          SELECT d.fid, d.e, d.dx, d.dy,
+                 v.x * d.dx + v.y * d.dy AS u,
+                 v.x * (-d.dy) + v.y * d.dx AS vv
+          FROM dirs d JOIN verts v ON v.fid = d.fid
+        ),
+        ext AS (
+          SELECT fid, e, dx, dy,
+                 max(u) AS u1, min(u) AS u0,
+                 max(vv) AS v1, min(vv) AS v0
+          FROM pr GROUP BY 1, 2, 3, 4
+        ),
+        sc AS (
+          SELECT fid, e,
+                 (u1 - u0) / sqrt(dx * dx + dy * dy) AS w,
+                 (v1 - v0) / sqrt(dx * dx + dy * dy) AS h,
+                 ((u1 - u0) / sqrt(dx * dx + dy * dy))
+                 * ((v1 - v0) / sqrt(dx * dx + dy * dy)) AS area
+          FROM ext
+        ),
+        best AS (
+          SELECT fid, area, w, h,
+                 row_number() OVER (PARTITION BY fid
+                                    ORDER BY area, e) AS rn
+          FROM sc
+        )
+        SELECT fid, round(area, 9) AS area, round(w, 9) AS width,
+               round(h, 9) AS height
+        FROM best WHERE rn = 1
+    """
+
     sqls["constructive_geom"] = f"""
         WITH pts AS ({_POINTS_SQL}),
         g AS (
