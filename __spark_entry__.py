@@ -8047,6 +8047,29 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(cells)
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Theil-Sen median slope over the same 6x6 day-binned
+    lattice as mann_kendall: pairwise slopes one integer division each,
+    median by exact order-statistic selection ((slope, ti, tj)
+    ranking). The oracle ranks the identical pairs and selects the
+    same middle rows."""
+    from lib_gdal_spark.operators.spatialstats import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    cells = (
+        ev.select(
+            ((k1 - k1 % 6000) / 6000).cast("int").alias("gx"),
+            ((k2 - k2 % 3000) / 3000).cast("int").alias("gy"),
+            F.dayofyear("ts").alias("tbin"),
+        )
+        .groupBy("gx", "gy", "tbin")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return theil_sen(cells)
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell Mann-Kendall trend over day-binned event counts — the
     emerging-hotspot statistic (Mann 1945 / Kendall 1975; Gi* says hot
@@ -8630,6 +8653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
         "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "emerging_hotspots": q_emerging_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
@@ -19520,6 +19544,47 @@ def oracle_sql() -> dict[str, str]:
     # self-join, tie groups, per-cell bin counts) and the identical
     # final z expression — trend classified on the UNROUNDED z exactly
     # as the operator does.
+    # theil_sen: identical pairwise-slope divisions and the same
+    # (slope, ti, tj) order-statistic median selection.
+    sqls["theil_sen"] = """
+        WITH cells AS (
+          SELECT CAST(((event_id * 7919) % 36000
+                       - (event_id * 7919) % 36000 % 6000) / 6000
+                      AS INT) AS gx,
+                 CAST(((event_id * 104729) % 17000
+                       - (event_id * 104729) % 17000 % 3000) / 3000
+                      AS INT) AS gy,
+                 dayofyear(ts) AS tbin, count(*) AS x
+          FROM events GROUP BY 1, 2, 3
+        ),
+        pr AS (
+          SELECT a.gx, a.gy, a.tbin AS ti, b.tbin AS tj,
+                 (b.x - a.x) / CAST(b.tbin - a.tbin AS DOUBLE) AS s
+          FROM cells a JOIN cells b
+            ON a.gx = b.gx AND a.gy = b.gy AND a.tbin < b.tbin
+        ),
+        rk AS (
+          SELECT gx, gy, s,
+                 row_number() OVER (PARTITION BY gx, gy
+                                    ORDER BY s, ti, tj) AS r,
+                 count(*) OVER (PARTITION BY gx, gy) AS m
+          FROM pr
+        ),
+        med AS (
+          SELECT gx, gy, m,
+                 SUM(s) AS ssum, count(*) AS k
+          FROM rk
+          WHERE (m % 2 = 1 AND r * 2 = m + 1)
+             OR (m % 2 = 0 AND (r * 2 = m OR r * 2 = m + 2))
+          GROUP BY 1, 2, 3
+        ),
+        nb AS (SELECT gx, gy, count(*) AS n_bins FROM cells GROUP BY 1, 2)
+        SELECT med.gx, med.gy, CAST(nb.n_bins AS BIGINT) AS n_bins,
+               CAST(med.m AS BIGINT) AS n_pairs,
+               round(med.ssum / med.k, 9) AS slope
+        FROM med JOIN nb ON nb.gx = med.gx AND nb.gy = med.gy
+    """
+
     sqls["mann_kendall"] = """
         WITH cells AS (
           SELECT CAST((k1 - k1 % 6000) / 6000 AS INT) AS gx,

@@ -1529,3 +1529,50 @@ def general_g(cells: DataFrame, queen: bool = True) -> DataFrame:
         F.round(e_g, 12).alias("e_g"),
         F.round(gg / e_g, 9).alias("g_ratio"),
     )
+
+
+def theil_sen(cells: DataFrame) -> DataFrame:
+    """Per-cell Theil-Sen slope estimator (Theil 1950; Sen, JASA 1968)
+    over time-binned values — the robust trend MAGNITUDE that pairs
+    with :func:`mann_kendall`'s trend TEST (the emerging-hotspots
+    combo: MK says whether a cell heats up, Theil-Sen says how fast):
+    slope = median of the pairwise slopes (x_j - x_i) / (t_j - t_i)
+    over all time pairs, insensitive to ~29% outliers.
+
+    ``cells``: (gx, gy, tbin, x) with integer tbin and x. Exactness:
+    each pairwise slope is ONE integer division Δx/Δt (identical
+    doubles in any engine); the median is an exact ORDER-STATISTIC
+    selection — rows ranked by (slope, ti, tj) — taking the middle
+    element for odd m and the mean of the two middles for even m (one
+    float add + halving). Bounded T^2 pairs per cell on the AGGREGATED
+    lattice, one window per cell — the mann_kendall shape. Returns
+    (gx, gy, n_bins, n_pairs, slope)."""
+    from pyspark.sql import Window
+
+    a = cells.select("gx", "gy", F.col("tbin").alias("ti"),
+                     F.col("x").alias("xi"))
+    b = cells.select(F.col("gx").alias("gx2"), F.col("gy").alias("gy2"),
+                     F.col("tbin").alias("tj"), F.col("x").alias("xj"))
+    pr = (a.join(b, (F.col("gx") == F.col("gx2"))
+                 & (F.col("gy") == F.col("gy2"))
+                 & (F.col("ti") < F.col("tj")))
+          .select("gx", "gy", "ti", "tj",
+                  ((F.col("xj") - F.col("xi"))
+                   / (F.col("tj") - F.col("ti")).cast("double"))
+                  .alias("s")))
+    w = Window.partitionBy("gx", "gy").orderBy("s", "ti", "tj")
+    rk = pr.withColumn("r", F.row_number().over(w)) \
+           .withColumn("m", F.count(F.lit(1)).over(
+               Window.partitionBy("gx", "gy")))
+    med = (rk.where(((F.col("m") % 2 == 1)
+                     & (F.col("r") * 2 == F.col("m") + 1))
+                    | ((F.col("m") % 2 == 0)
+                       & ((F.col("r") * 2 == F.col("m"))
+                          | (F.col("r") * 2 == F.col("m") + 2))))
+        .groupBy("gx", "gy", "m")
+        .agg(F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("k")))
+    nb = cells.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n_bins"))
+    return (med.join(nb, ["gx", "gy"])
+            .select("gx", "gy", "n_bins",
+                    F.col("m").cast("long").alias("n_pairs"),
+                    F.round(F.col("ssum") / F.col("k"), 9).alias("slope")))
