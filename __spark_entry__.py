@@ -8070,6 +8070,23 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(cells)
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over (user, event_type) activity spans:
+    t = days between first and last event of that type, observed
+    (event=1) if the last precedes 2024-01-28, else right-censored. Exact risk-set
+    suffix sums; the product limit is the identical exp/ln chain over
+    rows sorted by t in both engines."""
+    from lib_gdal_spark.operators.events import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id", "event_type").agg(
+        F.datediff(F.to_date(F.max("ts")),
+                   F.to_date(F.min("ts"))).alias("t"),
+        F.when(F.to_date(F.max("ts")) < F.lit("2024-01-28").cast("date"),
+               1).otherwise(0).alias("event"))
+    return kaplan_meier(subj)
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell Mann-Kendall trend over day-binned event counts — the
     emerging-hotspot statistic (Mann 1945 / Kendall 1975; Gi* says hot
@@ -8654,6 +8671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_hotspots": q_getis_hotspots,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "kaplan_meier": q_kaplan_meier,
         "emerging_hotspots": q_emerging_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
@@ -19544,6 +19562,45 @@ def oracle_sql() -> dict[str, str]:
     # self-join, tie groups, per-cell bin counts) and the identical
     # final z expression — trend classified on the UNROUNDED z exactly
     # as the operator does.
+    # kaplan_meier: identical per-user spans, risk-set suffix sums, and
+    # the same ln/exp product-limit chain over t-sorted rows.
+    sqls["kaplan_meier"] = """
+        WITH subj AS (
+          SELECT user_id, event_type,
+                 date_diff('day', CAST(min(ts) AS DATE),
+                           CAST(max(ts) AS DATE)) AS t,
+                 CASE WHEN CAST(max(ts) AS DATE) < DATE '2024-01-28'
+                      THEN 1 ELSE 0 END AS event
+          FROM events GROUP BY user_id, event_type
+        ),
+        per_t AS (
+          SELECT t, SUM(event) AS d, SUM(1 - event) AS c
+          FROM subj GROUP BY t
+        ),
+        risk AS (
+          SELECT t, d, c,
+                 SUM(d + c) OVER (ORDER BY t DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n_risk
+          FROM per_t
+        ),
+        surv AS (
+          SELECT t, d, c, n_risk,
+                 SUM(CASE WHEN d > 0 AND d < n_risk
+                          THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                          ELSE 0.0 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnS,
+                 MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+          FROM risk
+        )
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS d_events,
+               CAST(c AS BIGINT) AS n_censored,
+               round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnS) END, 9)
+                 AS survival
+        FROM surv
+    """
+
     # theil_sen: identical pairwise-slope divisions and the same
     # (slope, ti, tj) order-statistic median selection.
     sqls["theil_sen"] = """

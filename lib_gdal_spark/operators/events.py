@@ -432,3 +432,49 @@ def ab_test(
         "n_b", "x_b", F.round(pb, 6).alias("p_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def kaplan_meier(subjects: DataFrame, t_col: str = "t",
+                 event_col: str = "event") -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier,
+    JASA 1958) — the retention/churn curve with right-censoring done
+    correctly (naive retention ignores users still alive at cutoff):
+    S(t) = prod over event times t_i <= t of (1 - d_i / n_i), with d_i
+    the events at t_i and n_i the number still at risk.
+
+    ``subjects``: one row per subject — (t integer duration,
+    event 1 = observed event / 0 = right-censored). Exactness: d_i and
+    n_i are exact int64 aggregates (n_i via a suffix sum over the
+    <= |distinct t| aggregated rows — a bounded window, like
+    otsu_threshold's histogram); the running product is
+    exp(cumsum(ln(1 - d/n))) over rows SORTED by t — a fixed libm
+    chain both engines evaluate identically (the openness contract).
+    Times where d_i = 0 (pure censoring) keep S unchanged but still
+    appear with their risk set, per the standard KM table. Returns
+    (t, n_risk, d_events, n_censored, survival) per distinct t."""
+    from pyspark.sql import Window
+
+    per_t = subjects.groupBy(F.col(t_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.sum((1 - F.col(event_col)).cast("long")).alias("c"))
+    wsuf = Window.orderBy(F.desc("t")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(wsuf))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_risk kills the whole risk set: the factor is exactly 0, and
+    # ln(0) is NULL in Spark / -inf elsewhere — handle it as an explicit
+    # absorbing flag so both engines agree bit-for-bit.
+    surv = at_risk.withColumn(
+        "lnS", F.sum(F.when((F.col("d") > 0)
+                            & (F.col("d") < F.col("n_risk")),
+                            F.log(1.0 - F.col("d") / F.col("n_risk")))
+                     .otherwise(F.lit(0.0))).over(wcum)) \
+        .withColumn("dead", F.max(
+            (F.col("d") == F.col("n_risk")).cast("int")).over(wcum))
+    return surv.select(
+        "t", F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(F.when(F.col("dead") == 1, F.lit(0.0))
+                .otherwise(F.exp("lnS")), 9).alias("survival"))
