@@ -6544,6 +6544,19 @@ def q_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "ahash", "dhash")
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian sharpness + brightness/contrast/clipping
+    over 40 real PNG payloads (the same fixture as image_hashes): every
+    metric is one float expression over exact integer sums the decoder
+    emits; the oracle spells the closed-form pixel function, the
+    4-neighbour Laplacian, and the identical final expressions."""
+    from lib_gdal_spark.operators.imagehash import image_quality
+
+    media = _hash_media(
+        spark, 40, lambda m, x, y: (3 * x + 5 * y + 7 * m) % 251)
+    return image_quality(media, strict=True)
+
+
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: 18 images (6 groups × 3 perturbed members)
     hashed, then Hamming-<=3 pairs via the pigeonhole 16-bit block join
@@ -8627,6 +8640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_jpeg": q_image_decode_jpeg,
         "audio_decode_wav": q_audio_decode_wav,
         "image_hashes": q_image_hashes,
+        "image_quality": q_image_quality,
         "image_near_dup": q_image_near_dup,
         "media_gps_tiles": q_media_gps_tiles,
         "robots_sitemaps": q_robots_sitemaps,
@@ -18539,6 +18553,52 @@ def oracle_sql() -> dict[str, str]:
           FROM av JOIN dv ON dv.m = av.m
         )
         """
+
+    # image_quality: closed-form 32x24 pixels, exact int sums incl. the
+    # 4-neighbour Laplacian over the interior, identical final floats.
+    sqls["image_quality"] = """
+        WITH px AS (
+          SELECT m.m, (3 * x.x + 5 * y.y + 7 * m.m) % 251 AS v,
+                 x.x AS x, y.y AS y
+          FROM generate_series(0, 39) m(m)
+          CROSS JOIN generate_series(0, 31) x(x)
+          CROSS JOIN generate_series(0, 23) y(y)
+        ),
+        lap AS (
+          SELECT m, x, y,
+                 4 * ((3 * x + 5 * y + 7 * m) % 251)
+                 - ((3 * x + 5 * (y - 1) + 7 * m) % 251)
+                 - ((3 * x + 5 * (y + 1) + 7 * m) % 251)
+                 - ((3 * (x - 1) + 5 * y + 7 * m) % 251)
+                 - ((3 * (x + 1) + 5 * y + 7 * m) % 251) AS l
+          FROM px
+          WHERE x BETWEEN 1 AND 30 AND y BETWEEN 1 AND 22
+        ),
+        gs AS (
+          SELECT m, count(*) AS n, SUM(v) AS s, SUM(v * v) AS s2,
+                 SUM(CASE WHEN v <= 15 THEN 1 ELSE 0 END) AS dark,
+                 SUM(CASE WHEN v >= 240 THEN 1 ELSE 0 END) AS bright
+          FROM px GROUP BY m
+        ),
+        ls_ AS (
+          SELECT m, count(*) AS nl, SUM(l) AS ls,
+                 SUM(CAST(l AS HUGEINT) * CAST(l AS HUGEINT)) AS ls2
+          FROM lap GROUP BY m
+        )
+        SELECT gs.m AS media_id, CAST(gs.n AS BIGINT) AS n_px,
+               round(gs.s / CAST(gs.n AS DOUBLE), 9) AS brightness,
+               round(sqrt(CAST(CAST(gs.n AS HUGEINT) * gs.s2
+                               - CAST(gs.s AS HUGEINT)
+                                 * CAST(gs.s AS HUGEINT) AS DOUBLE))
+                     / gs.n, 9) AS contrast,
+               round(CAST(CAST(ls_.nl AS HUGEINT) * ls_.ls2
+                          - CAST(ls_.ls AS HUGEINT)
+                            * CAST(ls_.ls AS HUGEINT) AS DOUBLE)
+                     / (ls_.nl * ls_.nl), 9) AS sharpness,
+               round(gs.dark / CAST(gs.n AS DOUBLE), 9) AS frac_dark,
+               round(gs.bright / CAST(gs.n AS DOUBLE), 9) AS frac_bright
+        FROM gs JOIN ls_ ON ls_.m = gs.m
+    """
 
     sqls["image_hashes"] = _imghash_cte(
         40, "(3 * x + 5 * y + 7 * m) % 251") + """
