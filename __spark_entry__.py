@@ -6470,6 +6470,36 @@ def q_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("rms", 6).alias("rms"), "n_frames")
 
 
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality filters over the same 24 real WAV payloads as
+    audio_decode_wav: RMS/peak/clipping/silence/zero-crossing-rate,
+    every metric one float expression over exact int64 decoder sums;
+    the oracle spells the closed-form samples, the ignore-zeros ZCR
+    window, and identical final expressions."""
+    from lib_gdal_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_quality)
+    from lib_gdal_spark.sources.wav import write_wav
+
+    base = spark.range(24).select(F.col("id").alias("m"))
+
+    def mk(batches):
+        i = np.arange(4000)
+        for b in batches:
+            rows = []
+            for m in b["m"]:
+                m = int(m)
+                s = (((7 * m + 13 * i) % 2003) - 1001).astype(np.int16)
+                rows.append((m, "audio", write_wav(s, 8000),
+                             0, 0, 1, 1, 1, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "channels", "sample_rate", "n_samples", "fps",
+                "n_frames"])
+
+    media = base.mapInPandas(mk, schema=MEDIA_SCHEMA)
+    return audio_quality(media, strict=True)
+
+
 def q_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode: 12 MJPEG-AVI payloads (10 frames, 32×24,
     constant per 8×8 block with value (7bx+11by+13m+29k)%256 — the
@@ -8639,6 +8669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_png": q_image_decode_png,
         "image_decode_jpeg": q_image_decode_jpeg,
         "audio_decode_wav": q_audio_decode_wav,
+        "audio_quality": q_audio_quality,
         "image_hashes": q_image_hashes,
         "image_quality": q_image_quality,
         "image_near_dup": q_image_near_dup,
@@ -18484,6 +18515,43 @@ def oracle_sql() -> dict[str, str]:
     # audio_decode_wav: int16 samples are a closed-form sequence, so the
     # rms is sqrt(integer-sum-of-squares / n) / 32768 in SQL; 4000
     # samples at 8 kHz with 25 ms frames -> duration 0.5 s, 20 frames.
+    # audio_quality: closed-form samples, ignore-zeros ZCR lag window,
+    # identical final float expressions over exact sums.
+    sqls["audio_quality"] = """
+        WITH s AS (
+          SELECT m.m, i.i, ((7 * m.m + 13 * i.i) % 2003) - 1001 AS v
+          FROM generate_series(0, 23) m(m)
+          CROSS JOIN generate_series(0, 3999) i(i)
+        ),
+        agg AS (
+          SELECT m, count(*) AS n,
+                 SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+                 MAX(abs(v)) AS peak,
+                 SUM(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END)
+                   AS clip,
+                 SUM(CASE WHEN abs(v) <= 300 THEN 1 ELSE 0 END) AS sil
+          FROM s GROUP BY m
+        ),
+        nz AS (
+          SELECT m, i, sign(v) AS sg,
+                 lag(sign(v)) OVER (PARTITION BY m ORDER BY i) AS pg
+          FROM s WHERE v <> 0
+        ),
+        zc AS (
+          SELECT m, SUM(CASE WHEN sg * pg < 0 THEN 1 ELSE 0 END) AS zc
+          FROM nz GROUP BY m
+        )
+        SELECT agg.m AS media_id, CAST(agg.n AS BIGINT) AS n_samples,
+               round(sqrt(agg.s2 / CAST(agg.n AS DOUBLE)), 9) AS rms,
+               CAST(agg.peak AS BIGINT) AS peak,
+               round(agg.clip / CAST(agg.n AS DOUBLE), 9)
+                 AS frac_clipped,
+               round(agg.sil / CAST(agg.n AS DOUBLE), 9)
+                 AS frac_silence,
+               round(zc.zc / CAST(agg.n - 1 AS DOUBLE), 9) AS zcr
+        FROM agg JOIN zc ON zc.m = agg.m
+    """
+
     sqls["audio_decode_wav"] = """
         SELECT m AS media_id, CAST(0.5 AS DOUBLE) AS duration_s,
                round(sqrt(sum(CAST(((7 * m + 13 * i) % 2003 - 1001)

@@ -384,3 +384,66 @@ def video_frame_sample(
         work,
         schema="media_id long, frame_idx int, t_s double, mean double",
     )
+
+
+def audio_quality(media: DataFrame, silence_max: int = 300,
+                  clip_min: int = 32700,
+                  strict: bool = False) -> DataFrame:
+    """Per-clip audio quality metrics for training-data filtering — the
+    audio analog of :func:`~lib_gdal_spark.operators.imagehash.
+    image_quality` (drop silent, clipped, or DC-stuck recordings before
+    transcription): RMS level, peak amplitude, clipping fraction
+    (|s| >= ``clip_min``), silence fraction (|s| <= ``silence_max``),
+    and zero-crossing rate (sign changes between consecutive samples /
+    (n - 1) — the classic voiced/unvoiced and noise discriminator).
+
+    Exactness: the decoder emits only exact int64 sums/counts per clip
+    (int16 samples; sum of squares fits 2^63 beyond 10^9 samples);
+    every metric is one engine-side float expression, reproducible in
+    SQL. Narrow map. Returns (media_id, n_samples, rms, peak,
+    frac_clipped, frac_silence, zcr)."""
+    from lib_gdal_spark.sources.wav import parse_wav
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                payload = bytes(r["payload"])
+                try:
+                    samples, rate = parse_wav(payload)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                s = samples.astype(np.int64)
+                if s.ndim > 1:
+                    s = s[:, 0]
+                sgn = np.sign(s)
+                nz = sgn != 0
+                prev = None
+                zc = 0
+                # sign changes ignoring zeros (standard ZCR contract)
+                run = sgn[nz]
+                zc = int((run[1:] * run[:-1] < 0).sum())
+                rows.append({
+                    "media_id": int(r["media_id"]),
+                    "n": int(s.size),
+                    "s2": int((s * s).sum()),
+                    "peak": int(np.abs(s).max()) if s.size else 0,
+                    "clip": int((np.abs(s) >= clip_min).sum()),
+                    "sil": int((np.abs(s) <= silence_max).sum()),
+                    "zc": zc,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n", "s2", "peak", "clip", "sil", "zc"])
+
+    sums = media.where(F.col("kind") == "audio").mapInPandas(
+        work, schema="media_id long, n long, s2 long, peak long, "
+                     "clip long, sil long, zc long")
+    return sums.select(
+        "media_id", F.col("n").alias("n_samples"),
+        F.round(F.sqrt(F.col("s2") / F.col("n")), 9).alias("rms"),
+        "peak",
+        F.round(F.col("clip") / F.col("n"), 9).alias("frac_clipped"),
+        F.round(F.col("sil") / F.col("n"), 9).alias("frac_silence"),
+        F.round(F.col("zc") / (F.col("n") - 1), 9).alias("zcr"))
