@@ -8113,6 +8113,30 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(cells)
 
 
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the events panel: units = users
+    (treated = user_id % 2), periods split at 2024-01-15, y = events
+    per (user, period) with complete-panel zero fill. Exact int64 cell
+    moments; effect/SE/t are single float expressions."""
+    from lib_gdal_spark.operators.events import did_estimator
+
+    ev = _t(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        "user_id",
+        (F.to_date("ts") >= F.lit("2024-01-15").cast("date"))
+        .cast("int").alias("period"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    users = ev.select("user_id").distinct()
+    periods = users.sparkSession.range(2).select(
+        F.col("id").cast("int").alias("period"))
+    panel = (users.crossJoin(periods)
+             .join(counted, ["user_id", "period"], "left")
+             .select((F.col("user_id") % 2).cast("int").alias("treated"),
+                     "period",
+                     F.coalesce("y", F.lit(0)).alias("y")))
+    return did_estimator(panel)
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival over (user, event_type) activity spans:
     t = days between first and last event of that type, observed
@@ -8717,6 +8741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "kaplan_meier": q_kaplan_meier,
+        "did_estimator": q_did_estimator,
         "emerging_hotspots": q_emerging_hotspots,
         "kde_heatmap": q_kde_heatmap,
         "ripley_k": q_ripley_k,
@@ -19690,6 +19715,78 @@ def oracle_sql() -> dict[str, str]:
     # self-join, tie groups, per-cell bin counts) and the identical
     # final z expression — trend classified on the UNROUNDED z exactly
     # as the operator does.
+    # did_estimator: identical panel construction, exact cell moments,
+    # and the same mean/variance/effect/SE/t float expressions.
+    sqls["did_estimator"] = """
+        WITH counted AS (
+          SELECT user_id,
+                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                      THEN 1 ELSE 0 END AS period,
+                 count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        panel AS (
+          SELECT CAST(u.user_id % 2 AS INT) AS treated, p.period,
+                 COALESCE(c.y, 0) AS y
+          FROM users u
+          CROSS JOIN (VALUES (0), (1)) p(period)
+          LEFT JOIN counted c
+            ON c.user_id = u.user_id AND c.period = p.period
+        ),
+        cells AS (
+          SELECT treated, period, count(*) AS n, SUM(y) AS s,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS s2
+          FROM panel GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT
+            SUM(CASE WHEN treated=1 AND period=0 THEN n END) AS n_10,
+            SUM(CASE WHEN treated=1 AND period=1 THEN n END) AS n_11,
+            SUM(CASE WHEN treated=0 AND period=0 THEN n END) AS n_00,
+            SUM(CASE WHEN treated=0 AND period=1 THEN n END) AS n_01,
+            SUM(CASE WHEN treated=1 AND period=0 THEN s END) AS s_10,
+            SUM(CASE WHEN treated=1 AND period=1 THEN s END) AS s_11,
+            SUM(CASE WHEN treated=0 AND period=0 THEN s END) AS s_00,
+            SUM(CASE WHEN treated=0 AND period=1 THEN s END) AS s_01,
+            SUM(CASE WHEN treated=1 AND period=0 THEN s2 END) AS s2_10,
+            SUM(CASE WHEN treated=1 AND period=1 THEN s2 END) AS s2_11,
+            SUM(CASE WHEN treated=0 AND period=0 THEN s2 END) AS s2_00,
+            SUM(CASE WHEN treated=0 AND period=1 THEN s2 END) AS s2_01
+          FROM cells
+        ),
+        fin AS (
+          SELECT *,
+            (s_11 / n_11 - s_10 / n_10) - (s_01 / n_01 - s_00 / n_00)
+              AS did,
+            sqrt(
+              CAST(n_11 * s2_11 - CAST(s_11 AS HUGEINT)
+                   * CAST(s_11 AS HUGEINT) AS DOUBLE)
+                / CAST(n_11 * (n_11 - 1) AS DOUBLE) / n_11
+              + CAST(n_10 * s2_10 - CAST(s_10 AS HUGEINT)
+                     * CAST(s_10 AS HUGEINT) AS DOUBLE)
+                / CAST(n_10 * (n_10 - 1) AS DOUBLE) / n_10
+              + CAST(n_01 * s2_01 - CAST(s_01 AS HUGEINT)
+                     * CAST(s_01 AS HUGEINT) AS DOUBLE)
+                / CAST(n_01 * (n_01 - 1) AS DOUBLE) / n_01
+              + CAST(n_00 * s2_00 - CAST(s_00 AS HUGEINT)
+                     * CAST(s_00 AS HUGEINT) AS DOUBLE)
+                / CAST(n_00 * (n_00 - 1) AS DOUBLE) / n_00) AS se
+          FROM agg
+        )
+        SELECT CAST(n_10 AS BIGINT) AS n_t0,
+               CAST(n_11 AS BIGINT) AS n_t1,
+               CAST(n_00 AS BIGINT) AS n_c0,
+               CAST(n_01 AS BIGINT) AS n_c1,
+               round(s_10 / n_10, 9) AS mean_t0,
+               round(s_11 / n_11, 9) AS mean_t1,
+               round(s_00 / n_00, 9) AS mean_c0,
+               round(s_01 / n_01, 9) AS mean_c1,
+               round(did, 9) AS did, round(se, 9) AS se,
+               round(did / se, 9) AS t
+        FROM fin
+    """
+
     # kaplan_meier: identical per-user spans, risk-set suffix sums, and
     # the same ln/exp product-limit chain over t-sorted rows.
     sqls["kaplan_meier"] = """

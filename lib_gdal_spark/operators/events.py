@@ -478,3 +478,55 @@ def kaplan_meier(subjects: DataFrame, t_col: str = "t",
         F.col("c").cast("long").alias("n_censored"),
         F.round(F.when(F.col("dead") == 1, F.lit(0.0))
                 .otherwise(F.exp("lnS")), 9).alias("survival"))
+
+
+def did_estimator(panel: DataFrame) -> DataFrame:
+    """Two-period difference-in-differences (the canonical natural-
+    experiment estimator; Card & Krueger 1994 usage): with panel rows
+    (unit, treated 0/1, period 0/1, y), the effect is
+    (mean_T1 - mean_T0) - (mean_C1 - mean_C0) — the treatment-group
+    change net of the control-group trend — with the large-sample
+    standard error sqrt(sum over the four cells of s_g^2 / n_g)
+    (heteroskedastic two-sample form applied twice) and t = effect/SE.
+
+    Exactness: per-cell n / sum / sum-of-squares are exact int64
+    aggregates (one combinable groupBy over (treated, period)); means,
+    sample variances (n-1 denominator), the effect, SE, and t are each
+    ONE fixed float expression over those integers — engine-exact.
+    Returns one row (n_t0, n_t1, n_c0, n_c1, mean_t0, mean_t1,
+    mean_c0, mean_c1, did, se, t)."""
+    cells = panel.groupBy("treated", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)")
+              * F.col("y").cast("decimal(38,0)")).alias("s2"))
+    agg = cells.agg(*[
+        F.sum(F.when((F.col("treated") == t) & (F.col("period") == pd_),
+                     F.col(c))).alias(f"{c}_{t}{pd_}")
+        for t in (0, 1) for pd_ in (0, 1) for c in ("n", "s", "s2")])
+
+    def mean(t, pd_):
+        return F.col(f"s_{t}{pd_}") / F.col(f"n_{t}{pd_}")
+
+    def var(t, pd_):  # sample variance from exact sums
+        n = F.col(f"n_{t}{pd_}")
+        return ((n * F.col(f"s2_{t}{pd_}")
+                 - F.col(f"s_{t}{pd_}").cast("decimal(38,0)")
+                 * F.col(f"s_{t}{pd_}").cast("decimal(38,0)"))
+                .cast("double") / (n * (n - 1)).cast("double"))
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(var(1, 1) / F.col("n_11") + var(1, 0) / F.col("n_10")
+                + var(0, 1) / F.col("n_01") + var(0, 0) / F.col("n_00"))
+    return agg.select(
+        F.col("n_10").cast("long").alias("n_t0"),
+        F.col("n_11").cast("long").alias("n_t1"),
+        F.col("n_00").cast("long").alias("n_c0"),
+        F.col("n_01").cast("long").alias("n_c1"),
+        F.round(mean(1, 0), 9).alias("mean_t0"),
+        F.round(mean(1, 1), 9).alias("mean_t1"),
+        F.round(mean(0, 0), 9).alias("mean_c0"),
+        F.round(mean(0, 1), 9).alias("mean_c1"),
+        F.round(did, 9).alias("did"),
+        F.round(se, 9).alias("se"),
+        F.round(did / se, 9).alias("t"))
