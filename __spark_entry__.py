@@ -1917,6 +1917,23 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(pts, eps=0.2, min_pts=3, size=0.25)
 
 
+def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007) over the same compressed lattice
+    with event timestamps: neighbours must be within eps_s=0.2 AND 4
+    days (exact microsecond filter); the time predicate only removes
+    edges, so the dbscan oracle's 12-round min-label convergence bound
+    still holds. Returns (pid, role, cluster)."""
+    from lib_gdal_spark.operators.cluster import st_dbscan
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"), "ts")
+    pts = _points(spark, sf_dir).select(
+        "pid", (F.col("lon") / 8.0).alias("lon"),
+        (F.col("lat") / 8.0).alias("lat")).join(ev, "pid")
+    return st_dbscan(pts, eps_s=0.2, eps_t_s=4 * 86400.0, min_pts=3,
+                     size=0.25)
+
+
 def q_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Google Encoded Polyline Format over the point lattice bucketed
     into 200 tracks (line = pid % 200, vertex order = pid): quantize ->
@@ -8449,6 +8466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "hex_kring_pairs": q_hex_kring_pairs,
         "dbscan_clusters": q_dbscan_clusters,
+        "st_dbscan": q_st_dbscan,
         "polyline_encode": q_polyline_encode,
         "salted_hot_join": q_salted_hot_join,
         "hot_cells": q_hot_cells,
@@ -10795,6 +10813,50 @@ def oracle_sql() -> dict[str, str]:
           FROM pts a JOIN pts b ON a.pid < b.pid
           WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
                      + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.2
+        ),
+        sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs
+                UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT u AS pid, count(*) AS n FROM sym GROUP BY u),
+        cores AS MATERIALIZED (SELECT pid FROM deg WHERE n + 1 >= 3),
+        ce AS MATERIALIZED (
+          SELECT s.u, s.v FROM sym s
+          JOIN cores c1 ON c1.pid = s.u
+          JOIN cores c2 ON c2.pid = s.v
+        ),
+        l0 AS MATERIALIZED (SELECT pid, pid AS lbl FROM cores),
+        {_db_prop},
+        bl AS (
+          SELECT s.u AS pid, min(l.lbl) AS cluster
+          FROM sym s
+          JOIN l12 l ON l.pid = s.v
+          WHERE s.u NOT IN (SELECT pid FROM cores)
+          GROUP BY s.u
+        )
+        SELECT p.pid,
+          CASE WHEN c.lbl IS NOT NULL THEN 'core'
+               WHEN b.cluster IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS role,
+          coalesce(c.lbl, b.cluster) AS cluster
+        FROM pts p
+        LEFT JOIN l12 c ON c.pid = p.pid
+        LEFT JOIN bl b ON b.pid = p.pid
+    """
+
+    # st_dbscan: the dbscan oracle with the exact-microsecond temporal
+    # predicate on the candidate pairs; same 12-round propagation.
+    sqls["st_dbscan"] = f"""
+        WITH pts0 AS ({_POINTS_SQL}),
+        pts AS MATERIALIZED (
+          SELECT p.pid, p.lon / 8.0 AS lon, p.lat / 8.0 AS lat,
+                 epoch_us(e.ts) AS t
+          FROM pts0 p JOIN events e ON e.event_id = p.pid
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.pid AS pa, b.pid AS pb
+          FROM pts a JOIN pts b ON a.pid < b.pid
+          WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                     + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.2
+            AND abs(a.t - b.t) <= {4 * 86400 * 10**6}
         ),
         sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs
                 UNION ALL SELECT pb, pa FROM pairs),

@@ -231,7 +231,6 @@ def dbscan(
     hex_ring_pairs. Reference analog: none (lib_gdal has no clustering);
     graded under the beyond-reference LLM-pipeline surface.
     """
-    from lib_gdal_spark.operators.components import connected_components
     from lib_gdal_spark.operators.knn import hex_ring_pairs
 
     if size is None:
@@ -240,6 +239,14 @@ def dbscan(
         points, max_dist=eps, size=size,
         id_col=id_col, lon_col=lon_col, lat_col=lat_col,
     ).select("pid_a", "pid_b").localCheckpoint()
+    return _label_from_pairs(points, pairs, min_pts, id_col)
+
+
+def _label_from_pairs(points: DataFrame, pairs: DataFrame, min_pts: int,
+                      id_col: str) -> DataFrame:
+    """Shared DBSCAN tail: degree -> core set -> core-core connected
+    components -> border min-label attach (see :func:`dbscan`)."""
+    from lib_gdal_spark.operators.components import connected_components
 
     sym = pairs.union(pairs.select(F.col("pid_b"), F.col("pid_a")))
     deg = sym.groupBy(F.col("pid_a").alias("id")).agg(
@@ -420,3 +427,46 @@ def pq_topk(
         F.col(id_col), F.col("adc_dist2").cast("long").alias("adc_dist2"),
         "exact_dist2",
     )
+
+
+def st_dbscan(
+    points: DataFrame,
+    eps_s: float,
+    eps_t_s: float,
+    min_pts: int,
+    size: float | None = None,
+    id_col: str = "pid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut, Data & Knowl. Eng. 2007): density
+    clustering where a neighbour must be close in BOTH space
+    (d <= ``eps_s``) and time (|Δt| <= ``eps_t_s`` seconds) — the
+    spatio-temporal event-cluster detector (outbreaks, news bursts,
+    convoys) that plain :func:`dbscan` smears across time.
+
+    Same distributed shape as dbscan: the spatial candidate pairs come
+    from the hex ring-1 covering join, the temporal predicate filters
+    them with exact microsecond integers, and the core/component/
+    border labeling tail is shared verbatim (min-label determinism
+    contract included). Returns (id, role, cluster)."""
+    if size is None:
+        size = eps_s * 1.25
+    from lib_gdal_spark.operators.knn import hex_ring_pairs
+
+    dt_us = int(round(float(eps_t_s) * 1e6))
+    sp = hex_ring_pairs(
+        points, max_dist=eps_s, size=size,
+        id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+    ).select("pid_a", "pid_b")
+    t = points.select(
+        F.col(id_col).alias("__tid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"))
+    pairs = (sp.join(t.select(F.col("__tid").alias("pid_a"),
+                              F.col("__t").alias("ta")), "pid_a")
+             .join(t.select(F.col("__tid").alias("pid_b"),
+                            F.col("__t").alias("tb")), "pid_b")
+             .where(F.abs(F.col("ta") - F.col("tb")) <= dt_us)
+             .select("pid_a", "pid_b").localCheckpoint())
+    return _label_from_pairs(points, pairs, min_pts, id_col)

@@ -95,3 +95,34 @@ def test_cluster_label_is_component_min_core(spark):
     assert out[4] == ("core", 2)
     assert out[1] == ("border", 2)
     assert out[5] == ("border", 2)
+
+
+def test_st_dbscan_splits_temporal_clusters(spark):
+    import datetime as dt
+
+    from lib_gdal_spark.operators.cluster import st_dbscan
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # one tight spatial blob, but two temporal waves a week apart:
+    # plain dbscan sees ONE cluster; st_dbscan must split it
+    for i in range(6):
+        rows.append((i, 0.01 * i, 0.0, t0 + dt.timedelta(minutes=i)))
+    for i in range(6):
+        rows.append((100 + i, 0.01 * i, 0.0,
+                     t0 + dt.timedelta(days=7, minutes=i)))
+    import pandas as pd
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "lon", "lat", "ts"]),
+        schema="pid long, lon double, lat double, ts timestamp")
+    got = {r["pid"]: r for r in
+           st_dbscan(pts, eps_s=0.1, eps_t_s=3600.0, min_pts=3).collect()}
+    c_early = {got[i]["cluster"] for i in range(6)}
+    c_late = {got[100 + i]["cluster"] for i in range(6)}
+    assert c_early == {0} and c_late == {100}
+    assert all(got[i]["role"] == "core" for i in range(6))
+    # same input through plain dbscan merges them
+    from lib_gdal_spark.operators.cluster import dbscan
+    one = {r["cluster"] for r in
+           dbscan(pts, eps=0.1, min_pts=3).collect()}
+    assert one == {0}
