@@ -4600,6 +4600,19 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "harmonic_units")
 
 
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function + exact effective diameter (HyperANF
+    statistic, exact on 8 sampled sources) over the functional link
+    graph: per-distance exact pair counts, cumulative shares, and the
+    cross-multiplied 90% threshold row. The oracle reuses the
+    recursive-CTE BFS and the identical window arithmetic."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.neighborhood_function(
+        _link_fixture_edges(spark),
+        seeds=[1, 31, 61, 91, 121, 151, 181, 211])
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-sampled Brandes betweenness (Brandes 2001; Brandes & Pich
     2007 sampling) from 4 fixed sources on the 300-node functional link
@@ -8731,6 +8744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "harmonic_centrality": q_harmonic,
         "betweenness": q_betweenness,
+        "neighborhood_function": q_neighborhood_function,
         "degree_mixing": q_degree_mixing,
         "rich_club": q_rich_club,
         "salsa_scores": q_salsa,
@@ -15738,6 +15752,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node,
                CAST(sum(1000000 // d) AS BIGINT) AS harmonic_units
         FROM md WHERE d > 0 GROUP BY node
+    """
+
+    # neighborhood_function: the harmonic BFS + identical cumulative /
+    # threshold-window arithmetic.
+    sqls["neighborhood_function"] = """
+        WITH RECURSIVE e AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        ),
+        seeds AS (
+          SELECT unnest([1, 31, 61, 91, 121, 151, 181, 211]) AS seed
+        ),
+        bfs AS (
+          SELECT seed, seed AS node, 0 AS d FROM seeds
+          UNION
+          SELECT b.seed, e.v AS node, b.d + 1 AS d
+          FROM bfs b JOIN e ON e.u = b.node
+          WHERE b.d < 20
+        ),
+        md AS (SELECT seed, node, min(d) AS d FROM bfs GROUP BY 1, 2),
+        per_d AS (SELECT d, count(*) AS n_at FROM md GROUP BY d),
+        tot AS (SELECT count(*) AS n_tot FROM md),
+        cum AS (
+          SELECT d, n_at,
+                 SUM(n_at) OVER (ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS n_cum
+          FROM per_d
+        ),
+        fl AS (
+          SELECT d, n_at, n_cum,
+                 CASE WHEN n_cum * 10 >= 9 * (SELECT n_tot FROM tot)
+                      THEN 1 ELSE 0 END AS hit
+          FROM cum
+        )
+        SELECT d, CAST(n_at AS BIGINT) AS n_at,
+               CAST(n_cum AS BIGINT) AS n_cum,
+               round(n_cum / CAST((SELECT n_tot FROM tot) AS DOUBLE), 9)
+                 AS reached_frac,
+               (hit = 1 AND COALESCE(MAX(hit) OVER (
+                  ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) = 0) AS is_effective
+        FROM fl
     """
 
     # betweenness: recursive-CTE min-dist BFS, then 16 unrolled sigma

@@ -906,6 +906,66 @@ def harmonic_centrality(edges: DataFrame, seeds: list,
     )
 
 
+def neighborhood_function(edges: DataFrame, seeds: list,
+                          max_dist: int = 20,
+                          eff_num: int = 9, eff_den: int = 10) -> DataFrame:
+    """Neighborhood function N(d) and effective diameter from a seed
+    sample (the HyperANF/HyperBall statistic of Boldi, Rosa & Vigna,
+    WWW 2011, computed EXACTLY on sampled sources instead of
+    approximately on all): N(d) = number of (seed, node) pairs with
+    shortest-path distance <= d; the effective diameter is the smallest
+    d with N(d) >= (eff_num/eff_den) * N(max) — the standard
+    "90% of reachable pairs" summary of web-graph compactness. The
+    integer-d form (no interpolation) is used so the threshold test is
+    exact cross-multiplied arithmetic.
+
+    Scale shape: ONE level-synchronous multi-source BFS keyed by
+    (seed, node) — identical to :func:`harmonic_centrality` — then a
+    bounded per-distance groupBy. All counts exact int64. Returns one
+    row per distance: (d, n_at, n_cum, reached_frac, is_effective) —
+    is_effective marks the effective-diameter row."""
+    e = edges.select(F.col("u").cast("long").alias("u"),
+                     F.col("v").cast("long").alias("v")).localCheckpoint()
+    from lib_gdal_spark.session import local_df
+    dist = local_df(
+        e.sparkSession, [(int(s), int(s), 0) for s in seeds],
+        "seed long, node long, d int",
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, max_dist + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"), F.lit(r).alias("d"))
+            .distinct()
+            .join(dist.select(F.col("seed").alias("s2"),
+                              F.col("node").alias("n2")),
+                  (F.col("seed") == F.col("s2"))
+                  & (F.col("node") == F.col("n2")), "left_anti")
+            .localCheckpoint()
+        )
+        if cand.isEmpty():
+            break
+        dist = dist.unionByName(cand).localCheckpoint()
+        frontier = cand
+    from pyspark.sql import Window
+    per_d = dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_at"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_d.withColumn("n_cum", F.sum("n_at").over(w)) \
+        .crossJoin(F.broadcast(
+            dist.agg(F.count(F.lit(1)).alias("n_tot"))))
+    flagged = cum.withColumn(
+        "__hit", (F.col("n_cum") * eff_den
+                  >= eff_num * F.col("n_tot")).cast("int"))
+    weff = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return flagged.select(
+        "d", F.col("n_at").cast("long").alias("n_at"),
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.round(F.col("n_cum") / F.col("n_tot"), 9).alias("reached_frac"),
+        ((F.col("__hit") == 1)
+         & (F.coalesce(F.max("__hit").over(weff), F.lit(0)) == 0))
+        .alias("is_effective"))
+
+
 def betweenness(edges: DataFrame, seeds: list, max_dist: int = 20,
                 scale: int = 10**6) -> DataFrame:
     """Seed-sampled betweenness centrality (Brandes, J. Math. Sociology

@@ -26,3 +26,21 @@ def test_hits_deterministic_across_parallelism(spark):
     b = {(r["node"], r["hub_units"], r["auth_units"])
          for r in hits(e.repartition(13)).collect()}
     assert a == b
+
+
+def test_neighborhood_function_path_graph(spark):
+    import pandas as pd
+
+    from lib_gdal_spark.operators.graph import neighborhood_function
+
+    # directed path 0->1->...->9, seed 0: N(d) counts d+1 pairs
+    e = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(9)], columns=["u", "v"]),
+        schema="u long, v long")
+    rows = sorted(neighborhood_function(e, seeds=[0]).collect(),
+                  key=lambda r: r["d"])
+    assert [r["n_at"] for r in rows] == [1] * 10
+    assert [r["n_cum"] for r in rows] == list(range(1, 11))
+    # effective diameter at 90%: smallest d with cum*10 >= 9*10 -> d=8
+    eff = [r["d"] for r in rows if r["is_effective"]]
+    assert eff == [8]
