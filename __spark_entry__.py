@@ -7486,6 +7486,44 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(zones, vals)
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal statistics (majority/minority/variety, ties to
+    the smallest value) over the same pentagon zones and synthetic
+    value raster as zonal_stats — per-(zone, value) exact counts via a
+    packed-key np.unique per tile, two window argmins on the aggregated
+    table. The oracle groups the identical burned pixels and applies
+    the same (count, value) orderings."""
+    from lib_gdal_spark.operators import rasterize as RZ
+    from lib_gdal_spark.operators.stats import zonal_majority
+
+    grid = RZ.world_grid(256, 256, 64)
+    zones = RZ.rasterize_polygons(_raster_polys_df(spark), grid)
+
+    base = spark.range(16).select(
+        (F.col("id") % 4).cast("int").alias("tile_x"),
+        (F.col("id") / 4).cast("int").alias("tile_y"),
+    )
+
+    def mk(batches):
+        import numpy as np
+        for b in batches:
+            px_list = []
+            for tx, ty in zip(b["tile_x"], b["tile_y"]):
+                pyl, pxl = np.meshgrid(np.arange(64), np.arange(64),
+                                       indexing="ij")
+                v = (((tx * 64 + pxl) * 7 + (ty * 64 + pyl) * 13) % 100)
+                px_list.append(v.astype(np.float64).ravel())
+            yield pd.DataFrame({
+                "tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                "pixels": px_list,
+            })
+
+    vals = base.mapInPandas(
+        mk, schema="tile_x int, tile_y int, pixels array<double>"
+    )
+    return zonal_majority(zones, vals)
+
+
 def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON codec parity (drivers/vector/geojson, RFC 7946): every
     geometry survives WKB -> GeoJSON text -> WKB byte-identically; output
@@ -8700,6 +8738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_collections": q_explode_collections,
         "wrap_dateline": q_wrap_dateline,
         "zonal_stats": q_zonal_stats,
+        "zonal_majority": q_zonal_majority,
         "link_graph": q_link_graph,
         "co_citation": q_co_citation,
         "bib_coupling": q_bib_coupling,
@@ -18318,6 +18357,40 @@ def oracle_sql() -> dict[str, str]:
                round(sum(v) / count(*), 6) AS v_mean
         FROM burned JOIN vals USING (px, py)
         GROUP BY fid
+    """
+
+    # zonal_majority: identical burned pixels, per-(zone, value) counts,
+    # and the same (count, value) argmin orderings.
+    sqls["zonal_majority"] = f"""
+        WITH pix AS ({_PIXELS_SQL}),
+        burned AS ({burn_parts}),
+        vals AS (
+          SELECT px, py, CAST((px * 7 + py * 13) % 100 AS BIGINT) AS v
+          FROM pix
+        ),
+        cnt AS (
+          SELECT fid AS zone, v, count(*) AS c
+          FROM burned JOIN vals USING (px, py)
+          GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT zone, v, c,
+                 row_number() OVER (PARTITION BY zone
+                                    ORDER BY c DESC, v ASC) AS rmaj,
+                 row_number() OVER (PARTITION BY zone
+                                    ORDER BY c ASC, v ASC) AS rmin
+          FROM cnt
+        ),
+        var AS (SELECT zone, count(*) AS variety FROM cnt GROUP BY zone)
+        SELECT CAST(var.zone AS DOUBLE) AS zone,
+               CAST(var.variety AS BIGINT) AS variety,
+               CAST(mj.v AS BIGINT) AS majority,
+               CAST(mj.c AS BIGINT) AS maj_count,
+               CAST(mn.v AS BIGINT) AS minority,
+               CAST(mn.c AS BIGINT) AS min_count
+        FROM var
+        JOIN rk mj ON mj.zone = var.zone AND mj.rmaj = 1
+        JOIN rk mn ON mn.zone = var.zone AND mn.rmin = 1
     """
 
     # link_graph: independent closed-form reproduction of the edge list

@@ -537,3 +537,71 @@ def jenks_breaks(tiles: DataFrame, k: int = 5) -> DataFrame:
               "sse_raw double")
     return out.select("cls", "lower", "upper", "n_pixels",
                       F.round("sse_raw", 6).alias("sse"))
+
+
+def zonal_majority(
+    zone_tiles: DataFrame,
+    value_tiles: DataFrame,
+    background: float = 0.0,
+) -> DataFrame:
+    """Categorical zonal statistics — MAJORITY / MINORITY / VARIETY
+    (the ArcGIS Zonal Statistics categorical triple, completing
+    :func:`zonal_stats`' numeric set): per zone, the most and least
+    frequent INTEGER-VALUED pixel value (ties break to the smallest
+    value — a stated contract) and the distinct-value count.
+
+    Scale shape: same co-partitioned tile join as zonal_stats; each
+    Arrow batch emits per-(zone, value) partial counts via one
+    np.unique on an exact packed integer key — rows out are
+    O(zones x values per tile), never pixels; a combinable
+    groupBy(zone, value) merges, then two per-zone window argmins over
+    the aggregated (small) table. All counts exact int64. Returns
+    (zone, variety, majority, maj_count, minority, min_count)."""
+    from pyspark.sql import Window
+
+    z = zone_tiles.select("tile_x", "tile_y", F.col("pixels").alias("zpx"))
+    v = value_tiles.select("tile_x", "tile_y", F.col("pixels").alias("vpx"))
+    joined = z.join(v, ["tile_x", "tile_y"])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            zs, vs, cs = [], [], []
+            for zp, vp in zip(b["zpx"], b["vpx"]):
+                za = np.asarray(zp, dtype=np.float64)
+                va = np.asarray(vp, dtype=np.float64)
+                m = za != background
+                if not m.any():
+                    continue
+                zi = za[m].astype(np.int64)
+                vi = va[m].astype(np.int64)
+                key = zi * (1 << 32) + vi
+                u, c = np.unique(key, return_counts=True)
+                zs.append(u >> 32)
+                vs.append(u & 0xFFFFFFFF)
+                cs.append(c)
+            if zs:
+                yield pd.DataFrame({
+                    "zone": np.concatenate(zs),
+                    "v": np.concatenate(vs),
+                    "c": np.concatenate(cs)})
+            else:
+                yield pd.DataFrame({"zone": [], "v": [], "c": []})
+
+    counts = joined.mapInPandas(
+        partial, schema="zone long, v long, c long"
+    ).groupBy("zone", "v").agg(F.sum("c").alias("c"))
+    wmaj = Window.partitionBy("zone").orderBy(F.desc("c"), F.asc("v"))
+    wmin = Window.partitionBy("zone").orderBy(F.asc("c"), F.asc("v"))
+    ranked = counts.withColumn("rmaj", F.row_number().over(wmaj)) \
+                   .withColumn("rmin", F.row_number().over(wmin))
+    var = counts.groupBy("zone").agg(F.count(F.lit(1)).alias("variety"))
+    maj = ranked.where(F.col("rmaj") == 1).select(
+        "zone", F.col("v").alias("majority"),
+        F.col("c").alias("maj_count"))
+    mino = ranked.where(F.col("rmin") == 1).select(
+        "zone", F.col("v").alias("minority"),
+        F.col("c").alias("min_count"))
+    return (var.join(maj, "zone").join(mino, "zone")
+            .select(F.col("zone").cast("double").alias("zone"),
+                    "variety", "majority", "maj_count",
+                    "minority", "min_count"))
