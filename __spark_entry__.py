@@ -4628,6 +4628,17 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
                           seeds=[1, 31, 61, 91], max_dist=16)
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition (Batagelj-Zaversnik onion) of the
+    functional link graph: incremental peels at k = 2, 3, 4 (the
+    4-core is empty), nodes dropped at level k labeled k-1. The oracle
+    unrolls six peel rounds per level over the same symmetric edges —
+    fixture histogram 270x coreness-3, 28x 2, 2x 1."""
+    from lib_gdal_spark.operators import graph as GG
+
+    return GG.coreness(_link_fixture_edges(spark))
+
+
 def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocity (Garlaschelli & Loffredo 2004) + out-in degree
     assortativity (Newman 2002) of the functional link graph: exact
@@ -8786,6 +8797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         "degree_mixing": q_degree_mixing,
         "rich_club": q_rich_club,
+        "coreness": q_coreness,
         "salsa_scores": q_salsa,
         "link_prediction": q_link_prediction,
         "hgt_cells": q_hgt_cells,
@@ -15914,6 +15926,46 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(dep) / {float(_bc_scale)!r}, 9) AS bc
         FROM acc0 WHERE node <> seed GROUP BY node"""
     )
+
+    # coreness: three unrolled incremental peels (k = 2, 3, 4), six
+    # rounds each, dropped sets labeled k-1.
+    _cn_parts = [
+        """eraw AS (
+          SELECT i AS u, (i * 7 + 3) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+          UNION ALL
+          SELECT i AS u, (i * 13 + 5) % 300 AS v
+          FROM range(0, 300) t(i) WHERE i % 17 <> 0
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM eraw WHERE u <> v
+            UNION ALL SELECT v, u FROM eraw WHERE u <> v
+          )
+        )""",
+        "c1_6 AS (SELECT DISTINCT u AS n FROM sym)",
+    ]
+    for _k in (2, 3, 4):
+        _cn_parts.append(
+            f"c{_k}_0 AS (SELECT n FROM c{_k - 1}_6)")
+        for _r in range(1, 7):
+            _cn_parts.append(f"""c{_k}_{_r} AS MATERIALIZED (
+              SELECT s.u AS n FROM sym s
+              JOIN c{_k}_{_r - 1} a ON a.n = s.u
+              JOIN c{_k}_{_r - 1} b ON b.n = s.v
+              GROUP BY s.u HAVING count(*) >= {_k}
+            )""")
+    sqls["coreness"] = (
+        "WITH " + ",\n".join(_cn_parts) + """
+        SELECT CAST(n AS BIGINT) AS node, CAST(1 AS BIGINT) AS coreness
+        FROM c1_6 WHERE n NOT IN (SELECT n FROM c2_6)
+        UNION ALL
+        SELECT n, 2 FROM c2_6 WHERE n NOT IN (SELECT n FROM c3_6)
+        UNION ALL
+        SELECT n, 3 FROM c3_6 WHERE n NOT IN (SELECT n FROM c4_6)
+        UNION ALL
+        SELECT n, 4 FROM c4_6
+        """)
 
     # degree_mixing / rich_club: identical exact integer moments and
     # final float expressions over the same functional graph.

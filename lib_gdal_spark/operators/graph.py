@@ -710,6 +710,56 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 50,
             .select(F.col("u").alias("node"), "core_deg"))
 
 
+def coreness(edges: DataFrame, max_k: int = 64,
+             max_rounds: int = 50) -> DataFrame:
+    """Full k-core (coreness) decomposition (Seidman 1983; the
+    Batagelj-Zaversnik onion): every node's maximum k such that it
+    survives in the k-core — the standard web-graph "depth" measure a
+    single :func:`kcore` call at fixed k cannot give.
+
+    Monotone nesting makes this incremental: the (k+1)-peel starts from
+    the k-core's edges, so total work is O(sum of shrinking subgraphs),
+    not k independent peels of the full graph. Each peel round is one
+    combinable degree count + two semi-joins with lineage truncation
+    (the kcore shape); nodes dropped while peeling at level k have
+    coreness k - 1 exactly. Every count is exact int64 and the
+    membership sets are deterministic, so an unrolled SQL peel
+    reproduces the labels verbatim. Returns (node, coreness)."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("u"),
+        F.col(edges.columns[1]).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    sym = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    spark = edges.sparkSession
+    prev_nodes = sym.select("u").distinct().localCheckpoint()
+    remaining = sym
+    labels = None
+    for k in range(2, max_k + 1):
+        cur = remaining
+        for _ in range(max_rounds):
+            deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.where(F.col("d") >= k).select("u").localCheckpoint()
+            nxt = (cur.join(keep, "u")
+                   .join(keep.withColumnRenamed("u", "v"), "v")
+                   .select("u", "v").localCheckpoint())
+            if nxt.count() == cur.count():
+                cur = nxt
+                break
+            cur = nxt
+        cur_nodes = cur.select("u").distinct().localCheckpoint()
+        dropped = prev_nodes.join(cur_nodes, "u", "left_anti") \
+            .select(F.col("u").alias("node"),
+                    F.lit(k - 1).cast("long").alias("coreness"))
+        labels = dropped if labels is None \
+            else labels.unionByName(dropped).localCheckpoint()
+        if cur_nodes.isEmpty():
+            return labels
+        prev_nodes = cur_nodes
+        remaining = cur
+    raise RuntimeError(f"coreness exceeded max_k={max_k}")
+
+
 def _edge_support(c: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (u<v) edge list:
     (u, v, support) for every edge of ``c`` (support 0 kept via the

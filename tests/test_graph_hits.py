@@ -44,3 +44,38 @@ def test_neighborhood_function_path_graph(spark):
     # effective diameter at 90%: smallest d with cum*10 >= 9*10 -> d=8
     eff = [r["d"] for r in rows if r["is_effective"]]
     assert eff == [8]
+
+
+def test_coreness_matches_batagelj_zaversnik(spark):
+    import heapq
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from lib_gdal_spark.operators.graph import coreness
+
+    rng_edges = {((i * 11 + 1) % 50, (i * 7 + 3) % 50) for i in range(120)}
+    rng_edges = [(u, v) for u, v in rng_edges if u != v]
+    e = spark.createDataFrame(pd.DataFrame(rng_edges, columns=["u", "v"]),
+                              schema="u long, v long")
+    got = {r["node"]: r["coreness"] for r in coreness(e).collect()}
+    adj = defaultdict(set)
+    for u, v in rng_edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cur = {n: len(a) for n, a in adj.items()}
+    h = [(d, n) for n, d in cur.items()]
+    heapq.heapify(h)
+    alive, k, ref = set(adj), 0, {}
+    while h:
+        d, n = heapq.heappop(h)
+        if n not in alive or cur[n] != d:
+            continue
+        k = max(k, d)
+        ref[n] = k
+        alive.discard(n)
+        for m in adj[n]:
+            if m in alive:
+                cur[m] -= 1
+                heapq.heappush(h, (cur[m], m))
+    assert got == ref
