@@ -8134,6 +8134,17 @@ def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(_stat_cells(spark, sf_dir), queen=True)
 
 
+def q_local_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Geary's c (Anselin 2019) per occupied lattice cell —
+    value-similarity LISA beside local_moran's co-variation: c_i from
+    exact int64 neighbor aggregates (nsum, nsum2, deg) and global power
+    sums, E[c_i] = deg*2n/(n-1), similar/dissimilar labels. One float
+    expression per row, oracle-identical."""
+    from lib_gdal_spark.operators.spatialstats import local_geary
+
+    return local_geary(_stat_cells(spark, sf_dir), queen=True)
+
+
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-count statistics (Cliff & Ord 1981) for the binary
     odd-count indicator over lattice cells: BB/BW/WW joins plus the
@@ -8819,6 +8830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huff_model": q_huff_model,
         "quadrat_test": q_quadrat_test,
         "local_moran": q_local_moran,
+        "local_geary": q_local_geary,
         "join_counts": q_join_counts,
         "getis_hotspots": q_getis_hotspots,
         "mann_kendall": q_mann_kendall,
@@ -19823,6 +19835,36 @@ def oracle_sql() -> dict[str, str]:
             (CASE WHEN x * n >= sx THEN 'H' ELSE 'L' END) ||
             (CASE WHEN nsum - deg*m >= 0 THEN 'H' ELSE 'L' END)
           END AS quad
+        FROM e
+    """
+    sqls["local_geary"] = f"""
+        WITH cells AS ({_STAT_CELLS_SQL}),
+        pairs AS ({_STAT_PAIRS_SQL}),
+        nbr AS (SELECT gx, gy, SUM(xj) AS nsum, SUM(xj*xj) AS nsum2,
+                       COUNT(*) AS deg
+                FROM pairs GROUP BY 1, 2),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+              FROM cells),
+        per AS (SELECT c.gx, c.gy, c.x,
+                       COALESCE(nb.nsum, 0) AS nsum,
+                       COALESCE(nb.nsum2, 0) AS nsum2,
+                       COALESCE(nb.deg, 0) AS deg
+                FROM cells c LEFT JOIN nbr nb USING (gx, gy)),
+        e AS (SELECT per.*, n, sx,
+                     sx/n AS m,
+                     (sxx - n*(sx/n)*(sx/n)) / n AS m2
+              FROM per, g)
+        SELECT gx, gy, x, deg,
+          round((deg*(x - m)*(x - m)
+                 - 2.0*(x - m)*(nsum - deg*m)
+                 + (nsum2 - 2.0*m*nsum + deg*m*m)) / m2, 8) AS ci,
+          round(deg*2.0*n / (n - 1.0), 8) AS e_ci,
+          CASE WHEN deg = 0 THEN NULL
+               WHEN (deg*(x - m)*(x - m)
+                     - 2.0*(x - m)*(nsum - deg*m)
+                     + (nsum2 - 2.0*m*nsum + deg*m*m)) / m2
+                    < deg*2.0*n / (n - 1.0)
+               THEN 'similar' ELSE 'dissimilar' END AS cluster
         FROM e
     """
     sqls["join_counts"] = f"""

@@ -41,6 +41,7 @@ __all__ = [
     "morans_i",
     "gearys_c",
     "local_moran",
+    "local_geary",
     "join_counts",
     "getis_gi_star",
     "kde_heatmap",
@@ -1024,6 +1025,53 @@ def local_moran(cells: DataFrame, queen: bool = True) -> DataFrame:
         F.round(z, 8).alias("z"),
         quad.alias("quad"),
     )
+
+
+def local_geary(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Local Geary's c (Anselin, Geographical Analysis 2019 — the LISA
+    family member :func:`local_moran` misses: Moran detects value
+    CO-VARIATION, local Geary detects value SIMILARITY, catching
+    negative-spatial-autocorrelation pockets Moran's cross-product
+    blurs): c_i = sum_j w_ij (z_i - z_j)^2 with z = (x - m)/sqrt(m2),
+    i.e. (deg*(xi-m)^2 - 2(xi-m)*lag + nd2) / m2 from the exact int64
+    neighbor aggregates (nsum, nsum2, deg) and global (n, sx, sxx).
+    Under total randomization E[(z_i - z_j)^2] = 2n/(n-1) for i != j,
+    so E[c_i] = deg * 2n/(n-1); ``cluster`` = 'similar' when
+    c_i < E[c_i] (neighbors alike), 'dissimilar' otherwise, NULL for
+    islands (deg = 0 — the PySAL convention). Full inference is
+    conditional-permutation-based (documented out of scope); the
+    statistic and moments here are one float expression per row over
+    exact integer sums — oracle-identical."""
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    nbr = neighbor_pairs(cells, queen).groupBy("gx", "gy").agg(
+        F.sum("xj").alias("nsum"),
+        F.sum(F.col("xj") * F.col("xj")).alias("nsum2"),
+        F.count(F.lit(1)).alias("deg"))
+    per = cells.join(nbr, ["gx", "gy"], "left").select(
+        "gx", "gy", "x",
+        F.coalesce("nsum", F.lit(0)).alias("nsum"),
+        F.coalesce("nsum2", F.lit(0)).alias("nsum2"),
+        F.coalesce("deg", F.lit(0)).alias("deg"))
+    j = per.crossJoin(F.broadcast(g))
+    n = F.col("n")
+    m = F.col("sx") / n
+    m2 = (F.col("sxx") - n * m * m) / n
+    dx = F.col("x") - m
+    lag = F.col("nsum") - F.col("deg") * m
+    nd2 = (F.col("nsum2") - 2.0 * m * F.col("nsum")
+           + F.col("deg") * m * m)
+    ci = (F.col("deg") * dx * dx - 2.0 * dx * lag + nd2) / m2
+    e_ci = F.col("deg") * 2.0 * n / (n - 1.0)
+    cluster = F.when(F.col("deg") == 0, F.lit(None).cast("string")) \
+        .when(ci < e_ci, F.lit("similar")).otherwise(F.lit("dissimilar"))
+    return j.select(
+        "gx", "gy", "x", "deg",
+        F.round(ci, 8).alias("ci"),
+        F.round(e_ci, 8).alias("e_ci"),
+        cluster.alias("cluster"))
 
 
 def join_counts(cells: DataFrame, queen: bool = True) -> DataFrame:
