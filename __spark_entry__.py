@@ -3006,6 +3006,17 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mattr(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5% trimmed and winsorized means of lineitem extendedprice:
+    cent quantization, exact global ranks (no single-reducer window),
+    integer floor trim counts; the oracle ranks identically with
+    row_number and applies the same clamps and divisions."""
+    from lib_gdal_spark.operators.quantiles import trimmed_mean
+
+    return trimmed_mean(_t(spark, sf_dir, "lineitem"),
+                        "l_extendedprice", trim_num=1, trim_den=20)
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of lineitem (quantity,
     extendedprice, discount, tax) in one pass of exact cent-quantized
@@ -8731,6 +8742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "mattr": q_mattr,
         "corr_matrix": q_corr_matrix,
+        "trimmed_mean": q_trimmed_mean,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,
@@ -16469,6 +16481,38 @@ def oracle_sql() -> dict[str, str]:
           FROM p WHERE n > 0 AND n < 20 GROUP BY 1, 2
         )
         SELECT * FROM agg_long UNION ALL SELECT * FROM short
+    """
+
+    # trimmed_mean: identical cent quantization, exact ranks, integer
+    # trim counts, same clamps/divisions.
+    sqls["trimmed_mean"] = """
+        WITH q AS (
+          SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+          FROM lineitem
+        ),
+        nn AS (SELECT count(*) AS n FROM q),
+        kk AS (SELECT (n * 1) // 20 AS k, n FROM nn),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM q),
+        bounds AS (
+          SELECT (SELECT x FROM r, kk WHERE rk = kk.k + 1) AS lo,
+                 (SELECT x FROM r, kk WHERE rk = kk.n - kk.k) AS hi
+        ),
+        mid AS (
+          SELECT count(*) AS nm, SUM(x) AS sm
+          FROM r, kk WHERE rk BETWEEN kk.k + 1 AND kk.n - kk.k
+        ),
+        fullsum AS (SELECT SUM(x) AS sa FROM q),
+        wins AS (
+          SELECT SUM(greatest(least(x, hi), lo)) AS sw
+          FROM q, bounds
+        )
+        SELECT CAST(kk.n AS BIGINT) AS n,
+               CAST(kk.k AS BIGINT) AS n_trimmed_each,
+               round(sa / CAST(kk.n AS DOUBLE) / 100, 9) AS mean,
+               round(sm / CAST(nm AS DOUBLE) / 100, 9) AS trimmed_mean,
+               round(sw / CAST(kk.n AS DOUBLE) / 100, 9)
+                 AS winsorized_mean
+        FROM kk, mid, fullsum, wins
     """
 
     # corr_matrix: identical cent quantization, HUGEINT moments, and

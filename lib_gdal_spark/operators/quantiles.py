@@ -180,3 +180,52 @@ def corr_matrix(df: DataFrame, cols: list, scale: int = 100) -> DataFrame:
                 F.round(F.when(den != 0.0, num / den), 9).alias("corr")))
     return (m.select(F.explode(F.array(*pairs)).alias("p"))
             .select("p.col_x", "p.col_y", "p.corr"))
+
+
+def trimmed_mean(df: DataFrame, col: str, trim_num: int = 1,
+                 trim_den: int = 20, scale: int = 100) -> DataFrame:
+    """Exact trimmed and winsorized means (the robust-location pair;
+    Tukey/Huber practice): drop (trimmed) or clamp (winsorized) the
+    lowest and highest floor(n * trim_num/trim_den) observations by
+    EXACT global rank — no approximate quantiles, no float threshold.
+
+    Exactness/scale: ranks come from
+    :func:`~lib_gdal_spark.operators.skew._global_ranks`
+    (range-repartition + per-partition offsets, no single-reducer
+    window; ties break on the quantized value itself — duplicates are
+    interchangeable so any stable order yields the same sums); values
+    quantize half-up to ``1/scale`` units so every sum is exact int64
+    and the means are one division each. The trim count is integer
+    floor arithmetic (n * t_num div t_den — no 0.05 * n float
+    boundary). Returns one row (n, n_trimmed_each, mean, trimmed_mean,
+    winsorized_mean)."""
+    from lib_gdal_spark.operators.skew import _global_ranks
+
+    q = df.select(
+        F.monotonically_increasing_id().alias("pid"),
+        F.round(F.col(col) * scale, 0).cast("long").alias("x"))
+    n = q.count()
+    k = (n * int(trim_num)) // int(trim_den)
+    r = _global_ranks(q.select("pid", F.col("x").alias("x"),
+                               F.lit(0.0).alias("y")), ["x", "pid"])
+    lo_rank, hi_rank = k + 1, n - k
+    bounds = r.where((F.col("__rank") == lo_rank)
+                     | (F.col("__rank") == hi_rank)) \
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    mid = r.where(F.col("__rank").between(lo_rank, hi_rank))
+    agg = mid.agg(F.count(F.lit(1)).alias("nm"),
+                  F.sum("x").alias("sm"))
+    full = r.agg(F.sum("x").alias("sa"))
+    win = r.crossJoin(F.broadcast(bounds)).select(
+        F.greatest(F.least(F.col("x"), F.col("hi")),
+                   F.col("lo")).alias("w"))
+    wagg = win.agg(F.sum("w").alias("sw"))
+    out = agg.crossJoin(full).crossJoin(wagg)
+    return out.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("n_trimmed_each"),
+        F.round(F.col("sa") / F.lit(float(n)) / scale, 9).alias("mean"),
+        F.round(F.col("sm") / F.col("nm") / scale, 9)
+        .alias("trimmed_mean"),
+        F.round(F.col("sw") / F.lit(float(n)) / scale, 9)
+        .alias("winsorized_mean"))

@@ -60,3 +60,25 @@ def test_corr_matrix_zero_variance_null(spark):
         schema="a double, k double")
     got = corr_matrix(df, ["a", "k"]).first()
     assert got["corr"] is None
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    from lib_gdal_spark.operators.quantiles import trimmed_mean
+
+    rng = np.random.default_rng(71)
+    vals = np.concatenate([rng.integers(100, 200, 400),
+                           [100000, -50000]])  # gross outliers
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": vals / 100.0}), schema="v double")
+    got = trimmed_mean(df, "v", trim_num=1, trim_den=10).first()
+    n = len(vals)
+    k = n // 10
+    s = np.sort(vals)
+    assert got["n"] == n and got["n_trimmed_each"] == k
+    assert abs(got["mean"] - vals.mean() / 100) < 1e-6
+    assert abs(got["trimmed_mean"] - s[k:n - k].mean() / 100) < 1e-6
+    w = np.clip(s, s[k], s[n - k - 1])
+    assert abs(got["winsorized_mean"] - w.mean() / 100) < 1e-6
+    # robustness: outliers barely move the trimmed mean
+    assert abs(got["trimmed_mean"] - 1.5) < 0.2
+    assert abs(got["mean"] - 1.5) > 0.5
