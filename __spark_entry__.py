@@ -3006,6 +3006,16 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mattr(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extendedprice: leading
+    digit via floor(x / 10^floor(log10 x)) — identical doubles in both
+    engines — exact counts, Benford expectations, per-digit chi-square
+    terms."""
+    from lib_gdal_spark.operators.quantiles import benford_test
+
+    return benford_test(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5% trimmed and winsorized means of lineitem extendedprice:
     cent quantization, exact global ranks (no single-reducer window),
@@ -8743,6 +8753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mattr": q_mattr,
         "corr_matrix": q_corr_matrix,
         "trimmed_mean": q_trimmed_mean,
+        "benford": q_benford,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,
@@ -16481,6 +16492,36 @@ def oracle_sql() -> dict[str, str]:
           FROM p WHERE n > 0 AND n < 20 GROUP BY 1, 2
         )
         SELECT * FROM agg_long UNION ALL SELECT * FROM short
+    """
+
+    # benford: identical leading-digit math, counts, expectations, and
+    # chi-square terms.
+    sqls["benford"] = """
+        WITH pos AS (
+          SELECT l_extendedprice AS x FROM lineitem
+          WHERE l_extendedprice > 0
+        ),
+        nn AS (SELECT count(*) AS n FROM pos),
+        cnt AS (
+          SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT)
+                   AS digit,
+                 count(*) AS observed
+          FROM pos GROUP BY 1
+        ),
+        dg AS (SELECT unnest(range(1, 10)) AS digit)
+        SELECT CAST(dg.digit AS INT) AS digit,
+               CAST(COALESCE(cnt.observed, 0) AS BIGINT) AS observed,
+               round(CAST(nn.n AS DOUBLE)
+                     * log10(1.0 + 1.0 / dg.digit), 9) AS expected,
+               round((COALESCE(cnt.observed, 0)
+                      - CAST(nn.n AS DOUBLE)
+                        * log10(1.0 + 1.0 / dg.digit))
+                     * (COALESCE(cnt.observed, 0)
+                        - CAST(nn.n AS DOUBLE)
+                          * log10(1.0 + 1.0 / dg.digit))
+                     / (CAST(nn.n AS DOUBLE)
+                        * log10(1.0 + 1.0 / dg.digit)), 9) AS chi2_term
+        FROM dg LEFT JOIN cnt ON cnt.digit = dg.digit, nn
     """
 
     # trimmed_mean: identical cent quantization, exact ranks, integer

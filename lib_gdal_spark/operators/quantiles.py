@@ -229,3 +229,37 @@ def trimmed_mean(df: DataFrame, col: str, trim_num: int = 1,
         .alias("trimmed_mean"),
         F.round(F.col("sw") / F.lit(float(n)) / scale, 9)
         .alias("winsorized_mean"))
+
+
+def benford_test(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938;
+    the standard fabricated-data / parser-bug detector for positive
+    scale-spanning measures): observed leading-digit counts vs the
+    Benford expectation n * log10(1 + 1/d), with the chi-square
+    statistic (8 df) folded over the nine digits in fixed order.
+
+    Exactness: the leading digit comes from STRING manipulation of the
+    value's canonical formatting? No — from exact integer/float math:
+    d = floor(x / 10^floor(log10(x))) — log10/floor on identical
+    doubles, the same in any engine; counts are exact int64; expected
+    and chi-square are fixed float expressions. Non-positive values
+    are excluded (documented). Returns one row per digit
+    (digit, observed, expected, chi2_term) plus the digit-ordered
+    fold makes sum(chi2_term) the engine-exact statistic."""
+    x = F.col(col)
+    pos = df.where(x > 0)
+    d = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
+        .cast("int").alias("digit")
+    counts = pos.select(d).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed"))
+    n = pos.count()
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    j = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("observed", F.lit(0)).alias("observed"))
+    exp = F.lit(float(n)) * F.log10(1.0 + 1.0 / F.col("digit"))
+    chi = (F.col("observed") - exp) * (F.col("observed") - exp) / exp
+    return j.select(
+        "digit", F.col("observed").cast("long").alias("observed"),
+        F.round(exp, 9).alias("expected"),
+        F.round(chi, 9).alias("chi2_term"))

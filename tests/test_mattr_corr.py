@@ -82,3 +82,27 @@ def test_trimmed_mean_matches_numpy(spark):
     # robustness: outliers barely move the trimmed mean
     assert abs(got["trimmed_mean"] - 1.5) < 0.2
     assert abs(got["mean"] - 1.5) > 0.5
+
+
+def test_benford_on_benford_distributed_data(spark):
+    from lib_gdal_spark.operators.quantiles import benford_test
+
+    # exponential growth 1.01^k spans many decades -> near-Benford
+    vals = [1.01 ** k for k in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}),
+                               schema="v double")
+    rows = sorted(benford_test(df, "v").collect(),
+                  key=lambda r: r["digit"])
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["observed"] for r in rows) == 2000
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 < 20.0  # close to Benford
+    # digit 1 most frequent, monotone-ish decline
+    assert rows[0]["observed"] > rows[4]["observed"] > rows[8]["observed"]
+    # uniform data must FAIL the test loudly
+    uni = spark.createDataFrame(
+        pd.DataFrame({"v": np.linspace(100, 999, 900)}),
+        schema="v double")
+    chi2u = sum(r["chi2_term"] for r in
+                benford_test(uni, "v").collect())
+    assert chi2u > 100.0
