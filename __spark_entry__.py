@@ -7918,6 +7918,23 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return empirical_variogram(pts, max_dist=150.0, n_bins=6)
 
 
+def q_variogram_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional semivariogram (4 azimuth sectors, 45-deg windows,
+    directions mod 180) over the same subsampled integer-key points as
+    variogram: identical covering join + exact int64 sums; sector via
+    the shared degrees(atan2) fold, identical in SQL."""
+    from lib_gdal_spark.operators.spatialstats import directional_variogram
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 7919) % 1200).alias("x"),
+        ((F.col("event_id") * 104729) % 1200).alias("y"),
+        (F.col("event_id") % 97).alias("v"),
+    )
+    return directional_variogram(pts, max_dist=150.0, n_bins=6)
+
+
 def q_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (Dunning 1993) of the doc_id%4==0
     slice vs the rest: exact int64 contingency counts, one ln formula,
@@ -8842,6 +8859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "std_ellipse": q_std_ellipse,
         "variogram": q_variogram,
+        "variogram_directional": q_variogram_directional,
         "variogram_fit": q_variogram_fit,
         "keyness_g2": q_keyness_g2,
         "burrows_delta": q_burrows_delta,
@@ -19511,6 +19529,48 @@ def oracle_sql() -> dict[str, str]:
                round(sum(dd) / (2.0 * count(*)), 9) AS gamma,
                round(sum(d2) / count(*), 9) AS avg_d2
         FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+    # variogram_directional: same pairs (b - a orientation under
+    # a.pid < b.pid), identical atan2/fmod sector fold, exact sums.
+    sqls["variogram_directional"] = """
+        WITH pts AS (
+          SELECT event_id AS pid,
+                 (event_id * 7919) % 1200 AS x,
+                 (event_id * 104729) % 1200 AS y,
+                 event_id % 97 AS v
+          FROM events WHERE event_id % 7 = 0
+        ),
+        pairs AS (
+          SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   AS d2,
+                 (a.v - b.v) * (a.v - b.v) AS dd,
+                 CAST(b.x - a.x AS DOUBLE) AS dx,
+                 CAST(b.y - a.y AS DOUBLE) AS dy
+          FROM pts a JOIN pts b ON a.pid < b.pid
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                < 22500.0
+            AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                > 0
+        ),
+        sec AS (
+          SELECT d2, dd,
+                 CASE WHEN az180 = 180.0 THEN 0.0 ELSE az180 END AS azn
+          FROM (
+            SELECT d2, dd,
+                   CASE WHEN degrees(atan2(dy, dx)) < 0.0
+                        THEN degrees(atan2(dy, dx)) + 180.0
+                        ELSE degrees(atan2(dy, dx)) END AS az180
+            FROM pairs
+          )
+        )
+        SELECT CAST(floor(fmod(azn + 22.5, 180.0) / 45.0) AS INT)
+                 AS sector,
+               CAST(floor(sqrt(CAST(d2 AS DOUBLE)) / 25.0) AS BIGINT)
+                 AS bin,
+               count(*) AS n_pairs,
+               round(sum(dd) / (2.0 * count(*)), 9) AS gamma
+        FROM sec GROUP BY 1, 2
     """
 
     sqls["keyness_g2"] = r"""

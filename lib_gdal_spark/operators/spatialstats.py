@@ -1624,3 +1624,83 @@ def theil_sen(cells: DataFrame) -> DataFrame:
             .select("gx", "gy", "n_bins",
                     F.col("m").cast("long").alias("n_pairs"),
                     F.round(F.col("ssum") / F.col("k"), 9).alias("slope")))
+
+
+def directional_variogram(
+    pts: DataFrame,
+    max_dist: float,
+    n_bins: int = 10,
+    cell: float | None = None,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """Directional (anisotropic) Matheron semivariogram — the
+    anisotropy diagnostic :func:`empirical_variogram` averages away
+    (geological trends, prevailing winds, crawl-time drift): the same
+    binned gamma(h), split into the four canonical azimuth sectors
+    (E-W, NE-SW, N-S, NW-SE; 45-degree windows, direction taken
+    modulo 180 for unordered pairs).
+
+    Sector assignment: az = degrees(atan2(dy, dx)) folded to [0, 180)
+    then floor(((az + 22.5) mod 180) / 45) — the identical libm/fmod
+    chain in both engines (the aspect-kernel contract). Everything
+    else (exact int64 d2 / squared differences, the 3x3 covering join,
+    the optional per-cell cap) is empirical_variogram's machinery
+    verbatim. Returns (sector, bin, n_pairs, gamma) — sector 0=E-W,
+    1=NE-SW, 2=N-S, 3=NW-SE."""
+    c = float(cell if cell is not None else max_dist)
+    if c < max_dist:
+        raise ValueError(f"cell ({c}) must be >= max_dist ({max_dist}) "
+                         "or ring coverage is incomplete")
+    cl = F.lit(c)
+    base = pts.select(
+        "pid", "x", "y", "v",
+        F.floor(F.col("x") / cl).cast("long").alias("cx"),
+        F.floor(F.col("y") / cl).cast("long").alias("cy"),
+    )
+    if max_per_cell is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cx", "cy").orderBy("pid")
+        base = (base.withColumn("_r", F.row_number().over(w))
+                    .where(F.col("_r") <= max_per_cell).drop("_r"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = base.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("v").alias("va"),
+        F.explode(offs).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    ).drop("o")
+    build = base.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("v").alias("vb"),
+        F.col("cx").alias("jcx"), F.col("cy").alias("jcy"),
+    )
+    dxe = F.col("xb") - F.col("xa")
+    dye = F.col("yb") - F.col("ya")
+    d2 = dxe * dxe + dye * dye
+    dd = (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+    az = F.degrees(F.atan2(dye.cast("double"), dxe.cast("double")))
+    azn = F.when(az < 0.0, az + 180.0).otherwise(az)
+    azn = F.when(azn == 180.0, F.lit(0.0)).otherwise(azn)
+    sector = F.floor(((azn + 22.5) % 180.0) / 45.0).cast("int")
+    bw = max_dist / n_bins
+    pairs = (
+        probe.join(build, ["jcx", "jcy"])
+        .where(F.col("pid_a") < F.col("pid_b"))
+        .select(d2.alias("d2"), dd.alias("dd"), sector.alias("sector"))
+        .where(F.col("d2") < F.lit(max_dist * max_dist))
+        .where(F.col("d2") > 0)
+    )
+    return (
+        pairs.groupBy("sector",
+                      F.floor(F.sqrt(F.col("d2")) / F.lit(bw))
+                      .cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("dd").alias("sdd"))
+        .select("sector", "bin", "n_pairs",
+                F.round(F.col("sdd") / (2.0 * F.col("n_pairs")), 9)
+                 .alias("gamma"))
+    )
