@@ -3006,6 +3006,21 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mattr(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over documents with
+    quasi-identifiers (lang, source, n_chars div 100) and text length
+    as the sensitive value: exact class counts/diversities, k=5, l=2.
+    The oracle groups identically."""
+    from lib_gdal_spark.operators.mixing import k_anonymity
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        (F.col("n_chars") - F.col("n_chars") % 100).alias("size_band"),
+        F.length("text").alias("tlen"))
+    return k_anonymity(d, ["lang", "source", "size_band"], "tlen",
+                       k=5, l=2)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of lineitem extendedprice: leading
     digit via floor(x / 10^floor(log10 x)) — identical doubles in both
@@ -8771,6 +8786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "trimmed_mean": q_trimmed_mean,
         "benford": q_benford,
+        "k_anonymity": q_k_anonymity,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "spam_mass": q_spam_mass,
@@ -16510,6 +16526,38 @@ def oracle_sql() -> dict[str, str]:
           FROM p WHERE n > 0 AND n < 20 GROUP BY 1, 2
         )
         SELECT * FROM agg_long UNION ALL SELECT * FROM short
+    """
+
+    # k_anonymity: identical equivalence classes and exact counts.
+    sqls["k_anonymity"] = """
+        WITH d AS (
+          SELECT lang, source,
+                 n_chars - n_chars % 100 AS size_band,
+                 length(text) AS tlen
+          FROM documents
+        ),
+        g AS (
+          SELECT lang, source, size_band, count(*) AS n,
+                 count(DISTINCT tlen) AS div
+          FROM d GROUP BY 1, 2, 3
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS k_violations,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk_k,
+               CAST(MIN(n) AS BIGINT) AS min_class,
+               CAST(SUM(CASE WHEN div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS l_violations,
+               CAST(SUM(CASE WHEN div < 2 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk_l,
+               CAST(MIN(div) AS BIGINT) AS min_diversity,
+               SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0
+                 AS k_anonymous,
+               SUM(CASE WHEN div < 2 THEN 1 ELSE 0 END) = 0
+                 AS l_diverse
+        FROM g
     """
 
     # benford: identical leading-digit math, counts, expectations, and

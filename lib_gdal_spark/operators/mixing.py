@@ -590,3 +590,39 @@ def split_report(
         )
         .orderBy("split")
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list, sensitive_col: str,
+                k: int = 5, l: int = 2) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002;
+    Machanavajjhala et al., ICDE 2006) — the release-gate check before
+    publishing user-derived training data: every quasi-identifier
+    equivalence class must contain >= k rows (k-anonymity) and >= l
+    distinct sensitive values (l-diversity).
+
+    One combinable groupBy over the quasi columns + exact int64
+    counts; the report is corpus-level (one row): class counts,
+    violating classes, rows at risk, the minimum class size and
+    minimum diversity, and the pass flags. Engine-exact. Returns
+    (n_rows, n_classes, k_violations, rows_at_risk_k, min_class,
+    l_violations, rows_at_risk_l, min_diversity, k_anonymous,
+    l_diverse)."""
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive_col).alias("div"))
+    return g.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("n") < k).cast("long")).alias("k_violations"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .alias("rows_at_risk_k"),
+        F.min("n").alias("min_class"),
+        F.sum((F.col("div") < l).cast("long")).alias("l_violations"),
+        F.sum(F.when(F.col("div") < l, F.col("n")).otherwise(0))
+        .alias("rows_at_risk_l"),
+        F.min("div").alias("min_diversity"),
+    ).select(
+        "n_rows", "n_classes", "k_violations", "rows_at_risk_k",
+        "min_class", "l_violations", "rows_at_risk_l", "min_diversity",
+        (F.col("k_violations") == 0).alias("k_anonymous"),
+        (F.col("l_violations") == 0).alias("l_diverse"))
