@@ -57,6 +57,13 @@ QUERIES = [
     "map_match", "mann_kendall", "dwell_segments", "retention_cohorts",
     "textrank_terms", "burst_detection", "polygon_neighbors",
     "raster_quantile_classes", "attribution", "emerging_hotspots",
+    # round-4 session-11 additions
+    "geomorphons", "focal_stats", "tpi_landforms", "netcdf_roundtrip",
+    "flow_length", "flow_length_upstream", "od_matrix", "knox_test",
+    "two_step_fca", "jaccard_prefix_join", "random_projection",
+    "line_density", "betweenness", "coreness", "st_dbscan",
+    "trimmed_mean", "kaplan_meier", "theil_sen", "jenks_breaks",
+    "otsu_threshold", "zonal_majority", "image_quality", "audio_quality",
 ]
 
 
