@@ -1181,6 +1181,20 @@ def q_cost_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost_corridor(tiles, [(5, 5), (20, 38)], [(38, 20)], lo=1, hi=40)
 
 
+def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost allocation (weighted-Voronoi partition by accumulated cost)
+    over the same world4326 [1,40]^2 window and three seeds as
+    cost_distance: the relaxation carries (dist, seed) with the
+    lexicographic struct minimum (cost ties to the smallest seed key).
+    The oracle unrolls the same 44 rounds with a per-round
+    (dist, seed) row_number argmin."""
+    from lib_gdal_spark.operators.proximity import cost_allocation
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return cost_allocation(tiles, [(5, 5), (38, 20), (20, 38)],
+                           lo=1, hi=40)
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity raster (gdalproximity.cpp): exact distance to the nearest
     value-150 pixel of world4326, bounded at 10 px."""
@@ -8563,6 +8577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_allocation": q_proximity_allocation,
         "cost_distance": q_cost_distance,
         "cost_corridor": q_cost_corridor,
+        "cost_allocation": q_cost_allocation,
         "least_cost_path": q_least_cost_path,
         "sieve_counts": q_sieve_counts,
         "fillnodata": q_fillnodata,
@@ -17448,6 +17463,38 @@ def oracle_sql() -> dict[str, str]:
         FROM walk w CROSS JOIN n
         JOIN cells c ON c.py * 65536 + c.px = w.id
         JOIN fin f ON f.node = w.id
+    """
+
+    # cost_allocation: the cost_distance edges with 44 unrolled rounds
+    # carrying (dist, seed); per-round (dist, seed) row_number argmin
+    # mirrors the operator's lexicographic struct minimum.
+    _ca_rounds = "".join(f"""
+        ca{i} AS MATERIALIZED (
+          SELECT node, dist, seed FROM (
+            SELECT node, dist, seed,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY dist, seed) AS rn
+            FROM (
+              SELECT node, dist, seed FROM ca{i - 1}
+              UNION ALL
+              SELECT e.v AS node, r.dist + e.w AS dist, r.seed
+              FROM ca{i - 1} r JOIN edges e ON e.u = r.node
+            )
+          ) WHERE rn = 1
+        ),""" for i in range(1, 45))
+    _ca_edges = sqls["cost_distance"].split("r0 AS", 1)[0]
+    sqls["cost_allocation"] = _ca_edges + f"""ca0 AS MATERIALIZED (
+          SELECT * FROM (VALUES
+            (5 * 65536 + 5, 0.0, 5 * 65536 + 5),
+            (20 * 65536 + 38, 0.0, 20 * 65536 + 38),
+            (38 * 65536 + 20, 0.0, 38 * 65536 + 20))
+            t(node, dist, seed)
+        ),{_ca_rounds}
+        fin AS (SELECT node, dist, seed FROM ca44)
+        SELECT p.px, p.py, round(f.dist, 9) AS dist,
+               CAST(f.seed % 65536 AS BIGINT) AS seed_px,
+               CAST(f.seed // 65536 AS BIGINT) AS seed_py
+        FROM cells p JOIN fin f ON f.node = p.py * 65536 + p.px
     """
 
     # cost_corridor: two independent relaxation chains over the SAME

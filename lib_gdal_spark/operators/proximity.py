@@ -427,3 +427,63 @@ def cost_corridor(tiles: DataFrame, seeds_a: list, seeds_b: list,
     return da.join(db, ["px", "py"]).select(
         "px", "py", "dist_a", "dist_b",
         F.round(F.col("dist_a") + F.col("dist_b"), 9).alias("corridor"))
+
+
+def cost_allocation(tiles: DataFrame, seeds: list, tile: int = 64,
+                    lo: int = 1, hi: int = 254,
+                    max_rounds: int = 400) -> DataFrame:
+    """Cost allocation (ArcGIS Cost Allocation / GRASS r.cost
+    start_points with nearest-id output): every cell is labeled with
+    the SEED whose accumulated travel cost to it is least — the
+    weighted-Voronoi partition that :func:`proximity`'s Euclidean
+    allocation cannot give on a cost surface (service areas over
+    terrain, catchment assignment along networks).
+
+    Same grid graph and synchronous relaxation as
+    :func:`cost_distance`, but the state carries (dist, seed) and the
+    per-node combine is the LEXICOGRAPHIC struct minimum — ties at the
+    exactly-equal minimal cost break to the smallest seed key, so the
+    partition is deterministic and an unrolled SQL relaxation carrying
+    the same pair reproduces it bit-for-bit. Returns
+    (px, py, dist, seed_px, seed_py)."""
+    cells, edges = _grid_cost_graph(tiles, tile, lo, hi)
+    seed_ids = [int(y) * 65536 + int(x) for x, y in seeds]
+    from lib_gdal_spark.session import local_df
+    state = local_df(
+        cells.sparkSession, [(s, 0.0, s) for s in seed_ids],
+        "node long, dist double, seed long").localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        cand = (
+            edges.join(state.select(F.col("node").alias("u"),
+                                    F.col("dist").alias("du"),
+                                    F.col("seed").alias("s0")), "u")
+            .select(F.col("v").alias("node"),
+                    (F.col("du") + F.col("w")).alias("dist"),
+                    F.col("s0").alias("seed"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min_by(F.struct("dist", "seed"),
+                          F.struct("dist", "seed")).alias("s"))
+            .select("node", F.col("s.dist").alias("dist"),
+                    F.col("s.seed").alias("seed"))
+            .localCheckpoint()
+        )
+        b = merged.agg(F.count(F.lit(1)), F.sum("dist"),
+                       F.sum("seed")).first()
+        sig = (b[0], b[1], b[2])
+        state = merged
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"cost_allocation did not converge in {max_rounds} rounds")
+    return (
+        cells.join(state, cells["id"] == state["node"])
+        .select("px", "py", F.round("dist", 9).alias("dist"),
+                (F.col("seed") % 65536).alias("seed_px"),
+                (F.col("seed") / 65536).cast("long").alias("seed_py"))
+    )

@@ -130,3 +130,27 @@ def test_cost_corridor_min_equals_path_cost(spark):
     best = min(c for _, _, c in got.values())
     assert abs(best - da[seeds_b[0]]) < 1e-8
     assert abs(got[seeds_a[0]][2] - best) < 1e-8
+
+
+def test_cost_allocation_matches_dijkstra_argmin(spark):
+    """Allocation label = the seed achieving the least accumulated cost,
+    ties to the smallest seed key — verified against per-seed local
+    Dijkstra runs."""
+    from lib_gdal_spark.operators.proximity import cost_allocation
+
+    rng = np.random.default_rng(77)
+    arr = rng.integers(1, 9, size=(24, 24)).astype(float)
+    h = arr.shape[0]
+    rows = RS.tiles_from_array("t", arr, (0, 1, 0, h, 0, -1), tile=16)
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=RS.RASTER_SCHEMA)
+    seeds = [(2, 3), (20, 19), (12, 5)]
+    got = {(r["px"], r["py"]): (r["dist"], r["seed_px"], r["seed_py"])
+           for r in cost_allocation(tiles, seeds, tile=16,
+                                    lo=1, hi=h - 2).collect()}
+    per_seed = {s: dijkstra(arr, [s], 1, h - 2) for s in seeds}
+    for (px, py), (d, sx, sy) in got.items():
+        best = min(
+            (per_seed[s].get((px, py), math.inf), s[1] * 65536 + s[0], s)
+            for s in seeds)
+        assert abs(d - best[0]) < 1e-8, (px, py)
+        assert (sx, sy) == best[2], (px, py)
