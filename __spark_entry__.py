@@ -3009,6 +3009,33 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_precision_pairs(a.join(b, "pair_id"))
 
 
+_LEX_VOCAB = ["crawl", "index", "rank", "page", "link", "graph", "query",
+              "token", "shard", "merge", "batch", "join", "scan", "sort",
+              "cache", "fetch", "parse"]
+
+
+def q_lexrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LexRank extractive sentence ranking (Erkan & Radev 2004) over
+    300 synthesized 4-sentence docs (closed-form vocab picks, mirrored
+    verbatim in SQL): integer shared-token edge weights, 4 rounds of
+    exact int64 weighted PageRank per document graph, top-2 sentences
+    with (rank desc, sidx) ties."""
+    from lib_gdal_spark.operators.textops import lexrank_sentences
+
+    vocab = F.array(*[F.lit(v) for v in _LEX_VOCAB])
+    i = F.col("id")
+    sent = lambda j: F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(5)),
+                    lambda k: F.element_at(
+                        vocab, ((i * 7 + j * 13 + k * 3) % 17 + 1)
+                        .cast("int"))), " ")
+    docs = spark.range(300).select(
+        i.alias("doc_id"),
+        F.concat_ws(". ", sent(F.lit(0)), sent(F.lit(1)),
+                    sent(F.lit(2)), sent(F.lit(3))).alias("text"))
+    return lexrank_sentences(docs, top_k=2)
+
+
 def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATTR lexical diversity (Covington & McFall 2010), window 20,
     over documents: per-window distinct counts exact, MATTR = one float
@@ -8798,6 +8825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_multijoin": q_ogr_multijoin,
         "exact_quantiles": q_exact_quantiles,
         "mattr": q_mattr,
+        "lexrank": q_lexrank,
         "corr_matrix": q_corr_matrix,
         "trimmed_mean": q_trimmed_mean,
         "benford": q_benford,
@@ -16497,6 +16525,97 @@ def oracle_sql() -> dict[str, str]:
 
     # exact_quantiles: DuckDB's native quantile_disc is the independent
     # oracle for the histogram-refinement order statistic.
+    # lexrank: corpus synthesized identically (vocab literal shared),
+    # integer edge weights, 4 unrolled weighted-PR rounds per doc
+    # (identical floor divisions), (rank desc, sidx) top-2.
+    _lx_vocab = "[" + ", ".join(f"'{v}'" for v in _LEX_VOCAB) + "]"
+    _lx_scale = 10**12
+    _lx_parts = [
+        f"""docs AS (
+          SELECT i AS doc_id,
+                 array_to_string([
+                   array_to_string(list_transform(range(0, 6), k ->
+                     ({_lx_vocab})[(i * 7 + 0 * 13 + k * 3) % 17 + 1]),
+                     ' '),
+                   array_to_string(list_transform(range(0, 6), k ->
+                     ({_lx_vocab})[(i * 7 + 1 * 13 + k * 3) % 17 + 1]),
+                     ' '),
+                   array_to_string(list_transform(range(0, 6), k ->
+                     ({_lx_vocab})[(i * 7 + 2 * 13 + k * 3) % 17 + 1]),
+                     ' '),
+                   array_to_string(list_transform(range(0, 6), k ->
+                     ({_lx_vocab})[(i * 7 + 3 * 13 + k * 3) % 17 + 1]),
+                     ' ')], '. ') AS text
+          FROM range(0, 300) t(i)
+        )""",
+        r"""s AS (
+          SELECT doc_id AS doc,
+                 generate_subscripts(arr, 1) - 1 AS sidx,
+                 unnest(arr) AS sentence
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\.\s+'),
+                                   x -> trim(x) <> '') AS arr
+                FROM docs)
+        )""",
+        r"""tk AS (
+          SELECT DISTINCT doc, sidx,
+                 unnest(list_filter(regexp_split_to_array(
+                   trim(lower(sentence)), '\s+'), x -> x <> '')) AS term
+          FROM s
+        )""",
+        """w AS MATERIALIZED (
+          SELECT a.doc, a.sidx AS sa, b.sidx AS sb, count(*) AS w
+          FROM tk a JOIN tk b
+            ON a.doc = b.doc AND a.term = b.term AND a.sidx <> b.sidx
+          GROUP BY 1, 2, 3
+        )""",
+        "st AS (SELECT doc, sa, SUM(w) AS st FROM w GROUP BY 1, 2)",
+        "nd AS (SELECT doc, count(*) AS n FROM s GROUP BY doc)",
+        f"""r0 AS (
+          SELECT s.doc, s.sidx, nd.n,
+                 CAST({_lx_scale} AS BIGINT) // nd.n AS r
+          FROM s JOIN nd USING (doc)
+        )""",
+    ]
+    for _i in range(1, 5):
+        _lx_parts += [
+            f"""inf{_i} AS MATERIALIZED (
+              SELECT w.doc, w.sb AS sidx,
+                     SUM(r.r * w.w // st.st) AS sinf
+              FROM w
+              JOIN st ON st.doc = w.doc AND st.sa = w.sa
+              JOIN r{_i - 1} r ON r.doc = w.doc AND r.sidx = w.sa
+              GROUP BY 1, 2
+            )""",
+            f"""dg{_i} AS (
+              SELECT r.doc, SUM(r.r) AS dg FROM r{_i - 1} r
+              WHERE NOT EXISTS (SELECT 1 FROM st
+                                WHERE st.doc = r.doc AND st.sa = r.sidx)
+              GROUP BY r.doc
+            )""",
+            f"""r{_i} AS MATERIALIZED (
+              SELECT b.doc, b.sidx, b.n,
+                     (15 * CAST({_lx_scale} AS BIGINT)) // (100 * b.n)
+                     + (85 * (COALESCE(i_.sinf, 0)
+                              + (COALESCE(d_.dg, 0) // b.n))) // 100 AS r
+              FROM r0 b
+              LEFT JOIN inf{_i} i_ ON i_.doc = b.doc AND i_.sidx = b.sidx
+              LEFT JOIN dg{_i} d_ ON d_.doc = b.doc
+            )""",
+        ]
+    sqls["lexrank"] = (
+        "WITH " + ",\n".join(_lx_parts) + """
+        SELECT rk.doc AS doc_id, rk.sidx, CAST(rk.r AS BIGINT)
+                 AS rank_units, s.sentence
+        FROM (
+          SELECT doc, sidx, r,
+                 row_number() OVER (PARTITION BY doc
+                                    ORDER BY r DESC, sidx) AS rn
+          FROM r4
+        ) rk JOIN s ON s.doc = rk.doc AND s.sidx = rk.sidx
+        WHERE rk.rn <= 2
+        """)
+
     # mattr: windows enumerated per doc, identical distinct counts and
     # the single final division of exact sums.
     sqls["mattr"] = r"""

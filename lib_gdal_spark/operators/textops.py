@@ -2461,3 +2461,83 @@ def mattr(docs: DataFrame, window: int = 20, id_col: str = "doc_id",
                      .alias("mattr")))
     return agg_long.unionByName(short) \
         .withColumnRenamed("doc", id_col)
+
+
+def lexrank_sentences(docs: DataFrame, top_k: int = 2, n_iters: int = 4,
+                      damping_pct: int = 85, scale: int = 10**12,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Extractive sentence ranking (LexRank, Erkan & Radev, JAIR 2004 —
+    the summarization/densest-sentence selector; for curation it picks
+    each document's most central sentences before expensive scoring):
+    sentences are nodes, intra-document edges weighted by the DISTINCT
+    shared-token count (the documented integer simplification of
+    idf-cosine — exact and engine-reproducible where tf-idf floats are
+    not), ranked by 4 rounds of WEIGHTED PageRank in exact int64 fixed
+    point (contribution = rank * w div strength; teleport and dangling
+    mass normalized per document).
+
+    Scale shape: sentence split + token explode are narrow; the pair
+    join is per-document (bounded by sentences-per-doc squared over
+    shared tokens); every round is one keyed join + combinable groupBy,
+    all keyed by (doc, sentence). Ties in the final top-k break to the
+    smallest sentence index. Tokenization/splitting use RE2-safe
+    patterns shared with the oracle. Returns
+    (doc_id, sidx, rank_units, sentence) — top_k rows per doc."""
+    from pyspark.sql import Window
+
+    sents = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.filter(
+            F.split(F.col(text_col), r"\.\s+"),
+            lambda x: F.trim(x) != F.lit(""))).alias("sidx", "sentence"))
+    toks = sents.select(
+        "doc", "sidx",
+        F.explode(F.filter(
+            F.split(F.trim(F.lower(F.col("sentence"))), r"\s+"),
+            lambda x: x != F.lit(""))).alias("term")).distinct()
+    ta = toks.select("doc", F.col("sidx").alias("sa"), "term")
+    tb = toks.select(F.col("doc").alias("doc2"),
+                     F.col("sidx").alias("sb"),
+                     F.col("term").alias("term2"))
+    w = (ta.join(tb, (F.col("doc") == F.col("doc2"))
+                 & (F.col("term") == F.col("term2"))
+                 & (F.col("sa") != F.col("sb")))
+         .groupBy("doc", "sa", "sb")
+         .agg(F.count(F.lit(1)).alias("w")).localCheckpoint())
+    strength = w.groupBy("doc", "sa").agg(F.sum("w").alias("st"))
+    nd = sents.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ranks = sents.select("doc", "sidx").join(nd, "doc").select(
+        "doc", "sidx",
+        F.expr(f"CAST({int(scale)} AS BIGINT) div n").alias("r"),
+        "n").localCheckpoint()
+    d = int(damping_pct)
+    for _ in range(n_iters):
+        contrib = (w.join(strength, ["doc", "sa"])
+                   .join(ranks.select("doc",
+                                      F.col("sidx").alias("sa"),
+                                      F.col("r").alias("ra")),
+                         ["doc", "sa"])
+                   .select("doc", F.col("sb").alias("sidx"),
+                           F.expr("ra * w div st").alias("c")))
+        inflow = contrib.groupBy("doc", "sidx").agg(F.sum("c").alias("s"))
+        dang = (ranks.join(strength.select("doc",
+                                           F.col("sa").alias("sidx")),
+                           ["doc", "sidx"], "left_anti")
+                .groupBy("doc").agg(F.sum("r").alias("dg")))
+        ranks = (ranks.drop("r")
+                 .join(inflow, ["doc", "sidx"], "left")
+                 .join(dang, "doc", "left")
+                 .select("doc", "sidx", "n",
+                         (F.expr(f"((100 - {d}) * CAST({int(scale)} AS "
+                                 f"BIGINT)) div (100 * n)")
+                          + F.expr(f"({d} * (coalesce(s, 0) "
+                                   f"+ (coalesce(dg, 0) div n))) div 100")
+                          ).alias("r"))
+                 .localCheckpoint())
+    wtop = Window.partitionBy("doc").orderBy(F.desc("r"), F.asc("sidx"))
+    return (ranks.withColumn("rn", F.row_number().over(wtop))
+            .where(F.col("rn") <= top_k)
+            .join(sents, ["doc", "sidx"])
+            .select(F.col("doc").alias(id_col), "sidx",
+                    F.col("r").alias("rank_units"), "sentence"))
