@@ -232,12 +232,24 @@ BENCH = {
     "huff_model": lambda s: _force(E.q_huff_model(s, SF_DIR)),
     "keyness_g2": lambda s: _force(E.q_keyness_g2(s, SF_DIR)),
     "burrows_delta": lambda s: _force(E.q_burrows_delta(s, SF_DIR)),
-    # round-4 session-11 additions (cost_corridor stays gate-only with
-    # the other fixpoint ops; cross_k/clark_evans/od_matrix/betweenness
-    # are sub-second fixtures better covered by the gate)
+    # round-4 session-11 additions (cost_corridor/cost_allocation stay
+    # gate-only with the other fixpoint ops; the fixed-size fixture
+    # queries are covered by the gate; the entries below scale with
+    # SF_DIR and measure real throughput)
     "geomorphons": lambda s: _force(E.q_geomorphons(s, SF_DIR)),
     "focal_stats": lambda s: _force(E.q_focal_stats(s, SF_DIR)),
     "netcdf_roundtrip": lambda s: _force(E.q_netcdf_roundtrip(s, SF_DIR)),
+    "tpi_landforms": lambda s: _force(E.q_tpi_landforms(s, SF_DIR)),
+    "jaccard_prefix_join":
+        lambda s: _force(E.q_jaccard_prefix_join(s, SF_DIR)),
+    "trimmed_mean": lambda s: _force(E.q_trimmed_mean(s, SF_DIR)),
+    "mattr": lambda s: _force(E.q_mattr(s, SF_DIR)),
+    "od_matrix": lambda s: _force(E.q_od_matrix(s, SF_DIR)),
+    "knox_test": lambda s: _force(E.q_knox_test(s, SF_DIR)),
+    "st_dbscan": lambda s: _force(E.q_st_dbscan(s, SF_DIR)),
+    "theil_sen": lambda s: _force(E.q_theil_sen(s, SF_DIR)),
+    "kaplan_meier": lambda s: _force(E.q_kaplan_meier(s, SF_DIR)),
+    "lexrank": lambda s: _force(E.q_lexrank(s, SF_DIR)),
 }
 
 
