@@ -8529,6 +8529,74 @@ def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
                        area=1600.0, cell=5.0)
 
 
+# ---------------------------------------------------------------------------
+# session-12: image-processing filters (median / unsharp / Kuwahara /
+# histogram matching) — operators/filters.py
+# ---------------------------------------------------------------------------
+
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 median filter over world4326 via the halo exchange. Median of
+    9 integer samples is the 5th order statistic — integer-exact; the
+    oracle sorts the spelled-out window with list_sort."""
+    from lib_gdal_spark.operators.dem import dem_op_k
+    from lib_gdal_spark.operators.filters import median3_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 1, median3_kernel)
+    ex = _explode_px(out).where(
+        F.col("px").between(1, 254) & F.col("py").between(1, 254))
+    return ex.select("px", "py", F.col("v").cast("long").alias("f_median"))
+
+
+def q_unsharp_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsharp mask (binomial 3x3 blur, amount=1/2) over world4326.
+    Integer pixels + dyadic weights make every intermediate an exact
+    dyadic rational — bit-identical across engines with no rounding."""
+    from lib_gdal_spark.operators.dem import dem_op_k
+    from lib_gdal_spark.operators.filters import unsharp_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 1, unsharp_kernel, amount=0.5)
+    ex = _explode_px(out).where(
+        F.col("px").between(1, 254) & F.col("py").between(1, 254))
+    return ex.select("px", "py", F.col("v").alias("f_sharp"))
+
+
+def q_kuwahara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuwahara edge-preserving filter (k=2 halo): min-variance quadrant
+    mean, variance ranked on the integer 9*s2 - s*s, ties to NW/NE/SW/SE
+    order. The packed kernel output carries the chosen quadrant AND its
+    integer sum so the oracle verifies the selection itself."""
+    from lib_gdal_spark.operators.dem import dem_op_k
+    from lib_gdal_spark.operators.filters import kuwahara_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 2, kuwahara_kernel)
+    ex = _explode_px(out).where(
+        F.col("px").between(2, 253) & F.col("py").between(2, 253))
+    return ex.select(
+        "px", "py",
+        F.floor(F.col("v") / 4096).cast("long").alias("f_quad"),
+        (F.col("v") % 4096).cast("long").alias("f_sum"),
+        ((F.col("v") % 4096) / 9.0).alias("f_mean"))
+
+
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram matching: remap gradient256 so its value CDF matches
+    world4326's. Pure integer counting — dst(v) = min reference value r
+    with cdf_ref(r)*n_src >= cdf_src(v)*n_ref, cross-multiplied. Two
+    <=256-row histograms + a broadcast range join; no pixel shuffle."""
+    from lib_gdal_spark.operators.filters import histogram_match_table
+
+    fx = RS.fixture_rasters(spark)
+    src = fx.where(F.col("raster_id") == "gradient256")
+    ref = fx.where(F.col("raster_id") == "world4326")
+    t = histogram_match_table(src, ref)
+    return t.select(F.col("v").alias("src_val"),
+                    F.col("n_px").cast("long").alias("n_px"),
+                    F.col("dst").cast("long").alias("dst_val"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -8947,6 +9015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_test": q_knox_test,
         "str_partition": q_str_partition,
         "line_density": q_line_density,
+        "focal_median": q_focal_median,
+        "unsharp_mask": q_unsharp_mask,
+        "kuwahara": q_kuwahara,
+        "hist_match": q_hist_match,
     }
 
 
@@ -20871,6 +20943,145 @@ def oracle_sql() -> dict[str, str]:
                round(((sum_q / n / 1e6) - 0.5 * sqrt(1600.0 / n))
                      / (0.26136 / sqrt(n * n / 1600.0)), 9) AS z
         FROM agg
+    """
+
+    # ------------------------------------------------------------------
+    # session-12: image filters — the window cells spelled closed-form
+    # from the world4326 fixture, row-major w0..w8 like focal_stats.
+    # ------------------------------------------------------------------
+    def _win9(px: str = "px", py: str = "py") -> str:
+        cells = []
+        idx = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                fx = f"({px} + {dx})" if dx else px
+                fy = f"({py} + {dy})" if dy else py
+                cells.append(
+                    f"CAST(trunc((sin({fx} * 0.19) + cos({fy} * 0.13))"
+                    f" * 60.0 + 128.0) AS BIGINT) AS w{idx}")
+                idx += 1
+        return ", ".join(cells)
+
+    sqls["focal_median"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        win AS (SELECT px, py, {_win9()} FROM pix)
+        SELECT px, py,
+               CAST(list_sort([w0, w1, w2, w3, w4, w5, w6, w7, w8])[5]
+                    AS BIGINT) AS f_median
+        FROM win
+    """
+
+    sqls["unsharp_mask"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(1, 254) x(px)
+          CROSS JOIN generate_series(1, 254) y(py)
+        ),
+        win AS (SELECT px, py, {_win9()} FROM pix)
+        SELECT px, py,
+               w4 + 0.5 * (w4 - (w0 + 2.0 * w1 + w2 + 2.0 * w3 + 4.0 * w4
+                    + 2.0 * w5 + w6 + 2.0 * w7 + w8) / 16.0) AS f_sharp
+        FROM win
+    """
+
+    # kuwahara: the four overlapping 3x3 quadrants of the 5x5 window,
+    # ranked on the integer 9*s2 - s*s, first-wins argmin ties.
+    def _quad(qi: int, cx: int, cy: int) -> str:
+        terms_s, terms_s2 = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ox, oy = cx + dx, cy + dy
+                fx = f"(px + {ox})" if ox else "px"
+                fy = f"(py + {oy})" if oy else "py"
+                v = (f"CAST(trunc((sin({fx} * 0.19) + cos({fy} * 0.13))"
+                     f" * 60.0 + 128.0) AS BIGINT)")
+                terms_s.append(v)
+                terms_s2.append(f"{v} * {v}")
+        return (f"({' + '.join(terms_s)}) AS s{qi}, "
+                f"({' + '.join(terms_s2)}) AS ss{qi}")
+
+    quads = ",\n          ".join(
+        _quad(qi, cx, cy)
+        for qi, (cx, cy) in enumerate(
+            [(-1, -1), (1, -1), (-1, 1), (1, 1)]))
+    sqls["kuwahara"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(2, 253) x(px)
+          CROSS JOIN generate_series(2, 253) y(py)
+        ),
+        qsum AS (
+          SELECT px, py,
+          {quads}
+          FROM pix
+        ),
+        tvar AS (
+          SELECT px, py, s0, s1, s2, s3,
+                 9 * ss0 - s0 * s0 AS t0, 9 * ss1 - s1 * s1 AS t1,
+                 9 * ss2 - s2 * s2 AS t2, 9 * ss3 - s3 * s3 AS t3
+          FROM qsum
+        ),
+        sel AS (
+          SELECT px, py,
+            CASE WHEN t0 <= t1 AND t0 <= t2 AND t0 <= t3 THEN 0
+                 WHEN t1 < t0 AND t1 <= t2 AND t1 <= t3 THEN 1
+                 WHEN t2 < t0 AND t2 < t1 AND t2 <= t3 THEN 2
+                 ELSE 3 END AS f_quad,
+            CASE WHEN t0 <= t1 AND t0 <= t2 AND t0 <= t3 THEN s0
+                 WHEN t1 < t0 AND t1 <= t2 AND t1 <= t3 THEN s1
+                 WHEN t2 < t0 AND t2 < t1 AND t2 <= t3 THEN s2
+                 ELSE s3 END AS f_sum
+          FROM tvar
+        )
+        SELECT px, py, CAST(f_quad AS BIGINT) AS f_quad,
+               CAST(f_sum AS BIGINT) AS f_sum,
+               f_sum / 9.0 AS f_mean
+        FROM sel
+    """
+
+    # hist_match: integer CDF alignment, cross-multiplied (no division);
+    # src = gradient256 ((px+py) * 255/510 truncated), ref = world4326.
+    sqls["hist_match"] = """
+        WITH spix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 255) x(px)
+          CROSS JOIN generate_series(0, 255) y(py)
+        ),
+        sval AS (
+          SELECT CAST(trunc((px + py) * (255.0 / 510.0)) AS BIGINT) AS v
+          FROM spix
+        ),
+        shist AS (SELECT v, COUNT(*) AS n FROM sval GROUP BY v),
+        scum AS (
+          SELECT v, n, SUM(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM shist
+        ),
+        rval AS (
+          SELECT CAST(trunc((sin(px * 0.19) + cos(py * 0.13)) * 60.0
+                            + 128.0) AS BIGINT) AS r
+          FROM spix
+        ),
+        rhist AS (SELECT r, COUNT(*) AS n FROM rval GROUP BY r),
+        rcum AS (
+          SELECT r, SUM(n) OVER (ORDER BY r
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+          FROM rhist
+        ),
+        tot AS (
+          SELECT (SELECT SUM(n) FROM shist) AS ns,
+                 (SELECT SUM(n) FROM rhist) AS nr
+        )
+        SELECT s.v AS src_val,
+               CAST(MAX(s.n) AS BIGINT) AS n_px,
+               CAST(MIN(r.r) AS BIGINT) AS dst_val
+        FROM scum s CROSS JOIN tot t
+        LEFT JOIN rcum r ON r.rc * t.ns >= s.cum * t.nr
+        GROUP BY s.v
     """
 
     return sqls
