@@ -8597,6 +8597,68 @@ def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dst").cast("long").alias("dst_val"))
 
 
+# ---------------------------------------------------------------------------
+# session-12: time-series analytics over hourly event counts —
+# operators/timeseries.py. All-integer aggregation; final floats are
+# single fixed expressions, so the oracles match hash-exactly.
+# ---------------------------------------------------------------------------
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lib_gdal_spark.operators.timeseries import hourly_counts
+    return hourly_counts(_t(spark, sf_dir, "events"))
+
+
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the hourly event-count series, lags 1..24, in the
+    n-scaled integer form c_k = sum (n*x_t - S)(n*x_{t+k} - S): every
+    covariance numerator is an exact BIGINT; r_k = c_k/c_0 is the one
+    float division."""
+    from lib_gdal_spark.operators.timeseries import acf
+    return acf(_hourly(spark, sf_dir), max_lag=24)
+
+
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition trend: centered 2x24 moving average on
+    the hourly counts, integer-scaled x48 (endpoint weight 1, interior
+    2); boundary detection is the contribution COUNT, not a length
+    scalar. detr_num = 48*x - trend48 feeds the seasonal indices."""
+    from lib_gdal_spark.operators.timeseries import trend_ma
+    return trend_ma(_hourly(spark, sf_dir), period=24)
+
+
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncentered seasonal indices by phase h = t % 24: integer sums of
+    the x48-scaled detrended series per phase; the mean is one
+    division."""
+    from lib_gdal_spark.operators.timeseries import seasonal_means
+    return seasonal_means(_hourly(spark, sf_dir), period=24)
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-changepoint: argmax |n*cum_t - (t+1)*S| (exact
+    integers), ties to the smallest t; segment means are the two final
+    divisions."""
+    from lib_gdal_spark.operators.timeseries import amoc_changepoint
+    return amoc_changepoint(_hourly(spark, sf_dir))
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha=1/2, FIR window 25): num/den are exact
+    integer sums of power-of-two weighted counts; the smoothed value is
+    one division."""
+    from lib_gdal_spark.operators.timeseries import ewma_truncated
+    return ewma_truncated(_hourly(spark, sf_dir), half_lags=24)
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test: purchase vs error event values, quantized to
+    integer cents; n/sum/sumsq integer-exact, t and the
+    Welch-Satterthwaite df fixed float expressions."""
+    from lib_gdal_spark.operators.timeseries import welch_ttest_row
+    return welch_ttest_row(_t(spark, sf_dir, "events"),
+                           "event_type", "value", "purchase", "error")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9019,6 +9081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unsharp_mask": q_unsharp_mask,
         "kuwahara": q_kuwahara,
         "hist_match": q_hist_match,
+        "ts_acf": q_ts_acf,
+        "ts_trend": q_ts_trend,
+        "ts_seasonal": q_ts_seasonal,
+        "ts_changepoint": q_ts_changepoint,
+        "ts_ewma": q_ts_ewma,
+        "welch_ttest": q_welch_ttest,
     }
 
 
@@ -21041,6 +21109,168 @@ def oracle_sql() -> dict[str, str]:
                CAST(f_sum AS BIGINT) AS f_sum,
                f_sum / 9.0 AS f_mean
         FROM sel
+    """
+
+    # ------------------------------------------------------------------
+    # session-12: time series — shared dense hourly-count spine
+    # ------------------------------------------------------------------
+    _DENSE = """
+        hc AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1
+        ),
+        span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+        spine AS (
+          SELECT h0, unnest(generate_series(h0, h1)) AS h FROM span
+        ),
+        dense AS (
+          SELECT sp.h - sp.h0 AS t, COALESCE(hc.x, 0) AS x
+          FROM spine sp LEFT JOIN hc ON hc.h = sp.h
+        )
+    """
+
+    sqls["ts_acf"] = f"""
+        WITH {_DENSE},
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM dense),
+        dev AS (SELECT d.t, (tot.n * d.x - tot.s) AS d FROM dense d, tot),
+        c0 AS (SELECT SUM(d * d) AS c0 FROM dev),
+        ck AS (
+          SELECT gs.lag AS lag, SUM(a.d * b.d) AS cov_num
+          FROM generate_series(1, 24) gs(lag)
+          JOIN dev a ON TRUE
+          JOIN dev b ON b.t = a.t + gs.lag
+          GROUP BY gs.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(cov_num AS BIGINT) AS cov_num,
+               CAST(cov_num AS DOUBLE) / CAST(c0.c0 AS DOUBLE) AS acf
+        FROM ck, c0
+    """
+
+    sqls["ts_trend"] = f"""
+        WITH {_DENSE},
+        offs AS (
+          SELECT d.t + o.o AS tc,
+                 d.x * (CASE WHEN abs(o.o) = 12 THEN 1 ELSE 2 END) AS wx
+          FROM dense d, generate_series(-12, 12) o(o)
+        ),
+        g AS (
+          SELECT tc, SUM(wx) AS trend_num, COUNT(*) AS k
+          FROM offs GROUP BY tc
+        )
+        SELECT CAST(g.tc AS BIGINT) AS t, d.x,
+               CAST(g.trend_num AS BIGINT) AS trend_num,
+               g.trend_num / 48.0 AS trend,
+               CAST(48 * d.x - g.trend_num AS BIGINT) AS detr_num
+        FROM g JOIN dense d ON d.t = g.tc
+        WHERE g.k = 25
+    """
+
+    sqls["ts_seasonal"] = f"""
+        WITH {_DENSE},
+        offs AS (
+          SELECT d.t + o.o AS tc,
+                 d.x * (CASE WHEN abs(o.o) = 12 THEN 1 ELSE 2 END) AS wx
+          FROM dense d, generate_series(-12, 12) o(o)
+        ),
+        g AS (
+          SELECT tc, SUM(wx) AS trend_num, COUNT(*) AS k
+          FROM offs GROUP BY tc
+        ),
+        detr AS (
+          SELECT g.tc AS t, 48 * d.x - g.trend_num AS detr_num
+          FROM g JOIN dense d ON d.t = g.tc
+          WHERE g.k = 25
+        )
+        SELECT CAST(t % 24 AS BIGINT) AS h,
+               CAST(SUM(detr_num) AS BIGINT) AS s_num,
+               CAST(COUNT(*) AS BIGINT) AS s_den,
+               CAST(SUM(detr_num) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS s_mean
+        FROM detr GROUP BY t % 24
+    """
+
+    sqls["ts_changepoint"] = f"""
+        WITH {_DENSE},
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM dense),
+        cum AS (
+          SELECT t, SUM(x) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM dense
+        ),
+        d AS (
+          SELECT c.t, c.cum, tot.n, tot.s,
+                 tot.n * c.cum - (c.t + 1) * tot.s AS dstat
+          FROM cum c, tot
+          WHERE c.t < tot.n - 1
+        )
+        SELECT CAST(t AS BIGINT) AS t_star,
+               CAST(dstat AS BIGINT) AS d_stat,
+               CAST(abs(dstat) AS BIGINT) AS d_abs,
+               CAST(cum AS DOUBLE) / CAST(t + 1 AS DOUBLE) AS mean_before,
+               CAST(s - cum AS DOUBLE) / CAST(n - t - 1 AS DOUBLE)
+                 AS mean_after
+        FROM d
+        ORDER BY abs(dstat) DESC, t ASC
+        LIMIT 1
+    """
+
+    sqls["ts_ewma"] = f"""
+        WITH {_DENSE},
+        gather AS (
+          SELECT d.t + j.j AS td,
+                 d.x * CAST(pow(2.0, 24 - j.j) AS BIGINT) AS wx,
+                 CAST(pow(2.0, 24 - j.j) AS BIGINT) AS w
+          FROM dense d, generate_series(0, 24) j(j)
+        ),
+        g AS (
+          SELECT td, SUM(wx) AS num, SUM(w) AS den
+          FROM gather
+          WHERE td IN (SELECT t FROM dense)
+          GROUP BY td
+        )
+        SELECT CAST(td AS BIGINT) AS t,
+               CAST(num AS BIGINT) AS num,
+               CAST(den AS BIGINT) AS den,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+        FROM g
+    """
+
+    sqls["welch_ttest"] = """
+        WITH a AS (
+          SELECT COUNT(*) AS n1,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS s1,
+                 SUM(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS q1
+          FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+          SELECT COUNT(*) AS n2,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS s2,
+                 SUM(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS q2
+          FROM events WHERE event_type = 'error'
+        ),
+        j AS (
+          SELECT *,
+            CAST(s1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE) AS m1,
+            CAST(s2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE) AS m2,
+            CAST(CAST(n1 AS HUGEINT) * CAST(q1 AS HUGEINT)
+                 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+              / CAST(n1 * (n1 - 1) * 10000 AS DOUBLE) AS v1,
+            CAST(CAST(n2 AS HUGEINT) * CAST(q2 AS HUGEINT)
+                 - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE)
+              / CAST(n2 * (n2 - 1) * 10000 AS DOUBLE) AS v2
+          FROM a, b
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               m1 AS mean1, m2 AS mean2,
+               (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+               (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df
+        FROM j
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);

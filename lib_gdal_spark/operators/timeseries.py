@@ -1,0 +1,217 @@
+"""Time-series analytics over the events table: ACF, classical
+seasonal decomposition, AMOC changepoint, truncated EWMA, Welch t-test.
+
+The reference repo has no time-series layer (crawl-metadata tooling
+stops at per-file timestamps); these are the standard exploratory ops a
+crawl/feed pipeline needs (seasonality of fetch rates, drift detection
+on error rates) re-expressed as DataFrame aggregations.
+
+Exactness doctrine (the repo-wide contract): every series is an hourly
+*count* series — integers — and each statistic is arranged so all
+aggregation happens on integers (order-independent, shuffle-safe) with
+at most a handful of FIXED float expressions applied to the exact
+integer aggregates at the end. Nothing here depends on float summation
+order, so the DuckDB oracles match hash-exactly.
+
+Scale: the dense hour spine comes from one sequence-explode of the
+(min,max) aggregate — O(series length), never a per-row collect. Lag
+gathers are equi-joins on the hour index; at 10^12 events the heavy
+groupBy(hour) pre-aggregation is the only full-data pass and it
+map-side combines to |hours| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Dense (t, x) hourly count series: t = hour index from the first
+    hour, zero-filled for silent hours. One integer groupBy over the
+    data + a sequence-exploded spine from the (min,max) aggregate."""
+    h = events.select(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).alias("h"))
+    counts = h.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = span.select(
+        F.col("h0"),
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    return (
+        spine.join(counts, "h", "left")
+        .select((F.col("h") - F.col("h0")).alias("t"),
+                F.coalesce(F.col("x"), F.lit(0)).alias("x")))
+
+
+def acf(series: DataFrame, max_lag: int = 24) -> DataFrame:
+    """Autocorrelation function r_k = c_k / c_0, k = 1..max_lag, with
+    c_k = sum_t (n*x_t - S)(n*x_{t+k} - S) over the n-k overlapping
+    pairs — the n-scaled form keeps every covariance term an exact
+    integer (no float mean subtraction). Returns
+    (lag, cov_num BIGINT exact, acf DOUBLE = one division)."""
+    tot = series.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("s"))
+    a = series.crossJoin(F.broadcast(tot))
+    dev = a.select(
+        "t", "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("d"))
+    c0 = dev.agg(F.sum(F.col("d") * F.col("d")).alias("c0"))
+    lags = dev.select(
+        "t", "d", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"))
+    j = lags.alias("a").join(
+        dev.select(F.col("t").alias("tk"), F.col("d").alias("dk")).alias("b"),
+        F.col("a.t") + F.col("a.lag") == F.col("b.tk"))
+    ck = j.groupBy("lag").agg(
+        F.sum(F.col("d") * F.col("dk")).alias("cov_num"))
+    return (
+        ck.crossJoin(F.broadcast(c0))
+        .select(F.col("lag").cast("long").alias("lag"),
+                F.col("cov_num").cast("long").alias("cov_num"),
+                (F.col("cov_num").cast("double")
+                 / F.col("c0").cast("double")).alias("acf"))
+        .orderBy("lag"))
+
+
+def trend_ma(series: DataFrame, period: int = 24) -> DataFrame:
+    """Classical-decomposition trend: the centered 2x(period) moving
+    average, kept integer by scaling x 2*period: trend48_t =
+    x_{t-m} + 2*sum(x_{t-m+1}..x_{t+m-1}) + x_{t+m}, m = period/2.
+    Rows where the full window exists; trend = trend48 / (2*period)."""
+    m = period // 2
+    offs = series.select(
+        "t", "x",
+        F.explode(F.sequence(F.lit(-m), F.lit(m))).alias("o"))
+    w = F.when(F.abs(F.col("o")) == m, F.lit(1)).otherwise(F.lit(2))
+    contrib = offs.select(
+        (F.col("t") + F.col("o")).alias("tc"),
+        (F.col("x") * w).alias("wx"))
+    g = (contrib.groupBy("tc")
+         .agg(F.sum("wx").alias("trend_num"), F.count(F.lit(1)).alias("k")))
+    # k == 2m+1 exactly where every window member existed (interior
+    # rows) — no length scalar needed, the count IS the boundary test
+    return (
+        g.where(F.col("k") == 2 * m + 1)
+        .join(series.select(F.col("t").alias("tc"), "x"), "tc")
+        .select(F.col("tc").alias("t"), "x",
+                F.col("trend_num").cast("long").alias("trend_num"),
+                (F.col("trend_num") / F.lit(float(2 * period))).alias("trend"),
+                (F.lit(2 * period) * F.col("x")
+                 - F.col("trend_num")).cast("long").alias("detr_num")))
+
+
+def seasonal_means(series: DataFrame, period: int = 24) -> DataFrame:
+    """Uncentered seasonal indices: per phase h = t % period, the mean
+    of the 2*period-scaled detrended values from :func:`trend_ma`.
+    Returns (h, s_num BIGINT, s_den BIGINT, s_mean DOUBLE = one
+    division); the caller can center by the grand mean if desired."""
+    d = trend_ma(series, period)
+    return (
+        d.groupBy((F.col("t") % period).alias("h"))
+        .agg(F.sum("detr_num").alias("s_num"),
+             F.count(F.lit(1)).alias("s_den"))
+        .select(F.col("h").cast("long").alias("h"),
+                F.col("s_num").cast("long").alias("s_num"),
+                F.col("s_den").cast("long").alias("s_den"),
+                (F.col("s_num").cast("double")
+                 / F.col("s_den").cast("double")).alias("s_mean"))
+        .orderBy("h"))
+
+
+def amoc_changepoint(series: DataFrame) -> DataFrame:
+    """At-most-one-changepoint by the CUSUM statistic: D_t =
+    n*cum_t - (t+1)*S (exact integers); the split is argmax |D_t| over
+    t < n-1, ties to the smallest t. Returns one row with the exact
+    statistic and the two segment means (two final divisions)."""
+    from pyspark.sql import Window
+
+    tot = series.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = series.select("t", F.sum("x").over(w).alias("cum"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "t", "cum", "n", "s",
+        (F.col("n") * F.col("cum") - (F.col("t") + 1) * F.col("s"))
+        .alias("dstat"))
+    d = d.where(F.col("t") < F.col("n") - 1)
+    best = d.orderBy(F.abs(F.col("dstat")).desc(), F.col("t").asc()).limit(1)
+    return best.select(
+        F.col("t").cast("long").alias("t_star"),
+        F.col("dstat").cast("long").alias("d_stat"),
+        F.abs(F.col("dstat")).cast("long").alias("d_abs"),
+        (F.col("cum").cast("double") / (F.col("t") + 1).cast("double"))
+        .alias("mean_before"),
+        ((F.col("s") - F.col("cum")).cast("double")
+         / (F.col("n") - F.col("t") - 1).cast("double")).alias("mean_after"))
+
+
+def ewma_truncated(series: DataFrame, half_lags: int = 24) -> DataFrame:
+    """EWMA with alpha = 1/2, truncated to the last ``half_lags``+1
+    samples (a stated FIR approximation — weights below 2^-25 are under
+    measurement noise for count data): num_t = sum_{j=0..J} x_{t-j} *
+    2^(K-j), den_t = sum 2^(K-j), J = min(t, K). Both exact integers;
+    ewma = num/den is the single float division."""
+    k = half_lags
+    gather = series.select(
+        "t", "x", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("j"))
+    # 2^(K-j) via pow — exact for K <= 52, same op as the SQL oracle
+    w = F.pow(F.lit(2.0), F.lit(k) - F.col("j")).cast("long")
+    shifted = gather.select(
+        (F.col("t") + F.col("j")).alias("td"),
+        (F.col("x") * w).alias("wx"),
+        w.alias("w"))
+    # keep only target hours that exist on the spine (semi join beats a
+    # length scalar: no driver action, broadcastable)
+    g = (shifted.join(series.select(F.col("t").alias("td")), "td",
+                      "left_semi")
+         .groupBy("td")
+         .agg(F.sum("wx").alias("num"), F.sum("w").alias("den")))
+    return g.select(
+        F.col("td").cast("long").alias("t"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("ewma")).orderBy("t")
+
+
+def welch_ttest_row(events: DataFrame, group_col: str, value_col: str,
+                    group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups, one result
+    row: (n1, n2, mean1, mean2, t_stat, df).
+
+    Exactness: two-decimal values quantize to integer cents (round
+    half-away at *100 — the true values are exact cents, so the .5
+    boundary never arises); n, sum, sum-of-squares are integer
+    aggregates; mean / variance / t / Welch-Satterthwaite df are fixed
+    float expressions over those exact integers."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+
+    def side(g: str, tag: str) -> DataFrame:
+        return events.where(F.col(group_col) == g).agg(
+            F.count(F.lit(1)).alias("n" + tag),
+            F.sum(cents).alias("s" + tag),
+            F.sum(cents * cents).alias("q" + tag))
+
+    j = side(group_a, "1").crossJoin(side(group_b, "2"))
+    m1 = F.col("s1").cast("double") / (F.col("n1") * 100).cast("double")
+    m2 = F.col("s2").cast("double") / (F.col("n2") * 100).cast("double")
+    # the n*q - s^2 identity runs in DECIMAL(38,0) (HUGEINT in the
+    # oracle) so it cannot wrap int64 at large scale factors
+    d38 = "decimal(38,0)"
+    v1 = ((F.col("n1").cast(d38) * F.col("q1").cast(d38)
+           - F.col("s1").cast(d38) * F.col("s1").cast(d38))
+          .cast("double")
+          / (F.col("n1") * (F.col("n1") - 1) * 10000).cast("double"))
+    v2 = ((F.col("n2").cast(d38) * F.col("q2").cast(d38)
+           - F.col("s2").cast(d38) * F.col("s2").cast(d38))
+          .cast("double")
+          / (F.col("n2") * (F.col("n2") - 1) * 10000).cast("double"))
+    se1 = v1 / F.col("n1").cast("double")
+    se2 = v2 / F.col("n2").cast("double")
+    tstat = (m1 - m2) / F.sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (F.col("n1") - 1).cast("double")
+             + se2 * se2 / (F.col("n2") - 1).cast("double")))
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        m1.alias("mean1"), m2.alias("mean2"),
+        tstat.alias("t_stat"), df.alias("df"))
