@@ -8659,6 +8659,81 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type", "value", "purchase", "error")
 
 
+# ---------------------------------------------------------------------------
+# session-12: line generalization + minimum enclosing circle
+# ---------------------------------------------------------------------------
+
+def _tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-vertex tracks from the shared synthetic points: tid = pid//8,
+    vertex order pid%8 — derivable identically in SQL."""
+    p = _points(spark, sf_dir).where(F.col("pid") < 400)
+    return p.select(
+        F.floor(F.col("pid") / 8).cast("long").alias("tid"),
+        (F.col("pid") % 8).alias("vi"),
+        F.col("lon").alias("x"), F.col("lat").alias("y"))
+
+
+def q_chaikin_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Chaikin corner-cutting passes (8 -> 32 vertices) per track,
+    entirely in Catalyst higher-order array functions. Dyadic 1/4-3/4
+    weights + identical expression text in SQL = bit-identical
+    doubles."""
+    from lib_gdal_spark.functions.smooth import chaikin
+
+    tr = (_tracks(spark, sf_dir)
+          .groupBy("tid")
+          .agg(F.array_sort(
+              F.collect_list(F.struct("vi", "x", "y"))).alias("vs")))
+    tr = tr.select(
+        "tid",
+        chaikin(F.transform(F.col("vs"), lambda s: s["x"]), 2).alias("xs"),
+        chaikin(F.transform(F.col("vs"), lambda s: s["y"]), 2).alias("ys"))
+    z = tr.select("tid", F.posexplode(F.arrays_zip("xs", "ys")))
+    return z.select(
+        "tid", F.col("pos").cast("long").alias("vi"),
+        F.col("col")["xs"].alias("x"), F.col("col")["ys"].alias("y"))
+
+
+def q_snap_to_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SnapToGrid + consecutive-duplicate collapse over the tracks:
+    snap by explicit half-up floor(v/step + 0.5)*step, drop vertices
+    equal to their predecessor, re-number. Pure window relational
+    form — no arrays, no UDF."""
+    from pyspark.sql import Window
+    from lib_gdal_spark.functions.smooth import snap_coord
+
+    t = _tracks(spark, sf_dir)
+    s = t.select(
+        "tid", "vi",
+        snap_coord(F.col("x"), 0.05).alias("sx"),
+        snap_coord(F.col("y"), 0.05).alias("sy"))
+    w = Window.partitionBy("tid").orderBy("vi")
+    keep = (F.lag("sx").over(w).isNull()
+            | (F.col("sx") != F.lag("sx").over(w))
+            | (F.col("sy") != F.lag("sy").over(w)))
+    kept = s.withColumn("keep", keep).where("keep")
+    return kept.select(
+        "tid",
+        (F.row_number().over(w) - 1).cast("long").alias("vi"),
+        "sx", "sy")
+
+
+def q_min_enclosing_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum enclosing circle per 12-point group: every diameter-pair
+    and circumcircle candidate tested for containment in EXACT integer
+    arithmetic (coords bounded < 400 so the sharpest term stays under
+    2^63); the winner's center/radius are the only float divisions."""
+    from lib_gdal_spark.operators.enclosing import min_enclosing_circles
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 480)
+    pts = ev.select(
+        F.floor(F.col("event_id") / 12).cast("long").alias("gid"),
+        (F.col("event_id") % 12).alias("i"),
+        ((F.col("event_id") * 7919) % 400).alias("x"),
+        ((F.col("event_id") * 104729) % 400).alias("y"))
+    return min_enclosing_circles(pts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9087,6 +9162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changepoint": q_ts_changepoint,
         "ts_ewma": q_ts_ewma,
         "welch_ttest": q_welch_ttest,
+        "chaikin_smooth": q_chaikin_smooth,
+        "snap_to_grid": q_snap_to_grid,
+        "min_enclosing_circle": q_min_enclosing_circle,
     }
 
 
@@ -21271,6 +21349,134 @@ def oracle_sql() -> dict[str, str]:
                  / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df
         FROM j
+    """
+
+    # ------------------------------------------------------------------
+    # session-12: line generalization + minimum enclosing circle
+    # ------------------------------------------------------------------
+    _TRACKS = f"""
+        tpts AS (
+          SELECT pid // 8 AS tid, pid % 8 AS vi, lon AS x, lat AS y
+          FROM ({_POINTS_SQL}) WHERE pid < 400
+        ),
+        tr AS (
+          SELECT tid, list(x ORDER BY vi) AS xs, list(y ORDER BY vi) AS ys
+          FROM tpts GROUP BY tid
+        )
+    """
+
+    def _chk(e: str) -> str:
+        """One Chaikin pass over list expression ``e`` — the identical
+        0.75*a + 0.25*b arithmetic as functions/smooth.chaikin_step."""
+        return (
+            f"list_concat(list_concat([({e})[1]], "
+            f"flatten(list_transform(generate_series(1, len({e}) - 1), "
+            f"i -> [0.75 * ({e})[i] + 0.25 * ({e})[i + 1], "
+            f"0.25 * ({e})[i] + 0.75 * ({e})[i + 1]]))), "
+            f"[({e})[len({e})]])")
+
+    sqls["chaikin_smooth"] = f"""
+        WITH {_TRACKS},
+        it1 AS (
+          SELECT tid, {_chk('xs')} AS xs, {_chk('ys')} AS ys FROM tr
+        ),
+        it2 AS (
+          SELECT tid, {_chk('xs')} AS xs, {_chk('ys')} AS ys FROM it1
+        )
+        SELECT tid, CAST(gs.i - 1 AS BIGINT) AS vi,
+               xs[gs.i] AS x, ys[gs.i] AS y
+        FROM it2 CROSS JOIN generate_series(1, 32) gs(i)
+    """
+
+    sqls["snap_to_grid"] = f"""
+        WITH tpts AS (
+          SELECT pid // 8 AS tid, pid % 8 AS vi, lon AS x, lat AS y
+          FROM ({_POINTS_SQL}) WHERE pid < 400
+        ),
+        snapped AS (
+          SELECT tid, vi,
+                 floor(x / 0.05 + 0.5) * 0.05 AS sx,
+                 floor(y / 0.05 + 0.5) * 0.05 AS sy
+          FROM tpts
+        ),
+        kept AS (
+          SELECT tid, vi, sx, sy,
+                 (lag(sx) OVER w IS NULL
+                  OR sx <> lag(sx) OVER w OR sy <> lag(sy) OVER w) AS keep
+          FROM snapped
+          WINDOW w AS (PARTITION BY tid ORDER BY vi)
+        )
+        SELECT tid,
+               CAST(row_number() OVER (PARTITION BY tid ORDER BY vi) - 1
+                    AS BIGINT) AS vi,
+               sx, sy
+        FROM kept WHERE keep
+    """
+
+    sqls["min_enclosing_circle"] = """
+        WITH mpts AS (
+          SELECT event_id // 12 AS gid, event_id % 12 AS i,
+                 (event_id * 7919) % 400 AS x,
+                 (event_id * 104729) % 400 AS y
+          FROM events WHERE event_id < 480
+        ),
+        pairs AS (
+          SELECT a.gid, a.i AS i1, b.i AS i2, CAST(-1 AS BIGINT) AS i3,
+                 a.x + b.x AS ox, a.y + b.y AS oy,
+                 (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS rr,
+                 CAST(2 AS BIGINT) AS den
+          FROM mpts a JOIN mpts b ON a.gid = b.gid AND a.i < b.i
+        ),
+        trip0 AS (
+          SELECT a.gid, a.i AS i1, b.i AS i2, c.i AS i3,
+                 a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx,
+                 c.y AS cy,
+                 a.x * a.x + a.y * a.y AS aa,
+                 b.x * b.x + b.y * b.y AS bb,
+                 c.x * c.x + c.y * c.y AS cc,
+                 2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                      + c.x * (a.y - b.y)) AS d
+          FROM mpts a
+          JOIN mpts b ON a.gid = b.gid AND a.i < b.i
+          JOIN mpts c ON a.gid = c.gid AND b.i < c.i
+        ),
+        triples AS (
+          SELECT gid, i1, i2, i3,
+                 aa * (by - cy) + bb * (cy - ay) + cc * (ay - by) AS ox,
+                 aa * (cx - bx) + bb * (ax - cx) + cc * (bx - ax) AS oy,
+                 (ax * d - (aa * (by - cy) + bb * (cy - ay)
+                            + cc * (ay - by)))
+                 * (ax * d - (aa * (by - cy) + bb * (cy - ay)
+                              + cc * (ay - by)))
+                 + (ay * d - (aa * (cx - bx) + bb * (ax - cx)
+                              + cc * (bx - ax)))
+                 * (ay * d - (aa * (cx - bx) + bb * (ax - cx)
+                              + cc * (bx - ax))) AS rr,
+                 d AS den
+          FROM trip0 WHERE d <> 0
+        ),
+        cand AS (SELECT * FROM pairs UNION ALL SELECT * FROM triples),
+        cov AS (
+          SELECT c.gid, c.i1, c.i2, c.i3, c.ox, c.oy, c.rr, c.den,
+                 SUM(CASE WHEN
+                   (p.x * c.den - c.ox) * (p.x * c.den - c.ox)
+                   + (p.y * c.den - c.oy) * (p.y * c.den - c.oy) <= c.rr
+                   THEN 1 ELSE 0 END) AS n_in,
+                 COUNT(*) AS n
+          FROM cand c JOIN mpts p ON p.gid = c.gid
+          GROUP BY c.gid, c.i1, c.i2, c.i3, c.ox, c.oy, c.rr, c.den
+        )
+        SELECT gid, CAST(i1 AS BIGINT) AS k1, CAST(i2 AS BIGINT) AS k2,
+               CAST(i3 AS BIGINT) AS k3,
+               CAST(ox AS DOUBLE) / CAST(den AS DOUBLE) AS cx,
+               CAST(oy AS DOUBLE) / CAST(den AS DOUBLE) AS cy,
+               CAST(rr AS DOUBLE) / CAST(den * den AS DOUBLE) AS r2
+        FROM cov
+        WHERE n_in = n
+        QUALIFY row_number() OVER (
+          PARTITION BY gid
+          ORDER BY CAST(rr AS DOUBLE) / CAST(den * den AS DOUBLE) ASC,
+                   i1 ASC, i2 ASC, i3 ASC) = 1
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
