@@ -8757,6 +8757,26 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("w").cast("long").alias("w"))
 
 
+def q_ipf_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-constrained gravity model: 4 IPF iterations over a 12x12
+    integer milli-unit seed matrix with equal row/column target
+    margins. Every half-step re-quantizes half-up in pure int64, so
+    the unrolled 8-stage SQL oracle is bit-identical."""
+    from lib_gdal_spark.operators.gravity import ipf_gravity
+
+    z = spark.range(0, 12)
+    seed = (z.select(F.col("id").alias("i"))
+            .crossJoin(z.select(F.col("id").alias("j")))
+            .select("i", "j",
+                    ((1 + (F.col("i") * 5 + F.col("j") * 7) % 9) * 1000)
+                    .alias("v")))
+    row_t = z.select(F.col("id").alias("i"),
+                     ((40 + (F.col("id") * 31) % 25) * 1000).alias("t"))
+    col_t = z.select(F.col("id").alias("j"),
+                     ((40 + (F.col("id") * 31) % 25) * 1000).alias("t"))
+    return ipf_gravity(seed, row_t, col_t, rounds=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9189,6 +9209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_to_grid": q_snap_to_grid,
         "min_enclosing_circle": q_min_enclosing_circle,
         "mst_boruvka": q_mst_boruvka,
+        "ipf_gravity": q_ipf_gravity,
     }
 
 
@@ -21543,6 +21564,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(ea AS BIGINT) AS ea, CAST(eb AS BIGINT) AS eb,
                CAST(w AS BIGINT) AS w
         FROM prim WHERE step > 0
+    """
+
+    # ipf_gravity: the 8 IPF half-steps unrolled as CTE stages; the
+    # integer half-up update (2vt + s) // (2s) is engine-exact.
+    def _ipf_half(prev: str, key: str) -> str:
+        return f"""
+          SELECT c.i, c.j,
+                 CASE WHEN s.s = 0 THEN 0
+                      ELSE (2 * c.v * t.t + s.s) // (2 * s.s) END AS v
+          FROM {prev} c
+          JOIN (SELECT {key}, SUM(v) AS s FROM {prev} GROUP BY {key}) s
+            ON s.{key} = c.{key}
+          JOIN tgt_{key} t ON t.{key} = c.{key}
+        """
+
+    _ipf_stages = []
+    _prev = "seed"
+    for _r in range(4):
+        for _key in ("i", "j"):
+            _nm = f"st{len(_ipf_stages)}"
+            _ipf_stages.append(f"{_nm} AS ({_ipf_half(_prev, _key)})")
+            _prev = _nm
+    sqls["ipf_gravity"] = f"""
+        WITH zones AS (SELECT g.z FROM generate_series(0, 11) g(z)),
+        seed AS (
+          SELECT a.z AS i, b.z AS j,
+                 (1 + (a.z * 5 + b.z * 7) % 9) * 1000 AS v
+          FROM zones a CROSS JOIN zones b
+        ),
+        tgt_i AS (SELECT z AS i, (40 + (z * 31) % 25) * 1000 AS t
+                  FROM zones),
+        tgt_j AS (SELECT z AS j, (40 + (z * 31) % 25) * 1000 AS t
+                  FROM zones),
+        {', '.join(_ipf_stages)}
+        SELECT i, j, CAST(v AS BIGINT) AS t_milli,
+               CAST(v AS DOUBLE) / 1000.0 AS t
+        FROM {_prev}
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
