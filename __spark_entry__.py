@@ -8777,6 +8777,23 @@ def q_ipf_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipf_gravity(seed, row_t, col_t, rounds=4)
 
 
+def q_visvalingam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam-Whyatt simplification: remove the 4 smallest-
+    effective-area interior vertices per 10-vertex track (statically
+    unrolled window stages, integer doubled areas, (area, index)
+    tie-break). The oracle spells the identical 4 lag/lead + argmin
+    stages."""
+    from lib_gdal_spark.operators.simplify import visvalingam
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    pts = ev.select(
+        F.floor(F.col("event_id") / 10).cast("long").alias("tid"),
+        (F.col("event_id") % 10).alias("vi"),
+        ((F.col("event_id") * 7919) % 1000).alias("x"),
+        ((F.col("event_id") * 104729) % 1000).alias("y"))
+    return visvalingam(pts, n_remove=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9210,6 +9227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_enclosing_circle": q_min_enclosing_circle,
         "mst_boruvka": q_mst_boruvka,
         "ipf_gravity": q_ipf_gravity,
+        "visvalingam": q_visvalingam,
     }
 
 
@@ -21601,6 +21619,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT i, j, CAST(v AS BIGINT) AS t_milli,
                CAST(v AS DOUBLE) / 1000.0 AS t
         FROM {_prev}
+    """
+
+    # visvalingam: 4 unrolled elimination stages, each the identical
+    # lag/lead + integer doubled-area + per-track argmin delete.
+    def _vw_step(prev: str, k: int) -> str:
+        return f"""
+        s{k} AS (
+          SELECT tid, vi, x, y FROM (
+            SELECT tid, vi, x, y,
+              CASE WHEN ax IS NOT NULL AND cx IS NOT NULL THEN
+                abs((x - ax) * (cy - ay) - (cx - ax) * (y - ay)) END AS a2
+            FROM (
+              SELECT tid, vi, x, y,
+                     lag(x)  OVER w AS ax, lag(y)  OVER w AS ay,
+                     lead(x) OVER w AS cx, lead(y) OVER w AS cy
+              FROM {prev}
+              WINDOW w AS (PARTITION BY tid ORDER BY vi)
+            )
+          )
+          QUALIFY NOT (a2 IS NOT NULL AND row_number() OVER (
+            PARTITION BY tid ORDER BY a2 ASC NULLS LAST, vi ASC) = 1)
+        )"""
+
+    _vw = ",".join(_vw_step(f"s{k - 1}" if k else "vpts", k)
+                   for k in range(4))
+    sqls["visvalingam"] = f"""
+        WITH vpts AS (
+          SELECT event_id // 10 AS tid, event_id % 10 AS vi,
+                 (event_id * 7919) % 1000 AS x,
+                 (event_id * 104729) % 1000 AS y
+          FROM events WHERE event_id < 300
+        ),
+        {_vw}
+        SELECT tid,
+               CAST(row_number() OVER (PARTITION BY tid ORDER BY vi) - 1
+                    AS BIGINT) AS out_vi,
+               CAST(vi AS BIGINT) AS vi, x, y
+        FROM s3
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
