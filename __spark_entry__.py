@@ -8794,6 +8794,15 @@ def q_visvalingam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visvalingam(pts, n_remove=4)
 
 
+def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of six integer text statistics over
+    documents: one exact-integer covariance aggregation + 24 unrolled
+    power-iteration steps in fixed-order float arithmetic (IEEE sqrt,
+    left-assoc matvec) — the oracle replays every FLOP."""
+    from lib_gdal_spark.operators.pca import pca_top_component
+    return pca_top_component(_t(spark, sf_dir, "documents"), iters=24)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9228,6 +9237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_boruvka": q_mst_boruvka,
         "ipf_gravity": q_ipf_gravity,
         "visvalingam": q_visvalingam,
+        "pca_features": q_pca_features,
     }
 
 
@@ -21657,6 +21667,63 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS out_vi,
                CAST(vi AS BIGINT) AS vi, x, y
         FROM s3
+    """
+
+    # pca_features: covariance aggregates + 24 power-iteration CTE
+    # stages generated to mirror operators/pca.py FLOP-for-FLOP.
+    def _pc(a: int, b: int) -> str:
+        lo, hi = sorted((a, b))
+        return f"CAST(n * q{lo}{hi} - s{a} * s{b} AS DOUBLE)"
+
+    _D = 6
+    _qcols = ", ".join(
+        f"SUM(f{a} * f{b}) AS q{a}{b}"
+        for a in range(1, _D + 1) for b in range(a, _D + 1))
+    _scols = ", ".join(f"SUM(f{a}) AS s{a}" for a in range(1, _D + 1))
+    _covcols = ("n, " + ", ".join(f"s{a}" for a in range(1, _D + 1)) + ", "
+                + ", ".join(f"q{a}{b}" for a in range(1, _D + 1)
+                            for b in range(a, _D + 1)))
+    _pca_stages = []
+    _prev = "it0"
+    for _k in range(1, 25):
+        _wx = ", ".join(
+            f"({' + '.join(f'{_pc(a, b)} * v{b}' for b in range(1, _D + 1))})"
+            f" AS w{a}" for a in range(1, _D + 1))
+        _n2 = " + ".join(f"w{a} * w{a}" for a in range(1, _D + 1))
+        _vx = ", ".join(f"w{a} / nrm AS v{a}" for a in range(1, _D + 1))
+        _pca_stages.append(
+            f"it{_k} AS (SELECT {_covcols}, nrm, {_vx} FROM ("
+            f"SELECT *, sqrt({_n2}) AS nrm FROM ("
+            f"SELECT {_covcols}, {_wx} FROM {_prev})))")
+        _prev = f"it{_k}"
+    _trace = " + ".join(_pc(a, a) for a in range(1, _D + 1))
+    sqls["pca_features"] = f"""
+        WITH feats AS (
+          SELECT doc_id,
+            length(text) AS f1,
+            length(text) - length(replace(text, ' ', '')) AS f2,
+            length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS f3,
+            length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS f4,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS f5,
+            length(text) - length(replace(text, 'e', '')) AS f6
+          FROM documents
+        ),
+        cov AS (
+          SELECT COUNT(*) AS n, {_scols}, {_qcols} FROM feats
+        ),
+        it0 AS (
+          SELECT {_covcols},
+                 {", ".join(f"1.0 AS v{a}" for a in range(1, _D + 1))}
+          FROM cov
+        ),
+        {', '.join(_pca_stages)}
+        SELECT CAST(n AS BIGINT) AS n, nrm AS eig,
+               nrm / ({_trace}) AS explained,
+               {", ".join(f"v{a}" for a in range(1, _D + 1))}
+        FROM {_prev}
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
