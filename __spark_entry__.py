@@ -8803,6 +8803,24 @@ def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(_t(spark, sf_dir, "documents"), iters=24)
 
 
+def q_solar_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solar exposure with cast shadows over world4326 (k=8 halo): an
+    eastward horizon scan (max slope ratio vs tan_alt=1/4) gates the
+    Horn-normal Lambertian incidence with the (4,0,1)/sqrt(17) sun
+    vector. Shadowed cells are -1.0 in the packed band; the oracle
+    spells horizon + Horn + incidence with identical fixed ops."""
+    from lib_gdal_spark.operators.dem import dem_op_k, solar_exposure_kernel
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = dem_op_k(tiles, 8, solar_exposure_kernel)
+    ex = _explode_px(out).where(
+        F.col("px").between(8, 247) & F.col("py").between(8, 247))
+    return ex.select(
+        "px", "py",
+        (F.col("v") == -1.0).cast("long").alias("shadowed"),
+        F.greatest(F.col("v"), F.lit(0.0)).alias("exposure"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9238,6 +9256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipf_gravity": q_ipf_gravity,
         "visvalingam": q_visvalingam,
         "pca_features": q_pca_features,
+        "solar_exposure": q_solar_exposure,
     }
 
 
@@ -21724,6 +21743,52 @@ def oracle_sql() -> dict[str, str]:
                nrm / ({_trace}) AS explained,
                {", ".join(f"v{a}" for a in range(1, _D + 1))}
         FROM {_prev}
+    """
+
+    # solar_exposure: horizon scan + Horn incidence, all fixed ops.
+    def _wv(dx: str | int, dy: str | int) -> str:
+        fx = f"(px + {dx})" if dx else "px"
+        fy = f"(py + {dy})" if dy else "py"
+        return (f"trunc((sin({fx} * 0.19) + cos({fy} * 0.13))"
+                f" * 60.0 + 128.0)")
+
+    _horizon = ", ".join(
+        f"(({_wv(t, 0)}) - v0) / {t}.0" for t in range(1, 9))
+    sqls["solar_exposure"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(8, 247) x(px)
+          CROSS JOIN generate_series(8, 247) y(py)
+        ),
+        base AS (
+          SELECT px, py, {_wv(0, 0)} AS v0,
+                 {_wv(-1, -1)} AS a, {_wv(0, -1)} AS b, {_wv(1, -1)} AS c,
+                 {_wv(-1, 0)} AS d, {_wv(1, 0)} AS f,
+                 {_wv(-1, 1)} AS g, {_wv(0, 1)} AS h, {_wv(1, 1)} AS i
+          FROM pix
+        ),
+        calc AS (
+          SELECT px, py,
+            greatest({_horizon}) AS m,
+            ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * 1.40625)
+              AS p,
+            ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * -0.703125)
+              AS q
+          FROM base
+        ),
+        expo AS (
+          SELECT px, py,
+            CASE WHEN m > 0.25 THEN -1.0 ELSE
+              greatest(((0.0 - p) * (4.0 / sqrt(17.0))
+                        + (1.0 / sqrt(17.0)))
+                       / sqrt(1.0 + (p * p + q * q)), 0.0) END AS v
+          FROM calc
+        )
+        SELECT px, py,
+               CAST(CASE WHEN v = -1.0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS shadowed,
+               greatest(v, 0.0) AS exposure
+        FROM expo
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);

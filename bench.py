@@ -250,6 +250,17 @@ BENCH = {
     "theil_sen": lambda s: _force(E.q_theil_sen(s, SF_DIR)),
     "kaplan_meier": lambda s: _force(E.q_kaplan_meier(s, SF_DIR)),
     "lexrank": lambda s: _force(E.q_lexrank(s, SF_DIR)),
+    # round-4 session-12 additions (chaikin/snap/mec/visvalingam/mst/ipf
+    # are fixed-size fixture queries -> gate-only; the entries below
+    # scale with SF_DIR or the full fixture rasters)
+    "ts_acf": lambda s: _force(E.q_ts_acf(s, SF_DIR)),
+    "ts_trend": lambda s: _force(E.q_ts_trend(s, SF_DIR)),
+    "ts_ewma": lambda s: _force(E.q_ts_ewma(s, SF_DIR)),
+    "welch_ttest": lambda s: _force(E.q_welch_ttest(s, SF_DIR)),
+    "focal_median": lambda s: _force(E.q_focal_median(s, SF_DIR)),
+    "kuwahara": lambda s: _force(E.q_kuwahara(s, SF_DIR)),
+    "hist_match": lambda s: _force(E.q_hist_match(s, SF_DIR)),
+    "pca_features": lambda s: _force(E.q_pca_features(s, SF_DIR)),
 }
 
 

@@ -1597,3 +1597,34 @@ def vrm_kernel(pad: np.ndarray, k: int, ewres: float,
             sz = sz + nz[ys, xs]
     mag = np.sqrt((sx * sx + sy * sy) + sz * sz)
     return 1.0 - mag / 9.0
+
+
+def solar_exposure_kernel(pad: np.ndarray, k: int, ewres: float,
+                          nsres: float, tan_alt: float = 0.25
+                          ) -> np.ndarray:
+    """Clear-sky solar exposure with cast shadows (the r.sun/ArcGIS
+    Solar-Analyst core, reduced to one sun position): sun due EAST at
+    altitude atan(tan_alt); a cell is shadowed when the max elevation-
+    angle ratio toward the sun within k pixels exceeds tan_alt
+    (the openness-style horizon scan); otherwise exposure is the
+    Lambertian incidence of the Horn-normal with the unit sun vector
+    (4, 0, 1)/sqrt(17) for the default tan_alt=1/4.
+
+    Shadowed cells emit -1.0 (distinguishable from a zero-incidence
+    lit cell); lit cells emit max(incidence, 0). Every op is a fixed
+    expression (subtractions, divisions, one sqrt, max-fold) — the SQL
+    oracle is exact by construction, no trig."""
+    th, tw = pad.shape[0] - 2 * k, pad.shape[1] - 2 * k
+    z0 = pad[k:k + th, k:k + tw]
+    m = None
+    for t in range(1, k + 1):
+        r = (pad[k:k + th, k + t:k + t + tw] - z0) / float(t)
+        m = r if m is None else np.maximum(m, r)
+    sub = pad[k - 1:k + th + 1, k - 1:k + tw + 1]
+    p, q = _horn(sub, ewres, nsres)
+    den = np.sqrt(1.0 + (p * p + q * q))
+    cosa = 4.0 / np.sqrt(17.0)
+    sina = 1.0 / np.sqrt(17.0)
+    inc = ((0.0 - p) * cosa + sina) / den
+    with np.errstate(invalid="ignore"):
+        return np.where(m > tan_alt, -1.0, np.maximum(inc, 0.0))
