@@ -8821,6 +8821,28 @@ def q_solar_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("v"), F.lit(0.0)).alias("exposure"))
 
 
+def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-area isochrones: the cost_distance fixpoint banded at
+    20-cost intervals (floor(dist/20) on the 9-dp-rounded distances,
+    identical doubles in both engines), with per-band cell counts,
+    min/max, and an exact integer nano-unit sum feeding the mean."""
+    from lib_gdal_spark.operators.proximity import cost_distance
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    cd = cost_distance(tiles, [(5, 5), (38, 20), (20, 38)], lo=1, hi=40)
+    nano = F.round(F.col("dist") * 1e9).cast("long")
+    return (cd.groupBy(
+        F.floor(F.col("dist") / 20.0).cast("long").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.min("dist").alias("d_min"),
+             F.max("dist").alias("d_max"),
+             F.sum(nano).alias("d_sum_nano"))
+        .select("band", "n_cells", "d_min", "d_max",
+                F.col("d_sum_nano").cast("long").alias("d_sum_nano"),
+                (F.col("d_sum_nano").cast("double") / F.col("n_cells")
+                 / F.lit(1000000000.0)).alias("d_mean")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9257,6 +9279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visvalingam": q_visvalingam,
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
+        "isochrone_bands": q_isochrone_bands,
     }
 
 
@@ -21789,6 +21812,22 @@ def oracle_sql() -> dict[str, str]:
                  AS shadowed,
                greatest(v, 0.0) AS exposure
         FROM expo
+    """
+
+    # isochrone_bands: reuse the cost_distance fixpoint chain verbatim,
+    # band the rounded distances, exact nano-unit sums for the mean.
+    _iso_head = sqls["cost_distance"].rsplit("SELECT p.px", 1)[0]
+    sqls["isochrone_bands"] = _iso_head + """
+        SELECT CAST(floor(round(f.dist, 9) / 20.0) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               min(round(f.dist, 9)) AS d_min,
+               max(round(f.dist, 9)) AS d_max,
+               CAST(SUM(CAST(round(round(f.dist, 9) * 1e9) AS BIGINT))
+                    AS BIGINT) AS d_sum_nano,
+               CAST(SUM(CAST(round(round(f.dist, 9) * 1e9) AS BIGINT))
+                    AS DOUBLE) / count(*) / 1000000000.0 AS d_mean
+        FROM cells p JOIN fin f ON f.node = p.py * 65536 + p.px
+        GROUP BY 1
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
