@@ -8843,6 +8843,19 @@ def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.lit(1000000000.0)).alias("d_mean")))
 
 
+def q_dem_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Height Above Nearest Drainage (Rennó 2008) over the world4326
+    [1,126]^2 window: drainage = accumulation >= 40, drainage-stopping
+    pointer doubling, HAND = z - z(first drainage downstream) as exact
+    integers (NULL + drained=0 where the path dies first). Oracle =
+    the flow-accumulation recursive CTE + an 8-stage doubling chain
+    over the drainage-aware successor."""
+    from lib_gdal_spark.operators.dem import hand
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    return hand(tiles, threshold=40, lo=1, hi=126)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9280,6 +9293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
+        "dem_hand": q_dem_hand,
     }
 
 
@@ -21828,6 +21842,41 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) / count(*) / 1000000000.0 AS d_mean
         FROM cells p JOIN fin f ON f.node = p.py * 65536 + p.px
         GROUP BY 1
+    """
+
+    # dem_hand: flow-accumulation chain + drainage-stopping doubling.
+    _hd_head = sqls["flow_accumulation"].rsplit("SELECT p.px", 1)[0]
+    _hd_dbl = "".join(
+        f""",
+        hs{k} AS (
+          SELECT a.id, b.nxt FROM hs{k - 1} a JOIN hs{k - 1} b
+            ON a.nxt = b.id
+        )""" for k in range(1, 9))
+    sqls["dem_hand"] = _hd_head + f""",
+        drn AS (
+          SELECT p.px, p.py, coalesce(a.n, 0) >= 40 AS drain
+          FROM pix p LEFT JOIN acc a ON a.dst = p.py * 65536 + p.px
+        ),
+        hs0 AS (
+          SELECT t.py * 65536 + t.px AS id,
+            CASE WHEN d.drain THEN t.py * 65536 + t.px
+                 WHEN t.tx BETWEEN 1 AND 126 AND t.ty BETWEEN 1 AND 126
+                   THEN t.ty * 65536 + t.tx
+                 ELSE t.py * 65536 + t.px END AS nxt
+          FROM tgt t JOIN drn d ON d.px = t.px AND d.py = t.py
+        ){_hd_dbl}
+        SELECT p.px, p.py, CAST(hs8.nxt AS BIGINT) AS land,
+               CAST(CASE WHEN dl.drain THEN 1 ELSE 0 END AS BIGINT)
+                 AS drained,
+               CASE WHEN dl.drain THEN CAST(wz.e - wl.e AS BIGINT) END
+                 AS hand
+        FROM pix p
+        JOIN hs8 ON hs8.id = p.py * 65536 + p.px
+        JOIN drn dl ON dl.px = hs8.nxt % 65536
+                   AND dl.py = hs8.nxt // 65536
+        JOIN win wz ON wz.px = p.px AND wz.py = p.py
+        JOIN win wl ON wl.px = hs8.nxt % 65536
+                   AND wl.py = hs8.nxt // 65536
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);

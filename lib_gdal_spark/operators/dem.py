@@ -1628,3 +1628,106 @@ def solar_exposure_kernel(pad: np.ndarray, k: int, ewres: float,
     inc = ((0.0 - p) * cosa + sina) / den
     with np.errstate(invalid="ignore"):
         return np.where(m > tan_alt, -1.0, np.maximum(inc, 0.0))
+
+
+def hand(tiles: DataFrame, threshold: int = 40, tile: int = 64,
+         lo: int = 1, hi: int = 126,
+         max_doublings: int = 10) -> DataFrame:
+    """Height Above Nearest Drainage (Rennó et al., RSE 2008; the
+    flood-mapping terrain normalization): the drainage network is the
+    accumulation >= ``threshold`` cell set; every cell follows its D8
+    path to the FIRST drainage cell downstream and reports
+    z(cell) - z(drainage). Cells whose path terminates (pit / window
+    exit) before touching drainage report NULL with drained = 0.
+
+    Same pointer-doubling shape as :func:`d8_basins`, with the
+    successor function edited so drainage cells SELF-LOOP — the
+    fixpoint then lands every cell exactly on its first downstream
+    drainage cell. Elevations are integer-valued, so HAND is an exact
+    BIGINT."""
+    acc = d8_flow_accumulation(tiles, tile, lo, hi)
+
+    fd = dem_op(tiles, "flowdir")
+    ex = fd.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "code"),
+    )
+    px = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    py = (F.col("tile_y") * tile
+          + (F.col("pos") / F.col("tile_w")).cast("int"))
+    cells = ex.select(
+        px.cast("long").alias("px"), py.cast("long").alias("py"),
+        F.col("code").cast("int").alias("code"),
+    ).where((F.col("px").between(lo, hi)) & (F.col("py").between(lo, hi)))
+
+    zv = tiles.select(
+        "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("pos", "z"))
+    zpx = (F.col("tile_x") * tile + F.col("pos") % F.col("tile_w"))
+    zpy = (F.col("tile_y") * tile
+           + (F.col("pos") / F.col("tile_w")).cast("int"))
+    zs = zv.select(
+        (zpy.cast("long") * 65536 + zpx.cast("long")).alias("zid"),
+        F.col("z").cast("long").alias("z"))
+
+    dx = F.lit(0)
+    dy = F.lit(0)
+    for code, (cdx, cdy) in D8_OFFSETS.items():
+        dx = F.when(F.col("code") == code, F.lit(cdx)).otherwise(dx)
+        dy = F.when(F.col("code") == code, F.lit(cdy)).otherwise(dy)
+    tx = F.col("px") + dx
+    ty = F.col("py") + dy
+    in_win = tx.between(lo, hi) & ty.between(lo, hi)
+    self_key = F.col("py") * 65536 + F.col("px")
+    c2 = cells.join(acc, ["px", "py"])
+    succ = c2.select(
+        self_key.alias("id"),
+        F.when(F.col("acc") >= threshold, self_key)
+        .when(in_win, ty * 65536 + tx)
+        .otherwise(self_key).alias("nxt"),
+    ).localCheckpoint()
+
+    cur = succ
+    for _ in range(max_doublings):
+        nxt2 = (
+            cur.alias("a")
+            .join(cur.select(F.col("id").alias("nid"),
+                             F.col("nxt").alias("n2")).alias("b"),
+                  F.col("a.nxt") == F.col("nid"))
+            .select(F.col("a.id").alias("id"), F.col("n2").alias("nxt"))
+            .localCheckpoint()
+        )
+        moved = (
+            nxt2.alias("x")
+            .join(cur.select(F.col("id").alias("id2"),
+                             F.col("nxt").alias("old")).alias("y"),
+                  F.col("x.id") == F.col("id2"))
+            .where(F.col("x.nxt") != F.col("old")).count()
+        )
+        cur = nxt2
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"hand did not converge in {max_doublings} doublings")
+
+    land_acc = acc.select(
+        (F.col("py") * 65536 + F.col("px")).alias("land"),
+        F.col("acc").alias("land_acc"))
+    out = (cells.select(
+        "px", "py", (F.col("py") * 65536 + F.col("px")).alias("id"))
+        .join(cur, "id")
+        .withColumnRenamed("nxt", "land")
+        .join(land_acc, "land")
+        .join(zs.withColumnRenamed("zid", "id2"),
+              F.col("id") == F.col("id2"))
+        .withColumnRenamed("z", "z_self")
+        .join(zs.withColumnRenamed("zid", "id3")
+              .withColumnRenamed("z", "z_land"),
+              F.col("land") == F.col("id3")))
+    drained = (F.col("land_acc") >= threshold)
+    return out.select(
+        "px", "py", F.col("land").cast("long").alias("land"),
+        drained.cast("long").alias("drained"),
+        F.when(drained, F.col("z_self") - F.col("z_land"))
+        .cast("long").alias("hand"))
