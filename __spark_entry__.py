@@ -8856,6 +8856,23 @@ def q_dem_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hand(tiles, threshold=40, lo=1, hi=126)
 
 
+def q_largest_empty_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest empty circle in the [0,400]^2 box per 12-point group:
+    the full candidate family (circumcenters, bisector x wall
+    crossings, corners) with rational centers, integer in-box and
+    nearest-point tests; radius = distance to the nearest point, so no
+    emptiness filter is needed."""
+    from lib_gdal_spark.operators.enclosing import largest_empty_circles
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 480)
+    pts = ev.select(
+        F.floor(F.col("event_id") / 12).cast("long").alias("gid"),
+        (F.col("event_id") % 12).alias("i"),
+        ((F.col("event_id") * 7919) % 400).alias("x"),
+        ((F.col("event_id") * 104729) % 400).alias("y"))
+    return largest_empty_circles(pts, box=400)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9294,6 +9311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
         "dem_hand": q_dem_hand,
+        "largest_empty_circle": q_largest_empty_circle,
     }
 
 
@@ -21877,6 +21895,104 @@ def oracle_sql() -> dict[str, str]:
         JOIN win wz ON wz.px = p.px AND wz.py = p.py
         JOIN win wl ON wl.px = hs8.nxt % 65536
                    AND wl.py = hs8.nxt // 65536
+    """
+
+    # largest_empty_circle: same fixture as min_enclosing_circle; the
+    # candidate family is Voronoi vertices + bisector x wall + corners.
+    _lec_edges = []
+    for _e, (_horiz, _fx) in enumerate([(True, 0), (True, 400),
+                                        (False, 0), (False, 400)]):
+        if _horiz:
+            _den0 = "2 * (bx - ax)"
+            _num0 = f"(bb - aa - 2 * {_fx} * (by - ay))"
+        else:
+            _den0 = "2 * (by - ay)"
+            _num0 = f"(bb - aa - 2 * {_fx} * (bx - ax))"
+        _v = f"(CASE WHEN {_den0} < 0 THEN -{_num0} ELSE {_num0} END)"
+        _dn = f"abs({_den0})"
+        _nx = _v if _horiz else f"{_fx} * {_dn}"
+        _ny = f"{_fx} * {_dn}" if _horiz else _v
+        _lec_edges.append(f"""
+          SELECT gid, i1, i2, CAST({-(_e + 1)} AS BIGINT) AS i3,
+                 {_nx} AS nx, {_ny} AS ny, {_dn} AS den
+          FROM pair0
+          WHERE {_den0} <> 0 AND {_v} >= 0 AND {_v} <= 400 * {_dn}""")
+    _lec_corners = " UNION ALL ".join(
+        f"""SELECT gid, CAST(-1 AS BIGINT) AS i1, CAST(-1 AS BIGINT) AS i2,
+               CAST({-(10 + _ci)} AS BIGINT) AS i3,
+               CAST({_cx} AS BIGINT) AS nx, CAST({_cy} AS BIGINT) AS ny,
+               CAST(1 AS BIGINT) AS den
+            FROM (SELECT DISTINCT gid FROM mpts)"""
+        for _ci, (_cx, _cy) in enumerate(
+            [(0, 0), (400, 0), (0, 400), (400, 400)]))
+    sqls["largest_empty_circle"] = f"""
+        WITH mpts AS (
+          SELECT event_id // 12 AS gid, event_id % 12 AS i,
+                 (event_id * 7919) % 400 AS x,
+                 (event_id * 104729) % 400 AS y
+          FROM events WHERE event_id < 480
+        ),
+        trip0 AS (
+          SELECT a.gid, a.i AS i1, b.i AS i2, c.i AS i3,
+                 a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx,
+                 c.y AS cy,
+                 a.x * a.x + a.y * a.y AS aa,
+                 b.x * b.x + b.y * b.y AS bb,
+                 c.x * c.x + c.y * c.y AS cc,
+                 2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                      + c.x * (a.y - b.y)) AS d
+          FROM mpts a
+          JOIN mpts b ON a.gid = b.gid AND a.i < b.i
+          JOIN mpts c ON a.gid = c.gid AND b.i < c.i
+        ),
+        tripc AS (
+          SELECT gid, i1, i2, i3, d,
+                 aa * (by - cy) + bb * (cy - ay) + cc * (ay - by) AS ux,
+                 aa * (cx - bx) + bb * (ax - cx) + cc * (bx - ax) AS uy
+          FROM trip0 WHERE d <> 0
+        ),
+        tripn AS (
+          SELECT gid, i1, i2, i3,
+                 CASE WHEN d < 0 THEN -ux ELSE ux END AS nx,
+                 CASE WHEN d < 0 THEN -uy ELSE uy END AS ny,
+                 abs(d) AS den
+          FROM tripc
+        ),
+        tripf AS (
+          SELECT * FROM tripn
+          WHERE nx >= 0 AND nx <= 400 * den
+            AND ny >= 0 AND ny <= 400 * den
+        ),
+        pair0 AS (
+          SELECT a.gid, a.i AS i1, b.i AS i2,
+                 a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+                 a.x * a.x + a.y * a.y AS aa,
+                 b.x * b.x + b.y * b.y AS bb
+          FROM mpts a JOIN mpts b ON a.gid = b.gid AND a.i < b.i
+        ),
+        cand AS (
+          SELECT gid, CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+                 CAST(i3 AS BIGINT) AS i3, nx, ny, den
+          FROM tripf
+          UNION ALL {' UNION ALL '.join(_lec_edges)}
+          UNION ALL {_lec_corners}
+        ),
+        near AS (
+          SELECT c.gid, c.i1, c.i2, c.i3, c.nx, c.ny, c.den,
+                 MIN((p.x * c.den - c.nx) * (p.x * c.den - c.nx)
+                     + (p.y * c.den - c.ny) * (p.y * c.den - c.ny)) AS rr
+          FROM cand c JOIN mpts p ON p.gid = c.gid
+          GROUP BY c.gid, c.i1, c.i2, c.i3, c.nx, c.ny, c.den
+        )
+        SELECT gid, i1 AS k1, i2 AS k2, i3 AS k3,
+               CAST(nx AS DOUBLE) / CAST(den AS DOUBLE) AS cx,
+               CAST(ny AS DOUBLE) / CAST(den AS DOUBLE) AS cy,
+               CAST(rr AS DOUBLE) / CAST(den * den AS DOUBLE) AS r2
+        FROM near
+        QUALIFY row_number() OVER (
+          PARTITION BY gid
+          ORDER BY CAST(rr AS DOUBLE) / CAST(den * den AS DOUBLE) DESC,
+                   i1 ASC, i2 ASC, i3 ASC) = 1
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);
