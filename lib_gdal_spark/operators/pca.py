@@ -18,6 +18,7 @@ iteration happens on a one-row frame. This is exactly how PCA over
 
 from __future__ import annotations
 
+import math
 from itertools import combinations_with_replacement
 
 from pyspark.sql import Column, DataFrame
@@ -68,32 +69,46 @@ def pca_top_component(docs: DataFrame, text_col: str = "text",
                       iters: int = 24) -> DataFrame:
     """Top principal component of the 6 text statistics: returns one
     row (n, eig (the final pre-normalization vector norm), explained
-    (= eig / trace), v1..v6)."""
-    row = covariance_row(text_features(docs, text_col))
-    base = list(row.columns)
-    cur = row.select(
-        "*", *[F.lit(1.0).alias(f"v{a}") for a in range(1, D + 1)])
+    (= eig / trace), v1..v6).
+
+    The DATA pass is the single distributed aggregation in
+    :func:`covariance_row`; the 24 power-iteration steps then run on
+    the collected d*(d+1)/2 + d + 1 scalars DRIVER-side — the Spark
+    MLlib PCA pattern (RowMatrix.computePrincipalComponents does its
+    eigensolve on the driver's Gramian too). Python floats are IEEE
+    doubles and every step is the same left-assoc fold the SQL oracle
+    spells, so the result is bit-identical. (A first cut unrolled the
+    iterations as 24 chained Catalyst projections; project-collapse
+    substituted each step into the next and planning alone cost ~20 s
+    — iterating ON the reduced statistics is the correct altitude.)"""
+    r = covariance_row(text_features(docs, text_col)).first()
+    n = int(r["n"])
+
+    def cov(a: int, b: int) -> float:
+        lo, hi = min(a, b), max(a, b)
+        return float(n * r[f"q{lo}{hi}"] - r[f"s{a}"] * r[f"s{b}"])
+
+    v = [1.0] * D
+    nrm = 0.0
     for _ in range(iters):
-        ws = []
+        w = []
         for a in range(1, D + 1):
-            w = _cov(a, 1) * F.col("v1")
+            acc = cov(a, 1) * v[0]
             for b in range(2, D + 1):
-                w = w + _cov(a, b) * F.col(f"v{b}")
-            ws.append(w.alias(f"w{a}"))
-        cur = cur.select(*base, *ws)
-        nrm = F.col("w1") * F.col("w1")
-        for a in range(2, D + 1):
-            nrm = nrm + F.col(f"w{a}") * F.col(f"w{a}")
-        cur = cur.select("*", F.sqrt(nrm).alias("nrm"))
-        cur = cur.select(
-            *base, "nrm",
-            *[(F.col(f"w{a}") / F.col("nrm")).alias(f"v{a}")
-              for a in range(1, D + 1)])
-    trace = _cov(1, 1)
+                acc = acc + cov(a, b) * v[b - 1]
+            w.append(acc)
+        nrm = w[0] * w[0]
+        for a in range(1, D):
+            nrm = nrm + w[a] * w[a]
+        nrm = math.sqrt(nrm)
+        v = [x / nrm for x in w]
+    trace = cov(1, 1)
     for a in range(2, D + 1):
-        trace = trace + _cov(a, a)
-    return cur.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("nrm").alias("eig"),
-        (F.col("nrm") / trace).alias("explained"),
-        *[F.col(f"v{a}") for a in range(1, D + 1)])
+        trace = trace + cov(a, a)
+    spark = docs.sparkSession
+    out = {"n": n, "eig": nrm, "explained": nrm / trace}
+    out.update({f"v{a}": v[a - 1] for a in range(1, D + 1)})
+    return spark.createDataFrame(
+        [tuple(out.values())],
+        "n long, eig double, explained double, " + ", ".join(
+            f"v{a} double" for a in range(1, D + 1)))
