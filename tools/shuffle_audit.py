@@ -64,6 +64,13 @@ QUERIES = [
     "line_density", "betweenness", "coreness", "st_dbscan",
     "trimmed_mean", "kaplan_meier", "theil_sen", "jenks_breaks",
     "otsu_threshold", "zonal_majority", "image_quality", "audio_quality",
+    # round-4 session-12 additions
+    "focal_median", "unsharp_mask", "kuwahara", "hist_match",
+    "ts_acf", "ts_trend", "ts_seasonal", "ts_changepoint", "ts_ewma",
+    "welch_ttest", "chaikin_smooth", "snap_to_grid",
+    "min_enclosing_circle", "largest_empty_circle", "mst_boruvka",
+    "ipf_gravity", "visvalingam", "pca_features", "solar_exposure",
+    "isochrone_bands", "dem_hand", "mattr",
 ]
 
 
