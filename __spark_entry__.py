@@ -8873,6 +8873,55 @@ def q_largest_empty_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_empty_circles(pts, box=400)
 
 
+def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary morphology, the closing side: closing (= erode(dilate)),
+    morphological gradient (dilate - erode, the mask's edge band), and
+    black tophat (closing - mask, the pepper holes filled by closing).
+    Two composed halo-exchange rounds like morph_open; the oracle
+    spells the 81-term closing and the differences directly."""
+    from lib_gdal_spark.operators.dem import dem_op
+
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    er = dem_op(tiles, "morph_erode", threshold=128.0)
+    di = dem_op(tiles, "morph_dilate", threshold=128.0)
+    cl = dem_op(di, "morph_erode", threshold=0.5)
+    e = _explode_px(er).select(
+        "px", "py", F.col("v").cast("int").alias("eroded"))
+    d = _explode_px(di).select(
+        "px", "py", F.col("v").cast("int").alias("dilated"))
+    c = _explode_px(cl).select(
+        "px", "py", F.col("v").cast("int").alias("closed"))
+    m = _explode_px(tiles).select(
+        "px", "py",
+        (F.col("v") >= 128.0).cast("int").alias("mask"))
+    j = (c.join(e, ["px", "py"]).join(d, ["px", "py"])
+         .join(m, ["px", "py"])
+         .where(F.col("px").between(2, 253) & F.col("py").between(2, 253)))
+    return j.select(
+        "px", "py", F.col("closed").cast("int").alias("closed"),
+        (F.col("dilated") - F.col("eroded")).cast("int").alias("gradient"),
+        (F.col("closed") - F.col("mask")).cast("int").alias("tophat_black"))
+
+
+def q_ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly error-count and purchase-
+    count series, lags -12..+12 on one shared spine: integer n-scaled
+    cross-covariances, one fixed float expression per lag."""
+    from lib_gdal_spark.operators.timeseries import ccf, paired_hourly
+    return ccf(paired_hourly(_t(spark, sf_dir, "events"),
+                             "error", "purchase"), max_lag=12)
+
+
+def q_lag_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style single-lag OLS: purchase_t on error_{t-1} —
+    integer moment sums over the overlap, slope/intercept/r2 as fixed
+    float expressions of them."""
+    from lib_gdal_spark.operators.timeseries import (lag_regression,
+                                                     paired_hourly)
+    return lag_regression(paired_hourly(_t(spark, sf_dir, "events"),
+                                        "error", "purchase"), lag=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9312,6 +9361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_bands": q_isochrone_bands,
         "dem_hand": q_dem_hand,
         "largest_empty_circle": q_largest_empty_circle,
+        "morph_close": q_morph_close,
+        "ts_ccf": q_ts_ccf,
+        "lag_regression": q_lag_regression,
     }
 
 
@@ -17314,6 +17366,20 @@ def oracle_sql() -> dict[str, str]:
         "least(" + ", ".join(
             _morph_mask(ox + ex, oy + ey) for ex, ey in _offs) + ")"
         for ox, oy in _offs) + ")"
+    _mo_close = "least(" + ", ".join(
+        "greatest(" + ", ".join(
+            _morph_mask(ox + ex, oy + ey) for ex, ey in _offs) + ")"
+        for ox, oy in _offs) + ")"
+    sqls["morph_close"] = f"""
+        SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
+               CAST({_mo_close} AS INT) AS closed,
+               CAST({_mo_dilate} - {_mo_erode} AS INT) AS gradient,
+               CAST({_mo_close} - {_morph_mask(0, 0)} AS INT)
+                 AS tophat_black
+        FROM generate_series(2, 253) x(px)
+        CROSS JOIN generate_series(2, 253) y(py)
+    """
+
     sqls["morph_open"] = f"""
         SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py,
                CAST({_mo_erode} AS INT) AS eroded,
@@ -21993,6 +22059,77 @@ def oracle_sql() -> dict[str, str]:
           PARTITION BY gid
           ORDER BY CAST(rr AS DOUBLE) / CAST(den * den AS DOUBLE) DESC,
                    i1 ASC, i2 ASC, i3 ASC) = 1
+    """
+
+    # ts_ccf / lag_regression: shared two-series spine, integer moments.
+    _DENSE2 = """
+        hc2 AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS x,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+          FROM events GROUP BY 1
+        ),
+        span2 AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc2),
+        spine2 AS (
+          SELECT h0, unnest(generate_series(h0, h1)) AS h FROM span2
+        ),
+        dense2 AS (
+          SELECT sp.h - sp.h0 AS t, COALESCE(hc2.x, 0) AS x,
+                 COALESCE(hc2.y, 0) AS y
+          FROM spine2 sp LEFT JOIN hc2 ON hc2.h = sp.h
+        )
+    """
+
+    sqls["ts_ccf"] = f"""
+        WITH {_DENSE2},
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+                FROM dense2),
+        dev AS (
+          SELECT d.t, (tot.n * d.x - tot.sx) AS dx,
+                 (tot.n * d.y - tot.sy) AS dy
+          FROM dense2 d, tot
+        ),
+        c0 AS (SELECT SUM(dx * dx) AS c0x, SUM(dy * dy) AS c0y FROM dev),
+        ck AS (
+          SELECT gs.lag AS lag, SUM(a.dx * b.dy) AS cov_num
+          FROM generate_series(-12, 12) gs(lag)
+          JOIN dev a ON TRUE
+          JOIN dev b ON b.t = a.t + gs.lag
+          GROUP BY gs.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(cov_num AS BIGINT) AS cov_num,
+               CAST(cov_num AS DOUBLE)
+                 / sqrt(CAST(c0.c0x AS DOUBLE) * CAST(c0.c0y AS DOUBLE))
+                 AS ccf
+        FROM ck, c0
+    """
+
+    sqls["lag_regression"] = f"""
+        WITH {_DENSE2},
+        j AS (
+          SELECT a.y, b.x AS xl
+          FROM dense2 a JOIN dense2 b ON a.t = b.t + 1
+        ),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(xl) AS sx, SUM(y) AS sy,
+                 SUM(xl * xl) AS sxx, SUM(xl * y) AS sxy,
+                 SUM(y * y) AS syy
+          FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+               CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                        AS DOUBLE) AS r2
+        FROM m
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);

@@ -215,3 +215,84 @@ def welch_ttest_row(events: DataFrame, group_col: str, value_col: str,
         F.col("n2").cast("long").alias("n2"),
         m1.alias("mean1"), m2.alias("mean2"),
         tstat.alias("t_stat"), df.alias("df"))
+
+
+def paired_hourly(events: DataFrame, type_x: str, type_y: str,
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Two aligned hourly count series on ONE shared spine (built from
+    the min/max hour over ALL events so both series cover the same t
+    range): (t, x, y) with zero-filled silent hours."""
+    h = events.select(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).alias("h"),
+        F.col(type_col).alias("et"))
+    counts = h.groupBy("h").agg(
+        F.sum(F.when(F.col("et") == type_x, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("et") == type_y, 1).otherwise(0)).alias("y"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = span.select(
+        F.col("h0"),
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    return (spine.join(counts, "h", "left")
+            .select((F.col("h") - F.col("h0")).alias("t"),
+                    F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+                    F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+
+
+def ccf(paired: DataFrame, max_lag: int = 12) -> DataFrame:
+    """Cross-correlation function between the two series, lags
+    -max_lag..+max_lag: c_k = sum_t (n*x_t - Sx)(n*y_{t+k} - Sy) over
+    the overlapping range (exact integers); r_k = c_k /
+    sqrt(c0x * c0y), the single fixed float expression. Positive lags
+    mean x LEADS y. Returns (lag, cov_num, ccf)."""
+    tot = paired.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+    a = paired.crossJoin(F.broadcast(tot))
+    dev = a.select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("dy"))
+    c0 = dev.agg(F.sum(F.col("dx") * F.col("dx")).alias("c0x"),
+                 F.sum(F.col("dy") * F.col("dy")).alias("c0y"))
+    lags = dev.select(
+        "t", "dx",
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag"))
+    j = lags.join(
+        dev.select(F.col("t").alias("tk"), F.col("dy").alias("dyk")),
+        F.col("t") + F.col("lag") == F.col("tk"))
+    ck = j.groupBy("lag").agg(F.sum(F.col("dx") * F.col("dyk"))
+                              .alias("cov_num"))
+    return (ck.crossJoin(F.broadcast(c0))
+            .select(F.col("lag").cast("long").alias("lag"),
+                    F.col("cov_num").cast("long").alias("cov_num"),
+                    (F.col("cov_num").cast("double")
+                     / F.sqrt(F.col("c0x").cast("double")
+                              * F.col("c0y").cast("double"))).alias("ccf"))
+            .orderBy("lag"))
+
+
+def lag_regression(paired: DataFrame, lag: int = 1) -> DataFrame:
+    """OLS of y_t on x_{t-lag} (the Granger-style single-lag check:
+    does x lead y?): all moments are exact integer sums over the
+    overlap; slope / intercept / r2 are fixed float expressions of
+    them. Returns one row (n, slope, intercept, r2)."""
+    x = paired.select((F.col("t") + lag).alias("t"),
+                      F.col("x").alias("xl"))
+    j = paired.select("t", "y").join(x, "t")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("xl") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = num.cast("double") / denx.cast("double")
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) \
+        / F.col("n").cast("double")
+    r2 = ((num * num).cast("double") / (denx * deny).cast("double"))
+    return m.select(F.col("n").cast("long").alias("n"),
+                    slope.alias("slope"), intercept.alias("intercept"),
+                    r2.alias("r2"))

@@ -121,3 +121,54 @@ def test_welch_matches_textbook(spark):
     assert abs(r["mean1"] - m1) < 1e-12 and abs(r["mean2"] - m2) < 1e-12
     assert abs(r["t_stat"] - t) < 1e-10
     assert abs(r["df"] - df) < 1e-10
+
+
+def test_ccf_symmetric_identity(spark):
+    # identical series: CCF at lag 0 == 1 and equals ACF at other lags
+    rows = [("error", t * 3600) for t in range(40) for _ in range(t % 5 + 1)]
+    rows += [("purchase", t * 3600) for t in range(40)
+             for _ in range(t % 5 + 1)]
+    ev = local_df(spark, [(et, s) for et, s in rows],
+                  "event_type string, sec long").select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"))
+    from lib_gdal_spark.operators.timeseries import ccf, paired_hourly
+    out = {r["lag"]: r["ccf"]
+           for r in ccf(paired_hourly(ev, "error", "purchase"), 3).collect()}
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1] - out[-1]) < 1e-12      # symmetric for x == y
+
+
+def test_ccf_detects_planted_lead(spark):
+    # y is x shifted by +2 hours: CCF peaks at lag +2
+    import random
+    rng = random.Random(7)
+    xs = [rng.randrange(0, 30) for _ in range(60)]
+    rows = [("error", t * 3600) for t, n in enumerate(xs)
+            for _ in range(n)]
+    rows += [("purchase", (t + 2) * 3600) for t, n in enumerate(xs)
+             for _ in range(n)]
+    ev = local_df(spark, rows, "event_type string, sec long").select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"))
+    from lib_gdal_spark.operators.timeseries import ccf, paired_hourly
+    out = {r["lag"]: r["ccf"]
+           for r in ccf(paired_hourly(ev, "error", "purchase"), 5).collect()}
+    assert max(out, key=lambda k: out[k]) == 2
+    # slightly under 1.0: the 2-hour shift pads each series end with
+    # zeros that dilute the n-scaled deviations
+    assert out[2] > 0.9
+
+
+def test_lag_regression_recovers_linear_map(spark):
+    # y_t = 3 * x_{t-1} exactly -> slope 3, intercept 0, r2 1
+    xs = [(t * 7) % 11 for t in range(50)]
+    rows = [("error", t * 3600) for t, n in enumerate(xs) for _ in range(n)]
+    rows += [("purchase", (t + 1) * 3600) for t, n in enumerate(xs)
+             for _ in range(3 * n)]
+    ev = local_df(spark, rows, "event_type string, sec long").select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"))
+    from lib_gdal_spark.operators.timeseries import (lag_regression,
+                                                     paired_hourly)
+    r = lag_regression(paired_hourly(ev, "error", "purchase"), 1).first()
+    assert abs(r["slope"] - 3.0) < 1e-9
+    assert abs(r["intercept"]) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12
