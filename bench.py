@@ -261,6 +261,9 @@ BENCH = {
     "kuwahara": lambda s: _force(E.q_kuwahara(s, SF_DIR)),
     "hist_match": lambda s: _force(E.q_hist_match(s, SF_DIR)),
     "pca_features": lambda s: _force(E.q_pca_features(s, SF_DIR)),
+    "ts_ccf": lambda s: _force(E.q_ts_ccf(s, SF_DIR)),
+    "lag_regression": lambda s: _force(E.q_lag_regression(s, SF_DIR)),
+    "morph_close": lambda s: _force(E.q_morph_close(s, SF_DIR)),
 }
 
 
