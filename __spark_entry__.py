@@ -8922,6 +8922,29 @@ def q_lag_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "error", "purchase"), lag=1)
 
 
+def q_lees_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee's L bivariate spatial association between total event count
+    and the event_id%3==0 subset count per 10-degree cell (queen
+    contiguity, binary weights): n-scaled integer deviations make
+    every aggregate exact; the statistic is one fixed float
+    expression."""
+    from lib_gdal_spark.operators.spatialstats import lees_l
+
+    ev = _t(spark, sf_dir, "events")
+    k1 = (F.col("event_id") * 7919) % 36000
+    k2 = (F.col("event_id") * 104729) % 17000
+    cells = (
+        ev.select(
+            ((k1 - k1 % 1000) / 1000).cast("int").alias("gx"),
+            ((k2 - k2 % 1000) / 1000).cast("int").alias("gy"),
+            F.col("event_id"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("x"),
+             F.sum(F.when(F.col("event_id") % 3 == 0, 1).otherwise(0))
+             .alias("y")))
+    return lees_l(cells, queen=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-mercator tile assignment LEFT-joined with the PIP
     spatial join at sf0.001 — every point keeps its tile; polygon fid is
@@ -9364,6 +9387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_close": q_morph_close,
         "ts_ccf": q_ts_ccf,
         "lag_regression": q_lag_regression,
+        "lees_l": q_lees_l,
     }
 
 
@@ -22130,6 +22154,56 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
                         AS DOUBLE) AS r2
         FROM m
+    """
+
+    # lees_l: same lattice derivation as morans_i, both variables.
+    sqls["lees_l"] = """
+        WITH base AS (
+          SELECT (event_id * 7919) % 36000 AS k1,
+                 (event_id * 104729) % 17000 AS k2,
+                 event_id
+          FROM events
+        ),
+        lcells AS (
+          SELECT CAST((k1 - k1 % 1000) / 1000 AS INT) AS gx,
+                 CAST((k2 - k2 % 1000) / 1000 AS INT) AS gy,
+                 COUNT(*) AS x,
+                 SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS y
+          FROM base GROUP BY 1, 2
+        ),
+        g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+              FROM lcells),
+        c AS (
+          SELECT gx, gy, g.n * x - g.sx AS dx, g.n * y - g.sy AS dy
+          FROM lcells, g
+        ),
+        offs AS (
+          SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                (-1,1),(0,1),(1,1)) o(ox, oy)
+        ),
+        sums AS (
+          SELECT a.gx, a.gy, COUNT(*) AS deg,
+                 SUM(b.dx) AS wx, SUM(b.dy) AS wy
+          FROM c a
+          JOIN offs o ON TRUE
+          JOIN c b ON b.gx = a.gx + o.ox AND b.gy = a.gy + o.oy
+          GROUP BY a.gx, a.gy
+        ),
+        agg AS (
+          SELECT SUM(deg) AS s0, SUM(deg * deg) AS sdeg2,
+                 SUM(wx * wy) AS l_num
+          FROM sums
+        ),
+        dev AS (SELECT SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy FROM c)
+        SELECT CAST(g.n AS BIGINT) AS n_cells,
+               CAST(agg.s0 AS BIGINT) AS s0,
+               CAST(agg.sdeg2 AS BIGINT) AS sdeg2,
+               CAST(agg.l_num AS BIGINT) AS l_num,
+               CAST(g.n AS DOUBLE) / CAST(agg.sdeg2 AS DOUBLE)
+                 * CAST(agg.l_num AS DOUBLE)
+                 / sqrt(CAST(dev.sxx AS DOUBLE) * CAST(dev.syy AS DOUBLE))
+                 AS lees_l
+        FROM g, agg, dev
     """
 
     # hist_match: integer CDF alignment, cross-multiplied (no division);

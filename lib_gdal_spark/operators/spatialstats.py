@@ -1704,3 +1704,56 @@ def directional_variogram(
                 F.round(F.col("sdd") / (2.0 * F.col("n_pairs")), 9)
                  .alias("gamma"))
     )
+
+
+def lees_l(cells: DataFrame, queen: bool = True) -> DataFrame:
+    """Lee's L bivariate spatial association (Lee, J. Geogr. Systems
+    2001): the spatial co-patterning of two cell variables — high where
+    x and y cluster IN THE SAME PLACES, unlike a plain correlation. The
+    binary-weights form used here (stated contract, matching this
+    module's other statistics):
+
+        L = (n / sum_i deg_i^2)
+            * sum_i (sum_j w_ij X_j)(sum_j w_ij Y_j)
+            / sqrt(sum X^2 * sum Y^2)
+
+    with X_j = n*x_j - Sx, Y_j = n*y_j - Sy — the n-scaled integer
+    deviations, so every aggregate is exact int64 and the n^2 factors
+    cancel in the ratio. One-row result:
+    (n_cells, s0, sdeg2, l_num, lees_l)."""
+    g = cells.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+    c = cells.crossJoin(F.broadcast(g)).select(
+        "gx", "gy",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("dy"))
+    offs = F.array(
+        *[F.struct(F.lit(dx).alias("dx2"), F.lit(dy).alias("dy2"))
+          for dx, dy in _offsets(queen)])
+    probe = (c.select("gx", "gy", F.explode(offs).alias("o"))
+             .select("gx", "gy",
+                     (F.col("gx") + F.col("o.dx2")).alias("ngx"),
+                     (F.col("gy") + F.col("o.dy2")).alias("ngy")))
+    nbr = c.select(F.col("gx").alias("ngx"), F.col("gy").alias("ngy"),
+                   F.col("dx").alias("nx"), F.col("dy").alias("ny"))
+    sums = (probe.join(nbr, ["ngx", "ngy"])
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("deg"),
+                 F.sum("nx").alias("wx"), F.sum("ny").alias("wy")))
+    agg = sums.agg(
+        F.sum("deg").alias("s0"),
+        F.sum(F.col("deg") * F.col("deg")).alias("sdeg2"),
+        F.sum(F.col("wx") * F.col("wy")).alias("l_num"))
+    dev = c.agg(F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+                F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+    j = g.crossJoin(agg).crossJoin(dev)
+    l = (F.col("n").cast("double") / F.col("sdeg2").cast("double")
+         * F.col("l_num").cast("double")
+         / F.sqrt(F.col("sxx").cast("double")
+                  * F.col("syy").cast("double")))
+    return j.select(
+        F.col("n").cast("long").alias("n_cells"),
+        F.col("s0").cast("long").alias("s0"),
+        F.col("sdeg2").cast("long").alias("sdeg2"),
+        F.col("l_num").cast("long").alias("l_num"),
+        l.alias("lees_l"))
