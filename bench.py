@@ -264,6 +264,7 @@ BENCH = {
     "ts_ccf": lambda s: _force(E.q_ts_ccf(s, SF_DIR)),
     "lag_regression": lambda s: _force(E.q_lag_regression(s, SF_DIR)),
     "morph_close": lambda s: _force(E.q_morph_close(s, SF_DIR)),
+    "lees_l": lambda s: _force(E.q_lees_l(s, SF_DIR)),
 }
 
 
