@@ -46,12 +46,3 @@ def snap_coord(v: Column, step: float) -> Column:
     return F.floor(v / F.lit(step) + 0.5) * F.lit(step)
 
 
-def snap_dedup_mask(xs: Column, ys: Column) -> Column:
-    """Boolean keep-mask over snapped vertex arrays: true where the
-    vertex differs from its predecessor (the consecutive-duplicate
-    collapse of ST_SnapToGrid pipelines). First vertex always kept."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(xs)),
-        lambda i: (i == 1)
-        | (F.element_at(xs, i) != F.element_at(xs, i - 1))
-        | (F.element_at(ys, i) != F.element_at(ys, i - 1)))

@@ -1644,7 +1644,20 @@ def hand(tiles: DataFrame, threshold: int = 40, tile: int = 64,
     successor function edited so drainage cells SELF-LOOP — the
     fixpoint then lands every cell exactly on its first downstream
     drainage cell. Elevations are integer-valued, so HAND is an exact
-    BIGINT."""
+    BIGINT.
+
+    PATH-LENGTH CONTRACT: the adaptive loop runs up to
+    ``max_doublings`` squarings (2**max_doublings = 1024 path steps at
+    the default) and STOPS EARLY at the moved==0 fixpoint; it raises if
+    the pointer table has not converged after ``max_doublings`` rounds,
+    so a window whose longest flow path exceeds 2**max_doublings steps
+    fails loudly instead of landing short (a 126x126 window can hold a
+    boustrophedon path of ~15k steps — raise ``max_doublings`` to 14
+    for adversarial snakes). The ``dem_hand`` driver oracle unrolls a
+    FIXED 8 doubling stages (256 steps) with no convergence check: it
+    is anchored to the gated fixture (longest path ~60 steps, fixpoint
+    by stage 6) and is NOT valid for other windows — re-anchor the
+    stage count if the fixture changes."""
     acc = d8_flow_accumulation(tiles, tile, lo, hi)
 
     fd = dem_op(tiles, "flowdir")

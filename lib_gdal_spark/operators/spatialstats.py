@@ -1740,12 +1740,16 @@ def lees_l(cells: DataFrame, queen: bool = True) -> DataFrame:
             .groupBy("gx", "gy")
             .agg(F.count(F.lit(1)).alias("deg"),
                  F.sum("nx").alias("wx"), F.sum("ny").alias("wy")))
+    # decimal(38,0) products: wx/wy are sums of n-scaled deviations, so
+    # wx*wy (and dx^2) wrap int64 silently in non-ANSI Spark while the
+    # DuckDB oracle sums HUGEINT — welch_ttest_row's guard, applied here
+    _d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = sums.agg(
         F.sum("deg").alias("s0"),
         F.sum(F.col("deg") * F.col("deg")).alias("sdeg2"),
-        F.sum(F.col("wx") * F.col("wy")).alias("l_num"))
-    dev = c.agg(F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-                F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+        F.sum(_d("wx") * _d("wy")).alias("l_num"))
+    dev = c.agg(F.sum(_d("dx") * _d("dx")).alias("sxx"),
+                F.sum(_d("dy") * _d("dy")).alias("syy"))
     j = g.crossJoin(agg).crossJoin(dev)
     l = (F.col("n").cast("double") / F.col("sdeg2").cast("double")
          * F.col("l_num").cast("double")

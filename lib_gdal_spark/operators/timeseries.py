@@ -55,14 +55,18 @@ def acf(series: DataFrame, max_lag: int = 24) -> DataFrame:
     dev = a.select(
         "t", "n",
         (F.col("n") * F.col("x") - F.col("s")).alias("d"))
-    c0 = dev.agg(F.sum(F.col("d") * F.col("d")).alias("c0"))
+    # decimal(38,0) products: the n-scaled deviations are ~n*x, so the
+    # squared terms wrap int64 silently (non-ANSI) at large n*x while the
+    # DuckDB oracle sums HUGEINT — same guard as welch_ttest_row
+    _d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c0 = dev.agg(F.sum(_d("d") * _d("d")).alias("c0"))
     lags = dev.select(
         "t", "d", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"))
     j = lags.alias("a").join(
         dev.select(F.col("t").alias("tk"), F.col("d").alias("dk")).alias("b"),
         F.col("a.t") + F.col("a.lag") == F.col("b.tk"))
     ck = j.groupBy("lag").agg(
-        F.sum(F.col("d") * F.col("dk")).alias("cov_num"))
+        F.sum(_d("d") * _d("dk")).alias("cov_num"))
     return (
         ck.crossJoin(F.broadcast(c0))
         .select(F.col("lag").cast("long").alias("lag"),
@@ -76,7 +80,16 @@ def trend_ma(series: DataFrame, period: int = 24) -> DataFrame:
     """Classical-decomposition trend: the centered 2x(period) moving
     average, kept integer by scaling x 2*period: trend48_t =
     x_{t-m} + 2*sum(x_{t-m+1}..x_{t+m-1}) + x_{t+m}, m = period/2.
-    Rows where the full window exists; trend = trend48 / (2*period)."""
+    Rows where the full window exists; trend = trend48 / (2*period).
+
+    EVEN periods only (the classical-decomposition 2xMA is defined for
+    even seasonal periods; odd periods use a plain centered MA, which
+    this is not) — an odd ``period`` raises."""
+    if period % 2:
+        raise ValueError(
+            f"trend_ma requires an even period (2x{period} centered MA "
+            "weights sum to 2*period only when period is even); use a "
+            "plain centered moving average for odd periods")
     m = period // 2
     offs = series.select(
         "t", "x",
@@ -252,15 +265,17 @@ def ccf(paired: DataFrame, max_lag: int = 12) -> DataFrame:
         "t",
         (F.col("n") * F.col("x") - F.col("sx")).alias("dx"),
         (F.col("n") * F.col("y") - F.col("sy")).alias("dy"))
-    c0 = dev.agg(F.sum(F.col("dx") * F.col("dx")).alias("c0x"),
-                 F.sum(F.col("dy") * F.col("dy")).alias("c0y"))
+    # decimal(38,0) products — same int64-wrap guard as acf
+    _d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c0 = dev.agg(F.sum(_d("dx") * _d("dx")).alias("c0x"),
+                 F.sum(_d("dy") * _d("dy")).alias("c0y"))
     lags = dev.select(
         "t", "dx",
         F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag"))
     j = lags.join(
         dev.select(F.col("t").alias("tk"), F.col("dy").alias("dyk")),
         F.col("t") + F.col("lag") == F.col("tk"))
-    ck = j.groupBy("lag").agg(F.sum(F.col("dx") * F.col("dyk"))
+    ck = j.groupBy("lag").agg(F.sum(_d("dx") * _d("dyk"))
                               .alias("cov_num"))
     return (ck.crossJoin(F.broadcast(c0))
             .select(F.col("lag").cast("long").alias("lag"),

@@ -29,7 +29,7 @@ def test_v_valley_hand(spark):
     # a hillslope cell: drains to the channel, HAND == its offset * 10
     hill = got[(36, 40)]
     assert hill["drained"] == 1
-    assert hill["hand"] == arr[40, 36] - arr[40 + 4, 32] or hill["hand"] > 0
+    assert hill["hand"] > 0
     # HAND equals z(cell) - z(landing drainage cell) exactly
     land = hill["land"]
     lx, ly = land % 65536, land // 65536
