@@ -36,6 +36,10 @@ from lib_gdal_spark.functions import overlay as OV
 _PAIR_SCHEMA = "in_fid long, m_fid long, geom_wkb binary, area double"
 _ERASE_SCHEMA = "in_fid long, geom_wkb binary, area double"
 
+# method layers up to this many features ride the broadcast join; larger
+# ones (continent-scale zone layers) take the shuffle equi-join path
+MAX_BROADCAST_METHOD = 200_000
+
 
 def _rings_of(wkb: bytes) -> list[np.ndarray]:
     gtype, payload = G.parse_wkb(wkb)
@@ -44,6 +48,47 @@ def _rings_of(wkb: bytes) -> list[np.ndarray]:
     if gtype == G.WKB_MULTIPOLYGON:
         return [r for poly in payload for r in poly]
     raise ValueError(f"layer algebra expects polygons, got WKB type {gtype}")
+
+
+def _polys_of(wkb: bytes) -> list[list[np.ndarray]]:
+    """Parsed WKB keeping the polygon structure: [[outer, holes...], ...]."""
+    gtype, payload = G.parse_wkb(wkb)
+    if gtype == G.WKB_POLYGON:
+        return [payload]
+    if gtype == G.WKB_MULTIPOLYGON:
+        return payload
+    raise ValueError(f"layer algebra expects polygons, got WKB type {gtype}")
+
+
+def _structure_area(polys: list[list[np.ndarray]]) -> float:
+    """Area of a VALID ISO (multi)polygon read verbatim: |outer| minus
+    |holes| per part, orientation-free (WKB does not pin ring winding).
+    Equals the even-odd kernel's ``polys_area`` for valid inputs — the
+    shoelace runs over the same vertex list, no decomposition."""
+    tot = 0.0
+    for poly in polys:
+        for i, r in enumerate(poly):
+            rr = np.asarray(r, dtype=np.float64)
+            if not np.array_equal(rr[0], rr[-1]):
+                rr = np.vstack([rr, rr[0]])
+            a = abs(OV.ring_area(rr))
+            tot += a if i == 0 else -a
+    return tot
+
+
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input is badly under-partitioned
+    (a one-row-group parquet file, a driver-local fixture): every
+    Arrow-batched stage downstream of this runs at input parallelism, so
+    a 1-partition source serializes the whole overlay onto one core. The
+    shuffle moves (fid, wkb) keys once and only fires when partitions <
+    1/4 of the cluster's cores — real multi-file tables at scale pass
+    through untouched."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 < par:
+        return df.repartition(par)
+    return df
 
 
 def _cover_cells(df: DataFrame, res: int, fid_col: str) -> DataFrame:
@@ -68,7 +113,9 @@ def _cover_cells(df: DataFrame, res: int, fid_col: str) -> DataFrame:
                 out["maxy"].extend([maxy] * k)
             yield pd.DataFrame(out)
 
-    return df.select(F.col(fid_col).alias(fid_col), "geom_wkb").mapInPandas(
+    return _ensure_parallel(
+        df.select(F.col(fid_col).alias(fid_col), "geom_wkb")
+    ).mapInPandas(
         cover,
         schema="fid long, cell long, minx double, miny double, "
                "maxx double, maxy double",
@@ -76,14 +123,18 @@ def _cover_cells(df: DataFrame, res: int, fid_col: str) -> DataFrame:
 
 
 def _candidate_pairs(
-    input_layer: DataFrame, method_layer: DataFrame, res: int
+    input_layer: DataFrame, method_layer: DataFrame, res: int,
+    broadcast_method: bool = True,
 ) -> DataFrame:
     """(in_fid, m_fid) candidates: cell equi-join + envelope pre-test."""
     icov = _cover_cells(input_layer, res, "fid").withColumnRenamed("fid", "in_fid")
     mcov = _cover_cells(method_layer, res, "fid").withColumnRenamed("fid", "m_fid")
+    m_side = mcov.alias("b")
+    if broadcast_method:
+        m_side = F.broadcast(m_side)
     return (
         icov.alias("a")
-        .join(F.broadcast(mcov.alias("b")), F.col("a.cell") == F.col("b.cell"))
+        .join(m_side, F.col("a.cell") == F.col("b.cell"))
         # envelope-overlap pre-test, native (ogrlayer.cpp:1377)
         .where(
             (F.col("a.minx") <= F.col("b.maxx"))
@@ -96,39 +147,155 @@ def _candidate_pairs(
     )
 
 
+def _resolve_broadcast(method_layer: DataFrame,
+                       broadcast_method: bool | None) -> bool:
+    """Auto-pick the method-side join strategy: broadcast (the common
+    shape — a big feature table against a small zone layer) unless the
+    method layer exceeds :data:`MAX_BROADCAST_METHOD` features. The
+    probe is a ``limit(cap+1).count()`` so the scan is bounded — a
+    continent-scale zone layer is never counted in full."""
+    if broadcast_method is not None:
+        return bool(broadcast_method)
+    return (method_layer.limit(MAX_BROADCAST_METHOD + 1).count()
+            <= MAX_BROADCAST_METHOD)
+
+
+def _edge_bboxes(rings: list[np.ndarray]) -> np.ndarray:
+    """All boundary segments (horizontal included — unlike the slab
+    kernel's edge table) as (m, 4) bboxes: minx, miny, maxx, maxy."""
+    segs = []
+    for r in rings:
+        pts = np.asarray(r, dtype=np.float64)
+        if len(pts) < 3:
+            continue
+        if not np.array_equal(pts[0], pts[-1]):
+            pts = np.vstack([pts, pts[0]])
+        a, b = pts[:-1], pts[1:]
+        segs.append(np.column_stack([np.minimum(a, b), np.maximum(a, b)]))
+    if not segs:
+        return np.empty((0, 4))
+    return np.vstack(segs)
+
+
+def _touches_env(ebb: np.ndarray, env: tuple) -> bool:
+    """True when any boundary-segment bbox overlaps the envelope."""
+    minx, miny, maxx, maxy = env
+    return bool(np.any((ebb[:, 0] <= maxx) & (ebb[:, 2] >= minx)
+                       & (ebb[:, 1] <= maxy) & (ebb[:, 3] >= miny)))
+
+
+class _GeomCache:
+    """Per-Arrow-batch parse cache: candidate pairs repeat geometries
+    (the method side heavily), so WKB parse, envelope, edge-bbox table,
+    and even-odd normalization each run once per distinct feature."""
+
+    __slots__ = ("d",)
+
+    def __init__(self) -> None:
+        self.d: dict = {}
+
+    def get(self, fid, wkb: bytes):
+        e = self.d.get(fid)
+        if e is None:
+            polys = _polys_of(wkb)
+            rings = [r for poly in polys for r in poly]
+            pts = np.vstack([np.asarray(r, dtype=np.float64)[:, :2]
+                             for r in rings])
+            env = (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                   float(pts[:, 0].max()), float(pts[:, 1].max()))
+            e = {"polys": polys, "rings": rings, "env": env,
+                 "ebb": _edge_bboxes(rings), "norm": None}
+            self.d[fid] = e
+        return e
+
+    @staticmethod
+    def normalized(e) -> tuple[list, float, bytes | None]:
+        """(polys, area, wkb) of the whole feature, VERBATIM — for valid
+        ISO polygons the even-odd normalization is the identity, so the
+        contained-feature shortcut emits the parsed structure with its
+        shoelace area and never touches the slab kernel. Lazy, once per
+        distinct feature per batch."""
+        if e["norm"] is None:
+            area = _structure_area(e["polys"])
+            wkb = G.wkb_multipolygon(e["polys"]) if e["polys"] else None
+            e["norm"] = (e["polys"], area, wkb)
+        return e["norm"]
+
+
+def _clip_pair(a, b) -> tuple[list, float, bytes | None] | None:
+    """Intersection of one candidate pair with the reference's
+    containment pre-test (``ogrlayer.cpp:1377-1384`` envelope shortcut +
+    ``PRETEST_CONTAINMENT``, ``ogrlayer.cpp:2016-2037``): when one
+    feature's envelope is untouched by the other's boundary, the result
+    is the whole contained feature (or empty) and the boolean kernel
+    never runs — in areal interpolation most pieces are covering
+    features wholly inside one zone, so this removes the hot loop's
+    dominant term. Returns (polys, area, wkb) or None for empty."""
+    # A's envelope untouched by B's boundary => env(A) wholly inside or
+    # outside region(B); one A vertex decides (it cannot sit ON B's
+    # boundary — that boundary misses env(A) entirely)
+    if not _touches_env(b["ebb"], a["env"]):
+        v = a["rings"][0][0]
+        if OV._point_in_rings_eo(float(v[0]), float(v[1]), b["rings"]):
+            return _GeomCache.normalized(a)
+        return None
+    if not _touches_env(a["ebb"], b["env"]):
+        v = b["rings"][0][0]
+        if OV._point_in_rings_eo(float(v[0]), float(v[1]), a["rings"]):
+            return _GeomCache.normalized(b)
+        return None
+    polys = OV.boolean_op(a["rings"], b["rings"], "intersection")
+    area = OV.polys_area(polys)
+    if not polys or area <= 0.0:
+        return None
+    return polys, area, G.wkb_multipolygon(polys)
+
+
 def intersection(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """Pairwise intersection -> (in_fid, m_fid, geom_wkb, area).
 
     ``input_layer``/``method_layer``: (fid long, geom_wkb binary); arbitrary
     simple polygons with holes on BOTH sides.
+
+    ``broadcast_method``: True broadcasts the method layer's cover cells
+    and WKB (the common small-zone-layer shape — the big side never
+    shuffles); False shuffles both sides through cell/fid equi-joins (a
+    continent-scale method layer that cannot fit an executor); None
+    (default) auto-picks via a bounded count probe. Results are
+    identical either way — only the physical join strategy changes.
     """
-    pairs = _candidate_pairs(input_layer, method_layer, res)
-    igeo = input_layer.select(F.col("fid").alias("in_fid"),
-                              F.col("geom_wkb").alias("in_wkb"))
-    mgeo = F.broadcast(method_layer.select(F.col("fid").alias("m_fid"),
-                                           F.col("geom_wkb").alias("m_wkb")))
+    bcast = _resolve_broadcast(method_layer, broadcast_method)
+    pairs = _candidate_pairs(input_layer, method_layer, res,
+                             broadcast_method=bcast)
+    # the clip stage runs at THIS join's output partitioning (no shuffle
+    # follows) — keep the big side parallel
+    igeo = _ensure_parallel(
+        input_layer.select(F.col("fid").alias("in_fid"),
+                           F.col("geom_wkb").alias("in_wkb")))
+    mgeo = method_layer.select(F.col("fid").alias("m_fid"),
+                               F.col("geom_wkb").alias("m_wkb"))
+    if bcast:
+        mgeo = F.broadcast(mgeo)
     cand = pairs.join(igeo, "in_fid").join(mgeo, "m_fid")
 
     def clip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            acache, mcache = _GeomCache(), _GeomCache()
             rows = []
-            for _, r in b.iterrows():
-                polys = OV.boolean_op(
-                    _rings_of(bytes(r["in_wkb"])),
-                    _rings_of(bytes(r["m_wkb"])),
-                    "intersection",
-                )
-                area = OV.polys_area(polys)
-                if not polys or area <= 0.0:
+            for in_fid, m_fid, in_wkb, m_wkb in zip(
+                    b["in_fid"], b["m_fid"], b["in_wkb"], b["m_wkb"]):
+                got = _clip_pair(acache.get(in_fid, bytes(in_wkb)),
+                                 mcache.get(m_fid, bytes(m_wkb)))
+                if got is None or got[1] <= 0.0:
                     continue
                 rows.append({
-                    "in_fid": r["in_fid"], "m_fid": r["m_fid"],
-                    "geom_wkb": G.wkb_multipolygon(polys),
-                    "area": area,
+                    "in_fid": in_fid, "m_fid": m_fid,
+                    "geom_wkb": got[2], "area": got[1],
                 })
             yield pd.DataFrame(
                 rows, columns=["in_fid", "m_fid", "geom_wkb", "area"]
@@ -138,15 +305,25 @@ def intersection(
 
 
 def _normalize_area(wkb: bytes) -> tuple[list, float]:
-    """Polys + area of a standalone feature (even-odd normalization)."""
-    polys = OV.boolean_op(_rings_of(wkb), [], "union")
-    return polys, OV.polys_area(polys)
+    """Polys + area of a standalone feature, VERBATIM (valid ISO
+    polygons normalize to themselves — no kernel; see
+    :func:`_structure_area`)."""
+    polys = _polys_of(wkb)
+    return polys, _structure_area(polys)
+
+
+def _sub_env_ebb(cur: list[np.ndarray]) -> tuple[tuple, np.ndarray]:
+    pts = np.vstack([np.asarray(r, dtype=np.float64)[:, :2] for r in cur])
+    env = (float(pts[:, 0].min()), float(pts[:, 1].min()),
+           float(pts[:, 0].max()), float(pts[:, 1].max()))
+    return env, _edge_bboxes(cur)
 
 
 def erase(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR Erase (ogrlayer.cpp:4079): input minus union(method), input attrs.
 
@@ -155,25 +332,57 @@ def erase(
     round-1 ``collect()`` of the whole method layer to the driver is gone.
     Output one row per surviving input feature: (in_fid, geom_wkb
     MultiPolygon, area); fully-erased features are dropped (the reference
-    emits no empty features).
+    emits no empty features). ``broadcast_method`` as in
+    :func:`intersection` (None = bounded auto-probe).
+
+    The per-method loop applies the same containment pre-test as
+    :func:`_clip_pair`: a method polygon whose boundary misses the
+    remainder's envelope either erases everything, changes nothing, or
+    punches an exact even-odd hole (its rings join the soup) — the
+    boolean kernel runs only for boundary-straddling pairs.
     """
-    pairs = _candidate_pairs(input_layer, method_layer, res)
+    bcast = _resolve_broadcast(method_layer, broadcast_method)
+    pairs = _candidate_pairs(input_layer, method_layer, res,
+                             broadcast_method=bcast)
     igeo = input_layer.select(F.col("fid").alias("in_fid"),
                               F.col("geom_wkb").alias("in_wkb"))
-    mgeo = F.broadcast(method_layer.select(F.col("fid").alias("m_fid"),
-                                           F.col("geom_wkb").alias("m_wkb")))
+    mgeo = method_layer.select(F.col("fid").alias("m_fid"),
+                               F.col("geom_wkb").alias("m_wkb"))
+    if bcast:
+        mgeo = F.broadcast(mgeo)
     cand = pairs.join(igeo, "in_fid").join(mgeo, "m_fid")
 
     def subtract(key, pdf: pd.DataFrame) -> pd.DataFrame:
         in_fid = int(key[0])
         cur = _rings_of(bytes(pdf["in_wkb"].iloc[0]))
+        env, ebb = _sub_env_ebb(cur)
+        mcache = _GeomCache()
         for _, r in pdf.sort_values("m_fid").iterrows():
-            polys = OV.boolean_op(
-                cur, _rings_of(bytes(r["m_wkb"])), "difference"
-            )
+            m = mcache.get(r["m_fid"], bytes(r["m_wkb"]))
+            if not _touches_env(m["ebb"], env):
+                # method boundary misses env(cur): cur is wholly inside
+                # region(m) (fully erased) or wholly outside (unchanged);
+                # any cur vertex decides — it cannot sit on m's boundary
+                v = cur[0][0]
+                if OV._point_in_rings_eo(float(v[0]), float(v[1]),
+                                         m["rings"]):
+                    cur = []
+                    break
+                continue
+            if not _touches_env(ebb, m["env"]):
+                # cur's boundary misses env(m): region(m) is wholly
+                # inside region(cur) (punch an exact even-odd hole: m's
+                # rings join the soup) or disjoint from it (unchanged)
+                v = m["rings"][0][0]
+                if OV._point_in_rings_eo(float(v[0]), float(v[1]), cur):
+                    cur = cur + list(m["rings"])
+                    env, ebb = _sub_env_ebb(cur)
+                continue
+            polys = OV.boolean_op(cur, m["rings"], "difference")
             cur = [ring for poly in polys for ring in poly]
             if not cur:
                 break
+            env, ebb = _sub_env_ebb(cur)
         if not cur:
             return pd.DataFrame(
                 columns=["in_fid", "geom_wkb", "area"]
@@ -218,11 +427,15 @@ def identity_overlay(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR Identity (ogrlayer.cpp:3183): input split by the method layer —
     intersection pieces carry m_fid, the erased remainder carries NULL."""
-    inter = intersection(input_layer, method_layer, res=res)
-    rem = erase(input_layer, method_layer, res=res).select(
+    bm = _resolve_broadcast(method_layer, broadcast_method)
+    inter = intersection(input_layer, method_layer, res=res,
+                         broadcast_method=bm)
+    rem = erase(input_layer, method_layer, res=res,
+                broadcast_method=bm).select(
         "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
     )
     return inter.select("in_fid", "m_fid", "geom_wkb", "area").unionByName(rem)
@@ -232,10 +445,12 @@ def update_overlay(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR Update (ogrlayer.cpp:3528): method features replace overlapping
     input areas — erased input remainders plus the method features."""
-    rem = erase(input_layer, method_layer, res=res).select(
+    rem = erase(input_layer, method_layer, res=res,
+                broadcast_method=broadcast_method).select(
         "in_fid", F.lit("input").alias("src"), "geom_wkb", "area"
     )
 
@@ -262,14 +477,17 @@ def sym_difference(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR SymDifference (ogrlayer.cpp:2838): areas in exactly one layer.
     Arbitrary polygons both sides (each direction erases by the other)."""
-    a = erase(input_layer, method_layer, res=res).select(
+    a = erase(input_layer, method_layer, res=res,
+              broadcast_method=broadcast_method).select(
         F.col("in_fid").alias("fid"), F.lit("input").alias("src"),
         "geom_wkb", "area",
     )
-    b = erase(method_layer, input_layer, res=res).select(
+    b = erase(method_layer, input_layer, res=res,
+              broadcast_method=broadcast_method).select(
         F.col("in_fid").alias("fid"), F.lit("method").alias("src"),
         "geom_wkb", "area",
     )
@@ -280,16 +498,21 @@ def union_overlay(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR Union (ogrlayer.cpp:2408): the overlay split — A∩B pieces plus
     A\\B plus B\\A (arbitrary polygons both sides)."""
-    inter = intersection(input_layer, method_layer, res=res).select(
+    bm = _resolve_broadcast(method_layer, broadcast_method)
+    inter = intersection(input_layer, method_layer, res=res,
+                         broadcast_method=bm).select(
         "in_fid", "m_fid", "geom_wkb", "area"
     )
-    a = erase(input_layer, method_layer, res=res).select(
+    a = erase(input_layer, method_layer, res=res,
+              broadcast_method=bm).select(
         "in_fid", F.lit(None).cast("long").alias("m_fid"), "geom_wkb", "area"
     )
-    b = erase(method_layer, input_layer, res=res).select(
+    b = erase(method_layer, input_layer, res=res,
+              broadcast_method=broadcast_method).select(
         F.lit(None).cast("long").alias("in_fid"),
         F.col("in_fid").alias("m_fid"), "geom_wkb", "area",
     )
@@ -300,13 +523,15 @@ def clip(
     input_layer: DataFrame,
     method_layer: DataFrame,
     res: int = 6,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """OGR Clip (ogrlayer.cpp:3820): input ∩ union(method), input attrs.
 
     Per-method pieces merge per input feature with a sequential boolean
     union, so overlapping method polygons do not double-count.
     """
-    pieces = intersection(input_layer, method_layer, res=res)
+    pieces = intersection(input_layer, method_layer, res=res,
+                          broadcast_method=broadcast_method)
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cur: list[np.ndarray] = []
@@ -448,8 +673,9 @@ def layer_areas(layer: DataFrame, fid_col: str = "fid") -> DataFrame:
                     for fid, wkb in zip(b[fid_col], b["geom_wkb"])]
             yield pd.DataFrame(rows, columns=["fid", "geom_area"])
 
-    return layer.select(F.col(fid_col).alias(fid_col), "geom_wkb") \
-                .mapInPandas(areas, schema="fid long, geom_area double")
+    return _ensure_parallel(
+        layer.select(F.col(fid_col).alias(fid_col), "geom_wkb")
+    ).mapInPandas(areas, schema="fid long, geom_area double")
 
 
 def areal_interpolate(
@@ -459,6 +685,7 @@ def areal_interpolate(
     res: int = 6,
     mode: str = "extensive",
     quantize: float | None = None,
+    broadcast_method: bool | None = None,
 ) -> DataFrame:
     """Area-weighted areal interpolation: transfer attribute values from
     ``source`` zones onto an incongruent ``target`` zone layer (the
@@ -485,7 +712,8 @@ def areal_interpolate(
     """
     if mode not in ("extensive", "intensive"):
         raise ValueError(f"mode must be extensive|intensive, got {mode!r}")
-    pieces = intersection(source, target, res=res) \
+    pieces = intersection(source, target, res=res,
+                          broadcast_method=broadcast_method) \
         .select("in_fid", "m_fid", "area")
     src = source.select(F.col("fid").alias("in_fid"),
                         *[F.col(c).cast("double").alias(c)

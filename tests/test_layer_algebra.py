@@ -213,3 +213,112 @@ class TestArealInterpolate:
         src, tgt = self._layers(spark)
         with pytest.raises(ValueError):
             LA.areal_interpolate(src, tgt, ["pop"], mode="nope")
+
+
+class TestShuffleJoinParity:
+    """broadcast_method=False must produce identical results through the
+    shuffle equi-join path (the continent-scale method-layer shape), even
+    with Spark's auto-broadcast disabled so the plan really shuffles."""
+
+    def _layers(self, spark):
+        import random
+        rng = random.Random(7)
+        inputs = _poly_df(spark, [
+            (i, G.box_ring(x := rng.uniform(-170, 150),
+                           y := rng.uniform(-75, 60),
+                           x + rng.uniform(1, 15), y + rng.uniform(1, 12)))
+            for i in range(120)])
+        methods = _poly_df(spark, [
+            (j, G.box_ring(x := rng.uniform(-170, 140),
+                           y := rng.uniform(-70, 50),
+                           x + rng.uniform(5, 40), y + rng.uniform(5, 30)))
+            for j in range(900, 912)])
+        return inputs, methods
+
+    def _canon(self, rows, keys):
+        return sorted(
+            tuple(round(r[k], 9) if isinstance(r[k], float) else r[k]
+                  for k in keys)
+            for r in rows)
+
+    def test_intersection_and_erase_parity(self, spark):
+        inputs, methods = self._layers(spark)
+        bc = LA.intersection(inputs, methods, broadcast_method=True).collect()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            sh = LA.intersection(inputs, methods,
+                                 broadcast_method=False).collect()
+            er_sh = LA.erase(inputs, methods,
+                             broadcast_method=False).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        er_bc = LA.erase(inputs, methods, broadcast_method=True).collect()
+        keys = ("in_fid", "m_fid", "area")
+        assert self._canon(bc, keys) == self._canon(sh, keys)
+        ekeys = ("in_fid", "area")
+        assert self._canon(er_bc, ekeys) == self._canon(er_sh, ekeys)
+
+    def test_auto_probe_is_bounded(self, spark):
+        # auto mode (None) must pick broadcast for a tiny layer and the
+        # shuffle path for one over the cap, without a full count
+        inputs, methods = self._layers(spark)
+        assert LA._resolve_broadcast(methods, None) is True
+        old_cap = LA.MAX_BROADCAST_METHOD
+        LA.MAX_BROADCAST_METHOD = 5
+        try:
+            assert LA._resolve_broadcast(methods, None) is False
+            out = LA.intersection(inputs, methods,
+                                  broadcast_method=None).collect()
+            bc = LA.intersection(inputs, methods,
+                                 broadcast_method=True).collect()
+            keys = ("in_fid", "m_fid", "area")
+            assert self._canon(out, keys) == self._canon(bc, keys)
+        finally:
+            LA.MAX_BROADCAST_METHOD = old_cap
+
+
+class TestContainmentPretest:
+    """The contained-feature shortcut must agree with the slab kernel on
+    every classification branch, including holes and concave shapes."""
+
+    def test_contained_concave_and_holes(self, spark):
+        # method: big square with a square hole; inputs: one box wholly in
+        # the solid part, one wholly inside the hole, one straddling the
+        # hole edge, one containing the whole method feature
+        hole = G.box_ring(40, 40, 60, 60)
+        outer = G.box_ring(0, 0, 100, 100)
+        m_wkb = G.wkb_polygon([np.asarray(outer), np.asarray(hole)])
+        methods = spark.createDataFrame(
+            [(10, bytearray(m_wkb))], "fid long, geom_wkb binary").coalesce(1)
+        inputs = _poly_df(spark, [
+            (1, G.box_ring(5, 5, 15, 15)),      # inside solid part -> full
+            (2, G.box_ring(45, 45, 55, 55)),    # inside hole -> empty
+            (3, G.box_ring(35, 45, 45, 55)),    # straddles hole edge -> 50
+            (4, G.box_ring(-10, -10, 110, 110)),  # contains method -> 9600
+        ])
+        rows = LA.intersection(inputs, methods).collect()
+        got = {r["in_fid"]: r["area"] for r in rows}
+        assert got[1] == pytest.approx(100.0)
+        assert 2 not in got
+        assert got[3] == pytest.approx(50.0)
+        assert got[4] == pytest.approx(100 * 100 - 20 * 20)
+
+    def test_erase_hole_punch_branch(self, spark):
+        # method wholly inside input with boundaries apart -> the even-odd
+        # hole punch fires; area must equal the kernel's difference
+        inputs = _poly_df(spark, [(1, G.box_ring(0, 0, 100, 100))])
+        methods = _poly_df(spark, [
+            (10, G.box_ring(20, 20, 30, 30)),   # punches a hole
+            (11, G.box_ring(200, 200, 210, 210)),  # disjoint (no pair)
+            (12, G.box_ring(90, 90, 120, 120)),  # straddles -> kernel
+        ])
+        rows = LA.erase(inputs, methods).collect()
+        assert len(rows) == 1
+        assert rows[0]["area"] == pytest.approx(100 * 100 - 100 - 100)
+
+    def test_erase_fully_contained_input(self, spark):
+        # input wholly inside a method feature -> fully erased, no row
+        inputs = _poly_df(spark, [(1, G.box_ring(10, 10, 20, 20))])
+        methods = _poly_df(spark, [(10, G.box_ring(0, 0, 50, 50))])
+        assert LA.erase(inputs, methods).collect() == []
