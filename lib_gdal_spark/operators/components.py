@@ -107,33 +107,52 @@ def connected_components(
     sizes where the residual never fits the iteration just runs to the
     fixpoint as before.
     """
-    e = edges.select(
-        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
-    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # Spark 4.1 workaround: constraint propagation through the star
+    # rounds' self-union over a checkpointed edge list can throw
+    # "NoSuchElementException: key not found: <attr>" inside
+    # UnionBase.rewriteConstraints (a constraint from one union child
+    # references an attribute absent from the other child's output map;
+    # surfaces only past broadcast-size thresholds, e.g. the DBSCAN
+    # dense-path stress at ~1M edges). Constraint propagation only
+    # powers InferFiltersFromConstraints here — the star-round plans are
+    # bare equi-joins that gain nothing from it — so disable it for the
+    # duration of this function's eager actions and restore after.
+    spark = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    old_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        e = edges.select(
+            F.col(edges.columns[0]).alias("u"),
+            F.col(edges.columns[1]).alias("v")
+        ).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
-    n_edges = e.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(e)
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            return _driver_union_find(e)
 
-    prev_sig = None
-    for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        sig = e2.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash("u", "v").cast("long")).alias("h"),
-        ).first()
-        if sig["n"] <= driver_threshold:
-            # the contracted residual is bounded now — same collect
-            # contract as the top short-circuit, same component minima
-            # (star rounds preserve connectivity over all remaining
-            # labels, and union-find computes the same closure).
-            return _driver_union_find(e2)
-        cur_sig = (sig["n"], sig["h"])
-        if cur_sig == prev_sig:
+        prev_sig = None
+        for _ in range(max_rounds):
+            e2 = _small_star(_large_star(e)).localCheckpoint()
+            sig = e2.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash("u", "v").cast("long")).alias("h"),
+            ).first()
+            if sig["n"] <= driver_threshold:
+                # the contracted residual is bounded now — same collect
+                # contract as the top short-circuit, same component
+                # minima (star rounds preserve connectivity over all
+                # remaining labels, and union-find computes the same
+                # closure).
+                return _driver_union_find(e2)
+            cur_sig = (sig["n"], sig["h"])
+            if cur_sig == prev_sig:
+                e = e2
+                break
+            prev_sig = cur_sig
             e = e2
-            break
-        prev_sig = cur_sig
-        e = e2
+    finally:
+        spark.conf.set(_CP, old_cp)
 
     # converged: every edge is (node, component-min). A node may still carry
     # several star edges in theory; take the min per node defensively.

@@ -363,7 +363,9 @@ def hex_ring_pairs(
     lon_col: str = "lon",
     lat_col: str = "lat",
     round_decimals: int = 9,
-) -> DataFrame:
+    max_cell_freq: int | None = None,
+    with_overflow: bool = False,
+):
     """All point pairs within planar distance ``max_dist`` via the axial
     hex grid — the hex k-ring expansion join (the "H3 k-ring" shape of
     the north rule, on the repo's cube-rounded lattice): the probe side
@@ -379,9 +381,16 @@ def hex_ring_pairs(
     pair: no duplicate candidates, no DISTINCT needed.
 
     Scale: shuffles only (cell, id, lon, lat) keys — 7x the probe side
-    (vs 9x for the square/S2 ring), never a cross product; dense-cell
-    skew remedies are the same as s2_ring_pairs (smaller ``size``, or
-    mirror its frequency cap)."""
+    (vs 9x for the square/S2 ring), never a cross product.
+
+    **Hot-cell cap** (mirrors ``s2_ring_pairs``): output is inherently
+    quadratic inside a dense cell. ``max_cell_freq`` drops BUILD-side
+    cell keys holding more than that many points; the join is symmetric,
+    so a pair is lost ONLY when both endpoints sit in over-cap cells.
+    ``with_overflow=True`` returns ``(pairs, overflow)`` with one loud
+    row per capped cell ``(hq, hr, n_points)``; the remedy it points to
+    is a smaller ``size`` (finer cells) — or, for the DBSCAN consumers,
+    ``cluster.dbscan``'s dense-cell shortcut, which is exact."""
     if not max_dist < size:
         raise ValueError("hex_ring_pairs requires max_dist < size "
                          "(ring-1 completeness bound)")
@@ -407,11 +416,43 @@ def hex_ring_pairs(
         F.col(id_col).alias("pid_b"), F.col(lon_col).alias("lon_b"),
         F.col(lat_col).alias("lat_b"),
         F.col("hq").alias("jq"), F.col("hr").alias("jr"))
+    overflow = None
+    if max_cell_freq is not None:
+        # keys-only frequency count; over-cap cells are few by
+        # construction, so the anti-join broadcasts
+        freq = build.groupBy("jq", "jr").agg(
+            F.count(F.lit(1)).alias("n_points"))
+        overflow = freq.where(F.col("n_points") > max_cell_freq).select(
+            F.col("jq").alias("hq"), F.col("jr").alias("hr"), "n_points")
+        build = build.join(
+            F.broadcast(overflow.select(F.col("hq").alias("jq"),
+                                        F.col("hr").alias("jr"))),
+            ["jq", "jr"], "left_anti")
     dx = F.col("lon_a") - F.col("lon_b")
     dy = F.col("lat_a") - F.col("lat_b")
     dist = F.sqrt(dx * dx + dy * dy)
-    return (probe.join(build, ["jq", "jr"])
-            .filter(F.col("pid_a") < F.col("pid_b"))
-            .filter(dist <= max_dist)
-            .select("pid_a", "pid_b",
-                    F.round(dist, round_decimals).alias("dist")))
+    j = probe.join(build, ["jq", "jr"])
+    if max_cell_freq is None:
+        # uncapped: exactly ONE probe delta matches per pair (home cells
+        # are within hex distance 1), so `<` keeps each pair once
+        pairs = (j.filter(F.col("pid_a") < F.col("pid_b"))
+                 .filter(dist <= max_dist)
+                 .select("pid_a", "pid_b",
+                         F.round(dist, round_decimals).alias("dist")))
+    else:
+        # capped: a pair whose lower-id endpoint sits in a hot cell is
+        # only reachable through its other direction — keep both sides
+        # and normalize the id order instead
+        pairs = (j.filter(F.col("pid_a") != F.col("pid_b"))
+                 .filter(dist <= max_dist)
+                 .select(F.least("pid_a", "pid_b").alias("pid_a"),
+                         F.greatest(F.col("pid_a"),
+                                    F.col("pid_b")).alias("pid_b"),
+                         F.round(dist, round_decimals).alias("dist"))
+                 .distinct())
+    if not with_overflow:
+        return pairs
+    if overflow is None:
+        overflow = points.sparkSession.createDataFrame(
+            [], "hq long, hr long, n_points long")
+    return pairs, overflow

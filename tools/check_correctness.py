@@ -4,11 +4,21 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, then compares row count, column names, and order-insensitive values
 (sorted by all columns; floats compared exactly, as a value-hash would).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage:
+    python tools/check_correctness.py [query ...]
+    python tools/check_correctness.py --changed-since <git-ref>
+
+``--changed-since`` is the fast inner-loop mode: it maps the .py files
+git reports as touched since <git-ref> to the registry queries whose
+function source references any touched module — TRANSITIVELY through the
+package's internal import graph (a change to functions/overlay.py selects
+every query built on operators/layer_algebra.py). The FULL sweep (no
+arguments) still gates session end; this mode is for iterating.
 """
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
@@ -24,6 +34,68 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _module_graph() -> dict[str, set[str]]:
+    """module basename -> set of module basenames it imports, scanned
+    textually over every lib_gdal_spark/*.py (no execution)."""
+    import pathlib
+    pkg = pathlib.Path("/root/repo/lib_gdal_spark")
+    names = {p.stem for p in pkg.rglob("*.py") if p.stem != "__init__"}
+    pat = re.compile(
+        r"from lib_gdal_spark(?:\.\w+)* import (\w+)|"
+        r"lib_gdal_spark(?:\.\w+)*\.(\w+) import|"
+        r"from lib_gdal_spark\.\w+\.(\w+) import")
+    deps: dict[str, set[str]] = {}
+    for p in pkg.rglob("*.py"):
+        got = set()
+        src = p.read_text()
+        for m in pat.finditer(src):
+            for g in m.groups():
+                if g and g in names:
+                    got.add(g)
+        deps[p.stem] = got
+    return deps
+
+
+def _affected_queries(ref: str) -> set[str]:
+    """Queries whose function source mentions a module touched since
+    ``ref`` or any module that (transitively) imports a touched one."""
+    import inspect
+    import subprocess
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "*.py"],
+        capture_output=True, text=True, cwd="/root/repo", check=True)
+    touched = {f.rsplit("/", 1)[-1][:-3] for f in out.stdout.split()
+               if f.startswith("lib_gdal_spark/") and f.endswith(".py")}
+    if "__spark_entry__.py" in out.stdout.split():
+        print("[changed-since] __spark_entry__.py touched -> full sweep")
+        return set(E.queries())
+    if not touched:
+        return set()
+    deps = _module_graph()
+    # reverse-transitive closure: every module that reaches a touched one
+    dirty = set(touched)
+    grew = True
+    while grew:
+        grew = False
+        for mod, imports in deps.items():
+            if mod not in dirty and imports & dirty:
+                dirty.add(mod)
+                grew = True
+    pat = re.compile(r"\b(" + "|".join(map(re.escape, sorted(dirty))) + r")\b")
+    hits = set()
+    for name, fn in E.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            hits.add(name)
+            continue
+        if pat.search(src):
+            hits.add(name)
+    print(f"[changed-since {ref}] touched={sorted(touched)} "
+          f"closure={len(dirty)} modules -> {len(hits)} queries")
+    return hits
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
@@ -33,7 +105,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    if args[:1] == ["--changed-since"]:
+        only = _affected_queries(args[1] if len(args) > 1 else "HEAD")
+        if not only:
+            print("==> ALL OK (no registry-relevant changes)")
+            return
+    else:
+        only = set(args)
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
