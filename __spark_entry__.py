@@ -3770,6 +3770,67 @@ def q_warp_eqc_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NAD83 State Plane frames (meters): Maryland (LCC 2SP), Texas Central
+# (LCC 2SP, FN 3,000,000), New Jersey (TM k0=0.9999, lat0 38°50') — zone
+# parameters from functions/stateplane_data (public EPSG/ESRI registry
+# values vendored by the reference as data/esri_StatePlane_extra.wkt)
+_SP_MD_DST_GT = (0.0, 6_250.0, 0.0, 250_000.0, 0.0, -1_953.125)
+_SP_TX_DST_GT = (0.0, 10_937.5, 0.0, 3_200_000.0, 0.0, -3_125.0)
+_SP_NJ_DST_GT = (0.0, 2_343.75, 0.0, 400_000.0, 0.0, -3_125.0)
+
+
+def q_warp_stateplane_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:26985 (NAD83 / Maryland SPCS, LCC 2SP on
+    GRS80) through the state-plane registry
+    (crs._state_plane / stateplane_data): the oracle spells the Snyder
+    §15 inverse — rho/theta closed form, t = (rho/aF)^(1/n), then the
+    conformal-latitude fixed point (15-9) unrolled — with n/F/rho0 as
+    literals from the SAME constructor the Spark query uses."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    t = CRS.get_crs_transform(26985)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _SP_MD_DST_GT, 128, 128, t.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_stateplane_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:32139 (NAD83 / Texas Central SPCS, LCC 2SP
+    with the 3,000,000 m false northing) — second LCC zone so the
+    false-origin handling is exercised off zero."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    t = CRS.get_crs_transform(32139)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _SP_TX_DST_GT, 128, 128, t.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
+def q_warp_stateplane_nj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp into EPSG:32111 (NAD83 / New Jersey SPCS, TM k0=0.9999
+    with a 38°50' natural origin): the warp_bng Krüger-inverse pattern
+    on GRS80 with the meridian-arc-adjusted false northing, minus the
+    datum leg (NAD83 is zero-shift to WGS84, the 26901-23 convention)."""
+    from lib_gdal_spark.functions import crs as CRS
+
+    t = CRS.get_crs_transform(32111)
+    tiles = RS.fixture_rasters(spark).where(F.col("raster_id") == "world4326")
+    out = RAST.warp_to_crs_tiles_dist(
+        tiles, _SP_NJ_DST_GT, 128, 128, t.inverse, alg="nearest", tile=64
+    )
+    return _explode_px(out).select(
+        "px", "py", F.col("v").cast("long").alias("v")
+    )
+
+
 def q_warp_ups_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp into EPSG:32661 (Universal Polar Stereographic North —
     variant A, k0 = 0.994 AT THE POLE, false origin 2,000,000 m; the
@@ -5923,7 +5984,8 @@ def q_ogr_layer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRS_CODES = [4326, 3857, 32611, 32733, 26910, 25832, 5070, 3577,
               2154, 3347, 3031, 3413, 3976, 3995,
               27700, 2193, 54008, 54009, 4267, 3035, 28992, 5514, 30200,
-              29101, 3395, 3002, 4087, 29873, 32661, 32761]
+              29101, 3395, 3002, 4087, 29873, 32661, 32761,
+              26985, 32139, 32111]
 
 
 def q_srs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9097,6 +9159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_eqc_nearest": q_warp_eqc_nearest,
         "warp_omerc_nearest": q_warp_omerc_nearest,
         "warp_ups_nearest": q_warp_ups_nearest,
+        "warp_stateplane_md": q_warp_stateplane_md,
+        "warp_stateplane_tx": q_warp_stateplane_tx,
+        "warp_stateplane_nj": q_warp_stateplane_nj,
         "warp_gcp_nearest": q_warp_gcp_nearest,
         "raster_checksum_complex": q_raster_checksum_complex,
         "pyramid_magphase_l1": q_pyramid_magphase_l1,
@@ -12628,6 +12693,140 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
                               + 128.0) AS BIGINT)
                     ELSE 0 END AS v
+        FROM sp
+    """
+
+    # NAD83 State Plane oracles. LCC 2SP (Snyder §15 inverse): rho/theta
+    # closed form, t = (rho/aF)^(1/n), conformal-latitude fixed point
+    # (15-9) unrolled 8x — n/F/rho0/e literals from the SAME registry
+    # constructor the Spark query uses (zone values are public EPSG/ESRI
+    # registry data, functions/stateplane_data). n > 0 for every US
+    # zone, so the sign factors drop out.
+    def _lcc_oracle(epsg: int, gt: tuple) -> str:
+        _lc = _CRS.get_crs_transform(epsg)
+        _ln, _lF = float(_lc.n_cone), float(_lc.F)
+        _la_, _le = float(_lc.a), float(_lc.e)
+        _lr0, _lfe, _lfn = float(_lc.rho0), float(_lc.false_e), float(_lc.false_n)
+        assert _ln > 0.0
+        g0, g1, _, g3, _, g5 = gt
+        iters = "".join(
+            f""",
+        lt{k} AS (
+          SELECT px, py, t, lam,
+            pi()/2.0 - 2.0 * atan(t * pow(
+              (1.0 - {_le!r} * sin(phi)) / (1.0 + {_le!r} * sin(phi)),
+              {_le / 2.0!r})) AS phi
+          FROM lt{k - 1}
+        )"""
+            for k in range(1, 9)
+        )
+        return f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            ({g0!r} + (px + 0.5) * {g1!r}) - {_lfe!r} AS X,
+            {_lr0!r} - (({g3!r} + (py + 0.5) * {g5!r}) - {_lfn!r}) AS Y
+          FROM pix
+        ),
+        base AS (
+          SELECT px, py,
+            pow(sqrt(X * X + Y * Y) / {_la_ * _lF!r}, {1.0 / _ln!r}) AS t,
+            atan2(X, Y) / {_ln!r} AS lam
+          FROM en
+        ),
+        lt0 AS (
+          SELECT px, py, t, lam, pi()/2.0 - 2.0 * atan(t) AS phi FROM base
+        ){iters},
+        ll AS (
+          SELECT px, py, {_lc.lon0!r} + degrees(lam) AS lon,
+                 degrees(phi) AS lat
+          FROM lt8
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE NULL END AS v
+        FROM sp
+    """
+
+    sqls["warp_stateplane_md"] = _lcc_oracle(26985, _SP_MD_DST_GT)
+    sqls["warp_stateplane_tx"] = _lcc_oracle(32139, _SP_TX_DST_GT)
+
+    # NJ SPCS TM: the warp_bng Krüger-inverse pattern on GRS80 with the
+    # meridian-arc-adjusted false northing, no datum leg (NAD83 = WGS84
+    # zero-shift convention)
+    _tmj = _CRS.get_crs_transform(32111)
+    _kAj = _tmj.k0 * _tmj.A
+    g0j, g1j, _, g3j, _, g5j = _SP_NJ_DST_GT
+    _bsum_xi_j = " + ".join(
+        f"{b!r} * sin({2 * j}.0 * xi) * {_ch(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tmj.beta, start=1)
+    )
+    _bsum_eta_j = " + ".join(
+        f"{b!r} * cos({2 * j}.0 * xi) * {_sh(f'{2 * j}.0 * eta')}"
+        for j, b in enumerate(_tmj.beta, start=1)
+    )
+    _dsum_j = " + ".join(
+        f"{d!r} * sin({2 * j}.0 * chi)" for j, d in enumerate(_tmj.delta, 1)
+    )
+    sqls["warp_stateplane_nj"] = f"""
+        WITH pix AS (
+          SELECT CAST(x.px AS BIGINT) AS px, CAST(y.py AS BIGINT) AS py
+          FROM generate_series(0, 127) x(px) CROSS JOIN generate_series(0, 127) y(py)
+        ),
+        en AS (
+          SELECT px, py,
+            {g0j!r} + (px + 0.5) * {g1j!r} AS E,
+            {g3j!r} + (py + 0.5) * {g5j!r} AS N
+          FROM pix
+        ),
+        xe AS (
+          SELECT px, py, (N - {_tmj.false_n!r}) / {_kAj!r} AS xi,
+                 (E - {_tmj.false_e!r}) / {_kAj!r} AS eta
+          FROM en
+        ),
+        p1 AS (
+          SELECT px, py,
+            xi - ({_bsum_xi_j}) AS xip,
+            eta - ({_bsum_eta_j}) AS etap
+          FROM xe
+        ),
+        p2 AS (
+          SELECT px, py, asin(sin(xip) / {_ch("etap")}) AS chi,
+                 atan2({_sh("etap")}, cos(xip)) AS lam
+          FROM p1
+        ),
+        ll AS (
+          SELECT px, py,
+            {_tmj.lon0!r} + degrees(lam) AS lon,
+            degrees(chi + ({_dsum_j})) AS lat
+          FROM p2
+        ),
+        sp AS (
+          SELECT px, py,
+            CAST(floor(({_winv[0]!r} + lon * {_winv[1]!r} + lat * {_winv[2]!r})
+                       + 1e-10) AS BIGINT) AS sx,
+            CAST(floor(({_winv[3]!r} + lon * {_winv[4]!r} + lat * {_winv[5]!r})
+                       + 1e-10) AS BIGINT) AS sy
+          FROM ll
+        )
+        SELECT px, py,
+               CASE WHEN sx BETWEEN 0 AND 255 AND sy BETWEEN 0 AND 255
+                    THEN CAST(trunc((sin(sx * 0.19) + cos(sy * 0.13)) * 60.0
+                              + 128.0) AS BIGINT)
+                    ELSE NULL END AS v
         FROM sp
     """
 
@@ -18957,6 +19156,13 @@ def oracle_sql() -> dict[str, str]:
          2000000.0, 2000000.0, 6378137.0),
         (32761, "stere", 298.257224, 0.0, 0.994, -90.0, None, None, None,
          2000000.0, 2000000.0, 6378137.0),
+        # NAD83 State Plane (functions/stateplane_data registry values)
+        (26985, "lcc", 298.257222, -77.0, None, None, 37.666667, 38.3,
+         39.45, 400000.0, 0.0, 6378137.0),
+        (32139, "lcc", 298.257222, -100.333333, None, None, 29.666667,
+         30.116667, 31.883333, 700000.0, 3000000.0, 6378137.0),
+        (32111, "tmerc", 298.257222, -74.5, 0.9999, None, 38.833333,
+         None, None, 150000.0, 0.0, 6378137.0),
     ]:
         def lit(v):
             return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))

@@ -161,6 +161,8 @@ BENCH = {
     "warp_omerc": lambda s: _force(E.q_warp_omerc_nearest(s, SF_DIR)),
     "decontaminate_items": lambda s: _force(E.q_decontaminate_items(s, SF_DIR)),
     "warp_ups": lambda s: _force(E.q_warp_ups_nearest(s, SF_DIR)),
+    "warp_stateplane_md": lambda s: _force(E.q_warp_stateplane_md(s, SF_DIR)),
+    "warp_stateplane_nj": lambda s: _force(E.q_warp_stateplane_nj(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

@@ -1266,6 +1266,10 @@ def get_crs_transform(epsg: int):
       Mercator 9804), 4087 WGS84 World Equidistant Cylindrical (1028)
     - 29873 Timbalai 1948 / RSO Borneo (Hotine Oblique Mercator
       variant B, EPSG 9815, Everest 1830)
+    - 121 NAD83 State Plane (SPCS83) meter zones — every LCC-2SP and TM
+      zone from the published EPSG/ESRI registry values
+      (``functions/stateplane_data``; Alaska zone 1 HOM-variant-A and
+      foot/HARN/NAD27 variants excluded)
 
     Raises ``KeyError`` for anything else — callers should surface the code
     so users know the registry gap (no silent fallback).
@@ -1380,15 +1384,43 @@ def get_crs_transform(epsg: int):
             a=ELLIPSOIDS["bessel"][0], f=ELLIPSOIDS["bessel"][1],
             towgs84=TOWGS84["AMERSFOORT"]),
     }
-    try:
+    if epsg in table:
         return table[epsg]()
-    except KeyError:
-        raise KeyError(
-            f"EPSG:{epsg} not in the built-in registry (see "
-            f"get_crs_transform docstring for covered codes); construct "
-            f"TransverseMercator/LambertConformalConic/AlbersEqualArea/"
-            f"PolarStereographic directly for custom parameters"
-        ) from None
+    sp = _state_plane(epsg)
+    if sp is not None:
+        return sp
+    raise KeyError(
+        f"EPSG:{epsg} not in the built-in registry (see "
+        f"get_crs_transform docstring for covered codes); construct "
+        f"TransverseMercator/LambertConformalConic/AlbersEqualArea/"
+        f"PolarStereographic directly for custom parameters"
+    )
+
+
+def _state_plane(epsg: int):
+    """NAD83 State Plane (SPCS83) zones, meters — 121 zones from the
+    published EPSG/ESRI registry values (``functions/stateplane_data``,
+    generated from the reference's public data tables
+    ``data/esri_StatePlane_extra.wkt`` + ``data/stateplane.csv``). The
+    projections are the registry's own LCC-2SP / TM families on GRS80;
+    NAD83 is treated as zero-shift to WGS84 (same convention as the
+    26901-23 NAD83 UTM range). Alaska zone 1 (Hotine variant A) and the
+    foot-unit / HARN / NAD27 variants are not included. Returns None for
+    non-SPCS codes."""
+    from lib_gdal_spark.functions.stateplane_data import STATE_PLANE_NAD83
+
+    z = STATE_PLANE_NAD83.get(epsg)
+    if z is None:
+        return None
+    ga, gf = ELLIPSOIDS["GRS80"]
+    if z[0] == "lcc":
+        _, _, lat1, lat2, lat0, lon0, fe, fn = z
+        return LambertConformalConic(
+            lat1=lat1, lat2=lat2, lat0=lat0, lon0=lon0,
+            false_e=fe, false_n=fn, a=ga, f=gf)
+    _, _, lat0, lon0, k0, fe, fn = z
+    return _tm_with_lat0(lat0=lat0, lon0=lon0, k0=k0,
+                         false_e=fe, false_n=fn, a=ga, f=gf)
 
 
 def transform_wkb(wkb: bytes, fwd) -> bytes:

@@ -632,3 +632,42 @@ def test_ups_polar_grids():
     l2s, a2s = s.inverse(es, ns)
     assert np.abs(((l2s - lo + 180) % 360) - 180).max() < 1e-11
     assert np.abs(a2s - las).max() < 1e-11
+
+
+def test_state_plane_registry():
+    """All 121 NAD83 SPCS zones: natural origin maps exactly to
+    (FE, FN) (LCC-2SP and TM both have this EPSG-definition anchor) and
+    the inverse round-trips interior points to 1e-9 deg."""
+    from lib_gdal_spark.functions.stateplane_data import STATE_PLANE_NAD83
+
+    assert len(STATE_PLANE_NAD83) == 121
+    for epsg, z in STATE_PLANE_NAD83.items():
+        t = CRS.get_crs_transform(epsg)
+        if z[0] == "lcc":
+            lat0, lon0, fe, fn = z[4], z[5], z[6], z[7]
+        else:
+            lat0, lon0, fe, fn = z[2], z[3], z[5], z[6]
+        E, N = t.forward(np.array([lon0]), np.array([lat0]))
+        assert abs(E[0] - fe) < 1e-6 and abs(N[0] - fn) < 1e-6, epsg
+        lons = np.array([lon0 + 1.0, lon0 - 0.7])
+        lats = np.array([lat0 + 0.8, lat0 + 1.5])
+        E, N = t.forward(lons, lats)
+        lo, la = t.inverse(E, N)
+        assert np.max(np.abs(lo - lons)) < 1e-9, epsg
+        assert np.max(np.abs(la - lats)) < 1e-9, epsg
+
+
+def test_state_plane_spot_values():
+    """Spot parameters against the published registry (Maryland LCC,
+    New Jersey TM) and srs_info reporting."""
+    md = CRS.srs_info(26985)
+    assert md["proj"] == "lcc" and md["lon0"] == -77.0
+    assert abs(md["lat1"] - 38.3) < 1e-9 and abs(md["lat2"] - 39.45) < 1e-9
+    assert md["false_e"] == 400000.0
+    nj = CRS.srs_info(32111)
+    assert nj["proj"] == "tmerc" and nj["k0"] == 0.9999
+    assert nj["false_n"] == 0.0  # EPSG-definition FN, not the internal one
+    # scale factor on an LCC standard parallel is exactly 1
+    t = CRS.get_crs_transform(26985)
+    assert abs(t.scale_at(38.3) - 1.0) < 1e-12
+    assert abs(t.scale_at(39.45) - 1.0) < 1e-12
