@@ -765,6 +765,141 @@ def mgrs_from_lonlat(lon: np.ndarray, lat: np.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Polar MGRS (UPS A/B/Y/Z lettering) — the GEOTRANS scheme, spec and
+# constant table from the public GEOTRANS source the reference vendors
+# (drivers/raster/nitf/mgrs.c:222 UPS_Constant_Table, :900
+# Convert_UPS_To_MGRS, :1007 Convert_MGRS_To_UPS). Closes TODO #7: the
+# verbatim source is now available, so the lettering is implemented
+# against it instead of from memory. Output uses the display form
+# without GEOTRANS's two leading spaces.
+# ---------------------------------------------------------------------------
+
+# 0-based alphabet indices: letter0 -> (ltr2_low, ltr2_high, ltr3_high,
+# false_easting, false_northing)
+_UPS_CONST = {
+    "A": (9, 25, 25, 800_000.0, 800_000.0),
+    "B": (0, 17, 25, 2_000_000.0, 800_000.0),
+    "Y": (9, 25, 15, 800_000.0, 1_300_000.0),
+    "Z": (0, 9, 15, 2_000_000.0, 1_300_000.0),
+}
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _round_half_even(x: np.ndarray) -> np.ndarray:
+    """GEOTRANS Round_MGRS: nearest integer, ties to even (mgrs.c:358).
+    np.round implements exactly this rule for the positive UPS domain."""
+    return np.round(x)
+
+
+def mgrs_polar_from_ups(north, E, N, precision: int = 5) -> np.ndarray:
+    """UPS (hemisphere, easting, northing) -> polar MGRS strings
+    (Convert_UPS_To_MGRS semantics, vectorized). ``north`` bool array;
+    E/N meters in (0, 4e6)."""
+    if not 1 <= precision <= 5:
+        raise ValueError("MGRS precision must be in 1..5")
+    north = np.asarray(north, dtype=bool)
+    divisor = 10.0 ** (5 - precision)
+    E = _round_half_even(np.asarray(E, np.float64) / divisor) * divisor
+    N = _round_half_even(np.asarray(N, np.float64) / divisor) * divisor
+    east_half = E >= 2_000_000.0
+    l0 = np.where(north, np.where(east_half, 25, 24),
+                  np.where(east_half, 1, 0))
+    lut = {_ALPHA.index(k): v for k, v in _UPS_CONST.items()}
+    l2low = np.vectorize(lambda i: lut[i][0])(l0)
+    fe = np.vectorize(lambda i: lut[i][3])(l0)
+    fn = np.vectorize(lambda i: lut[i][4])(l0)
+    # row letter: trunc toward zero like the C cast, then skip I and O
+    row = np.trunc((N - fn) / 100_000.0).astype(np.int64)
+    row = np.where(row > 7, row + 1, row)    # skip I
+    row = np.where(row > 13, row + 1, row)   # skip O
+    col = (l2low + np.trunc((E - fe) / 100_000.0)).astype(np.int64)
+    west = ~east_half
+    # west half (2nd letter J..): skip MNO after L, skip VW after U
+    col = np.where(west & (col > 11), col + 3, col)
+    col = np.where(west & (col > 20), col + 2, col)
+    # east half (2nd letter A..): skip DE after C, I after H, MNO after L
+    col = np.where(~west & (col > 2), col + 2, col)
+    col = np.where(~west & (col > 7), col + 1, col)
+    col = np.where(~west & (col > 11), col + 3, col)
+    unit = int(divisor)
+    ed = (np.mod(E, 100_000.0) / divisor).astype(np.int64)
+    nd = (np.mod(N, 100_000.0) / divisor).astype(np.int64)
+    out = np.empty(E.shape, dtype=object)
+    for i in range(E.size):
+        out[i] = (f"{_ALPHA[l0[i]]}{_ALPHA[col[i]]}{_ALPHA[row[i]]}"
+                  f"{ed[i]:0{precision}d}{nd[i]:0{precision}d}")
+    return out
+
+
+def mgrs_polar_to_ups(codes, precision: int = 5):
+    """Polar MGRS strings -> (north bool, easting, northing) of the SW
+    corner at ``precision`` (Convert_MGRS_To_UPS semantics; invalid
+    second/third letters raise)."""
+    codes = np.asarray(codes, dtype=object)
+    north = np.empty(codes.shape, dtype=bool)
+    E = np.empty(codes.shape, np.float64)
+    N = np.empty(codes.shape, np.float64)
+    unit = 10.0 ** (5 - precision)
+    for i, s in enumerate(codes):
+        l0, l1, l2 = s[0], _ALPHA.index(s[1]), _ALPHA.index(s[2])
+        if l0 not in _UPS_CONST:
+            raise ValueError(f"not a polar MGRS code: {s!r}")
+        low, high, l3high, fe, fn = _UPS_CONST[l0]
+        if (l1 < low or l1 > high or l2 > l3high
+                or _ALPHA[l1] in "DEMNVW" or _ALPHA[l2] in "IO"):
+            raise ValueError(f"invalid polar MGRS letters: {s!r}")
+        north[i] = l0 in "YZ"
+        gn = l2 * 100_000.0 + fn
+        if l2 > 8:       # past I
+            gn -= 100_000.0
+        if l2 > 14:      # past O
+            gn -= 100_000.0
+        ge = (l1 - low) * 100_000.0 + fe
+        if low != 0:     # west half (J-origin)
+            if l1 > 11:
+                ge -= 300_000.0
+            if l1 > 20:
+                ge -= 200_000.0
+        else:            # east half (A-origin)
+            if l1 > 2:
+                ge -= 200_000.0
+            if l1 > 8:
+                ge -= 100_000.0
+            if l1 > 11:
+                ge -= 300_000.0
+        d = s[3:]
+        E[i] = ge + int(d[:precision]) * unit
+        N[i] = gn + int(d[precision:]) * unit
+    return north, E, N
+
+
+def mgrs_polar_from_lonlat(lon: np.ndarray, lat: np.ndarray,
+                           precision: int = 5) -> np.ndarray:
+    """Polar-cap lon/lat -> polar MGRS via the UPS projectors
+    (EPSG 32661/32761 in functions/crs.py). Valid for lat >= 84 (north)
+    or lat < -80 (south) — the caps :func:`mgrs_from_lonlat` excludes;
+    raises in the UTM band between."""
+    from lib_gdal_spark.functions import crs as _crs
+
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    north = lat >= 84.0
+    south = lat < -80.0
+    if not np.all(north | south):
+        raise ValueError("polar MGRS needs lat >= 84 or lat < -80; use "
+                         "mgrs_from_lonlat for the UTM bands")
+    E = np.empty_like(lon)
+    N = np.empty_like(lat)
+    if north.any():
+        ups = _crs.get_crs_transform(32661)
+        E[north], N[north] = ups.forward(lon[north], lat[north])
+    if south.any():
+        ups = _crs.get_crs_transform(32761)
+        E[south], N[south] = ups.forward(lon[south], lat[south])
+    return mgrs_polar_from_ups(north, E, N, precision)
+
+
 def quadkey_encode(z, x, y):
     """Bing-maps quadkey string Column from XYZ tile coordinate Columns
     (the published Microsoft tile-system scheme): digit k of the z-char

@@ -357,10 +357,16 @@ class PolarStereographic:
         lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
         phi = np.radians(np.asarray(lat, np.float64))
         if not self.north:
-            phi = -phi
-            lam = -lam
+            # EPSG GN7-2 south-pole case: t of -phi, E = FE + rho sin(lam),
+            # N = FN + rho cos(lam) — only the N term changes sign vs
+            # north. (Round-5 fix: both axes were negated before, a 180
+            # deg grid rotation vs the published EPSG/PROJ convention —
+            # McMurdo in EPSG:3031 is (+304 km, -1313 km), not mirrored.)
+            rho = self._rho_factor * self._t(-phi)
+            E = self.false_e + rho * np.sin(lam)
+            N = self.false_n + rho * np.cos(lam)
+            return E, N
         rho = self._rho_factor * self._t(phi)
-        # south pole: the phi/lam negation above folds the sign back
         E = self.false_e + rho * np.sin(lam)
         N = self.false_n - rho * np.cos(lam)
         return E, N
@@ -370,7 +376,8 @@ class PolarStereographic:
         y = np.asarray(N, np.float64) - self.false_n
         rho = np.hypot(x, y)
         t = rho / self._rho_factor
-        lam = np.arctan2(x, -y)
+        # south: lam = atan2(x, y); north: atan2(x, -y) (EPSG GN7-2)
+        lam = np.arctan2(x, y) if not self.north else np.arctan2(x, -y)
         phi = np.pi / 2.0 - 2.0 * np.arctan(t)
         e = self.e
         for _ in range(iters):
@@ -380,7 +387,6 @@ class PolarStereographic:
             )
         if not self.north:
             phi = -phi
-            lam = -lam
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 

@@ -182,8 +182,12 @@ def test_epsg_registry_anchor_points():
     ps = CRS.get_crs_transform(3031)
     E, N = ps.forward(np.array([0.0]), np.array([-90.0]))
     assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    # EPSG GN7-2 south-pole case: N = FN + rho*cos(lam), so the 0E
+    # meridian carries POSITIVE northing (McMurdo at 166.7E is +E, -N)
     E, N = ps.forward(np.array([0.0]), np.array([-71.0]))
-    assert abs(E[0]) < 1e-6 and N[0] < 0
+    assert abs(E[0]) < 1e-6 and N[0] > 0
+    E, N = ps.forward(np.array([166.67]), np.array([-77.85]))
+    assert E[0] > 0 and N[0] < 0  # McMurdo quadrant, published 3031 signs
     # EPSG:2154 Lambert-93: (3E, 46.5N) -> (700000, 6600000)
     l93 = CRS.get_crs_transform(2154)
     E, N = l93.forward(np.array([3.0]), np.array([46.5]))

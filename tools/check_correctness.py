@@ -56,6 +56,67 @@ def _module_graph() -> dict[str, set[str]]:
     return deps
 
 
+def _entry_diff_queries(ref: str):
+    """Map changed __spark_entry__.py line hunks to the query names they
+    touch: a hunk inside ``def q_<x>`` selects every registry entry
+    bound to that function; a hunk inside ``oracle_sql`` selects the
+    names whose ``sqls["name"]`` assignment block contains it. Returns
+    None (-> full sweep) for hunks in shared helpers outside both."""
+    import subprocess
+    out = subprocess.run(
+        ["git", "diff", "-U0", ref, "--", "__spark_entry__.py"],
+        capture_output=True, text=True, cwd="/root/repo", check=True)
+    hunks = []
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+                         out.stdout, re.M):
+        start = int(m.group(1))
+        n = int(m.group(2)) if m.group(2) is not None else 1
+        hunks.append((start, start + max(n, 1) - 1))
+    if not hunks:
+        return set()
+    lines = open("/root/repo/__spark_entry__.py").read().splitlines()
+    # top-level def spans
+    defs = []  # (name, start_line_1based)
+    for i, ln in enumerate(lines, 1):
+        m = re.match(r"^def (\w+)\(", ln)
+        if m:
+            defs.append((m.group(1), i))
+    defs.append(("<eof>", len(lines) + 1))
+    spans = [(name, s, defs[k + 1][1] - 1)
+             for k, (name, s) in enumerate(defs[:-1])]
+    # fn name -> query names (one function may back several entries)
+    fn_to_q = {}
+    for qname, fn in E.queries().items():
+        fn_to_q.setdefault(getattr(fn, "__name__", ""), set()).add(qname)
+    # sqls["name"] assignment start lines inside oracle_sql
+    sql_marks = [(m.group(1), src_line)
+                 for src_line, ln in enumerate(lines, 1)
+                 if (m := re.search(r"sqls\[\"([\w]+)\"\]\s*=", ln))]
+    sql_marks.append(("<eof>", len(lines) + 1))
+    hits: set[str] = set()
+    qnames = set(E.queries())
+    for h0, h1 in hunks:
+        placed = False
+        for name, s, e in spans:
+            if s <= h0 and h1 <= e:
+                if name in fn_to_q:
+                    hits |= fn_to_q[name]
+                    placed = True
+                elif name == "oracle_sql":
+                    for k, (qn, sl) in enumerate(sql_marks[:-1]):
+                        if sl <= h1 and h0 < sql_marks[k + 1][1]:
+                            if qn in qnames:
+                                hits.add(qn)
+                                placed = True
+                elif name in ("queries", "entry"):
+                    placed = True  # registration lines; new names will
+                    # run via their own q_ hunks, entry() is smoke-only
+                break
+        if not placed:
+            return None
+    return hits
+
+
 def _affected_queries(ref: str) -> set[str]:
     """Queries whose function source mentions a module touched since
     ``ref`` or any module that (transitively) imports a touched one."""
@@ -66,11 +127,19 @@ def _affected_queries(ref: str) -> set[str]:
         capture_output=True, text=True, cwd="/root/repo", check=True)
     touched = {f.rsplit("/", 1)[-1][:-3] for f in out.stdout.split()
                if f.startswith("lib_gdal_spark/") and f.endswith(".py")}
+    entry_hits: set[str] = set()
     if "__spark_entry__.py" in out.stdout.split():
-        print("[changed-since] __spark_entry__.py touched -> full sweep")
-        return set(E.queries())
+        entry_hits = _entry_diff_queries(ref)
+        if entry_hits is None:
+            print("[changed-since] __spark_entry__.py structure changed "
+                  "-> full sweep")
+            return set(E.queries())
+    if not touched and not entry_hits:
+        return entry_hits
     if not touched:
-        return set()
+        print(f"[changed-since {ref}] entry-only edits -> "
+              f"{len(entry_hits)} queries")
+        return entry_hits
     deps = _module_graph()
     # reverse-transitive closure: every module that reaches a touched one
     dirty = set(touched)
@@ -91,8 +160,10 @@ def _affected_queries(ref: str) -> set[str]:
             continue
         if pat.search(src):
             hits.add(name)
+    hits |= entry_hits
     print(f"[changed-since {ref}] touched={sorted(touched)} "
-          f"closure={len(dirty)} modules -> {len(hits)} queries")
+          f"closure={len(dirty)} modules (+{len(entry_hits)} entry edits) "
+          f"-> {len(hits)} queries")
     return hits
 
 
