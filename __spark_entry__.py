@@ -8904,6 +8904,54 @@ def q_visvalingam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visvalingam(pts, n_remove=4)
 
 
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the hourly event-count series, harmonics
+    1..12: cos/sin weights quantized to the 1e-12 lattice and summed as
+    exact decimal(38,0), power a fixed float expression of the two
+    exact sums (seasonality detection; spectral companion of ts_acf)."""
+    from lib_gdal_spark.operators.timeseries import periodogram
+    return periodogram(_hourly(spark, sf_dir), max_harmonic=12)
+
+
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend, alpha=.3 beta=.1)
+    of the hourly count series; the recurrence runs per-series inside
+    one Arrow group and the oracle replays it term-for-term with a
+    recursive CTE (identical float op order; outputs rounded at 9)."""
+    from lib_gdal_spark.operators.timeseries import holt_smoothing
+    out = holt_smoothing(_hourly(spark, sf_dir), alpha=0.3, beta=0.1)
+    return out.select("t", "x", "level", "trend",
+                      F.coalesce("fitted", F.lit(-1.0)).alias("fitted"))
+
+
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event-type sequences:
+    exact transition counts + row-normalized probabilities + the 3-step
+    occupancy from the empirical start distribution (k x k driver-side
+    power steps, the kmeans driver-state contract)."""
+    from lib_gdal_spark.operators.events import markov_chain
+    out = markov_chain(_t(spark, sf_dir, "events"), steps=3)
+    return out.select("src", "dst", "n_trans", F.round("p", 9).alias("p"),
+                      "occ_dst")
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff distance between consecutive 20-point event
+    tracks (OGR/GEOS HausdorffDistance analog): distances round at 9
+    BEFORE the min/max lattice, explicit pair table, one equi-join +
+    two combinable aggregations — never all-pairs."""
+    from lib_gdal_spark.operators.trajectory import hausdorff_pairs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 400)
+    pts = ev.select(
+        F.floor(F.col("event_id") / 20).cast("long").alias("tid"),
+        ((F.col("event_id") * 7919) % 1000).cast("double").alias("x"),
+        ((F.col("event_id") * 104729) % 1000).cast("double").alias("y"))
+    pairs = spark.range(0, 19).select(
+        F.col("id").alias("tid_a"), (F.col("id") + 1).alias("tid_b"))
+    return hausdorff_pairs(pts, pairs)
+
+
 def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of six integer text statistics over
     documents: one exact-integer covariance aggregation + 24 unrolled
@@ -9493,6 +9541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_boruvka": q_mst_boruvka,
         "ipf_gravity": q_ipf_gravity,
         "visvalingam": q_visvalingam,
+        "ts_periodogram": q_ts_periodogram,
+        "ts_holt": q_ts_holt,
+        "markov_chain": q_markov_chain,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
@@ -21796,6 +21848,152 @@ def oracle_sql() -> dict[str, str]:
                CAST(cov_num AS BIGINT) AS cov_num,
                CAST(cov_num AS DOUBLE) / CAST(c0.c0 AS DOUBLE) AS acf
         FROM ck, c0
+    """
+
+    # periodogram: the same 1e-12-quantized cos/sin weights, HUGEINT
+    # sums; power from the two exact sums (matches the decimal(38,0)
+    # Spark aggregation value-for-value).
+    sqls["ts_periodogram"] = f"""
+        WITH {_DENSE},
+        tot AS (SELECT COUNT(*) AS n FROM dense),
+        j AS (
+          SELECT gs.k AS k, tot.n AS n,
+                 CAST(round(cos(2.0 * pi() * gs.k * d.t / tot.n) * 1e12)
+                      AS HUGEINT) * d.x AS ca,
+                 CAST(round(sin(2.0 * pi() * gs.k * d.t / tot.n) * 1e12)
+                      AS HUGEINT) * d.x AS sb
+          FROM generate_series(1, 12) gs(k), dense d, tot
+        ),
+        agg AS (
+          SELECT k, n, SUM(ca) AS a_q, SUM(sb) AS b_q FROM j GROUP BY k, n
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(a_q AS VARCHAR) AS a_q,
+               CAST(b_q AS VARCHAR) AS b_q,
+               round(2.0 * ((CAST(a_q AS DOUBLE) / 1e12)
+                            * (CAST(a_q AS DOUBLE) / 1e12)
+                            + (CAST(b_q AS DOUBLE) / 1e12)
+                            * (CAST(b_q AS DOUBLE) / 1e12)) / n, 6) AS power
+        FROM agg
+    """
+
+    # Holt smoothing: recursive CTE replays the recurrence in the SAME
+    # float op order as the numpy loop (literals are the Python doubles)
+    _ha, _hb = 0.3, 0.1
+    _h1a, _h1b = 1.0 - _ha, 1.0 - _hb
+    sqls["ts_holt"] = f"""
+        WITH RECURSIVE {_DENSE},
+        n AS (SELECT COUNT(*) AS n FROM dense),
+        x0 AS (SELECT x FROM dense WHERE t = 0),
+        x1 AS (SELECT x FROM dense WHERE t = 1),
+        r(t, x, l, b, fitted) AS (
+          SELECT CAST(0 AS BIGINT), x0.x,
+                 CAST(x0.x AS DOUBLE),
+                 CAST(x1.x - x0.x AS DOUBLE),
+                 CAST(NULL AS DOUBLE)
+          FROM x0, x1
+          UNION ALL
+          SELECT d.t, d.x,
+                 {_ha!r} * d.x + {_h1a!r} * (r.l + r.b),
+                 {_hb!r} * (({_ha!r} * d.x + {_h1a!r} * (r.l + r.b)) - r.l)
+                   + {_h1b!r} * r.b,
+                 r.l + r.b
+          FROM r JOIN dense d ON d.t = r.t + 1
+        )
+        SELECT t, x, round(l, 9) AS level, round(b, 9) AS trend,
+               coalesce(round(fitted, 9), -1.0) AS fitted
+        FROM r
+    """
+
+    # Markov chain: lag-window transitions + start distribution; the
+    # 3-step occupancy via three chained prob joins (self-loop rows for
+    # absorbing states mirror the operator's convention)
+    sqls["markov_chain"] = """
+        WITH seq AS (
+          SELECT user_id, event_type AS dst,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS src,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        trans AS (
+          SELECT src, dst, COUNT(*) AS n_trans FROM seq
+          WHERE src IS NOT NULL GROUP BY src, dst
+        ),
+        states AS (
+          SELECT DISTINCT s FROM (
+            SELECT src AS s FROM trans UNION
+            SELECT dst FROM trans UNION
+            SELECT dst FROM seq WHERE rn = 1)
+        ),
+        outsum AS (SELECT src, SUM(n_trans) AS tot FROM trans GROUP BY src),
+        p AS (
+          SELECT t.src AS s, t.dst AS d,
+                 CAST(t.n_trans AS DOUBLE) / o.tot AS p
+          FROM trans t JOIN outsum o ON o.src = t.src
+          UNION ALL
+          SELECT st.s, st.s, 1.0 FROM states st
+          WHERE st.s NOT IN (SELECT src FROM outsum)
+        ),
+        starts AS (
+          SELECT dst AS s, COUNT(*) AS n_start FROM seq
+          WHERE rn = 1 GROUP BY dst
+        ),
+        v0 AS (
+          SELECT s, CAST(n_start AS DOUBLE)
+                 / (SELECT SUM(n_start) FROM starts) AS v
+          FROM starts
+        ),
+        v1 AS (SELECT p.d AS s, SUM(v0.v * p.p) AS v
+               FROM v0 JOIN p ON p.s = v0.s GROUP BY p.d),
+        v2 AS (SELECT p.d AS s, SUM(v1.v * p.p) AS v
+               FROM v1 JOIN p ON p.s = v1.s GROUP BY p.d),
+        v3 AS (SELECT p.d AS s, SUM(v2.v * p.p) AS v
+               FROM v2 JOIN p ON p.s = v2.s GROUP BY p.d)
+        SELECT t.src, t.dst, CAST(t.n_trans AS BIGINT) AS n_trans,
+               round(CAST(t.n_trans AS DOUBLE) / o.tot, 9) AS p,
+               round(coalesce(v3.v, 0.0), 9) AS occ_dst
+        FROM trans t
+        JOIN outsum o ON o.src = t.src
+        LEFT JOIN v3 ON v3.s = t.dst
+    """
+
+    # discrete Hausdorff: pure min/max SQL over the rounded-distance
+    # lattice, explicit consecutive-track pairs
+    sqls["hausdorff_pairs"] = """
+        WITH pts AS (
+          SELECT CAST((event_id - event_id % 20) / 20 AS BIGINT) AS tid,
+                 CAST((event_id * 7919) % 1000 AS DOUBLE) AS x,
+                 CAST((event_id * 104729) % 1000 AS DOUBLE) AS y
+          FROM events WHERE event_id < 400
+        ),
+        prs AS (SELECT gs.i AS tid_a, gs.i + 1 AS tid_b
+                FROM generate_series(0, 18) gs(i)),
+        j AS (
+          SELECT p.tid_a, p.tid_b, a.x AS xa, a.y AS ya,
+                 b.x AS xb, b.y AS yb,
+                 round(sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)), 9) AS d
+          FROM prs p
+          JOIN pts a ON a.tid = p.tid_a
+          JOIN pts b ON b.tid = p.tid_b
+        ),
+        fwd AS (
+          SELECT tid_a, tid_b, MAX(dmin) AS h_ab FROM (
+            SELECT tid_a, tid_b, xa, ya, MIN(d) AS dmin
+            FROM j GROUP BY tid_a, tid_b, xa, ya)
+          GROUP BY tid_a, tid_b
+        ),
+        bwd AS (
+          SELECT tid_a, tid_b, MAX(dmin) AS h_ba FROM (
+            SELECT tid_a, tid_b, xb, yb, MIN(d) AS dmin
+            FROM j GROUP BY tid_a, tid_b, xb, yb)
+          GROUP BY tid_a, tid_b
+        )
+        SELECT f.tid_a, f.tid_b, f.h_ab, b.h_ba,
+               greatest(f.h_ab, b.h_ba) AS hausdorff
+        FROM fwd f JOIN bwd b ON b.tid_a = f.tid_a AND b.tid_b = f.tid_b
     """
 
     sqls["ts_trend"] = f"""

@@ -163,6 +163,10 @@ BENCH = {
     "warp_ups": lambda s: _force(E.q_warp_ups_nearest(s, SF_DIR)),
     "warp_stateplane_md": lambda s: _force(E.q_warp_stateplane_md(s, SF_DIR)),
     "warp_stateplane_nj": lambda s: _force(E.q_warp_stateplane_nj(s, SF_DIR)),
+    "ts_periodogram": lambda s: _force(E.q_ts_periodogram(s, SF_DIR)),
+    "markov_chain": lambda s: _force(E.q_markov_chain(s, SF_DIR)),
+    "hausdorff_pairs": lambda s: _force(E.q_hausdorff_pairs(s, SF_DIR)),
+    "mgrs_polar_cells": lambda s: _force(E.q_mgrs_polar_cells(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

@@ -530,3 +530,71 @@ def did_estimator(panel: DataFrame) -> DataFrame:
         F.round(did, 9).alias("did"),
         F.round(se, 9).alias("se"),
         F.round(did / se, 9).alias("t"))
+
+
+def markov_chain(events: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts",
+                 id_col: str = "event_id", steps: int = 3) -> DataFrame:
+    """First-order Markov chain over per-user event-type sequences: the
+    transition-count matrix (exact integers), the row-normalized
+    transition probabilities, and the ``steps``-step occupancy
+    distribution from the empirical start distribution (each user's
+    first event) — the session-flow model behind next-event prediction
+    and funnel leak analysis (beyond-reference; lib_gdal has no event
+    layer).
+
+    Distributed shape: consecutive pairs come from one lag window per
+    user (the sessionize pattern); counts are combinable groupBys. The
+    k x k matrix (k = distinct event types, inherently small) collects
+    to the driver for the ``steps`` power iterations in fixed float
+    order — the same driver-sized-state contract as kmeans centroids.
+
+    Returns one row per (src, dst): (src, dst, n_trans BIGINT,
+    p DOUBLE, occ_dst DOUBLE) — occ_dst is the ``steps``-step occupancy
+    of dst (repeated per src for a flat schema), rounded at 9.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("dst"),
+        F.lag(type_col).over(w).alias("src"),
+        F.row_number().over(w).alias("rn"))
+    trans = (seq.where(F.col("src").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans")))
+    starts = (seq.where(F.col("rn") == 1)
+              .groupBy(F.col("dst").alias("s"))
+              .agg(F.count(F.lit(1)).alias("n_start")))
+    t_rows = trans.collect()
+    s_rows = starts.collect()
+    states = sorted({r["src"] for r in t_rows} | {r["dst"] for r in t_rows}
+                    | {r["s"] for r in s_rows})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    import numpy as _np
+    cnt = _np.zeros((k, k), dtype=_np.int64)
+    for r in t_rows:
+        cnt[idx[r["src"]], idx[r["dst"]]] = r["n_trans"]
+    rowsum = cnt.sum(axis=1)
+    P = _np.zeros((k, k))
+    nz = rowsum > 0
+    P[nz] = cnt[nz] / rowsum[nz, None]
+    # absorbing convention: a state with no outgoing transition self-loops
+    for i in _np.nonzero(~nz)[0]:
+        P[i, i] = 1.0
+    v = _np.zeros(k)
+    tot = sum(r["n_start"] for r in s_rows)
+    for r in s_rows:
+        v[idx[r["s"]]] = r["n_start"] / tot
+    for _ in range(int(steps)):
+        v = v @ P
+    occ = {states[i]: round(float(v[i]), 9) for i in range(k)}
+    spark = events.sparkSession
+    occ_df = spark.createDataFrame(
+        [(s, occ[s]) for s in states], "dst string, occ_dst double")
+    return (trans.join(F.broadcast(occ_df), "dst")
+            .select("src", "dst", "n_trans",
+                    F.round(F.col("n_trans")
+                            / F.sum("n_trans").over(
+                                Window.partitionBy("src")), 9).alias("p"),
+                    "occ_dst"))

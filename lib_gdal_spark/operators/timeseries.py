@@ -22,6 +22,10 @@ map-side combines to |hours| rows.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -311,3 +315,96 @@ def lag_regression(paired: DataFrame, lag: int = 1) -> DataFrame:
     return m.select(F.col("n").cast("long").alias("n"),
                     slope.alias("slope"), intercept.alias("intercept"),
                     r2.alias("r2"))
+
+
+def periodogram(series: DataFrame, max_harmonic: int = 12) -> DataFrame:
+    """Discrete Fourier periodogram of an integer series (t, x): for
+    harmonic k = 1..``max_harmonic`` over the n observed points,
+
+        a_k = sum_t x_t cos(2*pi*k*t/n),  b_k = sum_t x_t sin(2*pi*k*t/n),
+        power_k = 2*(a_k^2 + b_k^2)/n
+
+    — the classical Schuster periodogram (seasonality detection for
+    event streams; the spectral companion of :func:`acf`). Determinism:
+    the cos/sin weights are quantized to the 1e-12 lattice and the
+    weighted sums run as exact decimal(38,0) integers, so partial-
+    aggregation order cannot perturb a_k/b_k; power is a fixed float
+    expression of the two exact sums. Scale: one crossJoin of the
+    (max_harmonic)-row k spine with the series, one combinable groupBy.
+
+    Returns (k, a_q, b_q, power) with a_q/b_q the exact quantized sums.
+    """
+    tot = series.agg(F.count(F.lit(1)).alias("n"))
+    ks = series.sparkSession.range(1, max_harmonic + 1).select(
+        F.col("id").alias("k"))
+    j = series.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+    w = 2.0 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    cq = F.round(F.cos(w) * 1e12).cast("decimal(38,0)")
+    sq = F.round(F.sin(w) * 1e12).cast("decimal(38,0)")
+    x = F.col("x").cast("decimal(38,0)")
+    agg = j.groupBy("k", "n").agg(
+        F.sum(cq * x).alias("a_q"), F.sum(sq * x).alias("b_q"))
+    a = agg["a_q"].cast("double") / 1e12
+    b = agg["b_q"].cast("double") / 1e12
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("a_q").cast("decimal(38,0)").cast("string").alias("a_q"),
+        F.col("b_q").cast("decimal(38,0)").cast("string").alias("b_q"),
+        F.round(2.0 * (a * a + b * b) / F.col("n"), 6).alias("power"),
+    ).orderBy("k")
+
+
+def holt_smoothing(series: DataFrame, alpha: float = 0.3,
+                   beta: float = 0.1, key_col: str | None = None,
+                   round_decimals: int = 9) -> DataFrame:
+    """Holt double exponential smoothing (level + trend), the classic
+    short-horizon forecaster:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    initialized l_0 = x_0, b_0 = x_1 - x_0. The recurrence is inherently
+    sequential IN t, so each series runs inside one Arrow group
+    (``applyInPandas`` per ``key_col``; one ungrouped series uses a
+    single synthetic key) — series-level parallelism, the same per-key
+    contract as sessionization. The float ops are evaluated in the
+    written order, matching a SQL oracle's recursive CTE replay
+    term-for-term; outputs round at ``round_decimals``.
+
+    Returns (key?, t, x, level, trend, fitted) where fitted_t =
+    l_{t-1} + b_{t-1} (the one-step-ahead forecast made at t-1; NULL at
+    t = 0, x_1 - x_0... defined from t >= 1).
+    """
+    a_, b_ = float(alpha), float(beta)
+    keyed = key_col is not None
+    src = series if keyed else series.withColumn("__k", F.lit(0))
+    kc = key_col if keyed else "__k"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", ignore_index=True)
+        xs = pdf["x"].to_numpy(np.float64)
+        n = len(xs)
+        lv = np.empty(n)
+        tr = np.empty(n)
+        ft = np.full(n, np.nan)
+        lv[0] = xs[0]
+        tr[0] = xs[1] - xs[0] if n > 1 else 0.0
+        for i in range(1, n):
+            ft[i] = lv[i - 1] + tr[i - 1]
+            lprev = lv[i - 1]
+            lv[i] = a_ * xs[i] + (1.0 - a_) * (lv[i - 1] + tr[i - 1])
+            tr[i] = b_ * (lv[i] - lprev) + (1.0 - b_) * tr[i - 1]
+        out = pd.DataFrame({
+            kc: pdf[kc], "t": pdf["t"], "x": pdf["x"],
+            "level": np.round(lv, round_decimals),
+            "trend": np.round(tr, round_decimals),
+            "fitted": np.round(ft, round_decimals),
+        })
+        return out
+
+    schema = (f"{kc} long, t long, x long, level double, trend double, "
+              "fitted double")
+    out = src.groupBy(kc).applyInPandas(run, schema=schema)
+    if not keyed:
+        out = out.drop("__k")
+    return out

@@ -1,0 +1,92 @@
+"""Closed-form checks for periodogram, Holt smoothing, Markov chain,
+and discrete Hausdorff."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators.events import markov_chain
+from lib_gdal_spark.operators.timeseries import holt_smoothing, periodogram
+from lib_gdal_spark.operators.trajectory import hausdorff_pairs
+
+
+def test_periodogram_detects_harmonic(spark):
+    n = 48
+    rows = [(t, 10 + round(8 * math.cos(2 * math.pi * 2 * t / n)))
+            for t in range(n)]
+    s = spark.createDataFrame(rows, "t long, x long")
+    out = {r["k"]: r["power"] for r in periodogram(s, 6).collect()}
+    assert out[2] == max(out.values())
+    assert out[2] > 100 * max(v for k, v in out.items() if k != 2)
+
+
+def test_periodogram_constant_is_flat(spark):
+    s = spark.createDataFrame([(t, 7) for t in range(24)], "t long, x long")
+    for r in periodogram(s, 5).collect():
+        assert abs(r["power"]) < 1e-6
+
+
+def test_holt_alpha1(spark):
+    s = spark.createDataFrame([(t, t * t) for t in range(10)],
+                              "t long, x long")
+    out = holt_smoothing(s, alpha=1.0, beta=0.0).orderBy("t").collect()
+    for r in out:
+        assert r["level"] == r["x"]        # alpha=1 tracks exactly
+        assert r["trend"] == 1.0           # b stays at x1 - x0 = 1
+    assert out[0]["fitted"] is None
+    assert out[3]["fitted"] == out[2]["level"] + 1.0
+
+
+def test_markov_chain_counts_and_occupancy(spark):
+    # user 1: a->b->a->b, user 2: a->a->c — known transitions
+    rows = [
+        (1, 1, "a"), (2, 1, "b"), (3, 1, "a"), (4, 1, "b"),
+        (5, 2, "a"), (6, 2, "a"), (7, 2, "c"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "event_type"])
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = {(r["src"], r["dst"]): r for r in
+           markov_chain(ev, steps=1).collect()}
+    assert out[("a", "b")]["n_trans"] == 2
+    assert out[("a", "a")]["n_trans"] == 1
+    assert out[("b", "a")]["n_trans"] == 1
+    assert out[("a", "c")]["n_trans"] == 1
+    assert out[("a", "b")]["p"] == 0.5
+    # both users start at 'a'; 1-step occupancy = P[a, :]
+    assert out[("a", "b")]["occ_dst"] == 0.5
+    assert out[("a", "a")]["occ_dst"] == 0.25
+    assert out[("a", "c")]["occ_dst"] == 0.25
+
+
+def test_hausdorff_known_pair(spark):
+    # A = unit square corners at origin; B = same shifted by (3, 4)
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (0, 1.0, 0.0), (0, 0.0, 1.0), (0, 1.0, 1.0),
+         (1, 3.0, 4.0), (1, 4.0, 4.0), (1, 3.0, 5.0), (1, 4.0, 5.0)],
+        "tid long, x double, y double")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    r = hausdorff_pairs(pts, pairs).collect()[0]
+    # nearest-corner map: every corner's nearest counterpart is the
+    # matching corner at offset (3,4) minus the inner ones; extremes:
+    # (0,0)->(3,4) dist 5; (1,1)->(3,4) dist sqrt(4+9)=sqrt(13)
+    assert r["h_ab"] == 5.0
+    assert r["h_ba"] == 5.0
+    assert r["hausdorff"] == 5.0
+
+
+def test_hausdorff_asymmetry(spark):
+    # B contains A plus a far outlier: h(A,B) small, h(B,A) large
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (0, 1.0, 0.0),
+         (1, 0.0, 0.0), (1, 1.0, 0.0), (1, 100.0, 0.0)],
+        "tid long, x double, y double")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    r = hausdorff_pairs(pts, pairs).collect()[0]
+    assert r["h_ab"] == 0.0
+    assert r["h_ba"] == 99.0
+    assert r["hausdorff"] == 99.0
