@@ -8952,6 +8952,95 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_pairs(pts, pairs)
 
 
+def _ht_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer test values with deliberate ties: v = (event_id*37)%200
+    + a per-type offset, so group distributions differ and every rank
+    statistic exercises the average-rank tie path."""
+    ev = _t(spark, sf_dir, "events")
+    off = (F.when(F.col("event_type") == "click", 0)
+           .when(F.col("event_type") == "view", 5)
+           .when(F.col("event_type") == "signup", 10)
+           .when(F.col("event_type") == "purchase", 20)
+           .otherwise(40))
+    return ev.select(
+        F.col("event_type").alias("g"),
+        ((F.col("event_id") * 37) % 200 + off).alias("v"),
+        F.col("event_id"))
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum (click vs error): doubled average ranks
+    keep every rank sum an exact BIGINT; z is the tie-corrected normal
+    approximation from the exact aggregates."""
+    from lib_gdal_spark.operators.hypotests import mann_whitney_u
+    return mann_whitney_u(_ht_vals(spark, sf_dir), "g", "v",
+                          "click", "error")
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five event types, tie-corrected,
+    from exact doubled-rank sums."""
+    from lib_gdal_spark.operators.hypotests import kruskal_wallis
+    return kruskal_wallis(_ht_vals(spark, sf_dir), "g", "v")
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of event_type x user bucket on
+    the exact contingency counts (zero cells contribute E)."""
+    from lib_gdal_spark.operators.hypotests import chi2_independence
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 7).alias("ub"))
+    return chi2_independence(ev, "event_type", "ub")
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types from exact integer moments
+    (decimal(38,0) squared sums)."""
+    from lib_gdal_spark.operators.hypotests import anova_oneway
+    return anova_oneway(_ht_vals(spark, sf_dir), "g", "v")
+
+
+def q_ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (click vs purchase): D held as the
+    exact integer numerator max over the pooled value spine."""
+    from lib_gdal_spark.operators.hypotests import ks_2samp
+    return ks_2samp(_ht_vals(spark, sf_dir), "g", "v",
+                    "click", "purchase")
+
+
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two tied integer derivations
+    of event_id: Pearson on doubled average ranks, exact decimal
+    moments, one final float expression."""
+    from lib_gdal_spark.operators.hypotests import spearman_rho
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.col("event_id") * 37) % 97).alias("x"),
+        (((F.col("event_id") * 37) % 97) * 3 % 61
+         + (F.col("event_id") % 5)).alias("y"))
+    return spearman_rho(d, "x", "y")
+
+
+def q_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) of the first 192 hourly counts; the
+    oracle computes the minimax closed form max_j<=i min_k>=i
+    mean(x[j..k]) — two independent derivations, one gate."""
+    from lib_gdal_spark.operators.timeseries import isotonic_pava
+    s = _hourly(spark, sf_dir).where(F.col("t") < 192)
+    return isotonic_pava(s)
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between the two leading 24-char
+    windows of each document (both engines ship the textbook DP
+    builtin; the near-dup diff primitive at the string level)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 24),
+                      F.substring("text", 25, 24)).alias("dist"))
+
+
 def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of six integer text statistics over
     documents: one exact-integer covariance aggregation + 24 unrolled
@@ -9545,6 +9634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt": q_ts_holt,
         "markov_chain": q_markov_chain,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "mann_whitney": q_mann_whitney,
+        "kruskal_wallis": q_kruskal_wallis,
+        "chi2_independence": q_chi2_independence,
+        "anova_oneway": q_anova_oneway,
+        "ks_2samp": q_ks_2samp,
+        "spearman_rho": q_spearman_rho,
+        "isotonic_pava": q_isotonic_pava,
+        "edit_distance": q_edit_distance,
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
@@ -21994,6 +22091,271 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.tid_a, f.tid_b, f.h_ab, b.h_ba,
                greatest(f.h_ab, b.h_ba) AS hausdorff
         FROM fwd f JOIN bwd b ON b.tid_a = f.tid_a AND b.tid_b = f.tid_b
+    """
+
+    # hypothesis tests: shared derived-values CTE with deliberate ties
+    # doubled average ranks via a bounded prefix over the value spine
+    _HT = """vals AS (
+          SELECT event_type AS g,
+                 (event_id * 37) % 200 + (CASE event_type
+                    WHEN 'click' THEN 0 WHEN 'view' THEN 5
+                    WHEN 'signup' THEN 10 WHEN 'purchase' THEN 20
+                    ELSE 40 END) AS v
+          FROM events
+        ),
+        vc AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v),
+        ranks AS (
+          SELECT v, cnt,
+                 2 * (COALESCE(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + cnt + 1 AS r2
+          FROM vc
+        )"""
+
+    sqls["mann_whitney"] = f"""
+        WITH {_HT},
+        two AS (SELECT g, v FROM vals WHERE g IN ('click', 'error')),
+        tranks AS (
+          SELECT v, COUNT(*) AS cnt FROM two GROUP BY v
+        ),
+        tr2 AS (
+          SELECT v, cnt,
+                 2 * (COALESCE(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + cnt + 1 AS r2
+          FROM tranks
+        ),
+        pv AS (SELECT g, v, COUNT(*) AS k FROM two GROUP BY g, v),
+        agg AS (
+          SELECT pv.g, SUM(pv.k) AS n, SUM(pv.k * tr2.r2) AS r2_sum
+          FROM pv JOIN tr2 ON tr2.v = pv.v GROUP BY pv.g
+        ),
+        tt AS (SELECT SUM(cnt*cnt*cnt - cnt) AS tt FROM tr2),
+        ab AS (
+          SELECT (SELECT n FROM agg WHERE g = 'click') AS n1,
+                 (SELECT n FROM agg WHERE g = 'error') AS n2,
+                 (SELECT r2_sum FROM agg WHERE g = 'click') AS r2_sum1
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r2_sum1 AS BIGINT) AS r2_sum1,
+               CAST(r2_sum1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               round((CAST(r2_sum1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                      - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                            * (CAST(n1 + n2 + 1 AS DOUBLE)
+                               - CAST(tt.tt AS DOUBLE)
+                                 / CAST((n1 + n2)
+                                        * (n1 + n2 - 1) AS DOUBLE))), 9)
+               AS z
+        FROM ab, tt
+    """
+
+    sqls["kruskal_wallis"] = f"""
+        WITH {_HT},
+        pv AS (SELECT g, v, COUNT(*) AS k FROM vals GROUP BY g, v),
+        agg AS (
+          SELECT pv.g, SUM(pv.k) AS ng,
+                 SUM(CAST(pv.k AS HUGEINT) * ranks.r2) AS r2g
+          FROM pv JOIN ranks ON ranks.v = pv.v GROUP BY pv.g
+        ),
+        tt AS (SELECT SUM(cnt*cnt*cnt - cnt) AS tt FROM ranks),
+        tot AS (
+          SELECT COUNT(*) AS kg, SUM(ng) AS n,
+                 SUM(CAST(r2g * r2g AS DOUBLE)
+                     / (4.0 * CAST(ng AS DOUBLE))) AS rr
+          FROM agg
+        )
+        SELECT CAST(kg AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+               round((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * rr
+                      - 3.0 * (n + 1.0))
+                     / (1.0 - CAST(tt.tt AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)), 9) AS h
+        FROM tot, tt
+    """
+
+    sqls["chi2_independence"] = """
+        WITH ct AS (
+          SELECT event_type AS a, user_id % 7 AS b, COUNT(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, SUM(o) AS ra FROM ct GROUP BY a),
+        cb AS (SELECT b, SUM(o) AS cb FROM ct GROUP BY b),
+        nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na,
+                      COUNT(DISTINCT b) AS nb FROM ct),
+        grid AS (
+          SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(ct.o, 0) AS o
+          FROM ra CROSS JOIN cb
+          LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               CAST((nn.na - 1) * (nn.nb - 1) AS BIGINT) AS df_free,
+               round(SUM((CAST(o AS DOUBLE)
+                          - CAST(ra * cb AS DOUBLE) / nn.n)
+                         * (CAST(o AS DOUBLE)
+                            - CAST(ra * cb AS DOUBLE) / nn.n)
+                         / (CAST(ra * cb AS DOUBLE) / nn.n)), 9) AS chi2
+        FROM grid, nn GROUP BY nn.n, nn.na, nn.nb
+    """
+
+    # ANOVA: the exact-fraction formulation (the float-sum form is
+    # order-dependent through catastrophic cancellation) — explicit
+    # 5-group pivot, everything HUGEINT until ONE double conversion per
+    # fraction, mirroring the operator's float(num)/float(den)
+    sqls["anova_oneway"] = f"""
+        WITH {_HT},
+        g AS (
+          SELECT g, COUNT(*) AS ng, SUM(v) AS sg,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2g
+          FROM vals GROUP BY g
+        ),
+        piv AS (
+          SELECT (SELECT CAST(ng AS HUGEINT) FROM g WHERE g = 'click') AS n1,
+                 (SELECT CAST(sg AS HUGEINT) FROM g WHERE g = 'click') AS s1,
+                 (SELECT s2g FROM g WHERE g = 'click') AS q1,
+                 (SELECT CAST(ng AS HUGEINT) FROM g WHERE g = 'view') AS n2,
+                 (SELECT CAST(sg AS HUGEINT) FROM g WHERE g = 'view') AS s2,
+                 (SELECT s2g FROM g WHERE g = 'view') AS q2,
+                 (SELECT CAST(ng AS HUGEINT) FROM g WHERE g = 'signup') AS n3,
+                 (SELECT CAST(sg AS HUGEINT) FROM g WHERE g = 'signup') AS s3,
+                 (SELECT s2g FROM g WHERE g = 'signup') AS q3,
+                 (SELECT CAST(ng AS HUGEINT) FROM g WHERE g = 'purchase') AS n4,
+                 (SELECT CAST(sg AS HUGEINT) FROM g WHERE g = 'purchase') AS s4,
+                 (SELECT s2g FROM g WHERE g = 'purchase') AS q4,
+                 (SELECT CAST(ng AS HUGEINT) FROM g WHERE g = 'error') AS n5,
+                 (SELECT CAST(sg AS HUGEINT) FROM g WHERE g = 'error') AS s5,
+                 (SELECT s2g FROM g WHERE g = 'error') AS q5
+          FROM (SELECT 1)
+        ),
+        c AS (
+          SELECT *, (n1 + n2 + n3 + n4 + n5) AS nt, (s1 + s2 + s3 + s4 + s5) AS st, (n1 * n2 * n3 * n4 * n5) AS prod
+          FROM piv
+        ),
+        fr AS (
+          SELECT nt,
+                 ((nt * s1 - n1 * st) * (nt * s1 - n1 * st) * (prod // n1) + (nt * s2 - n2 * st) * (nt * s2 - n2 * st) * (prod // n2) + (nt * s3 - n3 * st) * (nt * s3 - n3 * st) * (prod // n3) + (nt * s4 - n4 * st) * (nt * s4 - n4 * st) * (prod // n4) + (nt * s5 - n5 * st) * (nt * s5 - n5 * st) * (prod // n5)) AS ssb_num,
+                 nt * nt * prod AS ssb_den,
+                 (q1 + q2 + q3 + q4 + q5) * prod - (s1 * s1 * (prod // n1) + s2 * s2 * (prod // n2) + s3 * s3 * (prod // n3) + s4 * s4 * (prod // n4) + s5 * s5 * (prod // n5)) AS ssw_num,
+                 prod AS ssw_den
+          FROM c
+        )
+        SELECT CAST(5 AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n,
+               round(CAST(ssb_num AS DOUBLE) / CAST(ssb_den AS DOUBLE), 6)
+                 AS ssb,
+               round(CAST(ssw_num AS DOUBLE) / CAST(ssw_den AS DOUBLE), 6)
+                 AS ssw,
+               round((CAST(ssb_num AS DOUBLE) / CAST(ssb_den AS DOUBLE)
+                      / 4.0)
+                     / (CAST(ssw_num AS DOUBLE) / CAST(ssw_den AS DOUBLE)
+                        / CAST(nt - 5 AS DOUBLE)), 9) AS f
+        FROM fr
+    """
+
+    sqls["ks_2samp"] = f"""
+        WITH {_HT},
+        two AS (SELECT g, v FROM vals WHERE g IN ('click', 'purchase')),
+        cnt AS (
+          SELECT v,
+                 SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1,
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS c2
+          FROM two GROUP BY v
+        ),
+        cum AS (
+          SELECT v,
+                 SUM(c1) OVER (ORDER BY v) AS f1,
+                 SUM(c2) OVER (ORDER BY v) AS f2
+          FROM cnt
+        ),
+        tot AS (
+          SELECT SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n2
+          FROM two
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+               round(CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE), 9) AS d,
+               round(CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE)
+                     * sqrt(CAST(n1 * n2 AS DOUBLE)
+                            / CAST(n1 + n2 AS DOUBLE)), 9) AS lambda_stat
+        FROM cum, tot GROUP BY n1, n2
+    """
+
+    sqls["spearman_rho"] = """
+        WITH d AS (
+          SELECT (event_id * 37) % 97 AS x,
+                 ((event_id * 37) % 97) * 3 % 61 + event_id % 5 AS y
+          FROM events
+        ),
+        rxc AS (SELECT x AS v, COUNT(*) AS cnt FROM d GROUP BY x),
+        rx AS (
+          SELECT v, 2 * (COALESCE(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + cnt + 1 AS r2
+          FROM rxc
+        ),
+        ryc AS (SELECT y AS v, COUNT(*) AS cnt FROM d GROUP BY y),
+        ry AS (
+          SELECT v, 2 * (COALESCE(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + cnt + 1 AS r2
+          FROM ryc
+        ),
+        j AS (
+          SELECT rx.r2 AS rxv, ry.r2 AS ryv
+          FROM d JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y
+        ),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(rxv) AS sx, SUM(ryv) AS sy,
+                 SUM(CAST(rxv AS HUGEINT) * ryv) AS sxy,
+                 SUM(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+                 SUM(CAST(ryv AS HUGEINT) * ryv) AS syy
+          FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                 AS DOUBLE)
+                            * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE)), 9) AS rho
+        FROM m
+    """
+
+    # isotonic: minimax closed form max_{{j<=i}} min_{{k>=i}} mean(x[j..k])
+    # — an independent derivation of the PAVA fit (Barlow et al. 1972)
+    sqls["isotonic_pava"] = f"""
+        WITH {_DENSE},
+        s AS (SELECT t, x FROM dense WHERE t < 192),
+        pre AS (
+          SELECT t, x, SUM(x) OVER (ORDER BY t) AS p
+          FROM s
+        ),
+        rng AS (
+          SELECT a.t AS j, b.t AS k,
+                 CAST(b.p - COALESCE(la.p, 0) AS DOUBLE)
+                 / (b.t - a.t + 1) AS m
+          FROM pre a
+          JOIN pre b ON b.t >= a.t
+          LEFT JOIN pre la ON la.t = a.t - 1
+        ),
+        mn AS (
+          SELECT r.j, i.t AS i, MIN(r.m) AS mn
+          FROM rng r JOIN s i ON i.t BETWEEN r.j AND r.k
+          GROUP BY r.j, i.t
+        ),
+        fit AS (
+          SELECT i AS t, MAX(mn) AS fitted FROM mn
+          WHERE j <= i GROUP BY i
+        )
+        SELECT s.t, s.x, round(f.fitted, 9) AS fitted
+        FROM s JOIN fit f ON f.t = s.t
+    """
+
+    sqls["edit_distance"] = """
+        SELECT doc_id,
+               CAST(levenshtein(substr(text, 1, 24), substr(text, 25, 24))
+                    AS INT) AS dist
+        FROM documents WHERE doc_id < 2000
     """
 
     sqls["ts_trend"] = f"""

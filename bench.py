@@ -167,6 +167,12 @@ BENCH = {
     "markov_chain": lambda s: _force(E.q_markov_chain(s, SF_DIR)),
     "hausdorff_pairs": lambda s: _force(E.q_hausdorff_pairs(s, SF_DIR)),
     "mgrs_polar_cells": lambda s: _force(E.q_mgrs_polar_cells(s, SF_DIR)),
+    "mann_whitney": lambda s: _force(E.q_mann_whitney(s, SF_DIR)),
+    "kruskal_wallis": lambda s: _force(E.q_kruskal_wallis(s, SF_DIR)),
+    "ks_2samp": lambda s: _force(E.q_ks_2samp(s, SF_DIR)),
+    "spearman_rho": lambda s: _force(E.q_spearman_rho(s, SF_DIR)),
+    "isotonic_pava": lambda s: _force(E.q_isotonic_pava(s, SF_DIR)),
+    "edit_distance": lambda s: _force(E.q_edit_distance(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

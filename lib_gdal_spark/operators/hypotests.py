@@ -1,0 +1,253 @@
+"""Classical hypothesis tests as exact-integer DataFrame aggregations.
+
+The repo-wide exactness doctrine applied to rank/count statistics: every
+test statistic is arranged so ALL aggregation happens on integers
+(doubled average ranks, contingency counts, n-scaled sums — all
+order-independent and shuffle-safe), with a handful of FIXED float
+expressions applied to the exact aggregates at the end. DuckDB oracles
+replay the identical integer derivations hash-exactly.
+
+Beyond-reference surface (lib_gdal has no statistics layer); the
+textbook formulas are public (Conover, Practical Nonparametric
+Statistics; Kendall & Stuart). Companion of timeseries.welch_ttest_row.
+
+Rank convention: ties take the average rank. To stay integer, DOUBLED
+ranks are used everywhere: r2(v) = 2*count(<v) + count(==v) + 1, so
+sums of r2 are exact BIGINT and the 2x factors cancel in the final
+float expressions.
+
+Scale: every test is one groupBy(value) count + one window prefix over
+the DISTINCT value spine (|values| rows, not |rows|) + combinable
+per-group aggregates. No all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _doubled_ranks(df: DataFrame, val_col: str) -> DataFrame:
+    """(value, cnt, r2) over the distinct-value spine: r2 = doubled
+    average rank of every row holding that value."""
+    counts = df.groupBy(F.col(val_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "v", "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+         ).alias("r2"))
+
+
+def _tie_term(ranks: DataFrame):
+    """sum of (t^3 - t) over tied groups — the shared tie correction."""
+    return F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum for two groups: exact doubled
+    rank sums, U, and the tie-corrected normal approximation
+
+        z = (U1 - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) - T/(n*(n-1))))
+
+    with T = sum(t^3 - t). One row: (n1, n2, r2_sum1, u1_x2, z)
+    — u1_x2 = 2*U1 stays integer."""
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    ranks = _doubled_ranks(two, "v")
+    per_val = two.groupBy("g", "v").agg(F.count(F.lit(1)).alias("k"))
+    j = per_val.join(ranks, "v")
+    agg = j.groupBy("g").agg(
+        F.sum(F.col("k")).alias("n"),
+        F.sum(F.col("k") * F.col("r2")).alias("r2_sum"))
+    t = ranks.agg(_tie_term(ranks).alias("tt"))
+    a = agg.where(F.col("g") == group_a).select(
+        F.col("n").alias("n1"), F.col("r2_sum").alias("r2_sum1"))
+    b = agg.where(F.col("g") == group_b).select(F.col("n").alias("n2"))
+    out = a.crossJoin(b).crossJoin(F.broadcast(t))
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1x2 = F.col("r2_sum1") - n1 * (n1 + 1)  # 2*U1, exact
+    var = (n1 * n2).cast("double") / 12.0 * (
+        (n + 1).cast("double")
+        - F.col("tt").cast("double") / (n * (n - 1)).cast("double"))
+    z = (u1x2.cast("double") / 2.0 - (n1 * n2).cast("double") / 2.0) \
+        / F.sqrt(var)
+    return out.select(
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        F.col("r2_sum1").cast("long").alias("r2_sum1"),
+        u1x2.cast("long").alias("u1_x2"),
+        F.round(z, 9).alias("z"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   val_col: str) -> DataFrame:
+    """Kruskal-Wallis H across all groups, tie-corrected:
+
+        H = [12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1)]
+            / (1 - T/(n^3 - n))
+
+    One row: (k_groups, n, h) with the rank sums exact (doubled-rank
+    sums divided by 2 only inside the final float)."""
+    d = df.select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    ranks = _doubled_ranks(d, "v")
+    per_val = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("k"))
+    j = per_val.join(ranks, "v")
+    agg = j.groupBy("g").agg(
+        F.sum("k").alias("ng"),
+        F.sum(F.col("k").cast("decimal(38,0)")
+              * F.col("r2").cast("decimal(38,0)")).alias("r2g"))
+    t = ranks.agg(_tie_term(ranks).alias("tt"))
+    tot = agg.agg(
+        F.count(F.lit(1)).alias("kg"), F.sum("ng").alias("n"),
+        F.sum((F.col("r2g") * F.col("r2g")).cast("double")
+              / (4.0 * F.col("ng").cast("double"))).alias("rr"))
+    out = tot.crossJoin(F.broadcast(t))
+    n = F.col("n").cast("double")
+    h0 = 12.0 / (n * (n + 1.0)) * F.col("rr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tt").cast("double") / (n * n * n - n)
+    return out.select(
+        F.col("kg").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.round(h0 / corr, 9).alias("h"))
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence on the a x b contingency
+    table: chi2 = sum (O - RC/N)^2 / (RC/N) from exact integer counts.
+    One row: (n, df_free, chi2)."""
+    ct = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("o"))
+    ra = ct.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = ct.agg(F.sum("o").alias("n"),
+               F.countDistinct("a").alias("na"),
+               F.countDistinct("b").alias("nb"))
+    # the full a x b grid (zero cells contribute E, not 0)
+    grid = ra.crossJoin(cb).join(ct, ["a", "b"], "left").select(
+        "a", "b", "ra", "cb", F.coalesce("o", F.lit(0)).alias("o"))
+    j = grid.crossJoin(F.broadcast(n))
+    e = (F.col("ra") * F.col("cb")).cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return j.agg(
+        F.first("n").alias("n"),
+        ((F.first("na") - 1) * (F.first("nb") - 1)).cast("long")
+        .alias("df_free"),
+        F.round(F.sum(term), 9).alias("chi2"))
+
+
+def anova_oneway(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """One-way ANOVA F from exact integer moments: with group sums S_g,
+    counts n_g, total sum S and n,
+
+        SSB = sum S_g^2/n_g - S^2/n ;  SSW = sum x^2 - sum S_g^2/n_g
+        F   = (SSB/(k-1)) / (SSW/(n-k))
+
+    Values must be integers (the repo's count-series contract). SSB is
+    a difference of near-equal large terms, so a float sum over groups
+    is order-dependent through catastrophic cancellation; instead the
+    k-row group-stat table collects to the driver (the markov_chain /
+    kmeans driver-state contract) and SSB/SSW are computed as EXACT
+    arbitrary-precision fractions
+
+        SSB = sum_g (n*S_g - n_g*S)^2 * prod_{h!=g} n_h / (n^2 prod n_h)
+
+    converted to float exactly once (float(num)/float(den), the fixed
+    expression an oracle can replay). One row: (k_groups, n, ssb, ssw,
+    f)."""
+    d = df.select(F.col(group_col).alias("g"),
+                  F.col(val_col).cast("long").alias("v"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("v").alias("sg"),
+        F.sum(_dc("v") * _dc("v")).alias("s2g"))
+    rows = g.collect()
+    k = len(rows)
+    ngs = [int(r["ng"]) for r in rows]
+    sgs = [int(r["sg"]) for r in rows]
+    s2s = [int(r["s2g"]) for r in rows]
+    n = sum(ngs)
+    s = sum(sgs)
+    prod_all = 1
+    for x in ngs:
+        prod_all *= x
+    ssb_num = sum((n * sgs[i] - ngs[i] * s) ** 2 * (prod_all // ngs[i])
+                  for i in range(k))
+    ssb_den = n * n * prod_all
+    ssw_num = sum(s2s) * prod_all - sum(
+        sgs[i] * sgs[i] * (prod_all // ngs[i]) for i in range(k))
+    ssw_den = prod_all
+    ssb = float(ssb_num) / float(ssb_den)
+    ssw = float(ssw_num) / float(ssw_den)
+    fstat = (ssb / (k - 1)) / (ssw / (n - k))
+    spark = df.sparkSession
+    # ssb/ssw round at 6 (they reach 1e7 — 9 decimals is past the
+    # 17-significant-digit double edge where engine round() impls
+    # diverge); f is O(1e2) and rounds at 9
+    return spark.createDataFrame(
+        [(k, n, round(ssb, 6), round(ssw, 6), round(fstat, 9))],
+        "k_groups long, n long, ssb double, ssw double, f double")
+
+
+def ks_2samp(df: DataFrame, group_col: str, val_col: str,
+             group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = max_v |F1(v) - F2(v)| held as
+    the EXACT integer numerator max |c1(v)*n2 - c2(v)*n1| over the
+    pooled value spine. One row: (n1, n2, d_num, d, lambda_stat) with
+    lambda = d * sqrt(n1*n2/(n1+n2)) (the asymptotic test scale)."""
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    cnt = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        "v", F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"))
+    tot = two.groupBy().agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    dnum = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    out = j.agg(F.max(dnum).alias("d_num"),
+                F.first("n1").alias("n1"), F.first("n2").alias("n2"))
+    d = F.col("d_num").cast("double") \
+        / (F.col("n1") * F.col("n2")).cast("double")
+    lam = d * F.sqrt((F.col("n1") * F.col("n2")).cast("double")
+                     / (F.col("n1") + F.col("n2")).cast("double"))
+    return out.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(d, 9).alias("d"),
+        F.round(lam, 9).alias("lambda_stat"))
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with average-rank ties: Pearson on the
+    DOUBLED rank columns (the 2x factors cancel), every moment an exact
+    decimal(38,0). One row: (n, rho)."""
+    d = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    rx = _doubled_ranks(d.select(F.col("x").alias("v")), "v") \
+        .select(F.col("v").alias("x"), F.col("r2").alias("rx"))
+    ry = _doubled_ranks(d.select(F.col("y").alias("v")), "v") \
+        .select(F.col("v").alias("y"), F.col("r2").alias("ry"))
+    j = d.join(rx, "x").join(ry, "y")
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(_dc("rx") * _dc("ry")).alias("sxy"),
+        F.sum(_dc("rx") * _dc("rx")).alias("sxx"),
+        F.sum(_dc("ry") * _dc("ry")).alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx").cast("decimal(38,0)")
+           * F.col("sy").cast("decimal(38,0)")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx").cast("decimal(38,0)")
+          * F.col("sx").cast("decimal(38,0)")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy").cast("decimal(38,0)")
+          * F.col("sy").cast("decimal(38,0)")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.sqrt(dx * dy), 9).alias("rho"))

@@ -408,3 +408,49 @@ def holt_smoothing(series: DataFrame, alpha: float = 0.3,
     if not keyed:
         out = out.drop("__k")
     return out
+
+
+def isotonic_pava(series: DataFrame, key_col: str | None = None,
+                  round_decimals: int = 9) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression by pool-adjacent-
+    violators (PAVA; Barlow et al. 1972) — the calibration-curve fitter
+    (reliability diagrams, monotone score -> probability maps). Each
+    series (t, x integer) runs inside one Arrow group (per-key
+    parallelism, the holt_smoothing contract).
+
+    Every fitted value is a pooled block mean sum(x)/count — ONE
+    division of exact integers — so the result matches the minimax
+    characterization fitted_i = max_{j<=i} min_{k>=i} mean(x[j..k])
+    exactly (the oracle computes THAT closed form instead of replaying
+    the algorithm: two independent derivations, one gate).
+
+    Returns (key?, t, x, fitted)."""
+    keyed = key_col is not None
+    src = series if keyed else series.withColumn("__k", F.lit(0))
+    kc = key_col if keyed else "__k"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", ignore_index=True)
+        xs = pdf["x"].to_numpy(np.int64)
+        # blocks as (sum, cnt) stacks; merge while the mean decreases
+        sums: list[int] = []
+        cnts: list[int] = []
+        for v in xs:
+            s, c = int(v), 1
+            while sums and sums[-1] * c >= s * cnts[-1]:
+                # prev_mean >= new_mean (cross-multiplied, exact)
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        fitted = np.concatenate([
+            np.full(c, round(s / c, round_decimals))
+            for s, c in zip(sums, cnts)])
+        return pd.DataFrame({kc: pdf[kc], "t": pdf["t"], "x": pdf["x"],
+                             "fitted": fitted})
+
+    schema = f"{kc} long, t long, x long, fitted double"
+    out = src.groupBy(kc).applyInPandas(run, schema=schema)
+    if not keyed:
+        out = out.drop("__k")
+    return out

@@ -1,0 +1,97 @@
+"""Closed-form checks for the hypothesis-test operators (textbook
+values computed by hand on tiny fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators.hypotests import (
+    anova_oneway, chi2_independence, ks_2samp, kruskal_wallis,
+    mann_whitney_u, spearman_rho,
+)
+from lib_gdal_spark.operators.timeseries import isotonic_pava
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_mann_whitney_no_overlap(spark):
+    # A = {1,2,3}, B = {10,20,30}: U1 = 0, rank sum A = 1+2+3
+    d = _df(spark, [("a", 1), ("a", 2), ("a", 3),
+                    ("b", 10), ("b", 20), ("b", 30)], "g string, v long")
+    r = mann_whitney_u(d, "g", "v", "a", "b").collect()[0]
+    assert r["n1"] == 3 and r["n2"] == 3
+    assert r["r2_sum1"] == 2 * (1 + 2 + 3)
+    assert r["u1_x2"] == 0
+    # z = (0 - 4.5)/sqrt(9*7/12) = -4.5/sqrt(5.25)
+    assert r["z"] == pytest.approx(-4.5 / (5.25 ** 0.5), abs=1e-9)
+
+
+def test_mann_whitney_ties_average_rank(spark):
+    # A = {1,2}, B = {2,3}: the tied 2s share rank 2.5
+    d = _df(spark, [("a", 1), ("a", 2), ("b", 2), ("b", 3)],
+            "g string, v long")
+    r = mann_whitney_u(d, "g", "v", "a", "b").collect()[0]
+    assert r["r2_sum1"] == 2 * 1 + 5  # ranks 1 + 2.5, doubled
+    assert r["u1_x2"] == 7 - 6  # 2*(3.5 - 3) = 1
+
+
+def test_kruskal_wallis_identical_groups(spark):
+    # identical distributions -> H == 0
+    d = _df(spark, [("a", 1), ("a", 2), ("b", 1), ("b", 2)],
+            "g string, v long")
+    r = kruskal_wallis(d, "g", "v").collect()[0]
+    assert r["h"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chi2_independent_table(spark):
+    # perfectly proportional table -> chi2 == 0
+    rows = ([("x", 0)] * 10 + [("x", 1)] * 20
+            + [("y", 0)] * 5 + [("y", 1)] * 10)
+    d = _df(spark, rows, "a string, b long")
+    r = chi2_independence(d, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["df_free"] == 1
+
+
+def test_anova_textbook(spark):
+    # groups {1,2,3}, {2,3,4}: means 2, 3; SSB = 3*2*(0.5^2) = 1.5;
+    # SSW = 2 + 2 = 4; F = (1.5/1)/(4/4) = 1.5
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4)]
+    r = anova_oneway(_df(spark, rows, "g string, v long"),
+                     "g", "v").collect()[0]
+    assert r["ssb"] == pytest.approx(1.5, abs=1e-9)
+    assert r["ssw"] == pytest.approx(4.0, abs=1e-9)
+    assert r["f"] == pytest.approx(1.5, abs=1e-9)
+
+
+def test_ks_disjoint_supports(spark):
+    d = _df(spark, [("a", 1), ("a", 2), ("b", 5), ("b", 6)],
+            "g string, v long")
+    r = ks_2samp(d, "g", "v", "a", "b").collect()[0]
+    assert r["d"] == 1.0 and r["d_num"] == 4
+
+
+def test_spearman_perfect_monotone(spark):
+    d = _df(spark, [(i, i * i) for i in range(1, 20)], "x long, y long")
+    r = spearman_rho(d, "x", "y").collect()[0]
+    assert r["rho"] == pytest.approx(1.0, abs=1e-9)
+    d2 = _df(spark, [(i, -3 * i) for i in range(1, 20)], "x long, y long")
+    assert spearman_rho(d2, "x", "y").collect()[0]["rho"] == \
+        pytest.approx(-1.0, abs=1e-9)
+
+
+def test_isotonic_pava_pools_violators(spark):
+    # x = [3, 1, 2, 5]: PAVA pools [3,1,2] -> 2,2,2 then 5 stays
+    s = _df(spark, [(0, 3), (1, 1), (2, 2), (3, 5)], "t long, x long")
+    out = {r["t"]: r["fitted"] for r in isotonic_pava(s).collect()}
+    assert out == {0: 2.0, 1: 2.0, 2: 2.0, 3: 5.0}
+
+
+def test_isotonic_pava_monotone_input_unchanged(spark):
+    s = _df(spark, [(t, t * 2) for t in range(6)], "t long, x long")
+    out = isotonic_pava(s).collect()
+    for r in out:
+        assert r["fitted"] == float(r["x"])
