@@ -9041,6 +9041,24 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.substring("text", 25, 24)).alias("dist"))
 
 
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between consecutive 12-point event tracks: exact
+    integer DP (squared-euclidean costs), one Arrow group per explicit
+    pair; the oracle unrolls the DP by anti-diagonals (22 chained CTEs,
+    each joining the previous two — the warp-iteration unroll style)."""
+    from lib_gdal_spark.operators.trajectory import dtw_pairs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 240)
+    pts = ev.select(
+        F.floor(F.col("event_id") / 12).cast("long").alias("tid"),
+        (F.col("event_id") % 12).alias("vi"),
+        ((F.col("event_id") * 7919) % 500).alias("x"),
+        ((F.col("event_id") * 104729) % 500).alias("y"))
+    pairs = spark.range(0, 19).select(
+        F.col("id").alias("tid_a"), (F.col("id") + 1).alias("tid_b"))
+    return dtw_pairs(pts, pairs)
+
+
 def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of six integer text statistics over
     documents: one exact-integer covariance aggregation + 24 unrolled
@@ -9642,6 +9660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_rho": q_spearman_rho,
         "isotonic_pava": q_isotonic_pava,
         "edit_distance": q_edit_distance,
+        "dtw_pairs": q_dtw_pairs,
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
@@ -22349,6 +22368,280 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s.t, s.x, round(f.fitted, 9) AS fitted
         FROM s JOIN fit f ON f.t = s.t
+    """
+
+    # DTW: anti-diagonal unroll — diag_s cells take cost + least of the
+    # up/left cells (diag_{s-1}) and the diagonal cell (diag_{s-2});
+    # 4611686018427387904 = 2^62 sentinel (never added, only compared)
+    sqls["dtw_pairs"] = """
+        WITH pts AS (
+          SELECT CAST((event_id - event_id % 12) / 12 AS BIGINT) AS tid,
+                 event_id % 12 AS vi,
+                 (event_id * 7919) % 500 AS x,
+                 (event_id * 104729) % 500 AS y
+          FROM events WHERE event_id < 240
+        ),
+        prs AS (SELECT gs.i AS tid_a, gs.i + 1 AS tid_b
+                FROM generate_series(0, 18) gs(i)),
+        cells AS MATERIALIZED (
+          SELECT p.tid_a * 100 + p.tid_b AS pair, a.vi AS i, b.vi AS j,
+                 (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) AS cost
+          FROM prs p
+          JOIN pts a ON a.tid = p.tid_a
+          JOIN pts b ON b.tid = p.tid_b
+        ),
+        diag0 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost AS d
+          FROM cells c
+          WHERE c.i + c.j = 0
+        ),
+        diag1 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag0 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag0 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          WHERE c.i + c.j = 1
+        ),
+        diag2 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag1 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag1 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag0 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 2
+        ),
+        diag3 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag2 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag2 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag1 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 3
+        ),
+        diag4 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag3 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag3 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag2 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 4
+        ),
+        diag5 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag4 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag4 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag3 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 5
+        ),
+        diag6 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag5 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag5 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag4 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 6
+        ),
+        diag7 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag6 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag6 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag5 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 7
+        ),
+        diag8 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag7 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag7 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag6 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 8
+        ),
+        diag9 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag8 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag8 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag7 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 9
+        ),
+        diag10 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag9 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag9 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag8 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 10
+        ),
+        diag11 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag10 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag10 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag9 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 11
+        ),
+        diag12 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag11 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag11 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag10 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 12
+        ),
+        diag13 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag12 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag12 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag11 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 13
+        ),
+        diag14 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag13 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag13 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag12 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 14
+        ),
+        diag15 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag14 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag14 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag13 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 15
+        ),
+        diag16 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag15 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag15 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag14 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 16
+        ),
+        diag17 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag16 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag16 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag15 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 17
+        ),
+        diag18 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag17 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag17 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag16 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 18
+        ),
+        diag19 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag18 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag18 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag17 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 19
+        ),
+        diag20 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag19 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag19 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag18 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 20
+        ),
+        diag21 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag20 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag20 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag19 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 21
+        ),
+        diag22 AS MATERIALIZED (
+          SELECT c.pair, c.i, c.j, c.cost + least(coalesce(up.d, 4611686018427387904), coalesce(lf.d, 4611686018427387904), coalesce(dg.d, 4611686018427387904)) AS d
+          FROM cells c
+          LEFT JOIN diag21 up ON up.pair = c.pair AND up.i = c.i - 1
+            AND up.j = c.j
+          LEFT JOIN diag21 lf ON lf.pair = c.pair AND lf.i = c.i
+            AND lf.j = c.j - 1
+          LEFT JOIN diag20 dg ON dg.pair = c.pair AND dg.i = c.i - 1
+            AND dg.j = c.j - 1
+          WHERE c.i + c.j = 22
+        )
+        SELECT CAST((pair - pair % 100) / 100 AS BIGINT) AS tid_a,
+               CAST(pair % 100 AS BIGINT) AS tid_b,
+               CAST(12 AS BIGINT) AS n_a, CAST(12 AS BIGINT) AS n_b,
+               CAST(d AS BIGINT) AS dtw_cost
+        FROM diag22
+        WHERE i = 11 AND j = 11
     """
 
     sqls["edit_distance"] = """

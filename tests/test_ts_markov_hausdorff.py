@@ -90,3 +90,43 @@ def test_hausdorff_asymmetry(spark):
     assert r["h_ab"] == 0.0
     assert r["h_ba"] == 99.0
     assert r["hausdorff"] == 99.0
+
+
+def test_dtw_identical_and_shifted(spark):
+    from lib_gdal_spark.operators.trajectory import dtw_pairs
+    # identical tracks -> cost 0; constant-offset track -> n * offset^2
+    rows = []
+    for vi in range(5):
+        rows.append((0, vi, vi * 10, 0))
+        rows.append((1, vi, vi * 10, 0))
+        rows.append((2, vi, vi * 10, 3))   # shifted by (0, 3)
+    pts = spark.createDataFrame(rows, "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)],
+                                  "tid_a long, tid_b long")
+    got = {(r["tid_a"], r["tid_b"]): r["dtw_cost"]
+           for r in dtw_pairs(pts, pairs).collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 5 * 9  # diagonal path,per-step cost 9
+
+
+def test_dtw_warping_beats_lockstep(spark):
+    from lib_gdal_spark.operators.trajectory import dtw_pairs
+    # A = [0, 0, 10]; B = [0, 10, 10]: warping aligns the plateaus
+    pts = spark.createDataFrame(
+        [(0, 0, 0, 0), (0, 1, 0, 0), (0, 2, 10, 0),
+         (1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 10, 0)],
+        "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    r = dtw_pairs(pts, pairs).collect()[0]
+    assert r["dtw_cost"] == 0  # perfect warp; lockstep would cost 200
+
+
+def test_dtw_max_len_guard(spark):
+    from lib_gdal_spark.operators.trajectory import dtw_pairs
+    pts = spark.createDataFrame(
+        [(0, i, i, 0) for i in range(10)] + [(1, i, i, 0) for i in range(10)],
+        "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        dtw_pairs(pts, pairs, max_len=4).collect()
