@@ -1,20 +1,230 @@
-"""Trajectory / point-set shape comparison.
+"""Trajectory segmentation: speed-threshold stay/move runs per entity.
 
-Discrete Hausdorff distance between point sequences — the geometry
-similarity measure OGR exposes as ``OGR_G_... / GEOS
-HausdorffDistance`` (``core/ogr/ogrgeometry.cpp`` delegates to GEOS;
-this is a from-scratch DataFrame re-expression of the discrete form).
+The dwell-detection operator for timestamped geotagged streams (the
+classic trajectory-mining primitive — Zheng 2015's stay-point family,
+here the speed-threshold run formulation, which is exactly expressible
+in windowed SQL and therefore oracle-checkable): split each entity's
+time-ordered track into maximal runs of consecutive STEPS classified
+stay (step distance <= v_max * dt) or move, and emit the stay runs
+longer than ``min_dwell_s`` with their centroid — the places the entity
+lingered. Reference analog: none (lib_gdal has no trajectory layer);
+the nearest kin in this repo are events.sessionize (time-gap runs) and
+mapmatch (the road-snap that often precedes this).
 
-Scale shape: distances are computed only for EXPLICIT candidate pairs
-(never all-pairs of trajectories); within a pair the point-level cross
-product is bounded by the two track lengths, distributed as one
-equi-join + two combinable aggregations (min over b per a-point, then
-max over a). Everything stays JVM-side (no UDF)."""
+Scale shape: ONE window (partitionBy entity, orderBy ts, monotonic lag
++ running sum — Spark executes it as a single keyed sort within
+partitions after one hash exchange on the entity key; per-entity tracks
+are small, so no skew beyond the hottest entity's row count) followed by
+one map-side-combinable groupBy. No UDFs, no cross joins; everything is
+JVM column math, and the stay/move comparison is a single multiply
+(dist^2 <= (v_max*dt)^2 avoided deliberately — sqrt once, spelled
+identically in the oracle, keeps the expression IEEE-identical in both
+engines).
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+__all__ = ["dwell_segments", "trajectory_similarity", "od_matrix",
+           "hausdorff_pairs", "dtw_pairs"]
+
+
+def dwell_segments(track: DataFrame, v_max: float,
+                   min_dwell_s: float = 0.0) -> DataFrame:
+    """Stay segments of each entity's track.
+
+    ``track``: (eid, ts, x, y) — ts a timestamp, x/y planar coordinates
+    (pre-project lon/lat for metric thresholds). Ordering ties break on
+    (ts, x, y), so the result is deterministic for any input.
+
+    A STEP i-1 -> i is a ``stay`` step when
+    ``dist(i-1, i) <= v_max * dt_seconds`` (dt from microsecond-exact
+    epoch arithmetic), else a ``move`` step. Maximal runs of equal-class
+    steps form segments; this returns the stay runs with
+    ``dur_s >= min_dwell_s`` as
+    (eid, seg, t_start, t_end, dur_s, n_pts, cx, cy): seg the step-run
+    ordinal within the entity, t_start the run's first point's ts,
+    n_pts the number of distinct track points in the run (steps + 1),
+    and (cx, cy) the unweighted centroid of those points.
+    """
+    w = Window.partitionBy("eid").orderBy("ts", "x", "y")
+    st = track.select(
+        F.col("eid").alias("eid"),
+        # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs
+        # TIMESTAMP, and the session timezone is pinned UTC so the cast
+        # is a pure reinterpretation
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    ).withColumn("px", F.lag("x").over(w)) \
+     .withColumn("py", F.lag("y").over(w)) \
+     .withColumn("pts", F.lag("ts").over(w)) \
+     .where(F.col("pts").isNotNull())
+    dist = F.sqrt((F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+                  + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))
+    dt = (F.unix_micros("ts") - F.unix_micros("pts")) / F.lit(1000000.0)
+    st = st.withColumn(
+        "cls", F.when(dist <= F.lit(float(v_max)) * dt, F.lit("stay"))
+                .otherwise(F.lit("move")))
+    st = st.withColumn(
+        "brk",
+        F.when(F.lag("cls").over(w).isNull()
+               | (F.lag("cls").over(w) != F.col("cls")), 1).otherwise(0))
+    st = st.withColumn(
+        "seg", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    stays = st.where(F.col("cls") == "stay")
+    agg = stays.groupBy("eid", "seg").agg(
+        F.min("pts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.count(F.lit(1)).alias("n_steps"),
+        # centroid over DISTINCT run points: every step's cur point
+        # plus the run's first prev point (min_by on the order key)
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.min_by("px", F.struct("ts", "x", "y")).alias("fx"),
+        F.min_by("py", F.struct("ts", "x", "y")).alias("fy"),
+    )
+    dur = (F.unix_micros("t_end") - F.unix_micros("t_start")) / F.lit(1e6)
+    n_pts = F.col("n_steps") + 1
+    return (
+        agg.where(dur >= F.lit(float(min_dwell_s)))
+        .select(
+            "eid", "seg", "t_start", "t_end",
+            F.round(dur, 6).alias("dur_s"),
+            n_pts.cast("long").alias("n_pts"),
+            F.round((F.col("sx") + F.col("fx")) / n_pts, 9).alias("cx"),
+            F.round((F.col("sy") + F.col("fy")) / n_pts, 9).alias("cy"),
+        )
+    )
+
+
+def trajectory_similarity(
+    tracks: DataFrame,
+    id_col: str = "tid",
+    max_len: int = 4096,
+    max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """All-pairs trajectory similarity: discrete Fréchet distance (Eiter
+    & Mannila 1994 coupling recurrence) and directed-symmetric Hausdorff
+    distance — the two classic curve-matching metrics behind trajectory
+    clustering, map-trace dedup, and route canonicalization.
+
+    ``tracks``: (tid long, seq int, x long, y long) — integer-lattice
+    vertices. Both metrics are returned SQUARED (``frechet2``,
+    ``hausdorff2``): on integer coordinates every DP cell is an exact
+    int64 (max/min of squared distances — no sqrt anywhere), so results
+    are bit-reproducible and oracle-checkable; callers wanting metric
+    units take one sqrt at the end.
+
+    Scale shape: one groupBy assembles each track into an ordered array
+    (sort_array on the (seq, x, y) struct); the tid_a < tid_b self-join
+    is the pair axis — QUADRATIC in the number of tracks by definition
+    of all-pairs, guarded by ``max_pairs`` (pre-bucket by region or
+    cluster upstream to bound it); each pair's O(La*Lb) dynamic program
+    runs inside an Arrow batch, lengths guarded by ``max_len``.
+
+    Returns (tid_a, tid_b, len_a, len_b, hausdorff2, frechet2).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    asm = (
+        tracks.groupBy(F.col(id_col).alias("tid"))
+        .agg(F.sort_array(F.collect_list(
+            F.struct("seq", "x", "y"))).alias("pts"),
+            F.count(F.lit(1)).alias("n"))
+    )
+    bad = asm.where(F.col("n") > max_len).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"track {bad[0]['tid']} has {bad[0]['n']} vertices "
+            f"(> max_len={max_len}); simplify or split upstream")
+    n_tracks = asm.count()
+    if n_tracks * (n_tracks - 1) // 2 > max_pairs:
+        raise ValueError(
+            f"{n_tracks} tracks -> {n_tracks * (n_tracks - 1) // 2} pairs "
+            f"(> max_pairs={max_pairs}); pre-cluster or bucket upstream")
+    a = asm.select(F.col("tid").alias("tid_a"), F.col("pts").alias("pa"))
+    b = asm.select(F.col("tid").alias("tid_b"), F.col("pts").alias("pb"))
+    pairs = a.join(b, F.col("tid_a") < F.col("tid_b"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                pa = np.array([(p["x"], p["y"]) for p in r["pa"]],
+                              dtype=np.int64)
+                pb = np.array([(p["x"], p["y"]) for p in r["pb"]],
+                              dtype=np.int64)
+                dx = pa[:, 0][:, None] - pb[:, 0][None, :]
+                dy = pa[:, 1][:, None] - pb[:, 1][None, :]
+                d2 = dx * dx + dy * dy  # (La, Lb) exact int64
+                h2 = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+                la, lb = d2.shape
+                prev = np.empty(lb, dtype=np.int64)
+                prev[0] = d2[0, 0]
+                for j in range(1, lb):
+                    prev[j] = max(prev[j - 1], d2[0, j])
+                for i in range(1, la):
+                    cur = np.empty(lb, dtype=np.int64)
+                    cur[0] = max(prev[0], d2[i, 0])
+                    for j in range(1, lb):
+                        cur[j] = max(d2[i, j],
+                                     min(prev[j], prev[j - 1], cur[j - 1]))
+                    prev = cur
+                rows.append((int(r["tid_a"]), int(r["tid_b"]),
+                             la, lb, int(h2), int(prev[lb - 1])))
+            yield pd.DataFrame(
+                rows, columns=["tid_a", "tid_b", "len_a", "len_b",
+                               "hausdorff2", "frechet2"])
+
+    return pairs.mapInPandas(
+        kernel,
+        schema="tid_a long, tid_b long, len_a long, len_b long, "
+               "hausdorff2 long, frechet2 long",
+    )
+
+
+def od_matrix(track: DataFrame, cell: float) -> DataFrame:
+    """Origin-destination flow matrix (the flow-mapping staple; GIS
+    'OD cost matrix' / flowmap aggregation): bin each track point to a
+    square cell of size ``cell``, take every CONSECUTIVE step (per
+    entity, ordered by (ts, x, y) — the dwell_segments determinism
+    contract) that crosses a cell boundary, and aggregate transitions
+    into (origin cell, destination cell) flows.
+
+    Returns (ocx, ocy, dcx, dcy, trips, users): trips = number of
+    boundary-crossing steps, users = distinct entities making that
+    transition. Exact integers end-to-end (cells are floor-divided
+    lattice keys), so the result is order- and partition-independent.
+
+    Scale shape: ONE window shuffle keyed by entity (the track is
+    already the per-user event stream) + one combinable groupBy on the
+    4-int cell-pair key; no geometry moves. At web scale the flows
+    table is tiny (|cells|^2 worst case, far less in practice) while
+    the input can be the full 10^12-event stream.
+    """
+    w = Window.partitionBy("eid").orderBy("ts", "x", "y")
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    st = track.select(
+        "eid", "ts", "x", "y", cx.alias("cx"), cy.alias("cy"),
+    ).withColumn("pcx", F.lag("cx").over(w)) \
+     .withColumn("pcy", F.lag("cy").over(w)) \
+     .where(F.col("pcx").isNotNull()
+            & ((F.col("cx") != F.col("pcx"))
+               | (F.col("cy") != F.col("pcy"))))
+    return (
+        st.groupBy(
+            F.col("pcx").alias("ocx"), F.col("pcy").alias("ocy"),
+            F.col("cx").alias("dcx"), F.col("cy").alias("dcy"))
+        .agg(F.count(F.lit(1)).alias("trips"),
+             F.countDistinct("eid").alias("users"))
+    )
 
 
 def hausdorff_pairs(
