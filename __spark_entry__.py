@@ -9059,6 +9059,28 @@ def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_pairs(pts, pairs)
 
 
+_VIT_PI = [math.log(0.6), math.log(0.4)]
+_VIT_A = [[math.log(0.7), math.log(0.3)], [math.log(0.2), math.log(0.8)]]
+_VIT_B = {
+    "click": [math.log(0.3), math.log(0.1)],
+    "view": [math.log(0.3), math.log(0.2)],
+    "signup": [math.log(0.2), math.log(0.1)],
+    "purchase": [math.log(0.1), math.log(0.1)],
+    "error": [math.log(0.1), math.log(0.5)],
+}
+
+
+def q_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state HMM (engaged/error-prone) over
+    each user's event-type sequence: the per-state deltas ride ONE row
+    per step, so the oracle's recursive CTE replays the identical
+    left-to-right float comparisons (ties to the smaller state) and
+    the path strings match byte-for-byte."""
+    from lib_gdal_spark.operators.events import viterbi_decode
+    return viterbi_decode(_t(spark, sf_dir, "events"),
+                          _VIT_PI, _VIT_A, _VIT_B)
+
+
 def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of six integer text statistics over
     documents: one exact-integer covariance aggregation + 24 unrolled
@@ -9661,6 +9683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_pava": q_isotonic_pava,
         "edit_distance": q_edit_distance,
         "dtw_pairs": q_dtw_pairs,
+        "viterbi_decode": q_viterbi_decode,
         "pca_features": q_pca_features,
         "solar_exposure": q_solar_exposure,
         "isochrone_bands": q_isochrone_bands,
@@ -22643,6 +22666,46 @@ def oracle_sql() -> dict[str, str]:
         FROM diag22
         WHERE i = 11 AND j = 11
     """
+
+    # Viterbi: single-row state vector per step; the recursive CTE
+    # replays the operator's exact float comparisons (>= keeps the
+    # smaller state on ties) and concatenates the backtrace path.
+    # Literals CAST to DOUBLE (bare negative floats parse as DECIMAL
+    # in DuckDB and overflow when summed — the LAEA-oracle lesson).
+    sqls["viterbi_decode"] = """
+        WITH RECURSIVE seq AS (
+          SELECT user_id AS u, event_type AS obs,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        nmax AS (SELECT u, MAX(rn) AS n FROM seq GROUP BY u),
+        rec(u, rn, d0, d1, p0, p1) AS (
+          SELECT u, rn,
+                 CAST(-0.5108256237659907 AS DOUBLE) + CASE obs WHEN 'click' THEN CAST(-1.2039728043259361 AS DOUBLE) WHEN 'view' THEN CAST(-1.2039728043259361 AS DOUBLE) WHEN 'signup' THEN CAST(-1.6094379124341003 AS DOUBLE) WHEN 'purchase' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'error' THEN CAST(-2.3025850929940455 AS DOUBLE) END,
+                 CAST(-0.916290731874155 AS DOUBLE) + CASE obs WHEN 'click' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'view' THEN CAST(-1.6094379124341003 AS DOUBLE) WHEN 'signup' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'purchase' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'error' THEN CAST(-0.6931471805599453 AS DOUBLE) END,
+                 '0', '1'
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.u, s.rn,
+                 (CASE WHEN r.d0 + CAST(-0.35667494393873245 AS DOUBLE) >= r.d1 + CAST(-1.6094379124341003 AS DOUBLE)
+                       THEN r.d0 + CAST(-0.35667494393873245 AS DOUBLE) ELSE r.d1 + CAST(-1.6094379124341003 AS DOUBLE) END)
+                   + (CASE s.obs WHEN 'click' THEN CAST(-1.2039728043259361 AS DOUBLE) WHEN 'view' THEN CAST(-1.2039728043259361 AS DOUBLE) WHEN 'signup' THEN CAST(-1.6094379124341003 AS DOUBLE) WHEN 'purchase' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'error' THEN CAST(-2.3025850929940455 AS DOUBLE) END),
+                 (CASE WHEN r.d0 + CAST(-1.2039728043259361 AS DOUBLE) >= r.d1 + CAST(-0.2231435513142097 AS DOUBLE)
+                       THEN r.d0 + CAST(-1.2039728043259361 AS DOUBLE) ELSE r.d1 + CAST(-0.2231435513142097 AS DOUBLE) END)
+                   + (CASE s.obs WHEN 'click' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'view' THEN CAST(-1.6094379124341003 AS DOUBLE) WHEN 'signup' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'purchase' THEN CAST(-2.3025850929940455 AS DOUBLE) WHEN 'error' THEN CAST(-0.6931471805599453 AS DOUBLE) END),
+                 (CASE WHEN r.d0 + CAST(-0.35667494393873245 AS DOUBLE) >= r.d1 + CAST(-1.6094379124341003 AS DOUBLE)
+                       THEN r.p0 ELSE r.p1 END) || '0',
+                 (CASE WHEN r.d0 + CAST(-1.2039728043259361 AS DOUBLE) >= r.d1 + CAST(-0.2231435513142097 AS DOUBLE)
+                       THEN r.p0 ELSE r.p1 END) || '1'
+          FROM rec r JOIN seq s ON s.u = r.u AND s.rn = r.rn + 1
+        )
+        SELECT rec.u AS "user", CAST(nmax.n AS BIGINT) AS n_obs,
+               CASE WHEN d0 >= d1 THEN p0 ELSE p1 END AS path,
+               round(CASE WHEN d0 >= d1 THEN d0 ELSE d1 END, 9) AS loglik
+        FROM rec JOIN nmax ON nmax.u = rec.u AND nmax.n = rec.rn
+    """
+
 
     sqls["edit_distance"] = """
         SELECT doc_id,

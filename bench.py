@@ -174,6 +174,7 @@ BENCH = {
     "isotonic_pava": lambda s: _force(E.q_isotonic_pava(s, SF_DIR)),
     "edit_distance": lambda s: _force(E.q_edit_distance(s, SF_DIR)),
     "dtw_pairs": lambda s: _force(E.q_dtw_pairs(s, SF_DIR)),
+    "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -598,3 +600,59 @@ def markov_chain(events: DataFrame, user_col: str = "user_id",
                             / F.sum("n_trans").over(
                                 Window.partitionBy("src")), 9).alias("p"),
                     "occ_dst"))
+
+
+def viterbi_decode(events: DataFrame, log_pi: list, log_a: list,
+                   log_b: dict, user_col: str = "user_id",
+                   obs_col: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   round_decimals: int = 9) -> DataFrame:
+    """Viterbi decoding of a K-state HMM over each user's event-type
+    sequence (Rabiner 1989): delta_t(s) = max_p(delta_{t-1}(p) +
+    logA[p][s]) + logB[s][obs_t], ties to the SMALLER predecessor
+    index, path recovered by backtrace. The session-state decoder
+    (engaged/idle/bot phases) behind behavioral segmentation.
+
+    ``log_pi``: K start log-probs; ``log_a``: KxK transition log-probs;
+    ``log_b``: {observation: [K emission log-probs]}. All floats are
+    evaluated in the written order (max spelled as left-to-right
+    pairwise comparisons), so a SQL oracle carrying the K deltas in one
+    row per step replays the arithmetic bit-for-bit; the final
+    log-likelihood rounds at ``round_decimals``.
+
+    Scale: one Arrow group per user (the sessionize contract); K is
+    driver-literal. Returns (user, n_obs, path STRING of state digits,
+    loglik)."""
+    k = len(log_pi)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__id"], ignore_index=True)
+        obs = pdf["__o"].tolist()
+        # delta + per-state path strings (ties to smaller index)
+        d = [log_pi[s] + log_b[obs[0]][s] for s in range(k)]
+        paths = [str(s) for s in range(k)]
+        for t in range(1, len(obs)):
+            nd, np_ = [], []
+            for s in range(k):
+                best_p, best_v = 0, d[0] + log_a[0][s]
+                for p in range(1, k):
+                    v = d[p] + log_a[p][s]
+                    if v > best_v:
+                        best_p, best_v = p, v
+                nd.append(best_v + log_b[obs[t]][s])
+                np_.append(paths[best_p] + str(s))
+            d, paths = nd, np_
+        best = 0
+        for s in range(1, k):
+            if d[s] > d[best]:
+                best = s
+        return pd.DataFrame([{
+            "user": key[0], "n_obs": len(obs), "path": paths[best],
+            "loglik": round(d[best], round_decimals),
+        }])
+
+    src = events.select(
+        F.col(user_col).alias("user"), F.col(obs_col).alias("__o"),
+        F.col(ts_col).alias("__ts"), F.col(id_col).alias("__id"))
+    return src.groupBy("user").applyInPandas(
+        run, schema="user long, n_obs long, path string, loglik double")

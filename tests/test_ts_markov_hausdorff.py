@@ -130,3 +130,41 @@ def test_dtw_max_len_guard(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         dtw_pairs(pts, pairs, max_len=4).collect()
+
+
+def test_viterbi_textbook(spark):
+    """Rabiner-style sanity: with strongly-diagnostic emissions the
+    decoded path follows the observations."""
+    import math
+    from lib_gdal_spark.operators.events import viterbi_decode
+    pi = [math.log(0.5), math.log(0.5)]
+    a = [[math.log(0.9), math.log(0.1)], [math.log(0.1), math.log(0.9)]]
+    b = {"x": [math.log(0.9), math.log(0.1)],
+         "y": [math.log(0.1), math.log(0.9)]}
+    rows = [(i, 1, o) for i, o in enumerate(["x", "x", "y", "y", "y"])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    r = viterbi_decode(ev, pi, a, b).collect()[0]
+    assert r["path"] == "00111"
+    assert r["n_obs"] == 5
+    # exact log-likelihood of that path
+    import math as m
+    ll = (pi[0] + b["x"][0] + a[0][0] + b["x"][0] + a[0][1] + b["y"][1]
+          + a[1][1] + b["y"][1] + a[1][1] + b["y"][1])
+    assert r["loglik"] == round(ll, 9)
+
+
+def test_viterbi_tie_prefers_smaller_state(spark):
+    import math
+    from lib_gdal_spark.operators.events import viterbi_decode
+    # fully symmetric model: every comparison ties -> all-zeros path
+    pi = [math.log(0.5), math.log(0.5)]
+    a = [[math.log(0.5), math.log(0.5)], [math.log(0.5), math.log(0.5)]]
+    b = {"x": [math.log(1.0), math.log(1.0)]}
+    ev = spark.createDataFrame(
+        [(i, 1, "x") for i in range(4)],
+        "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    r = viterbi_decode(ev, pi, a, b).collect()[0]
+    assert r["path"] == "0000"
