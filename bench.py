@@ -175,6 +175,9 @@ BENCH = {
     "edit_distance": lambda s: _force(E.q_edit_distance(s, SF_DIR)),
     "dtw_pairs": lambda s: _force(E.q_dtw_pairs(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
+    "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
+    "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),
+    "page_hinkley": lambda s: _force(E.q_page_hinkley(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

@@ -251,3 +251,54 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return m.select(
         F.col("n").cast("long").alias("n"),
         F.round(num / F.sqrt(dx * dy), 9).alias("rho"))
+
+
+def mcnemar_test(df: DataFrame, before_col: str, after_col: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: only the discordant
+    counts matter — b = (1 -> 0), c = (0 -> 1);
+
+        chi2 = (b - c)^2 / (b + c)   (uncorrected)
+        chi2_cc = (|b - c| - 1)^2 / (b + c)   (continuity-corrected)
+
+    Exact integer counts, two fixed float divisions. One row:
+    (n, b, c, chi2, chi2_cc)."""
+    d = df.select(F.col(before_col).cast("int").alias("x"),
+                  F.col(after_col).cast("int").alias("y"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1)
+              .otherwise(0)).alias("c"))
+    b, c = F.col("b"), F.col("c")
+    chi2 = ((b - c) * (b - c)).cast("double") / (b + c).cast("double")
+    cc = (F.abs(b - c) - 1)
+    chi2cc = (cc * cc).cast("double") / (b + c).cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        b.cast("long").alias("b"), c.cast("long").alias("c"),
+        F.round(chi2, 9).alias("chi2"), F.round(chi2cc, 9).alias("chi2_cc"))
+
+
+def bh_fdr(df: DataFrame, id_col: str, p_col: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment: with p-values sorted
+    ascending (rank i of n, ties broken on the id),
+
+        q_(i) = min_{j >= i} p_(j) * n / j ,  clipped at 1
+
+    — the suffix-min over the rank spine, one window pass. The
+    multiplication p*n/j is the single float expression, evaluated
+    identically in SQL; q rounds at 9. Returns (id, p, rank, q)."""
+    w = Window.orderBy(F.col("p"), F.col("id"))
+    tot = df.select(F.count(F.lit(1)).alias("n"))
+    ranked = (df.select(F.col(id_col).alias("id"),
+                        F.col(p_col).alias("p"))
+              .withColumn("rank", F.row_number().over(w))
+              .crossJoin(F.broadcast(tot)))
+    raw = ranked.withColumn(
+        "raw", F.col("p") * F.col("n").cast("double")
+        / F.col("rank").cast("double"))
+    wmin = Window.orderBy(F.col("rank")).rowsBetween(0, Window.unboundedFollowing)
+    return raw.select(
+        "id", "p", F.col("rank").cast("long").alias("rank"),
+        F.round(F.least(F.min("raw").over(wmin), F.lit(1.0)), 9).alias("q"))

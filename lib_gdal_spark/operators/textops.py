@@ -2550,3 +2550,66 @@ def lexrank_sentences(docs: DataFrame, top_k: int = 2, n_iters: int = 4,
             .join(sents, ["doc", "sidx"])
             .select(F.col("doc").alias(id_col), "sidx",
                     F.col("r").alias("rank_units"), "sentence"))
+
+
+def smith_waterman_pairs(
+    chars: DataFrame,
+    pairs: DataFrame,
+    match: int = 3,
+    mismatch: int = -1,
+    gap: int = 2,
+    tid_col: str = "tid",
+    pos_col: str = "pos",
+    ch_col: str = "ch",
+    max_len: int = 256,
+) -> DataFrame:
+    """Smith-Waterman local alignment score for each (tid_a, tid_b)
+    pair of character sequences (Smith & Waterman 1981):
+
+        H(i,j) = max(0, H(i-1,j-1) + s(a_i,b_j),
+                     H(i-1,j) - gap, H(i,j-1) - gap)
+
+    answer = max cell. All-integer DP — exact BIGINT everywhere, the
+    near-dup DIFF primitive at the character level (which substring
+    actually matches, not just how many n-grams). One Arrow group per
+    explicit pair (never all-pairs); ``max_len`` guards the O(n*m)
+    table loudly. Returns (tid_a, tid_b, n_a, n_b, sw_score)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    a = chars.select(F.col(tid_col).alias("tid_a"),
+                     F.col(pos_col).alias("ia"), F.col(ch_col).alias("ca"))
+    b = chars.select(F.col(tid_col).alias("tid_b"),
+                     F.col(pos_col).alias("ib"), F.col(ch_col).alias("cb"))
+    j = pairs.join(a, "tid_a").join(b, "tid_b")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aa = (pdf[["ia", "ca"]].drop_duplicates()
+              .sort_values("ia", ignore_index=True))
+        bb = (pdf[["ib", "cb"]].drop_duplicates()
+              .sort_values("ib", ignore_index=True))
+        n, m = len(aa), len(bb)
+        if n > max_len or m > max_len:
+            raise ValueError(
+                f"smith_waterman_pairs: sequence over max_len={max_len}")
+        ca = aa["ca"].to_numpy()
+        cb = bb["cb"].to_numpy()
+        h = np.zeros((n + 1, m + 1), dtype=np.int64)
+        best = 0
+        for i2 in range(1, n + 1):
+            for j2 in range(1, m + 1):
+                s = match if ca[i2 - 1] == cb[j2 - 1] else mismatch
+                v = max(0, h[i2 - 1, j2 - 1] + s,
+                        h[i2 - 1, j2] - gap, h[i2, j2 - 1] - gap)
+                h[i2, j2] = v
+                if v > best:
+                    best = v
+        return pd.DataFrame([{
+            "tid_a": key[0], "tid_b": key[1],
+            "n_a": n, "n_b": m, "sw_score": int(best),
+        }])
+
+    return j.groupBy("tid_a", "tid_b").applyInPandas(
+        run, schema="tid_a long, tid_b long, n_a long, n_b long, "
+                    "sw_score long")

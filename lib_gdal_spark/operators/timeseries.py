@@ -454,3 +454,47 @@ def isotonic_pava(series: DataFrame, key_col: str | None = None,
     if not keyed:
         out = out.drop("__k")
     return out
+
+
+def page_hinkley(series: DataFrame, delta: float = 0.5,
+                 lam: float = 50.0, round_decimals: int = 9) -> DataFrame:
+    """Page-Hinkley drift detection on an integer series (t, x): the
+    streaming mean-shift monitor (Page 1954; the CUSUM cousin used for
+    concept-drift alarms in online pipelines):
+
+        mean_t = running mean of x_1..x_t  (exact: sum/count, one div)
+        m_t = m_{t-1} + (x_t - mean_t - delta);  M_t = min(M_{t-1}, m_t)
+        alarm_t = (m_t - M_t > lam)
+
+    The recurrence is sequential (one Arrow group, series-level
+    parallelism — the holt_smoothing contract); the float ops evaluate
+    in the written order so a recursive-CTE oracle replays them
+    exactly. Returns (t, x, ph_m, ph_min, alarm)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", ignore_index=True)
+        xs = pdf["x"].to_numpy(np.int64)
+        n = len(xs)
+        ms = np.empty(n)
+        mins = np.empty(n)
+        csum = 0
+        m = 0.0
+        mn = 0.0
+        for i in range(n):
+            csum += int(xs[i])
+            mean = csum / (i + 1)
+            m = m + (float(xs[i]) - mean - delta)
+            if i == 0 or m < mn:
+                mn = m
+            ms[i] = m
+            mins[i] = mn
+        return pd.DataFrame({
+            "t": pdf["t"], "x": pdf["x"],
+            "ph_m": np.round(ms, round_decimals),
+            "ph_min": np.round(mins, round_decimals),
+            "alarm": (ms - mins) > lam,
+        })
+
+    out_schema = "t long, x long, ph_m double, ph_min double, alarm boolean"
+    return (series.withColumn("__k", F.lit(0)).groupBy("__k")
+            .applyInPandas(lambda k, pdf: run(pdf), schema=out_schema))

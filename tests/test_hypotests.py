@@ -95,3 +95,60 @@ def test_isotonic_pava_monotone_input_unchanged(spark):
     out = isotonic_pava(s).collect()
     for r in out:
         assert r["fitted"] == float(r["x"])
+
+
+def test_mcnemar_textbook(spark):
+    # b = 10 (1->0), c = 5 (0->1): chi2 = 25/15; cc = 16/15
+    rows = ([(1, 0)] * 10 + [(0, 1)] * 5 + [(1, 1)] * 20 + [(0, 0)] * 7)
+    from lib_gdal_spark.operators.hypotests import mcnemar_test
+    r = mcnemar_test(spark.createDataFrame(rows, "x int, y int"),
+                     "x", "y").collect()[0]
+    assert r["b"] == 10 and r["c"] == 5
+    assert r["chi2"] == pytest.approx(25 / 15, abs=1e-9)
+    assert r["chi2_cc"] == pytest.approx(16 / 15, abs=1e-9)
+
+
+def test_bh_fdr_monotone_and_clipped(spark):
+    from lib_gdal_spark.operators.hypotests import bh_fdr
+    d = spark.createDataFrame(
+        [(1, 0.01), (2, 0.04), (3, 0.03), (4, 0.9)], "tid long, p double")
+    out = {r["id"]: r for r in bh_fdr(d, "tid", "p").collect()}
+    # sorted p: .01, .03, .04, .9 -> raw q: .04, .06, .053.., .9
+    # suffix min: .04, .0533.., .0533.., .9
+    assert out[1]["q"] == pytest.approx(0.04, abs=1e-9)
+    assert out[3]["q"] == pytest.approx(0.04 * 4 / 3, abs=1e-9)
+    assert out[2]["q"] == pytest.approx(0.04 * 4 / 3, abs=1e-9)
+    assert out[4]["q"] == pytest.approx(0.9, abs=1e-9)
+    qs = [out[i]["q"] for i in (1, 3, 2, 4)]
+    assert qs == sorted(qs)
+
+
+def test_smith_waterman_known_scores(spark):
+    from lib_gdal_spark.operators.textops import smith_waterman_pairs
+    # A = "ACACACTA", B = "AGCACACA": classic SW example — with
+    # match 2 / mismatch -1 / gap 1 the optimal local score is 12
+    a, b = "ACACACTA", "AGCACACA"
+    rows = ([(0, i + 1, ch) for i, ch in enumerate(a)]
+            + [(1, i + 1, ch) for i, ch in enumerate(b)])
+    chars = spark.createDataFrame(rows, "tid long, pos long, ch string")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    r = smith_waterman_pairs(chars, pairs, match=2, mismatch=-1,
+                             gap=1).collect()[0]
+    assert r["sw_score"] == 12
+    # identical sequences: score = len * match
+    rows2 = ([(0, i + 1, ch) for i, ch in enumerate(a)]
+             + [(2, i + 1, ch) for i, ch in enumerate(a)])
+    chars2 = spark.createDataFrame(rows2, "tid long, pos long, ch string")
+    pairs2 = spark.createDataFrame([(0, 2)], "tid_a long, tid_b long")
+    assert smith_waterman_pairs(chars2, pairs2, match=2, mismatch=-1,
+                                gap=1).collect()[0]["sw_score"] == 16
+
+
+def test_page_hinkley_detects_shift(spark):
+    from lib_gdal_spark.operators.timeseries import page_hinkley
+    # flat 10s then a jump to 100: alarm fires after the shift
+    rows = [(t, 10) for t in range(50)] + [(t, 100) for t in range(50, 70)]
+    s = spark.createDataFrame(rows, "t long, x long")
+    out = page_hinkley(s, delta=0.5, lam=50.0).orderBy("t").collect()
+    assert not any(r["alarm"] for r in out[:50])
+    assert any(r["alarm"] for r in out[50:])
