@@ -178,6 +178,11 @@ BENCH = {
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),
     "page_hinkley": lambda s: _force(E.q_page_hinkley(s, SF_DIR)),
+    "gini_lorenz": lambda s: _force(E.q_gini_lorenz(s, SF_DIR)),
+    "herfindahl": lambda s: _force(E.q_herfindahl(s, SF_DIR)),
+    "runs_test": lambda s: _force(E.q_runs_test(s, SF_DIR)),
+    "durbin_watson": lambda s: _force(E.q_durbin_watson(s, SF_DIR)),
+    "grubbs": lambda s: _force(E.q_grubbs(s, SF_DIR)),
     "ccnet_buckets": lambda s: _force(E.q_ccnet_buckets(s, SF_DIR)),
     "sample_temperature": lambda s: _force(E.q_sample_temperature(s, SF_DIR)),
     "pii_luhn": lambda s: _force(E.q_pii_luhn(s, SF_DIR)),

@@ -302,3 +302,165 @@ def bh_fdr(df: DataFrame, id_col: str, p_col: str) -> DataFrame:
     return raw.select(
         "id", "p", F.col("rank").cast("long").alias("rank"),
         F.round(F.least(F.min("raw").over(wmin), F.lit(1.0)), 9).alias("q"))
+
+
+def gini_lorenz(df: DataFrame, val_col: str, deciles: int = 10) -> DataFrame:
+    """Gini coefficient + Lorenz curve of a non-negative integer value
+    column (the inequality/concentration audit for token counts, traffic,
+    link mass):
+
+        G = (2 * sum_i i*x_(i) - (n+1) * sum x) / (n * sum x)
+
+    over the ascending sort (ties broken stably by the window's order —
+    any order among equal values gives the same sums). The numerator and
+    both sums are exact integers; one final division. Lorenz points
+    report the cumulative value share at each 1/``deciles`` population
+    quantile boundary (exact integer cumsum over the rank spine).
+
+    Returns ``deciles`` rows: (decile, pop_frac, cum_share, gini) with
+    gini repeated (flat schema)."""
+    w = Window.orderBy(F.col("v"), F.col("__rid"))
+    d = (df.select(F.col(val_col).cast("long").alias("v"))
+         .withColumn("__rid", F.monotonically_increasing_id())
+         .withColumn("i", F.row_number().over(w)))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.sum(_dc("i") * _dc("v")).alias("iv"))
+    cum = d.withColumn("cum", F.sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    dec = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("i") * deciles) % F.col("n") == 0).select(
+        (F.col("i") * deciles / F.col("n")).cast("long").alias("decile"),
+        (F.col("i").cast("double") / F.col("n").cast("double"))
+        .alias("pop_frac"),
+        (F.col("cum").cast("double") / F.col("s").cast("double"))
+        .alias("cum_share"))
+    g = tot.select(
+        ((2 * F.col("iv") - (F.col("n") + 1).cast("decimal(38,0)")
+          * F.col("s").cast("decimal(38,0)")).cast("double")
+         / (F.col("n").cast("double") * F.col("s").cast("double")))
+        .alias("gini"))
+    return (dec.crossJoin(F.broadcast(g))
+            .select("decile", F.round("pop_frac", 9).alias("pop_frac"),
+                    F.round("cum_share", 9).alias("cum_share"),
+                    F.round("gini", 9).alias("gini")))
+
+
+def herfindahl(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index over group shares:
+    HHI = sum_g (S_g / S)^2 = sum S_g^2 / S^2 — both sums exact
+    decimal(38,0), one division. Returns (k_groups, hhi, hhi_norm)
+    with the 0..1 normalization (HHI - 1/k)/(1 - 1/k)."""
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(val_col).cast("long")).alias("sg"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = g.agg(F.count(F.lit(1)).alias("k"), F.sum("sg").alias("s"),
+                F.sum(_dc("sg") * _dc("sg")).alias("s2"))
+    hhi = (F.col("s2").cast("double")
+           / (F.col("s").cast("double") * F.col("s").cast("double")))
+    k = F.col("k").cast("double")
+    norm = F.when(F.col("k") == 1, F.lit(1.0)) \
+        .otherwise((hhi - 1.0 / k) / (1.0 - 1.0 / k))
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(hhi, 9).alias("hhi"),
+        F.round(norm, 9).alias("hhi_norm"))
+
+
+def runs_test(df: DataFrame, seq_col: str, flag_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness for a binary sequence
+    ordered by ``seq_col``: the run count R is an exact integer (1 +
+    number of adjacent flips, via one lag window), and
+
+        E[R] = 1 + 2*n1*n0/n
+        Var[R] = 2*n1*n0*(2*n1*n0 - n) / (n^2 * (n-1))
+        z = (R - E[R]) / sqrt(Var[R])
+
+    Returns one row (n, n1, n0, runs, z)."""
+    w = Window.orderBy(F.col("t"))
+    d = df.select(F.col(seq_col).alias("t"),
+                  F.col(flag_col).cast("int").alias("f"))
+    flips = d.withColumn("prev", F.lag("f").over(w)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").alias("n1"),
+        F.sum(F.when(F.col("prev").isNotNull()
+                     & (F.col("f") != F.col("prev")), 1)
+              .otherwise(0)).alias("flips"))
+    n, n1 = F.col("n"), F.col("n1")
+    n0 = n - n1
+    r = F.col("flips") + 1
+    two = (2 * n1 * n0).cast("double")
+    er = 1.0 + two / n.cast("double")
+    varr = (two * (two - n.cast("double"))
+            / (n.cast("double") * n.cast("double")
+               * (n - 1).cast("double")))
+    return flips.select(
+        n.cast("long").alias("n"), n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"), r.cast("long").alias("runs"),
+        F.round((r.cast("double") - er) / F.sqrt(varr), 9).alias("z"))
+
+
+def durbin_watson(series: DataFrame) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic of the OLS residuals of
+    x on t, computed on the n-scaled INTEGER residual lattice: with
+    den = n*Stt - St^2, slope_num = n*Stx - St*Sx,
+
+        e_t * n * den = n*den*x_t - den*Sx... (all integer)
+
+    — the den factors cancel in DW = sum (e_t - e_{t-1})^2 / sum e_t^2,
+    so DW is an exact ratio of two decimal(38,0) sums (one division).
+    Returns one row (n, dw)."""
+    tot = series.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t").cast("decimal(38,0)")
+              * F.col("t").cast("decimal(38,0)")).alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)")
+              * F.col("x").cast("decimal(38,0)")).alias("stx"))
+    j = series.crossJoin(F.broadcast(tot))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den = _dc("n") * F.col("stt") - F.col("st").cast("decimal(38,0)") \
+        * F.col("st").cast("decimal(38,0)")
+    bnum = _dc("n") * F.col("stx") - F.col("st").cast("decimal(38,0)") \
+        * F.col("sx").cast("decimal(38,0)")
+    # scaled residual: r_t = den*(n*x_t - Sx) - bnum*(n*t - St), exact
+    rt = (den * (_dc("n") * _dc("x") - F.col("sx").cast("decimal(38,0)"))
+          - bnum * (_dc("n") * _dc("t") - F.col("st").cast("decimal(38,0)")))
+    d = j.select("t", rt.alias("r"))
+    w = Window.orderBy("t")
+    lag = d.withColumn("rp", F.lag("r").over(w))
+    agg = lag.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("r") - F.col("rp"))
+              * (F.col("r") - F.col("rp"))).alias("num"),
+        F.sum(F.col("r") * F.col("r")).alias("den2"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("num").cast("double")
+                / F.col("den2").cast("double"), 9).alias("dw"))
+
+
+def grubbs_stat(df: DataFrame, val_col: str) -> DataFrame:
+    """Grubbs outlier statistic G = max|x - mean| / s from exact
+    integer moments (s the sample std); the flagged value is the
+    argmax with ties to the smallest value. Returns one row
+    (n, x_out, g)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.sum(_dc("v") * _dc("v")).alias("s2"))
+    j = d.crossJoin(F.broadcast(tot))
+    dev = F.abs(_dc("n") * _dc("v") - F.col("s").cast("decimal(38,0)"))
+    best = (j.select("v", "n", "s", "s2", dev.alias("d"))
+            .orderBy(F.col("d").desc(), F.col("v").asc()).limit(1))
+    n = F.col("n").cast("double")
+    var_scaled = (F.col("n").cast("decimal(38,0)") * F.col("s2")
+                  - F.col("s").cast("decimal(38,0)")
+                  * F.col("s").cast("decimal(38,0)")).cast("double")
+    # G = (|n*x - S|/n) / sqrt((n*S2 - S^2)/(n*(n-1)))
+    g = (F.col("d").cast("double") / n) \
+        / F.sqrt(var_scaled / (n * (n - 1.0)))
+    return best.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("v").cast("long").alias("x_out"),
+        F.round(g, 9).alias("g"))

@@ -152,3 +152,61 @@ def test_page_hinkley_detects_shift(spark):
     out = page_hinkley(s, delta=0.5, lam=50.0).orderBy("t").collect()
     assert not any(r["alarm"] for r in out[:50])
     assert any(r["alarm"] for r in out[50:])
+
+
+def test_gini_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import gini_lorenz
+    # perfectly equal values -> gini ~ 0 (exact: (n-1)... -> 0 for equal)
+    eq = spark.createDataFrame([(i, 5) for i in range(100)],
+                               "tid long, v long")
+    out = gini_lorenz(eq, "v").collect()
+    assert all(abs(r["gini"]) < 0.011 for r in out)  # (n+1)/n edge -> ~0
+    assert out[-1] if out else True
+    # one holder owns everything -> gini ~ 1 - 1/n
+    uneq = spark.createDataFrame(
+        [(i, 0) for i in range(99)] + [(99, 1000)], "tid long, v long")
+    g = gini_lorenz(uneq, "v").collect()[0]["gini"]
+    assert g == pytest.approx(1 - 1 / 100, abs=1e-9)
+
+
+def test_herfindahl_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import herfindahl
+    mono = spark.createDataFrame([("a", 10)] * 5, "g string, v long")
+    r = herfindahl(mono, "g", "v").collect()[0]
+    assert r["hhi"] == 1.0
+    even = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10), ("d", 10)], "g string, v long")
+    r = herfindahl(even, "g", "v").collect()[0]
+    assert r["hhi"] == pytest.approx(0.25, abs=1e-9)
+    assert r["hhi_norm"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_runs_test_alternating(spark):
+    from lib_gdal_spark.operators.hypotests import runs_test
+    # perfectly alternating -> maximal runs, strongly positive z
+    d = spark.createDataFrame([(t, t % 2 == 0) for t in range(40)],
+                              "t long, flag boolean")
+    r = runs_test(d, "t", "flag").collect()[0]
+    assert r["runs"] == 40
+    assert r["z"] > 5
+
+
+def test_durbin_watson_trend_vs_alternating(spark):
+    from lib_gdal_spark.operators.hypotests import durbin_watson
+    # alternating residuals -> DW near 4; smooth trend residuals -> near 0
+    alt = spark.createDataFrame(
+        [(t, 100 + (10 if t % 2 == 0 else -10)) for t in range(60)],
+        "t long, x long")
+    assert durbin_watson(alt).collect()[0]["dw"] > 3.5
+    smooth = spark.createDataFrame(
+        [(t, 100 + (t // 20) * 50) for t in range(60)], "t long, x long")
+    assert durbin_watson(smooth).collect()[0]["dw"] < 1.0
+
+
+def test_grubbs_flags_outlier(spark):
+    from lib_gdal_spark.operators.hypotests import grubbs_stat
+    d = spark.createDataFrame([(i, 50) for i in range(30)]
+                              + [(30, 500)], "tid long, v long")
+    r = grubbs_stat(d, "v").collect()[0]
+    assert r["x_out"] == 500
+    assert r["g"] > 5
