@@ -104,7 +104,8 @@ def main() -> None:
     app = spark.sparkContext.applicationId
     qs = E.queries()
     rows = []
-    for name in QUERIES:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or QUERIES
+    for name in names:
         before = _stage_totals(ui, app)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         after = _stage_totals(ui, app)
