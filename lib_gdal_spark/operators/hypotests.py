@@ -317,24 +317,51 @@ def gini_lorenz(df: DataFrame, val_col: str, deciles: int = 10) -> DataFrame:
     report the cumulative value share at each 1/``deciles`` population
     quantile boundary (exact integer cumsum over the rank spine).
 
+    Scale shape: NO global row sort — everything runs on the
+    DISTINCT-VALUE spine (one combinable groupBy(value) count + a
+    spine-sized prefix window): a value v holding ranks [r+1, r+c]
+    contributes v*(c*r + c*(c+1)/2) to the rank-weighted sum, and each
+    decile boundary position p lands inside exactly one value group,
+    where cum(p) = cum_before + (p - r)*v.
+
     Returns ``deciles`` rows: (decile, pop_frac, cum_share, gini) with
     gini repeated (flat schema)."""
-    w = Window.orderBy(F.col("v"), F.col("__rid"))
-    d = (df.select(F.col(val_col).cast("long").alias("v"))
-         .withColumn("__rid", F.monotonically_increasing_id())
-         .withColumn("i", F.row_number().over(w)))
+    counts = df.groupBy(F.col(val_col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v")
+    spine = counts.select(
+        "v", "c",
+        F.coalesce(F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("r"),
+        F.coalesce(F.sum(F.col("c") * F.col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("cum_before"))
     _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
-                F.sum(_dc("i") * _dc("v")).alias("iv"))
-    cum = d.withColumn("cum", F.sum("v").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-    dec = cum.crossJoin(F.broadcast(tot)).where(
-        (F.col("i") * deciles) % F.col("n") == 0).select(
-        (F.col("i") * deciles / F.col("n")).cast("long").alias("decile"),
-        (F.col("i").cast("double") / F.col("n").cast("double"))
-        .alias("pop_frac"),
-        (F.col("cum").cast("double") / F.col("s").cast("double"))
-        .alias("cum_share"))
+    # c*(c+1) DIV 2 stays integer (always even product) — decimal
+    # division would introduce fractional scale
+    iv_term = _dc("v") * (_dc("c") * _dc("r")
+                          + F.expr("c * (c + 1) DIV 2")
+                          .cast("decimal(38,0)"))
+    tot = spine.agg(F.sum("c").alias("n"),
+                    F.sum(F.col("c") * F.col("v")).alias("s"),
+                    F.sum(iv_term).alias("iv"))
+    # decile boundary p = k*n/deciles inside this group: r < p <= r+c
+    ks = counts.sparkSession.range(1, deciles + 1).select(
+        F.col("id").alias("k"))
+    dec = (spine.crossJoin(F.broadcast(tot))
+           .join(F.broadcast(ks),
+                 ((F.col("k") * F.col("n")) % deciles == 0)
+                 & (F.col("r") * deciles < F.col("k") * F.col("n"))
+                 & (F.col("k") * F.col("n")
+                    <= (F.col("r") + F.col("c")) * deciles))
+           .select(
+               F.col("k").alias("decile"),
+               (F.col("k").cast("double") / deciles).alias("pop_frac"),
+               ((F.col("cum_before")
+                 + ((F.col("k") * F.col("n") / deciles).cast("long")
+                    - F.col("r")) * F.col("v")).cast("double")
+                / F.col("s").cast("double")).alias("cum_share")))
     g = tot.select(
         ((2 * F.col("iv") - (F.col("n") + 1).cast("decimal(38,0)")
           * F.col("s").cast("decimal(38,0)")).cast("double")
