@@ -333,3 +333,122 @@ def dtw_pairs(
     return j.groupBy("tid_a", "tid_b").applyInPandas(
         run, schema="tid_a long, tid_b long, n_a long, n_b long, "
                     "dtw_cost long")
+
+
+def frechet_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    tid_col: str = "tid",
+    seq_col: str = "vi",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_len: int = 256,
+) -> DataFrame:
+    """Discrete Frechet distance (squared, integer) for each explicit
+    (tid_a, tid_b) pair — the coupled-walk distance (Eiter & Mannila
+    1994): F(i,j) = max(d2(i,j), min(F(i-1,j), F(i,j-1), F(i-1,j-1))).
+    Integer squared-euclidean costs keep every DP cell an exact BIGINT.
+    Same shape/guards as :func:`dtw_pairs`. Returns (tid_a, tid_b,
+    n_a, n_b, frechet_d2)."""
+    import numpy as np
+    import pandas as pd
+
+    a = points.select(F.col(tid_col).alias("tid_a"),
+                      F.col(seq_col).alias("ia"),
+                      F.col(x_col).alias("xa"), F.col(y_col).alias("ya"))
+    b = points.select(F.col(tid_col).alias("tid_b"),
+                      F.col(seq_col).alias("ib"),
+                      F.col(x_col).alias("xb"), F.col(y_col).alias("yb"))
+    j = pairs.join(a, "tid_a").join(b, "tid_b")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aa = (pdf[["ia", "xa", "ya"]].drop_duplicates()
+              .sort_values("ia", ignore_index=True))
+        bb = (pdf[["ib", "xb", "yb"]].drop_duplicates()
+              .sort_values("ib", ignore_index=True))
+        n, m = len(aa), len(bb)
+        if n > max_len or m > max_len:
+            raise ValueError(
+                f"frechet_pairs: sequence over max_len={max_len}")
+        ax = aa["xa"].to_numpy(np.int64)[:, None]
+        ay = aa["ya"].to_numpy(np.int64)[:, None]
+        bx = bb["xb"].to_numpy(np.int64)[None, :]
+        by = bb["yb"].to_numpy(np.int64)[None, :]
+        c = (ax - bx) ** 2 + (ay - by) ** 2
+        d = np.empty((n, m), dtype=np.int64)
+        d[0, 0] = c[0, 0]
+        for i2 in range(1, n):
+            d[i2, 0] = max(c[i2, 0], d[i2 - 1, 0])
+        for j2 in range(1, m):
+            d[0, j2] = max(c[0, j2], d[0, j2 - 1])
+        for i2 in range(1, n):
+            for j2 in range(1, m):
+                d[i2, j2] = max(c[i2, j2], min(
+                    d[i2 - 1, j2], d[i2, j2 - 1], d[i2 - 1, j2 - 1]))
+        return pd.DataFrame([{
+            "tid_a": key[0], "tid_b": key[1],
+            "n_a": n, "n_b": m, "frechet_d2": int(d[n - 1, m - 1]),
+        }])
+
+    return j.groupBy("tid_a", "tid_b").applyInPandas(
+        run, schema="tid_a long, tid_b long, n_a long, n_b long, "
+                    "frechet_d2 long")
+
+
+def lcss_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    eps2: int,
+    tid_col: str = "tid",
+    seq_col: str = "vi",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_len: int = 256,
+) -> DataFrame:
+    """Longest common subsequence similarity for trajectories (Vlachos,
+    Kollios & Gunopulos, ICDE 2002): points match when their SQUARED
+    distance <= ``eps2`` (integer threshold — no float epsilon);
+    L(i,j) = L(i-1,j-1)+1 on a match else max(L(i-1,j), L(i,j-1)).
+    Returns (tid_a, tid_b, n_a, n_b, lcss_len, lcss_sim) with
+    sim = len / min(n_a, n_b) (the paper's normalization, one
+    division)."""
+    import numpy as np
+    import pandas as pd
+
+    a = points.select(F.col(tid_col).alias("tid_a"),
+                      F.col(seq_col).alias("ia"),
+                      F.col(x_col).alias("xa"), F.col(y_col).alias("ya"))
+    b = points.select(F.col(tid_col).alias("tid_b"),
+                      F.col(seq_col).alias("ib"),
+                      F.col(x_col).alias("xb"), F.col(y_col).alias("yb"))
+    j = pairs.join(a, "tid_a").join(b, "tid_b")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aa = (pdf[["ia", "xa", "ya"]].drop_duplicates()
+              .sort_values("ia", ignore_index=True))
+        bb = (pdf[["ib", "xb", "yb"]].drop_duplicates()
+              .sort_values("ib", ignore_index=True))
+        n, m = len(aa), len(bb)
+        if n > max_len or m > max_len:
+            raise ValueError(f"lcss_pairs: sequence over max_len={max_len}")
+        ax = aa["xa"].to_numpy(np.int64)[:, None]
+        ay = aa["ya"].to_numpy(np.int64)[:, None]
+        bx = bb["xb"].to_numpy(np.int64)[None, :]
+        by = bb["yb"].to_numpy(np.int64)[None, :]
+        hit = ((ax - bx) ** 2 + (ay - by) ** 2) <= eps2
+        d = np.zeros((n + 1, m + 1), dtype=np.int64)
+        for i2 in range(1, n + 1):
+            for j2 in range(1, m + 1):
+                if hit[i2 - 1, j2 - 1]:
+                    d[i2, j2] = d[i2 - 1, j2 - 1] + 1
+                else:
+                    d[i2, j2] = max(d[i2 - 1, j2], d[i2, j2 - 1])
+        L = int(d[n, m])
+        return pd.DataFrame([{
+            "tid_a": key[0], "tid_b": key[1], "n_a": n, "n_b": m,
+            "lcss_len": L, "lcss_sim": round(L / min(n, m), 9),
+        }])
+
+    return j.groupBy("tid_a", "tid_b").applyInPandas(
+        run, schema="tid_a long, tid_b long, n_a long, n_b long, "
+                    "lcss_len long, lcss_sim double")

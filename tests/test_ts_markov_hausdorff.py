@@ -168,3 +168,50 @@ def test_viterbi_tie_prefers_smaller_state(spark):
     ).withColumn("ts", F.col("event_id").cast("timestamp"))
     r = viterbi_decode(ev, pi, a, b).collect()[0]
     assert r["path"] == "0000"
+
+
+def test_frechet_identical_and_shifted(spark):
+    from lib_gdal_spark.operators.trajectory import frechet_pairs
+    rows = []
+    for vi in range(5):
+        rows.append((0, vi, vi * 10, 0))
+        rows.append((1, vi, vi * 10, 0))
+        rows.append((2, vi, vi * 10, 4))
+    pts = spark.createDataFrame(rows, "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)],
+                                  "tid_a long, tid_b long")
+    got = {(r["tid_a"], r["tid_b"]): r["frechet_d2"]
+           for r in frechet_pairs(pts, pairs).collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 16  # constant offset -> max over lockstep = 16
+
+
+def test_frechet_dog_leash(spark):
+    from lib_gdal_spark.operators.trajectory import frechet_pairs
+    # A walks 0->40 in x; B walks the same but with a detour point far
+    # in y at the middle: frechet must visit it -> d2 = detour^2
+    pts = spark.createDataFrame(
+        [(0, i, i * 10, 0) for i in range(5)]
+        + [(1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 20, 30),
+           (1, 3, 30, 0), (1, 4, 40, 0)],
+        "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1)], "tid_a long, tid_b long")
+    r = frechet_pairs(pts, pairs).collect()[0]
+    assert r["frechet_d2"] == 900
+
+
+def test_lcss_matches(spark):
+    from lib_gdal_spark.operators.trajectory import lcss_pairs
+    # identical -> full length; disjoint far tracks -> 0
+    pts = spark.createDataFrame(
+        [(0, i, i * 10, 0) for i in range(6)]
+        + [(1, i, i * 10, 1) for i in range(6)]
+        + [(2, i, i * 10 + 5000, 0) for i in range(6)],
+        "tid long, vi long, x long, y long")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)],
+                                  "tid_a long, tid_b long")
+    got = {(r["tid_a"], r["tid_b"]): r for r in
+           lcss_pairs(pts, pairs, eps2=4).collect()}
+    assert got[(0, 1)]["lcss_len"] == 6
+    assert got[(0, 1)]["lcss_sim"] == 1.0
+    assert got[(0, 2)]["lcss_len"] == 0
