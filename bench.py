@@ -176,6 +176,7 @@ BENCH = {
     "dtw_pairs": lambda s: _force(E.q_dtw_pairs(s, SF_DIR)),
     "frechet_pairs": lambda s: _force(E.q_frechet_pairs(s, SF_DIR)),
     "lcss_pairs": lambda s: _force(E.q_lcss_pairs(s, SF_DIR)),
+    "ransac_line": lambda s: _force(E.q_ransac_line(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),
