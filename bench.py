@@ -177,6 +177,9 @@ BENCH = {
     "frechet_pairs": lambda s: _force(E.q_frechet_pairs(s, SF_DIR)),
     "lcss_pairs": lambda s: _force(E.q_lcss_pairs(s, SF_DIR)),
     "ransac_line": lambda s: _force(E.q_ransac_line(s, SF_DIR)),
+    "roc_auc": lambda s: _force(E.q_roc_auc(s, SF_DIR)),
+    "pr_curve": lambda s: _force(E.q_pr_curve(s, SF_DIR)),
+    "cohen_kappa": lambda s: _force(E.q_cohen_kappa(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),

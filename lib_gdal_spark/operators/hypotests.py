@@ -491,3 +491,120 @@ def grubbs_stat(df: DataFrame, val_col: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("v").cast("long").alias("x_out"),
         F.round(g, 9).alias("g"))
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement for two categorical label
+    columns (the LLM-judge agreement statistic): with integer counts
+    n, o = sum of diagonal, and e_num = sum_c row_c * col_c,
+
+        kappa = (n*o - e_num) / (n^2 - e_num)
+
+    — the cross-multiplied form, exact integers until one division.
+    Returns one row (n, po, pe, kappa)."""
+    ct = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("c"))
+    ra = ct.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = ct.groupBy("b").agg(F.sum("c").alias("cb"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    e = (ra.join(cb, ra["a"] == cb["b"])
+         .agg(F.sum(_dc("ra") * _dc("cb")).alias("e_num")))
+    base = ct.agg(F.sum("c").alias("n"),
+                  F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+                        .otherwise(0)).alias("o"))
+    j = base.crossJoin(F.broadcast(e))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("o").cast("decimal(38,0)") - F.col("e_num"))
+    den = (n * n - F.col("e_num"))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("o").cast("double") / F.col("n").cast("double"), 9)
+        .alias("po"),
+        F.round(F.col("e_num").cast("double")
+                / (F.col("n") * F.col("n")).cast("double"), 9).alias("pe"),
+        F.round(num.cast("double") / den.cast("double"), 9).alias("kappa"))
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC with midrank tie handling: AUC = (R1 - n1(n1+1)/2)
+    / (n1*n0) where R1 is the positive class's average-rank sum — the
+    Mann-Whitney identity on the doubled-rank lattice, so the numerator
+    2*R1 - n1(n1+1)*... stays integer until one division. Returns one
+    row (n_pos, n_neg, auc)."""
+    d = df.select(F.col(score_col).alias("v"),
+                  F.col(label_col).cast("int").alias("y"))
+    ranks = _doubled_ranks(d.select("v"), "v")
+    per = d.groupBy("y", "v").agg(F.count(F.lit(1)).alias("k"))
+    j = per.join(ranks.select("v", "r2"), "v")
+    agg = j.groupBy("y").agg(F.sum("k").alias("n"),
+                             F.sum(F.col("k") * F.col("r2")).alias("r2s"))
+    pos = agg.where(F.col("y") == 1).select(
+        F.col("n").alias("n1"), F.col("r2s").alias("r2_pos"))
+    neg = agg.where(F.col("y") == 0).select(F.col("n").alias("n0"))
+    out = pos.crossJoin(neg)
+    n1, n0 = F.col("n1"), F.col("n0")
+    # 2*U = r2_pos - n1*(n1+1); AUC = U / (n1*n0)
+    u2 = F.col("r2_pos") - n1 * (n1 + 1)
+    return out.select(
+        n1.cast("long").alias("n_pos"), n0.cast("long").alias("n_neg"),
+        F.round(u2.cast("double") / (2.0 * (n1 * n0).cast("double")), 9)
+        .alias("auc"))
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold (predict
+    positive when score >= threshold): exact integer TP/FP via suffix
+    sums over the descending score spine; three divisions per row.
+    Returns (threshold, tp, fp, fn, precision, recall, f1) ordered by
+    threshold descending."""
+    d = df.select(F.col(score_col).alias("v"),
+                  F.col(label_col).cast("int").alias("y"))
+    per = d.groupBy("v").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"))
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = d.agg(F.sum("y").alias("p_all"))
+    cum = per.select(
+        "v", F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp")).crossJoin(F.broadcast(tot))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("p_all") - tp
+    prec = tp.cast("double") / (tp + fp).cast("double")
+    rec = tp.cast("double") / F.col("p_all").cast("double")
+    f1 = (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")
+    return cum.select(
+        F.col("v").alias("threshold"),
+        tp.cast("long").alias("tp"), fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(f1, 9).alias("f1")).orderBy(F.col("threshold").desc())
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10, score_max: int = 1000) -> DataFrame:
+    """Reliability diagram: bucket an integer score in [0, score_max)
+    into ``bins`` equal bins; per bin report the mean predicted
+    probability (bin-center convention via exact integer score sums)
+    and the observed positive rate, plus the ECE contribution
+    |conf - acc| * n_bin / n. Returns ``bins`` rows at most:
+    (bin, n_bin, conf, acc, ece_term)."""
+    d = df.select(F.col(score_col).alias("v"),
+                  F.col(label_col).cast("int").alias("y"))
+    b = d.withColumn("bin", F.floor(F.col("v") * bins / score_max)
+                     .cast("long"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    g = (b.groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n_bin"), F.sum("v").alias("sv"),
+              F.sum("y").alias("sy"))
+         .crossJoin(F.broadcast(tot)))
+    conf = (F.col("sv").cast("double")
+            / (F.col("n_bin").cast("double") * float(score_max)))
+    acc = F.col("sy").cast("double") / F.col("n_bin").cast("double")
+    return g.select(
+        "bin", F.col("n_bin").cast("long").alias("n_bin"),
+        F.round(conf, 9).alias("conf"), F.round(acc, 9).alias("acc"),
+        F.round(F.abs(conf - acc) * F.col("n_bin").cast("double")
+                / F.col("n").cast("double"), 9).alias("ece_term"),
+    ).orderBy("bin")

@@ -210,3 +210,57 @@ def test_grubbs_flags_outlier(spark):
     r = grubbs_stat(d, "v").collect()[0]
     assert r["x_out"] == 500
     assert r["g"] > 5
+
+
+def test_cohen_kappa_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import cohen_kappa
+    # perfect agreement -> kappa 1
+    d = spark.createDataFrame([(i % 3, i % 3) for i in range(60)],
+                              "a long, b long")
+    assert cohen_kappa(d, "a", "b").collect()[0]["kappa"] == 1.0
+    # independence (balanced cross) -> kappa ~ 0
+    rows = [(a, b) for a in range(3) for b in range(3) for _ in range(10)]
+    d2 = spark.createDataFrame(rows, "a long, b long")
+    assert cohen_kappa(d2, "a", "b").collect()[0]["kappa"] == \
+        pytest.approx(0.0, abs=1e-9)
+
+
+def test_roc_auc_extremes_and_ties(spark):
+    from lib_gdal_spark.operators.hypotests import roc_auc
+    # perfectly separated scores -> AUC 1
+    d = spark.createDataFrame(
+        [(i, 0) for i in range(50)] + [(100 + i, 1) for i in range(50)],
+        "score long, label int")
+    assert roc_auc(d, "score", "label").collect()[0]["auc"] == 1.0
+    # all scores tied -> AUC exactly 0.5 by midranks
+    d2 = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "score long, label int")
+    assert roc_auc(d2, "score", "label").collect()[0]["auc"] == 0.5
+
+
+def test_pr_curve_monotone_recall(spark):
+    from lib_gdal_spark.operators.hypotests import pr_curve
+    d = spark.createDataFrame(
+        [(i % 10 * 100, int(i % 3 == 0)) for i in range(300)],
+        "score long, label int")
+    rows = pr_curve(d, "score", "label").collect()
+    recs = [r["recall"] for r in rows]  # thresholds descending
+    assert recs == sorted(recs)
+    assert rows[-1]["recall"] == 1.0  # lowest threshold captures all
+
+
+def test_calibration_perfectly_calibrated(spark):
+    from lib_gdal_spark.operators.hypotests import calibration_bins
+    # construct labels so each bin's positive rate equals its mean score
+    rows = []
+    for i in range(1000):
+        score = i % 1000
+        rows.append((score, int((i * 7 + 3) % 1000 < score)))
+    d = spark.createDataFrame(rows, "score long, label int")
+    out = calibration_bins(d, "score", "label").collect()
+    total_ece = sum(r["ece_term"] for r in out)
+    # the hash pairing leaves ~0.1 residual per-bin noise at n=100/bin;
+    # the point is the plumbing (10 bins, conf rises with bin, terms sum)
+    assert total_ece < 0.15
+    confs = [r["conf"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert confs == sorted(confs) and len(out) == 10
