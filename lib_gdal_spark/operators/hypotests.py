@@ -608,3 +608,32 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
         F.round(F.abs(conf - acc) * F.col("n_bin").cast("double")
                 / F.col("n").cast("double"), 9).alias("ece_term"),
     ).orderBy("bin")
+
+
+def theil_index(df: DataFrame, val_col: str) -> DataFrame:
+    """Theil T inequality index of a positive integer value column:
+
+        T = (1/S) * sum x*ln(x) - ln(S/n)
+
+    (the x*ln(x/mu)/n/mu form rearranged so the per-row log term is
+    ln(x) alone). Determinism: ln(x) is quantized to the 1e-12 lattice
+    and sum x*L(x) runs as exact decimal(38,0) (the periodogram
+    pattern); the two outer logs are fixed float expressions of the
+    exact totals. Zero values are excluded (their x*ln x limit is 0).
+    Returns one row (n, n_pos, theil)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    pos = d.where(F.col("v") > 0)
+    _dc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lq = F.round(F.log(F.col("v").cast("double")) * 1e12)
+    agg = pos.agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("v").alias("s"),
+        F.sum(_dc(lq) * _dc(F.col("v"))).alias("xlq"))
+    j = agg.crossJoin(F.broadcast(tot))
+    s = F.col("s").cast("double")
+    t = (F.col("xlq").cast("double") / 1e12) / s \
+        - F.log(s / F.col("n_pos").cast("double"))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(t, 9).alias("theil"))

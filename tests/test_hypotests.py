@@ -264,3 +264,38 @@ def test_calibration_perfectly_calibrated(spark):
     assert total_ece < 0.15
     confs = [r["conf"] for r in sorted(out, key=lambda r: r["bin"])]
     assert confs == sorted(confs) and len(out) == 10
+
+
+def test_theil_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import theil_index
+    # equal values -> T == 0
+    eq = spark.createDataFrame([(i, 7) for i in range(100)],
+                               "tid long, v long")
+    assert theil_index(eq, "v").collect()[0]["theil"] == \
+        pytest.approx(0.0, abs=1e-9)
+    # one holder -> T = ln(n_pos) of the positive subset (here 1 -> 0);
+    # two-point {1, 1000}: T known closed form
+    import math
+    d = spark.createDataFrame([(0, 1), (1, 1000)], "tid long, v long")
+    mu = 1001 / 2
+    want = (1 * math.log(1 / mu) + 1000 * math.log(1000 / mu)) / 1001
+    assert theil_index(d, "v").collect()[0]["theil"] == \
+        pytest.approx(want, abs=1e-6)
+
+
+def test_compactness_square_vs_sliver(spark):
+    import numpy as np
+    from lib_gdal_spark.functions import geometry as G
+    from lib_gdal_spark.operators.layer_algebra import compactness
+    sq = G.wkb_polygon([np.asarray(G.box_ring(0, 0, 10, 10))])
+    sliver = G.wkb_polygon([np.asarray(G.box_ring(0, 0, 100, 1))])
+    layer = spark.createDataFrame(
+        [(0, bytearray(sq)), (1, bytearray(sliver))],
+        "fid long, geom_wkb binary")
+    got = {r["fid"]: r for r in compactness(layer).collect()}
+    import math
+    assert got[0]["polsby_popper"] == pytest.approx(
+        4 * math.pi * 100 / 1600, abs=1e-9)
+    assert got[0]["polsby_popper"] > got[1]["polsby_popper"] * 5
+    # schwartzberg is inverse-sense: sliver bigger
+    assert got[1]["schwartzberg"] > got[0]["schwartzberg"]
