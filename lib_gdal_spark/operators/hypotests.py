@@ -637,3 +637,109 @@ def theil_index(df: DataFrame, val_col: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.round(t, 9).alias("theil"))
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str,
+                max_rows: int = 20_000) -> DataFrame:
+    """Kendall tau-b rank correlation with tie handling:
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n-1)/2, and
+    n1/n2 the tie-pair terms sum t(t-1)/2 per tied x (resp. y) value —
+    ALL exact integers, one final float expression.
+
+    The pair classification is an explicit i<j self-join — O(n^2) by
+    definition (Knight's O(n log n) variant needs a global mergesort
+    that SQL oracles cannot replay); ``max_rows`` guards the quadratic
+    loudly. Returns one row (n, concordant, discordant, tau_b)."""
+    d = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")) \
+        .withColumn("i", F.monotonically_increasing_id())
+    n = d.count()
+    if n > max_rows:
+        raise ValueError(
+            f"kendall_tau: n={n} exceeds max_rows={max_rows} — the pair "
+            "classification is O(n^2); sample first or raise knowingly")
+    a = d.select(F.col("i").alias("ia"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("i").alias("ib"), F.col("x").alias("xb"),
+                 F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    sx = F.signum(F.col("xa") - F.col("xb"))
+    sy = F.signum(F.col("ya") - F.col("yb"))
+    agg = pairs.agg(
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("d"))
+    tx = (df.groupBy(F.col(x_col).alias("v"))
+          .agg(F.count(F.lit(1)).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1")))
+    ty = (df.groupBy(F.col(y_col).alias("v"))
+          .agg(F.count(F.lit(1)).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2")))
+    j = agg.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0 = float(n * (n - 1) // 2)
+    tau = ((F.col("c") - F.col("d")).cast("double")
+           / F.sqrt((n0 - F.col("n1").cast("double"))
+                    * (n0 - F.col("n2").cast("double"))))
+    return j.select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(tau, 9).alias("tau_b"))
+
+
+def ndcg_at_k(df: DataFrame, query_col: str, doc_col: str,
+              score_col: str, rel_col: str, k: int = 10) -> DataFrame:
+    """NDCG@k per query (Jarvelin & Kekalainen 2002, the binary/graded
+    ranking-eval workhorse): rank docs by score descending (ties by doc
+    id — deterministic), DCG = sum rel_i * w_i over the top k with the
+    discount w_i = 1/log2(i+1) QUANTIZED to the 1e-12 lattice, so
+    rel-weighted sums are exact decimal integers; IDCG uses the same
+    lattice over rel sorted descending. One final division per query.
+    Returns (query, dcg_q, idcg_q, ndcg) — *_q are the exact lattice
+    sums as strings."""
+    w_rank = Window.partitionBy("q").orderBy(
+        F.col("s").desc(), F.col("doc").asc())
+    w_ideal = Window.partitionBy("q").orderBy(
+        F.col("r").desc(), F.col("doc").asc())
+    d = df.select(F.col(query_col).alias("q"), F.col(doc_col).alias("doc"),
+                  F.col(score_col).alias("s"),
+                  F.col(rel_col).cast("long").alias("r"))
+    disc = F.round(F.lit(1e12) / F.log2(F.col("rank") + 1)).cast("decimal(38,0)")
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dcg = (d.withColumn("rank", F.row_number().over(w_rank))
+           .where(F.col("rank") <= k)
+           .groupBy("q").agg(F.sum(disc * _dc("r")).alias("dcg_q")))
+    idcg = (d.withColumn("rank", F.row_number().over(w_ideal))
+            .where(F.col("rank") <= k)
+            .groupBy("q").agg(F.sum(disc * _dc("r")).alias("idcg_q")))
+    j = dcg.join(idcg, "q")
+    nd = F.when(F.col("idcg_q") > 0,
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q").cast("double")).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("q").alias("query"),
+        F.col("dcg_q").cast("string").alias("dcg_q"),
+        F.col("idcg_q").cast("string").alias("idcg_q"),
+        F.round(nd, 9).alias("ndcg"))
+
+
+def atkinson_index(df: DataFrame, val_col: str) -> DataFrame:
+    """Atkinson inequality index at epsilon = 1:
+
+        A = 1 - geometric_mean(x) / mean(x)
+          = 1 - exp(sum ln(x) / n) * n / S
+
+    over positive values; ln(x) quantized to the 1e-12 lattice and
+    summed exactly (the theil_index doctrine), outer exp/division
+    fixed float expressions. Returns one row (n_pos, atkinson)."""
+    pos = df.select(F.col(val_col).cast("long").alias("v")) \
+        .where(F.col("v") > 0)
+    lq = F.round(F.log(F.col("v").cast("double")) * 1e12).cast("decimal(38,0)")
+    agg = pos.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                  F.sum(lq).alias("lsum"))
+    a = 1.0 - F.exp((F.col("lsum").cast("double") / 1e12)
+                    / F.col("n").cast("double")) \
+        * F.col("n").cast("double") / F.col("s").cast("double")
+    return agg.select(F.col("n").cast("long").alias("n_pos"),
+                      F.round(a, 9).alias("atkinson"))

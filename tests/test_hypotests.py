@@ -299,3 +299,48 @@ def test_compactness_square_vs_sliver(spark):
     assert got[0]["polsby_popper"] > got[1]["polsby_popper"] * 5
     # schwartzberg is inverse-sense: sliver bigger
     assert got[1]["schwartzberg"] > got[0]["schwartzberg"]
+
+
+def test_kendall_perfect_and_reversed(spark):
+    from lib_gdal_spark.operators.hypotests import kendall_tau
+    up = spark.createDataFrame([(i, i * 2) for i in range(50)],
+                               "x long, y long")
+    assert kendall_tau(up, "x", "y").collect()[0]["tau_b"] == 1.0
+    dn = spark.createDataFrame([(i, -i) for i in range(50)],
+                               "x long, y long")
+    assert kendall_tau(dn, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_kendall_guard(spark):
+    from lib_gdal_spark.operators.hypotests import kendall_tau
+    big = spark.range(30000).select(F.col("id").alias("x"),
+                                    F.col("id").alias("y"))
+    with pytest.raises(ValueError):
+        kendall_tau(big, "x", "y")
+
+
+def test_ndcg_perfect_ranking(spark):
+    from lib_gdal_spark.operators.hypotests import ndcg_at_k
+    # scores already ordered by relevance -> ndcg 1 for that query
+    rows = [(0, d, 100 - d, 3 - min(d, 3)) for d in range(8)]
+    d = spark.createDataFrame(rows, "q long, doc long, s long, r long")
+    out = ndcg_at_k(d, "q", "doc", "s", "r", k=10).collect()[0]
+    assert out["ndcg"] == 1.0
+    # worst ordering scores lower
+    rows2 = [(1, d, d, 3 - min(d, 3)) for d in range(8)]
+    d2 = spark.createDataFrame(rows2, "q long, doc long, s long, r long")
+    out2 = ndcg_at_k(d2, "q", "doc", "s", "r", k=10).collect()[0]
+    assert out2["ndcg"] < 1.0
+
+
+def test_atkinson_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import atkinson_index
+    eq = spark.createDataFrame([(i, 9) for i in range(40)],
+                               "tid long, v long")
+    assert atkinson_index(eq, "v").collect()[0]["atkinson"] == \
+        pytest.approx(0.0, abs=1e-9)
+    import math
+    d = spark.createDataFrame([(0, 1), (1, 100)], "tid long, v long")
+    want = 1 - math.sqrt(100) / 50.5
+    assert atkinson_index(d, "v").collect()[0]["atkinson"] == \
+        pytest.approx(want, abs=1e-6)
