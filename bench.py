@@ -183,6 +183,8 @@ BENCH = {
     "theil_index": lambda s: _force(E.q_theil_index(s, SF_DIR)),
     "ndcg_at_k": lambda s: _force(E.q_ndcg_at_k(s, SF_DIR)),
     "kendall_tau": lambda s: _force(E.q_kendall_tau(s, SF_DIR)),
+    "mad_robust": lambda s: _force(E.q_mad_robust(s, SF_DIR)),
+    "palma_ratio": lambda s: _force(E.q_palma_ratio(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),

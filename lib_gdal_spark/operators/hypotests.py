@@ -743,3 +743,86 @@ def atkinson_index(df: DataFrame, val_col: str) -> DataFrame:
         * F.col("n").cast("double") / F.col("s").cast("double")
     return agg.select(F.col("n").cast("long").alias("n_pos"),
                       F.round(a, 9).alias("atkinson"))
+
+
+def hoover_index(df: DataFrame, val_col: str) -> DataFrame:
+    """Hoover (Robin Hood) index — the share of total value that would
+    need redistribution for perfect equality:
+
+        H = sum |x - mu| / (2 * S) = sum |n*x - S| / (2 * n * S)
+
+    — the n-scaled numerator is an exact integer sum. One row
+    (n, hoover)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    j = d.crossJoin(F.broadcast(tot))
+    _dc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = F.abs(_dc(F.col("n")) * _dc(F.col("v"))
+                - _dc(F.col("s")))
+    agg = j.agg(F.first("n").alias("n"), F.first("s").alias("s"),
+                F.sum(dev).alias("sdev"))
+    h = F.col("sdev").cast("double") \
+        / (2.0 * F.col("n").cast("double") * F.col("s").cast("double"))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.round(h, 9).alias("hoover"))
+
+
+def mad_robust(df: DataFrame, val_col: str) -> DataFrame:
+    """Median absolute deviation — the robust scale estimate: med =
+    lower median of x (exact, from the value-spine counts, ties to the
+    smaller value — the deterministic convention), MAD = lower median
+    of |x - med| (again via counts). ALL integer; no float anywhere.
+    One row (n, median, mad)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    n = d.count()
+    target = (n + 1) // 2  # lower median position (1-based)
+    counts = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    med = (cum.where(F.col("cum") >= target)
+           .orderBy("v").limit(1).collect()[0]["v"])
+    dev = d.select(F.abs(F.col("v") - int(med)).alias("v"))
+    dcounts = dev.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    dcum = dcounts.withColumn("cum", F.sum("c").over(w))
+    mad = (dcum.where(F.col("cum") >= target)
+           .orderBy("v").limit(1).collect()[0]["v"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, int(med), int(mad))], "n long, median long, mad long")
+
+
+def palma_ratio(df: DataFrame, val_col: str) -> DataFrame:
+    """Palma ratio — top-10% value share over bottom-40% share, the
+    inequality headline number. Population cuts come from the
+    distinct-value spine (rank ranges per value, no global row sort):
+    a value group holding ranks [r+1, r+c] contributes
+    v * overlap([r+1, r+c], cut_range) to each side — exact integers,
+    one final division. Cut positions use floor(n*q) (bottom 40% =
+    ranks 1..floor(0.4n); top 10% = ranks n-floor(0.1n)+1..n). One row
+    (n, bottom40_sum, top10_sum, palma)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    counts = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v")
+    spine = counts.select(
+        "v", "c",
+        F.coalesce(F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("r"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    j = spine.crossJoin(F.broadcast(tot))
+    b_hi = F.floor(F.col("n") * 4 / 10)          # bottom cut rank
+    t_lo = F.col("n") - F.floor(F.col("n") / 10) # top cut rank (exclusive)
+    # overlap of [r+1, r+c] with [1, b_hi] and (t_lo, n]
+    bot = F.greatest(F.lit(0), F.least(F.col("r") + F.col("c"), b_hi)
+                     - F.col("r"))
+    top = F.greatest(F.lit(0), F.col("r") + F.col("c")
+                     - F.greatest(F.col("r"), t_lo))
+    agg = j.agg(F.first("n").alias("n"),
+                F.sum(F.col("v") * bot).alias("b40"),
+                F.sum(F.col("v") * top).alias("t10"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b40").cast("long").alias("bottom40_sum"),
+        F.col("t10").cast("long").alias("top10_sum"),
+        F.round(F.col("t10").cast("double")
+                / F.col("b40").cast("double"), 9).alias("palma"))

@@ -344,3 +344,37 @@ def test_atkinson_extremes(spark):
     want = 1 - math.sqrt(100) / 50.5
     assert atkinson_index(d, "v").collect()[0]["atkinson"] == \
         pytest.approx(want, abs=1e-6)
+
+
+def test_hoover_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import hoover_index
+    eq = spark.createDataFrame([(i, 5) for i in range(50)],
+                               "tid long, v long")
+    assert hoover_index(eq, "v").collect()[0]["hoover"] == 0.0
+    # one holder owns all -> H = (n-1)/n
+    d = spark.createDataFrame([(i, 0) for i in range(9)] + [(9, 90)],
+                              "tid long, v long")
+    assert hoover_index(d, "v").collect()[0]["hoover"] == \
+        pytest.approx(0.9, abs=1e-9)
+
+
+def test_mad_known(spark):
+    from lib_gdal_spark.operators.hypotests import mad_robust
+    d = spark.createDataFrame([(i, v) for i, v in
+                               enumerate([1, 1, 2, 2, 4, 6, 9])],
+                              "tid long, v long")
+    r = mad_robust(d, "v").collect()[0]
+    assert r["median"] == 2
+    # |x-2| = [1,1,0,0,2,4,7] -> lower median 1
+    assert r["mad"] == 1
+
+
+def test_palma_known(spark):
+    from lib_gdal_spark.operators.hypotests import palma_ratio
+    # 10 values 1..10: bottom 40% = ranks 1-4 -> 1+2+3+4 = 10;
+    # top 10% = rank 10 -> 10; palma = 1.0
+    d = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                              "tid long, v long")
+    r = palma_ratio(d, "v").collect()[0]
+    assert r["bottom40_sum"] == 10 and r["top10_sum"] == 10
+    assert r["palma"] == 1.0
