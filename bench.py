@@ -185,6 +185,9 @@ BENCH = {
     "kendall_tau": lambda s: _force(E.q_kendall_tau(s, SF_DIR)),
     "mad_robust": lambda s: _force(E.q_mad_robust(s, SF_DIR)),
     "palma_ratio": lambda s: _force(E.q_palma_ratio(s, SF_DIR)),
+    "wilcoxon": lambda s: _force(E.q_wilcoxon(s, SF_DIR)),
+    "chao1": lambda s: _force(E.q_chao1(s, SF_DIR)),
+    "good_turing": lambda s: _force(E.q_good_turing(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),

@@ -826,3 +826,115 @@ def palma_ratio(df: DataFrame, val_col: str) -> DataFrame:
         F.col("t10").cast("long").alias("top10_sum"),
         F.round(F.col("t10").cast("double")
                 / F.col("b40").cast("double"), 9).alias("palma"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, a_col: str,
+                         b_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test for paired samples: zero differences
+    drop (the standard convention), |d| takes doubled average ranks
+    over the remaining pairs, W+ = sum of ranks of positive d (held
+    doubled, exact), and the tie-corrected normal approximation
+
+        z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - T/48)
+
+    with T = sum(t^3 - t) over tied |d| groups. One row
+    (n_pairs, n_used, w_plus_x2, z)."""
+    d = df.select((F.col(a_col) - F.col(b_col)).cast("long").alias("d"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nz = d.where(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("v"),
+        (F.col("d") > 0).cast("int").alias("pos"))
+    ranks = _doubled_ranks(nz.select("v"), "v")
+    per = nz.groupBy("pos", "v").agg(F.count(F.lit(1)).alias("k"))
+    j = per.join(ranks, "v")
+    agg = j.agg(
+        F.sum("k").alias("n_used"),
+        F.sum(F.when(F.col("pos") == 1, F.col("k") * F.col("r2"))
+              .otherwise(0)).alias("wp2"))
+    t = ranks.agg(_tie_term(ranks).alias("tt"))
+    out = agg.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(tot))
+    n = F.col("n_used").cast("double")
+    wplus = F.col("wp2").cast("double") / 2.0
+    mean = n * (n + 1.0) / 4.0
+    var = (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+           - F.col("tt").cast("double") / 48.0)
+    return out.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("wp2").cast("long").alias("w_plus_x2"),
+        F.round((wplus - mean) / F.sqrt(var), 9).alias("z"))
+
+
+def chao1_richness(df: DataFrame, key_col: str) -> DataFrame:
+    """Chao1 species-richness estimate (Chao 1984) over a key column —
+    how many distinct keys the corpus would hold at infinite sampling:
+
+        S_chao1 = S_obs + f1*(f1 - 1) / (2*(f2 + 1))
+
+    (the bias-corrected form, defined for f2 = 0 too) with f1/f2 the
+    singleton/doubleton counts — exact integers, one division. One row
+    (s_obs, f1, f2, chao1)."""
+    freq = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c"))
+    agg = freq.agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"))
+    est = (F.col("s_obs").cast("double")
+           + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+           / (2.0 * (F.col("f2") + 1).cast("double")))
+    return agg.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(est, 9).alias("chao1"))
+
+
+def good_turing_counts(df: DataFrame, key_col: str,
+                       max_r: int = 10) -> DataFrame:
+    """Good-Turing frequency-of-frequency table with the adjusted
+    counts r* = (r+1) * N_{r+1} / N_r for r = 1..max_r (Good 1953; the
+    LM smoothing primitive): N_r are exact integers, r* one division
+    per row (NULL where N_{r+1} or N_r is 0). Returns
+    (r, n_r, r_star) ordered by r."""
+    freq = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c"))
+    nr = (freq.where(F.col("c") <= max_r + 1)
+          .groupBy(F.col("c").alias("r"))
+          .agg(F.count(F.lit(1)).alias("n_r")))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_next"))
+    out = (nr.join(nxt, "r", "left").where(F.col("r") <= max_r)
+           .select(
+               F.col("r").cast("long").alias("r"),
+               F.col("n_r").cast("long").alias("n_r"),
+               F.round((F.col("r") + 1).cast("double")
+                       * F.col("n_next").cast("double")
+                       / F.col("n_r").cast("double"), 9).alias("r_star")))
+    return out.orderBy("r")
+
+
+def simpson_diversity(df: DataFrame, key_col: str) -> DataFrame:
+    """Simpson diversity over a key column — the probability two draws
+    (without replacement) differ:
+
+        D = 1 - sum n_i*(n_i - 1) / (N*(N - 1))
+
+    exact integers until one division; also reports the inverse-Simpson
+    effective category count 1/sum(p_i^2) (with-replacement form). One
+    row (n, k_keys, simpson, inv_simpson)."""
+    freq = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = freq.agg(
+        F.count(F.lit(1)).alias("kk"), F.sum("c").alias("n"),
+        F.sum(_dc("c") * (_dc("c") - 1)).alias("pp"),
+        F.sum(_dc("c") * _dc("c")).alias("p2"))
+    n = F.col("n").cast("double")
+    simpson = 1.0 - F.col("pp").cast("double") / (n * (n - 1.0))
+    inv = (n * n) / F.col("p2").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("kk").cast("long").alias("k_keys"),
+        F.round(simpson, 9).alias("simpson"),
+        F.round(inv, 9).alias("inv_simpson"))

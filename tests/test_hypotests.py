@@ -378,3 +378,49 @@ def test_palma_known(spark):
     r = palma_ratio(d, "v").collect()[0]
     assert r["bottom40_sum"] == 10 and r["top10_sum"] == 10
     assert r["palma"] == 1.0
+
+
+def test_wilcoxon_symmetric_null(spark):
+    from lib_gdal_spark.operators.hypotests import wilcoxon_signed_rank
+    # perfectly antisymmetric differences -> W+ = half the rank sum, z ~ 0
+    rows = [(i, 10, 10 + d) for i, d in enumerate([1, -1, 2, -2, 3, -3])]
+    d = spark.createDataFrame(rows, "tid long, a long, b long")
+    r = wilcoxon_signed_rank(d, "a", "b").collect()[0]
+    assert r["n_used"] == 6
+    assert abs(r["z"]) < 1e-9
+    # zeros drop
+    d2 = spark.createDataFrame(rows + [(9, 5, 5)],
+                               "tid long, a long, b long")
+    assert wilcoxon_signed_rank(d2, "a", "b").collect()[0]["n_used"] == 6
+
+
+def test_chao1_known(spark):
+    from lib_gdal_spark.operators.hypotests import chao1_richness
+    # 3 singletons, 1 doubleton, 1 tripleton: S=5, f1=3, f2=1
+    keys = ["a", "b", "c", "d", "d", "e", "e", "e"]
+    d = spark.createDataFrame([(k,) for k in keys], "w string")
+    r = chao1_richness(d, "w").collect()[0]
+    assert (r["s_obs"], r["f1"], r["f2"]) == (5, 3, 1)
+    assert r["chao1"] == pytest.approx(5 + 3 * 2 / (2 * 2), abs=1e-9)
+
+
+def test_good_turing_known(spark):
+    from lib_gdal_spark.operators.hypotests import good_turing_counts
+    # N_1 = 2, N_2 = 1 -> r*(1) = 2 * 1/2 = 1.0
+    keys = ["a", "b", "c", "c"]
+    d = spark.createDataFrame([(k,) for k in keys], "w string")
+    out = {r["r"]: r for r in good_turing_counts(d, "w").collect()}
+    assert out[1]["n_r"] == 2 and out[2]["n_r"] == 1
+    assert out[1]["r_star"] == pytest.approx(1.0, abs=1e-9)
+    assert out[2]["r_star"] is None  # no N_3
+
+
+def test_simpson_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import simpson_diversity
+    mono = spark.createDataFrame([("x",)] * 10, "k string")
+    r = simpson_diversity(mono, "k").collect()[0]
+    assert r["simpson"] == 0.0 and r["inv_simpson"] == 1.0
+    even = spark.createDataFrame([(str(i % 4),) for i in range(40)],
+                                 "k string")
+    r2 = simpson_diversity(even, "k").collect()[0]
+    assert r2["inv_simpson"] == pytest.approx(4.0, abs=1e-9)
