@@ -938,3 +938,132 @@ def simpson_diversity(df: DataFrame, key_col: str) -> DataFrame:
         F.col("kk").cast("long").alias("k_keys"),
         F.round(simpson, 9).alias("simpson"),
         F.round(inv, 9).alias("inv_simpson"))
+
+
+def friedman_test(df: DataFrame, block_col: str, treat_col: str,
+                  val_col: str) -> DataFrame:
+    """Friedman rank test for k treatments over n complete blocks:
+    within-block doubled average ranks (ties handled), rank sums per
+    treatment exact, and the tie-corrected statistic
+
+        chi2_F = (k-1) * sum_j (R_j - n(k+1)/2)^2
+                 / (sum_ij r_ij^2 - n*k*(k+1)^2/4)
+
+    (the general tied form; all sums exact on the doubled lattice —
+    the 2x factors cancel between numerator and denominator). Blocks
+    must be complete (every treatment once); incomplete blocks raise.
+    One row (n_blocks, k_treat, chi2_f)."""
+    d = df.select(F.col(block_col).alias("b"), F.col(treat_col).alias("g"),
+                  F.col(val_col).alias("v"))
+    kc = d.groupBy("b").agg(F.countDistinct("g").alias("kk"),
+                            F.count(F.lit(1)).alias("cnt"))
+    bad = kc.where(F.col("kk") != F.col("cnt")).count()
+    ks = [r["kk"] for r in kc.select("kk").distinct().collect()]
+    if bad or len(ks) != 1:
+        raise ValueError("friedman_test needs complete blocks "
+                         "(each treatment exactly once per block)")
+    k = int(ks[0])
+    n = kc.count()
+    # doubled average rank within block: rank() gives 1 + count(<v),
+    # so r2 = 2*(rank-1) + count(==v) + 1
+    eqw = Window.partitionBy("b", "v")
+    ranked = d.withColumn(
+        "r2",
+        2 * (F.rank().over(Window.partitionBy("b").orderBy("v")) - 1)
+        + F.count(F.lit(1)).over(eqw) + 1)
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    rj = ranked.groupBy("g").agg(F.sum("r2").alias("rsum"))
+    sq = ranked.agg(F.sum(_dc("r2") * _dc("r2")).alias("ssq"))
+    # numerator: sum_j (2R_j - n(k+1))^2 / 4 on the doubled lattice
+    mean2 = n * (k + 1)
+    num = rj.agg(F.sum(
+        (_dc("rsum") - F.lit(mean2).cast("decimal(38,0)"))
+        * (_dc("rsum") - F.lit(mean2).cast("decimal(38,0)"))
+    ).alias("num2"))
+    j = num.crossJoin(F.broadcast(sq))
+    den2 = F.col("ssq").cast("double") - n * k * (k + 1) * (k + 1)
+    chi2 = (k - 1) * F.col("num2").cast("double") / den2
+    return j.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treat"),
+        F.round(chi2, 9).alias("chi2_f"))
+
+
+def cochran_q(df: DataFrame, block_col: str, treat_col: str,
+              flag_col: str) -> DataFrame:
+    """Cochran's Q for k binary treatments over n blocks (the McNemar
+    generalization):
+
+        Q = k(k-1) * sum_j (C_j - N/k)^2 / (k*N - sum_i R_i^2)
+
+    with C_j treatment totals, R_i block totals, N the grand total —
+    exact integers, cross-multiplied numerator (k*C_j - N)^2 / k. One
+    row (n_blocks, k_treat, q)."""
+    d = df.select(F.col(block_col).alias("b"), F.col(treat_col).alias("g"),
+                  F.col(flag_col).cast("long").alias("x"))
+    ks = [r["kk"] for r in
+          d.groupBy("b").agg(F.countDistinct("g").alias("kk"))
+          .select("kk").distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError("cochran_q needs complete blocks")
+    k = int(ks[0])
+    cj = d.groupBy("g").agg(F.sum("x").alias("c"))
+    ri = d.groupBy("b").agg(F.sum("x").alias("r"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(F.count(F.lit(1)).alias("nk"), F.sum("x").alias("bigN"))
+    numdf = cj.crossJoin(F.broadcast(tot)).agg(F.sum(
+        (F.lit(k).cast("decimal(38,0)") * _dc("c") - _dc("bigN"))
+        * (F.lit(k).cast("decimal(38,0)") * _dc("c") - _dc("bigN"))
+    ).alias("num"))
+    dendf = ri.crossJoin(F.broadcast(tot)).agg(
+        F.first("bigN").alias("bigN"), F.first("nk").alias("nk"),
+        F.sum(_dc("r") * _dc("r")).alias("rr"))
+    j = numdf.crossJoin(F.broadcast(dendf))
+    q = ((k - 1.0) * F.col("num").cast("double") / k) \
+        / (k * F.col("bigN").cast("double")
+           - F.col("rr").cast("double"))
+    return j.select(
+        (F.col("nk") / k).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treat"),
+        F.round(q, 9).alias("q"))
+
+
+def cronbach_alpha(df: DataFrame, subject_col: str, item_col: str,
+                   val_col: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over a long
+    (subject, item, value) table with complete k-item subjects:
+
+        alpha = k/(k-1) * (1 - sum_i var_i / var_total)
+
+    with var_i the per-item population variance and var_total the
+    variance of subject totals — every variance is (n*S2 - S^2)/n^2
+    from exact decimal moments (single subtraction, no float sums).
+    One row (n_subjects, k_items, alpha)."""
+    d = df.select(F.col(subject_col).alias("s"), F.col(item_col).alias("i"),
+                  F.col(val_col).cast("long").alias("v"))
+    ks = [r["kk"] for r in
+          d.groupBy("s").agg(F.countDistinct("i").alias("kk"))
+          .select("kk").distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError("cronbach_alpha needs complete subjects")
+    k = int(ks[0])
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_item = d.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+        F.sum(_dc("v") * _dc("v")).alias("s2"))
+    iv = per_item.agg(
+        F.first("n").alias("n"),
+        F.sum((( _dc("n") * F.col("s2")
+                - _dc("sv") * _dc("sv"))).cast("double")).alias("ivar2"))
+    totals = d.groupBy("s").agg(F.sum("v").alias("t"))
+    tv = totals.agg(
+        F.count(F.lit(1)).alias("n2"), F.sum("t").alias("st"),
+        F.sum(_dc("t") * _dc("t")).alias("t2"))
+    j = iv.crossJoin(F.broadcast(tv))
+    tvar2 = (F.col("n2").cast("decimal(38,0)") * F.col("t2")
+             - _dc("st") * _dc("st")).cast("double")
+    alpha = (k / (k - 1.0)) * (1.0 - F.col("ivar2") / tvar2)
+    return j.select(
+        F.col("n").cast("long").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.round(alpha, 9).alias("alpha"))

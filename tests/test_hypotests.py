@@ -424,3 +424,40 @@ def test_simpson_extremes(spark):
                                  "k string")
     r2 = simpson_diversity(even, "k").collect()[0]
     assert r2["inv_simpson"] == pytest.approx(4.0, abs=1e-9)
+
+
+def test_friedman_no_effect_vs_strong_effect(spark):
+    from lib_gdal_spark.operators.hypotests import friedman_test
+    # constant treatment effect ordering in every block -> max chi2
+    rows = [(b, t, t * 10 + b) for b in range(20) for t in range(4)]
+    d = spark.createDataFrame(rows, "blk long, trt long, v long")
+    r = friedman_test(d, "blk", "trt", "v").collect()[0]
+    # perfect ordering: chi2_F = n*(k-1) = 60
+    assert r["chi2_f"] == pytest.approx(60.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        friedman_test(d.where(~((F.col("blk") == 0) & (F.col("trt") == 0))),
+                      "blk", "trt", "v")
+
+
+def test_cochran_q_equals_mcnemar_for_k2(spark):
+    from lib_gdal_spark.operators.hypotests import cochran_q, mcnemar_test
+    # textbook identity: k = 2 Cochran's Q == uncorrected McNemar chi2
+    import random
+    rng = random.Random(3)
+    pairs = [(rng.randint(0, 1), rng.randint(0, 1)) for _ in range(60)]
+    long_rows = [(b, 0, a) for b, (a, _) in enumerate(pairs)] + \
+        [(b, 1, c) for b, (_, c) in enumerate(pairs)]
+    d = spark.createDataFrame(long_rows, "blk long, trt long, x int")
+    q = cochran_q(d, "blk", "trt", "x").collect()[0]["q"]
+    wide = spark.createDataFrame(pairs, "x int, y int")
+    chi2 = mcnemar_test(wide, "x", "y").collect()[0]["chi2"]
+    assert q == pytest.approx(chi2, abs=1e-9)
+
+
+def test_cronbach_perfectly_consistent(spark):
+    from lib_gdal_spark.operators.hypotests import cronbach_alpha
+    # every item identical per subject -> alpha == 1
+    rows = [(s, i, s * 3 + 7) for s in range(40) for i in range(4)]
+    d = spark.createDataFrame(rows, "subj long, item long, v long")
+    assert cronbach_alpha(d, "subj", "item", "v").collect()[0]["alpha"] \
+        == pytest.approx(1.0, abs=1e-9)
