@@ -190,6 +190,8 @@ BENCH = {
     "good_turing": lambda s: _force(E.q_good_turing(s, SF_DIR)),
     "friedman": lambda s: _force(E.q_friedman(s, SF_DIR)),
     "cronbach": lambda s: _force(E.q_cronbach(s, SF_DIR)),
+    "wasserstein": lambda s: _force(E.q_wasserstein(s, SF_DIR)),
+    "total_variation": lambda s: _force(E.q_total_variation(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),

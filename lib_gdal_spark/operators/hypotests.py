@@ -1067,3 +1067,103 @@ def cronbach_alpha(df: DataFrame, subject_col: str, item_col: str,
         F.col("n").cast("long").alias("n_subjects"),
         F.lit(k).cast("long").alias("k_items"),
         F.round(alpha, 9).alias("alpha"))
+
+
+def wasserstein_1d(df: DataFrame, group_col: str, val_col: str,
+                   group_a, group_b) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between two empirical
+    distributions over an integer value column:
+
+        W1 = sum_v |F1(v)*n2 - F2(v)*n1| * gap(v) / (n1*n2)
+
+    over the pooled value spine with gap(v) the distance to the next
+    distinct value — the exact closed form of the CDF-area integral;
+    the numerator sum is exact decimal, one final division (the KS
+    machinery with gap weighting). One row (n1, n2, w1)."""
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).cast("long").alias("v"))
+    cnt = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("c2"))
+    w = Window.orderBy("v")
+    cum = cnt.select(
+        "v",
+        F.sum("c1").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("f1"),
+        F.sum("c2").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("f2"),
+        (F.lead("v").over(w) - F.col("v")).alias("gap"))
+    tot = two.groupBy().agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n2"))
+    _dc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cum.where(F.col("gap").isNotNull()).crossJoin(F.broadcast(tot))
+    term = F.abs(_dc(F.col("f1")) * _dc(F.col("n2"))
+                 - _dc(F.col("f2")) * _dc(F.col("n1"))) * _dc(F.col("gap"))
+    agg = j.agg(F.first("n1").alias("n1"), F.first("n2").alias("n2"),
+                F.sum(term).alias("num"))
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"), 9)
+        .alias("w1"))
+
+
+def total_variation(df: DataFrame, group_col: str, val_col: str,
+                    group_a, group_b) -> DataFrame:
+    """Total variation distance between two empirical distributions:
+    TV = (1/2) sum_v |c1(v)*n2 - c2(v)*n1| / (n1*n2) — exact decimal
+    numerator, one division. One row (n1, n2, tv)."""
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    cnt = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("c2"))
+    tot = two.groupBy().agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n2"))
+    _dc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cnt.crossJoin(F.broadcast(tot))
+    term = F.abs(_dc(F.col("c1")) * _dc(F.col("n2"))
+                 - _dc(F.col("c2")) * _dc(F.col("n1")))
+    agg = j.agg(F.first("n1").alias("n1"), F.first("n2").alias("n2"),
+                F.sum(term).alias("num"))
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("num").cast("double")
+                / (2.0 * (F.col("n1") * F.col("n2")).cast("double")), 9)
+        .alias("tv"))
+
+
+def hellinger_distance(df: DataFrame, group_col: str, val_col: str,
+                       group_a, group_b) -> DataFrame:
+    """Hellinger distance between two empirical distributions:
+
+        H^2 = 1 - sum_v sqrt(p1(v) * p2(v))
+            = 1 - sum_v sqrt(c1(v)*c2(v)) / sqrt(n1*n2)
+
+    with sqrt(c1*c2) QUANTIZED to the 1e-6 lattice and summed as exact
+    decimal (the quantized-transcendental doctrine); the outer sqrt and
+    division are fixed float expressions. One row (n1, n2, hellinger).
+    """
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    cnt = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("c2"))
+    tot = two.groupBy().agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n2"))
+    sq = F.round(F.sqrt((F.col("c1") * F.col("c2")).cast("double")) * 1e6) \
+        .cast("decimal(38,0)")
+    agg = cnt.agg(F.sum(sq).alias("bc_q"))
+    j = agg.crossJoin(F.broadcast(tot))
+    bc = (F.col("bc_q").cast("double") / 1e6) \
+        / F.sqrt((F.col("n1") * F.col("n2")).cast("double"))
+    h = F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc))
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(h, 9).alias("hellinger"))

@@ -461,3 +461,42 @@ def test_cronbach_perfectly_consistent(spark):
     d = spark.createDataFrame(rows, "subj long, item long, v long")
     assert cronbach_alpha(d, "subj", "item", "v").collect()[0]["alpha"] \
         == pytest.approx(1.0, abs=1e-9)
+
+
+def test_wasserstein_known_shift(spark):
+    from lib_gdal_spark.operators.hypotests import wasserstein_1d
+    # identical distributions shifted by exactly d -> W1 == d
+    rows = [("a", v) for v in [1, 2, 3, 4]] + \
+        [("b", v + 7) for v in [1, 2, 3, 4]]
+    d = spark.createDataFrame(rows, "g string, v long")
+    r = wasserstein_1d(d, "g", "v", "a", "b").collect()[0]
+    assert r["w1"] == pytest.approx(7.0, abs=1e-9)
+    same = spark.createDataFrame(
+        [("a", v) for v in [1, 5, 9]] + [("b", v) for v in [1, 5, 9]],
+        "g string, v long")
+    assert wasserstein_1d(same, "g", "v", "a", "b").collect()[0]["w1"] \
+        == 0.0
+
+
+def test_total_variation_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import total_variation
+    disjoint = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("b", 11)], "g string, v long")
+    assert total_variation(disjoint, "g", "v", "a", "b") \
+        .collect()[0]["tv"] == 1.0
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "g string, v long")
+    assert total_variation(same, "g", "v", "a", "b") \
+        .collect()[0]["tv"] == 0.0
+
+
+def test_hellinger_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import hellinger_distance
+    disjoint = spark.createDataFrame(
+        [("a", 1), ("b", 9)], "g string, v long")
+    assert hellinger_distance(disjoint, "g", "v", "a", "b") \
+        .collect()[0]["hellinger"] == 1.0
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "g string, v long")
+    assert hellinger_distance(same, "g", "v", "a", "b") \
+        .collect()[0]["hellinger"] == pytest.approx(0.0, abs=1e-6)
