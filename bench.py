@@ -192,6 +192,9 @@ BENCH = {
     "cronbach": lambda s: _force(E.q_cronbach(s, SF_DIR)),
     "wasserstein": lambda s: _force(E.q_wasserstein(s, SF_DIR)),
     "total_variation": lambda s: _force(E.q_total_variation(s, SF_DIR)),
+    "cliffs_delta": lambda s: _force(E.q_cliffs_delta(s, SF_DIR)),
+    "levene": lambda s: _force(E.q_levene(s, SF_DIR)),
+    "trimmed_mean": lambda s: _force(E.q_trimmed_mean(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),

@@ -23,6 +23,8 @@ per-group aggregates. No all-pairs anywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1167,3 +1169,112 @@ def hellinger_distance(df: DataFrame, group_col: str, val_col: str,
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.round(h, 9).alias("hellinger"))
+
+
+def cliffs_delta(df: DataFrame, group_col: str, val_col: str,
+                 group_a, group_b) -> DataFrame:
+    """Cliff's delta ordinal effect size — the Mann-Whitney companion
+    the readout actually needs: delta = 2*U1/(n1*n2) - 1 in the
+    midrank form (exact: u1_x2/(n1*n2) - 1 on the doubled lattice).
+    One row (n1, n2, delta)."""
+    base = mann_whitney_u(df, group_col, val_col, group_a, group_b)
+    return base.select(
+        "n1", "n2",
+        F.round(F.col("u1_x2").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double") - 1.0, 9)
+        .alias("delta"))
+
+
+def levene_test(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Brown-Forsythe/Levene variance-homogeneity test: the one-way
+    ANOVA F applied to z = |x - median_g| (group medians by the
+    lower-median value-spine convention; the deviations stay integer,
+    so the composed :func:`anova_oneway` keeps its exact-fraction
+    contract). One row (k_groups, n, w) with w the F statistic."""
+    d = df.select(F.col(group_col).alias("g"),
+                  F.col(val_col).cast("long").alias("v"))
+    counts = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ng = d.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    j = cum.join(ng, "g").where(
+        F.col("cum") * 2 >= F.col("n") + 1)
+    med = j.groupBy("g").agg(F.min("v").alias("med"))
+    z = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z"))
+    out = anova_oneway(z, "g", "z")
+    return out.select("k_groups", "n", F.col("f").alias("w"))
+
+
+def trimmed_mean(df: DataFrame, val_col: str,
+                 trim_pct: int = 10) -> DataFrame:
+    """Symmetric trimmed mean: drop the lowest and highest
+    floor(n*trim_pct/100) observations by rank and average the rest —
+    computed on the distinct-value spine via exact rank-range overlaps
+    (the palma_ratio machinery, no global row sort). One row
+    (n, n_trimmed_each, kept_sum, trimmed_mean)."""
+    d = df.select(F.col(val_col).cast("long").alias("v"))
+    counts = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v")
+    spine = counts.select(
+        "v", "c",
+        F.coalesce(F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("r"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    j = spine.crossJoin(F.broadcast(tot))
+    t = F.floor(F.col("n") * trim_pct / 100).cast("long")
+    lo = t            # keep ranks (t, n - t]
+    hi = F.col("n") - t
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("r") + F.col("c"), hi) - F.greatest(F.col("r"), lo))
+    agg = j.agg(F.first("n").alias("n"), F.first(t).alias("t"),
+                F.sum(F.col("v") * kept).alias("s"),
+                F.sum(kept).alias("k"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("n_trimmed_each"),
+        F.col("s").cast("long").alias("kept_sum"),
+        F.round(F.col("s").cast("double") / F.col("k").cast("double"), 9)
+        .alias("trimmed_mean"))
+
+
+def bootstrap_ci_mean(df: DataFrame, val_col: str, n_resamples: int = 200,
+                      alpha_pct: int = 5, seed: int = 42,
+                      id_col: str | None = None) -> DataFrame:
+    """Deterministic percentile bootstrap CI for the mean: resample b
+    draws its n indices via splitmix(b * n + i) % n (the repo's
+    splitmix doctrine — bit-exact on every engine), each resample mean
+    is an exact integer sum over the drawn values, and the CI takes the
+    lower-rank percentile cut of the B sorted exact sums (ties by sum
+    — integers, so deterministic). ``df`` must carry a dense 0..n-1
+    ``id_col`` addressing the rows. One row
+    (n, b, mean, ci_lo, ci_hi)."""
+    from lib_gdal_spark.sources.pages import _mix
+
+    d = df.select(F.col(id_col or "pid").alias("i"),
+                  F.col(val_col).cast("long").alias("v"))
+    n = d.count()
+    spark = df.sparkSession
+    draws = spark.range(n_resamples * n).select(
+        F.floor(F.col("id") / n).alias("b"), F.col("id").alias("t"))
+
+    @F.pandas_udf("long")
+    def pick(t: pd.Series) -> pd.Series:
+        m = _mix(t.to_numpy(np.int64), 303, seed)
+        return pd.Series((m % np.uint64(n)).astype(np.int64))
+
+    cand = draws.withColumn("i", pick(F.col("t")))
+    sums = (cand.join(d, "i").groupBy("b")
+            .agg(F.sum("v").alias("s")).collect())
+    svals = sorted(int(r["s"]) for r in sums)
+    b = len(svals)
+    lo_i = max(0, (b * alpha_pct) // 200)          # alpha/2 cut
+    hi_i = min(b - 1, b - 1 - (b * alpha_pct) // 200)
+    tot = d.agg(F.sum("v").alias("s")).collect()[0]["s"]
+    return spark.createDataFrame(
+        [(n, b, round(float(tot) / n, 9),
+          round(svals[lo_i] / n, 9), round(svals[hi_i] / n, 9))],
+        "n long, b long, mean double, ci_lo double, ci_hi double")

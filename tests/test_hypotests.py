@@ -500,3 +500,55 @@ def test_hellinger_extremes(spark):
         [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "g string, v long")
     assert hellinger_distance(same, "g", "v", "a", "b") \
         .collect()[0]["hellinger"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cliffs_delta_extremes(spark):
+    from lib_gdal_spark.operators.hypotests import cliffs_delta
+    d = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3]] + [("b", v) for v in [10, 11]],
+        "g string, v long")
+    # every a < every b -> U1 = 0 -> delta = -1
+    assert cliffs_delta(d, "g", "v", "a", "b").collect()[0]["delta"] \
+        == -1.0
+    assert cliffs_delta(d, "g", "v", "b", "a").collect()[0]["delta"] \
+        == 1.0
+
+
+def test_levene_equal_vs_unequal_spread(spark):
+    from lib_gdal_spark.operators.hypotests import levene_test
+    import random
+    rng = random.Random(5)
+    tight = [("a", 50 + rng.randint(-2, 2)) for _ in range(60)]
+    wide = [("b", 50 + rng.randint(-30, 30)) for _ in range(60)]
+    d = spark.createDataFrame(tight + wide, "g string, v long")
+    w_diff = levene_test(d, "g", "v").collect()[0]["w"]
+    same = spark.createDataFrame(
+        [("a", 50 + rng.randint(-5, 5)) for _ in range(60)]
+        + [("b", 50 + rng.randint(-5, 5)) for _ in range(60)],
+        "g string, v long")
+    w_same = levene_test(same, "g", "v").collect()[0]["w"]
+    assert w_diff > 10 * max(w_same, 0.1)
+
+
+def test_trimmed_mean_kills_outliers(spark):
+    from lib_gdal_spark.operators.hypotests import trimmed_mean
+    rows = [(i, 100) for i in range(18)] + [(18, 0), (19, 100000)]
+    d = spark.createDataFrame(rows, "tid long, v long")
+    r = trimmed_mean(d, "v", 10).collect()[0]
+    # 10% of 20 = 2 trimmed each side: both outliers gone
+    assert r["n_trimmed_each"] == 2
+    assert r["trimmed_mean"] == 100.0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from lib_gdal_spark.operators.hypotests import bootstrap_ci_mean
+    d = spark.range(300).select(
+        F.col("id").alias("pid"), ((F.col("id") * 7) % 50).alias("v"))
+    r = bootstrap_ci_mean(d, "v", n_resamples=50, id_col="pid") \
+        .collect()[0]
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 10
+    # determinism across partitionings
+    r2 = bootstrap_ci_mean(d.repartition(5), "v", n_resamples=50,
+                           id_col="pid").collect()[0]
+    assert (r["ci_lo"], r["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
