@@ -1278,3 +1278,105 @@ def bootstrap_ci_mean(df: DataFrame, val_col: str, n_resamples: int = 200,
         [(n, b, round(float(tot) / n, 9),
           round(svals[lo_i] / n, 9), round(svals[hi_i] / n, 9))],
         "n long, b long, mean double, ci_lo double, ci_hi double")
+
+
+def partial_correlation(df: DataFrame, x_col: str, y_col: str,
+                        z_col: str) -> DataFrame:
+    """First-order partial correlation r_xy.z — the x~y association
+    with the confounder z held fixed:
+
+        r_xy.z = (r_xy - r_xz * r_yz)
+                 / sqrt((1 - r_xz^2) * (1 - r_yz^2))
+
+    with every pairwise r computed from exact decimal(38,0) moments
+    (n*Sab - Sa*Sb over the exact cross-sums) and the composition a
+    fixed float expression. One row (n, r_xy, r_xz, r_yz, r_partial).
+    """
+    d = df.select(F.col(x_col).cast("long").alias("x"),
+                  F.col(y_col).cast("long").alias("y"),
+                  F.col(z_col).cast("long").alias("z"))
+    _dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(_dc("x") * _dc("x")).alias("sxx"),
+        F.sum(_dc("y") * _dc("y")).alias("syy"),
+        F.sum(_dc("z") * _dc("z")).alias("szz"),
+        F.sum(_dc("x") * _dc("y")).alias("sxy"),
+        F.sum(_dc("x") * _dc("z")).alias("sxz"),
+        F.sum(_dc("y") * _dc("z")).alias("syz"))
+    n = F.col("n").cast("decimal(38,0)")
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = (n * F.col(sab)
+               - F.col(sa).cast("decimal(38,0)")
+               * F.col(sb).cast("decimal(38,0)")).cast("double")
+        da = (n * F.col(saa) - F.col(sa).cast("decimal(38,0)")
+              * F.col(sa).cast("decimal(38,0)")).cast("double")
+        db = (n * F.col(sbb) - F.col(sb).cast("decimal(38,0)")
+              * F.col(sb).cast("decimal(38,0)")).cast("double")
+        return num / F.sqrt(da * db)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    rp = (rxy - rxz * ryz) / F.sqrt((1.0 - rxz * rxz)
+                                    * (1.0 - ryz * ryz))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rxy, 9).alias("r_xy"), F.round(rxz, 9).alias("r_xz"),
+        F.round(ryz, 9).alias("r_yz"), F.round(rp, 9).alias("r_partial"))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramer's V association strength for an a x b contingency table:
+    V = sqrt(chi2 / (n * min(r-1, c-1))) composed over
+    :func:`chi2_independence`'s exact-count chi2. One row
+    (n, df_free, chi2, v)."""
+    base = chi2_independence(df, a_col, b_col)
+    counts = df.agg(
+        F.countDistinct(F.col(a_col)).alias("na"),
+        F.countDistinct(F.col(b_col)).alias("nb"))
+    j = base.crossJoin(F.broadcast(counts))
+    mind = F.least(F.col("na") - 1, F.col("nb") - 1)
+    v = F.sqrt(F.col("chi2") / (F.col("n").cast("double")
+                                * mind.cast("double")))
+    return j.select("n", "df_free", "chi2", F.round(v, 9).alias("v"))
+
+
+def odds_ratio(df: DataFrame, exposure_col: str,
+               outcome_col: str) -> DataFrame:
+    """2x2 odds ratio + relative risk with the 95% Woolf log CI — the
+    A/B readout triple:
+
+        OR = a*d / (b*c);  RR = (a/(a+b)) / (c/(c+d))
+        CI = exp(ln(OR) +- 1.96 * sqrt(1/a + 1/b + 1/c + 1/d))
+
+    a/b/c/d exact counts (exposed-pos, exposed-neg, unexposed-pos,
+    unexposed-neg); all derived values fixed float expressions. Zero
+    cells yield NULL OR/CI (no continuity fudge — loud). One row
+    (a, b, c, d, odds_ratio, relative_risk, ci_lo, ci_hi)."""
+    d = df.select(F.col(exposure_col).cast("int").alias("e"),
+                  F.col(outcome_col).cast("int").alias("o"))
+    agg = d.agg(
+        F.sum(((F.col("e") == 1) & (F.col("o") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("e") == 1) & (F.col("o") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("e") == 0) & (F.col("o") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("e") == 0) & (F.col("o") == 0)).cast("long")).alias("d"))
+    a, b, c, dd = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ok = (a > 0) & (b > 0) & (c > 0) & (dd > 0)
+    orr = (a * dd).cast("double") / (b * c).cast("double")
+    rr = (a.cast("double") / (a + b).cast("double")) \
+        / (c.cast("double") / (c + dd).cast("double"))
+    se = F.sqrt(1.0 / a.cast("double") + 1.0 / b.cast("double")
+                + 1.0 / c.cast("double") + 1.0 / dd.cast("double"))
+    lo = F.exp(F.log(orr) - 1.96 * se)
+    hi = F.exp(F.log(orr) + 1.96 * se)
+    return agg.select(
+        a.cast("long").alias("a"), b.cast("long").alias("b"),
+        c.cast("long").alias("c"), dd.cast("long").alias("d"),
+        F.round(F.when(ok, orr), 9).alias("odds_ratio"),
+        F.round(F.when(ok, rr), 9).alias("relative_risk"),
+        F.round(F.when(ok, lo), 9).alias("ci_lo"),
+        F.round(F.when(ok, hi), 9).alias("ci_hi"))

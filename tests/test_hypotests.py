@@ -552,3 +552,41 @@ def test_bootstrap_ci_brackets_mean(spark):
     r2 = bootstrap_ci_mean(d.repartition(5), "v", n_resamples=50,
                            id_col="pid").collect()[0]
     assert (r["ci_lo"], r["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_partial_correlation_removes_confounder(spark):
+    from lib_gdal_spark.operators.hypotests import partial_correlation
+    import random
+    rng = random.Random(11)
+    rows = []
+    for _ in range(500):
+        z = rng.randint(0, 100)
+        rows.append((z + rng.randint(0, 10), z + rng.randint(0, 10), z))
+    d = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_correlation(d, "x", "y", "z").collect()[0]
+    # x and y are strongly correlated only through z
+    assert r["r_xy"] > 0.8
+    assert abs(r["r_partial"]) < 0.2
+
+
+def test_cramers_v_perfect_association(spark):
+    from lib_gdal_spark.operators.hypotests import cramers_v
+    rows = [(str(i % 3), i % 3) for i in range(90)]
+    d = spark.createDataFrame(rows, "a string, b long")
+    assert cramers_v(d, "a", "b").collect()[0]["v"] == \
+        pytest.approx(1.0, abs=1e-9)
+
+
+def test_odds_ratio_textbook(spark):
+    from lib_gdal_spark.operators.hypotests import odds_ratio
+    rows = ([(1, 1)] * 20 + [(1, 0)] * 80 + [(0, 1)] * 10 + [(0, 0)] * 90)
+    d = spark.createDataFrame(rows, "e int, o int")
+    r = odds_ratio(d, "e", "o").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (20, 80, 10, 90)
+    assert r["odds_ratio"] == pytest.approx(20 * 90 / (80 * 10), abs=1e-9)
+    assert r["relative_risk"] == pytest.approx(0.2 / 0.1, abs=1e-9)
+    assert r["ci_lo"] < r["odds_ratio"] < r["ci_hi"]
+    # zero cell -> NULLs, loud
+    z = spark.createDataFrame([(1, 1), (0, 0)], "e int, o int")
+    rz = odds_ratio(z, "e", "o").collect()[0]
+    assert rz["odds_ratio"] is None
