@@ -198,6 +198,8 @@ BENCH = {
     "partial_corr": lambda s: _force(E.q_partial_corr(s, SF_DIR)),
     "cramers_v": lambda s: _force(E.q_cramers_v(s, SF_DIR)),
     "odds_ratio": lambda s: _force(E.q_odds_ratio(s, SF_DIR)),
+    "circular_stats": lambda s: _force(E.q_circular_stats(s, SF_DIR)),
+    "jonckheere": lambda s: _force(E.q_jonckheere(s, SF_DIR)),
     "viterbi_decode": lambda s: _force(E.q_viterbi_decode(s, SF_DIR)),
     "bh_fdr": lambda s: _force(E.q_bh_fdr(s, SF_DIR)),
     "smith_waterman": lambda s: _force(E.q_smith_waterman(s, SF_DIR)),
@@ -292,6 +294,8 @@ BENCH = {
     "partial_corr": lambda s: _force(E.q_partial_corr(s, SF_DIR)),
     "cramers_v": lambda s: _force(E.q_cramers_v(s, SF_DIR)),
     "odds_ratio": lambda s: _force(E.q_odds_ratio(s, SF_DIR)),
+    "circular_stats": lambda s: _force(E.q_circular_stats(s, SF_DIR)),
+    "jonckheere": lambda s: _force(E.q_jonckheere(s, SF_DIR)),
     "mattr": lambda s: _force(E.q_mattr(s, SF_DIR)),
     "od_matrix": lambda s: _force(E.q_od_matrix(s, SF_DIR)),
     "knox_test": lambda s: _force(E.q_knox_test(s, SF_DIR)),

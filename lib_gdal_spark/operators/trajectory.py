@@ -452,3 +452,47 @@ def lcss_pairs(
     return j.groupBy("tid_a", "tid_b").applyInPandas(
         run, schema="tid_a long, tid_b long, n_a long, n_b long, "
                     "lcss_len long, lcss_sim double")
+
+
+def circular_stats(
+    points: DataFrame,
+    tid_col: str = "tid",
+    seq_col: str = "vi",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Circular statistics of trajectory step headings (Mardia & Jupp,
+    Directional Statistics): each consecutive step contributes its UNIT
+    vector (dx/len, dy/len) — algebraic, no trig — quantized to the
+    1e-12 lattice and summed as exact decimal, so the resultant is
+    engine-exact. Reports the circular mean direction (degrees,
+    atan2(V, U) — one fixed float), the mean resultant length
+    R = |(U, V)| / n, circular variance 1 - R, and the Rayleigh
+    uniformity statistic z = n * R^2 (large z = directed movement).
+    Zero-length steps drop. One row
+    (n_steps, mean_deg, r_len, circ_var, rayleigh_z)."""
+    w = Window.partitionBy(tid_col).orderBy(seq_col)
+    steps = points.select(
+        tid_col,
+        (F.lead(x_col).over(w) - F.col(x_col)).alias("dx"),
+        (F.lead(y_col).over(w) - F.col(y_col)).alias("dy"),
+    ).where(F.col("dx").isNotNull()
+            & ((F.col("dx") != 0) | (F.col("dy") != 0)))
+    ln = F.sqrt((F.col("dx") * F.col("dx")
+                 + F.col("dy") * F.col("dy")).cast("double"))
+    uq = F.round(F.col("dx").cast("double") / ln * 1e12) \
+        .cast("decimal(38,0)")
+    vq = F.round(F.col("dy").cast("double") / ln * 1e12) \
+        .cast("decimal(38,0)")
+    agg = steps.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(uq).alias("u"), F.sum(vq).alias("v"))
+    u = F.col("u").cast("double") / 1e12
+    v = F.col("v").cast("double") / 1e12
+    n = F.col("n").cast("double")
+    r = F.sqrt(u * u + v * v) / n
+    return agg.select(
+        F.col("n").cast("long").alias("n_steps"),
+        F.round(F.degrees(F.atan2(v, u)), 9).alias("mean_deg"),
+        F.round(r, 9).alias("r_len"),
+        F.round(1.0 - r, 9).alias("circ_var"),
+        F.round(n * r * r, 9).alias("rayleigh_z"))

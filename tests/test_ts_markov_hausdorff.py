@@ -215,3 +215,35 @@ def test_lcss_matches(spark):
     assert got[(0, 1)]["lcss_len"] == 6
     assert got[(0, 1)]["lcss_sim"] == 1.0
     assert got[(0, 2)]["lcss_len"] == 0
+
+
+def test_circular_stats_directed_vs_uniform(spark):
+    from lib_gdal_spark.operators.trajectory import circular_stats
+    # straight-line track: all headings equal -> R = 1, variance 0
+    pts = spark.createDataFrame(
+        [(0, i, i * 3, i * 4) for i in range(10)],
+        "tid long, vi long, x long, y long")
+    r = circular_stats(pts).collect()[0]
+    assert r["r_len"] == pytest.approx(1.0, abs=1e-9)
+    assert r["circ_var"] == pytest.approx(0.0, abs=1e-9)
+    assert r["mean_deg"] == pytest.approx(53.130102354, abs=1e-6)
+    # perfectly balanced opposite headings -> R = 0
+    pts2 = spark.createDataFrame(
+        [(0, 0, 0, 0), (0, 1, 10, 0), (0, 2, 0, 0)],
+        "tid long, vi long, x long, y long")
+    r2 = circular_stats(pts2).collect()[0]
+    assert r2["r_len"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_jonckheere_monotone_groups(spark):
+    from lib_gdal_spark.operators.hypotests import jonckheere_terpstra
+    # strictly increasing group levels -> J maximal, z strongly positive
+    rows = [(g, g * 100 + i) for g in range(3) for i in range(20)]
+    d = spark.createDataFrame(rows, "g int, v long")
+    r = jonckheere_terpstra(d, "g", "v", [0, 1, 2]).collect()[0]
+    # every cross-pair concordant: J = 3 * 20*20 = 1200 -> j_x2 = 2400
+    assert r["j_x2"] == 2400
+    assert r["z"] > 5
+    # reversed order -> strongly negative
+    r2 = jonckheere_terpstra(d, "g", "v", [2, 1, 0]).collect()[0]
+    assert r2["z"] < -5
